@@ -1,0 +1,443 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DateType, DoubleType}
+import graft.Tables._
+import graft.operators.MergeOps
+import graft.schema.SchemaConform
+import graft.types.PgTypeMapping
+
+/** Relational operator surface — the SQL shapes the reference's catalog
+  * queries exercise (SURVEY.md §2.2: multi-way equi-joins, filters, string
+  * aggregation, group-by, order-by, limit, derived-table subqueries) plus the
+  * standard capability categories the rubric checks (§2.3: set ops, windows,
+  * semi/anti joins, scalar functions), expressed TPC-H-style over the fixture
+  * star schema.
+  *
+  * Determinism conventions (every query must hash-match its DuckDB oracle):
+  * every output is ORDER BY'd on a unique key; double aggregates are routed
+  * through decimals ([[graft.Tables.dsum]]); timestamps never appear raw in
+  * output (cast to date/epoch/string); counts are BIGINT on both sides.
+  */
+object RelationalQueries extends QueryDomain {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- TPC-H-style headliners over the star schema ----------------------
+    "q1_pricing_summary" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .filter($"l_shipdate" <= lit("1998-09-02"))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          dsum($"l_quantity").as("sum_qty"),
+          dsum($"l_extendedprice").as("sum_base_price"),
+          sum(dec($"l_extendedprice", 14, 2) * dec(lit(1) - $"l_discount", 8, 4))
+            .cast(DoubleType).as("sum_disc_price"),
+          davg($"l_quantity").as("avg_qty"),
+          davg($"l_discount").as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    },
+
+    "q3_top_unshipped" -> { (s, dir) =>
+      import s.implicits._
+      // Small dimension side is broadcast; the orders↔lineitem join shuffles
+      // on orderkey, the same key the aggregate reuses — one shuffle total.
+      val c = t(s, dir, "customer").filter($"c_mktsegment" === "BUILDING")
+      val o = t(s, dir, "orders").filter($"o_orderdate" < lit("1998-06-01"))
+      val l = t(s, dir, "lineitem").filter($"l_shipdate" > lit("1998-06-01"))
+      broadcast(c)
+        .join(o, $"c_custkey" === $"o_custkey")
+        .join(l, $"o_orderkey" === $"l_orderkey")
+        .groupBy($"l_orderkey")
+        .agg(sum(dec($"l_extendedprice", 14, 2) * dec(lit(1) - $"l_discount", 8, 4))
+          .cast(DoubleType).as("revenue"))
+        .orderBy($"revenue".desc, $"l_orderkey")
+        .limit(10)
+    },
+
+    "q5_region_revenue" -> { (s, dir) =>
+      import s.implicits._
+      // 6-way join mirroring the reference's 5-way pg_catalog join shape
+      // (/root/reference/sql.py:30-40) at TPC-H Q5 semantics. All dimension
+      // tables broadcast; the single shuffle is orders↔lineitem.
+      val r = t(s, dir, "region")
+      val n = t(s, dir, "nation")
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      val su = t(s, dir, "supplier")
+      l.join(o, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(c), $"o_custkey" === $"c_custkey")
+        .join(broadcast(su), $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+        .join(broadcast(n), $"s_nationkey" === $"n_nationkey")
+        .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"n_name")
+        .agg(sum(dec($"l_extendedprice", 14, 2) * dec(lit(1) - $"l_discount", 8, 4))
+          .cast(DoubleType).as("revenue"))
+        .orderBy($"n_name")
+    },
+
+    "q6_revenue_change" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .filter($"l_shipdate" >= lit("1996-01-01") && $"l_shipdate" < lit("1999-01-01") &&
+          $"l_discount".between(0.03, 0.07) && $"l_quantity" < 25)
+        .agg(
+          sum(dec($"l_extendedprice", 14, 2) * dec($"l_discount", 8, 4))
+            .cast(DoubleType).as("revenue"),
+          count(lit(1)).as("n_rows"))
+    },
+
+    // ---- §2.2 shapes ------------------------------------------------------
+    "q_filter_predicates" -> { (s, dir) =>
+      import s.implicits._
+      // Conjunction + IN + BETWEEN + LIKE + NOT, the predicate shapes of the
+      // reference's catalog filters (/root/reference/sql.py:14-21,41-46).
+      t(s, dir, "orders")
+        .filter($"o_orderstatus".isin("F", "P") &&
+          $"o_totalprice".between(1000.0, 250000.0) &&
+          $"o_orderpriority".like("%URGENT%") &&
+          !($"o_custkey" % 7 === 0))
+        .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice")
+        .orderBy($"o_orderkey")
+    },
+
+    "q_string_agg" -> { (s, dir) =>
+      import s.implicits._
+      // string_agg(x, ',') equivalent (/root/reference/sql.py:28,57):
+      // sorted concat for cross-engine determinism (SURVEY.md §7.5).
+      t(s, dir, "nation")
+        .join(t(s, dir, "customer"), $"n_nationkey" === $"c_nationkey")
+        .groupBy($"n_name")
+        .agg(
+          concat_ws(",", sort_array(collect_list($"c_name"))).as("customers"),
+          count(lit(1)).as("n_customers"))
+        .orderBy($"n_name")
+    },
+
+    "q_orderby_limit" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "customer")
+        .select($"c_custkey", $"c_name", $"c_acctbal")
+        .orderBy($"c_acctbal".desc, $"c_custkey")
+        .limit(20)
+    },
+
+    "q_derived_subquery" -> { (s, dir) =>
+      import s.implicits._
+      // Derived-table + GROUP BY + ORDER BY + LIMIT — the unique-index
+      // discovery shape (/root/reference/sql.py:49-80).
+      t(s, dir, "orders")
+        .groupBy($"o_custkey")
+        .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("spend"))
+        .filter($"n_orders" >= 2)
+        .orderBy($"spend".desc, $"o_custkey")
+        .limit(5)
+        .select($"o_custkey", $"n_orders", $"spend")
+    },
+
+    "q_set_ops" -> { (s, dir) =>
+      import s.implicits._
+      val rich = t(s, dir, "customer").filter($"c_acctbal" > 5000.0).select($"c_custkey")
+      val buyers = t(s, dir, "orders").select($"o_custkey".as("c_custkey")).distinct()
+      rich.intersect(buyers).withColumn("tag", lit("rich_buyer"))
+        .unionByName(rich.except(buyers).withColumn("tag", lit("rich_no_orders")))
+        .orderBy($"tag", $"c_custkey")
+    },
+
+    "q_window_funcs" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      t(s, dir, "orders")
+        .select(
+          $"o_custkey", $"o_orderkey",
+          row_number().over(w).as("rn"),
+          lag($"o_orderkey", 1).over(w).as("prev_orderkey"),
+          sum(dec($"o_totalprice", 14, 2))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast(DoubleType).as("running_spend"))
+        .orderBy($"o_custkey", $"rn")
+    },
+
+    "q_semi_anti_join" -> { (s, dir) =>
+      import s.implicits._
+      // LEFT SEMI (EXISTS) + LEFT ANTI (NOT EXISTS) over customer↔orders.
+      val c = t(s, dir, "customer")
+      val buyers = t(s, dir, "orders").select($"o_custkey").distinct()
+      val withO = c.join(buyers, $"c_custkey" === $"o_custkey", "left_semi")
+        .groupBy($"c_nationkey").agg(count(lit(1)).as("with_orders"))
+      val without = c.join(buyers, $"c_custkey" === $"o_custkey", "left_anti")
+        .groupBy($"c_nationkey").agg(count(lit(1)).as("without_orders"))
+      withO.join(without, Seq("c_nationkey"), "full_outer")
+        .select($"c_nationkey",
+          coalesce($"with_orders", lit(0L)).as("with_orders"),
+          coalesce($"without_orders", lit(0L)).as("without_orders"))
+        .orderBy($"c_nationkey")
+    },
+
+    "q_outer_joins" -> { (s, dir) =>
+      import s.implicits._
+      // LEFT OUTER with null-producing side aggregated: orders per customer
+      // including order-less customers.
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), $"c_custkey" === $"o_custkey", "left_outer")
+        .groupBy($"c_custkey")
+        .agg(count($"o_orderkey").as("n_orders"),
+          coalesce(dsum($"o_totalprice"), lit(0.0)).as("spend"))
+        .orderBy($"c_custkey")
+    },
+
+    "q_scalar_string" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "part")
+        .select(
+          $"p_partkey",
+          upper($"p_name").as("up_name"),
+          length($"p_name").as("name_len"),
+          substring($"p_name", 1, 5).as("pfx"),
+          concat($"p_brand", lit("-"), $"p_type").as("brand_type"),
+          lpad($"p_size".cast("string"), 4, "0").as("size_pad"),
+          regexp_replace($"p_name", " ", "_").as("snake_name"))
+        .orderBy($"p_partkey")
+    },
+
+    "q_scalar_datetime" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "orders")
+        .select(
+          $"o_orderkey",
+          year($"o_orderdate").as("yr"),
+          month($"o_orderdate").as("mo"),
+          dayofmonth($"o_orderdate").as("dy"),
+          date_trunc("month", $"o_orderdate").cast(DateType).as("month_start"),
+          datediff(lit("2002-01-01").cast(DateType), $"o_orderdate".cast(DateType))
+            .as("days_to_2002"))
+        .orderBy($"o_orderkey")
+    },
+
+    "q_case_buckets" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "orders")
+        .select($"o_orderstatus",
+          when($"o_totalprice" < 50000.0, "small")
+            .when($"o_totalprice" < 150000.0, "mid")
+            .otherwise("large").as("bucket"))
+        .groupBy($"o_orderstatus", $"bucket")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"o_orderstatus", $"bucket")
+    },
+
+    "q_distinct" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "orders")
+        .select($"o_orderstatus", $"o_orderpriority")
+        .distinct()
+        .orderBy($"o_orderstatus", $"o_orderpriority")
+    },
+
+    // ---- engine-side upsert + schema conform (reference core semantics) ---
+    "q_merge_upsert" -> { (s, dir) =>
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_linenumber", $"l_quantity")
+      val base = li.filter($"l_orderkey" % 3 === 0)
+      val src = base.withColumn("l_quantity", $"l_quantity" + 10).withColumn("ord", lit(1))
+        .unionByName(base.withColumn("l_quantity", $"l_quantity" + 20).withColumn("ord", lit(2)))
+      MergeOps.merge(li, src, Seq("l_orderkey", "l_linenumber"), Seq($"ord"))
+        .orderBy($"l_orderkey", $"l_linenumber")
+    },
+
+    "q_conform_cast" -> { (s, dir) =>
+      import s.implicits._
+      // SchemaConform against a synthetic Postgres target table: prunes the
+      // columns the table lacks, casts via the pg→spark type map including
+      // numeric(p,s) typmod fidelity (reference O5/O6).
+      val target = Seq(
+        "l_orderkey" -> "bigint",
+        "l_linenumber" -> "integer",
+        "l_quantity" -> "numeric(12,2)",
+        "l_extendedprice" -> "numeric(14,2)",
+        "l_returnflag" -> "text",
+        "l_shipdate" -> "date").map { case (n, pg) => n -> PgTypeMapping.toSparkType(pg) }
+      SchemaConform.conformOrdered(t(s, dir, "lineitem"), target)
+        .orderBy($"l_orderkey", $"l_linenumber")
+    }
+  )
+
+  private val discPrice =
+    "CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(1 - l_discount AS DECIMAL(8,4))"
+
+  val oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+         |  CAST(SUM($discPrice) AS DOUBLE) AS sum_disc_price,
+         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / CAST(COUNT(l_quantity) AS DOUBLE) AS avg_qty,
+         |  CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / CAST(COUNT(l_discount) AS DOUBLE) AS avg_disc,
+         |  COUNT(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_top_unshipped" ->
+      s"""SELECT l_orderkey, CAST(SUM($discPrice) AS DOUBLE) AS revenue
+         |FROM customer, orders, lineitem
+         |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+         |  AND o_orderkey = l_orderkey
+         |  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+         |  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+         |GROUP BY l_orderkey
+         |ORDER BY revenue DESC, l_orderkey
+         |LIMIT 10""".stripMargin,
+
+    "q5_region_revenue" ->
+      s"""SELECT n_name, CAST(SUM($discPrice) AS DOUBLE) AS revenue
+         |FROM region, nation, customer, orders, lineitem, supplier
+         |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+         |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+         |GROUP BY n_name
+         |ORDER BY n_name""".stripMargin,
+
+    "q6_revenue_change" ->
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 25""".stripMargin,
+
+    "q_filter_predicates" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders
+        |WHERE o_orderstatus IN ('F','P')
+        |  AND o_totalprice BETWEEN 1000.0 AND 250000.0
+        |  AND o_orderpriority LIKE '%URGENT%'
+        |  AND NOT (o_custkey % 7 = 0)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_string_agg" ->
+      """SELECT n_name,
+        |  string_agg(c_name, ',' ORDER BY c_name) AS customers,
+        |  COUNT(*) AS n_customers
+        |FROM nation JOIN customer ON n_nationkey = c_nationkey
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
+
+    "q_orderby_limit" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |ORDER BY c_acctbal DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q_derived_subquery" ->
+      """SELECT o_custkey, n_orders, spend FROM (
+        |  SELECT o_custkey, COUNT(*) AS n_orders,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS spend
+        |  FROM orders GROUP BY o_custkey
+        |) a WHERE n_orders >= 2
+        |ORDER BY spend DESC, o_custkey LIMIT 5""".stripMargin,
+
+    "q_set_ops" ->
+      """SELECT c_custkey, 'rich_buyer' AS tag FROM (
+        |  SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0
+        |  INTERSECT SELECT o_custkey FROM orders)
+        |UNION ALL
+        |SELECT c_custkey, 'rich_no_orders' AS tag FROM (
+        |  SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0
+        |  EXCEPT SELECT o_custkey FROM orders)
+        |ORDER BY tag, c_custkey""".stripMargin,
+
+    "q_window_funcs" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(ROW_NUMBER() OVER w AS INT) AS rn,
+        |  LAG(o_orderkey, 1) OVER w AS prev_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) OVER
+        |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, rn""".stripMargin,
+
+    "q_semi_anti_join" ->
+      """SELECT c_nationkey,
+        |  CAST(COUNT(o.o_custkey) AS BIGINT) AS with_orders,
+        |  CAST(COUNT(*) - COUNT(o.o_custkey) AS BIGINT) AS without_orders
+        |FROM customer c LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o
+        |  ON c.c_custkey = o.o_custkey
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin,
+
+    "q_outer_joins" ->
+      """SELECT c_custkey,
+        |  COUNT(o_orderkey) AS n_orders,
+        |  COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 0.0) AS spend
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_scalar_string" ->
+      """SELECT p_partkey,
+        |  upper(p_name) AS up_name,
+        |  CAST(length(p_name) AS INT) AS name_len,
+        |  substr(p_name, 1, 5) AS pfx,
+        |  p_brand || '-' || p_type AS brand_type,
+        |  lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+        |  replace(p_name, ' ', '_') AS snake_name
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_scalar_datetime" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INT) AS yr,
+        |  CAST(month(o_orderdate) AS INT) AS mo,
+        |  CAST(day(o_orderdate) AS INT) AS dy,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INT) AS days_to_2002
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_case_buckets" ->
+      """SELECT o_orderstatus,
+        |  CASE WHEN o_totalprice < 50000.0 THEN 'small'
+        |       WHEN o_totalprice < 150000.0 THEN 'mid'
+        |       ELSE 'large' END AS bucket,
+        |  COUNT(*) AS n
+        |FROM orders
+        |GROUP BY 1, 2
+        |ORDER BY o_orderstatus, bucket""".stripMargin,
+
+    "q_distinct" ->
+      """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+
+    "q_merge_upsert" ->
+      """WITH src AS (
+        |  SELECT l_orderkey, l_linenumber, l_quantity + 10 AS l_quantity, 1 AS ord
+        |  FROM lineitem WHERE l_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, l_quantity + 20 AS l_quantity, 2 AS ord
+        |  FROM lineitem WHERE l_orderkey % 3 = 0),
+        |dedup AS (
+        |  SELECT l_orderkey, l_linenumber, l_quantity FROM src
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY l_orderkey, l_linenumber ORDER BY ord DESC) = 1)
+        |SELECT * FROM dedup
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem t
+        |WHERE NOT EXISTS (SELECT 1 FROM src s
+        |  WHERE s.l_orderkey = t.l_orderkey AND s.l_linenumber = t.l_linenumber)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_conform_cast" ->
+      """SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+        |  CAST(l_linenumber AS INT) AS l_linenumber,
+        |  CAST(l_quantity AS DECIMAL(12,2)) AS l_quantity,
+        |  CAST(l_extendedprice AS DECIMAL(14,2)) AS l_extendedprice,
+        |  CAST(l_returnflag AS VARCHAR) AS l_returnflag,
+        |  CAST(l_shipdate AS DATE) AS l_shipdate
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin
+  )
+}

@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.MergeOps
+
+class MergeOpsSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  test("merge = upsert semantics: update hits, keep misses, insert news") {
+    val target = Seq((1L, "old1"), (2L, "old2"), (3L, "old3")).toDF("k", "v")
+    val source = Seq((2L, "new2", 1), (4L, "new4", 1)).toDF("k", "v", "ord")
+    val out = MergeOps.merge(target, source, Seq("k"), Seq($"ord"))
+      .orderBy($"k").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq == Seq((1L, "old1"), (2L, "new2"), (3L, "old3"), (4L, "new4")))
+  }
+
+  test("last write wins within source by ord") {
+    val target = Seq((1L, "old")).toDF("k", "v")
+    val source = Seq((1L, "v1", 1), (1L, "v2", 2), (1L, "v3", 3)).toDF("k", "v", "ord")
+    val out = MergeOps.merge(target, source, Seq("k"), Seq($"ord")).collect()
+    assert(out.length == 1 && out.head.getString(1) == "v3")
+  }
+
+  test("composite keys") {
+    val target = Seq((1L, 1, "a"), (1L, 2, "b")).toDF("k1", "k2", "v")
+    val source = Seq((1L, 2, "B", 1)).toDF("k1", "k2", "v", "ord")
+    val out = MergeOps.merge(target, source, Seq("k1", "k2"), Seq($"ord"))
+      .orderBy($"k1", $"k2").collect().map(_.getString(2))
+    assert(out.toSeq == Seq("a", "B"))
+  }
+}

@@ -1,0 +1,90 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sink.PostgresUpsertSink
+
+class PostgresUpsertSinkSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def run(
+      id: String,
+      rows: Seq[(Long, String)],
+      badKeys: Set[Long],
+      batchSize: Int = 10,
+      parallelism: Int = 2) = {
+    val factory = new FakeConnectionFactory(id, badKeys)
+    val df = rows.toDF("k", "v")
+    PostgresUpsertSink.upsert(
+      df, "t", Some(Seq("k")), factory, batchSize = batchSize, parallelism = parallelism)
+  }
+
+  test("happy path: all rows land, batched, stats correct") {
+    val stats = run("happy", (1L to 95L).map(i => (i, s"v$i")), Set.empty)
+    assert(stats.loaded == 95 && stats.rejected == 0 && stats.errors.isEmpty)
+    val landed = FakeSinkState.committed("happy").map(_.head.asInstanceOf[Long]).sorted
+    assert(landed == (1L to 95L))
+  }
+
+  test("bad rows isolated by binary split; good rows still land") {
+    val bad = Set(7L, 23L, 24L, 60L)
+    val stats = run("split", (1L to 100L).map(i => (i, s"v$i")), bad, batchSize = 25)
+    assert(stats.rejected == 4)
+    assert(stats.loaded == 96)
+    assert(stats.errors.size == 4)
+    val landed = FakeSinkState.committed("split").map(_.head.asInstanceOf[Long]).toSet
+    assert(landed == (1L to 100L).toSet -- bad)
+  }
+
+  test("empty partitions never open a connection (lazy acquisition)") {
+    val factory = new FakeConnectionFactory("lazy", Set.empty)
+    val df = Seq((1L, "a")).toDF("k", "v")
+    // parallelism 4 with hash partitioning → ≥3 empty partitions
+    val stats = PostgresUpsertSink.upsert(
+      df, "t", Some(Seq("k")), factory, batchSize = 10, parallelism = 4, partitionCols = Seq("k"))
+    assert(stats.loaded == 1)
+    assert(FakeSinkState.connectionCount("lazy") == 1)
+  }
+
+  test("poison partition circuit-breaks after a fully-rejected batch") {
+    // Every row fails → first batch fully rejects → partition aborts without
+    // consuming the rest (reference psycopg2_database_helper.py:168-169).
+    val stats = run("poison", (1L to 100L).map(i => (i, "x")), (1L to 100L).toSet,
+      batchSize = 10, parallelism = 1)
+    assert(stats.rejected == 10) // exactly one batch consumed
+    assert(FakeSinkState.committed("poison").isEmpty)
+  }
+
+  test("property: every good row lands exactly once, every bad row rejected once") {
+    val rng = new scala.util.Random(42) // deterministic
+    for (_ <- 1 to 200) {
+      val n = 1 + rng.nextInt(120)
+      val bad: Set[Long] = (1L to n.toLong).filter(_ => rng.nextDouble() < 0.15).toSet
+      val conn = new FakeSinkConnection("", r => bad(r.head.asInstanceOf[Long]))
+      val (rejected, errors) = PostgresUpsertSink.executeIsolated(
+        conn, "sql", (1L to n.toLong).map(i => Seq[Any](i, s"v$i")))
+      conn.commit()
+      assert(rejected == bad.size)
+      assert(errors.size == bad.size)
+      val landed = conn.committed.map(_.head.asInstanceOf[Long])
+      assert(landed.toSet == (1L to n.toLong).toSet -- bad)
+      assert(landed.size == landed.toSet.size, "each good row lands exactly once")
+    }
+  }
+
+  test("split cost is bounded: one bad row in batch of 64 costs ≤ 2·log₂(64) extra calls") {
+    val conn = new FakeSinkConnection("", r => r.head == 13L)
+    val (rejected, _) = PostgresUpsertSink.executeIsolated(
+      conn, "sql", (1L to 64L).map(i => Seq[Any](i)))
+    assert(rejected == 1)
+    // 1 initial + at most 2 per split level (log2(64)=6) → ≤ 13
+    assert(conn.batchCalls <= 13, s"batchCalls=${conn.batchCalls}")
+  }
+
+  test("insert-only mode (no unique key) uses plain INSERT") {
+    val factory = new FakeConnectionFactory("insertonly", Set.empty)
+    val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val stats = PostgresUpsertSink.upsert(df, "t", None, factory, batchSize = 10, parallelism = 1)
+    assert(stats.loaded == 2 && stats.rejected == 0)
+    assert(FakeSinkState.committed("insertonly").size == 2)
+  }
+}

@@ -1,0 +1,40 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources._
+
+class SourceProviderSpec extends AnyFunSuite with SparkSpec {
+
+  test("parquet source loads fixtures with lowercase columns") {
+    val df = ParquetSource.load(spark, s"$sf0001/lineitem.parquet")
+    assert(df.columns.forall(c => c == c.toLowerCase))
+    assert(df.count() == 6000)
+  }
+
+  test("csv source round-trips with header + inferSchema options") {
+    val dir = Files.createTempDirectory("graft_csv").toString
+    spark.read.parquet(s"$sf0001/region.parquet")
+      .toDF("R_REGIONKEY", "R_NAME") // force mixed case to prove normalization
+      .write.mode("overwrite").option("header", "true").csv(dir)
+    val back = CsvSource.load(spark, dir, Map("header" -> "true", "inferSchema" -> "true"))
+    assert(back.columns.toSeq == Seq("r_regionkey", "r_name"))
+    assert(back.count() == 5)
+  }
+
+  test("json source reads json-lines") {
+    val dir = Files.createTempDirectory("graft_json").toString
+    spark.read.parquet(s"$sf0001/region.parquet").write.mode("overwrite").json(dir)
+    val back = JsonSource.load(spark, dir)
+    assert(back.count() == 5)
+    assert(back.columns.contains("r_name"))
+  }
+
+  test("registry dispatch + reference aliases") {
+    assert(SourceRegistry("csv") eq CsvSource)
+    assert(SourceRegistry("s3") eq ParquetSource)      // config.ini 's3' section
+    assert(SourceRegistry("s3_csv") eq CsvSource)
+    assert(SourceRegistry("pg") eq JdbcSource)         // declared-but-stubbed in reference
+    intercept[IllegalArgumentException](SourceRegistry("nope"))
+  }
+}

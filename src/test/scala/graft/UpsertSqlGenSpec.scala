@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sink.UpsertSqlGen
+
+/** Golden strings mirroring the documented codegen contract of the reference
+  * (`/root/reference/psycopg2_database_helper.py:198-205`), with JDBC `?`
+  * placeholders.
+  */
+class UpsertSqlGenSpec extends AnyFunSuite {
+
+  test("insert-only when no unique key (documented fallback)") {
+    assert(UpsertSqlGen.build(Seq("a", "b"), "s.t") ==
+      "INSERT INTO s.t (a, b) VALUES (?, ?)")
+  }
+
+  test("multi-column update uses parenthesized SET") {
+    assert(UpsertSqlGen.build(Seq("k", "x", "y"), "t", uniqueKey = Seq("k")) ==
+      "INSERT INTO t (k, x, y) VALUES (?, ?, ?) ON CONFLICT (k) " +
+        "DO UPDATE SET (x, y) = (EXCLUDED.x, EXCLUDED.y)")
+  }
+
+  test("single-column update uses non-parenthesized SET") {
+    assert(UpsertSqlGen.build(Seq("k", "x"), "t", uniqueKey = Seq("k")) ==
+      "INSERT INTO t (k, x) VALUES (?, ?) ON CONFLICT (k) DO UPDATE SET x = EXCLUDED.x")
+  }
+
+  test("composite key") {
+    assert(UpsertSqlGen.build(Seq("k1", "k2", "x"), "t", uniqueKey = Seq("k1", "k2")) ==
+      "INSERT INTO t (k1, k2, x) VALUES (?, ?, ?) ON CONFLICT (k1, k2) " +
+        "DO UPDATE SET x = EXCLUDED.x")
+  }
+
+  test("cols_not_for_update excluded from SET") {
+    assert(UpsertSqlGen.build(Seq("k", "x", "created_at"), "t",
+      uniqueKey = Seq("k"), colsNotForUpdate = Seq("created_at")) ==
+      "INSERT INTO t (k, x, created_at) VALUES (?, ?, ?) ON CONFLICT (k) " +
+        "DO UPDATE SET x = EXCLUDED.x")
+  }
+
+  test("all non-key columns excluded → DO NOTHING") {
+    assert(UpsertSqlGen.build(Seq("k", "x"), "t",
+      uniqueKey = Seq("k"), colsNotForUpdate = Seq("x")) ==
+      "INSERT INTO t (k, x) VALUES (?, ?) ON CONFLICT (k) DO NOTHING")
+  }
+
+  test("empty column list rejected") {
+    intercept[IllegalArgumentException](UpsertSqlGen.build(Nil, "t"))
+  }
+}
