@@ -16,7 +16,9 @@ import graft.types.PgTypeMapping
   * star schema.
   *
   * Determinism conventions (every query must hash-match its DuckDB oracle):
-  * every output is ORDER BY'd on a unique key; double aggregates are routed
+  * every output is ORDER BY'd on a tuple that is either unique or leaves only
+  * bit-identical rows tied (NOTE: fixture (l_orderkey, l_linenumber) is NOT
+  * unique — order by all output columns when in doubt); double aggregates are routed
   * through decimals ([[graft.Tables.dsum]]); timestamps never appear raw in
   * output (cast to date/epoch/string); counts are BIGINT on both sides.
   */
@@ -246,8 +248,11 @@ object RelationalQueries extends QueryDomain {
       val base = li.filter($"l_orderkey" % 3 === 0)
       val src = base.withColumn("l_quantity", $"l_quantity" + 10).withColumn("ord", lit(1))
         .unionByName(base.withColumn("l_quantity", $"l_quantity" + 20).withColumn("ord", lit(2)))
-      MergeOps.merge(li, src, Seq("l_orderkey", "l_linenumber"), Seq($"ord"))
-        .orderBy($"l_orderkey", $"l_linenumber")
+      // (l_orderkey, l_linenumber) is NOT unique in the fixture, so both the
+      // dedup ordering and the output ordering carry l_quantity as tiebreak —
+      // ties that remain are bit-identical rows, harmless to positional hash.
+      MergeOps.merge(li, src, Seq("l_orderkey", "l_linenumber"), Seq($"ord", $"l_quantity"))
+        .orderBy($"l_orderkey", $"l_linenumber", $"l_quantity")
     },
 
     "q_conform_cast" -> { (s, dir) =>
@@ -262,8 +267,11 @@ object RelationalQueries extends QueryDomain {
         "l_extendedprice" -> "numeric(14,2)",
         "l_returnflag" -> "text",
         "l_shipdate" -> "date").map { case (n, pg) => n -> PgTypeMapping.toSparkType(pg) }
+      // ORDER BY every output column: the fixture's (l_orderkey, l_linenumber)
+      // is not unique, and any remaining ties are fully identical rows.
       SchemaConform.conformOrdered(t(s, dir, "lineitem"), target)
-        .orderBy($"l_orderkey", $"l_linenumber")
+        .orderBy($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_extendedprice",
+          $"l_returnflag", $"l_shipdate")
     }
   )
 
@@ -422,13 +430,14 @@ object RelationalQueries extends QueryDomain {
         |  FROM lineitem WHERE l_orderkey % 3 = 0),
         |dedup AS (
         |  SELECT l_orderkey, l_linenumber, l_quantity FROM src
-        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY l_orderkey, l_linenumber ORDER BY ord DESC) = 1)
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY l_orderkey, l_linenumber
+        |    ORDER BY ord DESC, l_quantity DESC) = 1)
         |SELECT * FROM dedup
         |UNION ALL
         |SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem t
         |WHERE NOT EXISTS (SELECT 1 FROM src s
         |  WHERE s.l_orderkey = t.l_orderkey AND s.l_linenumber = t.l_linenumber)
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin,
 
     "q_conform_cast" ->
       """SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
@@ -438,6 +447,7 @@ object RelationalQueries extends QueryDomain {
         |  CAST(l_returnflag AS VARCHAR) AS l_returnflag,
         |  CAST(l_shipdate AS DATE) AS l_shipdate
         |FROM lineitem
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+        |  l_returnflag, l_shipdate""".stripMargin
   )
 }

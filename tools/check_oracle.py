@@ -41,7 +41,7 @@ def main():
         qdir = os.path.join(out_dir, name)
         if not os.path.isdir(qdir) or (only and name not in only):
             continue
-        files = glob.glob(f"{qdir}/*.parquet")
+        files = sorted(glob.glob(f"{qdir}/*.parquet"))
         if not files:
             print(f"[{name}] NO OUTPUT");  n_fail += 1;  continue
         got_cols, got = rows_of(con.execute(
@@ -59,10 +59,10 @@ def main():
         elif len(got) != len(exp):
             print(f"[{name}] ROWCOUNT got={len(got)} exp={len(exp)}"); ok = False
         elif got != exp:
+            ok = False  # driver's hash compare is order-sensitive: order-only counts as FAIL
             if sorted(got) == sorted(exp):
                 print(f"[{name}] ORDER-ONLY MISMATCH (values equal when sorted)")
             else:
-                ok = False
                 for i, (g, e) in enumerate(zip(got, exp)):
                     if g != e:
                         print(f"[{name}] VALUE MISMATCH at row {i}:\n  got={g}\n  exp={e}")
