@@ -12,7 +12,8 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     RelationalQueries.queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
 
-  private def domains: Seq[QueryDomain] = Seq(RelationalQueries)
+  private def domains: Seq[QueryDomain] =
+    Seq(RelationalQueries, PipelineQueries, SourceQueries)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

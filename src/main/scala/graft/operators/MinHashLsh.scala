@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** MinHash + banded LSH near-duplicate detection — the scale path for
+  * document dedup: candidate pairs come only from shared LSH band buckets
+  * (an equi-join), never from an all-pairs comparison.
+  *
+  * Pipeline: shingle → explode to (doc, shingle) rows → hash once per
+  * shingle → the MinHash signature as `numHashes` codegen'd `min`
+  * aggregates → band keys → bucket-join on (band, band key) →
+  * exact-Jaccard verification of the candidates only.
+  *
+  * Why explode + aggregate rather than a per-row array expression: Spark
+  * evaluates the body of a higher-order function per element, so a nested
+  * `transform(sig, k -> array_min(transform(hashes, ...)))` re-computes the
+  * whole shingle-hash array once per k — a ~numHashes× interpreted blowup
+  * that whole-stage codegen can't save (HOFs don't codegen). The
+  * explode/agg shape hashes each shingle exactly once and keeps every
+  * operator in codegen; map-side partial aggregation reduces the shuffle to
+  * one signature row per (doc, partition).
+  *
+  * Scale posture (the 100 TB argument):
+  *  - shingle hashing is embarrassingly parallel, codegen'd;
+  *  - shuffle #1: signature aggregation keyed by doc id (combiner-reduced);
+  *  - shuffle #2: the band-bucket equi-join, keyed on (band, bandKey) —
+  *    bucket sizes are bounded because only near-duplicates (and rare false
+  *    positives) collide in a band;
+  *  - verification joins shingle sets back by doc id — proportional to the
+  *    number of candidate pairs, not n².
+  * Recall: P(candidate | J) = 1 - (1 - J^r)^b; at the default 16 bands × 4
+  * rows a pair with J ≥ 0.8 is missed with probability < 1e-6.
+  *
+  * The permutation family is `h_k(x) = ((2k+1)·x + k² + 41) mod Prime` —
+  * odd multipliers, fixed constants, so signatures are reproducible in any
+  * engine with 64-bit arithmetic (the DuckDB oracle recomputes them).
+  */
+object MinHashLsh {
+  import TextOps.Prime
+
+  /** The k-th permutation hash of a shingle-hash column. */
+  def permHash(h: Column, k: Int): Column =
+    (h * (2 * k + 1) + (k * k + 41)) % Prime
+
+  /** MinHash signatures, one row per doc: (doc_id, s_0 … s_{numHashes-1}).
+    * Input: (doc_id, sh: ARRAY<STRING>) with non-empty shingle arrays.
+    */
+  def signatures(shingled: DataFrame, numHashes: Int): DataFrame = {
+    val hashes = shingled
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .select(col("doc_id"), TextOps.polyHash(col("shingle")).as("h"))
+    val sigCols = (0 until numHashes).map(k => min(permHash(col("h"), k)).as(s"s_$k"))
+    hashes.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+  }
+
+  /** (doc_id, band, band_key) rows: the band key joins the band's signature
+    * values with ':' — equal keys ⇔ equal signature rows in that band.
+    */
+  def bandedKeys(sigs: DataFrame, numBands: Int, rowsPerBand: Int): DataFrame = {
+    val bandStructs = (0 until numBands).map { b =>
+      struct(
+        lit(b).as("band"),
+        concat_ws(":", (0 until rowsPerBand)
+          .map(j => col(s"s_${b * rowsPerBand + j}").cast("string")): _*).as("band_key"))
+    }
+    sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+  }
+
+  /** Near-duplicate pairs of `docs` with word-`shingleN`-gram Jaccard
+    * similarity ≥ `threshNum/threshDen`, found via banded LSH and verified
+    * exactly. Output: (doc_i, doc_j, n_common, n_union) with doc_i < doc_j —
+    * integer columns only, so the result is bit-stable across engines
+    * (the threshold test is the cross-multiplied integer comparison
+    * `n_common * threshDen >= n_union * threshNum`).
+    */
+  def nearDupPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 64,
+      numBands: Int = 16,
+      shingleN: Int = 3,
+      threshNum: Int = 1,
+      threshDen: Int = 2): DataFrame = {
+    require(numHashes % numBands == 0, "numBands must divide numHashes")
+    val r = numHashes / numBands
+
+    val shingled = docs
+      .select(col(idCol).as("doc_id"), TextOps.wordShingles(col(textCol), shingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
+
+    val banded = bandedKeys(signatures(shingled, numHashes), numBands, r)
+
+    // A pair colliding in several bands would appear once per band — distinct
+    // BEFORE the (heavier) shingle-set verification join.
+    val candidates = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
+      .distinct()
+
+    candidates
+      .join(shingled.select(col("doc_id").as("doc_i"), col("sh").as("sh_i")), "doc_i")
+      .join(shingled.select(col("doc_id").as("doc_j"), col("sh").as("sh_j")), "doc_j")
+      .select(col("doc_i"), col("doc_j"),
+        size(array_intersect(col("sh_i"), col("sh_j"))).as("n_common"),
+        size(array_union(col("sh_i"), col("sh_j"))).as("n_union"))
+      .filter(col("n_union") > 0 &&
+        col("n_common") * threshDen >= col("n_union") * threshNum)
+  }
+}

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media payloads ride through the pipeline as
+  * opaque BINARY columns with typed metadata, and feature extraction runs
+  * per-partition over the typed Dataset (the Scala analogue of a Pandas-UDF
+  * `mapInPandas` stage — same schema/batching contract, JVM-side).
+  *
+  * The decode step is a STUB by design: this container has no image/audio
+  * codecs, so [[decodeStub]] derives deterministic pseudo-features from the
+  * raw bytes (length, header byte, rolling byte-hash, 64-byte frame count).
+  * A production decoder replaces ONLY that function; the Spark-side contract
+  * — binary column in, flat feature rows out, partition-parallel, no driver
+  * materialization — is the real, tested surface.
+  */
+object MultimodalOps {
+
+  /** A media row: payload bytes + metadata traveling alongside. */
+  case class MediaRecord(doc_id: Long, payload: Array[Byte], n_chars: Long, lang: String)
+
+  /** Extracted features — flat columns, parquet/oracle-friendly. */
+  case class MediaFeatures(
+      doc_id: Long, n_bytes: Long, first_byte: Int, byte_hash: Long, n_frames: Int)
+
+  /** Deterministic stand-in for a real media decoder (`???`-equivalent with
+    * a checkable contract): rolling polynomial hash over unsigned bytes with
+    * the same (·31 mod 1000000007) recurrence as [[TextOps.polyHash]], so
+    * for ASCII payloads the oracle can recompute it from the source text.
+    */
+  def decodeStub(bytes: Array[Byte]): MediaFeatures = {
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) {
+      h = (h * 31L + (bytes(i) & 0xff)) % TextOps.Prime
+      i += 1
+    }
+    MediaFeatures(
+      doc_id = -1L,
+      n_bytes = bytes.length.toLong,
+      first_byte = if (bytes.isEmpty) -1 else bytes(0) & 0xff,
+      byte_hash = h,
+      n_frames = bytes.length / 64 + 1)
+  }
+
+  /** Partition-parallel feature extraction over the typed Dataset. */
+  def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(r => decodeStub(r.payload).copy(doc_id = r.doc_id)))
+  }
+
+  /** documents → MediaRecord dataset: UTF-8 payload + metadata columns.
+    * (Real pipelines read the bytes from object storage; the fixture has no
+    * binary table, so the payload is derived — the column shapes are the
+    * point.)
+    */
+  def documentsAsMedia(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docs.select(
+      col("doc_id").cast("long").as("doc_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      col("n_chars").cast("long").as("n_chars"),
+      col("lang")).as[MediaRecord]
+  }
+}

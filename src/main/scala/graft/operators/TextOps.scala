@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text primitives for the LLM-data-pipeline operators (dedup, fingerprint,
+  * stats): tokenization, word n-gram shingling, and a cross-engine
+  * deterministic polynomial hash.
+  *
+  * Everything here is a pure Catalyst `Column` combinator (higher-order array
+  * functions — no UDFs), so the expressions participate in codegen and column
+  * pruning, and — critically for the DuckDB oracle gate — evaluate to
+  * bit-identical values in any engine that folds arrays left-to-right with
+  * 64-bit integer arithmetic. The DuckDB twin of [[polyHash]] is
+  * `list_reduce(list_prepend(0, list_transform(range(1,length(s)+1),
+  * i -> ascii(substr(s,i,1))))), (acc,c) -> (acc*31+c) % 1000000007)`.
+  *
+  * Scale: all per-row expressions — embarrassingly parallel, no shuffle, no
+  * driver involvement; cost is O(chars) per row regardless of cluster size.
+  */
+object TextOps {
+
+  /** Modulus for all polynomial hashes: largest 10-digit prime below 2^30,
+    * so `acc * 31 + c` stays far under 2^63 (no overflow divergence between
+    * engines).
+    */
+  val Prime = 1000000007L
+
+  /** Whitespace tokenization — the reference vocabulary is space-separated
+    * lowercase words (fixture `documents.text`).
+    */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Codepoints of `s` as ARRAY<BIGINT>, 1-indexed traversal order.
+    * Guarded for the empty string: Spark's `sequence(1, 0)` counts DOWN
+    * ([1,0]), unlike DuckDB's empty `range(1,1)` — an unguarded version
+    * would hash empty strings differently across engines.
+    */
+  def charCodes(s: Column): Column =
+    when(length(s) === 0, array().cast("array<bigint>"))
+      .otherwise(transform(sequence(lit(1), length(s)),
+        i => ascii(s.substr(i, lit(1))).cast("long")))
+
+  /** Deterministic left-fold polynomial hash of a string:
+    * `h_i = (h_{i-1} * 31 + codepoint_i) mod Prime`, `h_0 = 0`.
+    * Used for token hashing (MinHash/SimHash) and whole-document rolling
+    * fingerprints.
+    */
+  def polyHash(s: Column): Column =
+    aggregate(charCodes(s), lit(0L), (acc, c) => (acc * 31L + c) % Prime)
+
+  /** Distinct word `n`-gram shingles of `text` (ARRAY<STRING>). Documents
+    * with fewer than `n` tokens yield an empty array (same guard rationale
+    * as [[charCodes]]).
+    */
+  def wordShingles(text: Column, n: Int = 3): Column = {
+    val w = tokens(text)
+    val grams = transform(sequence(lit(1), size(w) - (n - 1)),
+      i => concat_ws(" ", (0 until n).map(j => element_at(w, i + j)): _*))
+    array_distinct(when(size(w) < n, array().cast("array<string>")).otherwise(grams))
+  }
+
+  /** Hashes of the distinct shingles — the MinHash input set. */
+  def shingleHashes(text: Column, n: Int = 3): Column =
+    transform(wordShingles(text, n), polyHash(_))
+
+  /** Rolling-hash document fingerprint over the raw text. */
+  def fingerprint(text: Column): Column = polyHash(text)
+
+  /** Canonical bag-of-words fingerprint: sorted distinct tokens re-joined.
+    * Two documents that differ only in word order/repetition collide —
+    * the normalization key for near-exact dedup.
+    */
+  def bagOfWordsKey(text: Column): Column =
+    concat_ws(" ", sort_array(array_distinct(tokens(text))))
+}

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis columns for training-data curation: token counting
+  * (whitespace + regex), quality heuristics, and n-gram-profile language
+  * identification. All pure per-row Catalyst expressions (no UDFs, no
+  * shuffle); ratios divide exact integer counts as doubles, so results are
+  * bit-identical across engines.
+  */
+object TextStats {
+
+  /** Stopword set used by the quality heuristic (the fixture vocabulary's
+    * function words).
+    */
+  val Stopwords: Seq[String] = Seq("the", "a")
+
+  def nTokens(text: Column): Column = size(TextOps.tokens(text)).cast("long")
+
+  /** Word-regex token count — the `[a-z]+` runs, robust to punctuation and
+    * multiple spaces (unlike the whitespace count).
+    */
+  def nRegexTokens(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-z]+"), lit(0))).cast("long")
+
+  /** BPE-ish subword token estimate: ceil(chars / 4) — the standard
+    * chars-per-token rule of thumb, as an integer expression. Spark's `/` on
+    * integers is double division, so floor the (exact, < 2^53) quotient.
+    */
+  def nTokensEst(text: Column): Column =
+    floor((length(text).cast("double") + 3.0) / 4.0).cast("long")
+
+  def nUniqueTokens(text: Column): Column =
+    size(array_distinct(TextOps.tokens(text))).cast("long")
+
+  def nStopwords(text: Column): Column =
+    size(filter(TextOps.tokens(text), w => w.isin(Stopwords: _*))).cast("long")
+
+  /** Punctuation+digit character count (zero on the synthetic fixture, but
+    * the expression is the real thing).
+    */
+  def nPunct(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[^a-z ]", ""))).cast("long")
+
+  /** Composite quality score in [0,1]: rewards lexical diversity, penalizes
+    * stopword share and extreme length. Plain double arithmetic over exact
+    * integer counts — deterministic cross-engine.
+    */
+  def qualityScore(text: Column): Column = {
+    val nt = nTokens(text).cast("double")
+    val uniqRatio = nUniqueTokens(text).cast("double") / nt
+    val stopRatio = nStopwords(text).cast("double") / nt
+    val lengthTerm = least(nt / 64.0, lit(1.0))
+    uniqRatio * 0.5 + (lit(1.0) - stopRatio) * 0.3 + lengthTerm * 0.2
+  }
+
+  /** Language-ID profiles: token marker sets per language. On real corpora
+    * these are the top function words per language; the fixture's vocabulary
+    * is synthetic, so the profiles partition that vocabulary.
+    */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("key", "value", "hash"),
+    "en" -> Seq("the", "a", "customer"),
+    "es" -> Seq("data", "table", "row"),
+    "zh" -> Seq("spark", "query", "batch"))
+
+  def langScore(text: Column, markers: Seq[String]): Column =
+    size(filter(TextOps.tokens(text), w => w.isin(markers: _*))).cast("long")
+
+  /** Predicted language: argmax of the profile scores, ties broken by
+    * language code ascending (the CASE chain is evaluated in sorted order —
+    * the oracle must use the identical chain).
+    */
+  def predictedLang(text: Column): Column = {
+    val scores = LangProfiles.map { case (lang, m) => lang -> langScore(text, m) }
+    // First language (in code order) whose score >= every other — a plain
+    // CASE chain the oracle SQL reproduces verbatim.
+    val branches = scores.map { case (lang, s) =>
+      val others = scores.collect { case (l2, o) if l2 != lang => o }
+      (others.map(o => s >= o).reduce(_ && _), lang)
+    }
+    branches.init.foldRight(lit(branches.last._2): Column) {
+      case ((cond, lang), rest) => when(cond, lang).otherwise(rest)
+    }
+  }
+}

@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Embedding-vector operators over ARRAY<FLOAT> columns (Spark has no native
+  * vector type): cosine similarity, brute-force top-k, and an IVF-style
+  * bucketed approximate search as the scale path.
+  *
+  * Determinism contract (the DuckDB oracle hash-compares doubles at full
+  * precision): every float is widened to double (exact), products/sums are
+  * IEEE-754 doubles folded STRICTLY left-to-right via `aggregate` (Spark) /
+  * `list_reduce` (DuckDB), and cosine is computed as the single expression
+  * `dot / sqrt(normA * normB)` — identical operand order ⇒ bit-identical
+  * results in both engines.
+  *
+  * Scale posture: [[topK]] broadcasts the (small) query set and computes
+  * per-partition similarities with a per-query top-k window — the data side
+  * never shuffles its vectors, only (query, candidate-rank) survivors.
+  * [[IvfIndex]] prunes the candidate set to the probed clusters first, so
+  * the join fans out to |probes|/|clusters| of the data instead of all of it.
+  */
+object VectorOps {
+
+  private def asDouble(a: Column): Column = transform(a, _.cast("double"))
+
+  /** Strict left-fold sum — NOT `array_sum`/partial aggregation, which could
+    * reassociate doubles and diverge from the oracle.
+    */
+  private def foldSum(a: Column): Column =
+    aggregate(a, lit(0.0), (acc, x) => acc + x)
+
+  def dot(a: Column, b: Column): Column =
+    foldSum(zip_with(asDouble(a), asDouble(b), (x, y) => x * y))
+
+  def norm2(a: Column): Column = {
+    val d = asDouble(a)
+    foldSum(zip_with(d, d, (x, y) => x * y))
+  }
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / sqrt(norm2(a) * norm2(b))
+
+  /** Exact top-`k` cosine neighbors of each query vector (brute force — the
+    * correctness baseline an ANN variant is judged against).
+    * Ties break on neighbor id; self-matches are excluded.
+    *
+    * Output: (query_id, rank, neighbor_id, cos).
+    */
+  def topK(
+      data: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec")))
+    val d = data.select(col(idCol).as("neighbor_id"), col(vecCol).as("dvec"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    d.join(q, col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qvec"), col("dvec")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
+  /** IVF-style approximate search: vectors are assigned to their
+    * nearest-centroid cluster once; a query probes only its `nProbe`
+    * nearest clusters and ranks candidates within them.
+    *
+    * Centroid choice is caller-provided and deterministic (seed rows, or a
+    * k-means run persisted beforehand) — the search itself is then exactly
+    * reproducible, which is what the oracle verifies.
+    */
+  case class IvfIndex(assignments: DataFrame /* (id, cluster_id) */, centroids: DataFrame)
+
+  /** Nearest-centroid assignment (rank-1 by cosine, ties on cluster id). */
+  def ivfAssign(data: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String): IvfIndex = {
+    val c = broadcast(centroids.select(col(idCol).as("cluster_id"), col(vecCol).as("cvec")))
+    val w = Window.partitionBy(col("id")).orderBy(col("ccos").desc, col("cluster_id"))
+    val asg = data.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .crossJoin(c)
+      .select(col("id"), col("cluster_id"), cosine(col("vec"), col("cvec")).as("ccos"))
+      .withColumn("crank", row_number().over(w))
+      .filter(col("crank") === 1)
+      .select(col("id"), col("cluster_id"))
+    IvfIndex(asg, centroids.select(col(idCol).as("cluster_id"), col(vecCol).as("cvec")))
+  }
+
+  /** Probe-and-rank: top-`k` neighbors of each query among the members of
+    * its `nProbe` nearest clusters. Output (query_id, rank, neighbor_id, cos).
+    */
+  def ivfSearch(
+      index: IvfIndex, data: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nProbe: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val wp = Window.partitionBy(col("query_id")).orderBy(col("pcos").desc, col("cluster_id"))
+    val probes = broadcast(q).crossJoin(broadcast(index.centroids))
+      .select(col("query_id"), col("cluster_id"),
+        cosine(col("qvec"), col("cvec")).as("pcos"))
+      .withColumn("prank", row_number().over(wp))
+      .filter(col("prank") <= nProbe)
+      .select(col("query_id"), col("cluster_id"))
+
+    val members = data.select(col(idCol).as("neighbor_id"), col(vecCol).as("dvec"))
+      .join(index.assignments.withColumnRenamed("id", "neighbor_id"), "neighbor_id")
+
+    val wr = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    members
+      .join(broadcast(probes), Seq("cluster_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qvec"), col("dvec")).as("cos"))
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+}

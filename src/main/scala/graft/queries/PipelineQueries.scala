@@ -1,0 +1,406 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables._
+import graft.operators._
+
+/** LLM-training-data pipeline operators over the `documents`, `embeddings`
+  * and `events` fixtures: deduplication (exact, fingerprint, MinHash-LSH,
+  * SimHash, blocked n-gram Jaccard), similarity search (brute-force cosine
+  * top-k and IVF-bucketed ANN), text analysis (stats, quality, language-ID,
+  * rolling-hash fingerprints), event sessionization/windowing, and the
+  * multimodal binary-column plumbing.
+  *
+  * Determinism conventions on top of [[RelationalQueries]]'s: similarity
+  * thresholds are integer cross-multiplications (never float compares);
+  * doubles that reach the output are either strict left-folds of exact
+  * inputs (identical bit patterns in DuckDB, see [[graft.operators.VectorOps]])
+  * or single arithmetic expressions over exact integer counts; epoch seconds
+  * use flooring on both sides (DuckDB `CAST(epoch AS BIGINT)` ROUNDS).
+  */
+object PipelineQueries extends QueryDomain {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- deduplication ----------------------------------------------------
+    "q_dedup_exact" -> { (s, dir) =>
+      import s.implicits._
+      // Exact dedup by content hash-group: the fixture's texts are unique, so
+      // duplicates are synthesized by unioning an id-shifted copy; the dedup
+      // must keep exactly the minimum-id instance of every text.
+      val d = t(s, dir, "documents").select($"doc_id", $"text", $"lang", $"source")
+      val dup = d.unionByName(d.withColumn("doc_id", $"doc_id" + 1000000L))
+      val w = Window.partitionBy($"text").orderBy($"doc_id")
+      dup.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+        .select($"doc_id", $"lang", $"source")
+        .orderBy($"doc_id")
+    },
+
+    "q_dedup_fingerprint" -> { (s, dir) =>
+      import s.implicits._
+      // Normalization-key dedup: documents sharing a sorted bag-of-words
+      // collapse to one group (min id kept), fingerprinted with the rolling
+      // hash. GroupBy on the key — scales as a standard hash aggregate.
+      val d = t(s, dir, "documents")
+        .select($"doc_id", TextOps.bagOfWordsKey($"text").as("bk"))
+      d.groupBy($"bk")
+        .agg(min($"doc_id").as("keep_doc_id"), count(lit(1)).as("group_size"))
+        .select($"keep_doc_id", $"group_size", TextOps.polyHash($"bk").as("bag_fp"))
+        .orderBy($"keep_doc_id")
+    },
+
+    "q_dedup_minhash" -> { (s, dir) =>
+      import s.implicits._
+      // MinHash-banded LSH near-dup pairs (word 3-gram shingles, 64 hashes,
+      // 16 bands × 4) with exact-Jaccard verification at J >= 1/2. The
+      // oracle brute-forces all pairs — at the fixture's similarity gap
+      // (planted near-dups at J≈0.97, background < 0.2) banded recall is
+      // 1 - ~1e-17, so LSH+verify equals brute force exactly.
+      MinHashLsh.nearDupPairs(t(s, dir, "documents"), "doc_id", "text",
+        numHashes = 64, numBands = 16, shingleN = 3, threshNum = 1, threshDen = 2)
+        .select($"doc_i", $"doc_j",
+          $"n_common".cast("long").as("n_common"), $"n_union".cast("long").as("n_union"))
+        .orderBy($"doc_i", $"doc_j")
+    },
+
+    "q_dedup_simhash" -> { (s, dir) =>
+      import s.implicits._
+      val d = t(s, dir, "documents")
+        .select($"doc_id", SimHash.tokenHashes($"text").as("th"))
+      d.select($"doc_id", SimHash.simhashOf($"th", 32).as("simhash32"),
+        size($"th").cast("long").as("n_tokens"))
+        .orderBy($"doc_id")
+    },
+
+    "q_ngram_jaccard" -> { (s, dir) =>
+      import s.implicits._
+      // Blocked exact n-gram similarity join: character trigram Jaccard >=
+      // 3/5, candidate pairs restricted to (lang, source) blocks — the
+      // blocking keeps the pair count linear-ish in block sizes instead of
+      // n² (the MinHash query is the unblocked scale path).
+      val g = t(s, dir, "documents").select($"doc_id", $"lang", $"source",
+        array_distinct(transform(sequence(lit(1), length($"text") - 2),
+          i => $"text".substr(i, lit(3)))).as("gr"))
+        .filter(length($"text") >= 3)
+      g.as("a").join(g.as("b"),
+          col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"),
+          size(array_intersect(col("a.gr"), col("b.gr"))).cast("long").as("n_common"),
+          size(array_union(col("a.gr"), col("b.gr"))).cast("long").as("n_union"))
+        .filter($"n_union" > 0 && $"n_common" * 5 >= $"n_union" * 3)
+        .orderBy($"doc_i", $"doc_j")
+    },
+
+    // ---- text analysis ----------------------------------------------------
+    "q_text_stats" -> { (s, dir) =>
+      import s.implicits._
+      val d = t(s, dir, "documents").select($"lang", $"source",
+        TextStats.nTokens($"text").as("nt"),
+        TextStats.nStopwords($"text").as("ns"),
+        TextStats.nPunct($"text").as("np"))
+      d.groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"nt").as("total_tokens"),
+          sum($"ns").as("total_stopwords"),
+          sum($"np").as("total_punct"),
+          countDistinct($"source").as("n_sources"))
+        .select($"lang", $"n_docs", $"total_tokens", $"total_stopwords", $"total_punct",
+          $"n_sources",
+          ($"total_tokens".cast("double") / $"n_docs".cast("double")).as("avg_tokens"),
+          ($"total_stopwords".cast("double") / $"total_tokens".cast("double")).as("stop_ratio"))
+        .orderBy($"lang")
+    },
+
+    "q_quality_score" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "documents").select($"doc_id",
+        TextStats.nTokens($"text").as("n_tokens"),
+        TextStats.nRegexTokens($"text").as("n_regex_tokens"),
+        TextStats.nTokensEst($"text").as("n_tokens_est"),
+        TextStats.nUniqueTokens($"text").as("n_uniq_tokens"),
+        TextStats.nStopwords($"text").as("n_stopwords"),
+        TextStats.qualityScore($"text").as("quality"))
+        .orderBy($"doc_id")
+    },
+
+    "q_lang_id" -> { (s, dir) =>
+      import s.implicits._
+      val scoreCols = TextStats.LangProfiles.map { case (lang, m) =>
+        TextStats.langScore($"text", m).as(s"s_$lang")
+      }
+      t(s, dir, "documents")
+        .select(($"doc_id" +: scoreCols :+
+          TextStats.predictedLang($"text").as("pred_lang") :+
+          $"lang".as("labeled_lang")): _*)
+        .orderBy($"doc_id")
+    },
+
+    "q_doc_fingerprint" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "documents").select($"doc_id",
+        TextOps.fingerprint($"text").as("fp"),
+        length($"text").cast("long").as("n_chars_actual"))
+        .orderBy($"doc_id")
+    },
+
+    // ---- events: sessionization + time windows ----------------------------
+    // The fixture's events.ts is parquet TIMESTAMP(NANOS) — read as a
+    // nanosecond BIGINT (spark.sql.legacy.parquet.nanosAsLong, set by
+    // Verify/Bench sessions); epoch math stays in exact integers.
+    "q_sessionize" -> { (s, dir) =>
+      import s.implicits._
+      Sessionize.sessions(t(s, dir, "events"), "user_id",
+        epochSec = expr("ts div 1000000000"),
+        gapSec = 21600L, orderCols = Seq($"ts", $"event_id"),
+        aggs = Seq(
+          sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("n_purchases"),
+          dsum($"value").as("total_value")))
+        .orderBy($"user_id", $"session_idx")
+    },
+
+    "q_event_windows" -> { (s, dir) =>
+      import s.implicits._
+      // Streaming-style tumbling windows on a batch frame (the watermarked
+      // readStream twin lives in graft.streaming; same groupBy(window(...))).
+      t(s, dir, "events")
+        .withColumn("tsm", timestamp_micros(expr("ts div 1000")))
+        .groupBy(window($"tsm", "1 hour").as("w"), $"event_type")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct($"user_id").as("n_users"),
+          dsum($"value").as("total_value"))
+        .select(unix_timestamp($"w.start").as("window_start"), $"event_type",
+          $"n_events", $"n_users", $"total_value")
+        .orderBy($"window_start", $"event_type")
+    },
+
+    // ---- similarity search over embeddings --------------------------------
+    "q_cosine_topk" -> { (s, dir) =>
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      VectorOps.topK(e, e.filter($"vec_id" < 10), "vec_id", "embedding", k = 5)
+        .select($"query_id", $"rank".cast("int").as("rnk"), $"neighbor_id", $"cos")
+        .orderBy($"query_id", $"rnk")
+    },
+
+    "q_ann_ivf" -> { (s, dir) =>
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val centroids = e.filter($"vec_id" < 10)
+      val queriesDf = e.filter($"vec_id".between(100, 109))
+      val index = VectorOps.ivfAssign(e, centroids, "vec_id", "embedding")
+      VectorOps.ivfSearch(index, e, queriesDf, "vec_id", "embedding", k = 3, nProbe = 2)
+        .select($"query_id", $"rank".cast("int").as("rnk"), $"neighbor_id", $"cos")
+        .orderBy($"query_id", $"rnk")
+    },
+
+    // ---- multimodal binary-column plumbing --------------------------------
+    "q_multimodal_features" -> { (s, dir) =>
+      import s.implicits._
+      val media = MultimodalOps.documentsAsMedia(s, t(s, dir, "documents"))
+      MultimodalOps.extractFeatures(media).toDF()
+        .orderBy($"doc_id")
+    }
+  )
+
+  // ---- DuckDB oracle fragments -------------------------------------------
+
+  /** DuckDB twin of [[TextOps.polyHash]] (left fold, 64-bit, mod 1e9+7). */
+  private def duckHash(s: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(range(1, length($s)+1), i -> CAST(ascii(substr($s, i, 1)) AS BIGINT))), " +
+      "(acc, c) -> (acc * 31 + c) % 1000000007)"
+
+  /** DuckDB twin of [[VectorOps]]' strict left-fold dot product. */
+  private def duckDot(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+      s"list_transform(range(1, len($a)+1), i -> $a[i]*$b[i])), (acc, x) -> acc + x)"
+
+  /** Shared embeddings CTE: doubles + precomputed squared norms. */
+  private val embCte =
+    s"""v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) e FROM embeddings),
+       |n AS (SELECT vec_id, e, ${duckDot("e", "e")} AS nn FROM v)""".stripMargin
+
+  private val langScoreSql = TextStats.LangProfiles.map { case (lang, m) =>
+    val in = m.map(w => s"'$w'").mkString(", ")
+    lang -> s"CAST(len(list_filter(string_split(text, ' '), w -> w IN ($in))) AS BIGINT)"
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """WITH dup AS (
+        |  SELECT doc_id, text, lang, source FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text, lang, source FROM documents)
+        |SELECT doc_id, lang, source FROM dup
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) = 1
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_fingerprint" ->
+      s"""WITH k AS (SELECT doc_id,
+         |  array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ') AS bk
+         |  FROM documents)
+         |SELECT min(doc_id) AS keep_doc_id, count(*) AS group_size,
+         |  ${duckHash("bk")} AS bag_fp
+         |FROM k GROUP BY bk ORDER BY keep_doc_id""".stripMargin,
+
+    "q_dedup_minhash" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |s AS (SELECT doc_id,
+        |  list_distinct(list_transform(range(1, len(w)-1), i -> w[i]||' '||w[i+1]||' '||w[i+2])) AS sh
+        |  FROM t WHERE len(w) >= 3)
+        |SELECT a.doc_id AS doc_i, b.doc_id AS doc_j,
+        |  CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_common,
+        |  CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS BIGINT) AS n_union
+        |FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |WHERE len(list_distinct(list_concat(a.sh, b.sh))) > 0
+        |  AND 2 * len(list_intersect(a.sh, b.sh)) >= len(list_distinct(list_concat(a.sh, b.sh)))
+        |ORDER BY doc_i, doc_j""".stripMargin,
+
+    "q_dedup_simhash" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  list_transform(string_split(text, ' '), tok -> ${duckHash("tok")}) AS th
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(list_sum(list_transform(range(0, 32), b ->
+         |    CASE WHEN list_sum(list_transform(th, h ->
+         |        CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+         |      THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS simhash32,
+         |  CAST(len(th) AS BIGINT) AS n_tokens
+         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q_ngram_jaccard" ->
+      """WITH g AS (SELECT doc_id, lang, source,
+        |  list_distinct(list_transform(range(1, length(text)-1), i -> substr(text, i, 3))) AS gr
+        |  FROM documents WHERE length(text) >= 3)
+        |SELECT a.doc_id AS doc_i, b.doc_id AS doc_j,
+        |  CAST(len(list_intersect(a.gr, b.gr)) AS BIGINT) AS n_common,
+        |  CAST(len(list_distinct(list_concat(a.gr, b.gr))) AS BIGINT) AS n_union
+        |FROM g a JOIN g b
+        |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE len(list_distinct(list_concat(a.gr, b.gr))) > 0
+        |  AND 5 * len(list_intersect(a.gr, b.gr)) >= 3 * len(list_distinct(list_concat(a.gr, b.gr)))
+        |ORDER BY doc_i, doc_j""".stripMargin,
+
+    "q_text_stats" ->
+      """WITH d AS (SELECT lang, source,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+        |  CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a'))) AS BIGINT) AS ns,
+        |  CAST(length(text) - length(regexp_replace(text, '[^a-z ]', '', 'g')) AS BIGINT) AS np
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(nt) AS BIGINT) AS total_tokens,
+        |  CAST(sum(ns) AS BIGINT) AS total_stopwords,
+        |  CAST(sum(np) AS BIGINT) AS total_punct,
+        |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |  CAST(sum(nt) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_tokens,
+        |  CAST(sum(ns) AS DOUBLE) / CAST(sum(nt) AS DOUBLE) AS stop_ratio
+        |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_quality_score" ->
+      """WITH d AS (SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_regex_tokens,
+        |  (length(text) + 3) // 4 AS n_tokens_est,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq_tokens,
+        |  CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a'))) AS BIGINT) AS n_stopwords
+        |  FROM documents)
+        |SELECT doc_id, n_tokens, n_regex_tokens, CAST(n_tokens_est AS BIGINT) AS n_tokens_est,
+        |  n_uniq_tokens, n_stopwords,
+        |  (CAST(n_uniq_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 0.5
+        |    + (1.0 - CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 0.3
+        |    + least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0) * 0.2 AS quality
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q_lang_id" -> {
+      val scores = langScoreSql.map { case (lang, sql) => s"  $sql AS s_$lang," }.mkString("\n")
+      val langs = langScoreSql.map(_._1)
+      val caseChain = langs.init.map { lang =>
+        val conds = langs.filterNot(_ == lang).map(o => s"s_$lang >= s_$o").mkString(" AND ")
+        s"WHEN $conds THEN '$lang'"
+      }.mkString("\n    ", "\n    ", "")
+      s"""WITH d AS (SELECT doc_id,
+         |$scores
+         |  lang AS labeled_lang
+         |  FROM documents)
+         |SELECT doc_id, ${langs.map(l => s"s_$l").mkString(", ")},
+         |  CASE$caseChain
+         |    ELSE '${langs.last}' END AS pred_lang,
+         |  labeled_lang
+         |FROM d ORDER BY doc_id""".stripMargin
+    },
+
+    "q_doc_fingerprint" ->
+      s"""SELECT doc_id, ${duckHash("text")} AS fp,
+         |  CAST(length(text) AS BIGINT) AS n_chars_actual
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, value, ts,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS ep FROM events),
+        |l AS (SELECT *,
+        |  lag(ep) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM e),
+        |f AS (SELECT *, CASE WHEN prev IS NULL OR ep - prev > 21600 THEN 1 ELSE 0 END AS new_s FROM l),
+        |x AS (SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx FROM f)
+        |SELECT user_id, session_idx,
+        |  min(ep) AS start_epoch, max(ep) AS end_epoch,
+        |  count(*) AS n_events,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |FROM x GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin,
+
+    "q_event_windows" ->
+      """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS window_start,
+        |  event_type, count(*) AS n_events,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+    "q_cosine_topk" ->
+      s"""WITH $embCte,
+         |p AS (SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+         |  ${duckDot("q.e", "d.e")} / sqrt(q.nn * d.nn) AS cos
+         |  FROM n q JOIN n d ON q.vec_id < 10 AND d.vec_id <> q.vec_id)
+         |SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id, cos FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+         |  FROM p)
+         |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
+    "q_ann_ivf" ->
+      s"""WITH $embCte,
+         |cen AS (SELECT vec_id AS cid, e, nn FROM n WHERE vec_id < 10),
+         |asg AS (SELECT vec_id, cluster_id FROM (
+         |  SELECT d.vec_id, c.cid AS cluster_id,
+         |    ROW_NUMBER() OVER (PARTITION BY d.vec_id
+         |      ORDER BY ${duckDot("d.e", "c.e")} / sqrt(d.nn * c.nn) DESC, c.cid) AS rn
+         |  FROM n d CROSS JOIN cen c) WHERE rn = 1),
+         |q AS (SELECT vec_id AS qid, e, nn FROM n WHERE vec_id BETWEEN 100 AND 109),
+         |probes AS (SELECT qid, cluster_id FROM (
+         |  SELECT q.qid, c.cid AS cluster_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q.qid
+         |      ORDER BY ${duckDot("q.e", "c.e")} / sqrt(q.nn * c.nn) DESC, c.cid) AS rn
+         |  FROM q CROSS JOIN cen c) WHERE rn <= 2),
+         |cand AS (SELECT p.qid, a.vec_id AS nid
+         |  FROM probes p JOIN asg a ON a.cluster_id = p.cluster_id
+         |  WHERE a.vec_id <> p.qid)
+         |SELECT qid AS query_id, CAST(rnk AS INT) AS rnk, nid AS neighbor_id, cos FROM (
+         |  SELECT cand.qid, cand.nid,
+         |    ${duckDot("q.e", "d.e")} / sqrt(q.nn * d.nn) AS cos,
+         |    ROW_NUMBER() OVER (PARTITION BY cand.qid
+         |      ORDER BY ${duckDot("q.e", "d.e")} / sqrt(q.nn * d.nn) DESC, cand.nid) AS rnk
+         |  FROM cand JOIN n q ON q.vec_id = cand.qid JOIN n d ON d.vec_id = cand.nid)
+         |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+
+    "q_multimodal_features" ->
+      s"""SELECT doc_id,
+         |  CAST(length(text) AS BIGINT) AS n_bytes,
+         |  CAST(ascii(substr(text, 1, 1)) AS INT) AS first_byte,
+         |  ${duckHash("text")} AS byte_hash,
+         |  CAST(length(text) // 64 + 1 AS INT) AS n_frames
+         |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

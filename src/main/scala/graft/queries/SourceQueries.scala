@@ -1,0 +1,45 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.sources.CsvSource
+
+/** Source-operator coverage: drives the CSV scan (reference O1,
+  * `/root/reference/get_s3_data_as_df.py:33-43`) end-to-end through the
+  * oracle gate. The query materializes a fixture table to CSV once per
+  * (sf, table) and reads it back through [[graft.sources.CsvSource]] — the
+  * oracle reads the original parquet, so any CSV round-trip defect
+  * (quoting, header, type parse) fails the hash compare.
+  */
+object SourceQueries extends QueryDomain {
+
+  private def csvRoundTrip(s: SparkSession, dir: String, table: String): DataFrame = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_csv_${tag}_$table"
+    t(s, dir, table).write.mode("overwrite").option("header", "true").csv(path)
+    CsvSource.load(s, path, Map("header" -> "true"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_csv_source" -> { (s, dir) =>
+      import s.implicits._
+      // Nation through CSV: ints survive an explicit cast-back, strings are
+      // header/quote-safe; joined to region (parquet) to prove the scan
+      // composes with the relational surface.
+      val n = csvRoundTrip(s, dir, "nation").select(
+        $"n_nationkey".cast("int").as("n_nationkey"),
+        $"n_name", $"n_regionkey".cast("int").as("n_regionkey"))
+      n.join(t(s, dir, "region"), $"n_regionkey" === $"r_regionkey")
+        .select($"n_nationkey", $"n_name", $"r_name")
+        .orderBy($"n_nationkey")
+    }
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_csv_source" ->
+      """SELECT n_nationkey, n_name, r_name
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY n_nationkey""".stripMargin
+  )
+}

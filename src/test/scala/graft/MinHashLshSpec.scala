@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.MinHashLsh
+
+class MinHashLshSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  test("LSH candidates + exact verify equal brute-force Jaccard on the fixture") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val lsh = MinHashLsh.nearDupPairs(docs, "doc_id", "text")
+      .select("doc_i", "doc_j").as[(Long, Long)].collect().toSet
+
+    val sh = docs.select($"doc_id",
+        graft.operators.TextOps.wordShingles($"text").as("sh"))
+      .filter(size($"sh") > 0)
+    val brute = sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+        size(array_intersect(col("a.sh"), col("b.sh"))).as("c"),
+        size(array_union(col("a.sh"), col("b.sh"))).as("u"))
+      .filter($"u" > 0 && $"c" * 2 >= $"u")
+      .select("i", "j").as[(Long, Long)].collect().toSet
+
+    assert(lsh === brute)
+    assert(lsh.nonEmpty) // the fixture plants near-duplicates
+  }
+
+  test("signatures are stable under repartitioning") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet").limit(50)
+    def sig(df: org.apache.spark.sql.DataFrame) = {
+      val shingled = df.select($"doc_id",
+          graft.operators.TextOps.wordShingles($"text").as("sh"))
+        .filter(size($"sh") > 0)
+      MinHashLsh.signatures(shingled, 16).orderBy($"doc_id").collect().toSeq
+    }
+    assert(sig(docs) === sig(docs.repartition(7)))
+  }
+
+  test("permutation hashes stay within [0, Prime)") {
+    val h = lit(999999999L)
+    val vals = (0 until 64).map(k =>
+      Seq(1).toDF("x").select(MinHashLsh.permHash(h, k)).head().getLong(0))
+    assert(vals.forall(v => v >= 0 && v < graft.operators.TextOps.Prime))
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.VectorOps
+
+class VectorOpsSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (0L, Array(1f, 0f, 0f)),
+    (1L, Array(0f, 1f, 0f)),
+    (2L, Array(1f, 1f, 0f)),
+    (3L, Array(-1f, 0f, 0f)),
+    (4L, Array(0.9f, 0.1f, 0f))).toDF("vec_id", "embedding")
+
+  test("cosine: identity, orthogonality, sign") {
+    val c = vecs.as("a").crossJoin(vecs.as("b"))
+      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
+        VectorOps.cosine(col("a.embedding"), col("b.embedding")).as("cos"))
+      .as[(Long, Long, Double)].collect()
+      .map { case (i, j, v) => (i, j) -> v }.toMap
+    assert(math.abs(c(0L -> 0L) - 1.0) < 1e-15)
+    assert(math.abs(c(0L -> 1L)) < 1e-15)
+    assert(math.abs(c(0L -> 3L) + 1.0) < 1e-15)
+    assert(c(0L -> 4L) > c(0L -> 2L)) // closer direction wins
+  }
+
+  test("topK ranks by cosine desc with id tiebreak and excludes self") {
+    val top = VectorOps.topK(vecs, vecs.filter($"vec_id" === 0), "vec_id", "embedding", 3)
+      .select("rank", "neighbor_id").as[(Int, Long)].collect().sortBy(_._1)
+    assert(top.map(_._2).toSeq === Seq(4L, 2L, 1L))
+  }
+
+  test("ivf search returns brute-force results when every cluster is probed") {
+    val centroids = vecs.filter($"vec_id".isin(0L, 1L))
+    val queries = vecs.filter($"vec_id" === 4)
+    val index = VectorOps.ivfAssign(vecs, centroids, "vec_id", "embedding")
+    val ivf = VectorOps.ivfSearch(index, vecs, queries, "vec_id", "embedding", k = 4, nProbe = 2)
+      .select("rank", "neighbor_id").as[(Int, Long)].collect().sortBy(_._1).map(_._2)
+    val brute = VectorOps.topK(vecs, queries, "vec_id", "embedding", 4)
+      .select("rank", "neighbor_id").as[(Int, Long)].collect().sortBy(_._1).map(_._2)
+    assert(ivf.toSeq === brute.toSeq)
+  }
+
+  test("ivf assignment puts every vector in its nearest centroid's cluster") {
+    val centroids = vecs.filter($"vec_id".isin(0L, 1L))
+    val asg = VectorOps.ivfAssign(vecs, centroids, "vec_id", "embedding")
+      .assignments.as[(Long, Long)].collect().toMap
+    assert(asg(0L) === 0L && asg(4L) === 0L) // +x family
+    assert(asg(1L) === 1L)
+    assert(asg(3L) === 1L) // (-1,0,0): cos -1 to +x, 0 to +y — nearer +y
+  }
+}
