@@ -76,21 +76,17 @@ object PipelineQueries extends QueryDomain {
 
     "q_ngram_jaccard" -> { (s, dir) =>
       import s.implicits._
-      // Blocked exact n-gram similarity join: character trigram Jaccard >=
-      // 3/5, candidate pairs restricted to (lang, source) blocks — the
-      // blocking keeps the pair count linear-ish in block sizes instead of
-      // n² (the MinHash query is the unblocked scale path).
+      // Exact character-trigram Jaccard >= 3/5 within (lang, source) blocks,
+      // via [[SetSimJoin]]'s inverted index + prefix filtering: candidate
+      // pairs come from rare-token prefix collisions, never an all-pairs
+      // block scan, so work stays near-linear as blocks grow.
       val g = t(s, dir, "documents").select($"doc_id", $"lang", $"source",
         array_distinct(transform(sequence(lit(1), length($"text") - 2),
           i => $"text".substr(i, lit(3)))).as("gr"))
         .filter(length($"text") >= 3)
-      g.as("a").join(g.as("b"),
-          col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"),
-          size(array_intersect(col("a.gr"), col("b.gr"))).cast("long").as("n_common"),
-          size(array_union(col("a.gr"), col("b.gr"))).cast("long").as("n_union"))
-        .filter($"n_union" > 0 && $"n_common" * 5 >= $"n_union" * 3)
+      SetSimJoin.jaccardJoin(g, "doc_id", "gr", Seq("lang", "source"),
+          threshNum = 3, threshDen = 5)
+        .select($"doc_i", $"doc_j", $"n_common", $"n_union")
         .orderBy($"doc_i", $"doc_j")
     },
 

@@ -269,9 +269,15 @@ object RelationalQueries extends QueryDomain {
         "l_shipdate" -> "date").map { case (n, pg) => n -> PgTypeMapping.toSparkType(pg) }
       // ORDER BY every output column: the fixture's (l_orderkey, l_linenumber)
       // is not unique, and any remaining ties are fully identical rows.
+      // The DECIMAL columns are re-rendered as scale-faithful strings ("24.00")
+      // AFTER the conform/cast under test: parquet-vs-DuckDB DECIMAL value
+      // representations hash differently in the driver compare even when the
+      // values are identical, so both engines emit the canonical text form.
       SchemaConform.conformOrdered(t(s, dir, "lineitem"), target)
         .orderBy($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_extendedprice",
           $"l_returnflag", $"l_shipdate")
+        .withColumn("l_quantity", $"l_quantity".cast("string"))
+        .withColumn("l_extendedprice", $"l_extendedprice".cast("string"))
     }
   )
 
@@ -442,12 +448,13 @@ object RelationalQueries extends QueryDomain {
     "q_conform_cast" ->
       """SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
         |  CAST(l_linenumber AS INT) AS l_linenumber,
-        |  CAST(l_quantity AS DECIMAL(12,2)) AS l_quantity,
-        |  CAST(l_extendedprice AS DECIMAL(14,2)) AS l_extendedprice,
+        |  CAST(CAST(l_quantity AS DECIMAL(12,2)) AS VARCHAR) AS l_quantity,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(14,2)) AS VARCHAR) AS l_extendedprice,
         |  CAST(l_returnflag AS VARCHAR) AS l_returnflag,
         |  CAST(l_shipdate AS DATE) AS l_shipdate
         |FROM lineitem
-        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice,
-        |  l_returnflag, l_shipdate""".stripMargin
+        |ORDER BY CAST(l_orderkey AS BIGINT), CAST(l_linenumber AS INT),
+        |  CAST(l_quantity AS DECIMAL(12,2)), CAST(l_extendedprice AS DECIMAL(14,2)),
+        |  CAST(l_returnflag AS VARCHAR), CAST(l_shipdate AS DATE)""".stripMargin
   )
 }
