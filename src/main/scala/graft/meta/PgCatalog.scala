@@ -26,6 +26,17 @@ trait PgCatalog {
   */
 final class JdbcPgCatalog(connect: () => java.sql.Connection) extends PgCatalog {
 
+  /** Ad-hoc driver-side query runner — the reference's `fetch_query_results`
+    * (`/root/reference/psycopg2_database_helper.py:254-284`): run any SELECT,
+    * fetch every row as a column-value sequence. Driver-side only — never
+    * part of a distributed plan (use [[graft.sources.JdbcSource]] for that).
+    */
+  def fetchQueryResults(sql: String, args: Seq[String] = Nil): Vector[Vector[Any]] =
+    query(sql, args) { rs =>
+      val n = rs.getMetaData.getColumnCount
+      Vector.tabulate(n)(i => rs.getObject(i + 1))
+    }
+
   private def query[A](sql: String, args: Seq[String])(read: java.sql.ResultSet => A): Vector[A] = {
     val conn = connect()
     try {
@@ -41,7 +52,7 @@ final class JdbcPgCatalog(connect: () => java.sql.Connection) extends PgCatalog 
   }
 
   // Columns + types in attnum order (reference sql.py:2-24).
-  private val columnSql =
+  private[graft] val columnSql =
     """SELECT a.attname AS column_name,
       |       format_type(a.atttypid, a.atttypmod) AS data_type
       |FROM pg_catalog.pg_attribute a
@@ -52,7 +63,7 @@ final class JdbcPgCatalog(connect: () => java.sql.Connection) extends PgCatalog 
       |ORDER BY a.attnum""".stripMargin
 
   // Primary-key columns as an ordered comma-list (reference sql.py:26-47).
-  private val pkSql =
+  private[graft] val pkSql =
     """SELECT string_agg(a.attname, ',' ORDER BY k.ord) AS key_cols
       |FROM pg_catalog.pg_index i
       |JOIN pg_catalog.pg_class c ON c.oid = i.indrelid
@@ -64,7 +75,11 @@ final class JdbcPgCatalog(connect: () => java.sql.Connection) extends PgCatalog 
       |GROUP BY i.indexrelid""".stripMargin
 
   // First unique non-PK index (reference sql.py:49-80; LIMIT 1 semantics).
-  private val uniqueIdxSql =
+  // Excluded beyond the reference: partial indexes (indpred IS NULL — they
+  // don't guarantee table-wide uniqueness, so ON CONFLICT (cols) would not
+  // match them) and expression indexes (0 <> ALL(indkey) — an expression
+  // "column" has attnum 0 and no attname to target).
+  private[graft] val uniqueIdxSql =
     """SELECT key_cols FROM (
       |  SELECT string_agg(a.attname, ',' ORDER BY k.ord) AS key_cols,
       |         i.indexrelid
@@ -75,6 +90,7 @@ final class JdbcPgCatalog(connect: () => java.sql.Connection) extends PgCatalog 
       |  JOIN pg_catalog.pg_attribute a
       |    ON a.attrelid = c.oid AND a.attnum = k.attnum
       |  WHERE i.indisunique AND NOT i.indisprimary
+      |    AND i.indpred IS NULL AND 0 <> ALL(i.indkey)
       |    AND n.nspname = ? AND c.relname = ?
       |  GROUP BY i.indexrelid
       |) u ORDER BY indexrelid LIMIT 1""".stripMargin

@@ -21,9 +21,14 @@ final case class LoadStats(loaded: Long, rejected: Long, errors: Seq[String]) {
   *
   *  - partitioning policy: `partitionCols` set → hash-`repartition` so rows
   *    sharing an upsert key land on one connection (avoids cross-connection
-  *    conflict/deadlock on the same key); otherwise `coalesce(parallelism)`
-  *    caps the number of Postgres connections without a shuffle
-  *    (`/root/reference/psycopg2_database_helper.py:321-325`).
+  *    conflict/deadlock on the same key); otherwise a round-robin
+  *    `repartition(parallelism)` — a shuffle barrier, so capping connections
+  *    does NOT narrow the upstream scan/conform stage the way the
+  *    reference's `coalesce` does
+  *    (`/root/reference/psycopg2_database_helper.py:321-325`): `coalesce(1)`
+  *    there collapses the whole pipeline to one task. Callers that want the
+  *    reference's zero-shuffle behavior (tiny inputs) pass
+  *    `shuffleBarrier = false`.
   *  - one lazily-opened connection per partition
   *    (`/root/reference/psycopg2_database_helper.py:152-154`).
   *  - rows grouped into `batchSize` transactions, committed per batch so an
@@ -54,7 +59,8 @@ object PostgresUpsertSink {
       parallelism: Int = 1,
       partitionCols: Seq[String] = Nil,
       colsNotForUpdate: Seq[String] = Nil,
-      maxRejects: Option[Long] = None): LoadStats = {
+      maxRejects: Option[Long] = None,
+      shuffleBarrier: Boolean = true): LoadStats = {
 
     val sql = UpsertSqlGen.build(
       df.schema.fieldNames.toIndexedSeq, tableName,
@@ -62,6 +68,7 @@ object PostgresUpsertSink {
 
     val routed =
       if (partitionCols.nonEmpty) df.repartition(parallelism, partitionCols.map(col): _*)
+      else if (shuffleBarrier) df.repartition(parallelism)
       else df.coalesce(parallelism)
 
     val stats = routed

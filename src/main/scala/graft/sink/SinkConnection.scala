@@ -39,30 +39,46 @@ final case class JdbcConnectionFactory(
     properties: Map[String, String] = Map("reWriteBatchedInserts" -> "true"))
   extends ConnectionFactory {
 
-  def connect(): SinkConnection = {
+  def connect(): SinkConnection = new JdbcSinkConnection(rawConnection())
+
+  /** Plain JDBC connection with the same credentials — shared with
+    * [[graft.meta.JdbcPgCatalog]] so catalog reads and the sink configure
+    * one set of credentials (reference `database_credentials`,
+    * `/root/reference/load_postgres_from_spark_df.py:67-70`).
+    */
+  def rawConnection(): Connection = {
     val props = new java.util.Properties()
     properties.foreach { case (k, v) => props.setProperty(k, v) }
     props.setProperty("user", user)
     props.setProperty("password", password)
-    new JdbcSinkConnection(DriverManager.getConnection(url, props))
+    DriverManager.getConnection(url, props)
   }
 }
 
 final class JdbcSinkConnection(conn: Connection) extends SinkConnection {
   conn.setAutoCommit(false)
   private var savepoints = Map.empty[String, Savepoint]
+  // One PreparedStatement per SQL text for the connection's lifetime: the
+  // sink sends the same upsert thousands of times per partition, and
+  // re-preparing each batch would re-plan it server-side every round trip.
+  private var statements = Map.empty[String, PreparedStatement]
+
+  private def statementFor(sql: String): PreparedStatement =
+    statements.getOrElse(sql, {
+      val ps = conn.prepareStatement(sql)
+      statements += sql -> ps
+      ps
+    })
 
   def executeBatch(sql: String, batch: Seq[Seq[Any]]): Unit = {
-    val ps: PreparedStatement = conn.prepareStatement(sql)
-    try {
-      batch.foreach { row =>
-        var i = 0
-        while (i < row.length) { ps.setObject(i + 1, row(i)); i += 1 }
-        ps.addBatch()
-      }
-      ps.executeBatch()
-      ()
-    } finally ps.close()
+    val ps = statementFor(sql)
+    batch.foreach { row =>
+      var i = 0
+      while (i < row.length) { ps.setObject(i + 1, row(i)); i += 1 }
+      ps.addBatch()
+    }
+    try { ps.executeBatch(); () }
+    catch { case e: Throwable => ps.clearBatch(); throw e }
   }
 
   def savepoint(name: String): Unit = savepoints += name -> conn.setSavepoint(name)
@@ -72,5 +88,10 @@ final class JdbcSinkConnection(conn: Connection) extends SinkConnection {
     savepoints -= name
   }
   def commit(): Unit = conn.commit()
-  def close(): Unit = conn.close()
+  def close(): Unit = {
+    statements.valuesIterator.foreach { ps =>
+      try ps.close() catch { case _: Throwable => () }
+    }
+    conn.close()
+  }
 }

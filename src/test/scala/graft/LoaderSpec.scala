@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import scala.collection.immutable.ListMap
+import graft.meta.StaticCatalog
+
+/** End-to-end load path (reference load_postgres_from_spark_df.py:72-105)
+  * fully offline: parquet fixture source → static catalog → conform/cast →
+  * key discovery → fake sink. The flagship composition the reference exposes
+  * as its one job.
+  */
+class LoaderSpec extends AnyFunSuite with SparkSpec {
+
+  private val nationCatalog = StaticCatalog(
+    ListMap("n_nationkey" -> "bigint", "n_name" -> "text"),
+    Some(Seq("n_nationkey")))
+
+  private def cfg = Loader.LoadConfig(
+    source = "parquet",
+    path = s"$sf0001/nation.parquet",
+    targetTable = "public.nation")
+
+  test("loadPostgres: source → conform → key → sink, stats summed") {
+    val factory = new FakeConnectionFactory("loader_e2e", Set.empty)
+    val stats = Loader.loadPostgres(spark, cfg, nationCatalog, factory)
+    assert(stats.loaded == 25 && stats.rejected == 0 && stats.errors.isEmpty)
+    val landed = FakeSinkState.committed("loader_e2e")
+    assert(landed.size == 25)
+    // conform pruned to the 2 catalog columns and cast the key to bigint
+    assert(landed.forall(_.size == 2))
+    assert(landed.map(_.head.asInstanceOf[Long]).sorted == (0L to 24L))
+  }
+
+  test("loadPostgres: rejects are isolated and reported, good rows land") {
+    val factory = new FakeConnectionFactory("loader_rej", Set(5L, 17L))
+    val stats = Loader.loadPostgres(spark, cfg, nationCatalog, factory)
+    assert(stats.loaded == 23 && stats.rejected == 2 && stats.errors.size == 2)
+    val landed = FakeSinkState.committed("loader_rej").map(_.head.asInstanceOf[Long]).toSet
+    assert(landed == (0L to 24L).toSet -- Set(5L, 17L))
+  }
+
+  test("conformToTable prunes, casts, and keeps DataFrame column order") {
+    val df = Loader.conformToTable(
+      spark.read.parquet(s"$sf0001/nation.parquet"), nationCatalog, cfg)
+    assert(df.schema.fieldNames.toSeq == Seq("n_nationkey", "n_name"))
+    assert(df.schema("n_nationkey").dataType.typeName == "long")
+  }
+
+  test("insert-only mode when the catalog reports no unique key") {
+    val noKey = StaticCatalog(ListMap("n_nationkey" -> "bigint", "n_name" -> "text"), None)
+    val factory = new FakeConnectionFactory("loader_nokey", Set.empty)
+    val stats = Loader.loadPostgres(spark, cfg, noKey, factory)
+    assert(stats.loaded == 25)
+  }
+
+  test("LoadConfig splits schema.table; bare table defaults to public") {
+    assert(cfg.schema == "public" && cfg.table == "nation")
+    val bare = cfg.copy(targetTable = "t")
+    assert(bare.schema == "public" && bare.table == "t")
+    assertThrows[IllegalArgumentException](cfg.copy(targetTable = "a.b.c").schema)
+  }
+
+  test("empty catalog intersection fails loudly") {
+    val alien = StaticCatalog(ListMap("zzz" -> "text"), None)
+    assertThrows[IllegalArgumentException] {
+      Loader.conformToTable(spark.read.parquet(s"$sf0001/nation.parquet"), alien, cfg)
+    }
+  }
+}

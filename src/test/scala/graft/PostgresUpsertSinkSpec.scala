@@ -80,6 +80,27 @@ class PostgresUpsertSinkSpec extends AnyFunSuite with SparkSpec {
     assert(conn.batchCalls <= 13, s"batchCalls=${conn.batchCalls}")
   }
 
+  test("shuffle barrier keeps upstream task count independent of sink parallelism") {
+    import org.apache.spark.TaskContext
+    def upstreamTasks(shuffleBarrier: Boolean, id: String): Int = {
+      val acc = spark.sparkContext.collectionAccumulator[Long](s"tids_$id")
+      val base = spark.createDataset(1L to 200L)
+        .repartition(8) // a genuinely 8-wide upstream stage
+        .mapPartitions { it => acc.add(TaskContext.get().taskAttemptId()); it }
+        .map(i => (i, s"v$i")).toDF("k", "v")
+      val factory = new FakeConnectionFactory(s"barrier_$id", Set.empty)
+      val stats = PostgresUpsertSink.upsert(base, "t", Some(Seq("k")), factory,
+        batchSize = 50, parallelism = 1, shuffleBarrier = shuffleBarrier)
+      assert(stats.loaded == 200)
+      acc.value.toArray.distinct.length
+    }
+    // repartition(1) is a shuffle barrier: the 8-task upstream stage still
+    // runs 8-wide even though only 1 connection writes.
+    assert(upstreamTasks(shuffleBarrier = true, "on") == 8)
+    // reference-faithful coalesce(1) collapses the upstream to 1 task.
+    assert(upstreamTasks(shuffleBarrier = false, "off") == 1)
+  }
+
   test("insert-only mode (no unique key) uses plain INSERT") {
     val factory = new FakeConnectionFactory("insertonly", Set.empty)
     val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
