@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** SimHash document signatures: each token votes ±1 per signature bit
@@ -34,10 +34,76 @@ object SimHash {
 
   def simhash(text: Column, bits: Int = 32): Column = simhashOf(tokenHashes(text), bits)
 
-  /** Band key for bucketed near-dup candidate generation: byte `band` of the
-    * signature (8-bit bands). Two docs agreeing on any band byte become a
+  /** DataFrame-level signature computation for bulk use: explode the token
+    * hashes and take `bits` codegen'd SUM aggregates (bit b of the signature
+    * is set iff more tokens have bit b set than clear — identical semantics
+    * to [[simhashOf]]'s ±1 vote). Higher-order-function lambdas are
+    * interpreted row-at-a-time in Spark, which makes [[simhashOf]] fine for
+    * a handful of bits but ~10× slower at 60; hash-aggregate SUMs stay
+    * inside whole-stage codegen and combine map-side, so this shape is also
+    * the 100 TB posture (shuffle carries one partial row per doc, not
+    * tokens).
+    */
+  def signatures(docs: DataFrame, idCol: String, th: Column, bits: Int): DataFrame = {
+    val ex = docs.select(col(idCol).as("doc_id"), explode(th).as("h"))
+    val sums = (0 until bits).map(b => sum(shiftright(col("h"), b) % 2).as(s"s_$b"))
+    ex.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"), sums: _*)
+      .select(col("doc_id"),
+        (0 until bits).map(b =>
+          when(col(s"s_$b") * 2 > col("n"), lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("sig"))
+  }
+
+  /** Band key for bucketed near-dup candidate generation: `bandBits`-wide
+    * slice `band` of the signature. Two docs agreeing on any band become a
     * candidate pair — equi-joinable, no all-pairs scan.
     */
-  def bandKey(sim: Column, band: Int): Column =
-    shiftright(sim, band * 8) % 256
+  def bandKey(sim: Column, band: Int, bandBits: Int = 8): Column =
+    shiftright(sim, band * bandBits) % (1L << bandBits)
+
+  /** SimHash near-dup pairs: banded candidate generation + exact Hamming
+    * verification. With `bands = bits / bandBits` bands, any pair within
+    * Hamming distance `maxHamming <= bands - 1` leaves at least one band
+    * untouched (pigeonhole), so banded recall at the verify threshold is
+    * exactly 1 and the result equals a brute-force all-pairs scan — which is
+    * what the DuckDB oracle runs.
+    *
+    * Scale posture: candidates come from an equi-join on (band, bandKey) —
+    * 2^bandBits buckets per band bound the collision fan-out; signature
+    * computation is per-row; the verify join touches candidate pairs only.
+    *
+    * @return doc_i < doc_j with `hamming <= maxHamming` (LONG)
+    */
+  def nearDupPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      bits: Int = 60,
+      bandBits: Int = 15,
+      maxHamming: Int = 3): DataFrame = {
+    require(bits % bandBits == 0, "bits must be a multiple of bandBits")
+    require(bits <= 60, "wideHash carries 60 informative bits")
+    val bands = bits / bandBits
+    require(maxHamming <= bands - 1,
+      s"recall-1 guarantee needs maxHamming <= bands-1 = ${bands - 1}")
+    // wideHash, not polyHash: every signature bit must be informative or the
+    // dead bands would bucket all docs together (see TextOps.wideHash).
+    val th = transform(TextOps.tokens(col(textCol)), TextOps.wideHash(_))
+    val sigs = signatures(docs, idCol, th, bits)
+    // Signatures ride through the band explode so the verify step needs no
+    // join back to the (expensive) signature computation; the self-join's
+    // two sides are identical subplans shuffled on the same key, so Spark's
+    // ReuseExchange computes the signatures once.
+    val banded = sigs.select(col("doc_id"), col("sig"),
+      posexplode(array((0 until bands).map(b => bandKey(col("sig"), b, bandBits)): _*))
+        .as(Seq("band", "bkey")))
+    banded.toDF("doc_i", "sig_i", "band", "bkey")
+      .join(banded.toDF("doc_j", "sig_j", "band", "bkey"), Seq("band", "bkey"))
+      .filter(col("doc_i") < col("doc_j"))
+      .withColumn("hamming", bit_count(col("sig_i").bitwiseXOR(col("sig_j"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_i", "doc_j", "hamming")
+      .distinct() // a pair colliding in k bands appears k times
+  }
 }

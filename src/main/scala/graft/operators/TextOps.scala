@@ -42,12 +42,22 @@ object TextOps {
         i => ascii(s.substr(i, lit(1))).cast("long")))
 
   /** Deterministic left-fold polynomial hash of a string:
-    * `h_i = (h_{i-1} * 31 + codepoint_i) mod Prime`, `h_0 = 0`.
+    * `h_i = (h_{i-1} * base + codepoint_i) mod Prime`, `h_0 = 0`.
     * Used for token hashing (MinHash/SimHash) and whole-document rolling
     * fingerprints.
     */
-  def polyHash(s: Column): Column =
-    aggregate(charCodes(s), lit(0L), (acc, c) => (acc * 31L + c) % Prime)
+  def polyHash(s: Column, base: Long = 31L): Column =
+    aggregate(charCodes(s), lit(0L), (acc, c) => (acc * base + c) % Prime)
+
+  /** 60-informative-bit token hash: two independent polynomial hashes (bases
+    * 31 and 131) packed as `h31 + h131 · 2^30`. [[polyHash]] alone caps at
+    * ~30 bits (`Prime` < 2^30), which would leave the upper half of a wide
+    * SimHash signature constant — and a constant band in banded LSH matches
+    * EVERYTHING (a full quadratic candidate set). DuckDB twin: same two
+    * list_reduce folds combined the same way.
+    */
+  def wideHash(s: Column): Column =
+    polyHash(s, 31L) + polyHash(s, 131L) * lit(1L << 30)
 
   /** Distinct word `n`-gram shingles of `text` (ARRAY<STRING>). Documents
     * with fewer than `n` tokens yield an empty array (same guard rationale

@@ -53,13 +53,15 @@ object PipelineQueries extends QueryDomain {
 
     "q_dedup_minhash" -> { (s, dir) =>
       import s.implicits._
-      // MinHash-banded LSH near-dup pairs (word 3-gram shingles, 64 hashes,
-      // 16 bands × 4) with exact-Jaccard verification at J >= 1/2. The
+      // MinHash-banded LSH near-dup pairs (word 3-gram shingles, 32 hashes,
+      // 8 bands × 4) with exact-Jaccard verification at J >= 1/2. The
       // oracle brute-forces all pairs — at the fixture's similarity gap
       // (planted near-dups at J≈0.97, background < 0.2) banded recall is
-      // 1 - ~1e-17, so LSH+verify equals brute force exactly.
+      // 1 - ~3e-8, so LSH+verify equals brute force exactly. 32×8 rather
+      // than 64×16 halves the signature work at no observable recall cost
+      // for that gap; re-derive bands before tightening the J threshold.
       MinHashLsh.nearDupPairs(t(s, dir, "documents"), "doc_id", "text",
-        numHashes = 64, numBands = 16, shingleN = 3, threshNum = 1, threshDen = 2)
+        numHashes = 32, numBands = 8, shingleN = 3, threshNum = 1, threshDen = 2)
         .select($"doc_i", $"doc_j",
           $"n_common".cast("long").as("n_common"), $"n_union".cast("long").as("n_union"))
         .orderBy($"doc_i", $"doc_j")
@@ -72,6 +74,17 @@ object PipelineQueries extends QueryDomain {
       d.select($"doc_id", SimHash.simhashOf($"th", 32).as("simhash32"),
         size($"th").cast("long").as("n_tokens"))
         .orderBy($"doc_id")
+    },
+
+    "q_simhash_neardup" -> { (s, dir) =>
+      import s.implicits._
+      // Banded SimHash near-dup search (60-bit signatures, 4 bands × 15).
+      // maxHamming=3 <= bands-1, so banded recall is exactly 1 and the
+      // output equals the oracle's brute-force all-pairs scan by pigeonhole,
+      // independent of the fixture's similarity distribution.
+      SimHash.nearDupPairs(t(s, dir, "documents"), "doc_id", "text",
+          bits = 60, bandBits = 15, maxHamming = 3)
+        .orderBy($"doc_i", $"doc_j")
     },
 
     "q_ngram_jaccard" -> { (s, dir) =>
@@ -159,8 +172,9 @@ object PipelineQueries extends QueryDomain {
 
     "q_event_windows" -> { (s, dir) =>
       import s.implicits._
-      // Streaming-style tumbling windows on a batch frame (the watermarked
-      // readStream twin lives in graft.streaming; same groupBy(window(...))).
+      // Streaming-style tumbling windows on a batch frame. The watermarked
+      // readStream twin is [[graft.streaming.EventStreams.hourlyEventWindows]]
+      // (same groupBy(window(...)); MemoryStream-tested in EventStreamsSpec).
       t(s, dir, "events")
         .withColumn("tsm", timestamp_micros(expr("ts div 1000")))
         .groupBy(window($"tsm", "1 hour").as("w"), $"event_type")
@@ -204,10 +218,14 @@ object PipelineQueries extends QueryDomain {
   // ---- DuckDB oracle fragments -------------------------------------------
 
   /** DuckDB twin of [[TextOps.polyHash]] (left fold, 64-bit, mod 1e9+7). */
-  private def duckHash(s: String): String =
+  private def duckHash(s: String, base: Int = 31): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       s"list_transform(range(1, length($s)+1), i -> CAST(ascii(substr($s, i, 1)) AS BIGINT))), " +
-      "(acc, c) -> (acc * 31 + c) % 1000000007)"
+      s"(acc, c) -> (acc * $base + c) % 1000000007)"
+
+  /** DuckDB twin of [[TextOps.wideHash]] (60 informative bits). */
+  private def duckWideHash(s: String): String =
+    s"(${duckHash(s)} + ${duckHash(s, 131)} * 1073741824)"
 
   /** DuckDB twin of [[VectorOps]]' strict left-fold dot product. */
   private def duckDot(a: String, b: String): String =
@@ -266,6 +284,22 @@ object PipelineQueries extends QueryDomain {
          |      THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS simhash32,
          |  CAST(len(th) AS BIGINT) AS n_tokens
          |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q_simhash_neardup" ->
+      s"""WITH tk AS (SELECT doc_id,
+         |  list_transform(string_split(text, ' '), tok -> ${duckWideHash("tok")}) AS th
+         |  FROM documents),
+         |t AS (SELECT doc_id,
+         |  CAST(list_sum(list_transform(range(0, 60), b ->
+         |    CASE WHEN list_sum(list_transform(th, h ->
+         |        CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+         |      THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS s
+         |  FROM tk)
+         |SELECT a.doc_id AS doc_i, b.doc_id AS doc_j,
+         |  CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
+         |FROM t a JOIN t b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.s, b.s)) <= 3
+         |ORDER BY doc_i, doc_j""".stripMargin,
 
     "q_ngram_jaccard" ->
       """WITH g AS (SELECT doc_id, lang, source,

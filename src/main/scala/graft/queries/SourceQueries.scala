@@ -14,10 +14,21 @@ import graft.sources.CsvSource
   */
 object SourceQueries extends QueryDomain {
 
+  // One CSV materialization per (sf, table) per JVM, under a per-process
+  // unique path: repeated invocations (Bench warm-up + timed run) measure
+  // the scan, not the fixture write, and concurrent sessions can't race on
+  // a shared tmpdir target.
+  private val materialized =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
   private def csvRoundTrip(s: SparkSession, dir: String, table: String): DataFrame = {
-    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_csv_${tag}_$table"
-    t(s, dir, table).write.mode("overwrite").option("header", "true").csv(path)
+    val path = materialized.getOrElseUpdate((dir, table), {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val p = s"${System.getProperty("java.io.tmpdir")}/graft_csv_" +
+        s"${ProcessHandle.current().pid()}_${tag}_$table"
+      t(s, dir, table).write.mode("overwrite").option("header", "true").csv(p)
+      p
+    })
     CsvSource.load(s, path, Map("header" -> "true"))
   }
 

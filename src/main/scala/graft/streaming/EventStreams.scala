@@ -1,0 +1,110 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming twins of the batch event operators
+  * ([[graft.queries.PipelineQueries]] `q_event_windows` / `q_sessionize`):
+  * same logical aggregation, expressed over an unbounded source with
+  * watermark-driven state eviction. A `readStream` source slots in wherever
+  * the batch queries use `spark.read` — the transformations are identical.
+  */
+object EventStreams {
+
+  /** Watermarked tumbling-window aggregation — the streaming twin of
+    * `q_event_windows`. Input needs an event-time column `tsm` (TIMESTAMP),
+    * `event_type`, `user_id`, `value`. Late rows beyond `watermark` are
+    * dropped and their windows finalized (emitted once in append mode).
+    *
+    * One deliberate divergence from the batch query: streaming cannot hold
+    * exact per-window distinct-user sets without unbounded state, so this
+    * twin reports `approx_count_distinct` (HLL) — the standard trade at
+    * 100 TB/day event volumes.
+    */
+  def hourlyEventWindows(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("tsm", watermark)
+      .groupBy(window(col("tsm"), "1 hour").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        approx_count_distinct("user_id").as("n_users_approx"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("total_value"))
+      .select(
+        unix_timestamp(col("w.start")).as("window_start"),
+        col("event_type"), col("n_events"), col("n_users_approx"), col("total_value"))
+
+  /** Input row for [[sessionize]] (epoch seconds, already event-timed). */
+  final case class SessionEvent(userId: Long, epochSec: Long, isPurchase: Boolean, value: Double)
+
+  /** One closed session — the streaming twin of `q_sessionize`'s output row. */
+  final case class SessionOut(
+      userId: Long, startEpoch: Long, endEpoch: Long,
+      nEvents: Long, nPurchases: Long, totalValue: Double)
+
+  /** Keyed state carried between micro-batches (public: encoders codegen
+    * against its accessors).
+    */
+  final case class SessionState(
+      startEpoch: Long, endEpoch: Long, nEvents: Long, nPurchases: Long, totalValue: Double)
+
+  /** Gap-based sessionization with explicit keyed state
+    * (`flatMapGroupsWithState` + event-time timeout): events for a user
+    * extend the open session while gaps stay within `gapSec`; a larger gap
+    * closes and emits it inline, and a session idle past the gap closes when
+    * the WATERMARK passes its deadline (event-time, not processing-time —
+    * a processing-time timeout would spin empty micro-batches forever on an
+    * idle stream). State per user is O(1) (five counters), so executor
+    * memory is bounded by active-user cardinality, not event volume.
+    */
+  def sessionize(
+      events: Dataset[SessionEvent],
+      gapSec: Long,
+      watermarkDelaySec: Long = 0L): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withColumn("event_time", timestamp_seconds(col("epochSec")))
+      .withWatermark("event_time", s"$watermarkDelaySec seconds")
+      .as[SessionEvent]
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val closed = state.getOption.map(s =>
+              SessionOut(userId, s.startEpoch, s.endEpoch, s.nEvents, s.nPurchases, s.totalValue))
+            state.remove()
+            closed.iterator
+          } else {
+            val out = Seq.newBuilder[SessionOut]
+            // Within a micro-batch events may arrive unsorted; order before
+            // folding so gap detection matches the batch operator.
+            var cur = state.getOption
+            rows.toSeq.sortBy(e => (e.epochSec, e.isPurchase, e.value)).foreach { e =>
+              cur match {
+                case Some(s) if e.epochSec - s.endEpoch <= gapSec =>
+                  cur = Some(SessionState(
+                    s.startEpoch, e.epochSec, s.nEvents + 1,
+                    s.nPurchases + (if (e.isPurchase) 1 else 0), s.totalValue + e.value))
+                case Some(s) =>
+                  out += SessionOut(userId, s.startEpoch, s.endEpoch, s.nEvents, s.nPurchases, s.totalValue)
+                  cur = Some(SessionState(
+                    e.epochSec, e.epochSec, 1, if (e.isPurchase) 1 else 0, e.value))
+                case None =>
+                  cur = Some(SessionState(
+                    e.epochSec, e.epochSec, 1, if (e.isPurchase) 1 else 0, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // Close when the watermark passes end-of-session + gap (the
+              // deadline must sit strictly above the current watermark).
+              state.setTimeoutTimestamp(math.max(
+                (s.endEpoch + gapSec) * 1000L + 1,
+                state.getCurrentWatermarkMs() + 1))
+            }
+            out.result().iterator
+          }
+      }
+  }
+}

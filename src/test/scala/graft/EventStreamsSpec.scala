@@ -1,0 +1,95 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.{SessionEvent, SessionOut}
+
+class EventStreamsSpec extends AnyFunSuite with SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("watermarked hourly windows finalize in append mode once the watermark passes") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Long, Double)]
+    val windows = EventStreams.hourlyEventWindows(
+      input.toDF.toDF("tsm", "event_type", "user_id", "value"), watermark = "1 hour")
+    val q = windows.writeStream.format("memory").queryName("ew_test")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (ts("2025-01-01 00:10:00"), "click", 1L, 1.5),
+        (ts("2025-01-01 00:20:00"), "click", 2L, 2.5),
+        (ts("2025-01-01 00:40:00"), "view", 1L, 0.5))
+      q.processAllAvailable()
+      // watermark so far: 23:40 of the previous day — nothing finalized
+      assert(spark.table("ew_test").isEmpty)
+
+      // 03:00 event pushes the watermark to 02:00 → hour-0 windows close
+      input.addData((ts("2025-01-01 03:00:00"), "click", 3L, 1.0))
+      q.processAllAvailable()
+      val out = spark.table("ew_test")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(4)))
+        .toSet
+      val hour0 = ts("2025-01-01 00:00:00").getTime / 1000
+      assert(out == Set((hour0, "click", 2L, 4.0), (hour0, "view", 1L, 0.5)))
+    } finally q.stop()
+  }
+
+  test("late rows beyond the watermark are dropped, within it they count") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Long, Double)]
+    val q = EventStreams.hourlyEventWindows(
+      input.toDF.toDF("tsm", "event_type", "user_id", "value"), watermark = "1 hour")
+      .writeStream.format("memory").queryName("ew_late").outputMode("append").start()
+    try {
+      input.addData((ts("2025-01-01 05:30:00"), "click", 1L, 1.0))
+      q.processAllAvailable() // watermark → 04:30
+      input.addData((ts("2025-01-01 04:45:00"), "click", 2L, 1.0)) // within watermark: counts
+      input.addData((ts("2025-01-01 02:00:00"), "click", 9L, 9.0)) // beyond: dropped
+      q.processAllAvailable()
+      input.addData((ts("2025-01-01 09:00:00"), "click", 1L, 0.0)) // close everything ≤ 08:00
+      q.processAllAvailable()
+      val byWindow = spark.table("ew_late").collect()
+        .map(r => r.getLong(0) -> r.getLong(2)).toMap
+      val h = (hh: Int) => ts(f"2025-01-01 $hh%02d:00:00").getTime / 1000
+      assert(byWindow.get(h(4)) == Some(1L), "in-watermark late row must land")
+      assert(!byWindow.contains(h(2)), "beyond-watermark row must be dropped")
+      assert(byWindow.get(h(5)) == Some(1L))
+    } finally q.stop()
+  }
+
+  test("stateful sessionization: gap closes a session, new one opens") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[SessionEvent]
+    val q = EventStreams.sessionize(input.toDS(), gapSec = 600)
+      .writeStream.format("memory").queryName("sess_test").outputMode("append").start()
+    try {
+      // user 1: two events 100s apart (one session), then a 1000s gap
+      input.addData(
+        SessionEvent(1L, 1000L, isPurchase = false, 1.0),
+        SessionEvent(1L, 1100L, isPurchase = true, 2.0))
+      q.processAllAvailable()
+      input.addData(SessionEvent(1L, 2200L, isPurchase = false, 3.0)) // gap 1100 > 600
+      q.processAllAvailable()
+      val closed = spark.table("sess_test").as[SessionOut].collect()
+      assert(closed.toSeq == Seq(SessionOut(1L, 1000L, 1100L, 2L, 1L, 3.0)),
+        s"first session must close when the gap exceeds gapSec, got ${closed.toSeq}")
+
+      // Timeout path: user 2's far-future events advance the watermark past
+      // user 1's (2200 + 600) deadline → the idle session closes with no
+      // further user-1 data.
+      input.addData(SessionEvent(2L, 9000L, isPurchase = false, 0.5))
+      q.processAllAvailable()
+      input.addData(SessionEvent(2L, 9100L, isPurchase = false, 0.5))
+      q.processAllAvailable()
+      val all = spark.table("sess_test").as[SessionOut].collect().toSet
+      assert(all.contains(SessionOut(1L, 2200L, 2200L, 1L, 0L, 3.0)),
+        s"idle session must close via event-time timeout, got $all")
+    } finally q.stop()
+  }
+}

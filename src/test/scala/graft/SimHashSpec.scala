@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{SimHash, TextOps}
+
+class SimHashSpec extends AnyFunSuite with SparkSpec {
+
+  private def docs = spark.read.parquet(s"$sf0001/documents.parquet").limit(150)
+
+  test("signatures (codegen explode-agg) ≡ simhashOf (HOF) — same votes, same bits") {
+    val th = transform(TextOps.tokens(col("text")), TextOps.wideHash(_))
+    val fast = SimHash.signatures(docs, "doc_id", th, 60)
+    val slow = docs.select(col("doc_id"), SimHash.simhashOf(th, 60).as("sig"))
+    assert(fast.exceptAll(slow).isEmpty && slow.exceptAll(fast).isEmpty)
+  }
+
+  test("nearDupPairs ≡ brute-force all-pairs at maxHamming <= bands-1 (pigeonhole)") {
+    val th = transform(TextOps.tokens(col("text")), TextOps.wideHash(_))
+    val sigs = SimHash.signatures(docs, "doc_id", th, 60)
+    val brute = sigs.toDF("doc_i", "sig_i")
+      .crossJoin(sigs.toDF("doc_j", "sig_j"))
+      .filter(col("doc_i") < col("doc_j"))
+      .withColumn("hamming", bit_count(col("sig_i").bitwiseXOR(col("sig_j"))).cast("long"))
+      .filter(col("hamming") <= 3)
+      .select("doc_i", "doc_j", "hamming")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val banded = SimHash.nearDupPairs(docs, "doc_id", "text", bits = 60, bandBits = 15, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(banded == brute)
+    assert(brute.nonEmpty, "fixture should contain at least one near-dup pair")
+  }
+
+  test("wideHash fills 60 bits (no dead bands)") {
+    // OR of many token hashes must set bits in every 15-bit band — a dead
+    // band would candidate-match every doc against every other.
+    val orAll = docs
+      .select(explode(transform(TextOps.tokens(col("text")), TextOps.wideHash(_))).as("h"))
+      .agg(expr("bit_or(h)")).head.getLong(0)
+    (0 until 4).foreach { band =>
+      assert(((orAll >> (band * 15)) & 0x7fffL) != 0L, s"band $band is dead")
+    }
+  }
+
+  test("nearDupPairs rejects parameters that break the recall guarantee") {
+    assertThrows[IllegalArgumentException](
+      SimHash.nearDupPairs(docs, "doc_id", "text", bits = 60, bandBits = 15, maxHamming = 4))
+    assertThrows[IllegalArgumentException](
+      SimHash.nearDupPairs(docs, "doc_id", "text", bits = 64, bandBits = 16, maxHamming = 3))
+  }
+}
