@@ -13,6 +13,28 @@ object Tables {
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** The documents table, spread across the session's cores. The fixture is
+    * one sub-split-size parquet file (single row group), so the scan yields
+    * ONE partition and every per-row text expression downstream runs on one
+    * core; on a production-scale input the scan's many splits provide this
+    * parallelism for free and no such repartition belongs in the operators
+    * themselves. The round-robin shuffle of raw text stands in for the
+    * splits the fixture lacks.
+    */
+  def docs(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "documents").repartition(spark.sparkContext.defaultParallelism)
+
+  /** Total order for a SMALL result of an expensive plan. A plain `orderBy`
+    * uses RangePartitioning, whose sampling pass re-executes the child plan
+    * once just to pick split points — for a similarity join that doubles the
+    * whole query. A shuffle to one partition plus an in-partition sort gives
+    * the same deterministic total order with one execution; `repartition(1)`
+    * is a shuffle BARRIER, so (unlike `coalesce(1)`) upstream stages keep
+    * their width. Only for outputs that fit one task comfortably.
+    */
+  def orderedSmall(df: DataFrame, cols: Column*): DataFrame =
+    df.repartition(1).sortWithinPartitions(cols: _*)
+
   /** Exact-valued sum of a double column: route through a decimal so the
     * result is independent of partitioning/summation order (double addition
     * is not associative; decimal addition is), then cast back to double.

@@ -87,9 +87,15 @@ object MinHashLsh {
     require(numHashes % numBands == 0, "numBands must divide numHashes")
     val r = numHashes / numBands
 
+    // The non-empty-shingles filter is expressed on the raw token count, not
+    // on size(sh): a `size(sh) > 0` predicate gets pushed below the source's
+    // exchange with the whole shingle expression inlined, re-computing the
+    // heavy shingling in the (possibly single-partition) scan stage. The
+    // token-count form is equivalent (wordShingles is non-empty iff the doc
+    // has >= shingleN tokens) and cheap wherever the optimizer moves it.
     val shingled = docs
+      .filter(size(TextOps.tokens(col(textCol))) >= shingleN)
       .select(col(idCol).as("doc_id"), TextOps.wordShingles(col(textCol), shingleN).as("sh"))
-      .filter(size(col("sh")) > 0)
 
     val banded = bandedKeys(signatures(shingled, numHashes), numBands, r)
 

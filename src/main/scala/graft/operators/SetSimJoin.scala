@@ -57,13 +57,17 @@ object SetSimJoin {
     val prefix = ex.join(freq, blockCols :+ "sj_tok")
       .withColumn("sj_rk", row_number().over(w))
       .filter(col("sj_rk") <= col("sj_sz") - ceilTA + 1)
-      .select(col("sj_id") +: col("sj_tok") +: bc: _*)
+      .select(col("sj_id") +: col("sj_tok") +: col("sj_sz") +: bc: _*)
 
-    // Candidates: prefix-token collision inside a block. distinct() bounds
+    // Candidates: prefix-token collision inside a block, pruned by the
+    // length filter (J ≥ t forces t·|B| ≤ |A| — size-incompatible pairs
+    // can't pass verification, so don't verify them). distinct() bounds
     // verify work at one row per pair however many prefix tokens collide.
-    val cand = prefix.toDF("doc_i" +: "sj_tok" +: blockCols: _*)
-      .join(prefix.toDF("doc_j" +: "sj_tok" +: blockCols: _*), blockCols :+ "sj_tok")
-      .filter(col("doc_i") < col("doc_j"))
+    val cand = prefix.toDF("doc_i" +: "sj_tok" +: "sz_i" +: blockCols: _*)
+      .join(prefix.toDF("doc_j" +: "sj_tok" +: "sz_j" +: blockCols: _*), blockCols :+ "sj_tok")
+      .filter(col("doc_i") < col("doc_j") &&
+        col("sz_i") * threshNum <= col("sz_j") * threshDen &&
+        col("sz_j") * threshNum <= col("sz_i") * threshDen)
       .select(col("doc_i") +: col("doc_j") +: bc: _*)
       .distinct()
 

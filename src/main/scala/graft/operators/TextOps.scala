@@ -44,9 +44,19 @@ object TextOps {
   /** Deterministic left-fold polynomial hash of a string:
     * `h_i = (h_{i-1} * base + codepoint_i) mod Prime`, `h_0 = 0`.
     * Used for token hashing (MinHash/SimHash) and whole-document rolling
-    * fingerprints.
+    * fingerprints. Backed by the codegen'd [[graft.functions.PolyHash]]
+    * expression; [[polyHashHof]] is the higher-order-function formulation it
+    * must stay bit-identical to (cross-checked in TextOpsSpec).
     */
   def polyHash(s: Column, base: Long = 31L): Column =
+    org.apache.spark.sql.graft.bridge.column(
+      graft.functions.PolyHash(org.apache.spark.sql.graft.bridge.expression(s), base))
+
+  /** Reference formulation of [[polyHash]] as interpreted array-fold
+    * expressions — kept as the executable spec of the hash (the DuckDB
+    * oracle twin mirrors this shape 1:1).
+    */
+  def polyHashHof(s: Column, base: Long = 31L): Column =
     aggregate(charCodes(s), lit(0L), (acc, c) => (acc * base + c) % Prime)
 
   /** 60-informative-bit token hash: two independent polynomial hashes (bases
@@ -62,13 +72,22 @@ object TextOps {
   /** Distinct word `n`-gram shingles of `text` (ARRAY<STRING>). Documents
     * with fewer than `n` tokens yield an empty array (same guard rationale
     * as [[charCodes]]).
+    *
+    * The token array is let-bound through a singleton-array `transform` so
+    * the shingle lambda references a LAMBDA VARIABLE, not the `split`
+    * expression: column DSL inlining would otherwise paste `split(text)`
+    * into every `element_at` call site and re-tokenize the whole document
+    * once per shingle position — O(tokens²) per document, which dominated
+    * the dedup pipelines before this binding.
     */
-  def wordShingles(text: Column, n: Int = 3): Column = {
-    val w = tokens(text)
-    val grams = transform(sequence(lit(1), size(w) - (n - 1)),
-      i => concat_ws(" ", (0 until n).map(j => element_at(w, i + j)): _*))
-    array_distinct(when(size(w) < n, array().cast("array<string>")).otherwise(grams))
-  }
+  def wordShingles(text: Column, n: Int = 3): Column =
+    element_at(
+      transform(array(tokens(text)), w => {
+        val grams = transform(sequence(lit(1), size(w) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(j => element_at(w, i + j)): _*))
+        array_distinct(when(size(w) < n, array().cast("array<string>")).otherwise(grams))
+      }),
+      1)
 
   /** Hashes of the distinct shingles — the MinHash input set. */
   def shingleHashes(text: Column, n: Int = 3): Column =

@@ -30,7 +30,7 @@ object PipelineQueries extends QueryDomain {
       // Exact dedup by content hash-group: the fixture's texts are unique, so
       // duplicates are synthesized by unioning an id-shifted copy; the dedup
       // must keep exactly the minimum-id instance of every text.
-      val d = t(s, dir, "documents").select($"doc_id", $"text", $"lang", $"source")
+      val d = docs(s, dir).select($"doc_id", $"text", $"lang", $"source")
       val dup = d.unionByName(d.withColumn("doc_id", $"doc_id" + 1000000L))
       val w = Window.partitionBy($"text").orderBy($"doc_id")
       dup.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
@@ -43,7 +43,7 @@ object PipelineQueries extends QueryDomain {
       // Normalization-key dedup: documents sharing a sorted bag-of-words
       // collapse to one group (min id kept), fingerprinted with the rolling
       // hash. GroupBy on the key — scales as a standard hash aggregate.
-      val d = t(s, dir, "documents")
+      val d = docs(s, dir)
         .select($"doc_id", TextOps.bagOfWordsKey($"text").as("bk"))
       d.groupBy($"bk")
         .agg(min($"doc_id").as("keep_doc_id"), count(lit(1)).as("group_size"))
@@ -60,16 +60,17 @@ object PipelineQueries extends QueryDomain {
       // 1 - ~3e-8, so LSH+verify equals brute force exactly. 32×8 rather
       // than 64×16 halves the signature work at no observable recall cost
       // for that gap; re-derive bands before tightening the J threshold.
-      MinHashLsh.nearDupPairs(t(s, dir, "documents"), "doc_id", "text",
-        numHashes = 32, numBands = 8, shingleN = 3, threshNum = 1, threshDen = 2)
-        .select($"doc_i", $"doc_j",
-          $"n_common".cast("long").as("n_common"), $"n_union".cast("long").as("n_union"))
-        .orderBy($"doc_i", $"doc_j")
+      orderedSmall(
+        MinHashLsh.nearDupPairs(docs(s, dir), "doc_id", "text",
+          numHashes = 32, numBands = 8, shingleN = 3, threshNum = 1, threshDen = 2)
+          .select($"doc_i", $"doc_j",
+            $"n_common".cast("long").as("n_common"), $"n_union".cast("long").as("n_union")),
+        $"doc_i", $"doc_j")
     },
 
     "q_dedup_simhash" -> { (s, dir) =>
       import s.implicits._
-      val d = t(s, dir, "documents")
+      val d = docs(s, dir)
         .select($"doc_id", SimHash.tokenHashes($"text").as("th"))
       d.select($"doc_id", SimHash.simhashOf($"th", 32).as("simhash32"),
         size($"th").cast("long").as("n_tokens"))
@@ -82,9 +83,10 @@ object PipelineQueries extends QueryDomain {
       // maxHamming=3 <= bands-1, so banded recall is exactly 1 and the
       // output equals the oracle's brute-force all-pairs scan by pigeonhole,
       // independent of the fixture's similarity distribution.
-      SimHash.nearDupPairs(t(s, dir, "documents"), "doc_id", "text",
-          bits = 60, bandBits = 15, maxHamming = 3)
-        .orderBy($"doc_i", $"doc_j")
+      orderedSmall(
+        SimHash.nearDupPairs(docs(s, dir), "doc_id", "text",
+          bits = 60, bandBits = 15, maxHamming = 3),
+        $"doc_i", $"doc_j")
     },
 
     "q_ngram_jaccard" -> { (s, dir) =>
@@ -93,20 +95,21 @@ object PipelineQueries extends QueryDomain {
       // via [[SetSimJoin]]'s inverted index + prefix filtering: candidate
       // pairs come from rare-token prefix collisions, never an all-pairs
       // block scan, so work stays near-linear as blocks grow.
-      val g = t(s, dir, "documents").select($"doc_id", $"lang", $"source",
+      val g = docs(s, dir).select($"doc_id", $"lang", $"source",
         array_distinct(transform(sequence(lit(1), length($"text") - 2),
           i => $"text".substr(i, lit(3)))).as("gr"))
         .filter(length($"text") >= 3)
-      SetSimJoin.jaccardJoin(g, "doc_id", "gr", Seq("lang", "source"),
-          threshNum = 3, threshDen = 5)
-        .select($"doc_i", $"doc_j", $"n_common", $"n_union")
-        .orderBy($"doc_i", $"doc_j")
+      orderedSmall(
+        SetSimJoin.jaccardJoin(g, "doc_id", "gr", Seq("lang", "source"),
+            threshNum = 3, threshDen = 5)
+          .select($"doc_i", $"doc_j", $"n_common", $"n_union"),
+        $"doc_i", $"doc_j")
     },
 
     // ---- text analysis ----------------------------------------------------
     "q_text_stats" -> { (s, dir) =>
       import s.implicits._
-      val d = t(s, dir, "documents").select($"lang", $"source",
+      val d = docs(s, dir).select($"lang", $"source",
         TextStats.nTokens($"text").as("nt"),
         TextStats.nStopwords($"text").as("ns"),
         TextStats.nPunct($"text").as("np"))
@@ -125,7 +128,7 @@ object PipelineQueries extends QueryDomain {
 
     "q_quality_score" -> { (s, dir) =>
       import s.implicits._
-      t(s, dir, "documents").select($"doc_id",
+      docs(s, dir).select($"doc_id",
         TextStats.nTokens($"text").as("n_tokens"),
         TextStats.nRegexTokens($"text").as("n_regex_tokens"),
         TextStats.nTokensEst($"text").as("n_tokens_est"),
@@ -140,7 +143,7 @@ object PipelineQueries extends QueryDomain {
       val scoreCols = TextStats.LangProfiles.map { case (lang, m) =>
         TextStats.langScore($"text", m).as(s"s_$lang")
       }
-      t(s, dir, "documents")
+      docs(s, dir)
         .select(($"doc_id" +: scoreCols :+
           TextStats.predictedLang($"text").as("pred_lang") :+
           $"lang".as("labeled_lang")): _*)
@@ -149,7 +152,7 @@ object PipelineQueries extends QueryDomain {
 
     "q_doc_fingerprint" -> { (s, dir) =>
       import s.implicits._
-      t(s, dir, "documents").select($"doc_id",
+      docs(s, dir).select($"doc_id",
         TextOps.fingerprint($"text").as("fp"),
         length($"text").cast("long").as("n_chars_actual"))
         .orderBy($"doc_id")
@@ -209,7 +212,7 @@ object PipelineQueries extends QueryDomain {
     // ---- multimodal binary-column plumbing --------------------------------
     "q_multimodal_features" -> { (s, dir) =>
       import s.implicits._
-      val media = MultimodalOps.documentsAsMedia(s, t(s, dir, "documents"))
+      val media = MultimodalOps.documentsAsMedia(s, docs(s, dir))
       MultimodalOps.extractFeatures(media).toDF()
         .orderBy($"doc_id")
     }

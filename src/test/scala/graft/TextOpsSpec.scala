@@ -17,6 +17,29 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
     assert(one(TextOps.polyHash($"t"), "") === 0L)
   }
 
+  test("codegen polyHash ≡ HOF reference on fixture text, edge cases, and both bases") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select($"text").as[String].take(200).toSeq ++
+      Seq("", " ", "é ü ñ", "日本語 テスト", "a" * 5000, "")
+    val df = docs.toDF("t")
+    for (base <- Seq(31L, 131L)) {
+      val diff = df.select(
+          TextOps.polyHash($"t", base).as("fast"),
+          TextOps.polyHashHof($"t", base).as("ref"))
+        .filter(!($"fast" <=> $"ref")).count()
+      assert(diff == 0L, s"codegen and HOF hashes diverge at base $base")
+    }
+    // null propagates as null through both
+    val n = Seq[Option[String]](None).toDF("t")
+      .select(TextOps.polyHash($"t").as("v")).head()
+    assert(n.isNullAt(0))
+  }
+
+  test("wideHash fills 60 bits and equals its two-fold definition") {
+    assert(one(TextOps.wideHash($"t"), "hello") ===
+      99162322L + one(TextOps.polyHashHof($"t", 131L), "hello").asInstanceOf[Long] * (1L << 30))
+  }
+
   test("wordShingles: counts, dedup, and short-document guard") {
     assert(one(TextOps.wordShingles($"t"), "a b c d e") ===
       Seq("a b c", "b c d", "c d e"))
