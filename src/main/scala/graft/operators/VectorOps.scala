@@ -63,6 +63,62 @@ object VectorOps {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
 
+  /** j-th coefficient of the k-th pseudo-random hyperplane for [[srpSignature]]:
+    * a fixed integer formula (Knuth multiplicative constant, prime modulus,
+    * centered) rather than an RNG, so the DuckDB oracle reproduces the
+    * hyperplanes from the same arithmetic. Values in [-501001, 501001].
+    */
+  def srpWeight(k: Int, j: Int): Long =
+    (((k + 1L) * (j + 7L) * 2654435761L) % 1000003L) - 501001L
+
+  /** Sign-random-projection (SRP) signature of a vector: bit k is set iff
+    * the dot product with hyperplane k is positive (charikar'02 cosine LSH).
+    * Dots are strict left folds of doubles — bit-identical across engines,
+    * so the SIGN is too.
+    */
+  def srpSignature(vec: Column, bits: Int, dim: Int): Column =
+    (0 until bits).map { k =>
+      val w = array((0 until dim).map(j => lit(srpWeight(k, j).toDouble)): _*)
+      when(foldSum(zip_with(asDouble(vec), w, (x, y) => x * y)) > 0.0, lit(1L << k))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Embedding near-duplicate pairs via banded SRP-LSH with exact cosine
+    * attached: candidates come from an equi-join on (band, band key); with
+    * `maxHamming <= bands − 1` any qualifying pair shares an untouched band
+    * (pigeonhole), so banded recall is exactly 1 and the result equals a
+    * brute-force all-pairs scan — the oracle's formulation. Vectors ride
+    * through the band explode so verification needs no join back.
+    *
+    * Output: (vec_i < vec_j, hamming, cos) for pairs within `maxHamming`.
+    */
+  def srpNearDupPairs(
+      data: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      bits: Int = 32,
+      bandBits: Int = 8,
+      maxHamming: Int = 3): DataFrame = {
+    require(bits % bandBits == 0, "bits must be a multiple of bandBits")
+    val bands = bits / bandBits
+    require(maxHamming <= bands - 1,
+      s"recall-1 guarantee needs maxHamming <= bands-1 = ${bands - 1}")
+    val sigs = data.select(col(idCol).as("id_"), col(vecCol).as("v_"),
+      srpSignature(col(vecCol), bits, dim).as("sig"))
+    val banded = sigs.select(col("id_"), col("sig"), col("v_"),
+      posexplode(array((0 until bands).map(b => SimHash.bandKey(col("sig"), b, bandBits)): _*))
+        .as(Seq("band", "bkey")))
+    banded.toDF("vec_i", "sig_i", "v_i", "band", "bkey")
+      .join(banded.toDF("vec_j", "sig_j", "v_j", "band", "bkey"), Seq("band", "bkey"))
+      .filter(col("vec_i") < col("vec_j"))
+      .withColumn("hamming", bit_count(col("sig_i").bitwiseXOR(col("sig_j"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("vec_i"), col("vec_j"), col("hamming"),
+        cosine(col("v_i"), col("v_j")).as("cos"))
+      .distinct() // a pair colliding in k bands appears k times
+  }
+
   /** IVF-style approximate search: vectors are assigned to their
     * nearest-centroid cluster once; a query probes only its `nProbe`
     * nearest clusters and ranks candidates within them.

@@ -209,6 +209,27 @@ object PipelineQueries extends QueryDomain {
         .orderBy($"query_id", $"rnk")
     },
 
+    "q_embed_neardup" -> { (s, dir) =>
+      import s.implicits._
+      // Embedding-cosine near-dup via banded sign-random-projection LSH
+      // (32-bit sketches, 4 bands × 8, Hamming <= 3 = bands-1 so banded
+      // recall is exactly 1 vs the oracle's brute-force scan), with the
+      // exact cosine attached to every surviving pair. The fixture's
+      // embeddings have no natural near-dups (max pair cosine ≈ 0.51), so —
+      // as q_dedup_exact does for text — near-dups are planted by unioning
+      // an id-shifted copy with coordinate 1 exactly doubled (×2 is exact
+      // float arithmetic, so both engines build bit-identical vectors).
+      val e = t(s, dir, "embeddings")
+      val planted = e.select(($"vec_id" + 1000000L).as("vec_id"),
+        concat(array(element_at($"embedding", 1) * lit(2.0f)),
+          slice($"embedding", 2, 63)).as("embedding"))
+      val all = e.select($"vec_id", $"embedding").unionByName(planted)
+      orderedSmall(
+        VectorOps.srpNearDupPairs(all, "vec_id", "embedding",
+          dim = 64, bits = 32, bandBits = 8, maxHamming = 3),
+        $"vec_i", $"vec_j")
+    },
+
     // ---- multimodal binary-column plumbing --------------------------------
     "q_multimodal_features" -> { (s, dir) =>
       import s.implicits._
@@ -427,6 +448,34 @@ object PipelineQueries extends QueryDomain {
          |      ORDER BY ${duckDot("q.e", "d.e")} / sqrt(q.nn * d.nn) DESC, cand.nid) AS rnk
          |  FROM cand JOIN n q ON q.vec_id = cand.qid JOIN n d ON d.vec_id = cand.nid)
          |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+
+    "q_embed_neardup" -> {
+      // k-th hyperplane dot, 0-based dim index j0 = j-1 (DuckDB range is
+      // 1-based here): weight = ((k+1)*(j0+7)*2654435761) % 1000003 - 501001.
+      val srpDot = "list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+        "list_transform(range(1, 65), j -> e[j] * CAST((((k+1) * (j+6) * 2654435761) % 1000003) - 501001 AS DOUBLE))), " +
+        "(acc, x) -> acc + x)"
+      s"""WITH base AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 1000000,
+         |    list_concat([embedding[1] * CAST(2 AS FLOAT)], embedding[2:])
+         |  FROM embeddings),
+         |v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |  FROM base),
+         |s AS (SELECT vec_id, e,
+         |  CAST(list_sum(list_transform(range(0, 32), k ->
+         |    CASE WHEN $srpDot > 0 THEN (CAST(1 AS BIGINT) << k) ELSE CAST(0 AS BIGINT) END))
+         |    AS BIGINT) AS sig
+         |  FROM v),
+         |n AS (SELECT vec_id, e, sig, ${duckDot("e", "e")} AS nn FROM s)
+         |SELECT a.vec_id AS vec_i, b.vec_id AS vec_j,
+         |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming,
+         |  ${duckDot("a.e", "b.e")} / sqrt(a.nn * b.nn) AS cos
+         |FROM n a JOIN n b ON a.vec_id < b.vec_id
+         |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+         |ORDER BY vec_i, vec_j""".stripMargin
+    },
 
     "q_multimodal_features" ->
       s"""SELECT doc_id,

@@ -51,4 +51,26 @@ class VectorOpsSpec extends AnyFunSuite with SparkSpec {
     assert(asg(1L) === 1L)
     assert(asg(3L) === 1L) // (-1,0,0): cos -1 to +x, 0 to +y — nearer +y
   }
+
+  test("srpNearDupPairs ≡ brute-force hamming scan on fixture embeddings (pigeonhole)") {
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet").limit(200)
+    val planted = e.select(($"vec_id" + 1000000L).as("vec_id"),
+      concat(array(element_at($"embedding", 1) * lit(2.0f)),
+        slice($"embedding", 2, 63)).as("embedding"))
+    val all = e.select($"vec_id", $"embedding").unionByName(planted)
+    val sigs = all.select($"vec_id",
+      VectorOps.srpSignature($"embedding", 32, 64).as("sig"))
+    val brute = sigs.toDF("vec_i", "sig_i").crossJoin(sigs.toDF("vec_j", "sig_j"))
+      .filter($"vec_i" < $"vec_j")
+      .withColumn("hamming", bit_count($"sig_i".bitwiseXOR($"sig_j")).cast("long"))
+      .filter($"hamming" <= 3)
+      .select("vec_i", "vec_j", "hamming")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val banded = VectorOps.srpNearDupPairs(all, "vec_id", "embedding", dim = 64)
+      .select("vec_i", "vec_j", "hamming")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(banded == brute)
+    assert(brute.nonEmpty, "planted ×2-coordinate twins must land within Hamming 3")
+  }
 }
