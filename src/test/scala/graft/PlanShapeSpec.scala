@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression guards for the 100 TB posture: these assert the
+  * SHAPE Catalyst produces — filters reaching the parquet scan, projections
+  * pruning the read schema, small dimensions broadcast, no cartesian
+  * products — so a future edit that silently loses a pushdown or turns a
+  * broadcast join into a sort-merge-over-everything fails a unit test, not a
+  * production run.
+  */
+class PlanShapeSpec extends AnyFunSuite with SparkSpec {
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf0001)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q1: shipdate filter is pushed to the parquet scan, schema pruned") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"missing pushed filter in:\n$p")
+    // only the 6 referenced columns are read, not lineitem's full width
+    assert(p.contains("ReadSchema") && !p.contains("l_comment"), "schema not pruned")
+  }
+
+  test("q5: all five dimension tables broadcast; no cartesian product") {
+    val p = plan("q5_region_revenue")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, s"dimensions not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q3: dimension broadcast + single aggregate over the fact join") {
+    val p = plan("q3_top_unshipped")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_cosine_topk: query side broadcast, data vectors never shuffled") {
+    val p = plan("q_cosine_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query set must broadcast:\n$p")
+  }
+
+  test("q_merge_upsert: no more than two exchanges on the merge key path") {
+    // merge = window-dedup + anti-join + union on the same key; a regression
+    // that re-shuffles per stage would show up as extra exchanges.
+    val p = plan("q_merge_upsert")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 3, s"unexpected shuffle count $exchanges in:\n$p")
+  }
+
+  test("whole-stage codegen covers the scalar pipelines") {
+    // AQE prints codegen stages only in the FINAL plan — execute first.
+    val df = SparkEntry.queries("q_scalar_string")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // codegen stages print as "*(n) Operator" in the final plan
+    assert(p.contains("*(1)"), s"scalar pipeline fell out of codegen:\n$p")
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.SetSimJoin
+
+/** Prefix-filtering correctness: the inverted-index join must return EXACTLY
+  * the pairs a blocked all-pairs scan returns — the prefix is an
+  * optimization, never a semantics change.
+  */
+class SetSimJoinSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def grams = spark.read.parquet(s"$sf0001/documents.parquet").limit(250)
+    .filter(length($"text") >= 3)
+    .select($"doc_id", $"lang", $"source",
+      array_distinct(transform(sequence(lit(1), length($"text") - 2),
+        i => $"text".substr(i, lit(3)))).as("gr"))
+
+  private def pairsOf(df: org.apache.spark.sql.DataFrame) =
+    df.select("doc_i", "doc_j", "n_common", "n_union")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
+  test("jaccardJoin ≡ blocked all-pairs join at t = 3/5") {
+    val g = grams
+    val viaIndex = pairsOf(
+      SetSimJoin.jaccardJoin(g, "doc_id", "gr", Seq("lang", "source"), 3, 5))
+    val bruteForce = pairsOf(
+      g.as("a").join(g.as("b"),
+          col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"),
+          size(array_intersect(col("a.gr"), col("b.gr"))).cast("long").as("n_common"),
+          size(array_union(col("a.gr"), col("b.gr"))).cast("long").as("n_union"))
+        .filter($"n_union" > 0 && $"n_common" * 5 >= $"n_union" * 3))
+    assert(viaIndex == bruteForce)
+    assert(bruteForce.nonEmpty, "fixture must contain similar pairs for this test to bite")
+  }
+
+  test("threshold edge: t = 1 returns only identical sets") {
+    val g = grams
+    val exact = pairsOf(SetSimJoin.jaccardJoin(g, "doc_id", "gr", Seq("lang", "source"), 1, 1))
+    assert(exact.forall { case (_, _, common, union) => common == union })
+  }
+
+  test("degenerate threshold is rejected") {
+    assertThrows[IllegalArgumentException](
+      SetSimJoin.jaccardJoin(grams, "doc_id", "gr", Seq("lang"), 0, 5))
+    assertThrows[IllegalArgumentException](
+      SetSimJoin.jaccardJoin(grams, "doc_id", "gr", Seq("lang"), 6, 5))
+  }
+}
