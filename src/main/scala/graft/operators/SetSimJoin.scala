@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -40,6 +40,7 @@ object SetSimJoin {
       threshNum: Int,
       threshDen: Int): DataFrame = {
     require(threshNum > 0 && threshNum <= threshDen, "threshold must be in (0, 1]")
+    def ceilDiv(n: Column, d: Int): Column = floor((n + (d - 1)) / d).cast("int")
     val bc = blockCols.map(col)
     val d = docs.select(col(idCol).as("sj_id") +: col(setCol).as("sj_set") +: bc: _*)
 
@@ -57,19 +58,27 @@ object SetSimJoin {
     val prefix = ex.join(freq, blockCols :+ "sj_tok")
       .withColumn("sj_rk", row_number().over(w))
       .filter(col("sj_rk") <= col("sj_sz") - ceilTA + 1)
-      .select(col("sj_id") +: col("sj_tok") +: col("sj_sz") +: bc: _*)
+      .select(col("sj_id") +: col("sj_tok") +: col("sj_sz") +: col("sj_rk") +: bc: _*)
 
-    // Candidates: prefix-token collision inside a block, pruned by the
-    // length filter (J ≥ t forces t·|B| ≤ |A| — size-incompatible pairs
-    // can't pass verification, so don't verify them). distinct() bounds
-    // verify work at one row per pair however many prefix tokens collide.
-    val cand = prefix.toDF("doc_i" +: "sj_tok" +: "sz_i" +: blockCols: _*)
-      .join(prefix.toDF("doc_j" +: "sj_tok" +: "sz_j" +: blockCols: _*), blockCols :+ "sj_tok")
+    // Candidates: prefix-token collision inside a block, pruned by
+    //  - the length filter: J ≥ t forces t·max(|A|,|B|) ≤ min(|A|,|B|);
+    //  - the PPJoin positional filter: a token at ranks (p_i, p_j) bounds
+    //    the remaining possible overlap at 1 + min(|A|−p_i, |B|−p_j), which
+    //    must reach α = ⌈t/(1+t)·(|A|+|B|)⌉ for some shared prefix token.
+    // The groupBy doubles as the pair-dedup the verify join needs anyway.
+    val alpha = ceilDiv((col("sz_i") + col("sz_j")) * threshNum, threshNum + threshDen)
+    val cand = prefix.toDF("doc_i" +: "sj_tok" +: "sz_i" +: "rk_i" +: blockCols: _*)
+      .join(prefix.toDF("doc_j" +: "sj_tok" +: "sz_j" +: "rk_j" +: blockCols: _*),
+        blockCols :+ "sj_tok")
       .filter(col("doc_i") < col("doc_j") &&
         col("sz_i") * threshNum <= col("sz_j") * threshDen &&
         col("sz_j") * threshNum <= col("sz_i") * threshDen)
+      .groupBy(col("doc_i") +: col("doc_j") +: bc: _*)
+      .agg(
+        max(least(col("sz_i") - col("rk_i"), col("sz_j") - col("rk_j")) + 1).as("sj_ub"),
+        first(alpha).as("sj_alpha"))
+      .filter(col("sj_ub") >= col("sj_alpha"))
       .select(col("doc_i") +: col("doc_j") +: bc: _*)
-      .distinct()
 
     // Exact verification on candidates only.
     val sets = d.select(col("sj_id"), col("sj_set"))

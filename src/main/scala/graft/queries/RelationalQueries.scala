@@ -240,6 +240,35 @@ object RelationalQueries extends QueryDomain {
         .orderBy($"o_orderstatus", $"o_orderpriority")
     },
 
+    "q_rollup" -> { (s, dir) =>
+      import s.implicits._
+      // Hierarchical aggregate with subtotal + grand-total rows; grouping()
+      // flags disambiguate rollup NULLs from data NULLs on both engines.
+      t(s, dir, "orders")
+        .rollup($"o_orderstatus", $"o_orderpriority")
+        .agg( // grouping() is only resolvable inside the rollup's agg list
+          grouping($"o_orderstatus").cast("int").as("g_status"),
+          grouping($"o_orderpriority").cast("int").as("g_prio"),
+          count(lit(1)).as("n"), dsum($"o_totalprice").as("spend"))
+        .select($"o_orderstatus", $"o_orderpriority", $"g_status", $"g_prio", $"n", $"spend")
+        .orderBy($"g_status", $"g_prio", $"o_orderstatus", $"o_orderpriority")
+    },
+
+    "q_pivot" -> { (s, dir) =>
+      import s.implicits._
+      // Pivot = conditional aggregation: order counts + decimal-exact spend
+      // per priority, one column pair per order status.
+      t(s, dir, "orders")
+        .groupBy($"o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("spend"))
+        .select($"o_orderpriority",
+          coalesce($"F_n", lit(0L)).as("f_n"), coalesce($"F_spend", lit(0.0)).as("f_spend"),
+          coalesce($"O_n", lit(0L)).as("o_n"), coalesce($"O_spend", lit(0.0)).as("o_spend"),
+          coalesce($"P_n", lit(0L)).as("p_n"), coalesce($"P_spend", lit(0.0)).as("p_spend"))
+        .orderBy($"o_orderpriority")
+    },
+
     // ---- engine-side upsert + schema conform (reference core semantics) ---
     "q_merge_upsert" -> { (s, dir) =>
       import s.implicits._
@@ -426,6 +455,32 @@ object RelationalQueries extends QueryDomain {
     "q_distinct" ->
       """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
         |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+        |  CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS spend
+        |FROM orders
+        |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY g_status, g_prio,
+        |  o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS f_n,
+        |  COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+        |    FILTER (WHERE o_orderstatus = 'F') AS DOUBLE), 0.0) AS f_spend,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS o_n,
+        |  COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+        |    FILTER (WHERE o_orderstatus = 'O') AS DOUBLE), 0.0) AS o_spend,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS p_n,
+        |  COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+        |    FILTER (WHERE o_orderstatus = 'P') AS DOUBLE), 0.0) AS p_spend
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "q_merge_upsert" ->
       """WITH src AS (
