@@ -42,6 +42,16 @@ object VectorOps {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / sqrt(norm2(a) * norm2(b))
 
+  /** Cosine from precomputed squared norms — bit-identical to [[cosine]]
+    * (`sqrt(nnA * nnB)` sees the same doubles whether the norms were cached
+    * or re-folded), but each vector's norm is computed ONCE per relation
+    * instead of once per pair: the all-pairs stages below go from 3 folds
+    * per pair to 1. This is also exactly the oracle's formulation (its `n`
+    * CTE precomputes `nn`).
+    */
+  private def cosineWithNorms(a: Column, b: Column, nnA: Column, nnB: Column): Column =
+    dot(a, b) / sqrt(nnA * nnB)
+
   /** Exact top-`k` cosine neighbors of each query vector (brute force — the
     * correctness baseline an ANN variant is judged against).
     * Ties break on neighbor id; self-matches are excluded.
@@ -51,13 +61,15 @@ object VectorOps {
   def topK(
       data: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec")))
-    val d = data.select(col(idCol).as("neighbor_id"), col(vecCol).as("dvec"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+      norm2(col(vecCol)).as("qnn")))
+    val d = data.select(col(idCol).as("neighbor_id"), col(vecCol).as("dvec"),
+      norm2(col(vecCol)).as("dnn"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     d.join(q, col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("qvec"), col("dvec")).as("cos"))
+        cosineWithNorms(col("qvec"), col("dvec"), col("qnn"), col("dnn")).as("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
@@ -105,17 +117,18 @@ object VectorOps {
     require(maxHamming <= bands - 1,
       s"recall-1 guarantee needs maxHamming <= bands-1 = ${bands - 1}")
     val sigs = data.select(col(idCol).as("id_"), col(vecCol).as("v_"),
+      norm2(col(vecCol)).as("nn_"),
       srpSignature(col(vecCol), bits, dim).as("sig"))
-    val banded = sigs.select(col("id_"), col("sig"), col("v_"),
+    val banded = sigs.select(col("id_"), col("sig"), col("v_"), col("nn_"),
       posexplode(array((0 until bands).map(b => SimHash.bandKey(col("sig"), b, bandBits)): _*))
         .as(Seq("band", "bkey")))
-    banded.toDF("vec_i", "sig_i", "v_i", "band", "bkey")
-      .join(banded.toDF("vec_j", "sig_j", "v_j", "band", "bkey"), Seq("band", "bkey"))
+    banded.toDF("vec_i", "sig_i", "v_i", "nn_i", "band", "bkey")
+      .join(banded.toDF("vec_j", "sig_j", "v_j", "nn_j", "band", "bkey"), Seq("band", "bkey"))
       .filter(col("vec_i") < col("vec_j"))
       .withColumn("hamming", bit_count(col("sig_i").bitwiseXOR(col("sig_j"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select(col("vec_i"), col("vec_j"), col("hamming"),
-        cosine(col("v_i"), col("v_j")).as("cos"))
+        cosineWithNorms(col("v_i"), col("v_j"), col("nn_i"), col("nn_j")).as("cos"))
       .distinct() // a pair colliding in k bands appears k times
   }
 
@@ -132,11 +145,14 @@ object VectorOps {
   /** Nearest-centroid assignment (rank-1 by cosine, ties on cluster id). */
   def ivfAssign(data: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String): IvfIndex = {
-    val c = broadcast(centroids.select(col(idCol).as("cluster_id"), col(vecCol).as("cvec")))
+    val c = broadcast(centroids.select(col(idCol).as("cluster_id"), col(vecCol).as("cvec"),
+      norm2(col(vecCol)).as("cnn")))
     val w = Window.partitionBy(col("id")).orderBy(col("ccos").desc, col("cluster_id"))
-    val asg = data.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val asg = data.select(col(idCol).as("id"), col(vecCol).as("vec"),
+        norm2(col(vecCol)).as("vnn"))
       .crossJoin(c)
-      .select(col("id"), col("cluster_id"), cosine(col("vec"), col("cvec")).as("ccos"))
+      .select(col("id"), col("cluster_id"),
+        cosineWithNorms(col("vec"), col("cvec"), col("vnn"), col("cnn")).as("ccos"))
       .withColumn("crank", row_number().over(w))
       .filter(col("crank") === 1)
       .select(col("id"), col("cluster_id"))
@@ -149,16 +165,19 @@ object VectorOps {
   def ivfSearch(
       index: IvfIndex, data: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, nProbe: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+      norm2(col(vecCol)).as("qnn"))
     val wp = Window.partitionBy(col("query_id")).orderBy(col("pcos").desc, col("cluster_id"))
-    val probes = broadcast(q).crossJoin(broadcast(index.centroids))
+    val probes = broadcast(q).crossJoin(broadcast(
+        index.centroids.withColumn("cnn", norm2(col("cvec")))))
       .select(col("query_id"), col("cluster_id"),
-        cosine(col("qvec"), col("cvec")).as("pcos"))
+        cosineWithNorms(col("qvec"), col("cvec"), col("qnn"), col("cnn")).as("pcos"))
       .withColumn("prank", row_number().over(wp))
       .filter(col("prank") <= nProbe)
       .select(col("query_id"), col("cluster_id"))
 
-    val members = data.select(col(idCol).as("neighbor_id"), col(vecCol).as("dvec"))
+    val members = data.select(col(idCol).as("neighbor_id"), col(vecCol).as("dvec"),
+        norm2(col(vecCol)).as("dnn"))
       .join(index.assignments.withColumnRenamed("id", "neighbor_id"), "neighbor_id")
 
     val wr = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
@@ -167,7 +186,7 @@ object VectorOps {
       .join(broadcast(q), Seq("query_id"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("qvec"), col("dvec")).as("cos"))
+        cosineWithNorms(col("qvec"), col("dvec"), col("qnn"), col("dnn")).as("cos"))
       .withColumn("rank", row_number().over(wr))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))

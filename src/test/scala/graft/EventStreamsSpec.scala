@@ -62,6 +62,41 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("file-source readStream over the events fixture matches the batch aggregation") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // The streaming twin consumes the SAME parquet fixture through
+    // readStream (schema pinned — streaming sources don't infer), with an
+    // effectively-infinite watermark so complete mode sees every row.
+    val dir = s"$sf0001"
+    // FileStreamSource requires a DIRECTORY — stage the fixture file in one.
+    val staged = java.nio.file.Files.createTempDirectory("graft_stream_events")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      staged.resolve("events.parquet"))
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(schema).parquet(staged.toString)
+      .withColumn("tsm", timestamp_micros(expr("ts div 1000")))
+      .select($"tsm", $"event_type", $"user_id", $"value")
+    val q = EventStreams.hourlyEventWindows(stream, watermark = "3650 days")
+      .drop("n_users_approx") // HLL vs exact distinct is the one documented divergence
+      .writeStream.format("memory").queryName("ew_file").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("ew_file")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      val batch = spark.read.parquet(s"$dir/events.parquet")
+        .withColumn("tsm", timestamp_micros(expr("ts div 1000")))
+        .groupBy(window($"tsm", "1 hour").as("w"), $"event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum($"value".cast("decimal(18,4)")).cast("double").as("total_value"))
+        .select(unix_timestamp($"w.start"), $"event_type", $"n_events", $"total_value")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(streamed == batch)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("stateful sessionization: gap closes a session, new one opens") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
