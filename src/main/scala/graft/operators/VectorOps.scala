@@ -159,6 +159,46 @@ object VectorOps {
     IvfIndex(asg, centroids.select(col(idCol).as("cluster_id"), col(vecCol).as("cvec")))
   }
 
+  /** One Lloyd iteration: assign every vector to its nearest centroid (by
+    * cosine, as [[ivfAssign]] does), then recompute each centroid as the
+    * per-dimension arithmetic mean of its members. Fully distributed: the
+    * mean is a posexplode → (cluster, dim) hash aggregate (combiner-reduced,
+    * shuffle carries one partial per (cluster, dim, partition)), re-packed
+    * into an array ordered by dimension. Clusters that lose all members keep
+    * their previous centroid (standard empty-cluster handling).
+    *
+    * Output: (cluster_id, cvec ARRAY<DOUBLE>).
+    */
+  def kmeansStep(data: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String): DataFrame = {
+    val idx = ivfAssign(data, centroids, idCol, vecCol)
+    val means = data.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .join(idx.assignments, "id")
+      .select(col("cluster_id"), posexplode(asDouble(col("vec"))).as(Seq("d", "x")))
+      .groupBy(col("cluster_id"), col("d"))
+      .agg(avg(col("x")).as("m"))
+      .groupBy(col("cluster_id"))
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("m")))),
+        s => s.getField("m")).as("cvec"))
+    idx.centroids.select(col("cluster_id"), asDouble(col("cvec")).as("prev"))
+      .join(means, Seq("cluster_id"), "left_outer")
+      .select(col("cluster_id"), coalesce(col("cvec"), col("prev")).as("cvec"))
+  }
+
+  /** `iters` Lloyd iterations from the caller's deterministic seed
+    * centroids — the honest replacement for treating seed rows as final
+    * centroids when building an [[IvfIndex]] at scale.
+    */
+  def kmeans(data: DataFrame, seedCentroids: DataFrame,
+      idCol: String, vecCol: String, iters: Int): DataFrame = {
+    var c = seedCentroids.select(col(idCol).as("cluster_id"), col(vecCol).as("cvec"))
+    (0 until iters).foreach { _ =>
+      c = kmeansStep(data, c.select(col("cluster_id").as(idCol), col("cvec").as(vecCol)),
+        idCol, vecCol).select(col("cluster_id"), col("cvec"))
+    }
+    c
+  }
+
   /** Probe-and-rank: top-`k` neighbors of each query among the members of
     * its `nProbe` nearest clusters. Output (query_id, rank, neighbor_id, cos).
     */

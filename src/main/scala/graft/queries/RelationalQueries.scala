@@ -240,6 +240,34 @@ object RelationalQueries extends QueryDomain {
         .orderBy($"o_orderstatus", $"o_orderpriority")
     },
 
+    "q_percentiles" -> { (s, dir) =>
+      import s.implicits._
+      // Exact (not approx_) percentiles: Spark `percentile` and DuckDB
+      // `quantile_cont` share the (1−d)·lower + d·upper interpolation, and
+      // the inputs are decimal-exact doubles, so values hash-match.
+      t(s, dir, "orders")
+        .groupBy($"o_orderstatus")
+        .agg(
+          percentile($"o_totalprice".cast("decimal(18,4)").cast("double"), lit(0.5)).as("p50"),
+          percentile($"o_totalprice".cast("decimal(18,4)").cast("double"), lit(0.95)).as("p95"),
+          count(lit(1)).as("n"))
+        .orderBy($"o_orderstatus")
+    },
+
+    "q_split_hash" -> { (s, dir) =>
+      import s.implicits._
+      // Deterministic hash-based train/val/test assignment — THE sampling
+      // primitive of a training-data pipeline (stable across runs, engines,
+      // and partitionings, unlike rand()-based sampling).
+      val bucket = graft.operators.TextOps.polyHash($"text") % 100
+      docs(s, dir)
+        .select($"doc_id",
+          when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").as("split"))
+        .groupBy($"split")
+        .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("min_id"), max($"doc_id").as("max_id"))
+        .orderBy($"split")
+    },
+
     "q_rollup" -> { (s, dir) =>
       import s.implicits._
       // Hierarchical aggregate with subtotal + grand-total rows; grouping()
@@ -455,6 +483,27 @@ object RelationalQueries extends QueryDomain {
     "q_distinct" ->
       """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
         |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+
+    "q_percentiles" ->
+      """SELECT o_orderstatus,
+        |  quantile_cont(CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS DOUBLE), 0.5) AS p50,
+        |  quantile_cont(CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS DOUBLE), 0.95) AS p95,
+        |  COUNT(*) AS n
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
+    "q_split_hash" ->
+      """WITH h AS (SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(range(1, length(text)+1), i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+        |    (acc, c) -> (acc * 31 + c) % 1000000007) % 100 AS bucket
+        |  FROM documents)
+        |SELECT CASE WHEN bucket < 80 THEN 'train'
+        |            WHEN bucket < 90 THEN 'val'
+        |            ELSE 'test' END AS split,
+        |  COUNT(*) AS n_docs, min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM h GROUP BY 1 ORDER BY split""".stripMargin,
 
     "q_rollup" ->
       """SELECT o_orderstatus, o_orderpriority,

@@ -52,6 +52,34 @@ class VectorOpsSpec extends AnyFunSuite with SparkSpec {
     assert(asg(3L) === 1L) // (-1,0,0): cos -1 to +x, 0 to +y — nearer +y
   }
 
+  test("kmeans: one step moves seed centroids to exact cluster means; assignments stabilize") {
+    // Two tight clusters around +x and +y; seeds are off-center members.
+    val pts = Seq(
+      (0L, Seq(10.0f, 0.5f, 0.0f)), (1L, Seq(9.0f, -0.5f, 0.0f)), (2L, Seq(11.0f, 0.0f, 0.0f)),
+      (3L, Seq(0.5f, 10.0f, 0.0f)), (4L, Seq(-0.5f, 9.0f, 0.0f)), (5L, Seq(0.0f, 11.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val seeds = pts.filter($"vec_id".isin(0L, 3L))
+    val c1 = VectorOps.kmeans(pts, seeds, "vec_id", "embedding", iters = 1)
+      .as[(Long, Seq[Double])].collect().toMap
+    // cluster 0 = mean of points 0,1,2; cluster 3 = mean of points 3,4,5
+    assert(c1(0L).zip(Seq(10.0, 0.0, 0.0)).forall { case (a, b) => math.abs(a - b) < 1e-9 })
+    assert(c1(3L).zip(Seq(0.0, 10.0, 0.0)).forall { case (a, b) => math.abs(a - b) < 1e-9 })
+    // a second iteration is a fixed point (assignments unchanged)
+    val c2 = VectorOps.kmeans(pts, seeds, "vec_id", "embedding", iters = 2)
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(c1.keySet == c2.keySet &&
+      c1.forall { case (k, v) => v.zip(c2(k)).forall { case (a, b) => math.abs(a - b) < 1e-9 } })
+  }
+
+  test("kmeans: a cluster that captures nothing keeps its previous centroid") {
+    val pts = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(1.0f, 0.1f))).toDF("vec_id", "embedding")
+    // second seed is anti-aligned: nothing assigns to it
+    val seeds = Seq((100L, Seq(1.0f, 0.0f)), (200L, Seq(-1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val c = VectorOps.kmeans(pts, seeds, "vec_id", "embedding", iters = 1)
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(c(200L) == Seq(-1.0, 0.0), "empty cluster must keep its seed centroid")
+  }
+
   test("srpNearDupPairs ≡ brute-force hamming scan on fixture embeddings (pigeonhole)") {
     import org.apache.spark.sql.functions._
     val e = spark.read.parquet(s"$sf0001/embeddings.parquet").limit(200)
