@@ -50,6 +50,29 @@ object MultimodalOps {
     media.mapPartitions(_.map(r => decodeStub(r.payload).copy(doc_id = r.doc_id)))
   }
 
+  /** One sampled frame of a payload. */
+  case class MediaFrame(doc_id: Long, frame_idx: Int, n_bytes: Int, frame_hash: Long)
+
+  /** Frame sampling — the video/audio analogue of token sampling: cut the
+    * payload into `frameSize`-byte frames and keep every `stride`-th one
+    * (a real decoder would emit decoded frames; the cutting/striding/batch
+    * contract is identical). Partition-parallel flatMap; output volume is
+    * payload/(frameSize·stride), never a driver collect.
+    */
+  def sampleFrames(media: Dataset[MediaRecord], frameSize: Int, stride: Int): Dataset[MediaFrame] = {
+    require(frameSize > 0 && stride > 0)
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      r.payload.grouped(frameSize).zipWithIndex.collect {
+        case (frame, idx) if idx % stride == 0 =>
+          var h = 0L
+          var i = 0
+          while (i < frame.length) { h = (h * 31L + (frame(i) & 0xff)) % TextOps.Prime; i += 1 }
+          MediaFrame(r.doc_id, idx, frame.length, h)
+      }
+    })
+  }
+
   /** documents → MediaRecord dataset: UTF-8 payload + metadata columns.
     * (Real pipelines read the bytes from object storage; the fixture has no
     * binary table, so the payload is derived — the column shapes are the

@@ -236,6 +236,16 @@ object PipelineQueries extends QueryDomain {
       val media = MultimodalOps.documentsAsMedia(s, docs(s, dir))
       MultimodalOps.extractFeatures(media).toDF()
         .orderBy($"doc_id")
+    },
+
+    "q_frame_sample" -> { (s, dir) =>
+      import s.implicits._
+      // Every 4th 64-byte frame of each payload with its rolling hash —
+      // the frame-sampling stage of a video/audio pipeline over the same
+      // binary-column plumbing as q_multimodal_features.
+      val media = MultimodalOps.documentsAsMedia(s, docs(s, dir))
+      MultimodalOps.sampleFrames(media, frameSize = 64, stride = 4).toDF()
+        .orderBy($"doc_id", $"frame_idx")
     }
   )
 
@@ -483,6 +493,20 @@ object PipelineQueries extends QueryDomain {
          |  CAST(ascii(substr(text, 1, 1)) AS INT) AS first_byte,
          |  ${duckHash("text")} AS byte_hash,
          |  CAST(length(text) // 64 + 1 AS INT) AS n_frames
-         |FROM documents ORDER BY doc_id""".stripMargin
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_frame_sample" -> {
+      // NB: the outer index must NOT be named `i` — duckHash's lambda
+      // parameter `i` would shadow it inside the frame expression.
+      val frame = "substr(text, CAST(fi*64+1 AS INT), 64)"
+      s"""WITH f AS (SELECT doc_id, text,
+         |  unnest(range(0, CAST((length(text)+63)//64 AS BIGINT))) AS fi
+         |  FROM documents)
+         |SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+         |  CAST(length($frame) AS INT) AS n_bytes,
+         |  ${duckHash(frame)} AS frame_hash
+         |FROM f WHERE fi % 4 = 0
+         |ORDER BY doc_id, frame_idx""".stripMargin
+    }
   )
 }
