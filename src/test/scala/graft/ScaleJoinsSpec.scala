@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.ScaleJoins
+
+class ScaleJoinsSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  test("bucketed join of co-bucketed tables plans without a shuffle") {
+    val orders = spark.read.parquet(s"$sf0001/orders.parquet")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    val lineitem = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select($"l_orderkey".as("o_orderkey"), $"l_quantity")
+    ScaleJoins.writeBucketed(orders, "b_orders", Seq("o_orderkey"), 4)
+    ScaleJoins.writeBucketed(lineitem, "b_lineitem", Seq("o_orderkey"), 4)
+    // fixture tables are broadcast-sized, which would bypass the bucketed
+    // scan entirely — force the shuffle-join path the technique targets
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = ScaleJoins.bucketedJoin(spark, "b_orders", "b_lineitem", Seq("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"co-bucketed join must not shuffle:\n$plan")
+      // and it still computes the right thing
+      val expected = orders.join(lineitem, "o_orderkey").count()
+      assert(joined.count() == expected)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
+
+  test("salted join equals the plain join on a skewed key distribution") {
+    // 90% of fact rows share one key — the classic straggler shape.
+    val fact = (1 to 2000).map(i => (if (i % 10 == 0) i.toLong % 7 else 42L, s"row$i"))
+      .toDF("k", "payload")
+    val dim = Seq((42L, "hot"), (0L, "a"), (1L, "b"), (2L, "c"), (3L, "d"),
+      (4L, "e"), (5L, "f"), (6L, "g")).toDF("k", "name")
+    val plain = fact.join(dim, Seq("k"))
+      .select($"k", $"payload", $"name")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val salted = ScaleJoins.saltedJoin(fact, dim, Seq("k"), saltBuckets = 8)
+      .select($"k", $"payload", $"name")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(salted == plain)
+    assert(plain.size == 2000)
+  }
+
+  test("salted join spreads a hot key over multiple salt values") {
+    val fact = (1 to 500).map(i => (42L, s"row$i")).toDF("k", "payload")
+    val salts = fact
+      .withColumn("graft_salt", pmod(hash(fact.columns.map(col).toIndexedSeq: _*), lit(8)))
+      .select(countDistinct($"graft_salt")).head().getLong(0)
+    assert(salts > 1, "content-hash salt must spread identical keys")
+  }
+}
