@@ -1,6 +1,7 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
 import graft.meta.PgCatalog
 import graft.schema.SchemaConform
 import graft.sink.{ConnectionFactory, LoadStats, PostgresUpsertSink}
@@ -54,6 +55,47 @@ object Loader {
     // reference (`/root/reference/psycopg2_database_helper.py:316-319`).
     SchemaConform.conform(
       df, colTypes.map { case (n, pg) => n -> PgTypeMapping.toSparkType(pg) }.toMap)
+  }
+
+  /** Streaming variant of the load path: the same catalog-driven
+    * conform/cast + upsert sink applied to every micro-batch of an unbounded
+    * source through `foreachBatch`. Catalog metadata is resolved ONCE on the
+    * driver at start (as the batch path does), not per micro-batch.
+    *
+    * Exactly-once note: `foreachBatch` gives at-least-once delivery on
+    * failure/replay, and the keyed `INSERT … ON CONFLICT DO UPDATE` makes a
+    * replayed micro-batch idempotent — the standard upsert-sink contract.
+    * Insert-only mode (no unique key) is at-least-once; callers needing
+    * dedup there should route a key through the table.
+    *
+    * @param onBatch per-micro-batch stats callback (default: print report)
+    */
+  def streamToPostgres(
+      stream: DataFrame,
+      cfg: LoadConfig,
+      catalog: PgCatalog,
+      factory: ConnectionFactory,
+      checkpointDir: String,
+      onBatch: (Long, LoadStats) => Unit = (id, s) => println(s"[graft] batch $id: ${s.report}"))
+      : StreamingQuery = {
+    val colTypes = catalog.columnTypes(cfg.schema, cfg.table)
+    require(colTypes.nonEmpty,
+      s"Target table ${cfg.schema}.${cfg.table} has no columns in the catalog")
+    val target = colTypes.map { case (n, pg) => n -> PgTypeMapping.toSparkType(pg) }.toMap
+    val key = catalog.uniqueKey(cfg.schema, cfg.table)
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val stats = PostgresUpsertSink.upsert(
+          SchemaConform.conform(batch.toDF(), target), cfg.targetTable, key, factory,
+          batchSize = cfg.batchSize,
+          parallelism = cfg.parallelism,
+          partitionCols = cfg.partitionCols,
+          colsNotForUpdate = cfg.colsNotForUpdate,
+          maxRejects = cfg.maxRejects)
+        onBatch(batchId, stats)
+      }
+      .start()
   }
 
   /** Run the full load; returns summed per-partition stats

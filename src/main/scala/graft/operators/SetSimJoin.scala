@@ -49,13 +49,18 @@ object SetSimJoin {
       col("sj_id") +: size(col("sj_set")).as("sj_sz") +:
         explode(col("sj_set")).as("sj_tok") +: bc: _*)
 
-    // Rare-first global order: per-block document frequency of each token.
-    val freq = ex.groupBy(col("sj_tok") +: bc: _*).agg(count(lit(1)).as("sj_df"))
+    // Rare-first global order: per-block document frequency of each token,
+    // as a whole-partition window COUNT over one shuffle of the inverted
+    // index — not a separate aggregate joined back, which would shuffle the
+    // index twice (the aggregate's exchange carries different rows than the
+    // join side's, so ReuseExchange can't deduplicate them).
+    val wDf = Window.partitionBy(bc :+ col("sj_tok"): _*)
+    val withFreq = ex.withColumn("sj_df", count(lit(1)).over(wDf))
 
     // Prefix of length |A| − ⌈t·|A|⌉ + 1 under the (df, token) order.
     val ceilTA = floor((col("sj_sz") * threshNum + (threshDen - 1)) / threshDen)
     val w = Window.partitionBy(col("sj_id")).orderBy(col("sj_df"), col("sj_tok"))
-    val prefix = ex.join(freq, blockCols :+ "sj_tok")
+    val prefix = withFreq
       .withColumn("sj_rk", row_number().over(w))
       .filter(col("sj_rk") <= col("sj_sz") - ceilTA + 1)
       .select(col("sj_id") +: col("sj_tok") +: col("sj_sz") +: col("sj_rk") +: bc: _*)

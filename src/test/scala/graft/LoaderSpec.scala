@@ -60,6 +60,32 @@ class LoaderSpec extends AnyFunSuite with SparkSpec {
     assertThrows[IllegalArgumentException](cfg.copy(targetTable = "a.b.c").schema)
   }
 
+  test("streamToPostgres: micro-batches conform and land through the sink") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val catalog = StaticCatalog(ListMap("k" -> "bigint", "v" -> "text"), Some(Seq("k")))
+    val factory = new FakeConnectionFactory("loader_stream", Set.empty)
+    val input = MemoryStream[(Long, String, Double)]
+    val batches = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt").toString
+    val q = Loader.streamToPostgres(
+      input.toDF.toDF("K", "v", "dropped_col"), // uppercase + extra column: conform must fix both
+      cfg.copy(targetTable = "public.kv", parallelism = 2),
+      catalog, factory, ckpt,
+      onBatch = (id, s) => batches.synchronized { batches += id -> s.loaded })
+    try {
+      input.addData((1L, "a", 9.9), (2L, "b", 9.9))
+      q.processAllAvailable()
+      input.addData((3L, "c", 9.9))
+      q.processAllAvailable()
+      val landed = FakeSinkState.committed("loader_stream")
+      assert(landed.size == 3 && landed.forall(_.size == 2), s"got $landed")
+      assert(landed.map(_.head.asInstanceOf[Long]).sorted == Seq(1L, 2L, 3L))
+      assert(batches.map(_._2).sum == 3)
+    } finally q.stop()
+  }
+
   test("empty catalog intersection fails loudly") {
     val alien = StaticCatalog(ListMap("zzz" -> "text"), None)
     assertThrows[IllegalArgumentException] {
