@@ -240,6 +240,22 @@ object RelationalQueries extends QueryDomain {
         .orderBy($"o_orderstatus", $"o_orderpriority")
     },
 
+    "q_sql_correlated" -> { (s, dir) =>
+      // SQL-frontend coverage: a correlated scalar subquery + correlated
+      // EXISTS, decorrelated by Catalyst into aggregates/semi-joins (the
+      // plan contains no per-row subquery execution).
+      t(s, dir, "customer").createOrReplaceTempView("customer_v")
+      t(s, dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql(
+        """SELECT c.c_custkey, c.c_acctbal,
+          |  (SELECT COUNT(*) FROM orders_v o
+          |   WHERE o.o_custkey = c.c_custkey) AS n_orders
+          |FROM customer_v c
+          |WHERE EXISTS (SELECT 1 FROM orders_v o
+          |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000.0)
+          |ORDER BY c.c_custkey""".stripMargin)
+    },
+
     "q_percentiles" -> { (s, dir) =>
       import s.implicits._
       // Exact (not approx_) percentiles: Spark `percentile` and DuckDB
@@ -483,6 +499,15 @@ object RelationalQueries extends QueryDomain {
     "q_distinct" ->
       """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
         |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+
+    "q_sql_correlated" ->
+      """SELECT c.c_custkey, c.c_acctbal,
+        |  (SELECT COUNT(*) FROM orders o
+        |   WHERE o.o_custkey = c.c_custkey) AS n_orders
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000.0)
+        |ORDER BY c.c_custkey""".stripMargin,
 
     "q_percentiles" ->
       """SELECT o_orderstatus,

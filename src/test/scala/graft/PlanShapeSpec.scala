@@ -50,6 +50,13 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(exchanges <= 3, s"unexpected shuffle count $exchanges in:\n$p")
   }
 
+  test("q_sql_correlated: subqueries decorrelate into joins, no per-row subquery") {
+    val p = plan("q_sql_correlated")
+    assert(p.contains("LeftSemi"), s"EXISTS must become a semi-join:\n$p")
+    assert(p.contains("LeftOuter"), s"scalar COUNT subquery must become an outer join + aggregate:\n$p")
+    assert(!p.contains("ScalarSubquery"), s"subquery must not execute per-row:\n$p")
+  }
+
   test("whole-stage codegen covers the scalar pipelines") {
     // AQE prints codegen stages only in the FINAL plan — execute first.
     val df = SparkEntry.queries("q_scalar_string")(spark, sf0001)
