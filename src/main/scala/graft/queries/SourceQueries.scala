@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
-import graft.sources.CsvSource
+import graft.sources.{CsvSource, JsonSource}
 
 /** Source-operator coverage: drives the CSV scan (reference O1,
   * `/root/reference/get_s3_data_as_df.py:33-43`) end-to-end through the
@@ -22,14 +22,27 @@ object SourceQueries extends QueryDomain {
     scala.collection.concurrent.TrieMap.empty[(String, String), String]
 
   private def csvRoundTrip(s: SparkSession, dir: String, table: String): DataFrame = {
-    val path = materialized.getOrElseUpdate((dir, table), {
-      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
-      val p = s"${System.getProperty("java.io.tmpdir")}/graft_csv_" +
-        s"${ProcessHandle.current().pid()}_${tag}_$table"
+    val path = materialized.getOrElseUpdate((dir, s"csv_$table"), {
+      val p = stagePath(dir, "csv", table)
       t(s, dir, table).write.mode("overwrite").option("header", "true").csv(p)
       p
     })
     CsvSource.load(s, path, Map("header" -> "true"))
+  }
+
+  private def jsonRoundTrip(s: SparkSession, dir: String, table: String): DataFrame = {
+    val path = materialized.getOrElseUpdate((dir, s"json_$table"), {
+      val p = stagePath(dir, "json", table)
+      t(s, dir, table).write.mode("overwrite").json(p)
+      p
+    })
+    JsonSource.load(s, path, Map.empty)
+  }
+
+  private def stagePath(dir: String, fmt: String, table: String): String = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    s"${System.getProperty("java.io.tmpdir")}/graft_${fmt}_" +
+      s"${ProcessHandle.current().pid()}_${tag}_$table"
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -44,6 +57,18 @@ object SourceQueries extends QueryDomain {
       n.join(t(s, dir, "region"), $"n_regionkey" === $"r_regionkey")
         .select($"n_nationkey", $"n_name", $"r_name")
         .orderBy($"n_nationkey")
+    },
+
+    "q_json_source" -> { (s, dir) =>
+      import s.implicits._
+      // Supplier through JSON-lines (self-describing types survive without
+      // casts, unlike CSV) aggregated per nation — proves the JSON scan
+      // composes with the relational surface.
+      jsonRoundTrip(s, dir, "supplier")
+        .groupBy($"s_nationkey")
+        .agg(count(lit(1)).as("n_suppliers"), dsum($"s_acctbal").as("total_bal"))
+        .select($"s_nationkey".cast("int").as("s_nationkey"), $"n_suppliers", $"total_bal")
+        .orderBy($"s_nationkey")
     }
   )
 
@@ -51,6 +76,13 @@ object SourceQueries extends QueryDomain {
     "q_csv_source" ->
       """SELECT n_nationkey, n_name, r_name
         |FROM nation JOIN region ON n_regionkey = r_regionkey
-        |ORDER BY n_nationkey""".stripMargin
+        |ORDER BY n_nationkey""".stripMargin,
+
+    "q_json_source" ->
+      """SELECT s_nationkey, COUNT(*) AS n_suppliers,
+        |  CAST(SUM(CAST(s_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+        |FROM supplier
+        |GROUP BY s_nationkey
+        |ORDER BY s_nationkey""".stripMargin
   )
 }
