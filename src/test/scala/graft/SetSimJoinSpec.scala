@@ -43,6 +43,31 @@ class SetSimJoinSpec extends AnyFunSuite with SparkSpec {
     assert(exact.forall { case (_, _, common, union) => common == union })
   }
 
+  test("property: ≡ brute force on random small-vocab sets across thresholds") {
+    val rng = new scala.util.Random(7) // deterministic
+    // 25-token vocabulary → dense mid-similarity pairs, the regime where a
+    // prefix/positional/length-filter bug would actually drop answers.
+    val rows = (0 until 120).map { id =>
+      val toks = Seq.fill(3 + rng.nextInt(12))("t" + rng.nextInt(25)).distinct
+      (id.toLong, if (id % 2 == 0) "a" else "b", toks)
+    }
+    // planted exact twins so even the t=4/5 pass has answers to lose
+    val planted = rows.take(4).map { case (id, blk, toks) => (id + 1000L, blk, toks) }
+    val df = (rows ++ planted).toDF("doc_id", "blk", "gr")
+    for ((tn, td) <- Seq((1, 2), (3, 5), (4, 5))) {
+      val viaIndex = pairsOf(SetSimJoin.jaccardJoin(df, "doc_id", "gr", Seq("blk"), tn, td))
+      val brute = pairsOf(
+        df.as("a").join(df.as("b"),
+            col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"),
+            size(array_intersect(col("a.gr"), col("b.gr"))).cast("long").as("n_common"),
+            size(array_union(col("a.gr"), col("b.gr"))).cast("long").as("n_union"))
+          .filter(col("n_union") > 0 && col("n_common") * td >= col("n_union") * tn))
+      assert(viaIndex == brute, s"divergence at threshold $tn/$td")
+      assert(brute.nonEmpty, s"degenerate fixture at threshold $tn/$td")
+    }
+  }
+
   test("degenerate threshold is rejected") {
     assertThrows[IllegalArgumentException](
       SetSimJoin.jaccardJoin(grams, "doc_id", "gr", Seq("lang"), 0, 5))
