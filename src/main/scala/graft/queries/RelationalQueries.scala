@@ -324,8 +324,9 @@ object RelationalQueries extends QueryDomain {
       // (l_orderkey, l_linenumber) is NOT unique in the fixture, so both the
       // dedup ordering and the output ordering carry l_quantity as tiebreak —
       // ties that remain are bit-identical rows, harmless to positional hash.
-      MergeOps.merge(li, src, Seq("l_orderkey", "l_linenumber"), Seq($"ord", $"l_quantity"))
-        .orderBy($"l_orderkey", $"l_linenumber", $"l_quantity")
+      orderedSmall(
+        MergeOps.merge(li, src, Seq("l_orderkey", "l_linenumber"), Seq($"ord", $"l_quantity")),
+        $"l_orderkey", $"l_linenumber", $"l_quantity")
     },
 
     "q_conform_cast" -> { (s, dir) =>
@@ -346,9 +347,10 @@ object RelationalQueries extends QueryDomain {
       // AFTER the conform/cast under test: parquet-vs-DuckDB DECIMAL value
       // representations hash differently in the driver compare even when the
       // values are identical, so both engines emit the canonical text form.
-      SchemaConform.conformOrdered(t(s, dir, "lineitem"), target)
-        .orderBy($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_extendedprice",
-          $"l_returnflag", $"l_shipdate")
+      orderedSmall(
+        SchemaConform.conformOrdered(t(s, dir, "lineitem"), target),
+        $"l_orderkey", $"l_linenumber", $"l_quantity", $"l_extendedprice",
+        $"l_returnflag", $"l_shipdate")
         .withColumn("l_quantity", $"l_quantity".cast("string"))
         .withColumn("l_extendedprice", $"l_extendedprice".cast("string"))
     }
