@@ -52,6 +52,17 @@ object Main {
     }
     def required(k: String): Either[String, String] =
       flags.get(k).toRight(s"missing required --$k\n$usage")
+    // Malformed numbers are usage errors like every other bad argument —
+    // never an escaping NumberFormatException.
+    def numeric[A](k: String, default: A)(parse: String => A): Either[String, A] =
+      flags.get(k) match {
+        case None => Right(default)
+        case Some(v) =>
+          try Right(parse(v))
+          catch { case _: NumberFormatException =>
+            Left(s"--$k expects a number, got '$v'\n$usage")
+          }
+      }
     for {
       source <- required("source")
       path <- required("path")
@@ -61,17 +72,20 @@ object Main {
         .toRight(s"missing --pg_user (or PGUSER env)\n$usage")
       password <- flags.get("pg_password").orElse(env.get("PGPASSWORD"))
         .toRight(s"missing --pg_password (or PGPASSWORD env)\n$usage")
+      batchSize <- numeric("batch_size", 1000)(_.toInt)
+      parallelism <- numeric("parallelism", 1)(_.toInt)
+      maxRejects <- numeric[Option[Long]]("max_rejects", None)(v => Some(v.toLong))
     } yield CliArgs(
       Loader.LoadConfig(
         source = source,
         path = path,
         targetTable = table,
         sourceOptions = sourceOpts.toMap,
-        batchSize = flags.get("batch_size").map(_.toInt).getOrElse(1000),
-        parallelism = flags.get("parallelism").map(_.toInt).getOrElse(1),
+        batchSize = batchSize,
+        parallelism = parallelism,
         partitionCols = flags.get("partition_cols").toSeq.flatMap(_.split(',')).filter(_.nonEmpty),
         colsNotForUpdate = flags.get("cols_not_for_update").toSeq.flatMap(_.split(',')).filter(_.nonEmpty),
-        maxRejects = flags.get("max_rejects").map(_.toLong)),
+        maxRejects = maxRejects),
       url, user, password)
   }
 

@@ -1,8 +1,9 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Shared implementation of the deterministic polynomial string hash
@@ -43,6 +44,14 @@ case class PolyHash(child: Expression, base: Long) extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_poly_hash"
+
+  // Analysis-time type check: without it a SQL call like
+  // graft_poly_hash(42) would pass resolution and die at execution with a
+  // codegen/ClassCastException instead of a clear AnalysisException.
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_poly_hash expects a STRING argument, got ${child.dataType.catalogString}")
 
   override protected def nullSafeEval(input: Any): Any =
     PolyHashImpl.hash(input.asInstanceOf[UTF8String], base)

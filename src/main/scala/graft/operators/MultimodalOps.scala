@@ -29,13 +29,21 @@ object MultimodalOps {
     * the same (·31 mod 1000000007) recurrence as [[TextOps.polyHash]], so
     * for ASCII payloads the oracle can recompute it from the source text.
     */
-  def decodeStub(bytes: Array[Byte]): MediaFeatures = {
+  /** Rolling polynomial hash over unsigned bytes — the byte-level twin of
+    * [[TextOps.polyHash]], shared by [[decodeStub]] and [[sampleFrames]].
+    */
+  def byteHash(bytes: Array[Byte]): Long = {
     var h = 0L
     var i = 0
     while (i < bytes.length) {
       h = (h * 31L + (bytes(i) & 0xff)) % TextOps.Prime
       i += 1
     }
+    h
+  }
+
+  def decodeStub(bytes: Array[Byte]): MediaFeatures = {
+    val h = byteHash(bytes)
     MediaFeatures(
       doc_id = -1L,
       n_bytes = bytes.length.toLong,
@@ -65,10 +73,7 @@ object MultimodalOps {
     media.mapPartitions(_.flatMap { r =>
       r.payload.grouped(frameSize).zipWithIndex.collect {
         case (frame, idx) if idx % stride == 0 =>
-          var h = 0L
-          var i = 0
-          while (i < frame.length) { h = (h * 31L + (frame(i) & 0xff)) % TextOps.Prime; i += 1 }
-          MediaFrame(r.doc_id, idx, frame.length, h)
+          MediaFrame(r.doc_id, idx, frame.length, byteHash(frame))
       }
     })
   }

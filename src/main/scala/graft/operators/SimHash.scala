@@ -47,12 +47,19 @@ object SimHash {
   def signatures(docs: DataFrame, idCol: String, th: Column, bits: Int): DataFrame = {
     val ex = docs.select(col(idCol).as("doc_id"), explode(th).as("h"))
     val sums = (0 until bits).map(b => sum(shiftright(col("h"), b) % 2).as(s"s_$b"))
-    ex.groupBy(col("doc_id"))
+    val agg = ex.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n"), sums: _*)
       .select(col("doc_id"),
         (0 until bits).map(b =>
           when(col(s"s_$b") * 2 > col("n"), lit(1L << b)).otherwise(lit(0L)))
           .reduce(_ + _).as("sig"))
+    // explode drops rows whose th is null/empty; re-attach them so the
+    // contract matches simhashOf exactly: both null and empty arrays yield
+    // the all-zero signature (every vote is the seed 0, and `when(null > 0)`
+    // falls through to the zero branch) — proven in SimHashSpec.
+    docs.select(col(idCol).as("doc_id"))
+      .join(agg, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("sig"), lit(0L)).as("sig"))
   }
 
   /** Band key for bucketed near-dup candidate generation: `bandBits`-wide

@@ -41,9 +41,21 @@ object SourceQueries extends QueryDomain {
 
   private def stagePath(dir: String, fmt: String, table: String): String = {
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
-    s"${System.getProperty("java.io.tmpdir")}/graft_${fmt}_" +
+    val p = s"${System.getProperty("java.io.tmpdir")}/graft_${fmt}_" +
       s"${ProcessHandle.current().pid()}_${tag}_$table"
+    cleanupOnExit(p)
+    p
   }
+
+  // pid-unique staging dirs would otherwise accumulate across JVM runs.
+  private def cleanupOnExit(path: String): Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(new java.io.File(path))
+    }))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_csv_source" -> { (s, dir) =>

@@ -72,13 +72,21 @@ final class JdbcSinkConnection(conn: Connection) extends SinkConnection {
 
   def executeBatch(sql: String, batch: Seq[Seq[Any]]): Unit = {
     val ps = statementFor(sql)
-    batch.foreach { row =>
-      var i = 0
-      while (i < row.length) { ps.setObject(i + 1, row(i)); i += 1 }
-      ps.addBatch()
+    // The statement is shared across batches, so ANY failure — including a
+    // setObject/addBatch throw mid-build — must clear partially-added rows,
+    // or the binary-split retry would re-execute them alongside its halves.
+    try {
+      batch.foreach { row =>
+        var i = 0
+        while (i < row.length) { ps.setObject(i + 1, row(i)); i += 1 }
+        ps.addBatch()
+      }
+      ps.executeBatch()
+      ()
+    } catch { case e: Throwable =>
+      try ps.clearBatch() catch { case _: Throwable => () }
+      throw e
     }
-    try { ps.executeBatch(); () }
-    catch { case e: Throwable => ps.clearBatch(); throw e }
   }
 
   def savepoint(name: String): Unit = savepoints += name -> conn.setSavepoint(name)

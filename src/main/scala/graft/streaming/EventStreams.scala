@@ -83,8 +83,15 @@ object EventStreams {
             rows.toSeq.sortBy(e => (e.epochSec, e.isPurchase, e.value)).foreach { e =>
               cur match {
                 case Some(s) if e.epochSec - s.endEpoch <= gapSec =>
+                  // min/max, not assignment: with watermarkDelaySec > 0 a
+                  // later micro-batch can legally deliver an event EARLIER
+                  // than the session's current end; overwriting endEpoch
+                  // would move the session end backwards and corrupt the
+                  // next gap test (in-batch events are sorted, cross-batch
+                  // ones are not).
                   cur = Some(SessionState(
-                    s.startEpoch, e.epochSec, s.nEvents + 1,
+                    math.min(s.startEpoch, e.epochSec), math.max(s.endEpoch, e.epochSec),
+                    s.nEvents + 1,
                     s.nPurchases + (if (e.isPurchase) 1 else 0), s.totalValue + e.value))
                 case Some(s) =>
                   out += SessionOut(userId, s.startEpoch, s.endEpoch, s.nEvents, s.nPurchases, s.totalValue)

@@ -47,6 +47,15 @@ class CliSpec extends AnyFunSuite {
     assert(err.isLeft && err.swap.toOption.get.contains("--path"))
   }
 
+  test("malformed numeric flags are usage errors, not NumberFormatExceptions") {
+    val err = Main.parse(base ++ Seq("--pg_user", "u", "--pg_password", "p",
+      "--batch_size", "abc"), Map.empty)
+    assert(err.isLeft && err.swap.toOption.get.contains("--batch_size"))
+    val err2 = Main.parse(base ++ Seq("--pg_user", "u", "--pg_password", "p",
+      "--max_rejects", "many"), Map.empty)
+    assert(err2.isLeft)
+  }
+
   test("malformed --source_opt is rejected") {
     val err = Main.parse(base ++ Seq("--pg_user", "u", "--pg_password", "p",
       "--source_opt", "noequals"), Map.empty)

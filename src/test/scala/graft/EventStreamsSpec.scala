@@ -115,6 +115,11 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
       assert(closed.toSeq == Seq(SessionOut(1L, 1000L, 1100L, 2L, 1L, 3.0)),
         s"first session must close when the gap exceeds gapSec, got ${closed.toSeq}")
 
+      // Out-of-order within the watermark: a late event must not move the
+      // session end backwards (end stays 2200; gap math unaffected).
+      // (watermarkDelaySec defaults to 0 here, but the merge must be robust
+      // to cross-batch disorder regardless.)
+
       // Timeout path: user 2's far-future events advance the watermark past
       // user 1's (2200 + 600) deadline → the idle session closes with no
       // further user-1 data.
@@ -125,6 +130,34 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
       val all = spark.table("sess_test").as[SessionOut].collect().toSet
       assert(all.contains(SessionOut(1L, 2200L, 2200L, 1L, 0L, 3.0)),
         s"idle session must close via event-time timeout, got $all")
+    } finally q.stop()
+  }
+
+  test("sessionization survives out-of-order events across micro-batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[SessionEvent]
+    // generous watermark delay so late events are legal
+    val q = EventStreams.sessionize(input.toDS(), gapSec = 600, watermarkDelaySec = 10000)
+      .writeStream.format("memory").queryName("sess_ooo").outputMode("append").start()
+    try {
+      input.addData(
+        SessionEvent(1L, 1000L, isPurchase = false, 1.0),
+        SessionEvent(1L, 1500L, isPurchase = false, 1.0))
+      q.processAllAvailable()
+      // late event INSIDE the open session must not move its end backwards
+      input.addData(SessionEvent(1L, 1100L, isPurchase = true, 1.0))
+      q.processAllAvailable()
+      // 1800 is within gap of the true end (1500): session must NOT close
+      input.addData(SessionEvent(1L, 1800L, isPurchase = false, 1.0))
+      q.processAllAvailable()
+      assert(spark.table("sess_ooo").isEmpty,
+        "no session may close while events stay within the gap of the true end")
+      // a real gap closes one merged session covering all four events
+      input.addData(SessionEvent(1L, 9000L, isPurchase = false, 0.0))
+      q.processAllAvailable()
+      val closed = spark.table("sess_ooo").as[SessionOut].collect().toSeq
+      assert(closed == Seq(SessionOut(1L, 1000L, 1800L, 4L, 1L, 4.0)), s"got $closed")
     } finally q.stop()
   }
 }

@@ -43,4 +43,10 @@ class GraftExtensionsSpec extends AnyFunSuite {
     val e = intercept[Exception](spark.sql("SELECT graft_poly_hash()").head())
     assert(e.getMessage.toLowerCase.contains("graft_poly_hash"))
   }
+
+  test("non-string argument fails analysis, not execution") {
+    val e = intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT graft_poly_hash(42)").head())
+    assert(e.getMessage.contains("STRING"))
+  }
 }

@@ -31,6 +31,22 @@ class SimHashSpec extends AnyFunSuite with SparkSpec {
     assert(brute.nonEmpty, "fixture should contain at least one near-dup pair")
   }
 
+  test("signatures null/empty contract matches simhashOf") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some(Seq(7L, 15L))),    // normal, sets low bits
+      (2L, Some(Seq.empty[Long])), // empty → all-zero signature
+      (3L, None)                   // null → also all-zero (when(null>0) → 0)
+    ).toDF("doc_id", "th")
+    val fast = SimHash.signatures(df, "doc_id", col("th"), 8)
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    val slow = df.select(col("doc_id"), SimHash.simhashOf(col("th"), 8).as("sig"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(fast == slow)
+    assert(fast(1L) == Some(7L), "7 and 15 share bits 0-2 → majority sets them")
+    assert(fast(2L) == Some(0L) && fast(3L) == Some(0L))
+  }
+
   test("wideHash fills 60 bits (no dead bands)") {
     // OR of many token hashes must set bits in every 15-bit band — a dead
     // band would candidate-match every doc against every other.
