@@ -20,6 +20,35 @@ import graft.operators._
   * or single arithmetic expressions over exact integer counts; epoch seconds
   * use flooring on both sides (DuckDB `CAST(epoch AS BIGINT)` ROUNDS).
   */
+/** Staging for streaming fixtures: file stream sources need DIRECTORIES,
+  * and the fixtures are single parquet files — copy once per (dir, JVM)
+  * under a pid-unique path, cleaned up at exit.
+  */
+private[queries] object StreamFixtures {
+  private val staged = scala.collection.concurrent.TrieMap.empty[String, String]
+  private val sinkIds = new java.util.concurrent.atomic.AtomicLong()
+
+  def nextSinkId(): Long = sinkIds.incrementAndGet()
+
+  def stagedEventsDir(dir: String): String = staged.getOrElseUpdate(dir, {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val p = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_stream_${ProcessHandle.current().pid()}_$tag")
+    java.nio.file.Files.createDirectories(p)
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+      p.resolve("events.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      try {
+        java.nio.file.Files.deleteIfExists(p.resolve("events.parquet"))
+        java.nio.file.Files.deleteIfExists(p)
+        ()
+      } catch { case _: Throwable => () }
+    }))
+    p.toString
+  })
+}
+
 object PipelineQueries extends QueryDomain {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -187,6 +216,28 @@ object PipelineQueries extends QueryDomain {
         .select(unix_timestamp($"w.start").as("window_start"), $"event_type",
           $"n_events", $"n_users", $"total_value")
         .orderBy($"window_start", $"event_type")
+    },
+
+    "q_stream_windows" -> { (s, dir) =>
+      import s.implicits._
+      // The STREAMING path under the oracle gate: the events fixture played
+      // through readStream → watermarked tumbling windows (complete mode, so
+      // every window finalizes) must hash-match the DuckDB batch aggregation.
+      // The streaming query executes eagerly at construction (like the CSV
+      // fixture staging); the returned frame reads the memory sink.
+      // n_users is approximate (HLL) in streaming and is not part of the
+      // gated output.
+      val staged = StreamFixtures.stagedEventsDir(dir)
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val stream = s.readStream.schema(schema).parquet(staged)
+        .withColumn("tsm", timestamp_micros(expr("ts div 1000")))
+        .select($"tsm", $"event_type", $"user_id", $"value")
+      val sink = s"graft_stream_windows_${StreamFixtures.nextSinkId()}"
+      val q = graft.streaming.EventStreams.hourlyEventWindows(stream, watermark = "3650 days")
+        .drop("n_users_approx")
+        .writeStream.format("memory").queryName(sink).outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink).orderBy($"window_start", $"event_type")
     },
 
     // ---- similarity search over embeddings --------------------------------
@@ -421,6 +472,12 @@ object PipelineQueries extends QueryDomain {
       """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS window_start,
         |  event_type, count(*) AS n_events,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+    "q_stream_windows" ->
+      """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS window_start,
+        |  event_type, count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
 
