@@ -48,10 +48,14 @@ case class PolyHash(child: Expression, base: Long) extends UnaryExpression {
   // Analysis-time type check: without it a SQL call like
   // graft_poly_hash(42) would pass resolution and die at execution with a
   // codegen/ClassCastException instead of a clear AnalysisException.
+  // NullType stays accepted — graft_poly_hash(NULL) is NULL, not an error.
   override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"graft_poly_hash expects a STRING argument, got ${child.dataType.catalogString}")
+    child.dataType match {
+      case StringType | org.apache.spark.sql.types.NullType =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_poly_hash expects a STRING argument, got ${other.catalogString}")
+    }
 
   override protected def nullSafeEval(input: Any): Any =
     PolyHashImpl.hash(input.asInstanceOf[UTF8String], base)

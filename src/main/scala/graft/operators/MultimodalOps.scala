@@ -24,13 +24,10 @@ object MultimodalOps {
   case class MediaFeatures(
       doc_id: Long, n_bytes: Long, first_byte: Int, byte_hash: Long, n_frames: Int)
 
-  /** Deterministic stand-in for a real media decoder (`???`-equivalent with
-    * a checkable contract): rolling polynomial hash over unsigned bytes with
-    * the same (·31 mod 1000000007) recurrence as [[TextOps.polyHash]], so
-    * for ASCII payloads the oracle can recompute it from the source text.
-    */
   /** Rolling polynomial hash over unsigned bytes — the byte-level twin of
-    * [[TextOps.polyHash]], shared by [[decodeStub]] and [[sampleFrames]].
+    * [[TextOps.polyHash]] (same `·31 mod 1e9+7` recurrence, so for ASCII
+    * payloads the oracle recomputes it from the source text), shared by
+    * [[decodeStub]] and [[sampleFrames]].
     */
   def byteHash(bytes: Array[Byte]): Long = {
     var h = 0L
@@ -42,6 +39,10 @@ object MultimodalOps {
     h
   }
 
+  /** Deterministic stand-in for a real media decoder (`???`-equivalent with
+    * a checkable contract): derives pseudo-features from the raw payload
+    * bytes — length, header byte, rolling [[byteHash]], frame count.
+    */
   def decodeStub(bytes: Array[Byte]): MediaFeatures = {
     val h = byteHash(bytes)
     MediaFeatures(

@@ -20,35 +20,6 @@ import graft.operators._
   * or single arithmetic expressions over exact integer counts; epoch seconds
   * use flooring on both sides (DuckDB `CAST(epoch AS BIGINT)` ROUNDS).
   */
-/** Staging for streaming fixtures: file stream sources need DIRECTORIES,
-  * and the fixtures are single parquet files — copy once per (dir, JVM)
-  * under a pid-unique path, cleaned up at exit.
-  */
-private[queries] object StreamFixtures {
-  private val staged = scala.collection.concurrent.TrieMap.empty[String, String]
-  private val sinkIds = new java.util.concurrent.atomic.AtomicLong()
-
-  def nextSinkId(): Long = sinkIds.incrementAndGet()
-
-  def stagedEventsDir(dir: String): String = staged.getOrElseUpdate(dir, {
-    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val p = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-      s"graft_stream_${ProcessHandle.current().pid()}_$tag")
-    java.nio.file.Files.createDirectories(p)
-    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
-      p.resolve("events.parquet"),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      try {
-        java.nio.file.Files.deleteIfExists(p.resolve("events.parquet"))
-        java.nio.file.Files.deleteIfExists(p)
-        ()
-      } catch { case _: Throwable => () }
-    }))
-    p.toString
-  })
-}
-
 object PipelineQueries extends QueryDomain {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -227,12 +198,12 @@ object PipelineQueries extends QueryDomain {
       // fixture staging); the returned frame reads the memory sink.
       // n_users is approximate (HLL) in streaming and is not part of the
       // gated output.
-      val staged = StreamFixtures.stagedEventsDir(dir)
+      val staged = Staging.streamEventsDir(dir)
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       val stream = s.readStream.schema(schema).parquet(staged)
         .withColumn("tsm", timestamp_micros(expr("ts div 1000")))
         .select($"tsm", $"event_type", $"user_id", $"value")
-      val sink = s"graft_stream_windows_${StreamFixtures.nextSinkId()}"
+      val sink = Staging.nextStreamSink(s)
       val q = graft.streaming.EventStreams.hourlyEventWindows(stream, watermark = "3650 days")
         .drop("n_users_approx")
         .writeStream.format("memory").queryName(sink).outputMode("complete").start()

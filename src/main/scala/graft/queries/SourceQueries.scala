@@ -14,48 +14,20 @@ import graft.sources.{CsvSource, JsonSource}
   */
 object SourceQueries extends QueryDomain {
 
-  // One CSV materialization per (sf, table) per JVM, under a per-process
-  // unique path: repeated invocations (Bench warm-up + timed run) measure
-  // the scan, not the fixture write, and concurrent sessions can't race on
-  // a shared tmpdir target.
-  private val materialized =
-    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+  // One materialization per (format, sf, table) per JVM via [[Staging]]:
+  // repeated invocations (Bench warm-up + timed run) measure the scan, not
+  // the fixture write.
+  private def csvRoundTrip(s: SparkSession, dir: String, table: String): DataFrame =
+    CsvSource.load(s,
+      Staging.dir("csv", dir, table)(p =>
+        t(s, dir, table).write.mode("overwrite").option("header", "true").csv(p)),
+      Map("header" -> "true"))
 
-  private def csvRoundTrip(s: SparkSession, dir: String, table: String): DataFrame = {
-    val path = materialized.getOrElseUpdate((dir, s"csv_$table"), {
-      val p = stagePath(dir, "csv", table)
-      t(s, dir, table).write.mode("overwrite").option("header", "true").csv(p)
-      p
-    })
-    CsvSource.load(s, path, Map("header" -> "true"))
-  }
-
-  private def jsonRoundTrip(s: SparkSession, dir: String, table: String): DataFrame = {
-    val path = materialized.getOrElseUpdate((dir, s"json_$table"), {
-      val p = stagePath(dir, "json", table)
-      t(s, dir, table).write.mode("overwrite").json(p)
-      p
-    })
-    JsonSource.load(s, path, Map.empty)
-  }
-
-  private def stagePath(dir: String, fmt: String, table: String): String = {
-    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val p = s"${System.getProperty("java.io.tmpdir")}/graft_${fmt}_" +
-      s"${ProcessHandle.current().pid()}_${tag}_$table"
-    cleanupOnExit(p)
-    p
-  }
-
-  // pid-unique staging dirs would otherwise accumulate across JVM runs.
-  private def cleanupOnExit(path: String): Unit =
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(); ()
-      }
-      rm(new java.io.File(path))
-    }))
+  private def jsonRoundTrip(s: SparkSession, dir: String, table: String): DataFrame =
+    JsonSource.load(s,
+      Staging.dir("json", dir, table)(p =>
+        t(s, dir, table).write.mode("overwrite").json(p)),
+      Map.empty)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_csv_source" -> { (s, dir) =>

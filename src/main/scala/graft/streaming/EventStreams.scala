@@ -82,6 +82,14 @@ object EventStreams {
             var cur = state.getOption
             rows.toSeq.sortBy(e => (e.epochSec, e.isPurchase, e.value)).foreach { e =>
               cur match {
+                case Some(s) if e.epochSec < s.startEpoch - gapSec =>
+                  // A straggler from BEFORE the open session's period (late
+                  // by more than the gap): it cannot belong to this session,
+                  // and its own period has already passed — emit it as a
+                  // closed singleton session rather than absorbing it (which
+                  // would drag the session start across a real gap).
+                  out += SessionOut(userId, e.epochSec, e.epochSec, 1,
+                    if (e.isPurchase) 1 else 0, e.value)
                 case Some(s) if e.epochSec - s.endEpoch <= gapSec =>
                   // min/max, not assignment: with watermarkDelaySec > 0 a
                   // later micro-batch can legally deliver an event EARLIER

@@ -133,6 +133,32 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("a straggler from before the session's period closes as its own singleton") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[SessionEvent]
+    val q = EventStreams.sessionize(input.toDS(), gapSec = 600, watermarkDelaySec = 10000)
+      .writeStream.format("memory").queryName("sess_straggler").outputMode("append").start()
+    try {
+      input.addData(
+        SessionEvent(1L, 5000L, isPurchase = false, 1.0),
+        SessionEvent(1L, 5100L, isPurchase = false, 1.0))
+      q.processAllAvailable()
+      // t=1000 is a full gap BEFORE the open session's start: it must not be
+      // absorbed (that would drag the session start across a real gap)
+      input.addData(SessionEvent(1L, 1000L, isPurchase = true, 2.0))
+      q.processAllAvailable()
+      val afterStraggler = spark.table("sess_straggler").as[SessionOut].collect().toSeq
+      assert(afterStraggler == Seq(SessionOut(1L, 1000L, 1000L, 1L, 1L, 2.0)),
+        s"straggler must close as a singleton, got $afterStraggler")
+      // the open session is untouched: closes later with its true bounds
+      input.addData(SessionEvent(1L, 9000L, isPurchase = false, 0.0))
+      q.processAllAvailable()
+      val all = spark.table("sess_straggler").as[SessionOut].collect().toSet
+      assert(all.contains(SessionOut(1L, 5000L, 5100L, 2L, 0L, 2.0)), s"got $all")
+    } finally q.stop()
+  }
+
   test("sessionization survives out-of-order events across micro-batches") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
