@@ -220,6 +220,22 @@ object RelationalQueries extends QueryDomain {
         .orderBy($"o_orderkey")
     },
 
+    "q_scalar_jsonmap" -> { (s, dir) =>
+      import s.implicits._
+      // JSON + MAP scalar surface: build a JSON document per row, extract
+      // fields back out; build a map column, look up and enumerate keys.
+      val j = concat(lit("""{"name":""""), $"n_name", lit("""","rk":"""),
+        $"n_regionkey", lit("}"))
+      val m = map(lit("rk"), $"n_regionkey", lit("nk"), $"n_nationkey")
+      t(s, dir, "nation").select(
+        $"n_nationkey",
+        get_json_object(j, "$.name").as("json_name"),
+        get_json_object(j, "$.rk").cast("int").as("json_rk"),
+        element_at(m, "rk").as("map_rk"),
+        concat_ws(",", map_keys(m)).as("map_keys_str"))
+        .orderBy($"n_nationkey")
+    },
+
     "q_case_buckets" -> { (s, dir) =>
       import s.implicits._
       t(s, dir, "orders")
@@ -487,6 +503,17 @@ object RelationalQueries extends QueryDomain {
         |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
         |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INT) AS days_to_2002
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_scalar_jsonmap" ->
+      """SELECT n_nationkey,
+        |  json_extract_string(j, '$.name') AS json_name,
+        |  CAST(json_extract_string(j, '$.rk') AS INT) AS json_rk,
+        |  map(['rk','nk'], [n_regionkey, n_nationkey])['rk'][1] AS map_rk,
+        |  array_to_string(map_keys(map(['rk','nk'], [n_regionkey, n_nationkey])), ',') AS map_keys_str
+        |FROM (SELECT *,
+        |  '{"name":"' || n_name || '","rk":' || n_regionkey || '}' AS j
+        |  FROM nation) n
+        |ORDER BY n_nationkey""".stripMargin,
 
     "q_case_buckets" ->
       """SELECT o_orderstatus,
