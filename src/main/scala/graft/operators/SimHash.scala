@@ -96,11 +96,15 @@ object SimHash {
       s"recall-1 guarantee needs maxHamming <= bands-1 = ${bands - 1}")
     // wideHash, not polyHash: every signature bit must be informative or the
     // dead bands would bucket all docs together (see TextOps.wideHash).
-    // Null-text docs are excluded BEFORE banding: they would all carry the
-    // all-zero signature and collide pairwise in every band — a quadratic
-    // bucket over degenerate content (exact dedup is the right tool there).
+    // Degenerate docs (null or whitespace-only text) are excluded BEFORE
+    // banding: they would all carry the all-zero signature and collide
+    // pairwise in every band — a quadratic bucket over contentless rows
+    // (exact dedup is the right tool there). The oracle applies the same
+    // WHERE clause, keeping the brute-force-equality contract.
     val th = transform(TextOps.tokens(col(textCol)), TextOps.wideHash(_))
-    val sigs = signatures(docs.filter(col(textCol).isNotNull), idCol, th, bits)
+    val sigs = signatures(
+      docs.filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0),
+      idCol, th, bits)
     // Signatures ride through the band explode so the verify step needs no
     // join back to the (expensive) signature computation; the self-join's
     // two sides are identical subplans shuffled on the same key, so Spark's

@@ -344,7 +344,9 @@ object PipelineQueries extends QueryDomain {
     "q_simhash_neardup" ->
       s"""WITH tk AS (SELECT doc_id,
          |  list_transform(string_split(text, ' '), tok -> ${duckWideHash("tok")}) AS th
-         |  FROM documents),
+         |  FROM documents
+         |  -- mirrors SimHash.nearDupPairs' degenerate-doc exclusion
+         |  WHERE text IS NOT NULL AND length(trim(text)) > 0),
          |t AS (SELECT doc_id,
          |  CAST(list_sum(list_transform(range(0, 60), b ->
          |    CASE WHEN list_sum(list_transform(th, h ->

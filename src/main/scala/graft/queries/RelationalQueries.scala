@@ -222,10 +222,11 @@ object RelationalQueries extends QueryDomain {
 
     "q_scalar_jsonmap" -> { (s, dir) =>
       import s.implicits._
-      // JSON + MAP scalar surface: build a JSON document per row, extract
-      // fields back out; build a map column, look up and enumerate keys.
-      val j = concat(lit("""{"name":""""), $"n_name", lit("""","rk":"""),
-        $"n_regionkey", lit("}"))
+      // JSON + MAP scalar surface: build a JSON document per row with the
+      // engine's own constructor (proper escaping — raw concatenation would
+      // produce malformed JSON the two engines fail on asymmetrically),
+      // extract fields back out; build a map column, look up/enumerate keys.
+      val j = to_json(struct($"n_name".as("name"), $"n_regionkey".as("rk")))
       val m = map(lit("rk"), $"n_regionkey", lit("nk"), $"n_nationkey")
       t(s, dir, "nation").select(
         $"n_nationkey",
@@ -511,7 +512,7 @@ object RelationalQueries extends QueryDomain {
         |  map(['rk','nk'], [n_regionkey, n_nationkey])['rk'][1] AS map_rk,
         |  array_to_string(map_keys(map(['rk','nk'], [n_regionkey, n_nationkey])), ',') AS map_keys_str
         |FROM (SELECT *,
-        |  '{"name":"' || n_name || '","rk":' || n_regionkey || '}' AS j
+        |  json_object('name', n_name, 'rk', n_regionkey) AS j
         |  FROM nation) n
         |ORDER BY n_nationkey""".stripMargin,
 

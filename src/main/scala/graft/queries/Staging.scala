@@ -11,20 +11,29 @@ private[queries] object Staging {
 
   private val staged = scala.collection.concurrent.TrieMap.empty[(String, String, String), String]
   private val sinkIds = new java.util.concurrent.atomic.AtomicLong()
-  @volatile private var lastStreamSink: Option[String] = None
+  // previous memory sink PER SESSION — dropping is catalog-scoped, so a
+  // global "last" would no-op across sessions and leak the other's result
+  private var lastStreamSink = Map.empty[org.apache.spark.sql.SparkSession, String]
 
   /** Stage once per (kind, dir, table); `write(path)` materializes on first
-    * use. Returns the staged path.
+    * use. Returns the staged path. First-use creation is serialized (two
+    * concurrent first callers would otherwise both run `write` against the
+    * same deterministic path); the cleanup hook registers BEFORE the write
+    * so an interrupted materialization cannot leak a partial directory.
     */
-  def dir(kind: String, sfDir: String, table: String)(write: String => Unit): String =
-    staged.getOrElseUpdate((kind, sfDir, table), {
-      val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_")
-      val p = s"${System.getProperty("java.io.tmpdir")}/graft_${kind}_" +
-        s"${ProcessHandle.current().pid()}_${tag}_$table"
-      write(p)
-      cleanupOnExit(p)
-      p
+  def dir(kind: String, sfDir: String, table: String)(write: String => Unit): String = {
+    val key = (kind, sfDir, table)
+    staged.getOrElse(key, synchronized {
+      staged.getOrElseUpdate(key, {
+        val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+        val p = s"${System.getProperty("java.io.tmpdir")}/graft_${kind}_" +
+          s"${ProcessHandle.current().pid()}_${tag}_$table"
+        cleanupOnExit(p)
+        write(p)
+        p
+      })
     })
+  }
 
   /** Events fixture staged as a DIRECTORY (file-stream sources reject bare
     * files).
@@ -32,18 +41,18 @@ private[queries] object Staging {
   def streamEventsDir(sfDir: String): String =
     dir("stream", sfDir, "events") { p =>
       Files.createDirectories(Paths.get(p))
-      Files.copy(Paths.get(s"$sfDir/events.parquet"), Paths.get(p, "events.parquet"))
+      Files.copy(Paths.get(s"$sfDir/events.parquet"), Paths.get(p, "events.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       ()
     }
 
-  /** Unique memory-sink name; the PREVIOUS streaming sink's temp view is
-    * dropped so repeated invocations in one session hold at most one
-    * materialized result.
+  /** Unique memory-sink name; the calling session's PREVIOUS streaming sink
+    * is dropped so each session holds at most one materialized result.
     */
-  def nextStreamSink(spark: org.apache.spark.sql.SparkSession): String = {
-    lastStreamSink.foreach(spark.catalog.dropTempView(_))
+  def nextStreamSink(spark: org.apache.spark.sql.SparkSession): String = synchronized {
+    lastStreamSink.get(spark).foreach(spark.catalog.dropTempView(_))
     val name = s"graft_stream_windows_${sinkIds.incrementAndGet()}"
-    lastStreamSink = Some(name)
+    lastStreamSink += spark -> name
     name
   }
 

@@ -80,16 +80,30 @@ object EventStreams {
             // Within a micro-batch events may arrive unsorted; order before
             // folding so gap detection matches the batch operator.
             var cur = state.getOption
+            // Stragglers from BEFORE the open session's period (late by more
+            // than the gap) cannot join it — absorbing one would drag the
+            // session start across a real gap. They fold into their own
+            // session chain (consecutive in-gap stragglers merge, as the
+            // batch operator would), closed at batch end.
+            var straggler: Option[SessionState] = None
+            def closeStraggler(): Unit = {
+              straggler.foreach(st => out += SessionOut(
+                userId, st.startEpoch, st.endEpoch, st.nEvents, st.nPurchases, st.totalValue))
+              straggler = None
+            }
             rows.toSeq.sortBy(e => (e.epochSec, e.isPurchase, e.value)).foreach { e =>
               cur match {
                 case Some(s) if e.epochSec < s.startEpoch - gapSec =>
-                  // A straggler from BEFORE the open session's period (late
-                  // by more than the gap): it cannot belong to this session,
-                  // and its own period has already passed — emit it as a
-                  // closed singleton session rather than absorbing it (which
-                  // would drag the session start across a real gap).
-                  out += SessionOut(userId, e.epochSec, e.epochSec, 1,
-                    if (e.isPurchase) 1 else 0, e.value)
+                  straggler match {
+                    case Some(st) if e.epochSec - st.endEpoch <= gapSec =>
+                      straggler = Some(SessionState(
+                        st.startEpoch, math.max(st.endEpoch, e.epochSec), st.nEvents + 1,
+                        st.nPurchases + (if (e.isPurchase) 1 else 0), st.totalValue + e.value))
+                    case _ =>
+                      closeStraggler()
+                      straggler = Some(SessionState(
+                        e.epochSec, e.epochSec, 1, if (e.isPurchase) 1 else 0, e.value))
+                  }
                 case Some(s) if e.epochSec - s.endEpoch <= gapSec =>
                   // min/max, not assignment: with watermarkDelaySec > 0 a
                   // later micro-batch can legally deliver an event EARLIER
@@ -110,6 +124,7 @@ object EventStreams {
                     e.epochSec, e.epochSec, 1, if (e.isPurchase) 1 else 0, e.value))
               }
             }
+            closeStraggler()
             cur.foreach { s =>
               state.update(s)
               // Close when the watermark passes end-of-session + gap (the

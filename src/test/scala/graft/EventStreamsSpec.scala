@@ -144,13 +144,17 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
         SessionEvent(1L, 5000L, isPurchase = false, 1.0),
         SessionEvent(1L, 5100L, isPurchase = false, 1.0))
       q.processAllAvailable()
-      // t=1000 is a full gap BEFORE the open session's start: it must not be
-      // absorbed (that would drag the session start across a real gap)
-      input.addData(SessionEvent(1L, 1000L, isPurchase = true, 2.0))
+      // t=1000/1100 are a full gap BEFORE the open session's start: they
+      // must not be absorbed (that would drag the session start across a
+      // real gap) — and being within the gap of EACH OTHER they fold into
+      // ONE straggler session, as the batch operator would produce.
+      input.addData(
+        SessionEvent(1L, 1000L, isPurchase = true, 2.0),
+        SessionEvent(1L, 1100L, isPurchase = false, 1.0))
       q.processAllAvailable()
       val afterStraggler = spark.table("sess_straggler").as[SessionOut].collect().toSeq
-      assert(afterStraggler == Seq(SessionOut(1L, 1000L, 1000L, 1L, 1L, 2.0)),
-        s"straggler must close as a singleton, got $afterStraggler")
+      assert(afterStraggler == Seq(SessionOut(1L, 1000L, 1100L, 2L, 1L, 3.0)),
+        s"consecutive stragglers must close as one merged session, got $afterStraggler")
       // the open session is untouched: closes later with its true bounds
       input.addData(SessionEvent(1L, 9000L, isPurchase = false, 0.0))
       q.processAllAvailable()
