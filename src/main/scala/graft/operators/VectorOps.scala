@@ -16,10 +16,12 @@ import org.apache.spark.sql.expressions.Window
   * results in both engines.
   *
   * Scale posture: [[topK]] broadcasts the (small) query set and computes
-  * per-partition similarities with a per-query top-k window — the data side
-  * never shuffles its vectors, only (query, candidate-rank) survivors.
-  * [[IvfIndex]] prunes the candidate set to the probed clusters first, so
-  * the join fans out to |probes|/|clusters| of the data instead of all of it.
+  * per-partition similarities with a salted two-stage top-k — the data side
+  * never shuffles its vectors, only slim (query, candidate, cos) rows, and
+  * no task ever sorts a query's full candidate set. [[IvfIndex]] assignment
+  * is a zero-shuffle fold over broadcast centroids; search prunes candidates
+  * to the probed clusters, so the join fans out to |probes|/|clusters| of
+  * the data instead of all of it.
   */
 object VectorOps {
 
@@ -52,6 +54,32 @@ object VectorOps {
   private def cosineWithNorms(a: Column, b: Column, nnA: Column, nnB: Column): Column =
     dot(a, b) / sqrt(nnA * nnB)
 
+  /** Two-stage top-`k` per query over (query_id, neighbor_id, cos) rows.
+    *
+    * Stage 1 ranks within (query_id, salt) where the salt spreads each
+    * query's candidates over `saltBuckets` bounded groups — no single task
+    * ever sorts a query's full candidate set (the one-window form is a
+    * per-query straggler at scale: every candidate row of a query lands in
+    * one task). Stage 2 merges the ≤ saltBuckets·k survivors per query —
+    * a trivially small sort. The split is lossless: any global top-k row is
+    * top-k within its salt bucket. The salt is a deterministic hash of the
+    * neighbor id (not `spark_partition_id`), so results never depend on
+    * physical partitioning.
+    */
+  private def topKPerQuery(scored: DataFrame, k: Int, saltBuckets: Int): DataFrame = {
+    val w1 = Window.partitionBy(col("query_id"), col("salt"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    val w2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("salt", pmod(xxhash64(col("neighbor_id")), lit(saltBuckets.toLong)))
+      .withColumn("prank", row_number().over(w1))
+      .filter(col("prank") <= k)
+      .withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
   /** Exact top-`k` cosine neighbors of each query vector (brute force — the
     * correctness baseline an ANN variant is judged against).
     * Ties break on neighbor id; self-matches are excluded.
@@ -60,19 +88,17 @@ object VectorOps {
     */
   def topK(
       data: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int): DataFrame = {
+      idCol: String, vecCol: String, k: Int,
+      saltBuckets: Int = 256): DataFrame = {
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
       norm2(col(vecCol)).as("qnn")))
     val d = data.select(col(idCol).as("neighbor_id"), col(vecCol).as("dvec"),
       norm2(col(vecCol)).as("dnn"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    d.join(q, col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        cosineWithNorms(col("qvec"), col("dvec"), col("qnn"), col("dnn")).as("cos"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+    topKPerQuery(
+      d.join(q, col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          cosineWithNorms(col("qvec"), col("dvec"), col("qnn"), col("dnn")).as("cos")),
+      k, saltBuckets)
   }
 
   /** j-th coefficient of the k-th pseudo-random hyperplane for [[srpSignature]]:
@@ -142,19 +168,43 @@ object VectorOps {
     */
   case class IvfIndex(assignments: DataFrame /* (id, cluster_id) */, centroids: DataFrame)
 
+  /** Nearest-centroid assignment as a map-side fold: ALL centroids are
+    * packed into ONE broadcast array-of-structs row (sorted by cluster id)
+    * and each data row folds over it keeping the best (cosine desc, cluster
+    * id asc — replace only on STRICTLY greater, so the first/minimum id wins
+    * ties, matching a `ORDER BY cos DESC, cid` rank-1 window). Zero shuffle,
+    * no |data|×|centroids| intermediate, no per-key sort — the previous
+    * crossJoin + window form amplified the shuffle by |centroids|× and
+    * sorted every id-group, the definitive scale-killer at 10k centroids.
+    * Output: (id, vec, vnn, cluster_id); zero-norm vectors (all-NaN cosines)
+    * get a null cluster_id.
+    */
+  private def assignWithVec(data: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String): DataFrame = {
+    val packed = broadcast(
+      centroids.select(struct(
+          col(idCol).cast("long").as("cid"),
+          asDouble(col(vecCol)).as("cvec"),
+          norm2(col(vecCol)).as("cnn")).as("c"))
+        .agg(array_sort(collect_list(col("c"))).as("cents")))
+    val best = aggregate(
+      col("cents"),
+      struct(lit(null).cast("long").as("cid"), lit(Double.NegativeInfinity).as("ccos")),
+      (acc, c) => {
+        val cc = cosineWithNorms(col("vec"), c.getField("cvec"), col("vnn"), c.getField("cnn"))
+        when(cc > acc.getField("ccos"),
+          struct(c.getField("cid").as("cid"), cc.as("ccos"))).otherwise(acc)
+      })
+    data.select(col(idCol).as("id"), col(vecCol).as("vec"), norm2(col(vecCol)).as("vnn"))
+      .crossJoin(packed) // 1-row broadcast: BroadcastNestedLoopJoin, stays narrow
+      .select(col("id"), col("vec"), col("vnn"), best.getField("cid").as("cluster_id"))
+  }
+
   /** Nearest-centroid assignment (rank-1 by cosine, ties on cluster id). */
   def ivfAssign(data: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String): IvfIndex = {
-    val c = broadcast(centroids.select(col(idCol).as("cluster_id"), col(vecCol).as("cvec"),
-      norm2(col(vecCol)).as("cnn")))
-    val w = Window.partitionBy(col("id")).orderBy(col("ccos").desc, col("cluster_id"))
-    val asg = data.select(col(idCol).as("id"), col(vecCol).as("vec"),
-        norm2(col(vecCol)).as("vnn"))
-      .crossJoin(c)
-      .select(col("id"), col("cluster_id"),
-        cosineWithNorms(col("vec"), col("cvec"), col("vnn"), col("cnn")).as("ccos"))
-      .withColumn("crank", row_number().over(w))
-      .filter(col("crank") === 1)
+    val asg = assignWithVec(data, centroids, idCol, vecCol)
+      .filter(col("cluster_id").isNotNull)
       .select(col("id"), col("cluster_id"))
     IvfIndex(asg, centroids.select(col(idCol).as("cluster_id"), col(vecCol).as("cvec")))
   }
@@ -171,16 +221,18 @@ object VectorOps {
     */
   def kmeansStep(data: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String): DataFrame = {
-    val idx = ivfAssign(data, centroids, idCol, vecCol)
-    val means = data.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .join(idx.assignments, "id")
+    // Assignment carries the vector through (map-side fold, no shuffle), so
+    // the mean needs no join back to data — the only shuffles left are the
+    // two hash aggregates.
+    val means = assignWithVec(data, centroids, idCol, vecCol)
+      .filter(col("cluster_id").isNotNull)
       .select(col("cluster_id"), posexplode(asDouble(col("vec"))).as(Seq("d", "x")))
       .groupBy(col("cluster_id"), col("d"))
       .agg(avg(col("x")).as("m"))
       .groupBy(col("cluster_id"))
       .agg(transform(array_sort(collect_list(struct(col("d"), col("m")))),
         s => s.getField("m")).as("cvec"))
-    idx.centroids.select(col("cluster_id"), asDouble(col("cvec")).as("prev"))
+    centroids.select(col(idCol).cast("long").as("cluster_id"), asDouble(col(vecCol)).as("prev"))
       .join(means, Seq("cluster_id"), "left_outer")
       .select(col("cluster_id"), coalesce(col("cvec"), col("prev")).as("cvec"))
   }
@@ -193,8 +245,12 @@ object VectorOps {
       idCol: String, vecCol: String, iters: Int): DataFrame = {
     var c = seedCentroids.select(col(idCol).as("cluster_id"), col(vecCol).as("cvec"))
     (0 until iters).foreach { _ =>
+      // localCheckpoint (eager) truncates lineage between Lloyd iterations:
+      // each step embeds the previous centroids plan twice (broadcast fold +
+      // empty-cluster coalesce), so without materialization the logical plan
+      // doubles per iteration and analysis/recompute cost goes exponential.
       c = kmeansStep(data, c.select(col("cluster_id").as(idCol), col("cvec").as(vecCol)),
-        idCol, vecCol).select(col("cluster_id"), col("cvec"))
+        idCol, vecCol).select(col("cluster_id"), col("cvec")).localCheckpoint()
     }
     c
   }
@@ -204,7 +260,8 @@ object VectorOps {
     */
   def ivfSearch(
       index: IvfIndex, data: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int, nProbe: Int): DataFrame = {
+      idCol: String, vecCol: String, k: Int, nProbe: Int,
+      saltBuckets: Int = 256): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
       norm2(col(vecCol)).as("qnn"))
     val wp = Window.partitionBy(col("query_id")).orderBy(col("pcos").desc, col("cluster_id"))
@@ -220,15 +277,16 @@ object VectorOps {
         norm2(col(vecCol)).as("dnn"))
       .join(index.assignments.withColumnRenamed("id", "neighbor_id"), "neighbor_id")
 
-    val wr = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
-    members
-      .join(broadcast(probes), Seq("cluster_id"))
-      .join(broadcast(q), Seq("query_id"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        cosineWithNorms(col("qvec"), col("dvec"), col("qnn"), col("dnn")).as("cos"))
-      .withColumn("rank", row_number().over(wr))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+    // Probed-cluster members of a hot query can still be a large candidate
+    // set (|data|·nProbe/|clusters|) — rank via the same salted two-stage
+    // top-k as the brute-force path.
+    topKPerQuery(
+      members
+        .join(broadcast(probes), Seq("cluster_id"))
+        .join(broadcast(q), Seq("query_id"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          cosineWithNorms(col("qvec"), col("dvec"), col("qnn"), col("dnn")).as("cos")),
+      k, saltBuckets)
   }
 }

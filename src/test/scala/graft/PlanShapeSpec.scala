@@ -42,6 +42,27 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       s"query set must broadcast:\n$p")
   }
 
+  test("topK: salted partial stage before the per-query merge (no full-candidate sort)") {
+    val p = plan("q_cosine_topk")
+    // two-stage top-k = two Window nodes; the first partitions by (query, salt)
+    assert("Window ".r.findAllIn(p).size >= 2, s"missing partial top-k stage:\n$p")
+    assert(p.contains("salt"), s"partial stage must rank within salt buckets:\n$p")
+  }
+
+  test("ivf assignment: zero-shuffle broadcast fold — no Exchange/Sort/Window") {
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val idx = graft.operators.VectorOps.ivfAssign(
+      e, e.filter(col("vec_id") < 10), "vec_id", "embedding")
+    val p = idx.assignments.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"assignment must not rank via a window:\n$p")
+    assert(!p.contains("Sort"), s"assignment must not sort:\n$p")
+    // the data side must reach the fold without shuffling; the only exchange
+    // allowed is the single-row centroid pack's (broadcast build side)
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"assignment must not shuffle the data side:\n$p")
+  }
+
   test("q_merge_upsert: no more than two exchanges on the merge key path") {
     // merge = window-dedup + anti-join + union on the same key; a regression
     // that re-shuffles per stage would show up as extra exchanges.
