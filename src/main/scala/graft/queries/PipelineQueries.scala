@@ -211,6 +211,44 @@ object PipelineQueries extends QueryDomain {
       s.table(sink).orderBy($"window_start", $"event_type")
     },
 
+    "q_stream_sessionize" -> { (s, dir) =>
+      import s.implicits._
+      // The STATEFUL streaming path under the oracle gate: the events fixture
+      // played through [[graft.streaming.EventStreams.sessionize]]
+      // (flatMapGroupsWithState, append mode, event-time timeouts) must
+      // reproduce the batch q_sessionize result exactly. Sentinel files from
+      // [[Staging.streamSessionizeDir]] (filtered back out below) drive the
+      // watermark past every real deadline so timeouts close all sessions —
+      // a finite-fixture necessity; a production stream just keeps running.
+      // `value` rides as exact integer ten-thousandths (decimal(18,4)·10⁴ as
+      // double): per-session double accumulation of integers is exact and
+      // order-independent, so totalValue/10⁴ equals the batch dsum twin
+      // bit-for-bit.
+      val gapSec = 21600L
+      val staged = Staging.streamSessionizeDir(s, dir, gapSec)
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1") // sentinels get their own batches
+        .parquet(staged)
+        .select($"user_id".as("userId"),
+          expr("ts div 1000000000").as("epochSec"),
+          ($"event_type" === "purchase").as("isPurchase"),
+          ($"value".cast("decimal(18,4)") * 10000).cast("double").as("value"))
+        .as[graft.streaming.EventStreams.SessionEvent]
+      val sink = Staging.nextStreamSink(s)
+      val q = graft.streaming.EventStreams.sessionize(stream, gapSec = gapSec)
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      val w = Window.partitionBy($"userId").orderBy($"startEpoch")
+      s.table(sink).filter($"userId" >= 0L)
+        .withColumn("session_idx", row_number().over(w).cast("long"))
+        .select($"userId".as("user_id"), $"session_idx",
+          $"startEpoch".as("start_epoch"), $"endEpoch".as("end_epoch"),
+          $"nEvents".as("n_events"), $"nPurchases".as("n_purchases"),
+          ($"totalValue" / 10000.0).as("total_value"))
+        .orderBy($"user_id", $"session_idx")
+    },
+
     // ---- similarity search over embeddings --------------------------------
     "q_cosine_topk" -> { (s, dir) =>
       import s.implicits._
@@ -292,6 +330,26 @@ object PipelineQueries extends QueryDomain {
   private val embCte =
     s"""v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) e FROM embeddings),
        |n AS (SELECT vec_id, e, ${duckDot("e", "e")} AS nn FROM v)""".stripMargin
+
+  /** Shared by q_sessionize AND q_stream_sessionize: the stateful streaming
+    * sessionizer is gated against the batch oracle — that equality is the
+    * entire point of the gate.
+    */
+  private val sessionizeOracle =
+    """WITH e AS (SELECT user_id, event_id, event_type, value, ts,
+      |  CAST(floor(epoch(ts)) AS BIGINT) AS ep FROM events),
+      |l AS (SELECT *,
+      |  lag(ep) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM e),
+      |f AS (SELECT *, CASE WHEN prev IS NULL OR ep - prev > 21600 THEN 1 ELSE 0 END AS new_s FROM l),
+      |x AS (SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx FROM f)
+      |SELECT user_id, session_idx,
+      |  min(ep) AS start_epoch, max(ep) AS end_epoch,
+      |  count(*) AS n_events,
+      |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+      |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      |FROM x GROUP BY user_id, session_idx
+      |ORDER BY user_id, session_idx""".stripMargin
 
   private val langScoreSql = TextStats.LangProfiles.map { case (lang, m) =>
     val in = m.map(w => s"'$w'").mkString(", ")
@@ -425,21 +483,11 @@ object PipelineQueries extends QueryDomain {
          |  CAST(length(text) AS BIGINT) AS n_chars_actual
          |FROM documents ORDER BY doc_id""".stripMargin,
 
-    "q_sessionize" ->
-      """WITH e AS (SELECT user_id, event_id, event_type, value, ts,
-        |  CAST(floor(epoch(ts)) AS BIGINT) AS ep FROM events),
-        |l AS (SELECT *,
-        |  lag(ep) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM e),
-        |f AS (SELECT *, CASE WHEN prev IS NULL OR ep - prev > 21600 THEN 1 ELSE 0 END AS new_s FROM l),
-        |x AS (SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx FROM f)
-        |SELECT user_id, session_idx,
-        |  min(ep) AS start_epoch, max(ep) AS end_epoch,
-        |  count(*) AS n_events,
-        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
-        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
-        |FROM x GROUP BY user_id, session_idx
-        |ORDER BY user_id, session_idx""".stripMargin,
+    "q_sessionize" -> sessionizeOracle,
+
+    // The streaming sessionizer is gated against the SAME batch oracle —
+    // that equality is the entire point of the gate.
+    "q_stream_sessionize" -> sessionizeOracle,
 
     "q_event_windows" ->
       """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS window_start,

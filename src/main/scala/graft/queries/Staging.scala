@@ -46,6 +46,45 @@ private[queries] object Staging {
       ()
     }
 
+  /** Events fixture + two far-future sentinel files for the stateful
+    * sessionize gate (`q_stream_sessionize`): each sentinel lands in its own
+    * micro-batch (the caller sets maxFilesPerTrigger=1), advancing the
+    * watermark past every real session's `end + gap` deadline so event-time
+    * timeouts close ALL real sessions. Two sentinels, not one: timeouts fire
+    * in a batch AFTER the watermark advances, and a data-driven batch is
+    * guaranteed where a no-data batch is an engine option. Modification
+    * times order the replay events-first.
+    */
+  def streamSessionizeDir(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+      gapSec: Long): String =
+    dir("streamsess", sfDir, "events") { p =>
+      import spark.implicits._
+      Files.createDirectories(Paths.get(p))
+      Files.copy(Paths.get(s"$sfDir/events.parquet"), Paths.get(p, "a_events.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      val maxTs = spark.read.parquet(s"$sfDir/events.parquet")
+        .agg(org.apache.spark.sql.functions.max("ts")).head().getLong(0)
+      val gapNs = gapSec * 1000000000L
+      Seq("b" -> (maxTs + 10 * gapNs), "c" -> (maxTs + 20 * gapNs)).foreach {
+        case (tag, ts) =>
+          val tmp = s"$p.tmp_$tag"
+          Seq((-1L, -1L, "sentinel", 0.0, ts))
+            .toDF("event_id", "user_id", "event_type", "value", "ts")
+            .coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+            .getOrElse(sys.error(s"no parquet part written under $tmp"))
+          Files.move(part.toPath, Paths.get(p, s"${tag}_sentinel.parquet"),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          cleanupOnExit(tmp)
+      }
+      val now = System.currentTimeMillis()
+      Seq("a_events.parquet" -> (now - 30000), "b_sentinel.parquet" -> (now - 20000),
+        "c_sentinel.parquet" -> (now - 10000)).foreach { case (n, t) =>
+        Paths.get(p, n).toFile.setLastModified(t); ()
+      }
+    }
+
   /** Unique memory-sink name; the calling session's PREVIOUS streaming sink
     * is dropped so each session holds at most one materialized result.
     */
