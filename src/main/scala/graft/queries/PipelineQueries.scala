@@ -30,7 +30,12 @@ object PipelineQueries extends QueryDomain {
       // Exact dedup by content hash-group: the fixture's texts are unique, so
       // duplicates are synthesized by unioning an id-shifted copy; the dedup
       // must keep exactly the minimum-id instance of every text.
-      val d = docs(s, dir).select($"doc_id", $"text", $"lang", $"source")
+      // t(), not docs(): the first real operation is the window's shuffle on
+      // `text`, which provides the parallelism itself — docs()'s round-robin
+      // repartition would just shuffle the full text column an extra time
+      // for zero pre-shuffle work (it exists for per-row-expression-heavy
+      // pipelines that would otherwise run on the fixture's single split).
+      val d = t(s, dir, "documents").select($"doc_id", $"text", $"lang", $"source")
       val dup = d.unionByName(d.withColumn("doc_id", $"doc_id" + 1000000L))
       val w = Window.partitionBy($"text").orderBy($"doc_id")
       dup.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
