@@ -34,6 +34,11 @@ object Loader {
       partitionCols: Seq[String] = Nil,
       colsNotForUpdate: Seq[String] = Nil,
       maxRejects: Option[Long] = None) {
+    // Fail at construction, not deep inside an executor partition:
+    // batchSize <= 0 would die in Iterator.grouped and parallelism <= 0 in
+    // repartition, both with unhelpful distributed stack traces.
+    require(batchSize > 0, s"batchSize must be positive, got $batchSize")
+    require(parallelism > 0, s"parallelism must be positive, got $parallelism")
     val (schema: String, table: String) = targetTable.split('.') match {
       case Array(sch, tbl) => (sch, tbl)
       case Array(tbl)      => ("public", tbl)

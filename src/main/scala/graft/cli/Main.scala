@@ -44,9 +44,14 @@ object Main {
           case _           => return Left(s"--source_opt expects k=v, got '$kv'\n$usage")
         }
         rest = tail
-      case flag :: value :: tail if flag.startsWith("--") =>
+      // A following `--flag` is NOT a value: `--pg_user --pg_password` would
+      // silently set user to the literal '--pg_password' and then source the
+      // password from env — a misconfiguration that must be a usage error.
+      case flag :: value :: tail if flag.startsWith("--") && !value.startsWith("--") =>
         flags += flag.drop(2) -> value
         rest = tail
+      case flag :: _ if flag.startsWith("--") =>
+        return Left(s"$flag expects a value\n$usage")
       case bad :: _ => return Left(s"unexpected argument '$bad'\n$usage")
       case Nil      => ()
     }

@@ -24,11 +24,18 @@ object SimHash {
   def tokenHashes(text: Column): Column =
     transform(TextOps.tokens(text), TextOps.polyHash(_))
 
-  /** SimHash of a precomputed token-hash array column. `bits` ≤ 62. */
+  /** SimHash of a precomputed token-hash array column. `bits` ≤ 62.
+    *
+    * Votes read the PHYSICAL bit (`(h >> b) & 1`), not `% 2`: remainder
+    * semantics return {0, −1} for negative hashes, silently treating every
+    * bit of a negative hash (e.g. xxhash64 output) as clear — and diverging
+    * from [[signatures]], which counts set bits. Both formulations use the
+    * same `& 1` read so they agree for arbitrary 64-bit hashes (SimHashSpec).
+    */
   def simhashOf(th: Column, bits: Int = 32): Column =
     (0 until bits).map { b =>
       val vote = aggregate(th, lit(0L),
-        (acc, h) => acc + when(shiftright(h, b) % 2 === 1, 1L).otherwise(-1L))
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
       when(vote > 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
 
@@ -46,7 +53,9 @@ object SimHash {
     */
   def signatures(docs: DataFrame, idCol: String, th: Column, bits: Int): DataFrame = {
     val ex = docs.select(col(idCol).as("doc_id"), explode(th).as("h"))
-    val sums = (0 until bits).map(b => sum(shiftright(col("h"), b) % 2).as(s"s_$b"))
+    // `& 1`, matching simhashOf's vote — `% 2` would add −1 per negative
+    // hash with bit b set, corrupting the set-bit count.
+    val sums = (0 until bits).map(b => sum(shiftright(col("h"), b).bitwiseAND(1)).as(s"s_$b"))
     val agg = ex.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n"), sums: _*)
       .select(col("doc_id"),

@@ -12,8 +12,13 @@ private[queries] object Staging {
   private val staged = scala.collection.concurrent.TrieMap.empty[(String, String, String), String]
   private val sinkIds = new java.util.concurrent.atomic.AtomicLong()
   // previous memory sink PER SESSION — dropping is catalog-scoped, so a
-  // global "last" would no-op across sessions and leak the other's result
-  private var lastStreamSink = Map.empty[org.apache.spark.sql.SparkSession, String]
+  // global "last" would no-op across sessions and leak the other's result.
+  // Weak keys: a strong Map would pin every session that ever ran a stream
+  // gate for the JVM lifetime (slow leak in long-lived multi-session
+  // harnesses). Accessed only under `synchronized` (WeakHashMap is unsafe
+  // to share otherwise).
+  private val lastStreamSink =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, String]
 
   /** Stage once per (kind, dir, table); `write(path)` materializes on first
     * use. Returns the staged path. First-use creation is serialized (two
@@ -89,9 +94,9 @@ private[queries] object Staging {
     * is dropped so each session holds at most one materialized result.
     */
   def nextStreamSink(spark: org.apache.spark.sql.SparkSession): String = synchronized {
-    lastStreamSink.get(spark).foreach(spark.catalog.dropTempView(_))
+    Option(lastStreamSink.get(spark)).foreach(spark.catalog.dropTempView(_))
     val name = s"graft_stream_windows_${sinkIds.incrementAndGet()}"
-    lastStreamSink += spark -> name
+    lastStreamSink.put(spark, name)
     name
   }
 

@@ -56,6 +56,16 @@ class CliSpec extends AnyFunSuite {
     assert(err2.isLeft)
   }
 
+  test("a flag followed by another flag is a missing-value usage error") {
+    // `--pg_user --pg_password` must NOT set user to '--pg_password' and
+    // silently fall through to env credentials.
+    val err = Main.parse(base ++ Seq("--pg_user", "--pg_password"), Map("PGPASSWORD" -> "p"))
+    assert(err.isLeft && err.swap.toOption.get.contains("--pg_user expects a value"))
+    // trailing lone flag, same error
+    val err2 = Main.parse(base ++ Seq("--pg_user", "u", "--pg_password", "p", "--batch_size"), Map.empty)
+    assert(err2.isLeft && err2.swap.toOption.get.contains("--batch_size expects a value"))
+  }
+
   test("malformed --source_opt is rejected") {
     val err = Main.parse(base ++ Seq("--pg_user", "u", "--pg_password", "p",
       "--source_opt", "noequals"), Map.empty)

@@ -20,6 +20,13 @@ class LoaderSpec extends AnyFunSuite with SparkSpec {
     path = s"$sf0001/nation.parquet",
     targetTable = "public.nation")
 
+  test("LoadConfig rejects non-positive batchSize/parallelism at construction") {
+    // not deep inside an executor (Iterator.grouped / repartition would
+    // throw there with a distributed stack trace)
+    assertThrows[IllegalArgumentException](cfg.copy(batchSize = 0))
+    assertThrows[IllegalArgumentException](cfg.copy(parallelism = -1))
+  }
+
   test("loadPostgres: source → conform → key → sink, stats summed") {
     val factory = new FakeConnectionFactory("loader_e2e", Set.empty)
     val stats = Loader.loadPostgres(spark, cfg, nationCatalog, factory)

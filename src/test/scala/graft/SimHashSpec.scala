@@ -47,6 +47,23 @@ class SimHashSpec extends AnyFunSuite with SparkSpec {
     assert(fast(2L) == Some(0L) && fast(3L) == Some(0L))
   }
 
+  test("signatures ≡ simhashOf on NEGATIVE token hashes (physical-bit votes)") {
+    import spark.implicits._
+    // xxhash64-style inputs: both APIs must read bit b as (h >> b) & 1; the
+    // old `% 2` forms diverged on negative values (remainder is 0 or −1).
+    val df = Seq(
+      (1L, Seq(-1L, -1L, 3L)),          // −1 has every bit set → majority sets all
+      (2L, Seq(Long.MinValue, -2L, 5L)),
+      (3L, Seq(-7L, 9L, -13L, 2L))
+    ).toDF("doc_id", "th")
+    val fast = SimHash.signatures(df, "doc_id", col("th"), 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val slow = df.select(col("doc_id"), SimHash.simhashOf(col("th"), 8).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == slow)
+    assert(fast(1L) == 0xffL, "two all-ones hashes outvote one small positive in all 8 bits")
+  }
+
   test("wideHash fills 60 bits (no dead bands)") {
     // OR of many token hashes must set bits in every 15-bit band — a dead
     // band would candidate-match every doc against every other.
