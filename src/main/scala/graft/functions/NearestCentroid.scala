@@ -21,6 +21,61 @@ final case class CentroidPack(cids: Array[Long], flat: Array[Double],
     s"inconsistent centroid pack: ${cids.length} ids, ${cnns.length} norms, " +
       s"${flat.length} coefficients for dim $dim")
   override def toString: String = s"CentroidPack(${cids.length} x $dim)"
+
+  // Case-class equality over Array fields is reference identity, which would
+  // make two semantically identical NearestCentroid expressions never compare
+  // equal — defeating Catalyst canonicalization / semanticEquals / common-
+  // subexpression elimination. Compare contents (Arrays.equals uses
+  // Double.equals semantics: NaN==NaN, +0!=-0 — right for canonicalization).
+  override def equals(o: Any): Boolean = o match {
+    case p: CentroidPack => dim == p.dim &&
+      java.util.Arrays.equals(cids, p.cids) &&
+      java.util.Arrays.equals(flat, p.flat) &&
+      java.util.Arrays.equals(cnns, p.cnns)
+    case _ => false
+  }
+  override def hashCode: Int =
+    31 * (31 * (31 * dim + java.util.Arrays.hashCode(cids)) +
+      java.util.Arrays.hashCode(flat)) + java.util.Arrays.hashCode(cnns)
+}
+
+object CentroidPack {
+
+  /** Pack (cid, coefficients) pairs driver-side: sorted ascending by cid (so
+    * the fold's replace-on-strictly-greater keeps the smallest id on ties),
+    * squared norms folded strictly left-to-right (the same IEEE op sequence
+    * as the `norm2` column the interpreted form used, so values are
+    * bit-identical). All centroids must share one dimensionality — a
+    * mixed-dim centroid set has no meaningful nearest-by-cosine semantics
+    * (the HOF twin would null out every differing-length pairing) and is
+    * rejected loudly rather than silently mis-assigned.
+    */
+  def pack(centroids: Seq[(Long, Array[Double])]): CentroidPack = {
+    val sorted = centroids.sortBy(_._1)
+    val dim = if (sorted.isEmpty) 0 else sorted.head._2.length
+    require(sorted.forall(_._2.length == dim),
+      s"centroids must share one dimensionality, got lengths " +
+        sorted.map(_._2.length).distinct.mkString("{", ",", "}"))
+    val n = sorted.length
+    val cids = new Array[Long](n)
+    val flat = new Array[Double](n * dim)
+    val cnns = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val (cid, v) = sorted(i)
+      cids(i) = cid
+      var nn = 0.0
+      var j = 0
+      while (j < dim) {
+        flat(i * dim + j) = v(j)
+        nn += v(j) * v(j)
+        j += 1
+      }
+      cnns(i) = nn
+      i += 1
+    }
+    CentroidPack(cids, flat, cnns, dim)
+  }
 }
 
 /** Static mirror the generated Java calls into (same pattern as
@@ -30,11 +85,20 @@ object NearestCentroidImpl {
 
   /** Nearest-centroid id of `vec` by cosine — the compiled twin of the
     * interpreted `aggregate(cents, …)` fold it replaces (proven equivalent
-    * in NearestCentroidSpec). Semantics replicated exactly:
+    * on the fold's whole non-throwing domain in NearestCentroidSpec):
     *
     *  - dot products fold STRICTLY left-to-right over doubles (same IEEE op
     *    sequence as `aggregate(zip_with(…))`, so results are bit-identical);
     *  - cosine is the single expression `dot / sqrt(vnn * cnn)`;
+    *  - a ZERO divisor yields a null cosine, which never replaces the
+    *    running best — a zero-norm vector gets a null cluster id and a
+    *    zero-norm centroid is skipped. This deliberately TOTALIZES the
+    *    interpreted twin rather than replicating it: under the sessions'
+    *    default ANSI mode a double `Divide` by 0.0 is a runtime
+    *    DIVIDE_BY_ZERO error, so the HOF fold would have crashed on any
+    *    zero-norm input (NearestCentroidSpec pins both facts). Naive Java
+    *    division would be wrong a third way: NaN/±Infinity outrank every
+    *    finite cosine under [[SQLOrderingUtil]];
     *  - the running best is replaced only on STRICTLY greater, compared with
     *    Spark's `GreaterThan` double semantics ([[SQLOrderingUtil]]: NaN
     *    greater than everything) — first/minimum cid wins ties;
@@ -63,16 +127,23 @@ object NearestCentroidImpl {
     var ci = 0
     var off = 0
     while (ci < n) {
-      var dot = 0.0
-      var k = 0
-      while (k < dim) {
-        dot += v(k) * flat(off + k)
-        k += 1
-      }
-      val cos = dot / java.lang.Math.sqrt(vnn * cnns(ci))
-      if (SQLOrderingUtil.compareDoubles(cos, bestCos) > 0) {
-        bestCos = cos
-        best = c.cids(ci)
+      // Divisor-zero ⇒ null cosine ⇒ skip (totalizing what ANSI Divide
+      // makes a runtime error — see scaladoc). Checked on the computed
+      // divisor, not on vnn/cnn individually: a denormal product can
+      // underflow to 0.0 even when both norms are nonzero.
+      val denom = java.lang.Math.sqrt(vnn * cnns(ci))
+      if (denom != 0.0) {
+        var dot = 0.0
+        var k = 0
+        while (k < dim) {
+          dot += v(k) * flat(off + k)
+          k += 1
+        }
+        val cos = dot / denom
+        if (SQLOrderingUtil.compareDoubles(cos, bestCos) > 0) {
+          bestCos = cos
+          best = c.cids(ci)
+        }
       }
       ci += 1
       off += dim

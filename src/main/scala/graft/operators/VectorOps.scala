@@ -168,36 +168,44 @@ object VectorOps {
     */
   case class IvfIndex(assignments: DataFrame /* (id, cluster_id) */, centroids: DataFrame)
 
-  /** Nearest-centroid assignment as a map-side fold: ALL centroids are
-    * packed into ONE broadcast array-of-structs row (sorted by cluster id)
-    * and each data row folds over it keeping the best (cosine desc, cluster
-    * id asc — replace only on STRICTLY greater, so the first/minimum id wins
-    * ties, matching a `ORDER BY cos DESC, cid` rank-1 window). Zero shuffle,
-    * no |data|×|centroids| intermediate, no per-key sort — the previous
-    * crossJoin + window form amplified the shuffle by |centroids|× and
-    * sorted every id-group, the definitive scale-killer at 10k centroids.
-    * Output: (id, vec, vnn, cluster_id); zero-norm vectors (all-NaN cosines)
-    * get a null cluster_id.
+  /** Nearest-centroid assignment as a compiled map-side fold: ALL centroids
+    * are collected once driver-side (they are broadcast-small by contract —
+    * the previous array-of-structs form shipped the same bytes through a
+    * broadcast, which stages on the driver anyway) and packed into primitive
+    * arrays ([[graft.functions.CentroidPack]], sorted by cluster id); each
+    * data row then runs ONE codegen'd loop
+    * ([[graft.functions.NearestCentroid]]) keeping the best (cosine desc,
+    * cluster id asc — replace only on STRICTLY greater, so the first/minimum
+    * id wins ties, matching a `ORDER BY cos DESC, cid` rank-1 window). Zero
+    * shuffle, no |data|×|centroids| intermediate, no per-key sort — and,
+    * unlike the interpreted `aggregate`/`zip_with` fold it replaces, the
+    * assignment stays inside WholeStageCodegen instead of paying
+    * |centroids|·dim interpreted double ops per row.
+    * Output: (id, vec, vnn, cluster_id); zero-norm vectors get a null
+    * cluster_id and zero-norm centroids are skipped — a strict improvement
+    * over the interpreted fold, which under the sessions' default ANSI mode
+    * would raise DIVIDE_BY_ZERO on any zero-norm input. Equivalence on the
+    * fold's whole non-throwing domain (and the zero-norm divergence) is
+    * proven in NearestCentroidSpec.
     */
-  private def assignWithVec(data: DataFrame, centroids: DataFrame,
+  private[graft] def assignWithVec(data: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String): DataFrame = {
-    val packed = broadcast(
-      centroids.select(struct(
-          col(idCol).cast("long").as("cid"),
-          asDouble(col(vecCol)).as("cvec"),
-          norm2(col(vecCol)).as("cnn")).as("c"))
-        .agg(array_sort(collect_list(col("c"))).as("cents")))
-    val best = aggregate(
-      col("cents"),
-      struct(lit(null).cast("long").as("cid"), lit(Double.NegativeInfinity).as("ccos")),
-      (acc, c) => {
-        val cc = cosineWithNorms(col("vec"), c.getField("cvec"), col("vnn"), c.getField("cnn"))
-        when(cc > acc.getField("ccos"),
-          struct(c.getField("cid").as("cid"), cc.as("ccos"))).otherwise(acc)
-      })
+    import org.apache.spark.sql.graft.bridge
+    import graft.functions.{CentroidPack, NearestCentroid}
+    // A centroid with a null vector or a null element could never win in the
+    // fold (every cosine against it is null), so it is excluded at pack time.
+    val rows = centroids
+      .select(col(idCol).cast("long").as("cid"), asDouble(col(vecCol)).as("cvec"))
+      .collect() // |centroids|·dim doubles — the same volume broadcast ships
+    val clean = rows.iterator.filterNot(_.isNullAt(1)).flatMap { r =>
+      val s = r.getSeq[Any](1)
+      if (s.contains(null)) None
+      else Some(r.getLong(0) -> s.iterator.map(_.asInstanceOf[Double]).toArray)
+    }.toSeq
+    val pack = CentroidPack.pack(clean)
     data.select(col(idCol).as("id"), col(vecCol).as("vec"), norm2(col(vecCol)).as("vnn"))
-      .crossJoin(packed) // 1-row broadcast: BroadcastNestedLoopJoin, stays narrow
-      .select(col("id"), col("vec"), col("vnn"), best.getField("cid").as("cluster_id"))
+      .withColumn("cluster_id", bridge.column(NearestCentroid(
+        bridge.expression(col("vec")), bridge.expression(col("vnn")), pack)))
   }
 
   /** Nearest-centroid assignment (rank-1 by cosine, ties on cluster id). */

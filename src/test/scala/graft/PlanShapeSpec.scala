@@ -61,6 +61,13 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     // allowed is the single-row centroid pack's (broadcast build side)
     assert(!p.contains("Exchange hashpartitioning"),
       s"assignment must not shuffle the data side:\n$p")
+    // and the fold must be the compiled expression, inside whole-stage
+    // codegen — not the interpreted aggregate/zip_with HOF it replaced
+    assert(p.contains("graft_nearest_centroid"),
+      s"assignment must use the codegen'd NearestCentroid expression:\n$p")
+    idx.assignments.collect()
+    val fin = idx.assignments.queryExecution.executedPlan.toString
+    assert(fin.contains("*(1)"), s"assignment fell out of codegen:\n$fin")
   }
 
   test("q_merge_upsert: no more than two exchanges on the merge key path") {
