@@ -10,6 +10,13 @@ import java.nio.file.{Files, Paths}
   * pruning deletes projection work, so scalar/string pipelines would never
   * execute and the numbers would measure scan+count only. The noop sink
   * consumes every row of every column downstream of the full plan.
+  *
+  * Every query runs SPARK_GRAFT_REPS times (default 3) and reports the
+  * per-query MEDIAN (plus the min, as `queries_min`): single-run numbers on
+  * a shared 32-way box showed 2× phantom regressions round-to-round
+  * (q_ngram_jaccard 14.97 s recorded vs 7.54 s re-measured, zero code
+  * change), and the median of three is the cheapest estimator that ignores
+  * one bad draw. `value` is the sum of medians.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -30,29 +37,36 @@ object Bench {
     // to the first measured query.
     SparkEntry.queries(names.head)(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    // Reps are grouped per query (not interleaved rounds) so each query's
+    // three draws see the same cache/JIT state; a query failing ANY rep
+    // records null — breakage can't masquerade as speed.
     val results = names.map { name =>
-      val t0 = System.nanoTime()
-      val ok =
+      val times = (0 until reps).flatMap { _ =>
+        val t0 = System.nanoTime()
         try {
           SparkEntry.queries(name)(spark, sfDir)
             .write.format("noop").mode("overwrite").save()
-          true
+          Some((System.nanoTime() - t0) / 1e9)
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          false
+          None
         }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      }
+      (name, times)
     }
-    // A failed query records null (not its truncated elapsed time) and is
-    // excluded from the total, so breakage can't masquerade as speed.
-    val qs = results.map { case (k, v, ok) =>
-      "\"" + k + "\":" + (if (ok) f"$v%.3f" else "null")
+    def median(ts: Seq[Double]): Double = ts.sorted.apply(ts.length / 2)
+    val qs = results.map { case (k, ts) =>
+      "\"" + k + "\":" + (if (ts.length == reps) f"${median(ts)}%.3f" else "null")
     }.mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    val qsMin = results.map { case (k, ts) =>
+      "\"" + k + "\":" + (if (ts.length == reps) f"${ts.min}%.3f" else "null")
+    }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, ts) if ts.length != reps => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum
+    val total = results.collect { case (_, ts) if ts.length == reps => median(ts) }.sum
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"queries":$qs,"queries_min":$qsMin,"failed":$failed,"sf":"$sfDir"}"""
     println(json)
     Files.writeString(Paths.get("BENCH.json"), json + "\n")
     spark.stop()

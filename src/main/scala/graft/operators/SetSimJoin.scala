@@ -25,11 +25,41 @@ import org.apache.spark.sql.functions._
   */
 object SetSimJoin {
 
+  /** How per-(block, token) document frequency — the rare-first token
+    * order — is computed. All strategies produce IDENTICAL df values (and
+    * therefore identical join output — property-tested in SetSimJoinSpec);
+    * they differ only in shuffle shape and skew tolerance. Steer by
+    * vocabulary:
+    *
+    *  - BOUNDED vocabulary (character n-grams, a language's word list —
+    *    distinct (block, token) count is broadcast-small):
+    *    [[DfStrategy.Aggregate]]`(broadcast = true)`. The df table is a
+    *    map-side-combined aggregate (hot tokens collapse to one partial per
+    *    task) broadcast back onto the index — the index reaches the prefix
+    *    rank with ZERO (block, token) shuffles.
+    *  - UNBOUNDED vocabulary, tame token distribution: [[DfStrategy.Window]]
+    *    (the default). One shuffle of the inverted index, no second df
+    *    relation; but a stop-token-grade hot (block, token) key lands in a
+    *    single task with no map-side combine.
+    *  - UNBOUNDED vocabulary with hot keys:
+    *    [[DfStrategy.Aggregate]]`(broadcast = false)`. The join back
+    *    shuffles on (block, token) like the window does, but the df COUNT
+    *    itself is combiner-reduced, and AQE can split a skewed join key at
+    *    runtime (it cannot split a window partition).
+    */
+  sealed trait DfStrategy
+  object DfStrategy {
+    case object Window extends DfStrategy
+    final case class Aggregate(broadcast: Boolean) extends DfStrategy
+  }
+
   /** Pairs (doc_i < doc_j) within the same `blockCols` values whose token
     * sets have Jaccard ≥ threshNum/threshDen, with exact overlap counts.
     *
     * @param docs    one row per document; `setCol` is an ARRAY column of
     *                DISTINCT tokens (dedup upstream — counts are set-based)
+    * @param dfStrategy document-frequency computation — see [[DfStrategy]]
+    *                for the vocabulary-size steering rule
     * @return columns: blockCols…, doc_i, doc_j, n_common, n_union (LONG)
     */
   def jaccardJoin(
@@ -38,7 +68,8 @@ object SetSimJoin {
       setCol: String,
       blockCols: Seq[String],
       threshNum: Int,
-      threshDen: Int): DataFrame = {
+      threshDen: Int,
+      dfStrategy: DfStrategy = DfStrategy.Window): DataFrame = {
     require(threshNum > 0 && threshNum <= threshDen, "threshold must be in (0, 1]")
     def ceilDiv(n: Column, d: Int): Column = floor((n + (d - 1)) / d).cast("int")
     val bc = blockCols.map(col)
@@ -49,13 +80,22 @@ object SetSimJoin {
       col("sj_id") +: size(col("sj_set")).as("sj_sz") +:
         explode(col("sj_set")).as("sj_tok") +: bc: _*)
 
-    // Rare-first global order: per-block document frequency of each token,
-    // as a whole-partition window COUNT over one shuffle of the inverted
-    // index — not a separate aggregate joined back, which would shuffle the
-    // index twice (the aggregate's exchange carries different rows than the
-    // join side's, so ReuseExchange can't deduplicate them).
-    val wDf = Window.partitionBy(bc :+ col("sj_tok"): _*)
-    val withFreq = ex.withColumn("sj_df", count(lit(1)).over(wDf))
+    // Rare-first global order: per-block document frequency of each token.
+    // Window: one shuffle of the index, df attached in place (no second
+    // relation — an aggregate joined back WITHOUT broadcast shuffles the
+    // index twice, since the aggregate's exchange carries different rows
+    // than the join side's and ReuseExchange can't deduplicate them).
+    // Aggregate: combiner-reduced groupBy count joined back — broadcast for
+    // bounded vocabularies (zero index shuffles), shuffle join for
+    // unbounded-but-skewed ones (AQE splits hot join keys). See DfStrategy.
+    val withFreq = dfStrategy match {
+      case DfStrategy.Window =>
+        val wDf = Window.partitionBy(bc :+ col("sj_tok"): _*)
+        ex.withColumn("sj_df", count(lit(1)).over(wDf))
+      case DfStrategy.Aggregate(bcast) =>
+        val dfTab = ex.groupBy(bc :+ col("sj_tok"): _*).agg(count(lit(1)).as("sj_df"))
+        ex.join(if (bcast) broadcast(dfTab) else dfTab, blockCols :+ "sj_tok")
+    }
 
     // Prefix of length |A| − ⌈t·|A|⌉ + 1 under the (df, token) order.
     val ceilTA = floor((col("sj_sz") * threshNum + (threshDen - 1)) / threshDen)

@@ -99,14 +99,19 @@ object PipelineQueries extends QueryDomain {
       // Exact character-trigram Jaccard >= 3/5 within (lang, source) blocks,
       // via [[SetSimJoin]]'s inverted index + prefix filtering: candidate
       // pairs come from rare-token prefix collisions, never an all-pairs
-      // block scan, so work stays near-linear as blocks grow.
+      // block scan, so work stays near-linear as blocks grow. Character
+      // trigrams are a BOUNDED vocabulary, so document frequency uses the
+      // broadcast-aggregate strategy: hot stop-trigram keys collapse to one
+      // map-side partial per task and the index never shuffles on (block,
+      // token) — see [[SetSimJoin.DfStrategy]].
       val g = docs(s, dir).select($"doc_id", $"lang", $"source",
         array_distinct(transform(sequence(lit(1), length($"text") - 2),
           i => $"text".substr(i, lit(3)))).as("gr"))
         .filter(length($"text") >= 3)
       orderedSmall(
         SetSimJoin.jaccardJoin(g, "doc_id", "gr", Seq("lang", "source"),
-            threshNum = 3, threshDen = 5)
+            threshNum = 3, threshDen = 5,
+            dfStrategy = SetSimJoin.DfStrategy.Aggregate(broadcast = true))
           .select($"doc_i", $"doc_j", $"n_common", $"n_union"),
         $"doc_i", $"doc_j")
     },
@@ -197,23 +202,33 @@ object PipelineQueries extends QueryDomain {
     "q_stream_windows" -> { (s, dir) =>
       import s.implicits._
       // The STREAMING path under the oracle gate: the events fixture played
-      // through readStream → watermarked tumbling windows (complete mode, so
-      // every window finalizes) must hash-match the DuckDB batch aggregation.
-      // The streaming query executes eagerly at construction (like the CSV
-      // fixture staging); the returned frame reads the memory sink.
-      // n_users is approximate (HLL) in streaming and is not part of the
-      // gated output.
-      val staged = Staging.streamEventsDir(dir)
+      // through readStream → watermarked tumbling windows in APPEND mode —
+      // the production shape (complete mode would hold every window ever
+      // seen in state forever) — must hash-match the DuckDB batch
+      // aggregation. Append emits a window only once the watermark passes
+      // its close, so the finite fixture rides the same sentinel protocol as
+      // `q_stream_sessionize`: two far-future sentinel files (each its own
+      // micro-batch via maxFilesPerTrigger=1) push the watermark past every
+      // real window's close + the 2-hour production-default delay; the
+      // second guarantees a DATA batch after the advance (emission happens
+      // in the batch after the watermark moves, and a no-data batch is an
+      // engine option, not a guarantee). Sentinel windows are filtered back
+      // out of the sink. n_users is approximate (HLL) in streaming and is
+      // not part of the gated output.
+      val staged = Staging.streamSessionizeDir(s, dir, gapSec = 21600L)
       val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val stream = s.readStream.schema(schema).parquet(staged)
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
         .withColumn("tsm", timestamp_micros(expr("ts div 1000")))
         .select($"tsm", $"event_type", $"user_id", $"value")
       val sink = Staging.nextStreamSink(s)
-      val q = graft.streaming.EventStreams.hourlyEventWindows(stream, watermark = "3650 days")
+      val q = graft.streaming.EventStreams.hourlyEventWindows(stream)
         .drop("n_users_approx")
-        .writeStream.format("memory").queryName(sink).outputMode("complete").start()
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
       try q.processAllAvailable() finally q.stop()
-      s.table(sink).orderBy($"window_start", $"event_type")
+      s.table(sink).filter($"event_type" =!= "sentinel")
+        .orderBy($"window_start", $"event_type")
     },
 
     "q_stream_sessionize" -> { (s, dir) =>

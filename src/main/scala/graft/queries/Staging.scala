@@ -40,25 +40,17 @@ private[queries] object Staging {
     })
   }
 
-  /** Events fixture staged as a DIRECTORY (file-stream sources reject bare
-    * files).
-    */
-  def streamEventsDir(sfDir: String): String =
-    dir("stream", sfDir, "events") { p =>
-      Files.createDirectories(Paths.get(p))
-      Files.copy(Paths.get(s"$sfDir/events.parquet"), Paths.get(p, "events.parquet"),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      ()
-    }
-
-  /** Events fixture + two far-future sentinel files for the stateful
-    * sessionize gate (`q_stream_sessionize`): each sentinel lands in its own
-    * micro-batch (the caller sets maxFilesPerTrigger=1), advancing the
-    * watermark past every real session's `end + gap` deadline so event-time
-    * timeouts close ALL real sessions. Two sentinels, not one: timeouts fire
-    * in a batch AFTER the watermark advances, and a data-driven batch is
-    * guaranteed where a no-data batch is an engine option. Modification
-    * times order the replay events-first.
+  /** Events fixture + two far-future sentinel files for the append-mode
+    * stream gates (`q_stream_sessionize`, `q_stream_windows`): each sentinel
+    * lands in its own micro-batch (the callers set maxFilesPerTrigger=1),
+    * advancing the watermark past every real session's `end + gap` deadline
+    * (and, a fortiori, past every real window's close + delay) so event-time
+    * timeouts close ALL real sessions and append mode finalizes ALL real
+    * windows. Two sentinels, not one: emission fires in a batch AFTER the
+    * watermark advances, and a data-driven batch is guaranteed where a
+    * no-data batch is an engine option. Modification times order the replay
+    * events-first. Sentinel rows carry `user_id = -1` / `event_type =
+    * 'sentinel'`; callers filter them back out of their sink.
     */
   def streamSessionizeDir(spark: org.apache.spark.sql.SparkSession, sfDir: String,
       gapSec: Long): String =

@@ -68,6 +68,29 @@ class SetSimJoinSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("property: every DfStrategy yields identical output, hot keys included") {
+    val rng = new scala.util.Random(13) // deterministic
+    // A deliberately skewed vocabulary: token t0 appears in EVERY set (the
+    // stop-token hot key the aggregate strategies exist for), the rest drawn
+    // from a small vocab so prefixes collide and ties on (df, token) occur.
+    val rows = (0 until 150).map { id =>
+      val toks = ("t0" +: Seq.fill(2 + rng.nextInt(10))("t" + rng.nextInt(20))).distinct
+      (id.toLong, if (id % 3 == 0) "a" else "b", toks)
+    }
+    val df = rows.toDF("doc_id", "blk", "gr")
+    val strategies = Seq(
+      SetSimJoin.DfStrategy.Window,
+      SetSimJoin.DfStrategy.Aggregate(broadcast = true),
+      SetSimJoin.DfStrategy.Aggregate(broadcast = false))
+    for ((tn, td) <- Seq((1, 2), (3, 5))) {
+      val results = strategies.map(st => pairsOf(
+        SetSimJoin.jaccardJoin(df, "doc_id", "gr", Seq("blk"), tn, td, st)))
+      assert(results(0).nonEmpty, s"degenerate fixture at threshold $tn/$td")
+      assert(results(0) == results(1) && results(1) == results(2),
+        s"DfStrategy divergence at threshold $tn/$td")
+    }
+  }
+
   test("degenerate threshold is rejected") {
     assertThrows[IllegalArgumentException](
       SetSimJoin.jaccardJoin(grams, "doc_id", "gr", Seq("lang"), 0, 5))
