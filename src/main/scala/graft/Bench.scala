@@ -16,7 +16,10 @@ import java.nio.file.{Files, Paths}
   * a shared 32-way box showed 2× phantom regressions round-to-round
   * (q_ngram_jaccard 14.97 s recorded vs 7.54 s re-measured, zero code
   * change), and the median of three is the cheapest estimator that ignores
-  * one bad draw. `value` is the sum of medians.
+  * one bad draw. Reps are interleaved round-robin across the query list so
+  * one noisy wall-clock window cannot poison all of a query's draws (the
+  * grouped-reps failure mode seen in round 6). `value` is the sum of
+  * medians.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -32,29 +35,38 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Deterministic query order (Map iteration order is arbitrary and puts
     // JVM/codegen warm-up cost on whichever query happens to run first).
+    // SPARK_GRAFT_ONLY (comma-separated names) restricts the run — an
+    // iteration convenience; the driver never sets it.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     // One warm-up action so JIT/codegen/parquet-footer costs are not billed
     // to the first measured query.
     SparkEntry.queries(names.head)(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
-    // Reps are grouped per query (not interleaved rounds) so each query's
-    // three draws see the same cache/JIT state; a query failing ANY rep
-    // records null — breakage can't masquerade as speed.
-    val results = names.map { name =>
-      val times = (0 until reps).flatMap { _ =>
-        val t0 = System.nanoTime()
-        try {
-          SparkEntry.queries(name)(spark, sfDir)
-            .write.format("noop").mode("overwrite").save()
-          Some((System.nanoTime() - t0) / 1e9)
-        } catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          None
-        }
+    // Reps are INTERLEAVED round-robin (full query list `reps` times), not
+    // grouped per query: grouped reps put one query's three draws in the
+    // same ~30 s wall-clock window, so sustained co-tenant noise poisons
+    // all three and the median keeps it (round 6 recorded q_dedup_simhash
+    // at 8.72 s vs 0.86 s re-measured). Spreading a query's draws across
+    // the whole run makes a correlated-noise window hit at most one draw
+    // per query. A query failing ANY rep records null — breakage can't
+    // masquerade as speed.
+    val timesByName = scala.collection.mutable.Map(names.map(_ -> Vector.empty[Double]): _*)
+    val failedOnce = scala.collection.mutable.Set.empty[String]
+    for (_ <- 0 until reps; name <- names) {
+      val t0 = System.nanoTime()
+      try {
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        timesByName(name) :+= (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        failedOnce += name
       }
-      (name, times)
     }
+    val results = names.map(n => (n, if (failedOnce(n)) Vector.empty[Double] else timesByName(n)))
     def median(ts: Seq[Double]): Double = ts.sorted.apply(ts.length / 2)
     val qs = results.map { case (k, ts) =>
       "\"" + k + "\":" + (if (ts.length == reps) f"${median(ts)}%.3f" else "null")

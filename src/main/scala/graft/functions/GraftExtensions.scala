@@ -30,5 +30,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "graft_poly_hash(str[, base]) expects a string and an optional integer literal base")
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_char_shingles"),
+      new ExpressionInfo(classOf[CharShingles].getName, "graft_char_shingles"),
+      (children: Seq[Expression]) => children match {
+        case Seq(s) => CharShingles(s, 3)
+        case Seq(s, Literal(n: Int, _))  => CharShingles(s, n)
+        case Seq(s, Literal(n: Long, _)) => CharShingles(s, n.toInt)
+        case _ => throw new IllegalArgumentException(
+          "graft_char_shingles(str[, n]) expects a string and an optional integer literal width")
+      }))
   }
 }

@@ -110,20 +110,22 @@ object SetSimJoin {
     //  - the PPJoin positional filter: a token at ranks (p_i, p_j) bounds
     //    the remaining possible overlap at 1 + min(|A|−p_i, |B|−p_j), which
     //    must reach α = ⌈t/(1+t)·(|A|+|B|)⌉ for some shared prefix token.
-    // The groupBy doubles as the pair-dedup the verify join needs anyway.
+    // "Some shared token reaches α" ≡ "the best one does", so the positional
+    // filter runs at ROW level, inside the join, BEFORE the dedup aggregate:
+    // it prunes the collision stream while it's still flowing through the
+    // joiner (at sf0.1 that's 2.4 M → ~0.3 M rows into the hash aggregate)
+    // instead of materializing every collision into groupBy state first.
+    // The aggregate that remains is pure pair-dedup for the verify join.
     val alpha = ceilDiv((col("sz_i") + col("sz_j")) * threshNum, threshNum + threshDen)
     val cand = prefix.toDF("doc_i" +: "sj_tok" +: "sz_i" +: "rk_i" +: blockCols: _*)
       .join(prefix.toDF("doc_j" +: "sj_tok" +: "sz_j" +: "rk_j" +: blockCols: _*),
         blockCols :+ "sj_tok")
       .filter(col("doc_i") < col("doc_j") &&
         col("sz_i") * threshNum <= col("sz_j") * threshDen &&
-        col("sz_j") * threshNum <= col("sz_i") * threshDen)
-      .groupBy(col("doc_i") +: col("doc_j") +: bc: _*)
-      .agg(
-        max(least(col("sz_i") - col("rk_i"), col("sz_j") - col("rk_j")) + 1).as("sj_ub"),
-        first(alpha).as("sj_alpha"))
-      .filter(col("sj_ub") >= col("sj_alpha"))
+        col("sz_j") * threshNum <= col("sz_i") * threshDen &&
+        least(col("sz_i") - col("rk_i"), col("sz_j") - col("rk_j")) + 1 >= alpha)
       .select(col("doc_i") +: col("doc_j") +: bc: _*)
+      .dropDuplicates("doc_i" +: "doc_j" +: blockCols)
 
     // Exact verification on candidates only.
     val sets = d.select(col("sj_id"), col("sj_set"))

@@ -89,6 +89,29 @@ object TextOps {
       }),
       1)
 
+  /** Distinct character `n`-gram shingles of `text` (ARRAY<STRING>,
+    * first-occurrence order), backed by the codegen'd
+    * [[graft.functions.CharShingles]] expression — one compiled O(chars)
+    * pass per row. Strings shorter than `n` yield an empty array.
+    * [[charShinglesHof]] is the higher-order formulation it must stay
+    * element-identical to on `length >= n` (cross-checked in
+    * CharShinglesSpec).
+    */
+  def charShingles(text: Column, n: Int = 3): Column =
+    org.apache.spark.sql.graft.bridge.column(
+      graft.functions.CharShingles(
+        org.apache.spark.sql.graft.bridge.expression(text), n))
+
+  /** Reference formulation of [[charShingles]] as interpreted HOF
+    * expressions — kept as the executable spec (the DuckDB oracle twin
+    * mirrors this shape). Only meaningful for `length(text) >= n`: below
+    * that, `sequence(1, length-n+1)` counts DOWN and `substr` goes
+    * end-relative.
+    */
+  def charShinglesHof(text: Column, n: Int = 3): Column =
+    array_distinct(transform(sequence(lit(1), length(text) - (n - 1)),
+      i => text.substr(i, lit(n))))
+
   /** Hashes of the distinct shingles — the MinHash input set. */
   def shingleHashes(text: Column, n: Int = 3): Column =
     transform(wordShingles(text, n), polyHash(_))

@@ -104,9 +104,13 @@ object PipelineQueries extends QueryDomain {
       // broadcast-aggregate strategy: hot stop-trigram keys collapse to one
       // map-side partial per task and the index never shuffles on (block,
       // token) — see [[SetSimJoin.DfStrategy]].
+      // Shingling is the codegen'd [[graft.functions.CharShingles]] — one
+      // compiled O(len) pass per row; the interpreted
+      // transform(sequence…substr) HOF it replaced re-scanned the string
+      // per position and was the dominant cost of this query (equivalence
+      // proved in CharShinglesSpec).
       val g = docs(s, dir).select($"doc_id", $"lang", $"source",
-        array_distinct(transform(sequence(lit(1), length($"text") - 2),
-          i => $"text".substr(i, lit(3)))).as("gr"))
+        TextOps.charShingles($"text", 3).as("gr"))
         .filter(length($"text") >= 3)
       orderedSmall(
         SetSimJoin.jaccardJoin(g, "doc_id", "gr", Seq("lang", "source"),

@@ -39,6 +39,14 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getLong(3) === 0L)
   }
 
+  test("graft_char_shingles callable from SQL, default and explicit width") {
+    val r = spark.sql(
+      "SELECT graft_char_shingles('abcabc') AS g3, " +
+        "graft_char_shingles('abcabc', 2) AS g2").head()
+    assert(r.getSeq[String](0) === Seq("abc", "bca", "cab"))
+    assert(r.getSeq[String](1) === Seq("ab", "bc", "ca"))
+  }
+
   test("bad arity is a clear error") {
     val e = intercept[Exception](spark.sql("SELECT graft_poly_hash()").head())
     assert(e.getMessage.toLowerCase.contains("graft_poly_hash"))
