@@ -219,19 +219,29 @@ object PipelineQueries extends QueryDomain {
       // engine option, not a guarantee). Sentinel windows are filtered back
       // out of the sink. n_users is approximate (HLL) in streaming and is
       // not part of the gated output.
+      //
+      // Micro-batch economy: the protocol needs exactly TWO batches — {data
+      // …, first sentinel} (whose end-of-batch max event time advances the
+      // watermark past every deadline) then {second sentinel} (the
+      // guaranteed data batch that emits). maxFilesPerTrigger = #files − 1
+      // packs the replay that way (the staging orders sentinels last by
+      // mod-time); one file per trigger would pay a full state-store
+      // commit cycle per data file for nothing. The stream runs in a
+      // low-state-partition clone session — see [[Staging.streamSession]].
       val staged = Staging.streamSessionizeDir(s, dir, gapSec = 21600L)
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val stream = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
+      val ss = Staging.streamSession(s)
+      val schema = ss.read.parquet(s"$dir/events.parquet").schema
+      val stream = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", Staging.filesInDir(staged) - 1)
         .parquet(staged)
         .withColumn("tsm", timestamp_micros(expr("ts div 1000")))
         .select($"tsm", $"event_type", $"user_id", $"value")
-      val sink = Staging.nextStreamSink(s)
+      val sink = Staging.nextStreamSink(ss)
       val q = graft.streaming.EventStreams.hourlyEventWindows(stream)
         .drop("n_users_approx")
         .writeStream.format("memory").queryName(sink).outputMode("append").start()
       try q.processAllAvailable() finally q.stop()
-      s.table(sink).filter($"event_type" =!= "sentinel")
+      ss.table(sink).filter($"event_type" =!= "sentinel")
         .orderBy($"window_start", $"event_type")
     },
 
@@ -248,23 +258,27 @@ object PipelineQueries extends QueryDomain {
       // double): per-session double accumulation of integers is exact and
       // order-independent, so totalValue/10⁴ equals the batch dsum twin
       // bit-for-bit.
+      //
+      // Micro-batch economy: same two-batch packing and low-state-partition
+      // clone session as q_stream_windows (see the comment there).
       val gapSec = 21600L
       val staged = Staging.streamSessionizeDir(s, dir, gapSec)
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val stream = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1") // sentinels get their own batches
+      val ss = Staging.streamSession(s)
+      val schema = ss.read.parquet(s"$dir/events.parquet").schema
+      val stream = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", Staging.filesInDir(staged) - 1)
         .parquet(staged)
         .select($"user_id".as("userId"),
           expr("ts div 1000000000").as("epochSec"),
           ($"event_type" === "purchase").as("isPurchase"),
           ($"value".cast("decimal(18,4)") * 10000).cast("double").as("value"))
         .as[graft.streaming.EventStreams.SessionEvent]
-      val sink = Staging.nextStreamSink(s)
+      val sink = Staging.nextStreamSink(ss)
       val q = graft.streaming.EventStreams.sessionize(stream, gapSec = gapSec)
         .writeStream.format("memory").queryName(sink).outputMode("append").start()
       try q.processAllAvailable() finally q.stop()
       val w = Window.partitionBy($"userId").orderBy($"startEpoch")
-      s.table(sink).filter($"userId" >= 0L)
+      ss.table(sink).filter($"userId" >= 0L)
         .withColumn("session_idx", row_number().over(w).cast("long"))
         .select($"userId".as("user_id"), $"session_idx",
           $"startEpoch".as("start_epoch"), $"endEpoch".as("end_epoch"),

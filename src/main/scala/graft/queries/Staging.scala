@@ -82,6 +82,36 @@ private[queries] object Staging {
       }
     }
 
+  // One stream-tuned clone per parent session (weak keys, same rationale as
+  // lastStreamSink). Accessed only under `synchronized`.
+  private val streamSessions =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      org.apache.spark.sql.SparkSession]
+
+  /** A clone of `spark` (shared SparkContext, separate SQL conf) with few
+    * shuffle partitions, for the finite-fixture stream gates. Stateful
+    * micro-batches pay one state-store open/commit cycle PER shuffle
+    * partition PER batch regardless of data volume, so a 32-partition conf
+    * spends its wall-clock on empty store commits for a fixture with a few
+    * thousand keys. 8 partitions is plenty for the gate and changes no
+    * results (per-key aggregation/sessionization is partitioning-
+    * independent). Production streams on real volume keep their session's
+    * own partitioning — this clone exists only behind the fixture gates.
+    */
+  def streamSession(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.SparkSession = synchronized {
+    Option(streamSessions.get(spark)).getOrElse {
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", "8")
+      streamSessions.put(spark, s2)
+      s2
+    }
+  }
+
+  /** Number of regular files under `path` (the staged replay directory). */
+  def filesInDir(path: String): Int =
+    Option(new java.io.File(path).listFiles()).map(_.count(_.isFile)).getOrElse(0)
+
   /** Unique memory-sink name; the calling session's PREVIOUS streaming sink
     * is dropped so each session holds at most one materialized result.
     */
