@@ -33,7 +33,11 @@ object Loader {
       parallelism: Int = 1,
       partitionCols: Seq[String] = Nil,
       colsNotForUpdate: Seq[String] = Nil,
-      maxRejects: Option[Long] = None) {
+      maxRejects: Option[Long] = None,
+      // Config-file remap of catalog pg type names → Spark DDL names
+      // (reference config.ini [pg_to_spark_data_type_mapping]); values are
+      // CLI-validated via PgTypeMapping.parseSparkName before they get here.
+      typeOverrides: Map[String, String] = Map.empty) {
     // Fail at construction, not deep inside an executor partition:
     // batchSize <= 0 would die in Iterator.grouped and parallelism <= 0 in
     // repartition, both with unhelpful distributed stack traces.
@@ -59,7 +63,7 @@ object Loader {
     // DataFrame column order drives the INSERT column list, as in the
     // reference (`/root/reference/psycopg2_database_helper.py:316-319`).
     SchemaConform.conform(
-      df, colTypes.map { case (n, pg) => n -> PgTypeMapping.toSparkType(pg) }.toMap)
+      df, colTypes.map { case (n, pg) => n -> PgTypeMapping.toSparkType(pg, cfg.typeOverrides) }.toMap)
   }
 
   /** Streaming variant of the load path: the same catalog-driven
@@ -86,7 +90,7 @@ object Loader {
     val colTypes = catalog.columnTypes(cfg.schema, cfg.table)
     require(colTypes.nonEmpty,
       s"Target table ${cfg.schema}.${cfg.table} has no columns in the catalog")
-    val target = colTypes.map { case (n, pg) => n -> PgTypeMapping.toSparkType(pg) }.toMap
+    val target = colTypes.map { case (n, pg) => n -> PgTypeMapping.toSparkType(pg, cfg.typeOverrides) }.toMap
     val key = catalog.uniqueKey(cfg.schema, cfg.table)
     stream.writeStream
       .option("checkpointLocation", checkpointDir)

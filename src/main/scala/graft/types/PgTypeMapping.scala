@@ -17,8 +17,32 @@ object PgTypeMapping {
 
   /** Parse one Postgres type name (as produced by `atttypid::regtype` or
     * `format_type(atttypid, atttypmod)`) into a Spark type.
+    *
+    * `overrides` is a config-file remap (reference `config.ini:14-25`
+    * `[pg_to_spark_data_type_mapping]`): lowercase pg type name → Spark DDL
+    * type name. A matching override wins over the built-in table; names not
+    * overridden (including `numeric(p,s)` typmod forms, which the reference's
+    * flat dict could never express) fall through to the built-in rules.
+    * Override values must pre-validate via [[parseSparkName]] — a bad value
+    * here is a config error the CLI already rejected.
     */
-  def toSparkType(pgType: String): DataType = pgType.trim.toLowerCase match {
+  def toSparkType(pgType: String, overrides: Map[String, String] = Map.empty): DataType = {
+    val t = pgType.trim.toLowerCase
+    overrides.get(t) match {
+      case Some(ddl) => parseSparkName(ddl).fold(err => throw new IllegalArgumentException(err), identity)
+      case None      => builtin(t)
+    }
+  }
+
+  /** Spark DDL type name (`int`, `decimal(12,2)`, …) → `DataType`, as a
+    * usage-error `Either` so the CLI can reject a bad `--config` mapping at
+    * parse time instead of throwing mid-load.
+    */
+  def parseSparkName(ddl: String): Either[String, DataType] =
+    try Right(DataType.fromDDL(ddl))
+    catch { case _: Exception => Left(s"'$ddl' is not a Spark type name") }
+
+  private def builtin(pgType: String): DataType = pgType match {
     case NumericTypmod(p, s)                     => DecimalType(p.toInt, Option(s).map(_.toInt).getOrElse(0))
     case "numeric" | "decimal"                   => DecimalType(10, 0)
     case "integer" | "int" | "int4" | "serial"   => IntegerType

@@ -71,4 +71,54 @@ class CliSpec extends AnyFunSuite {
       "--source_opt", "noequals"), Map.empty)
     assert(err.isLeft)
   }
+
+  test("--flag=value attached form is the escape hatch for '--'-leading values") {
+    val cli = Main.parse(base ++ Seq(
+      "--pg_user=u", "--pg_password=--not-a-flag", "--source_opt=quote=\""), Map.empty).toOption.get
+    assert(cli.pgUser == "u" && cli.pgPassword == "--not-a-flag")
+    // value split at the FIRST '=' only
+    assert(cli.load.sourceOptions == Map("quote" -> "\""))
+  }
+
+  private def writeTemp(content: String): java.nio.file.Path = {
+    val f = java.nio.file.Files.createTempFile("graft-cli", ".ini")
+    f.toFile.deleteOnExit()
+    java.nio.file.Files.write(f, content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    f
+  }
+
+  test("--config supplies credentials and type overrides; flags outrank it, env is last") {
+    val ini = writeTemp(
+      """[my_database_credentials]
+        |host = confh
+        |database = confdb
+        |user = confu
+        |password = confp
+        |[pg_to_spark_data_type_mapping]
+        |integer = bigint
+        |""".stripMargin)
+    val noUrl = Seq("--source", "csv", "--path", "/in", "--target_pg_table", "t")
+    // all credentials from the file
+    val fromFile = Main.parse(noUrl ++ Seq("--config", ini.toString), Map.empty).toOption.get
+    assert(fromFile.pgUrl == "jdbc:postgresql://confh:5432/confdb")
+    assert(fromFile.pgUser == "confu" && fromFile.pgPassword == "confp")
+    assert(fromFile.load.typeOverrides == Map("integer" -> "bigint"))
+    // explicit flag beats the file; the file beats env
+    val mixed = Main.parse(noUrl ++ Seq("--config", ini.toString, "--pg_user", "flagu"),
+      Map("PGUSER" -> "envu", "PGPASSWORD" -> "envp")).toOption.get
+    assert(mixed.pgUser == "flagu" && mixed.pgPassword == "confp")
+  }
+
+  test("--config errors are usage errors: unreadable file, bad ini, bad type name") {
+    val noUrl = Seq("--source", "csv", "--path", "/in", "--target_pg_table", "t")
+    assert(Main.parse(noUrl ++ Seq("--config", "/no/such/file.ini"), Map.empty).isLeft)
+    val badIni = writeTemp("key before section\n")
+    assert(Main.parse(noUrl ++ Seq("--config", badIni.toString), Map.empty)
+      .swap.toOption.get.contains("line 1"))
+    val badType = writeTemp(
+      "[my_database_credentials]\nhost=h\ndatabase=d\nuser=u\npassword=p\n" +
+        "[pg_to_spark_data_type_mapping]\ninteger = not_a_type\n")
+    val err = Main.parse(noUrl ++ Seq("--config", badType.toString), Map.empty)
+    assert(err.isLeft && err.swap.toOption.get.contains("not_a_type"))
+  }
 }

@@ -50,6 +50,22 @@ class PgTypeMappingSpec extends AnyFunSuite {
     assert(toSparkType("bytea") == BinaryType)
   }
 
+  test("config overrides win over the builtin table, typmod forms fall through") {
+    val ov = Map("integer" -> "bigint", "uuid" -> "string", "money" -> "decimal(19,4)")
+    assert(toSparkType("integer", ov) == LongType)
+    assert(toSparkType("INTEGER ", ov) == LongType) // name folded before lookup
+    assert(toSparkType("money", ov) == DecimalType(19, 4))
+    // not overridden → builtin rules still apply, including typmod parsing
+    assert(toSparkType("numeric(12,2)", ov) == DecimalType(12, 2))
+    assert(toSparkType("bigint", ov) == LongType)
+  }
+
+  test("parseSparkName: valid DDL names succeed, junk is a Left") {
+    assert(PgTypeMapping.parseSparkName("decimal").toOption.get == DecimalType(10, 0))
+    assert(PgTypeMapping.parseSparkName("int").toOption.get == IntegerType)
+    assert(PgTypeMapping.parseSparkName("not_a_type").isLeft)
+  }
+
   test("toStructType preserves order") {
     val st = PgTypeMapping.toStructType(Seq("a" -> "bigint", "b" -> "numeric(4,1)", "c" -> "text"))
     assert(st == StructType(Seq(
