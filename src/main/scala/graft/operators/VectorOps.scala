@@ -101,25 +101,28 @@ object VectorOps {
       k, saltBuckets)
   }
 
-  /** j-th coefficient of the k-th pseudo-random hyperplane for [[srpSignature]]:
-    * a fixed integer formula (Knuth multiplicative constant, prime modulus,
-    * centered) rather than an RNG, so the DuckDB oracle reproduces the
-    * hyperplanes from the same arithmetic. Values in [-501001, 501001].
+  /** j-th coefficient of the k-th pseudo-random hyperplane for [[srpSignature]]
+    * — delegates to the packed matrix's single source of truth
+    * ([[graft.functions.SrpSignatureImpl.weight]]); kept as the public name
+    * the oracle SQL documentation cites. Values in [-501001, 501001].
     */
-  def srpWeight(k: Int, j: Int): Long =
-    (((k + 1L) * (j + 7L) * 2654435761L) % 1000003L) - 501001L
+  def srpWeight(k: Int, j: Int): Long = graft.functions.SrpSignatureImpl.weight(k, j)
 
   /** Sign-random-projection (SRP) signature of a vector: bit k is set iff
     * the dot product with hyperplane k is positive (charikar'02 cosine LSH).
     * Dots are strict left folds of doubles — bit-identical across engines,
-    * so the SIGN is too.
+    * so the SIGN is too. Compiled ([[graft.functions.SrpSignature]]): the
+    * previous per-bit `aggregate(zip_with(…))` column stack paid bits×dim
+    * interpreted double ops per row and kept the signature stage out of
+    * WholeStageCodegen; the expression runs one JVM loop nest over the same
+    * IEEE op sequence (equivalence proven in SrpSignatureSpec, which also
+    * pins the one divergence: degenerate vectors null out instead of
+    * collapsing into the signature-0 LSH bucket).
     */
-  def srpSignature(vec: Column, bits: Int, dim: Int): Column =
-    (0 until bits).map { k =>
-      val w = array((0 until dim).map(j => lit(srpWeight(k, j).toDouble)): _*)
-      when(foldSum(zip_with(asDouble(vec), w, (x, y) => x * y)) > 0.0, lit(1L << k))
-        .otherwise(lit(0L))
-    }.reduce(_ + _)
+  def srpSignature(vec: Column, bits: Int, dim: Int): Column = {
+    import org.apache.spark.sql.graft.bridge
+    bridge.column(graft.functions.SrpSignature(bridge.expression(vec), bits, dim))
+  }
 
   /** Embedding near-duplicate pairs via banded SRP-LSH with exact cosine
     * attached: candidates come from an equi-join on (band, band key); with

@@ -70,6 +70,19 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(fin.contains("*(1)"), s"assignment fell out of codegen:\n$fin")
   }
 
+  test("srp signature stage: compiled expression inside whole-stage codegen") {
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val sigs = e.select(col("vec_id"),
+      graft.operators.VectorOps.srpSignature(col("embedding"), 32, 64).as("sig"))
+    val p = sigs.queryExecution.executedPlan.toString
+    assert(p.contains("graft_srp_signature"),
+      s"signature must be the codegen'd SrpSignature expression:\n$p")
+    sigs.collect()
+    val fin = sigs.queryExecution.executedPlan.toString
+    assert(fin.contains("*(1)"), s"signature stage fell out of codegen:\n$fin")
+  }
+
   test("q_merge_upsert: no more than two exchanges on the merge key path") {
     // merge = window-dedup + anti-join + union on the same key; a regression
     // that re-shuffles per stage would show up as extra exchanges.
