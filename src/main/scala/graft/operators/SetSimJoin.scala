@@ -51,6 +51,22 @@ object SetSimJoin {
   object DfStrategy {
     case object Window extends DfStrategy
     final case class Aggregate(broadcast: Boolean) extends DfStrategy
+
+    /** The zero-index-shuffle endpoint of the bounded-vocabulary path: the
+      * df table (the same broadcast-small relation `Aggregate(broadcast =
+      * true)` ships to every task) is collected and packed driver-side, and
+      * the prefix is selected ROW-LOCALLY by the codegen'd
+      * [[graft.functions.PrefixTokens]] — a per-doc sort over its own
+      * tokens. This removes the full-inverted-index exchange the other
+      * strategies pay for the per-doc rank (`partition by doc order by df,
+      * tok` moves every (doc, token) row — the operator's single largest
+      * shuffle, run on BOTH sides of the self-join when exchange reuse
+      * fails), and only prefix tokens (≈ (1−t)·|set| per doc) are ever
+      * exploded. Requires LONG tokens and STRING blocking columns (the
+      * packed table is (block → sorted long array)); produces results
+      * identical to the other strategies (property-tested).
+      */
+    case object Packed extends DfStrategy
   }
 
   /** Pairs (doc_i < doc_j) within the same `blockCols` values whose token
@@ -87,23 +103,62 @@ object SetSimJoin {
     // than the join side's and ReuseExchange can't deduplicate them).
     // Aggregate: combiner-reduced groupBy count joined back — broadcast for
     // bounded vocabularies (zero index shuffles), shuffle join for
-    // unbounded-but-skewed ones (AQE splits hot join keys). See DfStrategy.
-    val withFreq = dfStrategy match {
-      case DfStrategy.Window =>
-        val wDf = Window.partitionBy(bc :+ col("sj_tok"): _*)
-        ex.withColumn("sj_df", count(lit(1)).over(wDf))
-      case DfStrategy.Aggregate(bcast) =>
-        val dfTab = ex.groupBy(bc :+ col("sj_tok"): _*).agg(count(lit(1)).as("sj_df"))
-        ex.join(if (bcast) broadcast(dfTab) else dfTab, blockCols :+ "sj_tok")
-    }
-
+    // unbounded-but-skewed ones (AQE splits hot join keys).
+    // Packed: df collected driver-side, prefix selected row-locally — no
+    // per-doc rank shuffle at all. See DfStrategy.
+    //
     // Prefix of length |A| − ⌈t·|A|⌉ + 1 under the (df, token) order.
-    val ceilTA = floor((col("sj_sz") * threshNum + (threshDen - 1)) / threshDen)
-    val w = Window.partitionBy(col("sj_id")).orderBy(col("sj_df"), col("sj_tok"))
-    val prefix = withFreq
-      .withColumn("sj_rk", row_number().over(w))
-      .filter(col("sj_rk") <= col("sj_sz") - ceilTA + 1)
-      .select(col("sj_id") +: col("sj_tok") +: col("sj_sz") +: col("sj_rk") +: bc: _*)
+    val prefix = dfStrategy match {
+      case DfStrategy.Window | DfStrategy.Aggregate(_) =>
+        val withFreq = dfStrategy match {
+          case DfStrategy.Window =>
+            val wDf = Window.partitionBy(bc :+ col("sj_tok"): _*)
+            ex.withColumn("sj_df", count(lit(1)).over(wDf))
+          case DfStrategy.Aggregate(bcast) =>
+            val dfTab = ex.groupBy(bc :+ col("sj_tok"): _*).agg(count(lit(1)).as("sj_df"))
+            ex.join(if (bcast) broadcast(dfTab) else dfTab, blockCols :+ "sj_tok")
+          case DfStrategy.Packed => throw new MatchError(dfStrategy) // unreachable
+        }
+        val ceilTA = floor((col("sj_sz") * threshNum + (threshDen - 1)) / threshDen)
+        val w = Window.partitionBy(col("sj_id")).orderBy(col("sj_df"), col("sj_tok"))
+        withFreq
+          .withColumn("sj_rk", row_number().over(w))
+          .filter(col("sj_rk") <= col("sj_sz") - ceilTA + 1)
+          .select(col("sj_id") +: col("sj_tok") +: col("sj_sz") +: col("sj_rk") +: bc: _*)
+      case DfStrategy.Packed =>
+        import org.apache.spark.sql.graft.bridge
+        import graft.functions.{DfPack, PrefixTokens}
+        import org.apache.spark.sql.types.{ArrayType, LongType, StringType}
+        require(d.schema("sj_set").dataType.isInstanceOf[ArrayType] &&
+          d.schema("sj_set").dataType.asInstanceOf[ArrayType].elementType == LongType,
+          s"DfStrategy.Packed needs ARRAY<BIGINT> tokens, got " +
+            d.schema("sj_set").dataType.catalogString)
+        require(blockCols.forall(c => d.schema(c).dataType == StringType),
+          "DfStrategy.Packed needs STRING blocking columns")
+        // The same combiner-reduced count Aggregate uses; collected instead
+        // of broadcast — identical volume, by the bounded-vocabulary
+        // contract that makes this strategy applicable at all.
+        val nb = blockCols.size
+        val dfRows = ex.groupBy(bc :+ col("sj_tok"): _*)
+          .agg(count(lit(1)).as("sj_df")).collect()
+        // A null block value or token can never survive the equi-join in any
+        // strategy (null keys drop); excluded from the pack, and the
+        // expression nulls out rows with null block values to match.
+        val pack = DfPack.pack(dfRows.iterator
+          .filter(r => (0 to nb).forall(i => !r.isNullAt(i)))
+          .map { r =>
+            ((0 until nb).map(r.getString), r.getLong(nb), r.getLong(nb + 1))
+          })
+        // The set size comes from the GENERATOR output, not a size()
+        // projection: see PrefixTokensImpl.prefix on why a size(sj_set)
+        // column would re-shingle the corpus inside the scan stage.
+        val pt = bridge.column(PrefixTokens(
+          bridge.expression(col("sj_set")) +: blockCols.map(c => bridge.expression(col(c))),
+          pack, threshNum, threshDen))
+        d.select(col("sj_id") +: pt.as(Seq("sj_tok", "sj_rk", "sj_sz")) +: bc: _*)
+          .select(col("sj_id") +: col("sj_tok") +: col("sj_sz") +:
+            col("sj_rk") +: bc: _*)
+    }
 
     // Candidates: prefix-token collision inside a block, pruned by
     //  - the length filter: J ≥ t forces t·max(|A|,|B|) ≤ min(|A|,|B|);
@@ -116,9 +171,25 @@ object SetSimJoin {
     // joiner (at sf0.1 that's 2.4 M → ~0.3 M rows into the hash aggregate)
     // instead of materializing every collision into groupBy state first.
     // The aggregate that remains is pure pair-dedup for the verify join.
+    // Packed has NO exchange anywhere in its map pipeline — which exposes a
+    // planner trap: a broadcast join BUILD side strips any user repartition
+    // beneath it (collecting makes redistribution "redundant"), so the
+    // build's whole scan→shingle→prefix pipeline re-runs at the SOURCE
+    // file's split parallelism — measured as the entire corpus re-shingled
+    // on one task over a single-split parquet fixture. SHUFFLE_HASH on the
+    // build sides keeps every heavy-compute side behind a real exchange
+    // (full map parallelism, AQE-splittable keys); at scale these sides are
+    // far beyond broadcast thresholds anyway, so the hint only pins what a
+    // 1000-executor plan would do regardless, without the sort a merge join
+    // would add. Window/Aggregate paths keep planner freedom: their window
+    // exchange already feeds every consumer.
+    val hinted: DataFrame => DataFrame = dfStrategy match {
+      case DfStrategy.Packed => _.hint("SHUFFLE_HASH")
+      case _                 => identity
+    }
     val alpha = ceilDiv((col("sz_i") + col("sz_j")) * threshNum, threshNum + threshDen)
     val cand = prefix.toDF("doc_i" +: "sj_tok" +: "sz_i" +: "rk_i" +: blockCols: _*)
-      .join(prefix.toDF("doc_j" +: "sj_tok" +: "sz_j" +: "rk_j" +: blockCols: _*),
+      .join(hinted(prefix.toDF("doc_j" +: "sj_tok" +: "sz_j" +: "rk_j" +: blockCols: _*)),
         blockCols :+ "sj_tok")
       .filter(col("doc_i") < col("doc_j") &&
         col("sz_i") * threshNum <= col("sz_j") * threshDen &&
@@ -130,8 +201,8 @@ object SetSimJoin {
     // Exact verification on candidates only.
     val sets = d.select(col("sj_id"), col("sj_set"))
     cand
-      .join(sets.toDF("doc_i", "set_i"), "doc_i")
-      .join(sets.toDF("doc_j", "set_j"), "doc_j")
+      .join(hinted(sets.toDF("doc_i", "set_i")), "doc_i")
+      .join(hinted(sets.toDF("doc_j", "set_j")), "doc_j")
       .withColumn("n_common", size(array_intersect(col("set_i"), col("set_j"))).cast("long"))
       .withColumn("n_union",
         (size(col("set_i")) + size(col("set_j"))).cast("long") - col("n_common"))

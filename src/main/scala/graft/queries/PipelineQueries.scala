@@ -101,9 +101,12 @@ object PipelineQueries extends QueryDomain {
       // pairs come from rare-token prefix collisions, never an all-pairs
       // block scan, so work stays near-linear as blocks grow. Character
       // trigrams are a BOUNDED vocabulary, so document frequency uses the
-      // broadcast-aggregate strategy: hot stop-trigram keys collapse to one
-      // map-side partial per task and the index never shuffles on (block,
-      // token) — see [[SetSimJoin.DfStrategy]].
+      // PACKED strategy: the combiner-reduced df table is packed driver-side
+      // and the prefix is selected row-locally by the codegen'd
+      // [[graft.functions.PrefixTokens]] — no (block, token) index shuffle
+      // AND no per-doc rank window shuffle (the full-inverted-index exchange
+      // the window form pays on both self-join sides) — see
+      // [[SetSimJoin.DfStrategy]].
       // Shingling is the codegen'd [[graft.functions.PackedShingles]] — one
       // compiled O(len) pass per row, each trigram packed LOSSLESSLY into a
       // long (21 bits per code point), so every downstream stage — explode,
@@ -118,7 +121,7 @@ object PipelineQueries extends QueryDomain {
       orderedSmall(
         SetSimJoin.jaccardJoin(g, "doc_id", "gr", Seq("lang", "source"),
             threshNum = 3, threshDen = 5,
-            dfStrategy = SetSimJoin.DfStrategy.Aggregate(broadcast = true))
+            dfStrategy = SetSimJoin.DfStrategy.Packed)
           .select($"doc_i", $"doc_j", $"n_common", $"n_union"),
         $"doc_i", $"doc_j")
     },

@@ -91,6 +91,42 @@ class SetSimJoinSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("property: all four DfStrategies identical on long tokens, hot keys included") {
+    val rng = new scala.util.Random(29) // deterministic
+    // Long-token twin of the skewed fixture (Packed requires long tokens):
+    // token 0 is the everywhere-hot stop token; small vocab forces prefix
+    // collisions and (df, token) ties. The rare-first ORDER differs between
+    // long and string token types (2 < 10 but "t10" < "t2") — the result
+    // set must not, and must also match across all four strategies.
+    val rows = (0 until 150).map { id =>
+      val toks = (0L +: Seq.fill(2 + rng.nextInt(10))(1L + rng.nextInt(20).toLong)).distinct
+      (id.toLong, if (id % 3 == 0) "a" else "b", toks)
+    }
+    // planted exact twins so even the t=1 pass has answers to lose
+    val planted = rows.take(4).map { case (id, blk, toks) => (id + 1000L, blk, toks) }
+    val df = (rows ++ planted).toDF("doc_id", "blk", "gr")
+    val strategies = Seq(
+      SetSimJoin.DfStrategy.Window,
+      SetSimJoin.DfStrategy.Aggregate(broadcast = true),
+      SetSimJoin.DfStrategy.Aggregate(broadcast = false),
+      SetSimJoin.DfStrategy.Packed)
+    for ((tn, td) <- Seq((1, 2), (3, 5), (1, 1))) {
+      val results = strategies.map(st => pairsOf(
+        SetSimJoin.jaccardJoin(df, "doc_id", "gr", Seq("blk"), tn, td, st)))
+      assert(results(0).nonEmpty, s"degenerate fixture at threshold $tn/$td")
+      assert(results.distinct.size == 1, s"DfStrategy divergence at threshold $tn/$td")
+    }
+  }
+
+  test("Packed rejects string tokens and non-string blocking columns") {
+    val stringToks = Seq((1L, "a", Seq("x", "y", "z"))).toDF("doc_id", "blk", "gr")
+    assertThrows[IllegalArgumentException](SetSimJoin.jaccardJoin(
+      stringToks, "doc_id", "gr", Seq("blk"), 1, 2, SetSimJoin.DfStrategy.Packed))
+    val intBlock = Seq((1L, 7, Seq(1L, 2L, 3L))).toDF("doc_id", "blk", "gr")
+    assertThrows[IllegalArgumentException](SetSimJoin.jaccardJoin(
+      intBlock, "doc_id", "gr", Seq("blk"), 1, 2, SetSimJoin.DfStrategy.Packed))
+  }
+
   test("degenerate threshold is rejected") {
     assertThrows[IllegalArgumentException](
       SetSimJoin.jaccardJoin(grams, "doc_id", "gr", Seq("lang"), 0, 5))
