@@ -16,12 +16,15 @@ import org.apache.spark.sql.functions._
   * prefixes on (blockCols, token) is a superset of the answer. Verification
   * then computes exact `|A∩B|` / `|A∪B|` only for candidate pairs.
   *
-  * Scale posture (100 TB): every stage is a shuffle on a high-cardinality
-  * key — the df-count and prefix join shuffle on (block, token) where
-  * rare-first ordering keeps per-token fan-out small (frequent stop-tokens
-  * never appear in prefixes), the rank window and verify joins shuffle on
-  * doc id. Work is candidates·|set| rather than Σ block² — no stage is
-  * quadratic in block size.
+  * Scale posture (100 TB): every shuffle is on a high-cardinality key — the
+  * prefix join on (block, token) where rare-first ordering keeps per-token
+  * fan-out small (frequent stop-tokens never appear in prefixes), the dedup
+  * and verify joins on doc id. Work is candidates·|set| rather than
+  * Σ block² — no stage is quadratic in block size. With a bounded
+  * vocabulary, [[DfStrategy.Packed]] removes the largest exchange outright:
+  * prefixes are selected row-locally against a driver-packed df table, so
+  * the full inverted index is never shuffled at all — only df-aggregate
+  * partials, prefix tokens, and slim candidate pairs ever cross the wire.
   */
 object SetSimJoin {
 
