@@ -83,6 +83,23 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(fin.contains("*(1)"), s"signature stage fell out of codegen:\n$fin")
   }
 
+  test("q_ngram_jaccard: packed prefix path — no window, no full-index shuffle") {
+    val p = plan("q_ngram_jaccard")
+    assert(p.contains("graft_prefix_tokens"),
+      s"prefix selection must be the row-local generator:\n$p")
+    assert(p.contains("graft_packed_shingles"),
+      s"shingling must be the packed-long expression:\n$p")
+    assert(!p.contains("Window"),
+      s"the per-doc rank window (full inverted-index shuffle) must be gone:\n$p")
+    // Remaining hash exchanges: pair-dedup + the SHUFFLE_HASH joins on slim
+    // keys (doc ids / prefix tokens) — never the full (doc, token) index.
+    // The repartition barrier and final single-partition sort are not
+    // per-token shuffles. A regression to the window form would show as a
+    // Window node or an exchange over sj_id on the full index.
+    assert(!p.contains("Exchange hashpartitioning(sj_id"),
+      s"full-index per-doc exchange must not exist:\n$p")
+  }
+
   test("q_merge_upsert: no more than two exchanges on the merge key path") {
     // merge = window-dedup + anti-join + union on the same key; a regression
     // that re-shuffles per stage would show up as extra exchanges.
