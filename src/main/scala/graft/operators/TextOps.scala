@@ -71,7 +71,19 @@ object TextOps {
 
   /** Distinct word `n`-gram shingles of `text` (ARRAY<STRING>). Documents
     * with fewer than `n` tokens yield an empty array (same guard rationale
-    * as [[charCodes]]).
+    * as [[charCodes]]). Compiled ([[graft.functions.WordShingles]]): one
+    * O(bytes) pass emitting zero-copy slices; [[wordShinglesHof]] is the
+    * interpreted formulation it must stay element-identical to
+    * (cross-checked in WordShinglesSpec; the DuckDB oracle twin mirrors the
+    * HOF shape).
+    */
+  def wordShingles(text: Column, n: Int = 3): Column =
+    org.apache.spark.sql.graft.bridge.column(
+      graft.functions.WordShingles(
+        org.apache.spark.sql.graft.bridge.expression(text), n))
+
+  /** Reference formulation of [[wordShingles]] as interpreted HOF
+    * expressions — kept as the executable spec.
     *
     * The token array is let-bound through a singleton-array `transform` so
     * the shingle lambda references a LAMBDA VARIABLE, not the `split`
@@ -80,7 +92,7 @@ object TextOps {
     * once per shingle position — O(tokens²) per document, which dominated
     * the dedup pipelines before this binding.
     */
-  def wordShingles(text: Column, n: Int = 3): Column =
+  def wordShinglesHof(text: Column, n: Int = 3): Column =
     element_at(
       transform(array(tokens(text)), w => {
         val grams = transform(sequence(lit(1), size(w) - (n - 1)),
