@@ -19,10 +19,14 @@ import org.apache.spark.sql.functions._
 object SimHash {
 
   /** Token-hash array (ARRAY<BIGINT>) — SimHash votes use multiplicity:
-    * repeated tokens vote once per occurrence.
+    * repeated tokens vote once per occurrence. Compiled
+    * ([[graft.functions.TokenHashes]]); the interpreted
+    * `transform(tokens, polyHash)` twin is pinned in TokenHashesSpec.
     */
   def tokenHashes(text: Column): Column =
-    transform(TextOps.tokens(text), TextOps.polyHash(_))
+    org.apache.spark.sql.graft.bridge.column(
+      graft.functions.TokenHashes(
+        org.apache.spark.sql.graft.bridge.expression(text), wide = false))
 
   /** SimHash of a precomputed token-hash array column. `bits` ≤ 62.
     *
@@ -110,7 +114,9 @@ object SimHash {
     // pairwise in every band — a quadratic bucket over contentless rows
     // (exact dedup is the right tool there). The oracle applies the same
     // WHERE clause, keeping the brute-force-equality contract.
-    val th = transform(TextOps.tokens(col(textCol)), TextOps.wideHash(_))
+    val th = org.apache.spark.sql.graft.bridge.column(
+      graft.functions.TokenHashes(
+        org.apache.spark.sql.graft.bridge.expression(col(textCol)), wide = true))
     val sigs = signatures(
       docs.filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0),
       idCol, th, bits)
