@@ -126,6 +126,27 @@ object PipelineQueries extends QueryDomain {
         $"doc_i", $"doc_j")
     },
 
+    // ---- sketches ---------------------------------------------------------
+    "q_kmv_distinct" -> { (s, dir) =>
+      import s.implicits._
+      // Distinct-document cardinality per language via the KMV bottom-k
+      // sketch ([[graft.operators.Sketches.kmvDistinct]]): O(k) state per
+      // group, map-side-merged partials — the scale shape for distinct
+      // counting — and, unlike approx_count_distinct's HLL, a DETERMINISTIC
+      // function of the value set, so the kth hash and the estimate itself
+      // hash-match the DuckDB oracle. The exact distinct count rides along
+      // for error inspection.
+      val d = docs(s, dir).filter($"text".isNotNull)
+        .select($"lang", TextOps.polyHash($"text").as("h"))
+      orderedSmall(
+        d.groupBy($"lang")
+          .agg(Sketches.kmvDistinct($"h", 64).as("s"),
+            countDistinct($"h").as("n_exact_hashes"))
+          .select($"lang", $"s.n_min".as("n_min"), $"s.kth_hash".as("kth_hash"),
+            $"s.estimate".as("est_distinct"), $"n_exact_hashes"),
+        $"lang")
+    },
+
     // ---- text analysis ----------------------------------------------------
     "q_text_stats" -> { (s, dir) =>
       import s.implicits._
@@ -473,6 +494,22 @@ object PipelineQueries extends QueryDomain {
         |WHERE len(list_distinct(list_concat(a.gr, b.gr))) > 0
         |  AND 5 * len(list_intersect(a.gr, b.gr)) >= 3 * len(list_distinct(list_concat(a.gr, b.gr)))
         |ORDER BY doc_i, doc_j""".stripMargin,
+
+    "q_kmv_distinct" ->
+      s"""WITH h AS (SELECT DISTINCT lang, ${duckHash("text")} AS h
+         |  FROM documents WHERE text IS NOT NULL),
+         |r AS (SELECT lang, h,
+         |    row_number() OVER (PARTITION BY lang ORDER BY h) AS rk,
+         |    COUNT(*) OVER (PARTITION BY lang) AS nd
+         |  FROM h)
+         |SELECT lang,
+         |  CAST(LEAST(nd, 64) AS INTEGER) AS n_min,
+         |  MAX(CASE WHEN rk = LEAST(nd, 64) THEN h END) AS kth_hash,
+         |  CASE WHEN nd < 64 THEN CAST(nd AS DOUBLE)
+         |       ELSE 63.0 * 1000000007.0
+         |            / CAST(MAX(CASE WHEN rk = 64 THEN h END) AS DOUBLE) END AS est_distinct,
+         |  CAST(nd AS BIGINT) AS n_exact_hashes
+         |FROM r GROUP BY lang, nd ORDER BY lang""".stripMargin,
 
     "q_text_stats" ->
       """WITH d AS (SELECT lang, source,
