@@ -28,6 +28,16 @@ import org.apache.spark.sql.functions._
   */
 object SetSimJoin {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Default ceiling on driver-collected (block, token) df entries for
+    * [[DfStrategy.Packed]] — ~4 M entries is tens of MB packed, far under
+    * any sane driver heap, while any real bounded vocabulary (character
+    * n-grams over an alphabet, a language's word list) sits orders of
+    * magnitude below it.
+    */
+  val DefaultMaxPackedDfEntries: Int = 4 << 20
+
   /** How per-(block, token) document frequency — the rare-first token
     * order — is computed. All strategies produce IDENTICAL df values (and
     * therefore identical join output — property-tested in SetSimJoinSpec);
@@ -67,7 +77,11 @@ object SetSimJoin {
       * fails), and only prefix tokens (≈ (1−t)·|set| per doc) are ever
       * exploded. Requires LONG tokens and STRING blocking columns (the
       * packed table is (block → sorted long array)); produces results
-      * identical to the other strategies (property-tested).
+      * identical to the other strategies (property-tested). The
+      * bounded-vocabulary contract is enforced at run time: a df table
+      * larger than `maxPackedDfEntries` falls back to
+      * `Aggregate(broadcast = false)` with a warning rather than OOM the
+      * driver.
       */
     case object Packed extends DfStrategy
   }
@@ -88,8 +102,11 @@ object SetSimJoin {
       blockCols: Seq[String],
       threshNum: Int,
       threshDen: Int,
-      dfStrategy: DfStrategy = DfStrategy.Window): DataFrame = {
+      dfStrategy: DfStrategy = DfStrategy.Window,
+      maxPackedDfEntries: Int = DefaultMaxPackedDfEntries): DataFrame = {
     require(threshNum > 0 && threshNum <= threshDen, "threshold must be in (0, 1]")
+    require(maxPackedDfEntries > 0 && maxPackedDfEntries < Int.MaxValue,
+      "maxPackedDfEntries must be a positive Int with headroom for the overflow probe")
     def ceilDiv(n: Column, d: Int): Column = floor((n + (d - 1)) / d).cast("int")
     val bc = blockCols.map(col)
     val d = docs.select(col(idCol).as("sj_id") +: col(setCol).as("sj_set") +: bc: _*)
@@ -98,6 +115,43 @@ object SetSimJoin {
     val ex = d.select(
       col("sj_id") +: size(col("sj_set")).as("sj_sz") +:
         explode(col("sj_set")).as("sj_tok") +: bc: _*)
+
+    // Packed's bounded-vocabulary contract is ENFORCED, not assumed: the df
+    // table is collected through a hard cap (one row past `maxPackedDfEntries`
+    // proves the overflow without materializing an unbounded result on the
+    // driver), and an oversized vocabulary degrades to
+    // Aggregate(broadcast = false) — the unbounded-vocabulary strategy built
+    // on the same combiner-reduced count, identical output by the strategy
+    // property tests — with a warning naming the contract, instead of OOMing
+    // the driver with no diagnostic.
+    val packedDfRows: Option[Array[org.apache.spark.sql.Row]] = dfStrategy match {
+      case DfStrategy.Packed =>
+        import org.apache.spark.sql.types.{ArrayType, LongType, StringType}
+        require(d.schema("sj_set").dataType.isInstanceOf[ArrayType] &&
+          d.schema("sj_set").dataType.asInstanceOf[ArrayType].elementType == LongType,
+          s"DfStrategy.Packed needs ARRAY<BIGINT> tokens, got " +
+            d.schema("sj_set").dataType.catalogString)
+        require(blockCols.forall(c => d.schema(c).dataType == StringType),
+          "DfStrategy.Packed needs STRING blocking columns")
+        // The same combiner-reduced count Aggregate uses; collected instead
+        // of broadcast — identical volume when the contract holds.
+        val capped = ex.groupBy(bc :+ col("sj_tok"): _*)
+          .agg(count(lit(1)).as("sj_df"))
+          .limit(maxPackedDfEntries + 1).collect()
+        if (capped.length <= maxPackedDfEntries) Some(capped)
+        else {
+          log.warn(s"DfStrategy.Packed df table exceeds maxPackedDfEntries=" +
+            s"$maxPackedDfEntries distinct (block, token) entries; the " +
+            "bounded-vocabulary contract does not hold for this input — " +
+            "falling back to DfStrategy.Aggregate(broadcast = false)")
+          None
+        }
+      case _ => None
+    }
+    val strategy: DfStrategy =
+      if (dfStrategy == DfStrategy.Packed && packedDfRows.isEmpty)
+        DfStrategy.Aggregate(broadcast = false)
+      else dfStrategy
 
     // Rare-first global order: per-block document frequency of each token.
     // Window: one shuffle of the index, df attached in place (no second
@@ -111,16 +165,16 @@ object SetSimJoin {
     // per-doc rank shuffle at all. See DfStrategy.
     //
     // Prefix of length |A| − ⌈t·|A|⌉ + 1 under the (df, token) order.
-    val prefix = dfStrategy match {
+    val prefix = strategy match {
       case DfStrategy.Window | DfStrategy.Aggregate(_) =>
-        val withFreq = dfStrategy match {
+        val withFreq = strategy match {
           case DfStrategy.Window =>
             val wDf = Window.partitionBy(bc :+ col("sj_tok"): _*)
             ex.withColumn("sj_df", count(lit(1)).over(wDf))
           case DfStrategy.Aggregate(bcast) =>
             val dfTab = ex.groupBy(bc :+ col("sj_tok"): _*).agg(count(lit(1)).as("sj_df"))
             ex.join(if (bcast) broadcast(dfTab) else dfTab, blockCols :+ "sj_tok")
-          case DfStrategy.Packed => throw new MatchError(dfStrategy) // unreachable
+          case DfStrategy.Packed => throw new MatchError(strategy) // unreachable
         }
         val ceilTA = floor((col("sj_sz") * threshNum + (threshDen - 1)) / threshDen)
         val w = Window.partitionBy(col("sj_id")).orderBy(col("sj_df"), col("sj_tok"))
@@ -131,19 +185,8 @@ object SetSimJoin {
       case DfStrategy.Packed =>
         import org.apache.spark.sql.graft.bridge
         import graft.functions.{DfPack, PrefixTokens}
-        import org.apache.spark.sql.types.{ArrayType, LongType, StringType}
-        require(d.schema("sj_set").dataType.isInstanceOf[ArrayType] &&
-          d.schema("sj_set").dataType.asInstanceOf[ArrayType].elementType == LongType,
-          s"DfStrategy.Packed needs ARRAY<BIGINT> tokens, got " +
-            d.schema("sj_set").dataType.catalogString)
-        require(blockCols.forall(c => d.schema(c).dataType == StringType),
-          "DfStrategy.Packed needs STRING blocking columns")
-        // The same combiner-reduced count Aggregate uses; collected instead
-        // of broadcast — identical volume, by the bounded-vocabulary
-        // contract that makes this strategy applicable at all.
         val nb = blockCols.size
-        val dfRows = ex.groupBy(bc :+ col("sj_tok"): _*)
-          .agg(count(lit(1)).as("sj_df")).collect()
+        val dfRows = packedDfRows.get // guarded + collected above, under cap
         // A null block value or token can never survive the equi-join in any
         // strategy (null keys drop); excluded from the pack, and the
         // expression nulls out rows with null block values to match.
@@ -186,7 +229,7 @@ object SetSimJoin {
     // 1000-executor plan would do regardless, without the sort a merge join
     // would add. Window/Aggregate paths keep planner freedom: their window
     // exchange already feeds every consumer.
-    val hinted: DataFrame => DataFrame = dfStrategy match {
+    val hinted: DataFrame => DataFrame = strategy match {
       case DfStrategy.Packed => _.hint("SHUFFLE_HASH")
       case _                 => identity
     }

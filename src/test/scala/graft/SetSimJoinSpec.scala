@@ -118,6 +118,33 @@ class SetSimJoinSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("Packed over the df-entry cap falls back to Aggregate, identical output") {
+    // Vocabulary of ~21 tokens × 2 blocks ⇒ well over a cap of 5 distinct
+    // (block, token) entries: the guard must refuse to pack and degrade to
+    // Aggregate(broadcast = false) — same rows out, and the packed-prefix
+    // generator must NOT appear in the executed plan.
+    val rng = new scala.util.Random(31)
+    val rows = (0 until 60).map { id =>
+      val toks = (0L +: Seq.fill(2 + rng.nextInt(8))(1L + rng.nextInt(20).toLong)).distinct
+      (id.toLong, if (id % 2 == 0) "a" else "b", toks)
+    }
+    val df = rows.toDF("doc_id", "blk", "gr")
+    val packed = SetSimJoin.jaccardJoin(df, "doc_id", "gr", Seq("blk"), 1, 2,
+      SetSimJoin.DfStrategy.Packed, maxPackedDfEntries = 5)
+    assert(!packed.queryExecution.optimizedPlan.toString.contains("graft_prefix_tokens"),
+      "over-cap Packed must not run the driver-packed prefix generator")
+    val viaWindow = pairsOf(
+      SetSimJoin.jaccardJoin(df, "doc_id", "gr", Seq("blk"), 1, 2))
+    assert(pairsOf(packed) == viaWindow)
+    assert(viaWindow.nonEmpty, "degenerate fixture")
+    // Under a generous cap the same input packs fine and still agrees.
+    val underCap = SetSimJoin.jaccardJoin(df, "doc_id", "gr", Seq("blk"), 1, 2,
+      SetSimJoin.DfStrategy.Packed, maxPackedDfEntries = 10000)
+    assert(underCap.queryExecution.optimizedPlan.toString.contains("graft_prefix_tokens"),
+      "under-cap Packed must keep the packed-prefix path")
+    assert(pairsOf(underCap) == viaWindow)
+  }
+
   test("Packed rejects string tokens and non-string blocking columns") {
     val stringToks = Seq((1L, "a", Seq("x", "y", "z"))).toDF("doc_id", "blk", "gr")
     assertThrows[IllegalArgumentException](SetSimJoin.jaccardJoin(
