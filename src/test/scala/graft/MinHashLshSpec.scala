@@ -37,6 +37,26 @@ class MinHashLshSpec extends AnyFunSuite with SparkSpec {
     assert(sig(docs) === sig(docs.repartition(7)))
   }
 
+  test("band keys are primitive longs; equal band rows ⇒ equal keys") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet").limit(50)
+    val shingled = docs.select($"doc_id",
+        graft.operators.TextOps.wordShingles($"text").as("sh"))
+      .filter(size($"sh") > 0)
+    val banded = MinHashLsh.bandedKeys(MinHashLsh.signatures(shingled, 16), 4, 4)
+    // The join key must be a primitive LONG — variable-length string keys
+    // were measured ~1.8× slower on the analogous n-gram join.
+    assert(banded.schema("band_key").dataType ==
+      org.apache.spark.sql.types.LongType)
+    // Exact duplicates (same text ⇒ same signature) share every band key.
+    val planted = shingled.limit(3)
+    val twin = planted.withColumn("doc_id", $"doc_id" + 100000L)
+    val both = MinHashLsh.bandedKeys(
+      MinHashLsh.signatures(planted.union(twin), 16), 4, 4)
+    val keyGroups = both.groupBy($"band", $"band_key").count()
+      .filter($"count" >= 2).count()
+    assert(keyGroups >= 4 * 3, "planted twins must collide in every band")
+  }
+
   test("permutation hashes stay within [0, Prime)") {
     val h = lit(999999999L)
     val vals = (0 until 64).map(k =>
