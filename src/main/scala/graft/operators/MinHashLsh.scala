@@ -63,7 +63,14 @@ object MinHashLsh {
     * same information in variable-length bytes — the string-vs-long key
     * delta measured ~1.8× on the n-gram join when `PackedShingles` made the
     * same change there (band is a separate join column, so cross-band
-    * collisions are impossible regardless).
+    * collisions are impossible regardless). One more collision class beyond
+    * 2⁻⁶⁴: `xxhash64` SKIPS null children (a null signature value leaves the
+    * running hash unchanged), so band rows differing only in null position
+    * collide — harmless here because [[signatures]] emits non-null values
+    * for every doc that survives the non-empty-shingles filter (`min` over a
+    * non-empty group), and a false candidate is absorbed by exact
+    * verification anyway; callers feeding nullable signatures should assert
+    * non-null upstream.
     */
   def bandedKeys(sigs: DataFrame, numBands: Int, rowsPerBand: Int): DataFrame = {
     val bandStructs = (0 until numBands).map { b =>

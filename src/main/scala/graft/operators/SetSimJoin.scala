@@ -123,35 +123,42 @@ object SetSimJoin {
     // Aggregate(broadcast = false) — the unbounded-vocabulary strategy built
     // on the same combiner-reduced count, identical output by the strategy
     // property tests — with a warning naming the contract, instead of OOMing
-    // the driver with no diagnostic.
-    val packedDfRows: Option[Array[org.apache.spark.sql.Row]] = dfStrategy match {
-      case DfStrategy.Packed =>
-        import org.apache.spark.sql.types.{ArrayType, LongType, StringType}
-        require(d.schema("sj_set").dataType.isInstanceOf[ArrayType] &&
-          d.schema("sj_set").dataType.asInstanceOf[ArrayType].elementType == LongType,
-          s"DfStrategy.Packed needs ARRAY<BIGINT> tokens, got " +
-            d.schema("sj_set").dataType.catalogString)
-        require(blockCols.forall(c => d.schema(c).dataType == StringType),
-          "DfStrategy.Packed needs STRING blocking columns")
-        // The same combiner-reduced count Aggregate uses; collected instead
-        // of broadcast — identical volume when the contract holds.
-        val capped = ex.groupBy(bc :+ col("sj_tok"): _*)
-          .agg(count(lit(1)).as("sj_df"))
-          .limit(maxPackedDfEntries + 1).collect()
-        if (capped.length <= maxPackedDfEntries) Some(capped)
-        else {
-          log.warn(s"DfStrategy.Packed df table exceeds maxPackedDfEntries=" +
-            s"$maxPackedDfEntries distinct (block, token) entries; the " +
-            "bounded-vocabulary contract does not hold for this input — " +
-            "falling back to DfStrategy.Aggregate(broadcast = false)")
-          None
-        }
-      case _ => None
-    }
-    val strategy: DfStrategy =
-      if (dfStrategy == DfStrategy.Packed && packedDfRows.isEmpty)
-        DfStrategy.Aggregate(broadcast = false)
-      else dfStrategy
+    // the driver with no diagnostic. The probe's aggregate is persisted
+    // before the capped collect so the degraded path — which fires exactly
+    // when that aggregate is at its largest — reuses the computed partitions
+    // for its join instead of aggregating the index a second time; when the
+    // contract holds the cache is dropped immediately (the rows live on the
+    // driver), and an overflow's cache is released by the ContextCleaner
+    // once the plan it feeds is unreferenced.
+    val (strategy, packedDfRows, dfTabReuse): (DfStrategy,
+        Option[Array[org.apache.spark.sql.Row]], Option[DataFrame]) =
+      dfStrategy match {
+        case DfStrategy.Packed =>
+          import org.apache.spark.sql.types.{ArrayType, LongType, StringType}
+          require(d.schema("sj_set").dataType.isInstanceOf[ArrayType] &&
+            d.schema("sj_set").dataType.asInstanceOf[ArrayType].elementType == LongType,
+            s"DfStrategy.Packed needs ARRAY<BIGINT> tokens, got " +
+              d.schema("sj_set").dataType.catalogString)
+          require(blockCols.forall(c => d.schema(c).dataType == StringType),
+            "DfStrategy.Packed needs STRING blocking columns")
+          // The same combiner-reduced count Aggregate uses; collected instead
+          // of broadcast — identical volume when the contract holds.
+          val dfTab = ex.groupBy(bc :+ col("sj_tok"): _*)
+            .agg(count(lit(1)).as("sj_df"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val capped = dfTab.limit(maxPackedDfEntries + 1).collect()
+          if (capped.length <= maxPackedDfEntries) {
+            dfTab.unpersist(blocking = false)
+            (DfStrategy.Packed, Some(capped), None)
+          } else {
+            log.warn(s"DfStrategy.Packed df table exceeds maxPackedDfEntries=" +
+              s"$maxPackedDfEntries distinct (block, token) entries; the " +
+              "bounded-vocabulary contract does not hold for this input — " +
+              "falling back to DfStrategy.Aggregate(broadcast = false)")
+            (DfStrategy.Aggregate(broadcast = false), None, Some(dfTab))
+          }
+        case s => (s, None, None)
+      }
 
     // Rare-first global order: per-block document frequency of each token.
     // Window: one shuffle of the index, df attached in place (no second
@@ -172,7 +179,10 @@ object SetSimJoin {
             val wDf = Window.partitionBy(bc :+ col("sj_tok"): _*)
             ex.withColumn("sj_df", count(lit(1)).over(wDf))
           case DfStrategy.Aggregate(bcast) =>
-            val dfTab = ex.groupBy(bc :+ col("sj_tok"): _*).agg(count(lit(1)).as("sj_df"))
+            // A Packed→Aggregate fallback hands over its already-persisted
+            // aggregate; the direct Aggregate path builds it here.
+            val dfTab = dfTabReuse.getOrElse(
+              ex.groupBy(bc :+ col("sj_tok"): _*).agg(count(lit(1)).as("sj_df")))
             ex.join(if (bcast) broadcast(dfTab) else dfTab, blockCols :+ "sj_tok")
           case DfStrategy.Packed => throw new MatchError(strategy) // unreachable
         }

@@ -48,13 +48,26 @@ class MinHashLshSpec extends AnyFunSuite with SparkSpec {
     assert(banded.schema("band_key").dataType ==
       org.apache.spark.sql.types.LongType)
     // Exact duplicates (same text ⇒ same signature) share every band key.
-    val planted = shingled.limit(3)
+    // The planted rows are materialized once (collect → local relation):
+    // referencing an unordered `limit` twice via union is not guaranteed to
+    // pick the same rows in both subtrees, and a raw shared-key group count
+    // undercounts when two distinct planted docs happen to share a band key.
+    val plantedRows = shingled.orderBy($"doc_id").limit(3)
+      .as[(Long, Seq[String])].collect().toSeq
+    val planted = plantedRows.toDF("doc_id", "sh")
     val twin = planted.withColumn("doc_id", $"doc_id" + 100000L)
     val both = MinHashLsh.bandedKeys(
       MinHashLsh.signatures(planted.union(twin), 16), 4, 4)
-    val keyGroups = both.groupBy($"band", $"band_key").count()
-      .filter($"count" >= 2).count()
-    assert(keyGroups >= 4 * 3, "planted twins must collide in every band")
+    // Each planted doc must collide with ITS twin in every one of the 4 bands.
+    val collisions = both.as("a").join(both.as("b"),
+        $"a.band" === $"b.band" && $"a.band_key" === $"b.band_key" &&
+          $"a.doc_id" + 100000L === $"b.doc_id")
+      .groupBy(col("a.doc_id").as("doc_id")).count()
+      .as[(Long, Long)].collect().toMap
+    plantedRows.map(_._1).foreach { id =>
+      assert(collisions.get(id).contains(4L),
+        s"doc $id must collide with its twin in all 4 bands, got ${collisions.get(id)}")
+    }
   }
 
   test("permutation hashes stay within [0, Prime)") {
