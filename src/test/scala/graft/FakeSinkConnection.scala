@@ -62,3 +62,132 @@ class FakeConnectionFactory(id: String, failOnKeys: Set[Long]) extends Connectio
     new FakeSinkConnection(id, r => failOnKeys(r.head.asInstanceOf[Long]))
   }
 }
+
+/** Parses the exact SQL text [[graft.sink.UpsertSqlGen]] emits, so the keyed
+  * fake EXECUTES the generated statement rather than re-assuming its
+  * semantics: if the codegen put the wrong columns in the conflict target or
+  * the SET list, the fake's final table state diverges from the
+  * `MergeOps.merge` oracle and the reconciliation spec fails. Malformed SQL
+  * fails the parse loudly (MatchError) rather than being silently skipped.
+  */
+object UpsertSqlParser {
+  sealed trait Mode
+  case object InsertOnly extends Mode
+  case object DoNothing extends Mode
+  final case class DoUpdate(updateCols: Vector[String]) extends Mode
+  final case class UpsertSpec(
+      table: String, columns: Vector[String], key: Vector[String], mode: Mode)
+
+  private val InsertRe = """INSERT INTO (\S+) \(([^)]*)\) VALUES \([?, ]*\)(.*)""".r
+  private val ConflictRe = """ ON CONFLICT \(([^)]*)\)(.*)""".r
+
+  def parse(sql: String): UpsertSpec = {
+    val InsertRe(table, colList, rest) = sql: @unchecked
+    val columns = colList.split(", ", -1).toVector
+    if (rest.isEmpty) UpsertSpec(table, columns, Vector.empty, InsertOnly)
+    else {
+      val ConflictRe(keyList, action) = rest: @unchecked
+      val key = keyList.split(", ", -1).toVector
+      val mode = action match {
+        case " DO NOTHING" => DoNothing
+        case upd if upd.startsWith(" DO UPDATE SET ") =>
+          val set = upd.stripPrefix(" DO UPDATE SET ")
+          val updateCols =
+            if (set.startsWith("(")) {
+              val Array(lhs, rhs) = set.split(""" = """, 2)
+              val cols = lhs.stripPrefix("(").stripSuffix(")").split(", ", -1).toVector
+              val excl = rhs.stripPrefix("(").stripSuffix(")").split(", ", -1).toVector
+              assert(excl == cols.map("EXCLUDED." + _), s"SET list mismatch in: $sql")
+              cols
+            } else {
+              val Array(lhs, rhs) = set.split(""" = """, 2)
+              assert(rhs == s"EXCLUDED.$lhs", s"SET list mismatch in: $sql")
+              Vector(lhs)
+            }
+          DoUpdate(updateCols)
+      }
+      UpsertSpec(table, columns, key, mode)
+    }
+  }
+}
+
+/** Keyed table state for [[KeyedUpsertFakeConnection]]s — one logical table
+  * per test id, shared across connections/partitions like [[FakeSinkState]].
+  * Committed transactions are applied row-by-row with Postgres ON CONFLICT
+  * semantics: per arrival order, insert when the key is absent, else DO
+  * NOTHING / DO UPDATE of exactly the parsed SET columns (key and excluded
+  * columns keep their stored values).
+  */
+object KeyedSinkState {
+  import UpsertSqlParser._
+  private val tables =
+    mutable.Map.empty[String, mutable.LinkedHashMap[Vector[Any], Vector[Any]]]
+
+  def init(id: String): Unit = synchronized { tables(id) = mutable.LinkedHashMap.empty }
+  def rows(id: String): Seq[Vector[Any]] = synchronized { tables(id).values.toIndexedSeq }
+
+  private[graft] def applyCommit(
+      id: String, spec: UpsertSpec, committed: Seq[Seq[Any]]): Unit = synchronized {
+    val table = tables(id)
+    val keyIdx = spec.key.map(spec.columns.indexOf)
+    require(keyIdx.forall(_ >= 0), s"conflict key ${spec.key} not in ${spec.columns}")
+    require(spec.mode != InsertOnly || spec.key.isEmpty)
+    committed.foreach { row =>
+      if (spec.key.isEmpty) {
+        // Plain INSERT: no uniqueness constraint modeled — append-only.
+        table(Vector("__row__", table.size)) = row.toVector
+      } else {
+        val key = keyIdx.map(row(_)).toVector
+        (table.get(key), spec.mode) match {
+          case (None, _)              => table(key) = row.toVector
+          case (Some(_), DoNothing)   => ()
+          case (Some(old), DoUpdate(cols)) =>
+            val colSet = cols.toSet
+            table(key) = spec.columns.indices.iterator.map { i =>
+              if (colSet(spec.columns(i))) row(i) else old(i)
+            }.toVector
+          case (Some(_), InsertOnly) => throw new IllegalStateException("unreachable")
+        }
+      }
+    }
+  }
+}
+
+/** Transactional fake with KEYED upsert semantics: the same pending/savepoint
+  * model as [[FakeSinkConnection]], but `commit()` applies the transaction to
+  * a keyed table by executing the parsed upsert SQL per row. This is the
+  * closed loop for the sink's flagship output — the ON CONFLICT text is
+  * finally executed by an engine (this one) and reconciled against
+  * [[graft.operators.MergeOps.merge]].
+  */
+class KeyedUpsertFakeConnection(id: String, failOn: Seq[Any] => Boolean)
+    extends SinkConnection {
+  private var pending = Vector.empty[Seq[Any]]
+  private var marks = Map.empty[String, Int]
+  private var spec: Option[UpsertSqlParser.UpsertSpec] = None
+
+  def executeBatch(sql: String, batch: Seq[Seq[Any]]): Unit = {
+    val parsed = UpsertSqlParser.parse(sql)
+    spec.foreach(s => assert(s == parsed, "one SQL text per sink run expected"))
+    spec = Some(parsed)
+    // Harsh mode, like FakeSinkConnection: rows before the failing one DO
+    // land in the transaction — only rollback-to-savepoint undoes them.
+    batch.foreach { row =>
+      if (failOn(row)) throw new RuntimeException(s"constraint violation on $row")
+      pending :+= row
+    }
+  }
+  def savepoint(name: String): Unit = marks += name -> pending.size
+  def rollbackTo(name: String): Unit = marks.get(name).foreach(n => pending = pending.take(n))
+  def release(name: String): Unit = marks -= name
+  def commit(): Unit = {
+    spec.foreach(s => KeyedSinkState.applyCommit(id, s, pending))
+    pending = Vector.empty
+  }
+  def close(): Unit = ()
+}
+
+class KeyedUpsertFakeFactory(id: String, failOnKeys: Set[Long]) extends ConnectionFactory {
+  def connect(): SinkConnection =
+    new KeyedUpsertFakeConnection(id, r => failOnKeys(r.head.asInstanceOf[Long]))
+}
