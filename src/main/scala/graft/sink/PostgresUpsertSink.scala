@@ -60,7 +60,8 @@ object PostgresUpsertSink {
       partitionCols: Seq[String] = Nil,
       colsNotForUpdate: Seq[String] = Nil,
       maxRejects: Option[Long] = None,
-      shuffleBarrier: Boolean = true): LoadStats = {
+      shuffleBarrier: Boolean = true,
+      reconnectAttempts: Int = 1): LoadStats = {
 
     val sql = UpsertSqlGen.build(
       df.schema.fieldNames.toIndexedSeq, tableName,
@@ -73,7 +74,8 @@ object PostgresUpsertSink {
 
     val stats = routed
       .mapPartitions { rows: Iterator[Row] =>
-        Iterator.single(writePartition(rows, sql, factory, batchSize, maxRejects))
+        Iterator.single(
+          writePartition(rows, sql, factory, batchSize, maxRejects, reconnectAttempts))
       }(Encoders.product[PartitionStats])
       .collect()
 
@@ -83,24 +85,53 @@ object PostgresUpsertSink {
       stats.flatMap(_.errors).toIndexedSeq)
   }
 
-  /** Body of one executor task. Package-private for direct unit testing. */
+  /** Body of one executor task. Package-private for direct unit testing.
+    *
+    * Transient-fault posture: a [[SinkConnectionLostException]] (network
+    * drop, server restart) between/within batches triggers up to
+    * `reconnectAttempts` reconnect-and-resume recoveries per partition —
+    * committed batches are durable by design, and the in-flight batch is
+    * re-run in full on the fresh connection. If the loss struck during
+    * `commit()` the transaction's fate is in doubt; re-running is still
+    * correct because the statement is a keyed upsert (idempotent) or an
+    * insert whose duplicate would surface as a constraint reject, never as
+    * silent data loss. Statement-level failures are NOT retried here — they
+    * flow to [[executeIsolated]]'s binary split as before.
+    */
   private[graft] def writePartition(
       rows: Iterator[Row],
       sql: String,
       factory: ConnectionFactory,
       batchSize: Int,
-      maxRejects: Option[Long]): PartitionStats = {
+      maxRejects: Option[Long],
+      reconnectAttempts: Int = 1): PartitionStats = {
     require(batchSize > 0, "batchSize must be positive")
     var conn: SinkConnection = null
     var seen = 0L
     var rejected = 0L
+    var reconnectsLeft = reconnectAttempts
     val errors = mutable.ArrayBuffer.empty[String]
     val batch = mutable.ArrayBuffer.empty[Seq[Any]]
     var poisoned = false
 
     def flush(): Unit = if (batch.nonEmpty) {
-      val (r, errs) = executeIsolated(conn, sql, batch.toIndexedSeq)
-      conn.commit()
+      val inFlight = batch.toIndexedSeq
+      def attempt(): (Long, Seq[String]) = {
+        val res = executeIsolated(conn, sql, inFlight)
+        conn.commit()
+        res
+      }
+      // First-attempt reject counts are discarded on retry — the re-run
+      // re-adjudicates the whole batch, so nothing double-counts.
+      val (r, errs) =
+        try attempt()
+        catch {
+          case e: SinkConnectionLostException if reconnectsLeft > 0 =>
+            reconnectsLeft -= 1
+            try conn.close() catch { case NonFatal(_) => () }
+            conn = factory.connect()
+            attempt()
+        }
       rejected += r
       errors ++= errs
       // Circuit breaker: an entire batch rejecting (or crossing the caller's
@@ -148,6 +179,10 @@ object PostgresUpsertSink {
         conn.executeBatch(sql, b)
         conn.release(sp)
       } catch {
+        // A dead connection is not a bad row: no rollback attempt (the
+        // transaction died with the socket), no split — the partition-level
+        // reconnect in writePartition re-runs the whole in-flight batch.
+        case e: SinkConnectionLostException => throw e
         case NonFatal(e) =>
           conn.rollbackTo(sp)
           if (b.size == 1) {

@@ -7,6 +7,20 @@ import java.sql.{Connection, DriverManager, PreparedStatement, Savepoint}
   * savepoint + binary-split logic unit-testable against an in-memory fake —
   * the harness has no live Postgres (SURVEY.md §7.5 risk 2).
   */
+/** Raised by backends when the CONNECTION itself is gone (network drop,
+  * server restart) rather than a statement-level failure. The distinction
+  * drives two different recoveries: statement failures binary-split to
+  * isolate bad rows ([[PostgresUpsertSink.executeIsolated]]), connection
+  * loss reconnects once and re-runs the in-flight batch
+  * ([[PostgresUpsertSink.writePartition]]) — at 1000-executor scale
+  * transient drops are the common case, and without the distinction a
+  * single drop poisons the whole remaining feed via the reject breaker.
+  * The reference has no retry at all
+  * (`/root/reference/psycopg2_database_helper.py:152-169`).
+  */
+class SinkConnectionLostException(message: String, cause: Throwable = null)
+  extends RuntimeException(message, cause)
+
 trait SinkConnection extends AutoCloseable {
   /** Execute `sql` once per row of `batch` inside the current transaction.
     * Throws on any failure (the whole batch is then considered failed).
@@ -56,6 +70,7 @@ final case class JdbcConnectionFactory(
 }
 
 final class JdbcSinkConnection(conn: Connection) extends SinkConnection {
+  import java.sql.SQLException
   conn.setAutoCommit(false)
   private var savepoints = Map.empty[String, Savepoint]
   // One PreparedStatement per SQL text for the connection's lifetime: the
@@ -70,7 +85,28 @@ final class JdbcSinkConnection(conn: Connection) extends SinkConnection {
       ps
     })
 
-  def executeBatch(sql: String, batch: Seq[Seq[Any]]): Unit = {
+  /** SQLState class 08 is the standard "connection exception" family; the
+    * transient/non-transient connection subclasses and a closed underlying
+    * connection cover drivers that report loss without an 08 state. A
+    * statement-level failure (e.g. 23505 unique violation) never matches —
+    * it must keep flowing to the binary split.
+    */
+  private def isConnectionLoss(e: SQLException): Boolean = {
+    val st = e.getSQLState
+    (st != null && st.startsWith("08")) ||
+      e.isInstanceOf[java.sql.SQLNonTransientConnectionException] ||
+      e.isInstanceOf[java.sql.SQLTransientConnectionException] ||
+      e.isInstanceOf[java.sql.SQLRecoverableException] ||
+      (try conn.isClosed catch { case _: Throwable => true })
+  }
+
+  private def translating[A](body: => A): A =
+    try body catch {
+      case e: SQLException if isConnectionLoss(e) =>
+        throw new SinkConnectionLostException(String.valueOf(e.getMessage), e)
+    }
+
+  def executeBatch(sql: String, batch: Seq[Seq[Any]]): Unit = translating {
     val ps = statementFor(sql)
     // The statement is shared across batches, so ANY failure — including a
     // setObject/addBatch throw mid-build — must clear partially-added rows,
@@ -89,13 +125,15 @@ final class JdbcSinkConnection(conn: Connection) extends SinkConnection {
     }
   }
 
-  def savepoint(name: String): Unit = savepoints += name -> conn.setSavepoint(name)
-  def rollbackTo(name: String): Unit = savepoints.get(name).foreach(conn.rollback)
-  def release(name: String): Unit = {
+  def savepoint(name: String): Unit =
+    translating { savepoints += name -> conn.setSavepoint(name) }
+  def rollbackTo(name: String): Unit =
+    translating { savepoints.get(name).foreach(conn.rollback) }
+  def release(name: String): Unit = translating {
     savepoints.get(name).foreach(conn.releaseSavepoint)
     savepoints -= name
   }
-  def commit(): Unit = conn.commit()
+  def commit(): Unit = translating { conn.commit() }
   def close(): Unit = {
     statements.valuesIterator.foreach { ps =>
       try ps.close() catch { case _: Throwable => () }

@@ -63,6 +63,17 @@ class FakeConnectionFactory(id: String, failOnKeys: Set[Long]) extends Connectio
   }
 }
 
+/** Once-per-test-id "the connection already died" latch for flaky-connection
+  * fakes: the death must happen exactly once per scenario even though the
+  * reconnect hands out a fresh connection instance.
+  */
+object FlakyState {
+  private val dead = mutable.Set.empty[String]
+  def init(id: String): Unit = synchronized { dead -= id }
+  def died(id: String): Boolean = synchronized { dead(id) }
+  def markDied(id: String): Unit = synchronized { dead += id }
+}
+
 /** Parses the exact SQL text [[graft.sink.UpsertSqlGen]] emits, so the keyed
   * fake EXECUTES the generated statement rather than re-assuming its
   * semantics: if the codegen put the wrong columns in the conflict target or

@@ -101,6 +101,107 @@ class PostgresUpsertSinkSpec extends AnyFunSuite with SparkSpec {
     assert(upstreamTasks(shuffleBarrier = false, "off") == 1)
   }
 
+  test("connection dying once mid-partition: reconnect resumes with zero spurious rejects") {
+    // Connection #1 serves three executeBatch calls, then the socket "drops"
+    // at the start of call #4 (uncommitted — the in-flight batch is lost with
+    // the transaction). The sink must reconnect once and re-run that batch;
+    // every row lands exactly once, nothing is rejected.
+    class DieOnceConnection(id: String) extends FakeSinkConnection(id, _ => false) {
+      private var calls = 0
+      override def executeBatch(sql: String, batch: Seq[Seq[Any]]): Unit = {
+        calls += 1
+        if (calls == 4 && !FlakyState.died(id)) {
+          FlakyState.markDied(id)
+          throw new graft.sink.SinkConnectionLostException("connection reset by peer")
+        }
+        super.executeBatch(sql, batch)
+      }
+    }
+    val id = "die_once"
+    FakeSinkState.init(id); FlakyState.init(id)
+    val factory = new graft.sink.ConnectionFactory {
+      def connect() = { FakeSinkState.countConnection(id); new DieOnceConnection(id) }
+    }
+    val rows = (1L to 100L).map(i => org.apache.spark.sql.Row(i, s"v$i"))
+    val stats = graft.sink.PostgresUpsertSink.writePartition(
+      rows.iterator, "sql", factory, batchSize = 10, maxRejects = None)
+    assert(stats.loaded == 100 && stats.rejected == 0 && stats.errors.isEmpty)
+    val landed = FakeSinkState.committed(id).map(_.head.asInstanceOf[Long]).sorted
+    assert(landed == (1L to 100L), "every row exactly once despite the drop")
+    assert(FakeSinkState.connectionCount(id) == 2, "exactly one reconnect")
+  }
+
+  test("connection lost during commit (in doubt): keyed re-run stays exactly-once") {
+    // The drop strikes AFTER the commit applied — the worst case: the retry
+    // re-runs a batch that already landed. With the keyed upsert executed by
+    // the parsing fake, the re-run is idempotent and final state matches the
+    // single-application expectation.
+    class CommitDropConnection(id: String) extends KeyedUpsertFakeConnection(id, _ => false) {
+      override def commit(): Unit = {
+        super.commit() // durable...
+        if (!FlakyState.died(id)) { // ...but the ack never arrives, once
+          FlakyState.markDied(id)
+          throw new graft.sink.SinkConnectionLostException("broken pipe during commit")
+        }
+      }
+    }
+    val id = "commit_drop"
+    KeyedSinkState.init(id); FlakyState.init(id)
+    val factory = new graft.sink.ConnectionFactory {
+      def connect() = new CommitDropConnection(id)
+    }
+    val sql = graft.sink.UpsertSqlGen.build(Seq("k", "v"), "t", Seq("k"))
+    val rows = (1L to 30L).map(i => org.apache.spark.sql.Row(i, s"v$i"))
+    val stats = graft.sink.PostgresUpsertSink.writePartition(
+      rows.iterator, sql, factory, batchSize = 10, maxRejects = None)
+    assert(stats.loaded == 30 && stats.rejected == 0)
+    assert(KeyedSinkState.rows(id).map(_.head.asInstanceOf[Long]).sorted == (1L to 30L),
+      "idempotent upsert: the in-doubt batch lands exactly once")
+  }
+
+  test("reconnect budget exhausted: the connection loss propagates (task retry territory)") {
+    class AlwaysDeadConnection extends FakeSinkConnection("", _ => false) {
+      override def executeBatch(sql: String, batch: Seq[Seq[Any]]): Unit =
+        throw new graft.sink.SinkConnectionLostException("network partition")
+    }
+    val factory = new graft.sink.ConnectionFactory {
+      def connect() = new AlwaysDeadConnection
+    }
+    val rows = (1L to 10L).map(i => org.apache.spark.sql.Row(i, s"v$i"))
+    intercept[graft.sink.SinkConnectionLostException] {
+      graft.sink.PostgresUpsertSink.writePartition(
+        rows.iterator, "sql", factory, batchSize = 10, maxRejects = None)
+    }
+  }
+
+  test("constraint violations still binary-split after a reconnect consumed the budget") {
+    // A drop on call #2 eats the reconnect budget; a genuinely bad row later
+    // in the feed must STILL be isolated by the split machinery, proving the
+    // retry path and the reject path stay orthogonal.
+    class DieOnceThenStrict(id: String) extends FakeSinkConnection(id, r => r.head == 17L) {
+      private var calls = 0
+      override def executeBatch(sql: String, batch: Seq[Seq[Any]]): Unit = {
+        calls += 1
+        if (calls == 2 && !FlakyState.died(id)) {
+          FlakyState.markDied(id)
+          throw new graft.sink.SinkConnectionLostException("connection reset")
+        }
+        super.executeBatch(sql, batch)
+      }
+    }
+    val id = "die_then_reject"
+    FakeSinkState.init(id); FlakyState.init(id)
+    val factory = new graft.sink.ConnectionFactory {
+      def connect() = new DieOnceThenStrict(id)
+    }
+    val rows = (1L to 40L).map(i => org.apache.spark.sql.Row(i, s"v$i"))
+    val stats = graft.sink.PostgresUpsertSink.writePartition(
+      rows.iterator, "sql", factory, batchSize = 10, maxRejects = None)
+    assert(stats.rejected == 1 && stats.loaded == 39)
+    val landed = FakeSinkState.committed(id).map(_.head.asInstanceOf[Long]).toSet
+    assert(landed == (1L to 40L).toSet - 17L)
+  }
+
   test("insert-only mode (no unique key) uses plain INSERT") {
     val factory = new FakeConnectionFactory("insertonly", Set.empty)
     val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
