@@ -266,27 +266,26 @@ object VectorOps {
     c
   }
 
-  /** Probe-and-rank: top-`k` neighbors of each query among the members of
-    * its `nProbe` nearest clusters. Output (query_id, rank, neighbor_id, cos).
+  /** Shared probe-and-rank stage: pick each query's `nProbe` nearest
+    * clusters against broadcast centroids, join the (already
+    * cluster-labelled) member rows to the broadcast probe list, and rank
+    * with the salted two-stage top-k. The members side is never shuffled by
+    * the joins — both build sides are broadcast — so a bucketed on-disk
+    * member layout flows scan→join→join with zero Exchange.
     */
-  def ivfSearch(
-      index: IvfIndex, data: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int, nProbe: Int,
-      saltBuckets: Int = 256): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
-      norm2(col(vecCol)).as("qnn"))
+  private def probeRank(
+      q: DataFrame /* (query_id, qvec, qnn) */,
+      centroids: DataFrame /* (cluster_id, cvec) */,
+      members: DataFrame /* (neighbor_id, dvec, dnn, cluster_id) */,
+      k: Int, nProbe: Int, saltBuckets: Int): DataFrame = {
     val wp = Window.partitionBy(col("query_id")).orderBy(col("pcos").desc, col("cluster_id"))
     val probes = broadcast(q).crossJoin(broadcast(
-        index.centroids.withColumn("cnn", norm2(col("cvec")))))
+        centroids.withColumn("cnn", norm2(col("cvec")))))
       .select(col("query_id"), col("cluster_id"),
         cosineWithNorms(col("qvec"), col("cvec"), col("qnn"), col("cnn")).as("pcos"))
       .withColumn("prank", row_number().over(wp))
       .filter(col("prank") <= nProbe)
       .select(col("query_id"), col("cluster_id"))
-
-    val members = data.select(col(idCol).as("neighbor_id"), col(vecCol).as("dvec"),
-        norm2(col(vecCol)).as("dnn"))
-      .join(index.assignments.withColumnRenamed("id", "neighbor_id"), "neighbor_id")
 
     // Probed-cluster members of a hot query can still be a large candidate
     // set (|data|·nProbe/|clusters|) — rank via the same salted two-stage
@@ -299,5 +298,67 @@ object VectorOps {
         .select(col("query_id"), col("neighbor_id"),
           cosineWithNorms(col("qvec"), col("dvec"), col("qnn"), col("dnn")).as("cos")),
       k, saltBuckets)
+  }
+
+  /** Probe-and-rank: top-`k` neighbors of each query among the members of
+    * its `nProbe` nearest clusters. Output (query_id, rank, neighbor_id, cos).
+    */
+  def ivfSearch(
+      index: IvfIndex, data: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nProbe: Int,
+      saltBuckets: Int = 256): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+      norm2(col(vecCol)).as("qnn"))
+    val members = data.select(col(idCol).as("neighbor_id"), col(vecCol).as("dvec"),
+        norm2(col(vecCol)).as("dnn"))
+      .join(index.assignments.withColumnRenamed("id", "neighbor_id"), "neighbor_id")
+    probeRank(q, index.centroids, members, k, nProbe, saltBuckets)
+  }
+
+  /** A persisted IVF index loaded back from the catalog: `members` is the
+    * inverted-list table (neighbor id, vector, cached squared norm, cluster
+    * id) bucketed by `cluster_id`; `centroids` the (cluster_id, cvec) table.
+    * Carrying the vectors IN the index (the FAISS inverted-list layout) is
+    * what makes the reuse story real: a probe session needs no join back to
+    * the raw data and no re-assignment — build once, probe many times.
+    */
+  final case class LoadedIvfIndex(members: DataFrame, centroids: DataFrame)
+
+  /** Build and persist an IVF index: assignment runs once (the compiled
+    * zero-shuffle [[graft.functions.NearestCentroid]] fold), and the member
+    * rows land bucketed by `cluster_id` via [[ScaleJoins.writeBucketed]] —
+    * so every later [[ivfSearchLoaded]] reads each probed cluster's members
+    * co-located, with no Exchange on the member side (plan-proven in
+    * VectorOpsSpec). The cached `vnn` is the same strict left-fold double
+    * [[norm2]] produces at probe time, so persisting it changes no result
+    * bit. Tables written: `<name>_members`, `<name>_centroids`.
+    */
+  def saveIvfIndex(data: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, name: String, buckets: Int = 32): Unit = {
+    val members = assignWithVec(data, centroids, idCol, vecCol)
+      .filter(col("cluster_id").isNotNull)
+      .select(col("id").as("neighbor_id"), col("vec").as("dvec"),
+        col("vnn").as("dnn"), col("cluster_id"))
+    ScaleJoins.writeBucketed(members, s"${name}_members", Seq("cluster_id"), buckets)
+    centroids.select(col(idCol).as("cluster_id"), col(vecCol).as("cvec"))
+      .write.mode("overwrite").saveAsTable(s"${name}_centroids")
+  }
+
+  def loadIvfIndex(spark: org.apache.spark.sql.SparkSession, name: String): LoadedIvfIndex =
+    LoadedIvfIndex(spark.table(s"${name}_members"), spark.table(s"${name}_centroids"))
+
+  /** [[ivfSearch]] over a [[loadIvfIndex]]-loaded index — same probe-and-rank
+    * stage, but members come straight off the bucketed inverted-list table:
+    * no join back to the raw vectors, no re-assignment, no shuffle of the
+    * member side. Results are identical to the in-session search over the
+    * same data/centroids (round-trip-proven in VectorOpsSpec).
+    */
+  def ivfSearchLoaded(
+      index: LoadedIvfIndex, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nProbe: Int,
+      saltBuckets: Int = 256): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+      norm2(col(vecCol)).as("qnn"))
+    probeRank(q, index.centroids, index.members, k, nProbe, saltBuckets)
   }
 }

@@ -80,6 +80,37 @@ class VectorOpsSpec extends AnyFunSuite with SparkSpec {
     assert(c(200L) == Seq(-1.0, 0.0), "empty cluster must keep its seed centroid")
   }
 
+  test("IVF round-trip: saved+loaded search == in-session search, member side unshuffled") {
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val centroids = e.filter($"vec_id" < 10)
+    val queries = e.filter($"vec_id".between(100, 109))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+
+    val inSession = rows(VectorOps.ivfSearch(
+      VectorOps.ivfAssign(e, centroids, "vec_id", "embedding"),
+      e, queries, "vec_id", "embedding", k = 3, nProbe = 2))
+
+    VectorOps.saveIvfIndex(e, centroids, "vec_id", "embedding", "ivf_rt", buckets = 4)
+    val loaded = VectorOps.loadIvfIndex(spark, "ivf_rt")
+    val fromDisk = VectorOps.ivfSearchLoaded(loaded, queries, "vec_id", "embedding",
+      k = 3, nProbe = 2)
+    // Bit-identical, cos doubles included: the persisted vnn is the same
+    // strict-fold double the in-session path computes.
+    assert(rows(fromDisk) === inSession)
+    assert(inSession.nonEmpty)
+
+    // The reuse story's plan proof: members are read as a bucketed scan and
+    // reach the probe joins with NO shuffle — the only hash exchanges in the
+    // whole loaded plan are the slim (query_id[, salt]) top-k windows.
+    val p = fromDisk.queryExecution.executedPlan.toString
+    assert(p.contains("SelectedBucketsCount"), s"members must be a bucketed scan:\n$p")
+    assert(!p.contains("Exchange hashpartitioning(cluster_id"),
+      s"member side must not shuffle on cluster_id:\n$p")
+    assert(!p.contains("Exchange hashpartitioning(neighbor_id"),
+      s"member side must not shuffle on neighbor_id:\n$p")
+  }
+
   test("srpNearDupPairs ≡ brute-force hamming scan on fixture embeddings (pigeonhole)") {
     import org.apache.spark.sql.functions._
     val e = spark.read.parquet(s"$sf0001/embeddings.parquet").limit(200)
