@@ -163,6 +163,79 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("straggler chains: break within a batch splits; chains never span micro-batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[SessionEvent]
+    val q = EventStreams.sessionize(input.toDS(), gapSec = 600, watermarkDelaySec = 100000)
+      .writeStream.format("memory").queryName("sess_chain").outputMode("append").start()
+    try {
+      // Open a session far in the future so everything later is a straggler.
+      input.addData(
+        SessionEvent(1L, 20000L, isPurchase = false, 1.0),
+        SessionEvent(1L, 20100L, isPurchase = false, 1.0))
+      q.processAllAvailable()
+      assert(spark.table("sess_chain").isEmpty)
+
+      // One batch, three stragglers: 1000 and 1300 chain (gap 300 ≤ 600),
+      // 5000 breaks the chain (gap 3700) — the first chain closes MID-BATCH
+      // and a second opens, closing at batch end. Purchases/values must ride
+      // the merge.
+      input.addData(
+        SessionEvent(1L, 1000L, isPurchase = true, 2.0),
+        SessionEvent(1L, 1300L, isPurchase = false, 1.0),
+        SessionEvent(1L, 5000L, isPurchase = false, 1.0))
+      q.processAllAvailable()
+      val afterBreak = spark.table("sess_chain").as[SessionOut].collect().toSet
+      assert(afterBreak == Set(
+        SessionOut(1L, 1000L, 1300L, 2L, 1L, 3.0),
+        SessionOut(1L, 5000L, 5000L, 1L, 0L, 1.0)), s"got $afterBreak")
+
+      // Next batch delivers 5200 — within gap of the PREVIOUS batch's 5000
+      // straggler, but chains are per-batch by contract (state carries only
+      // the open session): it closes as its own singleton, not a merge.
+      input.addData(SessionEvent(1L, 5200L, isPurchase = false, 1.0))
+      q.processAllAvailable()
+      val afterCross = spark.table("sess_chain").as[SessionOut].collect().toSet
+      assert(afterCross.contains(SessionOut(1L, 5200L, 5200L, 1L, 0L, 1.0)),
+        s"a straggler chain must not span micro-batches, got $afterCross")
+
+      // The open session was never disturbed by any of it.
+      input.addData(SessionEvent(1L, 999000L, isPurchase = false, 0.0))
+      q.processAllAvailable()
+      val all = spark.table("sess_chain").as[SessionOut].collect().toSet
+      assert(all.contains(SessionOut(1L, 20000L, 20100L, 2L, 0L, 2.0)), s"got $all")
+    } finally q.stop()
+  }
+
+  test("cross-batch early events within the gap extend the session BACKWARD (min endpoint)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[SessionEvent]
+    val q = EventStreams.sessionize(input.toDS(), gapSec = 600, watermarkDelaySec = 100000)
+      .writeStream.format("memory").queryName("sess_backward").outputMode("append").start()
+    try {
+      input.addData(
+        SessionEvent(1L, 2000L, isPurchase = false, 1.0),
+        SessionEvent(1L, 2100L, isPurchase = true, 1.0))
+      q.processAllAvailable()
+      // 1600 is before the start but within the gap (2000−1600 ≤ 600): it
+      // must MERGE and move the start down, not open a straggler chain.
+      input.addData(SessionEvent(1L, 1600L, isPurchase = false, 1.0))
+      q.processAllAvailable()
+      // 1400 sits exactly at the new boundary (start−gap = 1600−600 = 1000 <
+      // 1400): still a merge — the straggler guard is strict.
+      input.addData(SessionEvent(1L, 1400L, isPurchase = false, 1.0))
+      q.processAllAvailable()
+      assert(spark.table("sess_backward").isEmpty,
+        "backward extensions must not close anything")
+      input.addData(SessionEvent(1L, 99000L, isPurchase = false, 0.0))
+      q.processAllAvailable()
+      val closed = spark.table("sess_backward").as[SessionOut].collect().toSeq
+      assert(closed == Seq(SessionOut(1L, 1400L, 2100L, 4L, 1L, 4.0)), s"got $closed")
+    } finally q.stop()
+  }
+
   test("sessionization survives out-of-order events across micro-batches") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
