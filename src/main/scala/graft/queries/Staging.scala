@@ -55,32 +55,55 @@ private[queries] object Staging {
   def streamSessionizeDir(spark: org.apache.spark.sql.SparkSession, sfDir: String,
       gapSec: Long): String =
     dir("streamsess", sfDir, "events") { p =>
-      import spark.implicits._
       Files.createDirectories(Paths.get(p))
       Files.copy(Paths.get(s"$sfDir/events.parquet"), Paths.get(p, "a_events.parquet"),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       val maxTs = spark.read.parquet(s"$sfDir/events.parquet")
         .agg(org.apache.spark.sql.functions.max("ts")).head().getLong(0)
       val gapNs = gapSec * 1000000000L
-      Seq("b" -> (maxTs + 10 * gapNs), "c" -> (maxTs + 20 * gapNs)).foreach {
-        case (tag, ts) =>
-          val tmp = s"$p.tmp_$tag"
-          Seq((-1L, -1L, "sentinel", 0.0, ts))
-            .toDF("event_id", "user_id", "event_type", "value", "ts")
-            .coalesce(1).write.mode("overwrite").parquet(tmp)
-          val part = new java.io.File(tmp).listFiles()
-            .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-            .getOrElse(sys.error(s"no parquet part written under $tmp"))
-          Files.move(part.toPath, Paths.get(p, s"${tag}_sentinel.parquet"),
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-          cleanupOnExit(tmp)
-      }
+      // One-row sentinel files written directly with parquet-java — a Spark
+      // job per sentinel (write + part-file move) was machinery for a single
+      // row that an in-process writer produces in microseconds.
+      writeSentinel(Paths.get(p, "b_sentinel.parquet"), maxTs + 10 * gapNs)
+      writeSentinel(Paths.get(p, "c_sentinel.parquet"), maxTs + 20 * gapNs)
       val now = System.currentTimeMillis()
       Seq("a_events.parquet" -> (now - 30000), "b_sentinel.parquet" -> (now - 20000),
         "c_sentinel.parquet" -> (now - 10000)).foreach { case (n, t) =>
         Paths.get(p, n).toFile.setLastModified(t); ()
       }
     }
+
+  /** A single sentinel row (`user_id = -1`, `event_type = 'sentinel'`)
+    * written as a standalone parquet file, schema-compatible with the events
+    * fixture (the stream gates read by the pinned fixture schema, so only
+    * names/types must line up — column order is irrelevant).
+    */
+  private def writeSentinel(path: java.nio.file.Path, ts: Long): Unit = {
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    import org.apache.parquet.schema.MessageTypeParser
+    val schema = MessageTypeParser.parseMessageType(
+      """message sentinel {
+        |  optional int64 event_id;
+        |  optional int64 user_id;
+        |  optional binary event_type (UTF8);
+        |  optional double value;
+        |  optional int64 ts;
+        |}""".stripMargin)
+    val writer = ExampleParquetWriter
+      .builder(org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(
+        new org.apache.hadoop.fs.Path(path.toString),
+        new org.apache.hadoop.conf.Configuration()))
+      .withType(schema)
+      .build()
+    val g = new SimpleGroupFactory(schema).newGroup()
+    g.add("event_id", -1L)
+    g.add("user_id", -1L)
+    g.add("event_type", "sentinel")
+    g.add("value", 0.0)
+    g.add("ts", ts)
+    try writer.write(g) finally writer.close()
+  }
 
   // One stream-tuned clone per parent session (weak keys, same rationale as
   // lastStreamSink). Accessed only under `synchronized`.
