@@ -230,6 +230,51 @@ object PipelineQueries extends QueryDomain {
         .orderBy($"window_start", $"event_type")
     },
 
+    "q_asof_join" -> { (s, dir) =>
+      import s.implicits._
+      // As-of join ([[TemporalJoins.asofJoin]]): each purchase event picks
+      // the same user's most recent click at-or-before it — the attribution
+      // primitive kdb/pandas/DuckDB ship natively and Spark lacks. Join-free
+      // union+window plan (one shuffle on user_id). Clicks are deduped per
+      // (user, second) first so tie choice is well-defined on BOTH engines
+      // (ASOF tie order is otherwise unspecified).
+      val e = t(s, dir, "events")
+        .select($"event_id", $"user_id", $"event_type", expr("ts div 1000000000").as("ep"))
+      val purchases = e.filter($"event_type" === "purchase")
+        .select($"event_id".as("purchase_id"), $"user_id", $"ep".as("purchase_ep"))
+      val clicks = e.filter($"event_type" === "click")
+        .select($"user_id", $"ep".as("click_ep"), $"event_id")
+        .groupBy($"user_id", $"click_ep").agg(max($"event_id").as("click_id"))
+      TemporalJoins.asofJoin(purchases, clicks, Seq("user_id"), "purchase_ep", "click_ep")
+        .select($"purchase_id", $"user_id", $"purchase_ep", $"click_id",
+          ($"purchase_ep" - $"click_ep").as("gap_sec"))
+        .orderBy($"purchase_id")
+    },
+
+    "q_range_join" -> { (s, dir) =>
+      import s.implicits._
+      // Point-in-interval range join ([[TemporalJoins.rangeJoin]]): count
+      // the same user's clicks inside each purchase's trailing 1-hour
+      // attribution window. Intervals bucket at the window span, so each
+      // explodes to ≤ 2 index rows and the match is a plain equi-join on
+      // (user_id, bucket) — never |clicks|·|purchases|. Left join back so
+      // zero-click purchases keep their row.
+      val e = t(s, dir, "events")
+        .select($"event_id", $"user_id", $"event_type", expr("ts div 1000000000").as("ep"))
+      val purchases = e.filter($"event_type" === "purchase")
+        .select($"event_id".as("purchase_id"), $"user_id", $"ep".as("purchase_ep"))
+      val clicks = e.filter($"event_type" === "click")
+        .select($"user_id", $"ep".as("click_ep"))
+      val hits = TemporalJoins.rangeJoin(clicks,
+          purchases.withColumn("w_start", $"purchase_ep" - 3600L),
+          Seq("user_id"), "click_ep", "w_start", "purchase_ep", bucketWidth = 3600L)
+        .groupBy($"purchase_id").agg(count(lit(1)).as("n_clicks_1h"))
+      purchases.join(hits, Seq("purchase_id"), "left_outer")
+        .select($"purchase_id", $"user_id", $"purchase_ep",
+          coalesce($"n_clicks_1h", lit(0L)).as("n_clicks_1h"))
+        .orderBy($"purchase_id")
+    },
+
     "q_stream_windows" -> { (s, dir) =>
       import s.implicits._
       // The STREAMING path under the oracle gate: the events fixture played
@@ -582,6 +627,34 @@ object PipelineQueries extends QueryDomain {
         |  event_type, count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS ep FROM events),
+        |p AS (SELECT event_id AS purchase_id, user_id, ep AS purchase_ep
+        |  FROM e WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ep AS click_ep, max(event_id) AS click_id
+        |  FROM e WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT p.purchase_id, p.user_id, p.purchase_ep, c.click_id,
+        |  p.purchase_ep - c.click_ep AS gap_sec
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND p.purchase_ep >= c.click_ep
+        |ORDER BY p.purchase_id""".stripMargin,
+
+    "q_range_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS ep FROM events),
+        |p AS (SELECT event_id AS purchase_id, user_id, ep AS purchase_ep
+        |  FROM e WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ep AS click_ep FROM e WHERE event_type = 'click'),
+        |h AS (SELECT p.purchase_id, count(*) AS n FROM p JOIN c
+        |  ON p.user_id = c.user_id
+        |  AND c.click_ep BETWEEN p.purchase_ep - 3600 AND p.purchase_ep
+        |  GROUP BY 1)
+        |SELECT p.purchase_id, p.user_id, p.purchase_ep,
+        |  CAST(coalesce(h.n, 0) AS BIGINT) AS n_clicks_1h
+        |FROM p LEFT JOIN h ON p.purchase_id = h.purchase_id
+        |ORDER BY p.purchase_id""".stripMargin,
 
     "q_cosine_topk" ->
       s"""WITH $embCte,

@@ -81,34 +81,47 @@ class VectorOpsSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("IVF round-trip: saved+loaded search == in-session search, member side unshuffled") {
-    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
-    val centroids = e.filter($"vec_id" < 10)
-    val queries = e.filter($"vec_id".between(100, 109))
-    def rows(df: org.apache.spark.sql.DataFrame) =
-      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    // Managed-table hygiene: DROP removes catalog entry + warehouse dir for
+    // the current JVM, but a crashed/killed previous run leaves orphan dirs
+    // that a fresh in-memory catalog can't DROP — clear both, both ends.
+    def cleanup(): Unit = Seq("ivf_rt_members", "ivf_rt_centroids").foreach { tbl =>
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(s"spark-warehouse/$tbl"))
+    }
+    cleanup()
+    try {
+      val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      val centroids = e.filter($"vec_id" < 10)
+      val queries = e.filter($"vec_id".between(100, 109))
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
 
-    val inSession = rows(VectorOps.ivfSearch(
-      VectorOps.ivfAssign(e, centroids, "vec_id", "embedding"),
-      e, queries, "vec_id", "embedding", k = 3, nProbe = 2))
+      val inSession = rows(VectorOps.ivfSearch(
+        VectorOps.ivfAssign(e, centroids, "vec_id", "embedding"),
+        e, queries, "vec_id", "embedding", k = 3, nProbe = 2))
 
-    VectorOps.saveIvfIndex(e, centroids, "vec_id", "embedding", "ivf_rt", buckets = 4)
-    val loaded = VectorOps.loadIvfIndex(spark, "ivf_rt")
-    val fromDisk = VectorOps.ivfSearchLoaded(loaded, queries, "vec_id", "embedding",
-      k = 3, nProbe = 2)
-    // Bit-identical, cos doubles included: the persisted vnn is the same
-    // strict-fold double the in-session path computes.
-    assert(rows(fromDisk) === inSession)
-    assert(inSession.nonEmpty)
+      VectorOps.saveIvfIndex(e, centroids, "vec_id", "embedding", "ivf_rt", buckets = 4)
+      val loaded = VectorOps.loadIvfIndex(spark, "ivf_rt")
+      val fromDisk = VectorOps.ivfSearchLoaded(loaded, queries, "vec_id", "embedding",
+        k = 3, nProbe = 2)
+      // Bit-identical, cos doubles included: the persisted vnn is the same
+      // strict-fold double the in-session path computes.
+      assert(rows(fromDisk) === inSession)
+      assert(inSession.nonEmpty)
 
-    // The reuse story's plan proof: members are read as a bucketed scan and
-    // reach the probe joins with NO shuffle — the only hash exchanges in the
-    // whole loaded plan are the slim (query_id[, salt]) top-k windows.
-    val p = fromDisk.queryExecution.executedPlan.toString
-    assert(p.contains("SelectedBucketsCount"), s"members must be a bucketed scan:\n$p")
-    assert(!p.contains("Exchange hashpartitioning(cluster_id"),
-      s"member side must not shuffle on cluster_id:\n$p")
-    assert(!p.contains("Exchange hashpartitioning(neighbor_id"),
-      s"member side must not shuffle on neighbor_id:\n$p")
+      // The reuse story's plan proof: members are read as a bucketed scan and
+      // reach the probe joins with NO shuffle — the only hash exchanges in the
+      // whole loaded plan are the slim (query_id[, salt]) top-k windows.
+      val p = fromDisk.queryExecution.executedPlan.toString
+      assert(p.contains("SelectedBucketsCount"), s"members must be a bucketed scan:\n$p")
+      assert(!p.contains("Exchange hashpartitioning(cluster_id"),
+        s"member side must not shuffle on cluster_id:\n$p")
+      assert(!p.contains("Exchange hashpartitioning(neighbor_id"),
+        s"member side must not shuffle on neighbor_id:\n$p")
+    } finally cleanup()
   }
 
   test("srpNearDupPairs ≡ brute-force hamming scan on fixture embeddings (pigeonhole)") {
