@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for training-data pipelines: repetition-based
+  * quality filtering (the Gopher/RefinedWeb "most frequent n-gram covers too
+  * much of the document" rule), representative-term extraction (TF-IDF-style
+  * with a float-free integer ranking), and deterministic per-stratum
+  * hash-sampling for dataset mixing.
+  *
+  * Scale posture: everything is per-row expressions + keyed hash aggregates
+  * (combiner-reduced, keys are (doc, gram)/(token)/(doc) — all high-
+  * cardinality); no all-pairs stage, no driver materialization, no UDFs.
+  */
+object CorpusOps {
+
+  /** ALL word `n`-grams of `text` in order, duplicates KEPT — repetition
+    * analysis needs occurrence counts, so this is deliberately not
+    * [[TextOps.wordShingles]] (which is distinct). Same let-binding shape:
+    * the token array is bound through a singleton-array `transform` so the
+    * lambda references a variable, not a re-inlined `split` (the O(tokens²)
+    * trap caught in round 3 — see [[TextOps.wordShinglesHof]]).
+    */
+  def wordNgramsAll(text: Column, n: Int): Column =
+    element_at(
+      transform(array(TextOps.tokens(text)), w => {
+        val grams = transform(sequence(lit(1), size(w) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(j => element_at(w, i + j)): _*))
+        when(size(w) < n, array().cast("array<string>")).otherwise(grams)
+      }),
+      1)
+
+  /** Per-document repetition statistics over word `n`-grams: total gram
+    * occurrences, the top gram's occurrence count, and the keep/drop flag
+    * `top · maxRepDen ≤ total · maxRepNum` (an exact integer form of
+    * "top n-gram covers ≤ maxRepNum/maxRepDen of the document" — Gopher
+    * drops a doc whose top 2-gram exceeds 0.20 of it). Documents with fewer
+    * than `n` tokens produce no grams and are absent from the output —
+    * filter them upstream with their own length rule.
+    *
+    * Output: (doc_id, n_grams, top_gram_n, keep ∈ {0,1}). Two keyed hash
+    * aggregates — (doc, gram) then (doc) — both combiner-reduced; nothing
+    * quadratic in document length.
+    */
+  def repetitionStats(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 2, maxRepNum: Int = 1, maxRepDen: Int = 5): DataFrame = {
+    require(n >= 1 && maxRepNum > 0 && maxRepDen > 0)
+    docs
+      .select(col(idCol).as("doc_id"),
+        explode(wordNgramsAll(col(textCol), n)).as("gram"))
+      .groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_grams"), max(col("cnt")).as("top_gram_n"))
+      .select(col("doc_id"), col("n_grams"), col("top_gram_n"),
+        when(col("top_gram_n") * maxRepDen <= col("n_grams") * maxRepNum, 1L)
+          .otherwise(0L).as("keep"))
+  }
+
+  /** Top-`k` representative terms per document, TF-IDF-style but ranked
+    * entirely in integers: term frequency descending, document frequency
+    * ascending (rarer wins), token ascending — the argmax of tf·idf for any
+    * monotone idf without a single float (float scores would be a cross-
+    * engine hash hazard and add nothing to the ordering).
+    *
+    * Output: (doc_id, rnk 1..k, token, tf, df). Shuffles: (doc, token)
+    * aggregate, (token) df aggregate + join back, per-doc rank window — all
+    * keyed on high-cardinality columns; the df relation is
+    * vocabulary-sized, so Catalyst broadcasts it when small.
+    */
+  def topTerms(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    require(k >= 1)
+    val tf = docs
+      .select(col(idCol).as("doc_id"), explode(TextOps.tokens(col(textCol))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("df").asc, col("token").asc)
+    tf.join(df, "token")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("rnk").cast("int").as("rnk"),
+        col("token"), col("tf"), col("df"))
+  }
+
+  /** Deterministic per-stratum Bernoulli sampling by content hash: a row in
+    * stratum `v` with rate `(num, den)` is kept iff
+    * `polyHash(key) % den < num`. Strata without a configured rate are
+    * DROPPED (rate 0) — the dataset-mixing contract: every stratum's rate is
+    * an explicit decision. Pure per-row filter: stable across runs, engines
+    * and partitionings (unlike `rand()` sampling), pushes down like any
+    * predicate, and composable with the train/val/test hash split (use a
+    * different hash base per decision so the two stay independent).
+    */
+  def stratifiedHashSample(
+      df: DataFrame, strata: Column, key: Column,
+      rates: Seq[(String, Int, Int)], hashBase: Long = 31L): DataFrame = {
+    require(rates.nonEmpty && rates.forall { case (_, n, d) => n >= 0 && d > 0 })
+    val h = TextOps.polyHash(key, hashBase)
+    val pred = rates
+      .map { case (v, num, den) => strata === v && h % den < num }
+      .reduce(_ || _)
+    df.filter(pred)
+  }
+}

@@ -199,6 +199,36 @@ object PipelineQueries extends QueryDomain {
         .orderBy($"doc_id")
     },
 
+    "q_repetition_filter" -> { (s, dir) =>
+      import s.implicits._
+      // Gopher-style repetition quality rule: drop a document whose most
+      // frequent word bigram covers more than 1/5 of its bigram occurrences.
+      // Integer cross-compare only — no float threshold to diverge on.
+      CorpusOps.repetitionStats(docs(s, dir), "doc_id", "text",
+        n = 2, maxRepNum = 1, maxRepDen = 5)
+        .orderBy($"doc_id")
+    },
+
+    "q_top_terms" -> { (s, dir) =>
+      import s.implicits._
+      // TF-IDF-style representative terms, ranked entirely in integers
+      // (tf desc, df asc, token asc) — the argmax of tf·idf for any
+      // monotone idf, with zero float determinism risk.
+      CorpusOps.topTerms(docs(s, dir), "doc_id", "text", k = 3)
+        .orderBy($"doc_id", $"rnk")
+    },
+
+    "q_stratified_sample" -> { (s, dir) =>
+      import s.implicits._
+      // Dataset-mixing sampler: per-language keep rates, decided by a
+      // content hash (base 131 — independent of q_split_hash's base-31
+      // train/val/test decision). fr/zh have no configured rate ⇒ dropped.
+      CorpusOps.stratifiedHashSample(docs(s, dir), $"lang", $"text",
+        Seq(("en", 1, 2), ("de", 1, 4), ("es", 1, 10)), hashBase = 131L)
+        .select($"doc_id", $"lang")
+        .orderBy($"doc_id")
+    },
+
     // ---- events: sessionization + time windows ----------------------------
     // The fixture's events.ts is parquet TIMESTAMP(NANOS) — read as a
     // nanosecond BIGINT (spark.sql.legacy.parquet.nanosAsLong, set by
@@ -627,6 +657,36 @@ object PipelineQueries extends QueryDomain {
         |  event_type, count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+    "q_repetition_filter" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS gram
+        |  FROM t WHERE len(w) >= 2),
+        |c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_grams,
+        |  CAST(max(cnt) AS BIGINT) AS top_gram_n,
+        |  CAST(CASE WHEN max(cnt) * 5 <= sum(cnt) * 1 THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_top_terms" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2),
+        |df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |r AS (SELECT tf.doc_id, tf.token, tf.tf, df.df,
+        |    ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY tf.tf DESC, df.df ASC, tf.token ASC) AS rnk
+        |  FROM tf JOIN df USING (token))
+        |SELECT doc_id, CAST(rnk AS INT) AS rnk, token, tf, df
+        |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+
+    "q_stratified_sample" ->
+      s"""WITH h AS (SELECT doc_id, lang, ${duckHash("text", 131)} AS hv FROM documents)
+         |SELECT doc_id, lang FROM h
+         |WHERE (lang = 'en' AND hv % 2 < 1)
+         |   OR (lang = 'de' AND hv % 4 < 1)
+         |   OR (lang = 'es' AND hv % 10 < 1)
+         |ORDER BY doc_id""".stripMargin,
 
     "q_asof_join" ->
       """WITH e AS (SELECT event_id, user_id, event_type,

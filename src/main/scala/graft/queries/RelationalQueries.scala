@@ -92,6 +92,25 @@ object RelationalQueries extends QueryDomain {
           count(lit(1)).as("n_rows"))
     },
 
+    "q_bloom_semijoin" -> { (s, dir) =>
+      import s.implicits._
+      // Bloom-prefiltered semi-join ([[graft.operators.BloomJoins]]): the
+      // fact side is pruned by a membership test on the urgent orders' key
+      // Bloom BEFORE its shuffle, then exact-semi-joined — identical result
+      // to the plain semi-join (oracle is the plain IN), with the fact
+      // exchange carrying only matches + fpp·|fact| rows at scale.
+      val urgent = t(s, dir, "orders")
+        .filter($"o_orderpriority" === "1-URGENT")
+        .select($"o_orderkey".as("l_orderkey"))
+      graft.operators.BloomJoins.bloomSemiJoin(
+          t(s, dir, "lineitem"), urgent, Seq("l_orderkey"))
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n_items"),
+          sum(dec($"l_extendedprice", 14, 2) * dec(lit(1) - $"l_discount", 8, 4))
+            .cast(DoubleType).as("revenue"))
+        .orderBy($"l_returnflag")
+    },
+
     // ---- §2.2 shapes ------------------------------------------------------
     "q_filter_predicates" -> { (s, dir) =>
       import s.implicits._
@@ -418,6 +437,15 @@ object RelationalQueries extends QueryDomain {
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
         |  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 25""".stripMargin,
+
+    "q_bloom_semijoin" ->
+      s"""SELECT l_returnflag, COUNT(*) AS n_items,
+         |  CAST(SUM($discPrice) AS DOUBLE) AS revenue
+         |FROM lineitem
+         |WHERE l_orderkey IN
+         |  (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+         |GROUP BY l_returnflag
+         |ORDER BY l_returnflag""".stripMargin,
 
     "q_filter_predicates" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
