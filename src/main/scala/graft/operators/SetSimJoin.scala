@@ -217,10 +217,22 @@ object SetSimJoin {
     }
 
     // Candidates: prefix-token collision inside a block, pruned by
-    //  - the length filter: J ≥ t forces t·max(|A|,|B|) ≤ min(|A|,|B|);
+    //  - the ASYMMETRIC MID-PREFIX (PPJoin, Xiao et al. WWW'08 §4): pairs
+    //    are canonicalized by (size, id) so side i is the SMALLER set. Any
+    //    qualifying pair shares ≥ α = ⌈t/(1+t)·(|A|+|B|)⌉ tokens, and with
+    //    |B| ≥ |A| that gives α ≥ ⌈2t/(1+t)·|A|⌉ — so the i side only needs
+    //    its first |A| − ⌈2t/(1+t)·|A|⌉ + 1 tokens (the INDEX prefix),
+    //    strictly shorter than the probe prefix |A| − ⌈t·|A|⌉ + 1 whenever
+    //    t < 1 (at t = 3/5: 1/4·|A| vs 2/5·|A|). The j side keeps the full
+    //    probe prefix (α ≥ ⌈t·|B|⌉ via the length filter |A| ≥ t·|B|). The
+    //    i side is cut BEFORE the join — its exchange and the collision
+    //    stream both shrink by the prefix ratio (1−2t/(1+t))/(1−t) =
+    //    1/(1+t);
+    //  - the length filter: J ≥ t forces |A| ≥ t·|B| (the other direction
+    //    is implied by |A| ≤ |B|);
     //  - the PPJoin positional filter: a token at ranks (p_i, p_j) bounds
     //    the remaining possible overlap at 1 + min(|A|−p_i, |B|−p_j), which
-    //    must reach α = ⌈t/(1+t)·(|A|+|B|)⌉ for some shared prefix token.
+    //    must reach α for some shared prefix token.
     // "Some shared token reaches α" ≡ "the best one does", so the positional
     // filter runs at ROW level, inside the join, BEFORE the dedup aggregate:
     // it prunes the collision stream while it's still flowing through the
@@ -244,17 +256,24 @@ object SetSimJoin {
       case _                 => identity
     }
     val alpha = ceilDiv((col("sz_i") + col("sz_j")) * threshNum, threshNum + threshDen)
-    val cand = prefix.toDF("doc_i" +: "sj_tok" +: "sz_i" +: "rk_i" +: blockCols: _*)
+    // The i side's index prefix: rank ≤ |A| − ⌈2t/(1+t)·|A|⌉ + 1. Filtered
+    // from the probe-length prefix stream row-locally (rank is the true rank
+    // in the full rare-first order, so a filter is exactly a shorter prefix).
+    val idxPrefix = prefix.filter(
+      col("sj_rk") <= col("sj_sz") - ceilDiv(col("sj_sz") * (2 * threshNum),
+        threshNum + threshDen) + 1)
+    val cand = idxPrefix.toDF("doc_i" +: "sj_tok" +: "sz_i" +: "rk_i" +: blockCols: _*)
       .join(hinted(prefix.toDF("doc_j" +: "sj_tok" +: "sz_j" +: "rk_j" +: blockCols: _*)),
         blockCols :+ "sj_tok")
-      .filter(col("doc_i") < col("doc_j") &&
-        col("sz_i") * threshNum <= col("sz_j") * threshDen &&
+      .filter((col("sz_i") < col("sz_j") ||
+          (col("sz_i") === col("sz_j") && col("doc_i") < col("doc_j"))) &&
         col("sz_j") * threshNum <= col("sz_i") * threshDen &&
         least(col("sz_i") - col("rk_i"), col("sz_j") - col("rk_j")) + 1 >= alpha)
       .select(col("doc_i") +: col("doc_j") +: bc: _*)
       .dropDuplicates("doc_i" +: "doc_j" +: blockCols)
 
-    // Exact verification on candidates only.
+    // Exact verification on candidates only. Pairs arrive canonicalized by
+    // (size, id); the output contract is id order, restored at the end.
     val sets = d.select(col("sj_id"), col("sj_set"))
     cand
       .join(hinted(sets.toDF("doc_i", "set_i")), "doc_i")
@@ -263,6 +282,9 @@ object SetSimJoin {
       .withColumn("n_union",
         (size(col("set_i")) + size(col("set_j"))).cast("long") - col("n_common"))
       .filter(col("n_union") > 0 && col("n_common") * threshDen >= col("n_union") * threshNum)
-      .select(bc :+ col("doc_i") :+ col("doc_j") :+ col("n_common") :+ col("n_union"): _*)
+      .select(bc ++ Seq(
+        least(col("doc_i"), col("doc_j")).as("doc_i"),
+        greatest(col("doc_i"), col("doc_j")).as("doc_j"),
+        col("n_common"), col("n_union")): _*)
   }
 }
