@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over an undirected edge list — the cluster-resolution
+  * step every pairwise near-dup stage needs downstream: dedup pairs (MinHash,
+  * SimHash, n-gram Jaccard, SRP — any of this library's generators) form a
+  * graph whose components are the duplicate CLUSTERS, and the canonical "keep
+  * one per cluster" decision needs each node labeled with its component.
+  * The reference has no analog (its scope ends at the loader); this is part
+  * of the LLM-pipeline extension surface.
+  *
+  * Algorithm: alternating large-star / small-star (Kiveris, Lattanzi,
+  * Mirrokni, Rastogi, Vassilvitskii — "Connected Components in MapReduce and
+  * Beyond", SoCC'14). Each round is a constant number of hash-shuffles keyed
+  * on node id, and the edge set converges to one star per component rooted
+  * at the component's minimum id in O(log² n) rounds (O(log n) observed).
+  *
+  * Scale posture (100 TB): the driver never sees the graph — every step is
+  * an aggregate or join on slim (LONG, LONG) rows keyed by node id.
+  * High-degree hubs are exactly what large-star is FOR: it hangs a hub's
+  * larger neighbors off the component minimum, splitting the hub's star
+  * across keys instead of funneling the component through one reducer. The
+  * iteration state is `localCheckpoint`ed each round (the kmeans pattern,
+  * VectorOps.scala:259) so lineage — and with it, plan size and scheduler
+  * overhead — stays constant across rounds; convergence is decided by a
+  * one-action structural check on the checkpointed edges (see the stopping
+  * rule in the body), never by driver-side collection.
+  */
+object GraphOps {
+
+  /** Label every node of the `edges` graph with its connected component,
+    * identified by the component's minimum node id.
+    *
+    * Nodes are the ids appearing in `edges` (isolated nodes never reach a
+    * pairwise stage, so they have no row here — callers wanting singleton
+    * clusters can union them in as self-labeled rows). Self-loops and
+    * duplicate/reversed edges are tolerated and ignored.
+    *
+    * @param edges  one row per (possibly repeated) undirected edge
+    * @param srcCol endpoint column, integral type (casts losslessly to LONG)
+    * @param dstCol endpoint column, integral type
+    * @param maxIter hard ceiling on star rounds; convergence is O(log² n)
+    *                with n edges, so the default 50 covers any input that
+    *                fits on hardware. Non-convergence throws rather than
+    *                returning a partial labeling.
+    * @return columns: node LONG, component LONG (= min node id reachable)
+    */
+  def connectedComponents(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxIter: Int = 50): DataFrame = {
+    require(maxIter > 0, "maxIter must be positive")
+    val integral = Set("tinyint", "smallint", "int", "bigint")
+    for (c <- Seq(srcCol, dstCol))
+      require(integral(edges.schema(c).dataType.simpleString),
+        s"connectedComponents needs integral node ids, got " +
+          s"${edges.schema(c).dataType.catalogString} for '$c'")
+
+    // Large-star: every node hands its LARGER neighbors to the minimum of
+    // its closed neighborhood. Shrinks long chains and splits hub stars.
+    // No dedup here — small-star's round-final distinct absorbs the bounded
+    // duplication, saving a shuffle per round.
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u").agg(min(least(col("v"), col("u"))).as("m"))
+      sym.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+    }
+
+    // Small-star: every node hands its SMALLER-or-equal neighbors (and
+    // itself) to the minimum among them. Flattens the shrunken chains.
+    def smallStar(e: DataFrame): DataFrame = {
+      val dir = e.select(greatest(col("u"), col("v")).as("u"),
+          least(col("u"), col("v")).as("v"))
+        .filter(col("u") =!= col("v"))
+      val mins = dir.groupBy("u").agg(min(col("v")).as("m"))
+      dir.join(mins, "u").select(col("v").as("n"), col("m"))
+        .union(mins.select(col("u").as("n"), col("m")))
+        .filter(col("n") =!= col("m"))
+        .select(col("n").as("u"), col("m").as("v"))
+        .distinct()
+    }
+
+    // Stopping rule: the answer state is a union of DISJOINT MIN-ROOTED
+    // STARS, and that structure is directly checkable — every source node
+    // appears exactly once and never as a target. It is also sufficient:
+    // both star operations preserve the node set and the component
+    // partition (SoCC'14 §3), so a disjoint-star edge set has one star per
+    // ORIGINAL component, rooted at that component's minimum (small-star
+    // only ever directs edges larger → smaller). Checking the structure of
+    // the current state costs ONE single-shuffle action per round (tag each
+    // endpoint role, one combiner-reduced aggregate per node) — unlike
+    // fixpoint detection, which needs set-equality (two anti-joins) per
+    // operation.
+    def isStarUnion(s: DataFrame): Boolean =
+      s.select(col("u").as("n"), lit(1L).as("nsrc"), lit(0L).as("ndst"))
+        .union(s.select(col("v").as("n"), lit(0L).as("nsrc"), lit(1L).as("ndst")))
+        .groupBy("n").agg(sum("nsrc").as("nsrc"), sum("ndst").as("ndst"))
+        .filter(col("nsrc") > 1 || (col("nsrc") > 0 && col("ndst") > 0))
+        .isEmpty
+
+    var e = edges
+      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    var converged = e.isEmpty || isStarUnion(e)
+    var rounds = 0
+    while (!converged && rounds < maxIter) {
+      // One checkpoint per round: the large-star intermediate stays lazy
+      // inside the round's plan — two star ops are a handful of shuffles,
+      // not worth a second materialization barrier.
+      e = smallStar(largeStar(e)).localCheckpoint()
+      converged = isStarUnion(e)
+      rounds += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within maxIter=$maxIter rounds")
+
+    // Converged state is one star per component: an edge (v, m) for every
+    // non-root member v, all pointing at the component minimum m. Roots
+    // label themselves.
+    e.select(col("u").as("node"), col("v").as("component"))
+      .union(e.select(col("v"), col("v")).distinct()
+        .toDF("node", "component"))
+  }
+}

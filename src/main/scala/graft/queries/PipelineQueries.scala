@@ -94,6 +94,25 @@ object PipelineQueries extends QueryDomain {
         $"doc_i", $"doc_j")
     },
 
+    "q_dedup_clusters" -> { (s, dir) =>
+      import s.implicits._
+      // Cluster RESOLUTION — the step downstream of every pairwise near-dup
+      // generator: pairs (here the banded 60-bit SimHash generator of
+      // q_simhash_neardup, Hamming <= 3, recall exactly 1 by pigeonhole)
+      // form a graph whose connected components are the duplicate clusters.
+      // [[GraphOps.connectedComponents]] (alternating large-star/small-star,
+      // O(log n) rounds of node-keyed shuffles, no driver-side graph) labels
+      // each member with the component-minimum doc_id — the canonical
+      // keep-one representative — and a window sizes the clusters.
+      val pairs = SimHash.nearDupPairs(docs(s, dir), "doc_id", "text",
+        bits = 60, bandBits = 15, maxHamming = 3)
+      val comp = GraphOps.connectedComponents(pairs, "doc_i", "doc_j")
+      comp.select($"node".as("doc_id"), $"component".as("cluster_id"))
+        .withColumn("cluster_size",
+          count(lit(1)).over(Window.partitionBy($"cluster_id")).cast("long"))
+        .orderBy($"doc_id")
+    },
+
     "q_ngram_jaccard" -> { (s, dir) =>
       import s.implicits._
       // Exact character-trigram Jaccard >= 3/5 within (lang, source) blocks,
@@ -556,6 +575,30 @@ object PipelineQueries extends QueryDomain {
          |FROM t a JOIN t b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.s, b.s)) <= 3
          |ORDER BY doc_i, doc_j""".stripMargin,
+
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE tk AS (SELECT doc_id,
+         |  list_transform(string_split(text, ' '), tok -> ${duckWideHash("tok")}) AS th
+         |  FROM documents
+         |  WHERE text IS NOT NULL AND length(trim(text)) > 0),
+         |t AS (SELECT doc_id,
+         |  CAST(list_sum(list_transform(range(0, 60), b ->
+         |    CASE WHEN list_sum(list_transform(th, h ->
+         |        CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+         |      THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS s
+         |  FROM tk),
+         |pairs AS (SELECT a.doc_id AS u, b.doc_id AS v
+         |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.s, b.s)) <= 3),
+         |edges AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+         |reach(node, lbl) AS (
+         |  SELECT u, u FROM edges
+         |  UNION
+         |  SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.node = e.v),
+         |comp AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node)
+         |SELECT node AS doc_id, cluster_id,
+         |  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+         |FROM comp ORDER BY doc_id""".stripMargin,
 
     "q_ngram_jaccard" ->
       """WITH g AS (SELECT doc_id, lang, source,
