@@ -113,6 +113,25 @@ object PipelineQueries extends QueryDomain {
         .orderBy($"doc_id")
     },
 
+    "q_decontaminate" -> { (s, dir) =>
+      import s.implicits._
+      // Train-test overlap detection ([[CorpusOps.sharedWindowOverlap]]):
+      // treat source 'src0' as the held-out benchmark and report every
+      // training document sharing a 24-char contiguous window with it,
+      // ranked by distinct shared windows. Windows join on their 60-bit
+      // wideHash (primitive keys); boilerplate windows occurring in more
+      // than 3 documents across both sides are dropped — the cap BITES at
+      // this SF (shared-window df reaches 4), so the guard's semantics are
+      // under the gate, not just its happy path.
+      val d = docs(s, dir)
+      orderedSmall(
+        CorpusOps.sharedWindowOverlap(
+          d.filter($"source" =!= "src0"), "doc_id", "text",
+          d.filter($"source" === "src0"), "doc_id", "text",
+          n = 24, maxWindowDf = Some(3)),
+        $"doc_a", $"doc_b")
+    },
+
     "q_ngram_jaccard" -> { (s, dir) =>
       import s.implicits._
       // Exact character-trigram Jaccard >= 3/5 within (lang, source) blocks,
@@ -599,6 +618,24 @@ object PipelineQueries extends QueryDomain {
          |SELECT node AS doc_id, cluster_id,
          |  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
          |FROM comp ORDER BY doc_id""".stripMargin,
+
+    "q_decontaminate" ->
+      s"""WITH wa AS (SELECT doc_id,
+         |  list_transform(list_distinct(list_transform(range(1, length(text)-22),
+         |    i -> substr(text, i, 24))), w -> ${duckWideHash("w")}) AS ws
+         |  FROM documents WHERE length(text) >= 24 AND source <> 'src0'),
+         |wb AS (SELECT doc_id,
+         |  list_transform(list_distinct(list_transform(range(1, length(text)-22),
+         |    i -> substr(text, i, 24))), w -> ${duckWideHash("w")}) AS ws
+         |  FROM documents WHERE length(text) >= 24 AND source = 'src0'),
+         |ea AS (SELECT doc_id AS doc_a, unnest(ws) AS w FROM wa),
+         |eb AS (SELECT doc_id AS doc_b, unnest(ws) AS w FROM wb),
+         |wdf AS (SELECT w, count(*) AS wdf
+         |  FROM (SELECT w FROM ea UNION ALL SELECT w FROM eb) u GROUP BY w)
+         |SELECT a.doc_a, b.doc_b, CAST(count(*) AS BIGINT) AS n_shared_windows
+         |FROM ea a JOIN eb b ON a.w = b.w JOIN wdf ON wdf.w = a.w
+         |WHERE wdf.wdf <= 3 AND a.doc_a <> b.doc_b
+         |GROUP BY a.doc_a, b.doc_b ORDER BY doc_a, doc_b""".stripMargin,
 
     "q_ngram_jaccard" ->
       """WITH g AS (SELECT doc_id, lang, source,

@@ -80,4 +80,77 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(other != got)
   }
+
+  test("sharedWindowOverlap: planted overlaps, counts, and no self-pairs") {
+    // docs 1/2 share exactly the window "SHARED08" (8 chars); docs 1/3 share
+    // two distinct 8-char windows via a 9-char common run; doc 4 is clean.
+    val corpus = Seq(
+      (1L, "aaaa SHARED08 bbbb COMMON9XX cccc"),
+      (4L, "nothing in common at all")).toDF("id", "txt")
+    val ref = Seq(
+      (2L, "dddd SHARED08 eeee"),
+      (3L, "ffff COMMON9XX gggg"),
+      (1L, "aaaa SHARED08 bbbb COMMON9XX cccc")).toDF("id", "txt")
+    val got = CorpusOps.sharedWindowOverlap(corpus, "id", "txt", ref, "id", "txt", n = 8)
+      .as[(Long, Long, Long)].collect().toSet
+    // brute force over distinct 8-gram STRING sets (hash matching must agree)
+    val sets = (Seq((1L, "aaaa SHARED08 bbbb COMMON9XX cccc"),
+      (4L, "nothing in common at all"),
+      (2L, "dddd SHARED08 eeee"), (3L, "ffff COMMON9XX gggg")))
+      .map { case (id, t) => id -> t.sliding(8).toSet }.toMap
+    val brute = for {
+      a <- Seq(1L, 4L); b <- Seq(2L, 3L, 1L)
+      if a != b
+      shared = (sets(a) intersect sets(b)).size if shared > 0
+    } yield (a, b, shared.toLong)
+    assert(got == brute.toSet)
+    assert(got.exists { case (a, b, c) => a == 1L && b == 2L && c >= 1L })
+    assert(!got.exists { case (a, b, _) => a == b })
+  }
+
+  test("sharedWindowOverlap ≡ brute force on random small-alphabet strings") {
+    val rng = new scala.util.Random(23)
+    def doc() = Seq.fill(6 + rng.nextInt(20))(if (rng.nextBoolean()) 'a' else 'b').mkString
+    val corpus = (0L until 40L).map(i => (i, doc()))
+    val ref = (100L until 125L).map(i => (i, doc()))
+    val got = CorpusOps.sharedWindowOverlap(
+        corpus.toDF("id", "txt"), "id", "txt",
+        ref.toDF("id", "txt"), "id", "txt", n = 5)
+      .as[(Long, Long, Long)].collect().toSet
+    val brute = for {
+      (a, ta) <- corpus if ta.length >= 5
+      (b, tb) <- ref if tb.length >= 5
+      shared = (ta.sliding(5).toSet intersect tb.sliding(5).toSet).size if shared > 0
+    } yield (a, b, shared.toLong)
+    assert(got == brute.toSet)
+    assert(brute.nonEmpty, "degenerate fixture")
+  }
+
+  test("sharedWindowOverlap maxWindowDf drops boilerplate windows on both sides") {
+    // "BOILER9XX" appears in every doc; only docs 1/2 also share "RARE8###".
+    val corpus = Seq(
+      (1L, "xx BOILER9XX yy RARE8### zz"),
+      (5L, "qq BOILER9XX rr")).toDF("id", "txt")
+    val ref = Seq(
+      (2L, "ss BOILER9XX tt RARE8### uu"),
+      (6L, "vv BOILER9XX ww")).toDF("id", "txt")
+    // boilerplate df = 4 docs > cap 3 → its windows vanish; the (1,2) pair
+    // survives on the rare window alone, every other pair disappears.
+    val capped = CorpusOps.sharedWindowOverlap(
+        corpus, "id", "txt", ref, "id", "txt", n = 8, maxWindowDf = Some(3))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(capped.map { case (a, b, _) => (a, b) } == Set((1L, 2L)))
+    val (_, _, nShared) = capped.head
+    val rareOnly = "xx BOILER9XX yy RARE8### zz".sliding(8).toSet
+      .intersect("ss BOILER9XX tt RARE8### uu".sliding(8).toSet)
+      .count(w => !"BOILER9XX".sliding(8).toSet
+        .union(" BOILER9XX ".sliding(8).toSet).contains(w))
+    assert(nShared == rareOnly)
+    // uncapped, all four pairs hit on the boilerplate run
+    val open = CorpusOps.sharedWindowOverlap(
+        corpus, "id", "txt", ref, "id", "txt", n = 8)
+      .as[(Long, Long, Long)].collect()
+    assert(open.map(t => (t._1, t._2)).toSet ==
+      Set((1L, 2L), (1L, 6L), (5L, 2L), (5L, 6L)))
+  }
 }
