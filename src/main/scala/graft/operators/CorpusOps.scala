@@ -143,6 +143,39 @@ object CorpusOps {
       .agg(count(lit(1)).as("n_shared_windows"))
   }
 
+  /** Per-document duplication profile — the RefinedWeb-style corpus-health
+    * metric: of a document's distinct length-`n` character windows, how many
+    * also occur in at least one OTHER document (or more precisely, occur
+    * with corpus df ≥ 2 — a window repeated only inside one document counts
+    * once and stays unique). High `dup_fraction` flags boilerplate-heavy or
+    * near-duplicate material for the curation pass.
+    *
+    * Same window-hash core as [[sharedWindowOverlap]]: compiled shingling,
+    * one combiner-reduced df count keyed on the 60-bit window hash, one
+    * join back keyed the same way, one per-doc aggregate. `dup_fraction` is
+    * a single IEEE division of two exact counts (cross-engine-identical —
+    * the q_text_stats convention).
+    *
+    * @return (doc_id, n_windows, n_dup_windows LONG, dup_fraction DOUBLE);
+    *         documents shorter than `n` have no windows and are absent
+    */
+  def windowDuplication(
+      docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    require(n >= 2, "a 1-char window is duplicated near-everywhere")
+    val w = docs.filter(length(col(textCol)) >= n)
+      .select(col(idCol).as("doc_id"),
+        explode(transform(TextOps.charShingles(col(textCol), n),
+          s => TextOps.wideHash(s))).as("w"))
+    val wdf = w.groupBy("w").agg(count(lit(1)).as("wdf"))
+    w.join(wdf, "w")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("wdf") > 1, 1L).otherwise(0L)).as("n_dup_windows"))
+      .select(col("doc_id"), col("n_windows"), col("n_dup_windows"),
+        (col("n_dup_windows").cast("double") / col("n_windows").cast("double"))
+          .as("dup_fraction"))
+  }
+
   /** Deterministic per-stratum Bernoulli sampling by content hash: a row in
     * stratum `v` with rate `(num, den)` is kept iff
     * `polyHash(key) % den < num`. Strata without a configured rate are

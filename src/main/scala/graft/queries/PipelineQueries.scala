@@ -132,6 +132,16 @@ object PipelineQueries extends QueryDomain {
         $"doc_a", $"doc_b")
     },
 
+    "q_dup_fraction" -> { (s, dir) =>
+      import s.implicits._
+      // Corpus-health duplication profile ([[CorpusOps.windowDuplication]]):
+      // per document, the fraction of its distinct 16-char windows that
+      // occur in other documents too (corpus df >= 2) — high values flag
+      // boilerplate and near-duplicates for curation.
+      CorpusOps.windowDuplication(docs(s, dir), "doc_id", "text", n = 16)
+        .orderBy($"doc_id")
+    },
+
     "q_ngram_jaccard" -> { (s, dir) =>
       import s.implicits._
       // Exact character-trigram Jaccard >= 3/5 within (lang, source) blocks,
@@ -636,6 +646,19 @@ object PipelineQueries extends QueryDomain {
          |FROM ea a JOIN eb b ON a.w = b.w JOIN wdf ON wdf.w = a.w
          |WHERE wdf.wdf <= 3 AND a.doc_a <> b.doc_b
          |GROUP BY a.doc_a, b.doc_b ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_dup_fraction" ->
+      s"""WITH w AS (SELECT doc_id,
+         |  unnest(list_transform(list_distinct(list_transform(range(1, length(text)-14),
+         |    i -> substr(text, i, 16))), s -> ${duckWideHash("s")})) AS w
+         |  FROM documents WHERE length(text) >= 16),
+         |wdf AS (SELECT w, count(*) AS wdf FROM w GROUP BY w)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+         |  CAST(sum(CASE WHEN wdf.wdf > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
+         |  CAST(sum(CASE WHEN wdf.wdf > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS dup_fraction
+         |FROM w JOIN wdf ON w.w = wdf.w
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_ngram_jaccard" ->
       """WITH g AS (SELECT doc_id, lang, source,

@@ -126,6 +126,26 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec {
     assert(brute.nonEmpty, "degenerate fixture")
   }
 
+  test("windowDuplication ≡ brute force; intra-doc repeats stay unique") {
+    val rng = new scala.util.Random(41)
+    def doc() = Seq.fill(8 + rng.nextInt(18))(if (rng.nextBoolean()) 'a' else 'b').mkString
+    val rows = (0L until 50L).map(i => (i, doc())) :+
+      (99L, "ababababab") :+ // heavy INTRA-doc repetition
+      (100L, "zzzzzqqqqq") // windows unique to this doc (alphabet disjoint-ish)
+    val got = CorpusOps.windowDuplication(rows.toDF("id", "txt"), "id", "txt", n = 5)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    val winSets = rows.map { case (id, t) => id -> t.sliding(5).toSet }.toMap
+    for ((id, t) <- rows) {
+      val mine = winSets(id)
+      val dup = mine.count(w => rows.exists { case (o, _) => o != id && winSets(o)(w) })
+      val (_, nw, nd, fr) = got(id)
+      assert(nw == mine.size && nd == dup, s"doc $id")
+      assert(fr == dup.toDouble / mine.size, s"doc $id fraction")
+    }
+    // the z/q doc shares nothing with the a/b corpus
+    assert(got(100L)._3 == 0L && got(100L)._4 == 0.0)
+  }
+
   test("sharedWindowOverlap maxWindowDf drops boilerplate windows on both sides") {
     // "BOILER9XX" appears in every doc; only docs 1/2 also share "RARE8###".
     val corpus = Seq(
