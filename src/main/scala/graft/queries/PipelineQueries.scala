@@ -395,6 +395,34 @@ object PipelineQueries extends QueryDomain {
         .orderBy($"window_start", $"event_type")
     },
 
+    "q_stream_dedup" -> { (s, dir) =>
+      import s.implicits._
+      // Streaming exact dedup under the gate
+      // ([[graft.streaming.EventStreams.dedupEvents]]): the events fixture
+      // replayed through TWO readStream sources unioned — every event
+      // delivered twice, the at-least-once failure mode — must reproduce
+      // the batch DISTINCT on event_id exactly. First-seen rows emit
+      // immediately in append mode, so no sentinel protocol is needed (the
+      // staged dir's sentinels just ride along and are filtered with the
+      // usual predicate); the watermark bounds dedup-key state by the
+      // horizon — the unbounded-stream posture. `value` is an untouched
+      // passthrough (no accumulation → bit-exact vs the oracle).
+      val staged = Staging.streamSessionizeDir(s, dir, gapSec = 21600L)
+      val ss = Staging.streamSession(s)
+      val schema = ss.read.parquet(s"$dir/events.parquet").schema
+      def src = ss.readStream.schema(schema).parquet(staged)
+        .withColumn("tsm", timestamp_micros(expr("ts div 1000")))
+        .select($"tsm", $"event_id", $"user_id", $"event_type",
+          expr("ts div 1000000000").as("ep"), $"value")
+      val sink = Staging.nextStreamSink(ss)
+      val q = graft.streaming.EventStreams
+        .dedupEvents(src.unionByName(src), Seq("event_id"))
+        .drop("tsm")
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      ss.table(sink).filter($"event_type" =!= "sentinel").orderBy($"event_id")
+    },
+
     "q_stream_sessionize" -> { (s, dir) =>
       import s.implicits._
       // The STATEFUL streaming path under the oracle gate: the events fixture
@@ -741,6 +769,11 @@ object PipelineQueries extends QueryDomain {
       s"""SELECT doc_id, ${duckHash("text")} AS fp,
          |  CAST(length(text) AS BIGINT) AS n_chars_actual
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_stream_dedup" ->
+      """SELECT event_id, user_id, event_type,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS ep, value
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "q_sessionize" -> sessionizeOracle,
 

@@ -34,6 +34,26 @@ object EventStreams {
         unix_timestamp(col("w.start")).as("window_start"),
         col("event_type"), col("n_events"), col("n_users_approx"), col("total_value"))
 
+  /** Streaming exact dedup — the at-least-once → effectively-once repair
+    * for event pipelines: duplicate deliveries of the same key within the
+    * watermark horizon are dropped (first arrival wins and is emitted
+    * IMMEDIATELY in append mode — unlike windowed aggregates there is no
+    * close to wait for), and a key's state is evicted once the watermark
+    * passes its event time plus the delay, so state is bounded by
+    * keys-per-horizon, not stream history. The trade every bounded-state
+    * dedup makes: a duplicate arriving after its key's state was evicted
+    * re-emits (pinned in EventStreamsSpec). Batch twin: DISTINCT on the
+    * key. Input needs the event-time column `tsm` (TIMESTAMP).
+    */
+  def dedupEvents(
+      events: DataFrame,
+      keyCols: Seq[String],
+      watermark: String = "2 hours"): DataFrame = {
+    require(keyCols.nonEmpty, "dedup needs at least one key column")
+    events.withWatermark("tsm", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+  }
+
   /** Input row for [[sessionize]] (epoch seconds, already event-timed). */
   final case class SessionEvent(userId: Long, epochSec: Long, isPurchase: Boolean, value: Double)
 

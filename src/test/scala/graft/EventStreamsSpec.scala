@@ -62,6 +62,36 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup: in-batch and cross-batch duplicates drop; post-horizon re-emits") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val q = EventStreams.dedupEvents(
+        input.toDF.toDF("tsm", "event_id"), Seq("event_id"), watermark = "1 hour")
+      .writeStream.format("memory").queryName("dd_test").outputMode("append").start()
+    def rowsFor(id: Long) =
+      spark.table("dd_test").filter($"event_id" === id).count()
+    try {
+      input.addData(
+        (ts("2025-01-01 00:10:00"), 1L),
+        (ts("2025-01-01 00:10:00"), 1L), // in-batch duplicate
+        (ts("2025-01-01 00:20:00"), 2L))
+      q.processAllAvailable()
+      assert(rowsFor(1L) == 1 && rowsFor(2L) == 1)
+      input.addData((ts("2025-01-01 00:30:00"), 1L)) // cross-batch, within horizon
+      q.processAllAvailable()
+      assert(rowsFor(1L) == 1, "within-horizon duplicate must drop")
+      // 06:00 advances the watermark to 05:00, far past key 1's
+      // 00:10 + 1 h expiry — its dedup state is evicted.
+      input.addData((ts("2025-01-01 06:00:00"), 99L))
+      q.processAllAvailable()
+      input.addData((ts("2025-01-01 05:50:00"), 1L)) // not late, state gone
+      q.processAllAvailable()
+      assert(rowsFor(1L) == 2, "post-horizon duplicate re-emits — the bounded-state trade")
+      assert(rowsFor(99L) == 1)
+    } finally q.stop()
+  }
+
   test("file-source readStream over the events fixture matches the batch aggregation") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
