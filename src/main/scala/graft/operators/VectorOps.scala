@@ -66,18 +66,20 @@ object VectorOps {
     * neighbor id (not `spark_partition_id`), so results never depend on
     * physical partitioning.
     */
-  private def topKPerQuery(scored: DataFrame, k: Int, saltBuckets: Int): DataFrame = {
+  private def topKPerQuery(scored: DataFrame, k: Int, saltBuckets: Int,
+      scoreName: String = "cos", ascending: Boolean = false): DataFrame = {
+    def ord(c: Column) = if (ascending) c.asc else c.desc
     val w1 = Window.partitionBy(col("query_id"), col("salt"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
+      .orderBy(ord(col(scoreName)), col("neighbor_id"))
     val w2 = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
+      .orderBy(ord(col(scoreName)), col("neighbor_id"))
     scored
       .withColumn("salt", pmod(xxhash64(col("neighbor_id")), lit(saltBuckets.toLong)))
       .withColumn("prank", row_number().over(w1))
       .filter(col("prank") <= k)
       .withColumn("rank", row_number().over(w2))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col(scoreName))
   }
 
   /** Exact top-`k` cosine neighbors of each query vector (brute force — the
@@ -99,6 +101,72 @@ object VectorOps {
         .select(col("query_id"), col("neighbor_id"),
           cosineWithNorms(col("qvec"), col("dvec"), col("qnn"), col("dnn")).as("cos")),
       k, saltBuckets)
+  }
+
+  /** Exact top-`k` EUCLIDEAN neighbors of each query vector — the metric
+    * twin of [[topK]] (broadcast queries, salted two-stage ranking), ranked
+    * by squared distance ascending. `dist2 = |q|² + |d|² − 2·q·d` reuses the
+    * once-per-relation norms and the same strict-fold dot product, so the
+    * value (and every tie) is bit-identical to an oracle computing the same
+    * expression — and it is ~3× cheaper than folding `(q_i − d_i)²` per
+    * pair, which would also diverge from the norm-based formulation in the
+    * low bits.
+    *
+    * Output: (query_id, rank, neighbor_id, dist2).
+    */
+  def topKL2(
+      data: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      saltBuckets: Int = 256): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+      norm2(col(vecCol)).as("qnn")))
+    val d = data.select(col(idCol).as("neighbor_id"), col(vecCol).as("dvec"),
+      norm2(col(vecCol)).as("dnn"))
+    topKPerQuery(
+      d.join(q, col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          (col("qnn") + col("dnn") - lit(2.0) * dot(col("qvec"), col("dvec")))
+            .as("dist2")),
+      k, saltBuckets, scoreName = "dist2", ascending = true)
+  }
+
+  /** Reciprocal-rank fusion (Cormack & Clarke, SIGIR'09) — the hybrid-
+    * retrieval merge: each ranking contributes `1 / (rrfK + rank)` for the
+    * candidates it returned, scores sum across rankings, and the fused list
+    * is re-ranked per query. Rankings that disagree on modality (cosine vs
+    * L2 vs BM25-style) fuse without score calibration — rank is the only
+    * input.
+    *
+    * Determinism: the per-candidate terms are sorted before a strict left
+    * fold, so the double sum is independent of shuffle order for ANY number
+    * of rankings (bare SUM is only safe for ≤ 2 doubles); the oracle twin
+    * is the same `list_sort` + fold. Per-query candidate volume is bounded
+    * by Σ list sizes, so the final rank window is small by construction —
+    * no salting needed.
+    *
+    * @param rankings (query_id, rank, neighbor_id) relations, e.g. [[topK]]
+    *                 / [[topKL2]] outputs (extra columns are ignored)
+    * @return (query_id, rrf_rank, neighbor_id, rrf_score, n_lists)
+    */
+  def rrfFuse(rankings: Seq[DataFrame], topN: Int, rrfK: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "nothing to fuse")
+    require(topN >= 1 && rrfK >= 0)
+    val terms = rankings
+      .map(_.select(col("query_id"), col("neighbor_id"),
+        (lit(1.0) / (lit(rrfK).cast("double") + col("rank").cast("double"))).as("term")))
+      .reduce(_ unionByName _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_score").desc, col("neighbor_id"))
+    terms
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(
+        aggregate(sort_array(collect_list(col("term"))), lit(0.0), (a, x) => a + x)
+          .as("rrf_score"),
+        count(lit(1)).as("n_lists"))
+      .withColumn("rrf_rank", row_number().over(w))
+      .filter(col("rrf_rank") <= topN)
+      .select(col("query_id"), col("rrf_rank").cast("int").as("rrf_rank"),
+        col("neighbor_id"), col("rrf_score"), col("n_lists"))
   }
 
   /** j-th coefficient of the k-th pseudo-random hyperplane for [[srpSignature]]

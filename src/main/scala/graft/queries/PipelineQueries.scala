@@ -474,6 +474,22 @@ object PipelineQueries extends QueryDomain {
         .orderBy($"query_id", $"rnk")
     },
 
+    "q_rrf_fusion" -> { (s, dir) =>
+      import s.implicits._
+      // Hybrid-retrieval fusion ([[VectorOps.rrfFuse]]): each query's cosine
+      // top-10 and Euclidean top-10 lists merged by reciprocal-rank fusion
+      // (k = 60) — the calibration-free way to combine rankings from
+      // different metrics. Terms are sorted before the strict fold so the
+      // fused double is shuffle-order-independent; both rankings derive from
+      // the same broadcast-queries + salted-top-k plan as q_cosine_topk.
+      val e = t(s, dir, "embeddings")
+      val q = e.filter($"vec_id" < 10)
+      VectorOps.rrfFuse(Seq(
+          VectorOps.topK(e, q, "vec_id", "embedding", k = 10),
+          VectorOps.topKL2(e, q, "vec_id", "embedding", k = 10)), topN = 10)
+        .orderBy($"query_id", $"rrf_rank")
+    },
+
     "q_ann_ivf" -> { (s, dir) =>
       import s.implicits._
       val e = t(s, dir, "embeddings")
@@ -861,6 +877,38 @@ object PipelineQueries extends QueryDomain {
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
          |  FROM p)
          |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
+    "q_rrf_fusion" ->
+      s"""WITH $embCte,
+         |p AS (SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+         |  ${duckDot("q.e", "d.e")} AS dp, q.nn AS qnn, d.nn AS dnn
+         |  FROM n q JOIN n d ON q.vec_id < 10 AND d.vec_id <> q.vec_id),
+         |cosr AS (SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY dp / sqrt(qnn * dnn) DESC, neighbor_id) AS rnk
+         |  FROM p),
+         |l2r AS (SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id
+         |    ORDER BY qnn + dnn - CAST(2 AS DOUBLE) * dp ASC, neighbor_id) AS rnk
+         |  FROM p),
+         |terms AS (
+         |  SELECT query_id, neighbor_id,
+         |    CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + CAST(rnk AS DOUBLE)) AS term
+         |  FROM cosr WHERE rnk <= 10
+         |  UNION ALL
+         |  SELECT query_id, neighbor_id,
+         |    CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + CAST(rnk AS DOUBLE)) AS term
+         |  FROM l2r WHERE rnk <= 10),
+         |f AS (SELECT query_id, neighbor_id,
+         |  list_reduce(list_prepend(CAST(0 AS DOUBLE), list_sort(list(term))),
+         |    (a, x) -> a + x) AS rrf_score,
+         |  CAST(count(*) AS BIGINT) AS n_lists
+         |  FROM terms GROUP BY query_id, neighbor_id)
+         |SELECT query_id, CAST(rrf_rank AS INT) AS rrf_rank, neighbor_id,
+         |  rrf_score, n_lists FROM (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY rrf_score DESC, neighbor_id) AS rrf_rank
+         |  FROM f)
+         |WHERE rrf_rank <= 10 ORDER BY query_id, rrf_rank""".stripMargin,
 
     "q_ann_ivf" ->
       s"""WITH $embCte,

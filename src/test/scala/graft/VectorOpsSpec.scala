@@ -32,6 +32,46 @@ class VectorOpsSpec extends AnyFunSuite with SparkSpec {
     assert(top.map(_._2).toSeq === Seq(4L, 2L, 1L))
   }
 
+  test("topKL2 ranks by squared distance asc; agrees with a driver-side scan") {
+    val top = VectorOps.topKL2(vecs, vecs.filter($"vec_id" === 0), "vec_id", "embedding", 4)
+      .select("rank", "neighbor_id", "dist2").as[(Int, Long, Double)].collect().sortBy(_._1)
+    val v = Seq(0L -> Seq(1.0, 0, 0), 1L -> Seq(0.0, 1, 0), 2L -> Seq(1.0, 1, 0),
+      3L -> Seq(-1.0, 0, 0), 4L -> Seq(0.9000000357627869, 0.10000000149011612, 0)).toMap
+    def d2(a: Seq[Double], b: Seq[Double]) =
+      a.map(x => x * x).sum + b.map(x => x * x).sum - 2.0 * a.zip(b).map { case (x, y) => x * y }.sum
+    val brute = (1L to 4L).map(i => i -> d2(v(0L), v(i))).sortBy { case (id, d) => (d, id) }
+    assert(top.map(_._2).toSeq == brute.map(_._1))
+    // closest by L2 is the (0.9, 0.1) vector, farthest the antipode
+    assert(top.head._2 == 4L && top.last._2 == 3L)
+  }
+
+  test("rrfFuse sums 1/(k+rank) across lists and re-ranks; order-deterministic fold") {
+    def ranking(rows: (Long, Int, Long)*) =
+      rows.toSeq.toDF("query_id", "rank", "neighbor_id")
+    // query 0: neighbor 10 is rank 1 in A only; neighbor 11 is rank 2 in
+    // BOTH lists — two mid terms beat one top term: 2/62 > 1/61.
+    val a = ranking((0L, 1, 10L), (0L, 2, 11L))
+    val b = ranking((0L, 1, 12L), (0L, 2, 11L))
+    val got = VectorOps.rrfFuse(Seq(a, b), topN = 3)
+      .select("rrf_rank", "neighbor_id", "rrf_score", "n_lists")
+      .as[(Int, Long, Double, Long)].collect().sortBy(_._1)
+    assert(got.map(_._2).toSeq == Seq(11L, 10L, 12L))
+    assert(got.head._4 == 2L && got(1)._4 == 1L)
+    assert(got.head._3 == 1.0 / 62 + 1.0 / 62)
+    // ties (10 and 12 both score 1/61) break on neighbor id
+    assert(got(1)._2 < got(2)._2 && got(1)._3 == got(2)._3)
+    // three lists: the sorted-fold keeps the sum deterministic — repeated
+    // runs (different shuffle orders) must produce identical doubles
+    val c = ranking((0L, 1, 11L), (0L, 3, 10L))
+    val s1 = VectorOps.rrfFuse(Seq(a, b, c), topN = 5)
+      .select("neighbor_id", "rrf_score").as[(Long, Double)].collect().toMap
+    val s2 = VectorOps.rrfFuse(Seq(c, b, a), topN = 5)
+      .select("neighbor_id", "rrf_score").as[(Long, Double)].collect().toMap
+    assert(s1 == s2, "fused scores must not depend on list order")
+    // sorted ascending fold: (1/62 + 1/62) first, then 1/61
+    assert(s1(11L) == (1.0 / 62 + 1.0 / 62) + 1.0 / 61)
+  }
+
   test("ivf search returns brute-force results when every cluster is probed") {
     val centroids = vecs.filter($"vec_id".isin(0L, 1L))
     val queries = vecs.filter($"vec_id" === 4)
