@@ -38,4 +38,29 @@ object MergeOps {
     val untouched = target.join(source.select(keys.map(col): _*).distinct(), keys, "left_anti")
     winners.select(target.columns.map(col).toIndexedSeq: _*).unionByName(untouched)
   }
+
+  /** CDC apply — the change-data-capture superset of [[merge]]: each change
+    * row carries an op (`'u'` upsert, `'d'` delete) and the LAST op per key
+    * (by `ord` descending) decides the key's fate — upsert replaces or
+    * inserts the row, delete removes the key. A delete of an absent key is
+    * a no-op (its key simply produces no row), matching `MERGE … WHEN
+    * MATCHED AND op = 'd' THEN DELETE` semantics. Any other op value fails
+    * the job with a `raise_error` naming the offender — silent coercion of
+    * a typo'd op into an upsert or delete would corrupt the target.
+    *
+    * Same plan shape as [[merge]]: one window and one anti-join, both
+    * shuffled on the merge key, no driver materialization.
+    */
+  def applyChanges(
+      target: DataFrame, changes: DataFrame, keys: Seq[String],
+      ord: Seq[Column], opCol: String = "op"): DataFrame = {
+    val last = lastWriteWins(changes, keys, ord)
+    val checkedOp = when(col(opCol).isin("u", "d"), col(opCol))
+      .otherwise(raise_error(concat(
+        lit("applyChanges: unknown op '"), col(opCol), lit("' (expected 'u' or 'd')"))))
+    val untouched = target.join(changes.select(keys.map(col): _*).distinct(), keys, "left_anti")
+    last.filter(checkedOp === "u")
+      .select(target.columns.map(col).toIndexedSeq: _*)
+      .unionByName(untouched)
+  }
 }

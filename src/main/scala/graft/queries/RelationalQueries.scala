@@ -365,6 +365,29 @@ object RelationalQueries extends QueryDomain {
         $"l_orderkey", $"l_linenumber", $"l_quantity")
     },
 
+    "q_cdc_apply" -> { (s, dir) =>
+      import s.implicits._
+      // CDC apply ([[MergeOps.applyChanges]]): a change batch with updates
+      // (custkey % 5: +100 on the balance), inserts (% 11, shifted keys),
+      // and deletes (% 7) applied to the customer table — the Delta-style
+      // MERGE with DELETE the reference's insert/update loader cannot
+      // express. Keys divisible by 35 receive an update THEN a delete;
+      // last-op-wins must drop them.
+      val c = t(s, dir, "customer")
+        .select($"c_custkey", $"c_name", $"c_nationkey", $"c_acctbal")
+      val changes = c.filter($"c_custkey" % 5 === 0)
+        .withColumn("c_acctbal", $"c_acctbal" + lit(100.0))
+        .withColumn("op", lit("u")).withColumn("ord", lit(1))
+        .unionByName(c.filter($"c_custkey" % 11 === 0)
+          .withColumn("c_custkey", $"c_custkey" + 1000000L)
+          .withColumn("op", lit("u")).withColumn("ord", lit(2)))
+        .unionByName(c.filter($"c_custkey" % 7 === 0)
+          .withColumn("op", lit("d")).withColumn("ord", lit(3)))
+      orderedSmall(
+        MergeOps.applyChanges(c, changes, Seq("c_custkey"), Seq($"ord")),
+        $"c_custkey")
+    },
+
     "q_conform_cast" -> { (s, dir) =>
       import s.implicits._
       // SchemaConform against a synthetic Postgres target table: prunes the
@@ -631,6 +654,26 @@ object RelationalQueries extends QueryDomain {
         |WHERE NOT EXISTS (SELECT 1 FROM src s
         |  WHERE s.l_orderkey = t.l_orderkey AND s.l_linenumber = t.l_linenumber)
         |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin,
+
+    "q_cdc_apply" ->
+      """WITH chg AS (
+        |  SELECT c_custkey, c_name, c_nationkey,
+        |    c_acctbal + CAST(100 AS DOUBLE) AS c_acctbal, 'u' AS op, 1 AS ord
+        |  FROM customer WHERE c_custkey % 5 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal, 'u', 2
+        |  FROM customer WHERE c_custkey % 11 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, 'd', 3
+        |  FROM customer WHERE c_custkey % 7 = 0),
+        |last AS (
+        |  SELECT * FROM chg
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY ord DESC) = 1)
+        |SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM last WHERE op = 'u'
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM customer t
+        |WHERE NOT EXISTS (SELECT 1 FROM chg s WHERE s.c_custkey = t.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
 
     "q_conform_cast" ->
       """SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,

@@ -29,4 +29,36 @@ class MergeOpsSpec extends AnyFunSuite with SparkSpec {
       .orderBy($"k1", $"k2").collect().map(_.getString(2))
     assert(out.toSeq == Seq("a", "B"))
   }
+
+  test("applyChanges: upsert, insert, delete, last-op-wins, absent-key delete no-op") {
+    val target = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val changes = Seq(
+      (1L, "A", "u", 1), // update
+      (4L, "D", "u", 1), // insert
+      (2L, "b", "d", 1), // delete
+      (3L, "X", "u", 1), (3L, "x2", "d", 2), // upsert then delete → gone
+      (9L, "-", "d", 1) // delete of absent key → no-op
+    ).toDF("k", "v", "op", "ord")
+    val out = MergeOps.applyChanges(target, changes, Seq("k"), Seq($"ord"))
+      .as[(Long, String)].collect().toSet
+    assert(out == Set(1L -> "A", 4L -> "D"))
+  }
+
+  test("applyChanges: delete then re-upsert keeps the re-upsert") {
+    val target = Seq((1L, "a")).toDF("k", "v")
+    val changes = Seq((1L, "-", "d", 1), (1L, "A2", "u", 2)).toDF("k", "v", "op", "ord")
+    val out = MergeOps.applyChanges(target, changes, Seq("k"), Seq($"ord"))
+      .as[(Long, String)].collect().toSet
+    assert(out == Set(1L -> "A2"))
+  }
+
+  test("applyChanges rejects unknown ops instead of coercing them") {
+    val target = Seq((1L, "a")).toDF("k", "v")
+    val changes = Seq((1L, "A", "upsert", 1)).toDF("k", "v", "op", "ord")
+    val ex = intercept[Exception](
+      MergeOps.applyChanges(target, changes, Seq("k"), Seq($"ord")).collect())
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("unknown op")))
+  }
 }
