@@ -100,6 +100,27 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       s"full-index per-doc exchange must not exist:\n$p")
   }
 
+  test("q_decontaminate: window-hash equi-join — no cartesian, no nested loop") {
+    val p = plan("q_decontaminate")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"overlap detection must stay an equi-join on window hashes:\n$p")
+    assert(p.contains("graft_char_shingles"),
+      s"shingling must be the compiled expression:\n$p")
+  }
+
+  test("q_rrf_fusion: both rankings broadcast the query side") {
+    val p = plan("q_rrf_fusion")
+    assert("Broadcast(NestedLoop|Hash)Join".r.findAllIn(p).size >= 2,
+      s"both ranking stages must broadcast the query set:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_cdc_apply: merge-key plan — window dedup + anti-join, no cartesian") {
+    val p = plan("q_cdc_apply")
+    assert(p.contains("LeftAnti"), s"untouched rows must come from an anti-join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q_merge_upsert: no more than two exchanges on the merge key path") {
     // merge = window-dedup + anti-join + union on the same key; a regression
     // that re-shuffles per stage would show up as extra exchanges.
