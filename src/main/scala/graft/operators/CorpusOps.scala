@@ -87,6 +87,19 @@ object CorpusOps {
         col("token"), col("tf"), col("df"))
   }
 
+  /** PII scrubbing rules for [[TextOps.redact]] — the curation pass every
+    * web-scraped training corpus runs before release. Emails first (the
+    * phone/IP digit rules must never fire inside a mailbox), then dashed
+    * phone numbers, then dotted IPv4 — after the email rewrite the three
+    * pattern families are disjoint. All three stay in the Java∩RE2 common
+    * regex dialect (see [[TextOps.redact]]) so the DuckDB oracle twin is
+    * exact.
+    */
+  val PiiRules: Seq[(String, String)] = Seq(
+    "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}" -> "<EMAIL>",
+    "\\b\\d{3}-\\d{3}-\\d{4}\\b" -> "<PHONE>",
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<IP>")
+
   /** Train/eval contamination detection: every (corpus, reference) document
     * pair sharing at least one length-`n` contiguous character window,
     * with the count of distinct shared windows — the standard train-test

@@ -142,6 +142,17 @@ object TextOps {
   /** Rolling-hash document fingerprint over the raw text. */
   def fingerprint(text: Column): Column = polyHash(text)
 
+  /** Sequential rule-based scrubbing: each (pattern, replacement) applies a
+    * global `regexp_replace` in order — order matters when patterns could
+    * overlap (replace emails before bare-number rules, or the number rule
+    * eats the mailbox). Patterns must stay in the Java∩RE2 common dialect
+    * (character classes, bounded repeats, `\b`, `\d`) so an engine-twin
+    * oracle sees identical semantics; lookarounds and backreferences are
+    * Java-only and would silently diverge.
+    */
+  def redact(text: Column, rules: Seq[(String, String)]): Column =
+    rules.foldLeft(text) { case (c, (pat, repl)) => regexp_replace(c, pat, repl) }
+
   /** Canonical bag-of-words fingerprint: sorted distinct tokens re-joined.
     * Two documents that differ only in word order/repetition collide —
     * the normalization key for near-exact dedup.

@@ -132,6 +132,28 @@ object PipelineQueries extends QueryDomain {
         $"doc_a", $"doc_b")
     },
 
+    "q_pii_redact" -> { (s, dir) =>
+      import s.implicits._
+      // Rule-based PII scrubbing ([[TextOps.redact]] + [[CorpusOps.PiiRules]])
+      // — the release-gate curation pass. The synthetic fixture carries no
+      // PII, so the gate PLANTS it deterministically per doc (two emails, a
+      // dashed phone, a dotted IPv4), counts the hits, and scrubs; the
+      // DuckDB twin runs the same rules — the patterns live in ONE place
+      // (PiiRules) and are interpolated into the oracle SQL, and they stay
+      // inside the Java∩RE2 common dialect so both engines agree exactly.
+      val planted = concat($"text", lit(" contact a"), $"doc_id",
+        lit("@example.com or b"), $"doc_id", lit("@mail.example.org call 555-"),
+        lpad(($"doc_id" % 1000).cast("string"), 3, "0"), lit("-1234 from 10.0."),
+        ($"doc_id" % 256).cast("string"), lit(".1"))
+      docs(s, dir).select($"doc_id", planted.as("t"))
+        .select($"doc_id",
+          regexp_count($"t", lit(CorpusOps.PiiRules(0)._1)).cast("long").as("n_emails"),
+          regexp_count($"t", lit(CorpusOps.PiiRules(1)._1)).cast("long").as("n_phones"),
+          regexp_count($"t", lit(CorpusOps.PiiRules(2)._1)).cast("long").as("n_ips"),
+          TextOps.redact($"t", CorpusOps.PiiRules).as("clean_text"))
+        .orderBy($"doc_id")
+    },
+
     "q_dup_fraction" -> { (s, dir) =>
       import s.implicits._
       // Corpus-health duplication profile ([[CorpusOps.windowDuplication]]):
@@ -690,6 +712,24 @@ object PipelineQueries extends QueryDomain {
          |FROM ea a JOIN eb b ON a.w = b.w JOIN wdf ON wdf.w = a.w
          |WHERE wdf.wdf <= 3 AND a.doc_a <> b.doc_b
          |GROUP BY a.doc_a, b.doc_b ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_pii_redact" -> {
+      val Seq((email, er), (phone, pr), (ip, ir)) = CorpusOps.PiiRules
+      s"""WITH t AS (SELECT doc_id,
+         |  text || ' contact a' || CAST(doc_id AS VARCHAR) || '@example.com or b'
+         |    || CAST(doc_id AS VARCHAR) || '@mail.example.org call 555-'
+         |    || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-1234 from 10.0.'
+         |    || CAST(doc_id % 256 AS VARCHAR) || '.1' AS t
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t, '$email')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(t, '$phone')) AS BIGINT) AS n_phones,
+         |  CAST(len(regexp_extract_all(t, '$ip')) AS BIGINT) AS n_ips,
+         |  regexp_replace(regexp_replace(regexp_replace(t,
+         |    '$email', '$er', 'g'), '$phone', '$pr', 'g'), '$ip', '$ir', 'g')
+         |    AS clean_text
+         |FROM t ORDER BY doc_id""".stripMargin
+    },
 
     "q_dup_fraction" ->
       s"""WITH w AS (SELECT doc_id,

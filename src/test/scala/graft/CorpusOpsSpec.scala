@@ -81,6 +81,24 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec {
     assert(other != got)
   }
 
+  test("redact scrubs emails/phones/IPs; rule order protects mailboxes with digits") {
+    val rows = Seq(
+      "mail me at bob@ex.com or 555-123-4567 from 1.2.3.4",
+      // a mailbox CONTAINING a phone-shaped run (dot-separated, so the
+      // phone rule's trailing \b holds): email must fire first and consume
+      // it whole — reversed rules leave '<PHONE>' debris
+      "x 555-123-4567.b@example.org y",
+      "clean text with no pii at all").toDF("t")
+    val got = rows.select(TextOps.redact($"t", CorpusOps.PiiRules).as("c"))
+      .as[String].collect()
+    assert(got(0) == "mail me at <EMAIL> or <PHONE> from <IP>")
+    assert(got(1) == "x <EMAIL> y", s"got '${got(1)}'")
+    assert(got(2) == "clean text with no pii at all")
+    val reversed = rows.select(TextOps.redact($"t", CorpusOps.PiiRules.reverse).as("c"))
+      .as[String].collect()
+    assert(reversed(1) != "x <EMAIL> y", "rule order must matter — this pins why")
+  }
+
   test("sharedWindowOverlap: planted overlaps, counts, and no self-pairs") {
     // docs 1/2 share exactly the window "SHARED08" (8 chars); docs 1/3 share
     // two distinct 8-char windows via a 9-char common run; doc 4 is clean.
