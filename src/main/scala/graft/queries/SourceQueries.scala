@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
-import graft.sources.{CsvSource, JsonSource}
+import graft.sources.{CsvSource, JsonSource, OrcSource}
 
 /** Source-operator coverage: drives the CSV scan (reference O1,
   * `/root/reference/get_s3_data_as_df.py:33-43`) end-to-end through the
@@ -29,6 +29,12 @@ object SourceQueries extends QueryDomain {
         t(s, dir, table).write.mode("overwrite").json(p)),
       Map.empty)
 
+  private def orcRoundTrip(s: SparkSession, dir: String, table: String): DataFrame =
+    OrcSource.load(s,
+      Staging.dir("orc", dir, table)(p =>
+        t(s, dir, table).write.mode("overwrite").orc(p)),
+      Map.empty)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_csv_source" -> { (s, dir) =>
       import s.implicits._
@@ -41,6 +47,18 @@ object SourceQueries extends QueryDomain {
       n.join(t(s, dir, "region"), $"n_regionkey" === $"r_regionkey")
         .select($"n_nationkey", $"n_name", $"r_name")
         .orderBy($"n_nationkey")
+    },
+
+    "q_orc_source" -> { (s, dir) =>
+      import s.implicits._
+      // Customer through ORC (Spark's other native columnar format — the
+      // typed schema round-trips losslessly like parquet, no cast-back
+      // needed) aggregated per market segment, proving the ORC scan
+      // composes with the relational surface.
+      orcRoundTrip(s, dir, "customer")
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n_customers"), dsum($"c_acctbal").as("total_bal"))
+        .orderBy($"c_mktsegment")
     },
 
     "q_json_source" -> { (s, dir) =>
@@ -61,6 +79,13 @@ object SourceQueries extends QueryDomain {
       """SELECT n_nationkey, n_name, r_name
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |ORDER BY n_nationkey""".stripMargin,
+
+    "q_orc_source" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_customers,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+        |FROM customer
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
 
     "q_json_source" ->
       """SELECT s_nationkey, COUNT(*) AS n_suppliers,

@@ -40,6 +40,17 @@ object JsonSource extends SourceProvider {
     SchemaConform.lowercaseColumns(spark.read.options(options).json(path))
 }
 
+/** ORC source — the other columnar lake format Spark ships natively
+  * (vectorized reader, predicate pushdown, column pruning — same scan
+  * machinery as parquet). Completes the registry so a reference user whose
+  * lake mixes parquet and ORC partitions needs no second tool.
+  */
+object OrcSource extends SourceProvider {
+  val name = "orc"
+  def load(spark: SparkSession, path: String, options: Map[String, String]): DataFrame =
+    SchemaConform.lowercaseColumns(spark.read.options(options).orc(path))
+}
+
 /** JDBC (Postgres-as-source). The reference *declares* this source in its
   * registry (`/root/reference/config.ini:11-12`) but ships an empty file
   * (`/root/reference/get_pg_data_as_df.py`) — we implement it. `path` is the
@@ -62,7 +73,7 @@ object JdbcSource extends SourceProvider {
   */
 object SourceRegistry {
   val all: Map[String, SourceProvider] =
-    Seq(CsvSource, ParquetSource, JsonSource, JdbcSource).map(p => p.name -> p).toMap
+    Seq(CsvSource, ParquetSource, JsonSource, OrcSource, JdbcSource).map(p => p.name -> p).toMap
   // Aliases mirroring the reference's config section names (config.ini:8-12).
   private val aliases = Map("s3" -> "parquet", "s3_csv" -> "csv", "s3_parquet" -> "parquet", "pg" -> "jdbc")
 

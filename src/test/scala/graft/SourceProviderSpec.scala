@@ -30,8 +30,20 @@ class SourceProviderSpec extends AnyFunSuite with SparkSpec {
     assert(back.columns.contains("r_name"))
   }
 
+  test("orc source round-trips the typed schema losslessly") {
+    val dir = Files.createTempDirectory("graft_orc").toString
+    val src = spark.read.parquet(s"$sf0001/region.parquet")
+    src.toDF("R_REGIONKEY", "R_NAME").write.mode("overwrite").orc(dir)
+    val back = OrcSource.load(spark, dir)
+    assert(back.columns.toSeq == Seq("r_regionkey", "r_name"))
+    // ORC keeps the types (unlike CSV, which needs a cast-back).
+    assert(back.schema.map(_.dataType) == src.schema.map(_.dataType))
+    assert(back.count() == 5)
+  }
+
   test("registry dispatch + reference aliases") {
     assert(SourceRegistry("csv") eq CsvSource)
+    assert(SourceRegistry("orc") eq OrcSource)
     assert(SourceRegistry("s3") eq ParquetSource)      // config.ini 's3' section
     assert(SourceRegistry("s3_csv") eq CsvSource)
     assert(SourceRegistry("pg") eq JdbcSource)         // declared-but-stubbed in reference
