@@ -57,4 +57,25 @@ object ScaleJoins {
   def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,
       keys: Seq[String]): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), keys)
+
+  /** Persist `df` hive-partitioned by `cols` (one directory level per
+    * column). The complementary lever to [[writeBucketed]]: bucketing
+    * co-locates high-cardinality JOIN keys; directory partitioning makes
+    * low-cardinality FILTER columns (date, source, event type) prunable at
+    * planning time — a predicate on `cols` never opens the other
+    * directories' files, so "last day of a 3-year event log" reads 0.1% of
+    * the bytes instead of scanning 100 TB to discard 99.9%. Keep `cols`
+    * low-cardinality: every distinct value is a directory, and millions of
+    * tiny files are their own scale failure.
+    */
+  def writePartitioned(df: DataFrame, path: String, cols: Seq[String]): Unit =
+    df.write.partitionBy(cols: _*).mode("overwrite").parquet(path)
+
+  /** Read a [[writePartitioned]] layout. Partition columns come back from
+    * directory names (typed by partition-column inference); predicates on
+    * them become `PartitionFilters` in the scan — plan-shape-guarded in
+    * PlanShapeSpec, not taken on faith.
+    */
+  def readPartitioned(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
 }

@@ -299,6 +299,27 @@ object PipelineQueries extends QueryDomain {
         .orderBy($"doc_id")
     },
 
+    "q_partition_prune" -> { (s, dir) =>
+      import s.implicits._
+      // Hive-partitioned event-log layout ([[ScaleJoins.writePartitioned]]):
+      // events staged partitioned by event_type, then read with a predicate
+      // on the partition column — pruned at PLANNING time (PartitionFilters,
+      // plan-guarded), so the other event types' files are never opened. At
+      // 100 TB this layout turns "one event type out of a year of logs"
+      // from a full scan into a directory listing. ts/props are dropped at
+      // the write: the layout story is the partition column, and NANOS
+      // timestamps don't survive a parquet re-write under nanosAsLong.
+      val p = Staging.dir("evpart", dir, "events")(path =>
+        ScaleJoins.writePartitioned(
+          t(s, dir, "events").select($"event_id", $"user_id", $"event_type", $"value"),
+          path, Seq("event_type")))
+      ScaleJoins.readPartitioned(s, p)
+        .filter($"event_type" === "purchase")
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_purchases"), dsum($"value").as("total_value"))
+        .orderBy($"user_id")
+    },
+
     // ---- events: sessionization + time windows ----------------------------
     // The fixture's events.ts is parquet TIMESTAMP(NANOS) — read as a
     // nanosecond BIGINT (spark.sql.legacy.parquet.nanosAsLong, set by
@@ -830,6 +851,12 @@ object PipelineQueries extends QueryDomain {
       """SELECT event_id, user_id, event_type,
         |  CAST(floor(epoch(ts)) AS BIGINT) AS ep, value
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_partition_prune" ->
+      """SELECT user_id, COUNT(*) AS n_purchases,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_sessionize" -> sessionizeOracle,
 

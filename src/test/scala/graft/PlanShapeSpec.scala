@@ -136,6 +136,19 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("ScalarSubquery"), s"subquery must not execute per-row:\n$p")
   }
 
+  test("q_partition_prune: event_type predicate prunes at planning time") {
+    val p = plan("q_partition_prune")
+    // The predicate must land in PartitionFilters (directory pruning), not
+    // in PushedFilters/post-scan Filter (row-level work on opened files).
+    assert(p.contains("PartitionFilters") &&
+      "PartitionFilters: \\[[^\\]]*event_type[^\\]]*purchase".r.findFirstIn(p).isDefined,
+      s"event_type must prune partitions:\n$p")
+    // And the scan must NOT read the partition column's sibling directories'
+    // data columns for nothing: only the 2 referenced data columns remain.
+    assert(p.contains("ReadSchema") && !p.contains("event_id"),
+      s"schema not pruned to user_id/value:\n$p")
+  }
+
   test("whole-stage codegen covers the scalar pipelines") {
     // AQE prints codegen stages only in the FINAL plan — execute first.
     val df = SparkEntry.queries("q_scalar_string")(spark, sf0001)
