@@ -208,4 +208,38 @@ object CorpusOps {
       .reduce(_ || _)
     df.filter(pred)
   }
+
+  /** Deterministic weighted sampling WITHOUT replacement (Efraimidis–
+    * Spirakis "A-ES", Inf. Proc. Letters 2006): each row gets priority
+    * `ln(u) / w` where `u ∈ (0,1)` is a content-hash uniform and `w > 0`
+    * the row's weight; the k highest-priority rows are an exact weighted
+    * sample without replacement. This is the one-pass formulation that
+    * distributes: priorities are independent per-row expressions, so the
+    * selection is a global top-k, not a sequential draw.
+    *
+    * `rand()`-free by design — `u` derives from [[TextOps.polyHash]] of
+    * `key`, so the sample is reproducible across runs, partitionings, AND
+    * engines (the reproducibility contract of the hash split / stratified
+    * sampler, extended to weighted draws for dataset mixing by importance).
+    * Use a `hashBase` distinct from the other sampling decisions so the
+    * draws stay independent.
+    *
+    * Scale posture: orderBy+limit plans as TakeOrderedAndProject —
+    * per-partition top-k then a k-sized driver merge, never a full sort;
+    * the final `row_number` ranks only the k survivors. `tie` must be
+    * unique (an id) so the rank is total.
+    */
+  def weightedSample(df: DataFrame, key: Column, weight: Column, tie: Column,
+      k: Int, hashBase: Long = 151L): DataFrame = {
+    require(k >= 1)
+    val u = (TextOps.polyHash(key, hashBase) + 1).cast("double") /
+      lit((TextOps.Prime + 1).toDouble)
+    val pri = log(u) / weight.cast("double")
+    val w = Window.orderBy(col("graft_pri").desc, tie.asc)
+    df.withColumn("graft_pri", pri)
+      .orderBy(col("graft_pri").desc, tie.asc)
+      .limit(k)
+      .withColumn("sample_rank", row_number().over(w).cast("int"))
+      .drop("graft_pri")
+  }
 }

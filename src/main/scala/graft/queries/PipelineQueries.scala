@@ -299,6 +299,19 @@ object PipelineQueries extends QueryDomain {
         .orderBy($"doc_id")
     },
 
+    "q_weighted_sample" -> { (s, dir) =>
+      import s.implicits._
+      // Importance-weighted corpus draw ([[CorpusOps.weightedSample]], A-ES):
+      // 40 docs weighted by length — longer documents proportionally more
+      // likely, sample exact and reproducible (hash-uniform, base 151 so the
+      // draw is independent of the base-31 split and base-131 strata
+      // decisions). The float priority never reaches the output; the rank's
+      // ORDERING is gated instead, with doc_id as the total tiebreak.
+      CorpusOps.weightedSample(docs(s, dir), $"text", $"n_chars", $"doc_id", k = 40)
+        .select($"sample_rank", $"doc_id", $"lang", $"n_chars")
+        .orderBy($"sample_rank")
+    },
+
     "q_partition_prune" -> { (s, dir) =>
       import s.implicits._
       // Hive-partitioned event-log layout ([[ScaleJoins.writePartitioned]]):
@@ -851,6 +864,15 @@ object PipelineQueries extends QueryDomain {
       """SELECT event_id, user_id, event_type,
         |  CAST(floor(epoch(ts)) AS BIGINT) AS ep, value
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_weighted_sample" ->
+      s"""WITH h AS (SELECT doc_id, lang, n_chars,
+         |  ln((${duckHash("text", 151)} + 1) / 1000000008.0)
+         |    / CAST(n_chars AS DOUBLE) AS pri
+         |  FROM documents)
+         |SELECT CAST(row_number() OVER (ORDER BY pri DESC, doc_id) AS INT) AS sample_rank,
+         |  doc_id, lang, n_chars
+         |FROM h ORDER BY pri DESC, doc_id LIMIT 40""".stripMargin,
 
     "q_partition_prune" ->
       """SELECT user_id, COUNT(*) AS n_purchases,

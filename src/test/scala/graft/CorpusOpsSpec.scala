@@ -191,4 +191,33 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec {
     assert(open.map(t => (t._1, t._2)).toSet ==
       Set((1L, 2L), (1L, 6L), (5L, 2L), (5L, 6L)))
   }
+
+  test("weightedSample ≡ a driver-side A-ES reference; stable under repartition") {
+    val d = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select($"doc_id", $"text", $"n_chars")
+    // Reference: same priority formula computed locally over the collected rows.
+    val rows = d.as[(Long, String, Long)].collect()
+    def poly(s: String, base: Long): Long =
+      s.foldLeft(0L)((acc, c) => (acc * base + c.toInt) % 1000000007L)
+    val expect = rows.map { case (id, text, n) =>
+      (math.log((poly(text, 151L) + 1) / 1000000008.0) / n.toDouble, id)
+    }.sortBy { case (pri, id) => (-pri, id) }.take(10).map(_._2).toSeq
+    val got = CorpusOps.weightedSample(d, $"text", $"n_chars", $"doc_id", k = 10)
+      .orderBy($"sample_rank").select($"doc_id").as[Long].collect().toSeq
+    assert(got === expect)
+    // Partitioning must not change the draw (the reproducibility contract).
+    val got17 = CorpusOps.weightedSample(d.repartition(17), $"text", $"n_chars",
+      $"doc_id", k = 10).orderBy($"sample_rank").select($"doc_id").as[Long].collect().toSeq
+    assert(got17 === expect)
+  }
+
+  test("weightedSample: weight monotonicity — an all-else-equal heavier row wins") {
+    // Two rows with IDENTICAL text (same u) and different weights: the
+    // heavier one must out-rank the lighter (ln u < 0, so /w raises it).
+    val d = Seq((1L, "same content", 5L), (2L, "same content", 50L))
+      .toDF("doc_id", "text", "w")
+    val got = CorpusOps.weightedSample(d, $"text", $"w", $"doc_id", k = 2)
+      .orderBy($"sample_rank").select($"doc_id").as[Long].collect().toSeq
+    assert(got === Seq(2L, 1L))
+  }
 }

@@ -149,6 +149,12 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       s"schema not pruned to user_id/value:\n$p")
   }
 
+  test("q_weighted_sample: top-k via TakeOrderedAndProject, never a full sort") {
+    val p = plan("q_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"A-ES selection must be a distributed top-k:\n$p")
+  }
+
   test("whole-stage codegen covers the scalar pipelines") {
     // AQE prints codegen stages only in the FINAL plan — execute first.
     val df = SparkEntry.queries("q_scalar_string")(spark, sf0001)
