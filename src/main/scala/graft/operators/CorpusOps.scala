@@ -87,6 +87,62 @@ object CorpusOps {
         col("token"), col("tf"), col("df"))
   }
 
+  /** BM25 keyword retrieval: top-`k` documents for a fixed query-term set —
+    * the sparse/lexical side of hybrid search (fuse with the dense rankings
+    * via [[VectorOps.rrfFuse]]). Standard BM25 shape
+    * `Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))` with ONE
+    * deliberate variant: idf is the raw Robertson odds ratio
+    * `(N − df + 0.5)/(df + 0.5)` without the usual `ln` — transcendentals
+    * are the only float ops NOT bit-specified by IEEE 754, so the ln-free
+    * form is what makes the score itself (not just the ranking) exactly
+    * reproducible across engines. Every arithmetic step is a fixed
+    * left-associative chain of exact-rounded `+ − × /`, and the per-term
+    * contributions are added in sorted-term order, so the emitted double is
+    * bit-identical in the DuckDB oracle.
+    *
+    * Scale posture: the token explode is filtered to the query terms
+    * BEFORE any shuffle (the candidate set is only docs containing ≥1
+    * term); `df` and the 1-row corpus stats broadcast; selection is a
+    * TakeOrderedAndProject top-k, never a full sort.
+    */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1 && queryTerms.nonEmpty)
+    val terms = queryTerms.distinct.sorted
+    val d = docs.select(col(idCol).as("doc_id"), col(textCol).as("graft_text"))
+    val dl = d.select(col("doc_id"),
+      size(TextOps.tokens(col("graft_text"))).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
+    val tf = d
+      .select(col("doc_id"), explode(TextOps.tokens(col("graft_text"))).as("token"))
+      .filter(col("token").isin(terms: _*))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfRel = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val joined = tf
+      .join(broadcast(dfRel), "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+    // Exact-arithmetic twins of the oracle SQL — keep the association order
+    // in lockstep with the q_bm25_topk string if either ever changes.
+    val avgdl = col("sumdl").cast("double") / col("n")
+    val idf = (col("n").cast("double") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+    val denom = col("tf") +
+      lit(k1) * (lit(1.0) - lit(b) + lit(b) * (col("dl") / avgdl))
+    val contrib = idf * (col("tf") * (lit(k1) + lit(1.0))) / denom
+    val score = terms
+      .map(t => coalesce(sum(when(col("token") === t, contrib)), lit(0.0)))
+      .reduceLeft(_ + _)
+    val w = Window.orderBy(col("score").desc, col("doc_id").asc)
+    joined.groupBy(col("doc_id"))
+      .agg(score.as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+      .withColumn("rnk", row_number().over(w).cast("int"))
+      .select(col("rnk"), col("doc_id"), col("score"))
+  }
+
   /** PII scrubbing rules for [[TextOps.redact]] — the curation pass every
     * web-scraped training corpus runs before release. Emails first (the
     * phone/IP digit rules must never fire inside a mailbox), then dashed

@@ -288,6 +288,18 @@ object PipelineQueries extends QueryDomain {
         .orderBy($"doc_id", $"rnk")
     },
 
+    "q_bm25_topk" -> { (s, dir) =>
+      import s.implicits._
+      // Lexical retrieval ([[CorpusOps.bm25]]): top-20 docs for a 3-term
+      // keyword query — the sparse complement to q_cosine_topk's dense
+      // ranking (fuse via rrfFuse). The ln-free rational idf keeps the
+      // emitted score bit-identical to the DuckDB twin (see the scaladoc);
+      // the SCORE itself is gated, not just the ordering.
+      CorpusOps.bm25(docs(s, dir), "doc_id", "text",
+        queryTerms = Seq("join", "spark", "vector"), k = 20)
+        .orderBy($"rnk")
+    },
+
     "q_stratified_sample" -> { (s, dir) =>
       import s.implicits._
       // Dataset-mixing sampler: per-language keep rates, decided by a
@@ -920,6 +932,34 @@ object PipelineQueries extends QueryDomain {
         |  FROM tf JOIN df USING (token))
         |SELECT doc_id, CAST(rnk AS INT) AS rnk, token, tf, df
         |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+
+    // Association order mirrors CorpusOps.bm25 exactly — every op is an
+    // exact-rounded IEEE + − × / in the same left-assoc chain, so the score
+    // double is bit-identical. DuckDB parses decimal literals as DECIMAL
+    // (exact) and only promotes to double on contact with one, so k1+1 must
+    // be CAST(1.2 AS DOUBLE) + 1 — the double sum 2.2000000000000002 Spark
+    // computes, not DECIMAL 2.2's nearest double. The other literals (0.5,
+    // 0.75, 1.0, and 1.2 multiplying a double) promote losslessly.
+    "q_bm25_topk" ->
+      """WITH dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+        |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS sumdl FROM dl),
+        |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM tok
+        |  WHERE token IN ('join', 'spark', 'vector') GROUP BY 1, 2),
+        |df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |c AS (SELECT tf.doc_id, tf.token,
+        |    ((CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5))
+        |      * (tf * (CAST(1.2 AS DOUBLE) + 1))
+        |      / (tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl / (CAST(sumdl AS DOUBLE) / n)))) AS contrib
+        |  FROM tf JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN st),
+        |s AS (SELECT doc_id,
+        |    coalesce(sum(CASE WHEN token = 'join' THEN contrib END), 0.0)
+        |    + coalesce(sum(CASE WHEN token = 'spark' THEN contrib END), 0.0)
+        |    + coalesce(sum(CASE WHEN token = 'vector' THEN contrib END), 0.0) AS score
+        |  FROM c GROUP BY doc_id)
+        |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rnk,
+        |  doc_id, score
+        |FROM s ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
 
     "q_stratified_sample" ->
       s"""WITH h AS (SELECT doc_id, lang, ${duckHash("text", 131)} AS hv FROM documents)

@@ -192,6 +192,32 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec {
       Set((1L, 2L), (1L, 6L), (5L, 2L), (5L, 6L)))
   }
 
+  test("bm25 ≡ a driver-side reference, bit-exact scores, stable under repartition") {
+    val d = spark.read.parquet(s"$sf0001/documents.parquet").select($"doc_id", $"text")
+    val terms = Seq("join", "spark", "vector") // sorted already
+    val rows = d.as[(Long, String)].collect()
+    val dl = rows.map { case (id, t) => id -> t.split(" ", -1).length.toLong }.toMap
+    val n = rows.length.toLong
+    val sumdl = dl.values.sum
+    val tf = rows.flatMap { case (id, t) =>
+      t.split(" ", -1).filter(terms.contains).map(tok => (id, tok))
+    }.groupBy(identity).map { case (k2, v) => k2 -> v.length.toLong }
+    val dfm = tf.keys.groupBy(_._2).map { case (tok, v) => tok -> v.size.toLong }
+    val avgdl = sumdl.toDouble / n
+    def contrib(id: Long, tok: String): Option[Double] = tf.get((id, tok)).map { f =>
+      val idf = (n.toDouble - dfm(tok) + 0.5) / (dfm(tok) + 0.5)
+      idf * (f * (1.2 + 1.0)) / (f + 1.2 * (1.0 - 0.75 + 0.75 * (dl(id) / avgdl)))
+    }
+    val expect = rows.map(_._1).flatMap { id =>
+      val parts = terms.map(contrib(id, _))
+      if (parts.forall(_.isEmpty)) None
+      else Some(id -> parts.map(_.getOrElse(0.0)).reduceLeft(_ + _))
+    }.sortBy { case (id, s) => (-s, id) }.take(15).toSeq
+    val got = CorpusOps.bm25(d.repartition(13), "doc_id", "text", terms, k = 15)
+      .orderBy($"rnk").select($"doc_id", $"score").as[(Long, Double)].collect().toSeq
+    assert(got === expect) // exact double equality — the whole point
+  }
+
   test("weightedSample ≡ a driver-side A-ES reference; stable under repartition") {
     val d = spark.read.parquet(s"$sf0001/documents.parquet")
       .select($"doc_id", $"text", $"n_chars")
