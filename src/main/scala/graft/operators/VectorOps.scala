@@ -130,6 +130,57 @@ object VectorOps {
       k, saltBuckets, scoreName = "dist2", ascending = true)
   }
 
+  /** Symmetric int8 scalar quantization (SQ8) of an embedding: per-vector
+    * scale `127 / max|x_i|`, code `q_i = floor(x_i·scale + 0.5) ∈
+    * [−127, 127]`. The standard ANN compression lever — 4× less memory and
+    * bandwidth than FLOAT, and candidate scoring becomes exact integer
+    * dot products. Returns `(codes ARRAY<BIGINT>, scale DOUBLE)`; the
+    * all-zero vector quantizes to scale 0 and all-zero codes.
+    *
+    * Determinism: multiply, divide and `floor` are all exact-rounded /
+    * exactly-specified IEEE ops, so codes and scale are bit-identical
+    * cross-engine — no transcendentals anywhere (contrast ln in BM25,
+    * which had to be designed out).
+    */
+  def sq8Scale(vec: Column): Column = {
+    val maxAbs = array_max(transform(asDouble(vec), x => abs(x)))
+    when(maxAbs === 0.0, lit(0.0)).otherwise(lit(127.0) / maxAbs)
+  }
+
+  def sq8Codes(vec: Column, scale: Column): Column =
+    transform(asDouble(vec), x => floor(x * scale + lit(0.5)).cast("long"))
+
+  /** Approximate maximum-inner-product top-`k` over SQ8-quantized vectors:
+    * candidates are scored by the EXACT integer dot of the codes (cheap,
+    * order-free — integer addition is associative, so no strict-fold
+    * ceremony needed), then dequantized once per pair,
+    * `ip8 = dot / scale_q / scale_d`, for a score in the original space.
+    * Same scale posture as [[topK]]: broadcast query side, data vectors
+    * never shuffled, salted two-stage ranking. Against [[topK]]'s exact
+    * ranking this is the recall/4×-compression trade — spec'd, not assumed.
+    *
+    * Output: (query_id, rank, neighbor_id, ip8).
+    */
+  def sq8TopK(
+      data: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      saltBuckets: Int = 256): DataFrame = {
+    def quantized(df: DataFrame, id: String, q: String, s: String): DataFrame = {
+      val sc = sq8Scale(col(vecCol))
+      df.select(col(idCol).as(id), sc.as(s), sq8Codes(col(vecCol), sc).as(q))
+    }
+    val q = broadcast(quantized(queries, "query_id", "qq", "qscale"))
+    val d = quantized(data, "neighbor_id", "dq", "dscale")
+    val intDot = aggregate(zip_with(col("qq"), col("dq"), (x, y) => x * y),
+      lit(0L), (acc, x) => acc + x)
+    val ip8 = when(col("qscale") === 0.0 || col("dscale") === 0.0, lit(0.0))
+      .otherwise(intDot.cast("double") / col("qscale") / col("dscale"))
+    topKPerQuery(
+      d.join(q, col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"), ip8.as("ip8")),
+      k, saltBuckets, scoreName = "ip8")
+  }
+
   /** Reciprocal-rank fusion (Cormack & Clarke, SIGIR'09) — the hybrid-
     * retrieval merge: each ranking contributes `1 / (rrfK + rank)` for the
     * candidates it returned, scores sum across rankings, and the fused list

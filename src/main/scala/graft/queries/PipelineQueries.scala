@@ -542,6 +542,21 @@ object PipelineQueries extends QueryDomain {
         .orderBy($"query_id", $"rnk")
     },
 
+    "q_sq8_topk" -> { (s, dir) =>
+      import s.implicits._
+      // SQ8-compressed approximate MIPS ([[VectorOps.sq8TopK]]): vectors
+      // quantized to int8 codes + a per-vector scale (4× smaller than
+      // FLOAT), candidates scored by exact integer dots, dequantized once
+      // per pair. The recall trade vs the exact ranking is spec'd in
+      // VectorOpsSpec; here the quantized pipeline itself is hash-gated
+      // (codes, scales, and the dequantized score are all exact-arithmetic
+      // cross-engine twins).
+      val e = t(s, dir, "embeddings")
+      VectorOps.sq8TopK(e, e.filter($"vec_id" < 5), "vec_id", "embedding", k = 10)
+        .select($"query_id", $"rank".cast("int").as("rnk"), $"neighbor_id", $"ip8")
+        .orderBy($"query_id", $"rnk")
+    },
+
     "q_rrf_fusion" -> { (s, dir) =>
       import s.implicits._
       // Hybrid-retrieval fusion ([[VectorOps.rrfFuse]]): each query's cosine
@@ -1006,6 +1021,24 @@ object PipelineQueries extends QueryDomain {
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
          |  FROM p)
          |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
+    "q_sq8_topk" ->
+      s"""WITH $embCte,
+         |s AS (SELECT vec_id, e,
+         |  CASE WHEN list_max(list_transform(e, x -> abs(x))) = 0 THEN 0.0
+         |       ELSE CAST(127.0 AS DOUBLE) / list_max(list_transform(e, x -> abs(x))) END AS scale
+         |  FROM v),
+         |q8 AS (SELECT vec_id, scale,
+         |  list_transform(e, x -> CAST(floor(x * scale + 0.5) AS BIGINT)) AS q FROM s),
+         |p AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |  CASE WHEN a.scale = 0 OR b.scale = 0 THEN 0.0
+         |       ELSE CAST(list_sum(list_transform(range(1, len(a.q)+1), i -> a.q[i]*b.q[i])) AS DOUBLE)
+         |            / a.scale / b.scale END AS ip8
+         |  FROM q8 a JOIN q8 b ON a.vec_id < 5 AND b.vec_id <> a.vec_id)
+         |SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id, ip8 FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ip8 DESC, neighbor_id) AS rnk
+         |  FROM p)
+         |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
 
     "q_rrf_fusion" ->
       s"""WITH $embCte,

@@ -185,4 +185,44 @@ class VectorOpsSpec extends AnyFunSuite with SparkSpec {
     assert(banded == brute)
     assert(brute.nonEmpty, "planted ×2-coordinate twins must land within Hamming 3")
   }
+
+  test("sq8 quantization: codes bounded, reconstruction within half a step, zero-vector safe") {
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet").limit(100)
+    val rows = e.select($"embedding", VectorOps.sq8Scale($"embedding").as("scale"),
+        VectorOps.sq8Codes($"embedding", VectorOps.sq8Scale($"embedding")).as("q"))
+      .as[(Seq[Float], Double, Seq[Long])].collect()
+    rows.foreach { case (vec, scale, q) =>
+      assert(q.forall(c => c >= -127 && c <= 127))
+      vec.zip(q).foreach { case (x, c) =>
+        // floor(x·s + ½) is within ½ of x·s ⇒ dequant error ≤ ½ step
+        assert(math.abs(c / scale - x.toDouble) <= 0.5 / scale + 1e-12)
+      }
+    }
+    val z = Seq((1L, Seq.fill(4)(0.0f))).toDF("vec_id", "embedding")
+    val zr = z.select(VectorOps.sq8Scale($"embedding").as("s"),
+      VectorOps.sq8Codes($"embedding", VectorOps.sq8Scale($"embedding")).as("q"))
+      .as[(Double, Seq[Long])].head()
+    assert(zr._1 == 0.0 && zr._2.forall(_ == 0L))
+  }
+
+  test("sq8TopK: high recall against the exact inner-product ranking") {
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val queries = e.filter($"vec_id" < 5)
+    val approx = VectorOps.sq8TopK(e, queries, "vec_id", "embedding", k = 10)
+      .select($"query_id", $"neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Exact MIPS ranking, brute force on the driver.
+    val all = e.select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+    val qs = all.filter(_._1 < 5)
+    val exact = qs.flatMap { case (qid, qv) =>
+      all.filter(_._1 != qid)
+        .map { case (nid, nv) =>
+          (nid, qv.zip(nv).map { case (a, b) => a.toDouble * b.toDouble }.sum)
+        }
+        .sortBy { case (nid, ip) => (-ip, nid) }.take(10)
+        .map { case (nid, _) => (qid, nid) }
+    }.toSet
+    val recall = (approx & exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"SQ8 recall@10 fell to $recall")
+  }
 }
