@@ -147,8 +147,18 @@ object VectorOps {
     when(maxAbs === 0.0, lit(0.0)).otherwise(lit(127.0) / maxAbs)
   }
 
+  /** `scale` is let-bound through a singleton-array `transform` so the
+    * lambda multiplies by a VARIABLE — inlining the scale expression (an
+    * array_max fold) into the per-element lambda would re-evaluate it per
+    * element: O(dim²) per row, the same HOF trap as
+    * [[CorpusOps.wordNgramsAll]]'s token binding (measured here at ~1.9×
+    * on q_sq8_topk).
+    */
   def sq8Codes(vec: Column, scale: Column): Column =
-    transform(asDouble(vec), x => floor(x * scale + lit(0.5)).cast("long"))
+    element_at(
+      transform(array(scale), s =>
+        transform(asDouble(vec), x => floor(x * s + lit(0.5)).cast("long"))),
+      1)
 
   /** Approximate maximum-inner-product top-`k` over SQ8-quantized vectors:
     * candidates are scored by the EXACT integer dot of the codes (cheap,
