@@ -345,6 +345,16 @@ object PipelineQueries extends QueryDomain {
         .orderBy($"user_id")
     },
 
+    "q_value_outliers" -> { (s, dir) =>
+      import s.implicits._
+      // Per-event-type z-score screen ([[StatOps.zscoreOutliers]]): the 3
+      // most anomalous events of each type. Moments are exact decimal sums
+      // (order-free), so the emitted z itself is hash-gateable — a plain
+      // double avg/stddev could not be.
+      StatOps.zscoreOutliers(t(s, dir, "events"), "event_type", "value", "event_id", k = 3)
+        .orderBy($"event_type", $"rnk")
+    },
+
     // ---- events: sessionization + time windows ----------------------------
     // The fixture's events.ts is parquet TIMESTAMP(NANOS) — read as a
     // nanosecond BIGINT (spark.sql.legacy.parquet.nanosAsLong, set by
@@ -900,6 +910,24 @@ object PipelineQueries extends QueryDomain {
          |SELECT CAST(row_number() OVER (ORDER BY pri DESC, doc_id) AS INT) AS sample_rank,
          |  doc_id, lang, n_chars
          |FROM h ORDER BY pri DESC, doc_id LIMIT 40""".stripMargin,
+
+    "q_value_outliers" ->
+      """WITH e AS (SELECT event_id, event_type, CAST(value AS DECIMAL(18,4)) AS vq FROM events),
+        |st AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(vq) AS sv, SUM(vq * vq) AS svv FROM e GROUP BY 1),
+        |m AS (SELECT event_type,
+        |    CAST(sv AS DOUBLE) / n AS mean,
+        |    CAST(svv AS DOUBLE) / n
+        |      - (CAST(sv AS DOUBLE) / n) * (CAST(sv AS DOUBLE) / n) AS var FROM st),
+        |s AS (SELECT event_type, mean, sqrt(GREATEST(var, 0.0)) AS sigma FROM m),
+        |z AS (SELECT e.event_id, e.event_type,
+        |    CASE WHEN sigma = 0 THEN 0.0
+        |         ELSE (CAST(vq AS DOUBLE) - mean) / sigma END AS z
+        |  FROM e JOIN s USING (event_type)),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY abs(z) DESC, event_id) AS rnk FROM z)
+        |SELECT event_type, CAST(rnk AS INT) AS rnk, event_id, z FROM r
+        |WHERE rnk <= 3 ORDER BY event_type, rnk""".stripMargin,
 
     "q_partition_prune" ->
       """SELECT user_id, COUNT(*) AS n_purchases,
