@@ -298,4 +298,47 @@ object CorpusOps {
       .withColumn("sample_rank", row_number().over(w).cast("int"))
       .drop("graft_pri")
   }
+
+  /** Fixed-size token chunking with overlap — the context-window prep step
+    * of a training/RAG pipeline: each document's token sequence is cut into
+    * windows of `chunkSize` tokens advancing by `step = chunkSize − overlap`,
+    * the final window keeping its (possibly shorter) tail. Tokenization is
+    * [[TextOps.tokens]] (single-space split), so chunk boundaries land
+    * between tokens, never inside one. Documents with at most `chunkSize`
+    * tokens yield exactly one chunk (their full text); otherwise
+    * `⌈(nt − chunkSize)/step⌉ + 1` chunks — all integer arithmetic (`div`),
+    * no float rounding anywhere.
+    *
+    * Output: (doc_id, chunk_id 0.., n_chunk_tokens, chunk_text).
+    *
+    * Scale posture: a pure per-row generate with NO shuffle — chunking
+    * 100 TB is embarrassingly parallel and this plan keeps it that way. The
+    * token array is bound ONCE per row ahead of the explode; the Generate
+    * boundary blocks projection collapse, so `split` is not re-inlined into
+    * the per-chunk slices (the O(len·chunks) trap — see
+    * [[TextOps.wordShinglesHof]]). Per-chunk work is one O(chunkSize)
+    * `slice` + `array_join`; the tail-chunk length comes from arithmetic
+    * (`least(nt − i·step, chunkSize)`), not a second slice.
+    */
+  def chunkByTokens(docs: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, overlap: Int): DataFrame = {
+    require(chunkSize >= 1, "chunkSize must be >= 1")
+    require(overlap >= 0 && overlap < chunkSize, "need 0 <= overlap < chunkSize")
+    val step = chunkSize - overlap
+    val base = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        TextOps.tokens(col(textCol)).as("graft_toks"))
+    val nChunks = expr(
+      s"(greatest(size(graft_toks) - $chunkSize, 0L) + ${step - 1}) div $step + 1")
+    val nt = size(col("graft_toks")).cast("long")
+    base
+      .select(col("doc_id"), col("graft_toks"),
+        explode(sequence(lit(0L), nChunks - 1)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        least(nt - col("chunk_id") * step, lit(chunkSize.toLong))
+          .as("n_chunk_tokens"),
+        array_join(
+          slice(col("graft_toks"), (col("chunk_id") * step + 1).cast("int"),
+            lit(chunkSize)), " ").as("chunk_text"))
+  }
 }

@@ -288,6 +288,19 @@ object PipelineQueries extends QueryDomain {
         .orderBy($"doc_id", $"rnk")
     },
 
+    "q_chunk_docs" -> { (s, dir) =>
+      import s.implicits._
+      // Context-window chunking ([[CorpusOps.chunkByTokens]]): 64-token
+      // windows advancing by 48 (16-token overlap) — the RAG/pretraining
+      // prep step that turns documents into model-sized pieces. Zero
+      // shuffles: a per-row generate whose token array is bound once ahead
+      // of the explode; chunk counts and tail lengths are integer `div`
+      // arithmetic shared verbatim with the oracle.
+      CorpusOps.chunkByTokens(docs(s, dir), "doc_id", "text",
+        chunkSize = 64, overlap = 16)
+        .orderBy($"doc_id", $"chunk_id")
+    },
+
     "q_bm25_topk" -> { (s, dir) =>
       import s.implicits._
       // Lexical retrieval ([[CorpusOps.bm25]]): top-20 docs for a 3-term
@@ -975,6 +988,23 @@ object PipelineQueries extends QueryDomain {
         |  FROM tf JOIN df USING (token))
         |SELECT doc_id, CAST(rnk AS INT) AS rnk, token, tf, df
         |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+
+    // Mirrors chunkByTokens(chunkSize = 64, overlap = 16) ⇒ step 48:
+    // nch = (max(nt − 64, 0) + 47) div 48 + 1, chunk i covers 1-based token
+    // positions [i·48 + 1, i·48 + 64] capped at nt (DuckDB list slicing
+    // caps like Spark's `slice`). unnest(range(...)) is the lateral
+    // generate; generate_series can't take a per-row bound here.
+    "q_chunk_docs" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS nt FROM t),
+        |c AS (SELECT doc_id, toks, nt,
+        |  (greatest(nt - 64, 0) + 47) // 48 + 1 AS nch FROM n),
+        |e AS (SELECT doc_id, toks, nt, unnest(range(0, nch)) AS i FROM c)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+        |  least(nt - i*48, 64) AS n_chunk_tokens,
+        |  array_to_string(toks[i*48 + 1 : i*48 + 64], ' ') AS chunk_text
+        |FROM e ORDER BY doc_id, chunk_id""".stripMargin,
 
     // Association order mirrors CorpusOps.bm25 exactly — every op is an
     // exact-rounded IEEE + − × / in the same left-assoc chain, so the score

@@ -246,4 +246,55 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec {
       .orderBy($"sample_rank").select($"doc_id").as[Long].collect().toSeq
     assert(got === Seq(2L, 1L))
   }
+
+  test("chunkByTokens: hand-computed chunks, counts, and tail semantics") {
+    // size 4, overlap 1 ⇒ step 3. 10 tokens → nch = ceil((10-4)/3)+1 = 3:
+    // [t1..t4], [t4..t7], [t7..t10]. 4 tokens → exactly 1 chunk.
+    // 5 tokens → 2 chunks, tail [t4 t5] of length 2. "" → [""] (1 token).
+    val d = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"),
+      (2L, "a b c d"),
+      (3L, "a b c d e"),
+      (4L, "")).toDF("doc_id", "text")
+    val got = CorpusOps.chunkByTokens(d, "doc_id", "text", chunkSize = 4, overlap = 1)
+      .as[(Long, Long, Long, String)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got === Seq(
+      (1L, 0L, 4L, "t1 t2 t3 t4"),
+      (1L, 1L, 4L, "t4 t5 t6 t7"),
+      (1L, 2L, 4L, "t7 t8 t9 t10"),
+      (2L, 0L, 4L, "a b c d"),
+      (3L, 0L, 4L, "a b c d"),
+      (3L, 1L, 2L, "d e"),
+      (4L, 0L, 1L, "")))
+  }
+
+  test("chunkByTokens reassembles: dropping the overlap prefix restores the doc") {
+    val d = spark.read.parquet(s"$sf0001/documents.parquet").limit(120)
+    val (size, ov) = (8, 3)
+    val chunks = CorpusOps.chunkByTokens(d, "doc_id", "text", size, ov)
+      .as[(Long, Long, Long, String)].collect()
+    val orig = d.select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    chunks.groupBy(_._1).foreach { case (id, cs) =>
+      val sorted = cs.sortBy(_._2)
+      // chunk_ids are 0..n-1; every chunk's token count matches its text;
+      // all but the last are full-size.
+      assert(sorted.map(_._2).toSeq === (0L until sorted.length).toSeq)
+      sorted.foreach { case (_, _, n, txt) =>
+        assert(txt.split(" ", -1).length.toLong === n)
+      }
+      assert(sorted.init.forall(_._3 === size.toLong))
+      // Reassembly: first chunk whole, then each chunk minus its `ov`-token
+      // overlap prefix, concatenated = the original token stream.
+      val toks = sorted.head._4.split(" ", -1) ++
+        sorted.tail.flatMap(c => c._4.split(" ", -1).drop(ov))
+      assert(toks.mkString(" ") === orig(id))
+    }
+  }
+
+  test("chunkByTokens plans with zero exchanges (pure per-row generate)") {
+    val d = spark.read.parquet(s"$sf0001/documents.parquet")
+    val plan = CorpusOps.chunkByTokens(d, "doc_id", "text", 64, 16)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
 }
