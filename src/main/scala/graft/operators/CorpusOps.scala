@@ -320,6 +320,44 @@ object CorpusOps {
     * `slice` + `array_join`; the tail-chunk length comes from arithmetic
     * (`least(nt − i·step, chunkSize)`), not a second slice.
     */
+  /** Concat-and-split sequence packing — the standard pretraining batch
+    * prep: documents are concatenated into token streams and the stream is
+    * cut into fixed `seqLen` training sequences, so no sequence is padded
+    * and every token is used. This operator computes the packing LAYOUT:
+    * for each document, its stream, its token offset in that stream, and
+    * the first/last sequence indices it lands in (a document straddling a
+    * cut contributes to both neighbors, exactly like the real concat).
+    *
+    * Documents are dealt round-robin into `nStreams` independent streams by
+    * `doc_id % nStreams` and packed within a stream in `doc_id` order — the
+    * layout is a pure function of the ids, reproducible across runs,
+    * partitionings, and engines (same contract as the hash split).
+    *
+    * Output: (doc_id, stream, n_tokens, start_off, first_seq, last_seq,
+    * n_seqs_spanned); sequence indices are per-stream.
+    *
+    * Scale posture: ONE shuffle keyed on `stream` for the running-offset
+    * window; a single global stream would serialize the cumulative sum on
+    * one partition (the classic global-window bottleneck), so `nStreams` is
+    * the parallelism knob — set it ≳ cluster cores at 100 TB; each stream
+    * then sorts and scans its own shard independently.
+    */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+      seqLen: Int, nStreams: Int): DataFrame = {
+    require(seqLen >= 1 && nStreams >= 1)
+    val d = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        (col(idCol) % nStreams).as("stream"),
+        size(TextOps.tokens(col(textCol))).cast("long").as("n_tokens"))
+    val w = Window.partitionBy(col("stream")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    d.withColumn("start_off", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("stream"), col("n_tokens"), col("start_off"),
+        expr(s"start_off div $seqLen").as("first_seq"),
+        expr(s"(start_off + n_tokens - 1) div $seqLen").as("last_seq"))
+      .withColumn("n_seqs_spanned", col("last_seq") - col("first_seq") + 1)
+  }
+
   def chunkByTokens(docs: DataFrame, idCol: String, textCol: String,
       chunkSize: Int, overlap: Int): DataFrame = {
     require(chunkSize >= 1, "chunkSize must be >= 1")

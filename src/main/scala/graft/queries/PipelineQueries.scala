@@ -288,6 +288,18 @@ object PipelineQueries extends QueryDomain {
         .orderBy($"doc_id", $"rnk")
     },
 
+    "q_seq_pack" -> { (s, dir) =>
+      import s.implicits._
+      // Pretraining sequence packing ([[CorpusOps.packSequences]]): the
+      // concat-and-split layout over 8 parallel streams with 128-token
+      // sequences — which training sequence(s) each document lands in,
+      // with zero padding waste. The offset window shuffles once on the
+      // stream key; nStreams is the scale-out knob.
+      CorpusOps.packSequences(docs(s, dir), "doc_id", "text",
+        seqLen = 128, nStreams = 8)
+        .orderBy($"doc_id")
+    },
+
     "q_chunk_docs" -> { (s, dir) =>
       import s.implicits._
       // Context-window chunking ([[CorpusOps.chunkByTokens]]): 64-token
@@ -988,6 +1000,23 @@ object PipelineQueries extends QueryDomain {
         |  FROM tf JOIN df USING (token))
         |SELECT doc_id, CAST(rnk AS INT) AS rnk, token, tf, df
         |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+
+    // Mirrors packSequences(seqLen = 128, nStreams = 8): stream = doc_id % 8,
+    // start_off = exclusive running token sum within stream in doc_id order,
+    // sequence indices by integer division.
+    "q_seq_pack" ->
+      """WITH d AS (SELECT doc_id, doc_id % 8 AS stream,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents WHERE text IS NOT NULL),
+        |w AS (SELECT doc_id, stream, n_tokens,
+        |  COALESCE(SUM(n_tokens) OVER (PARTITION BY stream ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+        |  FROM d)
+        |SELECT doc_id, stream, n_tokens, start_off,
+        |  start_off // 128 AS first_seq,
+        |  (start_off + n_tokens - 1) // 128 AS last_seq,
+        |  (start_off + n_tokens - 1) // 128 - start_off // 128 + 1 AS n_seqs_spanned
+        |FROM w ORDER BY doc_id""".stripMargin,
 
     // Mirrors chunkByTokens(chunkSize = 64, overlap = 16) ⇒ step 48:
     // nch = (max(nt − 64, 0) + 47) div 48 + 1, chunk i covers 1-based token

@@ -291,6 +291,31 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("packSequences: offsets tile each stream exactly; seq spans are consistent") {
+    val d = spark.read.parquet(s"$sf0001/documents.parquet")
+    val L = 32
+    val got = CorpusOps.packSequences(d, "doc_id", "text", seqLen = L, nStreams = 4)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.length === d.count())
+    got.groupBy(_._2).foreach { case (stream, rows) =>
+      val sorted = rows.sortBy(_._1)
+      // Exclusive running sum: each doc starts where the previous ended;
+      // stream 0 starts at offset 0.
+      var off = 0L
+      sorted.foreach { case (id, st, nt, start, first, last, span) =>
+        assert(id % 4 === stream && st === stream)
+        assert(start === off, s"doc $id")
+        assert(first === start / L && last === (start + nt - 1) / L)
+        assert(span === last - first + 1 && span >= 1)
+        off += nt
+      }
+    }
+    // Stability: the layout is a function of ids, not partitioning.
+    val again = CorpusOps.packSequences(d.repartition(17), "doc_id", "text", L, 4)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(again.sortBy(_._1).toSeq === got.sortBy(_._1).toSeq)
+  }
+
   test("chunkByTokens plans with zero exchanges (pure per-row generate)") {
     val d = spark.read.parquet(s"$sf0001/documents.parquet")
     val plan = CorpusOps.chunkByTokens(d, "doc_id", "text", 64, 16)
