@@ -320,6 +320,40 @@ object CorpusOps {
     * `slice` + `array_join`; the tail-chunk length comes from arithmetic
     * (`least(nt − i·step, chunkSize)`), not a second slice.
     */
+  /** Exact heavy hitters via the canonical two-pass sketch pipeline: pass 1
+    * builds a bounded Misra–Gries summary ([[Sketches.mgCandidates]] with
+    * capacity `threshDen`, so the MG undercount is at most
+    * total/(threshDen+1) — STRICTLY below the threshold — and every item at
+    * or above total·threshNum/threshDen is guaranteed a candidate, ties
+    * included); pass 2 counts ONLY the
+    * candidates exactly and keeps those truly above the threshold
+    * (`cnt · threshDen ≥ total · threshNum` — integer cross-compare, no
+    * float ratio). The output is therefore EXACT — identical to a full
+    * GROUP BY + HAVING — but the full item vocabulary never shuffles:
+    * pass 1 ships one O(k) summary per partition, pass 2 a broadcast
+    * semi-join on the ≤ k candidates plus a candidate-only aggregate.
+    * That is the 100 TB shape for "which tokens exceed 0.5% of the corpus".
+    *
+    * Output: (item, cnt, total) sorted by item.
+    */
+  def heavyHitters(items: DataFrame, itemCol: String,
+      threshNum: Int, threshDen: Int): DataFrame = {
+    require(threshNum >= 1 && threshDen > threshNum,
+      "need a fractional threshold 0 < threshNum/threshDen < 1")
+    val it = items.select(col(itemCol).as("item")).filter(col("item").isNotNull)
+    // capacity k = threshDen ⇒ MG undercount ≤ total/(threshDen+1), strictly
+    // below the threshold — an item meeting `cnt·threshDen ≥ total·threshNum`
+    // keeps a positive stored count everywhere and cannot be evicted.
+    val cands = it.agg(Sketches.mgCandidates(col("item"), threshDen).as("c"))
+      .select(explode(col("c")).as("item"))
+    val totals = it.agg(count(lit(1)).as("total"))
+    it.join(broadcast(cands), "item")
+      .groupBy(col("item")).agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(totals))
+      .filter(col("cnt") * threshDen >= col("total") * threshNum)
+      .select(col("item"), col("cnt"), col("total"))
+  }
+
   /** Concat-and-split sequence packing — the standard pretraining batch
     * prep: documents are concatenated into token streams and the stream is
     * cut into fixed `seqLen` training sequences, so no sequence is padded

@@ -24,4 +24,15 @@ object Sketches {
     bridge.column(graft.functions.KmvSketch(bridge.expression(hash), k, range)
       .toAggregateExpression())
   }
+
+  /** Misra–Gries frequent-items candidates of a STRING column: the ≤ `k`
+    * items that can have frequency > n/(k+1), as a sorted array — see
+    * [[graft.functions.MisraGries]]. Pair with an exact second pass over
+    * just the candidates ([[CorpusOps.heavyHitters]]) for exact counts.
+    */
+  def mgCandidates(item: Column, k: Int): Column = {
+    import org.apache.spark.sql.graft.bridge
+    bridge.column(graft.functions.MisraGries(bridge.expression(item), k)
+      .toAggregateExpression())
+  }
 }

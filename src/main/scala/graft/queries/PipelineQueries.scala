@@ -288,6 +288,20 @@ object PipelineQueries extends QueryDomain {
         .orderBy($"doc_id", $"rnk")
     },
 
+    "q_heavy_hitters" -> { (s, dir) =>
+      import s.implicits._
+      // Exact heavy hitters over word BIGRAMS (vocab 916 ≫ capacity 800 at
+      // this SF, so the Misra–Gries pass genuinely evicts) via the two-pass
+      // pipeline ([[CorpusOps.heavyHitters]]): bounded-state MG candidates,
+      // then an exact candidate-only count — output identical to a full
+      // GROUP BY + HAVING (which is exactly what the oracle runs) without
+      // ever shuffling the vocabulary.
+      val grams = docs(s, dir)
+        .select(explode(CorpusOps.wordNgramsAll($"text", 2)).as("gram"))
+      CorpusOps.heavyHitters(grams, "gram", threshNum = 1, threshDen = 800)
+        .orderBy($"item")
+    },
+
     "q_seq_pack" -> { (s, dir) =>
       import s.implicits._
       // Pretraining sequence packing ([[CorpusOps.packSequences]]): the
@@ -1000,6 +1014,18 @@ object PipelineQueries extends QueryDomain {
         |  FROM tf JOIN df USING (token))
         |SELECT doc_id, CAST(rnk AS INT) AS rnk, token, tf, df
         |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+
+    // The oracle is the full GROUP BY + HAVING the two-pass pipeline must
+    // equal exactly (1/800 of all bigram occurrences).
+    "q_heavy_hitters" ->
+      """WITH t AS (SELECT tk[i] || ' ' || tk[i+1] AS item
+        |  FROM (SELECT tk, unnest(range(1, len(tk))) AS i
+        |        FROM (SELECT string_split(text, ' ') AS tk
+        |              FROM documents WHERE text IS NOT NULL))),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS total FROM t)
+        |SELECT item, CAST(count(*) AS BIGINT) AS cnt, s.total AS total
+        |FROM t, s GROUP BY item, s.total
+        |HAVING count(*) * 800 >= s.total ORDER BY item""".stripMargin,
 
     // Mirrors packSequences(seqLen = 128, nStreams = 8): stream = doc_id % 8,
     // start_off = exclusive running token sum within stream in doc_id order,
