@@ -155,6 +155,24 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       s"A-ES selection must be a distributed top-k:\n$p")
   }
 
+  test("q_heavy_hitters: candidate join broadcasts; vocabulary never sort-merges") {
+    val p = plan("q_heavy_hitters")
+    assert(p.contains("BroadcastHashJoin"), s"candidate semi-join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"vocabulary must not shuffle-join:\n$p")
+  }
+
+  test("q_seq_pack: exactly one data exchange — the stream-key window shuffle") {
+    val p = plan("q_seq_pack")
+    val dataExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(dataExchanges === 1, s"packing must shuffle once on the stream key:\n$p")
+  }
+
+  test("q_chunk_docs: no shuffle — chunking is a pure per-row generate") {
+    val p = plan("q_chunk_docs")
+    assert(!p.contains("Exchange hashpartitioning"), s"chunking must not shuffle:\n$p")
+    assert(p.contains("Generate"), s"expected an explode-based generate:\n$p")
+  }
+
   test("whole-stage codegen covers the scalar pipelines") {
     // AQE prints codegen stages only in the FINAL plan — execute first.
     val df = SparkEntry.queries("q_scalar_string")(spark, sf0001)
