@@ -48,4 +48,54 @@ object StatOps {
       .filter(col("rnk") <= k)
       .select(col(groupCol), col("rnk"), col(idCol), col("z"))
   }
+
+  /** Per-group robust (median/MAD) outlier summary — the screen that
+    * survives exactly the rows the z-score screen is broken by: a handful
+    * of extreme values inflate mean and σ and mask themselves, while the
+    * median and the median-absolute-deviation ignore them.
+    *
+    * Determinism: values quantize to DECIMAL(18,4) once; medians are
+    * DISCRETE (`percentile_disc`, the smallest value with cumulative
+    * probability ≥ ½ — both engines pick the lower middle, an actual data
+    * value, never an interpolated average); and the outlier rule
+    * `|v − med| · 2 > mad · 9` is an exact integer-scaled cross-compare of
+    * the usual "robust z > 3" cut (3/0.6745 ≈ 4.45 ≈ 9/2 MADs, the normal-
+    * consistency constant). One engine asymmetry, neutralized: Spark's
+    * `percentile_disc` RETURNS double where DuckDB's `quantile_disc` stays
+    * decimal — the double is cast straight back to the decimal type, a
+    * lossless round-trip while `|v|·10⁴` fits a 53-bit significand
+    * (|v| < ~9·10¹¹; quantize coarser above that).
+    *
+    * Output: (grp, n, med, mad, n_outliers, max_dev).
+    *
+    * Scale posture: three combiner-reduced group-keyed aggregates (median,
+    * MAD, summary), each per-group stat broadcast back over the stream —
+    * the value column itself is never re-shuffled, so the shape holds when
+    * groups are billions of rows. `percentile_disc` does sort within
+    * (group, partition) under the hood at this width; for a truly massive
+    * single group swap in a two-pass counting median — the interface here
+    * is the contract, disc-median + decimal exactness.
+    */
+  def robustOutliers(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val v = df.select(col(groupCol).as("grp"),
+      col(valueCol).cast("decimal(18,4)").as("v"))
+    val med = v.groupBy(col("grp"))
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY v)")
+        .cast("decimal(18,4)").as("med"))
+    val dev = v.join(broadcast(med), "grp")
+      .select(col("grp"), col("v"), col("med"), abs(col("v") - col("med")).as("dev"))
+    val mad = dev.groupBy(col("grp"))
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY dev)")
+        .cast("decimal(19,4)").as("mad"))
+    dev.join(broadcast(mad), "grp")
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"),
+        min(col("med")).as("med"), // constant per group — min is just the
+        min(col("mad")).as("mad"), // order-free way to carry it through
+
+        sum(when(col("dev") * 2 > col("mad") * 9, 1L).otherwise(0L)).as("n_outliers"),
+        max(col("dev")).as("max_dev"))
+      .select(col("grp"), col("n"), col("med"), col("mad"),
+        col("n_outliers"), col("max_dev"))
+  }
 }

@@ -394,6 +394,16 @@ object PipelineQueries extends QueryDomain {
         .orderBy($"event_type", $"rnk")
     },
 
+    "q_robust_outliers" -> { (s, dir) =>
+      import s.implicits._
+      // Median/MAD robust screen ([[StatOps.robustOutliers]]) — the
+      // complement to the z-score pass for columns whose extremes corrupt
+      // the moments themselves. Discrete medians over DECIMAL values and an
+      // integer-scaled 4.5-MAD cut: zero floats anywhere in the query.
+      StatOps.robustOutliers(t(s, dir, "events"), "event_type", "value")
+        .orderBy($"grp")
+    },
+
     // ---- events: sessionization + time windows ----------------------------
     // The fixture's events.ts is parquet TIMESTAMP(NANOS) — read as a
     // nanosecond BIGINT (spark.sql.legacy.parquet.nanosAsLong, set by
@@ -949,6 +959,22 @@ object PipelineQueries extends QueryDomain {
          |SELECT CAST(row_number() OVER (ORDER BY pri DESC, doc_id) AS INT) AS sample_rank,
          |  doc_id, lang, n_chars
          |FROM h ORDER BY pri DESC, doc_id LIMIT 40""".stripMargin,
+
+    // Mirrors robustOutliers: quantile_disc = Spark's percentile_disc (both
+    // pick the lower middle — no interpolation); dev/mad/max_dev scales
+    // pinned to Spark's decimal arithmetic ((18,4) minus (18,4) → (19,4)).
+    "q_robust_outliers" ->
+      """WITH v AS (SELECT event_type AS grp, CAST(value AS DECIMAL(18,4)) AS v FROM events),
+        |m AS (SELECT grp, quantile_disc(v, 0.5) AS med FROM v GROUP BY grp),
+        |d AS (SELECT v.grp, v.v, m.med, abs(v.v - m.med) AS dev FROM v JOIN m USING (grp)),
+        |md AS (SELECT grp, quantile_disc(dev, 0.5) AS mad FROM d GROUP BY grp)
+        |SELECT d.grp AS grp, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(min(d.med) AS DECIMAL(18,4)) AS med,
+        |  CAST(min(md.mad) AS DECIMAL(19,4)) AS mad,
+        |  CAST(SUM(CASE WHEN d.dev * 2 > md.mad * 9 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  CAST(max(d.dev) AS DECIMAL(19,4)) AS max_dev
+        |FROM d JOIN md USING (grp)
+        |GROUP BY d.grp ORDER BY grp""".stripMargin,
 
     "q_value_outliers" ->
       """WITH e AS (SELECT event_id, event_type, CAST(value AS DECIMAL(18,4)) AS vq FROM events),

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.lit
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.StatOps
 
@@ -38,5 +39,40 @@ class StatOpsSpec extends AnyFunSuite with SparkSpec {
     assert(got.filter(_._1 == "a").forall(_._4 == 0.0))
     val b = got.filter(_._1 == "b")
     assert(b.map(_._3).toSeq == Seq(4L, 5L) && b.forall(r => math.abs(r._4) == 1.0))
+  }
+
+  test("robustOutliers: hand-computed medians, MAD, and the 4.5-MAD cut") {
+    // g: values 1..9 plus a 1000.0 spike (n=10). Lower-middle disc median
+    // of 10 values = 5; dev = {4,3,2,1,0,1,2,3,4,995}, sorted lower-middle
+    // = 2 (MAD). Cut: dev·2 > 9·2=18 ⇔ dev > 9 → only the spike.
+    // h: constant column — med = 7, mad = 0, a degenerate group where every
+    // dev·2 > 0 row would flag; all devs are 0 so nothing flags.
+    val d = ((1 to 9).map(i => ("g", i.toDouble)) :+ ("g", 1000.0)) ++
+      Seq.fill(4)(("h", 7.0))
+    val got = StatOps.robustOutliers(d.toDF("t", "v"), "t", "v")
+      .orderBy($"grp")
+      .as[(String, Long, BigDecimal, BigDecimal, Long, BigDecimal)]
+      .collect().toSeq
+    assert(got.map(r => (r._1, r._2, r._3.toDouble, r._4.toDouble, r._5, r._6.toDouble))
+      === Seq(("g", 10L, 5.0, 2.0, 1L, 995.0), ("h", 4L, 7.0, 0.0, 0L, 0.0)))
+  }
+
+  test("robustOutliers catches the two-spike masking case the z-screen misses") {
+    // The classic masking failure: TWO extreme spikes inflate sigma so far
+    // that each spike's own |z| stays under 3 — the moment screen reports
+    // nothing. The median/MAD screen is untouched by the spikes and flags
+    // exactly both. Base 1..11 + two 1e6 spikes: med = 7, MAD = 3,
+    // cut dev > 13.5 → spikes only; each spike's z ≈ 2.34 < 3.
+    val d = ((1 to 11).map(i => (i.toLong, i.toDouble)) ++
+      Seq((100L, 1e6), (101L, 1e6))).toDF("id", "v")
+      .withColumn("g", lit("m"))
+    val robust = StatOps.robustOutliers(d, "g", "v")
+      .as[(String, Long, BigDecimal, BigDecimal, Long, BigDecimal)].head()
+    assert(robust._3.toDouble === 7.0 && robust._4.toDouble === 3.0)
+    assert(robust._5 === 2L)
+    val zs = StatOps.zscoreOutliers(d, "g", "v", "id", k = 13)
+      .select($"z").as[Double].collect()
+    assert(zs.forall(z => math.abs(z) < 3.0),
+      s"masking premise broken — a z cleared 3: ${zs.mkString(",")}")
   }
 }
