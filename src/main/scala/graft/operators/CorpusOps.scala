@@ -320,6 +320,40 @@ object CorpusOps {
     * `slice` + `array_join`; the tail-chunk length comes from arithmetic
     * (`least(nt − i·step, chunkSize)`), not a second slice.
     */
+  /** Unigram-surprisal document scoring — the transcendental-free stand-in
+    * for the perplexity quality filter every web-corpus pipeline runs: a
+    * document full of corpus-rare tokens scores high (gibberish, boilerplate
+    * IDs), one of common tokens low. Token surprisal −log₂ p(t) is taken at
+    * INTEGER resolution: `bitlen(total) − bitlen(freq)` where `bitlen(n) =
+    * length(bin(n)) = ⌊log₂ n⌋ + 1` — within ±1 bit of the real thing, and
+    * exact integers in any engine (log/ln are the one float op IEEE 754
+    * does NOT bit-specify, so the usual float formulation can never be
+    * hash-gated; bit length can).
+    *
+    * Output: (doc_id, n_tokens, bits, avg_bits) — `bits` the summed integer
+    * surprisal, `avg_bits` one exact-rounded long/long division at the end.
+    *
+    * Scale posture: one (token) hash aggregate for the unigram model, one
+    * (token)-keyed join of the exploded stream against it (Catalyst
+    * broadcasts the model when small; a 100 TB vocabulary shuffle-joins on
+    * the high-cardinality token key), one (doc) aggregate. The corpus total
+    * is a 1-row broadcast. No all-pairs stage, no driver loop.
+    */
+  def surprisal(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        explode(TextOps.tokens(col(textCol))).as("token"))
+    val tf = t.groupBy(col("token")).agg(count(lit(1)).as("freq"))
+    val total = t.agg(count(lit(1)).as("total"))
+    val bits = (length(bin(col("total"))) - length(bin(col("freq")))).cast("long")
+    t.join(tf, "token")
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(bits).as("bits"))
+      .select(col("doc_id"), col("n_tokens"), col("bits"),
+        (col("bits").cast("double") / col("n_tokens")).as("avg_bits"))
+  }
+
   /** Exact heavy hitters via the canonical two-pass sketch pipeline: pass 1
     * builds a bounded Misra–Gries summary ([[Sketches.mgCandidates]] with
     * capacity `threshDen`, so the MG undercount is at most

@@ -288,6 +288,16 @@ object PipelineQueries extends QueryDomain {
         .orderBy($"doc_id", $"rnk")
     },
 
+    "q_doc_surprisal" -> { (s, dir) =>
+      import s.implicits._
+      // Perplexity-style quality scoring at integer resolution
+      // ([[CorpusOps.surprisal]]): per-token −log₂ p via bit lengths, so
+      // the "LM score" is exact integers + one final division — the only
+      // formulation of this filter both engines can agree on bit-for-bit.
+      CorpusOps.surprisal(docs(s, dir), "doc_id", "text")
+        .orderBy($"doc_id")
+    },
+
     "q_heavy_hitters" -> { (s, dir) =>
       import s.implicits._
       // Exact heavy hitters over word BIGRAMS (vocab 916 ≫ capacity 800 at
@@ -1040,6 +1050,20 @@ object PipelineQueries extends QueryDomain {
         |  FROM tf JOIN df USING (token))
         |SELECT doc_id, CAST(rnk AS INT) AS rnk, token, tf, df
         |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+
+    // bin() agrees across engines (no leading zeros), so
+    // bitlen = length(bin(n)) is the same integer everywhere.
+    "q_doc_surprisal" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents WHERE text IS NOT NULL),
+        |tf AS (SELECT token, CAST(count(*) AS BIGINT) AS freq FROM t GROUP BY token),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS total FROM t)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(length(bin(s.total)) - length(bin(tf.freq))) AS BIGINT) AS bits,
+        |  CAST(SUM(length(bin(s.total)) - length(bin(tf.freq))) AS DOUBLE)
+        |    / count(*) AS avg_bits
+        |FROM t JOIN tf USING (token) CROSS JOIN s
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // The oracle is the full GROUP BY + HAVING the two-pass pipeline must
     // equal exactly (1/800 of all bigram occurrences).

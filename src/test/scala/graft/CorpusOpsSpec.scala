@@ -316,6 +316,33 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec {
     assert(again.sortBy(_._1).toSeq === got.sortBy(_._1).toSeq)
   }
 
+  test("surprisal: hand-computed bit-length scores; rare tokens score higher") {
+    // Corpus: "a a a a b" ⊕ "a a b c" → total 9 tokens.
+    // freqs: a=6, b=2, c=1. bitlen(9)=4; bits: a→4-3=1, b→4-2=2, c→4-1=3.
+    // doc 1 = 4·1 + 2 = 6 over 5 tokens; doc 2 = 2·1 + 2 + 3 = 7 over 4.
+    val d = Seq((1L, "a a a a b"), (2L, "a a b c")).toDF("doc_id", "text")
+    val got = CorpusOps.surprisal(d, "doc_id", "text")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got === Seq((1L, 5L, 6L, 6.0 / 5), (2L, 4L, 7L, 7.0 / 4)))
+  }
+
+  test("surprisal equals a brute-force unigram model over the fixture") {
+    val d = spark.read.parquet(s"$sf0001/documents.parquet")
+    val rows = d.select($"doc_id", $"text").as[(Long, String)].collect()
+    val all = rows.flatMap(_._2.split(" ", -1))
+    val freq = all.groupBy(identity).map { case (t, o) => t -> o.size.toLong }
+    def bitlen(n: Long) = java.lang.Long.toBinaryString(n).length
+    val totalBits = bitlen(all.length.toLong)
+    val expect = rows.map { case (id, text) =>
+      val toks = text.split(" ", -1)
+      val bits = toks.map(t => (totalBits - bitlen(freq(t))).toLong).sum
+      (id, toks.length.toLong, bits, bits.toDouble / toks.length)
+    }.sortBy(_._1).toSeq
+    val got = CorpusOps.surprisal(d, "doc_id", "text")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got === expect)
+  }
+
   test("chunkByTokens plans with zero exchanges (pure per-row generate)") {
     val d = spark.read.parquet(s"$sf0001/documents.parquet")
     val plan = CorpusOps.chunkByTokens(d, "doc_id", "text", 64, 16)
