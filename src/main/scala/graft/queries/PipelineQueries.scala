@@ -288,6 +288,51 @@ object PipelineQueries extends QueryDomain {
         .orderBy($"doc_id", $"rnk")
     },
 
+    "q_curation_funnel" -> { (s, dir) =>
+      import s.implicits._
+      // The END-TO-END curation pipeline as one query — what a user of this
+      // engine actually runs before training: exact dedup (keep min-id per
+      // text), token-length band, Gopher repetition rule, quality-score
+      // floor, language-consistency check — applied CUMULATIVELY, reported
+      // as a survivor funnel (stage_id, stage, n_docs). One pass: every
+      // stage is a per-doc flag (the repetition flag joins in from its own
+      // two aggregates), the funnel one aggregate of flag products, the
+      // 6-row unpivot a driver-side stack. Thresholds are set where the
+      // fixture's distributions actually SPLIT (every stage drops rows —
+      // a funnel of no-op stages gates nothing): duplicates synthesized by
+      // the id-shifted union (the q_dedup_exact fixture trick), token band
+      // 24..80, top-bigram share ≤ 1/16, quality ≥ 0.68 (the median).
+      val base = t(s, dir, "documents").select($"doc_id", $"text", $"lang")
+      val d = base.unionByName(base.withColumn("doc_id", $"doc_id" + 1000000L))
+      val w = Window.partitionBy($"text").orderBy($"doc_id")
+      val rep = CorpusOps.repetitionStats(d, "doc_id", "text", n = 2,
+        maxRepNum = 1, maxRepDen = 16).select($"doc_id", $"keep".as("rep_keep"))
+      d.withColumn("is_canon", (row_number().over(w) === 1).cast("long"))
+        .withColumn("len_ok",
+          TextStats.nTokens($"text").between(24, 80).cast("long"))
+        .join(rep, Seq("doc_id"), "left")
+        .withColumn("rep_ok", coalesce($"rep_keep", lit(0L)))
+        .withColumn("qual_ok", (TextStats.qualityScore($"text") >= 0.68).cast("long"))
+        .withColumn("lang_ok", (TextStats.predictedLang($"text") === $"lang").cast("long"))
+        .agg(
+          count(lit(1)).as("n_raw"),
+          sum($"is_canon").as("n_dedup"),
+          sum($"is_canon" * $"len_ok").as("n_len"),
+          sum($"is_canon" * $"len_ok" * $"rep_ok").as("n_rep"),
+          sum($"is_canon" * $"len_ok" * $"rep_ok" * $"qual_ok").as("n_qual"),
+          sum($"is_canon" * $"len_ok" * $"rep_ok" * $"qual_ok" * $"lang_ok")
+            .as("n_lang"))
+        .selectExpr("""stack(6,
+          1, 'raw',        n_raw,
+          2, 'dedup',      n_dedup,
+          3, 'length',     n_len,
+          4, 'repetition', n_rep,
+          5, 'quality',    n_qual,
+          6, 'language',   n_lang) AS (stage_id, stage, n_docs)""")
+        .select($"stage_id".cast("int").as("stage_id"), $"stage", $"n_docs")
+        .orderBy($"stage_id")
+    },
+
     "q_doc_surprisal" -> { (s, dir) =>
       import s.implicits._
       // Perplexity-style quality scoring at integer resolution
@@ -1050,6 +1095,64 @@ object PipelineQueries extends QueryDomain {
         |  FROM tf JOIN df USING (token))
         |SELECT doc_id, CAST(rnk AS INT) AS rnk, token, tf, df
         |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+
+    // The funnel twin chains the SAME fragments the per-stage gates use:
+    // q_dedup_exact's min-id window, q_quality_score's formula (identical
+    // float-op order), q_lang_id's argmax case chain, q_repetition_filter's
+    // bigram rule — composed cumulatively and unpivoted to 6 rows.
+    "q_curation_funnel" -> {
+      val scores = langScoreSql.map { case (lang, sql) => s"$sql AS s_$lang" }
+        .mkString(",\n        |    ").stripMargin
+      val langs = langScoreSql.map(_._1)
+      val caseChain = langs.init.map { lang =>
+        val conds = langs.filterNot(_ == lang).map(o => s"s_$lang >= s_$o")
+          .mkString(" AND ")
+        s"WHEN $conds THEN '$lang'"
+      }.mkString(" ")
+      s"""WITH dup AS (SELECT doc_id, text, lang FROM documents
+         |  UNION ALL SELECT doc_id + 1000000, text, lang FROM documents),
+         |base AS (SELECT doc_id, text, lang,
+         |    CASE WHEN ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) = 1
+         |         THEN 1 ELSE 0 END AS is_canon,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq,
+         |    CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a'))) AS BIGINT) AS n_stop,
+         |    $scores
+         |  FROM dup),
+         |rep AS (SELECT doc_id,
+         |    CASE WHEN max(cnt) * 16 <= sum(cnt) THEN 1 ELSE 0 END AS rep_ok
+         |  FROM (SELECT doc_id, gram, count(*) AS cnt
+         |        FROM (SELECT doc_id,
+         |                unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS gram
+         |              FROM (SELECT doc_id, string_split(text, ' ') AS w FROM dup)
+         |              WHERE len(w) >= 2)
+         |        GROUP BY doc_id, gram) GROUP BY doc_id),
+         |f AS (SELECT base.is_canon,
+         |    CASE WHEN n_tokens BETWEEN 24 AND 80 THEN 1 ELSE 0 END AS len_ok,
+         |    COALESCE(rep.rep_ok, 0) AS rep_ok,
+         |    CASE WHEN (CAST(n_uniq AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 0.5
+         |        + (1.0 - CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 0.3
+         |        + least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0) * 0.2 >= 0.68
+         |      THEN 1 ELSE 0 END AS qual_ok,
+         |    CASE WHEN (CASE $caseChain ELSE '${langs.last}' END) = lang
+         |      THEN 1 ELSE 0 END AS lang_ok
+         |  FROM base LEFT JOIN rep USING (doc_id)),
+         |a AS (SELECT CAST(count(*) AS BIGINT) AS n_raw,
+         |    CAST(SUM(is_canon) AS BIGINT) AS n_dedup,
+         |    CAST(SUM(is_canon * len_ok) AS BIGINT) AS n_len,
+         |    CAST(SUM(is_canon * len_ok * rep_ok) AS BIGINT) AS n_rep,
+         |    CAST(SUM(is_canon * len_ok * rep_ok * qual_ok) AS BIGINT) AS n_qual,
+         |    CAST(SUM(is_canon * len_ok * rep_ok * qual_ok * lang_ok) AS BIGINT) AS n_lang
+         |  FROM f)
+         |SELECT stage_id, stage, n_docs FROM (
+         |  SELECT 1 AS stage_id, 'raw' AS stage, n_raw AS n_docs FROM a
+         |  UNION ALL SELECT 2, 'dedup', n_dedup FROM a
+         |  UNION ALL SELECT 3, 'length', n_len FROM a
+         |  UNION ALL SELECT 4, 'repetition', n_rep FROM a
+         |  UNION ALL SELECT 5, 'quality', n_qual FROM a
+         |  UNION ALL SELECT 6, 'language', n_lang FROM a)
+         |ORDER BY stage_id""".stripMargin
+    },
 
     // bin() agrees across engines (no leading zeros), so
     // bitlen = length(bin(n)) is the same integer everywhere.
