@@ -36,6 +36,35 @@ object VectorOps {
   def dot(a: Column, b: Column): Column =
     foldSum(zip_with(asDouble(a), asDouble(b), (x, y) => x * y))
 
+  /** Per-group mean pooling (class centroids / prototype vectors): the
+    * embedding-side aggregate behind prototype-based quality filtering and
+    * IVF seeding. Emitted LONG-form — one row per (group, dimension) —
+    * because a cross-row float array mean cannot be hash-gated: summing
+    * doubles is order-dependent. Here each element quantizes ONCE to
+    * DECIMAL(18,8) — routed through the float's SHORTEST DECIMAL STRING
+    * (`cast(string)` then `cast(decimal)`), which is the unique canonical
+    * representation both engines print identically, so both round the same
+    * digits; a direct float→decimal cast is engine-defined (DuckDB scales
+    * in float arithmetic and can land one ulp off Spark's BigDecimal path
+    * — observed at this SF). The sums are then EXACT decimal arithmetic,
+    * so aggregation order cannot matter; the mean divides out as one
+    * double at the end.
+    *
+    * Output: (grp, pos, n, sv, mean_v) — `sv` the exact quantized sum.
+    *
+    * Scale posture: posexplode then one combiner-reduced hash aggregate on
+    * (group, dimension) — dim× row inflation into a keyed agg, the standard
+    * distributed mean-pooling shape; no window, no driver collect.
+    */
+  def groupCentroids(embs: DataFrame, groupCol: String, vecCol: String): DataFrame =
+    embs.filter(col(vecCol).isNotNull)
+      .select(col(groupCol).as("grp"), posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy(col("grp"), col("pos"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("v").cast("string").cast("decimal(18,8)")).as("sv"))
+      .select(col("grp"), col("pos").cast("int").as("pos"), col("n"), col("sv"),
+        (col("sv").cast("double") / col("n")).as("mean_v"))
+
   def norm2(a: Column): Column = {
     val d = asDouble(a)
     foldSum(zip_with(d, d, (x, y) => x * y))

@@ -698,6 +698,15 @@ object PipelineQueries extends QueryDomain {
         .orderBy($"query_id", $"rnk")
     },
 
+    "q_embed_centroid" -> { (s, dir) =>
+      import s.implicits._
+      // Per-label mean pooling ([[VectorOps.groupCentroids]]): class
+      // prototype vectors in long form — exact decimal sums make the
+      // cross-row float mean order-free and therefore hash-gateable.
+      VectorOps.groupCentroids(t(s, dir, "embeddings"), "label", "embedding")
+        .orderBy($"grp", $"pos")
+    },
+
     "q_embed_neardup" -> { (s, dir) =>
       import s.implicits._
       // Embedding-cosine near-dup via banded sign-random-projection LSH
@@ -1362,6 +1371,20 @@ object PipelineQueries extends QueryDomain {
          |      ORDER BY ${duckDot("q.e", "d.e")} / sqrt(q.nn * d.nn) DESC, cand.nid) AS rnk
          |  FROM cand JOIN n q ON q.vec_id = cand.qid JOIN n d ON d.vec_id = cand.nid)
          |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+
+    // Parallel unnests zip in DuckDB's SELECT list; range(0, len) matches
+    // posexplode's 0-based pos. Spark sum(DECIMAL(18,8)) widens to (28,8).
+    // The VARCHAR hop mirrors groupCentroids: both engines quantize the
+    // float's shortest decimal string, not their engine-defined float cast.
+    "q_embed_centroid" ->
+      """WITH e AS (SELECT label AS grp,
+        |    unnest(range(0, len(embedding))) AS pos,
+        |    unnest(embedding) AS v
+        |  FROM embeddings WHERE embedding IS NOT NULL)
+        |SELECT grp, CAST(pos AS INT) AS pos, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(CAST(v AS VARCHAR) AS DECIMAL(18,8))) AS DECIMAL(28,8)) AS sv,
+        |  CAST(SUM(CAST(CAST(v AS VARCHAR) AS DECIMAL(18,8))) AS DOUBLE) / count(*) AS mean_v
+        |FROM e GROUP BY grp, pos ORDER BY grp, pos""".stripMargin,
 
     "q_embed_neardup" -> {
       // k-th hyperplane dot, 0-based dim index j0 = j-1 (DuckDB range is

@@ -225,4 +225,27 @@ class VectorOpsSpec extends AnyFunSuite with SparkSpec {
     val recall = (approx & exact).size.toDouble / exact.size
     assert(recall >= 0.9, s"SQ8 recall@10 fell to $recall")
   }
+
+  test("groupCentroids ≡ driver-side BigDecimal pooling; stable under repartition") {
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val rows = e.select($"label", $"embedding").as[(Int, Seq[Float])].collect()
+    // Reference: quantize each float's SHORTEST decimal string (toString —
+    // the exact contract of the cast chain) to scale 8, exact-sum, divide.
+    val expect = rows.groupBy(_._1).flatMap { case (lbl, vs) =>
+      val dim = vs.head._2.length
+      (0 until dim).map { p =>
+        val qs = vs.map(v => BigDecimal(v._2(p).toString)
+          .setScale(8, BigDecimal.RoundingMode.HALF_UP))
+        val sv = qs.sum
+        ((lbl, p), (vs.size.toLong, sv, sv.toDouble / vs.size))
+      }
+    }
+    val got = VectorOps.groupCentroids(e.repartition(11), "label", "embedding")
+      .as[(Int, Int, Long, BigDecimal, Double)].collect()
+    assert(got.length === expect.size)
+    got.foreach { case (lbl, p, n, sv, mean) =>
+      val (en, esv, emean) = expect((lbl, p))
+      assert(n === en && sv === esv && mean === emean, s"($lbl,$p)")
+    }
+  }
 }
