@@ -265,6 +265,43 @@ object CorpusOps {
     df.filter(pred)
   }
 
+  /** Temperature-flattened source mixing at α = 1/2 — the dataset-mixing
+    * step that UPWEIGHTS small sources relative to proportional sampling
+    * (the Pile/Gopher-style mix): stratum `s` with `n_s` rows is kept at
+    * rate `min(1, c/√n_s)`, so the expected kept count is `c·√n_s` — a
+    * 10000:100 source imbalance flattens to 100:10. Rates follow from the
+    * strata SIZES; [[stratifiedHashSample]] is the explicit-rate sibling.
+    *
+    * The keep decision is INTEGER-EXACT — no sqrt, no float threshold:
+    * with `u = polyHash(key) % m` uniform on `[0, m)`,
+    * `u/m < c/√n_s  ⟺  u²·n_s < c²·m²`, and the right side is evaluated as
+    * a 128-bit-safe DECIMAL(38,0) product (`u² < 2^40` times an arbitrary
+    * BIGINT count stays under 10^31), so the same comparison is bit-exact
+    * in any engine — the reproducibility contract of the other samplers,
+    * which a float `sqrt` at the threshold boundary cannot give.
+    *
+    * Scale posture: one combiner-reduced count per stratum (output rows =
+    * #strata, tiny by construction), broadcast back onto the corpus — the
+    * 100 TB side is never shuffled; the keep test is a per-row predicate.
+    *
+    * @param c expected kept rows per stratum = c·√n_s (strata with
+    *          n_s ≤ c² are kept whole)
+    * @param m hash modulus (rate granularity 1/m)
+    */
+  def temperatureSample(df: DataFrame, strata: Column, key: Column,
+      c: Int, m: Int = 1 << 20, hashBase: Long = 173L): DataFrame = {
+    require(c > 0, "c sets the per-stratum budget; must be positive")
+    require(c <= (1 << 10), "c*m must stay under 2^31 so (c*m)^2 fits a LONG")
+    require(m > 0 && m <= (1 << 20), "u^2 must stay under 2^40 (see scaladoc)")
+    val counts = df.groupBy(strata.as("graft_strat"))
+      .agg(count(lit(1)).as("graft_n"))
+    val u = pmod(TextOps.polyHash(key, hashBase), lit(m.toLong))
+    df.join(broadcast(counts), strata === col("graft_strat"))
+      .filter((u * u).cast(org.apache.spark.sql.types.DecimalType(38, 0)) *
+        col("graft_n") < lit(c.toLong * m) * lit(c.toLong * m))
+      .drop("graft_strat", "graft_n")
+  }
+
   /** Deterministic weighted sampling WITHOUT replacement (Efraimidis–
     * Spirakis "A-ES", Inf. Proc. Letters 2006): each row gets priority
     * `ln(u) / w` where `u ∈ (0,1)` is a content-hash uniform and `w > 0`

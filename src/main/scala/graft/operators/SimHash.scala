@@ -102,31 +102,11 @@ object SimHash {
       bits: Int = 60,
       bandBits: Int = 15,
       maxHamming: Int = 3): DataFrame = {
-    require(bits % bandBits == 0, "bits must be a multiple of bandBits")
-    require(bits <= 60, "wideHash carries 60 informative bits")
-    val bands = bits / bandBits
-    require(maxHamming <= bands - 1,
-      s"recall-1 guarantee needs maxHamming <= bands-1 = ${bands - 1}")
-    // wideHash, not polyHash: every signature bit must be informative or the
-    // dead bands would bucket all docs together (see TextOps.wideHash).
-    // Degenerate docs (null or whitespace-only text) are excluded BEFORE
-    // banding: they would all carry the all-zero signature and collide
-    // pairwise in every band — a quadratic bucket over contentless rows
-    // (exact dedup is the right tool there). The oracle applies the same
-    // WHERE clause, keeping the brute-force-equality contract.
-    val th = org.apache.spark.sql.graft.bridge.column(
-      graft.functions.TokenHashes(
-        org.apache.spark.sql.graft.bridge.expression(col(textCol)), wide = true))
-    val sigs = signatures(
-      docs.filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0),
-      idCol, th, bits)
+    val banded = bandedSignatures(docs, idCol, textCol, bits, bandBits, maxHamming)
     // Signatures ride through the band explode so the verify step needs no
     // join back to the (expensive) signature computation; the self-join's
     // two sides are identical subplans shuffled on the same key, so Spark's
     // ReuseExchange computes the signatures once.
-    val banded = sigs.select(col("doc_id"), col("sig"),
-      posexplode(array((0 until bands).map(b => bandKey(col("sig"), b, bandBits)): _*))
-        .as(Seq("band", "bkey")))
     banded.toDF("doc_i", "sig_i", "band", "bkey")
       .join(banded.toDF("doc_j", "sig_j", "band", "bkey"), Seq("band", "bkey"))
       .filter(col("doc_i") < col("doc_j"))
@@ -134,5 +114,67 @@ object SimHash {
       .filter(col("hamming") <= maxHamming)
       .select("doc_i", "doc_j", "hamming")
       .distinct() // a pair colliding in k bands appears k times
+  }
+
+  /** Cross-relation variant of [[nearDupPairs]] — the INCREMENTAL dedup
+    * primitive: find every `left` document within `maxHamming` of some
+    * `right` document, without pairing either relation against itself.
+    * Same recall-1 pigeonhole contract (`maxHamming <= bands - 1`), so the
+    * output equals a brute-force left×right scan.
+    *
+    * Scale posture: identical to the self-join case — banded equi-join on
+    * (band, bandKey), verify on candidates only. The new-batch side is
+    * typically orders of magnitude smaller than the corpus side; Catalyst
+    * broadcasts its banded rows when small enough, otherwise both sides
+    * shuffle on the same (band, bkey) key.
+    *
+    * @return (doc_a from `left`, doc_b from `right`, hamming LONG); ids are
+    *         NOT compared across relations — a shared id value pairs like
+    *         any other rows
+    */
+  def crossNearDupPairs(
+      left: DataFrame, leftId: String, leftText: String,
+      right: DataFrame, rightId: String, rightText: String,
+      bits: Int = 60,
+      bandBits: Int = 15,
+      maxHamming: Int = 3): DataFrame = {
+    val bl = bandedSignatures(left, leftId, leftText, bits, bandBits, maxHamming)
+    val br = bandedSignatures(right, rightId, rightText, bits, bandBits, maxHamming)
+    bl.toDF("doc_a", "sig_a", "band", "bkey")
+      .join(br.toDF("doc_b", "sig_b", "band", "bkey"), Seq("band", "bkey"))
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+      .distinct() // a pair colliding in k bands appears k times
+  }
+
+  /** Shared banding core of [[nearDupPairs]] / [[crossNearDupPairs]]:
+    * 60-bit signatures exploded into one row per (band, bandKey).
+    *
+    * wideHash, not polyHash: every signature bit must be informative or the
+    * dead bands would bucket all docs together (see TextOps.wideHash).
+    * Degenerate docs (null or whitespace-only text) are excluded BEFORE
+    * banding: they would all carry the all-zero signature and collide
+    * pairwise in every band — a quadratic bucket over contentless rows
+    * (exact dedup is the right tool there). The oracle applies the same
+    * WHERE clause, keeping the brute-force-equality contract.
+    */
+  private def bandedSignatures(
+      docs: DataFrame, idCol: String, textCol: String,
+      bits: Int, bandBits: Int, maxHamming: Int): DataFrame = {
+    require(bits % bandBits == 0, "bits must be a multiple of bandBits")
+    require(bits <= 60, "wideHash carries 60 informative bits")
+    val bands = bits / bandBits
+    require(maxHamming <= bands - 1,
+      s"recall-1 guarantee needs maxHamming <= bands-1 = ${bands - 1}")
+    val th = org.apache.spark.sql.graft.bridge.column(
+      graft.functions.TokenHashes(
+        org.apache.spark.sql.graft.bridge.expression(col(textCol)), wide = true))
+    val sigs = signatures(
+      docs.filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0),
+      idCol, th, bits)
+    sigs.select(col("doc_id"), col("sig"),
+      posexplode(array((0 until bands).map(b => bandKey(col("sig"), b, bandBits)): _*))
+        .as(Seq("band", "bkey")))
   }
 }

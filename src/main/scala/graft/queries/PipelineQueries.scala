@@ -113,6 +113,53 @@ object PipelineQueries extends QueryDomain {
         .orderBy($"doc_id")
     },
 
+    "q_dedup_incremental" -> { (s, dir) =>
+      import s.implicits._
+      // INCREMENTAL dedup — the steady-state shape of every production
+      // pipeline (a new crawl batch arrives; the corpus is already clean):
+      // batch docs (doc_id % 5 = 0, ~20%) are dropped iff some CORPUS doc
+      // sits within Hamming <= 3 of their 60-bit SimHash
+      // ([[SimHash.crossNearDupPairs]], recall exactly 1 by pigeonhole, so
+      // the anti-join equals the oracle's brute-force batch×corpus scan).
+      // Batch-internal duplicates are NOT dropped — that is the contract:
+      // dedup the batch against the corpus, then self-dedup separately.
+      val d = docs(s, dir)
+      val batch = d.filter(pmod($"doc_id", lit(5L)) === 0)
+      val corpus = d.filter(pmod($"doc_id", lit(5L)) =!= 0)
+      val hits = SimHash.crossNearDupPairs(
+        batch, "doc_id", "text", corpus, "doc_id", "text",
+        bits = 60, bandBits = 15, maxHamming = 3)
+      batch.join(hits.select($"doc_a".as("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti")
+        .select($"doc_id", $"source", $"n_chars")
+        .orderBy($"doc_id")
+    },
+
+    "q_cluster_canonical" -> { (s, dir) =>
+      import s.implicits._
+      // The KEEP decision that closes the near-dup loop: every document
+      // labeled with its duplicate cluster (q_dedup_clusters' components;
+      // docs in no pair are their own singleton cluster), then ONE canonical
+      // row survives per cluster — the longest text, doc_id as total
+      // tiebreak. Output is the deduplicated corpus manifest: one row per
+      // cluster with its representative and the cluster's size.
+      val d = docs(s, dir)
+      val pairs = SimHash.nearDupPairs(d, "doc_id", "text",
+        bits = 60, bandBits = 15, maxHamming = 3)
+      val comp = GraphOps.connectedComponents(pairs, "doc_i", "doc_j")
+      val labeled = d.join(comp, d("doc_id") === comp("node"), "left_outer")
+        .select(d("doc_id"), coalesce($"component", d("doc_id")).as("cluster_id"),
+          d("n_chars"))
+      val byCluster = Window.partitionBy($"cluster_id")
+      labeled
+        .withColumn("rn",
+          row_number().over(byCluster.orderBy($"n_chars".desc, $"doc_id".asc)))
+        .withColumn("cluster_size", count(lit(1)).over(byCluster).cast("long"))
+        .filter($"rn" === 1)
+        .select($"doc_id", $"cluster_id", $"cluster_size")
+        .orderBy($"doc_id")
+    },
+
     "q_decontaminate" -> { (s, dir) =>
       import s.implicits._
       // Train-test overlap detection ([[CorpusOps.sharedWindowOverlap]]):
@@ -416,6 +463,20 @@ object PipelineQueries extends QueryDomain {
       CorpusOps.weightedSample(docs(s, dir), $"text", $"n_chars", $"doc_id", k = 40)
         .select($"sample_rank", $"doc_id", $"lang", $"n_chars")
         .orderBy($"sample_rank")
+    },
+
+    "q_temperature_mix" -> { (s, dir) =>
+      import s.implicits._
+      // α=1/2 temperature mixing over the (skewed) language distribution
+      // ([[CorpusOps.temperatureSample]]): each lang kept at rate c/√n_lang,
+      // so expected counts flatten from n_lang to 4·√n_lang — en dominates
+      // the corpus but not the mix. The threshold test is integer-exact
+      // (u²·n < c²m², DECIMAL(38,0) product), so the keep set is
+      // bit-identical in DuckDB; base 173 keeps the draw independent of the
+      // split/strata/weighted decisions.
+      CorpusOps.temperatureSample(docs(s, dir), $"lang", $"text", c = 4)
+        .select($"doc_id", $"lang")
+        .orderBy($"doc_id")
     },
 
     "q_partition_prune" -> { (s, dir) =>
@@ -879,6 +940,59 @@ object PipelineQueries extends QueryDomain {
          |  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
          |FROM comp ORDER BY doc_id""".stripMargin,
 
+    // Brute-force batch×corpus Hamming scan — equals the banded cross-join
+    // by the recall-1 pigeonhole (crossNearDupPairs' contract).
+    "q_dedup_incremental" ->
+      s"""WITH tk AS (SELECT doc_id,
+         |  list_transform(string_split(text, ' '), tok -> ${duckWideHash("tok")}) AS th
+         |  FROM documents
+         |  WHERE text IS NOT NULL AND length(trim(text)) > 0),
+         |t AS (SELECT doc_id,
+         |  CAST(list_sum(list_transform(range(0, 60), b ->
+         |    CASE WHEN list_sum(list_transform(th, h ->
+         |        CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+         |      THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS s
+         |  FROM tk),
+         |hit AS (SELECT DISTINCT a.doc_id
+         |  FROM t a JOIN t c ON a.doc_id % 5 = 0 AND c.doc_id % 5 <> 0
+         |    AND bit_count(xor(a.s, c.s)) <= 3)
+         |SELECT d.doc_id, d.source, d.n_chars FROM documents d
+         |WHERE d.doc_id % 5 = 0
+         |  AND d.doc_id NOT IN (SELECT doc_id FROM hit)
+         |ORDER BY doc_id""".stripMargin,
+
+    // q_dedup_clusters' recursive-CTE components + the canonical argmax:
+    // singletons label themselves; longest text wins, doc_id breaks ties.
+    "q_cluster_canonical" ->
+      s"""WITH RECURSIVE tk AS (SELECT doc_id,
+         |  list_transform(string_split(text, ' '), tok -> ${duckWideHash("tok")}) AS th
+         |  FROM documents
+         |  WHERE text IS NOT NULL AND length(trim(text)) > 0),
+         |t AS (SELECT doc_id,
+         |  CAST(list_sum(list_transform(range(0, 60), b ->
+         |    CASE WHEN list_sum(list_transform(th, h ->
+         |        CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+         |      THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS s
+         |  FROM tk),
+         |pairs AS (SELECT a.doc_id AS u, b.doc_id AS v
+         |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.s, b.s)) <= 3),
+         |edges AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+         |reach(node, lbl) AS (
+         |  SELECT u, u FROM edges
+         |  UNION
+         |  SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.node = e.v),
+         |comp AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node),
+         |lab AS (SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+         |    d.n_chars
+         |  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id)
+         |SELECT doc_id, cluster_id, CAST(sz AS BIGINT) AS cluster_size FROM (
+         |  SELECT doc_id, cluster_id,
+         |    ROW_NUMBER() OVER (PARTITION BY cluster_id
+         |      ORDER BY n_chars DESC, doc_id) AS rn,
+         |    count(*) OVER (PARTITION BY cluster_id) AS sz
+         |  FROM lab) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
     "q_decontaminate" ->
       s"""WITH wa AS (SELECT doc_id,
          |  list_transform(list_distinct(list_transform(range(1, length(text)-22),
@@ -1023,6 +1137,17 @@ object PipelineQueries extends QueryDomain {
          |SELECT CAST(row_number() OVER (ORDER BY pri DESC, doc_id) AS INT) AS sample_rank,
          |  doc_id, lang, n_chars
          |FROM h ORDER BY pri DESC, doc_id LIMIT 40""".stripMargin,
+
+    // Integer-exact α=1/2 temperature test: u²·n_lang < (4·2^20)², HUGEINT
+    // product on the left (u² < 2^40 times a BIGINT count).
+    "q_temperature_mix" ->
+      s"""WITH n AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+         |u AS (SELECT doc_id, lang,
+         |  ${duckHash("text", 173)} % 1048576 AS u FROM documents)
+         |SELECT d.doc_id, d.lang FROM u d JOIN n ON n.lang = d.lang
+         |WHERE CAST(d.u * d.u AS HUGEINT) * n.n
+         |  < CAST(4194304 AS HUGEINT) * 4194304
+         |ORDER BY doc_id""".stripMargin,
 
     // Mirrors robustOutliers: quantile_disc = Spark's percentile_disc (both
     // pick the lower middle — no interpolation); dev/mad/max_dev scales

@@ -81,6 +81,36 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec {
     assert(other != got)
   }
 
+  test("temperatureSample: exact integer keep rule; small strata kept whole") {
+    val d = spark.read.parquet(s"$sf0001/documents.parquet")
+    val c = 4
+    val m = 1 << 20
+    val got = CorpusOps.temperatureSample(d, $"lang", $"text", c = c)
+      .select("doc_id").as[Long].collect().toSet
+    // Driver-side recomputation of the u²·n < c²m² rule, BigInt-exact.
+    val rows = d.select($"doc_id", $"lang",
+        TextOps.polyHash($"text", 173L).as("h"))
+      .as[(Long, String, Long)].collect()
+    val n = rows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val expected = rows.collect {
+      case (id, lang, h)
+        if BigInt(h % m) * (h % m) * n(lang) < BigInt(c.toLong * m) * (c * m) => id
+    }.toSet
+    assert(got === expected)
+    assert(expected.nonEmpty && expected.size < rows.length,
+      "the rate must bite somewhere and keep something")
+    // α=1/2 flattening: a stratum no larger than c² clears the threshold
+    // for every u < m, so it is kept whole.
+    val tiny = Seq((900L, "tiny", "one doc"), (901L, "tiny", "two docs"))
+      .toDF("doc_id", "lang", "text")
+    val keptTiny = CorpusOps.temperatureSample(tiny, $"lang", $"text", c = c)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptTiny === Set(900L, 901L), "n_s = 2 <= c² = 16 → kept whole")
+    // repeat run identical (no rand())
+    assert(CorpusOps.temperatureSample(d, $"lang", $"text", c = c)
+      .select("doc_id").as[Long].collect().toSet === got)
+  }
+
   test("redact scrubs emails/phones/IPs; rule order protects mailboxes with digits") {
     val rows = Seq(
       "mail me at bob@ex.com or 555-123-4567 from 1.2.3.4",

@@ -75,6 +75,41 @@ class SimHashSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("crossNearDupPairs ≡ brute-force left×right at maxHamming <= bands-1") {
+    val left = docs.filter(col("doc_id") % 5 === 0)
+    val right = docs.filter(col("doc_id") % 5 =!= 0)
+    val th = transform(TextOps.tokens(col("text")), TextOps.wideHash(_))
+    val sl = SimHash.signatures(left, "doc_id", th, 60)
+    val sr = SimHash.signatures(right, "doc_id", th, 60)
+    val brute = sl.toDF("doc_a", "sig_a")
+      .crossJoin(sr.toDF("doc_b", "sig_b"))
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
+      .filter(col("hamming") <= 3)
+      .select("doc_a", "doc_b", "hamming")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val banded = SimHash.crossNearDupPairs(
+        left, "doc_id", "text", right, "doc_id", "text",
+        bits = 60, bandBits = 15, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(banded == brute)
+    assert(brute.nonEmpty, "fixture should contain at least one cross near-dup")
+  }
+
+  test("crossNearDupPairs never pairs a relation against itself") {
+    // Split so each side holds one of two identical twins plus noise: the
+    // twins pair ACROSS, but identical docs within one side must not.
+    import spark.implicits._
+    val twin = "alpha beta gamma delta epsilon zeta"
+    val left = Seq((1L, twin), (2L, twin), (3L, "unrelated words entirely here"))
+      .toDF("doc_id", "text")
+    val right = Seq((10L, twin)).toDF("doc_id", "text")
+    val got = SimHash.crossNearDupPairs(
+        left, "doc_id", "text", right, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 10L), (2L, 10L)),
+      "both left twins hit the right twin; (1,2) must NOT appear")
+  }
+
   test("nearDupPairs rejects parameters that break the recall guarantee") {
     assertThrows[IllegalArgumentException](
       SimHash.nearDupPairs(docs, "doc_id", "text", bits = 60, bandBits = 15, maxHamming = 4))
