@@ -189,8 +189,7 @@ object CorpusOps {
     def windows(df: DataFrame, id: String, text: String, out: String) =
       df.filter(length(col(text)) >= n)
         .select(col(id).as(out),
-          explode(transform(TextOps.charShingles(col(text), n),
-            w => TextOps.wideHash(w))).as("w"))
+          explode(TextOps.windowHashes(col(text), n)).as("w"))
     val cw = windows(corpus, corpusId, corpusText, "doc_a")
     val rw = windows(ref, refId, refText, "doc_b")
     // Windows are DISTINCT per document (charShingles), so each qualifying
@@ -233,8 +232,7 @@ object CorpusOps {
     require(n >= 2, "a 1-char window is duplicated near-everywhere")
     val w = docs.filter(length(col(textCol)) >= n)
       .select(col(idCol).as("doc_id"),
-        explode(transform(TextOps.charShingles(col(textCol), n),
-          s => TextOps.wideHash(s))).as("w"))
+        explode(TextOps.windowHashes(col(textCol), n)).as("w"))
     val wdf = w.groupBy("w").agg(count(lit(1)).as("wdf"))
     w.join(wdf, "w")
       .groupBy(col("doc_id"))

@@ -125,6 +125,19 @@ object TextOps {
       graft.functions.PackedShingles(
         org.apache.spark.sql.graft.bridge.expression(text), n))
 
+  /** [[wideHash]] of every distinct `n`-codepoint window of `text`
+    * (ARRAY<BIGINT>, first-occurrence order) — the fused, codegen'd form of
+    * `transform(charShingles(text, n), wideHash)`, one compiled Rabin–Karp
+    * pass per row ([[graft.functions.WindowHashes]]; the interpreted twin is
+    * pinned in WindowHashesSpec). Use wherever windows are only ever joined
+    * or counted by hash ([[CorpusOps.sharedWindowOverlap]],
+    * [[CorpusOps.windowDuplication]]).
+    */
+  def windowHashes(text: Column, n: Int): Column =
+    org.apache.spark.sql.graft.bridge.column(
+      graft.functions.WindowHashes(
+        org.apache.spark.sql.graft.bridge.expression(text), n))
+
   /** Reference formulation of [[charShingles]] as interpreted HOF
     * expressions — kept as the executable spec (the DuckDB oracle twin
     * mirrors this shape). Only meaningful for `length(text) >= n`: below
