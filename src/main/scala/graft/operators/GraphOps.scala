@@ -17,8 +17,11 @@ import org.apache.spark.sql.functions._
   * on node id, and the edge set converges to one star per component rooted
   * at the component's minimum id in O(log² n) rounds (O(log n) observed).
   *
-  * Scale posture (100 TB): the driver never sees the graph — every step is
-  * an aggregate or join on slim (LONG, LONG) rows keyed by node id.
+  * Scale posture (100 TB): the driver never sees more than the capped
+  * endgame (`localFinishMaxEdges`, ~2 MB at the default) — every
+  * contraction step is an aggregate or join on slim (LONG, LONG) rows
+  * keyed by node id, and the endgame only engages once the shrinking
+  * state fits the cap.
   * High-degree hubs are exactly what large-star is FOR: it hangs a hub's
   * larger neighbors off the component minimum, splitting the hub's star
   * across keys instead of funneling the component through one reducer. The
@@ -45,13 +48,28 @@ object GraphOps {
     *                with n edges, so the default 50 covers any input that
     *                fits on hardware. Non-convergence throws rather than
     *                returning a partial labeling.
+    * @param localFinishMaxEdges LOCAL-ENDGAME cap: when the (deduplicated,
+    *                checkpointed) edge state is at most this many rows, the
+    *                remaining contraction runs as driver-side union-find
+    *                instead of more star rounds — each distributed round
+    *                costs a fixed handful of shuffle stages regardless of
+    *                data size, so on a small (or round-by-round shrinking)
+    *                graph the scheduling latency dominates the arithmetic
+    *                by orders of magnitude. The collect is bounded by
+    *                contract (≤ 16 bytes · cap ≈ 2 MB at the default) and
+    *                the labeling is identical: star rounds preserve the
+    *                component partition, and min-root union-find computes
+    *                the same component-minimum labels (property-tested
+    *                against the distributed path in GraphOpsSpec). 0
+    *                disables the endgame (pure distributed iteration).
     * @return columns: node LONG, component LONG (= min node id reachable)
     */
   def connectedComponents(
       edges: DataFrame,
       srcCol: String,
       dstCol: String,
-      maxIter: Int = 50): DataFrame = {
+      maxIter: Int = 50,
+      localFinishMaxEdges: Int = 1 << 17): DataFrame = {
     require(maxIter > 0, "maxIter must be positive")
     val integral = Set("tinyint", "smallint", "int", "bigint")
     for (c <- Seq(srcCol, dstCol))
@@ -95,38 +113,79 @@ object GraphOps {
     // the current state costs ONE single-shuffle action per round (tag each
     // endpoint role, one combiner-reduced aggregate per node) — unlike
     // fixpoint detection, which needs set-equality (two anti-joins) per
-    // operation.
-    def isStarUnion(s: DataFrame): Boolean =
-      s.select(col("u").as("n"), lit(1L).as("nsrc"), lit(0L).as("ndst"))
+    // operation. The same aggregate also returns the state's edge COUNT
+    // (Σ nsrc), so the endgame size gate rides the convergence check for
+    // free instead of costing a second action.
+    def stateCheck(s: DataFrame): (Long, Long) = {
+      val row = s.select(col("u").as("n"), lit(1L).as("nsrc"), lit(0L).as("ndst"))
         .union(s.select(col("v").as("n"), lit(0L).as("nsrc"), lit(1L).as("ndst")))
         .groupBy("n").agg(sum("nsrc").as("nsrc"), sum("ndst").as("ndst"))
-        .filter(col("nsrc") > 1 || (col("nsrc") > 0 && col("ndst") > 0))
-        .isEmpty
+        .agg(
+          sum(when(col("nsrc") > 1 || (col("nsrc") > 0 && col("ndst") > 0), 1L)
+            .otherwise(0L)).as("nviol"),
+          sum(col("nsrc")).as("nedges"))
+        .head()
+      (if (row.isNullAt(0)) 0L else row.getLong(0),
+        if (row.isNullAt(1)) 0L else row.getLong(1))
+    }
 
+    // Driver-side min-root union-find over the current (component-
+    // equivalent) state — the endgame once the graph is under the cap.
+    def localFinish(s: DataFrame): DataFrame = {
+      val es = s.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      for ((a, b) <- es) {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = es.iterator.flatMap { case (a, b) => Iterator(a, b) }.toArray.distinct
+      val spark = s.sparkSession
+      import spark.implicits._
+      nodes.toSeq.map(n => (n, find(n))).toDF("node", "component")
+    }
+
+    // LAZY localCheckpoint throughout: the convergence check that
+    // immediately follows each checkpoint is the action that materializes
+    // it, so every round costs ONE job (check + persist fused), not two
+    // (eager persist, then check). The truncated-lineage guarantee is
+    // identical — later rounds read the persisted partitions either way.
     var e = edges
       .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
       .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint()
-    var converged = e.isEmpty || isStarUnion(e)
+      .localCheckpoint(eager = false)
     var rounds = 0
-    while (!converged && rounds < maxIter) {
-      // One checkpoint per round: the large-star intermediate stays lazy
-      // inside the round's plan — two star ops are a handful of shuffles,
-      // not worth a second materialization barrier.
-      e = smallStar(largeStar(e)).localCheckpoint()
-      converged = isStarUnion(e)
-      rounds += 1
+    var result: Option[DataFrame] = None
+    while (result.isEmpty) {
+      val (nViol, nEdges) = stateCheck(e)
+      if (nViol == 0L)
+        // Converged state is one star per component: an edge (v, m) for
+        // every non-root member v, all pointing at the component minimum m.
+        // Roots label themselves.
+        result = Some(
+          e.select(col("u").as("node"), col("v").as("component"))
+            .union(e.select(col("v"), col("v")).distinct()
+              .toDF("node", "component")))
+      else if (localFinishMaxEdges > 0 && nEdges <= localFinishMaxEdges)
+        result = Some(localFinish(e))
+      else if (rounds >= maxIter)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge within maxIter=$maxIter rounds")
+      else {
+        // One checkpoint per round: the large-star intermediate stays lazy
+        // inside the round's plan — two star ops are a handful of shuffles,
+        // not worth a second materialization barrier.
+        e = smallStar(largeStar(e)).localCheckpoint(eager = false)
+        rounds += 1
+      }
     }
-    if (!converged)
-      throw new IllegalStateException(
-        s"connectedComponents did not converge within maxIter=$maxIter rounds")
-
-    // Converged state is one star per component: an edge (v, m) for every
-    // non-root member v, all pointing at the component minimum m. Roots
-    // label themselves.
-    e.select(col("u").as("node"), col("v").as("component"))
-      .union(e.select(col("v"), col("v")).distinct()
-        .toDF("node", "component"))
+    result.get
   }
 }

@@ -27,9 +27,10 @@ class GraphOpsSpec extends AnyFunSuite with SparkSpec {
     nodes.iterator.map(n => n -> find(n)).toMap
   }
 
-  private def ccOf(edges: Seq[(Long, Long)], maxIter: Int = 50): Map[Long, Long] = {
+  private def ccOf(edges: Seq[(Long, Long)], maxIter: Int = 50,
+      localCap: Int = 1 << 17): Map[Long, Long] = {
     val rows = GraphOps.connectedComponents(
-      edges.toDF("a", "b"), "a", "b", maxIter).collect()
+      edges.toDF("a", "b"), "a", "b", maxIter, localCap).collect()
     val m = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(rows.length == m.size, "a node must carry exactly one label")
     m
@@ -46,6 +47,30 @@ class GraphOpsSpec extends AnyFunSuite with SparkSpec {
     assert(ccOf(edges) == unionFind(edges))
   }
 
+  test("distributed star rounds ≡ local endgame on random graphs") {
+    // The endgame cap must be a pure performance knob: labels from the
+    // all-distributed path (cap 0) and the endgame path (cap larger than
+    // the graph) must agree exactly — on shapes that need several rounds.
+    for (seed <- Seq(3, 29, 71)) {
+      val rng = new scala.util.Random(seed)
+      val edges = Seq.fill(300)((rng.nextInt(500).toLong, rng.nextInt(500).toLong)) ++
+        (2000L until 2040L).map(i => (i + 1, i))
+      val dist = ccOf(edges, localCap = 0)
+      val local = ccOf(edges, localCap = 1 << 17)
+      assert(dist == local, s"seed=$seed")
+      assert(dist == unionFind(edges), s"seed=$seed")
+    }
+  }
+
+  test("endgame engages mid-contraction when rounds shrink a big graph under the cap") {
+    // Cap smaller than the input edge count but larger than the one-round
+    // contraction: the first stateCheck sees too many edges, iterates once,
+    // then finishes locally — exercising the round→endgame handoff.
+    val hub = (1L to 200L).map(i => (0L, i)) ++ (1L to 200L).map(i => (i, i + 200L))
+    val got = ccOf(hub, localCap = 250)
+    assert(got == unionFind(hub))
+  }
+
   test("two planted components never merge; labels are the minima") {
     val a = Seq((10L, 11L), (11L, 12L), (12L, 13L))
     val b = Seq((20L, 21L), (22L, 21L))
@@ -60,8 +85,10 @@ class GraphOpsSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("insufficient maxIter throws instead of returning a partial labeling") {
+    // localCap 0: the endgame would otherwise absorb any small fixture
+    // before maxIter could bite.
     val chain = (0L until 63L).map(i => (i, i + 1))
-    assertThrows[IllegalStateException](ccOf(chain, maxIter = 1))
+    assertThrows[IllegalStateException](ccOf(chain, maxIter = 1, localCap = 0))
   }
 
   test("non-integral node ids are rejected") {
