@@ -500,6 +500,30 @@ object PipelineQueries extends QueryDomain {
         .orderBy($"user_id")
     },
 
+    "q_zorder_scan" -> { (s, dir) =>
+      import s.implicits._
+      // Z-ORDER data layout ([[ScaleJoins.writeZOrdered]]): lineitem staged
+      // Morton-interleaved on (l_partkey, l_suppkey), then scanned with a
+      // box predicate on BOTH keys. The layout gives every staged file
+      // tight footer min/max on both columns at once, so the pushed range
+      // filters skip the files outside the box — single-column sorting can
+      // only do this for its own column (footers proven in ZOrderSpec; the
+      // z bit-interleave arithmetic is what this gate pins cross-engine).
+      val p = Staging.dir("zorder", dir, "lineitem")(path =>
+        ScaleJoins.writeZOrdered(
+          t(s, dir, "lineitem")
+            .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey"),
+          path, "l_partkey", "l_suppkey", bits = 15))
+      // Box bounds sit inside every SF's key domain (suppkey scales with
+      // SF; [2,19]×[100,1499] is non-empty from sf0.001 up).
+      s.read.parquet(p)
+        .filter($"l_partkey".between(100, 1499) && $"l_suppkey".between(2, 19))
+        .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey", $"z")
+        // the synthetic fixture's (orderkey, linenumber) is NOT unique, so
+        // the total order includes every column (ties = identical rows)
+        .orderBy($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey")
+    },
+
     "q_value_outliers" -> { (s, dir) =>
       import s.implicits._
       // Per-event-type z-score screen ([[StatOps.zscoreOutliers]]): the 3
@@ -1182,6 +1206,18 @@ object PipelineQueries extends QueryDomain {
         |    ORDER BY abs(z) DESC, event_id) AS rnk FROM z)
         |SELECT event_type, CAST(rnk AS INT) AS rnk, event_id, z FROM r
         |WHERE rnk <= 3 ORDER BY event_type, rnk""".stripMargin,
+
+    // The DuckDB twin recomputes the Morton interleave arithmetically from
+    // the base table — the layout is Spark-side staging, the z VALUES and
+    // the box-filtered row set are what cross-engine equality pins.
+    "q_zorder_scan" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |  CAST(list_sum(list_transform(range(0, 15), b ->
+        |    ((l_partkey >> b) & 1) * (CAST(1 AS BIGINT) << (2*b)) +
+        |    ((l_suppkey >> b) & 1) * (CAST(1 AS BIGINT) << (2*b + 1)))) AS BIGINT) AS z
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 100 AND 1499 AND l_suppkey BETWEEN 2 AND 19
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin,
 
     "q_partition_prune" ->
       """SELECT user_id, COUNT(*) AS n_purchases,
