@@ -335,6 +335,50 @@ object PipelineQueries extends QueryDomain {
         .orderBy($"doc_id", $"rnk")
     },
 
+    "q_vocab_build" -> { (s, dir) =>
+      import s.implicits._
+      // Tokenizer-vocabulary construction: the top-V corpus tokens by
+      // frequency get dense contiguous ids 0..V−1 (count desc, token asc —
+      // a total integer order, no float anywhere). Scale posture: one
+      // combiner-reduced token count, then TakeOrderedAndProject for the
+      // top-V (per-partition top-V + a V-sized driver merge — the full
+      // vocabulary is never globally sorted); only the V survivors meet the
+      // single-partition ranking window (bounded by contract, V = 1000).
+      val V = 1000
+      val counts = docs(s, dir)
+        .select(explode(TextOps.tokens($"text")).as("token"))
+        .filter(length($"token") > 0)
+        .groupBy($"token").agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"token".asc)
+        .limit(V)
+      counts.withColumn("token_id",
+          (row_number().over(Window.orderBy($"n".desc, $"token".asc)) - 1).cast("long"))
+        .select($"token_id", $"token", $"n")
+        .orderBy($"token_id")
+    },
+
+    "q_bigram_lm" -> { (s, dir) =>
+      import s.implicits._
+      // Count-based bigram LM slice: the full conditional distribution
+      // P(w2 | w1) for three context words, as EXACT integer numerator /
+      // denominator pairs (the transcendental-free convention — a float
+      // probability could never be hash-gated; n_bigram/n_context is the
+      // training artifact anyway). Contexts filter BEFORE the aggregate, so
+      // only selected rows shuffle. The (w1, w2) hash aggregate is the
+      // scale path: combiner-reduced, high-cardinality keys.
+      val ctx = Seq("the", "a", "of")
+      val bg = docs(s, dir)
+        .select(explode(CorpusOps.wordNgramsAll($"text", 2)).as("bg"))
+        .select(split($"bg", " ").as("p"))
+        .select($"p"(0).as("w1"), $"p"(1).as("w2"))
+        .filter($"w1".isin(ctx: _*))
+      val counts = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("n_bigram"))
+      val totals = counts.groupBy($"w1").agg(sum($"n_bigram").as("n_context"))
+      counts.join(totals, "w1")
+        .select($"w1", $"w2", $"n_bigram", $"n_context")
+        .orderBy($"w1", $"w2")
+    },
+
     "q_curation_funnel" -> { (s, dir) =>
       import s.implicits._
       // The END-TO-END curation pipeline as one query — what a user of this
@@ -1265,6 +1309,24 @@ object PipelineQueries extends QueryDomain {
         |  FROM tf JOIN df USING (token))
         |SELECT doc_id, CAST(rnk AS INT) AS rnk, token, tf, df
         |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+
+    "q_vocab_build" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |n AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM t
+        |  WHERE length(token) > 0 GROUP BY token)
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token) - 1 AS BIGINT) AS token_id,
+        |  token, n
+        |FROM n ORDER BY n DESC, token LIMIT 1000""".stripMargin,
+
+    "q_bigram_lm" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
+        |p AS (SELECT unnest(list_transform(range(1, len(w)), i -> [w[i], w[i+1]])) AS bg
+        |  FROM t WHERE len(w) >= 2),
+        |b AS (SELECT bg[1] AS w1, bg[2] AS w2 FROM p WHERE bg[1] IN ('the', 'a', 'of')),
+        |c AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_bigram FROM b GROUP BY w1, w2),
+        |tot AS (SELECT w1, CAST(sum(n_bigram) AS BIGINT) AS n_context FROM c GROUP BY w1)
+        |SELECT c.w1, c.w2, c.n_bigram, tot.n_context
+        |FROM c JOIN tot USING (w1) ORDER BY w1, w2""".stripMargin,
 
     // The funnel twin chains the SAME fragments the per-stage gates use:
     // q_dedup_exact's min-id window, q_quality_score's formula (identical

@@ -104,8 +104,8 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     val p = plan("q_decontaminate")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"overlap detection must stay an equi-join on window hashes:\n$p")
-    assert(p.contains("graft_char_shingles"),
-      s"shingling must be the compiled expression:\n$p")
+    assert(p.contains("graft_window_hashes"),
+      s"window hashing must be the fused compiled expression:\n$p")
   }
 
   test("q_rrf_fusion: both rankings broadcast the query side") {
@@ -171,6 +171,22 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     val p = plan("q_chunk_docs")
     assert(!p.contains("Exchange hashpartitioning"), s"chunking must not shuffle:\n$p")
     assert(p.contains("Generate"), s"expected an explode-based generate:\n$p")
+  }
+
+  test("q_vocab_build: top-V via TakeOrdered merge, never a full vocabulary sort") {
+    val p = plan("q_vocab_build")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-V must be per-partition top-k + driver merge:\n$p")
+    // the only Sort allowed is inside the V-row ranking window, not a
+    // global Exchange rangepartitioning over the whole vocabulary
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"full vocabulary must not be globally sorted:\n$p")
+  }
+
+  test("q_temperature_mix: stratum counts broadcast — the corpus side never shuffles") {
+    val p = plan("q_temperature_mix")
+    assert(p.contains("BroadcastHashJoin"), s"counts must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus must not shuffle for the join:\n$p")
   }
 
   test("whole-stage codegen covers the scalar pipelines") {
