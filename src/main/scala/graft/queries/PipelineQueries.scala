@@ -706,6 +706,46 @@ object PipelineQueries extends QueryDomain {
         .orderBy($"window_start", $"event_type")
     },
 
+    "q_stream_join" -> { (s, dir) =>
+      import s.implicits._
+      // STREAM-STREAM inner join with an event-time range under the gate —
+      // the attribution shape (each purchase matched to the same user's
+      // views in the preceding hour), the last major Structured Streaming
+      // capability class ([[graft.streaming.EventStreams.attributeTo]]
+      // would be overkill — the join IS the operator). Watermarks bound
+      // the two sides' STATE (a view older than the watermark minus the
+      // range can never match a future purchase and is evicted); inner-join
+      // EMISSION is immediate as both sides arrive, so the finite replay
+      // needs no sentinel protocol — the staged sentinels filter out by
+      // type. Timestamps join at microsecond resolution; `ts div 1000` is
+      // floor division of non-negative nanos, mirrored exactly by the
+      // oracle's `epoch_ns // 1000`, and the gated `lag_us` is an integer
+      // difference of those exact values.
+      val staged = Staging.streamSessionizeDir(s, dir, gapSec = 21600L)
+      val ss = Staging.streamSession(s)
+      val schema = ss.read.parquet(s"$dir/events.parquet").schema
+      def src = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", Staging.filesInDir(staged) - 1)
+        .parquet(staged)
+        .withColumn("tsm", timestamp_micros(expr("ts div 1000")))
+      val buys = src.filter($"event_type" === "purchase")
+        .select($"event_id".as("buy_id"), $"user_id", $"tsm".as("b_ts"),
+          expr("ts div 1000").as("b_us"))
+        .withWatermark("b_ts", "2 hours")
+      val views = src.filter($"event_type" === "view")
+        .select($"event_id".as("view_id"), $"user_id".as("v_user"),
+          $"tsm".as("v_ts"), expr("ts div 1000").as("v_us"))
+        .withWatermark("v_ts", "2 hours")
+      val sink = Staging.nextStreamSink(ss)
+      val q = buys.join(views,
+          $"user_id" === $"v_user" &&
+            $"v_ts" >= $"b_ts" - expr("INTERVAL 1 HOUR") && $"v_ts" <= $"b_ts")
+        .select($"buy_id", $"view_id", $"user_id", ($"b_us" - $"v_us").as("lag_us"))
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      ss.table(sink).orderBy($"buy_id", $"view_id")
+    },
+
     "q_stream_dedup" -> { (s, dir) =>
       import s.implicits._
       // Streaming exact dedup under the gate
@@ -1191,6 +1231,18 @@ object PipelineQueries extends QueryDomain {
       s"""SELECT doc_id, ${duckHash("text")} AS fp,
          |  CAST(length(text) AS BIGINT) AS n_chars_actual
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Batch twin of the stream-stream range join: same user-key equi-join,
+    // same microsecond floor arithmetic, same 1-hour window.
+    "q_stream_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |    epoch_ns(ts) // 1000 AS us FROM events)
+        |SELECT b.event_id AS buy_id, c.event_id AS view_id, b.user_id,
+        |  CAST(b.us - c.us AS BIGINT) AS lag_us
+        |FROM e b JOIN e c ON b.user_id = c.user_id
+        |WHERE b.event_type = 'purchase' AND c.event_type = 'view'
+        |  AND c.us BETWEEN b.us - 3600000000 AND b.us
+        |ORDER BY buy_id, view_id""".stripMargin,
 
     "q_stream_dedup" ->
       """SELECT event_id, user_id, event_type,
