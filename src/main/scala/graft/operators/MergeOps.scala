@@ -63,4 +63,37 @@ object MergeOps {
       .select(target.columns.map(col).toIndexedSeq: _*)
       .unionByName(untouched)
   }
+
+  /** Snapshot diff — the dataset-versioning primitive: classify every key of
+    * two versions of a keyed table as `added` (only in `v2`), `removed`
+    * (only in `v1`), `changed` (present in both, some non-key column
+    * differs) or `unchanged`. Non-key columns compare NULL-SAFELY (`<=>`),
+    * column by column — exact semantics, no hash-collision caveat.
+    *
+    * Scale posture: ONE full-outer equi-join on the key (both sides shuffle
+    * on the same hash partitioning, AQE-reusable); presence is detected by
+    * per-side literal markers, never by "all columns null" (which would
+    * misclassify a genuinely all-null row). No driver materialization.
+    *
+    * @return one row per key present in either version: the key columns
+    *         (coalesced) followed by `status` STRING
+    */
+  def snapshotDiff(v1: DataFrame, v2: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "snapshotDiff needs at least one key column")
+    require(v1.columns.toSet == v2.columns.toSet,
+      s"snapshot schemas differ: ${v1.columns.mkString(",")} vs ${v2.columns.mkString(",")}")
+    val nonKey = v1.columns.filterNot(keys.contains).toSeq
+    val a = v1.select(lit(1).as("graft_a") +: v1.columns.toSeq.map(c => col(c).as(s"a_$c")): _*)
+    val b = v2.select(lit(1).as("graft_b") +: v2.columns.toSeq.map(c => col(c).as(s"b_$c")): _*)
+    val cond = keys.map(k => col(s"a_$k") === col(s"b_$k")).reduce(_ && _)
+    val same = nonKey.map(c => col(s"a_$c") <=> col(s"b_$c"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    a.join(b, cond, "full_outer")
+      .withColumn("status",
+        when(col("graft_a").isNull, "added")
+          .when(col("graft_b").isNull, "removed")
+          .when(same, "unchanged")
+          .otherwise("changed"))
+      .select(keys.map(k => coalesce(col(s"a_$k"), col(s"b_$k")).as(k)) :+ col("status"): _*)
+  }
 }

@@ -544,6 +544,24 @@ object PipelineQueries extends QueryDomain {
         .orderBy($"user_id")
     },
 
+    "q_corpus_diff" -> { (s, dir) =>
+      import s.implicits._
+      // Dataset-versioning diff ([[MergeOps.snapshotDiff]]): two synthetic
+      // corpus snapshots — v2 drops every doc_id % 5 = 0, gains every
+      // doc_id % 7 = 0 that v1 lacked, and rewrites text for doc_id % 11 = 0
+      // — classified added/removed/changed/unchanged per key with null-safe
+      // column comparison. One full-outer key join; the modifications are
+      // deterministic string ops, so both engines build identical snapshots.
+      val d = docs(s, dir).select($"doc_id", $"text")
+      val v1 = d.filter(pmod($"doc_id", lit(7L)) =!= 0)
+      val v2 = d.filter(pmod($"doc_id", lit(5L)) =!= 0)
+        .withColumn("text",
+          when(pmod($"doc_id", lit(11L)) === 0, concat($"text", lit(" v2")))
+            .otherwise($"text"))
+      MergeOps.snapshotDiff(v1, v2, Seq("doc_id"))
+        .orderBy($"doc_id")
+    },
+
     "q_zorder_scan" -> { (s, dir) =>
       import s.implicits._
       // Z-ORDER data layout ([[ScaleJoins.writeZOrdered]]): lineitem staged
@@ -1302,6 +1320,19 @@ object PipelineQueries extends QueryDomain {
         |    ORDER BY abs(z) DESC, event_id) AS rnk FROM z)
         |SELECT event_type, CAST(rnk AS INT) AS rnk, event_id, z FROM r
         |WHERE rnk <= 3 ORDER BY event_type, rnk""".stripMargin,
+
+    "q_corpus_diff" ->
+      """WITH v1 AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0),
+        |v2 AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 5 <> 0)
+        |SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+        |  CASE WHEN a.doc_id IS NULL THEN 'added'
+        |       WHEN b.doc_id IS NULL THEN 'removed'
+        |       WHEN a.text IS NOT DISTINCT FROM b.text THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     // The DuckDB twin recomputes the Morton interleave arithmetically from
     // the base table — the layout is Spark-side staging, the z VALUES and

@@ -106,8 +106,11 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec {
     val keptTiny = CorpusOps.temperatureSample(tiny, $"lang", $"text", c = c)
       .select("doc_id").as[Long].collect().toSet
     assert(keptTiny === Set(900L, 901L), "n_s = 2 <= c² = 16 → kept whole")
-    // repeat run identical (no rand())
+    // repeat run identical (no rand()); partitioning-independent (the
+    // decision is pure row content + a global stratum count)
     assert(CorpusOps.temperatureSample(d, $"lang", $"text", c = c)
+      .select("doc_id").as[Long].collect().toSet === got)
+    assert(CorpusOps.temperatureSample(d.repartition(17), $"lang", $"text", c = c)
       .select("doc_id").as[Long].collect().toSet === got)
   }
 

@@ -61,4 +61,33 @@ class MergeOpsSpec extends AnyFunSuite with SparkSpec {
       Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
     assert(messages(ex).exists(_.contains("unknown op")))
   }
+
+  test("snapshotDiff: added/removed/changed/unchanged, null-safe columns") {
+    val v1 = Seq((1L, Some("a"), 10L), (2L, Some("b"), 20L), (3L, None, 30L),
+      (4L, Some("d"), 40L)).toDF("k", "t", "n")
+    val v2 = Seq((2L, Some("B"), 20L), (3L, None, 30L), (4L, Some("d"), 41L),
+      (5L, Some("e"), 50L)).toDF("k", "t", "n")
+    val got = MergeOps.snapshotDiff(v1, v2, Seq("k"))
+      .orderBy($"k").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq(
+      (1L, "removed"),
+      (2L, "changed"),       // t differs
+      (3L, "unchanged"),     // null t compares null-safely equal
+      (4L, "changed"),       // n differs
+      (5L, "added")))
+  }
+
+  test("snapshotDiff: an all-null non-key row is present, not phantom-removed") {
+    val v1 = Seq((1L, Option.empty[String])).toDF("k", "t")
+    val v2 = Seq((1L, Option.empty[String])).toDF("k", "t")
+    val got = MergeOps.snapshotDiff(v1, v2, Seq("k")).collect()
+    assert(got.length == 1 && got(0).getString(1) == "unchanged")
+  }
+
+  test("snapshotDiff rejects mismatched schemas and empty keys") {
+    val a = Seq((1L, "x")).toDF("k", "t")
+    assertThrows[IllegalArgumentException](
+      MergeOps.snapshotDiff(a, a.withColumnRenamed("t", "u"), Seq("k")))
+    assertThrows[IllegalArgumentException](MergeOps.snapshotDiff(a, a, Seq.empty))
+  }
 }
