@@ -482,4 +482,65 @@ object CorpusOps {
           slice(col("graft_toks"), (col("chunk_id") * step + 1).cast("int"),
             lit(chunkSize)), " ").as("chunk_text"))
   }
+
+  /** Tokenize the corpus against a learned vocabulary — the step between
+    * vocabulary construction (`q_vocab_build`) and sequence packing: each
+    * document's token stream becomes an id sequence; out-of-vocabulary
+    * tokens map to `oovId`. The per-token join result is reassembled IN
+    * DOCUMENT ORDER by sorting (pos, id) structs — order is carried as
+    * data, never assumed from partitioning (collect_list alone has no
+    * ordering contract).
+    *
+    * Output: (doc_id, n_tokens, ids ARRAY<BIGINT>).
+    *
+    * Scale posture: posexplode → one equi-join keyed on token (Catalyst
+    * broadcasts a bounded vocab; a 100 TB vocabulary shuffle-joins on the
+    * high-cardinality key) → one doc-keyed aggregate. No driver loop, no
+    * UDF; the sort inside `array_sort` is per-row over one document's
+    * tokens.
+    */
+  def tokenizeToIds(docs: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame, tokenCol: String = "token", tokenIdCol: String = "token_id",
+      oovId: Long = -1L): DataFrame = {
+    val ex = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "graft_tok")))
+    ex.join(vocab.select(col(tokenCol).as("graft_tok"), col(tokenIdCol).as("graft_id")),
+        Seq("graft_tok"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        array_sort(collect_list(struct(col("pos"), coalesce(col("graft_id"), lit(oovId))
+          .as("id")))).as("graft_ps"))
+      .select(col("doc_id"), col("n_tokens"),
+        transform(col("graft_ps"), p => p.getField("id")).as("ids"))
+  }
+
+  /** Length-bucketed batch assignment — the padding-efficiency prep for
+    * non-packed training/inference: documents are bucketed by token count
+    * (`bucket = n_tokens div bucketWidth`) and each bucket is cut into
+    * batches of `batchSize` in (n_tokens, doc_id) order, so a batch only
+    * ever pads to its own bucket's width. The assignment is a pure function
+    * of the corpus (deterministic order, no rand()), reproducible across
+    * runs, partitionings, and engines.
+    *
+    * Output: (doc_id, n_tokens, bucket, batch_idx, pad_to) — `pad_to` the
+    * bucket-max width a batch pads to, `batch_idx` per-bucket.
+    *
+    * Scale posture: one shuffle keyed on `bucket` for the within-bucket
+    * rank; buckets are the parallelism grain (width trades padding waste
+    * against key cardinality). No global sort, no driver loop.
+    */
+  def lengthBatches(docs: DataFrame, idCol: String, textCol: String,
+      bucketWidth: Int, batchSize: Int): DataFrame = {
+    require(bucketWidth >= 1 && batchSize >= 1)
+    val nt = size(TextOps.tokens(col(textCol))).cast("long")
+    val w = Window.partitionBy(col("bucket"))
+      .orderBy(col("n_tokens").asc, col("doc_id").asc)
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), nt.as("n_tokens"))
+      .withColumn("bucket", (col("n_tokens") / bucketWidth).cast("long"))
+      .withColumn("batch_idx",
+        ((row_number().over(w) - 1) / batchSize).cast("long"))
+      .withColumn("pad_to", (col("bucket") + 1) * bucketWidth - 1)
+  }
 }

@@ -379,6 +379,38 @@ object PipelineQueries extends QueryDomain {
         .orderBy($"w1", $"w2")
     },
 
+    "q_tokenize_ids" -> { (s, dir) =>
+      import s.implicits._
+      // Corpus tokenization against the learned vocabulary
+      // ([[CorpusOps.tokenizeToIds]]) — the step between q_vocab_build and
+      // sequence packing: every document becomes an id sequence, in exact
+      // document order (order carried as (pos, id) data through the
+      // aggregate, never assumed from partitioning). V = 16 so the OOV
+      // branch BITES at this fixture (rare tokens map to −1), not just the
+      // happy path. The ids ARRAY itself is under the hash gate.
+      val d = docs(s, dir)
+      val vocab = d.select(explode(TextOps.tokens($"text")).as("token"))
+        .filter(length($"token") > 0)
+        .groupBy($"token").agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"token".asc).limit(16)
+        .withColumn("token_id",
+          (row_number().over(Window.orderBy($"n".desc, $"token".asc)) - 1).cast("long"))
+      CorpusOps.tokenizeToIds(d, "doc_id", "text", vocab)
+        .orderBy($"doc_id")
+    },
+
+    "q_length_batches" -> { (s, dir) =>
+      import s.implicits._
+      // Length-bucketed batching ([[CorpusOps.lengthBatches]]): docs
+      // bucketed by token count (width 16), each bucket cut into batches of
+      // 8 in (n_tokens, doc_id) order — the padding-efficiency layout for
+      // non-packed training. Pure function of the corpus, so the whole
+      // assignment (bucket, batch_idx, pad_to) is hash-gateable.
+      CorpusOps.lengthBatches(docs(s, dir), "doc_id", "text",
+        bucketWidth = 16, batchSize = 8)
+        .orderBy($"doc_id")
+    },
+
     "q_curation_funnel" -> { (s, dir) =>
       import s.implicits._
       // The END-TO-END curation pipeline as one query — what a user of this
@@ -1400,6 +1432,35 @@ object PipelineQueries extends QueryDomain {
         |SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token) - 1 AS BIGINT) AS token_id,
         |  token, n
         |FROM n ORDER BY n DESC, token LIMIT 1000""".stripMargin,
+
+    // Parallel unnest + generate_subscripts zip in DuckDB's SELECT list;
+    // 1-based pos vs posexplode's 0-based only feeds the ORDER BY, so the
+    // assembled id lists agree element-for-element.
+    "q_tokenize_ids" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |n AS (SELECT token, count(*) AS n FROM tok
+        |  WHERE length(token) > 0 GROUP BY token),
+        |v AS (SELECT token,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token) - 1 AS BIGINT) AS token_id
+        |  FROM n ORDER BY n DESC, token LIMIT 16),
+        |e AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token,
+        |    generate_subscripts(string_split(text, ' '), 1) AS pos
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  list(CAST(COALESCE(v.token_id, -1) AS BIGINT) ORDER BY e.pos) AS ids
+        |FROM e LEFT JOIN v USING (token)
+        |GROUP BY e.doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_length_batches" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents WHERE text IS NOT NULL),
+        |b AS (SELECT doc_id, n_tokens, n_tokens // 16 AS bucket FROM t)
+        |SELECT doc_id, n_tokens, CAST(bucket AS BIGINT) AS bucket,
+        |  CAST((ROW_NUMBER() OVER (PARTITION BY bucket
+        |    ORDER BY n_tokens, doc_id) - 1) // 8 AS BIGINT) AS batch_idx,
+        |  CAST((bucket + 1) * 16 - 1 AS BIGINT) AS pad_to
+        |FROM b ORDER BY doc_id""".stripMargin,
 
     "q_bigram_lm" ->
       """WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),

@@ -382,4 +382,32 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("tokenizeToIds: document order preserved under repartition; OOV maps to oovId") {
+    val d = Seq((1L, "b a c a zz"), (2L, "zz zz"), (3L, "a")).toDF("doc_id", "text")
+    val vocab = Seq(("a", 0L), ("b", 1L), ("c", 2L)).toDF("token", "token_id")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      CorpusOps.tokenizeToIds(df, "doc_id", "text", vocab)
+        .orderBy($"doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2))).toSeq
+    val got = run(d)
+    assert(got == Seq(
+      (1L, 5L, Seq(1L, 0L, 2L, 0L, -1L)),  // exact stream order, zz -> -1
+      (2L, 2L, Seq(-1L, -1L)),
+      (3L, 1L, Seq(0L))))
+    assert(run(d.repartition(7)) == got, "order must come from data, not partitioning")
+  }
+
+  test("lengthBatches: bucket and batch boundaries are exact") {
+    // 10 docs of 1 token and 3 of 20 tokens; width 16, batch 4:
+    // bucket 0 holds the ten 1-token docs -> batches 0,0,0,0,1,1,1,1,2,2
+    // (ordered by (n_tokens, doc_id)); bucket 1 holds the three 20-token docs.
+    val d = ((1L to 10L).map(i => (i, "t")) ++
+      (11L to 13L).map(i => (i, Seq.fill(20)("w").mkString(" ")))).toDF("doc_id", "text")
+    val got = CorpusOps.lengthBatches(d, "doc_id", "text", bucketWidth = 16, batchSize = 4)
+      .orderBy($"doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got.take(10) == (1L to 10L).map(i => (i, 0L, (i - 1) / 4, 15L)))
+    assert(got.drop(10) == (11L to 13L).map(i => (i, 1L, 0L, 31L)))
+  }
 }
