@@ -387,7 +387,11 @@ object PipelineQueries extends QueryDomain {
       // document order (order carried as (pos, id) data through the
       // aggregate, never assumed from partitioning). V = 16 so the OOV
       // branch BITES at this fixture (rare tokens map to −1), not just the
-      // happy path. The ids ARRAY itself is under the hash gate.
+      // happy path. The gate re-explodes the assembled ids ARRAY to scalar
+      // (pos, token_id) rows — the assembly is fully exercised (a wrong
+      // order or element surfaces as a position mismatch) while the
+      // driver's value comparator only ever sees scalars, the convention
+      // of every other gate.
       val d = docs(s, dir)
       val vocab = d.select(explode(TextOps.tokens($"text")).as("token"))
         .filter(length($"token") > 0)
@@ -396,7 +400,8 @@ object PipelineQueries extends QueryDomain {
         .withColumn("token_id",
           (row_number().over(Window.orderBy($"n".desc, $"token".asc)) - 1).cast("long"))
       CorpusOps.tokenizeToIds(d, "doc_id", "text", vocab)
-        .orderBy($"doc_id")
+        .select($"doc_id", $"n_tokens", posexplode($"ids").as(Seq("pos", "token_id")))
+        .orderBy($"doc_id", $"pos")
     },
 
     "q_length_batches" -> { (s, dir) =>
@@ -1434,8 +1439,7 @@ object PipelineQueries extends QueryDomain {
         |FROM n ORDER BY n DESC, token LIMIT 1000""".stripMargin,
 
     // Parallel unnest + generate_subscripts zip in DuckDB's SELECT list;
-    // 1-based pos vs posexplode's 0-based only feeds the ORDER BY, so the
-    // assembled id lists agree element-for-element.
+    // DuckDB's 1-based subscripts shift to posexplode's 0-based pos.
     "q_tokenize_ids" ->
       """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
         |n AS (SELECT token, count(*) AS n FROM tok
@@ -1446,10 +1450,12 @@ object PipelineQueries extends QueryDomain {
         |e AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token,
         |    generate_subscripts(string_split(text, ' '), 1) AS pos
         |  FROM documents WHERE text IS NOT NULL)
-        |SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-        |  list(CAST(COALESCE(v.token_id, -1) AS BIGINT) ORDER BY e.pos) AS ids
+        |SELECT e.doc_id,
+        |  CAST(count(*) OVER (PARTITION BY e.doc_id) AS BIGINT) AS n_tokens,
+        |  CAST(e.pos - 1 AS INT) AS pos,
+        |  CAST(COALESCE(v.token_id, -1) AS BIGINT) AS token_id
         |FROM e LEFT JOIN v USING (token)
-        |GROUP BY e.doc_id ORDER BY doc_id""".stripMargin,
+        |ORDER BY doc_id, pos""".stripMargin,
 
     "q_length_batches" ->
       """WITH t AS (SELECT doc_id,
