@@ -517,28 +517,36 @@ object CorpusOps {
 
   /** Length-bucketed batch assignment — the padding-efficiency prep for
     * non-packed training/inference: documents are bucketed by token count
-    * (`bucket = n_tokens div bucketWidth`) and each bucket is cut into
-    * batches of `batchSize` in (n_tokens, doc_id) order, so a batch only
-    * ever pads to its own bucket's width. The assignment is a pure function
-    * of the corpus (deterministic order, no rand()), reproducible across
-    * runs, partitionings, and engines.
+    * (`bucket = n_tokens div bucketWidth`) and each (bucket, stream) is cut
+    * into batches of `batchSize` in (n_tokens, doc_id) order, so a batch
+    * only ever pads to its own bucket's width. The assignment is a pure
+    * function of the corpus (deterministic order, no rand()), reproducible
+    * across runs, partitionings, and engines.
     *
-    * Output: (doc_id, n_tokens, bucket, batch_idx, pad_to) — `pad_to` the
-    * bucket-max width a batch pads to, `batch_idx` per-bucket.
+    * Output: (doc_id, n_tokens, bucket, stream, batch_idx, pad_to) —
+    * `pad_to` the bucket-max width a batch pads to, `batch_idx` per
+    * (bucket, stream).
     *
-    * Scale posture: one shuffle keyed on `bucket` for the within-bucket
-    * rank; buckets are the parallelism grain (width trades padding waste
-    * against key cardinality). No global sort, no driver loop.
+    * Scale posture: one shuffle keyed on (bucket, stream) for the ranking
+    * window. Bucket count alone is SMALL (tens), so ranking per bucket
+    * would serialize a 100 TB corpus through a handful of partitions — the
+    * same global-cumsum trap [[packSequences]] documents. `nStreams` is the
+    * same knob: documents deal round-robin into `doc_id % nStreams`
+    * independent streams per bucket and batches form within a stream (a
+    * batch never mixes streams — batching is a partitioning choice, not an
+    * ordering contract). Set it ≳ cluster cores at scale; 1 keeps the
+    * single-stream layout.
     */
   def lengthBatches(docs: DataFrame, idCol: String, textCol: String,
-      bucketWidth: Int, batchSize: Int): DataFrame = {
-    require(bucketWidth >= 1 && batchSize >= 1)
+      bucketWidth: Int, batchSize: Int, nStreams: Int = 1): DataFrame = {
+    require(bucketWidth >= 1 && batchSize >= 1 && nStreams >= 1)
     val nt = size(TextOps.tokens(col(textCol))).cast("long")
-    val w = Window.partitionBy(col("bucket"))
+    val w = Window.partitionBy(col("bucket"), col("stream"))
       .orderBy(col("n_tokens").asc, col("doc_id").asc)
     docs.filter(col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"), nt.as("n_tokens"))
       .withColumn("bucket", (col("n_tokens") / bucketWidth).cast("long"))
+      .withColumn("stream", pmod(col("doc_id"), lit(nStreams.toLong)))
       .withColumn("batch_idx",
         ((row_number().over(w) - 1) / batchSize).cast("long"))
       .withColumn("pad_to", (col("bucket") + 1) * bucketWidth - 1)

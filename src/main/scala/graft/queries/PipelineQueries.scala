@@ -407,12 +407,13 @@ object PipelineQueries extends QueryDomain {
     "q_length_batches" -> { (s, dir) =>
       import s.implicits._
       // Length-bucketed batching ([[CorpusOps.lengthBatches]]): docs
-      // bucketed by token count (width 16), each bucket cut into batches of
-      // 8 in (n_tokens, doc_id) order — the padding-efficiency layout for
-      // non-packed training. Pure function of the corpus, so the whole
-      // assignment (bucket, batch_idx, pad_to) is hash-gateable.
+      // bucketed by token count (width 16), dealt into 4 streams per
+      // bucket (the hot-bucket scale-out knob), each (bucket, stream) cut
+      // into batches of 8 in (n_tokens, doc_id) order — the
+      // padding-efficiency layout for non-packed training. Pure function
+      // of the corpus, so the whole assignment is hash-gateable.
       CorpusOps.lengthBatches(docs(s, dir), "doc_id", "text",
-        bucketWidth = 16, batchSize = 8)
+        bucketWidth = 16, batchSize = 8, nStreams = 4)
         .orderBy($"doc_id")
     },
 
@@ -1461,9 +1462,11 @@ object PipelineQueries extends QueryDomain {
       """WITH t AS (SELECT doc_id,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
         |  FROM documents WHERE text IS NOT NULL),
-        |b AS (SELECT doc_id, n_tokens, n_tokens // 16 AS bucket FROM t)
+        |b AS (SELECT doc_id, n_tokens, n_tokens // 16 AS bucket,
+        |    doc_id % 4 AS stream FROM t)
         |SELECT doc_id, n_tokens, CAST(bucket AS BIGINT) AS bucket,
-        |  CAST((ROW_NUMBER() OVER (PARTITION BY bucket
+        |  CAST(stream AS BIGINT) AS stream,
+        |  CAST((ROW_NUMBER() OVER (PARTITION BY bucket, stream
         |    ORDER BY n_tokens, doc_id) - 1) // 8 AS BIGINT) AS batch_idx,
         |  CAST((bucket + 1) * 16 - 1 AS BIGINT) AS pad_to
         |FROM b ORDER BY doc_id""".stripMargin,

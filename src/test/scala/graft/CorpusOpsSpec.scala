@@ -406,8 +406,16 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec {
       (11L to 13L).map(i => (i, Seq.fill(20)("w").mkString(" ")))).toDF("doc_id", "text")
     val got = CorpusOps.lengthBatches(d, "doc_id", "text", bucketWidth = 16, batchSize = 4)
       .orderBy($"doc_id")
-      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(4), r.getLong(5))).toSeq
     assert(got.take(10) == (1L to 10L).map(i => (i, 0L, (i - 1) / 4, 15L)))
     assert(got.drop(10) == (11L to 13L).map(i => (i, 1L, 0L, 31L)))
+    // nStreams deals a bucket across independent streams: same docs, but
+    // ranks (and so batches) form per (bucket, stream) — here each of the
+    // ten 1-token docs lands in stream doc_id % 5, so batch_idx stays 0.
+    val streamed = CorpusOps.lengthBatches(d, "doc_id", "text",
+        bucketWidth = 16, batchSize = 4, nStreams = 5)
+      .orderBy($"doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4))).toSeq
+    assert(streamed.take(10) == (1L to 10L).map(i => (i, i % 5, 0L)))
   }
 }
