@@ -762,6 +762,51 @@ object PipelineQueries extends QueryDomain {
         .orderBy($"window_start", $"event_type")
     },
 
+    "q_hopping_windows" -> { (s, dir) =>
+      import s.implicits._
+      // HOPPING (sliding) windows — 1-hour windows advancing every 30
+      // minutes, so each event lands in exactly two epoch-aligned windows
+      // (Spark's multi-window explode under `window(ts, dur, slide)`). The
+      // oracle replicates the assignment arithmetically: wstart =
+      // (sec div 1800 − o)·1800 for o ∈ {0,1}. Same decimal-sum convention
+      // as q_event_windows.
+      t(s, dir, "events")
+        .withColumn("tsm", timestamp_seconds(expr("ts div 1000000000")))
+        .groupBy(window($"tsm", "1 hour", "30 minutes").as("w"), $"event_type")
+        .agg(count(lit(1)).as("n_events"), dsum($"value").as("total_value"))
+        .select(unix_timestamp($"w.start").as("window_start"), $"event_type",
+          $"n_events", $"total_value")
+        .orderBy($"window_start", $"event_type")
+    },
+
+    "q_stream_enrich" -> { (s, dir) =>
+      import s.implicits._
+      // STREAM-STATIC enrichment — the dimension-join class of Structured
+      // Streaming (no watermark needed: the static side is bounded and the
+      // join is stateless per micro-batch): streamed purchases enriched
+      // with each user's corpus-wide event count and first-seen second,
+      // both computed batch-side. Gate = the batch twin of the same join.
+      val staged = Staging.streamSessionizeDir(s, dir, gapSec = 21600L)
+      val ss = Staging.streamSession(s)
+      val schema = ss.read.parquet(s"$dir/events.parquet").schema
+      val profile = ss.read.parquet(s"$dir/events.parquet")
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_user_events"),
+          min(expr("ts div 1000000000")).as("first_seen_sec"))
+      val stream = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", Staging.filesInDir(staged) - 1)
+        .parquet(staged)
+        .filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", expr("ts div 1000000000").as("sec"), $"value")
+      val sink = Staging.nextStreamSink(ss)
+      val q = stream.join(profile, Seq("user_id"))
+        .select($"event_id", $"user_id", $"n_user_events",
+          ($"sec" - $"first_seen_sec").as("user_age_sec"))
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      ss.table(sink).orderBy($"event_id")
+    },
+
     "q_stream_join" -> { (s, dir) =>
       import s.implicits._
       // STREAM-STREAM inner join with an event-time range under the gate —
@@ -1287,6 +1332,28 @@ object PipelineQueries extends QueryDomain {
       s"""SELECT doc_id, ${duckHash("text")} AS fp,
          |  CAST(length(text) AS BIGINT) AS n_chars_actual
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_hopping_windows" ->
+      """WITH e AS (SELECT event_type,
+        |    epoch_ns(ts) // 1000000000 AS sec,
+        |    CAST(value AS DECIMAL(18,4)) AS v FROM events),
+        |w AS (SELECT event_type, v,
+        |    (sec // 1800 - o) * 1800 AS window_start
+        |  FROM e, (VALUES (0), (1)) AS t(o))
+        |SELECT CAST(window_start AS BIGINT) AS window_start, event_type,
+        |  count(*) AS n_events, CAST(sum(v) AS DOUBLE) AS total_value
+        |FROM w GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+    // Batch twin of the stream-static enrichment join.
+    "q_stream_enrich" ->
+      """WITH p AS (SELECT user_id, count(*) AS n_user_events,
+        |    min(epoch_ns(ts) // 1000000000) AS first_seen_sec
+        |  FROM events GROUP BY user_id)
+        |SELECT e.event_id, e.user_id, CAST(p.n_user_events AS BIGINT) AS n_user_events,
+        |  CAST(epoch_ns(e.ts) // 1000000000 - p.first_seen_sec AS BIGINT) AS user_age_sec
+        |FROM events e JOIN p USING (user_id)
+        |WHERE e.event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin,
 
     // Batch twin of the stream-stream range join: same user-key equi-join,
     // same microsecond floor arithmetic, same 1-hour window.
