@@ -45,35 +45,22 @@ object SimHash {
 
   def simhash(text: Column, bits: Int = 32): Column = simhashOf(tokenHashes(text), bits)
 
-  /** DataFrame-level signature computation for bulk use: explode the token
-    * hashes and take `bits` codegen'd SUM aggregates (bit b of the signature
-    * is set iff more tokens have bit b set than clear — identical semantics
-    * to [[simhashOf]]'s ±1 vote). Higher-order-function lambdas are
-    * interpreted row-at-a-time in Spark, which makes [[simhashOf]] fine for
-    * a handful of bits but ~10× slower at 60; hash-aggregate SUMs stay
-    * inside whole-stage codegen and combine map-side, so this shape is also
-    * the 100 TB posture (shuffle carries one partial row per doc, not
-    * tokens).
+  /** DataFrame-level signature computation for bulk use: ONE compiled
+    * per-row fold ([[graft.functions.SimHashSig]]) — zero shuffle, fully
+    * parallel (the historical shapes both paid something: the interpreted
+    * [[simhashOf]] HOF ran one interpreted lambda per BIT per row; the
+    * explode → 60-SUM hash aggregate it replaced kept codegen but shuffled
+    * 60-column partial state per document). Identical semantics to
+    * [[simhashOf]]'s ±1 physical-bit vote, pinned in SimHashSpec (negative
+    * hashes, null/empty → all-zero signature).
     */
-  def signatures(docs: DataFrame, idCol: String, th: Column, bits: Int): DataFrame = {
-    val ex = docs.select(col(idCol).as("doc_id"), explode(th).as("h"))
-    // `& 1`, matching simhashOf's vote — `% 2` would add −1 per negative
-    // hash with bit b set, corrupting the set-bit count.
-    val sums = (0 until bits).map(b => sum(shiftright(col("h"), b).bitwiseAND(1)).as(s"s_$b"))
-    val agg = ex.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n"), sums: _*)
-      .select(col("doc_id"),
-        (0 until bits).map(b =>
-          when(col(s"s_$b") * 2 > col("n"), lit(1L << b)).otherwise(lit(0L)))
-          .reduce(_ + _).as("sig"))
-    // explode drops rows whose th is null/empty; re-attach them so the
-    // contract matches simhashOf exactly: both null and empty arrays yield
-    // the all-zero signature (every vote is the seed 0, and `when(null > 0)`
-    // falls through to the zero branch) — proven in SimHashSpec.
-    docs.select(col(idCol).as("doc_id"))
-      .join(agg, Seq("doc_id"), "left_outer")
-      .select(col("doc_id"), coalesce(col("sig"), lit(0L)).as("sig"))
-  }
+  def signatures(docs: DataFrame, idCol: String, th: Column, bits: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      coalesce(
+        org.apache.spark.sql.graft.bridge.column(
+          graft.functions.SimHashSig(
+            org.apache.spark.sql.graft.bridge.expression(th), bits)),
+        lit(0L)).as("sig"))
 
   /** Band key for bucketed near-dup candidate generation: `bandBits`-wide
     * slice `band` of the signature. Two docs agreeing on any band become a
