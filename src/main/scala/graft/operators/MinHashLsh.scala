@@ -45,8 +45,30 @@ object MinHashLsh {
 
   /** MinHash signatures, one row per doc: (doc_id, s_0 … s_{numHashes-1}).
     * Input: (doc_id, sh: ARRAY<STRING>) with non-empty shingle arrays.
+    *
+    * ONE compiled per-row fold ([[graft.functions.MinHashSig]]): shingle
+    * hashing and all `numHashes` permutation minima in a single pass —
+    * zero shuffle (the explode → k-MIN hash aggregate it replaces, kept as
+    * [[signaturesAgg]] for the equivalence spec, shuffled k-column partial
+    * state per document). The banded join is now the pipeline's only
+    * exchange.
     */
   def signatures(shingled: DataFrame, numHashes: Int): DataFrame = {
+    val sv = org.apache.spark.sql.graft.bridge.column(
+      graft.functions.MinHashSig(
+        org.apache.spark.sql.graft.bridge.expression(col("sh")), numHashes))
+    shingled.select(col("doc_id"), sv.as("graft_sv"))
+      .filter(col("graft_sv").isNotNull)
+      .select(col("doc_id") +:
+        (0 until numHashes).map(k => col("graft_sv")(k).as(s"s_$k")): _*)
+  }
+
+  /** Reference formulation of [[signatures]] as the explode → k-MIN hash
+    * aggregate — kept as the executable spec the compiled fold must stay
+    * row-identical to (MinHashLshSpec), and the shape the DuckDB oracle
+    * mirrors.
+    */
+  def signaturesAgg(shingled: DataFrame, numHashes: Int): DataFrame = {
     val hashes = shingled
       .select(col("doc_id"), explode(col("sh")).as("shingle"))
       .select(col("doc_id"), TextOps.polyHash(col("shingle")).as("h"))

@@ -26,6 +26,24 @@ class MinHashLshSpec extends AnyFunSuite with SparkSpec {
     assert(lsh.nonEmpty) // the fixture plants near-duplicates
   }
 
+  test("compiled signatures ≡ the explode/min-aggregate formulation; empty → absent") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet").limit(120)
+    val shingled = docs.select($"doc_id",
+        graft.operators.TextOps.wordShingles($"text").as("sh"))
+      .filter(size($"sh") > 0)
+    val fast = MinHashLsh.signatures(shingled, 16)
+      .orderBy($"doc_id").collect().toSeq.map(_.toSeq)
+    val slow = MinHashLsh.signaturesAgg(shingled, 16)
+      .orderBy($"doc_id").collect().toSeq.map(_.toSeq)
+    assert(fast == slow && fast.nonEmpty)
+    // degenerate inputs produce no signature row in either formulation
+    // (explode drops them; the compiled fold yields null, filtered out)
+    val degenerate = Seq((1L, Seq.empty[String]), (2L, Seq("a b c")))
+      .toDF("doc_id", "sh")
+    assert(MinHashLsh.signatures(degenerate, 4)
+      .select("doc_id").as[Long].collect().toSeq == Seq(2L))
+  }
+
   test("signatures are stable under repartitioning") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet").limit(50)
     def sig(df: org.apache.spark.sql.DataFrame) = {
