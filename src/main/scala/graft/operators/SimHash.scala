@@ -45,6 +45,18 @@ object SimHash {
 
   def simhash(text: Column, bits: Int = 32): Column = simhashOf(tokenHashes(text), bits)
 
+  /** Compiled form of [[simhashOf]] — one per-row fold
+    * ([[graft.functions.SimHashSig]]) instead of `bits` interpreted HOF
+    * lambdas; same physical-bit vote, null/empty → 0 (the [[signatures]]
+    * contract; equivalence pinned in SimHashSpec).
+    */
+  def simhashFast(th: Column, bits: Int): Column =
+    coalesce(
+      org.apache.spark.sql.graft.bridge.column(
+        graft.functions.SimHashSig(
+          org.apache.spark.sql.graft.bridge.expression(th), bits)),
+      lit(0L))
+
   /** DataFrame-level signature computation for bulk use: ONE compiled
     * per-row fold ([[graft.functions.SimHashSig]]) — zero shuffle, fully
     * parallel (the historical shapes both paid something: the interpreted

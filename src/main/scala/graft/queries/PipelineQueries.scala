@@ -77,7 +77,7 @@ object PipelineQueries extends QueryDomain {
       import s.implicits._
       val d = docs(s, dir)
         .select($"doc_id", SimHash.tokenHashes($"text").as("th"))
-      d.select($"doc_id", SimHash.simhashOf($"th", 32).as("simhash32"),
+      d.select($"doc_id", SimHash.simhashFast($"th", 32).as("simhash32"),
         size($"th").cast("long").as("n_tokens"))
         .orderBy($"doc_id")
     },

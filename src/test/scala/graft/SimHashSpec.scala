@@ -8,11 +8,21 @@ class SimHashSpec extends AnyFunSuite with SparkSpec {
 
   private def docs = spark.read.parquet(s"$sf0001/documents.parquet").limit(150)
 
-  test("signatures (codegen explode-agg) ≡ simhashOf (HOF) — same votes, same bits") {
+  test("signatures (compiled fold) ≡ simhashOf (HOF) — same votes, same bits") {
     val th = transform(TextOps.tokens(col("text")), TextOps.wideHash(_))
     val fast = SimHash.signatures(docs, "doc_id", th, 60)
     val slow = docs.select(col("doc_id"), SimHash.simhashOf(th, 60).as("sig"))
     assert(fast.exceptAll(slow).isEmpty && slow.exceptAll(fast).isEmpty)
+  }
+
+  test("simhashFast ≡ simhashOf column-for-column (incl. 32-bit width)") {
+    val th = transform(TextOps.tokens(col("text")), TextOps.wideHash(_))
+    for (bits <- Seq(32, 60)) {
+      val both = docs.select(
+        SimHash.simhashFast(th, bits).as("fast"),
+        SimHash.simhashOf(th, bits).as("hof"))
+      assert(both.filter(col("fast") =!= col("hof")).isEmpty, s"bits=$bits")
+    }
   }
 
   test("nearDupPairs ≡ brute-force all-pairs at maxHamming <= bands-1 (pigeonhole)") {
