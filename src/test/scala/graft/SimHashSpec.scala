@@ -74,6 +74,25 @@ class SimHashSpec extends AnyFunSuite with SparkSpec {
     assert(fast(1L) == 0xffL, "two all-ones hashes outvote one small positive in all 8 bits")
   }
 
+  test("random hash arrays (negatives, MinValue, empties): compiled fold ≡ HOF") {
+    val rnd = new scala.util.Random(97)
+    val specials = Seq(Long.MinValue, Long.MaxValue, -1L, 0L, 1L)
+    val rows = Seq.tabulate(80) { i =>
+      val len = rnd.nextInt(12)
+      (i.toLong, Seq.fill(len)(
+        if (rnd.nextInt(4) == 0) specials(rnd.nextInt(specials.length))
+        else rnd.nextLong()))
+    }
+    import spark.implicits._
+    val df = rows.toDF("doc_id", "th")
+    for (bits <- Seq(8, 60)) {
+      val fast = SimHash.signatures(df, "doc_id", col("th"), bits)
+      val slow = df.select(col("doc_id"),
+        coalesce(SimHash.simhashOf(col("th"), bits), lit(0L)).as("sig"))
+      assert(fast.exceptAll(slow).isEmpty && slow.exceptAll(fast).isEmpty, s"bits=$bits")
+    }
+  }
+
   test("wideHash fills 60 bits (no dead bands)") {
     // OR of many token hashes must set bits in every 15-bit band — a dead
     // band would candidate-match every doc against every other.

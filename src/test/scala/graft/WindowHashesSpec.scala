@@ -47,6 +47,28 @@ class WindowHashesSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("random unicode strings: rolling recurrence ≡ per-window left fold") {
+    // The rolling update ((h − c_out·pow)·base + c_in mod p) is the riskiest
+    // arithmetic in the expression — drive it over seeded random strings
+    // mixing ASCII, 2-byte, 3-byte, and supplementary codepoints.
+    val rnd = new scala.util.Random(41)
+    val alphabet = ("ab XY9.-" + "éßñ" + "日本語中" + "😀🚀").toCharArray
+      .mkString.codePoints().toArray
+    val strs = Seq.fill(60) {
+      val len = rnd.nextInt(40)
+      new String((0 until len).flatMap(_ =>
+        Character.toChars(alphabet(rnd.nextInt(alphabet.length)))).toArray)
+    }
+    for (n <- Seq(2, 3, 7)) {
+      val rows = strs.toDF("t").filter(length($"t") >= n)
+        .select(
+          TextOps.windowHashes($"t", n).as("compiled"),
+          transform(TextOps.charShingles($"t", n), w => TextOps.wideHash(w)).as("hof"))
+        .collect()
+      rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"n=$n"))
+    }
+  }
+
   test("interpreted eval agrees with the plan path") {
     for (t <- texts; n <- Seq(2, 3)) {
       val interp = WindowHashesImpl.hashes(UTF8String.fromString(t), n)
