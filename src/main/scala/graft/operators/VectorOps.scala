@@ -519,4 +519,84 @@ object VectorOps {
       norm2(col(vecCol)).as("qnn"))
     probeRank(q, index.centroids, index.members, k, nProbe, saltBuckets)
   }
+
+  /** Contiguous subvector `s` of `m` equal splits of a `dim`-wide vector
+    * (doubles). `slice` is 1-based; width is a plan-time constant. */
+  private def subvec(vec: Column, s: Int, m: Int, dim: Int): Column =
+    slice(asDouble(vec), s * (dim / m) + 1, dim / m)
+
+  /** Product-quantization ENCODE: each vector splits into `m` contiguous
+    * subvectors and each subvector is assigned its nearest codeword by
+    * EXACT squared-L2 (the standard PQ reconstruction objective even when
+    * search is inner-product), ties to the smaller codeword id. The
+    * codebooks relation is `(sub INT, cid LONG, cvec ARRAY)` — `dim/m`-wide
+    * codewords per subspace, typically a handful of rows; it is broadcast,
+    * so encoding is one explode + a combiner-reduced `min(struct)` argmin:
+    * zero data-side shuffle beyond the (id, sub)-keyed aggregate, i.e. the
+    * 100 TB posture is "codes are m LONGs per vector, computed map-side".
+    *
+    * Determinism: the L2 is a strict left fold of exact squared diffs; the
+    * argmin is `min` over `struct(l2, cid)` — total because cid is unique
+    * within a subspace.
+    *
+    * @return (id, sub, code)
+    */
+  def pqEncode(data: DataFrame, idCol: String, vecCol: String,
+      codebooks: DataFrame, m: Int, dim: Int): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"dim=$dim must split into m=$m equal subspaces")
+    val subs = (0 until m).map(s =>
+      struct(lit(s).as("sub"), subvec(col(vecCol), s, m, dim).as("subvec")))
+    val ex = data.select(col(idCol).as("id"), explode(array(subs: _*)).as("sv"))
+      .select(col("id"), col("sv.sub").as("sub"), col("sv.subvec").as("subvec"))
+    val l2 = foldSum(zip_with(col("subvec"), asDouble(col("cvec")),
+      (x, y) => (x - y) * (x - y)))
+    ex.join(broadcast(codebooks), Seq("sub"))
+      .groupBy(col("id"), col("sub"))
+      .agg(min(struct(l2.as("l2"), col("cid").as("cid"))).as("best"))
+      .select(col("id"), col("sub"), col("best.cid").as("code"))
+  }
+
+  /** MIPS-PQ SEARCH with an asymmetric-distance (ADC) lookup table:
+    * `score(q, x) ≈ Σ_s q_s · codeword(code_s(x))`. The LUT holds one exact
+    * strict-fold dot per (query, sub, codeword) — O(|queries|·m·K) work
+    * computed once and broadcast — and every encoded vector then scores by
+    * LOOKUP, never touching its original floats: the compression story
+    * (m LONGs per vector) and the query-time story (table reads instead of
+    * dim-wide arithmetic) in one plan. Against [[topK]]'s exact ranking
+    * this trades recall for that compression — spec'd in VectorOpsSpec,
+    * not assumed.
+    *
+    * Determinism: each LUT entry is a strict fold; the per-pair score sums
+    * its m terms through a sorted fold (the [[rrfFuse]] convention — bare
+    * SUM over doubles is order-dependent for m > 2); ranking ties break on
+    * neighbor id.
+    *
+    * @param codes [[pqEncode]] output for the corpus
+    * @return (query_id, rank INT, neighbor_id, adc DOUBLE)
+    */
+  def pqSearch(codes: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String,
+      codebooks: DataFrame, m: Int, dim: Int, k: Int): DataFrame = {
+    require(m >= 1 && dim % m == 0 && k >= 1)
+    val qsubs = (0 until m).map(s =>
+      struct(lit(s).as("sub"), subvec(col(vecCol), s, m, dim).as("qsub")))
+    val lut = queries
+      .select(col(idCol).as("query_id"), explode(array(qsubs: _*)).as("sv"))
+      .select(col("query_id"), col("sv.sub").as("sub"), col("sv.qsub").as("qsub"))
+      .join(codebooks, Seq("sub"))
+      .select(col("query_id"), col("sub"), col("cid").as("code"),
+        dot(col("qsub"), col("cvec")).as("part"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("neighbor_id").asc)
+    codes.join(broadcast(lut), Seq("sub", "code"))
+      .filter(col("id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("id").as("neighbor_id"))
+      .agg(aggregate(sort_array(collect_list(col("part"))), lit(0.0), (a, x) => a + x)
+        .as("adc"), count(lit(1)).as("graft_nsub"))
+      .filter(col("graft_nsub") === m) // every subspace matched its LUT row
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("neighbor_id"), col("adc"))
+  }
 }

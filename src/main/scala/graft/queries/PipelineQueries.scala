@@ -968,6 +968,30 @@ object PipelineQueries extends QueryDomain {
         .orderBy($"query_id", $"rnk")
     },
 
+    "q_pq_topk" -> { (s, dir) =>
+      import s.implicits._
+      // Product-quantization MIPS top-k ([[VectorOps.pqEncode]] +
+      // [[VectorOps.pqSearch]]): 64-dim vectors compress to TWO codeword
+      // ids (m=2 subspaces, 8 fixed codewords each — the vec_id < 8 halves,
+      // deterministic like q_ann_ivf's fixed centroid set) and queries
+      // score candidates through a broadcast ADC lookup table — the
+      // third leg of the ANN family next to IVF and SQ8. Encode argmin,
+      // LUT dots, and the per-pair sorted 2-term fold are all
+      // deterministic float ops shared exactly with the DuckDB twin.
+      val e = t(s, dir, "embeddings")
+      val cbs = e.filter($"vec_id" < 8).select(explode(array(
+          struct(lit(0).as("sub"), $"vec_id".as("cid"),
+            slice($"embedding", 1, 32).as("cvec")),
+          struct(lit(1).as("sub"), $"vec_id".as("cid"),
+            slice($"embedding", 33, 32).as("cvec")))).as("cb"))
+        .select($"cb.sub".as("sub"), $"cb.cid".as("cid"), $"cb.cvec".as("cvec"))
+      val codes = VectorOps.pqEncode(e, "vec_id", "embedding", cbs, m = 2, dim = 64)
+      VectorOps.pqSearch(codes, e.filter($"vec_id".between(100, 109)),
+          "vec_id", "embedding", cbs, m = 2, dim = 64, k = 5)
+        .select($"query_id", $"rank".as("rnk"), $"neighbor_id", $"adc")
+        .orderBy($"query_id", $"rnk")
+    },
+
     "q_embed_centroid" -> { (s, dir) =>
       import s.implicits._
       // Per-label mean pooling ([[VectorOps.groupCentroids]]): class
@@ -1757,6 +1781,40 @@ object PipelineQueries extends QueryDomain {
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ip8 DESC, neighbor_id) AS rnk
          |  FROM p)
          |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+
+    // PQ twin: same subspace slices, same strict-fold L2 argmin encode
+    // (ROW_NUMBER ≡ Spark's min(struct) under the total (l2, cid) order),
+    // same ADC lookup join and sorted 2-term score fold.
+    "q_pq_topk" ->
+      s"""WITH $embCte,
+         |sp AS (SELECT 0 AS sub UNION ALL SELECT 1),
+         |cb AS (SELECT sp.sub, vec_id AS cid,
+         |    CASE WHEN sp.sub = 0 THEN e[1:32] ELSE e[33:64] END AS cvec
+         |  FROM n, sp WHERE vec_id < 8),
+         |ds AS (SELECT vec_id AS id, sp.sub,
+         |    CASE WHEN sp.sub = 0 THEN e[1:32] ELSE e[33:64] END AS dv
+         |  FROM n, sp),
+         |enc AS (SELECT id, sub, cid AS code FROM (
+         |  SELECT d.id, d.sub, c.cid, ROW_NUMBER() OVER (PARTITION BY d.id, d.sub
+         |    ORDER BY list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(range(1, len(d.dv)+1),
+         |        i -> (d.dv[i]-c.cvec[i])*(d.dv[i]-c.cvec[i]))),
+         |      (a, x) -> a + x) ASC, c.cid ASC) AS rn
+         |  FROM ds d JOIN cb c ON c.sub = d.sub) WHERE rn = 1),
+         |lut AS (SELECT qd.id AS query_id, qd.sub, c.cid AS code,
+         |    ${duckDot("qd.dv", "c.cvec")} AS part
+         |  FROM ds qd JOIN cb c ON c.sub = qd.sub
+         |  WHERE qd.id BETWEEN 100 AND 109),
+         |sc AS (SELECT l.query_id, enc.id AS neighbor_id,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list_sort(list(part))),
+         |      (a, x) -> a + x) AS adc
+         |  FROM enc JOIN lut l ON l.sub = enc.sub AND l.code = enc.code
+         |  WHERE enc.id <> l.query_id
+         |  GROUP BY l.query_id, enc.id)
+         |SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id, adc FROM (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS rnk FROM sc)
+         |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
 
     "q_rrf_fusion" ->
       s"""WITH $embCte,

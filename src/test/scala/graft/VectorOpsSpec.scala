@@ -226,6 +226,55 @@ class VectorOpsSpec extends AnyFunSuite with SparkSpec {
     assert(recall >= 0.9, s"SQ8 recall@10 fell to $recall")
   }
 
+  test("pqEncode/pqSearch: encode ≡ driver-side argmin; usable recall vs exact MIPS") {
+    import org.apache.spark.sql.functions.{array, explode, lit, slice, struct}
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val dim = 64
+    val cbs = e.filter($"vec_id" < 8).select(explode(array(
+        struct(lit(0).as("sub"), $"vec_id".as("cid"), slice($"embedding", 1, 32).as("cvec")),
+        struct(lit(1).as("sub"), $"vec_id".as("cid"), slice($"embedding", 33, 32).as("cvec"))))
+        .as("cb"))
+      .select($"cb.sub".as("sub"), $"cb.cid".as("cid"), $"cb.cvec".as("cvec"))
+    val codes = VectorOps.pqEncode(e, "vec_id", "embedding", cbs, m = 2, dim = dim)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // Driver-side reference argmin over the same (l2, cid) total order.
+    val all = e.select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+    val books = all.filter(_._1 < 8).flatMap { case (cid, v) =>
+      Seq((0, cid, v.take(32)), (1, cid, v.drop(32)))
+    }
+    def l2(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) =>
+        acc + (x.toDouble - y.toDouble) * (x.toDouble - y.toDouble) }
+    all.foreach { case (id, v) =>
+      for (sub <- 0 to 1) {
+        val sv = if (sub == 0) v.take(32) else v.drop(32)
+        val expect = books.filter(_._1 == sub)
+          .map { case (_, cid, cv) => (l2(sv, cv), cid) }.min._2
+        assert(codes((id, sub)) == expect, s"id=$id sub=$sub")
+      }
+    }
+    // Recall against the exact MIPS ranking — 2×8 codewords is a very
+    // coarse quantizer, so the bar is "clearly better than random" (5/492
+    // random overlap ≈ 1%), not SQ8's 0.9.
+    val queries = e.filter($"vec_id" < 5)
+    val approx = VectorOps.pqSearch(codes = VectorOps.pqEncode(
+        e, "vec_id", "embedding", cbs, m = 2, dim = dim),
+        queries, "vec_id", "embedding", cbs, m = 2, dim = dim, k = 10)
+      .select($"query_id", $"neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val qs = all.filter(_._1 < 5)
+    val exact = qs.flatMap { case (qid, qv) =>
+      all.filter(_._1 != qid)
+        .map { case (nid, nv) =>
+          (nid, qv.zip(nv).map { case (a, b) => a.toDouble * b.toDouble }.sum)
+        }
+        .sortBy { case (nid, ip) => (-ip, nid) }.take(10)
+        .map { case (nid, _) => (qid, nid) }
+    }.toSet
+    val recall = (approx & exact).size.toDouble / exact.size
+    assert(recall >= 0.2, s"PQ recall@10 fell to $recall (random ≈ 0.02)")
+  }
+
   test("groupCentroids ≡ driver-side BigDecimal pooling; stable under repartition") {
     val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val rows = e.select($"label", $"embedding").as[(Int, Seq[Float])].collect()
