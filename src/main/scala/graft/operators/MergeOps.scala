@@ -64,6 +64,74 @@ object MergeOps {
       .unionByName(untouched)
   }
 
+  /** Incremental aggregate maintenance — refresh a stored per-group
+    * aggregate under a CDC batch WITHOUT re-aggregating the base table: the
+    * classic incremental-view-maintenance move (counting algorithm for
+    * SUM/COUNT views). `baseAgg` is the stored result of
+    * `base.groupBy(groupCols).agg(count(*) as cntCol, measures…)`; the
+    * output equals recomputing that aggregate over
+    * `applyChanges(base, changes, keys, ord)` — the executable contract
+    * MergeOpsSpec pins.
+    *
+    * Mechanics: the last op per key decides each key's fate (shared
+    * [[lastWriteWins]], with the same unknown-op `raise_error` as
+    * [[applyChanges]]). Every base row whose key is touched contributes its
+    * measures NEGATIVELY (it is replaced or deleted); every surviving
+    * upsert row contributes POSITIVELY. The signed delta aggregates by
+    * group — updates that MOVE a row between groups come out naturally as
+    * (−old group, +new group) — and overlays the stored aggregate with one
+    * full-outer join; groups whose refreshed count reaches zero are
+    * dropped, groups born in the delta appear.
+    *
+    * Scale posture — the whole point at 100 TB: the stored aggregate is
+    * O(|groups|) and the delta work is O(|changes| + |touched base rows|).
+    * The only contact with the base is a LEFT SEMI join on the change keys
+    * — broadcast when the batch is small (Catalyst decides), and
+    * partition-pruned/shuffle-free when the base is stored bucketed on the
+    * key ([[ScaleJoins.writeBucketed]]). Nothing re-shuffles the base's
+    * full measure columns; a nightly full re-aggregation becomes a
+    * per-batch O(|delta|) touch-up.
+    *
+    * Measures must be non-null-valued expressions (cast/`coalesce` nulls
+    * upstream): a group whose stored sum is NULL cannot be distinguished
+    * from 0 when overlaying signed deltas.
+    *
+    * @param baseAgg  stored aggregate: `groupCols ++ (cntCol, measure names)`
+    * @param base     the keyed snapshot `baseAgg` was computed from
+    * @param changes  CDC rows: key cols + payload + `opCol` + `ord` cols
+    * @param measures (name, row-level expression) pairs — decimal-typed for
+    *                 order-independent exactness ([[graft.Tables.dec]])
+    */
+  def refreshAggregate(
+      baseAgg: DataFrame, base: DataFrame, changes: DataFrame,
+      keys: Seq[String], groupCols: Seq[String],
+      measures: Seq[(String, Column)], ord: Seq[Column],
+      opCol: String = "op", cntCol: String = "cnt"): DataFrame = {
+    require(groupCols.nonEmpty, "refreshAggregate needs at least one group column")
+    val names = measures.map(_._1)
+    require((cntCol +: names).forall(baseAgg.columns.contains),
+      s"baseAgg must carry '$cntCol' and every measure: ${baseAgg.columns.mkString(",")}")
+    val last = lastWriteWins(changes, keys, ord)
+    val checkedOp = when(col(opCol).isin("u", "d"), col(opCol))
+      .otherwise(raise_error(concat(
+        lit("refreshAggregate: unknown op '"), col(opCol), lit("' (expected 'u' or 'd')"))))
+    val touched = changes.select(keys.map(col): _*).distinct()
+    def signed(df: DataFrame, sgn: Int): DataFrame =
+      df.select(groupCols.map(col) ++ (lit(sgn.toLong).as("graft_sgn") +:
+        measures.map { case (n, c) => (if (sgn > 0) c else -c).as(n) }): _*)
+    val delta = signed(last.filter(checkedOp === "u"), 1)
+      .unionByName(signed(base.join(touched, keys, "left_semi"), -1))
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(col("graft_sgn")).as("graft_dcnt"),
+        names.map(n => sum(col(n)).as(s"graft_d_$n")): _*)
+    baseAgg.join(delta, groupCols, "full_outer")
+      .withColumn(cntCol,
+        coalesce(col(cntCol), lit(0L)) + coalesce(col("graft_dcnt"), lit(0L)))
+      .filter(col(cntCol) > 0)
+      .select(groupCols.map(col) ++ (col(cntCol) +: names.map(n =>
+        (coalesce(col(n), lit(0)) + coalesce(col(s"graft_d_$n"), lit(0))).as(n))): _*)
+  }
+
   /** Snapshot diff — the dataset-versioning primitive: classify every key of
     * two versions of a keyed table as `added` (only in `v2`), `removed`
     * (only in `v1`), `changed` (present in both, some non-key column

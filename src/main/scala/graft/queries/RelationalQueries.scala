@@ -183,6 +183,28 @@ object RelationalQueries extends QueryDomain {
         .orderBy($"o_custkey", $"rn")
     },
 
+    "q_rolling_window" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      // Time-RANGE window frame — the other frame class next to
+      // q_window_funcs' ROWS frames: each event sees its user's trailing
+      // 10-minute count/sum, with the frame defined by the ORDER BY VALUE
+      // (epoch second), not row position. RANGE frames are deterministic
+      // under ties by construction (peers share one frame in both engines),
+      // where a ROWS frame over a non-unique ordering would not be. One
+      // shuffle keyed by user_id; at scale that key is high-cardinality and
+      // AQE-splittable.
+      val w = Window.partitionBy($"user_id").orderBy($"ts_sec")
+        .rangeBetween(-600L, Window.currentRow)
+      t(s, dir, "events")
+        .select($"event_id", $"user_id", expr("ts div 1000000000").as("ts_sec"),
+          $"value")
+        .select($"user_id", $"ts_sec", $"event_id",
+          count(lit(1)).over(w).as("n_10m"),
+          sum(dec($"value")).over(w).cast(DoubleType).as("v_10m"))
+        .orderBy($"user_id", $"ts_sec", $"event_id")
+    },
+
     "q_semi_anti_join" -> { (s, dir) =>
       import s.implicits._
       // LEFT SEMI (EXISTS) + LEFT ANTI (NOT EXISTS) over customer↔orders.
@@ -388,6 +410,37 @@ object RelationalQueries extends QueryDomain {
         $"c_custkey")
     },
 
+    "q_incr_agg" -> { (s, dir) =>
+      import s.implicits._
+      // Incremental aggregate maintenance ([[MergeOps.refreshAggregate]]):
+      // the stored per-nation (count, exact balance sum) aggregate is
+      // refreshed from a CDC batch — updates in place (%5), updates that
+      // MOVE rows to new groups (%10, nation+100), inserts (%11, shifted
+      // keys), deletes (%7) — touching only delta keys, never
+      // re-aggregating the base. Keys hit by several ops resolve by last
+      // ord. The oracle recomputes the aggregate over the applied snapshot:
+      // equality IS the IVM correctness contract.
+      val c = t(s, dir, "customer").select($"c_custkey", $"c_nationkey", $"c_acctbal")
+      val baseAgg = c.groupBy($"c_nationkey")
+        .agg(count(lit(1)).as("cnt"), sum(dec($"c_acctbal")).as("bal_sum"))
+      val changes = c.filter($"c_custkey" % 5 === 0)
+          .withColumn("c_acctbal", $"c_acctbal" + lit(100.0))
+          .withColumn("op", lit("u")).withColumn("ord", lit(1))
+        .unionByName(c.filter($"c_custkey" % 10 === 0)
+          .withColumn("c_nationkey", $"c_nationkey" + 100)
+          .withColumn("op", lit("u")).withColumn("ord", lit(2)))
+        .unionByName(c.filter($"c_custkey" % 11 === 0)
+          .withColumn("c_custkey", $"c_custkey" + 1000000L)
+          .withColumn("op", lit("u")).withColumn("ord", lit(3)))
+        .unionByName(c.filter($"c_custkey" % 7 === 0)
+          .withColumn("op", lit("d")).withColumn("ord", lit(4)))
+      MergeOps.refreshAggregate(baseAgg, c, changes,
+          Seq("c_custkey"), Seq("c_nationkey"),
+          Seq("bal_sum" -> dec($"c_acctbal")), Seq($"ord"))
+        .select($"c_nationkey", $"cnt", $"bal_sum".cast(DoubleType).as("bal_sum"))
+        .orderBy($"c_nationkey")
+    },
+
     "q_conform_cast" -> { (s, dir) =>
       import s.implicits._
       // SchemaConform against a synthetic Postgres target table: prunes the
@@ -519,6 +572,16 @@ object RelationalQueries extends QueryDomain {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, rn""".stripMargin,
+
+    "q_rolling_window" ->
+      """SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, event_id,
+        |  COUNT(*) OVER w AS n_10m,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS v_10m
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id
+        |  ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+        |  RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, ts_sec, event_id""".stripMargin,
 
     "q_semi_anti_join" ->
       """SELECT c_nationkey,
@@ -674,6 +737,32 @@ object RelationalQueries extends QueryDomain {
         |SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM customer t
         |WHERE NOT EXISTS (SELECT 1 FROM chg s WHERE s.c_custkey = t.c_custkey)
         |ORDER BY c_custkey""".stripMargin,
+
+    "q_incr_agg" ->
+      """WITH chg AS (
+        |  SELECT c_custkey, c_nationkey,
+        |    c_acctbal + CAST(100 AS DOUBLE) AS c_acctbal, 'u' AS op, 1 AS ord
+        |  FROM customer WHERE c_custkey % 5 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_nationkey + 100, c_acctbal, 'u', 2
+        |  FROM customer WHERE c_custkey % 10 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, c_nationkey, c_acctbal, 'u', 3
+        |  FROM customer WHERE c_custkey % 11 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_nationkey, c_acctbal, 'd', 4
+        |  FROM customer WHERE c_custkey % 7 = 0),
+        |last AS (
+        |  SELECT * FROM chg
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY ord DESC) = 1),
+        |applied AS (
+        |  SELECT c_custkey, c_nationkey, c_acctbal FROM last WHERE op = 'u'
+        |  UNION ALL
+        |  SELECT c_custkey, c_nationkey, c_acctbal FROM customer t
+        |  WHERE NOT EXISTS (SELECT 1 FROM chg s WHERE s.c_custkey = t.c_custkey))
+        |SELECT c_nationkey, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS bal_sum
+        |FROM applied GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
 
     "q_conform_cast" ->
       """SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
