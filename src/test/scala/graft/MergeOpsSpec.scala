@@ -90,4 +90,60 @@ class MergeOpsSpec extends AnyFunSuite with SparkSpec {
       MergeOps.snapshotDiff(a, a.withColumnRenamed("t", "u"), Seq("k")))
     assertThrows[IllegalArgumentException](MergeOps.snapshotDiff(a, a, Seq.empty))
   }
+
+  // The IVM contract: refreshing a stored aggregate with a CDC batch equals
+  // recomputing the aggregate over the applied snapshot — on randomized
+  // bases and batches covering in-place updates, group moves, inserts,
+  // deletes, emptied groups, and multi-op keys.
+  test("refreshAggregate == recompute over applyChanges (randomized)") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 5) {
+      val nKeys = 30 + rnd.nextInt(40)
+      val base = (1 to nKeys).map { k =>
+        (k.toLong, rnd.nextInt(6), BigDecimal(rnd.nextInt(20000), 2))
+      }.toDF("k", "g", "v")
+      val ops = (1 to 40).map { i =>
+        val k = 1L + rnd.nextInt(nKeys + 10) // some keys absent from base
+        val op = if (rnd.nextBoolean()) "u" else "d"
+        (k, rnd.nextInt(8), BigDecimal(rnd.nextInt(20000), 2), op, i)
+      }.toDF("k", "g", "v", "op", "ord")
+      def aggOf(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy($"g").agg(count(lit(1)).as("cnt"), sum($"v").as("sv"))
+      val refreshed = MergeOps.refreshAggregate(
+          aggOf(base), base, ops, Seq("k"), Seq("g"),
+          Seq("sv" -> $"v"), Seq($"ord"))
+        .select($"g", $"cnt", $"sv".cast("decimal(20,2)"))
+        .orderBy($"g").collect().toSeq
+      val recomputed = aggOf(MergeOps.applyChanges(base, ops, Seq("k"), Seq($"ord")))
+        .select($"g", $"cnt", $"sv".cast("decimal(20,2)"))
+        .orderBy($"g").collect().toSeq
+      assert(refreshed == recomputed, s"trial $trial")
+    }
+  }
+
+  test("refreshAggregate drops emptied groups and creates delta-born ones") {
+    val base = Seq((1L, 10, BigDecimal(5)), (2L, 10, BigDecimal(7))).toDF("k", "g", "v")
+    val baseAgg = base.groupBy($"g").agg(count(lit(1)).as("cnt"), sum($"v").as("sv"))
+    val changes = Seq(
+      (1L, 10, BigDecimal(0), "d", 1), // delete half of group 10
+      (2L, 99, BigDecimal(7), "u", 1), // move the other half to new group 99
+      (3L, 50, BigDecimal(3), "u", 1)  // insert into brand-new group 50
+    ).toDF("k", "g", "v", "op", "ord")
+    val out = MergeOps.refreshAggregate(baseAgg, base, changes,
+        Seq("k"), Seq("g"), Seq("sv" -> $"v"), Seq($"ord"))
+      .select($"g", $"cnt", $"sv".cast("long"))
+      .as[(Int, Long, Long)].collect().toSet
+    assert(out == Set((99, 1L, 7L), (50, 1L, 3L))) // group 10 emptied → gone
+  }
+
+  test("refreshAggregate rejects unknown ops and missing aggregate columns") {
+    val base = Seq((1L, 1, BigDecimal(1))).toDF("k", "g", "v")
+    val baseAgg = base.groupBy($"g").agg(count(lit(1)).as("cnt"), sum($"v").as("sv"))
+    val bad = Seq((1L, 1, BigDecimal(1), "x", 1)).toDF("k", "g", "v", "op", "ord")
+    assertThrows[Exception](MergeOps.refreshAggregate(baseAgg, base, bad,
+      Seq("k"), Seq("g"), Seq("sv" -> $"v"), Seq($"ord")).collect())
+    assertThrows[IllegalArgumentException](MergeOps.refreshAggregate(
+      baseAgg.drop("sv"), base, bad, Seq("k"), Seq("g"),
+      Seq("sv" -> $"v"), Seq($"ord")))
+  }
 }
