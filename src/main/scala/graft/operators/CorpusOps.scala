@@ -551,4 +551,71 @@ object CorpusOps {
         ((row_number().over(w) - 1) / batchSize).cast("long"))
       .withColumn("pad_to", (col("bucket") + 1) * bucketWidth - 1)
   }
+
+  /** Learn the first `numMerges` BPE merge rules over the corpus — the
+    * byte-pair-encoding trainer (Sennrich et al., ACL'16) that produces the
+    * subword vocabulary [[tokenizeToIds]]-style tokenization consumes.
+    * Returns one row per learned rule: `(rank, lft, rgt, freq)` in learning
+    * order.
+    *
+    * Scale posture — the standard trick every public BPE trainer uses: the
+    * corpus is touched EXACTLY ONCE, to build the word-frequency table
+    * (one combiner-reduced hash aggregate; vocabulary-bounded output). All
+    * `numMerges` iterations then run over that small weighted table:
+    * adjacent-pair counts are an explode + hash aggregate weighted by word
+    * count, the best pair is a TakeOrdered argmax (freq desc, then
+    * lexicographic — a total order, so the learned rules are deterministic
+    * and oracle-gateable), and the merge is applied with a per-row greedy
+    * left-to-right fold (`aggregate`), non-overlapping exactly like the
+    * reference implementation — `[a,b,b,a,b]` under (a,b) → `[ab,b,ab]`.
+    * Each iteration's vocab is persisted so iteration r+1 folds over r's
+    * cached rows, not a replayed lineage; driver traffic is one
+    * (lft, rgt, freq) row per iteration.
+    */
+  def learnBpeMerges(docs: DataFrame, idCol: String, textCol: String,
+      numMerges: Int): DataFrame = {
+    require(numMerges > 0, "numMerges must be positive")
+    val spark = docs.sparkSession
+    val vocab0 = docs
+      .select(explode(TextOps.tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+      .select(filter(split(col("w"), ""), x => length(x) > 0).as("syms"), col("wc"))
+    val persisted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    try {
+      var vocab = vocab0.persist()
+      persisted += vocab
+      var r = 1
+      var exhausted = false
+      while (r <= numMerges && !exhausted) {
+        val best = vocab.filter(size(col("syms")) >= 2)
+          .select(col("wc"), explode(arrays_zip(
+            slice(col("syms"), lit(1), size(col("syms")) - 1).as("lft"),
+            slice(col("syms"), lit(2), size(col("syms")) - 1).as("rgt"))).as("p"))
+          .groupBy(col("p.lft").as("lft"), col("p.rgt").as("rgt"))
+          .agg(sum(col("wc")).as("freq"))
+          .orderBy(col("freq").desc, col("lft").asc, col("rgt").asc)
+          .limit(1).collect()
+        if (best.isEmpty) exhausted = true
+        else {
+          val (l, rt, f) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+          merges += ((r, l, rt, f))
+          vocab = vocab.withColumn("syms",
+            when(size(col("syms")) < 2, col("syms")).otherwise(
+              aggregate(
+                slice(col("syms"), lit(2), size(col("syms")) - 1),
+                slice(col("syms"), lit(1), lit(1)),
+                (acc, x) => when(
+                    element_at(acc, -1) === lit(l) && x === lit(rt),
+                    concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + rt))))
+                  .otherwise(concat(acc, array(x))))))
+            .persist()
+          persisted += vocab
+          r += 1
+        }
+      }
+    } finally persisted.foreach(_.unpersist(blocking = false))
+    spark.createDataFrame(merges.toSeq).toDF("rank", "lft", "rgt", "freq")
+  }
 }

@@ -357,6 +357,20 @@ object PipelineQueries extends QueryDomain {
         .orderBy($"token_id")
     },
 
+    "q_bpe_merges" -> { (s, dir) =>
+      import s.implicits._
+      // BPE trainer ([[CorpusOps.learnBpeMerges]]): the first 6 merge
+      // rules learned over the corpus, completing the tokenizer chain
+      // (q_vocab_build → q_bpe_merges → q_tokenize_ids). The corpus is
+      // scanned once into a word-frequency table; every iteration runs over
+      // that vocabulary-bounded table. The oracle unrolls the same 6
+      // iterations as chained CTEs — pair counts, argmax, and a
+      // list_reduce greedy fold bit-identical to the Spark `aggregate`
+      // fold ([[PipelineQueries.bpeOracle]]).
+      CorpusOps.learnBpeMerges(docs(s, dir), "doc_id", "text", 6)
+        .orderBy($"rank")
+    },
+
     "q_bigram_lm" -> { (s, dir) =>
       import s.implicits._
       // Count-based bigram LM slice: the full conditional distribution
@@ -1088,6 +1102,44 @@ object PipelineQueries extends QueryDomain {
     lang -> s"CAST(len(list_filter(string_split(text, ' '), w -> w IN ($in))) AS BIGINT)"
   }
 
+  /** Unrolled k-iteration BPE trainer in DuckDB SQL: each iteration is a
+    * (pair-count, argmax, fold) CTE triple chained off the previous vocab.
+    * The fold replicates [[graft.operators.CorpusOps.learnBpeMerges]]'s
+    * greedy left-to-right non-overlapping merge exactly — `list_reduce`
+    * over singleton-wrapped symbols (the first element is the fold's
+    * initial accumulator, matching the Spark `aggregate`'s `slice(1,1)`
+    * init; DuckDB's `acc[:-2]` is drop-last under its INCLUSIVE negative
+    * slicing). Argmax tiebreak (freq DESC, lft, rgt) is a binary string
+    * compare in both engines.
+    */
+  private def bpeOracle(k: Int): String = {
+    val iters = (1 to k).map { i =>
+      s"""p$i AS (
+         |  SELECT s.pair[1] AS lft, s.pair[2] AS rgt, SUM(wc) AS freq
+         |  FROM v${i - 1}, unnest(list_zip(syms[1:len(syms)-1], syms[2:len(syms)])) AS s(pair)
+         |  WHERE len(syms) >= 2 GROUP BY 1, 2),
+         |m$i AS (SELECT lft, rgt, freq FROM p$i ORDER BY freq DESC, lft, rgt LIMIT 1),
+         |v$i AS (
+         |  SELECT CASE WHEN len(syms) < 2 THEN syms ELSE
+         |    list_reduce(list_transform(syms, x -> [x]),
+         |      (acc, x) -> CASE WHEN acc[-1] = m$i.lft AND x[1] = m$i.rgt
+         |                  THEN acc[:-2] || [m$i.lft || m$i.rgt] ELSE acc || x END)
+         |    END AS syms, wc
+         |  FROM v${i - 1} CROSS JOIN m$i)""".stripMargin
+    }.mkString(",\n")
+    val sel = (1 to k).map(i =>
+      s"SELECT $i AS rank, lft, rgt, CAST(freq AS BIGINT) AS freq FROM m$i")
+      .mkString("\nUNION ALL\n")
+    s"""WITH w AS (
+       |  SELECT x.w AS word, COUNT(*) AS wc
+       |  FROM documents, unnest(string_split(text, ' ')) AS x(w)
+       |  WHERE length(x.w) > 0 GROUP BY 1),
+       |v0 AS (SELECT string_split(word, '') AS syms, wc FROM w),
+       |$iters
+       |SELECT * FROM (
+       |$sel) ORDER BY rank""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q_dedup_exact" ->
       """WITH dup AS (
@@ -1561,6 +1613,8 @@ object PipelineQueries extends QueryDomain {
         |    ORDER BY n_tokens, doc_id) - 1) // 8 AS BIGINT) AS batch_idx,
         |  CAST((bucket + 1) * 16 - 1 AS BIGINT) AS pad_to
         |FROM b ORDER BY doc_id""".stripMargin,
+
+    "q_bpe_merges" -> bpeOracle(6),
 
     "q_bigram_lm" ->
       """WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),

@@ -418,4 +418,50 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4))).toSeq
     assert(streamed.take(10) == (1L to 10L).map(i => (i, i % 5, 0L)))
   }
+
+  test("learnBpeMerges: hand-computed fixture, greedy overlap, early exhaustion") {
+    // words: ab×3, b×1 → one possible merge, then the table is all
+    // singletons — asking for 3 merges returns 1 row, not a crash or loop.
+    val one = CorpusOps.learnBpeMerges(
+        Seq((1L, "ab ab b"), (2L, "ab")).toDF("doc_id", "text"),
+        "doc_id", "text", 3)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(one == Seq((1, "a", "b", 3L)))
+    // Counting and merging are different phases (as in reference BPE
+    // trainers): "aaa" COUNTS both overlapping (a,a) adjacencies (freq 2),
+    // but the greedy left-to-right APPLICATION is non-overlapping →
+    // [aa, a], so iteration 2 learns (aa, a), not (a, aa).
+    val overlap = CorpusOps.learnBpeMerges(
+        Seq((1L, "aaa")).toDF("doc_id", "text"), "doc_id", "text", 2)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(overlap == Seq((1, "a", "a", 2L), (2, "aa", "a", 1L)))
+  }
+
+  test("learnBpeMerges matches an in-test reference trainer on fixture docs") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet").limit(60)
+    val got = CorpusOps.learnBpeMerges(docs, "doc_id", "text", 5)
+      .as[(Int, String, String, Long)].collect().toSeq
+    // Reference: same algorithm, plain Scala over the collected texts.
+    var vocab: Map[Vector[String], Long] = docs
+      .select($"text").as[String].collect().toSeq
+      .flatMap(_.split(" ").filter(_.nonEmpty))
+      .groupBy(identity).map { case (w, ws) =>
+        w.map(_.toString).toVector -> ws.size.toLong }
+    val expect = (1 to 5).flatMap { r =>
+      val pc = vocab.toSeq.flatMap { case (syms, c) =>
+        syms.zip(syms.tail).map(_ -> c)
+      }.groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum }
+      if (pc.isEmpty) None else {
+        val ((l, rt), f) = pc.minBy { case ((a, b), n) => (-n, a, b) }
+        vocab = vocab.toSeq.map { case (syms, c) =>
+          val out = syms.tail.foldLeft(Vector(syms.head)) { (acc, x) =>
+            if (acc.last == l && x == rt) acc.init :+ (l + rt) else acc :+ x
+          }
+          (out, c)
+        }.groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).sum }
+        Some((r, l, rt, f))
+      }
+    }
+    assert(got == expect)
+  }
 }
