@@ -24,6 +24,9 @@ import org.apache.spark.sql.functions._
   *    bucket list exactly once, so no pair-dedup stage is needed. Work is
   *    |points| + Σ⌈span/width⌉ join rows — never |points|·|intervals| —
   *    and the join key is high-cardinality (AQE-splittable on skew).
+  *  - [[intervalJoin]] extends the same bucket index to interval×interval
+  *    OVERLAP, keeping each pair exactly once (overlap-start-bucket rule)
+  *    with no dedup stage.
   */
 object TemporalJoins {
 
@@ -138,6 +141,47 @@ object TemporalJoins {
           floorDiv(col(endCol), bucketWidth))))
     pb.join(ib, (keys :+ "__graft_bk").toIndexedSeq)
       .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
+      .drop("__graft_bk")
+  }
+
+  /** Interval-overlap join: inner-join `left` to every `right` row sharing
+    * `keys` whose `[rightStart, rightEnd]` overlaps `[leftStart, leftEnd]`
+    * (closed intervals — touching endpoints count; null bounds never
+    * match). Output: all left columns + right payload (names must not
+    * clash; alias first). Time columns must be LONG.
+    *
+    * Same bucket-index shape as [[rangeJoin]], on BOTH sides: each interval
+    * explodes to the ⌈span/width⌉+1 buckets it covers and the match is a
+    * plain equi-join on (keys…, bucket) + the exact overlap predicate. A
+    * pair overlapping across several shared buckets would match in each of
+    * them, so the join keeps a pair only in the bucket containing the
+    * OVERLAP'S START (`max(leftStart, rightStart)`) — every qualifying pair
+    * survives exactly once by construction and no distinct/dedup stage
+    * (with its extra wide shuffle) exists in the plan. Work is
+    * Σ⌈span/width⌉ index rows per side, never |left|·|right|; the join key
+    * is high-cardinality and AQE-splittable on skew.
+    */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftStart: String,
+      leftEnd: String,
+      rightStart: String,
+      rightEnd: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val clash = right.columns.toSeq.filterNot(keys.contains)
+      .intersect(left.columns.toSeq.filterNot(keys.contains))
+    require(clash.isEmpty, s"right payload columns clash with left: $clash — alias them first")
+    def banded(df: DataFrame, s: String, e: String): DataFrame = df
+      .filter(col(s) <= col(e))
+      .withColumn("__graft_bk",
+        explode(sequence(floorDiv(col(s), bucketWidth), floorDiv(col(e), bucketWidth))))
+    banded(left, leftStart, leftEnd)
+      .join(banded(right, rightStart, rightEnd), (keys :+ "__graft_bk").toIndexedSeq)
+      .filter(col(leftStart) <= col(rightEnd) && col(rightStart) <= col(leftEnd) &&
+        floorDiv(greatest(col(leftStart), col(rightStart)), bucketWidth) === col("__graft_bk"))
       .drop("__graft_bk")
   }
 }

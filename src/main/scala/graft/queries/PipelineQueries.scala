@@ -734,6 +734,33 @@ object PipelineQueries extends QueryDomain {
         .orderBy($"purchase_id")
     },
 
+    "q_interval_join" -> { (s, dir) =>
+      import s.implicits._
+      // Interval×interval overlap join ([[TemporalJoins.intervalJoin]]):
+      // each purchase opens a 30-minute window, each click a 15-minute
+      // window; per purchase, count same-user overlapping click windows and
+      // total overlap seconds. Both sides bucket at the larger span, the
+      // pair survives only in its overlap-start bucket (no dedup stage),
+      // and the oracle is the plain inequality join DuckDB can afford at
+      // fixture scale. Left join back keeps zero-overlap purchases.
+      val e = t(s, dir, "events")
+        .select($"event_id", $"user_id", $"event_type", expr("ts div 1000000000").as("ep"))
+      val purchases = e.filter($"event_type" === "purchase")
+        .select($"event_id".as("purchase_id"), $"user_id",
+          $"ep".as("p_start"), ($"ep" + 1800L).as("p_end"))
+      val clicks = e.filter($"event_type" === "click")
+        .select($"user_id", $"ep".as("c_start"), ($"ep" + 900L).as("c_end"))
+      val hits = TemporalJoins.intervalJoin(purchases, clicks, Seq("user_id"),
+          "p_start", "p_end", "c_start", "c_end", bucketWidth = 1800L)
+        .groupBy($"purchase_id").agg(count(lit(1)).as("n_overlap"),
+          sum(least($"p_end", $"c_end") - greatest($"p_start", $"c_start")).as("overlap_sec"))
+      purchases.join(hits, Seq("purchase_id"), "left_outer")
+        .select($"purchase_id", $"user_id", $"p_start",
+          coalesce($"n_overlap", lit(0L)).as("n_overlap"),
+          coalesce($"overlap_sec", lit(0L)).as("overlap_sec"))
+        .orderBy($"purchase_id")
+    },
+
     "q_stream_windows" -> { (s, dir) =>
       import s.implicits._
       // The STREAMING path under the oracle gate: the events fixture played
@@ -1805,6 +1832,24 @@ object PipelineQueries extends QueryDomain {
         |  GROUP BY 1)
         |SELECT p.purchase_id, p.user_id, p.purchase_ep,
         |  CAST(coalesce(h.n, 0) AS BIGINT) AS n_clicks_1h
+        |FROM p LEFT JOIN h ON p.purchase_id = h.purchase_id
+        |ORDER BY p.purchase_id""".stripMargin,
+
+    "q_interval_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS ep FROM events),
+        |p AS (SELECT event_id AS purchase_id, user_id, ep AS p_start,
+        |  ep + 1800 AS p_end FROM e WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ep AS c_start, ep + 900 AS c_end
+        |  FROM e WHERE event_type = 'click'),
+        |h AS (SELECT p.purchase_id, count(*) AS n,
+        |  SUM(LEAST(p.p_end, c.c_end) - GREATEST(p.p_start, c.c_start)) AS sec
+        |  FROM p JOIN c ON p.user_id = c.user_id
+        |  AND p.p_start <= c.c_end AND c.c_start <= p.p_end
+        |  GROUP BY 1)
+        |SELECT p.purchase_id, p.user_id, p.p_start,
+        |  CAST(coalesce(h.n, 0) AS BIGINT) AS n_overlap,
+        |  CAST(coalesce(h.sec, 0) AS BIGINT) AS overlap_sec
         |FROM p LEFT JOIN h ON p.purchase_id = h.purchase_id
         |ORDER BY p.purchase_id""".stripMargin,
 

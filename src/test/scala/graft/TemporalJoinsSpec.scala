@@ -129,4 +129,47 @@ class TemporalJoinsSpec extends AnyFunSuite with SparkSpec {
       .select(TemporalJoins.floorDiv($"x", 7L)).as[Long].collect()
     assert(got.toSeq === cases.map(x => Math.floorDiv(x, 7L)))
   }
+
+  test("interval join: touching endpoints match, multi-bucket pairs appear once") {
+    val l = Seq((1L, 0L, 40L, 100L), (1L, 50L, 60L, 101L), (2L, 0L, 5L, 102L))
+      .toDF("k", "ls", "le", "lid")
+    val r = Seq(
+      (1L, 40L, 45L, 200L), // touches lid=100 at a single point (40)
+      (1L, 10L, 55L, 201L), // spans buckets; overlaps BOTH left rows
+      (1L, 61L, 70L, 202L), // just past lid=101 — no match
+      (2L, 900L, 999L, 203L)).toDF("k", "rs", "re", "rid")
+    val got = TemporalJoins.intervalJoin(l, r, Seq("k"), "ls", "le", "rs", "re",
+        bucketWidth = 16)
+      .select("lid", "rid").as[(Long, Long)].collect().toList
+    assert(got.size == got.distinct.size, "each overlapping pair exactly once")
+    assert(got.toSet === Set((100L, 200L), (100L, 201L), (101L, 201L)))
+  }
+
+  test("interval join equals the brute-force overlap join for any bucket width") {
+    val rng = new scala.util.Random(23)
+    def ivs(n: Int, tag: String) = (1 to n).map { i =>
+      val s = rng.nextInt(500).toLong - 250L
+      (rng.nextInt(5).toLong, s, s + rng.nextInt(80).toLong, i.toLong)
+    }
+    val l = ivs(120, "l").toDF("k", "ls", "le", "lid")
+    val r = ivs(120, "r").toDF("k", "rs", "re", "rid")
+    val brute = l.join(r, Seq("k")).filter($"ls" <= $"re" && $"rs" <= $"le")
+      .select("k", "lid", "rid").as[(Long, Long, Long)].collect()
+    assert(brute.length == brute.distinct.length)
+    for (w <- Seq(1L, 7L, 64L, 1000L)) {
+      val got = TemporalJoins.intervalJoin(l, r, Seq("k"), "ls", "le", "rs", "re", w)
+        .select("k", "lid", "rid").as[(Long, Long, Long)].collect()
+      assert(got.length == got.distinct.length, s"bucketWidth=$w duplicated a pair")
+      assert(got.toSet === brute.toSet, s"bucketWidth=$w diverged")
+    }
+  }
+
+  test("interval join plans as an equi-join on (keys, bucket) — no cartesian/BNLJ") {
+    val l = Seq((1L, 0L, 40L, 100L)).toDF("k", "ls", "le", "lid")
+    val r = Seq((1L, 40L, 45L, 200L)).toDF("k", "rs", "re", "rid")
+    val p = TemporalJoins.intervalJoin(l, r, Seq("k"), "ls", "le", "rs", "re", 16)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"interval join must stay an equi-join:\n$p")
+  }
 }
