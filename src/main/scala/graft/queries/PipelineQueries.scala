@@ -371,6 +371,25 @@ object PipelineQueries extends QueryDomain {
         .orderBy($"rank")
     },
 
+    "q_bpe_segment" -> { (s, dir) =>
+      import s.implicits._
+      // BPE encoder ([[CorpusOps.bpeSegment]]): the corpus vocabulary
+      // segmented by replaying the 6 learned merges — the gate re-learns
+      // them in-query (6 bounded collects), then the encoder's chained
+      // folds run over the vocabulary-bounded word table. Exploded to
+      // scalar (word, wc, pos, piece) rows for the driver's comparator;
+      // the oracle replays the same chain and explodes its final vocab
+      // state.
+      val d = docs(s, dir)
+      val merges = CorpusOps.learnBpeMerges(d, "doc_id", "text", 6)
+        .orderBy($"rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      CorpusOps.bpeSegment(d, "doc_id", "text", merges)
+        .select($"word", $"wc", posexplode($"syms").as(Seq("pos", "piece")))
+        .select($"word", $"wc", $"pos".cast("int").as("pos"), $"piece")
+        .orderBy($"word", $"pos")
+    },
+
     "q_bigram_lm" -> { (s, dir) =>
       import s.implicits._
       // Count-based bigram LM slice: the full conditional distribution
@@ -1139,7 +1158,7 @@ object PipelineQueries extends QueryDomain {
     * slicing). Argmax tiebreak (freq DESC, lft, rgt) is a binary string
     * compare in both engines.
     */
-  private def bpeOracle(k: Int): String = {
+  private def bpeChain(k: Int): String = {
     val iters = (1 to k).map { i =>
       s"""p$i AS (
          |  SELECT s.pair[1] AS lft, s.pair[2] AS rgt, SUM(wc) AS freq
@@ -1147,25 +1166,40 @@ object PipelineQueries extends QueryDomain {
          |  WHERE len(syms) >= 2 GROUP BY 1, 2),
          |m$i AS (SELECT lft, rgt, freq FROM p$i ORDER BY freq DESC, lft, rgt LIMIT 1),
          |v$i AS (
-         |  SELECT CASE WHEN len(syms) < 2 THEN syms ELSE
+         |  SELECT word, CASE WHEN len(syms) < 2 THEN syms ELSE
          |    list_reduce(list_transform(syms, x -> [x]),
          |      (acc, x) -> CASE WHEN acc[-1] = m$i.lft AND x[1] = m$i.rgt
          |                  THEN acc[:-2] || [m$i.lft || m$i.rgt] ELSE acc || x END)
          |    END AS syms, wc
          |  FROM v${i - 1} CROSS JOIN m$i)""".stripMargin
     }.mkString(",\n")
-    val sel = (1 to k).map(i =>
-      s"SELECT $i AS rank, lft, rgt, CAST(freq AS BIGINT) AS freq FROM m$i")
-      .mkString("\nUNION ALL\n")
     s"""WITH w AS (
        |  SELECT x.w AS word, COUNT(*) AS wc
        |  FROM documents, unnest(string_split(text, ' ')) AS x(w)
        |  WHERE length(x.w) > 0 GROUP BY 1),
-       |v0 AS (SELECT string_split(word, '') AS syms, wc FROM w),
-       |$iters
+       |v0 AS (SELECT word, string_split(word, '') AS syms, wc FROM w),
+       |$iters""".stripMargin
+  }
+
+  private def bpeOracle(k: Int): String = {
+    val sel = (1 to k).map(i =>
+      s"SELECT $i AS rank, lft, rgt, CAST(freq AS BIGINT) AS freq FROM m$i")
+      .mkString("\nUNION ALL\n")
+    s"""${bpeChain(k)}
        |SELECT * FROM (
        |$sel) ORDER BY rank""".stripMargin
   }
+
+  /** The encoder twin: the chain's final vocab state, exploded to scalar
+    * (word, wc, pos, piece) rows — DuckDB's 1-based subscripts shifted to
+    * posexplode's 0-based pos.
+    */
+  private def bpeSegmentOracle(k: Int): String =
+    s"""${bpeChain(k)}
+       |SELECT word, CAST(wc AS BIGINT) AS wc,
+       |  CAST(generate_subscripts(syms, 1) - 1 AS INT) AS pos,
+       |  unnest(syms) AS piece
+       |FROM v$k ORDER BY word, pos""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "q_dedup_exact" ->
@@ -1642,6 +1676,8 @@ object PipelineQueries extends QueryDomain {
         |FROM b ORDER BY doc_id""".stripMargin,
 
     "q_bpe_merges" -> bpeOracle(6),
+
+    "q_bpe_segment" -> bpeSegmentOracle(6),
 
     "q_bigram_lm" ->
       """WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),

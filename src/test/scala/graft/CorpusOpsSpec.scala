@@ -437,6 +437,27 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec {
     assert(overlap == Seq((1, "a", "a", 2L), (2, "aa", "a", 1L)))
   }
 
+  test("bpeSegment: replays merges in order, lossless, empty ruleset = chars") {
+    val d = Seq((1L, "abab abc b")).toDF("doc_id", "text")
+    // rules (a,b) then (ab,ab): "abab" → [ab,ab] → [abab]; "abc" → [ab,c]
+    val seg = CorpusOps.bpeSegment(d, "doc_id", "text",
+        Seq("a" -> "b", "ab" -> "ab"))
+      .select($"word", $"syms").as[(String, Seq[String])].collect().toMap
+    assert(seg == Map("abab" -> Seq("abab"), "abc" -> Seq("ab", "c"),
+      "b" -> Seq("b")))
+    // losslessness on the fixture: concatenated pieces restore every word
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet").limit(40)
+    val merges = CorpusOps.learnBpeMerges(docs, "doc_id", "text", 4)
+      .orderBy($"rank").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val bad = CorpusOps.bpeSegment(docs, "doc_id", "text", merges)
+      .filter(concat_ws("", $"syms") =!= $"word").count()
+    assert(bad == 0)
+    // empty ruleset: pure character split
+    val none = CorpusOps.bpeSegment(d, "doc_id", "text", Seq.empty)
+      .filter($"word" === "abc").select($"syms").as[Seq[String]].head()
+    assert(none == Seq("a", "b", "c"))
+  }
+
   test("learnBpeMerges matches an in-test reference trainer on fixture docs") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet").limit(60)
     val got = CorpusOps.learnBpeMerges(docs, "doc_id", "text", 5)
