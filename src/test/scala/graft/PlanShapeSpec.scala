@@ -189,6 +189,20 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"corpus must not shuffle for the join:\n$p")
   }
 
+  test("bpeSegment: one exchange (the word aggregate), no join, constant depth in k") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val rules = (1 to 12).map(i => s"x$i" -> s"y$i") // any k; rules are data
+    val df = graft.operators.CorpusOps.bpeSegment(docs, "doc_id", "text", rules)
+    val p = df.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges === 1, s"encoder must shuffle once, for the word count:\n$p")
+    assert(!p.contains("Join"), s"encoder must not join against the corpus:\n$p")
+    // the merge rules ride along as ONE array literal inside a single
+    // fold — k=12 must not nest k fold layers into the plan text
+    assert("aggregate\\(".r.findAllIn(p.toLowerCase).size <= 4,
+      s"rules must be data inside one fold, not k chained folds:\n$p")
+  }
+
   test("whole-stage codegen covers the scalar pipelines") {
     // AQE prints codegen stages only in the FINAL plan — execute first.
     val df = SparkEntry.queries("q_scalar_string")(spark, sf0001)
