@@ -98,4 +98,36 @@ object StatOps {
       .select(col("grp"), col("n"), col("med"), col("mad"),
         col("n_outliers"), col("max_dev"))
   }
+
+  /** Single-pass column profile — the `ANALYZE TABLE` stats-collection
+    * primitive a 100 TB ingest runs before anything else: per column, the
+    * row count, null count, EXACT distinct count, and min/max (rendered as
+    * strings so heterogeneous columns share one long-format output row
+    * shape; pre-cast doubles to a fixed decimal upstream for engine-stable
+    * rendering). Output: one row per profiled column —
+    * `(col_name, n_rows, n_null, n_distinct, min_val, max_val)`.
+    *
+    * Scale: ONE aggregate job over the table. The k exact distinct counts
+    * plan as Spark's Expand (each input row fans out k+1 ways before the
+    * combiner) — one scan, no joins; at extreme width or cardinality swap
+    * the exact count for the O(k)-state [[graft.functions.KmvSketch]]
+    * ([[Sketches]]) column by column.
+    */
+  def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "columnProfile needs at least one column")
+    val aggs = cols.flatMap { c => Seq(
+      count(col(c)).as(s"__cnt_$c"),
+      count_distinct(col(c)).as(s"__nd_$c"),
+      min(col(c)).cast("string").as(s"__min_$c"),
+      max(col(c)).cast("string").as(s"__max_$c"))
+    }
+    val wide = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val rows = cols.map { c => struct(
+      lit(c).as("col_name"), col("__n").as("n_rows"),
+      (col("__n") - col(s"__cnt_$c")).as("n_null"),
+      col(s"__nd_$c").as("n_distinct"),
+      col(s"__min_$c").as("min_val"), col(s"__max_$c").as("max_val"))
+    }
+    wide.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
+  }
 }

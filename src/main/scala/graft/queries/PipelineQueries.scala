@@ -677,6 +677,21 @@ object PipelineQueries extends QueryDomain {
         .orderBy($"grp")
     },
 
+    "q_profile" -> { (s, dir) =>
+      import s.implicits._
+      // Single-pass column profile ([[StatOps.columnProfile]]) — the
+      // ANALYZE-TABLE shape: per column, row/null/exact-distinct counts and
+      // min/max. The double column pre-casts to DECIMAL(18,2) so min/max
+      // render identically in both engines; `seg_opt` plants NULLs so the
+      // null-count arm is exercised, not just zero.
+      val c = t(s, dir, "customer")
+        .withColumn("c_acctbal", $"c_acctbal".cast("decimal(18,2)"))
+        .withColumn("seg_opt", when($"c_mktsegment" =!= "BUILDING", $"c_mktsegment"))
+      StatOps.columnProfile(c,
+          Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "seg_opt"))
+        .orderBy($"col_name")
+    },
+
     // ---- events: sessionization + time windows ----------------------------
     // The fixture's events.ts is parquet TIMESTAMP(NANOS) — read as a
     // nanosecond BIGINT (spark.sql.legacy.parquet.nanosAsLong, set by
@@ -1544,6 +1559,38 @@ object PipelineQueries extends QueryDomain {
         |  CAST(max(d.dev) AS DECIMAL(19,4)) AS max_dev
         |FROM d JOIN md USING (grp)
         |GROUP BY d.grp ORDER BY grp""".stripMargin,
+
+    "q_profile" ->
+      """WITH c AS (SELECT c_custkey, c_name, c_nationkey,
+        |    CAST(c_acctbal AS DECIMAL(18,2)) AS c_acctbal,
+        |    CASE WHEN c_mktsegment <> 'BUILDING' THEN c_mktsegment END AS seg_opt
+        |  FROM customer)
+        |SELECT col_name, CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST(n_null AS BIGINT) AS n_null,
+        |  CAST(n_distinct AS BIGINT) AS n_distinct, min_val, max_val
+        |FROM (
+        |  SELECT 'c_custkey' AS col_name, COUNT(*) AS n_rows,
+        |    COUNT(*) - COUNT(c_custkey) AS n_null,
+        |    COUNT(DISTINCT c_custkey) AS n_distinct,
+        |    CAST(MIN(c_custkey) AS VARCHAR) AS min_val,
+        |    CAST(MAX(c_custkey) AS VARCHAR) AS max_val FROM c
+        |  UNION ALL
+        |  SELECT 'c_name', COUNT(*), COUNT(*) - COUNT(c_name),
+        |    COUNT(DISTINCT c_name),
+        |    CAST(MIN(c_name) AS VARCHAR), CAST(MAX(c_name) AS VARCHAR) FROM c
+        |  UNION ALL
+        |  SELECT 'c_nationkey', COUNT(*), COUNT(*) - COUNT(c_nationkey),
+        |    COUNT(DISTINCT c_nationkey),
+        |    CAST(MIN(c_nationkey) AS VARCHAR), CAST(MAX(c_nationkey) AS VARCHAR) FROM c
+        |  UNION ALL
+        |  SELECT 'c_acctbal', COUNT(*), COUNT(*) - COUNT(c_acctbal),
+        |    COUNT(DISTINCT c_acctbal),
+        |    CAST(MIN(c_acctbal) AS VARCHAR), CAST(MAX(c_acctbal) AS VARCHAR) FROM c
+        |  UNION ALL
+        |  SELECT 'seg_opt', COUNT(*), COUNT(*) - COUNT(seg_opt),
+        |    COUNT(DISTINCT seg_opt),
+        |    CAST(MIN(seg_opt) AS VARCHAR), CAST(MAX(seg_opt) AS VARCHAR) FROM c)
+        |ORDER BY col_name""".stripMargin,
 
     "q_value_outliers" ->
       """WITH e AS (SELECT event_id, event_type, CAST(value AS DECIMAL(18,4)) AS vq FROM events),

@@ -75,4 +75,24 @@ class StatOpsSpec extends AnyFunSuite with SparkSpec {
     assert(zs.forall(z => math.abs(z) < 3.0),
       s"masking premise broken — a z cleared 3: ${zs.mkString(",")}")
   }
+
+  test("columnProfile: counts, nulls, exact distinct, min/max; one aggregate job") {
+    val d = Seq(
+      (1L, Some("a"), 10), (2L, None, 10), (3L, Some("b"), 20),
+      (4L, Some("a"), 30), (5L, None, 30)
+    ).toDF("id", "s", "n")
+    val got = StatOps.columnProfile(d, Seq("id", "s", "n"))
+      .as[(String, Long, Long, Long, String, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("id") == (("id", 5L, 0L, 5L, "1", "5")))
+    assert(got("s") == (("s", 5L, 2L, 2L, "a", "b")))
+    assert(got("n") == (("n", 5L, 0L, 3L, "10", "30")))
+    assert(got.size == 3)
+    // single pass: the plan holds Expand for the k distinct counts and no Join
+    val p = StatOps.columnProfile(d, Seq("id", "s", "n"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("Expand"), s"distincts should plan as one Expand pass:\n$p")
+    assert(!p.contains("Join"), s"profile must stay a single aggregate, no joins:\n$p")
+    assertThrows[IllegalArgumentException](StatOps.columnProfile(d, Seq.empty))
+  }
 }
