@@ -77,10 +77,15 @@ object Bench {
     val failed = results.collect { case (k, ts) if ts.length != reps => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, ts) if ts.length == reps => median(ts) }.sum
-    val json =
+    // The driver parses the stdout TAIL; with ~90 queries a line carrying
+    // both maps exceeds its capture window and parses as null (BENCH_r08).
+    // stdout gets medians only; BENCH.json keeps the full record with mins.
+    val stdoutJson =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    val fileJson =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"queries":$qs,"queries_min":$qsMin,"failed":$failed,"sf":"$sfDir"}"""
-    println(json)
-    Files.writeString(Paths.get("BENCH.json"), json + "\n")
+    println(stdoutJson)
+    Files.writeString(Paths.get("BENCH.json"), fileJson + "\n")
     spark.stop()
   }
 }
