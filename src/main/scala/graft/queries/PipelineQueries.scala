@@ -243,6 +243,24 @@ object PipelineQueries extends QueryDomain {
         $"doc_i", $"doc_j")
     },
 
+    "q_edit_join" -> { (s, dir) =>
+      import s.implicits._
+      // Edit-distance similarity join ([[StringJoins.editDistanceJoin]]):
+      // all name pairs within Levenshtein distance 2, candidates from the
+      // positional q-gram COUNT filter (equi-join on hashed grams + length/
+      // position pruning) with the bucketed short-string path — never
+      // all-pairs. The fixture's names have no planted typos, so a
+      // one-character-appended copy is unioned in (ed = 1 to its original);
+      // the oracle brute-forces with the same length prefilter.
+      val p = t(s, dir, "part").filter($"p_partkey" <= 600)
+        .select($"p_partkey".as("id"), $"p_name".as("s"))
+      val planted = p.select(($"id" + 100000L).as("id"),
+        concat($"s", lit("x")).as("s"))
+      orderedSmall(
+        StringJoins.editDistanceJoin(p.unionByName(planted), "id", "s", maxDist = 2),
+        $"id_i", $"id_j")
+    },
+
     // ---- sketches ---------------------------------------------------------
     "q_kmv_distinct" -> { (s, dir) =>
       import s.implicits._
@@ -1415,6 +1433,18 @@ object PipelineQueries extends QueryDomain {
         |WHERE len(list_distinct(list_concat(a.gr, b.gr))) > 0
         |  AND 5 * len(list_intersect(a.gr, b.gr)) >= 3 * len(list_distinct(list_concat(a.gr, b.gr)))
         |ORDER BY doc_i, doc_j""".stripMargin,
+
+    "q_edit_join" ->
+      """WITH s AS (
+        |  SELECT p_partkey AS id, p_name AS str FROM part WHERE p_partkey <= 600
+        |  UNION ALL
+        |  SELECT p_partkey + 100000, p_name || 'x' FROM part WHERE p_partkey <= 600)
+        |SELECT a.id AS id_i, b.id AS id_j,
+        |  CAST(levenshtein(a.str, b.str) AS BIGINT) AS dist
+        |FROM s a JOIN s b
+        |  ON a.id < b.id AND abs(length(a.str) - length(b.str)) <= 2
+        |WHERE levenshtein(a.str, b.str) <= 2
+        |ORDER BY id_i, id_j""".stripMargin,
 
     "q_kmv_distinct" ->
       s"""WITH h AS (SELECT DISTINCT lang, ${duckHash("text")} AS h
