@@ -319,6 +319,74 @@ object VectorOps {
       .distinct() // a pair colliding in k bands appears k times
   }
 
+  /** SemDeDup (Abbas et al., 2023 — semantic dedup for web-scale training
+    * data): assign every embedding to its nearest centroid, then run EXACT
+    * pairwise cosine *within each cluster only* and drop all but one member
+    * of every high-similarity pair. The clustering bounds the quadratic
+    * stage — within a cluster recall is exactly 1 (no LSH false-negative
+    * class like [[srpNearDupPairs]]'s banding), across clusters it is 0 by
+    * design; centroid count trades the two off.
+    *
+    * Candidate pairs: one self-join keyed on `cluster_id` (both sides are
+    * the same exchange — ReuseExchange computes the assignment once), with
+    * each vector's squared norm computed once per relation. The assignment
+    * itself is the compiled zero-shuffle [[graft.functions.NearestCentroid]]
+    * fold. A pathologically hot cluster degrades quadratically — that is the
+    * algorithm's contract; raise the centroid count (or re-run k-means) to
+    * re-bound it.
+    *
+    * The keep rule is the deterministic pairwise form: a row is dropped iff
+    * some SMALLER-id member of its cluster sits within `minCos`. This is
+    * not transitive-closure canonicalization — chains collapse through
+    * [[GraphOps.connectedComponents]] when cluster-level canonical sets are
+    * needed; SemDeDup's published procedure is likewise pairwise-local.
+    *
+    * `minCos` compares against the strict-left-fold cosine, whose bits are
+    * engine-identical (the hash-gated `cos` outputs of the near-dup family
+    * prove it), so a plain literal comparison is deterministic cross-engine.
+    *
+    * Output of [[semDedupPairs]]: (id_i < id_j, cluster_id, cos) per
+    * qualifying pair. Output of [[semDedup]]: (id, cluster_id, kept) for
+    * EVERY input row — zero-norm vectors keep a null cluster_id and are
+    * always kept (cosine against them is undefined).
+    */
+  def semDedupPairs(
+      data: DataFrame,
+      centroids: DataFrame,
+      idCol: String,
+      vecCol: String,
+      minCos: Double): DataFrame =
+    pairsOf(assignWithVec(data, centroids, idCol, vecCol), minCos)
+
+  private def pairsOf(assigned: DataFrame, minCos: Double): DataFrame = {
+    val a = assigned.filter(col("cluster_id").isNotNull)
+    a.select(col("id").as("id_i"), col("vec").as("v_i"), col("vnn").as("nn_i"),
+        col("cluster_id"))
+      .join(a.select(col("id").as("id_j"), col("vec").as("v_j"),
+        col("vnn").as("nn_j"), col("cluster_id")), Seq("cluster_id"))
+      .filter(col("id_i") < col("id_j"))
+      .withColumn("cos", cosineWithNorms(col("v_i"), col("v_j"), col("nn_i"), col("nn_j")))
+      .filter(col("cos") >= lit(minCos))
+      .select(col("id_i"), col("id_j"), col("cluster_id"), col("cos"))
+  }
+
+  /** The SemDeDup keep decision — see [[semDedupPairs]]. */
+  def semDedup(
+      data: DataFrame,
+      centroids: DataFrame,
+      idCol: String,
+      vecCol: String,
+      minCos: Double): DataFrame = {
+    // One assignment plan feeds both stages: the pair join's two sides share
+    // its cluster_id exchange (ReuseExchange), the keep join re-keys on id.
+    val assigned = assignWithVec(data, centroids, idCol, vecCol)
+    val dropped = pairsOf(assigned, minCos)
+      .select(col("id_j").as("id")).distinct()
+    assigned.select(col("id"), col("cluster_id"))
+      .join(dropped.withColumn("drop_", lit(true)), Seq("id"), "left")
+      .select(col("id"), col("cluster_id"), col("drop_").isNull.as("kept"))
+  }
+
   /** IVF-style approximate search: vectors are assigned to their
     * nearest-centroid cluster once; a query probes only its `nProbe`
     * nearest clusters and ranks candidates within them.

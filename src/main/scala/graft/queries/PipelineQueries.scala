@@ -1115,6 +1115,27 @@ object PipelineQueries extends QueryDomain {
         $"vec_i", $"vec_j")
     },
 
+    "q_semdedup" -> { (s, dir) =>
+      import s.implicits._
+      // SemDeDup ([[VectorOps.semDedup]]): nearest-centroid clusters bound
+      // the exact pairwise-cosine stage; within a cluster a row is dropped
+      // iff a smaller-id member sits at cos >= 0.8. Same planted twins as
+      // q_embed_neardup (first coordinate exactly doubled — bit-identical in
+      // both engines), fixed centroid rows like q_ann_ivf. Twins co-cluster
+      // with their originals (the perturbation barely moves the argmax), so
+      // the drops are exactly the planted side; cross-cluster recall 0 is
+      // the algorithm's documented contract, not a defect.
+      val e = t(s, dir, "embeddings")
+      val planted = e.select(($"vec_id" + 1000000L).as("vec_id"),
+        concat(array(element_at($"embedding", 1) * lit(2.0f)),
+          slice($"embedding", 2, 63)).as("embedding"))
+      val all = e.select($"vec_id", $"embedding").unionByName(planted)
+      val centroids = e.filter($"vec_id" < 10).select($"vec_id", $"embedding")
+      orderedSmall(
+        VectorOps.semDedup(all, centroids, "vec_id", "embedding", minCos = 0.8),
+        $"id")
+    },
+
     // ---- multimodal binary-column plumbing --------------------------------
     "q_multimodal_features" -> { (s, dir) =>
       import s.implicits._
@@ -2126,6 +2147,33 @@ object PipelineQueries extends QueryDomain {
          |WHERE bit_count(xor(a.sig, b.sig)) <= 3
          |ORDER BY vec_i, vec_j""".stripMargin
     },
+
+    "q_semdedup" ->
+      s"""WITH base AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 1000000,
+         |    list_concat([embedding[1] * CAST(2 AS FLOAT)], embedding[2:])
+         |  FROM embeddings),
+         |v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |  FROM base),
+         |n AS (SELECT vec_id, e, ${duckDot("e", "e")} AS nn FROM v),
+         |cen AS (SELECT vec_id AS cid, e, nn FROM n WHERE vec_id < 10),
+         |asg AS (SELECT vec_id, cluster_id FROM (
+         |  SELECT d.vec_id, c.cid AS cluster_id,
+         |    ROW_NUMBER() OVER (PARTITION BY d.vec_id
+         |      ORDER BY ${duckDot("d.e", "c.e")} / sqrt(d.nn * c.nn) DESC, c.cid) AS rn
+         |  FROM n d CROSS JOIN cen c) WHERE rn = 1),
+         |dropped AS (SELECT DISTINCT b.vec_id
+         |  FROM asg a JOIN asg b
+         |    ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+         |  JOIN n na ON na.vec_id = a.vec_id
+         |  JOIN n nb ON nb.vec_id = b.vec_id
+         |  WHERE ${duckDot("na.e", "nb.e")} / sqrt(na.nn * nb.nn) >= 0.8)
+         |SELECT asg.vec_id AS id, asg.cluster_id,
+         |  (dropped.vec_id IS NULL) AS kept
+         |FROM asg LEFT JOIN dropped ON dropped.vec_id = asg.vec_id
+         |ORDER BY id""".stripMargin,
 
     "q_multimodal_features" ->
       s"""SELECT doc_id,
