@@ -132,6 +132,74 @@ object MergeOps {
         (coalesce(col(n), lit(0)) + coalesce(col(s"graft_d_$n"), lit(0))).as(n))): _*)
   }
 
+  /** Slowly-changing-dimension TYPE 2 build — turn a keyed change history
+    * into versioned dimension rows with validity intervals: every surviving
+    * upsert becomes a row `[valid_from, valid_to)` where `valid_to` is the
+    * NEXT change's version (null = current); a delete (`op = 'd'`) closes
+    * the preceding interval and emits no row, and a later upsert of the same
+    * key opens a fresh one. `collapseUnchanged = true` additionally drops an
+    * upsert whose attributes null-safely equal the immediately preceding
+    * upsert's (the no-op update storms real CDC feeds are full of) — the
+    * comparison never reaches across a delete, so re-inserting an identical
+    * row after a delete still opens a new version.
+    *
+    * Column roles: `keys` identify the entity; `versionCol` is the change's
+    * effective time and becomes `valid_from`; `tieCols` break `versionCol`
+    * ties (pass enough for a UNIQUE total order per key — determinism is on
+    * the caller, as in [[lastWriteWins]]); `carryCols` ride through to the
+    * output but do NOT participate in the unchanged-comparison (version ids,
+    * audit columns); every remaining column is a compared attribute. Unknown
+    * op values fail the job via `raise_error`, as in [[applyChanges]].
+    *
+    * Scale posture: ONE hash exchange on `keys` serves both window passes —
+    * the collapse lag-filter preserves the sort order the interval lead pass
+    * requires, so EnsureRequirements inserts no second exchange or sort (the
+    * PlanShapeSpec guard). Per-key work is linear in that key's history; a
+    * pathologically hot entity serializes into one task, the same skew
+    * profile as any per-key window.
+    *
+    * Output: `keys ++ carryCols ++ attrs ++ (valid_from, valid_to,
+    * is_current)`.
+    */
+  def scdType2(
+      changes: DataFrame,
+      keys: Seq[String],
+      versionCol: String,
+      tieCols: Seq[Column] = Nil,
+      carryCols: Seq[String] = Nil,
+      opCol: String = "op",
+      collapseUnchanged: Boolean = false): DataFrame = {
+    require(keys.nonEmpty, "scdType2 needs at least one key column")
+    val attrs = changes.columns.toSeq.filterNot(c =>
+      keys.contains(c) || carryCols.contains(c) || c == versionCol || c == opCol)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(versionCol) +: tieCols: _*)
+    val checkedOp = when(col(opCol).isin("u", "d"), col(opCol))
+      .otherwise(raise_error(concat(
+        lit("scdType2: unknown op '"), col(opCol), lit("' (expected 'u' or 'd')"))))
+    val validated = changes.withColumn(opCol, checkedOp)
+    val survivors =
+      if (!collapseUnchanged) validated
+      else {
+        // lag() sees the PRE-filter neighbor, which is exactly right: equal
+        // attrs chain transitively, so comparing against a row that is
+        // itself collapsed still gives the correct verdict.
+        val prev = lag(struct(col(opCol) +: attrs.map(col): _*), 1).over(w)
+        val sameAttrs = attrs.map(c => col("graft_prev").getField(c) <=> col(c))
+          .reduceOption(_ && _).getOrElse(lit(true))
+        validated.withColumn("graft_prev", prev)
+          .filter(col(opCol) === "d" || col("graft_prev").isNull ||
+            !(col("graft_prev").getField(opCol) === "u" && sameAttrs))
+          .drop("graft_prev")
+      }
+    survivors
+      .withColumn("valid_to", lead(col(versionCol), 1).over(w))
+      .filter(col(opCol) === "u")
+      .select(keys.map(col) ++ carryCols.map(col) ++ attrs.map(col) ++ Seq(
+        col(versionCol).as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current")): _*)
+  }
+
   /** Snapshot diff — the dataset-versioning primitive: classify every key of
     * two versions of a keyed table as `added` (only in `v2`), `removed`
     * (only in `v1`), `changed` (present in both, some non-key column

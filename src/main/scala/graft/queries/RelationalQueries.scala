@@ -410,6 +410,25 @@ object RelationalQueries extends QueryDomain {
         $"c_custkey")
     },
 
+    "q_scd2" -> { (s, dir) =>
+      import s.implicits._
+      // SCD Type 2 build ([[MergeOps.scdType2]]): each customer's order feed
+      // replays as a change history — (status, priority) are the dimension
+      // attributes, every 13th order is a delete, no-op updates collapse —
+      // versioned into [valid_from, valid_to) rows with an is_current flag.
+      // The orderkey rides along as a carry column (audit id + unique output
+      // order) without joining the unchanged-comparison. One hash exchange
+      // serves both window passes (plan-guarded in ScdType2Spec).
+      val ch = t(s, dir, "orders").select($"o_custkey", $"o_orderkey",
+        $"o_orderdate", $"o_orderstatus", $"o_orderpriority",
+        when($"o_orderkey" % 13 === 0, "d").otherwise("u").as("op"))
+      orderedSmall(
+        MergeOps.scdType2(ch, Seq("o_custkey"), "o_orderdate",
+          tieCols = Seq($"o_orderkey"), carryCols = Seq("o_orderkey"),
+          collapseUnchanged = true),
+        $"o_custkey", $"o_orderkey")
+    },
+
     "q_incr_agg" -> { (s, dir) =>
       import s.implicits._
       // Incremental aggregate maintenance ([[MergeOps.refreshAggregate]]):
@@ -737,6 +756,31 @@ object RelationalQueries extends QueryDomain {
         |SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM customer t
         |WHERE NOT EXISTS (SELECT 1 FROM chg s WHERE s.c_custkey = t.c_custkey)
         |ORDER BY c_custkey""".stripMargin,
+
+    "q_scd2" ->
+      """WITH c AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus, o_orderpriority,
+        |    CASE WHEN o_orderkey % 13 = 0 THEN 'd' ELSE 'u' END AS op
+        |  FROM orders),
+        |l AS (
+        |  SELECT *,
+        |    lag(op) OVER w AS p_op,
+        |    lag(o_orderstatus) OVER w AS p_st,
+        |    lag(o_orderpriority) OVER w AS p_pr
+        |  FROM c WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+        |s AS (
+        |  SELECT * FROM l
+        |  WHERE op = 'd' OR p_op IS NULL
+        |    OR NOT (p_op = 'u' AND o_orderstatus IS NOT DISTINCT FROM p_st
+        |            AND o_orderpriority IS NOT DISTINCT FROM p_pr)),
+        |v AS (
+        |  SELECT *, lead(o_orderdate) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS valid_to
+        |  FROM s)
+        |SELECT o_custkey, o_orderkey, o_orderstatus, o_orderpriority,
+        |  o_orderdate AS valid_from, valid_to, (valid_to IS NULL) AS is_current
+        |FROM v WHERE op = 'u'
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "q_incr_agg" ->
       """WITH chg AS (
