@@ -741,6 +741,22 @@ object PipelineQueries extends QueryDomain {
         .orderBy($"window_start", $"event_type")
     },
 
+    "q_gap_fill" -> { (s, dir) =>
+      import s.implicits._
+      // Gap-fill + forward-fill ([[TimeSeriesOps.gapFill]]): each user's
+      // irregular daily activity densifies to a calendar spine between
+      // first and last active day, missing days carrying the most recent
+      // (count, exact-decimal value sum) forward — the resample().ffill()
+      // primitive. One keyed aggregate, a shuffle-free spine explode, one
+      // equi-join, one per-user window.
+      val obs = t(s, dir, "events")
+        .withColumn("day", to_date(timestamp_micros(expr("ts div 1000"))))
+        .groupBy($"user_id", $"day")
+        .agg(count(lit(1)).as("n_events"), dsum($"value").as("day_value"))
+      TimeSeriesOps.gapFill(obs, Seq("user_id"), "day", Seq("n_events", "day_value"))
+        .orderBy($"user_id", $"day")
+    },
+
     "q_asof_join" -> { (s, dir) =>
       import s.implicits._
       // As-of join ([[TemporalJoins.asofJoin]]): each purchase event picks
@@ -1704,6 +1720,28 @@ object PipelineQueries extends QueryDomain {
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+    "q_gap_fill" ->
+      """WITH obs AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n_events,
+        |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS day_value
+        |  FROM events GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT user_id,
+        |    CAST(unnest(generate_series(CAST(min(day) AS TIMESTAMP),
+        |      CAST(max(day) AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM obs GROUP BY user_id),
+        |j AS (
+        |  SELECT s.user_id, s.day, o.n_events, o.day_value,
+        |    (o.user_id IS NOT NULL) AS is_observed
+        |  FROM spine s LEFT JOIN obs o ON o.user_id = s.user_id AND o.day = s.day)
+        |SELECT user_id, day,
+        |  last_value(n_events IGNORE NULLS) OVER w AS n_events,
+        |  last_value(day_value IGNORE NULLS) OVER w AS day_value,
+        |  is_observed
+        |FROM j
+        |WINDOW w AS (PARTITION BY user_id ORDER BY day ROWS UNBOUNDED PRECEDING)
+        |ORDER BY user_id, day""".stripMargin,
 
     "q_stream_windows" ->
       """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS window_start,
