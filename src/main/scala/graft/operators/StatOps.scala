@@ -49,6 +49,49 @@ object StatOps {
       .select(col(groupCol), col("rnk"), col(idCol), col("z"))
   }
 
+  /** Per-group Pearson correlation and sample covariance of two measures,
+    * hash-gateable where the built-in `corr`/`covar_samp` are not: those
+    * accumulate double moments whose value depends on aggregation order.
+    * Here both measures quantize ONCE to DECIMAL(p, s) and the five moments
+    * (Σx, Σy, Σx², Σy², Σxy) accumulate exactly; the closing formula
+    *   r = (n·Σxy − Σx·Σy) / (√(n·Σx² − Σx²) · √(n·Σy² − Σy²))
+    * is then a fixed chain of exact-rounded casts and IEEE-specified
+    * `+ − × / sqrt` — bit-identical across engines and partitionings.
+    *
+    * Degenerate groups (a zero-variance side) report a null correlation;
+    * single-row groups report a null covariance. Precision headroom: the
+    * cross-moments hold p+p+1 integer digits — at the default (18,4) a
+    * trillion rows of 1e9-sized values still fit DECIMAL(38,8).
+    *
+    * Scale: one combiner-reduced hash aggregate per group, six numbers of
+    * state — the same shape as [[zscoreOutliers]]'s moment pass.
+    *
+    * Output: (groupCols…, n, corr_xy, cov_samp).
+    */
+  def correlation(df: DataFrame, groupCols: Seq[String], xCol: String, yCol: String,
+      precision: Int = 18, scale: Int = 4): DataFrame = {
+    require(groupCols.nonEmpty, "correlation needs at least one group column")
+    val x = col(xCol).cast(s"decimal($precision,$scale)")
+    val y = col(yCol).cast(s"decimal($precision,$scale)")
+    val agg = df.groupBy(groupCols.map(col): _*).agg(
+      count(lit(1)).as("n"),
+      sum(x).as("sx"), sum(y).as("sy"),
+      sum(x * x).as("sxx"), sum(y * y).as("syy"), sum(x * y).as("sxy"))
+    val nD = col("n").cast("double")
+    // decimal -> double routes through the canonical digit string: DuckDB's
+    // direct decimal->double on int128-backed values rounds twice (int ->
+    // double, then /10^scale) and lands one ulp off Spark's correctly-rounded
+    // BigDecimal path — the same divergence groupCentroids documents. A
+    // string parse is correctly rounded in both engines.
+    def dbl(c: String) = col(c).cast("string").cast("double")
+    val num = nD * dbl("sxy") - dbl("sx") * dbl("sy")
+    val den = sqrt(nD * dbl("sxx") - dbl("sx") * dbl("sx")) *
+      sqrt(nD * dbl("syy") - dbl("sy") * dbl("sy"))
+    agg.select(groupCols.map(col) ++ Seq(col("n"),
+      when(den =!= 0.0, num / den).as("corr_xy"),
+      when(col("n") > 1, num / (nD * (nD - lit(1.0)))).as("cov_samp")): _*)
+  }
+
   /** Per-group robust (median/MAD) outlier summary — the screen that
     * survives exactly the rows the z-score screen is broken by: a handful
     * of extreme values inflate mean and σ and mask themselves, while the

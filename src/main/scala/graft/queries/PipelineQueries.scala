@@ -695,6 +695,18 @@ object PipelineQueries extends QueryDomain {
         .orderBy($"grp")
     },
 
+    "q_correlation" -> { (s, dir) =>
+      import s.implicits._
+      // Per-group Pearson correlation + sample covariance
+      // ([[StatOps.correlation]]): exact decimal moments close into one
+      // fixed double expression, so the statistic itself is hash-gateable —
+      // the built-in corr/covar_samp accumulate order-dependent doubles and
+      // could never be. One six-number hash aggregate per group.
+      StatOps.correlation(t(s, dir, "lineitem"), Seq("l_returnflag"),
+          "l_quantity", "l_extendedprice")
+        .orderBy($"l_returnflag")
+    },
+
     "q_profile" -> { (s, dir) =>
       import s.implicits._
       // Single-pass column profile ([[StatOps.columnProfile]]) — the
@@ -1627,8 +1639,33 @@ object PipelineQueries extends QueryDomain {
         |FROM d JOIN md USING (grp)
         |GROUP BY d.grp ORDER BY grp""".stripMargin,
 
+    "q_correlation" -> {
+      // decimal -> double via the canonical VARCHAR (see StatOps.correlation:
+      // DuckDB's direct int128-decimal -> double rounds twice, one ulp off).
+      def v(c: String) = s"CAST(CAST($c AS VARCHAR) AS DOUBLE)"
+      val nD = "CAST(n AS DOUBLE)"
+      val num = s"($nD * ${v("sxy")} - ${v("sx")} * ${v("sy")})"
+      val den = s"(sqrt($nD * ${v("sxx")} - ${v("sx")} * ${v("sx")}) * " +
+        s"sqrt($nD * ${v("syy")} - ${v("sy")} * ${v("sy")}))"
+      s"""WITH m AS (SELECT l_returnflag,
+         |  count(*) AS n,
+         |  SUM(CAST(l_quantity AS DECIMAL(18,4))) AS sx,
+         |  SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS sy,
+         |  -- DECIMAL(19,·): DuckDB 1.0 multiplies width-18 decimals in their
+         |  -- int64 storage and overflows; width 19 forces int128. The values
+         |  -- are exact either way, matching Spark's (18,4)^2 -> (37,8).
+         |  SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4))) AS sxx,
+         |  SUM(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS syy,
+         |  SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS sxy
+         |  FROM lineitem GROUP BY l_returnflag)
+         |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+         |  CASE WHEN $den <> 0 THEN $num / $den END AS corr_xy,
+         |  CASE WHEN n > 1 THEN $num / ($nD * ($nD - 1.0)) END AS cov_samp
+         |FROM m ORDER BY l_returnflag""".stripMargin
+    },
+
     "q_profile" ->
-      """WITH c AS (SELECT c_custkey, c_name, c_nationkey,
+"""WITH c AS (SELECT c_custkey, c_name, c_nationkey,
         |    CAST(c_acctbal AS DECIMAL(18,2)) AS c_acctbal,
         |    CASE WHEN c_mktsegment <> 'BUILDING' THEN c_mktsegment END AS seg_opt
         |  FROM customer)
