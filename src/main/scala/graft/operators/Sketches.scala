@@ -25,6 +25,42 @@ object Sketches {
       .toAggregateExpression())
   }
 
+  /** The KMV sketch itself — k smallest distinct hashes, ascending
+    * ARRAY<BIGINT> — for set-algebra composition ([[kmvOverlap]]); see
+    * [[graft.functions.KmvMinima]].
+    */
+  def kmvMinima(hash: Column, k: Int): Column = {
+    import org.apache.spark.sql.graft.bridge
+    bridge.column(graft.functions.KmvMinima(bridge.expression(hash), k)
+      .toAggregateExpression())
+  }
+
+  /** Union / intersection estimates of two [[kmvMinima]] sketches built
+    * with the same `k` and hash (Beyer et al., SIGMOD'07): the merged
+    * bottom-k is itself the union's KMV sketch, so the union estimate is
+    * the usual `(k−1)·range/h_(k)`; the intersection scales that by the
+    * fraction of union-sketch members present in BOTH input sketches.
+    * When the merged sketch is unsaturated both inputs saw their full
+    * value sets and every figure is exact. Deterministic throughout —
+    * integer set ops plus one fixed double expression per estimate.
+    *
+    * Output: struct(n_union_min INT, union_kth LONG, est_union DOUBLE,
+    * n_both INT, est_intersection DOUBLE).
+    */
+  def kmvOverlap(a: Column, b: Column, k: Int, range: Long = TextOps.Prime): Column = {
+    import org.apache.spark.sql.functions._
+    val unionK = slice(array_sort(array_union(a, b)), 1, k)
+    val nU = size(unionK)
+    val kthU = when(nU === 0, lit(0L)).otherwise(element_at(unionK, nU))
+    val estU = when(nU < k, nU.cast("double"))
+      .otherwise(lit((k - 1).toDouble) * lit(range.toDouble) / kthU.cast("double"))
+    val nBoth = size(array_intersect(array_intersect(unionK, a), b))
+    val estI = when(nU < k, nBoth.cast("double"))
+      .otherwise(nBoth.cast("double") / lit(k.toDouble) * estU)
+    struct(nU.as("n_union_min"), kthU.as("union_kth"), estU.as("est_union"),
+      nBoth.as("n_both"), estI.as("est_intersection"))
+  }
+
   /** Misra–Gries frequent-items candidates of a STRING column: the ≤ `k`
     * items that can have frequency > n/(k+1), as a sorted array — see
     * [[graft.functions.MisraGries]]. Pair with an exact second pass over

@@ -283,6 +283,33 @@ object PipelineQueries extends QueryDomain {
     },
 
     // ---- text analysis ----------------------------------------------------
+    "q_kmv_overlap" -> { (s, dir) =>
+      import s.implicits._
+      // Corpus-overlap estimation from COMPOSED KMV sketches
+      // ([[Sketches.kmvMinima]] + [[Sketches.kmvOverlap]], Beyer et al.):
+      // two document subsets with a planted ~50% overlap (doc_id %2 vs %3 —
+      // intersection %6) each reduce to a bottom-64 sketch; union and
+      // intersection cardinalities come from merging the SKETCHES, never
+      // the value sets — the cross-corpus contamination-screen shape at
+      // 100 TB. Exact counts ride along for error inspection.
+      val h = docs(s, dir).filter($"text".isNotNull)
+        .select($"doc_id", TextOps.polyHash($"text").as("h"))
+      val a = h.filter($"doc_id" % 2 === 0)
+        .agg(Sketches.kmvMinima($"h", 64).as("am"), countDistinct($"h").as("exact_a"))
+      val b = h.filter($"doc_id" % 3 === 0)
+        .agg(Sketches.kmvMinima($"h", 64).as("bm"), countDistinct($"h").as("exact_b"))
+      val eu = h.filter($"doc_id" % 2 === 0 || $"doc_id" % 3 === 0)
+        .agg(countDistinct($"h").as("exact_union"))
+      val ei = h.filter($"doc_id" % 6 === 0)
+        .agg(countDistinct($"h").as("exact_intersection"))
+      a.crossJoin(b).crossJoin(eu).crossJoin(ei)
+        .select(Sketches.kmvOverlap($"am", $"bm", 64).as("o"),
+          $"exact_a", $"exact_b", $"exact_union", $"exact_intersection")
+        .select($"o.n_union_min", $"o.union_kth", $"o.est_union",
+          $"o.n_both", $"o.est_intersection",
+          $"exact_a", $"exact_b", $"exact_union", $"exact_intersection")
+    },
+
     "q_text_stats" -> { (s, dir) =>
       import s.implicits._
       val d = docs(s, dir).select($"lang", $"source",
@@ -1510,6 +1537,34 @@ object PipelineQueries extends QueryDomain {
          |            / CAST(MAX(CASE WHEN rk = 64 THEN h END) AS DOUBLE) END AS est_distinct,
          |  CAST(nd AS BIGINT) AS n_exact_hashes
          |FROM r GROUP BY lang, nd ORDER BY lang""".stripMargin,
+
+    "q_kmv_overlap" ->
+      s"""WITH h AS (SELECT doc_id, ${duckHash("text")} AS h
+         |  FROM documents WHERE text IS NOT NULL),
+         |a AS (SELECT list(DISTINCT h ORDER BY h)[:64] AS am,
+         |    CAST(count(DISTINCT h) AS BIGINT) AS exact_a
+         |  FROM h WHERE doc_id % 2 = 0),
+         |b AS (SELECT list(DISTINCT h ORDER BY h)[:64] AS bm,
+         |    CAST(count(DISTINCT h) AS BIGINT) AS exact_b
+         |  FROM h WHERE doc_id % 3 = 0),
+         |eu AS (SELECT CAST(count(DISTINCT h) AS BIGINT) AS exact_union
+         |  FROM h WHERE doc_id % 2 = 0 OR doc_id % 3 = 0),
+         |ei AS (SELECT CAST(count(DISTINCT h) AS BIGINT) AS exact_intersection
+         |  FROM h WHERE doc_id % 6 = 0),
+         |m AS (SELECT list_sort(list_distinct(list_concat(am, bm)))[:64] AS u, *
+         |  FROM a, b, eu, ei),
+         |c AS (SELECT *, len(u) AS n_union_min,
+         |    CASE WHEN len(u) = 0 THEN 0 ELSE u[len(u)] END AS union_kth,
+         |    CASE WHEN len(u) < 64 THEN CAST(len(u) AS DOUBLE)
+         |         ELSE 63.0 * 1000000007.0 / CAST(u[len(u)] AS DOUBLE) END AS est_union,
+         |    len(list_intersect(list_intersect(u, am), bm)) AS n_both
+         |  FROM m)
+         |SELECT CAST(n_union_min AS INT) AS n_union_min, union_kth, est_union,
+         |  CAST(n_both AS INT) AS n_both,
+         |  CASE WHEN n_union_min < 64 THEN CAST(n_both AS DOUBLE)
+         |       ELSE CAST(n_both AS DOUBLE) / 64.0 * est_union END AS est_intersection,
+         |  exact_a, exact_b, exact_union, exact_intersection
+         |FROM c""".stripMargin,
 
     "q_text_stats" ->
       """WITH d AS (SELECT lang, source,
