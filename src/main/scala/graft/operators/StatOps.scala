@@ -142,6 +142,67 @@ object StatOps {
         col("n_outliers"), col("max_dev"))
   }
 
+  /** Histogram-sketch quantiles — the bounded-state alternative to
+    * [[RelationalQueries]]' exact `percentile_disc` gates: an exact
+    * percentile SORTS each group's full value set, while a fixed-range
+    * histogram aggregates into `nBins` counters and reads every requested
+    * quantile off the cumulative counts. The answer is the containing BIN
+    * (its `[lo_edge, hi_edge)` range), i.e. error bounded by the bin width
+    * — the classic telemetry/latency-percentile trade at scale.
+    *
+    * Everything is INTEGER arithmetic, which is what makes an approximate
+    * quantile gateable at all: values quantize once to `scale` decimal
+    * places, bin indices are floor-divisions of exact longs (callers pick
+    * `lo`/`hi`/`nBins` with `span % nBins == 0`, enforced, so bin edges are
+    * exact), out-of-range values clamp to the edge bins, and each quantile
+    * threshold is `⌈n·num/den⌉` in exact longs. The only doubles are the
+    * final single-division edge renderings.
+    *
+    * Scale: one combiner-reduced hash aggregate (≤ `nBins` counters per
+    * group), one tiny per-group window over the histogram, never a sort of
+    * the data itself.
+    *
+    * Output: (grp, q_num, q_den, bin, lo_edge, hi_edge, n).
+    */
+  def histogramQuantiles(
+      df: DataFrame, groupCol: String, valueCol: String,
+      lo: BigDecimal, hi: BigDecimal, nBins: Int, qs: Seq[(Int, Int)],
+      scale: Int = 4): DataFrame = {
+    require(nBins >= 1 && qs.nonEmpty, "need at least one bin and one quantile")
+    require(qs.forall { case (n, d) => n >= 0 && n <= d && d > 0 },
+      s"quantiles must be fractions in [0, 1]: $qs")
+    val unit = BigDecimal(10).pow(scale)
+    val loI = (lo * unit).toLongExact
+    val hiI = (hi * unit).toLongExact
+    val span = hiI - loI
+    require(span > 0, s"hi must exceed lo, got [$lo, $hi]")
+    require(span % nBins == 0,
+      s"span $span must divide evenly into $nBins bins for exact edges")
+    val binW = span / nBins
+    val vi = (col(valueCol).cast(s"decimal(18,$scale)") * unit.toLong).cast("long")
+    val bin = when(vi < loI, lit(0L))
+      .when(vi >= hiI, lit((nBins - 1).toLong))
+      .otherwise(TemporalJoins.floorDiv(vi - loI, binW))
+    val hist = df.groupBy(col(groupCol).as("grp"), bin.as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy(col("grp")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("grp"))))
+    val qArr = array(qs.map { case (n, d) =>
+      struct(lit(n).as("q_num"), lit(d).as("q_den")) }: _*)
+    cum.select(col("grp"), col("bin"), col("cum"), col("n"),
+        explode(qArr).as("q"))
+      .filter(col("cum") * col("q.q_den") >= col("n") * col("q.q_num"))
+      .groupBy(col("grp"), col("q.q_num").as("q_num"), col("q.q_den").as("q_den"))
+      .agg(min(col("bin")).as("bin"), first(col("n")).as("n"))
+      .select(col("grp"), col("q_num"), col("q_den"), col("bin"),
+        ((lit(loI) + col("bin") * binW).cast("double") / unit.toDouble).as("lo_edge"),
+        ((lit(loI) + (col("bin") + 1) * binW).cast("double") / unit.toDouble).as("hi_edge"),
+        col("n"))
+  }
+
   /** Single-pass column profile — the `ANALYZE TABLE` stats-collection
     * primitive a 100 TB ingest runs before anything else: per column, the
     * row count, null count, EXACT distinct count, and min/max (rendered as

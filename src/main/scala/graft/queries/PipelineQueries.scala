@@ -734,6 +734,19 @@ object PipelineQueries extends QueryDomain {
         .orderBy($"l_returnflag")
     },
 
+    "q_hist_quantiles" -> { (s, dir) =>
+      import s.implicits._
+      // Histogram-sketch quantiles ([[StatOps.histogramQuantiles]]): p25/50/
+      // 75/90/99 of extended price per return flag from 1100 fixed bins —
+      // bounded aggregate state instead of the per-group sort the exact
+      // q_percentiles gate pays. All-integer binning and thresholds; the
+      // oracle reproduces the arithmetic bin by bin.
+      StatOps.histogramQuantiles(t(s, dir, "lineitem"),
+          "l_returnflag", "l_extendedprice", lo = 0, hi = 110000, nBins = 1100,
+          qs = Seq((1, 4), (1, 2), (3, 4), (9, 10), (99, 100)))
+        .orderBy($"grp", $"q_num", $"q_den")
+    },
+
     "q_profile" -> { (s, dir) =>
       import s.implicits._
       // Single-pass column profile ([[StatOps.columnProfile]]) — the
@@ -1718,6 +1731,29 @@ object PipelineQueries extends QueryDomain {
          |  CASE WHEN n > 1 THEN $num / ($nD * ($nD - 1.0)) END AS cov_samp
          |FROM m ORDER BY l_returnflag""".stripMargin
     },
+
+    "q_hist_quantiles" ->
+      """WITH v AS (SELECT l_returnflag AS grp,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000 AS BIGINT) AS vi
+        |  FROM lineitem),
+        |b AS (SELECT grp,
+        |    CASE WHEN vi < 0 THEN 0 WHEN vi >= 1100000000 THEN 1099
+        |         ELSE vi // 1000000 END AS bin
+        |  FROM v),
+        |h AS (SELECT grp, bin, count(*) AS cnt FROM b GROUP BY 1, 2),
+        |c AS (SELECT grp, bin, cnt,
+        |    SUM(cnt) OVER (PARTITION BY grp ORDER BY bin) AS cum,
+        |    SUM(cnt) OVER (PARTITION BY grp) AS n
+        |  FROM h),
+        |q(q_num, q_den) AS (VALUES (1, 4), (1, 2), (3, 4), (9, 10), (99, 100)),
+        |sel AS (SELECT grp, q_num, q_den, min(bin) AS bin, min(n) AS n
+        |  FROM c CROSS JOIN q WHERE cum * q_den >= n * q_num
+        |  GROUP BY 1, 2, 3)
+        |SELECT grp, q_num, q_den, bin,
+        |  CAST(0 + bin * 1000000 AS DOUBLE) / 10000.0 AS lo_edge,
+        |  CAST(0 + (bin + 1) * 1000000 AS DOUBLE) / 10000.0 AS hi_edge,
+        |  CAST(n AS BIGINT) AS n
+        |FROM sel ORDER BY grp, q_num, q_den""".stripMargin,
 
     "q_profile" ->
 """WITH c AS (SELECT c_custkey, c_name, c_nationkey,
