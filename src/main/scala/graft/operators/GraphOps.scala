@@ -188,4 +188,55 @@ object GraphOps {
     }
     result.get
   }
+
+  /** Exact global triangle count via DEGREE-ORDERED edge orientation (the
+    * MapReduce-triangles construction of Suri & Vassilvitskii, WWW'11 /
+    * Cohen '09): orient every undirected edge from its lower-(degree, id)
+    * endpoint to the higher, enumerate wedges only at each edge's SOURCE,
+    * and close them against the oriented edge set. Each triangle is counted
+    * exactly once — at its minimum-rank vertex — so no /3 correction or
+    * dedup stage exists.
+    *
+    * The orientation is the scale move: out-degrees under it are bounded by
+    * O(√m) on any graph (and by the arboricity in general), so the wedge
+    * stage generates Σ outdeg² = O(m^1.5) rows worst-case instead of the
+    * Σ deg² a hub explodes to — a celebrity node with 10⁷ neighbors
+    * contributes wedges only through the few neighbors that outrank it.
+    * Plan shape: one node-keyed aggregate for degrees, two edge joins to
+    * attach them, a self-join on the wedge pivot (both sides the same
+    * exchange — ReuseExchange), and one (ws, wt)-keyed semi join to close.
+    * Self-loops and duplicate/reversed edges are tolerated and ignored, as
+    * in [[connectedComponents]].
+    *
+    * @return ONE row: (n_nodes, n_edges, n_triangles) — all
+    *         orientation-independent, so an oracle needs no rank tie rules
+    */
+  def triangleCount(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges.select(
+        least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("u"),
+        greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("v"))
+      .filter(col("u") =!= col("v") && col("u").isNotNull)
+      .distinct()
+    val deg = e.select(explode(array(col("u"), col("v"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // (deg, id) is a total order on nodes — ties on degree break by id.
+    val oriented = e
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+      .select(when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+          struct(col("u").as("s"), col("v").as("t"), col("dv").as("dt")))
+        .otherwise(struct(col("v").as("s"), col("u").as("t"), col("du").as("dt"))).as("o"))
+      .select(col("o.s").as("s"), col("o.t").as("t"), col("o.dt").as("dt"))
+    val byPivot = oriented.select(col("s"), struct(col("dt"), col("t")).as("r"))
+    val wedges = byPivot.toDF("s", "r1").join(byPivot.toDF("s", "r2"), Seq("s"))
+      .filter(col("r1") < col("r2")) // unordered neighbor pair, once
+      .select(col("r1.t").as("ws"), col("r2.t").as("wt"))
+    // An oriented closing edge (ws -> wt) exists iff {ws, wt} is an edge and
+    // rank(ws) < rank(wt) — which the wedge's r1 < r2 already guarantees.
+    val tri = wedges.join(oriented.select(col("s").as("ws"), col("t").as("wt")),
+      Seq("ws", "wt"), "left_semi")
+    deg.agg(count(lit(1)).as("n_nodes"))
+      .crossJoin(e.agg(count(lit(1)).as("n_edges")))
+      .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
+  }
 }

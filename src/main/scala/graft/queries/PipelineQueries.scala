@@ -113,6 +113,21 @@ object PipelineQueries extends QueryDomain {
         .orderBy($"doc_id")
     },
 
+    "q_triangles" -> { (s, dir) =>
+      import s.implicits._
+      // Exact triangle counting ([[GraphOps.triangleCount]]) over the
+      // co-supplier graph — suppliers joined by shipping the same part —
+      // degree-ordered so wedge work is bounded by O(m^1.5), never a hub's
+      // Σdeg². The co-occurrence edge generation here is the usual
+      // projection join (capped per part in a production pipeline); the
+      // operator under gate is the count itself.
+      val ps = t(s, dir, "lineitem").select($"l_partkey", $"l_suppkey").distinct()
+      val edges = ps.as("a").join(ps.as("b"), Seq("l_partkey"))
+        .filter(col("a.l_suppkey") < col("b.l_suppkey"))
+        .select(col("a.l_suppkey").as("s1"), col("b.l_suppkey").as("s2"))
+      GraphOps.triangleCount(edges, "s1", "s2")
+    },
+
     "q_dedup_incremental" -> { (s, dir) =>
       import s.implicits._
       // INCREMENTAL dedup — the steady-state shape of every production
@@ -1407,6 +1422,20 @@ object PipelineQueries extends QueryDomain {
          |SELECT node AS doc_id, cluster_id,
          |  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
          |FROM comp ORDER BY doc_id""".stripMargin,
+
+    "q_triangles" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        |e AS (SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+        |  FROM ps a JOIN ps b
+        |    ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM (
+        |  SELECT u AS node FROM e UNION SELECT v FROM e)),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        |  FROM e e1
+        |  JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+        |  JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v)
+        |SELECT n_nodes, n_edges, n_triangles FROM n, m, t""".stripMargin,
 
     // Brute-force batch×corpus Hamming scan — equals the banded cross-join
     // by the recall-1 pigeonhole (crossNearDupPairs' contract).
