@@ -142,6 +142,33 @@ object StatOps {
         col("n_outliers"), col("max_dev"))
   }
 
+  /** Null imputation by per-group discrete median — the standard robust
+    * fill for a measure column before training/aggregation. Non-null values
+    * pass through BIT-UNCHANGED; nulls take their group's
+    * [[robustOutliers]]-style median (quantized once to DECIMAL(18,4),
+    * `percentile_disc` so the fill is an actual observed value, cast back
+    * to double — exact while |v|·10⁴ fits 53 bits). A group with no
+    * non-null values leaves its nulls in place, flagged un-imputed.
+    *
+    * Non-destructive: appends `<valueCol>_filled` and `was_imputed` to the
+    * input columns.
+    *
+    * Scale: one group-keyed median aggregate, broadcast back over the
+    * stream — the measure column never re-shuffles.
+    */
+  def imputeMedian(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val med = df.groupBy(col(groupCol))
+      .agg(expr(s"percentile_disc(0.5) WITHIN GROUP " +
+        s"(ORDER BY CAST($valueCol AS DECIMAL(18,4)))")
+        .cast("decimal(18,4)").as("graft_med"))
+    df.join(broadcast(med), Seq(groupCol), "left")
+      .withColumn(s"${valueCol}_filled",
+        coalesce(col(valueCol).cast("double"), col("graft_med").cast("double")))
+      .withColumn("was_imputed",
+        col(valueCol).isNull && col("graft_med").isNotNull)
+      .drop("graft_med")
+  }
+
   /** Histogram-sketch quantiles — the bounded-state alternative to
     * [[RelationalQueries]]' exact `percentile_disc` gates: an exact
     * percentile SORTS each group's full value set, while a fixed-range

@@ -749,6 +749,20 @@ object PipelineQueries extends QueryDomain {
         .orderBy($"l_returnflag")
     },
 
+    "q_impute" -> { (s, dir) =>
+      import s.implicits._
+      // Group-median null imputation ([[StatOps.imputeMedian]]): every 9th
+      // event's value is nulled, then filled from its event_type's discrete
+      // median — non-null bits pass through untouched, fills are flagged.
+      // One median aggregate broadcast back; the stream never re-shuffles.
+      val ev = t(s, dir, "events")
+        .select($"event_id", $"event_type",
+          when($"event_id" % 9 =!= 0, $"value").as("v"))
+      StatOps.imputeMedian(ev, "event_type", "v")
+        .select($"event_id", $"event_type", $"v", $"v_filled", $"was_imputed")
+        .orderBy($"event_id")
+    },
+
     "q_hist_quantiles" -> { (s, dir) =>
       import s.implicits._
       // Histogram-sketch quantiles ([[StatOps.histogramQuantiles]]): p25/50/
@@ -1760,6 +1774,19 @@ object PipelineQueries extends QueryDomain {
          |  CASE WHEN n > 1 THEN $num / ($nD * ($nD - 1.0)) END AS cov_samp
          |FROM m ORDER BY l_returnflag""".stripMargin
     },
+
+    "q_impute" ->
+      """WITH ev AS (SELECT event_id, event_type,
+        |    CASE WHEN event_id % 9 <> 0 THEN value END AS v
+        |  FROM events),
+        |med AS (SELECT event_type,
+        |    CAST(quantile_disc(CAST(v AS DECIMAL(18,4)), 0.5) AS DECIMAL(18,4)) AS m
+        |  FROM ev GROUP BY event_type)
+        |SELECT ev.event_id, ev.event_type, ev.v,
+        |  COALESCE(ev.v, CAST(med.m AS DOUBLE)) AS v_filled,
+        |  (ev.v IS NULL AND med.m IS NOT NULL) AS was_imputed
+        |FROM ev LEFT JOIN med USING (event_type)
+        |ORDER BY event_id""".stripMargin,
 
     "q_hist_quantiles" ->
       """WITH v AS (SELECT l_returnflag AS grp,
