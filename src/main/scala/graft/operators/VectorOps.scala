@@ -33,7 +33,24 @@ object VectorOps {
   private def foldSum(a: Column): Column =
     aggregate(a, lit(0.0), (acc, x) => acc + x)
 
-  def dot(a: Column, b: Column): Column =
+  /** Strict left-fold dot product, COMPILED ([[graft.functions.DotProduct]]
+    * — one codegen'd loop instead of ~dim interpreted double ops per
+    * evaluation; the exact similarity stages evaluate this per candidate
+    * PAIR, where the interpreted fold was the measured floor of q_semdedup).
+    * Bit-identical to [[dotHof]] on its whole domain (DotProductSpec), so
+    * every hash-gated cosine output is unchanged.
+    */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.bridge
+    bridge.column(graft.functions.DotProduct(
+      bridge.expression(a), bridge.expression(b)))
+  }
+
+  /** Interpreted HOF twin of [[dot]] — the executable spec the compiled
+    * form must stay bit-identical to, and the shape the DuckDB oracles
+    * mirror (`list_reduce` over `list_transform`).
+    */
+  private[graft] def dotHof(a: Column, b: Column): Column =
     foldSum(zip_with(asDouble(a), asDouble(b), (x, y) => x * y))
 
   /** Per-group mean pooling (class centroids / prototype vectors): the
@@ -65,7 +82,10 @@ object VectorOps {
       .select(col("grp"), col("pos").cast("int").as("pos"), col("n"), col("sv"),
         (col("sv").cast("double") / col("n")).as("mean_v"))
 
-  def norm2(a: Column): Column = {
+  def norm2(a: Column): Column = dot(a, a)
+
+  /** Interpreted HOF twin of [[norm2]] (see [[dotHof]]). */
+  private[graft] def norm2Hof(a: Column): Column = {
     val d = asDouble(a)
     foldSum(zip_with(d, d, (x, y) => x * y))
   }

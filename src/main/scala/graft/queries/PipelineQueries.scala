@@ -115,17 +115,19 @@ object PipelineQueries extends QueryDomain {
 
     "q_triangles" -> { (s, dir) =>
       import s.implicits._
-      // Exact triangle counting ([[GraphOps.triangleCount]]) over the
-      // co-supplier graph — suppliers joined by shipping the same part —
-      // degree-ordered so wedge work is bounded by O(m^1.5), never a hub's
-      // Σdeg². The co-occurrence edge generation here is the usual
-      // projection join (capped per part in a production pipeline); the
-      // operator under gate is the count itself.
-      val ps = t(s, dir, "lineitem").select($"l_partkey", $"l_suppkey").distinct()
-      val edges = ps.as("a").join(ps.as("b"), Seq("l_partkey"))
-        .filter(col("a.l_suppkey") < col("b.l_suppkey"))
-        .select(col("a.l_suppkey").as("s1"), col("b.l_suppkey").as("s2"))
-      GraphOps.triangleCount(edges, "s1", "s2")
+      // Exact triangle counting ([[GraphOps.triangleCount]]) over a SPARSE
+      // deterministic graph: customers linked when their orders have
+      // consecutive order keys (an equi-join on o_orderkey+1 — average
+      // degree ~2·orders-per-customer, a realistic social-graph density).
+      // A co-occurrence projection (e.g. co-suppliers per part) is the
+      // WRONG gate graph here: on this uniform fixture it converges to a
+      // near-complete clique whose Θ(n³) triangles measure the input, not
+      // the operator. Degree ordering bounds wedge work at O(m^1.5).
+      val o = t(s, dir, "orders").select($"o_orderkey", $"o_custkey")
+      val edges = o.as("a")
+        .join(o.as("b"), col("a.o_orderkey") + 1 === col("b.o_orderkey"))
+        .select(col("a.o_custkey").as("c1"), col("b.o_custkey").as("c2"))
+      GraphOps.triangleCount(edges, "c1", "c2")
     },
 
     "q_dedup_incremental" -> { (s, dir) =>
@@ -1438,10 +1440,10 @@ object PipelineQueries extends QueryDomain {
          |FROM comp ORDER BY doc_id""".stripMargin,
 
     "q_triangles" ->
-      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
-        |e AS (SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
-        |  FROM ps a JOIN ps b
-        |    ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey),
+      """WITH raw AS (SELECT a.o_custkey AS s, b.o_custkey AS d
+        |  FROM orders a JOIN orders b ON a.o_orderkey + 1 = b.o_orderkey),
+        |e AS (SELECT DISTINCT least(s, d) AS u, greatest(s, d) AS v
+        |  FROM raw WHERE s <> d),
         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM (
         |  SELECT u AS node FROM e UNION SELECT v FROM e)),
         |m AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e),
