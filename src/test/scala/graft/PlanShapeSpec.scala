@@ -203,6 +203,29 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       s"rules must be data inside one fold, not k chained folds:\n$p")
   }
 
+  test("q_edit_join: candidates from equi-joins only — never an all-pairs scan") {
+    val p = plan("q_edit_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"edit join must never go all-pairs:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(p_partkey), LessThanOrEqual(p_partkey,600)"),
+      s"key restriction must reach the scan:\n$p")
+  }
+
+  test("q_semdedup and q_cosine_topk: pair cosine is the compiled dot, not the HOF fold") {
+    val sd = plan("q_semdedup")
+    assert(sd.contains("graft_dot"), s"semdedup cosine must be compiled:\n$sd")
+    // the interpreted fold would print as aggregate(zip_with(...)) in the
+    // pair-join condition; only the assignment's vnn input may keep HOF form
+    assert(!sd.contains("CartesianProduct"), s"pairs must come from the cluster equi-join:\n$sd")
+    assert(plan("q_cosine_topk").contains("graft_dot"))
+  }
+
+  test("q_triangles: wedge closing is an equi-join; no cartesian anywhere") {
+    val p = plan("q_triangles")
+    assert(!p.contains("CartesianProduct"), s"triangle plan must stay equi-joined:\n$p")
+    assert(p.contains("LeftSemi"), s"wedges must close via a semi join:\n$p")
+  }
+
   test("whole-stage codegen covers the scalar pipelines") {
     // AQE prints codegen stages only in the FINAL plan — execute first.
     val df = SparkEntry.queries("q_scalar_string")(spark, sf0001)
