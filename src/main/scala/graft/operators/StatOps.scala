@@ -142,6 +142,36 @@ object StatOps {
         col("n_outliers"), col("max_dev"))
   }
 
+  /** Per-group simple linear regression `y = slope·x + intercept` from the
+    * same exact decimal moments as [[correlation]] — five exact sums close
+    * into fixed double expressions, so the fitted line (and its R², which
+    * is just the squared correlation) is hash-gateable where an
+    * accumulate-in-doubles `regr_slope` could not be.
+    *
+    * Degenerate groups (zero x-variance) report null slope/intercept/r2.
+    * Output: (groupCols…, n, slope, intercept, r2).
+    */
+  def linearFit(df: DataFrame, groupCols: Seq[String], xCol: String, yCol: String,
+      precision: Int = 18, scale: Int = 4): DataFrame = {
+    require(groupCols.nonEmpty, "linearFit needs at least one group column")
+    val x = col(xCol).cast(s"decimal($precision,$scale)")
+    val y = col(yCol).cast(s"decimal($precision,$scale)")
+    val agg = df.groupBy(groupCols.map(col): _*).agg(
+      count(lit(1)).as("n"),
+      sum(x).as("sx"), sum(y).as("sy"),
+      sum(x * x).as("sxx"), sum(y * y).as("syy"), sum(x * y).as("sxy"))
+    val nD = col("n").cast("double")
+    def dbl(c: String) = col(c).cast("string").cast("double") // see correlation
+    val num = nD * dbl("sxy") - dbl("sx") * dbl("sy")
+    val denX = nD * dbl("sxx") - dbl("sx") * dbl("sx")
+    val denY = nD * dbl("syy") - dbl("sy") * dbl("sy")
+    val slope = num / denX
+    agg.select(groupCols.map(col) ++ Seq(col("n"),
+      when(denX =!= 0.0, slope).as("slope"),
+      when(denX =!= 0.0, (dbl("sy") - slope * dbl("sx")) / nD).as("intercept"),
+      when(denX =!= 0.0 && denY =!= 0.0, num * num / (denX * denY)).as("r2")): _*)
+  }
+
   /** Null imputation by per-group discrete median — the standard robust
     * fill for a measure column before training/aggregation. Non-null values
     * pass through BIT-UNCHANGED; nulls take their group's

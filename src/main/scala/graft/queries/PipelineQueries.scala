@@ -751,6 +751,18 @@ object PipelineQueries extends QueryDomain {
         .orderBy($"l_returnflag")
     },
 
+    "q_linear_fit" -> { (s, dir) =>
+      import s.implicits._
+      // Per-group least-squares line ([[StatOps.linearFit]]): slope/
+      // intercept/R² of extended price on quantity per return flag, closed
+      // from the same exact decimal moments as q_correlation — the trend
+      // statistic regr_slope cannot gate (its double accumulation is
+      // order-dependent).
+      StatOps.linearFit(t(s, dir, "lineitem"), Seq("l_returnflag"),
+          "l_quantity", "l_extendedprice")
+        .orderBy($"l_returnflag")
+    },
+
     "q_impute" -> { (s, dir) =>
       import s.implicits._
       // Group-median null imputation ([[StatOps.imputeMedian]]): every 9th
@@ -1774,6 +1786,28 @@ object PipelineQueries extends QueryDomain {
          |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
          |  CASE WHEN $den <> 0 THEN $num / $den END AS corr_xy,
          |  CASE WHEN n > 1 THEN $num / ($nD * ($nD - 1.0)) END AS cov_samp
+         |FROM m ORDER BY l_returnflag""".stripMargin
+    },
+
+    "q_linear_fit" -> {
+      def v(c: String) = s"CAST(CAST($c AS VARCHAR) AS DOUBLE)"
+      val nD = "CAST(n AS DOUBLE)"
+      val num = s"($nD * ${v("sxy")} - ${v("sx")} * ${v("sy")})"
+      val denX = s"($nD * ${v("sxx")} - ${v("sx")} * ${v("sx")})"
+      val denY = s"($nD * ${v("syy")} - ${v("sy")} * ${v("sy")})"
+      val slope = s"($num / $denX)"
+      s"""WITH m AS (SELECT l_returnflag,
+         |  count(*) AS n,
+         |  SUM(CAST(l_quantity AS DECIMAL(18,4))) AS sx,
+         |  SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS sy,
+         |  SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4))) AS sxx,
+         |  SUM(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS syy,
+         |  SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS sxy
+         |  FROM lineitem GROUP BY l_returnflag)
+         |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+         |  CASE WHEN $denX <> 0 THEN $slope END AS slope,
+         |  CASE WHEN $denX <> 0 THEN (${v("sy")} - $slope * ${v("sx")}) / $nD END AS intercept,
+         |  CASE WHEN $denX <> 0 AND $denY <> 0 THEN $num * $num / ($denX * $denY) END AS r2
          |FROM m ORDER BY l_returnflag""".stripMargin
     },
 
