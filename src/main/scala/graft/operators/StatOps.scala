@@ -172,6 +172,42 @@ object StatOps {
       when(denX =!= 0.0 && denY =!= 0.0, num * num / (denX * denY)).as("r2")): _*)
   }
 
+  /** Pearson χ² test of independence between two categorical columns — the
+    * drift/association screen over a contingency table (is `lang`
+    * independent of `source`?). Observed counts are exact integers; each
+    * cell's `(o−e)²/e` is a fixed double expression over them; and the
+    * cross-cell Σ — the one order-sensitive double reduction — runs as a
+    * SORTED fold over the collected cells (the [[VectorOps.rrfFuse]]
+    * convention), so χ² is deterministic and hash-gateable.
+    *
+    * Contract: the CELL COUNT (|A|·|B|) is bounded — the cells collect into
+    * one array for the fold. The input itself never does: cells come from
+    * one combiner-reduced count aggregate; totals are aggregates OF the
+    * cells, broadcast back.
+    *
+    * Output: ONE row (n, n_a, n_b, dof, chi2).
+    */
+  def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("o"))
+    val rowT = cells.groupBy(col("a")).agg(sum(col("o")).as("ra"))
+    val colT = cells.groupBy(col("b")).agg(sum(col("o")).as("cb"))
+    val tot = cells.agg(sum(col("o")).as("n"),
+      countDistinct(col("a")).as("n_a"), countDistinct(col("b")).as("n_b"))
+    val e = col("ra").cast("double") * col("cb").cast("double") / col("n").cast("double")
+    val od = col("o").cast("double")
+    val term = (od - e) * (od - e) / e
+    cells
+      .join(broadcast(rowT), "a").join(broadcast(colT), "b")
+      .crossJoin(broadcast(tot))
+      .select(col("a"), col("b"), term.as("term"), col("n"), col("n_a"), col("n_b"))
+      .groupBy(col("n"), col("n_a"), col("n_b"))
+      .agg(aggregate(sort_array(collect_list(struct(col("a"), col("b"), col("term")))),
+        lit(0.0), (acc, x) => acc + x.getField("term")).as("chi2"))
+      .select(col("n"), col("n_a"), col("n_b"),
+        ((col("n_a") - 1) * (col("n_b") - 1)).as("dof"), col("chi2"))
+  }
+
   /** Null imputation by per-group discrete median — the standard robust
     * fill for a measure column before training/aggregation. Non-null values
     * pass through BIT-UNCHANGED; nulls take their group's

@@ -751,6 +751,16 @@ object PipelineQueries extends QueryDomain {
         .orderBy($"l_returnflag")
     },
 
+    "q_chi_square" -> { (s, dir) =>
+      import s.implicits._
+      // χ² independence of lang × source ([[StatOps.chiSquare]]): exact
+      // integer contingency counts, per-cell terms as fixed double
+      // expressions, the cross-cell sum as a SORTED fold — the one
+      // construction that makes the statistic partition-order-free and
+      // therefore gateable.
+      StatOps.chiSquare(docs(s, dir), "lang", "source")
+    },
+
     "q_linear_fit" -> { (s, dir) =>
       import s.implicits._
       // Per-group least-squares line ([[StatOps.linearFit]]): slope/
@@ -1788,6 +1798,26 @@ object PipelineQueries extends QueryDomain {
          |  CASE WHEN n > 1 THEN $num / ($nD * ($nD - 1.0)) END AS cov_samp
          |FROM m ORDER BY l_returnflag""".stripMargin
     },
+
+    "q_chi_square" ->
+      """WITH cells AS (SELECT lang AS a, source AS b, count(*) AS o
+        |  FROM documents GROUP BY 1, 2),
+        |rt AS (SELECT a, sum(o) AS ra FROM cells GROUP BY a),
+        |ct AS (SELECT b, sum(o) AS cb FROM cells GROUP BY b),
+        |tot AS (SELECT sum(o) AS n,
+        |    count(DISTINCT a) AS n_a, count(DISTINCT b) AS n_b FROM cells),
+        |terms AS (SELECT cells.a, cells.b,
+        |    (CAST(o AS DOUBLE) - CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(n AS DOUBLE))
+        |    * (CAST(o AS DOUBLE) - CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(n AS DOUBLE))
+        |    / (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(n AS DOUBLE)) AS term,
+        |    n, n_a, n_b
+        |  FROM cells JOIN rt USING (a) JOIN ct USING (b) CROSS JOIN tot)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(n_a AS BIGINT) AS n_a,
+        |  CAST(n_b AS BIGINT) AS n_b,
+        |  CAST((n_a - 1) * (n_b - 1) AS BIGINT) AS dof,
+        |  list_reduce(list_prepend(CAST(0 AS DOUBLE), list(term ORDER BY a, b)),
+        |    (acc, x) -> acc + x) AS chi2
+        |FROM terms GROUP BY n, n_a, n_b""".stripMargin,
 
     "q_linear_fit" -> {
       def v(c: String) = s"CAST(CAST($c AS VARCHAR) AS DOUBLE)"
