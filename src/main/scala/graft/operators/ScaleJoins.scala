@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Join strategies for the two big-cluster failure modes Catalyst cannot
@@ -128,4 +129,37 @@ object ScaleJoins {
     */
   def readPartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Capped co-occurrence projection: distinct unordered item pairs that
+    * share a key — "users who touched the same page", "suppliers shipping
+    * the same part" — with each key contributing at most C(maxPerKey, 2)
+    * pairs. The UNCAPPED projection is the classic silent scale killer: one
+    * hub key with 10⁶ items emits 5·10¹¹ pairs all by itself (and on a
+    * uniform fixture the graph quietly converges to a clique — measured:
+    * the first q_triangles gate). The cap makes truncation EXPLICIT and
+    * deterministic: every key keeps its `maxPerKey` SMALLEST items (a
+    * per-key rank, ties impossible after the internal distinct), so two
+    * engines — and two runs — truncate identically.
+    *
+    * Shape: (key, item) distinct → per-key rank window → self-join on the
+    * key (both sides one exchange, ReuseExchange). Work is bounded by
+    * |keys|·maxPerKey², by construction — the property the 100 TB plan
+    * needs and AQE cannot conjure.
+    *
+    * Output: (item_i < item_j, n_shared_keys) — pair plus the number of
+    * capped keys it co-occurs under.
+    */
+  def cappedCoOccurrence(
+      df: DataFrame, keyCol: String, itemCol: String, maxPerKey: Int): DataFrame = {
+    require(maxPerKey >= 2, s"need at least 2 items per key to form pairs, got $maxPerKey")
+    val ki = df.select(col(keyCol).as("k"), col(itemCol).as("it")).distinct()
+    val w = Window.partitionBy(col("k")).orderBy(col("it"))
+    val capped = ki.withColumn("graft_rk", row_number().over(w))
+      .filter(col("graft_rk") <= maxPerKey)
+      .select(col("k"), col("it"))
+    capped.toDF("k", "it_i").join(capped.toDF("k", "it_j"), Seq("k"))
+      .filter(col("it_i") < col("it_j"))
+      .groupBy(col("it_i"), col("it_j"))
+      .agg(count(lit(1)).as("n_shared_keys"))
+  }
 }

@@ -113,6 +113,19 @@ object PipelineQueries extends QueryDomain {
         .orderBy($"doc_id")
     },
 
+    "q_co_occur" -> { (s, dir) =>
+      import s.implicits._
+      // Capped co-occurrence projection ([[ScaleJoins.cappedCoOccurrence]]):
+      // co-supplier pairs per part with each part contributing only its 8
+      // smallest suppliers — the EXPLICIT, deterministic truncation that
+      // keeps the projection |keys|·cap² instead of a hub key's Σdeg²
+      // blow-up (the failure mode the first q_triangles gate measured).
+      orderedSmall(
+        ScaleJoins.cappedCoOccurrence(t(s, dir, "lineitem"),
+          "l_partkey", "l_suppkey", maxPerKey = 8),
+        $"it_i", $"it_j")
+    },
+
     "q_triangles" -> { (s, dir) =>
       import s.implicits._
       // Exact triangle counting ([[GraphOps.triangleCount]]) over a SPARSE
@@ -1460,6 +1473,16 @@ object PipelineQueries extends QueryDomain {
          |SELECT node AS doc_id, cluster_id,
          |  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
          |FROM comp ORDER BY doc_id""".stripMargin,
+
+    "q_co_occur" ->
+      """WITH ki AS (SELECT DISTINCT l_partkey AS k, l_suppkey AS it FROM lineitem),
+        |capped AS (SELECT k, it FROM (
+        |    SELECT k, it, row_number() OVER (PARTITION BY k ORDER BY it) AS rk
+        |    FROM ki) WHERE rk <= 8)
+        |SELECT a.it AS it_i, b.it AS it_j, CAST(count(*) AS BIGINT) AS n_shared_keys
+        |FROM capped a JOIN capped b ON a.k = b.k AND a.it < b.it
+        |GROUP BY 1, 2
+        |ORDER BY it_i, it_j""".stripMargin,
 
     "q_triangles" ->
       """WITH raw AS (SELECT a.o_custkey AS s, b.o_custkey AS d

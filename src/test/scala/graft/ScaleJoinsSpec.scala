@@ -56,4 +56,31 @@ class ScaleJoinsSpec extends AnyFunSuite with SparkSpec {
       .select(countDistinct($"graft_salt")).head().getLong(0)
     assert(salts > 1, "content-hash salt must spread identical keys")
   }
+
+  test("capped co-occurrence: a hub key contributes only its smallest items") {
+    // hub key 1 has items 0..9, cap 4 -> pairs only among {0,1,2,3}
+    val rows = (0L until 10L).map(i => (1L, i)) ++ Seq((2L, 100L), (2L, 101L))
+    val got = ScaleJoins.cappedCoOccurrence(rows.toDF("k", "it"), "k", "it", 4)
+      .select($"it_i", $"it_j", $"n_shared_keys")
+      .as[(Long, Long, Long)].collect().toSet
+    val hubPairs = for (i <- 0L until 4L; j <- (i + 1) until 4L) yield (i, j, 1L)
+    assert(got === (hubPairs.toSet + ((100L, 101L, 1L))))
+  }
+
+  test("capped co-occurrence equals the uncapped projection when nothing truncates") {
+    val rows = Seq((1L, 5L), (1L, 7L), (2L, 5L), (2L, 7L), (2L, 9L), (1L, 5L))
+    val got = ScaleJoins.cappedCoOccurrence(rows.toDF("k", "it"), "k", "it", 100)
+      .as[(Long, Long, Long)].collect().toSet
+    // (5,7) shared under keys 1 AND 2; (5,9), (7,9) under key 2 only
+    assert(got === Set((5L, 7L, 2L), (5L, 9L, 1L), (7L, 9L, 1L)))
+  }
+
+  test("capped co-occurrence is partition-invariant") {
+    val ps = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select($"l_partkey", $"l_suppkey")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      ScaleJoins.cappedCoOccurrence(df, "l_partkey", "l_suppkey", 5)
+        .collect().map(_.toSeq).toSet
+    assert(run(ps) === run(ps.repartition(13)))
+  }
 }
