@@ -1074,6 +1074,46 @@ object PipelineQueries extends QueryDomain {
       ss.table(sink).orderBy($"buy_id", $"view_id")
     },
 
+    "q_stream_outer_join" -> { (s, dir) =>
+      import s.implicits._
+      // STREAM-STREAM LEFT OUTER join — the one join class q_stream_join's
+      // inner form doesn't exercise: a purchase with NO view in its
+      // preceding hour must still emit, with null view columns, and that
+      // emission is WATERMARK-DRIVEN (only once both sides' watermarks
+      // prove no matching view can still arrive is the null row safe).
+      // Consequently the far-future sentinels must reach the watermark:
+      // unlike the inner gate, each side keeps `event_type = 'sentinel'`
+      // rows through `withWatermark` and the sentinel artifacts (user_id =
+      // -1) are filtered AFTER the sink — the documented Staging protocol.
+      // The oracle is the plain batch LEFT JOIN; null sort order is pinned
+      // NULLS FIRST on both engines.
+      val staged = Staging.streamSessionizeDir(s, dir, gapSec = 21600L)
+      val ss = Staging.streamSession(s)
+      val schema = ss.read.parquet(s"$dir/events.parquet").schema
+      def src = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", Staging.filesInDir(staged) - 1)
+        .parquet(staged)
+        .withColumn("tsm", timestamp_micros(expr("ts div 1000")))
+      val buys = src.filter($"event_type".isin("purchase", "sentinel"))
+        .select($"event_id".as("buy_id"), $"user_id", $"tsm".as("b_ts"),
+          expr("ts div 1000").as("b_us"))
+        .withWatermark("b_ts", "2 hours")
+      val views = src.filter($"event_type".isin("view", "sentinel"))
+        .select($"event_id".as("view_id"), $"user_id".as("v_user"),
+          $"tsm".as("v_ts"), expr("ts div 1000").as("v_us"))
+        .withWatermark("v_ts", "2 hours")
+      val sink = Staging.nextStreamSink(ss)
+      val q = buys.join(views,
+          $"user_id" === $"v_user" &&
+            $"v_ts" >= $"b_ts" - expr("INTERVAL 1 HOUR") && $"v_ts" <= $"b_ts",
+          "left_outer")
+        .select($"buy_id", $"view_id", $"user_id", ($"b_us" - $"v_us").as("lag_us"))
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      ss.table(sink).filter($"user_id" =!= -1L)
+        .orderBy($"buy_id", $"view_id".asc_nulls_first)
+    },
+
     "q_stream_dedup" -> { (s, dir) =>
       import s.implicits._
       // Streaming exact dedup under the gate
@@ -1755,6 +1795,17 @@ object PipelineQueries extends QueryDomain {
         |WHERE b.event_type = 'purchase' AND c.event_type = 'view'
         |  AND c.us BETWEEN b.us - 3600000000 AND b.us
         |ORDER BY buy_id, view_id""".stripMargin,
+
+    "q_stream_outer_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |    epoch_ns(ts) // 1000 AS us FROM events),
+        |b AS (SELECT * FROM e WHERE event_type = 'purchase'),
+        |v AS (SELECT * FROM e WHERE event_type = 'view')
+        |SELECT b.event_id AS buy_id, v.event_id AS view_id, b.user_id,
+        |  CAST(b.us - v.us AS BIGINT) AS lag_us
+        |FROM b LEFT JOIN v ON b.user_id = v.user_id
+        |  AND v.us BETWEEN b.us - 3600000000 AND b.us
+        |ORDER BY buy_id, view_id NULLS FIRST""".stripMargin,
 
     "q_stream_dedup" ->
       """SELECT event_id, user_id, event_type,
