@@ -208,6 +208,74 @@ object StatOps {
         ((col("n_a") - 1) * (col("n_b") - 1)).as("dof"), col("chi2"))
   }
 
+  /** Clamped integer bin index shared by the histogram passes. */
+  private def binOf(df: DataFrame, valueCol: String, scale: Int,
+      loI: Long, hiI: Long, binW: Long, nBins: Int): Column = {
+    val unit = BigDecimal(10).pow(scale).toLong
+    val vi = (col(valueCol).cast(s"decimal(18,$scale)") * unit).cast("long")
+    when(vi < loI, lit(0L))
+      .when(vi >= hiI, lit((nBins - 1).toLong))
+      .otherwise(TemporalJoins.floorDiv(vi - loI, binW))
+  }
+
+  /** Two-pass EXACT counting median — the documented swap-in for
+    * `percentile_disc` when a single group is too massive to sort
+    * ([[robustOutliers]]/[[columnProfile]] scaladoc): pass 1 aggregates the
+    * fixed-range histogram ([[histogramQuantiles]]'s binning, ≤ `nBins`
+    * counters per group) and locates each group's MEDIAN BIN plus the
+    * median's rank within it; pass 2 sorts ONLY the rows of that one bin
+    * (broadcast-joined selection) and picks the ranked value. The answer
+    * equals `percentile_disc(0.5)` of the DECIMAL-quantized values exactly
+    * — same lower-middle discrete convention — but the only sort touches a
+    * single bin's slice per group, not the group.
+    *
+    * The range contract is softer than a quantile ESTIMATE's: values
+    * outside [lo, hi) clamp into the edge bins and the median is STILL
+    * exact (the slice sort sees the true values); a poorly chosen range
+    * only loses the bounded-slice guarantee, never correctness.
+    *
+    * Output: (grp, n, med DECIMAL(18,scale)).
+    */
+  def countingMedian(
+      df: DataFrame, groupCol: String, valueCol: String,
+      lo: BigDecimal, hi: BigDecimal, nBins: Int, scale: Int = 4): DataFrame = {
+    require(nBins >= 1, "need at least one bin")
+    val unit = BigDecimal(10).pow(scale)
+    val loI = (lo * unit).toLongExact
+    val hiI = (hi * unit).toLongExact
+    val span = hiI - loI
+    require(span > 0 && span % nBins == 0,
+      s"span $span must be positive and divide evenly into $nBins bins")
+    val binW = span / nBins
+    val bin = binOf(df, valueCol, scale, loI, hiI, binW, nBins)
+    val vq = col(valueCol).cast(s"decimal(18,$scale)")
+    val hist = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol).as("grp"), bin.as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy(col("grp")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // smallest bin whose cumulative count covers rank ⌈n/2⌉, plus the
+    // count before it — min over a struct led by the bin index
+    val sel = hist
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("grp"))))
+      .groupBy(col("grp"))
+      .agg(min(when(col("cum") * 2 >= col("n"),
+        struct(col("bin"), (col("cum") - col("cnt")).as("before"), col("n")))).as("m"))
+      .select(col("grp"), col("m.bin").as("med_bin"),
+        // 1-based rank within the median bin: ⌈n/2⌉ − before
+        (TemporalJoins.floorDiv(col("m.n") + 1, 2L) - col("m.before")).as("k"),
+        col("m.n").as("n"))
+    val slice = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("grp"), bin.as("bin"), vq.as("graft_vq"))
+      .join(broadcast(sel.withColumnRenamed("grp", "graft_selg")),
+        col("bin") === col("med_bin") && col("grp") === col("graft_selg"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("graft_vq"))
+    slice.withColumn("graft_rn", row_number().over(w))
+      .filter(col("graft_rn") === col("k"))
+      .select(col("grp"), col("n"), col("graft_vq").as("med"))
+  }
+
   /** Null imputation by per-group discrete median — the standard robust
     * fill for a measure column before training/aggregation. Non-null values
     * pass through BIT-UNCHANGED; nulls take their group's
@@ -272,10 +340,7 @@ object StatOps {
     require(span % nBins == 0,
       s"span $span must divide evenly into $nBins bins for exact edges")
     val binW = span / nBins
-    val vi = (col(valueCol).cast(s"decimal(18,$scale)") * unit.toLong).cast("long")
-    val bin = when(vi < loI, lit(0L))
-      .when(vi >= hiI, lit((nBins - 1).toLong))
-      .otherwise(TemporalJoins.floorDiv(vi - loI, binW))
+    val bin = binOf(df, valueCol, scale, loI, hiI, binW, nBins)
     val hist = df.groupBy(col(groupCol).as("grp"), bin.as("bin"))
       .agg(count(lit(1)).as("cnt"))
     val wCum = Window.partitionBy(col("grp")).orderBy(col("bin"))

@@ -800,6 +800,17 @@ object PipelineQueries extends QueryDomain {
         .orderBy($"event_id")
     },
 
+    "q_counting_median" -> { (s, dir) =>
+      import s.implicits._
+      // Two-pass exact counting median ([[StatOps.countingMedian]]): the
+      // histogram locates each group's median bin, only that bin's slice
+      // sorts — same answer as percentile_disc (the oracle computes it
+      // directly), bounded state where the one-pass form sorts the group.
+      StatOps.countingMedian(t(s, dir, "lineitem"),
+          "l_returnflag", "l_extendedprice", lo = 0, hi = 110000, nBins = 1100)
+        .orderBy($"grp")
+    },
+
     "q_hist_quantiles" -> { (s, dir) =>
       import s.implicits._
       // Histogram-sketch quantiles ([[StatOps.histogramQuantiles]]): p25/50/
@@ -1927,6 +1938,12 @@ object PipelineQueries extends QueryDomain {
         |  (ev.v IS NULL AND med.m IS NOT NULL) AS was_imputed
         |FROM ev LEFT JOIN med USING (event_type)
         |ORDER BY event_id""".stripMargin,
+
+    "q_counting_median" ->
+      """SELECT l_returnflag AS grp, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(quantile_disc(CAST(l_extendedprice AS DECIMAL(18,4)), 0.5)
+        |    AS DECIMAL(18,4)) AS med
+        |FROM lineitem GROUP BY 1 ORDER BY grp""".stripMargin,
 
     "q_hist_quantiles" ->
       """WITH v AS (SELECT l_returnflag AS grp,
