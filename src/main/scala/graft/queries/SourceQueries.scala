@@ -35,7 +35,35 @@ object SourceQueries extends QueryDomain {
         t(s, dir, table).write.mode("overwrite").orc(p)),
       Map.empty)
 
+  // Twenty one-document binary files — the multimodal INGESTION layout
+  // (one opaque blob per object, metadata from the file system) staged
+  // once per (sf) per JVM. Content is the documents' UTF-8 text so the
+  // DuckDB twin (read_blob + VARCHAR cast) sees byte-identical payloads.
+  private def binDir(s: SparkSession, dir: String): String =
+    Staging.dir("bin", dir, "documents") { p =>
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(p))
+      t(s, dir, "documents").filter(col("doc_id") < 20)
+        .select(col("doc_id"), col("text")).collect().foreach { r =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(p, f"doc_${r.getLong(0)}%05d.bin"),
+            r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_binary_source" -> { (s, dir) =>
+      import s.implicits._
+      // The `binaryFile` source — Spark's whole-file ingestion path for
+      // image/audio/video objects ([[graft.operators.MultimodalOps]]
+      // consumes exactly this shape): one row per file with its bytes and
+      // fs metadata. Gated on basename, byte length, and an md5 of the
+      // content against DuckDB's read_blob over the same staged files.
+      s.read.format("binaryFile").load(binDir(s, dir))
+        .select(element_at(split($"path", "/"), -1).as("fname"),
+          $"length".as("n_bytes"), md5($"content").as("content_md5"))
+        .orderBy($"fname")
+    },
+
     "q_csv_source" -> { (s, dir) =>
       import s.implicits._
       // Nation through CSV: ints survive an explicit cast-back, strings are
@@ -75,6 +103,18 @@ object SourceQueries extends QueryDomain {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // The oracle never opens the staged files: content came from the
+    // parquet, so name/size/md5 are recomputable from the source of truth —
+    // any write- or read-side corruption in the binary round-trip breaks
+    // the hash. strlen = BYTES in DuckDB (length() is chars), matching the
+    // file size Spark's binaryFile reports.
+    "q_binary_source" ->
+      """SELECT printf('doc_%05d.bin', doc_id) AS fname,
+        |  CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |  md5(text) AS content_md5
+        |FROM documents WHERE doc_id < 20
+        |ORDER BY fname""".stripMargin,
+
     "q_csv_source" ->
       """SELECT n_nationkey, n_name, r_name
         |FROM nation JOIN region ON n_regionkey = r_regionkey
