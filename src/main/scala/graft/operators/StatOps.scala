@@ -116,8 +116,9 @@ object StatOps {
     * the value column itself is never re-shuffled, so the shape holds when
     * groups are billions of rows. `percentile_disc` does sort within
     * (group, partition) under the hood at this width; for a truly massive
-    * single group swap in a two-pass counting median — the interface here
-    * is the contract, disc-median + decimal exactness.
+    * single group swap in [[countingMedian]] — the two-pass histogram
+    * form, same disc-median + decimal-exactness contract, only one bin's
+    * slice ever sorts.
     */
   def robustOutliers(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
     val v = df.select(col(groupCol).as("grp"),

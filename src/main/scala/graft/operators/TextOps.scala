@@ -172,4 +172,14 @@ object TextOps {
     */
   def bagOfWordsKey(text: Column): Column =
     concat_ws(" ", sort_array(array_distinct(tokens(text))))
+
+  /** Compiled Jaro–Winkler similarity ([[graft.functions.JaroWinkler]]) —
+    * the record-linkage fuzzy-match scalar, bit-matched to DuckDB's
+    * `jaro_winkler_similarity`.
+    */
+  def jaroWinkler(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.bridge.column(
+      graft.functions.JaroWinkler(
+        org.apache.spark.sql.graft.bridge.expression(a),
+        org.apache.spark.sql.graft.bridge.expression(b)))
 }

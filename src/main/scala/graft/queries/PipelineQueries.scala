@@ -291,6 +291,22 @@ object PipelineQueries extends QueryDomain {
         $"id_i", $"id_j")
     },
 
+    "q_jaro_winkler" -> { (s, dir) =>
+      import s.implicits._
+      // Compiled Jaro–Winkler scores ([[TextOps.jaroWinkler]] /
+      // [[graft.functions.JaroWinkler]]): each name against its successor
+      // (background distribution) and against a prefix-typo'd copy (high
+      // similarity) — the record-linkage scalar, bit-matched to the
+      // oracle's jaro_winkler_similarity.
+      val p = t(s, dir, "part").filter($"p_partkey" <= 500)
+        .select($"p_partkey".as("id"), $"p_name".as("str"))
+      val nxt = p.select(($"id" - 1).as("id"), $"str".as("str_next"))
+      p.join(nxt, "id")
+        .select($"id", TextOps.jaroWinkler($"str", $"str_next").as("jw_next"),
+          TextOps.jaroWinkler($"str", concat(lit("x"), $"str")).as("jw_typo"))
+        .orderBy($"id")
+    },
+
     // ---- sketches ---------------------------------------------------------
     "q_kmv_distinct" -> { (s, dir) =>
       import s.implicits._
@@ -1675,6 +1691,14 @@ object PipelineQueries extends QueryDomain {
         |  ON a.id < b.id AND abs(length(a.str) - length(b.str)) <= 2
         |WHERE levenshtein(a.str, b.str) <= 2
         |ORDER BY id_i, id_j""".stripMargin,
+
+    "q_jaro_winkler" ->
+      """WITH p AS (SELECT p_partkey AS id, p_name AS str
+        |  FROM part WHERE p_partkey <= 500)
+        |SELECT a.id, jaro_winkler_similarity(a.str, b.str) AS jw_next,
+        |  jaro_winkler_similarity(a.str, 'x' || a.str) AS jw_typo
+        |FROM p a JOIN p b ON b.id = a.id + 1
+        |ORDER BY a.id""".stripMargin,
 
     "q_kmv_distinct" ->
       s"""WITH h AS (SELECT DISTINCT lang, ${duckHash("text")} AS h
