@@ -113,14 +113,28 @@ object CorpusOps {
     val d = docs.select(col(idCol).as("doc_id"), col(textCol).as("graft_text"))
     val dl = d.select(col("doc_id"),
       size(TextOps.tokens(col("graft_text"))).cast("long").as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
     val tf = d
       .select(col("doc_id"), explode(TextOps.tokens(col("graft_text"))).as("token"))
-      .filter(col("token").isin(terms: _*))
+      .filter(col("token").isin(terms: _*)) // prune BEFORE the first shuffle
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
-    val dfRel = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    val joined = tf
+    bm25Over(tf, dl, terms, k, k1, b)
+  }
+
+  /** Scoring core shared by [[bm25]] (postings built on the fly) and
+    * [[bm25Indexed]] (postings loaded from the persisted index) — single
+    * source for the arithmetic, so the two paths cannot drift.
+    *
+    * `tf`: (doc_id, token, tf) — may carry the FULL vocabulary (the term
+    * filter here reaches a bucketed+sorted postings scan as a pushed
+    * min/max-prunable predicate); `dl`: (doc_id, dl) over ALL docs.
+    */
+  private def bm25Over(tf: DataFrame, dl: DataFrame, terms: Seq[String],
+      k: Int, k1: Double, b: Double): DataFrame = {
+    val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
+    val tfq = tf.filter(col("token").isin(terms: _*))
+    val dfRel = tfq.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val joined = tfq
       .join(broadcast(dfRel), "token")
       .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
@@ -141,6 +155,39 @@ object CorpusOps {
       .limit(k)
       .withColumn("rnk", row_number().over(w).cast("int"))
       .select(col("rnk"), col("doc_id"), col("score"))
+  }
+
+  /** Persist the BM25 index: the (doc_id, token, tf) postings bucketed AND
+    * sorted by `token` (bucket pruning answers an `IN`-list of query terms
+    * from a handful of buckets; the sort gives footer min/max skipping
+    * within them) plus the doc-length table. Build once at ingest; every
+    * [[bm25Indexed]] query then scores WITHOUT re-tokenizing the corpus —
+    * the text-search twin of [[VectorOps.saveIvfIndex]]'s build-once/
+    * probe-many contract.
+    */
+  def saveTextIndex(docs: DataFrame, idCol: String, textCol: String,
+      name: String, buckets: Int = 8): Unit = {
+    val d = docs.select(col(idCol).as("doc_id"), col(textCol).as("graft_text"))
+    val tf = d
+      .select(col("doc_id"), explode(TextOps.tokens(col("graft_text"))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    ScaleJoins.writeBucketed(tf, s"${name}_postings", Seq("token"), buckets)
+    d.select(col("doc_id"),
+        size(TextOps.tokens(col("graft_text"))).cast("long").as("dl"))
+      .write.mode("overwrite").saveAsTable(s"${name}_doclen")
+  }
+
+  /** BM25 over a [[saveTextIndex]] layout — identical output to [[bm25]]
+    * on the same corpus (round-trip spec in CorpusOpsSpec; the
+    * q_bm25_indexed gate shares q_bm25_topk's oracle verbatim).
+    */
+  def bm25Indexed(spark: org.apache.spark.sql.SparkSession, name: String,
+      queryTerms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1 && queryTerms.nonEmpty)
+    bm25Over(spark.table(s"${name}_postings"), spark.table(s"${name}_doclen"),
+      queryTerms.distinct.sorted, k, k1, b)
   }
 
   /** PII scrubbing rules for [[TextOps.redact]] — the curation pass every

@@ -647,6 +647,22 @@ object PipelineQueries extends QueryDomain {
         .orderBy($"rnk")
     },
 
+    "q_bm25_indexed" -> { (s, dir) =>
+      import s.implicits._
+      // The same retrieval THROUGH the persisted index
+      // ([[CorpusOps.saveTextIndex]] + [[bm25Indexed]]): postings bucketed+
+      // sorted by token, built once per (sf, JVM), queried without
+      // re-tokenizing the corpus — build-once/probe-many, the text twin of
+      // the persisted IVF index. Shares q_bm25_topk's oracle verbatim:
+      // identical output is the round-trip contract.
+      val idx = s"bm25_idx_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      Staging.dir("bm25idx", dir, "documents") { _ =>
+        CorpusOps.saveTextIndex(docs(s, dir), "doc_id", "text", idx, buckets = 8)
+      }
+      CorpusOps.bm25Indexed(s, idx, Seq("join", "spark", "vector"), k = 20)
+        .orderBy($"rnk")
+    },
+
     "q_stratified_sample" -> { (s, dir) =>
       import s.implicits._
       // Dataset-mixing sampler: per-language keep rates, decided by a
@@ -1355,6 +1371,27 @@ object PipelineQueries extends QueryDomain {
         .orderBy($"doc_id", $"frame_idx")
     }
   )
+
+  private val Bm25Oracle =
+      """WITH dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+        |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS sumdl FROM dl),
+        |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM tok
+        |  WHERE token IN ('join', 'spark', 'vector') GROUP BY 1, 2),
+        |df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |c AS (SELECT tf.doc_id, tf.token,
+        |    ((CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5))
+        |      * (tf * (CAST(1.2 AS DOUBLE) + 1))
+        |      / (tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl / (CAST(sumdl AS DOUBLE) / n)))) AS contrib
+        |  FROM tf JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN st),
+        |s AS (SELECT doc_id,
+        |    coalesce(sum(CASE WHEN token = 'join' THEN contrib END), 0.0)
+        |    + coalesce(sum(CASE WHEN token = 'spark' THEN contrib END), 0.0)
+        |    + coalesce(sum(CASE WHEN token = 'vector' THEN contrib END), 0.0) AS score
+        |  FROM c GROUP BY doc_id)
+        |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rnk,
+        |  doc_id, score
+        |FROM s ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
 
   // ---- DuckDB oracle fragments -------------------------------------------
 
@@ -2315,26 +2352,9 @@ object PipelineQueries extends QueryDomain {
     // be CAST(1.2 AS DOUBLE) + 1 — the double sum 2.2000000000000002 Spark
     // computes, not DECIMAL 2.2's nearest double. The other literals (0.5,
     // 0.75, 1.0, and 1.2 multiplying a double) promote losslessly.
-    "q_bm25_topk" ->
-      """WITH dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
-        |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS sumdl FROM dl),
-        |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
-        |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM tok
-        |  WHERE token IN ('join', 'spark', 'vector') GROUP BY 1, 2),
-        |df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
-        |c AS (SELECT tf.doc_id, tf.token,
-        |    ((CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5))
-        |      * (tf * (CAST(1.2 AS DOUBLE) + 1))
-        |      / (tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl / (CAST(sumdl AS DOUBLE) / n)))) AS contrib
-        |  FROM tf JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN st),
-        |s AS (SELECT doc_id,
-        |    coalesce(sum(CASE WHEN token = 'join' THEN contrib END), 0.0)
-        |    + coalesce(sum(CASE WHEN token = 'spark' THEN contrib END), 0.0)
-        |    + coalesce(sum(CASE WHEN token = 'vector' THEN contrib END), 0.0) AS score
-        |  FROM c GROUP BY doc_id)
-        |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rnk,
-        |  doc_id, score
-        |FROM s ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "q_bm25_topk" -> Bm25Oracle,
+    // Identical output through the persisted index IS the round-trip gate.
+    "q_bm25_indexed" -> Bm25Oracle,
 
     "q_stratified_sample" ->
       s"""WITH h AS (SELECT doc_id, lang, ${duckHash("text", 131)} AS hv FROM documents)

@@ -485,4 +485,18 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec {
     }
     assert(got == expect)
   }
+
+  test("bm25 over the persisted index round-trips to the on-the-fly form") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val terms = Seq("join", "spark", "vector")
+    val live = CorpusOps.bm25(docs, "doc_id", "text", terms, k = 20)
+      .collect().map(_.toSeq)
+    CorpusOps.saveTextIndex(docs, "doc_id", "text", "bm25_rt_spec", buckets = 4)
+    val loadedDf = CorpusOps.bm25Indexed(spark, "bm25_rt_spec", terms, k = 20)
+    assert(loadedDf.collect().map(_.toSeq).toSeq === live.toSeq)
+    // the IN-list of query terms prunes buckets on the postings scan
+    val p = loadedDf.queryExecution.executedPlan.toString
+    assert(p.contains("SelectedBucketsCount"), s"postings scan must bucket-prune:\n$p")
+  }
 }
