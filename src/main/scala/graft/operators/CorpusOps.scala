@@ -173,9 +173,12 @@ object CorpusOps {
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
     ScaleJoins.writeBucketed(tf, s"${name}_postings", Seq("token"), buckets)
-    d.select(col("doc_id"),
-        size(TextOps.tokens(col("graft_text"))).cast("long").as("dl"))
-      .write.mode("overwrite").saveAsTable(s"${name}_doclen")
+    // doc lengths bucketed on the score join's key (and orphan-location-safe
+    // through the same writer)
+    ScaleJoins.writeBucketed(
+      d.select(col("doc_id"),
+        size(TextOps.tokens(col("graft_text"))).cast("long").as("dl")),
+      s"${name}_doclen", Seq("doc_id"), buckets)
   }
 
   /** BM25 over a [[saveTextIndex]] layout — identical output to [[bm25]]

@@ -18,13 +18,29 @@ object ScaleJoins {
     * co-located buckets with NO shuffle. At 100 TB this is the difference
     * between re-shuffling the fact table per query and shuffling it once at
     * ingest.
+    *
+    * Overwrite is made robust against ORPHAN locations: a previous JVM
+    * (crashed, or simply a fresh in-memory catalog over the same warehouse
+    * dir) can leave the table's directory behind with no catalog entry, and
+    * `saveAsTable` then fails with LOCATION_ALREADY_EXISTS instead of
+    * overwriting — the dir is cleared first when the catalog has no entry
+    * (when it does, overwrite handles both halves itself).
     */
-  def writeBucketed(df: DataFrame, table: String, cols: Seq[String], n: Int): Unit =
+  def writeBucketed(df: DataFrame, table: String, cols: Seq[String], n: Int): Unit = {
+    val spark = df.sparkSession
+    if (!spark.catalog.tableExists(table)) {
+      val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(wh, table.toLowerCase(java.util.Locale.ROOT)))
+    }
     df.write
       .bucketBy(n, cols.head, cols.tail: _*)
       .sortBy(cols.head, cols.tail: _*)
       .mode("overwrite")
       .saveAsTable(table)
+  }
 
   /** Morton (Z-order) value of two non-negative integer columns: bit `b` of
     * `x` lands at z-bit `2b`, bit `b` of `y` at `2b+1`. Rows close in z are

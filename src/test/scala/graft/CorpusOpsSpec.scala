@@ -488,15 +488,27 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec {
 
   test("bm25 over the persisted index round-trips to the on-the-fly form") {
     import org.apache.spark.sql.functions._
-    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
-    val terms = Seq("join", "spark", "vector")
-    val live = CorpusOps.bm25(docs, "doc_id", "text", terms, k = 20)
-      .collect().map(_.toSeq)
-    CorpusOps.saveTextIndex(docs, "doc_id", "text", "bm25_rt_spec", buckets = 4)
-    val loadedDf = CorpusOps.bm25Indexed(spark, "bm25_rt_spec", terms, k = 20)
-    assert(loadedDf.collect().map(_.toSeq).toSeq === live.toSeq)
-    // the IN-list of query terms prunes buckets on the postings scan
-    val p = loadedDf.queryExecution.executedPlan.toString
-    assert(p.contains("SelectedBucketsCount"), s"postings scan must bucket-prune:\n$p")
+    // Managed-table hygiene (the VectorOpsSpec IVF round-trip pattern): a
+    // killed previous JVM leaves warehouse dirs a fresh catalog can't DROP.
+    def cleanup(): Unit = Seq("bm25_rt_spec_postings", "bm25_rt_spec_doclen").foreach { tbl =>
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(s"spark-warehouse/$tbl"))
+    }
+    cleanup()
+    try {
+      val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      val terms = Seq("join", "spark", "vector")
+      val live = CorpusOps.bm25(docs, "doc_id", "text", terms, k = 20)
+        .collect().map(_.toSeq)
+      CorpusOps.saveTextIndex(docs, "doc_id", "text", "bm25_rt_spec", buckets = 4)
+      val loadedDf = CorpusOps.bm25Indexed(spark, "bm25_rt_spec", terms, k = 20)
+      assert(loadedDf.collect().map(_.toSeq).toSeq === live.toSeq)
+      // the IN-list of query terms prunes buckets on the postings scan
+      val p = loadedDf.queryExecution.executedPlan.toString
+      assert(p.contains("SelectedBucketsCount"), s"postings scan must bucket-prune:\n$p")
+    } finally cleanup()
   }
 }
