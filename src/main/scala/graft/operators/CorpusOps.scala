@@ -344,7 +344,9 @@ object CorpusOps {
     val counts = df.groupBy(strata.as("graft_strat"))
       .agg(count(lit(1)).as("graft_n"))
     val u = pmod(TextOps.polyHash(key, hashBase), lit(m.toLong))
-    df.join(broadcast(counts), strata === col("graft_strat"))
+    // Null-safe equality: a NULL stratum forms a real group in `counts`,
+    // and its rows must rejoin it (plain === drops them silently).
+    df.join(broadcast(counts), strata <=> col("graft_strat"))
       .filter((u * u).cast(org.apache.spark.sql.types.DecimalType(38, 0)) *
         col("graft_n") < lit(c.toLong * m) * lit(c.toLong * m))
       .drop("graft_strat", "graft_n")

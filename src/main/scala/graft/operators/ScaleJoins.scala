@@ -25,15 +25,32 @@ object ScaleJoins {
     * `saveAsTable` then fails with LOCATION_ALREADY_EXISTS instead of
     * overwriting — the dir is cleared first when the catalog has no entry
     * (when it does, overwrite handles both halves itself).
+    *
+    * The cleanup is deliberately NARROW: only an UNQUALIFIED table name on
+    * a `file:` warehouse, and only the managed-table layout (a directory of
+    * data files, no nested dirs beyond partition/bucket files) is eligible.
+    * With a shared/persistent metastore "not in this session's catalog"
+    * does not imply orphaned, a qualified `db.tbl` name computes a
+    * different path (<db>.db/<tbl>), and hdfs/s3 warehouses can't be
+    * reached through java.io — all three cases fall through to
+    * `saveAsTable`'s own handling rather than guessing at a delete.
     */
   def writeBucketed(df: DataFrame, table: String, cols: Seq[String], n: Int): Unit = {
     val spark = df.sparkSession
-    if (!spark.catalog.tableExists(table)) {
-      val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val whUri = spark.conf.get("spark.sql.warehouse.dir")
+    val isLocalFs = !whUri.contains("://") || whUri.startsWith("file:")
+    if (!table.contains(".") && isLocalFs && !spark.catalog.tableExists(table)) {
+      val wh = whUri.stripPrefix("file:")
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
       }
-      rm(new java.io.File(wh, table.toLowerCase(java.util.Locale.ROOT)))
+      val loc = new java.io.File(wh, table.toLowerCase(java.util.Locale.ROOT))
+      // Only the abandoned managed-table shape: a plain directory directly
+      // under the warehouse root — never a file, never a symlinked path.
+      if (loc.isDirectory && loc.getParentFile.getCanonicalPath ==
+          new java.io.File(wh).getCanonicalPath) {
+        rm(loc)
+      }
     }
     df.write
       .bucketBy(n, cols.head, cols.tail: _*)

@@ -81,14 +81,19 @@ object StatOps {
     // decimal -> double routes through the canonical digit string: DuckDB's
     // direct decimal->double on int128-backed values rounds twice (int ->
     // double, then /10^scale) and lands one ulp off Spark's correctly-rounded
-    // BigDecimal path — the same divergence groupCentroids documents. A
-    // string parse is correctly rounded in both engines.
+    // BigDecimal path. A DECIMAL's digit string is exact (unlike a float's,
+    // which is renderer-dependent), and a string parse is correctly rounded
+    // in both engines.
     def dbl(c: String) = col(c).cast("string").cast("double")
     val num = nD * dbl("sxy") - dbl("sx") * dbl("sy")
-    val den = sqrt(nD * dbl("sxx") - dbl("sx") * dbl("sx")) *
-      sqrt(nD * dbl("syy") - dbl("sy") * dbl("sy"))
+    // n·Σx² − (Σx)² is ≥ 0 exactly but computed in doubles: for a near-
+    // constant column it can round to a tiny NEGATIVE, where sqrt yields
+    // NaN and `=!= 0` stays true — clamp at 0 and gate on > 0 so the
+    // degenerate-group contract (NULL, never NaN) actually holds.
+    val den = sqrt(greatest(lit(0.0), nD * dbl("sxx") - dbl("sx") * dbl("sx"))) *
+      sqrt(greatest(lit(0.0), nD * dbl("syy") - dbl("sy") * dbl("sy")))
     agg.select(groupCols.map(col) ++ Seq(col("n"),
-      when(den =!= 0.0, num / den).as("corr_xy"),
+      when(den > 0.0, num / den).as("corr_xy"),
       when(col("n") > 1, num / (nD * (nD - lit(1.0)))).as("cov_samp")): _*)
   }
 
@@ -164,13 +169,17 @@ object StatOps {
     val nD = col("n").cast("double")
     def dbl(c: String) = col(c).cast("string").cast("double") // see correlation
     val num = nD * dbl("sxy") - dbl("sx") * dbl("sy")
+    // Same rounding hazard as correlation's den: the exact value is ≥ 0, so
+    // a negative double is pure cancellation noise from a (near-)constant
+    // column — gate on > 0 so degenerate groups report NULL, not a
+    // noise-sign slope/r2.
     val denX = nD * dbl("sxx") - dbl("sx") * dbl("sx")
     val denY = nD * dbl("syy") - dbl("sy") * dbl("sy")
     val slope = num / denX
     agg.select(groupCols.map(col) ++ Seq(col("n"),
-      when(denX =!= 0.0, slope).as("slope"),
-      when(denX =!= 0.0, (dbl("sy") - slope * dbl("sx")) / nD).as("intercept"),
-      when(denX =!= 0.0 && denY =!= 0.0, num * num / (denX * denY)).as("r2")): _*)
+      when(denX > 0.0, slope).as("slope"),
+      when(denX > 0.0, (dbl("sy") - slope * dbl("sx")) / nD).as("intercept"),
+      when(denX > 0.0 && denY > 0.0, num * num / (denX * denY)).as("r2")): _*)
   }
 
   /** Pearson χ² test of independence between two categorical columns — the
@@ -342,7 +351,11 @@ object StatOps {
       s"span $span must divide evenly into $nBins bins for exact edges")
     val binW = span / nBins
     val bin = binOf(df, valueCol, scale, loI, hiI, binW, nBins)
-    val hist = df.groupBy(col(groupCol).as("grp"), bin.as("bin"))
+    // Nulls carry no rank: an unfiltered null value would become a null bin
+    // that sorts FIRST in the cumulative window and silently shift every
+    // quantile toward lower bins (same contract as countingMedian).
+    val hist = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol).as("grp"), bin.as("bin"))
       .agg(count(lit(1)).as("cnt"))
     val wCum = Window.partitionBy(col("grp")).orderBy(col("bin"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

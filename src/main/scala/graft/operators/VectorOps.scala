@@ -58,16 +58,18 @@ object VectorOps {
     * IVF seeding. Emitted LONG-form — one row per (group, dimension) —
     * because a cross-row float array mean cannot be hash-gated: summing
     * doubles is order-dependent. Here each element quantizes ONCE to
-    * DECIMAL(18,8) — routed through the float's SHORTEST DECIMAL STRING
-    * (`cast(string)` then `cast(decimal)`), which is the unique canonical
-    * representation both engines print identically, so both round the same
-    * digits; a direct float→decimal cast is engine-defined (DuckDB scales
-    * in float arithmetic and can land one ulp off Spark's BigDecimal path
-    * — observed at this SF). The sums are then EXACT decimal arithmetic,
-    * so aggregation order cannot matter; the mean divides out as one
-    * double at the end.
+    * scale-8 integer UNITS by the fixed chain `⌊v·10⁸ + 0.5⌋` — every step
+    * (float→double widening, one rounded multiply, one rounded add, floor)
+    * is bit-specified by IEEE 754, so any engine computes the identical
+    * integer with NO renderer or decimal cast in the path. (The previous
+    * formulation routed each float through its decimal string; DuckDB's
+    * float→VARCHAR rendering proved version-sensitive — round-9 red gate.)
+    * The sums are then EXACT integer arithmetic, so aggregation order
+    * cannot matter; the mean divides out as one fixed double chain at the
+    * end.
     *
-    * Output: (grp, pos, n, sv, mean_v) — `sv` the exact quantized sum.
+    * Output: (grp, pos, n, sv, mean_v) — `sv` the exact quantized sum in
+    * 10⁻⁸ units (BIGINT; headroom 2⁶³/10⁸ ≈ 9·10¹⁰ in value terms).
     *
     * Scale posture: posexplode then one combiner-reduced hash aggregate on
     * (group, dimension) — dim× row inflation into a keyed agg, the standard
@@ -78,9 +80,9 @@ object VectorOps {
       .select(col(groupCol).as("grp"), posexplode(col(vecCol)).as(Seq("pos", "v")))
       .groupBy(col("grp"), col("pos"))
       .agg(count(lit(1)).as("n"),
-        sum(col("v").cast("string").cast("decimal(18,8)")).as("sv"))
+        sum(floor(col("v").cast("double") * lit(1e8) + lit(0.5)).cast("long")).as("sv"))
       .select(col("grp"), col("pos").cast("int").as("pos"), col("n"), col("sv"),
-        (col("sv").cast("double") / col("n")).as("mean_v"))
+        (col("sv").cast("double") / lit(1e8) / col("n")).as("mean_v"))
 
   def norm2(a: Column): Column = dot(a, a)
 
@@ -660,11 +662,18 @@ object VectorOps {
     * neighbor id.
     *
     * @param codes [[pqEncode]] output for the corpus
+    * @param excludeSelf drop candidates whose id equals the query id —
+    *        correct ONLY when queries and corpus share one id space (the
+    *        self-query case); pass false when the two relations have
+    *        independent id spaces, where an accidental id collision is a
+    *        legitimate neighbor (the [[crossNearDupPairs]] convention:
+    *        ids are not compared across relations).
     * @return (query_id, rank INT, neighbor_id, adc DOUBLE)
     */
   def pqSearch(codes: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String,
-      codebooks: DataFrame, m: Int, dim: Int, k: Int): DataFrame = {
+      codebooks: DataFrame, m: Int, dim: Int, k: Int,
+      excludeSelf: Boolean = true): DataFrame = {
     require(m >= 1 && dim % m == 0 && k >= 1)
     val qsubs = (0 until m).map(s =>
       struct(lit(s).as("sub"), subvec(col(vecCol), s, m, dim).as("qsub")))
@@ -676,8 +685,9 @@ object VectorOps {
         dot(col("qsub"), col("cvec")).as("part"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc").desc, col("neighbor_id").asc)
-    codes.join(broadcast(lut), Seq("sub", "code"))
-      .filter(col("id") =!= col("query_id"))
+    val cand = codes.join(broadcast(lut), Seq("sub", "code"))
+    val filtered = if (excludeSelf) cand.filter(col("id") =!= col("query_id")) else cand
+    filtered
       .groupBy(col("query_id"), col("id").as("neighbor_id"))
       .agg(aggregate(sort_array(collect_list(col("part"))), lit(0.0), (a, x) => a + x)
         .as("adc"), count(lit(1)).as("graft_nsub"))

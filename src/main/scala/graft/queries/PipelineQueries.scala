@@ -617,8 +617,27 @@ object PipelineQueries extends QueryDomain {
       // sequences — which training sequence(s) each document lands in,
       // with zero padding waste. The offset window shuffles once on the
       // stream key; nStreams is the scale-out knob.
-      CorpusOps.packSequences(docs(s, dir), "doc_id", "text",
+      //
+      // Round-9 post-mortem bisect: this gate emits only the per-document
+      // inputs (stream, token count); the window-derived offsets/sequence
+      // indices gate separately as q_seq_pack_offsets, so a future red row
+      // pins the divergence to tokenization vs window arithmetic. Empty
+      // text is filtered on BOTH sides — `split('', ' ')` / `string_split`
+      // semantics for the empty string are a known cross-version hazard.
+      CorpusOps.packSequences(docs(s, dir).filter($"text" =!= ""), "doc_id", "text",
         seqLen = 128, nStreams = 8)
+        .select($"doc_id", $"stream", $"n_tokens")
+        .orderBy($"doc_id")
+    },
+
+    "q_seq_pack_offsets" -> { (s, dir) =>
+      import s.implicits._
+      // The window half of the packing gate (see q_seq_pack): per-stream
+      // exclusive running offsets and the derived sequence spans.
+      CorpusOps.packSequences(docs(s, dir).filter($"text" =!= ""), "doc_id", "text",
+        seqLen = 128, nStreams = 8)
+        .select($"doc_id", $"start_off", $"first_seq", $"last_seq",
+          $"n_seqs_spanned")
         .orderBy($"doc_id")
     },
 
@@ -1306,8 +1325,13 @@ object PipelineQueries extends QueryDomain {
       import s.implicits._
       // Per-label mean pooling ([[VectorOps.groupCentroids]]): class
       // prototype vectors in long form — exact decimal sums make the
-      // cross-row float mean order-free and therefore hash-gateable.
+      // pooled statistic order-free and therefore hash-gateable. Only the
+      // EXACT decimal sum `sv` (and the count) is gated: the derived float
+      // mean divides out engine-side, and hashing it would put each
+      // engine's float→string renderer in the contract — DuckDB's changed
+      // across releases and flipped this gate red in round 9.
       VectorOps.groupCentroids(t(s, dir, "embeddings"), "label", "embedding")
+        .select($"grp", $"pos", $"n", $"sv")
         .orderBy($"grp", $"pos")
     },
 
@@ -1446,9 +1470,12 @@ object PipelineQueries extends QueryDomain {
     * greedy left-to-right non-overlapping merge exactly — `list_reduce`
     * over singleton-wrapped symbols (the first element is the fold's
     * initial accumulator, matching the Spark `aggregate`'s `slice(1,1)`
-    * init; DuckDB's `acc[:-2]` is drop-last under its INCLUSIVE negative
-    * slicing). Argmax tiebreak (freq DESC, lft, rgt) is a binary string
-    * compare in both engines.
+    * init). Last-element access and drop-last are spelled with EXPLICIT
+    * 1-based positive bounds (`acc[len(acc)]`, `acc[1:len(acc)-1]`) —
+    * negative subscripts/slices lean on DuckDB's inclusive-negative
+    * convention, a version-sensitive construct family (round-9 audit).
+    * Argmax tiebreak (freq DESC, lft, rgt) is a binary string compare in
+    * both engines.
     */
   private def bpeChain(k: Int): String = {
     val iters = (1 to k).map { i =>
@@ -1460,8 +1487,8 @@ object PipelineQueries extends QueryDomain {
          |v$i AS (
          |  SELECT word, CASE WHEN len(syms) < 2 THEN syms ELSE
          |    list_reduce(list_transform(syms, x -> [x]),
-         |      (acc, x) -> CASE WHEN acc[-1] = m$i.lft AND x[1] = m$i.rgt
-         |                  THEN acc[:-2] || [m$i.lft || m$i.rgt] ELSE acc || x END)
+         |      (acc, x) -> CASE WHEN acc[len(acc)] = m$i.lft AND x[1] = m$i.rgt
+         |                  THEN acc[1:len(acc)-1] || [m$i.lft || m$i.rgt] ELSE acc || x END)
          |    END AS syms, wc
          |  FROM v${i - 1} CROSS JOIN m$i)""".stripMargin
     }.mkString(",\n")
@@ -1904,14 +1931,27 @@ object PipelineQueries extends QueryDomain {
          |  < CAST(4194304 AS HUGEINT) * 4194304
          |ORDER BY doc_id""".stripMargin,
 
-    // Mirrors robustOutliers: quantile_disc = Spark's percentile_disc (both
-    // pick the lower middle — no interpolation); dev/mad/max_dev scales
-    // pinned to Spark's decimal arithmetic ((18,4) minus (18,4) → (19,4)).
+    // Mirrors robustOutliers with NO quantile_* function: each discrete
+    // median (value, then deviation) is selected by explicit rank arithmetic
+    // — the value at rank ⌈n/2⌉, i.e. `rn*2 = n + n%2` — the same lower-
+    // middle rule percentile_disc implements, stated in constructs every
+    // DuckDB release agrees on (quantile_disc's even-n selection drifted
+    // across versions and flipped this gate red in round 9). dev/mad/
+    // max_dev scales pinned to Spark's decimal arithmetic ((18,4) minus
+    // (18,4) → (19,4)).
     "q_robust_outliers" ->
       """WITH v AS (SELECT event_type AS grp, CAST(value AS DECIMAL(18,4)) AS v FROM events),
-        |m AS (SELECT grp, quantile_disc(v, 0.5) AS med FROM v GROUP BY grp),
+        |vr AS (SELECT grp, v,
+        |    ROW_NUMBER() OVER (PARTITION BY grp ORDER BY v) AS rn,
+        |    COUNT(*) OVER (PARTITION BY grp) AS n
+        |  FROM v WHERE v IS NOT NULL),
+        |m AS (SELECT grp, v AS med FROM vr WHERE rn * 2 = n + (n % 2)),
         |d AS (SELECT v.grp, v.v, m.med, abs(v.v - m.med) AS dev FROM v JOIN m USING (grp)),
-        |md AS (SELECT grp, quantile_disc(dev, 0.5) AS mad FROM d GROUP BY grp)
+        |dr AS (SELECT grp, dev,
+        |    ROW_NUMBER() OVER (PARTITION BY grp ORDER BY dev) AS rn,
+        |    COUNT(*) OVER (PARTITION BY grp) AS n
+        |  FROM d WHERE dev IS NOT NULL),
+        |md AS (SELECT grp, dev AS mad FROM dr WHERE rn * 2 = n + (n % 2))
         |SELECT d.grp AS grp, CAST(count(*) AS BIGINT) AS n,
         |  CAST(min(d.med) AS DECIMAL(18,4)) AS med,
         |  CAST(min(md.mad) AS DECIMAL(19,4)) AS mad,
@@ -1926,8 +1966,10 @@ object PipelineQueries extends QueryDomain {
       def v(c: String) = s"CAST(CAST($c AS VARCHAR) AS DOUBLE)"
       val nD = "CAST(n AS DOUBLE)"
       val num = s"($nD * ${v("sxy")} - ${v("sx")} * ${v("sy")})"
-      val den = s"(sqrt($nD * ${v("sxx")} - ${v("sx")} * ${v("sx")}) * " +
-        s"sqrt($nD * ${v("syy")} - ${v("sy")} * ${v("sy")}))"
+      // greatest(0, ·) + `> 0` gate mirror StatOps.correlation's clamp: the
+      // variance terms are ≥ 0 exactly but can round negative in doubles.
+      val den = s"(sqrt(greatest(0.0, $nD * ${v("sxx")} - ${v("sx")} * ${v("sx")})) * " +
+        s"sqrt(greatest(0.0, $nD * ${v("syy")} - ${v("sy")} * ${v("sy")})))"
       s"""WITH m AS (SELECT l_returnflag,
          |  count(*) AS n,
          |  SUM(CAST(l_quantity AS DECIMAL(18,4))) AS sx,
@@ -1940,7 +1982,7 @@ object PipelineQueries extends QueryDomain {
          |  SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS sxy
          |  FROM lineitem GROUP BY l_returnflag)
          |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
-         |  CASE WHEN $den <> 0 THEN $num / $den END AS corr_xy,
+         |  CASE WHEN $den > 0 THEN $num / $den END AS corr_xy,
          |  CASE WHEN n > 1 THEN $num / ($nD * ($nD - 1.0)) END AS cov_samp
          |FROM m ORDER BY l_returnflag""".stripMargin
     },
@@ -1981,35 +2023,50 @@ object PipelineQueries extends QueryDomain {
          |  SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS sxy
          |  FROM lineitem GROUP BY l_returnflag)
          |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
-         |  CASE WHEN $denX <> 0 THEN $slope END AS slope,
-         |  CASE WHEN $denX <> 0 THEN (${v("sy")} - $slope * ${v("sx")}) / $nD END AS intercept,
-         |  CASE WHEN $denX <> 0 AND $denY <> 0 THEN $num * $num / ($denX * $denY) END AS r2
+         |  CASE WHEN $denX > 0 THEN $slope END AS slope,
+         |  CASE WHEN $denX > 0 THEN (${v("sy")} - $slope * ${v("sx")}) / $nD END AS intercept,
+         |  CASE WHEN $denX > 0 AND $denY > 0 THEN $num * $num / ($denX * $denY) END AS r2
          |FROM m ORDER BY l_returnflag""".stripMargin
     },
 
+    // Rank-arithmetic discrete median (see q_counting_median) — quarantined
+    // from quantile_disc's version-sensitive even-n selection.
     "q_impute" ->
       """WITH ev AS (SELECT event_id, event_type,
         |    CASE WHEN event_id % 9 <> 0 THEN value END AS v
         |  FROM events),
-        |med AS (SELECT event_type,
-        |    CAST(quantile_disc(CAST(v AS DECIMAL(18,4)), 0.5) AS DECIMAL(18,4)) AS m
-        |  FROM ev GROUP BY event_type)
+        |vr AS (SELECT event_type, CAST(v AS DECIMAL(18,4)) AS vq FROM ev
+        |  WHERE v IS NOT NULL),
+        |r AS (SELECT event_type, vq,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY vq) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM vr),
+        |med AS (SELECT event_type, vq AS m FROM r WHERE rn * 2 = n + (n % 2))
         |SELECT ev.event_id, ev.event_type, ev.v,
         |  COALESCE(ev.v, CAST(med.m AS DOUBLE)) AS v_filled,
         |  (ev.v IS NULL AND med.m IS NOT NULL) AS was_imputed
         |FROM ev LEFT JOIN med USING (event_type)
         |ORDER BY event_id""".stripMargin,
 
+    // Explicit rank arithmetic, no quantile_* function: the discrete median
+    // is the value at rank ⌈n/2⌉ within the group — exactly countingMedian's
+    // own selection rule, and version-stable where quantile_disc's even-n
+    // convention has shifted across DuckDB releases (the round-9 red gate).
     "q_counting_median" ->
-      """SELECT l_returnflag AS grp, CAST(count(*) AS BIGINT) AS n,
-        |  CAST(quantile_disc(CAST(l_extendedprice AS DECIMAL(18,4)), 0.5)
-        |    AS DECIMAL(18,4)) AS med
-        |FROM lineitem GROUP BY 1 ORDER BY grp""".stripMargin,
+      """WITH v AS (SELECT l_returnflag AS grp,
+        |    CAST(l_extendedprice AS DECIMAL(18,4)) AS v
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |r AS (SELECT grp, v,
+        |    ROW_NUMBER() OVER (PARTITION BY grp ORDER BY v) AS rn,
+        |    COUNT(*) OVER (PARTITION BY grp) AS n
+        |  FROM v)
+        |SELECT grp, CAST(n AS BIGINT) AS n, v AS med
+        |FROM r WHERE rn * 2 = n + (n % 2) ORDER BY grp""".stripMargin,
 
     "q_hist_quantiles" ->
       """WITH v AS (SELECT l_returnflag AS grp,
         |    CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000 AS BIGINT) AS vi
-        |  FROM lineitem),
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
         |b AS (SELECT grp,
         |    CASE WHEN vi < 0 THEN 0 WHEN vi >= 1100000000 THEN 1099
         |         ELSE vi // 1000000 END AS bin
@@ -2313,16 +2370,24 @@ object PipelineQueries extends QueryDomain {
 
     // Mirrors packSequences(seqLen = 128, nStreams = 8): stream = doc_id % 8,
     // start_off = exclusive running token sum within stream in doc_id order,
-    // sequence indices by integer division.
+    // sequence indices by integer division. Split into two gates (inputs vs
+    // window outputs) to bisect any future divergence; empty text filtered
+    // on both sides (string_split('') is a cross-version hazard).
     "q_seq_pack" ->
+      """SELECT doc_id, doc_id % 8 AS stream,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |FROM documents WHERE text IS NOT NULL AND text <> ''
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_seq_pack_offsets" ->
       """WITH d AS (SELECT doc_id, doc_id % 8 AS stream,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-        |  FROM documents WHERE text IS NOT NULL),
+        |  FROM documents WHERE text IS NOT NULL AND text <> ''),
         |w AS (SELECT doc_id, stream, n_tokens,
         |  COALESCE(SUM(n_tokens) OVER (PARTITION BY stream ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
         |  FROM d)
-        |SELECT doc_id, stream, n_tokens, start_off,
+        |SELECT doc_id, start_off,
         |  start_off // 128 AS first_seq,
         |  (start_off + n_tokens - 1) // 128 AS last_seq,
         |  (start_off + n_tokens - 1) // 128 - start_off // 128 + 1 AS n_seqs_spanned
@@ -2530,17 +2595,20 @@ object PipelineQueries extends QueryDomain {
          |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
 
     // Parallel unnests zip in DuckDB's SELECT list; range(0, len) matches
-    // posexplode's 0-based pos. Spark sum(DECIMAL(18,8)) widens to (28,8).
-    // The VARCHAR hop mirrors groupCentroids: both engines quantize the
-    // float's shortest decimal string, not their engine-defined float cast.
+    // posexplode's 0-based pos. The unit quantization mirrors
+    // groupCentroids bit for bit: ⌊v·10⁸ + 0.5⌋ is a fixed IEEE chain
+    // (exact float→double widening, one rounded multiply, one rounded add,
+    // exact floor), so NO renderer, decimal cast, or round() tie convention
+    // of either engine is in the hash — the round-9 red gate traced to
+    // DuckDB's version-sensitive float→VARCHAR rendering.
     "q_embed_centroid" ->
       """WITH e AS (SELECT label AS grp,
         |    unnest(range(0, len(embedding))) AS pos,
         |    unnest(embedding) AS v
         |  FROM embeddings WHERE embedding IS NOT NULL)
         |SELECT grp, CAST(pos AS INT) AS pos, CAST(count(*) AS BIGINT) AS n,
-        |  CAST(SUM(CAST(CAST(v AS VARCHAR) AS DECIMAL(18,8))) AS DECIMAL(28,8)) AS sv,
-        |  CAST(SUM(CAST(CAST(v AS VARCHAR) AS DECIMAL(18,8))) AS DOUBLE) / count(*) AS mean_v
+        |  CAST(SUM(CAST(floor(CAST(v AS DOUBLE) * 100000000 + CAST(0.5 AS DOUBLE))
+        |    AS BIGINT)) AS BIGINT) AS sv
         |FROM e GROUP BY grp, pos ORDER BY grp, pos""".stripMargin,
 
     "q_embed_neardup" -> {

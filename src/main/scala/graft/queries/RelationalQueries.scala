@@ -672,14 +672,41 @@ object RelationalQueries extends QueryDomain {
         |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000.0)
         |ORDER BY c.c_custkey""".stripMargin,
 
-    "q_percentiles" ->
-      """SELECT o_orderstatus,
-        |  quantile_cont(CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS DOUBLE), 0.5) AS p50,
-        |  quantile_cont(CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS DOUBLE), 0.95) AS p95,
-        |  COUNT(*) AS n
-        |FROM orders
-        |GROUP BY o_orderstatus
-        |ORDER BY o_orderstatus""".stripMargin,
+    // NO quantile_* function (version-sensitive construct family, round-9
+    // audit): explicit rank arithmetic mirrors Spark's Percentile bit for
+    // bit — position p·(n−1) in doubles, the values at ranks ⌊pos⌋+1 and
+    // ⌊pos⌋+2, and the exact interpolation shape
+    // (higher−pos)·lo + (pos−lower)·hi (NOT lo+frac·(hi−lo), which rounds
+    // differently — verified one ulp apart on this data); integral
+    // positions return the lower value unscaled. Every percentage literal
+    // is CAST AS DOUBLE: a bare `0.95` is DECIMAL in DuckDB and would run
+    // the position arithmetic exact instead of in IEEE doubles.
+    "q_percentiles" -> {
+      def pos(p: String) = s"(nv - 1) * CAST($p AS DOUBLE)"
+      def interp(p: String, lo: String, hi: String) =
+        s"""CASE WHEN ${pos(p)} = floor(${pos(p)}) THEN $lo
+           |       ELSE (floor(${pos(p)}) + 1.0 - ${pos(p)}) * $lo
+           |          + (${pos(p)} - floor(${pos(p)})) * $hi END""".stripMargin
+      s"""WITH v AS (SELECT o_orderstatus,
+         |    CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS DOUBLE) AS v
+         |  FROM orders),
+         |r AS (SELECT o_orderstatus, v,
+         |    ROW_NUMBER() OVER (PARTITION BY o_orderstatus ORDER BY v) AS rn,
+         |    COUNT(v) OVER (PARTITION BY o_orderstatus) AS nv,
+         |    COUNT(*) OVER (PARTITION BY o_orderstatus) AS n
+         |  FROM v),
+         |g AS (SELECT o_orderstatus, MAX(n) AS n, MAX(nv) AS nv,
+         |    MAX(CASE WHEN rn = CAST(floor(${pos("0.5")}) AS BIGINT) + 1 THEN v END) AS p50_lo,
+         |    MAX(CASE WHEN rn = CAST(floor(${pos("0.5")}) AS BIGINT) + 2 THEN v END) AS p50_hi,
+         |    MAX(CASE WHEN rn = CAST(floor(${pos("0.95")}) AS BIGINT) + 1 THEN v END) AS p95_lo,
+         |    MAX(CASE WHEN rn = CAST(floor(${pos("0.95")}) AS BIGINT) + 2 THEN v END) AS p95_hi
+         |  FROM r GROUP BY o_orderstatus)
+         |SELECT o_orderstatus,
+         |  ${interp("0.5", "p50_lo", "p50_hi")} AS p50,
+         |  ${interp("0.95", "p95_lo", "p95_hi")} AS p95,
+         |  CAST(n AS BIGINT) AS n
+         |FROM g ORDER BY o_orderstatus""".stripMargin
+    },
 
     "q_split_hash" ->
       """WITH h AS (SELECT doc_id,

@@ -161,8 +161,15 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"vocabulary must not shuffle-join:\n$p")
   }
 
-  test("q_seq_pack: exactly one data exchange — the stream-key window shuffle") {
+  test("q_seq_pack: inputs-only gate prunes the window — no hash exchange at all") {
     val p = plan("q_seq_pack")
+    val dataExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(dataExchanges === 0,
+      s"token counting needs no shuffle once the offset window is pruned:\n$p")
+  }
+
+  test("q_seq_pack_offsets: exactly one data exchange — the stream-key window shuffle") {
+    val p = plan("q_seq_pack_offsets")
     val dataExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(dataExchanges === 1, s"packing must shuffle once on the stream key:\n$p")
   }

@@ -275,22 +275,22 @@ class VectorOpsSpec extends AnyFunSuite with SparkSpec {
     assert(recall >= 0.2, s"PQ recall@10 fell to $recall (random ≈ 0.02)")
   }
 
-  test("groupCentroids ≡ driver-side BigDecimal pooling; stable under repartition") {
+  test("groupCentroids ≡ driver-side unit-quantized pooling; stable under repartition") {
     val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val rows = e.select($"label", $"embedding").as[(Int, Seq[Float])].collect()
-    // Reference: quantize each float's SHORTEST decimal string (toString —
-    // the exact contract of the cast chain) to scale 8, exact-sum, divide.
+    // Reference: quantize each float by the operator's fixed IEEE chain
+    // ⌊v·10⁸ + 0.5⌋ (float→double widening, multiply, add, floor — all
+    // bit-specified), exact-sum the integer units, divide out the mean.
     val expect = rows.groupBy(_._1).flatMap { case (lbl, vs) =>
       val dim = vs.head._2.length
       (0 until dim).map { p =>
-        val qs = vs.map(v => BigDecimal(v._2(p).toString)
-          .setScale(8, BigDecimal.RoundingMode.HALF_UP))
+        val qs = vs.map(v => math.floor(v._2(p).toDouble * 1e8 + 0.5).toLong)
         val sv = qs.sum
-        ((lbl, p), (vs.size.toLong, sv, sv.toDouble / vs.size))
+        ((lbl, p), (vs.size.toLong, sv, sv.toDouble / 1e8 / vs.size))
       }
     }
     val got = VectorOps.groupCentroids(e.repartition(11), "label", "embedding")
-      .as[(Int, Int, Long, BigDecimal, Double)].collect()
+      .as[(Int, Int, Long, Long, Double)].collect()
     assert(got.length === expect.size)
     got.foreach { case (lbl, p, n, sv, mean) =>
       val (en, esv, emean) = expect((lbl, p))
