@@ -57,13 +57,45 @@ object SetSimJoin {
     *  - UNBOUNDED vocabulary with hot keys:
     *    [[DfStrategy.Aggregate]]`(broadcast = false)`. The join back
     *    shuffles on (block, token) like the window does, but the df COUNT
-    *    itself is combiner-reduced, and AQE can split a skewed join key at
-    *    runtime (it cannot split a window partition).
+    *    itself is combiner-reduced, and the operator splits the hot keys
+    *    ITSELF — see [[DfStrategy.Aggregate]].
     */
   sealed trait DfStrategy
   object DfStrategy {
     case object Window extends DfStrategy
-    final case class Aggregate(broadcast: Boolean) extends DfStrategy
+
+    /** Df via a combiner-reduced `groupBy(block, token).count`, joined back
+      * onto the index: `broadcast = true` ships the whole df table to every
+      * task (bounded vocabularies — zero index shuffles), `broadcast =
+      * false` is the unbounded-vocabulary path.
+      *
+      * The non-broadcast join CANNOT be rescued by AQE's skew splitting:
+      * `OptimizeSkewedJoin` only matches a join whose BOTH children are a
+      * bare sort over an `ENSURE_REQUIREMENTS` shuffle stage, and here the
+      * df aggregate's final merge sits between its shuffle and the join —
+      * the rule never even pattern-matches this shape (verified
+      * empirically: it logs `skewed partitions: left 0, right 0` for the
+      * other joins and is silent on this one, with a 5× hot partition in
+      * the map stats). So the hot keys are split DETERMINISTICALLY by the
+      * operator instead, using the df table itself as the skew census it
+      * already is: keys with `sj_df >= hotDfThreshold` join via BROADCAST
+      * (their index rows never shuffle at all — the skew never forms),
+      * while the cold tail takes the ordinary shuffled join, its probe
+      * side pruned MAP-SIDE by a broadcast anti-join on the hot key set so
+      * the cold exchange's per-key row count is `< hotDfThreshold` by
+      * construction (filtering only the df side would still shuffle every
+      * hot index row into one partition before dropping it). Cost: the index is
+      * scanned twice (once per branch — a map-side re-read, no extra
+      * shuffle volume); the hot slice has at most `totalRows /
+      * hotDfThreshold` entries, so its broadcast is bounded by the same
+      * census that selected it. `hotDfThreshold = Long.MaxValue` disables
+      * the split (single shuffled join, single scan — for inputs known to
+      * be tame). SkewJoinSpec proves the shuffle stays balanced on a
+      * deliberately hot-token corpus, and that disabling the split
+      * reproduces the 5×+ hot partition.
+      */
+    final case class Aggregate(broadcast: Boolean,
+        hotDfThreshold: Long = 1L << 20) extends DfStrategy
 
     /** The zero-index-shuffle endpoint of the bounded-vocabulary path: the
       * df table (the same broadcast-small relation `Aggregate(broadcast =
@@ -166,24 +198,44 @@ object SetSimJoin {
     // index twice, since the aggregate's exchange carries different rows
     // than the join side's and ReuseExchange can't deduplicate them).
     // Aggregate: combiner-reduced groupBy count joined back — broadcast for
-    // bounded vocabularies (zero index shuffles), shuffle join for
-    // unbounded-but-skewed ones (AQE splits hot join keys).
+    // bounded vocabularies (zero index shuffles); for unbounded-but-skewed
+    // ones the operator splits hot keys through a broadcast branch itself
+    // (AQE's OptimizeSkewedJoin cannot match this join shape — see
+    // DfStrategy.Aggregate).
     // Packed: df collected driver-side, prefix selected row-locally — no
     // per-doc rank shuffle at all. See DfStrategy.
     //
     // Prefix of length |A| − ⌈t·|A|⌉ + 1 under the (df, token) order.
     val prefix = strategy match {
-      case DfStrategy.Window | DfStrategy.Aggregate(_) =>
+      case DfStrategy.Window | DfStrategy.Aggregate(_, _) =>
         val withFreq = strategy match {
           case DfStrategy.Window =>
             val wDf = Window.partitionBy(bc :+ col("sj_tok"): _*)
             ex.withColumn("sj_df", count(lit(1)).over(wDf))
-          case DfStrategy.Aggregate(bcast) =>
+          case DfStrategy.Aggregate(bcast, hotDf) =>
             // A Packed→Aggregate fallback hands over its already-persisted
             // aggregate; the direct Aggregate path builds it here.
             val dfTab = dfTabReuse.getOrElse(
               ex.groupBy(bc :+ col("sj_tok"): _*).agg(count(lit(1)).as("sj_df")))
-            ex.join(if (bcast) broadcast(dfTab) else dfTab, blockCols :+ "sj_tok")
+            if (bcast) ex.join(broadcast(dfTab), blockCols :+ "sj_tok")
+            else if (hotDf == Long.MaxValue) ex.join(dfTab, blockCols :+ "sj_tok")
+            else {
+              // Deterministic hot-key split (see DfStrategy.Aggregate): the
+              // df table is its own skew census. Hot keys (≥ hotDf index
+              // rows each, so ≤ total/hotDf of them) ride a broadcast join
+              // — their index rows never shuffle. Crucially the cold
+              // branch's PROBE side is pruned MAP-SIDE by a broadcast
+              // anti-join on the hot key set: filtering only dfTab would
+              // still shuffle every hot index row into its one partition
+              // and drop it after the exchange — measured as the same 4.7×
+              // partition the split exists to remove. Post-prune, the cold
+              // exchange's per-key cardinality is < hotDf by construction.
+              val hot = dfTab.filter(col("sj_df") >= hotDf)
+              ex.join(broadcast(hot.select((blockCols :+ "sj_tok").map(col): _*)),
+                  blockCols :+ "sj_tok", "left_anti")
+                .join(dfTab.filter(col("sj_df") < hotDf), blockCols :+ "sj_tok")
+                .unionByName(ex.join(broadcast(hot), blockCols :+ "sj_tok"))
+            }
           case DfStrategy.Packed => throw new MatchError(strategy) // unreachable
         }
         val ceilTA = floor((col("sj_sz") * threshNum + (threshDen - 1)) / threshDen)
