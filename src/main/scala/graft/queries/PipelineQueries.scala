@@ -1286,6 +1286,28 @@ object PipelineQueries extends QueryDomain {
         .orderBy($"query_id", $"rrf_rank")
     },
 
+    "q_hybrid_retrieval" -> { (s, dir) =>
+      import s.implicits._
+      // The retrieval pipeline END TO END: one user query in both
+      // modalities — keywords for the BM25 lexical leg, document 0's
+      // embedding for the dense leg (doc_id and vec_id share the id space
+      // by fixture design) — fused into one ranking by reciprocal-rank
+      // fusion. Composes q_bm25_topk + q_cosine_topk through rrfFuse; each
+      // leg keeps its own plan (prefix-pruned tf aggregate / broadcast-
+      // query top-k) and the fusion adds one keyed aggregate — nothing new
+      // shuffles wide.
+      val e = t(s, dir, "embeddings")
+      val lex = CorpusOps.bm25(docs(s, dir), "doc_id", "text",
+          queryTerms = Seq("join", "spark", "vector"), k = 20)
+        .select(lit(0L).as("query_id"), $"rnk".as("rank"),
+          $"doc_id".as("neighbor_id"))
+      val dense = VectorOps.topK(e, e.filter($"vec_id" === 0),
+          "vec_id", "embedding", k = 20)
+        .select($"query_id", $"rank", $"neighbor_id")
+      VectorOps.rrfFuse(Seq(lex, dense), topN = 10)
+        .orderBy($"rrf_rank")
+    },
+
     "q_ann_ivf" -> { (s, dir) =>
       import s.implicits._
       val e = t(s, dir, "embeddings")
@@ -1396,8 +1418,11 @@ object PipelineQueries extends QueryDomain {
     }
   )
 
-  private val Bm25Oracle =
-      """WITH dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+  /** BM25 CTE chain ending in `s(doc_id, score)` — shared by the two BM25
+    * gates and the hybrid-retrieval composition.
+    */
+  private val bm25Ctes =
+      """dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
         |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS sumdl FROM dl),
         |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
         |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM tok
@@ -1412,7 +1437,10 @@ object PipelineQueries extends QueryDomain {
         |    coalesce(sum(CASE WHEN token = 'join' THEN contrib END), 0.0)
         |    + coalesce(sum(CASE WHEN token = 'spark' THEN contrib END), 0.0)
         |    + coalesce(sum(CASE WHEN token = 'vector' THEN contrib END), 0.0) AS score
-        |  FROM c GROUP BY doc_id)
+        |  FROM c GROUP BY doc_id)""".stripMargin
+
+  private val Bm25Oracle =
+      s"""WITH $bm25Ctes
         |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rnk,
         |  doc_id, score
         |FROM s ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
@@ -2568,6 +2596,39 @@ object PipelineQueries extends QueryDomain {
          |    PARTITION BY query_id ORDER BY rrf_score DESC, neighbor_id) AS rrf_rank
          |  FROM f)
          |WHERE rrf_rank <= 10 ORDER BY query_id, rrf_rank""".stripMargin,
+
+    // Hybrid retrieval: the bm25 CTE chain (shared with q_bm25_topk) ranks
+    // the lexical leg, the q_cosine_topk pair construction ranks the dense
+    // leg for query vector 0, and both feed q_rrf_fusion's sorted-fold RRF.
+    "q_hybrid_retrieval" ->
+      s"""WITH $embCte,
+         |$bm25Ctes,
+         |lexr AS (SELECT CAST(0 AS BIGINT) AS query_id, doc_id AS neighbor_id,
+         |    row_number() OVER (ORDER BY score DESC, doc_id) AS rnk FROM s),
+         |p AS (SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+         |  ${duckDot("q.e", "d.e")} / sqrt(q.nn * d.nn) AS cos
+         |  FROM n q JOIN n d ON q.vec_id = 0 AND d.vec_id <> q.vec_id),
+         |cosr AS (SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk FROM p),
+         |terms AS (
+         |  SELECT query_id, neighbor_id,
+         |    CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + CAST(rnk AS DOUBLE)) AS term
+         |  FROM lexr WHERE rnk <= 20
+         |  UNION ALL
+         |  SELECT query_id, neighbor_id,
+         |    CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + CAST(rnk AS DOUBLE)) AS term
+         |  FROM cosr WHERE rnk <= 20),
+         |f AS (SELECT query_id, neighbor_id,
+         |  list_reduce(list_prepend(CAST(0 AS DOUBLE), list_sort(list(term))),
+         |    (a, x) -> a + x) AS rrf_score,
+         |  CAST(count(*) AS BIGINT) AS n_lists
+         |  FROM terms GROUP BY query_id, neighbor_id)
+         |SELECT query_id, CAST(rrf_rank AS INT) AS rrf_rank, neighbor_id,
+         |  rrf_score, n_lists FROM (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY rrf_score DESC, neighbor_id) AS rrf_rank
+         |  FROM f)
+         |WHERE rrf_rank <= 10 ORDER BY rrf_rank""".stripMargin,
 
     "q_ann_ivf" ->
       s"""WITH $embCte,

@@ -10,6 +10,7 @@ import org.apache.spark.sql.types._
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
+import graft.meta.JdbcPgCatalog
 import graft.sink.{ConnectionFactory, PostgresUpsertSink, SinkConnection, UpsertSqlGen}
 
 /** LIVE-POSTGRES end-to-end for the sink — the one reference code path the
@@ -157,6 +158,105 @@ class PostgresLiveSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tableState("live_poison").keySet === (1 to 4).toSet)
   }
 
+  test("pg_catalog introspection SQL (O7/O8) validated against the live server") {
+    live()
+    // The three catalog texts have only ever faced stubs (Derby has no
+    // pg_catalog): run them verbatim on real PostgreSQL 15 with the JDBC
+    // `?` placeholders rendered to literals. The fixture is adversarial
+    // for the unique-index fallback: a PARTIAL unique index and an
+    // EXPRESSION unique index are created FIRST (lowest oids — the LIMIT 1
+    // would return one of them if the exclusions were wrong), then the
+    // plain composite index that must win.
+    psql("CREATE TABLE cat_t (e bigint, a serial, b numeric(10,2), c varchar(17), " +
+      "d timestamp, f date, g int NOT NULL, PRIMARY KEY (e, a))")
+    psql("CREATE UNIQUE INDEX cat_part ON cat_t (g) WHERE g > 0")
+    psql("CREATE UNIQUE INDEX cat_expr ON cat_t ((lower(c)))")
+    psql("CREATE UNIQUE INDEX cat_plain ON cat_t (c, f)")
+    val cat = new JdbcPgCatalog(() => sys.error("SQL text access only"))
+    def run(sql: String, table: String) =
+      psql(sql.replaceFirst("\\?", "'public'").replaceFirst("\\?", s"'$table'"))
+
+    assert(run(cat.columnSql, "cat_t") === Seq(
+      "e|bigint", "a|integer", "b|numeric(10,2)", "c|character varying(17)",
+      "d|timestamp without time zone", "f|date", "g|integer"),
+      "column names + format_type typmods in attnum order")
+    assert(run(cat.pkSql, "cat_t") === Seq("e,a"),
+      "composite PK columns in INDEX order, not attnum order")
+    assert(run(cat.uniqueIdxSql, "cat_t") === Seq("c,f"),
+      "partial + expression indexes excluded; first eligible unique index wins")
+
+    // No PK: the unique-index fallback is the key; no constraints at all:
+    // both queries return zero rows (insert-only mode upstream).
+    psql("CREATE TABLE cat_u (x int, y int)")
+    psql("CREATE UNIQUE INDEX cat_u_ux ON cat_u (y, x)")
+    assert(run(cat.pkSql, "cat_u").isEmpty)
+    assert(run(cat.uniqueIdxSql, "cat_u") === Seq("y,x"))
+    psql("CREATE TABLE cat_none (x int)")
+    assert(run(cat.pkSql, "cat_none").isEmpty)
+    assert(run(cat.uniqueIdxSql, "cat_none").isEmpty)
+  }
+
+  test("Loader.loadPostgres end-to-end live: CSV -> live catalog conform -> keyed upsert") {
+    live()
+    // The FULL flagship reference path against its real target
+    // (load_postgres_from_spark_df.py:72-105): the catalog metadata comes
+    // from the live server's pg_catalog (psql-backed PgCatalog below), the
+    // key is DISCOVERED (not passed), the source CSV has an extra column,
+    // mixed-case headers, and string-typed numerics — conform must
+    // lowercase, intersect, and cast to the catalog's types.
+    psql("CREATE TABLE live_load (id bigint PRIMARY KEY, name varchar(20), " +
+      "qty numeric(10,2), created date)")
+    val csvDir = Files.createTempDirectory("graft-csv")
+    Files.writeString(csvDir.resolve("part1.csv"),
+      """ID,Name,QTY,created,junk_col
+        |1,alpha,10.50,2024-01-02,x
+        |2,beta,20.25,2024-01-03,y
+        |3,gamma,0.75,2024-01-04,z
+        |""".stripMargin)
+    val cat = new PsqlCatalog(psql)
+    val cfg = Loader.LoadConfig(source = "csv", path = csvDir.toString,
+      targetTable = "public.live_load",
+      sourceOptions = Map("header" -> "true"), batchSize = 2, parallelism = 2)
+    val stats = Loader.loadPostgres(SparkSpec.session, cfg, cat,
+      PsqlConnectionFactory(sockDir))
+    assert(stats.loaded === 3 && stats.rejected === 0)
+
+    // Second load updates key 2 and inserts key 4 — the discovered PK must
+    // have routed the sink into ON CONFLICT DO UPDATE.
+    Files.writeString(csvDir.resolve("part1.csv"),
+      """ID,Name,QTY,created,junk_col
+        |2,beta2,99.99,2024-02-01,y
+        |4,delta,4.00,2024-01-05,w
+        |""".stripMargin)
+    val stats2 = Loader.loadPostgres(SparkSpec.session, cfg, cat,
+      PsqlConnectionFactory(sockDir))
+    assert(stats2.loaded === 2 && stats2.rejected === 0)
+    assert(psql("SELECT id, name, qty, created FROM live_load ORDER BY id") === Seq(
+      "1|alpha|10.50|2024-01-02",
+      "2|beta2|99.99|2024-02-01",
+      "3|gamma|0.75|2024-01-04",
+      "4|delta|4.00|2024-01-05"))
+    s"rm -rf $csvDir".!
+  }
+
+  /** [[graft.meta.PgCatalog]] over the live server through psql — the same
+    * three SQL texts [[JdbcPgCatalog]] issues over JDBC, placeholders
+    * rendered to literals. Driver-side only, like every catalog read.
+    */
+  final class PsqlCatalog(run: String => Seq[String]) extends graft.meta.PgCatalog {
+    private val texts = new JdbcPgCatalog(() => sys.error("SQL text access only"))
+    private def q(sql: String, schema: String, table: String): Seq[String] =
+      run(sql.replaceFirst("\\?", s"'$schema'").replaceFirst("\\?", s"'$table'"))
+    def columnTypes(schema: String, table: String) =
+      scala.collection.immutable.ListMap(q(texts.columnSql, schema, table).map { l =>
+        val Array(c, t) = l.split("\\|", 2); c -> t
+      }: _*)
+    def uniqueKey(schema: String, table: String) =
+      q(texts.pkSql, schema, table).headOption
+        .orElse(q(texts.uniqueIdxSql, schema, table).headOption)
+        .map(_.split(',').toIndexedSeq)
+  }
+
   test("insert-only mode (no unique key) against the live server") {
     live()
     psql("CREATE TABLE live_insert (id int, name varchar(10), qty int NOT NULL)")
@@ -221,6 +321,12 @@ final class PsqlSinkConnection(sock: String) extends SinkConnection {
     case s: String => "'" + s.replace("'", "''") + "'"
     case n @ (_: Int | _: Long | _: Short | _: Byte | _: Double | _: Float) => n.toString
     case b: Boolean => b.toString
+    case d: java.math.BigDecimal => d.toPlainString
+    case d: scala.math.BigDecimal => d.bigDecimal.toPlainString
+    // Both the legacy java.sql and the java8API datetime externals render
+    // as ISO strings Postgres parses directly.
+    case d @ (_: java.sql.Date | _: java.time.LocalDate) => s"'$d'"
+    case t @ (_: java.sql.Timestamp | _: java.time.Instant) => s"'$t'"
     case other => throw new IllegalArgumentException(
       s"PsqlSinkConnection literal rendering does not cover ${other.getClass}")
   }
