@@ -115,6 +115,17 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q_hybrid_retrieval: every join broadcast — no sort-merge, no cartesian") {
+    val p = plan("q_hybrid_retrieval")
+    // BM25 leg: df + doc-length dims broadcast onto the pruned tf stream;
+    // dense leg: query vector broadcast onto the corpus scan. A
+    // SortMergeJoin anywhere means a leg started shuffling its corpus.
+    assert("Broadcast(NestedLoop|Hash)Join".r.findAllIn(p).size >= 2,
+      s"legs must broadcast their small sides:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no leg may shuffle-join the corpus:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q_cdc_apply: merge-key plan — window dedup + anti-join, no cartesian") {
     val p = plan("q_cdc_apply")
     assert(p.contains("LeftAnti"), s"untouched rows must come from an anti-join:\n$p")
