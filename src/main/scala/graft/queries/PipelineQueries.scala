@@ -541,6 +541,47 @@ object PipelineQueries extends QueryDomain {
         .orderBy($"doc_id")
     },
 
+    "q_equidepth_bins" -> { (s, dir) =>
+      import s.implicits._
+      // Equi-depth binning ([[RankOps.equidepthBins]] over
+      // [[RankOps.globalRank]]): 8 bins of lineitem prices, each holding
+      // n/8 ± 1 rows by construction. The rank is the zipWithIndex
+      // two-phase shape — never a single-partition window — and the bin is
+      // pure integer arithmetic ⌊(rank−1)·k/n⌋ over the total order
+      // (price, orderkey, linenumber), so the assignment is
+      // engine-independent. Gated per bin: count, exact double min/max
+      // (values pass through unchanged — no float arithmetic), and the
+      // orderkey sum pinning WHICH rows landed in the bin (two equal
+      // prices straddling a boundary differ in key_sum if swapped).
+      val l = t(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_linenumber", $"l_extendedprice")
+      RankOps.equidepthBins(l, $"l_extendedprice",
+          Seq($"l_orderkey", $"l_linenumber"), k = 8, binCol = "bin")
+        .groupBy($"bin")
+        .agg(count(lit(1)).as("cnt"),
+          min($"l_extendedprice").as("min_price"),
+          max($"l_extendedprice").as("max_price"),
+          sum($"l_orderkey").as("key_sum"))
+        .orderBy($"bin")
+    },
+
+    "q_sorted_neighbors" -> { (s, dir) =>
+      import s.implicits._
+      // Sorted-neighborhood blocking ([[RankOps.sortedNeighborhoodPairs]],
+      // Hernández & Stolfo SIGMOD'95): documents globally ordered by
+      // (char length, doc_id); every pair within 4 rank positions becomes
+      // a dedup candidate, emitted exactly once by the adjacent-bucket
+      // join — never an all-pairs product, never a one-task sort. The
+      // oracle reproduces the rank with a window and the pairing with a
+      // rank-distance self-join.
+      val d = t(s, dir, "documents")
+        .select($"doc_id", length($"text").as("tl"))
+      orderedSmall(
+        RankOps.sortedNeighborhoodPairs(d, Seq($"tl", $"doc_id"), window = 4)
+          .select($"doc_id_i", $"doc_id_j", $"rank_dist"),
+        $"doc_id_i", $"doc_id_j")
+    },
+
     "q_curation_funnel" -> { (s, dir) =>
       import s.implicits._
       // The END-TO-END curation pipeline as one query — what a user of this
@@ -2297,6 +2338,27 @@ object PipelineQueries extends QueryDomain {
         |    ORDER BY n_tokens, doc_id) - 1) // 8 AS BIGINT) AS batch_idx,
         |  CAST((bucket + 1) * 16 - 1 AS BIGINT) AS pad_to
         |FROM b ORDER BY doc_id""".stripMargin,
+
+    "q_equidepth_bins" ->
+      """WITH r AS (SELECT l_orderkey, l_extendedprice AS p,
+        |    ROW_NUMBER() OVER (ORDER BY l_extendedprice, l_orderkey,
+        |      l_linenumber) AS rnk,
+        |    COUNT(*) OVER () AS n
+        |  FROM lineitem)
+        |SELECT CAST((rnk - 1) * 8 // n AS INT) AS bin,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt,
+        |  MIN(p) AS min_price, MAX(p) AS max_price,
+        |  CAST(SUM(l_orderkey) AS BIGINT) AS key_sum
+        |FROM r GROUP BY 1 ORDER BY bin""".stripMargin,
+
+    "q_sorted_neighbors" ->
+      """WITH r AS (SELECT doc_id,
+        |    ROW_NUMBER() OVER (ORDER BY length(text), doc_id) AS rnk
+        |  FROM documents)
+        |SELECT a.doc_id AS doc_id_i, b.doc_id AS doc_id_j,
+        |  CAST(b.rnk - a.rnk AS INT) AS rank_dist
+        |FROM r a JOIN r b ON b.rnk > a.rnk AND b.rnk - a.rnk < 4
+        |ORDER BY doc_id_i, doc_id_j""".stripMargin,
 
     "q_bpe_merges" -> bpeOracle(6),
 
