@@ -239,4 +239,101 @@ object GraphOps {
       .crossJoin(e.agg(count(lit(1)).as("n_edges")))
       .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
   }
+
+  /** Undirected symmetrized edge list (both directions of every distinct
+    * pair, self-loops and nulls dropped) — the shared normalization for
+    * the traversal operators below.
+    */
+  private def symmetrize(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges.select(
+        least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("u"),
+        greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("v"))
+      .filter(col("u") =!= col("v") && col("u").isNotNull)
+      .distinct()
+    e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+  }
+
+  /** Multi-source BFS hop distances, bounded at `maxHops` rounds: every
+    * node reachable from any source within `maxHops` undirected hops is
+    * labeled with its MINIMUM hop count (sources themselves at 0);
+    * unreached nodes are absent. The workhorse of corpus-graph triage —
+    * "everything within k links of a known-bad seed set".
+    *
+    * Shape: k rounds of Bellman–Ford-style relaxation, each ONE edge join
+    * (settled nodes × their edges) + ONE node-keyed min aggregate — all
+    * shuffles keyed on node ids, no driver state, no frontier collect.
+    * Round r's join re-expands every settled node (not just the new
+    * frontier), trading O(k·m) total edge traversals for a plan with no
+    * anti-join against a growing accumulator — at a bounded k that is the
+    * cheaper and simpler distributed shape, and each round's aggregate
+    * keeps the state at one row per reached node.
+    *
+    * Determinism: pure integer mins over integer hop counts — no floats,
+    * no tie rules; the result is a function of the edge set alone.
+    */
+  def bfsDistances(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      sources: DataFrame,
+      sourceCol: String,
+      maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val sym = symmetrize(edges, srcCol, dstCol)
+    var dist = sources
+      .select(col(sourceCol).cast("long").as("node")).distinct()
+      .withColumn("dist", lit(0))
+    for (_ <- 1 to maxHops) {
+      val relaxed = dist.join(sym, dist("node") === sym("u"))
+        .select(col("v").as("node"), (col("dist") + 1).as("dist"))
+      dist = dist.unionByName(relaxed)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+    }
+    dist.select(col("node"), col("dist").cast("int").as("dist"))
+  }
+
+  /** Integer-scaled PageRank over the undirected (symmetrized) graph:
+    * every node starts at `scale` and each of `iterations` rounds applies
+    *
+    *   pr'(v) = (3·scale) div 20  +  Σ_{u ~ v} (pr(u) · 17) div (20 · deg(u))
+    *
+    * — the standard d=0.85 damped recurrence with BOTH the damping factor
+    * and the per-edge share expressed as exact BIGINT multiply-then-
+    * floor-divide. No float appears anywhere, so the fixpoint iteration is
+    * bit-reproducible across engines and partitionings (float PageRank is
+    * not: Σ over in-neighbors is order-sensitive). The floor drops ≤ 1
+    * unit per edge per round — at scale=10¹² a relative error of 10⁻¹²·deg,
+    * far below any ranking use — and mass lost to flooring is NOT
+    * redistributed (documented deviation from the normalized textbook
+    * formulation; rankings are unaffected since every node floors alike).
+    *
+    * Shape per round: one broadcast-or-shuffle join of the O(n) rank table
+    * with the O(n) degree table (both node-keyed — one exchange each,
+    * reused across rounds), one edge join, one node-keyed sum. O(k·m)
+    * total work, no driver state. Overflow headroom: Σpr ≤ n·scale, so
+    * pr·17 stays in BIGINT for n·scale < 5·10¹⁷.
+    */
+  def pageRankInt(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iterations: Int,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val sym = symmetrize(edges, srcCol, dstCol)
+    val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    val base = lit(3L * scale / 20L)
+    var pr = deg.select(col("u").as("node"), lit(scale).as("pr"))
+    for (_ <- 1 to iterations) {
+      pr = pr
+        .join(deg, pr("node") === deg("u"))
+        .join(sym.select(col("u").as("eu"), col("v").as("ev")),
+          col("node") === col("eu"))
+        .select(col("ev").as("node"),
+          expr("(pr * 17) div (20 * deg)").as("share"))
+        .groupBy(col("node"))
+        .agg((base + sum(col("share"))).as("pr"))
+    }
+    pr
+  }
 }

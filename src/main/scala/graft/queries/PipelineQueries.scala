@@ -143,6 +143,42 @@ object PipelineQueries extends QueryDomain {
       GraphOps.triangleCount(edges, "c1", "c2")
     },
 
+    "q_bfs_reach" -> { (s, dir) =>
+      import s.implicits._
+      // Multi-source bounded BFS ([[GraphOps.bfsDistances]]) over the
+      // q_triangles consecutive-order customer graph: every customer
+      // within 3 undirected hops of a seed set (custkey % 50 == 0) gets
+      // its minimum hop count — the "everything near a known-bad seed"
+      // triage query. k rounds of edge join + node-keyed min aggregate;
+      // pure integer mins, so the oracle is the same relaxation unrolled
+      // as k CTEs.
+      val o = t(s, dir, "orders").select($"o_orderkey", $"o_custkey")
+      val edges = o.as("a")
+        .join(o.as("b"), col("a.o_orderkey") + 1 === col("b.o_orderkey"))
+        .select(col("a.o_custkey").as("c1"), col("b.o_custkey").as("c2"))
+      val seeds = o.select($"o_custkey")
+        .filter(pmod($"o_custkey", lit(50L)) === 0).distinct()
+      GraphOps.bfsDistances(edges, "c1", "c2", seeds, "o_custkey", maxHops = 3)
+        .orderBy($"node")
+    },
+
+    "q_pagerank" -> { (s, dir) =>
+      import s.implicits._
+      // Integer-scaled PageRank ([[GraphOps.pageRankInt]], 5 damped
+      // rounds at d = 17/20) on the same graph. Every arithmetic step is
+      // BIGINT multiply-then-floor-divide, so the iteration is
+      // bit-reproducible across engines and partitionings — float
+      // PageRank's order-sensitive Σ could never face a hash gate. The
+      // oracle unrolls the recurrence as 5 CTEs over the symmetrized
+      // edge list.
+      val o = t(s, dir, "orders").select($"o_orderkey", $"o_custkey")
+      val edges = o.as("a")
+        .join(o.as("b"), col("a.o_orderkey") + 1 === col("b.o_orderkey"))
+        .select(col("a.o_custkey").as("c1"), col("b.o_custkey").as("c2"))
+      GraphOps.pageRankInt(edges, "c1", "c2", iterations = 5)
+        .orderBy($"node")
+    },
+
     "q_dedup_incremental" -> { (s, dir) =>
       import s.implicits._
       // INCREMENTAL dedup — the steady-state shape of every production
@@ -1589,7 +1625,58 @@ object PipelineQueries extends QueryDomain {
        |  unnest(syms) AS piece
        |FROM v$k ORDER BY word, pos""".stripMargin
 
+  /** Shared CTE prefix for the graph-traversal oracles: the consecutive-
+    * order customer graph symmetrized to a directed edge list `e(u, v)`
+    * (both directions of every distinct non-loop pair — the exact
+    * normalization [[graft.operators.GraphOps]] applies).
+    */
+  private val symGraphCtes =
+    """raw AS (SELECT a.o_custkey AS s, b.o_custkey AS d
+      |  FROM orders a JOIN orders b ON a.o_orderkey + 1 = b.o_orderkey),
+      |p AS (SELECT DISTINCT least(s, d) AS u, greatest(s, d) AS v
+      |  FROM raw WHERE s <> d),
+      |e AS (SELECT u, v FROM p UNION ALL SELECT v, u FROM p)""".stripMargin
+
+  /** k rounds of BFS relaxation unrolled: d{i} = node-keyed MIN over
+    * d{i-1} ∪ (d{i-1} ⋈ e with dist+1) — the same recurrence
+    * [[graft.operators.GraphOps.bfsDistances]] iterates.
+    */
+  private def bfsOracle(k: Int): String = {
+    val steps = (1 to k).map(i =>
+      s"""d$i AS (SELECT node, MIN(dist) AS dist FROM (
+         |  SELECT node, dist FROM d${i - 1} UNION ALL
+         |  SELECT e.v, d.dist + 1 FROM d${i - 1} d JOIN e ON e.u = d.node)
+         |  GROUP BY node)""".stripMargin).mkString(",\n")
+    s"""WITH $symGraphCtes,
+       |d0 AS (SELECT DISTINCT o_custkey AS node, 0 AS dist FROM orders
+       |  WHERE o_custkey % 50 = 0),
+       |$steps
+       |SELECT node, CAST(dist AS INT) AS dist FROM d$k ORDER BY node""".stripMargin
+  }
+
+  /** k rounds of the integer PageRank recurrence unrolled. DuckDB's
+    * SUM(BIGINT) widens to HUGEINT — the outer CAST brings each round's
+    * rank back to BIGINT; `//` on positive BIGINTs floors exactly like
+    * Spark's `div`.
+    */
+  private def pageRankOracle(k: Int): String = {
+    val steps = (1 to k).map(i =>
+      s"""p$i AS (SELECT e.v AS node,
+         |  CAST(150000000000 + SUM((p.pr * 17) // (20 * d.deg)) AS BIGINT) AS pr
+         |  FROM p${i - 1} p JOIN deg d ON d.u = p.node JOIN e ON e.u = p.node
+         |  GROUP BY e.v)""".stripMargin).mkString(",\n")
+    s"""WITH $symGraphCtes,
+       |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY u),
+       |p0 AS (SELECT u AS node, CAST(1000000000000 AS BIGINT) AS pr FROM deg),
+       |$steps
+       |SELECT node, pr FROM p$k ORDER BY node""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q_bfs_reach" -> bfsOracle(3),
+
+    "q_pagerank" -> pageRankOracle(5),
+
     "q_dedup_exact" ->
       """WITH dup AS (
         |  SELECT doc_id, text, lang, source FROM documents

@@ -96,4 +96,89 @@ class GraphOpsSpec extends AnyFunSuite with SparkSpec {
     assertThrows[IllegalArgumentException](
       GraphOps.connectedComponents(strIds, "u", "v"))
   }
+
+  // ---- bfsDistances ------------------------------------------------------
+
+  /** Ground truth: plain queue BFS over the undirected simple graph. */
+  private def bruteBfs(edges: Seq[(Long, Long)], sources: Set[Long],
+      maxHops: Int): Map[Long, Int] = {
+    val adj = edges.filter { case (a, b) => a != b }
+      .flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val dist = scala.collection.mutable.Map(sources.toSeq.map(_ -> 0): _*)
+    var frontier = sources
+    for (h <- 1 to maxHops) {
+      frontier = frontier.flatMap(n => adj.getOrElse(n, Set.empty))
+        .filterNot(dist.contains)
+      frontier.foreach(n => dist(n) = h)
+    }
+    dist.toMap
+  }
+
+  test("bfsDistances ≡ queue BFS on a random graph, all hop bounds") {
+    val rng = new scala.util.Random(29)
+    val edges = Seq.tabulate(300)(_ =>
+      (rng.nextInt(120).toLong, rng.nextInt(120).toLong)) ++
+      (200L until 210L).map(i => (i, i + 1)) // a chain off to the side
+    val sources = Set(0L, 7L, 200L)
+    val df = edges.toDF("a", "b")
+    val src = sources.toSeq.toDF("id")
+    for (k <- Seq(0, 1, 3, 6)) {
+      val got = GraphOps.bfsDistances(df, "a", "b", src, "id", k)
+        .as[(Long, Int)].collect().toMap
+      assert(got === bruteBfs(edges, sources, k), s"maxHops=$k")
+    }
+  }
+
+  test("bfsDistances: a source off the graph keeps distance 0 of itself only") {
+    val got = GraphOps.bfsDistances(
+        Seq((1L, 2L)).toDF("a", "b"), "a", "b",
+        Seq(99L).toDF("id"), "id", 3)
+      .as[(Long, Int)].collect().toMap
+    assert(got === Map(99L -> 0))
+  }
+
+  // ---- pageRankInt -------------------------------------------------------
+
+  /** Ground truth: the same integer recurrence, computed sequentially. */
+  private def brutePageRank(edges: Seq[(Long, Long)], iters: Int,
+      scale: Long): Map[Long, Long] = {
+    val und = edges.filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val adj = und.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+    val base = 3L * scale / 20L
+    var pr = adj.keys.map(_ -> scale).toMap
+    for (_ <- 1 to iters) {
+      val next = scala.collection.mutable.Map[Long, Long]()
+      for ((u, vs) <- adj; share = pr(u) * 17L / (20L * vs.size); v <- vs)
+        next(v) = next.getOrElse(v, 0L) + share
+      pr = next.iterator.map { case (n, s) => n -> (base + s) }.toMap
+    }
+    pr
+  }
+
+  test("pageRankInt ≡ sequential integer recurrence on a random graph") {
+    val rng = new scala.util.Random(31)
+    val edges = Seq.tabulate(400)(_ =>
+      (rng.nextInt(100).toLong, rng.nextInt(100).toLong))
+    for (k <- Seq(1, 3, 5)) {
+      val got = GraphOps.pageRankInt(edges.toDF("a", "b"), "a", "b", k)
+        .as[(Long, Long)].collect().toMap
+      assert(got === brutePageRank(edges, k, 1000000000000L), s"iters=$k")
+    }
+  }
+
+  test("pageRankInt: a hub out-ranks leaves and ranks are partition-stable") {
+    // star: hub 0 with 20 leaves, plus a detached pair
+    val edges = (1L to 20L).map(i => (0L, i)) :+ (100L, 101L)
+    val df = edges.toDF("a", "b").repartition(7)
+    val pr = GraphOps.pageRankInt(df, "a", "b", 5).as[(Long, Long)]
+      .collect().toMap
+    assert(pr(0L) > pr(1L))
+    assert((1L to 20L).map(pr).toSet.size === 1) // leaves identical
+    val again = GraphOps.pageRankInt(df.repartition(3), "a", "b", 5)
+      .as[(Long, Long)].collect().toMap
+    assert(pr === again)
+  }
 }
