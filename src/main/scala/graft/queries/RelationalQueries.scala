@@ -314,6 +314,20 @@ object RelationalQueries extends QueryDomain {
           |ORDER BY c.c_custkey""".stripMargin)
     },
 
+    "q_sql_recursive" -> { (s, dir) =>
+      // SQL-frontend recursion (Spark 4's WITH RECURSIVE): walk each
+      // order's lineitems along consecutive linenumbers from 1,
+      // accumulating quantity; the walk stops at the first gap (the
+      // fixture's linenumbers are gappy by construction — both engines
+      // stop identically) and FORKS at duplicated linenumbers (the
+      // fixture has those too — hence cum_qty in the ORDER BY to keep
+      // the sort total). The accumulation order is FIXED by the
+      // recursion itself, so the double sums are bit-identical without
+      // decimal routing. Oracle = the very same SQL text.
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+      s.sql(recursiveWalkSql("lineitem_v"))
+    },
+
     "q_percentiles" -> { (s, dir) =>
       import s.implicits._
       // Exact (not approx_) percentiles: Spark `percentile` and DuckDB
@@ -490,7 +504,25 @@ object RelationalQueries extends QueryDomain {
   private val discPrice =
     "CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(1 - l_discount AS DECIMAL(8,4))"
 
+  /** One recursion text for BOTH engines (`table` differs only because the
+    * Spark side reads a temp view): the strongest form of oracle — the
+    * gate compares two executions of the same SQL.
+    */
+  private def recursiveWalkSql(table: String): String =
+    s"""WITH RECURSIVE walk AS (
+       |  SELECT l_orderkey, l_linenumber, l_quantity AS cum_qty
+       |  FROM $table WHERE l_linenumber = 1
+       |  UNION ALL
+       |  SELECT n.l_orderkey, n.l_linenumber, w.cum_qty + n.l_quantity
+       |  FROM walk w JOIN $table n
+       |    ON n.l_orderkey = w.l_orderkey
+       |    AND n.l_linenumber = w.l_linenumber + 1)
+       |SELECT l_orderkey, l_linenumber, cum_qty FROM walk
+       |ORDER BY l_orderkey, l_linenumber, cum_qty""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "q_sql_recursive" -> recursiveWalkSql("lineitem"),
+
     "q1_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
