@@ -143,6 +143,36 @@ object PipelineQueries extends QueryDomain {
       GraphOps.triangleCount(edges, "c1", "c2")
     },
 
+    "q_dq_checks" -> { (s, dir) =>
+      import s.implicits._
+      // Declarative data-quality report ([[DqChecks.check]]): not-null +
+      // range checks fused into ONE scan, uniqueness as a keyed
+      // aggregate, referential integrity as an anti-join against the
+      // distinct dimension keys. Violations planted the suite's standard
+      // way (a deterministic union of broken copies: null custkeys +
+      // duplicate orderkeys for every orderkey % 100 == 0) on top of the
+      // fixture's natural ones (2978 prices above 400k; the FK orphans
+      // come from excluding custkey % 7 == 0 from the reference side).
+      val o = t(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      val broken = o.filter(pmod($"o_orderkey", lit(100L)) === 0)
+        .select($"o_orderkey", lit(null).cast("long").as("o_custkey"),
+          $"o_totalprice")
+      val target = o.unionByName(broken)
+      val refCust = t(s, dir, "customer")
+        .filter(pmod($"c_custkey", lit(7L)) =!= 0)
+      DqChecks.check(target,
+        rowChecks = Seq(
+          DqChecks.notNull("custkey_not_null", $"o_custkey"),
+          DqChecks.satisfies("price_in_range",
+            $"o_totalprice".between(0.0, 400000.0)),
+          DqChecks.satisfies("orderkey_positive", $"o_orderkey" >= 0)),
+        uniques = Seq(DqChecks.UniqueCheck("orderkey_unique",
+          Seq("o_orderkey"))),
+        fks = Seq(DqChecks.FkCheck("custkey_in_customer",
+          Seq("o_custkey"), refCust, Seq("c_custkey"))))
+    },
+
     "q_bfs_reach" -> { (s, dir) =>
       import s.implicits._
       // Multi-source bounded BFS ([[GraphOps.bfsDistances]]) over the
@@ -1673,6 +1703,36 @@ object PipelineQueries extends QueryDomain {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q_dq_checks" ->
+      """WITH t AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, NULL, o_totalprice FROM orders
+        |  WHERE o_orderkey % 100 = 0),
+        |ref AS (SELECT DISTINCT c_custkey FROM customer
+        |  WHERE c_custkey % 7 <> 0)
+        |SELECT check_name, violations FROM (
+        |  SELECT 'custkey_not_null' AS check_name,
+        |    CAST(COUNT(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT)
+        |      AS violations FROM t
+        |  UNION ALL
+        |  SELECT 'price_in_range',
+        |    CAST(COUNT(*) FILTER (WHERE NOT COALESCE(
+        |      o_totalprice BETWEEN 0.0 AND 400000.0, FALSE)) AS BIGINT)
+        |    FROM t
+        |  UNION ALL
+        |  SELECT 'orderkey_positive',
+        |    CAST(COUNT(*) FILTER (WHERE NOT COALESCE(
+        |      o_orderkey >= 0, FALSE)) AS BIGINT) FROM t
+        |  UNION ALL
+        |  SELECT 'orderkey_unique', CAST(COALESCE(SUM(n - 1), 0) AS BIGINT)
+        |  FROM (SELECT COUNT(*) AS n FROM t GROUP BY o_orderkey) WHERE n > 1
+        |  UNION ALL
+        |  SELECT 'custkey_in_customer', CAST(COUNT(*) AS BIGINT) FROM t
+        |  WHERE o_custkey IS NOT NULL
+        |    AND o_custkey NOT IN (SELECT c_custkey FROM ref))
+        |ORDER BY check_name""".stripMargin,
+
     "q_bfs_reach" -> bfsOracle(3),
 
     "q_pagerank" -> pageRankOracle(5),

@@ -370,6 +370,21 @@ object RelationalQueries extends QueryDomain {
         .orderBy($"g_status", $"g_prio", $"o_orderstatus", $"o_orderpriority")
     },
 
+    "q_cube" -> { (s, dir) =>
+      import s.implicits._
+      // Full CUBE (all 4 grouping sets) with the grouping_id BITMASK —
+      // verified identical bit order to DuckDB's GROUPING(a, b). Within
+      // each gid stratum the rolled-up columns are constant NULL and the
+      // surviving columns are unique, so the ORDER BY is total and the
+      // engines' opposite NULLS FIRST/LAST defaults never bite.
+      t(s, dir, "orders")
+        .cube($"o_orderstatus", $"o_orderpriority")
+        .agg(grouping_id().cast("int").as("gid"),
+          count(lit(1)).as("n"), dsum($"o_totalprice").as("spend"))
+        .select($"o_orderstatus", $"o_orderpriority", $"gid", $"n", $"spend")
+        .orderBy($"gid", $"o_orderstatus", $"o_orderpriority")
+    },
+
     "q_pivot" -> { (s, dir) =>
       import s.implicits._
       // Pivot = conditional aggregation: order counts + decimal-exact spend
@@ -762,6 +777,15 @@ object RelationalQueries extends QueryDomain {
         |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
         |ORDER BY g_status, g_prio,
         |  o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS spend
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin,
 
     "q_pivot" ->
       """SELECT o_orderpriority,
