@@ -723,4 +723,55 @@ object CorpusOps {
     wordFreqSyms(docs, textCol)
       .select(col("w").as("word"), col("wc"), segmented.as("syms"))
   }
+
+  /** Deterministic in-batch negative sampling for contrastive training:
+    * each query draws its `k` negatives from the candidates hashing into
+    * the query's OWN bucket (`polyHash(query) % nBuckets` — the
+    * distributed analogue of "the other examples in my batch"), ranked by
+    * a pair hash so the draw is stable across runs, engines, and
+    * partitionings (`rand()` negatives are none of those). A query's own
+    * positives are excluded by an anti-join on the full pair list, so
+    * multi-positive queries never leak a positive as a negative.
+    * Contract: queries and candidates share one id space (the in-batch
+    * setting — anchors ARE corpus members), so a candidate equal to the
+    * query id is excluded as "itself"; cross-space callers must remap ids
+    * first (same convention as [[VectorOps.pqSearch]]'s excludeSelf).
+    *
+    * Scale shape: ONE equi-join of queries against bucket-keyed
+    * candidates (per-query candidate fan-out = |candidates|/nBuckets —
+    * nBuckets is the scale knob), one anti-join, one per-query window
+    * over the bounded candidate set. No all-pairs product anywhere.
+    *
+    * Output: (queryCol, neg_id, rank), rank 1..k by ascending pair hash;
+    * a bucket with fewer than k eligible candidates yields fewer rows.
+    */
+  def inBatchNegatives(
+      pairs: DataFrame,
+      queryCol: String,
+      posCol: String,
+      candidates: DataFrame,
+      candCol: String,
+      k: Int,
+      nBuckets: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val q = pairs.select(col(queryCol).as("__q"), col(posCol).as("__pos"))
+    val queries = q.select(col("__q")).distinct()
+      .withColumn("__bkt",
+        pmod(TextOps.polyHash(col("__q").cast("string")), lit(nBuckets.toLong)))
+    val cands = candidates.select(col(candCol).as("__c")).distinct()
+      .withColumn("__bkt",
+        pmod(TextOps.polyHash(col("__c").cast("string")), lit(nBuckets.toLong)))
+    val w = Window.partitionBy(col("__q"))
+      .orderBy(col("__ph"), col("__c"))
+    queries.join(cands, "__bkt")
+      .filter(col("__q") =!= col("__c"))
+      .join(q.select(col("__q"), col("__pos").as("__c")),
+        Seq("__q", "__c"), "left_anti")
+      .withColumn("__ph", TextOps.polyHash(
+        concat(col("__q").cast("string"), lit(":"), col("__c").cast("string"))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("__q").as(queryCol), col("__c").as("neg_id"), col("rank"))
+  }
 }

@@ -143,6 +143,44 @@ object PipelineQueries extends QueryDomain {
       GraphOps.triangleCount(edges, "c1", "c2")
     },
 
+    "q_neg_sample" -> { (s, dir) =>
+      import s.implicits._
+      // Deterministic in-batch negative sampling
+      // ([[CorpusOps.inBatchNegatives]]): every 10th doc is a query with
+      // its successor as the positive; negatives come from the query's
+      // own hash bucket (8 buckets), ranked by the pair hash — stable
+      // across runs/engines/partitionings where rand() sampling is not.
+      val d = t(s, dir, "documents")
+      val pairs = d.filter(pmod($"doc_id", lit(10L)) === 0)
+        .select($"doc_id".as("query_id"), ($"doc_id" + 1).as("pos_id"))
+      CorpusOps.inBatchNegatives(pairs, "query_id", "pos_id",
+          d.select($"doc_id"), "doc_id", k = 4, nBuckets = 8)
+        .orderBy($"query_id", $"rank")
+    },
+
+    "q_token_classes" -> { (s, dir) =>
+      import s.implicits._
+      // GPT-2-style regex pre-tokenization, class-counted: one
+      // regexp_extract_all pass splits letter runs, digit runs, and
+      // single punctuation marks ('[a-z]+|[0-9]+|[^a-z0-9 ]' — kept to
+      // constructs Java regex and DuckDB's RE2 interpret identically).
+      // The fixture text is pure lowercase+space, so digits/punctuation
+      // are planted deterministically by suffixing each doc with its own
+      // id and a bang — same construction in the oracle.
+      val pat = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+      val toks = regexp_extract_all(
+        concat($"text", lit(" v"), $"doc_id".cast("string"), lit("!")),
+        lit(pat), lit(0))
+      docs(s, dir)
+        .select($"doc_id", toks.as("tk"))
+        .select($"doc_id",
+          size($"tk").as("n_tokens"),
+          size(filter($"tk", x => x.rlike("^[0-9]+$"))).as("n_digit"),
+          size(filter($"tk", x => x.rlike("^[a-z]+$"))).as("n_word"))
+        .withColumn("n_punct", $"n_tokens" - $"n_digit" - $"n_word")
+        .orderBy($"doc_id")
+    },
+
     "q_dq_checks" -> { (s, dir) =>
       import s.implicits._
       // Declarative data-quality report ([[DqChecks.check]]): not-null +
@@ -1703,6 +1741,40 @@ object PipelineQueries extends QueryDomain {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q_neg_sample" -> {
+      val qh = duckHash("CAST(qid AS VARCHAR)")
+      val ch = duckHash("CAST(cid AS VARCHAR)")
+      val pairH = duckHash("CAST(qid AS VARCHAR) || ':' || CAST(cid AS VARCHAR)")
+      s"""WITH p AS (SELECT doc_id AS qid, doc_id + 1 AS pid FROM documents
+         |  WHERE doc_id % 10 = 0),
+         |q AS (SELECT DISTINCT qid, $qh % 8 AS bkt FROM p),
+         |c AS (SELECT doc_id AS cid, $ch % 8 AS bkt
+         |  FROM (SELECT CAST(doc_id AS BIGINT) AS cid, doc_id FROM documents)),
+         |j AS (SELECT q.qid, c.cid FROM q JOIN c ON c.bkt = q.bkt
+         |  WHERE c.cid <> q.qid AND NOT EXISTS (
+         |    SELECT 1 FROM p WHERE p.qid = q.qid AND p.pid = c.cid)),
+         |r AS (SELECT qid, cid, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+         |    ORDER BY $pairH, cid) AS INT) AS rank FROM j)
+         |SELECT qid AS query_id, cid AS neg_id, rank FROM r
+         |WHERE rank <= 4 ORDER BY query_id, rank""".stripMargin
+    },
+
+    "q_token_classes" ->
+      """WITH t AS (SELECT doc_id,
+        |  regexp_extract_all(text || ' v' || CAST(doc_id AS VARCHAR) || '!',
+        |    '[a-z]+|[0-9]+|[^a-z0-9 ]') AS tk
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(tk) AS INT) AS n_tokens,
+        |  CAST(len(list_filter(tk, x -> regexp_matches(x, '^[0-9]+$')))
+        |    AS INT) AS n_digit,
+        |  CAST(len(list_filter(tk, x -> regexp_matches(x, '^[a-z]+$')))
+        |    AS INT) AS n_word,
+        |  CAST(len(tk) - len(list_filter(tk, x -> regexp_matches(x, '^[0-9]+$')))
+        |    - len(list_filter(tk, x -> regexp_matches(x, '^[a-z]+$')))
+        |    AS INT) AS n_punct
+        |FROM t ORDER BY doc_id""".stripMargin,
+
     "q_dq_checks" ->
       """WITH t AS (
         |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders

@@ -511,4 +511,43 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec {
       assert(p.contains("SelectedBucketsCount"), s"postings scan must bucket-prune:\n$p")
     } finally cleanup()
   }
+
+  // ---- inBatchNegatives --------------------------------------------------
+
+  /** Scala twin of TextOps.polyHash for ground truth. */
+  private def ph(s: String, base: Long = 31L): Long =
+    s.foldLeft(0L)((acc, c) => (acc * base + c) % 1000000007L)
+
+  test("inBatchNegatives ≡ brute-force bucket sampling, positives and self excluded") {
+    val nB = 4
+    val k = 3
+    // two positives for query 8; ids 0..59 as candidates
+    val pairs = Seq((8L, 21L), (8L, 33L), (16L, 5L), (40L, 40L))
+      .toDF("qid", "pid")
+    val cands = (0L until 60L).toDF("cid").repartition(5)
+    val got = CorpusOps.inBatchNegatives(pairs, "qid", "pid", cands, "cid",
+        k = k, nBuckets = nB)
+      .as[(Long, Long, Int)].collect().sorted
+    val exp = Seq(8L, 16L, 40L).flatMap { q =>
+      val pos = Map(8L -> Set(21L, 33L), 16L -> Set(5L), 40L -> Set(40L))(q)
+      (0L until 60L)
+        .filter(c => ph(c.toString) % nB == ph(q.toString) % nB)
+        .filter(c => c != q && !pos.contains(c))
+        .sortBy(c => (ph(s"$q:$c"), c))
+        .take(k).zipWithIndex
+        .map { case (c, i) => (q, c, i + 1) }
+    }.sorted
+    assert(got === exp)
+    assert(got.nonEmpty && got.forall(_._3 <= k))
+  }
+
+  test("inBatchNegatives is stable across partitionings") {
+    val pairs = (0L until 20L).map(i => (i, (i + 7) % 20)).toDF("qid", "pid")
+    val cands = (0L until 200L).toDF("cid")
+    def run(parts: Int) = CorpusOps.inBatchNegatives(
+        pairs.repartition(parts), "qid", "pid",
+        cands.repartition(parts + 1), "cid", k = 5, nBuckets = 8)
+      .as[(Long, Long, Int)].collect().sorted.toSeq
+    assert(run(2) === run(9))
+  }
 }
