@@ -244,6 +244,35 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("LeftSemi"), s"wedges must close via a semi join:\n$p")
   }
 
+  test("q_equidepth_bins: no window over the data — rank comes from zipWithIndex") {
+    val p = plan("q_equidepth_bins")
+    assert(!p.contains("Window"),
+      s"global rank must be the zipWithIndex shape, not a window:\n$p")
+    assert(!p.contains("Exchange SinglePartition") || p.contains("HashAggregate"),
+      s"no single-partition data stage (the final 8-row agg aside):\n$p")
+  }
+
+  test("q_neg_sample: bucket equi-join only, positives excluded by anti-join") {
+    val p = plan("q_neg_sample")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"negatives must come from the bucket equi-join, never all-pairs:\n$p")
+    assert(p.contains("LeftAnti"), s"positives must drop via an anti-join:\n$p")
+  }
+
+  test("graph traversals: node-keyed equi-joins, no cartesian, no driver state") {
+    for (q <- Seq("q_bfs_reach", "q_pagerank")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q must stay equi-joined:\n$p")
+    }
+  }
+
+  test("q_dq_checks: the FK dimension broadcasts — fact side never shuffles for it") {
+    val p = plan("q_dq_checks")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"FK check must be a broadcast anti-join:\n$p")
+  }
+
   test("whole-stage codegen covers the scalar pipelines") {
     // AQE prints codegen stages only in the FINAL plan — execute first.
     val df = SparkEntry.queries("q_scalar_string")(spark, sf0001)
