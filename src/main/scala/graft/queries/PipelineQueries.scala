@@ -143,6 +143,26 @@ object PipelineQueries extends QueryDomain {
       GraphOps.triangleCount(edges, "c1", "c2")
     },
 
+    "q_funnel" -> { (s, dir) =>
+      import s.implicits._
+      // Ordered-step funnel ([[FunnelOps.funnel]]): earliest
+      // view → click → purchase completion per user, each step strictly
+      // after the row completing the previous one (total order
+      // (ts_µs, event_id) — simultaneous events resolve
+      // deterministically). Microseconds on BOTH sides: the fixture's
+      // TIMESTAMP(NANOS) reads as µs in DuckDB, so ordering by raw nanos
+      // here could break ties the oracle cannot see. One user-keyed
+      // shuffle and one sort serve all three chained running-min windows
+      // AND the final aggregate (plan-guarded).
+      FunnelOps.funnel(t(s, dir, "events"), "user_id",
+          orderTs = expr("ts div 1000"), tieCols = Seq($"event_id"),
+          steps = Seq(
+            "view" -> ($"event_type" === "view"),
+            "click" -> ($"event_type" === "click"),
+            "purchase" -> ($"event_type" === "purchase")))
+        .orderBy($"user_id")
+    },
+
     "q_neg_sample" -> { (s, dir) =>
       import s.implicits._
       // Deterministic in-batch negative sampling
@@ -1741,6 +1761,26 @@ object PipelineQueries extends QueryDomain {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_ns(ts) // 1000 AS tns FROM events),
+        |w1 AS (SELECT *,
+        |  CASE WHEN event_type = 'view' THEN tns END AS d0 FROM e),
+        |w2 AS (SELECT *, CASE WHEN event_type = 'click' AND
+        |    MIN(d0) OVER (PARTITION BY user_id ORDER BY tns, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NOT NULL
+        |  THEN tns END AS d1 FROM w1),
+        |w3 AS (SELECT *, CASE WHEN event_type = 'purchase' AND
+        |    MIN(d1) OVER (PARTITION BY user_id ORDER BY tns, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NOT NULL
+        |  THEN tns END AS d2 FROM w2)
+        |SELECT user_id, MIN(d0) AS t_view, MIN(d1) AS t_click,
+        |  MIN(d2) AS t_purchase,
+        |  CAST(CAST(MIN(d0) IS NOT NULL AS INT)
+        |    + CAST(MIN(d1) IS NOT NULL AS INT)
+        |    + CAST(MIN(d2) IS NOT NULL AS INT) AS INT) AS steps_completed
+        |FROM w3 GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     "q_neg_sample" -> {
       val qh = duckHash("CAST(qid AS VARCHAR)")
       val ch = duckHash("CAST(cid AS VARCHAR)")
