@@ -143,6 +143,24 @@ object PipelineQueries extends QueryDomain {
       GraphOps.triangleCount(edges, "c1", "c2")
     },
 
+    "q_cohort_retention" -> { (s, dir) =>
+      import s.implicits._
+      // Cohort retention matrix — the warehouse classic: users cohorted
+      // by first-seen week, counted per (cohort_week, weeks_since) cell.
+      // Week index is pure integer µs arithmetic (epoch_µs div week), so
+      // both engines bucket identically with no calendar functions; two
+      // aggregates (per-user min, then cell counts), both user-keyed
+      // until the bounded cell aggregate.
+      val weekUs = 7L * 86400L * 1000000L
+      val e = t(s, dir, "events")
+        .select($"user_id", expr(s"(ts div 1000) div $weekUs").as("wk"))
+      val first = e.groupBy($"user_id").agg(min($"wk").as("cohort_wk"))
+      e.join(first, "user_id")
+        .groupBy($"cohort_wk", ($"wk" - $"cohort_wk").as("weeks_since"))
+        .agg(countDistinct($"user_id").as("n_active"))
+        .orderBy($"cohort_wk", $"weeks_since")
+    },
+
     "q_funnel" -> { (s, dir) =>
       import s.implicits._
       // Ordered-step funnel ([[FunnelOps.funnel]]): earliest
@@ -1761,6 +1779,15 @@ object PipelineQueries extends QueryDomain {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q_cohort_retention" ->
+      """WITH e AS (SELECT user_id,
+        |    (epoch_ns(ts) // 1000) // 604800000000 AS wk FROM events),
+        |f AS (SELECT user_id, MIN(wk) AS cohort_wk FROM e GROUP BY user_id)
+        |SELECT f.cohort_wk, e.wk - f.cohort_wk AS weeks_since,
+        |  CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_active
+        |FROM e JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort_wk, weeks_since""".stripMargin,
+
     "q_funnel" ->
       """WITH e AS (SELECT user_id, event_id, event_type,
         |    epoch_ns(ts) // 1000 AS tns FROM events),
