@@ -143,6 +143,25 @@ object PipelineQueries extends QueryDomain {
       GraphOps.triangleCount(edges, "c1", "c2")
     },
 
+    "q_epoch_shuffle" -> { (s, dir) =>
+      import s.implicits._
+      // Deterministic epoch shuffle + shard/position assignment — the
+      // training-export step: each epoch permutes the corpus by a seeded
+      // content-independent hash (epoch in the hash = a fresh permutation
+      // per epoch, reproducible across runs/engines), shards by hash mod
+      // N, and positions within each shard by a shard-keyed window (the
+      // per-shard sort is the bounded one — never a global sort).
+      val seed = 3 // epoch number
+      val h = TextOps.wideHash(concat(lit(s"e$seed:"), $"doc_id".cast("string")))
+      val w = Window.partitionBy($"shard").orderBy($"h", $"doc_id")
+      t(s, dir, "documents")
+        .select($"doc_id", h.as("h"))
+        .withColumn("shard", pmod($"h", lit(4L)).cast("int"))
+        .withColumn("pos", row_number().over(w))
+        .select($"doc_id", $"shard", $"pos")
+        .orderBy($"shard", $"pos")
+    },
+
     "q_cohort_retention" -> { (s, dir) =>
       import s.implicits._
       // Cohort retention matrix — the warehouse classic: users cohorted
@@ -1779,6 +1798,15 @@ object PipelineQueries extends QueryDomain {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q_epoch_shuffle" -> {
+      val h = duckWideHash("'e3:' || CAST(doc_id AS VARCHAR)")
+      s"""WITH t AS (SELECT doc_id, $h AS h FROM documents),
+         |s AS (SELECT doc_id, h, CAST(h % 4 AS INT) AS shard FROM t)
+         |SELECT doc_id, shard, CAST(ROW_NUMBER() OVER (
+         |    PARTITION BY shard ORDER BY h, doc_id) AS INT) AS pos
+         |FROM s ORDER BY shard, pos""".stripMargin
+    },
+
     "q_cohort_retention" ->
       """WITH e AS (SELECT user_id,
         |    (epoch_ns(ts) // 1000) // 604800000000 AS wk FROM events),
