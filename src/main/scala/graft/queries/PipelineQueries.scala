@@ -1448,6 +1448,46 @@ object PipelineQueries extends QueryDomain {
         .orderBy($"user_id", $"session_idx")
     },
 
+    "q_stream_funnel" -> { (s, dir) =>
+      import s.implicits._
+      // The STREAMING funnel under the batch oracle: the events fixture
+      // replayed through [[graft.streaming.EventStreams.funnelExact]]
+      // (buffer-until-watermark keyed state — the funnel's strictly-
+      // ordered chain is NOT incrementally foldable with O(1) state under
+      // out-of-order delivery, so the exact twin buffers its horizon and
+      // folds once at timeout) must reproduce q_funnel's answer exactly.
+      // Sentinel files drive the watermark past every user's deadline;
+      // sentinel rows ride as step -1 (they advance the watermark but
+      // never enter a fold) and their user filters out of the sink.
+      val staged = Staging.streamSessionizeDir(s, dir, gapSec = 21600L)
+      val ss = Staging.streamSession(s)
+      val schema = ss.read.parquet(s"$dir/events.parquet").schema
+      val stream = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", Staging.filesInDir(staged) - 1)
+        .parquet(staged)
+        .select($"user_id".as("userId"),
+          expr("ts div 1000").as("ts"),
+          $"event_id".as("tie"),
+          when($"event_type" === "view", 0)
+            .when($"event_type" === "click", 1)
+            .when($"event_type" === "purchase", 2)
+            .otherwise(-1).as("step"))
+        .as[graft.streaming.EventStreams.FunnelEvent]
+      val sink = Staging.nextStreamSink(ss)
+      val q = graft.streaming.EventStreams
+        .funnelExact(stream, numSteps = 3, horizonSec = 21600L)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      ss.table(sink).filter($"userId" >= 0L)
+        .select($"userId".as("user_id"),
+          element_at($"times", 1).as("t_view"),
+          element_at($"times", 2).as("t_click"),
+          element_at($"times", 3).as("t_purchase"),
+          $"stepsCompleted".as("steps_completed"))
+        .orderBy($"user_id")
+    },
+
     // ---- similarity search over embeddings --------------------------------
     "q_cosine_topk" -> { (s, dir) =>
       import s.implicits._
@@ -1649,6 +1689,30 @@ object PipelineQueries extends QueryDomain {
 
   // ---- DuckDB oracle fragments -------------------------------------------
 
+  /** Shared by q_funnel AND q_stream_funnel: the chained running-min
+    * construction over (ts_µs, event_id) order — the batch answer the
+    * streaming replay must reproduce bit-for-bit.
+    */
+  private val funnelOracle =
+    """WITH e AS (SELECT user_id, event_id, event_type,
+      |    epoch_ns(ts) // 1000 AS tns FROM events),
+      |w1 AS (SELECT *,
+      |  CASE WHEN event_type = 'view' THEN tns END AS d0 FROM e),
+      |w2 AS (SELECT *, CASE WHEN event_type = 'click' AND
+      |    MIN(d0) OVER (PARTITION BY user_id ORDER BY tns, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NOT NULL
+      |  THEN tns END AS d1 FROM w1),
+      |w3 AS (SELECT *, CASE WHEN event_type = 'purchase' AND
+      |    MIN(d1) OVER (PARTITION BY user_id ORDER BY tns, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NOT NULL
+      |  THEN tns END AS d2 FROM w2)
+      |SELECT user_id, MIN(d0) AS t_view, MIN(d1) AS t_click,
+      |  MIN(d2) AS t_purchase,
+      |  CAST(CAST(MIN(d0) IS NOT NULL AS INT)
+      |    + CAST(MIN(d1) IS NOT NULL AS INT)
+      |    + CAST(MIN(d2) IS NOT NULL AS INT) AS INT) AS steps_completed
+      |FROM w3 GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** DuckDB twin of [[TextOps.polyHash]] (left fold, 64-bit, mod 1e9+7). */
   private def duckHash(s: String, base: Int = 31): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
@@ -1816,25 +1880,10 @@ object PipelineQueries extends QueryDomain {
         |FROM e JOIN f USING (user_id)
         |GROUP BY 1, 2 ORDER BY cohort_wk, weeks_since""".stripMargin,
 
-    "q_funnel" ->
-      """WITH e AS (SELECT user_id, event_id, event_type,
-        |    epoch_ns(ts) // 1000 AS tns FROM events),
-        |w1 AS (SELECT *,
-        |  CASE WHEN event_type = 'view' THEN tns END AS d0 FROM e),
-        |w2 AS (SELECT *, CASE WHEN event_type = 'click' AND
-        |    MIN(d0) OVER (PARTITION BY user_id ORDER BY tns, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NOT NULL
-        |  THEN tns END AS d1 FROM w1),
-        |w3 AS (SELECT *, CASE WHEN event_type = 'purchase' AND
-        |    MIN(d1) OVER (PARTITION BY user_id ORDER BY tns, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NOT NULL
-        |  THEN tns END AS d2 FROM w2)
-        |SELECT user_id, MIN(d0) AS t_view, MIN(d1) AS t_click,
-        |  MIN(d2) AS t_purchase,
-        |  CAST(CAST(MIN(d0) IS NOT NULL AS INT)
-        |    + CAST(MIN(d1) IS NOT NULL AS INT)
-        |    + CAST(MIN(d2) IS NOT NULL AS INT) AS INT) AS steps_completed
-        |FROM w3 GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_funnel" -> funnelOracle,
+
+    // the streaming replay must land on the identical batch answer
+    "q_stream_funnel" -> funnelOracle,
 
     "q_neg_sample" -> {
       val qh = duckHash("CAST(qid AS VARCHAR)")

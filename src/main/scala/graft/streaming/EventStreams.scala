@@ -157,4 +157,76 @@ object EventStreams {
           }
       }
   }
+
+  /** Input row for [[funnelExact]]: `ts` is the total-order value (µs),
+    * `tie` breaks equal timestamps, `step` is the 0-based funnel step this
+    * event matches (pre-filtered — non-step events carry no information).
+    */
+  final case class FunnelEvent(userId: Long, ts: Long, tie: Long, step: Int)
+
+  /** Buffered per-user events awaiting the watermark. */
+  final case class FunnelBuf(events: List[FunnelEvent])
+
+  /** One user's funnel result — the streaming twin of
+    * [[graft.operators.FunnelOps.funnel]]'s output row. `times(i)` is the
+    * earliest completion of the prefix through step i (None if never).
+    */
+  final case class FunnelOut(userId: Long, times: Seq[Option[Long]], stepsCompleted: Int)
+
+  /** Streaming EXACT funnel — buffer-until-watermark: events buffer in
+    * keyed state and the funnel folds ONCE, over the fully-ordered buffer,
+    * when the event-time timeout fires (watermark past the user's last
+    * event + `horizonSec`). Unlike sessionization, the funnel's
+    * strictly-ordered chain is NOT incrementally foldable with O(1) state
+    * under out-of-order delivery — a late early `view` can legitimize a
+    * click the incremental fold already rejected — so the honest exact
+    * stream twin buffers its horizon. State per user is bounded by
+    * step-events within the watermark horizon (production bounds
+    * `horizonSec`; the replay gate's horizon covers the finite fixture).
+    * `lateSec` is the watermark delay — disorder deeper than it is
+    * dropped at the source, the trade every watermarked operator makes.
+    */
+  def funnelExact(
+      events: Dataset[FunnelEvent],
+      numSteps: Int,
+      horizonSec: Long,
+      lateSec: Long = 0L): Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+    require(numSteps >= 1, s"numSteps must be >= 1, got $numSteps")
+    events
+      .withColumn("event_time", timestamp_micros(col("ts")))
+      .withWatermark("event_time", s"$lateSec seconds")
+      .as[FunnelEvent]
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[FunnelBuf, FunnelOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[FunnelEvent], state: GroupState[FunnelBuf]) =>
+          if (state.hasTimedOut) {
+            val buffered = state.getOption.map(_.events).getOrElse(Nil)
+            state.remove()
+            val times = Array.fill(numSteps)(Option.empty[Long])
+            // The exact batch fold: rows in (ts, tie) order; step 0
+            // completes at its first row; step i at the first step-i row
+            // strictly after the row that completed step i-1 (guaranteed
+            // here because times(i-1) was set while scanning an earlier
+            // row — each event carries exactly one step).
+            buffered.sortBy(e => (e.ts, e.tie)).foreach { e =>
+              if (e.step == 0 && times(0).isEmpty) times(0) = Some(e.ts)
+              else if (e.step > 0 && e.step < numSteps &&
+                  times(e.step).isEmpty && times(e.step - 1).isDefined)
+                times(e.step) = Some(e.ts)
+            }
+            Iterator.single(FunnelOut(userId, times.toSeq,
+              times.takeWhile(_.isDefined).size))
+          } else {
+            val buf = state.getOption.map(_.events).getOrElse(Nil) ++ rows
+            state.update(FunnelBuf(buf))
+            val maxMs = buf.iterator.map(_.ts).max / 1000L
+            state.setTimeoutTimestamp(math.max(
+              maxMs + horizonSec * 1000L + 1,
+              state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+  }
 }

@@ -293,4 +293,37 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
       assert(closed == Seq(SessionOut(1L, 1000L, 1800L, 4L, 1L, 4.0)), s"got $closed")
     } finally q.stop()
   }
+
+  test("streaming funnel: a late early view legitimizes an already-seen click") {
+    // THE case that rules out O(1) incremental folding: batch 1 delivers a
+    // click at ts=200 with no prior view (an incremental fold would reject
+    // it forever); batch 2 delivers the view at ts=100 late-but-in-
+    // watermark. The exact fold over the buffer must complete view(100) →
+    // click(200) → purchase(300).
+    import graft.streaming.EventStreams.{FunnelEvent, FunnelOut}
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[FunnelEvent]
+    val q = EventStreams.funnelExact(input.toDS(), numSteps = 3,
+      horizonSec = 1, lateSec = 250) // disorder tolerance > the 200s lateness
+      .writeStream.format("memory").queryName("funnel_ooo")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        FunnelEvent(1L, 200000000L, 1L, 1),  // click first (µs)
+        FunnelEvent(1L, 300000000L, 2L, 2))  // purchase
+      q.processAllAvailable()
+      input.addData(FunnelEvent(1L, 100000000L, 3L, 0)) // the late view
+      q.processAllAvailable()
+      // push the watermark past user 1's deadline from another key
+      input.addData(FunnelEvent(9L, 900000000L, 4L, 0))
+      q.processAllAvailable()
+      input.addData(FunnelEvent(9L, 950000000L, 5L, 0))
+      q.processAllAvailable()
+      val got = spark.table("funnel_ooo").as[FunnelOut].collect().toSeq
+      assert(got == Seq(FunnelOut(1L,
+        Seq(Some(100000000L), Some(200000000L), Some(300000000L)), 3)),
+        s"got $got")
+    } finally q.stop()
+  }
 }
