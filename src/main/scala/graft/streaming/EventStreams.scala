@@ -219,9 +219,16 @@ object EventStreams {
             Iterator.single(FunnelOut(userId, times.toSeq,
               times.takeWhile(_.isDefined).size))
           } else {
-            val buf = state.getOption.map(_.events).getOrElse(Nil) ++ rows
-            state.update(FunnelBuf(buf))
-            val maxMs = buf.iterator.map(_.ts).max / 1000L
+            // Buffer only rows carrying a step (state economy: noise
+            // events are most of a real stream); ANY arrival refreshes
+            // the horizon deadline, so a user with zero step events
+            // still emits its all-null row at timeout — matching the
+            // batch operator, which reports every entity it saw.
+            val arrived = rows.toSeq
+            val stepRows = arrived.filter(e => e.step >= 0 && e.step < numSteps)
+            state.update(FunnelBuf(
+              state.getOption.map(_.events).getOrElse(Nil) ++ stepRows))
+            val maxMs = arrived.iterator.map(_.ts).max / 1000L
             state.setTimeoutTimestamp(math.max(
               maxMs + horizonSec * 1000L + 1,
               state.getCurrentWatermarkMs() + 1))
