@@ -62,6 +62,10 @@ object DqChecks {
     val names = rowChecks.map(_.name) ++ uniques.map(_.name) ++ fks.map(_.name)
     require(names.distinct.size == names.size,
       s"duplicate check names: ${names.diff(names.distinct).mkString(", ")}")
+    // names are spliced into a stack() SQL expression and backtick-quoted
+    // aliases — reject the two characters that would break either context
+    require(names.forall(n => !n.contains("'") && !n.contains("`")),
+      "check names must not contain quote characters")
 
     val parts = Seq.newBuilder[DataFrame]
 

@@ -281,7 +281,8 @@ object GraphOps {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
     val sym = symmetrize(edges, srcCol, dstCol)
     var dist = sources
-      .select(col(sourceCol).cast("long").as("node")).distinct()
+      .select(col(sourceCol).cast("long").as("node"))
+      .filter(col("node").isNotNull).distinct()
       .withColumn("dist", lit(0))
     for (_ <- 1 to maxHops) {
       val relaxed = dist.join(sym, dist("node") === sym("u"))
