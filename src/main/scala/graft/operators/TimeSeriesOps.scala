@@ -52,4 +52,43 @@ object TimeSeriesOps {
       .withColumn("is_observed", coalesce(col("graft_obs"), lit(false)))
       .drop("graft_obs")
   }
+
+  /** Final exponentially-weighted moving average per key — the "current
+    * smoothed value" of an irregular series:
+    *
+    *   ewma₀ = v₀;  ewmaᵢ = α·vᵢ + (1−α)·ewmaᵢ₋₁
+    *
+    * computed as ONE strict left fold over the (orderCol, tieCols)-sorted
+    * observations, so the float-op sequence is fixed by the data alone —
+    * bit-reproducible across engines and partitionings (pick α an exact
+    * binary fraction and the literals are too). The recursive form is
+    * NOT expressible as a window aggregate (each term rescales the whole
+    * history), and a per-row-emitting fold would copy O(n²) accumulator
+    * state — the per-key FINAL value is the O(n) shape.
+    *
+    * Scale: one key-partitioned aggregate; per-key memory is the series
+    * length (collect + sort inside the group). Bound the series with a
+    * time-window filter upstream for unbounded keys.
+    */
+  def ewmaLast(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCol: Column,
+      tieCols: Seq[Column],
+      valueCol: Column,
+      alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+    val obs = struct(
+      (orderCol.as("o") +: tieCols.zipWithIndex.map { case (c, i) => c.as(s"t$i") }) :+
+        valueCol.cast("double").as("v"): _*)
+    df.groupBy(keyCols.map(col): _*)
+      .agg(sort_array(collect_list(obs)).as("graft_os"))
+      .select(keyCols.map(col) ++ Seq(
+        size(col("graft_os")).as("n"),
+        aggregate(
+          slice(col("graft_os"), lit(2), size(col("graft_os")) - 1),
+          element_at(col("graft_os"), 1).getField("v"),
+          (acc, x) => lit(alpha) * x.getField("v") + lit(1.0 - alpha) * acc
+        ).as("ewma")): _*)
+  }
 }

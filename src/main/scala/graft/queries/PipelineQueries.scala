@@ -162,6 +162,19 @@ object PipelineQueries extends QueryDomain {
         .orderBy($"shard", $"pos")
     },
 
+    "q_ewma" -> { (s, dir) =>
+      import s.implicits._
+      // Final EWMA per user ([[TimeSeriesOps.ewmaLast]], α = 1/4 — an
+      // exact binary fraction, so the literals are bit-identical in both
+      // engines): the recursive smoothing fold over (ts_µs, event_id)
+      // order. One strict left fold per key — the float-op sequence is
+      // fixed by the data, so the double output hash-gates directly.
+      TimeSeriesOps.ewmaLast(t(s, dir, "events"),
+          Seq("user_id"), expr("ts div 1000"), Seq($"event_id"),
+          $"value", alpha = 0.25)
+        .orderBy($"user_id")
+    },
+
     "q_cohort_retention" -> { (s, dir) =>
       import s.implicits._
       // Cohort retention matrix — the warehouse classic: users cohorted
@@ -1862,6 +1875,17 @@ object PipelineQueries extends QueryDomain {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q_ewma" ->
+      """WITH e AS (SELECT user_id,
+        |    {'o': epoch_ns(ts) // 1000, 't0': event_id,
+        |     'v': CAST(value AS DOUBLE)} AS ob FROM events),
+        |g AS (SELECT user_id, list_sort(list(ob)) AS os FROM e GROUP BY user_id)
+        |SELECT user_id, CAST(len(os) AS INT) AS n,
+        |  list_reduce(list_transform(os, s -> s.v),
+        |    (acc, x) -> CAST(0.25 AS DOUBLE) * x
+        |      + CAST(0.75 AS DOUBLE) * acc) AS ewma
+        |FROM g ORDER BY user_id""".stripMargin,
+
     "q_epoch_shuffle" -> {
       val h = duckWideHash("'e3:' || CAST(doc_id AS VARCHAR)")
       s"""WITH t AS (SELECT doc_id, $h AS h FROM documents),

@@ -55,4 +55,36 @@ class TimeSeriesOpsSpec extends AnyFunSuite with SparkSpec {
     val obs = Seq(("u", d("2024-03-15"), Some(5L))).toDF("k", "day", "v")
     assert(TimeSeriesOps.gapFill(obs, Seq("k"), "day", Seq("v")).count() === 1)
   }
+
+  test("ewmaLast equals the sequential recurrence, independent of partitioning") {
+    import org.apache.spark.sql.functions.col
+    val rng = new scala.util.Random(23)
+    val rows = Seq.tabulate(500)(_ =>
+      (rng.nextInt(10).toLong, rng.nextInt(1000).toLong, rng.nextInt(100).toDouble))
+      .distinct
+    val alpha = 0.25
+    def seqEwma(vs: Seq[Double]): Double =
+      vs.tail.foldLeft(vs.head)((acc, v) => alpha * v + (1 - alpha) * acc)
+    val exp = rows.groupBy(_._1).map { case (k, rs) =>
+      val vs = rs.sortBy(r => (r._2, r._3)).map(_._3)
+      k -> (vs.size.toLong, seqEwma(vs))
+    }
+    def run(parts: Int) = TimeSeriesOps.ewmaLast(
+        rows.toDF("k", "o", "v").repartition(parts),
+        Seq("k"), col("o"), Seq(col("v")), col("v"), alpha)
+      .as[(Long, Int, Double)].collect()
+      .map(r => r._1 -> (r._2.toLong, r._3)).toMap
+    val got = run(3)
+    assert(got === exp)        // exact double equality — fold order is fixed
+    assert(got === run(11))
+  }
+
+  test("ewmaLast on a single observation returns it unchanged") {
+    import org.apache.spark.sql.functions.col
+    val got = TimeSeriesOps.ewmaLast(
+        Seq((1L, 5L, 7.5)).toDF("k", "o", "v"),
+        Seq("k"), col("o"), Seq.empty, col("v"), 0.25)
+      .as[(Long, Int, Double)].collect()
+    assert(got.toSeq === Seq((1L, 1, 7.5)))
+  }
 }
