@@ -61,6 +61,28 @@ class RankOpsSpec extends AnyFunSuite with SparkSpec {
     assert(c === 100L)
   }
 
+  test("globalRank under 90%-duplicate keys: correct ranks, no degenerate partition") {
+    // The skew case range partitioning must survive: ties split across
+    // partition boundaries on the unique tiebreak (the total order makes
+    // that safe), so one hot value cannot funnel into one task.
+    val n = 20000
+    val rows = (1 to n).map(i => (i.toLong, if (i % 10 == 0) i.toLong else 7L))
+    val df = rows.toDF("id", "v").repartition(13)
+    val ranked = RankOps.globalRank(df, Seq(col("v"), col("id")), "rnk",
+      numPartitions = 8)
+    val got = ranked.select($"id", $"rnk").as[(Long, Long)].collect().toMap
+    val exp = rows.sortBy(r => (r._2, r._1)).zipWithIndex
+      .map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    assert(got === exp)
+    // partition balance: the hot value (~18k rows) must spread; with 8
+    // target partitions no partition may hold more than half the data
+    val sizes = ranked
+      .select(org.apache.spark.sql.functions.spark_partition_id().as("p"))
+      .groupBy($"p").count().as[(Int, Long)].collect().map(_._2)
+    assert(sizes.max < n / 2,
+      s"hot key must split across partitions, got sizes ${sizes.mkString(",")}")
+  }
+
   test("sortedNeighborhoodPairs emits each within-window pair exactly once") {
     val df = skewed
     val w = 6
