@@ -54,18 +54,18 @@ object FunnelOps {
 
     // Chain: each select layer adds done_i (needs prior_{i-1}, a window
     // result, hence the layering) — same window spec throughout.
-    var df = events.withColumn("__ts", orderTs)
+    var df = events.withColumn("__graft_fts", orderTs)
     steps.zipWithIndex.foreach { case ((_, pred), i) =>
       val gate =
         if (i == 0) pred
-        else pred && min(col(s"__done_${i - 1}")).over(before).isNotNull
-      df = df.withColumn(s"__done_$i", when(gate, col("__ts")))
+        else pred && min(col(s"__graft_done_${i - 1}")).over(before).isNotNull
+      df = df.withColumn(s"__graft_done_$i", when(gate, col("__graft_fts")))
     }
     val aggs = steps.zipWithIndex.map { case ((name, _), i) =>
-      min(col(s"__done_$i")).as(s"t_$name")
+      min(col(s"__graft_done_$i")).as(s"t_$name")
     }
     val completed = steps.indices
-      .map(i => min(col(s"__done_$i")).isNotNull.cast("int"))
+      .map(i => min(col(s"__graft_done_$i")).isNotNull.cast("int"))
       .reduce(_ + _)
     df.groupBy(col(idCol))
       .agg(aggs.head, (aggs.tail :+ completed.as("steps_completed")): _*)
