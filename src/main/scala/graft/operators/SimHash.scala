@@ -158,20 +158,31 @@ object SimHash {
     * (exact dedup is the right tool there). The oracle applies the same
     * WHERE clause, keeping the brute-force-equality contract.
     */
+  /** Per-document `bits`-bit signatures straight from a text column (wide
+    * token hashes, compiled one-pass fold; null/empty text excluded) —
+    * the building block for candidate generators OTHER than this module's
+    * banding, e.g. a sorted-neighborhood blocker verifying its candidate
+    * pairs by Hamming distance. Output: (doc_id, sig).
+    */
+  def textSignatures(
+      docs: DataFrame, idCol: String, textCol: String, bits: Int): DataFrame = {
+    require(bits <= 60, "wideHash carries 60 informative bits")
+    val th = org.apache.spark.sql.graft.bridge.column(
+      graft.functions.TokenHashes(
+        org.apache.spark.sql.graft.bridge.expression(col(textCol)), wide = true))
+    signatures(
+      docs.filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0),
+      idCol, th, bits)
+  }
+
   private def bandedSignatures(
       docs: DataFrame, idCol: String, textCol: String,
       bits: Int, bandBits: Int, maxHamming: Int): DataFrame = {
     require(bits % bandBits == 0, "bits must be a multiple of bandBits")
-    require(bits <= 60, "wideHash carries 60 informative bits")
     val bands = bits / bandBits
     require(maxHamming <= bands - 1,
       s"recall-1 guarantee needs maxHamming <= bands-1 = ${bands - 1}")
-    val th = org.apache.spark.sql.graft.bridge.column(
-      graft.functions.TokenHashes(
-        org.apache.spark.sql.graft.bridge.expression(col(textCol)), wide = true))
-    val sigs = signatures(
-      docs.filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0),
-      idCol, th, bits)
+    val sigs = textSignatures(docs, idCol, textCol, bits)
     sigs.select(col("doc_id"), col("sig"),
       posexplode(array((0 until bands).map(b => bandKey(col("sig"), b, bandBits)): _*))
         .as(Seq("band", "bkey")))

@@ -113,6 +113,46 @@ object PipelineQueries extends QueryDomain {
         .orderBy($"doc_id")
     },
 
+    "q_entity_resolution" -> { (s, dir) =>
+      import s.implicits._
+      // END-TO-END entity resolution — the composition the blocking
+      // family exists for: (1) BLOCK by sorted-neighborhood over the
+      // bag-of-words wide-hash order ([[RankOps.sortedNeighborhoodPairs]],
+      // window 4 — identical records hash identically so copies sit
+      // adjacent); (2) VERIFY each candidate pair by 60-bit SimHash
+      // Hamming ≤ 3 ([[SimHash.textSignatures]] — candidates only, never
+      // all pairs); (3) CLUSTER verified matches by connected components
+      // ([[GraphOps.connectedComponents]]); (4) size each cluster.
+      // Duplicates planted as TWO id-shifted copies per doc, so true
+      // clusters have size ≥ 3 and transitivity does real work (copies
+      // chain a→a'→a'' through adjacent pairs even when the ends sit
+      // outside one window). The fixture's natural bag-collisions add
+      // verify-stage decisions AND exhibit windowed blocking's honest
+      // recall trade: in a bag-group of g ≥ window docs, a doc's copies
+      // sit g ranks apart and unrelated in-between docs fail the verify,
+      // so those copies stay unclustered — the documented SNM contract
+      // (widen the window or add a second blocking pass for recall).
+      val b0 = t(s, dir, "documents").select($"doc_id", $"text")
+      val base = b0
+        .unionByName(b0.withColumn("doc_id", $"doc_id" + 1000000L))
+        .unionByName(b0.withColumn("doc_id", $"doc_id" + 2000000L))
+      val keyed = base.select($"doc_id",
+        TextOps.wideHash(TextOps.bagOfWordsKey($"text")).as("bh"))
+      val cand = RankOps
+        .sortedNeighborhoodPairs(keyed, Seq($"bh", $"doc_id"), window = 4)
+        .select($"doc_id_i", $"doc_id_j")
+      val sigs = SimHash.textSignatures(base, "doc_id", "text", bits = 60)
+      val edges = cand
+        .join(sigs.select($"doc_id".as("doc_id_i"), $"sig".as("sig_i")), "doc_id_i")
+        .join(sigs.select($"doc_id".as("doc_id_j"), $"sig".as("sig_j")), "doc_id_j")
+        .filter(bit_count($"sig_i".bitwiseXOR($"sig_j")) <= 3)
+      GraphOps.connectedComponents(edges, "doc_id_i", "doc_id_j")
+        .select($"node".as("doc_id"), $"component".as("cluster_id"))
+        .withColumn("cluster_size",
+          count(lit(1)).over(Window.partitionBy($"cluster_id")).cast("long"))
+        .orderBy($"doc_id")
+    },
+
     "q_co_occur" -> { (s, dir) =>
       import s.implicits._
       // Capped co-occurrence projection ([[ScaleJoins.cappedCoOccurrence]]):
@@ -2056,6 +2096,42 @@ object PipelineQueries extends QueryDomain {
          |  SELECT u, u FROM edges
          |  UNION
          |  SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.node = e.v),
+         |comp AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node)
+         |SELECT node AS doc_id, cluster_id,
+         |  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+         |FROM comp ORDER BY doc_id""".stripMargin,
+
+    "q_entity_resolution" ->
+      s"""WITH RECURSIVE base AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 1000000, text FROM documents
+         |  UNION ALL SELECT doc_id + 2000000, text FROM documents),
+         |bk AS (SELECT doc_id, ${duckWideHash(
+             "array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')")} AS bh
+         |  FROM base),
+         |r AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bh, doc_id) AS rnk
+         |  FROM bk),
+         |cand AS (SELECT a.doc_id AS u, b.doc_id AS v
+         |  FROM r a JOIN r b ON b.rnk > a.rnk AND b.rnk - a.rnk < 4),
+         |tk AS (SELECT doc_id,
+         |  list_transform(string_split(text, ' '), tok -> ${duckWideHash("tok")}) AS th
+         |  FROM base
+         |  WHERE text IS NOT NULL AND length(trim(text)) > 0),
+         |sh AS (SELECT doc_id,
+         |  CAST(list_sum(list_transform(range(0, 60), b ->
+         |    CASE WHEN list_sum(list_transform(th, h ->
+         |        CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+         |      THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS s
+         |  FROM tk),
+         |pairs AS (SELECT u, v FROM cand
+         |  JOIN sh sa ON sa.doc_id = cand.u
+         |  JOIN sh sb ON sb.doc_id = cand.v
+         |  WHERE bit_count(xor(sa.s, sb.s)) <= 3),
+         |edges AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+         |reach(node, lbl) AS (
+         |  SELECT u, u FROM edges
+         |  UNION
+         |  SELECT e.u, r2.lbl FROM edges e JOIN reach r2 ON r2.node = e.v),
          |comp AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node)
          |SELECT node AS doc_id, cluster_id,
          |  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
