@@ -183,6 +183,32 @@ object RelationalQueries extends QueryDomain {
         .orderBy($"o_custkey", $"rn")
     },
 
+    "q_window_ranks" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      // The rank family q_window_funcs doesn't cover, split across two
+      // window specs by tie behavior: rank/dense_rank/percent_rank/
+      // cume_dist run on the TIE-BEARING date order (their values depend
+      // only on the order KEY, so ties are deterministic), while ntile/
+      // lead/first_value need the TOTAL (date, orderkey) order — their
+      // results depend on row placement within ties. Same partitioning,
+      // so both specs share one exchange.
+      val wT = Window.partitionBy($"o_custkey").orderBy($"o_orderdate")
+      val wU = Window.partitionBy($"o_custkey")
+        .orderBy($"o_orderdate", $"o_orderkey")
+      t(s, dir, "orders")
+        .select(
+          $"o_custkey", $"o_orderkey",
+          rank().over(wT).as("rnk"),
+          dense_rank().over(wT).as("drnk"),
+          percent_rank().over(wT).as("prnk"),
+          cume_dist().over(wT).as("cdist"),
+          ntile(4).over(wU).as("quartile"),
+          lead($"o_orderkey", 1).over(wU).as("next_orderkey"),
+          first($"o_orderkey").over(wU).as("first_orderkey"))
+        .orderBy($"o_custkey", $"o_orderdate", $"o_orderkey")
+    },
+
     "q_rolling_window" -> { (s, dir) =>
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
@@ -638,6 +664,20 @@ object RelationalQueries extends QueryDomain {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, rn""".stripMargin,
+
+    "q_window_ranks" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(RANK() OVER wt AS INT) AS rnk,
+        |  CAST(DENSE_RANK() OVER wt AS INT) AS drnk,
+        |  PERCENT_RANK() OVER wt AS prnk,
+        |  CUME_DIST() OVER wt AS cdist,
+        |  CAST(NTILE(4) OVER wu AS INT) AS quartile,
+        |  LEAD(o_orderkey, 1) OVER wu AS next_orderkey,
+        |  FIRST_VALUE(o_orderkey) OVER wu AS first_orderkey
+        |FROM orders
+        |WINDOW wt AS (PARTITION BY o_custkey ORDER BY o_orderdate),
+        |  wu AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
 
     "q_rolling_window" ->
       """SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, event_id,
