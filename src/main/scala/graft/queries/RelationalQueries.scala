@@ -273,6 +273,44 @@ object RelationalQueries extends QueryDomain {
         .orderBy($"p_partkey")
     },
 
+    "q_scalar_array" -> { (s, dir) =>
+      import s.implicits._
+      // Array/HOF scalar surface: split, size, distinct+sort+slice+join,
+      // transform/aggregate (sum of token lengths as a strict fold),
+      // filter, containment — each with a DuckDB list_* twin. Outputs are
+      // scalars (counts, a joined string) so no array-encoding ambiguity
+      // reaches the hash.
+      val tk = split($"text", " ")
+      docs(s, dir).select(
+          $"doc_id",
+          size(tk).as("n_tokens"),
+          array_join(slice(sort_array(array_distinct(tk)), 1, 5), ",")
+            .as("first5"),
+          aggregate(tk, lit(0L), (a, x) => a + length(x)).as("sum_len"),
+          size(filter(tk, x => length(x) > 4)).as("n_long"),
+          array_contains(tk, "the").cast("int").as("has_the"))
+        .orderBy($"doc_id")
+    },
+
+    "q_scalar_math" -> { (s, dir) =>
+      import s.implicits._
+      // Math scalar surface, kept to operations IEEE defines exactly:
+      // abs/floor/ceil/sign, integer pmod, sqrt (correctly rounded by
+      // spec), integer powers of 2. round() is deliberately absent — its
+      // half-up vs half-even convention differs between engines.
+      val v = $"l_extendedprice" - 30000.0
+      t(s, dir, "lineitem").select(
+          $"l_orderkey", $"l_linenumber", $"l_extendedprice",
+          abs(v).as("abs_v"),
+          floor(v).cast("long").as("floor_v"),
+          ceil(v).cast("long").as("ceil_v"),
+          signum(v).cast("int").as("sign_v"),
+          pmod($"l_orderkey", lit(97L)).as("mod97"),
+          sqrt($"l_extendedprice").as("sqrt_p"),
+          pow(lit(2.0), ($"l_linenumber" % 10).cast("double")).as("pow2"))
+        .orderBy($"l_orderkey", $"l_linenumber", $"l_extendedprice")
+    },
+
     "q_scalar_datetime" -> { (s, dir) =>
       import s.implicits._
       t(s, dir, "orders")
@@ -678,6 +716,30 @@ object RelationalQueries extends QueryDomain {
         |WINDOW wt AS (PARTITION BY o_custkey ORDER BY o_orderdate),
         |  wu AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+
+    "q_scalar_array" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(tk) AS INT) AS n_tokens,
+        |  array_to_string(list_sort(list_distinct(tk))[1:5], ',') AS first5,
+        |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(tk, x -> CAST(length(x) AS BIGINT))),
+        |    (a, x) -> a + x) AS BIGINT) AS sum_len,
+        |  CAST(len(list_filter(tk, x -> length(x) > 4)) AS INT) AS n_long,
+        |  CAST(list_contains(tk, 'the') AS INT) AS has_the
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q_scalar_math" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice,
+        |  abs(l_extendedprice - 30000.0) AS abs_v,
+        |  CAST(floor(l_extendedprice - 30000.0) AS BIGINT) AS floor_v,
+        |  CAST(ceil(l_extendedprice - 30000.0) AS BIGINT) AS ceil_v,
+        |  CAST(sign(l_extendedprice - 30000.0) AS INT) AS sign_v,
+        |  l_orderkey % 97 AS mod97,
+        |  sqrt(l_extendedprice) AS sqrt_p,
+        |  power(2.0, CAST(l_linenumber % 10 AS DOUBLE)) AS pow2
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, l_extendedprice""".stripMargin,
 
     "q_rolling_window" ->
       """SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, event_id,
