@@ -109,6 +109,61 @@ object RankOps {
       .drop("__graft_bkt", "__rank_i", "__rank_j")
   }
 
+  /** 2-D skyline (Pareto front), both dimensions MINIMIZED: every row not
+    * dominated by another (q dominates p iff q.x ≤ p.x ∧ q.y ≤ p.y with at
+    * least one strict). Equal (x, y) duplicates dominate neither and are
+    * all kept. Rows with a NULL dimension are excluded.
+    *
+    * Scale shape — the naive NOT-EXISTS dominance join is O(n²) and plans
+    * a nested loop; in 2-D the skyline is instead a PREFIX-MIN sweep:
+    * group to per-x minima (one hash aggregate), range-sort the groups by
+    * x, then keep a group iff its min-y beats the running min-y of all
+    * strictly-smaller x. The prefix min runs distributed the same way
+    * [[globalRank]] ranks: per-partition minima from one O(#partitions)
+    * job over the range shuffle, prefix-combined on the driver
+    * (O(#partitions) values), then a second pass over the SAME shuffle
+    * files sweeps each partition with its incoming prefix. Surviving
+    * (x, min-y) pairs join back to recover the original rows — that join
+    * also drops same-x rows above their group minimum, which are
+    * dominated within the group.
+    */
+  def skyline2dMin(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
+    val spark = df.sparkSession
+    val n = spark.sessionState.conf.numShufflePartitions
+    val g = df
+      .filter(xCol.isNotNull && yCol.isNotNull)
+      .groupBy(xCol.cast("double").as("__sx"))
+      .agg(min(yCol.cast("double")).as("__sy"))
+      .repartitionByRange(n, col("__sx"))
+      .sortWithinPartitions(col("__sx"))
+    val rdd = g.rdd // one physical RDD: both jobs share the range shuffle
+    val partMins = rdd
+      .mapPartitionsWithIndex { (i, it) =>
+        val m = it.foldLeft(Double.PositiveInfinity)((acc, r) =>
+          math.min(acc, r.getDouble(1)))
+        Iterator.single(i -> m)
+      }
+      .collect().toMap // O(#partitions)
+    val incoming = (0 until partMins.size).scanLeft(Double.PositiveInfinity) {
+      (acc, i) => math.min(acc, partMins(i))
+    }
+    val sky = rdd.mapPartitionsWithIndex { (i, it) =>
+      var running = incoming(i)
+      it.flatMap { r =>
+        val keep = r.getDouble(1) < running
+        running = math.min(running, r.getDouble(1))
+        if (keep) Iterator.single(Row(r.getDouble(0), r.getDouble(1)))
+        else Iterator.empty
+      }
+    }
+    val skyDf = spark.createDataFrame(sky, StructType(Seq(
+      StructField("__sx", org.apache.spark.sql.types.DoubleType, nullable = false),
+      StructField("__sy", org.apache.spark.sql.types.DoubleType, nullable = false))))
+    df.join(broadcast(skyDf),
+        xCol.cast("double") === col("__sx") && yCol.cast("double") === col("__sy"))
+      .drop("__sx", "__sy")
+  }
+
   /** Equi-depth (quantile) discretization: bin = ⌊(rank-1)·k / n⌋ over the
     * total order (valueCol, tiebreakCols...) — every bin holds ⌊n/k⌋ or
     * ⌈n/k⌉ rows by construction, ties broken deterministically. Pure
