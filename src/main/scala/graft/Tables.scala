@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, TimestampNTZType, TimestampType}
 
 /** Shared helpers for the query surface: fixture loading plus the
   * determinism conventions that keep Spark results hash-identical to the
@@ -12,6 +12,30 @@ object Tables {
 
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** The events fixture with `ts` normalized to NANOSECONDS since the epoch
+    * as a plain BIGINT, whatever the file's physical type. The fixture has
+    * shipped both parquet TIMESTAMP(NANOS) (which reads as a LongType of
+    * nanos under `spark.sql.legacy.parquet.nanosAsLong`) and timestamp[us]
+    * (which reads as TIMESTAMP_NTZ); round 10 lost every event-time gate to
+    * a hardcoded nanos assumption when the physical type flipped. The
+    * fixture's physical type is UNTRUSTED input — every event reader goes
+    * through this accessor, never through a raw `t(..., "events")` read of
+    * `ts`. Timestamp math happens in UTC (all sessions pin
+    * `spark.sql.session.timeZone=UTC`), mirroring DuckDB's naive-timestamp
+    * `epoch_ns`, so both engines see identical integers.
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    val df = t(spark, sfDir, "events")
+    df.schema("ts").dataType match {
+      case LongType => df // already nanos-as-BIGINT
+      case TimestampType | TimestampNTZType =>
+        df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * 1000L)
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported physical type $other — " +
+          "expected a nanosecond BIGINT or a parquet timestamp")
+    }
+  }
 
   /** The documents table, spread across the session's cores. The fixture is
     * one sub-split-size parquet file (single row group), so the scan yields

@@ -14,8 +14,9 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      // events.parquet stores TIMESTAMP(NANOS); read it as a nanosecond
-      // BIGINT (queries do exact integer epoch math on it).
+      // If events.parquet stores TIMESTAMP(NANOS), read it as a nanosecond
+      // BIGINT (a no-op for other physical types — Tables.events adapts
+      // to whichever the fixture ships).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

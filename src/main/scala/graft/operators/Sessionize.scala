@@ -11,10 +11,10 @@ import org.apache.spark.sql.expressions.Window
   * the co-partitioned, co-sorted data).
   *
   * Time arrives as an epoch-seconds Column expression, not a hardcoded
-  * timestamp type — the events fixture stores TIMESTAMP(NANOS), which Spark
-  * reads as a nanosecond BIGINT under `spark.sql.legacy.parquet.nanosAsLong`,
-  * and integer arithmetic sidesteps any cross-engine rounding (DuckDB's
-  * `CAST(epoch(ts) AS BIGINT)` ROUNDS; both sides must floor).
+  * timestamp type — callers read events via `graft.Tables.events`, which
+  * normalizes `ts` to a nanosecond BIGINT whatever the fixture's physical
+  * type, and integer arithmetic sidesteps any cross-engine rounding
+  * (DuckDB's `CAST(epoch(ts) AS BIGINT)` ROUNDS; both sides must floor).
   *
   * Scale: partitions by user — per-user event counts are bounded in
   * practice, and a pathological hot user would be handled by AQE skew

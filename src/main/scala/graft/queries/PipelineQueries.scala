@@ -209,7 +209,7 @@ object PipelineQueries extends QueryDomain {
       // engines): the recursive smoothing fold over (ts_µs, event_id)
       // order. One strict left fold per key — the float-op sequence is
       // fixed by the data, so the double output hash-gates directly.
-      TimeSeriesOps.ewmaLast(t(s, dir, "events"),
+      TimeSeriesOps.ewmaLast(events(s, dir),
           Seq("user_id"), expr("ts div 1000"), Seq($"event_id"),
           $"value", alpha = 0.25)
         .orderBy($"user_id")
@@ -224,7 +224,7 @@ object PipelineQueries extends QueryDomain {
       // aggregates (per-user min, then cell counts), both user-keyed
       // until the bounded cell aggregate.
       val weekUs = 7L * 86400L * 1000000L
-      val e = t(s, dir, "events")
+      val e = events(s, dir)
         .select($"user_id", expr(s"(ts div 1000) div $weekUs").as("wk"))
       val first = e.groupBy($"user_id").agg(min($"wk").as("cohort_wk"))
       e.join(first, "user_id")
@@ -244,7 +244,7 @@ object PipelineQueries extends QueryDomain {
       // here could break ties the oracle cannot see. One user-keyed
       // shuffle and one sort serve all three chained running-min windows
       // AND the final aggregate (plan-guarded).
-      FunnelOps.funnel(t(s, dir, "events"), "user_id",
+      FunnelOps.funnel(events(s, dir), "user_id",
           orderTs = expr("ts div 1000"), tieCols = Seq($"event_id"),
           steps = Seq(
             "view" -> ($"event_type" === "view"),
@@ -987,7 +987,7 @@ object PipelineQueries extends QueryDomain {
       // timestamps don't survive a parquet re-write under nanosAsLong.
       val p = Staging.dir("evpart", dir, "events")(path =>
         ScaleJoins.writePartitioned(
-          t(s, dir, "events").select($"event_id", $"user_id", $"event_type", $"value"),
+          events(s, dir).select($"event_id", $"user_id", $"event_type", $"value"),
           path, Seq("event_type")))
       ScaleJoins.readPartitioned(s, p)
         .filter($"event_type" === "purchase")
@@ -1044,7 +1044,7 @@ object PipelineQueries extends QueryDomain {
       // most anomalous events of each type. Moments are exact decimal sums
       // (order-free), so the emitted z itself is hash-gateable — a plain
       // double avg/stddev could not be.
-      StatOps.zscoreOutliers(t(s, dir, "events"), "event_type", "value", "event_id", k = 3)
+      StatOps.zscoreOutliers(events(s, dir), "event_type", "value", "event_id", k = 3)
         .orderBy($"event_type", $"rnk")
     },
 
@@ -1054,7 +1054,7 @@ object PipelineQueries extends QueryDomain {
       // complement to the z-score pass for columns whose extremes corrupt
       // the moments themselves. Discrete medians over DECIMAL values and an
       // integer-scaled 4.5-MAD cut: zero floats anywhere in the query.
-      StatOps.robustOutliers(t(s, dir, "events"), "event_type", "value")
+      StatOps.robustOutliers(events(s, dir), "event_type", "value")
         .orderBy($"grp")
     },
 
@@ -1098,7 +1098,7 @@ object PipelineQueries extends QueryDomain {
       // event's value is nulled, then filled from its event_type's discrete
       // median — non-null bits pass through untouched, fills are flagged.
       // One median aggregate broadcast back; the stream never re-shuffles.
-      val ev = t(s, dir, "events")
+      val ev = events(s, dir)
         .select($"event_id", $"event_type",
           when($"event_id" % 9 =!= 0, $"value").as("v"))
       StatOps.imputeMedian(ev, "event_type", "v")
@@ -1146,12 +1146,13 @@ object PipelineQueries extends QueryDomain {
     },
 
     // ---- events: sessionization + time windows ----------------------------
-    // The fixture's events.ts is parquet TIMESTAMP(NANOS) — read as a
-    // nanosecond BIGINT (spark.sql.legacy.parquet.nanosAsLong, set by
-    // Verify/Bench sessions); epoch math stays in exact integers.
+    // Every reader goes through [[graft.Tables.events]], which normalizes
+    // `ts` to a nanosecond BIGINT whatever the fixture's physical type
+    // (TIMESTAMP(NANOS)-as-long or timestamp[us]); epoch math stays in
+    // exact integers either way.
     "q_sessionize" -> { (s, dir) =>
       import s.implicits._
-      Sessionize.sessions(t(s, dir, "events"), "user_id",
+      Sessionize.sessions(events(s, dir), "user_id",
         epochSec = expr("ts div 1000000000"),
         gapSec = 21600L, orderCols = Seq($"ts", $"event_id"),
         aggs = Seq(
@@ -1165,7 +1166,7 @@ object PipelineQueries extends QueryDomain {
       // Streaming-style tumbling windows on a batch frame. The watermarked
       // readStream twin is [[graft.streaming.EventStreams.hourlyEventWindows]]
       // (same groupBy(window(...)); MemoryStream-tested in EventStreamsSpec).
-      t(s, dir, "events")
+      events(s, dir)
         .withColumn("tsm", timestamp_micros(expr("ts div 1000")))
         .groupBy(window($"tsm", "1 hour").as("w"), $"event_type")
         .agg(count(lit(1)).as("n_events"),
@@ -1184,7 +1185,7 @@ object PipelineQueries extends QueryDomain {
       // (count, exact-decimal value sum) forward — the resample().ffill()
       // primitive. One keyed aggregate, a shuffle-free spine explode, one
       // equi-join, one per-user window.
-      val obs = t(s, dir, "events")
+      val obs = events(s, dir)
         .withColumn("day", to_date(timestamp_micros(expr("ts div 1000"))))
         .groupBy($"user_id", $"day")
         .agg(count(lit(1)).as("n_events"), dsum($"value").as("day_value"))
@@ -1200,7 +1201,7 @@ object PipelineQueries extends QueryDomain {
       // union+window plan (one shuffle on user_id). Clicks are deduped per
       // (user, second) first so tie choice is well-defined on BOTH engines
       // (ASOF tie order is otherwise unspecified).
-      val e = t(s, dir, "events")
+      val e = events(s, dir)
         .select($"event_id", $"user_id", $"event_type", expr("ts div 1000000000").as("ep"))
       val purchases = e.filter($"event_type" === "purchase")
         .select($"event_id".as("purchase_id"), $"user_id", $"ep".as("purchase_ep"))
@@ -1221,7 +1222,7 @@ object PipelineQueries extends QueryDomain {
       // explodes to ≤ 2 index rows and the match is a plain equi-join on
       // (user_id, bucket) — never |clicks|·|purchases|. Left join back so
       // zero-click purchases keep their row.
-      val e = t(s, dir, "events")
+      val e = events(s, dir)
         .select($"event_id", $"user_id", $"event_type", expr("ts div 1000000000").as("ep"))
       val purchases = e.filter($"event_type" === "purchase")
         .select($"event_id".as("purchase_id"), $"user_id", $"ep".as("purchase_ep"))
@@ -1246,7 +1247,7 @@ object PipelineQueries extends QueryDomain {
       // pair survives only in its overlap-start bucket (no dedup stage),
       // and the oracle is the plain inequality join DuckDB can afford at
       // fixture scale. Left join back keeps zero-overlap purchases.
-      val e = t(s, dir, "events")
+      val e = events(s, dir)
         .select($"event_id", $"user_id", $"event_type", expr("ts div 1000000000").as("ep"))
       val purchases = e.filter($"event_type" === "purchase")
         .select($"event_id".as("purchase_id"), $"user_id",
@@ -1291,7 +1292,7 @@ object PipelineQueries extends QueryDomain {
       // low-state-partition clone session — see [[Staging.streamSession]].
       val staged = Staging.streamSessionizeDir(s, dir, gapSec = 21600L)
       val ss = Staging.streamSession(s)
-      val schema = ss.read.parquet(s"$dir/events.parquet").schema
+      val schema = Staging.replaySchema(ss, staged)
       val stream = ss.readStream.schema(schema)
         .option("maxFilesPerTrigger", Staging.filesInDir(staged) - 1)
         .parquet(staged)
@@ -1314,7 +1315,7 @@ object PipelineQueries extends QueryDomain {
       // oracle replicates the assignment arithmetically: wstart =
       // (sec div 1800 − o)·1800 for o ∈ {0,1}. Same decimal-sum convention
       // as q_event_windows.
-      t(s, dir, "events")
+      events(s, dir)
         .withColumn("tsm", timestamp_seconds(expr("ts div 1000000000")))
         .groupBy(window($"tsm", "1 hour", "30 minutes").as("w"), $"event_type")
         .agg(count(lit(1)).as("n_events"), dsum($"value").as("total_value"))
@@ -1332,8 +1333,8 @@ object PipelineQueries extends QueryDomain {
       // both computed batch-side. Gate = the batch twin of the same join.
       val staged = Staging.streamSessionizeDir(s, dir, gapSec = 21600L)
       val ss = Staging.streamSession(s)
-      val schema = ss.read.parquet(s"$dir/events.parquet").schema
-      val profile = ss.read.parquet(s"$dir/events.parquet")
+      val schema = Staging.replaySchema(ss, staged)
+      val profile = events(ss, dir)
         .groupBy($"user_id")
         .agg(count(lit(1)).as("n_user_events"),
           min(expr("ts div 1000000000")).as("first_seen_sec"))
@@ -1368,7 +1369,7 @@ object PipelineQueries extends QueryDomain {
       // difference of those exact values.
       val staged = Staging.streamSessionizeDir(s, dir, gapSec = 21600L)
       val ss = Staging.streamSession(s)
-      val schema = ss.read.parquet(s"$dir/events.parquet").schema
+      val schema = Staging.replaySchema(ss, staged)
       def src = ss.readStream.schema(schema)
         .option("maxFilesPerTrigger", Staging.filesInDir(staged) - 1)
         .parquet(staged)
@@ -1406,7 +1407,7 @@ object PipelineQueries extends QueryDomain {
       // NULLS FIRST on both engines.
       val staged = Staging.streamSessionizeDir(s, dir, gapSec = 21600L)
       val ss = Staging.streamSession(s)
-      val schema = ss.read.parquet(s"$dir/events.parquet").schema
+      val schema = Staging.replaySchema(ss, staged)
       def src = ss.readStream.schema(schema)
         .option("maxFilesPerTrigger", Staging.filesInDir(staged) - 1)
         .parquet(staged)
@@ -1445,7 +1446,7 @@ object PipelineQueries extends QueryDomain {
       // passthrough (no accumulation → bit-exact vs the oracle).
       val staged = Staging.streamSessionizeDir(s, dir, gapSec = 21600L)
       val ss = Staging.streamSession(s)
-      val schema = ss.read.parquet(s"$dir/events.parquet").schema
+      val schema = Staging.replaySchema(ss, staged)
       def src = ss.readStream.schema(schema).parquet(staged)
         .withColumn("tsm", timestamp_micros(expr("ts div 1000")))
         .select($"tsm", $"event_id", $"user_id", $"event_type",
@@ -1478,7 +1479,7 @@ object PipelineQueries extends QueryDomain {
       val gapSec = 21600L
       val staged = Staging.streamSessionizeDir(s, dir, gapSec)
       val ss = Staging.streamSession(s)
-      val schema = ss.read.parquet(s"$dir/events.parquet").schema
+      val schema = Staging.replaySchema(ss, staged)
       val stream = ss.readStream.schema(schema)
         .option("maxFilesPerTrigger", Staging.filesInDir(staged) - 1)
         .parquet(staged)
@@ -1514,7 +1515,7 @@ object PipelineQueries extends QueryDomain {
       // never enter a fold) and their user filters out of the sink.
       val staged = Staging.streamSessionizeDir(s, dir, gapSec = 21600L)
       val ss = Staging.streamSession(s)
-      val schema = ss.read.parquet(s"$dir/events.parquet").schema
+      val schema = Staging.replaySchema(ss, staged)
       val stream = ss.readStream.schema(schema)
         .option("maxFilesPerTrigger", Staging.filesInDir(staged) - 1)
         .parquet(staged)

@@ -222,7 +222,7 @@ object RelationalQueries extends QueryDomain {
       // AQE-splittable.
       val w = Window.partitionBy($"user_id").orderBy($"ts_sec")
         .rangeBetween(-600L, Window.currentRow)
-      t(s, dir, "events")
+      events(s, dir)
         .select($"event_id", $"user_id", expr("ts div 1000000000").as("ts_sec"),
           $"value")
         .select($"user_id", $"ts_sec", $"event_id",

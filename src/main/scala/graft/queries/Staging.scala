@@ -56,9 +56,26 @@ private[queries] object Staging {
       gapSec: Long): String =
     dir("streamsess", sfDir, "events") { p =>
       Files.createDirectories(Paths.get(p))
-      Files.copy(Paths.get(s"$sfDir/events.parquet"), Paths.get(p, "a_events.parquet"),
+      // The replay is the NORMALIZED events frame ([[graft.Tables.events]]:
+      // ts as a nanosecond BIGINT whatever the fixture's physical type), so
+      // the int64-ts sentinel files below always share its schema — staging
+      // a raw fixture copy broke every stream gate when the fixture flipped
+      // to timestamp[us] (round 10). Spark writes to a side dir and only the
+      // part file moves in: _SUCCESS/.crc artifacts would otherwise corrupt
+      // the filesInDir-based micro-batch packing.
+      val tmp = p + "_stage"
+      graft.Tables.events(spark, sfDir).coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = Option(new java.io.File(tmp).listFiles()).toSeq.flatten
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file written under $tmp"))
+      Files.move(part.toPath, Paths.get(p, "a_events.parquet"),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      val maxTs = spark.read.parquet(s"$sfDir/events.parquet")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(tmp))
+      val maxTs = spark.read.parquet(s"$p/a_events.parquet")
         .agg(org.apache.spark.sql.functions.max("ts")).head().getLong(0)
       val gapNs = gapSec * 1000000000L
       // One-row sentinel files written directly with parquet-java — a Spark
@@ -134,6 +151,15 @@ private[queries] object Staging {
   /** Number of regular files under `path` (the staged replay directory). */
   def filesInDir(path: String): Int =
     Option(new java.io.File(path).listFiles()).map(_.count(_.isFile)).getOrElse(0)
+
+  /** Schema of the staged replay — the NORMALIZED events file, where `ts`
+    * is a nanosecond BIGINT regardless of the fixture's physical type.
+    * Stream gates pin THIS schema; pinning the raw fixture's schema would
+    * re-import the physical-type drift the normalization exists to absorb.
+    */
+  def replaySchema(spark: org.apache.spark.sql.SparkSession, staged: String)
+      : org.apache.spark.sql.types.StructType =
+    spark.read.parquet(s"$staged/a_events.parquet").schema
 
   /** Unique memory-sink name; the calling session's PREVIOUS streaming sink
     * is dropped so each session holds at most one materialized result.

@@ -99,12 +99,13 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     // readStream (schema pinned — streaming sources don't infer), with an
     // effectively-infinite watermark so complete mode sees every row.
     val dir = s"$sf0001"
-    // FileStreamSource requires a DIRECTORY — stage the fixture file in one.
+    // FileStreamSource requires a DIRECTORY — stage the NORMALIZED fixture
+    // (Tables.events: ts as nanos BIGINT whatever the physical type) in one;
+    // FileStreamSource ignores the write's _SUCCESS/.crc artifacts.
     val staged = java.nio.file.Files.createTempDirectory("graft_stream_events")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$dir/events.parquet"),
-      staged.resolve("events.parquet"))
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    Tables.events(spark, dir).coalesce(1)
+      .write.mode("overwrite").parquet(staged.toString)
+    val schema = spark.read.parquet(staged.toString).schema
     val stream = spark.readStream.schema(schema).parquet(staged.toString)
       .withColumn("tsm", timestamp_micros(expr("ts div 1000")))
       .select($"tsm", $"event_type", $"user_id", $"value")
@@ -115,7 +116,7 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
       q.processAllAvailable()
       val streamed = spark.table("ew_file")
         .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
-      val batch = spark.read.parquet(s"$dir/events.parquet")
+      val batch = Tables.events(spark, dir)
         .withColumn("tsm", timestamp_micros(expr("ts div 1000")))
         .groupBy(window($"tsm", "1 hour").as("w"), $"event_type")
         .agg(count(lit(1)).as("n_events"),
