@@ -102,19 +102,24 @@ object StatOps {
     * of extreme values inflate mean and σ and mask themselves, while the
     * median and the median-absolute-deviation ignore them.
     *
-    * Determinism: values quantize to DECIMAL(18,4) once; medians are
-    * DISCRETE (`percentile_disc`, the smallest value with cumulative
-    * probability ≥ ½ — both engines pick the lower middle, an actual data
-    * value, never an interpolated average); and the outlier rule
-    * `|v − med| · 2 > mad · 9` is an exact integer-scaled cross-compare of
-    * the usual "robust z > 3" cut (3/0.6745 ≈ 4.45 ≈ 9/2 MADs, the normal-
-    * consistency constant). One engine asymmetry, neutralized: Spark's
-    * `percentile_disc` RETURNS double where DuckDB's `quantile_disc` stays
-    * decimal — the double is cast straight back to the decimal type, a
-    * lossless round-trip while `|v|·10⁴` fits a 53-bit significand
-    * (|v| < ~9·10¹¹; quantize coarser above that).
+    * Determinism: values quantize ONCE to integer `10^-scale` units via the
+    * bit-specified IEEE chain `⌊v·10ˢ + 0.5⌋ AS BIGINT` — double multiply,
+    * add, floor, all exactly reproducible in any IEEE-754 engine — and every
+    * downstream step (medians, deviations, the cut) is exact BIGINT
+    * arithmetic. An engine-native double→DECIMAL cast is deliberately
+    * absent: its tie-rounding convention has differed across DuckDB
+    * releases, which kept the decimal form of this gate red at the driver
+    * while passing locally (rounds 9–10). Medians are DISCRETE
+    * (`percentile_disc`, the smallest value with cumulative probability
+    * ≥ ½ — both engines pick the lower middle, an actual data value, never
+    * an interpolated average); the outlier rule `|v − med| · 2 > mad · 9`
+    * is an exact integer-scaled cross-compare of the usual "robust z > 3"
+    * cut (3/0.6745 ≈ 4.45 ≈ 9/2 MADs, the normal-consistency constant).
+    * Exactness holds while `|v|·10ˢ` fits a 53-bit significand (|v| <
+    * ~9·10¹¹ at scale 4; quantize coarser above that).
     *
-    * Output: (grp, n, med, mad, n_outliers, max_dev).
+    * Output: (grp, n, med, mad, n_outliers, max_dev) — med/mad/max_dev in
+    * integer `10^-scale` units (BIGINT).
     *
     * Scale posture: three combiner-reduced group-keyed aggregates (median,
     * MAD, summary), each per-group stat broadcast back over the stream —
@@ -125,17 +130,19 @@ object StatOps {
     * form, same disc-median + decimal-exactness contract, only one bin's
     * slice ever sorts.
     */
-  def robustOutliers(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+  def robustOutliers(df: DataFrame, groupCol: String, valueCol: String,
+      scale: Int = 4): DataFrame = {
+    val unit = math.pow(10.0, scale) // exact while scale ≤ 15
     val v = df.select(col(groupCol).as("grp"),
-      col(valueCol).cast("decimal(18,4)").as("v"))
+      floor(col(valueCol) * unit + 0.5).as("v"))
     val med = v.groupBy(col("grp"))
       .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY v)")
-        .cast("decimal(18,4)").as("med"))
+        .cast("long").as("med"))
     val dev = v.join(broadcast(med), "grp")
       .select(col("grp"), col("v"), col("med"), abs(col("v") - col("med")).as("dev"))
     val mad = dev.groupBy(col("grp"))
       .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY dev)")
-        .cast("decimal(19,4)").as("mad"))
+        .cast("long").as("mad"))
     dev.join(broadcast(mad), "grp")
       .groupBy(col("grp"))
       .agg(count(lit(1)).as("n"),
@@ -284,6 +291,51 @@ object StatOps {
     slice.withColumn("graft_rn", row_number().over(w))
       .filter(col("graft_rn") === col("k"))
       .select(col("grp"), col("n"), col("graft_vq").as("med"))
+  }
+
+  /** [[countingMedian]] over a PRE-SCALED integer value column — the
+    * cross-engine-gateable form: the caller quantizes once via the IEEE
+    * chain `⌊v·10ˢ + 0.5⌋` (exactly reproducible in any IEEE-754 engine,
+    * unlike an engine-native double→DECIMAL cast, whose tie rounding has
+    * drifted across DuckDB releases) and every downstream step here is
+    * exact BIGINT arithmetic. Same two-pass histogram plan as
+    * [[countingMedian]]: only the median bin's slice ever sorts; values
+    * outside [loI, hiI) clamp into the edge bins and the median is still
+    * exact. Output: (grp, n, med BIGINT in the caller's scaled units).
+    */
+  def countingMedianLong(df: DataFrame, groupCol: String, valueCol: String,
+      loI: Long, hiI: Long, nBins: Int): DataFrame = {
+    require(nBins >= 1, "need at least one bin")
+    val span = hiI - loI
+    require(span > 0 && span % nBins == 0,
+      s"span $span must be positive and divide evenly into $nBins bins")
+    val binW = span / nBins
+    val vi = col(valueCol).cast("long")
+    val bin = when(vi < loI, lit(0L))
+      .when(vi >= hiI, lit((nBins - 1).toLong))
+      .otherwise(TemporalJoins.floorDiv(vi - loI, binW))
+    val hist = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol).as("grp"), bin.as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy(col("grp")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sel = hist
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("grp"))))
+      .groupBy(col("grp"))
+      .agg(min(when(col("cum") * 2 >= col("n"),
+        struct(col("bin"), (col("cum") - col("cnt")).as("before"), col("n")))).as("m"))
+      .select(col("grp"), col("m.bin").as("med_bin"),
+        (TemporalJoins.floorDiv(col("m.n") + 1, 2L) - col("m.before")).as("k"),
+        col("m.n").as("n"))
+    val slice = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("grp"), bin.as("bin"), vi.as("graft_vi"))
+      .join(broadcast(sel.withColumnRenamed("grp", "graft_selg")),
+        col("bin") === col("med_bin") && col("grp") === col("graft_selg"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("graft_vi"))
+    slice.withColumn("graft_rn", row_number().over(w))
+      .filter(col("graft_rn") === col("k"))
+      .select(col("grp"), col("n"), col("graft_vi").as("med"))
   }
 
   /** Null imputation by per-group discrete median — the standard robust

@@ -1052,8 +1052,11 @@ object PipelineQueries extends QueryDomain {
       import s.implicits._
       // Median/MAD robust screen ([[StatOps.robustOutliers]]) — the
       // complement to the z-score pass for columns whose extremes corrupt
-      // the moments themselves. Discrete medians over DECIMAL values and an
-      // integer-scaled 4.5-MAD cut: zero floats anywhere in the query.
+      // the moments themselves. Every gated column is a BIGINT in integer
+      // ten-thousandths, quantized by the IEEE chain ⌊v·10⁴+0.5⌋ on BOTH
+      // engines — the DECIMAL-output form was hash-red at the driver for
+      // two rounds while passing on local DuckDB (double→decimal tie
+      // rounding is version-sensitive).
       StatOps.robustOutliers(events(s, dir), "event_type", "value")
         .orderBy($"grp")
     },
@@ -1108,12 +1111,18 @@ object PipelineQueries extends QueryDomain {
 
     "q_counting_median" -> { (s, dir) =>
       import s.implicits._
-      // Two-pass exact counting median ([[StatOps.countingMedian]]): the
-      // histogram locates each group's median bin, only that bin's slice
-      // sorts — same answer as percentile_disc (the oracle computes it
-      // directly), bounded state where the one-pass form sorts the group.
-      StatOps.countingMedian(t(s, dir, "lineitem"),
-          "l_returnflag", "l_extendedprice", lo = 0, hi = 110000, nBins = 1100)
+      // Two-pass exact counting median ([[StatOps.countingMedianLong]]):
+      // the histogram locates each group's median bin, only that bin's
+      // slice sorts — same selection rule the oracle's rank arithmetic
+      // computes directly, bounded state where the one-pass form sorts the
+      // group. The gated med is a BIGINT in integer ten-thousandths via
+      // the IEEE chain ⌊v·10⁴+0.5⌋ on BOTH engines — no double→DECIMAL
+      // cast anywhere in a gated column (the DECIMAL form was hash-red at
+      // the driver for two rounds while passing on local DuckDB).
+      StatOps.countingMedianLong(
+        t(s, dir, "lineitem").select($"l_returnflag",
+          floor($"l_extendedprice" * 10000.0 + 0.5).as("price_i4")),
+        "l_returnflag", "price_i4", loI = 0L, hiI = 1100000000L, nBins = 1100)
         .orderBy($"grp")
     },
 
@@ -2472,8 +2481,13 @@ object PipelineQueries extends QueryDomain {
     // across versions and flipped this gate red in round 9). dev/mad/
     // max_dev scales pinned to Spark's decimal arithmetic ((18,4) minus
     // (18,4) → (19,4)).
+    // All-BIGINT twin of StatOps.robustOutliers: values quantize via the
+    // IEEE chain ⌊v·10⁴+0.5⌋ (bit-identical across engines), never an
+    // engine-native double→DECIMAL cast (version-sensitive tie rounding —
+    // the rounds-9/10 driver red).
     "q_robust_outliers" ->
-      """WITH v AS (SELECT event_type AS grp, CAST(value AS DECIMAL(18,4)) AS v FROM events),
+      """WITH v AS (SELECT event_type AS grp,
+        |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS v FROM events),
         |vr AS (SELECT grp, v,
         |    ROW_NUMBER() OVER (PARTITION BY grp ORDER BY v) AS rn,
         |    COUNT(*) OVER (PARTITION BY grp) AS n
@@ -2486,10 +2500,10 @@ object PipelineQueries extends QueryDomain {
         |  FROM d WHERE dev IS NOT NULL),
         |md AS (SELECT grp, dev AS mad FROM dr WHERE rn * 2 = n + (n % 2))
         |SELECT d.grp AS grp, CAST(count(*) AS BIGINT) AS n,
-        |  CAST(min(d.med) AS DECIMAL(18,4)) AS med,
-        |  CAST(min(md.mad) AS DECIMAL(19,4)) AS mad,
+        |  CAST(min(d.med) AS BIGINT) AS med,
+        |  CAST(min(md.mad) AS BIGINT) AS mad,
         |  CAST(SUM(CASE WHEN d.dev * 2 > md.mad * 9 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
-        |  CAST(max(d.dev) AS DECIMAL(19,4)) AS max_dev
+        |  CAST(max(d.dev) AS BIGINT) AS max_dev
         |FROM d JOIN md USING (grp)
         |GROUP BY d.grp ORDER BY grp""".stripMargin,
 
@@ -2585,9 +2599,11 @@ object PipelineQueries extends QueryDomain {
     // is the value at rank ⌈n/2⌉ within the group — exactly countingMedian's
     // own selection rule, and version-stable where quantile_disc's even-n
     // convention has shifted across DuckDB releases (the round-9 red gate).
+    // Values quantize via the IEEE chain ⌊v·10⁴+0.5⌋ into BIGINT — never an
+    // engine-native double→DECIMAL cast (the round-10 driver red).
     "q_counting_median" ->
       """WITH v AS (SELECT l_returnflag AS grp,
-        |    CAST(l_extendedprice AS DECIMAL(18,4)) AS v
+        |    CAST(floor(l_extendedprice * 10000.0 + 0.5) AS BIGINT) AS v
         |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
         |r AS (SELECT grp, v,
         |    ROW_NUMBER() OVER (PARTITION BY grp ORDER BY v) AS rn,
@@ -2933,18 +2949,23 @@ object PipelineQueries extends QueryDomain {
         |FROM documents WHERE text IS NOT NULL AND text <> ''
         |ORDER BY doc_id""".stripMargin,
 
+    // start_off is CAST back to BIGINT at its definition: DuckDB widens
+    // SUM(BIGINT) to HUGEINT, and a HUGEINT-typed gated column (or anything
+    // derived from one) hash-mismatches Spark's longs at the driver even
+    // when the values agree — the same family the pagerank oracle fixed.
     "q_seq_pack_offsets" ->
       """WITH d AS (SELECT doc_id, doc_id % 8 AS stream,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
         |  FROM documents WHERE text IS NOT NULL AND text <> ''),
         |w AS (SELECT doc_id, stream, n_tokens,
-        |  COALESCE(SUM(n_tokens) OVER (PARTITION BY stream ORDER BY doc_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+        |  CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY stream ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
         |  FROM d)
         |SELECT doc_id, start_off,
-        |  start_off // 128 AS first_seq,
-        |  (start_off + n_tokens - 1) // 128 AS last_seq,
-        |  (start_off + n_tokens - 1) // 128 - start_off // 128 + 1 AS n_seqs_spanned
+        |  CAST(start_off // 128 AS BIGINT) AS first_seq,
+        |  CAST((start_off + n_tokens - 1) // 128 AS BIGINT) AS last_seq,
+        |  CAST((start_off + n_tokens - 1) // 128 - start_off // 128 + 1
+        |    AS BIGINT) AS n_seqs_spanned
         |FROM w ORDER BY doc_id""".stripMargin,
 
     // Mirrors chunkByTokens(chunkSize = 64, overlap = 16) ⇒ step 48:

@@ -44,4 +44,28 @@ class CountingMedianSpec extends AnyFunSuite with SparkSpec {
       .select($"n", $"med").as[(Long, BigDecimal)].head()
     assert(r === ((4L, BigDecimal("2.0000"))))
   }
+
+  test("countingMedianLong on ⌊v·10⁴+0.5⌋ agrees with the decimal form ×10⁴") {
+    // The gateable integer-units form must pick the same element as the
+    // decimal form wherever HALF_UP and ⌊·+0.5⌋ coincide (all fixture
+    // prices are positive with ≤ 2 decimals, so they always do here).
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select($"l_returnflag", $"l_extendedprice")
+    val want = StatOps.countingMedian(li, "l_returnflag", "l_extendedprice",
+        0, 110000, 1100)
+      .select($"grp", ($"med" * 10000).cast("long")).as[(String, Long)]
+      .collect().toMap
+    val got = StatOps.countingMedianLong(
+        li.select($"l_returnflag",
+          floor($"l_extendedprice" * 10000.0 + 0.5).as("vi")),
+        "l_returnflag", "vi", loI = 0L, hiI = 1100000000L, nBins = 1100)
+      .select($"grp", $"med").as[(String, Long)].collect().toMap
+    assert(got === want)
+    // nulls ignored, lower middle on even groups, out-of-range clamps
+    val df = Seq(("g", Some(12L)), ("g", Some(-5L)), ("g", Some(40L)),
+      ("g", Some(7L)), ("g", None)).toDF("g", "vi")
+    val r = StatOps.countingMedianLong(df, "g", "vi", 0L, 10L, 10)
+      .select($"n", $"med").as[(Long, Long)].head()
+    assert(r === ((4L, 7L)))
+  }
 }

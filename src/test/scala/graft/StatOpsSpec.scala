@@ -47,14 +47,16 @@ class StatOpsSpec extends AnyFunSuite with SparkSpec {
     // = 2 (MAD). Cut: dev·2 > 9·2=18 ⇔ dev > 9 → only the spike.
     // h: constant column — med = 7, mad = 0, a degenerate group where every
     // dev·2 > 0 row would flag; all devs are 0 so nothing flags.
+    // Outputs are BIGINTs in integer ten-thousandths (the ⌊v·10⁴+0.5⌋
+    // quantization), so the hand values scale by 10⁴.
     val d = ((1 to 9).map(i => ("g", i.toDouble)) :+ ("g", 1000.0)) ++
       Seq.fill(4)(("h", 7.0))
     val got = StatOps.robustOutliers(d.toDF("t", "v"), "t", "v")
       .orderBy($"grp")
-      .as[(String, Long, BigDecimal, BigDecimal, Long, BigDecimal)]
+      .as[(String, Long, Long, Long, Long, Long)]
       .collect().toSeq
-    assert(got.map(r => (r._1, r._2, r._3.toDouble, r._4.toDouble, r._5, r._6.toDouble))
-      === Seq(("g", 10L, 5.0, 2.0, 1L, 995.0), ("h", 4L, 7.0, 0.0, 0L, 0.0)))
+    assert(got === Seq(("g", 10L, 50000L, 20000L, 1L, 9950000L),
+      ("h", 4L, 70000L, 0L, 0L, 0L)))
   }
 
   test("robustOutliers catches the two-spike masking case the z-screen misses") {
@@ -67,8 +69,8 @@ class StatOpsSpec extends AnyFunSuite with SparkSpec {
       Seq((100L, 1e6), (101L, 1e6))).toDF("id", "v")
       .withColumn("g", lit("m"))
     val robust = StatOps.robustOutliers(d, "g", "v")
-      .as[(String, Long, BigDecimal, BigDecimal, Long, BigDecimal)].head()
-    assert(robust._3.toDouble === 7.0 && robust._4.toDouble === 3.0)
+      .as[(String, Long, Long, Long, Long, Long)].head()
+    assert(robust._3 === 70000L && robust._4 === 30000L)
     assert(robust._5 === 2L)
     val zs = StatOps.zscoreOutliers(d, "g", "v", "id", k = 13)
       .select($"z").as[Double].collect()
