@@ -61,7 +61,8 @@ object PostgresUpsertSink {
       colsNotForUpdate: Seq[String] = Nil,
       maxRejects: Option[Long] = None,
       shuffleBarrier: Boolean = true,
-      reconnectAttempts: Int = 1): LoadStats = {
+      reconnectAttempts: Int = 1,
+      maxErrors: Int = 100): LoadStats = {
 
     val sql = UpsertSqlGen.build(
       df.schema.fieldNames.toIndexedSeq, tableName,
@@ -75,7 +76,8 @@ object PostgresUpsertSink {
     val stats = routed
       .mapPartitions { rows: Iterator[Row] =>
         Iterator.single(
-          writePartition(rows, sql, factory, batchSize, maxRejects, reconnectAttempts))
+          writePartition(rows, sql, factory, batchSize, maxRejects,
+            reconnectAttempts, maxErrors))
       }(Encoders.product[PartitionStats])
       .collect()
 
@@ -104,13 +106,26 @@ object PostgresUpsertSink {
       factory: ConnectionFactory,
       batchSize: Int,
       maxRejects: Option[Long],
-      reconnectAttempts: Int = 1): PartitionStats = {
+      reconnectAttempts: Int = 1,
+      maxErrors: Int = 100): PartitionStats = {
     require(batchSize > 0, "batchSize must be positive")
+    require(maxErrors >= 1, "maxErrors must be positive")
     var conn: SinkConnection = null
     var seen = 0L
     var rejected = 0L
     var reconnectsLeft = reconnectAttempts
+    // Error MESSAGES are capped per partition (`rejected` still counts every
+    // bad row): uncapped, a systematically bad feed at 10⁵ partitions would
+    // ship an unbounded string list through the stats collect to the driver
+    // — the one place this sink could re-grow a driver-side data path. The
+    // reference caps nothing (psycopg2_database_helper.py:337-357).
+    var suppressed = 0L
     val errors = mutable.ArrayBuffer.empty[String]
+    def recordErrors(errs: Seq[String]): Unit = {
+      val room = maxErrors - errors.size
+      errors ++= errs.take(room)
+      suppressed += math.max(0, errs.size - room)
+    }
     val batch = mutable.ArrayBuffer.empty[Seq[Any]]
     var poisoned = false
 
@@ -133,7 +148,7 @@ object PostgresUpsertSink {
             attempt()
         }
       rejected += r
-      errors ++= errs
+      recordErrors(errs)
       // Circuit breaker: an entire batch rejecting (or crossing the caller's
       // reject budget) means the feed is systematically bad for this
       // partition — stop consuming instead of paying the split cost forever.
@@ -150,6 +165,8 @@ object PostgresUpsertSink {
         if (batch.size >= batchSize) flush()
       }
       if (!poisoned) flush()
+      if (suppressed > 0)
+        errors += s"($suppressed further error messages suppressed by maxErrors=$maxErrors)"
       PartitionStats(seen - rejected, rejected, errors.toIndexedSeq)
     } finally if (conn != null) conn.close()
   }

@@ -92,6 +92,69 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("hot-key sessionize state stays O(1): one state row through a 30k-event replay") {
+    // The scaladoc's state claim, measured: a single user replaying 30k
+    // in-gap events across three micro-batches must never hold more than
+    // ONE state row (five counters) — state is bounded by active-user
+    // cardinality, not event volume, which is what lets the operator
+    // survive a hot key at production scale.
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[SessionEvent]
+    val q = EventStreams.sessionize(input.toDS(), gapSec = 10000000L)
+      .writeStream.format("memory").queryName("hot_sess").outputMode("append").start()
+    try {
+      var base = 0L
+      for (_ <- 0 until 3) {
+        input.addData((0 until 10000).map(i => SessionEvent(1L, base + i, false, 1.0)))
+        base += 10000
+        q.processAllAvailable()
+        val so = q.lastProgress.stateOperators
+        assert(so.nonEmpty && so(0).numRowsTotal == 1,
+          s"hot key must keep exactly one state row, got ${so.map(_.numRowsTotal).mkString(",")}")
+      }
+    } finally q.stop()
+  }
+
+  test("hot-key funnel buffer: noise never buffers, horizon timeout evicts the key") {
+    // funnelExact's measured state bound: (a) only STEP rows buffer — a
+    // noise-dominated hot key (20k step = -1 rows, 3 step rows) keeps
+    // total state memory under 512 KB where buffering the noise would
+    // cost megabytes; (b) once the watermark passes the user's horizon
+    // the buffer folds, emits, and the key's state is EVICTED — the
+    // buffer-until-watermark design holds state for horizonSec, never
+    // forever.
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import graft.streaming.EventStreams.FunnelEvent
+    val input = MemoryStream[FunnelEvent]
+    val q = EventStreams.funnelExact(input.toDS(), numSteps = 3, horizonSec = 100L)
+      .writeStream.format("memory").queryName("hot_funnel").outputMode("append").start()
+    try {
+      input.addData(Seq(
+        FunnelEvent(1L, 1000000L, 0L, 0),
+        FunnelEvent(1L, 2000000L, 1L, 1),
+        FunnelEvent(1L, 3000000L, 2L, 2)) ++
+        (0 until 20000).map(i => FunnelEvent(1L, 4000000L + i, i.toLong, -1)))
+      q.processAllAvailable()
+      val so = q.lastProgress.stateOperators
+      assert(so.nonEmpty && so(0).numRowsTotal == 1)
+      assert(so(0).memoryUsedBytes < 512 * 1024,
+        s"noise rows must not buffer: state uses ${so(0).memoryUsedBytes} bytes")
+      // A far-future user (500s ≫ 4s + 100s horizon) advances the
+      // watermark; the following data batch fires the timeout.
+      input.addData(FunnelEvent(2L, 500000000L, 0L, 0))
+      q.processAllAvailable()
+      input.addData(FunnelEvent(3L, 600000000L, 0L, 0))
+      q.processAllAvailable()
+      val out = spark.table("hot_funnel").filter($"userId" === 1L).collect()
+      assert(out.length == 1 && out(0).getInt(2) == 3,
+        "hot user folds once with all three steps")
+      assert(q.lastProgress.stateOperators(0).numRowsTotal <= 2,
+        "hot key's buffer must be evicted after its horizon")
+    } finally q.stop()
+  }
+
   test("file-source readStream over the events fixture matches the batch aggregation") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

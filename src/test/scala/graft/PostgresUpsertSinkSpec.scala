@@ -54,6 +54,23 @@ class PostgresUpsertSinkSpec extends AnyFunSuite with SparkSpec {
     assert(FakeSinkState.committed("poison").isEmpty)
   }
 
+  test("error messages cap at maxErrors; rejects still fully counted") {
+    // 50 bad rows spread so no batch fully rejects (poison breaker stays
+    // cold): the reject COUNT must stay exact while the message list caps
+    // at maxErrors plus one suppression summary — the stats collect to the
+    // driver stays bounded on a systematically bad feed.
+    val bad: Set[Long] = (1L to 100L).filter(_ % 2 == 1).toSet
+    val factory = new FakeConnectionFactory("cap", bad)
+    val rows = (1L to 100L).map(i => org.apache.spark.sql.Row(i, s"v$i"))
+    val stats = PostgresUpsertSink.writePartition(
+      rows.iterator, "sql", factory, batchSize = 10, maxRejects = None,
+      maxErrors = 7)
+    assert(stats.loaded == 50 && stats.rejected == 50)
+    assert(stats.errors.size == 8)
+    assert(stats.errors.last ==
+      "(43 further error messages suppressed by maxErrors=7)")
+  }
+
   test("property: every good row lands exactly once, every bad row rejected once") {
     val rng = new scala.util.Random(42) // deterministic
     for (_ <- 1 to 200) {
