@@ -337,4 +337,44 @@ object GraphOps {
     }
     pr
   }
+
+  /** Synchronous majority-vote label propagation (community detection),
+    * run for a FIXED number of rounds over the undirected (symmetrized)
+    * graph. Every node starts labeled with its own id; each round every
+    * node simultaneously adopts the most frequent label among its
+    * neighbors, ties broken by the MINIMUM label. The fixed round count
+    * plus the deterministic tie rule make the result a pure function of
+    * the edge set — the async/random-order variants in the literature are
+    * not reproducible and could never face a hash gate.
+    *
+    * Shape per round: one edge join against the O(n) label table (keyed
+    * on node id), one (node, label)-keyed count aggregate, one node-keyed
+    * argmax aggregate — all shuffles on node ids, no driver state. The
+    * argmax is a single `max(struct(cnt, -label))`: among a node's
+    * neighbor labels the struct max picks the highest count, and among
+    * equal counts the max of the negated label, i.e. the minimum label —
+    * one aggregate instead of a rank window. O(k·m) total work, the same
+    * scale posture as [[pageRankInt]].
+    *
+    * @return columns: node LONG, community LONG (labels after k rounds)
+    */
+  def labelPropagation(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iterations: Int): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val sym = symmetrize(edges, srcCol, dstCol)
+    var labels = sym.select(col("u").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+    for (_ <- 1 to iterations) {
+      labels = sym
+        .join(labels, sym("v") === labels("node"))
+        .groupBy(sym("u"), col("lbl")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("u"))
+        .agg(max(struct(col("cnt"), (-col("lbl")).as("nl"))).as("m"))
+        .select(col("u").as("node"), (-col("m.nl")).as("lbl"))
+    }
+    labels.select(col("node"), col("lbl").as("community"))
+  }
 }

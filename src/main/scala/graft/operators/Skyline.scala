@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Skyline (Pareto frontier) under minimize-both-dimensions semantics:
+  * a point survives iff no other point is ≤ on both dimensions and < on at
+  * least one. Part of the extension surface (the reference has no analog);
+  * the classic "best price/size trade-offs" query over any measure pair.
+  *
+  * Scale posture (100 TB): the naive formulation is an all-pairs dominance
+  * self-join — quadratic, never acceptable. This implementation is the
+  * grid-pruned two-phase plan:
+  *
+  *  1. Fixed-width bucket the x axis (bounds from one 2-value aggregate —
+  *     a bounded driver collect, same convention as RankOps' range bounds).
+  *  2. WITHIN each bucket, a point is locally dominated iff the running
+  *     minimum of y over the lexicographically (x, y)-preceding points is
+  *     ≤ its own y — a single window partitioned BY BUCKET, so the sort
+  *     parallelizes across buckets (no global single-partition sort).
+  *  3. ACROSS buckets, any point of an earlier bucket has strictly smaller
+  *     x (fixed-width bucketing is monotone in x), so a point is
+  *     cross-dominated iff the prefix-minimum of per-bucket min-y over all
+  *     EARLIER buckets is ≤ its y. The per-bucket min table has one row
+  *     per bucket — the prefix scan runs as a tiny single-partition window
+  *     and broadcasts back.
+  *
+  * Both tests are conjunctive and complete: a dominator lives either in
+  * the same bucket (caught by 2 — it lexicographically precedes) or in an
+  * earlier one (caught by 3); later buckets have strictly larger x and
+  * cannot dominate. Total cost: one distinct-point aggregate, one
+  * bucket-partitioned window, one O(#buckets) side table — no self-join.
+  *
+  * Determinism: callers pass integral dimensions (quantize doubles first —
+  * the q_embed_centroid integer-units playbook); dominance and the window
+  * frames are then exact integer comparisons with no tie ambiguity.
+  *
+  * @param points distinct rows per (x, y) point (callers aggregate
+  *               duplicates first; duplicate coordinates would make the
+  *               running-min frame see a point's own twin as a dominator)
+  * @param xCol   integral column, minimized
+  * @param yCol   integral column, minimized
+  * @param buckets target x-axis bucket count (actual count adapts to the
+  *               value range; degenerate single-value ranges collapse to
+  *               one bucket and the plan degrades to the plain window)
+  */
+object Skyline {
+
+  def skyline2dMin(points: DataFrame, xCol: String, yCol: String,
+                   buckets: Int = 64): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val x = col(xCol)
+    val y = col(yCol)
+    // Bounded driver collect: two longs, the same convention as the
+    // documented range-bounds map in RankOps.
+    val bounds = points.agg(min(x).cast("long"), max(x).cast("long")).head()
+    if (bounds.isNullAt(0)) return points.limit(0)
+    val (xmin, xmax) = (bounds.getLong(0), bounds.getLong(1))
+    val width = math.max(1L, (xmax - xmin) / buckets + 1L)
+
+    val b = points.withColumn("_bkt", ((x - xmin) / width).cast("long"))
+    val localW = Window.partitionBy(col("_bkt")).orderBy(x, y)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = b.withColumn("_mloc", min(y).over(localW))
+
+    val bucketMins = b.groupBy(col("_bkt")).agg(min(y).as("_bmin"))
+    // One row per bucket: the single-partition window is O(#buckets), tiny.
+    val prefixW = Window.orderBy(col("_bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefix = bucketMins
+      .withColumn("_mprev", min(col("_bmin")).over(prefixW))
+      .select(col("_bkt"), col("_mprev"))
+
+    local.join(broadcast(prefix), "_bkt")
+      .filter((col("_mloc").isNull || col("_mloc") > y) &&
+        (col("_mprev").isNull || col("_mprev") > y))
+      .drop("_bkt", "_mloc", "_mprev")
+  }
+}

@@ -357,6 +357,44 @@ object PipelineQueries extends QueryDomain {
         .orderBy($"node")
     },
 
+    "q_label_prop" -> { (s, dir) =>
+      import s.implicits._
+      // Majority-vote label propagation ([[GraphOps.labelPropagation]],
+      // 3 synchronous rounds, ties to the min label) on the same
+      // consecutive-order customer graph — community detection without
+      // PageRank's arithmetic. Fixed rounds + deterministic tie rule
+      // make it hash-gateable; the oracle unrolls the rounds as CTEs
+      // with a rank window playing the argmax.
+      val o = t(s, dir, "orders").select($"o_orderkey", $"o_custkey")
+      val edges = o.as("a")
+        .join(o.as("b"), col("a.o_orderkey") + 1 === col("b.o_orderkey"))
+        .select(col("a.o_custkey").as("c1"), col("b.o_custkey").as("c2"))
+      GraphOps.labelPropagation(edges, "c1", "c2", iterations = 3)
+        .withColumn("community_size",
+          count(lit(1)).over(Window.partitionBy($"community")))
+        .orderBy($"node")
+    },
+
+    "q_skyline" -> { (s, dir) =>
+      import s.implicits._
+      // Pareto frontier (minimize price, minimize size) over distinct
+      // part price/size points via [[Skyline.skyline2dMin]] — the
+      // grid-pruned two-phase plan, NOT an all-pairs dominance join.
+      // Price is quantized to integer cents with the IEEE chain
+      // floor(v·100 + 0.5) on both engines (the q_embed_centroid
+      // playbook) so every gated column is BIGINT; the oracle states
+      // dominance as NOT EXISTS, which the grid plan must reproduce
+      // exactly.
+      val pts = t(s, dir, "part")
+        .select(
+          expr("CAST(floor(p_retailprice * 100.0 + 0.5) AS BIGINT)")
+            .as("price_c"),
+          $"p_size".cast("long").as("size"))
+        .groupBy($"price_c", $"size").agg(count(lit(1)).as("n_parts"))
+      Skyline.skyline2dMin(pts, "price_c", "size")
+        .orderBy($"price_c", $"size")
+    },
+
     "q_dedup_incremental" -> { (s, dir) =>
       import s.implicits._
       // INCREMENTAL dedup — the steady-state shape of every production
@@ -1924,7 +1962,43 @@ object PipelineQueries extends QueryDomain {
        |SELECT node, pr FROM p$k ORDER BY node""".stripMargin
   }
 
+  /** k rounds of synchronous majority-vote label propagation unrolled:
+    * each round counts neighbor labels and keeps the (max count, min
+    * label) winner per node via a rank window — the same argmax
+    * [[graft.operators.GraphOps.labelPropagation]] computes with a
+    * struct-max aggregate.
+    */
+  private def labelPropOracle(k: Int): String = {
+    val steps = (1 to k).map(i =>
+      s"""c$i AS (SELECT e.u AS node, l.lbl, count(*) AS cnt
+         |  FROM e JOIN l${i - 1} l ON l.node = e.v GROUP BY 1, 2),
+         |l$i AS (SELECT node, lbl FROM (
+         |  SELECT node, lbl, row_number() OVER (
+         |    PARTITION BY node ORDER BY cnt DESC, lbl ASC) AS rn FROM c$i)
+         |  WHERE rn = 1)""".stripMargin).mkString(",\n")
+    s"""WITH $symGraphCtes,
+       |l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM e),
+       |$steps
+       |SELECT node, lbl AS community,
+       |  CAST(count(*) OVER (PARTITION BY lbl) AS BIGINT) AS community_size
+       |FROM l$k ORDER BY node""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q_label_prop" -> labelPropOracle(3),
+
+    "q_skyline" ->
+      """WITH pts AS (
+        |  SELECT CAST(floor(p_retailprice * 100.0 + 0.5) AS BIGINT) AS price_c,
+        |    CAST(p_size AS BIGINT) AS size,
+        |    CAST(count(*) AS BIGINT) AS n_parts
+        |  FROM part GROUP BY 1, 2)
+        |SELECT price_c, size, n_parts FROM pts a
+        |WHERE NOT EXISTS (SELECT 1 FROM pts b
+        |  WHERE b.price_c <= a.price_c AND b.size <= a.size
+        |    AND (b.price_c < a.price_c OR b.size < a.size))
+        |ORDER BY price_c, size""".stripMargin,
+
     "q_ewma" ->
       """WITH e AS (SELECT user_id,
         |    {'o': epoch_ns(ts) // 1000, 't0': event_id,

@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Skyline
+
+/** The grid-pruned two-phase skyline must reproduce the brute-force
+  * dominance definition exactly — including the pruning edge cases: points
+  * sharing an x (same-bucket lexicographic test), dominators landing in
+  * earlier buckets (prefix-min test), single-bucket degeneration, and
+  * bucket counts exceeding the point count.
+  */
+class SkylineSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def brute(pts: Seq[(Long, Long)]): Set[(Long, Long)] =
+    pts.filterNot { case (x, y) =>
+      pts.exists { case (bx, by) =>
+        bx <= x && by <= y && (bx < x || by < y)
+      }
+    }.toSet
+
+  private def grid(pts: Seq[(Long, Long)], buckets: Int): Set[(Long, Long)] =
+    Skyline.skyline2dMin(pts.toDF("x", "y"), "x", "y", buckets)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("random distinct points ≡ brute force across bucket counts") {
+    val rng = new scala.util.Random(41)
+    val pts = Seq.fill(600)((rng.nextInt(500).toLong, rng.nextInt(500).toLong))
+      .distinct
+    val expected = brute(pts)
+    for (b <- Seq(1, 3, 64, 10000)) {
+      assert(grid(pts, b) == expected, s"buckets=$b")
+    }
+  }
+
+  test("ties on one axis: staircase with duplicate x and duplicate y") {
+    // Vertical runs (same x, several y) exercise the within-bucket
+    // lexicographic frame; horizontal runs (same y, several x) exercise
+    // the cross-bucket prefix min at exact equality (≤, not <).
+    val pts = Seq[(Long, Long)](
+      (10, 50), (10, 40), (10, 60), // same x — only (10,40) can survive
+      (20, 40), (30, 40),           // same y as the x=10 min — dominated
+      (20, 30), (40, 10), (40, 20), (50, 5))
+    val expected = brute(pts)
+    assert(expected == Set[(Long, Long)]((10, 40), (20, 30), (40, 10), (50, 5)))
+    for (b <- Seq(1, 2, 7)) assert(grid(pts, b) == expected, s"buckets=$b")
+  }
+
+  test("degenerate inputs: empty, single point, all-equal x") {
+    assert(grid(Seq.empty, 8) == Set.empty)
+    assert(grid(Seq((7L, 7L)), 8) == Set((7L, 7L)))
+    val sameX = Seq[(Long, Long)]((5, 9), (5, 3), (5, 12))
+    assert(grid(sameX, 8) == Set[(Long, Long)]((5, 3)))
+  }
+
+  test("anti-chain survives whole: strictly decreasing staircase") {
+    val pts = (0L until 50L).map(i => (i, 100L - i))
+    assert(grid(pts, 6) == pts.toSet)
+  }
+}
