@@ -30,6 +30,17 @@ final class KmvBuffer(val k: Int) {
     mins(ins) = h
     if (n < k) n += 1
   }
+
+  /** The sketch readout — (kth smallest hash, distinct estimate). ONE
+    * definition shared by the batch aggregate ([[KmvSketch]].eval) and the
+    * streaming state twin (EventStreams.kmvDistinctExact) so the two paths
+    * cannot drift: under k distinct hashes the sketch IS the value set
+    * (exact count); at k, Bar-Yossef's (k−1)·range/h_(k) with both operands
+    * integer-exact in a double.
+    */
+  def kthAndEstimate(range: Long): (Long, Double) =
+    if (n < k) (if (n == 0) 0L else mins(n - 1), n.toDouble)
+    else (mins(k - 1), (k - 1).toDouble * range.toDouble / mins(k - 1).toDouble)
 }
 
 /** KMV (k-minimum-values / bottom-k) distinct-count sketch over a LONG hash
@@ -102,14 +113,7 @@ case class KmvSketch(
   }
 
   override def eval(buf: KmvBuffer): Any = {
-    val (kth, est) =
-      if (buf.n < k) {
-        // fewer than k distinct hashes: the sketch saw every value — exact
-        (if (buf.n == 0) 0L else buf.mins(buf.n - 1), buf.n.toDouble)
-      } else {
-        val hk = buf.mins(k - 1)
-        (hk, (k - 1).toDouble * range.toDouble / hk.toDouble)
-      }
+    val (kth, est) = buf.kthAndEstimate(range)
     InternalRow(buf.n, kth, est)
   }
 

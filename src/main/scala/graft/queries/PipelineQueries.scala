@@ -1589,6 +1589,41 @@ object PipelineQueries extends QueryDomain {
         .orderBy($"user_id")
     },
 
+    "q_stream_kmv" -> { (s, dir) =>
+      import s.implicits._
+      // STREAMING SKETCH STATE — the KMV bottom-k distinct-user sketch per
+      // event type ([[graft.streaming.EventStreams.kmvDistinctExact]]),
+      // the mergeable-sketch class of stateful streaming: unlike the
+      // funnel's ordered chain the sketch is a commutative function of the
+      // value SET, so state is O(k) longs per key BY CONSTRUCTION (not
+      // bounded-by-horizon) and any micro-batch slicing of the replay
+      // lands on the identical sketch. Inserts and readout share the batch
+      // aggregate's KmvBuffer, and the gate faces the same KMV SQL oracle
+      // shape as q_kmv_distinct — over events, keyed by type.
+      val staged = Staging.streamSessionizeDir(s, dir, gapSec = 21600L)
+      val ss = Staging.streamSession(s)
+      val schema = Staging.replaySchema(ss, staged)
+      val stream = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", Staging.filesInDir(staged) - 1)
+        .parquet(staged)
+        .filter($"user_id".isNotNull) // sentinels are -1: they pass, then filter from the sink
+        .select($"event_type".as("key"),
+          TextOps.polyHash($"user_id".cast("string")).as("h"),
+          expr("ts div 1000").as("ts"))
+        .as[graft.streaming.EventStreams.KmvEvent]
+      val sink = Staging.nextStreamSink(ss)
+      val q = graft.streaming.EventStreams
+        .kmvDistinctExact(stream, k = 64, range = TextOps.Prime,
+          horizonSec = 21600L)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      ss.table(sink).filter($"key" =!= "sentinel")
+        .select($"key".as("event_type"), $"nMin".as("n_min"),
+          $"kthHash".as("kth_hash"), $"estDistinct".as("est_distinct"))
+        .orderBy($"event_type")
+    },
+
     // ---- similarity search over embeddings --------------------------------
     "q_cosine_topk" -> { (s, dir) =>
       import s.implicits._
@@ -1986,6 +2021,24 @@ object PipelineQueries extends QueryDomain {
 
   val oracleSql: Map[String, String] = Map(
     "q_label_prop" -> labelPropOracle(3),
+
+    // the streaming replay must land on the identical batch KMV sketch
+    "q_stream_kmv" ->
+      s"""WITH h AS (SELECT DISTINCT event_type,
+         |    ${duckHash("CAST(user_id AS VARCHAR)")} AS h
+         |  FROM events WHERE user_id IS NOT NULL),
+         |r AS (SELECT event_type, h,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk,
+         |    COUNT(*) OVER (PARTITION BY event_type) AS nd
+         |  FROM h)
+         |SELECT event_type,
+         |  CAST(LEAST(nd, 64) AS INTEGER) AS n_min,
+         |  MAX(CASE WHEN rk = LEAST(nd, 64) THEN h END) AS kth_hash,
+         |  CASE WHEN nd < 64 THEN CAST(nd AS DOUBLE)
+         |       ELSE 63.0 * 1000000007.0
+         |            / CAST(MAX(CASE WHEN rk = 64 THEN h END) AS DOUBLE)
+         |       END AS est_distinct
+         |FROM r GROUP BY event_type, nd ORDER BY event_type""".stripMargin,
 
     "q_skyline" ->
       """WITH pts AS (

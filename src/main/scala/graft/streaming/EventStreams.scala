@@ -236,4 +236,67 @@ object EventStreams {
           }
       }
   }
+
+  /** Input row for [[kmvDistinctExact]]: group key, pre-hashed value, µs. */
+  final case class KmvEvent(key: String, h: Long, ts: Long)
+
+  /** Keyed state: the bottom-k distinct hashes, sorted ascending. */
+  final case class KmvState(hashes: Seq[Long])
+
+  /** Final sketch per key, same readout as the batch aggregate. */
+  final case class KmvOut(key: String, nMin: Int, kthHash: Long, estDistinct: Double)
+
+  /** Streaming KMV bottom-k distinct sketch — the stream twin of
+    * [[graft.operators.Sketches.kmvDistinct]], and the counterexample to
+    * the funnel's buffering problem: the KMV sketch is a COMMUTATIVE,
+    * idempotent function of the value SET (a bounded union of minima), so
+    * unlike the ordered funnel chain it folds incrementally under any
+    * arrival order and disorder costs nothing. State per key is O(k)
+    * longs, period — not bounded-by-horizon like sessionize's buffers,
+    * bounded by construction; a key's final sketch emits once the
+    * watermark passes its horizon deadline.
+    *
+    * Determinism: inserts go through the SAME [[graft.functions.KmvBuffer]]
+    * the batch aggregate uses, and the readout shares
+    * [[graft.functions.KmvBuffer.kthAndEstimate]] — a replayed stream's
+    * sketch is bit-identical to the batch sketch of the same rows, whatever
+    * the micro-batch slicing (pinned in EventStreamsSpec with a
+    * disorder-replay).
+    */
+  def kmvDistinctExact(
+      events: Dataset[KmvEvent],
+      k: Int,
+      range: Long,
+      horizonSec: Long,
+      lateSec: Long = 0L): Dataset[KmvOut] = {
+    import events.sparkSession.implicits._
+    require(k >= 2, s"k must be >= 2, got $k")
+    events
+      .withColumn("event_time", timestamp_micros(col("ts")))
+      .withWatermark("event_time", s"$lateSec seconds")
+      .as[KmvEvent]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[KmvState, KmvOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: String, rows: Iterator[KmvEvent], state: GroupState[KmvState]) =>
+          if (state.hasTimedOut) {
+            val buf = new graft.functions.KmvBuffer(k)
+            state.getOption.foreach(_.hashes.foreach(buf.insert))
+            state.remove()
+            val (kth, est) = buf.kthAndEstimate(range)
+            Iterator.single(KmvOut(key, buf.n, kth, est))
+          } else {
+            val arrived = rows.toSeq
+            val buf = new graft.functions.KmvBuffer(k)
+            state.getOption.foreach(_.hashes.foreach(buf.insert))
+            arrived.foreach(e => buf.insert(e.h))
+            state.update(KmvState(buf.mins.take(buf.n).toVector))
+            val maxMs = arrived.iterator.map(_.ts).max / 1000L
+            state.setTimeoutTimestamp(math.max(
+              maxMs + horizonSec * 1000L + 1,
+              state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+  }
 }

@@ -155,6 +155,53 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming KMV sketch: slicing/disorder invariant, O(k) state under a hot key") {
+    // The mergeable-sketch contract: (a) a hot key feeding 30k hashes
+    // holds ONE state row of O(k) longs — bounded by construction, not by
+    // horizon; (b) the emitted sketch equals the shared KmvBuffer readout
+    // of the same value set, under BOTH an ordered 3-batch replay and a
+    // shuffled 4-batch replay whose disorder stays within the watermark
+    // delay (the commutative set fold is order-free; disorder DEEPER than
+    // the delay is dropped at the source — the trade every watermarked
+    // operator makes, same as funnelExact's lateSec contract).
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import graft.streaming.EventStreams.KmvEvent
+    val rng = new scala.util.Random(7)
+    val hashes = Seq.fill(30000)(rng.nextInt(1000000000).toLong)
+    val ref = new graft.functions.KmvBuffer(64)
+    hashes.foreach(ref.insert)
+    val (refKth, refEst) = ref.kthAndEstimate(graft.operators.TextOps.Prime)
+
+    def run(slices: Seq[Seq[KmvEvent]], name: String,
+        lateSec: Long): (Int, Long, Double) = {
+      val input = MemoryStream[KmvEvent]
+      val q = EventStreams.kmvDistinctExact(input.toDS(), k = 64,
+        range = graft.operators.TextOps.Prime, horizonSec = 100L,
+        lateSec = lateSec)
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        slices.foreach { s => input.addData(s); q.processAllAvailable() }
+        val so = q.lastProgress.stateOperators
+        assert(so.nonEmpty && so(0).numRowsTotal == 1)
+        assert(so(0).memoryUsedBytes < 64 * 1024,
+          s"state must stay O(k): ${so(0).memoryUsedBytes} bytes")
+        input.addData(KmvEvent("wm", 1L, 500000000L)); q.processAllAvailable()
+        input.addData(KmvEvent("wm2", 1L, 600000000L)); q.processAllAvailable()
+        val out = spark.table(name).filter($"key" === "a").collect()
+        assert(out.length == 1, s"hot key must emit exactly once, got ${out.length}")
+        (out(0).getInt(1), out(0).getLong(2), out(0).getDouble(3))
+      } finally q.stop()
+    }
+
+    val evts = hashes.zipWithIndex.map { case (h, i) => KmvEvent("a", h, 1000000L + i) }
+    // the events span ~0.03 s of event time; lateSec=5 covers any shuffle
+    val ordered = run(evts.grouped(10000).toSeq, "kmv_ordered", lateSec = 0L)
+    val shuffled = run(rng.shuffle(evts).grouped(7777).toSeq, "kmv_shuffled", lateSec = 5L)
+    assert(ordered == ((ref.n, refKth, refEst)), "stream sketch must equal the batch readout")
+    assert(shuffled == ordered, "sketch must be independent of slicing and order")
+  }
+
   test("file-source readStream over the events fixture matches the batch aggregation") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

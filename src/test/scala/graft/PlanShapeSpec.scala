@@ -260,11 +260,21 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("graph traversals: node-keyed equi-joins, no cartesian, no driver state") {
-    for (q <- Seq("q_bfs_reach", "q_pagerank")) {
+    for (q <- Seq("q_bfs_reach", "q_pagerank", "q_label_prop")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
         s"$q must stay equi-joined:\n$p")
     }
+  }
+
+  test("q_skyline: grid-pruned — broadcast prefix join, never a dominance self-join") {
+    val p = plan("q_skyline")
+    // the oracle's NOT EXISTS is an all-pairs theta join; the plan must
+    // instead be windows + ONE broadcast equi-join on the bucket id
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"skyline must never plan the all-pairs dominance join:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the per-bucket prefix-min table must broadcast:\n$p")
   }
 
   test("q_dq_checks: the FK dimension broadcasts — fact side never shuffles for it") {
