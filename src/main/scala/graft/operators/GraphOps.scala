@@ -338,6 +338,63 @@ object GraphOps {
     pr
   }
 
+  /** Personalized (seed-restarted) integer PageRank: the same exact-BIGINT
+    * recurrence as [[pageRankInt]], but the damped restart mass lands ONLY
+    * on the seed set —
+    *
+    *   pr'(v) = [v ∈ S]·(3·scale) div 20  +  Σ_{u ~ v} (pr(u)·17) div (20·deg(u))
+    *
+    * with pr₀ = scale on seeds, 0 elsewhere. Rank mass diffuses outward
+    * from the seeds, giving a relevance ordering "near my known-good set" —
+    * the seed-expansion shape (finding documents/users similar to a
+    * labeled handful) that complements [[bfsDistances]]' hop counts with a
+    * degree-weighted score. Same determinism argument as pageRankInt:
+    * every step is BIGINT multiply-then-floor-divide, bit-reproducible
+    * across engines and partitionings.
+    *
+    * Shape per round: identical to pageRankInt (rank⋈degree⋈edges, then a
+    * node-keyed sum) plus one broadcast-sized join against the seed flag
+    * to add the restart mass — the seed table ships once. Every node keeps
+    * a row each round (the symmetrized graph gives every node an in-edge,
+    * and zero-valued shares still produce rows), so the seed join after
+    * the aggregate loses nobody.
+    */
+  def personalizedPageRankInt(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      seeds: DataFrame,
+      seedCol: String,
+      iterations: Int,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val sym = symmetrize(edges, srcCol, dstCol)
+    val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    val seed = seeds.select(col(seedCol).cast("long").as("node"))
+      .filter(col("node").isNotNull).distinct()
+      .withColumn("is_seed", lit(true))
+    val base = lit(3L * scale / 20L)
+    def withRestart(masses: DataFrame): DataFrame =
+      masses.join(broadcast(seed), Seq("node"), "left")
+        .select(col("node"),
+          (when(col("is_seed"), base).otherwise(lit(0L)) + col("mass")).as("pr"))
+    var pr = deg.select(col("u").as("node"))
+      .join(broadcast(seed), Seq("node"), "left")
+      .select(col("node"),
+        when(col("is_seed"), lit(scale)).otherwise(lit(0L)).as("pr"))
+    for (_ <- 1 to iterations) {
+      pr = withRestart(pr
+        .join(deg, pr("node") === deg("u"))
+        .join(sym.select(col("u").as("eu"), col("v").as("ev")),
+          col("node") === col("eu"))
+        .select(col("ev").as("node"),
+          expr("(pr * 17) div (20 * deg)").as("share"))
+        .groupBy(col("node"))
+        .agg(sum(col("share")).as("mass")))
+    }
+    pr
+  }
+
   /** Synchronous majority-vote label propagation (community detection),
     * run for a FIXED number of rounds over the undirected (symmetrized)
     * graph. Every node starts labeled with its own id; each round every

@@ -357,6 +357,26 @@ object PipelineQueries extends QueryDomain {
         .orderBy($"node")
     },
 
+    "q_ppr" -> { (s, dir) =>
+      import s.implicits._
+      // Personalized PageRank ([[GraphOps.personalizedPageRankInt]], 5
+      // damped rounds) from the q_bfs_reach seed set (custkey % 50 == 0)
+      // on the same consecutive-order customer graph — seed-expansion
+      // relevance ("score everyone by closeness to the labeled handful"),
+      // complementing BFS hop counts with a degree-weighted diffusion
+      // score. Same exact-BIGINT recurrence as q_pagerank, so the oracle
+      // unrolls it with the restart mass gated on the seed predicate.
+      val o = t(s, dir, "orders").select($"o_orderkey", $"o_custkey")
+      val edges = o.as("a")
+        .join(o.as("b"), col("a.o_orderkey") + 1 === col("b.o_orderkey"))
+        .select(col("a.o_custkey").as("c1"), col("b.o_custkey").as("c2"))
+      val seeds = o.select($"o_custkey")
+        .filter(pmod($"o_custkey", lit(50L)) === 0).distinct()
+      GraphOps.personalizedPageRankInt(
+          edges, "c1", "c2", seeds, "o_custkey", iterations = 5)
+        .orderBy($"node")
+    },
+
     "q_label_prop" -> { (s, dir) =>
       import s.implicits._
       // Majority-vote label propagation ([[GraphOps.labelPropagation]],
@@ -1997,6 +2017,27 @@ object PipelineQueries extends QueryDomain {
        |SELECT node, pr FROM p$k ORDER BY node""".stripMargin
   }
 
+  /** k rounds of the PERSONALIZED integer PageRank recurrence unrolled:
+    * identical arithmetic to [[pageRankOracle]], with both the initial
+    * mass and each round's restart term gated on the seed predicate
+    * (custkey % 50 = 0 — the q_bfs_reach seed set).
+    */
+  private def pprOracle(k: Int): String = {
+    val steps = (1 to k).map(i =>
+      s"""p$i AS (SELECT e.v AS node,
+         |  CAST(CASE WHEN e.v % 50 = 0 THEN 150000000000 ELSE 0 END
+         |    + SUM((p.pr * 17) // (20 * d.deg)) AS BIGINT) AS pr
+         |  FROM p${i - 1} p JOIN deg d ON d.u = p.node JOIN e ON e.u = p.node
+         |  GROUP BY e.v)""".stripMargin).mkString(",\n")
+    s"""WITH $symGraphCtes,
+       |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY u),
+       |p0 AS (SELECT u AS node,
+       |  CAST(CASE WHEN u % 50 = 0 THEN 1000000000000 ELSE 0 END AS BIGINT) AS pr
+       |  FROM deg),
+       |$steps
+       |SELECT node, pr FROM p$k ORDER BY node""".stripMargin
+  }
+
   /** k rounds of synchronous majority-vote label propagation unrolled:
     * each round counts neighbor labels and keeps the (max count, min
     * label) winner per node via a rank window — the same argmax
@@ -2021,6 +2062,7 @@ object PipelineQueries extends QueryDomain {
 
   val oracleSql: Map[String, String] = Map(
     "q_label_prop" -> labelPropOracle(3),
+    "q_ppr" -> pprOracle(5),
 
     // the streaming replay must land on the identical batch KMV sketch
     "q_stream_kmv" ->

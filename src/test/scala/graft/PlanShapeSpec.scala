@@ -260,7 +260,7 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("graph traversals: node-keyed equi-joins, no cartesian, no driver state") {
-    for (q <- Seq("q_bfs_reach", "q_pagerank", "q_label_prop")) {
+    for (q <- Seq("q_bfs_reach", "q_pagerank", "q_label_prop", "q_ppr")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
         s"$q must stay equi-joined:\n$p")
