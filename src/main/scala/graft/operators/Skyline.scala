@@ -77,4 +77,30 @@ object Skyline {
         (col("_mprev").isNull || col("_mprev") > y))
       .drop("_bkt", "_mloc", "_mprev")
   }
+
+  /** Per-group 2D skyline ("best trade-offs per category"): within each
+    * group a point survives iff no same-group point dominates it. Here the
+    * grid prune is unnecessary — the window PARTITIONED BY the group keys
+    * already parallelizes across groups, so the whole frontier is ONE
+    * exchange on the group keys plus the lexicographic running-min test
+    * (a point is dominated iff the min y over its (x, y)-preceding
+    * same-group points is ≤ its own y — the same completeness argument as
+    * [[skyline2dMin]] step 2, now over the whole group). The global
+    * variant's grid exists precisely for the degenerate case this method
+    * should not be used for: one group so large its sort must split
+    * across cores.
+    *
+    * Same caller contract as [[skyline2dMin]]: rows distinct per
+    * (group, x, y), integral dimensions.
+    */
+  def skyline2dMinPerGroup(points: DataFrame, groupCols: Seq[String],
+                           xCol: String, yCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "per-group skyline needs group columns")
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col(xCol), col(yCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    points.withColumn("_m", min(col(yCol)).over(w))
+      .filter(col("_m").isNull || col("_m") > col(yCol))
+      .drop("_m")
+  }
 }

@@ -415,6 +415,24 @@ object PipelineQueries extends QueryDomain {
         .orderBy($"price_c", $"size")
     },
 
+    "q_skyline_brand" -> { (s, dir) =>
+      import s.implicits._
+      // Per-brand Pareto frontier ([[Skyline.skyline2dMinPerGroup]]) —
+      // the partitioned variant: one exchange on the brand key, the
+      // lexicographic running-min window doing all the dominance work, NO
+      // join anywhere (plan-guarded). Same integer-cents quantization as
+      // q_skyline.
+      val pts = t(s, dir, "part")
+        .select($"p_brand",
+          expr("CAST(floor(p_retailprice * 100.0 + 0.5) AS BIGINT)")
+            .as("price_c"),
+          $"p_size".cast("long").as("size"))
+        .groupBy($"p_brand", $"price_c", $"size")
+        .agg(count(lit(1)).as("n_parts"))
+      Skyline.skyline2dMinPerGroup(pts, Seq("p_brand"), "price_c", "size")
+        .orderBy($"p_brand", $"price_c", $"size")
+    },
+
     "q_dedup_incremental" -> { (s, dir) =>
       import s.implicits._
       // INCREMENTAL dedup — the steady-state shape of every production
@@ -2093,6 +2111,20 @@ object PipelineQueries extends QueryDomain {
         |  WHERE b.price_c <= a.price_c AND b.size <= a.size
         |    AND (b.price_c < a.price_c OR b.size < a.size))
         |ORDER BY price_c, size""".stripMargin,
+
+    "q_skyline_brand" ->
+      """WITH pts AS (
+        |  SELECT p_brand,
+        |    CAST(floor(p_retailprice * 100.0 + 0.5) AS BIGINT) AS price_c,
+        |    CAST(p_size AS BIGINT) AS size,
+        |    CAST(count(*) AS BIGINT) AS n_parts
+        |  FROM part GROUP BY 1, 2, 3)
+        |SELECT p_brand, price_c, size, n_parts FROM pts a
+        |WHERE NOT EXISTS (SELECT 1 FROM pts b
+        |  WHERE b.p_brand = a.p_brand
+        |    AND b.price_c <= a.price_c AND b.size <= a.size
+        |    AND (b.price_c < a.price_c OR b.size < a.size))
+        |ORDER BY p_brand, price_c, size""".stripMargin,
 
     "q_ewma" ->
       """WITH e AS (SELECT user_id,

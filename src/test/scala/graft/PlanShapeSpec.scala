@@ -277,6 +277,12 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       s"the per-bucket prefix-min table must broadcast:\n$p")
   }
 
+  test("q_skyline_brand: one brand-keyed window, no join of any kind") {
+    val p = plan("q_skyline_brand")
+    assert(!p.contains("Join"), s"per-group skyline must be join-free:\n$p")
+    assert(p.contains("Window"), s"dominance must be the running-min window:\n$p")
+  }
+
   test("q_dq_checks: the FK dimension broadcasts — fact side never shuffles for it") {
     val p = plan("q_dq_checks")
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),

@@ -57,4 +57,18 @@ class SkylineSpec extends AnyFunSuite with SparkSpec {
     val pts = (0L until 50L).map(i => (i, 100L - i))
     assert(grid(pts, 6) == pts.toSet)
   }
+
+  test("per-group skyline ≡ per-group brute force on random grouped points") {
+    val rng = new scala.util.Random(59)
+    val pts = Seq.fill(900)(
+      (rng.nextInt(6).toLong, rng.nextInt(200).toLong, rng.nextInt(200).toLong))
+      .distinct
+    val expected = pts.groupBy(_._1).flatMap { case (g, ps) =>
+      brute(ps.map(p => (p._2, p._3))).map { case (x, y) => (g, x, y) }
+    }.toSet
+    val got = Skyline.skyline2dMinPerGroup(
+        pts.toDF("g", "x", "y"), Seq("g"), "x", "y")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected)
+  }
 }
