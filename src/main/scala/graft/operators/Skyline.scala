@@ -103,4 +103,94 @@ object Skyline {
       .filter(col("_m").isNull || col("_m") > col(yCol))
       .drop("_m")
   }
+
+  /** d-dimensional minimize-all skyline (d ≥ 2 — exercised at d = 3) via
+    * the CELL-GRID prune: the running-min window trick is 2D-only (a
+    * lexicographically-preceding point can have a smaller z but a LARGER
+    * y), so higher dimensions use the grid algorithm the MapReduce-skyline
+    * literature settled on:
+    *
+    *  1. Fixed-width bucket every dimension (bounds from one 2d-value
+    *     aggregate). Cell summaries — per-cell min/max corner — aggregate
+    *     to at most buckets^d rows, COLLECTED to the driver (bounded by
+    *     the bucket knob, ≤ 4096 rows at the d=3 default; same bounded-
+    *     collect convention as RankOps' range bounds).
+    *  2. Driver-side cell prune: cell B dies if some cell A's MAX corner
+    *     dominates B's MIN corner — then ANY point of A dominates EVERY
+    *     point of B (a ≤ maxA ≤ minB ≤ b, strict where the corners are
+    *     strict). If a point is dominated at all, it is dominated by a
+    *     point of a SURVIVING cell (walk the dominating chain of cells —
+    *     the corner order is acyclic — to a non-dominated cell), so
+    *     pruned cells' points can be discarded entirely, as candidates
+    *     AND as dominators.
+    *  3. Candidate verify: the driver emits the cell-pair list
+    *     (A, B) with minCorner(A) ≤ maxCorner(B) — "A may contain a
+    *     dominator of a B point" — as a broadcast table; the points of
+    *     surviving cells fan out along it and a LEFT ANTI equi-join on
+    *     the cell-pair key (dominance as a residual predicate) keeps
+    *     exactly the undominated points. No cartesian product anywhere —
+    *     the quadratic risk lives in the cell-pair fanout, which the grid
+    *     resolution bounds and anticorrelated inputs pay honestly (every
+    *     skyline algorithm degrades there; the spec pins an anticorrelated
+    *     case).
+    *
+    * Same caller contract as [[skyline2dMin]]: distinct integral points.
+    */
+  def skylineGridMin(points: DataFrame, dimCols: Seq[String],
+                     bucketsPerDim: Int = 16): DataFrame = {
+    require(dimCols.size >= 2, "need at least 2 dimensions")
+    require(bucketsPerDim >= 1, s"bucketsPerDim must be >= 1, got $bucketsPerDim")
+    val d = dimCols.size
+    val dims = dimCols.map(col)
+    // Bounded driver collect #1: 2d longs of dimension bounds.
+    val boundCols = dims.flatMap(c => Seq(min(c).cast("long"), max(c).cast("long")))
+    val bRow = points.agg(boundCols.head, boundCols.tail: _*).head()
+    if (bRow.isNullAt(0)) return points.limit(0)
+    val lows = (0 until d).map(i => bRow.getLong(2 * i))
+    val widths = (0 until d).map(i =>
+      math.max(1L, (bRow.getLong(2 * i + 1) - lows(i)) / bucketsPerDim + 1L))
+    val cellId = (0 until d).map(i =>
+        ((dims(i) - lows(i)) / widths(i)).cast("long"))
+      .reduce((a, b) => a * (bucketsPerDim + 1) + b)
+    val pc = points.withColumn("_cell", cellId)
+
+    // Bounded driver collect #2: ≤ bucketsPerDim^d cell corner summaries.
+    val cornerCols = dims.flatMap(c => Seq(min(c).cast("long"), max(c).cast("long")))
+    val stats = pc.groupBy(col("_cell"))
+      .agg(cornerCols.head, cornerCols.tail: _*)
+      .collect()
+      .map(r => (r.getLong(0),
+        (0 until d).map(i => r.getLong(1 + 2 * i)).toArray,   // min corner
+        (0 until d).map(i => r.getLong(2 + 2 * i)).toArray))  // max corner
+    def domCorner(a: Array[Long], b: Array[Long]): Boolean = {
+      var le = true; var lt = false; var i = 0
+      while (i < d) { le &&= a(i) <= b(i); lt ||= a(i) < b(i); i += 1 }
+      le && lt
+    }
+    val surviving = stats.filter { case (cb, lob, _) =>
+      !stats.exists { case (ca, _, hia) => ca != cb && domCorner(hia, lob) }
+    }
+    val pairs = for {
+      (ca, loa, _) <- surviving
+      (cb, _, hib) <- surviving
+      if (0 until d).forall(i => loa(i) <= hib(i))
+    } yield (ca, cb)
+
+    val spark = points.sparkSession
+    import spark.implicits._
+    val cand = pc.join(
+      broadcast(surviving.map(_._1).toSeq.toDF("_cell")), "_cell")
+    val pairsDf = broadcast(pairs.toSeq.toDF("_a_cell", "_b_cell"))
+    val qCols = dimCols.map(c => col(c).as(s"_q_$c"))
+    val doms = cand.select(col("_cell").as("_a_cell") +: qCols: _*)
+      .join(pairsDf, "_a_cell")
+    val strictSomewhere = dimCols.map(c => col(s"_q_$c") < col(c))
+      .reduce(_ || _)
+    val leEverywhere = dimCols.map(c => col(s"_q_$c") <= col(c))
+      .reduce(_ && _)
+    cand.join(doms,
+        cand("_cell") === doms("_b_cell") && leEverywhere && strictSomewhere,
+        "left_anti")
+      .drop("_cell")
+  }
 }

@@ -433,6 +433,27 @@ object PipelineQueries extends QueryDomain {
         .orderBy($"p_brand", $"price_c", $"size")
     },
 
+    "q_skyline3d" -> { (s, dir) =>
+      import s.implicits._
+      // Three-dimensional Pareto frontier ([[Skyline.skylineGridMin]] —
+      // the cell-grid plan: driver-bounded cell prune + broadcast
+      // cell-pair table + LEFT ANTI dominance verify; the 2D running-min
+      // window does NOT generalize past two dimensions) over one ship
+      // month of lineitem: minimize (price, quantity, discount). All
+      // three dims quantized to BIGINTs with the IEEE ⌊v·s+0.5⌋ chain.
+      val pts = t(s, dir, "lineitem")
+        .filter($"l_shipdate" >= lit("1995-03-01").cast("timestamp") &&
+          $"l_shipdate" < lit("1995-04-01").cast("timestamp"))
+        .select(
+          expr("CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)").as("price_c"),
+          expr("CAST(floor(l_quantity + 0.5) AS BIGINT)").as("qty"),
+          expr("CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT)").as("disc_pct"))
+        .groupBy($"price_c", $"qty", $"disc_pct")
+        .agg(count(lit(1)).as("n_rows"))
+      Skyline.skylineGridMin(pts, Seq("price_c", "qty", "disc_pct"))
+        .orderBy($"price_c", $"qty", $"disc_pct")
+    },
+
     "q_dedup_incremental" -> { (s, dir) =>
       import s.implicits._
       // INCREMENTAL dedup — the steady-state shape of every production
@@ -2125,6 +2146,24 @@ object PipelineQueries extends QueryDomain {
         |    AND b.price_c <= a.price_c AND b.size <= a.size
         |    AND (b.price_c < a.price_c OR b.size < a.size))
         |ORDER BY p_brand, price_c, size""".stripMargin,
+
+    "q_skyline3d" ->
+      """WITH pts AS (
+        |  SELECT CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS price_c,
+        |    CAST(floor(l_quantity + 0.5) AS BIGINT) AS qty,
+        |    CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT) AS disc_pct,
+        |    CAST(count(*) AS BIGINT) AS n_rows
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1995-03-01'
+        |    AND l_shipdate < TIMESTAMP '1995-04-01'
+        |  GROUP BY 1, 2, 3)
+        |SELECT price_c, qty, disc_pct, n_rows FROM pts a
+        |WHERE NOT EXISTS (SELECT 1 FROM pts b
+        |  WHERE b.price_c <= a.price_c AND b.qty <= a.qty
+        |    AND b.disc_pct <= a.disc_pct
+        |    AND (b.price_c < a.price_c OR b.qty < a.qty
+        |         OR b.disc_pct < a.disc_pct))
+        |ORDER BY price_c, qty, disc_pct""".stripMargin,
 
     "q_ewma" ->
       """WITH e AS (SELECT user_id,

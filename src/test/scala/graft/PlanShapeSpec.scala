@@ -283,6 +283,14 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("Window"), s"dominance must be the running-min window:\n$p")
   }
 
+  test("q_skyline3d: cell-pair anti-join verify, no cartesian, pairs broadcast") {
+    val p = plan("q_skyline3d")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"3D skyline must verify along the cell-pair equi-join, never all-pairs:\n$p")
+    assert(p.contains("LeftAnti"), s"survivors must come from an anti-join:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"the cell tables must broadcast:\n$p")
+  }
+
   test("q_dq_checks: the FK dimension broadcasts — fact side never shuffles for it") {
     val p = plan("q_dq_checks")
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),

@@ -58,6 +58,40 @@ class SkylineSpec extends AnyFunSuite with SparkSpec {
     assert(grid(pts, 6) == pts.toSet)
   }
 
+  private def brute3(pts: Seq[(Long, Long, Long)]): Set[(Long, Long, Long)] =
+    pts.filterNot { p =>
+      pts.exists { q =>
+        q._1 <= p._1 && q._2 <= p._2 && q._3 <= p._3 &&
+          (q._1 < p._1 || q._2 < p._2 || q._3 < p._3)
+      }
+    }.toSet
+
+  private def grid3(pts: Seq[(Long, Long, Long)], buckets: Int): Set[(Long, Long, Long)] =
+    Skyline.skylineGridMin(pts.toDF("x", "y", "z"), Seq("x", "y", "z"), buckets)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("3D grid skyline ≡ brute force: random, correlated, anticorrelated") {
+    val rng = new scala.util.Random(67)
+    val random = Seq.fill(400)(
+      (rng.nextInt(300).toLong, rng.nextInt(300).toLong, rng.nextInt(300).toLong))
+      .distinct
+    // anticorrelated plane x+y+z ≈ 300: almost everything is a skyline
+    // point — the honest worst case (cell prune kills nothing)
+    val anti = Seq.fill(200) {
+      val x = rng.nextInt(150).toLong; val y = rng.nextInt((301 - x).toInt).toLong
+      (x, y, 300L - x - y)
+    }.distinct
+    // correlated diagonal band: the cell prune kills nearly everything
+    val corr = (0L until 150L).map(i => (i, i + rng.nextInt(5), i + rng.nextInt(5)))
+      .map(t => (t._1, t._2.toLong, t._3.toLong)).distinct
+    for ((pts, tag) <- Seq((random, "random"), (anti, "anti"), (corr, "corr"));
+         b <- Seq(1, 2, 5, 16)) {
+      assert(grid3(pts, b) == brute3(pts), s"$tag buckets=$b")
+    }
+    assert(grid3(Seq.empty, 8) == Set.empty)
+    assert(grid3(Seq((7L, 7L, 7L)), 8) == Set((7L, 7L, 7L)))
+  }
+
   test("per-group skyline ≡ per-group brute force on random grouped points") {
     val rng = new scala.util.Random(59)
     val pts = Seq.fill(900)(
