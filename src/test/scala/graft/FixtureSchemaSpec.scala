@@ -43,6 +43,21 @@ class FixtureSchemaSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("date-filtered columns keep a temporal type the literal compares handle") {
+    // q1's shipdate pushdown, q_skyline3d's ship-month slice, and the
+    // orderdate windows all compare these columns against cast string
+    // literals — a regeneration flipping them to e.g. epoch integers
+    // would break the comparisons at analysis, the events.ts failure
+    // mode. Pin the type family here so drift fails ONE named test.
+    val temporal = Set[DataType](DateType, TimestampType, TimestampNTZType)
+    for ((table, column) <- Seq("lineitem" -> "l_shipdate", "orders" -> "o_orderdate")) {
+      val dt = Tables.t(spark, sf0001, table).schema(column).dataType
+      assert(temporal(dt),
+        s"$table.$column regenerated as non-temporal type $dt — " +
+          "every literal date compare against it is now broken")
+    }
+  }
+
   test("events.ts physical type is one Tables.events can normalize") {
     val raw = Tables.t(spark, sf0001, "events").schema("ts").dataType
     assert(Set[DataType](LongType, TimestampType, TimestampNTZType)(raw),
