@@ -448,6 +448,14 @@ object GraphOps {
         .groupBy(col("u"))
         .agg(max(struct(col("cnt"), (-col("lbl")).as("nl"))).as("m"))
         .select(col("u").as("node"), (-col("m.nl")).as("lbl"))
+        // Round state is checkpointed too (lazily): without it the final
+        // action plans one k-round-deep nested tree — at k=3 it works, at
+        // 10+ rounds (or 100× data) the un-truncated round lineage is the
+        // scale risk, and each round's 2-level aggregate re-enters the
+        // optimizer k times. The checkpoint caps plan depth at one round
+        // and serves round r's labels to round r+1 from executor-local
+        // blocks (measured: q_label_prop 4.0 → 2.6 s sf0.1 isolated).
+        .localCheckpoint(eager = false)
     }
     labels.select(col("node"), col("lbl").as("community"))
   }

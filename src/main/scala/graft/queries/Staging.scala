@@ -10,6 +10,7 @@ import java.nio.file.{Files, Paths}
 private[queries] object Staging {
 
   private val staged = scala.collection.concurrent.TrieMap.empty[(String, String, String), String]
+  private val memoized = scala.collection.concurrent.TrieMap.empty[(String, String), Any]
   private val sinkIds = new java.util.concurrent.atomic.AtomicLong()
   // previous memory sink PER SESSION — dropping is catalog-scoped, so a
   // global "last" would no-op across sessions and leak the other's result.
@@ -39,6 +40,19 @@ private[queries] object Staging {
       })
     })
   }
+
+  /** Memoize a small driver-side value per (kind, sfDir) per JVM — the
+    * value analogue of [[dir]], for gate inputs that are LEARNED from a
+    * fixture by a bounded driver computation (e.g. the BPE merge rules:
+    * 6 rows, deterministic for a given fixture). A gate that re-learns
+    * such a value on every invocation bills the trainer's cost to every
+    * bench rep of the CONSUMER gate; staging it once per (sf, JVM) makes
+    * the consumer gate measure the consumer (the trainer keeps its own
+    * gate, which still learns live). Values must be small (driver-held
+    * for the JVM lifetime) and a pure function of the fixture.
+    */
+  def memo[T](kind: String, sfDir: String)(compute: => T): T =
+    memoized.getOrElseUpdate((kind, sfDir), compute).asInstanceOf[T]
 
   /** Events fixture + two far-future sentinel files for the append-mode
     * stream gates (`q_stream_sessionize`, `q_stream_windows`): each sentinel

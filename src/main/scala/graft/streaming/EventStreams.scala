@@ -164,8 +164,14 @@ object EventStreams {
     */
   final case class FunnelEvent(userId: Long, ts: Long, tie: Long, step: Int)
 
-  /** Buffered per-user events awaiting the watermark. */
-  final case class FunnelBuf(events: List[FunnelEvent])
+  /** Buffered per-user events awaiting the watermark. `deadlineMs` is the
+    * RUNNING-MAX horizon deadline: a deadline computed from the current
+    * batch's max timestamp alone would SHRINK when a later micro-batch
+    * delivers older (still-in-watermark) events, letting a key time out and
+    * emit early — and a subsequent in-watermark arrival would then open a
+    * second group, emitting a duplicate row for the key.
+    */
+  final case class FunnelBuf(events: List[FunnelEvent], deadlineMs: Long = 0L)
 
   /** One user's funnel result — the streaming twin of
     * [[graft.operators.FunnelOps.funnel]]'s output row. `times(i)` is the
@@ -226,12 +232,17 @@ object EventStreams {
             // batch operator, which reports every entity it saw.
             val arrived = rows.toSeq
             val stepRows = arrived.filter(e => e.step >= 0 && e.step < numSteps)
-            state.update(FunnelBuf(
-              state.getOption.map(_.events).getOrElse(Nil) ++ stepRows))
             val maxMs = arrived.iterator.map(_.ts).max / 1000L
+            // Deadline is the running max across batches (see FunnelBuf's
+            // doc): an out-of-order batch must never PULL IN a deadline a
+            // newer event already pushed out.
+            val deadlineMs = math.max(
+              state.getOption.map(_.deadlineMs).getOrElse(0L),
+              maxMs + horizonSec * 1000L + 1)
+            state.update(FunnelBuf(
+              state.getOption.map(_.events).getOrElse(Nil) ++ stepRows, deadlineMs))
             state.setTimeoutTimestamp(math.max(
-              maxMs + horizonSec * 1000L + 1,
-              state.getCurrentWatermarkMs() + 1))
+              deadlineMs, state.getCurrentWatermarkMs() + 1))
             Iterator.empty
           }
       }
@@ -240,8 +251,13 @@ object EventStreams {
   /** Input row for [[kmvDistinctExact]]: group key, pre-hashed value, µs. */
   final case class KmvEvent(key: String, h: Long, ts: Long)
 
-  /** Keyed state: the bottom-k distinct hashes, sorted ascending. */
-  final case class KmvState(hashes: Seq[Long])
+  /** Keyed state: the bottom-k distinct hashes, sorted ascending, plus the
+    * running-max horizon deadline (same monotonicity argument as
+    * [[FunnelBuf]] — a batch of older in-watermark events must never shrink
+    * a previously set deadline, or the key emits early and a later arrival
+    * re-opens it as a duplicate group).
+    */
+  final case class KmvState(hashes: Seq[Long], deadlineMs: Long = 0L)
 
   /** Final sketch per key, same readout as the batch aggregate. */
   final case class KmvOut(key: String, nMin: Int, kthHash: Long, estDistinct: Double)
@@ -290,11 +306,13 @@ object EventStreams {
             val buf = new graft.functions.KmvBuffer(k)
             state.getOption.foreach(_.hashes.foreach(buf.insert))
             arrived.foreach(e => buf.insert(e.h))
-            state.update(KmvState(buf.mins.take(buf.n).toVector))
             val maxMs = arrived.iterator.map(_.ts).max / 1000L
+            val deadlineMs = math.max(
+              state.getOption.map(_.deadlineMs).getOrElse(0L),
+              maxMs + horizonSec * 1000L + 1)
+            state.update(KmvState(buf.mins.take(buf.n).toVector, deadlineMs))
             state.setTimeoutTimestamp(math.max(
-              maxMs + horizonSec * 1000L + 1,
-              state.getCurrentWatermarkMs() + 1))
+              deadlineMs, state.getCurrentWatermarkMs() + 1))
             Iterator.empty
           }
       }

@@ -202,6 +202,43 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     assert(shuffled == ordered, "sketch must be independent of slicing and order")
   }
 
+  test("KMV horizon deadline is monotone: an older in-watermark batch never re-arms an early emit") {
+    // Regression for the deadline-shrink bug: setting the timeout from the
+    // CURRENT batch's max event time alone lets a later micro-batch of
+    // older (still-in-watermark) events PULL IN a previously set deadline —
+    // the key then emits early, and a subsequent in-watermark arrival
+    // re-opens a second group, emitting a duplicate key row. The running-
+    // max deadline carried in KmvState forbids both.
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import graft.streaming.EventStreams.KmvEvent
+    val input = MemoryStream[KmvEvent]
+    val q = EventStreams.kmvDistinctExact(input.toDS(), k = 64,
+      range = graft.operators.TextOps.Prime, horizonSec = 100L,
+      lateSec = 1000L)
+      .writeStream.format("memory").queryName("kmv_monotone").outputMode("append").start()
+    try {
+      def s(sec: Long) = sec * 1000000L // µs
+      input.addData(KmvEvent("a", 10L, s(2000))); q.processAllAvailable()
+      // watermark = 1000 s; deadline = 2100 s. An OLDER event (1200 s,
+      // in-watermark) must not shrink it to 1300 s:
+      input.addData(KmvEvent("a", 20L, s(1200))); q.processAllAvailable()
+      // advance the watermark to 1500 s — past the SHRUNK deadline, before
+      // the true one; the buggy code emits "a" here
+      input.addData(KmvEvent("wm", 1L, s(2500))); q.processAllAvailable()
+      assert(spark.table("kmv_monotone").filter($"key" === "a").isEmpty,
+        "key must NOT emit before the watermark passes its true deadline")
+      // another in-watermark arrival folds into the SAME open group
+      input.addData(KmvEvent("a", 30L, s(1600))); q.processAllAvailable()
+      // advance past the true deadline (2100 s) and fire the timeout batch
+      input.addData(KmvEvent("wm2", 1L, s(3200))); q.processAllAvailable()
+      input.addData(KmvEvent("wm3", 1L, s(3400))); q.processAllAvailable()
+      val out = spark.table("kmv_monotone").filter($"key" === "a").collect()
+      assert(out.length == 1, s"key must emit exactly once, got ${out.length}")
+      assert(out(0).getInt(1) == 3, "the sketch must hold all three in-watermark hashes")
+    } finally q.stop()
+  }
+
   test("file-source readStream over the events fixture matches the batch aggregation") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -140,6 +140,30 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(exchanges <= 3, s"unexpected shuffle count $exchanges in:\n$p")
   }
 
+  test("merge family: exchange COUNTS pinned — a Spark upgrade can't silently double them") {
+    // Shape guards elsewhere in this spec catch cartesians and lost
+    // broadcasts; these pin the NUMBER of hash exchanges so a planner
+    // change that re-shuffles an already-partitioned stream (e.g. a second
+    // exchange between SCD2's two window passes over the same keys) fails
+    // here instead of surfacing as a silent 2× shuffle bill at scale.
+    def hashExchanges(q: String): Int =
+      "Exchange hashpartitioning".r.findAllIn(plan(q)).size
+    // scdType2: BOTH window passes (lead/lag) share the single key-hash
+    // exchange — the documented one-exchange contract (MergeOps.scdType2).
+    assert(hashExchanges("q_scd2") === 1,
+      "scdType2 must serve both window passes from ONE key exchange")
+    // cdc apply: dedup window + anti-join on the same key — 2 exchanges
+    // (the key exchange feeding the window, and the base side of the
+    // anti-join); the union must not add a third.
+    assert(hashExchanges("q_cdc_apply") <= 2,
+      "cdcApply must not re-shuffle the merge-key path")
+    // incremental agg maintenance: changes agg + change-key semi-join +
+    // base-delta agg + final merge — 4 keyed exchanges, none of them over
+    // the full base table's raw rows twice.
+    assert(hashExchanges("q_incr_agg") <= 4,
+      "incrementalAgg must touch base only via the semi-joined delta path")
+  }
+
   test("q_sql_correlated: subqueries decorrelate into joins, no per-row subquery") {
     val p = plan("q_sql_correlated")
     assert(p.contains("LeftSemi"), s"EXISTS must become a semi-join:\n$p")
