@@ -291,6 +291,9 @@ object GraphOps {
         .select(col("v").as("node"), (col("dist") + 1).as("dist"))
       dist = dist.unionByName(relaxed)
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        // Round state checkpoints lazily, like labelPropagation's: plan
+        // depth stays one round, not k.
+        .localCheckpoint(eager = false)
     }
     dist.select(col("node"), col("dist").cast("int").as("dist"))
   }
@@ -346,6 +349,12 @@ object GraphOps {
           expr("(pr * 17) div (20 * deg)").as("share"))
         .groupBy(col("node"))
         .agg((base + sum(col("share"))).as("pr"))
+      // Round state deliberately NOT checkpointed here (unlike
+      // labelPropagation/bfsDistances): each round is one join+sum whose
+      // plan-depth cost is small, and materializing every round's full
+      // rank table measured SLOWER (q_pagerank 1.70 → 2.22 s min sf0.1
+      // isolated) — the single-aggregate rounds gain nothing to offset
+      // the per-round block writes.
     }
     pr
   }
@@ -406,6 +415,7 @@ object GraphOps {
           expr("(pr * 17) div (20 * deg)").as("share"))
         .groupBy(col("node"))
         .agg(sum(col("share")).as("mass")))
+      // Round state deliberately NOT checkpointed — see pageRankInt.
     }
     pr
   }
