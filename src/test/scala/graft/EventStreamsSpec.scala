@@ -155,6 +155,42 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("funnel horizon deadline is monotone: an older in-watermark batch never re-arms an early emit") {
+    // funnelExact twin of the KMV monotonicity regression below: a late
+    // (in-watermark) batch must not pull the horizon deadline in — under
+    // the shrunk deadline the user folds early WITHOUT the late-arriving
+    // early step, then a further in-watermark step row opens a second
+    // group and emits a duplicate userId row.
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import graft.streaming.EventStreams.FunnelEvent
+    val input = MemoryStream[FunnelEvent]
+    val q = EventStreams.funnelExact(input.toDS(), numSteps = 3,
+      horizonSec = 100L, lateSec = 1000L)
+      .writeStream.format("memory").queryName("funnel_monotone").outputMode("append").start()
+    try {
+      def us(sec: Long) = sec * 1000000L
+      // step 2 (the LAST step) arrives first, at 2000 s
+      input.addData(FunnelEvent(1L, us(2000), 0L, 2)); q.processAllAvailable()
+      // watermark = 1000 s; deadline = 2100 s. Steps 0 and 1 arrive LATE
+      // but in-watermark (1200 s) — the deadline must not shrink to 1300 s
+      input.addData(
+        FunnelEvent(1L, us(1200), 0L, 0),
+        FunnelEvent(1L, us(1201), 0L, 1)); q.processAllAvailable()
+      // watermark → 1500 s: past the shrunk deadline, before the true one
+      input.addData(FunnelEvent(9L, us(2500), 0L, 0)); q.processAllAvailable()
+      assert(spark.table("funnel_monotone").filter($"userId" === 1L).isEmpty,
+        "user must NOT fold before the watermark passes the true deadline")
+      // watermark past 2100 s; the next data batch fires the timeout
+      input.addData(FunnelEvent(8L, us(3200), 0L, 0)); q.processAllAvailable()
+      input.addData(FunnelEvent(7L, us(3400), 0L, 0)); q.processAllAvailable()
+      val out = spark.table("funnel_monotone").filter($"userId" === 1L).collect()
+      assert(out.length == 1, s"user must emit exactly once, got ${out.length}")
+      assert(out(0).getInt(2) == 3,
+        "the single fold must see the late early steps: full 0->1->2 completion")
+    } finally q.stop()
+  }
+
   test("streaming KMV sketch: slicing/disorder invariant, O(k) state under a hot key") {
     // The mergeable-sketch contract: (a) a hot key feeding 30k hashes
     // holds ONE state row of O(k) longs — bounded by construction, not by
