@@ -61,6 +61,44 @@ object Sketches {
       nBoth.as("n_both"), estI.as("est_intersection"))
   }
 
+  /** Approximate quantiles from a DETERMINISTIC uniform k-row sample — the
+    * oracle-gateable alternative to `approx_percentile`, whose internal
+    * summary is engine-defined: the rows with the k smallest hashes of a
+    * unique per-row key form a uniform sample that is a pure function of
+    * the input set ([[graft.functions.HashSampleValues]], consistent
+    * bottom-k sampling), and quantiles are read POSITIONALLY from the
+    * sorted sample (nearest-rank: index ⌊(n−1)·p/100⌋). O(k) state,
+    * map-side merged — the data column itself is never sorted or shuffled.
+    *
+    * Output: struct(n_sample INT, p<percent> BIGINT per requested percent).
+    * Error is the usual sample-quantile √k bound; k = 256 lands within a
+    * few percentile points. `hash` must be a BIGINT hash of a unique row
+    * key ([[TextOps.polyHash]]); `value` BIGINT.
+    */
+  def sampleQuantiles(hashCol: Column, valueCol: Column, k: Int,
+      percents: Seq[Int]): Column = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graft.bridge
+    require(percents.nonEmpty && percents.forall(p => p >= 0 && p <= 100),
+      s"percents must be in [0, 100], got $percents")
+    val sample = bridge.column(graft.functions.HashSampleValues(
+      bridge.expression(hashCol), bridge.expression(valueCol), k)
+      .toAggregateExpression())
+    // One aggregate, positional reads over its (≤ k)-element result; the
+    // (n−1)·p/100 index arithmetic is integer-exact on both engines.
+    // Guarded for the empty sample (all-null inputs): index 0 is invalid
+    // for 1-based element_at; an empty group reads NULL quantiles. For
+    // n ≥ 1 the nearest-rank index ⌊(n−1)p/100⌋+1 is in [1, n] for any
+    // p ∈ [0, 100].
+    val fields = percents.map { p =>
+      when(size(sample) === 0, lit(null).cast("long"))
+        .otherwise(element_at(sample,
+          (floor(((size(sample) - 1) * p) / 100) + 1).cast("int")))
+        .as(s"p$p")
+    }
+    struct(size(sample).as("n_sample") +: fields: _*)
+  }
+
   /** Misra–Gries frequent-items candidates of a STRING column: the ≤ `k`
     * items that can have frequency > n/(k+1), as a sorted array — see
     * [[graft.functions.MisraGries]]. Pair with an exact second pass over

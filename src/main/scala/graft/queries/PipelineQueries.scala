@@ -639,6 +639,31 @@ object PipelineQueries extends QueryDomain {
         $"lang")
     },
 
+    "q_sample_quantiles" -> { (s, dir) =>
+      import s.implicits._
+      // Approximate per-language document-length quantiles from the
+      // DETERMINISTIC bottom-k-by-hash row sample
+      // ([[Sketches.sampleQuantiles]], [[graft.functions.HashSampleValues]])
+      // — the oracle-gateable counterpart of approx_percentile, whose
+      // engine-defined summary could never hash-match. The sample is a
+      // pure function of the (hash, value) set, so the positional
+      // nearest-rank reads agree bit-for-bit with DuckDB replaying the
+      // same bottom-64 selection. Exact count and median ride along for
+      // error inspection; at sf0.01 groups exceed k (real eviction), at
+      // sf0.001 they sit under it (exact path) — both paths gated.
+      val d = docs(s, dir).filter($"text".isNotNull)
+        .select($"lang", TextOps.polyHash($"text").as("h"),
+          length($"text").cast("long").as("v"))
+      orderedSmall(
+        d.groupBy($"lang")
+          .agg(Sketches.sampleQuantiles($"h", $"v", 64, Seq(25, 50, 75, 90)).as("sq"),
+            count(lit(1)).as("n_rows"))
+          .select($"lang", $"sq.n_sample".as("n_sample"), $"sq.p25".as("p25"),
+            $"sq.p50".as("p50"), $"sq.p75".as("p75"), $"sq.p90".as("p90"),
+            $"n_rows"),
+        $"lang")
+    },
+
     // ---- text analysis ----------------------------------------------------
     "q_kmv_overlap" -> { (s, dir) =>
       import s.implicits._
@@ -2567,6 +2592,27 @@ object PipelineQueries extends QueryDomain {
          |            / CAST(MAX(CASE WHEN rk = 64 THEN h END) AS DOUBLE) END AS est_distinct,
          |  CAST(nd AS BIGINT) AS n_exact_hashes
          |FROM r GROUP BY lang, nd ORDER BY lang""".stripMargin,
+
+    "q_sample_quantiles" ->
+      s"""WITH h AS (SELECT lang, ${duckHash("text")} AS h,
+         |    CAST(length(text) AS BIGINT) AS v
+         |  FROM documents WHERE text IS NOT NULL),
+         |nr AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_rows FROM h GROUP BY lang),
+         |hd AS (SELECT lang, h, MIN(v) AS v FROM h GROUP BY lang, h),
+         |r AS (SELECT lang, v,
+         |    row_number() OVER (PARTITION BY lang ORDER BY h) AS rk FROM hd),
+         |s AS (SELECT lang, v FROM r WHERE rk <= 64),
+         |o AS (SELECT lang, v,
+         |    row_number() OVER (PARTITION BY lang ORDER BY v) AS vrk,
+         |    COUNT(*) OVER (PARTITION BY lang) AS ns FROM s)
+         |SELECT o.lang, CAST(MAX(ns) AS INT) AS n_sample,
+         |  MAX(CASE WHEN vrk = (ns-1)*25//100 + 1 THEN v END) AS p25,
+         |  MAX(CASE WHEN vrk = (ns-1)*50//100 + 1 THEN v END) AS p50,
+         |  MAX(CASE WHEN vrk = (ns-1)*75//100 + 1 THEN v END) AS p75,
+         |  MAX(CASE WHEN vrk = (ns-1)*90//100 + 1 THEN v END) AS p90,
+         |  MAX(n_rows) AS n_rows
+         |FROM o JOIN nr ON o.lang = nr.lang
+         |GROUP BY o.lang ORDER BY o.lang""".stripMargin,
 
     "q_kmv_overlap" ->
       s"""WITH h AS (SELECT doc_id, ${duckHash("text")} AS h
