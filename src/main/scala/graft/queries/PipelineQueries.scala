@@ -1714,6 +1714,44 @@ object PipelineQueries extends QueryDomain {
         .orderBy($"event_type")
     },
 
+    "q_stream_quantiles" -> { (s, dir) =>
+      import s.implicits._
+      // STREAMING SAMPLE QUANTILES — the stream twin of q_sample_quantiles
+      // ([[graft.streaming.EventStreams.hashSampleExact]]): per event type,
+      // the bottom-64-by-hash sample of the event VALUES (exact integer
+      // ten-thousandths), with positional nearest-rank quantile reads over
+      // the emitted sample. Second member of the mergeable-sketch class
+      // q_stream_kmv anchors — O(k) pair state per key by construction,
+      // slicing/disorder invariant, inserts shared with the batch
+      // aggregate's HashSampleBuffer. The hash key is the UNIQUE event id,
+      // so the sample is a uniform row sample; the oracle replays the same
+      // bottom-64 selection over the events table.
+      val staged = Staging.streamSessionizeDir(s, dir, gapSec = 21600L)
+      val ss = Staging.streamSession(s)
+      val schema = Staging.replaySchema(ss, staged)
+      val stream = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", Staging.filesInDir(staged) - 1)
+        .parquet(staged)
+        .filter($"user_id".isNotNull) // sentinels are -1: they pass, then filter from the sink
+        .select($"event_type".as("key"),
+          TextOps.polyHash($"event_id".cast("string")).as("h"),
+          ($"value".cast("decimal(18,4)") * 10000).cast("long").as("v"),
+          expr("ts div 1000").as("ts"))
+        .as[graft.streaming.EventStreams.SampleEvent]
+      val sink = Staging.nextStreamSink(ss)
+      val q = graft.streaming.EventStreams
+        .hashSampleExact(stream, k = 64, horizonSec = 21600L)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      def pq(p: Int) = element_at($"values",
+        (floor(((size($"values") - 1) * p) / 100) + 1).cast("int"))
+      ss.table(sink).filter($"key" =!= "sentinel")
+        .select($"key".as("event_type"), $"nSample".as("n_sample"),
+          pq(25).as("p25"), pq(50).as("p50"), pq(75).as("p75"), pq(90).as("p90"))
+        .orderBy($"event_type")
+    },
+
     // ---- similarity search over embeddings --------------------------------
     "q_cosine_topk" -> { (s, dir) =>
       import s.implicits._
@@ -2151,6 +2189,25 @@ object PipelineQueries extends QueryDomain {
          |            / CAST(MAX(CASE WHEN rk = 64 THEN h END) AS DOUBLE)
          |       END AS est_distinct
          |FROM r GROUP BY event_type, nd ORDER BY event_type""".stripMargin,
+
+    "q_stream_quantiles" ->
+      s"""WITH h AS (SELECT event_type,
+         |    ${duckHash("CAST(event_id AS VARCHAR)")} AS h,
+         |    CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS v
+         |  FROM events WHERE user_id IS NOT NULL),
+         |hd AS (SELECT event_type, h, MIN(v) AS v FROM h GROUP BY event_type, h),
+         |r AS (SELECT event_type, v,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk FROM hd),
+         |s AS (SELECT event_type, v FROM r WHERE rk <= 64),
+         |o AS (SELECT event_type, v,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY v) AS vrk,
+         |    COUNT(*) OVER (PARTITION BY event_type) AS ns FROM s)
+         |SELECT event_type, CAST(MAX(ns) AS INT) AS n_sample,
+         |  MAX(CASE WHEN vrk = (ns-1)*25//100 + 1 THEN v END) AS p25,
+         |  MAX(CASE WHEN vrk = (ns-1)*50//100 + 1 THEN v END) AS p50,
+         |  MAX(CASE WHEN vrk = (ns-1)*75//100 + 1 THEN v END) AS p75,
+         |  MAX(CASE WHEN vrk = (ns-1)*90//100 + 1 THEN v END) AS p90
+         |FROM o GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_skyline" ->
       """WITH pts AS (

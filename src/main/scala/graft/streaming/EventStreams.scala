@@ -248,6 +248,84 @@ object EventStreams {
       }
   }
 
+  /** Input row for [[hashSampleExact]]: group key, pre-hashed UNIQUE row
+    * key, BIGINT value, µs.
+    */
+  final case class SampleEvent(key: String, h: Long, v: Long, ts: Long)
+
+  /** Keyed state: the bottom-k (hash, value) pairs (parallel seqs, hash
+    * ascending) plus the running-max horizon deadline (same monotonicity
+    * argument as [[FunnelBuf]]).
+    */
+  final case class SampleState(
+      hashes: Seq[Long], vals: Seq[Long], deadlineMs: Long = 0L)
+
+  /** Final sample per key: the sampled values sorted ascending — read
+    * quantiles positionally, exactly like the batch aggregate's output.
+    */
+  final case class SampleOut(key: String, nSample: Int, values: Seq[Long])
+
+  /** Streaming bottom-k-by-hash value sample — the stream twin of
+    * [[graft.functions.HashSampleValues]] / approximate quantiles, and a
+    * second member of the mergeable-sketch class [[kmvDistinctExact]]
+    * anchors: the sample is a commutative, idempotent function of the
+    * (hash, value) SET (bounded pairwise union, duplicate hashes keep the
+    * minimum value), so it folds incrementally under any arrival order,
+    * state is O(k) pairs per key by construction, and any micro-batch
+    * slicing of a replay lands on the identical sample.
+    *
+    * Determinism: inserts go through the SAME
+    * [[graft.functions.HashSampleBuffer]] the batch aggregate uses, and the
+    * readout is the same ascending value sort — a replayed stream's sample
+    * is bit-identical to the batch sample of the same rows (pinned in
+    * EventStreamsSpec with a disorder replay).
+    */
+  def hashSampleExact(
+      events: Dataset[SampleEvent],
+      k: Int,
+      horizonSec: Long,
+      lateSec: Long = 0L): Dataset[SampleOut] = {
+    import events.sparkSession.implicits._
+    require(k >= 2, s"k must be >= 2, got $k")
+    def load(state: GroupState[SampleState]): graft.functions.HashSampleBuffer = {
+      val buf = new graft.functions.HashSampleBuffer(k)
+      state.getOption.foreach { s =>
+        var i = 0
+        while (i < s.hashes.length) { buf.insert(s.hashes(i), s.vals(i)); i += 1 }
+      }
+      buf
+    }
+    events
+      .withColumn("event_time", timestamp_micros(col("ts")))
+      .withWatermark("event_time", s"$lateSec seconds")
+      .as[SampleEvent]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[SampleState, SampleOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: String, rows: Iterator[SampleEvent], state: GroupState[SampleState]) =>
+          if (state.hasTimedOut) {
+            val buf = load(state)
+            state.remove()
+            val out = java.util.Arrays.copyOf(buf.vals, buf.n)
+            java.util.Arrays.sort(out)
+            Iterator.single(SampleOut(key, buf.n, out.toSeq))
+          } else {
+            val arrived = rows.toSeq
+            val buf = load(state)
+            arrived.foreach(e => buf.insert(e.h, e.v))
+            val maxMs = arrived.iterator.map(_.ts).max / 1000L
+            val deadlineMs = math.max(
+              state.getOption.map(_.deadlineMs).getOrElse(0L),
+              maxMs + horizonSec * 1000L + 1)
+            state.update(SampleState(buf.hashes.take(buf.n).toVector,
+              buf.vals.take(buf.n).toVector, deadlineMs))
+            state.setTimeoutTimestamp(math.max(
+              deadlineMs, state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+  }
+
   /** Input row for [[kmvDistinctExact]]: group key, pre-hashed value, µs. */
   final case class KmvEvent(key: String, h: Long, ts: Long)
 

@@ -275,6 +275,49 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming hash sample: slicing/disorder invariant, equals the batch buffer readout") {
+    // Same mergeable-sketch contract as the KMV test: the bottom-k-by-hash
+    // (hash, value) sample is a commutative set function, so an ordered
+    // 3-batch replay and a shuffled 4-batch replay (disorder within the
+    // watermark delay) both land on the batch HashSampleBuffer's exact
+    // readout, with ONE O(k)-pair state row under a hot key.
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import graft.streaming.EventStreams.SampleEvent
+    val rng = new scala.util.Random(17)
+    val pairs = Vector.fill(20000)(
+      (math.floorMod(rng.nextLong(), graft.operators.TextOps.Prime),
+        rng.nextInt(100000).toLong))
+    val ref = new graft.functions.HashSampleBuffer(64)
+    pairs.foreach { case (h, v) => ref.insert(h, v) }
+    val refVals = ref.vals.take(ref.n).sorted.toSeq
+
+    def run(slices: Seq[Seq[SampleEvent]], name: String, lateSec: Long): Seq[Long] = {
+      val input = MemoryStream[SampleEvent]
+      val q = EventStreams.hashSampleExact(input.toDS(), k = 64,
+        horizonSec = 100L, lateSec = lateSec)
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        slices.foreach { s => input.addData(s); q.processAllAvailable() }
+        val so = q.lastProgress.stateOperators
+        assert(so.nonEmpty && so(0).numRowsTotal == 1)
+        input.addData(SampleEvent("wm", 1L, 1L, 500000000L)); q.processAllAvailable()
+        input.addData(SampleEvent("wm2", 1L, 1L, 600000000L)); q.processAllAvailable()
+        val out = spark.table(name).filter($"key" === "a").collect()
+        assert(out.length == 1, s"hot key must emit exactly once, got ${out.length}")
+        assert(out(0).getInt(1) == 64)
+        out(0).getSeq[Long](2)
+      } finally q.stop()
+    }
+
+    val evts = pairs.zipWithIndex.map { case ((h, v), i) =>
+      SampleEvent("a", h, v, 1000000L + i) }
+    val ordered = run(evts.grouped(7000).toSeq, "hs_ordered", lateSec = 0L)
+    val shuffled = run(rng.shuffle(evts).grouped(5555).toSeq, "hs_shuffled", lateSec = 5L)
+    assert(ordered == refVals, "stream sample must equal the batch buffer readout")
+    assert(shuffled == ordered, "sample must be independent of slicing and order")
+  }
+
   test("file-source readStream over the events fixture matches the batch aggregation") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
