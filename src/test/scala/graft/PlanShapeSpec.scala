@@ -245,6 +245,19 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       s"rules must be data inside one fold, not k chained folds:\n$p")
   }
 
+  test("q_sample_quantiles: ONE keyed exchange — the sample rides map-side merges") {
+    // The whole point of the bottom-k-by-hash sample: the value column is
+    // never sorted or shuffled; partial O(k) buffers combine map-side and
+    // one hash exchange on the group key carries k pairs per (group,
+    // partition). A Sort or a second hash exchange means the sample
+    // degenerated into a data shuffle.
+    val p = plan("q_sample_quantiles")
+    val dataExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(dataExchanges === 1, s"sample aggregate must shuffle once, on the group key:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"values must never be globally sorted:\n$p")
+  }
+
   test("q_edit_join: candidates from equi-joins only — never an all-pairs scan") {
     val p = plan("q_edit_join")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
