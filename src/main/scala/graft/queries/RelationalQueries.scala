@@ -449,6 +449,24 @@ object RelationalQueries extends QueryDomain {
         .orderBy($"gid", $"o_orderstatus", $"o_orderpriority")
     },
 
+    "q_grouping_sets" -> { (s, dir) =>
+      import s.implicits._
+      // Arbitrary GROUPING SETS — the multi-grouping shape ROLLUP/CUBE
+      // cannot express: two NON-hierarchical strata ((status), (priority))
+      // computed in one pass over the fact table (one scan feeding both
+      // aggregates, vs two scans for two separate GROUP BYs). gid bitmask
+      // disambiguates the strata exactly as in q_cube; within each stratum
+      // the rolled-up column is constant NULL and the surviving column
+      // unique, so the ORDER BY is total on both engines.
+      t(s, dir, "orders")
+        .groupingSets(Seq(Seq($"o_orderstatus"), Seq($"o_orderpriority")),
+          $"o_orderstatus", $"o_orderpriority")
+        .agg(grouping_id().cast("int").as("gid"),
+          count(lit(1)).as("n"), dsum($"o_totalprice").as("spend"))
+        .select($"o_orderstatus", $"o_orderpriority", $"gid", $"n", $"spend")
+        .orderBy($"gid", $"o_orderstatus", $"o_orderpriority")
+    },
+
     "q_pivot" -> { (s, dir) =>
       import s.implicits._
       // Pivot = conditional aggregation: order counts + decimal-exact spend
@@ -887,6 +905,15 @@ object RelationalQueries extends QueryDomain {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS spend
         |FROM orders
         |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS spend
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
         |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin,
 
     "q_pivot" ->

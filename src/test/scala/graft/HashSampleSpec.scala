@@ -58,6 +58,36 @@ class HashSampleSpec extends AnyFunSuite with SparkSpec {
       rt.vals.take(rt.n).toSeq === merged.vals.take(merged.n).toSeq)
   }
 
+  test("property: any split/merge tree equals the single-pass buffer (100 random trials)") {
+    // The set-function law that makes the sample oracle-gateable: for ANY
+    // partition of the input into sub-buffers merged in ANY order, the
+    // result equals one pass over the whole input. Random k, random data
+    // (hash collisions forced by a small hash domain), random 3-way splits.
+    val lit = org.apache.spark.sql.catalyst.expressions.Literal(1L)
+    for (trial <- 0 until 100) {
+      val rng = new scala.util.Random(1000 + trial)
+      val k = 2 + rng.nextInt(20)
+      val n = rng.nextInt(200)
+      val pairs = Vector.fill(n)(
+        (rng.nextInt(40).toLong, rng.nextInt(1000).toLong))
+      val one = new HashSampleBuffer(k)
+      pairs.foreach { case (h, v) => one.insert(h, v) }
+      val cut1 = if (n == 0) 0 else rng.nextInt(n + 1)
+      val cut2 = if (n == 0) 0 else cut1 + rng.nextInt(n - cut1 + 1)
+      val parts = Seq(pairs.slice(0, cut1), pairs.slice(cut1, cut2),
+        pairs.slice(cut2, n)).map { p =>
+        val b = new HashSampleBuffer(k)
+        p.foreach { case (h, v) => b.insert(h, v) }
+        b
+      }
+      val agg = HashSampleValues(lit, lit, k)
+      val l2r = parts.reduceLeft(agg.merge)
+      assert(l2r.hashes.take(l2r.n).toSeq === one.hashes.take(one.n).toSeq &&
+        l2r.vals.take(l2r.n).toSeq === one.vals.take(one.n).toSeq,
+        s"trial $trial (k=$k, n=$n, cuts=$cut1/$cut2)")
+    }
+  }
+
   test("aggregate matches the reference sample across partitionings") {
     val rng = new scala.util.Random(29)
     val pairs = Vector.fill(500)((rng.nextInt(200).toLong, rng.nextInt(10000).toLong))
