@@ -70,19 +70,24 @@ object Bench {
     val failedOnce = scala.collection.mutable.Set.empty[String]
     // The contention sentinel: a constant plan with one exchange, no table
     // input — identical across rounds, so its wall-clock measures the box,
-    // not the code. One draw per rep pass, at the pass head.
-    def sentinelOnce(): Double = {
+    // not the code. One draw per rep pass, at the pass head. Failures are
+    // swallowed like a query's (the sentinel is diagnostics — it must
+    // never be the reason a multi-minute sweep dies with no record).
+    def sentinelOnce(): Option[Double] = try {
       val t0 = System.nanoTime()
       spark.range(0, 10000000L, 1, 32)
         .selectExpr("id % 97 AS k", "id")
         .groupBy("k").sum("id")
         .write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
+      Some((System.nanoTime() - t0) / 1e9)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] sentinel failed: ${e.getMessage}")
+      None
     }
     sentinelOnce() // warm-up draw, not recorded
     var sentinelTs = Vector.empty[Double]
     for (_ <- 0 until reps) {
-      sentinelTs :+= sentinelOnce()
+      sentinelOnce().foreach(t => sentinelTs :+= t)
       for (name <- names) {
         val t0 = System.nanoTime()
         try {
@@ -115,6 +120,11 @@ object Bench {
       "q_set_ops", "q_string_agg", "q_window_funcs")
     val subsetRes = results.filter(r => baselineSubset(r._1))
     val subsetTotal = subsetRes.collect { case (_, ts) if ts.length == reps => median(ts) }.sum
+    // A failed or renamed subset member silently SHRINKS the sum, which
+    // would read as a cross-round improvement — flag completeness so the
+    // ratio is only trusted when all 18 members contributed.
+    val subsetComplete = baselineSubset
+      .forall(n => results.exists(r => r._1 == n && r._2.length == reps))
     // Stdout carries subset + top-cost queries only (see the scaladoc's
     // stdout-discipline note); the full maps live in BENCH.json.
     val topCost = results.filter(_._2.length == reps)
@@ -126,12 +136,14 @@ object Bench {
     val stdoutJson =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,""" +
         f""""n_queries":${names.length},"subset18_total":$subsetTotal%.3f,""" +
+        f""""subset18_complete":$subsetComplete,""" +
         f""""sentinel":$sentinelJson,"queries":${jmap(stdoutEntries, median)},""" +
         f""""queries_min":${jmap(stdoutEntries, _.min)},""" +
         f""""failed":$failed,"sf":"$sfDir","full_record":"BENCH.json"}"""
     val fileJson =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,""" +
         f""""n_queries":${names.length},"subset18_total":$subsetTotal%.3f,""" +
+        f""""subset18_complete":$subsetComplete,""" +
         f""""sentinel":$sentinelJson,"sentinel_reps":${sentinelTs.map(t => f"$t%.3f").mkString("[", ",", "]")},""" +
         f""""queries":${jmap(results, median)},"queries_min":${jmap(results, _.min)},""" +
         f""""failed":$failed,"sf":"$sfDir"}"""

@@ -79,24 +79,32 @@ object Sketches {
       percents: Seq[Int]): Column = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.graft.bridge
-    require(percents.nonEmpty && percents.forall(p => p >= 0 && p <= 100),
-      s"percents must be in [0, 100], got $percents")
     val sample = bridge.column(graft.functions.HashSampleValues(
       bridge.expression(hashCol), bridge.expression(valueCol), k)
       .toAggregateExpression())
     // One aggregate, positional reads over its (≤ k)-element result; the
     // (n−1)·p/100 index arithmetic is integer-exact on both engines.
-    // Guarded for the empty sample (all-null inputs): index 0 is invalid
-    // for 1-based element_at; an empty group reads NULL quantiles. For
-    // n ≥ 1 the nearest-rank index ⌊(n−1)p/100⌋+1 is in [1, n] for any
-    // p ∈ [0, 100].
-    val fields = percents.map { p =>
+    struct(size(sample).as("n_sample") +: sampleQuantileCols(sample, percents): _*)
+  }
+
+  /** Positional nearest-rank reads (`p<percent>` columns) over an ASCENDING
+    * sample array — the ONE home of the rank convention, shared by
+    * [[sampleQuantiles]] and the stream-sample gate so the two can never
+    * drift. Guarded for the empty sample (all-null inputs): index 0 is
+    * invalid for 1-based element_at, so an empty sample reads NULL
+    * quantiles. For n ≥ 1 the nearest-rank index ⌊(n−1)p/100⌋+1 is in
+    * [1, n] for any p ∈ [0, 100].
+    */
+  def sampleQuantileCols(sample: Column, percents: Seq[Int]): Seq[Column] = {
+    import org.apache.spark.sql.functions._
+    require(percents.nonEmpty && percents.forall(p => p >= 0 && p <= 100),
+      s"percents must be in [0, 100], got $percents")
+    percents.map { p =>
       when(size(sample) === 0, lit(null).cast("long"))
         .otherwise(element_at(sample,
           (floor(((size(sample) - 1) * p) / 100) + 1).cast("int")))
         .as(s"p$p")
     }
-    struct(size(sample).as("n_sample") +: fields: _*)
   }
 
   /** Misra–Gries frequent-items candidates of a STRING column: the ≤ `k`

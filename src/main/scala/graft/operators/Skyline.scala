@@ -142,12 +142,13 @@ object Skyline {
     require(bucketsPerDim >= 1, s"bucketsPerDim must be >= 1, got $bucketsPerDim")
     val d = dimCols.size
     // The driver prune is O(cells²) over ≤ bucketsPerDim^d summaries — the
-    // d=3/16 default is ≤ 4096 cells, but the SAME default at d=4 would be
-    // ~65k cells and ~4·10⁹ corner comparisons, silently breaking the
-    // bounded-driver-collect convention. Cap the grid and make the caller
-    // choose a coarser resolution for high d instead.
-    require(math.pow(bucketsPerDim.toDouble, d.toDouble) <= 65536.0,
-      s"bucketsPerDim^d must be <= 65536 (got $bucketsPerDim^$d): the " +
+    // d=3/16 default is ≤ 4096 cells (≤ 1.7·10⁷ comparisons), but the SAME
+    // default at d=4 would be ~65k cells and ~4·10⁹ corner comparisons,
+    // silently breaking the bounded-driver-collect convention. Cap the
+    // GRID (8192² ≈ 6.7·10⁷ comparisons worst-case — sub-second) and make
+    // the caller choose a coarser resolution for high d instead.
+    require(math.pow(bucketsPerDim.toDouble, d.toDouble) <= 8192.0,
+      s"bucketsPerDim^d must be <= 8192 (got $bucketsPerDim^$d): the " +
         "cell-summary prune is a driver-side O(cells^2) pass — use a " +
         "coarser grid for higher dimensions")
     val dims = dimCols.map(col)

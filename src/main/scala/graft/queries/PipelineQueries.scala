@@ -651,8 +651,12 @@ object PipelineQueries extends QueryDomain {
       // same bottom-64 selection. Exact count and median ride along for
       // error inspection; at sf0.01 groups exceed k (real eviction), at
       // sf0.001 they sit under it (exact path) — both paths gated.
+      // The hash key is the UNIQUE doc_id — the estimator's contract
+      // (HashSampleValues scaladoc): hashing the VALUE-bearing text would
+      // collapse duplicate texts to one competitor and silently sample
+      // distinct texts instead of rows.
       val d = docs(s, dir).filter($"text".isNotNull)
-        .select($"lang", TextOps.polyHash($"text").as("h"),
+        .select($"lang", TextOps.polyHash($"doc_id".cast("string")).as("h"),
           length($"text").cast("long").as("v"))
       orderedSmall(
         d.groupBy($"lang")
@@ -1744,11 +1748,12 @@ object PipelineQueries extends QueryDomain {
         .writeStream.format("memory").queryName(sink)
         .outputMode("append").start()
       try q.processAllAvailable() finally q.stop()
-      def pq(p: Int) = element_at($"values",
-        (floor(((size($"values") - 1) * p) / 100) + 1).cast("int"))
+      // Positional reads via the shared helper — the rank convention has
+      // ONE home (Sketches.sampleQuantileCols), so this gate cannot drift
+      // from the batch q_sample_quantiles.
       ss.table(sink).filter($"key" =!= "sentinel")
-        .select($"key".as("event_type"), $"nSample".as("n_sample"),
-          pq(25).as("p25"), pq(50).as("p50"), pq(75).as("p75"), pq(90).as("p90"))
+        .select($"key".as("event_type") +: $"nSample".as("n_sample") +:
+          Sketches.sampleQuantileCols($"values", Seq(25, 50, 75, 90)): _*)
         .orderBy($"event_type")
     },
 
@@ -2651,25 +2656,28 @@ object PipelineQueries extends QueryDomain {
          |FROM r GROUP BY lang, nd ORDER BY lang""".stripMargin,
 
     "q_sample_quantiles" ->
-      s"""WITH h AS (SELECT lang, ${duckHash("text")} AS h,
-         |    CAST(length(text) AS BIGINT) AS v
+      // n_rows rides a window over the raw rows instead of a joined CTE:
+      // a join ON lang would silently drop a NULL-lang group that the
+      // Spark side's groupBy keeps.
+      s"""WITH h AS (SELECT lang, ${duckHash("CAST(doc_id AS VARCHAR)")} AS h,
+         |    CAST(length(text) AS BIGINT) AS v,
+         |    CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS n_rows
          |  FROM documents WHERE text IS NOT NULL),
-         |nr AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_rows FROM h GROUP BY lang),
-         |hd AS (SELECT lang, h, MIN(v) AS v FROM h GROUP BY lang, h),
-         |r AS (SELECT lang, v,
+         |hd AS (SELECT lang, h, MIN(v) AS v, MAX(n_rows) AS n_rows
+         |  FROM h GROUP BY lang, h),
+         |r AS (SELECT lang, v, n_rows,
          |    row_number() OVER (PARTITION BY lang ORDER BY h) AS rk FROM hd),
-         |s AS (SELECT lang, v FROM r WHERE rk <= 64),
-         |o AS (SELECT lang, v,
+         |s AS (SELECT lang, v, n_rows FROM r WHERE rk <= 64),
+         |o AS (SELECT lang, v, n_rows,
          |    row_number() OVER (PARTITION BY lang ORDER BY v) AS vrk,
          |    COUNT(*) OVER (PARTITION BY lang) AS ns FROM s)
-         |SELECT o.lang, CAST(MAX(ns) AS INT) AS n_sample,
+         |SELECT lang, CAST(MAX(ns) AS INT) AS n_sample,
          |  MAX(CASE WHEN vrk = (ns-1)*25//100 + 1 THEN v END) AS p25,
          |  MAX(CASE WHEN vrk = (ns-1)*50//100 + 1 THEN v END) AS p50,
          |  MAX(CASE WHEN vrk = (ns-1)*75//100 + 1 THEN v END) AS p75,
          |  MAX(CASE WHEN vrk = (ns-1)*90//100 + 1 THEN v END) AS p90,
          |  MAX(n_rows) AS n_rows
-         |FROM o JOIN nr ON o.lang = nr.lang
-         |GROUP BY o.lang ORDER BY o.lang""".stripMargin,
+         |FROM o GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_kmv_overlap" ->
       s"""WITH h AS (SELECT doc_id, ${duckHash("text")} AS h

@@ -92,15 +92,15 @@ class SkylineSpec extends AnyFunSuite with SparkSpec {
     assert(grid3(Seq((7L, 7L, 7L)), 8) == Set((7L, 7L, 7L)))
   }
 
-  test("grid cap: bucketsPerDim^d over 65536 is rejected, the bound itself is accepted") {
+  test("grid cap: bucketsPerDim^d over 8192 is rejected, a within-cap grid works") {
     val pts = Seq((1L, 2L, 3L, 4L), (4L, 3L, 2L, 1L)).toDF("a", "b", "c", "d")
     // d=4 at the d=3 default of 16/dim is exactly the silent-driver-blowup
     // case the cap exists for (65k cells, ~4e9 corner comparisons)
     intercept[IllegalArgumentException] {
-      Skyline.skylineGridMin(pts, Seq("a", "b", "c", "d"), 17)
+      Skyline.skylineGridMin(pts, Seq("a", "b", "c", "d"), 16)
     }
-    // 16^4 = 65536 sits ON the bound and must pass
-    val sky = Skyline.skylineGridMin(pts, Seq("a", "b", "c", "d"), 16)
+    // a within-cap d=4 grid (9^4 = 6561 cells) must work
+    val sky = Skyline.skylineGridMin(pts, Seq("a", "b", "c", "d"), 9)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     assert(sky == Set((1L, 2L, 3L, 4L), (4L, 3L, 2L, 1L)))
   }
