@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables._
@@ -666,6 +666,50 @@ object PipelineQueries extends QueryDomain {
             $"sq.p50".as("p50"), $"sq.p75".as("p75"), $"sq.p90".as("p90"),
             $"n_rows"),
         $"lang")
+    },
+
+    "q_cms_freq" -> { (s, dir) =>
+      import s.implicits._
+      // Count-Min frequency sketch (Cormode & Muthukrishnan '05),
+      // expressed RELATIONALLY — the Spark-first shape: the d×w counter
+      // matrix per language is just a hash aggregate over (lang, row,
+      // bucket) keys (bounded output: langs × 4 × 512 rows — the sketch
+      // IS a small table, no custom aggregate needed), and point
+      // frequency estimates are a broadcast probe join + min over the d
+      // rows. Completes the sketch quartet (KMV distinct, MG heavy
+      // hitters, sample quantiles, CMS frequency); deterministic by
+      // construction — counters are pure sums keyed by polyHash buckets,
+      // so the whole sketch hash-matches the DuckDB replay. Exact counts
+      // ride along; est ≥ exact always (one-sided CMS error, spec-pinned).
+      val W = 512L
+      val bases = Seq(31L, 131L, 137L, 139L)
+      val probes = Seq("the", "of", "and", "data", "model", "training",
+        "x", "language", "q", "zz")
+      val toks = docs(s, dir).filter($"text".isNotNull)
+        .select($"lang", explode(TextOps.tokens($"text")).as("tok"))
+        .filter(length($"tok") > 0)
+      def keys(c: Column) = array(bases.zipWithIndex.map { case (b, i) =>
+        struct(lit(i).as("i"), pmod(TextOps.polyHash(c, b), lit(W)).as("bkt"))
+      }: _*)
+      val counters = toks.select($"lang", explode(keys($"tok")).as("rb"))
+        .groupBy($"lang", $"rb.i".as("i"), $"rb.bkt".as("bkt"))
+        .agg(count(lit(1)).as("cnt"))
+      val probeKeys = probes.toDF("token")
+        .select($"token", explode(keys($"token")).as("rb"))
+        .select($"token", $"rb.i".as("i"), $"rb.bkt".as("bkt"))
+      val langs = toks.select($"lang").distinct()
+      val est = langs.crossJoin(broadcast(probeKeys))
+        .join(counters, Seq("lang", "i", "bkt"), "left")
+        .groupBy($"lang", $"token")
+        .agg(min(coalesce($"cnt", lit(0L))).as("est_count"))
+      val exact = toks.filter($"tok".isin(probes: _*))
+        .groupBy($"lang", $"tok").agg(count(lit(1)).as("cnt_exact"))
+        .withColumnRenamed("tok", "token")
+      orderedSmall(
+        est.join(exact, Seq("lang", "token"), "left")
+          .select($"lang", $"token", $"est_count",
+            coalesce($"cnt_exact", lit(0L)).as("exact_count")),
+        $"lang", $"token")
     },
 
     // ---- text analysis ----------------------------------------------------
@@ -2194,6 +2238,36 @@ object PipelineQueries extends QueryDomain {
          |            / CAST(MAX(CASE WHEN rk = 64 THEN h END) AS DOUBLE)
          |       END AS est_distinct
          |FROM r GROUP BY event_type, nd ORDER BY event_type""".stripMargin,
+
+    "q_cms_freq" -> {
+      val probesIn = "'the','of','and','data','model','training','x','language','q','zz'"
+      val probeRows = Seq("the", "of", "and", "data", "model", "training",
+        "x", "language", "q", "zz").map(t => s"('$t')").mkString(", ")
+      def keyRows(src: String, tokCol: String, carry: String) =
+        Seq((31, 0), (131, 1), (137, 2), (139, 3)).map { case (b, i) =>
+          s"SELECT $carry, $i AS i, ${duckHash(tokCol, b)} % 512 AS bkt FROM $src"
+        }.mkString("\n  UNION ALL ")
+      s"""WITH toks0 AS (SELECT lang, unnest(string_split(text, ' ')) AS tok
+         |  FROM documents WHERE text IS NOT NULL),
+         |toks AS (SELECT lang, tok FROM toks0 WHERE length(tok) > 0),
+         |keys AS (${keyRows("toks", "tok", "lang")}),
+         |counters AS (SELECT lang, i, bkt, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM keys GROUP BY lang, i, bkt),
+         |probes(token) AS (VALUES $probeRows),
+         |pk AS (${keyRows("probes", "token", "token")}),
+         |langs AS (SELECT DISTINCT lang FROM toks),
+         |grid AS (SELECT l.lang, p.token, p.i, p.bkt FROM langs l, pk p),
+         |est AS (SELECT g.lang, g.token, MIN(COALESCE(c.cnt, 0)) AS est_count
+         |  FROM grid g LEFT JOIN counters c
+         |    ON c.lang = g.lang AND c.i = g.i AND c.bkt = g.bkt
+         |  GROUP BY g.lang, g.token),
+         |ex AS (SELECT lang, tok AS token, CAST(COUNT(*) AS BIGINT) AS exact_count
+         |  FROM toks WHERE tok IN ($probesIn) GROUP BY lang, tok)
+         |SELECT e.lang, e.token, e.est_count,
+         |  COALESCE(x.exact_count, 0) AS exact_count
+         |FROM est e LEFT JOIN ex x ON x.lang = e.lang AND x.token = e.token
+         |ORDER BY e.lang, e.token""".stripMargin
+    },
 
     "q_stream_quantiles" ->
       s"""WITH h AS (SELECT event_type,
