@@ -378,6 +378,29 @@ object RelationalQueries extends QueryDomain {
           |ORDER BY c.c_custkey""".stripMargin)
     },
 
+    "q_sql_lateral" -> { (s, dir) =>
+      // SQL-frontend coverage, third member (correlated → recursive →
+      // LATERAL): a correlated lateral derived table with ORDER BY +
+      // LIMIT — SQL's top-N-per-group idiom. Catalyst decorrelates the
+      // lateral into a join (DomainJoin rewrite), never a per-outer-row
+      // subquery execution; the engine-side twin of this shape is the
+      // rank-window top-N. Deterministic: qty ties break on
+      // l_linenumber, and (o_orderkey, l_linenumber) orders the output
+      // totally. qty rides as BIGINT (integral in this schema) so the
+      // hash compare never sees a float.
+      t(s, dir, "orders").createOrReplaceTempView("orders_lat_v")
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_lat_v")
+      s.sql(
+        """SELECT o.o_orderkey, t.l_linenumber, t.qty
+          |FROM orders_lat_v o JOIN LATERAL (
+          |  SELECT l_linenumber, CAST(l_quantity AS BIGINT) AS qty
+          |  FROM lineitem_lat_v l
+          |  WHERE l.l_orderkey = o.o_orderkey
+          |  ORDER BY l_quantity DESC, l_linenumber LIMIT 2) t
+          |WHERE o.o_orderkey <= 1000
+          |ORDER BY o.o_orderkey, t.l_linenumber""".stripMargin)
+    },
+
     "q_sql_recursive" -> { (s, dir) =>
       // SQL-frontend recursion (Spark 4's WITH RECURSIVE): walk each
       // order's lineitems along consecutive linenumbers from 1,
@@ -838,6 +861,16 @@ object RelationalQueries extends QueryDomain {
         |WHERE EXISTS (SELECT 1 FROM orders o
         |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000.0)
         |ORDER BY c.c_custkey""".stripMargin,
+
+    "q_sql_lateral" ->
+      """SELECT o.o_orderkey, t.l_linenumber, t.qty
+        |FROM orders o JOIN LATERAL (
+        |  SELECT l_linenumber, CAST(l_quantity AS BIGINT) AS qty
+        |  FROM lineitem l
+        |  WHERE l.l_orderkey = o.o_orderkey
+        |  ORDER BY l_quantity DESC, l_linenumber LIMIT 2) t ON TRUE
+        |WHERE o.o_orderkey <= 1000
+        |ORDER BY o.o_orderkey, t.l_linenumber""".stripMargin,
 
     // NO quantile_* function (version-sensitive construct family, round-9
     // audit): explicit rank arithmetic mirrors Spark's Percentile bit for

@@ -171,6 +171,23 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("ScalarSubquery"), s"subquery must not execute per-row:\n$p")
   }
 
+  test("q_sql_lateral: lateral LIMIT decorrelates to a rank window, predicate pushed through") {
+    // The correlated LATERAL (ORDER BY + LIMIT 2) must become the
+    // engine-side top-N-per-group shape — a rank window over the inner
+    // side + ONE equi-join — never a per-outer-row subquery or a
+    // cartesian; and the OUTER key restriction must transit the lateral
+    // onto the lineitem scan (a plan that scans all of lineitem to rank
+    // rows the join will drop is wrong at any scale).
+    val p = plan("q_sql_lateral")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"lateral must decorrelate into an equi-join:\n$p")
+    assert(p.contains("Window"), s"the LIMIT must become a rank window:\n$p")
+    assert("Join".r.findAllIn(p).size === 1, s"exactly one join:\n$p")
+    assert(p.contains("PushedFilters: [LessThanOrEqual(l_orderkey,1000)") ||
+      p.contains("LessThanOrEqual(l_orderkey,1000)"),
+      s"outer restriction must reach the inner scan:\n$p")
+  }
+
   test("q_partition_prune: event_type predicate prunes at planning time") {
     val p = plan("q_partition_prune")
     // The predicate must land in PartitionFilters (directory pruning), not
