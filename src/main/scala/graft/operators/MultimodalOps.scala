@@ -79,6 +79,29 @@ object MultimodalOps {
     })
   }
 
+  /** One resized payload row. */
+  case class ResizedMedia(doc_id: Long, n_in: Long, n_out: Int, resized_hash: Long)
+
+  /** Nearest-neighbor RESIZE of the payload to `target` samples — the 1-D
+    * analogue of image nearest-neighbor resize, with the exact index map
+    * real resizers use: `out[i] = in[⌊i·n/target⌋]` (down- AND up-sampling
+    * both fall out of the same formula). A production decoder swaps the
+    * byte source for a pixel buffer; the index arithmetic, the
+    * partition-parallel stage shape, and the determinism contract are the
+    * tested surface. Empty payloads resize to empty (hash 0).
+    */
+  def resize(media: Dataset[MediaRecord], target: Int): Dataset[ResizedMedia] = {
+    require(target > 0, s"target must be positive, got $target")
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      val n = r.payload.length
+      val out =
+        if (n == 0) Array.empty[Byte]
+        else Array.tabulate(target)(i => r.payload((i.toLong * n / target).toInt))
+      ResizedMedia(r.doc_id, n.toLong, out.length, byteHash(out))
+    })
+  }
+
   /** documents → MediaRecord dataset: UTF-8 payload + metadata columns.
     * (Real pipelines read the bytes from object storage; the fixture has no
     * binary table, so the payload is derived — the column shapes are the

@@ -1970,6 +1970,20 @@ object PipelineQueries extends QueryDomain {
       val media = MultimodalOps.documentsAsMedia(s, docs(s, dir))
       MultimodalOps.sampleFrames(media, frameSize = 64, stride = 4).toDF()
         .orderBy($"doc_id", $"frame_idx")
+    },
+
+    "q_mm_resize" -> { (s, dir) =>
+      import s.implicits._
+      // Nearest-neighbor payload RESIZE to 64 samples
+      // ([[MultimodalOps.resize]]) — the remaining member of the
+      // decode / feature-extract / resize / frame-sample multimodal
+      // quartet: out[i] = in[⌊i·n/64⌋], the exact index map image
+      // resizers use, over the same partition-parallel binary plumbing.
+      // The oracle replays the index arithmetic and the rolling byte
+      // hash from the source text (ASCII fixture — byte i IS codepoint i).
+      val media = MultimodalOps.documentsAsMedia(s, docs(s, dir))
+      MultimodalOps.resize(media, target = 64).toDF()
+        .orderBy($"doc_id")
     }
   )
 
@@ -3725,6 +3739,25 @@ object PipelineQueries extends QueryDomain {
          |  ${duckHash(frame)} AS frame_hash
          |FROM f WHERE fi % 4 = 0
          |ORDER BY doc_id, frame_idx""".stripMargin
-    }
+    },
+
+    "q_mm_resize" ->
+      // NB: lambda params avoid `i` (duckHash-convention shadowing note on
+      // q_frame_sample). Non-contiguous resampled bytes can't reuse
+      // duckHash (it folds a substring); the fold is inlined over the
+      // resampled code list.
+      """WITH d AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+        |  FROM documents),
+        |r AS (SELECT doc_id, n,
+        |    CASE WHEN n = 0 THEN CAST([] AS BIGINT[])
+        |         ELSE list_transform(range(0, 64),
+        |           ri -> CAST(ascii(substr(text, CAST((ri*n)//64 + 1 AS INT), 1)) AS BIGINT))
+        |         END AS codes
+        |  FROM d)
+        |SELECT doc_id, n AS n_in,
+        |  CAST(len(codes) AS INT) AS n_out,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), codes),
+        |    (acc, c) -> (acc * 31 + c) % 1000000007) AS resized_hash
+        |FROM r ORDER BY doc_id""".stripMargin
   )
 }

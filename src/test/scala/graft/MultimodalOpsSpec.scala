@@ -36,4 +36,26 @@ class MultimodalOpsSpec extends AnyFunSuite with SparkSpec {
       Seq("doc_id", "n_bytes", "first_byte", "byte_hash", "n_frames"))
     assert(out.count() === 50L)
   }
+
+  test("resize: nearest-neighbor index map for down-/up-sampling; empty stays empty") {
+    import MultimodalOps.{MediaRecord, byteHash}
+    implicit val sq = spark.sqlContext
+    def media(rows: (Long, String)*) =
+      spark.createDataset(rows.map { case (id, t) =>
+        MediaRecord(id, t.getBytes("UTF-8"), t.length.toLong, "en") })
+    // downsample 10 bytes -> 4: indices ⌊i·10/4⌋ = 0,2,5,7
+    val down = "ABCDEFGHIJ"
+    val expDown = Array(0, 2, 5, 7).map(down.getBytes("UTF-8")(_))
+    // upsample 3 bytes -> 4: indices ⌊i·3/4⌋ = 0,0,1,2 (repeats, never OOB)
+    val up = "XYZ"
+    val expUp = Array(0, 0, 1, 2).map(up.getBytes("UTF-8")(_))
+    val out = MultimodalOps.resize(media(1L -> down, 2L -> up, 3L -> ""), target = 4)
+      .collect().map(r => r.doc_id -> r).toMap
+    assert(out(1L).n_in === 10L && out(1L).n_out === 4 &&
+      out(1L).resized_hash === byteHash(expDown))
+    assert(out(2L).n_in === 3L && out(2L).n_out === 4 &&
+      out(2L).resized_hash === byteHash(expUp))
+    assert(out(3L).n_in === 0L && out(3L).n_out === 0 &&
+      out(3L).resized_hash === 0L)
+  }
 }
