@@ -53,10 +53,18 @@ object MultimodalOps {
       n_frames = bytes.length / 64 + 1)
   }
 
+  /** A NULL source column encodes to a NULL payload array; every payload
+    * consumer treats that as an empty payload (the oracle side sees the
+    * same row, so the gates stay aligned if a fixture ever gains NULL
+    * text — r12 ADVICE).
+    */
+  private def payloadOf(r: MediaRecord): Array[Byte] =
+    if (r.payload == null) Array.emptyByteArray else r.payload
+
   /** Partition-parallel feature extraction over the typed Dataset. */
   def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
-    media.mapPartitions(_.map(r => decodeStub(r.payload).copy(doc_id = r.doc_id)))
+    media.mapPartitions(_.map(r => decodeStub(payloadOf(r)).copy(doc_id = r.doc_id)))
   }
 
   /** One sampled frame of a payload. */
@@ -72,7 +80,7 @@ object MultimodalOps {
     require(frameSize > 0 && stride > 0)
     import media.sparkSession.implicits._
     media.mapPartitions(_.flatMap { r =>
-      r.payload.grouped(frameSize).zipWithIndex.collect {
+      payloadOf(r).grouped(frameSize).zipWithIndex.collect {
         case (frame, idx) if idx % stride == 0 =>
           MediaFrame(r.doc_id, idx, frame.length, byteHash(frame))
       }
@@ -94,10 +102,11 @@ object MultimodalOps {
     require(target > 0, s"target must be positive, got $target")
     import media.sparkSession.implicits._
     media.mapPartitions(_.map { r =>
-      val n = r.payload.length
+      val payload = payloadOf(r)
+      val n = payload.length
       val out =
         if (n == 0) Array.empty[Byte]
-        else Array.tabulate(target)(i => r.payload((i.toLong * n / target).toInt))
+        else Array.tabulate(target)(i => payload((i.toLong * n / target).toInt))
       ResizedMedia(r.doc_id, n.toLong, out.length, byteHash(out))
     })
   }

@@ -58,4 +58,27 @@ class MultimodalOpsSpec extends AnyFunSuite with SparkSpec {
     assert(out(3L).n_in === 0L && out(3L).n_out === 0 &&
       out(3L).resized_hash === 0L)
   }
+
+  test("null payloads are treated as empty by every consumer") {
+    // A NULL source column encodes to a NULL payload array; the three
+    // payload consumers must degrade to the empty-payload behavior instead
+    // of NPE-ing the gate while the DuckDB oracle succeeds (r12 ADVICE).
+    import MultimodalOps.MediaRecord
+    implicit val sq = spark.sqlContext
+    val media = spark.createDataset(Seq(
+      MediaRecord(1L, null, 0L, "en"),
+      MediaRecord(2L, "AB".getBytes("UTF-8"), 2L, "en")))
+    val feats = MultimodalOps.extractFeatures(media)
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(feats(1L).n_bytes === 0L && feats(1L).first_byte === -1)
+    assert(feats(2L).n_bytes === 2L)
+    val frames = MultimodalOps.sampleFrames(media, frameSize = 1, stride = 1)
+      .collect().groupBy(_.doc_id)
+    assert(!frames.contains(1L) && frames(2L).length === 2)
+    val resized = MultimodalOps.resize(media, target = 4)
+      .collect().map(r => r.doc_id -> r).toMap
+    assert(resized(1L).n_in === 0L && resized(1L).n_out === 0 &&
+      resized(1L).resized_hash === 0L)
+    assert(resized(2L).n_out === 4)
+  }
 }

@@ -183,9 +183,11 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       s"lateral must decorrelate into an equi-join:\n$p")
     assert(p.contains("Window"), s"the LIMIT must become a rank window:\n$p")
     assert("Join".r.findAllIn(p).size === 1, s"exactly one join:\n$p")
-    assert(p.contains("PushedFilters: [LessThanOrEqual(l_orderkey,1000)") ||
-      p.contains("LessThanOrEqual(l_orderkey,1000)"),
-      s"outer restriction must reach the inner scan:\n$p")
+    // Anchored to the scan's PushedFilters section: a post-scan Filter node
+    // carrying the same predicate must NOT satisfy this (r12 ADVICE — the
+    // old disjunction degenerated to a substring match anywhere in the plan).
+    assert("PushedFilters: \\[[^\\]]*LessThanOrEqual\\(l_orderkey,1000\\)".r.findFirstIn(p).isDefined,
+      s"outer restriction must reach the inner scan's PushedFilters:\n$p")
   }
 
   test("q_partition_prune: event_type predicate prunes at planning time") {
