@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
-import graft.sources.{CsvSource, JsonSource, OrcSource}
+import graft.sources.{AvroIo, AvroSource, CsvSource, JsonSource, OrcSource}
 
 /** Source-operator coverage: drives the CSV scan (reference O1,
   * `/root/reference/get_s3_data_as_df.py:33-43`) end-to-end through the
@@ -27,6 +27,11 @@ object SourceQueries extends QueryDomain {
     JsonSource.load(s,
       Staging.dir("json", dir, table)(p =>
         t(s, dir, table).write.mode("overwrite").json(p)),
+      Map.empty)
+
+  private def avroRoundTrip(s: SparkSession, dir: String, table: String): DataFrame =
+    AvroSource.load(s,
+      Staging.dir("avro", dir, table)(p => AvroIo.write(t(s, dir, table), p)),
       Map.empty)
 
   private def orcRoundTrip(s: SparkSession, dir: String, table: String): DataFrame =
@@ -62,6 +67,22 @@ object SourceQueries extends QueryDomain {
         .select(element_at(split($"path", "/"), -1).as("fname"),
           $"length".as("n_bytes"), md5($"content").as("content_md5"))
         .orderBy($"fname")
+    },
+
+    "q_avro_source" -> { (s, dir) =>
+      import s.implicits._
+      // Orders through Avro container files (avro-core decode over
+      // binaryFile — see [[graft.sources.AvroIo]]): exercises long, string,
+      // double AND timestamp-micros round-trips. The max order date in each
+      // status group is surfaced as a formatted day so a timestamp decode
+      // defect breaks the hash without putting a raw timestamp in the
+      // output (oracle determinism convention).
+      avroRoundTrip(s, dir, "orders")
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          dsum($"o_totalprice").as("total_price"),
+          date_format(max($"o_orderdate"), "yyyy-MM-dd").as("max_order_day"))
+        .orderBy($"o_orderstatus")
     },
 
     "q_csv_source" -> { (s, dir) =>
@@ -114,6 +135,14 @@ object SourceQueries extends QueryDomain {
         |  md5(text) AS content_md5
         |FROM documents WHERE doc_id < 20
         |ORDER BY fname""".stripMargin,
+
+    "q_avro_source" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price,
+        |  strftime(MAX(o_orderdate), '%Y-%m-%d') AS max_order_day
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
 
     "q_csv_source" ->
       """SELECT n_nationkey, n_name, r_name

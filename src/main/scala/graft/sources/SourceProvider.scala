@@ -73,7 +73,8 @@ object JdbcSource extends SourceProvider {
   */
 object SourceRegistry {
   val all: Map[String, SourceProvider] =
-    Seq(CsvSource, ParquetSource, JsonSource, OrcSource, JdbcSource).map(p => p.name -> p).toMap
+    Seq(CsvSource, ParquetSource, JsonSource, OrcSource, JdbcSource, AvroSource)
+      .map(p => p.name -> p).toMap
   // Aliases mirroring the reference's config section names (config.ini:8-12).
   private val aliases = Map("s3" -> "parquet", "s3_csv" -> "csv", "s3_parquet" -> "parquet", "pg" -> "jdbc")
 

@@ -1,0 +1,108 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{AvroIo, AvroSource, SourceRegistry}
+
+/** Round-trip coverage for the avro-core container source/sink
+  * ([[graft.sources.AvroIo]]) — the full supported type matrix, null
+  * handling, multi-file parallelism, and registry dispatch.
+  */
+class AvroSourceSpec extends AnyFunSuite with SparkSpec {
+
+  private def tmp(tag: String): String = {
+    val d = Files.createTempDirectory(s"graft_avro_$tag").toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  test("full type matrix survives a write/read round-trip") {
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("b", BooleanType),
+      StructField("i", IntegerType),
+      StructField("f", FloatType),
+      StructField("d", DoubleType),
+      StructField("s", StringType),
+      StructField("bin", BinaryType),
+      StructField("day", DateType),
+      StructField("ts", TimestampType),
+      StructField("ts_ntz", TimestampNTZType),
+      StructField("dec", DecimalType(12, 3)),
+      StructField("arr", ArrayType(LongType)),
+      StructField("m", MapType(StringType, IntegerType)),
+      StructField("nested", StructType(Seq(
+        StructField("x", LongType), StructField("y", StringType))))))
+    val ts = java.sql.Timestamp.valueOf("2024-03-01 12:34:56.123456")
+    val ntz = java.time.LocalDateTime.parse("2024-03-01T12:34:56.123456")
+    val rows = Seq(
+      Row(1L, true, 7, 1.5f, 2.25, "hello", Array[Byte](1, 2, 3),
+        java.sql.Date.valueOf("2024-03-01"), ts, ntz,
+        new java.math.BigDecimal("12345.678"), Seq(1L, 2L, 3L),
+        Map("a" -> 1, "b" -> 2), Row(9L, "in")),
+      // every field null (nullable-union coverage)
+      Row(2L, null, null, null, null, null, null, null, null, null, null, null, null, null))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    val dir = tmp("types")
+    AvroIo.write(df, dir)
+    val back = AvroIo.read(spark, dir)
+    assert(back.schema.map(f => (f.name, f.dataType)) ===
+      schema.map(f => (f.name, f.dataType)))
+    val got = back.collect().sortBy(_.getLong(0))
+    val r1 = got(0)
+    assert(r1.getBoolean(1) && r1.getInt(2) === 7 && r1.getFloat(3) === 1.5f)
+    assert(r1.getDouble(4) === 2.25 && r1.getString(5) === "hello")
+    assert(r1.getAs[Array[Byte]](6).toSeq === Seq[Byte](1, 2, 3))
+    assert(r1.getDate(7).toString === "2024-03-01")
+    assert(r1.getTimestamp(8) === ts)
+    assert(r1.getAs[java.time.LocalDateTime](9) === ntz)
+    assert(r1.getDecimal(10) === new java.math.BigDecimal("12345.678"))
+    assert(r1.getSeq[Long](11) === Seq(1L, 2L, 3L))
+    assert(r1.getMap[String, Int](12) === Map("a" -> 1, "b" -> 2))
+    assert(r1.getStruct(13) === Row(9L, "in"))
+    val r2 = got(1)
+    (1 until schema.length).foreach(i => assert(r2.isNullAt(i), s"field $i"))
+  }
+
+  test("one container file per partition; multi-file read parallelizes") {
+    import spark.implicits._
+    val df = spark.range(0, 1000).repartition(4)
+      .select($"id", ($"id" % 10).as("k"))
+    val dir = tmp("parts")
+    AvroIo.write(df, dir)
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".avro"))
+    assert(files.length === 4)
+    val back = AvroIo.read(spark, dir)
+    assert(back.rdd.getNumPartitions >= 2, "per-file decode tasks expected")
+    assert(back.count() === 1000)
+    assert(back.agg(org.apache.spark.sql.functions.sum("id")).head.getLong(0) === 499500L)
+  }
+
+  test("registry dispatches 'avro' and lowercases columns") {
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L, "A"), Row(2L, "B")), 1),
+      StructType(Seq(StructField("Id", LongType), StructField("NAME", StringType))))
+    val dir = tmp("registry")
+    AvroIo.write(df, dir)
+    val back = SourceRegistry("avro").load(spark, dir, Map.empty)
+    assert(back.columns.toSeq === Seq("id", "name"))
+    assert(back.count() === 2)
+    assert(AvroSource.name === "avro")
+  }
+
+  test("empty partitions write no file; read of the rest is complete") {
+    import spark.implicits._
+    // 2 rows into 8 partitions: at least 6 partitions are empty and must
+    // not produce empty container files.
+    val df = spark.range(0, 2).repartition(8).toDF("id")
+    val dir = tmp("empty")
+    AvroIo.write(df, dir)
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".avro"))
+    assert(files.nonEmpty && files.length <= 2)
+    assert(AvroIo.read(spark, dir).as[Long].collect().sorted.toSeq === Seq(0L, 1L))
+  }
+}
