@@ -92,13 +92,23 @@ object UpsertSqlParser {
   private val InsertRe = """INSERT INTO (\S+) \(([^)]*)\) VALUES \([?, ]*\)(.*)""".r
   private val ConflictRe = """ ON CONFLICT \(([^)]*)\)(.*)""".r
 
+  /** Strip the generator's Postgres double-quoting back to the raw name
+    * (per dotted part for the table), un-doubling embedded quotes.
+    */
+  private def unq(ident: String): String =
+    if (ident.startsWith("\"") && ident.endsWith("\"") && ident.length >= 2)
+      ident.substring(1, ident.length - 1).replace("\"\"", "\"")
+    else ident
+  private def unqTable(t: String): String = t.split('.').map(unq).mkString(".")
+
   def parse(sql: String): UpsertSpec = {
-    val InsertRe(table, colList, rest) = sql: @unchecked
-    val columns = colList.split(", ", -1).toVector
+    val InsertRe(rawTable, colList, rest) = sql: @unchecked
+    val table = unqTable(rawTable)
+    val columns = colList.split(", ", -1).toVector.map(unq)
     if (rest.isEmpty) UpsertSpec(table, columns, Vector.empty, InsertOnly)
     else {
       val ConflictRe(keyList, action) = rest: @unchecked
-      val key = keyList.split(", ", -1).toVector
+      val key = keyList.split(", ", -1).toVector.map(unq)
       val mode = action match {
         case " DO NOTHING" => DoNothing
         case upd if upd.startsWith(" DO UPDATE SET ") =>
@@ -109,11 +119,11 @@ object UpsertSqlParser {
               val cols = lhs.stripPrefix("(").stripSuffix(")").split(", ", -1).toVector
               val excl = rhs.stripPrefix("(").stripSuffix(")").split(", ", -1).toVector
               assert(excl == cols.map("EXCLUDED." + _), s"SET list mismatch in: $sql")
-              cols
+              cols.map(unq)
             } else {
               val Array(lhs, rhs) = set.split(""" = """, 2)
               assert(rhs == s"EXCLUDED.$lhs", s"SET list mismatch in: $sql")
-              Vector(lhs)
+              Vector(unq(lhs))
             }
           DoUpdate(updateCols)
       }

@@ -257,6 +257,39 @@ class PostgresLiveSpec extends AnyFunSuite with BeforeAndAfterAll {
         .map(_.split(',').toIndexedSeq)
   }
 
+  test("quoted identifiers live: mixed-case table/columns and a reserved word") {
+    live()
+    // Unquoted, "Live_Mixed"/"Id"/"Name" would fold to lower case (wrong
+    // target) and `order` is a reserved word (syntax error) — exactly the
+    // reference's verbatim-splice defect (r12 VERDICT item 5). The sink must
+    // quote its way to the real table.
+    psql("""CREATE TABLE "Live_Mixed" ("Id" int PRIMARY KEY, "Name" varchar(10), "order" int NOT NULL)""")
+    val spark = SparkSpec.session
+    val st = StructType(Seq(
+      StructField("Id", IntegerType),
+      StructField("Name", StringType),
+      StructField("order", IntegerType)))
+    def mkDf(rows: Seq[Row]) =
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), st)
+    val first = PostgresUpsertSink.upsert(
+      mkDf((1 to 6).map(i => Row(i, s"n$i", i))), "Live_Mixed",
+      uniqueKey = Some(Seq("Id")), factory = PsqlConnectionFactory(sockDir),
+      batchSize = 3, parallelism = 2, partitionCols = Seq("Id"))
+    assert(first.loaded === 6 && first.rejected === 0)
+    // Conflict arm: one keyed update + one fresh insert through the same SQL.
+    val second = PostgresUpsertSink.upsert(
+      mkDf(Seq(Row(1, "upd", 100), Row(7, "n7", 7))), "Live_Mixed",
+      uniqueKey = Some(Seq("Id")), factory = PsqlConnectionFactory(sockDir),
+      batchSize = 3, parallelism = 2, partitionCols = Seq("Id"))
+    assert(second.loaded === 2 && second.rejected === 0)
+    val state = psql("""SELECT "Id", "Name", "order" FROM "Live_Mixed" ORDER BY "Id"""")
+      .map { l => val Array(i, n, o) = l.split("\\|"); i.toInt -> ((n, o.toInt)) }.toMap
+    assert(state.size === 7)
+    assert(state(1) === (("upd", 100)))
+    assert(state(7) === (("n7", 7)))
+    (2 to 6).foreach(i => assert(state(i) === ((s"n$i", i))))
+  }
+
   test("insert-only mode (no unique key) against the live server") {
     live()
     psql("CREATE TABLE live_insert (id int, name varchar(10), qty int NOT NULL)")

@@ -127,7 +127,7 @@ class UpsertConflictReconcileSpec extends AnyFunSuite with SparkSpec {
     // (k, v, seq) with seq excluded ⇒ SET touches only v; a conflicting row
     // updates the payload but keeps the originally-stored seq.
     val sql = UpsertSqlGen.build(cols, "t", Seq("k"), colsNotForUpdate = Seq("seq"))
-    assert(sql.contains("DO UPDATE SET v = EXCLUDED.v"), sql)
+    assert(sql.contains("""DO UPDATE SET "v" = EXCLUDED."v""""), sql)
 
     KeyedSinkState.init("reconcile_partial")
     val factory = new KeyedUpsertFakeFactory("reconcile_partial", Set.empty)
