@@ -165,26 +165,52 @@ object SimHash {
     * pairs by Hamming distance. Output: (doc_id, sig).
     */
   def textSignatures(
-      docs: DataFrame, idCol: String, textCol: String, bits: Int): DataFrame = {
+      docs: DataFrame, idCol: String, textCol: String, bits: Int): DataFrame =
+    textSignaturesWith(docs, idCol, textCol, bits, Nil)
+
+  /** [[textSignatures]] with extra pass-through columns — single code path
+    * for batch and streaming banding (see [[bandedSignaturesWith]]).
+    */
+  private[graft] def textSignaturesWith(
+      docs: DataFrame, idCol: String, textCol: String, bits: Int,
+      carry: Seq[String]): DataFrame = {
     require(bits <= 60, "wideHash carries 60 informative bits")
     val th = org.apache.spark.sql.graft.bridge.column(
       graft.functions.TokenHashes(
         org.apache.spark.sql.graft.bridge.expression(col(textCol)), wide = true))
-    signatures(
-      docs.filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0),
-      idCol, th, bits)
+    docs.filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
+      .select(Seq(col(idCol).as("doc_id"),
+        coalesce(
+          org.apache.spark.sql.graft.bridge.column(
+            graft.functions.SimHashSig(
+              org.apache.spark.sql.graft.bridge.expression(th), bits)),
+          lit(0L)).as("sig")) ++ carry.map(col): _*)
   }
 
   private def bandedSignatures(
       docs: DataFrame, idCol: String, textCol: String,
-      bits: Int, bandBits: Int, maxHamming: Int): DataFrame = {
+      bits: Int, bandBits: Int, maxHamming: Int): DataFrame =
+    bandedSignaturesWith(docs, idCol, textCol, bits, bandBits, maxHamming, Nil)
+
+  /** [[bandedSignatures]] with extra pass-through columns (`carry`) riding
+    * beside (doc_id, sig, band, bkey) — the streaming twin
+    * ([[graft.streaming.EventStreams.simhashNearDup]]) needs the event-time
+    * column to survive banding so its watermark stays attached. Pure
+    * projection for the carried columns: the signature computation, the
+    * degenerate-doc filter, and the band explode are byte-identical to the
+    * batch path (single code path, no semantic twin to drift).
+    */
+  private[graft] def bandedSignaturesWith(
+      docs: DataFrame, idCol: String, textCol: String,
+      bits: Int, bandBits: Int, maxHamming: Int, carry: Seq[String]): DataFrame = {
     require(bits % bandBits == 0, "bits must be a multiple of bandBits")
+    require(bits <= 60, "wideHash carries 60 informative bits")
     val bands = bits / bandBits
     require(maxHamming <= bands - 1,
       s"recall-1 guarantee needs maxHamming <= bands-1 = ${bands - 1}")
-    val sigs = textSignatures(docs, idCol, textCol, bits)
-    sigs.select(col("doc_id"), col("sig"),
+    val sigs = textSignaturesWith(docs, idCol, textCol, bits, carry)
+    sigs.select(Seq(col("doc_id"), col("sig")) ++ carry.map(col) :+
       posexplode(array((0 until bands).map(b => bandKey(col("sig"), b, bandBits)): _*))
-        .as(Seq("band", "bkey")))
+        .as(Seq("band", "bkey")): _*)
   }
 }

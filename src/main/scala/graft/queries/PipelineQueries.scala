@@ -1645,6 +1645,33 @@ object PipelineQueries extends QueryDomain {
       ss.table(sink).filter($"event_type" =!= "sentinel").orderBy($"event_id")
     },
 
+    "q_stream_neardup" -> { (s, dir) =>
+      import s.implicits._
+      // Streaming banded-SimHash near-dup under the gate
+      // ([[graft.streaming.EventStreams.simhashNearDup]] — signatures from
+      // the SAME compiled fold as the batch operator, band buckets as keyed
+      // state): the documents fixture replayed as TWO micro-batches (parity
+      // split, so pairs must cross the batch boundary through bucket state)
+      // must reproduce q_simhash_neardup's brute-force-equal answer exactly
+      // — same pigeonhole recall-1 contract, horizon spanning the replay.
+      // Cross-band duplicate emissions collapse under the same final
+      // distinct the batch operator ends in.
+      val staged = Staging.streamDocsDir(s, dir)
+      val ss = Staging.streamSession(s)
+      val schema = Staging.replayDocsSchema(ss, staged)
+      val src = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+        .withColumn("tsm", timestamp_micros(expr("ts div 1000")))
+      val sink = Staging.nextStreamSink(ss)
+      val q = graft.streaming.EventStreams
+        .simhashNearDup(src, "doc_id", "text", "tsm",
+          horizonSec = 100000000000L, bits = 60, bandBits = 15, maxHamming = 3)
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      ss.table(sink).distinct().orderBy($"doc_i", $"doc_j")
+    },
+
     "q_stream_sessionize" -> { (s, dir) =>
       import s.implicits._
       // The STATEFUL streaming path under the oracle gate: the events fixture
@@ -2015,6 +2042,27 @@ object PipelineQueries extends QueryDomain {
         |FROM s ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
 
   // ---- DuckDB oracle fragments -------------------------------------------
+
+  /** Shared by q_simhash_neardup AND q_stream_neardup: the brute-force
+    * all-pairs Hamming scan both banded operators equal by pigeonhole.
+    */
+  private lazy val simhashNearDupOracle =
+    s"""WITH tk AS (SELECT doc_id,
+       |  list_transform(string_split(text, ' '), tok -> ${duckWideHash("tok")}) AS th
+       |  FROM documents
+       |  -- mirrors SimHash.nearDupPairs' degenerate-doc exclusion
+       |  WHERE text IS NOT NULL AND length(trim(text)) > 0),
+       |t AS (SELECT doc_id,
+       |  CAST(list_sum(list_transform(range(0, 60), b ->
+       |    CASE WHEN list_sum(list_transform(th, h ->
+       |        CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+       |      THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS s
+       |  FROM tk)
+       |SELECT a.doc_id AS doc_i, b.doc_id AS doc_j,
+       |  CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
+       |FROM t a JOIN t b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.s, b.s)) <= 3
+       |ORDER BY doc_i, doc_j""".stripMargin
 
   /** Shared by q_funnel AND q_stream_funnel: the chained running-min
     * construction over (ts_µs, event_id) order — the batch answer the
@@ -2490,23 +2538,11 @@ object PipelineQueries extends QueryDomain {
          |  CAST(len(th) AS BIGINT) AS n_tokens
          |FROM t ORDER BY doc_id""".stripMargin,
 
-    "q_simhash_neardup" ->
-      s"""WITH tk AS (SELECT doc_id,
-         |  list_transform(string_split(text, ' '), tok -> ${duckWideHash("tok")}) AS th
-         |  FROM documents
-         |  -- mirrors SimHash.nearDupPairs' degenerate-doc exclusion
-         |  WHERE text IS NOT NULL AND length(trim(text)) > 0),
-         |t AS (SELECT doc_id,
-         |  CAST(list_sum(list_transform(range(0, 60), b ->
-         |    CASE WHEN list_sum(list_transform(th, h ->
-         |        CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
-         |      THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS s
-         |  FROM tk)
-         |SELECT a.doc_id AS doc_i, b.doc_id AS doc_j,
-         |  CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
-         |FROM t a JOIN t b ON a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.s, b.s)) <= 3
-         |ORDER BY doc_i, doc_j""".stripMargin,
+    "q_simhash_neardup" -> simhashNearDupOracle,
+
+    // The streaming twin replays the same corpus with a horizon spanning
+    // it, so its exact answer is the IDENTICAL brute-force scan.
+    "q_stream_neardup" -> simhashNearDupOracle,
 
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE tk AS (SELECT doc_id,

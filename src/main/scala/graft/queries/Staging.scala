@@ -136,6 +136,46 @@ private[queries] object Staging {
     try writer.write(g) finally writer.close()
   }
 
+  /** Documents replay for the streaming near-dup gate: the documents
+    * fixture with a synthetic event time (`ts` = (1.6e9 + doc_id) seconds,
+    * as a nanosecond BIGINT like the events replay) split into TWO parquet
+    * files on doc_id parity, modification-time ordered — so near-dup pairs
+    * must cross a micro-batch boundary and the bucket STATE is exercised,
+    * not just the in-batch pairing. No sentinel files: pairs emit inline on
+    * arrival (append mode without a watermark wait), so nothing needs to
+    * drive the watermark for output completeness.
+    */
+  def streamDocsDir(spark: org.apache.spark.sql.SparkSession, sfDir: String): String =
+    dir("streamdocs", sfDir, "documents") { p =>
+      Files.createDirectories(Paths.get(p))
+      import org.apache.spark.sql.functions._
+      val docs = graft.Tables.t(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text"),
+          ((col("doc_id") + 1600000000L) * 1000000000L).cast("long").as("ts"))
+      val now = System.currentTimeMillis()
+      Seq(0, 1).foreach { parity =>
+        val tmp = s"${p}_stage$parity"
+        docs.filter(col("doc_id") % 2 === parity).coalesce(1)
+          .write.mode("overwrite").parquet(tmp)
+        val part = Option(new java.io.File(tmp).listFiles()).toSeq.flatten
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no part file written under $tmp"))
+        val name = if (parity == 0) "a_docs.parquet" else "b_docs.parquet"
+        Files.move(part.toPath, Paths.get(p, name),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(new java.io.File(tmp))
+        Paths.get(p, name).toFile.setLastModified(now - 30000 + parity * 10000); ()
+      }
+    }
+
+  /** Schema of the staged documents replay (see [[replaySchema]]). */
+  def replayDocsSchema(spark: org.apache.spark.sql.SparkSession, staged: String)
+      : org.apache.spark.sql.types.StructType =
+    spark.read.parquet(s"$staged/a_docs.parquet").schema
+
   // One stream-tuned clone per parent session (weak keys, same rationale as
   // lastStreamSink). Accessed only under `synchronized`.
   private val streamSessions =

@@ -395,4 +395,120 @@ object EventStreams {
           }
       }
   }
+
+  /** One banded document in flight to a bucket (see [[simhashNearDup]]). */
+  final case class BandedDoc(band: Int, bkey: Long, docId: Long, sig: Long, epochSec: Long)
+
+  /** Per-bucket keyed state: the signatures currently inside the horizon.
+    * Parallel Seqs, not a Seq of tuples — the product encoder codegens
+    * flat array columns.
+    */
+  final case class NearDupBucketState(
+      docIds: Seq[Long], sigs: Seq[Long], epochs: Seq[Long])
+
+  /** One verified near-duplicate pair, `doc_i < doc_j`. */
+  final case class NearDupPair(doc_i: Long, doc_j: Long, hamming: Long)
+
+  /** Streaming banded-SimHash near-dup detection — the streaming twin of
+    * [[graft.operators.SimHash.nearDupPairs]], the one pipeline family
+    * whose stream twin was missing (r12 VERDICT item 7).
+    *
+    * Signatures come from the SAME compiled per-row fold as the batch
+    * operator ([[graft.operators.SimHash.bandedSignaturesWith]] — one code
+    * path, no semantic twin to drift), exploded into (band, bkey) rows. Each
+    * band bucket is a `flatMapGroupsWithState` key whose state holds the
+    * signatures seen within `horizonSec`; an arriving document is verified
+    * (exact Hamming) against exactly its bucket's held signatures and the
+    * matches emit IMMEDIATELY in append mode — no watermark wait on the
+    * output path. A pair colliding in k bands emits k times; deduplicate
+    * downstream (the batch operator ends in the same `.distinct()`).
+    *
+    * Semantics: a pair is reported iff the two documents land in a shared
+    * bucket while both are inside the horizon — the sliding-corpus posture
+    * (new docs dedup against the trailing `horizonSec` of corpus). With a
+    * horizon covering the whole replay this equals the batch operator
+    * exactly (same pigeonhole recall-1 argument, `maxHamming <= bands-1`).
+    *
+    * Scale/state posture: state per bucket is bounded by the bucket's
+    * horizon occupancy (2^bandBits buckets per band spread the corpus);
+    * eviction is WATERMARK-driven — an entry leaves when the watermark
+    * (not merely a newer arrival) passes `ts + horizonSec`, so a late
+    * partner within the watermark delay still finds it. Timeout deadlines
+    * are a running max (never regress, r11 discipline). A re-delivered
+    * docId is ignored (at-least-once input → exactly-once state), matching
+    * `q_stream_dedup`'s posture.
+    *
+    * @param docs streaming DataFrame with `idCol` (LONG), `textCol`
+    *             (STRING; null/blank rows are excluded, same as batch, so
+    *             null-text sentinel rows can drive the watermark without
+    *             entering any bucket), `tsCol` (TIMESTAMP event time)
+    */
+  def simhashNearDup(
+      docs: DataFrame,
+      idCol: String, textCol: String, tsCol: String,
+      horizonSec: Long,
+      bits: Int = 60, bandBits: Int = 15, maxHamming: Int = 3,
+      watermarkDelay: String = "0 seconds"): Dataset[NearDupPair] = {
+    import docs.sparkSession.implicits._
+    // Watermark FIRST, on the raw stream: rows filtered later (degenerate
+    // text) must still advance event time.
+    val banded = graft.operators.SimHash.bandedSignaturesWith(
+      docs.withWatermark(tsCol, watermarkDelay),
+      idCol, textCol, bits, bandBits, maxHamming, carry = Seq(tsCol))
+      .select(col("band").cast("int").as("band"), col("bkey"),
+        col("doc_id").as("docId"), col("sig"),
+        col(tsCol).cast("long").as("epochSec"),
+        col(tsCol)) // untouched attribute: keeps the watermark defined here
+      .as[BandedDoc]
+    banded
+      .groupByKey(b => (b.band, b.bkey))
+      .flatMapGroupsWithState[NearDupBucketState, NearDupPair](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: (Int, Long), rows: Iterator[BandedDoc], state: GroupState[NearDupBucketState]) =>
+          def held: Vector[(Long, Long, Long)] = state.getOption.map { s =>
+            s.docIds.lazyZip(s.sigs).lazyZip(s.epochs).toVector
+          }.getOrElse(Vector.empty)
+          def store(kept: Vector[(Long, Long, Long)]): Unit =
+            if (kept.isEmpty) state.remove()
+            else {
+              state.update(NearDupBucketState(
+                kept.map(_._1), kept.map(_._2), kept.map(_._3)))
+              // Re-arm for the LAST entry's eviction; running max keeps the
+              // deadline monotone and strictly above the watermark.
+              state.setTimeoutTimestamp(math.max(
+                (kept.iterator.map(_._3).max + horizonSec) * 1000L + 1,
+                state.getCurrentWatermarkMs() + 1))
+            }
+          val evictBeforeSec =
+            math.floorDiv(state.getCurrentWatermarkMs(), 1000L) - horizonSec
+          if (state.hasTimedOut) {
+            store(held.filter(_._3 >= evictBeforeSec))
+            Iterator.empty
+          } else {
+            // Evict BEFORE pairing: an arriving row's event time is >= the
+            // watermark (later rows were dropped as late), so any held entry
+            // older than wm - horizon is more than `horizonSec` away from
+            // every arrival — pairing against it would violate the horizon
+            // contract. No legal pair is lost by evicting first.
+            var kept = held.filter(_._3 >= evictBeforeSec)
+            val out = Vector.newBuilder[NearDupPair]
+            // In-batch arrival order is nondeterministic; sort so the
+            // emitted (i, j, hamming) set is replay-stable (it is anyway —
+            // pairs are order-normalized — but the sort also makes
+            // duplicate-docId suppression deterministic).
+            rows.toVector.sortBy(d => (d.epochSec, d.docId)).foreach { d =>
+              if (!kept.exists(_._1 == d.docId)) {
+                kept.foreach { case (oid, osig, _) =>
+                  val ham = java.lang.Long.bitCount(osig ^ d.sig).toLong
+                  if (ham <= maxHamming)
+                    out += NearDupPair(math.min(oid, d.docId), math.max(oid, d.docId), ham)
+                }
+                kept :+= ((d.docId, d.sig, d.epochSec))
+              }
+            }
+            store(kept)
+            out.result().iterator
+          }
+      }
+  }
 }

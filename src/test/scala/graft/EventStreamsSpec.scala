@@ -553,4 +553,67 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
         s"got $got")
     } finally q.stop()
   }
+
+  test("streaming near-dup: cross-batch pairs equal the batch operator; re-delivery is ignored") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val a = "alpha beta gamma delta epsilon zeta"
+    val b = "utterly different vocabulary nothing shared whatsoever"
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val q = EventStreams.simhashNearDup(
+        input.toDF.toDF("tsm", "doc_id", "text"), "doc_id", "text", "tsm",
+        horizonSec = 1000000L)
+      .writeStream.format("memory").queryName("nd_test").outputMode("append").start()
+    try {
+      input.addData(
+        (ts("2025-01-01 00:00:01"), 1L, a),
+        (ts("2025-01-01 00:00:02"), 2L, b))
+      q.processAllAvailable()
+      // doc 3 duplicates doc 1 ACROSS the batch boundary — the pair can only
+      // come from bucket state; doc 1 is also re-delivered (at-least-once)
+      // and must not re-pair.
+      input.addData(
+        (ts("2025-01-01 00:00:03"), 3L, a),
+        (ts("2025-01-01 00:00:01"), 1L, a))
+      q.processAllAvailable()
+      val got = spark.table("nd_test").distinct()
+        .as[(Long, Long, Long)].collect().toSet
+      val batch = graft.operators.SimHash.nearDupPairs(
+        Seq((1L, a), (2L, b), (3L, a)).toDF("doc_id", "text"), "doc_id", "text",
+        bits = 60, bandBits = 15, maxHamming = 3)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got === batch, s"stream $got != batch $batch")
+      assert(got.contains((1L, 3L, 0L)), "identical docs must pair at Hamming 0")
+    } finally q.stop()
+  }
+
+  test("streaming near-dup horizon: watermark-evicted docs stop pairing, state shrinks") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val a = "alpha beta gamma delta epsilon zeta"
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val q = EventStreams.simhashNearDup(
+        input.toDF.toDF("tsm", "doc_id", "text"), "doc_id", "text", "tsm",
+        horizonSec = 100L)
+      .writeStream.format("memory").queryName("nd_evict").outputMode("append").start()
+    def pairs = spark.table("nd_evict").distinct().as[(Long, Long, Long)].collect().toSet
+    try {
+      input.addData((ts("2025-01-01 00:00:00"), 1L, a))
+      q.processAllAvailable()
+      // Advance the watermark far past doc 1's ts + horizon (unrelated text
+      // so no accidental pair).
+      input.addData((ts("2025-01-01 06:00:00"), 99L,
+        "utterly different vocabulary nothing shared whatsoever"))
+      q.processAllAvailable()
+      // Same text as doc 1, but > horizon later and behind an advanced
+      // watermark: doc 1's bucket entries are evicted — no (1, 3) pair.
+      input.addData((ts("2025-01-01 06:00:10"), 3L, a))
+      q.processAllAvailable()
+      assert(pairs === Set.empty[(Long, Long, Long)], s"evicted doc must not pair: $pairs")
+      // A within-horizon twin still pairs.
+      input.addData((ts("2025-01-01 06:00:20"), 4L, a))
+      q.processAllAvailable()
+      assert(pairs === Set((3L, 4L, 0L)), s"got $pairs")
+    } finally q.stop()
+  }
 }
