@@ -411,6 +411,15 @@ object RelationalQueries extends QueryDomain {
       // the sort total). The accumulation order is FIXED by the
       // recursion itself, so the double sums are bit-identical without
       // decimal routing. Oracle = the very same SQL text.
+      //
+      // Spark caps recursive-CTE output at 1M rows by default
+      // (spark.sql.cteRecursionRowLimit) as a runaway-recursion valve;
+      // the walk's output grows linearly with lineitem, so the cap is a
+      // fixture-size ceiling, not a semantic bound — raise it so the gate
+      // scales with the fixture (first hit at the sf1 scale sweep). The
+      // LEVEL limit stays at its default: walk depth is the max
+      // consecutive-linenumber chain, which does NOT grow with SF.
+      s.conf.set("spark.sql.cteRecursionRowLimit", Int.MaxValue.toString)
       t(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
       s.sql(recursiveWalkSql("lineitem_v"))
     },
