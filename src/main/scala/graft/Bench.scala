@@ -35,6 +35,19 @@ import java.nio.file.{Files, Paths}
   * BENCH.json beside the cwd keeps the complete per-query medians/minima.
   */
 object Bench {
+  /** The 18-query BASELINE.md subset — the cross-round comparison contract
+    * (bench_vs_baseline = subset sum / 25.89 s round-2 anchor). Public so
+    * BenchSubsetSpec can pin every member against `SparkEntry.queries` —
+    * a rename otherwise shrinks the sum silently (r12 ADVICE).
+    */
+  val baselineSubset: Set[String] = Set(
+    "q1_pricing_summary", "q3_top_unshipped", "q5_region_revenue",
+    "q6_revenue_change", "q_case_buckets", "q_conform_cast",
+    "q_derived_subquery", "q_distinct", "q_filter_predicates",
+    "q_merge_upsert", "q_orderby_limit", "q_outer_joins",
+    "q_scalar_datetime", "q_scalar_string", "q_semi_anti_join",
+    "q_set_ops", "q_string_agg", "q_window_funcs")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -114,15 +127,6 @@ object Bench {
     val failed = results.collect { case (k, ts) if ts.length != reps => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, ts) if ts.length == reps => median(ts) }.sum
-    // The 18-query BASELINE.md subset — the cross-round comparison contract
-    // (bench_vs_baseline = subset sum / 25.89 s round-2 anchor).
-    val baselineSubset = Set(
-      "q1_pricing_summary", "q3_top_unshipped", "q5_region_revenue",
-      "q6_revenue_change", "q_case_buckets", "q_conform_cast",
-      "q_derived_subquery", "q_distinct", "q_filter_predicates",
-      "q_merge_upsert", "q_orderby_limit", "q_outer_joins",
-      "q_scalar_datetime", "q_scalar_string", "q_semi_anti_join",
-      "q_set_ops", "q_string_agg", "q_window_funcs")
     val subsetRes = results.filter(r => baselineSubset(r._1))
     // The contract number is the sum of per-query MINIMA, not medians: the
     // r12 driver medians were contention artifacts (q_correlation 11.77 s
