@@ -1672,6 +1672,42 @@ object PipelineQueries extends QueryDomain {
       ss.table(sink).distinct().orderBy($"doc_i", $"doc_j")
     },
 
+    "q_stream_topk" -> { (s, dir) =>
+      import s.implicits._
+      // Streaming heavy hitters — the streaming-ingest version of
+      // q_heavy_hitters' two-pass pipeline: pass 1 folds the replayed
+      // bigram stream into sharded Misra–Gries keyed state
+      // ([[graft.streaming.EventStreams.mgCandidatesStream]], O(shards ×
+      // capacity) state, emitted at the watermark horizon via the doc
+      // replay's null-text sentinels); pass 2 exact-counts JUST the
+      // emitted candidates over the fixture — identical output to the
+      // full GROUP BY + HAVING oracle because every true heavy hitter
+      // survives its shard's summary after any arrival order.
+      val staged = Staging.streamDocsDir(s, dir)
+      val ss = Staging.streamSession(s)
+      val schema = Staging.replayDocsSchema(ss, staged)
+      val src = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", Staging.filesInDir(staged) - 1)
+        .parquet(staged)
+        .withColumn("tsm", timestamp_micros(expr("ts div 1000")))
+      val sink = Staging.nextStreamSink(ss)
+      val q = graft.streaming.EventStreams
+        .mgCandidatesStream(src, CorpusOps.wordNgramsAll($"text", 2), "tsm",
+          capacity = 800, nShards = 8, horizonSec = 3600L)
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      val cands = ss.table(sink).select($"item").distinct()
+      val it = graft.Tables.docs(ss, dir)
+        .select(explode(CorpusOps.wordNgramsAll(col("text"), 2)).as("item"))
+      val totals = it.agg(count(lit(1)).as("total"))
+      it.join(broadcast(cands), "item")
+        .groupBy($"item").agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(totals))
+        .filter($"cnt" * 800 >= $"total")
+        .select($"item", $"cnt", $"total")
+        .orderBy($"item")
+    },
+
     "q_stream_sessionize" -> { (s, dir) =>
       import s.implicits._
       // The STATEFUL streaming path under the oracle gate: the events fixture
@@ -2063,6 +2099,19 @@ object PipelineQueries extends QueryDomain {
        |FROM t a JOIN t b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.s, b.s)) <= 3
        |ORDER BY doc_i, doc_j""".stripMargin
+
+  /** Shared by q_heavy_hitters AND q_stream_topk: the exact GROUP BY +
+    * HAVING over word bigrams both two-pass pipelines equal.
+    */
+  private lazy val heavyHittersOracle =
+    """WITH t AS (SELECT tk[i] || ' ' || tk[i+1] AS item
+      |  FROM (SELECT tk, unnest(range(1, len(tk))) AS i
+      |        FROM (SELECT string_split(text, ' ') AS tk
+      |              FROM documents WHERE text IS NOT NULL))),
+      |s AS (SELECT CAST(count(*) AS BIGINT) AS total FROM t)
+      |SELECT item, CAST(count(*) AS BIGINT) AS cnt, s.total AS total
+      |FROM t, s GROUP BY item, s.total
+      |HAVING count(*) * 800 >= s.total ORDER BY item""".stripMargin
 
   /** Shared by q_funnel AND q_stream_funnel: the chained running-min
     * construction over (ts_µs, event_id) order — the batch answer the
@@ -3409,15 +3458,11 @@ object PipelineQueries extends QueryDomain {
 
     // The oracle is the full GROUP BY + HAVING the two-pass pipeline must
     // equal exactly (1/800 of all bigram occurrences).
-    "q_heavy_hitters" ->
-      """WITH t AS (SELECT tk[i] || ' ' || tk[i+1] AS item
-        |  FROM (SELECT tk, unnest(range(1, len(tk))) AS i
-        |        FROM (SELECT string_split(text, ' ') AS tk
-        |              FROM documents WHERE text IS NOT NULL))),
-        |s AS (SELECT CAST(count(*) AS BIGINT) AS total FROM t)
-        |SELECT item, CAST(count(*) AS BIGINT) AS cnt, s.total AS total
-        |FROM t, s GROUP BY item, s.total
-        |HAVING count(*) * 800 >= s.total ORDER BY item""".stripMargin,
+    "q_heavy_hitters" -> heavyHittersOracle,
+
+    // The streaming twin's exact second pass yields the identical GROUP BY
+    // + HAVING answer (candidates ⊇ true heavy hitters after any order).
+    "q_stream_topk" -> heavyHittersOracle,
 
     // Mirrors packSequences(seqLen = 128, nStreams = 8): stream = doc_id % 8,
     // start_off = exclusive running token sum within stream in doc_id order,

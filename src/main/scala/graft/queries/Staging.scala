@@ -136,14 +136,18 @@ private[queries] object Staging {
     try writer.write(g) finally writer.close()
   }
 
-  /** Documents replay for the streaming near-dup gate: the documents
+  /** Documents replay for the streaming document gates: the documents
     * fixture with a synthetic event time (`ts` = (1.6e9 + doc_id) seconds,
     * as a nanosecond BIGINT like the events replay) split into TWO parquet
     * files on doc_id parity, modification-time ordered — so near-dup pairs
-    * must cross a micro-batch boundary and the bucket STATE is exercised,
-    * not just the in-batch pairing. No sentinel files: pairs emit inline on
-    * arrival (append mode without a watermark wait), so nothing needs to
-    * drive the watermark for output completeness.
+    * / sketch state must cross a micro-batch boundary and the keyed STATE
+    * is exercised, not just the in-batch path. Two far-future NULL-text
+    * sentinel files follow (`doc_id = -1`), same two-sentinel protocol as
+    * [[streamSessionizeDir]], for gates whose emission is TIMEOUT-driven
+    * (q_stream_topk): null text vanishes in every downstream
+    * filter/explode, but the rows pass the pre-filter watermark node, so
+    * they advance event time without entering any operator state.
+    * (q_stream_neardup emits inline and simply never sees them.)
     */
   def streamDocsDir(spark: org.apache.spark.sql.SparkSession, sfDir: String): String =
     dir("streamdocs", sfDir, "documents") { p =>
@@ -169,7 +173,41 @@ private[queries] object Staging {
         rm(new java.io.File(tmp))
         Paths.get(p, name).toFile.setLastModified(now - 30000 + parity * 10000); ()
       }
+      val maxTs = spark.read.parquet(s"$p/b_docs.parquet")
+        .agg(org.apache.spark.sql.functions.max("ts")).head().getLong(0)
+      val monthNs = 30L * 86400 * 1000000000L
+      writeDocSentinel(Paths.get(p, "c_sentinel.parquet"), maxTs + 10 * monthNs)
+      writeDocSentinel(Paths.get(p, "d_sentinel.parquet"), maxTs + 20 * monthNs)
+      Seq("c_sentinel.parquet" -> (now - 15000), "d_sentinel.parquet" -> (now - 5000))
+        .foreach { case (n, t) => Paths.get(p, n).toFile.setLastModified(t); () }
     }
+
+  /** A single NULL-text sentinel row for the documents replay (see
+    * [[streamDocsDir]]), written directly with parquet-java.
+    */
+  private def writeDocSentinel(path: java.nio.file.Path, ts: Long): Unit = {
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    import org.apache.parquet.schema.MessageTypeParser
+    val schema = MessageTypeParser.parseMessageType(
+      """message doc_sentinel {
+        |  optional int64 doc_id;
+        |  optional binary text (UTF8);
+        |  optional int64 ts;
+        |}""".stripMargin)
+    val writer = ExampleParquetWriter
+      .builder(org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(
+        new org.apache.hadoop.fs.Path(path.toString),
+        new org.apache.hadoop.conf.Configuration()))
+      .withType(schema)
+      .build()
+    val g = new SimpleGroupFactory(schema).newGroup()
+    g.add("doc_id", -1L)
+    // `text` deliberately unset: a NULL payload vanishes in every
+    // downstream filter/explode while the row still drives the watermark.
+    g.add("ts", ts)
+    try writer.write(g) finally writer.close()
+  }
 
   /** Schema of the staged documents replay (see [[replaySchema]]). */
   def replayDocsSchema(spark: org.apache.spark.sql.SparkSession, staged: String)

@@ -396,6 +396,92 @@ object EventStreams {
       }
   }
 
+  /** One item routed to an MG shard (see [[mgCandidatesStream]]). */
+  final case class MgEvent(item: String, shard: Int, epochSec: Long)
+
+  /** Per-shard Misra–Gries state: ≤ capacity (item, count) pairs plus the
+    * running-max emission deadline (parallel Seqs — flat encoder columns).
+    */
+  final case class MgShardState(items: Seq[String], counts: Seq[Long], deadlineMs: Long)
+
+  /** One surviving MG candidate with its stored (under)count. */
+  final case class MgCandidate(shard: Int, item: String, stored_cnt: Long)
+
+  /** Streaming Misra–Gries heavy-hitter CANDIDATE generation — the
+    * streaming ingest half of the canonical two-pass exact heavy-hitters
+    * pipeline (`CorpusOps.heavyHitters`): fold the item stream into ≤
+    * `capacity` counters per shard, emit the surviving candidates when the
+    * watermark passes the horizon, then let a bounded exact pass count just
+    * the candidates. Folds through the SAME [[graft.functions.MgBuffer]]
+    * as the batch sketch — one code path.
+    *
+    * Sharding is the scale knob: items route by hash to `nShards`
+    * independent summaries (an item's full count lands in exactly one
+    * shard, and shardTotal ≤ total, so the per-shard undercount bound
+    * `shardTotal/(capacity+1)` is at most the global bound — every global
+    * heavy hitter above `total/capacity` is GUARANTEED to survive its
+    * shard, after any arrival order; the union of shard candidates is the
+    * superset the exact pass needs). State is O(nShards · capacity),
+    * independent of stream length and vocabulary size.
+    *
+    * `itemsExpr` must be an ARRAY column over `source`'s rows (wrap a
+    * scalar in `array(...)`); the watermark is applied on `tsCol` BEFORE
+    * the explode, so rows whose array is empty/null (e.g. null-text
+    * sentinels) still advance event time. Emission is timeout-driven
+    * (running-max deadline `maxEventTime + horizonSec`, the r11
+    * discipline); each shard emits once and clears.
+    */
+  def mgCandidatesStream(
+      source: DataFrame,
+      itemsExpr: org.apache.spark.sql.Column,
+      tsCol: String,
+      capacity: Int,
+      nShards: Int,
+      horizonSec: Long,
+      watermarkDelay: String = "0 seconds"): Dataset[MgCandidate] = {
+    require(capacity >= 1 && nShards >= 1)
+    import source.sparkSession.implicits._
+    val items = source
+      .withWatermark(tsCol, watermarkDelay)
+      .select(explode(itemsExpr).as("item"), col(tsCol))
+      .filter(col("item").isNotNull)
+      .select(col("item"),
+        pmod(xxhash64(col("item")), lit(nShards)).cast("int").as("shard"),
+        col(tsCol).cast("long").as("epochSec"),
+        col(tsCol)) // untouched attribute keeps the watermark defined
+      .as[MgEvent]
+    items
+      .groupByKey(_.shard)
+      .flatMapGroupsWithState[MgShardState, MgCandidate](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (shard: Int, rows: Iterator[MgEvent], state: GroupState[MgShardState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.toVector.flatMap { s =>
+              s.items.zip(s.counts).map { case (i, c) => MgCandidate(shard, i, c) }
+            }.sortBy(_.item)
+            state.remove()
+            out.iterator
+          } else {
+            // Restore: ≤ capacity resident entries re-add as plain inserts
+            // (every stored count is positive), so the buffer round-trips
+            // exactly through MgBuffer.add.
+            val buf = new graft.functions.MgBuffer(capacity)
+            state.getOption.foreach(s =>
+              s.items.zip(s.counts).foreach { case (i, c) => buf.add(i, c) })
+            val arrived = rows.toVector
+            arrived.foreach(e => buf.add(e.item, 1L))
+            val deadlineMs = math.max(
+              state.getOption.map(_.deadlineMs).getOrElse(0L),
+              arrived.iterator.map(_.epochSec).max * 1000L + horizonSec * 1000L + 1)
+            val entries = buf.counts.toVector
+            state.update(MgShardState(entries.map(_._1), entries.map(_._2), deadlineMs))
+            state.setTimeoutTimestamp(math.max(
+              deadlineMs, state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+  }
+
   /** One banded document in flight to a bucket (see [[simhashNearDup]]). */
   final case class BandedDoc(band: Int, bkey: Long, docId: Long, sig: Long, epochSec: Long)
 

@@ -554,6 +554,50 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming MG candidates: bounded per-shard state, every true heavy hitter survives") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{array, col}
+    implicit val sq = spark.sqlContext
+    val capacity = 3
+    // 40 distinct noise items (vocab ≫ capacity, so eviction genuinely
+    // runs) + two hot items crossing a micro-batch boundary.
+    val noise = (1 to 40).map(i => s"n$i")
+    val batch1 = Seq.fill(10)("hot") ++ noise.take(20)
+    val batch2 = Seq.fill(8)("warm") ++ noise.drop(20) ++ Seq.fill(5)("hot")
+    val input = MemoryStream[(Timestamp, String)]
+    val q = EventStreams.mgCandidatesStream(
+        input.toDF.toDF("tsm", "item"), array(col("item")), "tsm",
+        capacity = capacity, nShards = 2, horizonSec = 60L)
+      .writeStream.format("memory").queryName("mg_test").outputMode("append").start()
+    try {
+      input.addData(batch1.zipWithIndex.map { case (it, i) =>
+        (ts(f"2025-01-01 00:00:${i % 50}%02d"), it) }: _*)
+      q.processAllAvailable()
+      input.addData(batch2.zipWithIndex.map { case (it, i) =>
+        (ts(f"2025-01-01 00:01:${i % 50}%02d"), it) }: _*)
+      q.processAllAvailable()
+      // NULL-item sentinels (the doc replay's protocol): they advance the
+      // watermark through the pre-filter node but never enter a shard — a
+      // data-bearing key is invoked with hasTimedOut=false and would
+      // re-arm its deadline instead of emitting.
+      input.addData((ts("2025-01-01 12:00:00"), null))
+      q.processAllAvailable()
+      input.addData((ts("2025-01-02 12:00:00"), null))
+      q.processAllAvailable()
+      val out = spark.table("mg_test")
+        .as[(Int, String, Long)].collect()
+      val perShard = out.groupBy(_._1).view.mapValues(_.length)
+      assert(perShard.values.forall(_ <= capacity),
+        s"shard emitted more than capacity entries: $perShard")
+      val cands = out.map(_._2).toSet
+      // hot: 15/88 total > 88/(3+1) per its shard? The MG guarantee is
+      // per-shard: hot's 15 occurrences sit in one shard whose total is at
+      // most 88, so 15 > shardTotal/4 unless the shard held > 60 items —
+      // it cannot (≤ 40 noise + hot + warm rows route across 2 shards).
+      assert(cands.contains("hot"), s"true heavy hitter evicted: $cands")
+    } finally q.stop()
+  }
+
   test("streaming near-dup: cross-batch pairs equal the batch operator; re-delivery is ignored") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
