@@ -198,32 +198,45 @@ object AvroIo {
 
   // ------------------------------------------------------------------ read
 
-  /** Read an Avro directory: schema from the first file's HEADER on the
-    * driver, then partition-parallel decode of whole files through
-    * `binaryFile`.
+  /** Read an Avro directory: the READER schema comes from `readerSchema`
+    * if given, else the LAST file's header (name-sorted — in a lake laying
+    * files down over time the newest schema is the widest one), read on
+    * the driver (header only, a few KB). Decode is partition-parallel over
+    * whole files through `binaryFile`, with each file's own writer schema
+    * RESOLVED against the reader schema (standard Avro evolution: fields
+    * added since a file was written materialize as their null default;
+    * fields since dropped are skipped) — so a directory whose schema
+    * evolved across files reads under one consistent shape.
     */
-  def read(spark: SparkSession, path: String): DataFrame = {
-    val root = new HPath(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val first = fs.listStatus(root).map(_.getPath).filter(_.getName.endsWith(".avro"))
-      .sortBy(_.getName).headOption
-      .getOrElse(throw new IllegalArgumentException(s"no .avro files under $path"))
-    val in = fs.open(first)
-    val avroSchema =
+  def read(spark: SparkSession, path: String, readerSchema: Option[String] = None): DataFrame = {
+    val avroSchema = readerSchema.map(new Schema.Parser().parse(_)).getOrElse {
+      val root = new HPath(path)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val last = fs.listStatus(root).map(_.getPath).filter(_.getName.endsWith(".avro"))
+        .sortBy(_.getName).lastOption
+        .getOrElse(throw new IllegalArgumentException(s"no .avro files under $path"))
+      val in = fs.open(last)
       try {
         val s = new DataFileStream(in, new GenericDatumReader[GenericRecord]())
         try s.getSchema finally s.close()
       } finally in.close()
+    }
     val structType = toSparkType(avroSchema) match {
       case st: StructType => st
       case other => throw new IllegalArgumentException(s"top-level Avro schema is not a record: $other")
     }
+    val readerJson = avroSchema.toString
     val bin = spark.read.format("binaryFile").option("pathGlobFilter", "*.avro").load(path)
     val rows = bin.select("content").rdd.mapPartitions { files =>
+      val expected = new Schema.Parser().parse(readerJson)
       files.flatMap { row =>
         val bytes = row.getAs[Array[Byte]](0)
+        // (writer = null, reader = expected): DataFileReader installs each
+        // file's actual writer schema and avro resolves it against the
+        // expected shape.
         val rdr = new DataFileReader[GenericRecord](
-          new SeekableByteArrayInput(bytes), new GenericDatumReader[GenericRecord]())
+          new SeekableByteArrayInput(bytes),
+          new GenericDatumReader[GenericRecord](null, expected))
         new Iterator[Row] {
           def hasNext: Boolean = { val h = rdr.hasNext; if (!h) rdr.close(); h }
           def next(): Row = recordToRow(rdr.next(), structType)
@@ -270,10 +283,12 @@ object AvroIo {
 
 /** Avro registered as a [[SourceProvider]] next to csv/parquet/json/orc —
   * a reference user whose lake ships Avro objects points the same registry
-  * key at the same path contract.
+  * key at the same path contract. Option `avroSchema` (a schema JSON)
+  * overrides the header-derived reader schema, mirroring spark-avro's
+  * option of the same name.
   */
 object AvroSource extends SourceProvider {
   val name = "avro"
   def load(spark: SparkSession, path: String, options: Map[String, String]): DataFrame =
-    SchemaConform.lowercaseColumns(AvroIo.read(spark, path))
+    SchemaConform.lowercaseColumns(AvroIo.read(spark, path, options.get("avroSchema")))
 }

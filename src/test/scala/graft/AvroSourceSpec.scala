@@ -94,6 +94,38 @@ class AvroSourceSpec extends AnyFunSuite with SparkSpec {
     assert(AvroSource.name === "avro")
   }
 
+  test("schema evolution: old-schema files resolve against the newest reader schema") {
+    // File written yesterday with (id, name); file written today with
+    // (id, name, score). The reader schema comes from the LAST file
+    // (name-sorted = newest layout), and the old file's rows materialize
+    // score as its null default — standard Avro resolution.
+    val dir = tmp("evolve")
+    val oldDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L, "a")), 1),
+      StructType(Seq(StructField("id", LongType), StructField("name", StringType))))
+    val newDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(2L, "b", 0.5)), 1),
+      StructType(Seq(StructField("id", LongType), StructField("name", StringType),
+        StructField("score", DoubleType))))
+    AvroIo.write(oldDf, dir)
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(dir, "part-00000.avro"),
+      java.nio.file.Paths.get(dir, "part-00000-v1.avro"))
+    AvroIo.write(newDf, dir) // writes part-00000.avro -> sorts after -v1? no:
+    // "part-00000-v1.avro" < "part-00000.avro" lexicographically ('-' < '.'),
+    // so the v2 file IS last and provides the reader schema.
+    val back = AvroIo.read(spark, dir)
+    assert(back.columns.toSeq === Seq("id", "name", "score"))
+    val rows = back.collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).isNullAt(2), "missing field must resolve to its null default")
+    assert(rows(2L).getDouble(2) === 0.5)
+    // Explicit reader schema narrows BOTH files to the old shape.
+    val narrowed = AvroIo.read(spark, dir,
+      Some(AvroIo.toAvroSchema(oldDf.schema, "graft_row").toString))
+    assert(narrowed.columns.toSeq === Seq("id", "name"))
+    assert(narrowed.count() === 2)
+  }
+
   test("empty partitions write no file; read of the rest is complete") {
     import spark.implicits._
     // 2 rows into 8 partitions: at least 6 partitions are empty and must
