@@ -39,7 +39,10 @@ class JdbcSourceDerbySpec extends AnyFunSuite with SparkSpec with BeforeAndAfter
     (1 to 20).foreach { i =>
       st.executeUpdate(s"INSERT INTO Src_Events VALUES ($i, 'user_$i', ${i * 1.5})")
     }
-    st.executeUpdate("CREATE TABLE Sink_Target (Event_Id INT PRIMARY KEY, User_Name VARCHAR(32))")
+    // The sink emits EXACT double-quoted identifiers (r13: UpsertSqlGen
+    // quoting), so its target table is created with the exact names the
+    // upsert will address — the contract a mixed-case lake table needs.
+    st.executeUpdate("""CREATE TABLE "Sink_Target" ("event_id" INT PRIMARY KEY, "user_name" VARCHAR(32))""")
     st.close(); c.close()
   }
 
@@ -79,7 +82,7 @@ class JdbcSourceDerbySpec extends AnyFunSuite with SparkSpec with BeforeAndAfter
     // land the other 20 rows and reject exactly that one, on real JDBC
     // savepoints rather than the unit suite's stateful fake.
     val pre = DriverManager.getConnection(url)
-    pre.createStatement().executeUpdate("INSERT INTO Sink_Target VALUES (13, 'occupied')")
+    pre.createStatement().executeUpdate("""INSERT INTO "Sink_Target" VALUES (13, 'occupied')""")
     pre.close()
     val df = (1 to 21).toDF("event_id")
       .selectExpr("event_id", "concat('w_', event_id) AS user_name")
@@ -91,7 +94,9 @@ class JdbcSourceDerbySpec extends AnyFunSuite with SparkSpec with BeforeAndAfter
     assert(stats.rejected == 1)
     assert(stats.errors.exists(_.toLowerCase.contains("duplicate key")
       || stats.errors.exists(_.contains("23505"))))
-    val back = SourceRegistry("jdbc").load(spark, "Sink_Target", jdbcOpts())
+    // Exact-case table through Spark's JDBC relation needs the quoted form
+    // in dbtable (unquoted, Derby would fold it to SINK_TARGET).
+    val back = SourceRegistry("jdbc").load(spark, "\"Sink_Target\"", jdbcOpts())
     assert(back.count() == 21) // 20 landed + the pre-seeded occupant
     assert(back.filter("event_id = 13").head().getString(1) == "occupied")
   }
