@@ -537,20 +537,54 @@ object RelationalQueries extends QueryDomain {
       // and deletes (% 7) applied to the customer table — the Delta-style
       // MERGE with DELETE the reference's insert/update loader cannot
       // express. Keys divisible by 35 receive an update THEN a delete;
-      // last-op-wins must drop them.
+      // last-op-wins must drop them. (Change construction shared with the
+      // streaming twin q_stream_cdc.)
       val c = t(s, dir, "customer")
         .select($"c_custkey", $"c_name", $"c_nationkey", $"c_acctbal")
-      val changes = c.filter($"c_custkey" % 5 === 0)
-        .withColumn("c_acctbal", $"c_acctbal" + lit(100.0))
-        .withColumn("op", lit("u")).withColumn("ord", lit(1))
-        .unionByName(c.filter($"c_custkey" % 11 === 0)
-          .withColumn("c_custkey", $"c_custkey" + 1000000L)
-          .withColumn("op", lit("u")).withColumn("ord", lit(2)))
-        .unionByName(c.filter($"c_custkey" % 7 === 0)
-          .withColumn("op", lit("d")).withColumn("ord", lit(3)))
       orderedSmall(
-        MergeOps.applyChanges(c, changes, Seq("c_custkey"), Seq($"ord")),
+        MergeOps.applyChanges(c, cdcChangeBatch(s, dir), Seq("c_custkey"), Seq($"ord")),
         $"c_custkey")
+    },
+
+    "q_stream_cdc" -> { (s, dir) =>
+      import s.implicits._
+      // Streaming CDC materialization
+      // ([[graft.streaming.EventStreams.cdcMaterialize]], the 14th
+      // streaming gate): the SAME change batch as q_cdc_apply replayed as
+      // three micro-batches in CDC arrival order (updates, inserts,
+      // deletes — so a %35 key's update-then-delete transitions keyed
+      // state ACROSS batches), materialized last-write-wins per key with
+      // horizon emission driven by two null-op sentinel files; the
+      // surviving delta overlays the untouched target rows by anti-join.
+      // Output — and oracle — identical to q_cdc_apply.
+      val staged = streamCdcDir(s, dir)
+      val ss = Staging.streamSession(s)
+      val schema = ss.read.parquet(s"$staged/a_upd.parquet").schema
+      val src = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+        .withColumn("tsm", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("tsm", "0 seconds")
+        // No op-filter here: the null-op sentinels ride into the operator
+        // as watermark carriers (a pre-filter would be pushed below the
+        // watermark node — see cdcMaterialize's scaladoc). Carrier rows
+        // get encoder-safe key/ord and a null payload struct.
+        .select(coalesce($"c_custkey", lit(-1L)).as("key"),
+          coalesce($"ord".cast("long"), lit(0L)).as("ord"), $"op",
+          when($"op".isNotNull,
+            struct($"c_custkey", $"c_name", $"c_nationkey", $"c_acctbal")).as("payload"),
+          $"tsm".cast("long").as("epochSec"), $"tsm")
+        .as[graft.streaming.EventStreams.CdcEvent[CdcCustomer]]
+      val sink = Staging.nextStreamSink(ss)
+      val q = graft.streaming.EventStreams
+        .cdcMaterialize(src, horizonSec = 3600L)
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      val c = t(ss, dir, "customer")
+        .select($"c_custkey", $"c_name", $"c_nationkey", $"c_acctbal")
+      val untouched = c.join(
+        cdcChangeBatch(ss, dir).select($"c_custkey").distinct(), Seq("c_custkey"), "left_anti")
+      orderedSmall(ss.table(sink).unionByName(untouched), $"c_custkey")
     },
 
     "q_scd2" -> { (s, dir) =>
@@ -629,6 +663,85 @@ object RelationalQueries extends QueryDomain {
         .withColumn("l_extendedprice", $"l_extendedprice".cast("string"))
     }
   )
+
+  /** Shared by q_cdc_apply AND q_stream_cdc: last-write-wins application of
+    * the [[cdcChangeBatch]] over customer.
+    */
+  private val cdcApplyOracle =
+    """WITH chg AS (
+      |  SELECT c_custkey, c_name, c_nationkey,
+      |    c_acctbal + CAST(100 AS DOUBLE) AS c_acctbal, 'u' AS op, 1 AS ord
+      |  FROM customer WHERE c_custkey % 5 = 0
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal, 'u', 2
+      |  FROM customer WHERE c_custkey % 11 = 0
+      |  UNION ALL
+      |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, 'd', 3
+      |  FROM customer WHERE c_custkey % 7 = 0),
+      |last AS (
+      |  SELECT * FROM chg
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY ord DESC) = 1)
+      |SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM last WHERE op = 'u'
+      |UNION ALL
+      |SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM customer t
+      |WHERE NOT EXISTS (SELECT 1 FROM chg s WHERE s.c_custkey = t.c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Payload row type for the streaming CDC twin (encoder-derivable). */
+  final case class CdcCustomer(
+      c_custkey: Long, c_name: String, c_nationkey: Int, c_acctbal: Double)
+
+  /** The CDC change batch both q_cdc_apply and q_stream_cdc apply: updates
+    * (%5, +100 balance, ord 1), inserts (%11, key+1e6, ord 2), deletes
+    * (%7, ord 3) — one construction, no twin to drift.
+    */
+  private def cdcChangeBatch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = t(s, dir, "customer")
+      .select($"c_custkey", $"c_name", $"c_nationkey", $"c_acctbal")
+    c.filter($"c_custkey" % 5 === 0)
+      .withColumn("c_acctbal", $"c_acctbal" + lit(100.0))
+      .withColumn("op", lit("u")).withColumn("ord", lit(1))
+      .unionByName(c.filter($"c_custkey" % 11 === 0)
+        .withColumn("c_custkey", $"c_custkey" + 1000000L)
+        .withColumn("op", lit("u")).withColumn("ord", lit(2)))
+      .unionByName(c.filter($"c_custkey" % 7 === 0)
+        .withColumn("op", lit("d")).withColumn("ord", lit(3)))
+  }
+
+  /** CDC replay for q_stream_cdc: the change batch split into three files
+    * by op wave (ord), event time `ts` = (1.7e9 + 60·ord) s as nanosecond
+    * BIGINT, plus two far-future null-op sentinel files (they advance the
+    * watermark through the pre-filter node and vanish in the op filter) —
+    * the [[Staging.streamDocsDir]] sentinel protocol.
+    */
+  private def streamCdcDir(s: SparkSession, dir: String): String =
+    Staging.dir("streamcdc", dir, "customer") { p =>
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(p))
+      val ch = cdcChangeBatch(s, dir)
+        .withColumn("ts", ((lit(1700000000L) + col("ord") * 60L) * 1000000000L).cast("long"))
+      val now = System.currentTimeMillis()
+      val monthNs = 30L * 86400 * 1000000000L
+      def sentinel(tsv: Long): DataFrame = {
+        val cols = ch.schema.fields.map { f =>
+          if (f.name == "ts") lit(tsv).cast(f.dataType).as(f.name)
+          else lit(null).cast(f.dataType).as(f.name)
+        }
+        s.range(1).select(cols.toIndexedSeq: _*)
+      }
+      val maxTs = 1700000000L * 1000000000L + 3L * 60 * 1000000000L
+      Seq(
+        "a_upd.parquet" -> ch.filter(col("ord") === 1),
+        "b_ins.parquet" -> ch.filter(col("ord") === 2),
+        "c_del.parquet" -> ch.filter(col("ord") === 3),
+        "d_sentinel.parquet" -> sentinel(maxTs + 10 * monthNs),
+        "e_sentinel.parquet" -> sentinel(maxTs + 20 * monthNs)
+      ).zipWithIndex.foreach { case ((name, df), i) =>
+        Staging.writeOneParquet(df, p, name)
+        java.nio.file.Paths.get(p, name).toFile.setLastModified(now - 50000 + i * 10000L)
+        ()
+      }
+    }
 
   private val discPrice =
     "CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(1 - l_discount AS DECIMAL(8,4))"
@@ -991,25 +1104,11 @@ object RelationalQueries extends QueryDomain {
         |  WHERE s.l_orderkey = t.l_orderkey AND s.l_linenumber = t.l_linenumber)
         |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin,
 
-    "q_cdc_apply" ->
-      """WITH chg AS (
-        |  SELECT c_custkey, c_name, c_nationkey,
-        |    c_acctbal + CAST(100 AS DOUBLE) AS c_acctbal, 'u' AS op, 1 AS ord
-        |  FROM customer WHERE c_custkey % 5 = 0
-        |  UNION ALL
-        |  SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal, 'u', 2
-        |  FROM customer WHERE c_custkey % 11 = 0
-        |  UNION ALL
-        |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, 'd', 3
-        |  FROM customer WHERE c_custkey % 7 = 0),
-        |last AS (
-        |  SELECT * FROM chg
-        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY ord DESC) = 1)
-        |SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM last WHERE op = 'u'
-        |UNION ALL
-        |SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM customer t
-        |WHERE NOT EXISTS (SELECT 1 FROM chg s WHERE s.c_custkey = t.c_custkey)
-        |ORDER BY c_custkey""".stripMargin,
+    "q_cdc_apply" -> cdcApplyOracle,
+
+    // The streaming twin materializes the same change batch through keyed
+    // state and overlays the same untouched rows — identical answer.
+    "q_stream_cdc" -> cdcApplyOracle,
 
     "q_scd2" ->
       """WITH c AS (

@@ -182,6 +182,25 @@ private[queries] object Staging {
         .foreach { case (n, t) => Paths.get(p, n).toFile.setLastModified(t); () }
     }
 
+  /** Write `df` as ONE parquet file named `name` directly under `destDir`
+    * (Spark writes to a side dir; only the part file moves in — _SUCCESS/
+    * .crc artifacts would corrupt filesInDir-based micro-batch packing).
+    */
+  private[queries] def writeOneParquet(
+      df: org.apache.spark.sql.DataFrame, destDir: String, name: String): Unit = {
+    val tmp = s"${destDir}_stage_$name"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = Option(new java.io.File(tmp).listFiles()).toSeq.flatten
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .getOrElse(sys.error(s"no part file written under $tmp"))
+    Files.move(part.toPath, Paths.get(destDir, name),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(tmp))
+  }
+
   /** A single NULL-text sentinel row for the documents replay (see
     * [[streamDocsDir]]), written directly with parquet-java.
     */

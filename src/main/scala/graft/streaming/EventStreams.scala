@@ -396,6 +396,84 @@ object EventStreams {
       }
   }
 
+  /** One CDC change in flight (see [[cdcMaterialize]]): `op` is 'u'
+    * (upsert) or 'd' (delete), `ord` the per-key total order, `payload`
+    * the full row to materialize.
+    */
+  final case class CdcEvent[P](key: Long, ord: Long, op: String, payload: P, epochSec: Long)
+
+  /** Per-key winner so far plus the running-max emission deadline. */
+  final case class CdcKeep[P](ord: Long, op: String, payload: P, deadlineMs: Long)
+
+  /** Streaming CDC materialization — the stream twin of
+    * [[graft.operators.MergeOps.applyChanges]]'s delta half: maintain, per
+    * key, the highest-`ord` change seen (Debezium-style last-write-wins;
+    * `ord` must totally order each key's changes, same contract as the
+    * batch `lastWriteWins`), and when the watermark passes the horizon emit
+    * the surviving payload for keys whose final op is 'u' — deleted keys
+    * emit nothing. Overlaying the emitted delta on the unchanged target
+    * rows (a batch anti-join) reproduces `applyChanges` exactly; that
+    * composition is what the `q_stream_cdc` gate runs against the shared
+    * oracle.
+    *
+    * Generic in the payload row type `P` (any case class): the state
+    * encoder derives from `P`'s. State is O(1) per touched key — the
+    * winner, never the history — so executor memory is bounded by
+    * horizon key-cardinality, not change volume. Unknown ops fail the
+    * query loudly (the batch operator's `raise_error` contract).
+    *
+    * NULL-op rows are WATERMARK CARRIERS: ignored by the fold (no state,
+    * no deadline), they exist so a replay's far-future sentinels can drive
+    * the horizon emission. They are handled HERE rather than by a caller
+    * `filter(op.isNotNull)` because such a filter does not reference the
+    * event-time column, so the optimizer pushes it BELOW the
+    * EventTimeWatermark node and the sentinels silently stop advancing the
+    * watermark (observed: zero emission, wm frozen at the last data batch).
+    * Callers must make carrier rows encoder-safe: non-null key/ord (any
+    * value) and a NULL payload struct (`when(op.isNotNull, struct(...))`).
+    */
+  def cdcMaterialize[P <: Product : scala.reflect.runtime.universe.TypeTag](
+      changes: Dataset[CdcEvent[P]], horizonSec: Long): Dataset[P] = {
+    import org.apache.spark.sql.{Encoder, Encoders}
+    implicit val keepEnc: Encoder[CdcKeep[P]] = Encoders.product[CdcKeep[P]]
+    implicit val outEnc: Encoder[P] = Encoders.product[P]
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    changes
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[CdcKeep[P], P](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: Long, rows: Iterator[CdcEvent[P]], state: GroupState[CdcKeep[P]]) =>
+          if (state.hasTimedOut) {
+            val keep = state.get
+            state.remove()
+            if (keep.op == "u") Iterator.single(keep.payload) else Iterator.empty
+          } else {
+            var cur = state.getOption
+            var maxMs = 0L
+            rows.foreach { e =>
+              if (e.op != null) { // null op = watermark carrier, see scaladoc
+                require(e.op == "u" || e.op == "d",
+                  s"cdcMaterialize: unknown op '${e.op}' (expected 'u' or 'd')")
+                maxMs = math.max(maxMs, e.epochSec * 1000L)
+                // >=, not >: among equal ords the later ARRIVAL wins, the
+                // same arbitrary-tie posture as the batch row_number desc.
+                if (cur.forall(_.ord <= e.ord))
+                  cur = Some(CdcKeep(e.ord, e.op, e.payload, 0L))
+              }
+            }
+            cur.foreach { winner =>
+              val deadlineMs = math.max(
+                state.getOption.map(_.deadlineMs).getOrElse(0L),
+                maxMs + horizonSec * 1000L + 1)
+              state.update(winner.copy(deadlineMs = deadlineMs))
+              state.setTimeoutTimestamp(math.max(
+                deadlineMs, state.getCurrentWatermarkMs() + 1))
+            }
+            Iterator.empty
+          }
+      }
+  }
+
   /** One item routed to an MG shard (see [[mgCandidatesStream]]). */
   final case class MgEvent(item: String, shard: Int, epochSec: Long)
 

@@ -554,6 +554,49 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming CDC materialization: last-write-wins across batches, deletes drop, revival works") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, Long, String, String)]
+    val src = input.toDF.toDF("tsm", "key", "ord", "op", "v")
+      .withWatermark("tsm", "0 seconds")
+      // no op-filter: null-op rows are watermark carriers (a filter here
+      // would be pushed below the watermark node — cdcMaterialize scaladoc)
+      .select($"key", $"ord", $"op",
+        when($"op".isNotNull, struct($"key", $"v")).as("payload"),
+        $"tsm".cast("long").as("epochSec"), $"tsm")
+      .as[EventStreams.CdcEvent[(Long, String)]]
+    val q = EventStreams.cdcMaterialize(src, horizonSec = 60L)
+      .writeStream.format("memory").queryName("cdc_test").outputMode("append").start()
+    try {
+      // Batch 1: upserts for keys 1, 2, 3 (+ an out-of-order ord for 1).
+      input.addData(
+        (ts("2025-01-01 00:00:01"), 1L, 10L, "u", "one_a"),
+        (ts("2025-01-01 00:00:02"), 2L, 10L, "u", "two_a"),
+        (ts("2025-01-01 00:00:03"), 3L, 10L, "u", "three"))
+      q.processAllAvailable()
+      // Batch 2: key 1 updated (higher ord), key 2 deleted, key 3 receives
+      // a LOWER-ord straggler that must NOT override, key 4 delete-then-
+      // revive in one batch (ord decides).
+      input.addData(
+        (ts("2025-01-01 00:00:11"), 1L, 20L, "u", "one_b"),
+        (ts("2025-01-01 00:00:12"), 2L, 20L, "d", "two_b"),
+        (ts("2025-01-01 00:00:13"), 3L, 5L, "u", "stale"),
+        (ts("2025-01-01 00:00:14"), 4L, 10L, "d", "dead"),
+        (ts("2025-01-01 00:00:15"), 4L, 20L, "u", "revived"))
+      q.processAllAvailable()
+      // Null-op sentinels advance the watermark past every deadline.
+      input.addData((ts("2025-01-01 06:00:00"), -1L, 0L, null, null))
+      q.processAllAvailable()
+      input.addData((ts("2025-01-02 06:00:00"), -1L, 0L, null, null))
+      q.processAllAvailable()
+      val out = spark.table("cdc_test").as[(Long, String)].collect().toMap
+      assert(out === Map(1L -> "one_b", 3L -> "three", 4L -> "revived"),
+        s"got $out")
+    } finally q.stop()
+  }
+
   test("streaming MG candidates: bounded per-shard state, every true heavy hitter survives") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{array, col}
