@@ -126,6 +126,55 @@ class AvroSourceSpec extends AnyFunSuite with SparkSpec {
     assert(narrowed.count() === 2)
   }
 
+  test("randomized round-trip property: 200 rows of mixed nullable values survive bit-exact") {
+    // Seeded-random depth beyond the hand-picked matrix: random nulls at
+    // every level (top-level fields, array ELEMENTS, map values), random
+    // sizes, negative/extreme numerics, multi-byte strings.
+    val rng = new scala.util.Random(20260814)
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("l", LongType),
+      StructField("d", DoubleType),
+      StructField("s", StringType),
+      StructField("bin", BinaryType),
+      StructField("arr", ArrayType(LongType)),
+      StructField("m", MapType(StringType, DoubleType))))
+    def nOr[T](v: => T): Any = if (rng.nextInt(4) == 0) null else v
+    def str(): String = {
+      val pool = "aé∑b✓c ß0"
+      (0 until rng.nextInt(12)).map(_ => pool(rng.nextInt(pool.length))).mkString
+    }
+    val rows = (0 until 200).map { i =>
+      Row(i.toLong,
+        nOr(rng.nextLong()),
+        nOr(java.lang.Double.longBitsToDouble(rng.nextLong()) match {
+          case d if d.isNaN => 1.25e300 // NaN != NaN breaks equality asserts
+          case d => d
+        }),
+        nOr(str()),
+        nOr(Array.fill(rng.nextInt(16))(rng.nextInt().toByte)),
+        nOr(Seq.fill(rng.nextInt(6))(nOr(rng.nextLong()).asInstanceOf[Any])),
+        nOr((0 until rng.nextInt(4)).map(k => s"k$k" -> nOr(rng.nextDouble())).toMap))
+    }
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 3),
+      schema)
+    val dir = tmp("prop")
+    AvroIo.write(df, dir)
+    val back = AvroIo.read(spark, dir).collect().map(r => r.getLong(0) -> r).toMap
+    rows.foreach { expect =>
+      val got = back(expect.getLong(0))
+      (1 until schema.length).foreach { i =>
+        val (e, g) = (expect.get(i), got.get(i))
+        (e, g) match {
+          case (eb: Array[Byte], gb: Array[Byte]) => assert(eb.toSeq === gb.toSeq)
+          case (es: Seq[_], gs: Seq[_]) => assert(es === gs, s"row ${expect.getLong(0)} field $i")
+          case _ => assert(e === g, s"row ${expect.getLong(0)} field $i")
+        }
+      }
+    }
+  }
+
   test("empty partitions write no file; read of the rest is complete") {
     import spark.implicits._
     // 2 rows into 8 partitions: at least 6 partitions are empty and must
