@@ -595,6 +595,37 @@ object VectorOps {
   def loadIvfIndex(spark: org.apache.spark.sql.SparkSession, name: String): LoadedIvfIndex =
     LoadedIvfIndex(spark.table(s"${name}_members"), spark.table(s"${name}_centroids"))
 
+  /** Incremental IVF maintenance — the daily-ingest path: assign NEW
+    * vectors against the index's OWN persisted centroids (no recluster, no
+    * touch of existing members) and append them to the bucketed
+    * inverted-list table under the SAME bucket spec (Spark validates the
+    * spec on append), so the probe-side co-location survives the append.
+    * The index state afterwards is IDENTICAL to a full [[saveIvfIndex]]
+    * over (old ∪ new) with those centroids — the equality the
+    * `q_ivf_append` gate pins against the same oracle as `q_ann_ivf`.
+    *
+    * Scale posture: cost is O(|new|) assignment (the compiled zero-shuffle
+    * fold) plus one bucketed write of the new rows; a growing corpus never
+    * rebuilds or rewrites its index. Standard caveat (FAISS shares it):
+    * centroids drift as the corpus grows — recluster when probe recall
+    * degrades, which is a full [[saveIvfIndex]].
+    */
+  def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      newData: DataFrame, idCol: String, vecCol: String,
+      name: String, buckets: Int = 32): Unit = {
+    val centroids = spark.table(s"${name}_centroids")
+      .select(col("cluster_id").as(idCol), col("cvec").as(vecCol))
+    val members = assignWithVec(newData, centroids, idCol, vecCol)
+      .filter(col("cluster_id").isNotNull)
+      .select(col("id").as("neighbor_id"), col("vec").as("dvec"),
+        col("vnn").as("dnn"), col("cluster_id"))
+    members.write
+      .bucketBy(buckets, "cluster_id")
+      .sortBy("cluster_id")
+      .mode("append")
+      .saveAsTable(s"${name}_members")
+  }
+
   /** [[ivfSearch]] over a [[loadIvfIndex]]-loaded index — same probe-and-rank
     * stage, but members come straight off the bucketed inverted-list table:
     * no join back to the raw vectors, no re-assignment, no shuffle of the

@@ -1937,6 +1937,34 @@ object PipelineQueries extends QueryDomain {
         .orderBy($"query_id", $"rnk")
     },
 
+    "q_ivf_append" -> { (s, dir) =>
+      import s.implicits._
+      // Incremental IVF index maintenance ([[VectorOps.appendToIvfIndex]]):
+      // the index is BUILT on the even vec_ids and the odd half arrives
+      // later as an append (assigned with the persisted centroids, bucketed
+      // append under the same spec — never a rebuild). Probing the loaded
+      // index must equal q_ann_ivf's search over the whole table with the
+      // same centroids — the same oracle gates both. Build+append stage
+      // once per (sf, JVM) ([[Staging.memo]]): a second append would
+      // duplicate members, and bench reps must measure the PROBE, not the
+      // build.
+      val e = t(s, dir, "embeddings")
+      val name = Staging.memo[String]("ivfappend", dir) {
+        val nm = "graft_ivf_append_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+        val centroids = e.filter($"vec_id" < 10)
+        VectorOps.saveIvfIndex(e.filter($"vec_id" % 2 === 0), centroids,
+          "vec_id", "embedding", nm, buckets = 8)
+        VectorOps.appendToIvfIndex(s, e.filter($"vec_id" % 2 === 1),
+          "vec_id", "embedding", nm, buckets = 8)
+        nm
+      }
+      VectorOps.ivfSearchLoaded(VectorOps.loadIvfIndex(s, name),
+          e.filter($"vec_id".between(100, 109)), "vec_id", "embedding",
+          k = 3, nProbe = 2)
+        .select($"query_id", $"rank".cast("int").as("rnk"), $"neighbor_id", $"cos")
+        .orderBy($"query_id", $"rnk")
+    },
+
     "q_pq_topk" -> { (s, dir) =>
       import s.implicits._
       // Product-quantization MIPS top-k ([[VectorOps.pqEncode]] +
@@ -2099,6 +2127,35 @@ object PipelineQueries extends QueryDomain {
        |FROM t a JOIN t b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.s, b.s)) <= 3
        |ORDER BY doc_i, doc_j""".stripMargin
+
+  /** Shared by q_ann_ivf AND q_ivf_append: probe-and-rank over the
+    * fixed centroid set — the appended index state equals the
+    * built-at-once state, so one SQL gates both.
+    */
+  private lazy val annIvfOracle =
+    s"""WITH $embCte,
+         |cen AS (SELECT vec_id AS cid, e, nn FROM n WHERE vec_id < 10),
+         |asg AS (SELECT vec_id, cluster_id FROM (
+         |  SELECT d.vec_id, c.cid AS cluster_id,
+         |    ROW_NUMBER() OVER (PARTITION BY d.vec_id
+         |      ORDER BY ${duckDot("d.e", "c.e")} / sqrt(d.nn * c.nn) DESC, c.cid) AS rn
+         |  FROM n d CROSS JOIN cen c) WHERE rn = 1),
+         |q AS (SELECT vec_id AS qid, e, nn FROM n WHERE vec_id BETWEEN 100 AND 109),
+         |probes AS (SELECT qid, cluster_id FROM (
+         |  SELECT q.qid, c.cid AS cluster_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q.qid
+         |      ORDER BY ${duckDot("q.e", "c.e")} / sqrt(q.nn * c.nn) DESC, c.cid) AS rn
+         |  FROM q CROSS JOIN cen c) WHERE rn <= 2),
+         |cand AS (SELECT p.qid, a.vec_id AS nid
+         |  FROM probes p JOIN asg a ON a.cluster_id = p.cluster_id
+         |  WHERE a.vec_id <> p.qid)
+         |SELECT qid AS query_id, CAST(rnk AS INT) AS rnk, nid AS neighbor_id, cos FROM (
+         |  SELECT cand.qid, cand.nid,
+         |    ${duckDot("q.e", "d.e")} / sqrt(q.nn * d.nn) AS cos,
+         |    ROW_NUMBER() OVER (PARTITION BY cand.qid
+         |      ORDER BY ${duckDot("q.e", "d.e")} / sqrt(q.nn * d.nn) DESC, cand.nid) AS rnk
+         |  FROM cand JOIN n q ON q.vec_id = cand.qid JOIN n d ON d.vec_id = cand.nid)
+         |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
 
   /** Shared by q_heavy_hitters AND q_stream_topk: the exact GROUP BY +
     * HAVING over word bigrams both two-pass pipelines equal.
@@ -3703,32 +3760,13 @@ object PipelineQueries extends QueryDomain {
          |  FROM f)
          |WHERE rrf_rank <= 10 ORDER BY rrf_rank""".stripMargin,
 
-    "q_ann_ivf" ->
-      s"""WITH $embCte,
-         |cen AS (SELECT vec_id AS cid, e, nn FROM n WHERE vec_id < 10),
-         |asg AS (SELECT vec_id, cluster_id FROM (
-         |  SELECT d.vec_id, c.cid AS cluster_id,
-         |    ROW_NUMBER() OVER (PARTITION BY d.vec_id
-         |      ORDER BY ${duckDot("d.e", "c.e")} / sqrt(d.nn * c.nn) DESC, c.cid) AS rn
-         |  FROM n d CROSS JOIN cen c) WHERE rn = 1),
-         |q AS (SELECT vec_id AS qid, e, nn FROM n WHERE vec_id BETWEEN 100 AND 109),
-         |probes AS (SELECT qid, cluster_id FROM (
-         |  SELECT q.qid, c.cid AS cluster_id,
-         |    ROW_NUMBER() OVER (PARTITION BY q.qid
-         |      ORDER BY ${duckDot("q.e", "c.e")} / sqrt(q.nn * c.nn) DESC, c.cid) AS rn
-         |  FROM q CROSS JOIN cen c) WHERE rn <= 2),
-         |cand AS (SELECT p.qid, a.vec_id AS nid
-         |  FROM probes p JOIN asg a ON a.cluster_id = p.cluster_id
-         |  WHERE a.vec_id <> p.qid)
-         |SELECT qid AS query_id, CAST(rnk AS INT) AS rnk, nid AS neighbor_id, cos FROM (
-         |  SELECT cand.qid, cand.nid,
-         |    ${duckDot("q.e", "d.e")} / sqrt(q.nn * d.nn) AS cos,
-         |    ROW_NUMBER() OVER (PARTITION BY cand.qid
-         |      ORDER BY ${duckDot("q.e", "d.e")} / sqrt(q.nn * d.nn) DESC, cand.nid) AS rnk
-         |  FROM cand JOIN n q ON q.vec_id = cand.qid JOIN n d ON d.vec_id = cand.nid)
-         |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+    "q_ann_ivf" -> annIvfOracle,
 
-    // Parallel unnests zip in DuckDB's SELECT list; range(0, len) matches
+    // Built-then-appended index state == built-at-once state with the same
+    // centroids, so the probe answers — and the oracle — are identical.
+    "q_ivf_append" -> annIvfOracle,
+
+        // Parallel unnests zip in DuckDB's SELECT list; range(0, len) matches
     // posexplode's 0-based pos. The unit quantization mirrors
     // groupCentroids bit for bit: ⌊v·10⁸ + 0.5⌋ is a fixed IEEE chain
     // (exact float→double widening, one rounded multiply, one rounded add,

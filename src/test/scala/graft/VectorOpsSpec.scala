@@ -164,6 +164,49 @@ class VectorOpsSpec extends AnyFunSuite with SparkSpec {
     } finally cleanup()
   }
 
+  test("IVF append: built-then-appended index == built-at-once, bucketed scan survives") {
+    def cleanup(): Unit = Seq("ivf_ap_members", "ivf_ap_centroids").foreach { tbl =>
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(s"spark-warehouse/$tbl"))
+    }
+    cleanup()
+    try {
+      val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      val centroids = e.filter($"vec_id" < 10)
+      val queries = e.filter($"vec_id".between(100, 109))
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+
+      // Build on evens; the odd half arrives later as an append.
+      VectorOps.saveIvfIndex(e.filter($"vec_id" % 2 === 0), centroids,
+        "vec_id", "embedding", "ivf_ap", buckets = 4)
+      VectorOps.appendToIvfIndex(spark, e.filter($"vec_id" % 2 === 1),
+        "vec_id", "embedding", "ivf_ap", buckets = 4)
+      val appended = VectorOps.ivfSearchLoaded(VectorOps.loadIvfIndex(spark, "ivf_ap"),
+        queries, "vec_id", "embedding", k = 3, nProbe = 2)
+
+      val atOnce = rows(VectorOps.ivfSearch(
+        VectorOps.ivfAssign(e, centroids, "vec_id", "embedding"),
+        e, queries, "vec_id", "embedding", k = 3, nProbe = 2))
+      assert(rows(appended) === atOnce)
+      assert(atOnce.nonEmpty)
+      // Appended files join the same bucket layout: still a bucketed scan,
+      // still no member-side shuffle.
+      val p = appended.queryExecution.executedPlan.toString
+      assert(p.contains("SelectedBucketsCount"), s"members must stay a bucketed scan:\n$p")
+      assert(!p.contains("Exchange hashpartitioning(cluster_id"),
+        s"member side must not shuffle on cluster_id:\n$p")
+      // A mismatched bucket spec on append must fail loudly, not corrupt.
+      intercept[Exception] {
+        VectorOps.appendToIvfIndex(spark, e.filter($"vec_id" === 1),
+          "vec_id", "embedding", "ivf_ap", buckets = 8)
+      }
+    } finally cleanup()
+  }
+
   test("srpNearDupPairs ≡ brute-force hamming scan on fixture embeddings (pigeonhole)") {
     import org.apache.spark.sql.functions._
     val e = spark.read.parquet(s"$sf0001/embeddings.parquet").limit(200)
