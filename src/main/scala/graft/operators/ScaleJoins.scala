@@ -36,7 +36,24 @@ object ScaleJoins {
     * `saveAsTable`'s own handling rather than guessing at a delete.
     */
   def writeBucketed(df: DataFrame, table: String, cols: Seq[String], n: Int): Unit = {
-    val spark = df.sparkSession
+    dropOrphanManagedDir(df.sparkSession, table)
+    df.write
+      .bucketBy(n, cols.head, cols.tail: _*)
+      .sortBy(cols.head, cols.tail: _*)
+      .mode("overwrite")
+      .saveAsTable(table)
+  }
+
+  /** The orphan-location cleanup [[writeBucketed]]'s scaladoc describes,
+    * shared with every other managed-table overwrite writer (e.g. the IVF
+    * index's centroids table — r13: a stale warehouse dir from a previous
+    * JVM failed its fresh-catalog `saveAsTable` with
+    * LOCATION_ALREADY_EXISTS). Same narrow eligibility: unqualified name,
+    * `file:` warehouse, no catalog entry, plain directory directly under
+    * the warehouse root.
+    */
+  private[operators] def dropOrphanManagedDir(
+      spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
     val whUri = spark.conf.get("spark.sql.warehouse.dir")
     val isLocalFs = !whUri.contains("://") || whUri.startsWith("file:")
     if (!table.contains(".") && isLocalFs && !spark.catalog.tableExists(table)) {
@@ -52,11 +69,6 @@ object ScaleJoins {
         rm(loc)
       }
     }
-    df.write
-      .bucketBy(n, cols.head, cols.tail: _*)
-      .sortBy(cols.head, cols.tail: _*)
-      .mode("overwrite")
-      .saveAsTable(table)
   }
 
   /** Morton (Z-order) value of two non-negative integer columns: bit `b` of

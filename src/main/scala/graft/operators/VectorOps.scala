@@ -588,6 +588,10 @@ object VectorOps {
       .select(col("id").as("neighbor_id"), col("vec").as("dvec"),
         col("vnn").as("dnn"), col("cluster_id"))
     ScaleJoins.writeBucketed(members, s"${name}_members", Seq("cluster_id"), buckets)
+    // Same orphan-location robustness as the members table: a stale
+    // warehouse dir from a previous JVM otherwise fails the fresh-catalog
+    // saveAsTable with LOCATION_ALREADY_EXISTS.
+    ScaleJoins.dropOrphanManagedDir(data.sparkSession, s"${name}_centroids")
     centroids.select(col(idCol).as("cluster_id"), col(vecCol).as("cvec"))
       .write.mode("overwrite").saveAsTable(s"${name}_centroids")
   }

@@ -207,6 +207,34 @@ class VectorOpsSpec extends AnyFunSuite with SparkSpec {
     } finally cleanup()
   }
 
+  test("saveIvfIndex survives orphan warehouse dirs from a previous JVM") {
+    // A crashed/previous JVM leaves the tables' directories with no entry
+    // in this session's fresh catalog; saveAsTable then refuses with
+    // LOCATION_ALREADY_EXISTS unless the writer clears the orphan (r13:
+    // hit by the driver-style fresh-JVM verify run on q_ivf_append's
+    // CENTROIDS table — members already went through writeBucketed's
+    // cleanup).
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    Seq("ivf_orph_members", "ivf_orph_centroids").foreach { tbl =>
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      val d = new java.io.File(s"spark-warehouse/$tbl")
+      d.mkdirs()
+      java.nio.file.Files.writeString(d.toPath.resolve("stale.parquet"), "junk")
+    }
+    try {
+      VectorOps.saveIvfIndex(e, e.filter($"vec_id" < 10),
+        "vec_id", "embedding", "ivf_orph", buckets = 4)
+      assert(spark.table("ivf_orph_members").count() > 0)
+      assert(spark.table("ivf_orph_centroids").count() === 10)
+    } finally Seq("ivf_orph_members", "ivf_orph_centroids").foreach { tbl =>
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(s"spark-warehouse/$tbl"))
+    }
+  }
+
   test("srpNearDupPairs ≡ brute-force hamming scan on fixture embeddings (pigeonhole)") {
     import org.apache.spark.sql.functions._
     val e = spark.read.parquet(s"$sf0001/embeddings.parquet").limit(200)
