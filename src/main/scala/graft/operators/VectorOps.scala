@@ -102,7 +102,7 @@ object VectorOps {
     * per pair to 1. This is also exactly the oracle's formulation (its `n`
     * CTE precomputes `nn`).
     */
-  private def cosineWithNorms(a: Column, b: Column, nnA: Column, nnB: Column): Column =
+  private[graft] def cosineWithNorms(a: Column, b: Column, nnA: Column, nnB: Column): Column =
     dot(a, b) / sqrt(nnA * nnB)
 
   /** Two-stage top-`k` per query over (query_id, neighbor_id, cos) rows.
@@ -328,6 +328,12 @@ object VectorOps {
     val sigs = data.select(col(idCol).as("id_"), col(vecCol).as("v_"),
       norm2(col(vecCol)).as("nn_"),
       srpSignature(col(vecCol), bits, dim).as("sig"))
+      // Zero-norm vectors have no direction: their cosine is 0/0 (an ANSI
+      // divide-by-zero), and they'd all collapse into the signature-0
+      // bucket and pair quadratically — excluded BEFORE banding, the same
+      // posture as SimHash's degenerate-doc exclusion. (Null/null-element
+      // vectors already drop via their null signature's band keys.)
+      .filter(col("nn_") > 0)
     val banded = sigs.select(col("id_"), col("sig"), col("v_"), col("nn_"),
       posexplode(array((0 until bands).map(b => SimHash.bandKey(col("sig"), b, bandBits)): _*))
         .as(Seq("band", "bkey")))

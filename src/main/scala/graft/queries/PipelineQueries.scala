@@ -2024,6 +2024,46 @@ object PipelineQueries extends QueryDomain {
         $"vec_i", $"vec_j")
     },
 
+    "q_stream_embed_neardup" -> { (s, dir) =>
+      import s.implicits._
+      // Streaming SRP-banded embedding near-dup — the vector twin of
+      // q_stream_neardup, sharing its band-bucket state machine
+      // ([[graft.streaming.EventStreams.srpNearDup]]): the base corpus
+      // replays as batch 1, the planted twins as batch 2, so every pair
+      // crosses the boundary through keyed state (new-batch-vs-corpus).
+      // The stream emits (vec_i, vec_j, hamming); the exact cosine is
+      // attached by ONE batch join over the small pair set — output, and
+      // oracle, identical to q_embed_neardup.
+      val staged = Staging.streamEmbDir(s, dir)
+      val ss = Staging.streamSession(s)
+      val schema = ss.read.parquet(s"$staged/a_base.parquet").schema
+      val src = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+        .withColumn("tsm", timestamp_micros(expr("ts div 1000")))
+      val sink = Staging.nextStreamSink(ss)
+      val q = graft.streaming.EventStreams
+        .srpNearDup(src, "vec_id", "embedding", "tsm",
+          dim = 64, horizonSec = 100000000000L,
+          bits = 32, bandBits = 8, maxHamming = 3)
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      val e = t(ss, dir, "embeddings")
+      val planted = e.select(($"vec_id" + 1000000L).as("vec_id"),
+        concat(array(element_at($"embedding", 1) * lit(2.0f)),
+          slice($"embedding", 2, 63)).as("embedding"))
+      val all = e.select($"vec_id", $"embedding").unionByName(planted)
+        .select($"vec_id", $"embedding", VectorOps.norm2($"embedding").as("nn"))
+      val pairs = ss.table(sink).distinct()
+      orderedSmall(
+        pairs
+          .join(all.select($"vec_id".as("doc_i"), $"embedding".as("v_i"), $"nn".as("nn_i")), "doc_i")
+          .join(all.select($"vec_id".as("doc_j"), $"embedding".as("v_j"), $"nn".as("nn_j")), "doc_j")
+          .select($"doc_i".as("vec_i"), $"doc_j".as("vec_j"), $"hamming",
+            VectorOps.cosineWithNorms($"v_i", $"v_j", $"nn_i", $"nn_j").as("cos")),
+        $"vec_i", $"vec_j")
+    },
+
     "q_semdedup" -> { (s, dir) =>
       import s.implicits._
       // SemDeDup ([[VectorOps.semDedup]]): nearest-centroid clusters bound
@@ -2127,6 +2167,37 @@ object PipelineQueries extends QueryDomain {
        |FROM t a JOIN t b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.s, b.s)) <= 3
        |ORDER BY doc_i, doc_j""".stripMargin
+
+  /** Shared by q_embed_neardup AND q_stream_embed_neardup: brute-force
+    * all-pairs SRP+cosine scan over base ∪ planted twins.
+    */
+  private lazy val embedNearDupOracle: String = {
+      // k-th hyperplane dot, 0-based dim index j0 = j-1 (DuckDB range is
+      // 1-based here): weight = ((k+1)*(j0+7)*2654435761) % 1000003 - 501001.
+      val srpDot = "list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+        "list_transform(range(1, 65), j -> e[j] * CAST((((k+1) * (j+6) * 2654435761) % 1000003) - 501001 AS DOUBLE))), " +
+        "(acc, x) -> acc + x)"
+      s"""WITH base AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 1000000,
+         |    list_concat([embedding[1] * CAST(2 AS FLOAT)], embedding[2:])
+         |  FROM embeddings),
+         |v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |  FROM base),
+         |s AS (SELECT vec_id, e,
+         |  CAST(list_sum(list_transform(range(0, 32), k ->
+         |    CASE WHEN $srpDot > 0 THEN (CAST(1 AS BIGINT) << k) ELSE CAST(0 AS BIGINT) END))
+         |    AS BIGINT) AS sig
+         |  FROM v),
+         |n AS (SELECT vec_id, e, sig, ${duckDot("e", "e")} AS nn FROM s)
+         |SELECT a.vec_id AS vec_i, b.vec_id AS vec_j,
+         |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming,
+         |  ${duckDot("a.e", "b.e")} / sqrt(a.nn * b.nn) AS cos
+         |FROM n a JOIN n b ON a.vec_id < b.vec_id
+         |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+         |ORDER BY vec_i, vec_j""".stripMargin
+    }
 
   /** Shared by q_ann_ivf AND q_ivf_append: probe-and-rank over the
     * fixed centroid set — the appended index state equals the
@@ -3783,33 +3854,11 @@ object PipelineQueries extends QueryDomain {
         |    AS BIGINT)) AS BIGINT) AS sv
         |FROM e GROUP BY grp, pos ORDER BY grp, pos""".stripMargin,
 
-    "q_embed_neardup" -> {
-      // k-th hyperplane dot, 0-based dim index j0 = j-1 (DuckDB range is
-      // 1-based here): weight = ((k+1)*(j0+7)*2654435761) % 1000003 - 501001.
-      val srpDot = "list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
-        "list_transform(range(1, 65), j -> e[j] * CAST((((k+1) * (j+6) * 2654435761) % 1000003) - 501001 AS DOUBLE))), " +
-        "(acc, x) -> acc + x)"
-      s"""WITH base AS (
-         |  SELECT vec_id, embedding FROM embeddings
-         |  UNION ALL
-         |  SELECT vec_id + 1000000,
-         |    list_concat([embedding[1] * CAST(2 AS FLOAT)], embedding[2:])
-         |  FROM embeddings),
-         |v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-         |  FROM base),
-         |s AS (SELECT vec_id, e,
-         |  CAST(list_sum(list_transform(range(0, 32), k ->
-         |    CASE WHEN $srpDot > 0 THEN (CAST(1 AS BIGINT) << k) ELSE CAST(0 AS BIGINT) END))
-         |    AS BIGINT) AS sig
-         |  FROM v),
-         |n AS (SELECT vec_id, e, sig, ${duckDot("e", "e")} AS nn FROM s)
-         |SELECT a.vec_id AS vec_i, b.vec_id AS vec_j,
-         |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming,
-         |  ${duckDot("a.e", "b.e")} / sqrt(a.nn * b.nn) AS cos
-         |FROM n a JOIN n b ON a.vec_id < b.vec_id
-         |WHERE bit_count(xor(a.sig, b.sig)) <= 3
-         |ORDER BY vec_i, vec_j""".stripMargin
-    },
+    "q_embed_neardup" -> embedNearDupOracle,
+
+    // The streaming twin emits the same pair set through bucket state and
+    // attaches the identical exact cosine downstream — same answer.
+    "q_stream_embed_neardup" -> embedNearDupOracle,
 
     "q_semdedup" ->
       s"""WITH base AS (

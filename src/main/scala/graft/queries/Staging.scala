@@ -182,6 +182,34 @@ private[queries] object Staging {
         .foreach { case (n, t) => Paths.get(p, n).toFile.setLastModified(t); () }
     }
 
+  /** Embeddings replay for the streaming SRP near-dup gate: batch 1 is the
+    * base corpus, batch 2 the planted near-dup twins (q_embed_neardup's
+    * construction: id + 1e6, first coordinate exactly doubled) — so every
+    * planted pair crosses the micro-batch boundary through bucket state,
+    * the new-batch-vs-corpus framing. Event time `ts` =
+    * (1.6e9 + vec_id % 1e6) seconds as nanosecond BIGINT (twins
+    * co-temporal with their base). No sentinels: emission is inline.
+    */
+  def streamEmbDir(spark: org.apache.spark.sql.SparkSession, sfDir: String): String =
+    dir("streamemb", sfDir, "embeddings") { p =>
+      Files.createDirectories(Paths.get(p))
+      import org.apache.spark.sql.functions._
+      val e = graft.Tables.t(spark, sfDir, "embeddings")
+      val ts = ((col("vec_id") % 1000000L + 1600000000L) * 1000000000L).cast("long")
+      val base = e.select(col("vec_id"), col("embedding"), ts.as("ts"))
+      val planted = e.select((col("vec_id") + 1000000L).as("vec_id"),
+        concat(array(element_at(col("embedding"), 1) * lit(2.0f)),
+          slice(col("embedding"), 2, 63)).as("embedding"))
+        .select(col("vec_id"), col("embedding"), ts.as("ts"))
+      val now = System.currentTimeMillis()
+      Seq("a_base.parquet" -> base, "b_planted.parquet" -> planted)
+        .zipWithIndex.foreach { case ((name, df), i) =>
+          writeOneParquet(df, p, name)
+          Paths.get(p, name).toFile.setLastModified(now - 30000 + i * 10000L)
+          ()
+        }
+    }
+
   /** Write `df` as ONE parquet file named `name` directly under `destDir`
     * (Spark writes to a side dir; only the part file moves in — _SUCCESS/
     * .crc artifacts would corrupt filesInDir-based micro-batch packing).

@@ -624,6 +624,66 @@ object EventStreams {
         col(tsCol).cast("long").as("epochSec"),
         col(tsCol)) // untouched attribute: keeps the watermark defined here
       .as[BandedDoc]
+    nearDupBandedStream(banded, maxHamming, horizonSec)
+  }
+
+  /** SRP-banded streaming near-dup over EMBEDDING vectors — the vector twin
+    * of [[simhashNearDup]], sharing its band-bucket state machine
+    * ([[nearDupBandedStream]]): signatures come from the same compiled
+    * sign-random-projection fold as the batch operator
+    * ([[graft.operators.VectorOps.srpSignature]] — one code path), exploded
+    * into (band, bkey) keys; pairs within `maxHamming` emit inline with the
+    * same pigeonhole recall-1 contract (`maxHamming <= bands-1`), so with a
+    * horizon covering the replay the pair set equals
+    * `VectorOps.srpNearDupPairs` minus its attached cosine — attach the
+    * exact cosine downstream with one batch join over the (small) pair set.
+    * Degenerate vectors carry a null signature and are excluded before
+    * banding, mirroring the batch band join's null-key drop.
+    */
+  def srpNearDup(
+      vecs: DataFrame,
+      idCol: String, vecCol: String, tsCol: String,
+      dim: Int, horizonSec: Long,
+      bits: Int = 32, bandBits: Int = 8, maxHamming: Int = 3,
+      watermarkDelay: String = "0 seconds"): Dataset[NearDupPair] = {
+    import vecs.sparkSession.implicits._
+    require(bits % bandBits == 0, "bits must be a multiple of bandBits")
+    val bands = bits / bandBits
+    require(maxHamming <= bands - 1,
+      s"recall-1 guarantee needs maxHamming <= bands-1 = ${bands - 1}")
+    val banded = vecs
+      .withWatermark(tsCol, watermarkDelay)
+      .select(col(idCol).as("docId"),
+        graft.operators.VectorOps.srpSignature(col(vecCol), bits, dim).as("sig"),
+        graft.operators.VectorOps.norm2(col(vecCol)).as("nn"),
+        col(tsCol))
+      // Null signature (null/null-element vector) and zero-norm exclusion —
+      // the batch operator's posture (cosine is undefined for zero vectors,
+      // and the signature-0 bucket would pair them quadratically).
+      .filter(col("sig").isNotNull && col("nn") > 0)
+      .select(Seq(col("docId"), col("sig"), col(tsCol)) :+
+        posexplode(array((0 until bands).map(b =>
+          graft.operators.SimHash.bandKey(col("sig"), b, bandBits)): _*))
+          .as(Seq("band", "bkey")): _*)
+      .select(col("band").cast("int").as("band"), col("bkey"),
+        col("docId"), col("sig"),
+        col(tsCol).cast("long").as("epochSec"),
+        col(tsCol))
+      .as[BandedDoc]
+    nearDupBandedStream(banded, maxHamming, horizonSec)
+  }
+
+  /** The shared band-bucket near-dup state machine behind
+    * [[simhashNearDup]] (text) and [[srpNearDup]] (embeddings): each
+    * (band, bkey) bucket holds the in-horizon signatures as keyed state,
+    * arrivals verify by exact Hamming against their bucket only and emit
+    * inline; watermark-driven eviction before pairing, running-max
+    * deadlines, duplicate-docId delivery ignored (see [[simhashNearDup]]'s
+    * scaladoc for the full contract).
+    */
+  def nearDupBandedStream(
+      banded: Dataset[BandedDoc], maxHamming: Int, horizonSec: Long): Dataset[NearDupPair] = {
+    import banded.sparkSession.implicits._
     banded
       .groupByKey(b => (b.band, b.bkey))
       .flatMapGroupsWithState[NearDupBucketState, NearDupPair](

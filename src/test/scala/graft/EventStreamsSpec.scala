@@ -641,6 +641,45 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming SRP near-dup: identical-vector twins pair cross-batch; degenerate vectors never enter") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sq = spark.sqlContext
+    val rng = new scala.util.Random(7)
+    def vec() = Seq.fill(64)(rng.nextFloat() * 2 - 1)
+    val v1 = vec(); val v2 = vec()
+    val input = MemoryStream[(Timestamp, Long, Seq[Float])]
+    val q = EventStreams.srpNearDup(
+        input.toDF.toDF("tsm", "vec_id", "embedding"), "vec_id", "embedding", "tsm",
+        dim = 64, horizonSec = 1000000L)
+      .writeStream.format("memory").queryName("srp_test").outputMode("append").start()
+    try {
+      input.addData(
+        (ts("2025-01-01 00:00:01"), 1L, v1),
+        (ts("2025-01-01 00:00:02"), 2L, v2),
+        (ts("2025-01-01 00:00:03"), 90L, Seq.fill(64)(0.0f))) // degenerate: null sig
+      q.processAllAvailable()
+      // Identical twin of v1 arrives in batch 2 — the pair can only come
+      // from bucket state; a second degenerate vector must not pair with
+      // the first (they'd share every all-zero band otherwise).
+      input.addData(
+        (ts("2025-01-01 00:00:04"), 3L, v1),
+        (ts("2025-01-01 00:00:05"), 91L, Seq.fill(64)(0.0f)))
+      q.processAllAvailable()
+      val got = spark.table("srp_test").distinct()
+        .as[(Long, Long, Long)].collect().toSet
+      val batch = graft.operators.VectorOps.srpNearDupPairs(
+        Seq((1L, v1), (2L, v2), (3L, v1), (90L, Seq.fill(64)(0.0f)), (91L, Seq.fill(64)(0.0f)))
+          .toDF("vec_id", "embedding"),
+        "vec_id", "embedding", dim = 64)
+        .select(col("vec_i"), col("vec_j"), col("hamming"))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got === batch, s"stream $got != batch $batch")
+      assert(got.contains((1L, 3L, 0L)))
+      assert(!got.exists(p => p._1 == 90L || p._2 == 91L), "degenerates must not pair")
+    } finally q.stop()
+  }
+
   test("streaming near-dup: cross-batch pairs equal the batch operator; re-delivery is ignored") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
