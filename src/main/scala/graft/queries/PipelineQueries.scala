@@ -258,13 +258,23 @@ object PipelineQueries extends QueryDomain {
       // Deterministic in-batch negative sampling
       // ([[CorpusOps.inBatchNegatives]]): every 10th doc is a query with
       // its successor as the positive; negatives come from the query's
-      // own hash bucket (8 buckets), ranked by the pair hash — stable
-      // across runs/engines/partitionings where rand() sampling is not.
+      // own hash bucket, ranked by the pair hash — stable across
+      // runs/engines/partitionings where rand() sampling is not.
+      //
+      // nBuckets is the operator's scale knob (bucket-join fan-out =
+      // |q|·|c|/nBuckets): hardcoded 8 made the sf1 sweep quadratic
+      // (0.87 → 56 s at 10× data). It now grows with the corpus by
+      // integer arithmetic BOTH engines compute identically —
+      // 8·(1 + (n−1) div 5000) caps per-bucket candidates at ~625 and
+      // turns the 10×-data cost into ~10×. The count stages per (sf, JVM)
+      // so bench reps measure the sampler, not a count job.
       val d = t(s, dir, "documents")
+      val nDocs = Staging.memo[Long]("negsample_n", dir)(d.count())
+      val nBuckets = (8L * (1L + (nDocs - 1L) / 5000L)).toInt
       val pairs = d.filter(pmod($"doc_id", lit(10L)) === 0)
         .select($"doc_id".as("query_id"), ($"doc_id" + 1).as("pos_id"))
       CorpusOps.inBatchNegatives(pairs, "query_id", "pos_id",
-          d.select($"doc_id"), "doc_id", k = 4, nBuckets = 8)
+          d.select($"doc_id"), "doc_id", k = 4, nBuckets = nBuckets)
         .orderBy($"query_id", $"rank")
     },
 
@@ -1199,11 +1209,19 @@ object PipelineQueries extends QueryDomain {
       // filters skip the files outside the box — single-column sorting can
       // only do this for its own column (footers proven in ZOrderSpec; the
       // z bit-interleave arithmetic is what this gate pins cross-engine).
-      val p = Staging.dir("zorder", dir, "lineitem")(path =>
-        ScaleJoins.writeZOrdered(
-          t(s, dir, "lineitem")
-            .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey"),
-          path, "l_partkey", "l_suppkey", bits = 15))
+      val p = Staging.dir("zorder", dir, "lineitem") { path =>
+        val li = t(s, dir, "lineitem")
+          .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey")
+        // bits sized to the fixture's key domain (one max-scan at staging;
+        // a hardcoded 15 failed the sf1 sweep's shifted keys). Wider
+        // interleave leaves the z of every in-range key UNCHANGED (leading
+        // zeros contribute nothing), so the oracle's range(0, 15) formula
+        // still matches all output rows — the box caps them below 2^15.
+        val mx = li.agg(greatest(max($"l_partkey"), max($"l_suppkey")))
+          .head().getLong(0)
+        val bits = math.max(15, 64 - java.lang.Long.numberOfLeadingZeros(mx))
+        ScaleJoins.writeZOrdered(li, path, "l_partkey", "l_suppkey", bits = bits)
+      }
       // Box bounds sit inside every SF's key domain (suppkey scales with
       // SF; [2,19]×[100,1499] is non-empty from sf0.001 up).
       s.read.parquet(p)
@@ -2609,10 +2627,11 @@ object PipelineQueries extends QueryDomain {
       val qh = duckHash("CAST(qid AS VARCHAR)")
       val ch = duckHash("CAST(cid AS VARCHAR)")
       val pairH = duckHash("CAST(qid AS VARCHAR) || ':' || CAST(cid AS VARCHAR)")
-      s"""WITH p AS (SELECT doc_id AS qid, doc_id + 1 AS pid FROM documents
+      s"""WITH nb AS (SELECT 8 * (1 + (COUNT(*) - 1) // 5000) AS v FROM documents),
+         |p AS (SELECT doc_id AS qid, doc_id + 1 AS pid FROM documents
          |  WHERE doc_id % 10 = 0),
-         |q AS (SELECT DISTINCT qid, $qh % 8 AS bkt FROM p),
-         |c AS (SELECT doc_id AS cid, $ch % 8 AS bkt
+         |q AS (SELECT DISTINCT qid, $qh % (SELECT v FROM nb) AS bkt FROM p),
+         |c AS (SELECT doc_id AS cid, $ch % (SELECT v FROM nb) AS bkt
          |  FROM (SELECT CAST(doc_id AS BIGINT) AS cid, doc_id FROM documents)),
          |j AS (SELECT q.qid, c.cid FROM q JOIN c ON c.bkt = q.bkt
          |  WHERE c.cid <> q.qid AND NOT EXISTS (
