@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver benches with `sbt "runMain graft.Bench"` and parses the
+// captured output TAIL for one JSON metric line. sbt's default
+// LoggedOutput strategy prefixes every forked-process line with
+// "[info] "/"[error] ", so the metric line was never a bare JSON line
+// and every BENCH since r8 recorded parsed:null (r12 VERDICT item 1;
+// the r13 in-JVM fixes made the line complete-in-tail but still
+// prefixed). StdoutOutput passes the forked JVM's stdout/stderr
+// through unwrapped, and showSuccess := false drops the trailing
+// "[success] Total time: ..." line — the metric JSON becomes the
+// literal final line of captured output.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
