@@ -42,6 +42,9 @@ import graft.schema.SchemaConform
   * `timestamp-micros` logical on long), decimal (Avro `decimal` logical on
   * bytes), arrays, maps (string keys), nested structs; every field is a
   * nullable `["null", T]` union, mirroring parquet's default nullability.
+  * Read-only extras for foreign files: enum → string, fixed → binary (or
+  * decimal when `decimal`-annotated), and `timestamp-millis` /
+  * `local-timestamp-millis` longs scaled to micros at decode.
   */
 object AvroIo {
 
@@ -133,12 +136,23 @@ object AvroIo {
     val spark = df.sparkSession
     val root = new HPath(path)
     root.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(root)
+    // Hadoop Configuration is not serializable — ship the driver's conf to
+    // executors as raw key/value pairs and rebuild it there, so
+    // spark.hadoop.* overrides and object-store credentials reach the
+    // executor-side FileSystem resolution (r13 ADVICE: a bare
+    // `new Configuration()` dropped them, contradicting the scaladoc's
+    // "any configured object store" claim).
+    val confProps: Array[(String, String)] =
+      spark.sparkContext.hadoopConfiguration.iterator().asScala
+        .map(e => (e.getKey, e.getValue)).toArray
     df.foreachPartition { (it: Iterator[Row]) =>
       if (it.hasNext) {
         val schema = new Schema.Parser().parse(avroJson)
         val pid = TaskContext.getPartitionId()
         val file = new HPath(path, f"part-$pid%05d.avro")
-        val fs = file.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val conf = new org.apache.hadoop.conf.Configuration(false)
+        confProps.foreach { case (k, v) => conf.set(k, v) }
+        val fs = file.getFileSystem(conf)
         val out = fs.create(file, true)
         val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
         try {
@@ -239,21 +253,32 @@ object AvroIo {
           new GenericDatumReader[GenericRecord](null, expected))
         new Iterator[Row] {
           def hasNext: Boolean = { val h = rdr.hasNext; if (!h) rdr.close(); h }
-          def next(): Row = recordToRow(rdr.next(), structType)
+          def next(): Row = recordToRow(rdr.next(), structType, expected)
         }
       }
     }
     spark.createDataFrame(rows, structType)
   }
 
-  private def recordToRow(rec: GenericRecord, st: StructType): Row =
+  private def recordToRow(rec: GenericRecord, st: StructType, avro: Schema): Row =
     Row.fromSeq(st.fields.toSeq.zipWithIndex.map { case (f, i) =>
-      toSparkValue(rec.get(i), f.dataType)
+      toSparkValue(rec.get(i), f.dataType, unwrap(avro.getFields.get(i).schema()))
     })
 
-  private def toSparkValue(v: AnyRef, dt: DataType): Any = (v, dt) match {
+  /** GenericDatumReader hands logical-typed values through RAW (no
+    * conversions are registered), so the long under a `timestamp-millis`
+    * field is MILLIS — `avro` (the unwrapped reader schema for this value)
+    * is threaded through decode so millis/micros dispatch on the declared
+    * logical type instead of assuming micros (r13 ADVICE: foreign
+    * Debezium-style millis files loaded timestamps 1000× too small).
+    */
+  private def toSparkValue(v: AnyRef, dt: DataType, avro: Schema): Any = (v, dt) match {
     case (null, _) => null
+    case (e: org.apache.avro.generic.GenericEnumSymbol[_], StringType) => e.toString
     case (s: CharSequence, StringType) => s.toString
+    case (f: org.apache.avro.generic.GenericFixed, BinaryType) => f.bytes().clone()
+    case (f: org.apache.avro.generic.GenericFixed, dec: DecimalType) =>
+      new java.math.BigDecimal(new java.math.BigInteger(f.bytes()), dec.scale)
     case (b: ByteBuffer, BinaryType) =>
       val arr = new Array[Byte](b.remaining()); b.duplicate().get(arr); arr
     case (b: ByteBuffer, dec: DecimalType) =>
@@ -261,23 +286,32 @@ object AvroIo {
       new java.math.BigDecimal(new java.math.BigInteger(arr), dec.scale)
     case (days: java.lang.Integer, DateType) =>
       java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(days.longValue()))
-    case (micros: java.lang.Long, TimestampType) =>
+    case (t: java.lang.Long, TimestampType) =>
+      val micros = if (isMillis(avro)) Math.multiplyExact(t.longValue(), 1000L) else t.longValue()
       val ts = new java.sql.Timestamp(Math.floorDiv(micros, 1000000L) * 1000L)
       ts.setNanos(Math.floorMod(micros, 1000000L).toInt * 1000)
       ts
-    case (micros: java.lang.Long, TimestampNTZType) =>
+    case (t: java.lang.Long, TimestampNTZType) =>
+      val micros = if (isMillis(avro)) Math.multiplyExact(t.longValue(), 1000L) else t.longValue()
       java.time.LocalDateTime.ofEpochSecond(
         Math.floorDiv(micros, 1000000L),
         Math.floorMod(micros, 1000000L).toInt * 1000,
         java.time.ZoneOffset.UTC)
     case (a: java.util.Collection[_], ArrayType(elem, _)) =>
-      a.asScala.toSeq.map(e => toSparkValue(e.asInstanceOf[AnyRef], elem))
+      val elemSchema = unwrap(avro.getElementType)
+      a.asScala.toSeq.map(e => toSparkValue(e.asInstanceOf[AnyRef], elem, elemSchema))
     case (m: java.util.Map[_, _], MapType(StringType, vt, _)) =>
+      val valueSchema = unwrap(avro.getValueType)
       m.asScala.map { case (k, mv) =>
-        k.toString -> toSparkValue(mv.asInstanceOf[AnyRef], vt)
+        k.toString -> toSparkValue(mv.asInstanceOf[AnyRef], vt, valueSchema)
       }.toMap
-    case (r: GenericRecord, nested: StructType) => recordToRow(r, nested)
+    case (r: GenericRecord, nested: StructType) => recordToRow(r, nested, avro)
     case (other, _) => other
+  }
+
+  private def isMillis(s: Schema): Boolean = s.getLogicalType match {
+    case _: LogicalTypes.TimestampMillis | _: LogicalTypes.LocalTimestampMillis => true
+    case _ => false
   }
 }
 

@@ -175,6 +175,57 @@ class AvroSourceSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("foreign files: millis timestamps, enum, and fixed decode correctly") {
+    // Written directly with avro-core (NOT AvroIo.write) to exercise the
+    // shapes foreign writers produce that our own sink never emits:
+    // timestamp-millis / local-timestamp-millis longs (Debezium and older
+    // writers), enum symbols, raw fixed, and fixed-backed decimal —
+    // the r13 ADVICE decode gaps.
+    import org.apache.avro.Schema
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val json =
+      """{"type":"record","name":"foreign","fields":[
+        |{"name":"id","type":"long"},
+        |{"name":"ts_ms","type":{"type":"long","logicalType":"timestamp-millis"}},
+        |{"name":"lts_ms","type":{"type":"long","logicalType":"local-timestamp-millis"}},
+        |{"name":"color","type":{"type":"enum","name":"Color","symbols":["RED","GREEN"]}},
+        |{"name":"fx","type":{"type":"fixed","name":"Fx","size":4}},
+        |{"name":"dec","type":{"type":"fixed","name":"DecFx","size":3,
+        |  "logicalType":"decimal","precision":6,"scale":2}}
+        |]}""".stripMargin
+    val schema = new Schema.Parser().parse(json)
+    val millis = 1709296496123L // 2024-03-01T12:34:56.123Z
+    val rec = new GenericData.Record(schema)
+    rec.put("id", 1L)
+    rec.put("ts_ms", millis)
+    rec.put("lts_ms", millis)
+    rec.put("color", new GenericData.EnumSymbol(schema.getField("color").schema(), "GREEN"))
+    rec.put("fx", new GenericData.Fixed(schema.getField("fx").schema(),
+      Array(0xDE.toByte, 0xAD.toByte, 0xBE.toByte, 0xEF.toByte)))
+    // unscaled 12345, scale 2 -> 123.45; big-endian left-padded to size 3
+    rec.put("dec", new GenericData.Fixed(schema.getField("dec").schema(),
+      Array[Byte](0x00, 0x30, 0x39)))
+    val dir = tmp("foreign")
+    val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, new java.io.File(dir, "part-00000.avro"))
+    w.append(rec)
+    w.close()
+    val back = AvroIo.read(spark, dir)
+    assert(back.schema.map(f => (f.name, f.dataType)) === Seq(
+      ("id", LongType), ("ts_ms", TimestampType), ("lts_ms", TimestampNTZType),
+      ("color", StringType), ("fx", BinaryType), ("dec", DecimalType(6, 2))))
+    val r = back.collect().head
+    assert(r.getTimestamp(1).getTime === millis, "millis must scale to micros, not pass through")
+    assert(r.getTimestamp(1).getNanos === 123000000)
+    assert(r.getAs[java.time.LocalDateTime](2) ===
+      java.time.LocalDateTime.ofEpochSecond(millis / 1000, 123000000, java.time.ZoneOffset.UTC))
+    assert(r.getString(3) === "GREEN")
+    assert(r.getAs[Array[Byte]](4).toSeq ===
+      Seq(0xDE.toByte, 0xAD.toByte, 0xBE.toByte, 0xEF.toByte))
+    assert(r.getDecimal(5) === new java.math.BigDecimal("123.45"))
+  }
+
   test("empty partitions write no file; read of the rest is complete") {
     import spark.implicits._
     // 2 rows into 8 partitions: at least 6 partitions are empty and must
