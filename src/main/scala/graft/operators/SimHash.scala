@@ -173,12 +173,29 @@ object SimHash {
     */
   private[graft] def textSignaturesWith(
       docs: DataFrame, idCol: String, textCol: String, bits: Int,
-      carry: Seq[String]): DataFrame = {
+      carry: Seq[String], anchor: Option[Column] = None): DataFrame = {
     require(bits <= 60, "wideHash carries 60 informative bits")
     val th = org.apache.spark.sql.graft.bridge.column(
       graft.functions.TokenHashes(
         org.apache.spark.sql.graft.bridge.expression(col(textCol)), wide = true))
-    docs.filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
+    // `anchor` (the streaming twin's event-time column) makes the
+    // degenerate-doc filter watermark-safe: a plain conjunction is SPLIT by
+    // PushPredicateThroughNonJoin and the text conjuncts sink below the
+    // EventTimeWatermark node, so null-text sentinel rows would be dropped
+    // before ever reaching it and could not advance the watermark (r13
+    // ADVICE). Disjoining each conjunct with `anchor IS NULL` (plus one
+    // `anchor IS NOT NULL` conjunct restoring the net semantics) keeps
+    // every conjunct referencing the watermark attribute — none is pushed,
+    // the whole filter stays above the watermark, and sentinels flow
+    // through it before being dropped. Batch callers (anchor = None) keep
+    // the plain, fully-pushable predicate.
+    val keep = anchor match {
+      case Some(a) =>
+        (col(textCol).isNotNull || a.isNull) &&
+          (length(trim(col(textCol))) > 0 || a.isNull) && a.isNotNull
+      case None => col(textCol).isNotNull && length(trim(col(textCol))) > 0
+    }
+    docs.filter(keep)
       .select(Seq(col(idCol).as("doc_id"),
         coalesce(
           org.apache.spark.sql.graft.bridge.column(
@@ -202,13 +219,14 @@ object SimHash {
     */
   private[graft] def bandedSignaturesWith(
       docs: DataFrame, idCol: String, textCol: String,
-      bits: Int, bandBits: Int, maxHamming: Int, carry: Seq[String]): DataFrame = {
+      bits: Int, bandBits: Int, maxHamming: Int, carry: Seq[String],
+      anchor: Option[Column] = None): DataFrame = {
     require(bits % bandBits == 0, "bits must be a multiple of bandBits")
     require(bits <= 60, "wideHash carries 60 informative bits")
     val bands = bits / bandBits
     require(maxHamming <= bands - 1,
       s"recall-1 guarantee needs maxHamming <= bands-1 = ${bands - 1}")
-    val sigs = textSignaturesWith(docs, idCol, textCol, bits, carry)
+    val sigs = textSignaturesWith(docs, idCol, textCol, bits, carry, anchor)
     sigs.select(Seq(col("doc_id"), col("sig")) ++ carry.map(col) :+
       posexplode(array((0 until bands).map(b => bandKey(col("sig"), b, bandBits)): _*))
         .as(Seq("band", "bkey")): _*)

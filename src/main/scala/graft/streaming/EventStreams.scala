@@ -614,11 +614,16 @@ object EventStreams {
       bits: Int = 60, bandBits: Int = 15, maxHamming: Int = 3,
       watermarkDelay: String = "0 seconds"): Dataset[NearDupPair] = {
     import docs.sparkSession.implicits._
-    // Watermark FIRST, on the raw stream: rows filtered later (degenerate
-    // text) must still advance event time.
+    // Watermark FIRST, on the raw stream; the degenerate-text filter inside
+    // the shared banding is ANCHORED to tsCol (every conjunct references the
+    // watermark attribute) so no part of it is pushed below the
+    // EventTimeWatermark node — null-text sentinel rows flow through the
+    // watermark exec before being dropped and can drive eviction on their
+    // own (r13 ADVICE; pinned by the sentinel-eviction spec case).
     val banded = graft.operators.SimHash.bandedSignaturesWith(
       docs.withWatermark(tsCol, watermarkDelay),
-      idCol, textCol, bits, bandBits, maxHamming, carry = Seq(tsCol))
+      idCol, textCol, bits, bandBits, maxHamming, carry = Seq(tsCol),
+      anchor = Some(col(tsCol)))
       .select(col("band").cast("int").as("band"), col("bkey"),
         col("doc_id").as("docId"), col("sig"),
         col(tsCol).cast("long").as("epochSec"),
@@ -659,8 +664,13 @@ object EventStreams {
         col(tsCol))
       // Null signature (null/null-element vector) and zero-norm exclusion —
       // the batch operator's posture (cosine is undefined for zero vectors,
-      // and the signature-0 bucket would pair them quadratically).
-      .filter(col("sig").isNotNull && col("nn") > 0)
+      // and the signature-0 bucket would pair them quadratically). Every
+      // conjunct is anchored to tsCol so none is split off and pushed below
+      // the EventTimeWatermark node: degenerate sentinel rows must pass
+      // through the watermark exec before being dropped (r13 ADVICE; see
+      // simhashNearDup / SimHash.textSignaturesWith).
+      .filter((col("sig").isNotNull || col(tsCol).isNull) &&
+        (col("nn") > 0 || col(tsCol).isNull) && col(tsCol).isNotNull)
       .select(Seq(col("docId"), col("sig"), col(tsCol)) :+
         posexplode(array((0 until bands).map(b =>
           graft.operators.SimHash.bandKey(col("sig"), b, bandBits)): _*))

@@ -713,6 +713,63 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup: null-text sentinels alone advance the watermark") {
+    // The degenerate-text filter must sit ABOVE the EventTimeWatermark node
+    // (anchored conjuncts — r13 ADVICE): a sentinel-only batch advances the
+    // watermark, so a doc whose horizon has passed is evicted even though
+    // no non-degenerate row arrived in between. If any filter conjunct were
+    // pushed below the watermark node, the sentinel would be dropped before
+    // the watermark exec, doc 1 would survive, and (1, 3) would pair.
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val a = "alpha beta gamma delta epsilon zeta"
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val q = EventStreams.simhashNearDup(
+        input.toDF.toDF("tsm", "doc_id", "text"), "doc_id", "text", "tsm",
+        horizonSec = 100L)
+      .writeStream.format("memory").queryName("nd_sentinel").outputMode("append").start()
+    def pairs = spark.table("nd_sentinel").distinct().as[(Long, Long, Long)].collect().toSet
+    try {
+      input.addData((ts("2025-01-01 00:00:00"), 1L, a))
+      q.processAllAvailable()
+      input.addData((ts("2025-01-01 06:00:00"), 99L, null)) // watermark carrier only
+      q.processAllAvailable()
+      input.addData((ts("2025-01-01 06:00:10"), 3L, a))
+      q.processAllAvailable()
+      assert(pairs === Set.empty[(Long, Long, Long)],
+        s"sentinel failed to advance the watermark — stale doc paired: $pairs")
+      input.addData((ts("2025-01-01 06:00:20"), 4L, a))
+      q.processAllAvailable()
+      assert(pairs === Set((3L, 4L, 0L)), s"got $pairs")
+    } finally q.stop()
+  }
+
+  test("streaming SRP near-dup: null-vector sentinels alone advance the watermark") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val rng = new scala.util.Random(11)
+    val v1 = Seq.fill(64)(rng.nextFloat() * 2 - 1)
+    val input = MemoryStream[(Timestamp, Long, Seq[Float])]
+    val q = EventStreams.srpNearDup(
+        input.toDF.toDF("tsm", "vec_id", "embedding"), "vec_id", "embedding", "tsm",
+        dim = 64, horizonSec = 100L)
+      .writeStream.format("memory").queryName("srp_sentinel").outputMode("append").start()
+    def pairs = spark.table("srp_sentinel").distinct().as[(Long, Long, Long)].collect().toSet
+    try {
+      input.addData((ts("2025-01-01 00:00:00"), 1L, v1))
+      q.processAllAvailable()
+      input.addData((ts("2025-01-01 06:00:00"), 99L, null)) // watermark carrier only
+      q.processAllAvailable()
+      input.addData((ts("2025-01-01 06:00:10"), 3L, v1))
+      q.processAllAvailable()
+      assert(pairs === Set.empty[(Long, Long, Long)],
+        s"sentinel failed to advance the watermark — stale vec paired: $pairs")
+      input.addData((ts("2025-01-01 06:00:20"), 4L, v1))
+      q.processAllAvailable()
+      assert(pairs === Set((3L, 4L, 0L)), s"got $pairs")
+    } finally q.stop()
+  }
+
   test("streaming near-dup horizon: watermark-evicted docs stop pairing, state shrinks") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
