@@ -19,11 +19,12 @@ package graft.sink
   *
   * Every identifier is emitted double-quoted (embedded `"` doubled, the
   * table name quoted per dotted part so `schema.table` stays qualified):
-  * the reference splices names verbatim, so a mixed-case or reserved-word
-  * table/column ("User", "order", "group") produces invalid or
-  * wrong-target SQL there. Quoting a name that is already lower-case is
-  * semantically identical to leaving it bare (unquoted identifiers fold to
-  * lower case in Postgres), so the common path is unchanged.
+  * the reference splices names verbatim, so a reserved-word column
+  * ("order", "group") produces invalid SQL there. Column names come from
+  * the PG catalog canonically and quote as-is; TABLE names come from user
+  * config, so unquoted parts fold to lower case before quoting (the
+  * semantics the verbatim splice always had) and genuinely mixed-case
+  * relations are addressed pre-quoted — see [[quoteTable]].
   */
 object UpsertSqlGen {
 
@@ -35,12 +36,29 @@ object UpsertSqlGen {
 
   /** Quote a possibly schema-qualified table name part-by-part. A part that
     * is already double-quoted passes through untouched, so callers holding
-    * pre-quoted names (e.g. from a config file) don't get double-wrapped.
+    * pre-quoted names (e.g. from a config file) don't get double-wrapped;
+    * dots INSIDE quoted parts are part of the identifier, not separators
+    * (`"my.table"` is one relation). Unquoted parts are lower-cased before
+    * quoting: Postgres folds unquoted identifiers to lower case, so this
+    * preserves the semantics a verbatim splice (the reference's behavior)
+    * would have had — a caller passing `MyTable` keeps targeting `mytable`,
+    * and a genuinely mixed-case relation is addressed by pre-quoting.
     */
-  def quoteTable(name: String): String =
-    name.split('.').map { p =>
-      if (p.startsWith("\"") && p.endsWith("\"") && p.length >= 2) p else quoteIdent(p)
+  def quoteTable(name: String): String = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var inQ = false
+    name.foreach {
+      case '"' => inQ = !inQ; cur += '"'
+      case '.' if !inQ => parts += cur.result(); cur.clear()
+      case c => cur += c
+    }
+    parts += cur.result()
+    parts.map { p =>
+      if (p.startsWith("\"") && p.endsWith("\"") && p.length >= 2) p
+      else quoteIdent(p.toLowerCase(java.util.Locale.ROOT))
     }.mkString(".")
+  }
 
   def build(
       columns: Seq[String],

@@ -271,14 +271,16 @@ class PostgresLiveSpec extends AnyFunSuite with BeforeAndAfterAll {
       StructField("order", IntegerType)))
     def mkDf(rows: Seq[Row]) =
       spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), st)
+    // Mixed-case relations are addressed PRE-QUOTED (unquoted parts fold to
+    // lower case, matching what the verbatim splice always did — r13 ADVICE).
     val first = PostgresUpsertSink.upsert(
-      mkDf((1 to 6).map(i => Row(i, s"n$i", i))), "Live_Mixed",
+      mkDf((1 to 6).map(i => Row(i, s"n$i", i))), "\"Live_Mixed\"",
       uniqueKey = Some(Seq("Id")), factory = PsqlConnectionFactory(sockDir),
       batchSize = 3, parallelism = 2, partitionCols = Seq("Id"))
     assert(first.loaded === 6 && first.rejected === 0)
     // Conflict arm: one keyed update + one fresh insert through the same SQL.
     val second = PostgresUpsertSink.upsert(
-      mkDf(Seq(Row(1, "upd", 100), Row(7, "n7", 7))), "Live_Mixed",
+      mkDf(Seq(Row(1, "upd", 100), Row(7, "n7", 7))), "\"Live_Mixed\"",
       uniqueKey = Some(Seq("Id")), factory = PsqlConnectionFactory(sockDir),
       batchSize = 3, parallelism = 2, partitionCols = Seq("Id"))
     assert(second.loaded === 2 && second.rejected === 0)

@@ -49,14 +49,29 @@ class UpsertSqlGenSpec extends AnyFunSuite {
   }
 
   test("mixed-case and reserved-word identifiers are quoted, not folded") {
-    // Unquoted, Postgres would fold "User" to user (wrong target) and choke
-    // on the reserved word `order` — the reference's verbatim splice does
-    // exactly that.
-    assert(UpsertSqlGen.build(Seq("Id", "order", "Group"), "public.User",
+    // COLUMN names come from the PG catalog canonically, so they quote
+    // as-is ("Id" stays "Id", reserved `order` becomes safe); the TABLE
+    // name comes from user config, where Postgres semantics fold unquoted
+    // parts — a genuinely mixed-case relation is addressed by pre-quoting.
+    assert(UpsertSqlGen.build(Seq("Id", "order", "Group"), """public."User"""",
       uniqueKey = Seq("Id")) ==
       """INSERT INTO "public"."User" ("Id", "order", "Group") VALUES (?, ?, ?) """ +
         """ON CONFLICT ("Id") DO UPDATE SET ("order", "Group") = """ +
         """(EXCLUDED."order", EXCLUDED."Group")""")
+  }
+
+  test("unquoted table parts fold to lower case (Postgres splice semantics)") {
+    // The reference splices the table name verbatim and Postgres folds it:
+    // a caller passing MyTable has always targeted mytable. Quoting WITHOUT
+    // folding would silently retarget such callers to a different relation
+    // (r13 ADVICE); folding first preserves their behavior.
+    assert(UpsertSqlGen.quoteTable("public.MyTable") == """"public"."mytable"""")
+    assert(UpsertSqlGen.quoteTable("""PUBLIC."Keep.Case"""") == """"public"."Keep.Case"""")
+  }
+
+  test("dots inside quoted table parts are not separators") {
+    assert(UpsertSqlGen.quoteTable(""""my.table"""") == """"my.table"""")
+    assert(UpsertSqlGen.quoteTable(""""S.x".t""") == """"S.x"."t"""")
   }
 
   test("embedded double quotes are doubled") {
