@@ -118,6 +118,53 @@ object SetSimJoin {
     case object Packed extends DfStrategy
   }
 
+  private def ceilDivC(n: Column, d: Int): Column = floor((n + (d - 1)) / d).cast("int")
+
+  /** The FULL inverted index with the rare-first rank attached — the shared
+    * substrate of [[jaccardJoin]] (which then keeps only each doc's prefix)
+    * and [[containmentJoin]] (whose index side needs every token's rank for
+    * the positional filter). Window/Aggregate strategies only; Packed's
+    * row-local generator emits prefixes, not full ranked sets.
+    */
+  private def rankedIndex(
+      ex: DataFrame, blockCols: Seq[String],
+      strategy: DfStrategy, dfTabReuse: Option[DataFrame]): DataFrame = {
+    val bc = blockCols.map(col)
+    val withFreq = strategy match {
+      case DfStrategy.Window =>
+        val wDf = Window.partitionBy(bc :+ col("sj_tok"): _*)
+        ex.withColumn("sj_df", count(lit(1)).over(wDf))
+      case DfStrategy.Aggregate(bcast, hotDf) =>
+        // A Packed→Aggregate fallback hands over its already-persisted
+        // aggregate; the direct Aggregate path builds it here.
+        val dfTab = dfTabReuse.getOrElse(
+          ex.groupBy(bc :+ col("sj_tok"): _*).agg(count(lit(1)).as("sj_df")))
+        if (bcast) ex.join(broadcast(dfTab), blockCols :+ "sj_tok")
+        else if (hotDf == Long.MaxValue) ex.join(dfTab, blockCols :+ "sj_tok")
+        else {
+          // Deterministic hot-key split (see DfStrategy.Aggregate): the
+          // df table is its own skew census. Hot keys (≥ hotDf index
+          // rows each, so ≤ total/hotDf of them) ride a broadcast join
+          // — their index rows never shuffle. Crucially the cold
+          // branch's PROBE side is pruned MAP-SIDE by a broadcast
+          // anti-join on the hot key set: filtering only dfTab would
+          // still shuffle every hot index row into its one partition
+          // and drop it after the exchange — measured as the same 4.7×
+          // partition the split exists to remove. Post-prune, the cold
+          // exchange's per-key cardinality is < hotDf by construction.
+          val hot = dfTab.filter(col("sj_df") >= hotDf)
+          ex.join(broadcast(hot.select((blockCols :+ "sj_tok").map(col): _*)),
+              blockCols :+ "sj_tok", "left_anti")
+            .join(dfTab.filter(col("sj_df") < hotDf), blockCols :+ "sj_tok")
+            .unionByName(ex.join(broadcast(hot), blockCols :+ "sj_tok"))
+        }
+      case DfStrategy.Packed =>
+        throw new IllegalArgumentException("rankedIndex: Packed emits prefixes only")
+    }
+    val w = Window.partitionBy(col("sj_id")).orderBy(col("sj_df"), col("sj_tok"))
+    withFreq.withColumn("sj_rk", row_number().over(w))
+  }
+
   /** Pairs (doc_i < doc_j) within the same `blockCols` values whose token
     * sets have Jaccard ≥ threshNum/threshDen, with exact overlap counts.
     *
@@ -208,40 +255,8 @@ object SetSimJoin {
     // Prefix of length |A| − ⌈t·|A|⌉ + 1 under the (df, token) order.
     val prefix = strategy match {
       case DfStrategy.Window | DfStrategy.Aggregate(_, _) =>
-        val withFreq = strategy match {
-          case DfStrategy.Window =>
-            val wDf = Window.partitionBy(bc :+ col("sj_tok"): _*)
-            ex.withColumn("sj_df", count(lit(1)).over(wDf))
-          case DfStrategy.Aggregate(bcast, hotDf) =>
-            // A Packed→Aggregate fallback hands over its already-persisted
-            // aggregate; the direct Aggregate path builds it here.
-            val dfTab = dfTabReuse.getOrElse(
-              ex.groupBy(bc :+ col("sj_tok"): _*).agg(count(lit(1)).as("sj_df")))
-            if (bcast) ex.join(broadcast(dfTab), blockCols :+ "sj_tok")
-            else if (hotDf == Long.MaxValue) ex.join(dfTab, blockCols :+ "sj_tok")
-            else {
-              // Deterministic hot-key split (see DfStrategy.Aggregate): the
-              // df table is its own skew census. Hot keys (≥ hotDf index
-              // rows each, so ≤ total/hotDf of them) ride a broadcast join
-              // — their index rows never shuffle. Crucially the cold
-              // branch's PROBE side is pruned MAP-SIDE by a broadcast
-              // anti-join on the hot key set: filtering only dfTab would
-              // still shuffle every hot index row into its one partition
-              // and drop it after the exchange — measured as the same 4.7×
-              // partition the split exists to remove. Post-prune, the cold
-              // exchange's per-key cardinality is < hotDf by construction.
-              val hot = dfTab.filter(col("sj_df") >= hotDf)
-              ex.join(broadcast(hot.select((blockCols :+ "sj_tok").map(col): _*)),
-                  blockCols :+ "sj_tok", "left_anti")
-                .join(dfTab.filter(col("sj_df") < hotDf), blockCols :+ "sj_tok")
-                .unionByName(ex.join(broadcast(hot), blockCols :+ "sj_tok"))
-            }
-          case DfStrategy.Packed => throw new MatchError(strategy) // unreachable
-        }
         val ceilTA = floor((col("sj_sz") * threshNum + (threshDen - 1)) / threshDen)
-        val w = Window.partitionBy(col("sj_id")).orderBy(col("sj_df"), col("sj_tok"))
-        withFreq
-          .withColumn("sj_rk", row_number().over(w))
+        rankedIndex(ex, blockCols, strategy, dfTabReuse)
           .filter(col("sj_rk") <= col("sj_sz") - ceilTA + 1)
           .select(col("sj_id") +: col("sj_tok") +: col("sj_sz") +: col("sj_rk") +: bc: _*)
       case DfStrategy.Packed =>
@@ -338,5 +353,85 @@ object SetSimJoin {
         least(col("doc_i"), col("doc_j")).as("doc_i"),
         greatest(col("doc_i"), col("doc_j")).as("doc_j"),
         col("n_common"), col("n_union")): _*)
+  }
+
+  /** Asymmetric SET-CONTAINMENT self-join: ordered pairs (small, big),
+    * `doc_small ≠ doc_big`, same `blockCols` values, with
+    * `|small ∩ big| / |small| ≥ threshNum/threshDen` — the sub-document
+    * duplication shape Jaccard misses (a quote, a syndicated article inside
+    * a scrape, boilerplate absorbed into a larger page has high containment
+    * but LOW Jaccard once `|big| ≫ |small|`).
+    *
+    * Candidate generation is one-sided prefix filtering (the containment
+    * adaptation of SSJoin, Chaudhuri et al. ICDE'06 §5): the required
+    * overlap α = ⌈t·|A|⌉ depends only on the CONTAINED side A, so A probes
+    * with its rare-first prefix of length |A| − α + 1 (pigeonhole: fewer
+    * than α of A's tokens lie outside it, and the intersection has ≥ α, so
+    * some intersection token is in the prefix) while the index side keeps
+    * its FULL token set — no prefix bound exists for B because |B| is
+    * unconstrained. Both sides carry their true rank under the common
+    * (df, token) order, so the PPJoin positional filter
+    * `1 + min(|A|−p_i, |B|−p_j) ≥ α` and the size floor `|B| ≥ α` prune
+    * row-locally inside the join. Verification computes exact `|A∩B|` on
+    * candidates only.
+    *
+    * Scale posture: the index side is the full inverted index — LINEAR in
+    * corpus token volume, shuffled once on (block, token) (or df-joined
+    * under [[DfStrategy.Aggregate]], hot-split included via
+    * [[rankedIndex]]); the probe side explodes only ≈ (1−t)·|A|+1 of each
+    * doc's RAREST tokens, so posting-list fan-out stays small by
+    * construction (a stop-word reaches a prefix only if the doc is almost
+    * all stop-words). No stage is quadratic in block size.
+    * [[DfStrategy.Packed]] is rejected: its row-local generator emits
+    * prefixes, not the full ranked sets the index side needs.
+    *
+    * Both directions of a pair are evaluated independently (containment is
+    * asymmetric — two equal-sized near-identical docs qualify both ways).
+    *
+    * @param docs one row per document; `setCol` an ARRAY of DISTINCT tokens
+    * @return columns: blockCols…, doc_small, doc_big, n_common, n_small (LONG)
+    */
+  def containmentJoin(
+      docs: DataFrame,
+      idCol: String,
+      setCol: String,
+      blockCols: Seq[String],
+      threshNum: Int,
+      threshDen: Int,
+      dfStrategy: DfStrategy = DfStrategy.Window): DataFrame = {
+    require(threshNum > 0 && threshNum <= threshDen, "threshold must be in (0, 1]")
+    require(dfStrategy != DfStrategy.Packed,
+      "containmentJoin needs full-index ranks; use DfStrategy.Window or Aggregate")
+    val bc = blockCols.map(col)
+    val d = docs.select(col(idCol).as("sj_id") +: col(setCol).as("sj_set") +: bc: _*)
+    val ex = d.select(
+      col("sj_id") +: size(col("sj_set")).as("sj_sz") +:
+        explode(col("sj_set")).as("sj_tok") +: bc: _*)
+    val ranked = rankedIndex(ex, blockCols, dfStrategy, None)
+      .select(col("sj_id") +: col("sj_tok") +: col("sj_sz") +: col("sj_rk") +: bc: _*)
+    // Probe prefix: |A| − ⌈t·|A|⌉ + 1 rare-first tokens of the contained side.
+    val probe = ranked.filter(
+      col("sj_rk") <= col("sj_sz") - ceilDivC(col("sj_sz") * threshNum, threshDen) + 1)
+    val alpha = ceilDivC(col("sz_i") * threshNum, threshDen)
+    val cand = probe.toDF("doc_i" +: "sj_tok" +: "sz_i" +: "rk_i" +: blockCols: _*)
+      .join(ranked.toDF("doc_j" +: "sj_tok" +: "sz_j" +: "rk_j" +: blockCols: _*),
+        blockCols :+ "sj_tok")
+      .filter(col("doc_i") =!= col("doc_j") &&
+        col("sz_j") >= alpha &&
+        least(col("sz_i") - col("rk_i"), col("sz_j") - col("rk_j")) + 1 >= alpha)
+      .select(col("doc_i") +: col("doc_j") +: bc: _*)
+      .dropDuplicates("doc_i" +: "doc_j" +: blockCols)
+    val sets = d.select(col("sj_id"), col("sj_set"))
+    cand
+      .join(sets.toDF("doc_i", "set_i"), "doc_i")
+      .join(sets.toDF("doc_j", "set_j"), "doc_j")
+      .withColumn("n_small", size(col("set_i")).cast("long"))
+      .withColumn("n_common",
+        size(array_intersect(col("set_i"), col("set_j"))).cast("long"))
+      .filter(col("n_small") > 0 &&
+        col("n_common") * threshDen >= col("n_small") * threshNum)
+      .select(bc ++ Seq(
+        col("doc_i").as("doc_small"), col("doc_j").as("doc_big"),
+        col("n_common"), col("n_small")): _*)
   }
 }

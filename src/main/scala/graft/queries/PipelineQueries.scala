@@ -594,6 +594,27 @@ object PipelineQueries extends QueryDomain {
         $"doc_i", $"doc_j")
     },
 
+    "q_containment" -> { (s, dir) =>
+      import s.implicits._
+      // Asymmetric word-3-gram CONTAINMENT >= 9/10 — the sub-document
+      // duplication shape symmetric Jaccard misses (a quote / syndicated
+      // passage / boilerplate absorbed into a much larger page has
+      // containment ~1 but Jaccard ~|small|/|big|). Candidates come from
+      // the contained side's rare-first prefix probing the FULL inverted
+      // index ([[SetSimJoin.containmentJoin]], one-sided prefix filtering
+      // — never an all-pairs scan); word shingles are an unbounded
+      // vocabulary, so df uses the Window strategy (one index exchange).
+      // Shingling is the compiled [[TextOps.wordShingles]] — the same
+      // split-on-space 3-gram contract as the q_dedup_minhash oracle twin.
+      val g = docs(s, dir)
+        .select($"doc_id", TextOps.wordShingles($"text", 3).as("sh"))
+        .filter(size($"sh") > 0)
+      orderedSmall(
+        SetSimJoin.containmentJoin(g, "doc_id", "sh", Nil,
+          threshNum = 9, threshDen = 10),
+        $"doc_small", $"doc_big")
+    },
+
     "q_edit_join" -> { (s, dir) =>
       import s.implicits._
       // Edit-distance similarity join ([[StringJoins.editDistanceJoin]]):
@@ -2938,6 +2959,18 @@ object PipelineQueries extends QueryDomain {
         |WHERE len(list_distinct(list_concat(a.gr, b.gr))) > 0
         |  AND 5 * len(list_intersect(a.gr, b.gr)) >= 3 * len(list_distinct(list_concat(a.gr, b.gr)))
         |ORDER BY doc_i, doc_j""".stripMargin,
+
+    "q_containment" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |s AS (SELECT doc_id,
+        |  list_distinct(list_transform(range(1, len(w)-1), i -> w[i]||' '||w[i+1]||' '||w[i+2])) AS sh
+        |  FROM t WHERE len(w) >= 3)
+        |SELECT a.doc_id AS doc_small, b.doc_id AS doc_big,
+        |  CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_common,
+        |  CAST(len(a.sh) AS BIGINT) AS n_small
+        |FROM s a JOIN s b ON a.doc_id <> b.doc_id
+        |WHERE len(a.sh) > 0 AND 10 * len(list_intersect(a.sh, b.sh)) >= 9 * len(a.sh)
+        |ORDER BY doc_small, doc_big""".stripMargin,
 
     "q_edit_join" ->
       """WITH s AS (

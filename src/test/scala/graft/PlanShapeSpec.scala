@@ -100,6 +100,24 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       s"full-index per-doc exchange must not exist:\n$p")
   }
 
+  test("q_containment: equi-join candidates, compiled shingles, no cartesian") {
+    val p = plan("q_containment")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidates must come from the prefix/token equi-join, never all-pairs:\n$p")
+    assert(p.contains("graft_word_shingles"),
+      s"shingling must be the compiled WordShingles expression:\n$p")
+    // The rare-first df/rank machinery rides the (token) index exchange. At
+    // this tiny SF the planner BROADCASTS the candidate join's build side,
+    // which blocks ReuseExchange across the broadcast boundary and shows the
+    // index exchange twice (probe branch + build branch) — at scale the
+    // build side is far past any broadcast threshold and the self-join's
+    // two reads reuse one exchange. Pin the bound, not the tiny-SF artifact:
+    // three or more would mean a genuinely new full-index shuffle appeared.
+    val idxExchanges = "Exchange hashpartitioning\\(sj_tok".r.findAllIn(p).size
+    assert(idxExchanges <= 2,
+      s"unexpected extra full-index exchange:\n$p")
+  }
+
   test("q_decontaminate: window-hash equi-join — no cartesian, no nested loop") {
     val p = plan("q_decontaminate")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

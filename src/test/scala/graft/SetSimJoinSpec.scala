@@ -160,4 +160,83 @@ class SetSimJoinSpec extends AnyFunSuite with SparkSpec {
     assertThrows[IllegalArgumentException](
       SetSimJoin.jaccardJoin(grams, "doc_id", "gr", Seq("lang"), 6, 5))
   }
+
+  // ------------------------------------------------------- containmentJoin
+
+  private def cPairsOf(df: org.apache.spark.sql.DataFrame) =
+    df.select("doc_small", "doc_big", "n_common", "n_small")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
+  private def cBrute(df: org.apache.spark.sql.DataFrame, tn: Int, td: Int) =
+    cPairsOf(
+      df.as("a").join(df.as("b"),
+          col("a.blk") === col("b.blk") && col("a.doc_id") =!= col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_small"), col("b.doc_id").as("doc_big"),
+          size(array_intersect(col("a.gr"), col("b.gr"))).cast("long").as("n_common"),
+          size(col("a.gr")).cast("long").as("n_small"))
+        .filter(col("n_small") > 0 && col("n_common") * td >= col("n_small") * tn))
+
+  test("containment: a small doc inside a big one qualifies; the reverse does not") {
+    // The shape Jaccard misses: small ⊂ big with |big| ≫ |small| has
+    // containment 1 but Jaccard 3/23 — jaccardJoin at t=1/2 must NOT pair
+    // them, containmentJoin at t=9/10 must, and only in the small→big
+    // direction.
+    val small = Seq("q1", "q2", "q3")
+    val big = small ++ (1 to 20).map("f" + _)
+    val df = Seq((1L, "a", small), (2L, "a", big)).toDF("doc_id", "blk", "gr")
+    val c = cPairsOf(SetSimJoin.containmentJoin(df, "doc_id", "gr", Seq("blk"), 9, 10))
+    assert(c === Set((1L, 2L, 3L, 3L)))
+    val j = pairsOf(SetSimJoin.jaccardJoin(df, "doc_id", "gr", Seq("blk"), 1, 2))
+    assert(j.isEmpty, "sanity: the same pair must be invisible to Jaccard")
+  }
+
+  test("property: containmentJoin ≡ brute-force ordered pairs across thresholds") {
+    val rng = new scala.util.Random(17) // deterministic
+    val rows = (0 until 120).map { id =>
+      val toks = Seq.fill(3 + rng.nextInt(12))("t" + rng.nextInt(25)).distinct
+      (id.toLong, if (id % 2 == 0) "a" else "b", toks)
+    }
+    // Planted PROPER SUBSETS (never supersets of everything): high
+    // containment / low Jaccard, the pairs only the asymmetric join finds.
+    val planted = rows.take(5).map { case (id, blk, toks) =>
+      (id + 1000L, blk, toks.take(math.max(2, toks.length / 2)))
+    }
+    val df = (rows ++ planted).toDF("doc_id", "blk", "gr")
+    for ((tn, td) <- Seq((1, 2), (3, 4), (9, 10), (1, 1))) {
+      val viaIndex = cPairsOf(
+        SetSimJoin.containmentJoin(df, "doc_id", "gr", Seq("blk"), tn, td))
+      val brute = cBrute(df, tn, td)
+      assert(viaIndex == brute, s"divergence at threshold $tn/$td")
+      assert(brute.nonEmpty, s"degenerate fixture at threshold $tn/$td")
+    }
+  }
+
+  test("property: containment DfStrategies identical, hot keys included") {
+    val rng = new scala.util.Random(23) // deterministic
+    val rows = (0 until 150).map { id =>
+      val toks = ("t0" +: Seq.fill(2 + rng.nextInt(10))("t" + rng.nextInt(20))).distinct
+      (id.toLong, if (id % 3 == 0) "a" else "b", toks)
+    }
+    val df = rows.toDF("doc_id", "blk", "gr")
+    val strategies = Seq(
+      SetSimJoin.DfStrategy.Window,
+      SetSimJoin.DfStrategy.Aggregate(broadcast = true),
+      SetSimJoin.DfStrategy.Aggregate(broadcast = false),
+      SetSimJoin.DfStrategy.Aggregate(broadcast = false, hotDfThreshold = 8))
+    for ((tn, td) <- Seq((1, 2), (4, 5))) {
+      val results = strategies.map(st => cPairsOf(
+        SetSimJoin.containmentJoin(df, "doc_id", "gr", Seq("blk"), tn, td, st)))
+      assert(results(0).nonEmpty, s"degenerate fixture at threshold $tn/$td")
+      assert(results.distinct.size == 1, s"DfStrategy divergence at threshold $tn/$td")
+      assert(results(0) == cBrute(df, tn, td), s"wrong answer at threshold $tn/$td")
+    }
+  }
+
+  test("containmentJoin rejects Packed and degenerate thresholds") {
+    val df = Seq((1L, "a", Seq(1L, 2L))).toDF("doc_id", "blk", "gr")
+    assertThrows[IllegalArgumentException](SetSimJoin.containmentJoin(
+      df, "doc_id", "gr", Seq("blk"), 1, 2, SetSimJoin.DfStrategy.Packed))
+    assertThrows[IllegalArgumentException](
+      SetSimJoin.containmentJoin(df, "doc_id", "gr", Seq("blk"), 0, 5))
+  }
 }
