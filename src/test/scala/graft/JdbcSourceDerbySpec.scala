@@ -86,8 +86,10 @@ class JdbcSourceDerbySpec extends AnyFunSuite with SparkSpec with BeforeAndAfter
     pre.close()
     val df = (1 to 21).toDF("event_id")
       .selectExpr("event_id", "concat('w_', event_id) AS user_name")
+    // Mixed-case targets are addressed PRE-QUOTED (unquoted parts fold to
+    // lower case since r14 — see UpsertSqlGen.quoteTable).
     val stats = PostgresUpsertSink.upsert(
-      df, "Sink_Target", uniqueKey = None,
+      df, "\"Sink_Target\"", uniqueKey = None,
       factory = JdbcConnectionFactory(url, user = "", password = "", properties = Map.empty),
       batchSize = 8, parallelism = 2)
     assert(stats.loaded == 20)
