@@ -123,17 +123,7 @@ object MinHashLsh {
       threshDen: Int = 2): DataFrame = {
     require(numHashes % numBands == 0, "numBands must divide numHashes")
     val r = numHashes / numBands
-
-    // The non-empty-shingles filter is expressed on the raw token count, not
-    // on size(sh): a `size(sh) > 0` predicate gets pushed below the source's
-    // exchange with the whole shingle expression inlined, re-computing the
-    // heavy shingling in the (possibly single-partition) scan stage. The
-    // token-count form is equivalent (wordShingles is non-empty iff the doc
-    // has >= shingleN tokens) and cheap wherever the optimizer moves it.
-    val shingled = docs
-      .filter(size(TextOps.tokens(col(textCol))) >= shingleN)
-      .select(col(idCol).as("doc_id"), TextOps.wordShingles(col(textCol), shingleN).as("sh"))
-
+    val shingled = shingleDocs(docs, idCol, textCol, shingleN)
     val banded = bandedKeys(signatures(shingled, numHashes), numBands, r)
 
     // A pair colliding in several bands would appear once per band — distinct
@@ -151,6 +141,113 @@ object MinHashLsh {
       .select(col("doc_i"), col("doc_j"),
         size(array_intersect(col("sh_i"), col("sh_j"))).as("n_common"),
         size(array_union(col("sh_i"), col("sh_j"))).as("n_union"))
+      .filter(col("n_union") > 0 &&
+        col("n_common") * threshDen >= col("n_union") * threshNum)
+  }
+
+  // ------------------------------------------------------- persisted index
+
+  /** Shingle + id projection shared by [[nearDupPairs]], the index builder,
+    * the append path, and the probe — ONE code path, so a probe's
+    * signatures can never drift from the signatures the index stores.
+    *
+    * The non-empty-shingles filter is expressed on the raw token count, not
+    * on size(sh): a `size(sh) > 0` predicate gets pushed below the source's
+    * exchange with the whole shingle expression inlined, re-computing the
+    * heavy shingling in the (possibly single-partition) scan stage. The
+    * token-count form is equivalent (wordShingles is non-empty iff the doc
+    * has >= shingleN tokens) and cheap wherever the optimizer moves it.
+    */
+  private def shingleDocs(
+      docs: DataFrame, idCol: String, textCol: String, shingleN: Int): DataFrame =
+    docs
+      .filter(size(TextOps.tokens(col(textCol))) >= shingleN)
+      .select(col(idCol).as("doc_id"), TextOps.wordShingles(col(textCol), shingleN).as("sh"))
+
+  /** Build and persist a banded-LSH corpus index — the production dedup
+    * pattern at 100 TB: the corpus's signatures are computed ONCE and every
+    * later ingest batch probes them, instead of re-shingling petabytes per
+    * batch. Two bucketed tables ([[ScaleJoins.writeBucketed]]):
+    * `<name>_bands` (doc_id, band, band_key) bucketed by (band, band_key) —
+    * so a probe's band join reads corpus buckets CO-LOCATED, with no
+    * Exchange on the corpus side — and `<name>_sets` (doc_id, sh) bucketed
+    * by doc_id for the exact-verify join, likewise corpus-shuffle-free.
+    * `<name>_meta` records (numHashes, numBands, shingleN, buckets) so
+    * append/probe can never run with mismatched parameters.
+    */
+  def saveLshIndex(
+      docs: DataFrame, idCol: String, textCol: String, name: String,
+      numHashes: Int = 32, numBands: Int = 8, shingleN: Int = 3,
+      buckets: Int = 32): Unit = {
+    require(numHashes % numBands == 0, "numBands must divide numHashes")
+    val sh = shingleDocs(docs, idCol, textCol, shingleN)
+    val banded = bandedKeys(signatures(sh, numHashes), numBands, numHashes / numBands)
+    ScaleJoins.writeBucketed(banded, s"${name}_bands", Seq("band", "band_key"), buckets)
+    ScaleJoins.writeBucketed(sh, s"${name}_sets", Seq("doc_id"), buckets)
+    ScaleJoins.dropOrphanManagedDir(docs.sparkSession, s"${name}_meta")
+    import docs.sparkSession.implicits._
+    Seq((numHashes, numBands, shingleN, buckets))
+      .toDF("num_hashes", "num_bands", "shingle_n", "buckets")
+      .write.mode("overwrite").saveAsTable(s"${name}_meta")
+  }
+
+  private def readLshMeta(
+      spark: org.apache.spark.sql.SparkSession, name: String): (Int, Int, Int, Int) = {
+    val r = spark.table(s"${name}_meta")
+      .select("num_hashes", "num_bands", "shingle_n", "buckets").head()
+    (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3))
+  }
+
+  /** Incremental index maintenance — the daily-ingest path: signatures for
+    * the NEW docs only (parameters come from the index's own meta table,
+    * so they cannot drift), appended to both bucketed tables under the SAME
+    * bucket spec (Spark validates the spec on append), preserving the
+    * probe-side co-location. The index state afterwards is IDENTICAL to a
+    * full [[saveLshIndex]] over (old ∪ new) — the equality `q_lsh_probe`
+    * pins against a brute-force oracle over the union. Cost is O(|new|):
+    * a growing corpus never recomputes or rewrites existing signatures.
+    */
+  def appendToLshIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      newDocs: DataFrame, idCol: String, textCol: String, name: String): Unit = {
+    val (nh, nb, sn, buckets) = readLshMeta(spark, name)
+    val sh = shingleDocs(newDocs, idCol, textCol, sn)
+    val banded = bandedKeys(signatures(sh, nh), nb, nh / nb)
+    banded.write.bucketBy(buckets, "band", "band_key").sortBy("band", "band_key")
+      .mode("append").saveAsTable(s"${name}_bands")
+    sh.write.bucketBy(buckets, "doc_id").sortBy("doc_id")
+      .mode("append").saveAsTable(s"${name}_sets")
+  }
+
+  /** Probe the persisted index with a new batch: cross pairs
+    * (new doc × corpus doc) with word-shingle Jaccard ≥ threshNum/threshDen
+    * — "which corpus documents does each incoming document duplicate",
+    * WITHOUT touching corpus text. Candidates come from band-key collisions
+    * against the bucketed bands table (corpus side reads co-located — no
+    * exchange); verification joins the bucketed sets table by doc id, cost
+    * proportional to candidates. In-batch (new × new) dedup is
+    * [[nearDupPairs]]'s job, run on the batch alone.
+    * Output: (new_id, corpus_id, n_common, n_union); a doc present in both
+    * relations never pairs with itself.
+    */
+  def lshProbe(
+      spark: org.apache.spark.sql.SparkSession,
+      probeDocs: DataFrame, idCol: String, textCol: String, name: String,
+      threshNum: Int = 1, threshDen: Int = 2): DataFrame = {
+    val (nh, nb, sn, _) = readLshMeta(spark, name)
+    val pSh = shingleDocs(probeDocs, idCol, textCol, sn)
+    val pBand = bandedKeys(signatures(pSh, nh), nb, nh / nb)
+    val candidates = pBand.toDF("new_id", "band", "band_key")
+      .join(spark.table(s"${name}_bands").toDF("corpus_id", "band", "band_key"),
+        Seq("band", "band_key"))
+      .filter(col("new_id") =!= col("corpus_id"))
+      .select("new_id", "corpus_id").distinct()
+    candidates
+      .join(pSh.toDF("new_id", "sh_n"), "new_id")
+      .join(spark.table(s"${name}_sets").toDF("corpus_id", "sh_c"), "corpus_id")
+      .select(col("new_id"), col("corpus_id"),
+        size(array_intersect(col("sh_n"), col("sh_c"))).as("n_common"),
+        size(array_union(col("sh_n"), col("sh_c"))).as("n_union"))
       .filter(col("n_union") > 0 &&
         col("n_common") * threshDen >= col("n_union") * threshNum)
   }

@@ -594,6 +594,38 @@ object PipelineQueries extends QueryDomain {
         $"doc_i", $"doc_j")
     },
 
+    "q_lsh_probe" -> { (s, dir) =>
+      import s.implicits._
+      // Persisted banded-MinHash corpus index + incremental append + probe
+      // ([[MinHashLsh.saveLshIndex]]/[[appendToLshIndex]]/[[lshProbe]]) —
+      // the production dedup-against-corpus pattern: corpus signatures are
+      // computed once (bucketed bands + sets tables), a later ingest batch
+      // appends its own signatures only, and the probe finds which corpus
+      // docs each incoming doc duplicates with ZERO corpus-side shuffle.
+      // Staged: corpus = doc_id%4 ∈ {0,1}, appended ingest = %4 == 2,
+      // probe batch = %4 == 3. The oracle brute-forces the cross pairs over
+      // the UNION (build ∪ append) — equality also pins that the appended
+      // index state matches a from-scratch build. Recall is exactly 1 at
+      // the fixture's similarity gap (same 32×8 argument as
+      // q_dedup_minhash). Build+append stage once per (sf, JVM)
+      // ([[Staging.memo]]): a second append would duplicate band rows, and
+      // bench reps must measure the PROBE, not the build.
+      val d = docs(s, dir)
+      val name = Staging.memo[String]("lshprobe", dir) {
+        val nm = "graft_lsh_probe_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+        MinHashLsh.saveLshIndex(d.filter($"doc_id" % 4 <= 1), "doc_id", "text", nm,
+          numHashes = 32, numBands = 8, shingleN = 3, buckets = 8)
+        MinHashLsh.appendToLshIndex(s, d.filter($"doc_id" % 4 === 2), "doc_id", "text", nm)
+        nm
+      }
+      orderedSmall(
+        MinHashLsh.lshProbe(s, d.filter($"doc_id" % 4 === 3), "doc_id", "text", name,
+            threshNum = 1, threshDen = 2)
+          .select($"new_id", $"corpus_id", $"n_common".cast("long").as("n_common"),
+            $"n_union".cast("long").as("n_union")),
+        $"new_id", $"corpus_id")
+    },
+
     "q_containment" -> { (s, dir) =>
       import s.implicits._
       // Asymmetric word-3-gram CONTAINMENT >= 9/10 — the sub-document
@@ -2959,6 +2991,19 @@ object PipelineQueries extends QueryDomain {
         |WHERE len(list_distinct(list_concat(a.gr, b.gr))) > 0
         |  AND 5 * len(list_intersect(a.gr, b.gr)) >= 3 * len(list_distinct(list_concat(a.gr, b.gr)))
         |ORDER BY doc_i, doc_j""".stripMargin,
+
+    "q_lsh_probe" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |s AS (SELECT doc_id,
+        |  list_distinct(list_transform(range(1, len(w)-1), i -> w[i]||' '||w[i+1]||' '||w[i+2])) AS sh
+        |  FROM t WHERE len(w) >= 3)
+        |SELECT a.doc_id AS new_id, b.doc_id AS corpus_id,
+        |  CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_common,
+        |  CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS BIGINT) AS n_union
+        |FROM s a JOIN s b ON a.doc_id % 4 = 3 AND b.doc_id % 4 <= 2 AND a.doc_id <> b.doc_id
+        |WHERE len(list_distinct(list_concat(a.sh, b.sh))) > 0
+        |  AND 2 * len(list_intersect(a.sh, b.sh)) >= len(list_distinct(list_concat(a.sh, b.sh)))
+        |ORDER BY new_id, corpus_id""".stripMargin,
 
     "q_containment" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

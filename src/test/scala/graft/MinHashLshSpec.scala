@@ -94,4 +94,52 @@ class MinHashLshSpec extends AnyFunSuite with SparkSpec {
       Seq(1).toDF("x").select(MinHashLsh.permHash(h, k)).head().getLong(0))
     assert(vals.forall(v => v >= 0 && v < graft.operators.TextOps.Prime))
   }
+
+  test("persisted LSH index: build+append probe ≡ from-scratch build ≡ brute force") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val corpus = docs.filter($"doc_id" % 4 <= 1)
+    val ingest = docs.filter($"doc_id" % 4 === 2)
+    val probe = docs.filter($"doc_id" % 4 === 3)
+    def probePairs(name: String) =
+      MinHashLsh.lshProbe(spark, probe, "doc_id", "text", name)
+        .select("new_id", "corpus_id", "n_common", "n_union")
+        .as[(Long, Long, Int, Int)].collect().toSet
+    // Incremental path: build on the corpus, append the ingest batch.
+    MinHashLsh.saveLshIndex(corpus, "doc_id", "text", "lsh_spec_incr",
+      numHashes = 32, numBands = 8, buckets = 4)
+    MinHashLsh.appendToLshIndex(spark, ingest, "doc_id", "text", "lsh_spec_incr")
+    val incr = probePairs("lsh_spec_incr")
+    // From-scratch build over the union must probe identically.
+    MinHashLsh.saveLshIndex(corpus.unionByName(ingest), "doc_id", "text",
+      "lsh_spec_full", numHashes = 32, numBands = 8, buckets = 4)
+    assert(incr === probePairs("lsh_spec_full"),
+      "appended index state must equal a from-scratch build")
+    // And equal brute-force cross pairs (fixture similarity gap ⇒ recall 1).
+    val sh = docs.select($"doc_id",
+        graft.operators.TextOps.wordShingles($"text").as("sh"))
+      .filter(size($"sh") > 0)
+    val brute = sh.as("a").join(sh.as("b"),
+        col("a.doc_id") % 4 === 3 && col("b.doc_id") % 4 <= 2 &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("n"), col("b.doc_id").as("c"),
+        size(array_intersect(col("a.sh"), col("b.sh"))).as("nc"),
+        size(array_union(col("a.sh"), col("b.sh"))).as("nu"))
+      .filter($"nu" > 0 && $"nc" * 2 >= $"nu")
+      .as[(Long, Long, Int, Int)].collect().toSet
+    assert(incr === brute)
+    assert(incr.nonEmpty, "fixture must plant cross-parity near-dups")
+  }
+
+  test("persisted LSH probe: corpus side reads bucketed — no corpus exchange") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    MinHashLsh.saveLshIndex(docs.filter($"doc_id" % 2 === 0), "doc_id", "text",
+      "lsh_spec_plan", numHashes = 32, numBands = 8, buckets = 4)
+    val plan = MinHashLsh.lshProbe(spark, docs.filter($"doc_id" % 2 === 1),
+      "doc_id", "text", "lsh_spec_plan").queryExecution.executedPlan.toString
+    // The bands and sets tables are bucketed on their join keys: an Exchange
+    // whose child scans either table means the co-location contract broke.
+    val badExchange = "(?s)Exchange hashpartitioning[^\\n]*\\n[^E]*lsh_spec_plan".r
+    assert(badExchange.findFirstIn(plan).isEmpty,
+      s"corpus-side exchange over a bucketed index table:\n$plan")
+  }
 }
