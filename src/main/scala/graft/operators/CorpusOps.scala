@@ -774,4 +774,96 @@ object CorpusOps {
       .filter(col("rank") <= k)
       .select(col("__q").as(queryCol), col("__c").as("neg_id"), col("rank"))
   }
+
+  /** Token-budget source mixing — the down-sampling stage of a training-data
+    * mix ("take B_s tokens from source s"): within each group, documents are
+    * taken in deterministic content-hash order until the group's token
+    * budget is exhausted (greedy prefix: a doc is kept iff the running total
+    * through it still fits). Hash order makes the draw stable across runs,
+    * engines, and partitionings (the `rand()` trap) and unbiased w.r.t.
+    * storage order. Budgets arrive as data; groups without a budget are
+    * DROPPED — an unconfigured source must never leak into a training mix.
+    * Null-text docs are excluded (no token count exists for them).
+    *
+    * Scale posture — the naive form is one window cumsum per group, i.e. a
+    * SINGLE TASK scans each source's whole corpus slice (the global-cumsum
+    * trap `packSequences` documents). Instead the hash order is refined in
+    * two phases, provably identical output:
+    *   1. a combiner-reduced census of token totals per (group,
+    *      hash-bucket), where `bucket = h / ceil(Prime/hashBuckets)` is
+    *      MONOTONE in the hash order — the census is groups × hashBuckets
+    *      rows, and its per-group running total finds each group's boundary
+    *      bucket driver-free (broadcast back);
+    *   2. buckets wholly inside the budget keep every doc with no per-row
+    *      work; buckets wholly past it drop likewise; ONLY the single
+    *      boundary bucket per group (≈ 1/hashBuckets of the slice) runs the
+    *      row-level cumsum, offset by the census prefix.
+    * Equivalence: with P(b) = tokens in buckets < b, a doc in bucket b has
+    * running total in (P(b), P(b+1)]; `P(b+1) ≤ B` keeps the whole bucket,
+    * `P(b) > B` drops it, and the one bucket straddling B is exactly the
+    * row-level case. Proven against the naive window in CorpusOpsSpec.
+    *
+    * @return (idCol, groupCol, n_tokens) of the kept documents
+    */
+  def tokenBudgetMix(
+      docs: DataFrame,
+      idCol: String,
+      groupCol: String,
+      textCol: String,
+      budgets: Seq[(String, Long)],
+      hashBase: Long = 193L,
+      hashBuckets: Int = 1024): DataFrame = {
+    require(hashBuckets >= 1, "hashBuckets must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val width = (TextOps.Prime + hashBuckets - 1) / hashBuckets
+    val n = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("tb_id"), col(groupCol).as("tb_grp"),
+        size(TextOps.tokens(col(textCol))).cast("long").as("n_tokens"),
+        TextOps.polyHash(col(textCol), hashBase).as("tb_h"))
+      .join(broadcast(budgets.toDF("tb_grp", "tb_budget")), Seq("tb_grp"))
+      .withColumn("tb_bkt", (col("tb_h") / lit(width)).cast("long"))
+    val census = n.groupBy(col("tb_grp"), col("tb_bkt"))
+      .agg(sum(col("n_tokens")).as("bkt_tokens"))
+    val wb = Window.partitionBy(col("tb_grp")).orderBy(col("tb_bkt"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cuts = census
+      .withColumn("p_after", sum(col("bkt_tokens")).over(wb))
+      .withColumn("p_before", col("p_after") - col("bkt_tokens"))
+      .select(col("tb_grp"), col("tb_bkt"), col("p_before"), col("p_after"))
+    val classed = n.join(broadcast(cuts), Seq("tb_grp", "tb_bkt"))
+    val keepWhole = classed.filter(col("p_after") <= col("tb_budget"))
+    val wr = Window.partitionBy(col("tb_grp")).orderBy(col("tb_h"), col("tb_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val boundary = classed
+      .filter(col("p_before") <= col("tb_budget") && col("p_after") > col("tb_budget"))
+      .withColumn("tb_cum", col("p_before") + sum(col("n_tokens")).over(wr))
+      .filter(col("tb_cum") <= col("tb_budget"))
+    keepWhole.select(col("tb_id"), col("tb_grp"), col("n_tokens"))
+      .unionByName(boundary.select(col("tb_id"), col("tb_grp"), col("n_tokens")))
+      .select(col("tb_id").as(idCol), col("tb_grp").as(groupCol), col("n_tokens"))
+  }
+
+  /** Reference formulation of [[tokenBudgetMix]] as the naive per-group
+    * window cumsum — the executable spec the two-phase plan must stay
+    * row-identical to (CorpusOpsSpec), and the shape the DuckDB oracle
+    * mirrors 1:1. Single task per group — never run this form at scale.
+    */
+  private[graft] def tokenBudgetMixNaive(
+      docs: DataFrame, idCol: String, groupCol: String, textCol: String,
+      budgets: Seq[(String, Long)], hashBase: Long = 193L): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = Window.partitionBy(col("tb_grp")).orderBy(col("tb_h"), col("tb_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("tb_id"), col(groupCol).as("tb_grp"),
+        size(TextOps.tokens(col(textCol))).cast("long").as("n_tokens"),
+        TextOps.polyHash(col(textCol), hashBase).as("tb_h"))
+      .join(broadcast(budgets.toDF("tb_grp", "tb_budget")), Seq("tb_grp"))
+      .withColumn("tb_cum", sum(col("n_tokens")).over(w))
+      .filter(col("tb_cum") <= col("tb_budget"))
+      .select(col("tb_id").as(idCol), col("tb_grp").as(groupCol), col("n_tokens"))
+  }
 }

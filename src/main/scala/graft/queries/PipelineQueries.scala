@@ -1214,6 +1214,26 @@ object PipelineQueries extends QueryDomain {
         .orderBy($"doc_id")
     },
 
+    "q_token_budget_mix" -> { (s, dir) =>
+      import s.implicits._
+      // Token-budget source mixing ([[CorpusOps.tokenBudgetMix]]): each
+      // source down-sampled to its own token budget by taking docs in
+      // deterministic content-hash order until the budget is spent — the
+      // "B_s tokens from source s" stage of a training mix. Budgets are
+      // DIFFERENTIATED by the numeric source suffix (300 + 100·(suffix%4))
+      // so the budget relation is exercised, not a constant; base 193
+      // keeps the draw independent of the split/strata/weighted/temperature
+      // decisions. The two-phase bucket-census plan (no whole-source
+      // single-task cumsum) is output-identical to the oracle's naive
+      // window — the equivalence CorpusOpsSpec pins directly.
+      val srcs = docs(s, dir).select($"source").distinct()
+        .as[String].collect().toSeq.sorted // config-sized: |sources| rows
+      val budgets = srcs.map(src =>
+        src -> (300L + 100L * (src.stripPrefix("src").toLong % 4)))
+      CorpusOps.tokenBudgetMix(docs(s, dir), "doc_id", "source", "text", budgets)
+        .orderBy($"doc_id")
+    },
+
     "q_partition_prune" -> { (s, dir) =>
       import s.implicits._
       // Hive-partitioned event-log layout ([[ScaleJoins.writePartitioned]]):
@@ -3219,6 +3239,19 @@ object PipelineQueries extends QueryDomain {
 
     // Integer-exact α=1/2 temperature test: u²·n_lang < (4·2^20)², HUGEINT
     // product on the left (u² < 2^40 times a BIGINT count).
+    "q_token_budget_mix" ->
+      s"""WITH n AS (SELECT doc_id, source,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |  ${duckHash("text", 193)} AS h,
+         |  300 + 100 * (CAST(substr(source, 4) AS BIGINT) % 4) AS budget
+         |  FROM documents WHERE text IS NOT NULL),
+         |c AS (SELECT doc_id, source, n_tokens, budget,
+         |  sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+         |    ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM n)
+         |SELECT doc_id, source, n_tokens FROM c WHERE cum <= budget
+         |ORDER BY doc_id""".stripMargin,
+
     "q_temperature_mix" ->
       s"""WITH n AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
          |u AS (SELECT doc_id, lang,

@@ -550,4 +550,41 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec {
       .as[(Long, Long, Int)].collect().sorted.toSeq
     assert(run(2) === run(9))
   }
+
+  test("tokenBudgetMix: two-phase bucket census ≡ naive window, across bucket counts") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val budgets = docs.select($"source").distinct().as[String].collect().toSeq
+      .sorted.map(src => src -> (300L + 100L * (src.stripPrefix("src").toLong % 4)))
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, String, Long)].collect().sorted.toSeq
+    val naive = collect(CorpusOps.tokenBudgetMixNaive(
+      docs, "doc_id", "source", "text", budgets))
+    assert(naive.nonEmpty, "degenerate fixture: no docs within any budget")
+    // Across bucket granularities INCLUDING the degenerate single bucket
+    // (every group is its own boundary) and a count far above the hash
+    // range's occupancy (most buckets empty).
+    for (nb <- Seq(1, 7, 1024, 1 << 20)) {
+      val twoPhase = collect(CorpusOps.tokenBudgetMix(
+        docs, "doc_id", "source", "text", budgets, hashBuckets = nb))
+      assert(twoPhase === naive, s"divergence at hashBuckets=$nb")
+    }
+  }
+
+  test("tokenBudgetMix: budget boundary is exact and unbudgeted groups drop") {
+    // Three docs of 3 tokens each, hash order fully determined by content;
+    // budget 7 keeps exactly the first two in hash order (6 ≤ 7 < 9), and
+    // group "nobudget" vanishes.
+    val docs = Seq(
+      (1L, "g", "a b c"), (2L, "g", "d e f"), (3L, "g", "g h i"),
+      (4L, "nobudget", "j k l")).toDF("doc_id", "source", "text")
+    val kept = CorpusOps.tokenBudgetMix(docs, "doc_id", "source", "text",
+      Seq("g" -> 7L)).as[(Long, String, Long)].collect().sorted.toSeq
+    assert(kept.length === 2 && kept.forall(_._2 == "g"))
+    assert(kept.map(_._3).sum === 6L)
+    // The kept pair is the hash-order prefix — recompute it directly.
+    val order = docs.filter($"source" === "g")
+      .select($"doc_id", TextOps.polyHash($"text", 193L).as("h"))
+      .orderBy($"h", $"doc_id").as[(Long, Long)].collect().map(_._1).toSeq
+    assert(kept.map(_._1).toSet === order.take(2).toSet)
+  }
 }
