@@ -104,25 +104,34 @@ object GraphOps {
     }
 
     // Stopping rule: the answer state is a union of DISJOINT MIN-ROOTED
-    // STARS, and that structure is directly checkable — every source node
-    // appears exactly once and never as a target. It is also sufficient:
-    // both star operations preserve the node set and the component
-    // partition (SoCC'14 §3), so a disjoint-star edge set has one star per
-    // ORIGINAL component, rooted at that component's minimum (small-star
-    // only ever directs edges larger → smaller). Checking the structure of
-    // the current state costs ONE single-shuffle action per round (tag each
-    // endpoint role, one combiner-reduced aggregate per node) — unlike
-    // fixpoint detection, which needs set-equality (two anti-joins) per
-    // operation. The same aggregate also returns the state's edge COUNT
-    // (Σ nsrc), so the endgame size gate rides the convergence check for
-    // free instead of costing a second action.
+    // STARS, and that shape is directly checkable — every source node
+    // appears exactly once and never as a target, AND every edge points
+    // larger → smaller. The orientation term matters for the ROUND-0
+    // state only: star rounds direct edges at minima by construction
+    // (SoCC'14 §3 — small-star only emits larger → smaller), but the RAW
+    // INPUT can be disjoint-star-shaped with edges pointing small → large
+    // (a single edge (1, 2); a star (1,2),(3,2)) — structurally clean yet
+    // rooted at a NON-minimum, which the pre-fix check accepted and
+    // mislabeled (caught by the incrementalComponents spec, r14). It is
+    // also sufficient: both star operations preserve the node set and the
+    // component partition, so a disjoint min-rooted star set has one star
+    // per ORIGINAL component rooted at its minimum. Checking costs ONE
+    // single-shuffle action per round (tag each endpoint role, one
+    // combiner-reduced aggregate per node) — unlike fixpoint detection,
+    // which needs set-equality (two anti-joins) per operation. The same
+    // aggregate also returns the state's edge COUNT (Σ nsrc), so the
+    // endgame size gate rides the convergence check for free instead of
+    // costing a second action.
     def stateCheck(s: DataFrame): (Long, Long) = {
-      val row = s.select(col("u").as("n"), lit(1L).as("nsrc"), lit(0L).as("ndst"))
-        .union(s.select(col("v").as("n"), lit(0L).as("nsrc"), lit(1L).as("ndst")))
-        .groupBy("n").agg(sum("nsrc").as("nsrc"), sum("ndst").as("ndst"))
+      val row = s.select(col("u").as("n"), lit(1L).as("nsrc"), lit(0L).as("ndst"),
+          when(col("u") < col("v"), 1L).otherwise(0L).as("nmis"))
+        .union(s.select(col("v").as("n"), lit(0L).as("nsrc"), lit(1L).as("ndst"),
+          lit(0L).as("nmis")))
+        .groupBy("n").agg(sum("nsrc").as("nsrc"), sum("ndst").as("ndst"),
+          sum("nmis").as("nmis"))
         .agg(
-          sum(when(col("nsrc") > 1 || (col("nsrc") > 0 && col("ndst") > 0), 1L)
-            .otherwise(0L)).as("nviol"),
+          (sum(when(col("nsrc") > 1 || (col("nsrc") > 0 && col("ndst") > 0), 1L)
+            .otherwise(0L)) + sum(col("nmis"))).as("nviol"),
           sum(col("nsrc")).as("nedges"))
         .head()
       (if (row.isNullAt(0)) 0L else row.getLong(0),
@@ -468,5 +477,56 @@ object GraphOps {
         .localCheckpoint(eager = false)
     }
     labels.select(col("node"), col("lbl").as("community"))
+  }
+
+  /** Incremental connected components — fold NEW edges into an EXISTING
+    * labeling without re-traversing old edges. The growing-dedup-graph
+    * path: at 100 TB the duplicate graph accretes daily (each ingest
+    * batch's near-dup pairs), and recomputing components over the full
+    * history every day is the scale trap this avoids.
+    *
+    * Quotient contraction: each new edge's endpoints map through their old
+    * label (unlabeled = genuinely new nodes map to themselves), components
+    * are computed on that QUOTIENT graph — whose size is bounded by the new
+    * batch, never the history — and old labels remap through the quotient
+    * result (untouched components keep their label via the left join).
+    *
+    * Exactness: [[connectedComponents]] labels with the component-minimum
+    * node id, and min composes through contraction — each old label IS the
+    * minimum of its old component, so the quotient minimum over (touched
+    * labels ∪ new node ids) is the true minimum of the merged component.
+    * The result is row-identical to `connectedComponents(old ∪ new)` over
+    * `nodes(labels) ∪ nodes(newEdges)` — property-pinned in GraphOpsSpec
+    * and gated against the same from-scratch oracle as q_dedup_clusters.
+    *
+    * Shuffles: two broadcast-or-hash joins keyed by node/label to build the
+    * quotient, the CC rounds on the batch-sized quotient graph, one label
+    * remap join. Nothing scans or shuffles the historical edge set.
+    *
+    * @param labels (nodeCol, compCol) from a previous run over the old edges
+    * @return columns: node LONG, component LONG (= min node id reachable
+    *         in the union graph)
+    */
+  def incrementalComponents(
+      labels: DataFrame, nodeCol: String, compCol: String,
+      newEdges: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 50): DataFrame = {
+    val lab = labels.select(col(nodeCol).as("n"), col(compCol).as("c"))
+    val qe = newEdges.select(col(srcCol).as("u0"), col(dstCol).as("v0"))
+      .join(lab.toDF("u0", "cu"), Seq("u0"), "left")
+      .join(lab.toDF("v0", "cv"), Seq("v0"), "left")
+      .select(coalesce(col("cu"), col("u0")).as("u"),
+        coalesce(col("cv"), col("v0")).as("v"))
+      .filter(col("u") =!= col("v")) // in-component edges contract away
+    val q = connectedComponents(qe, "u", "v", maxIter)
+    val relabeled = lab
+      .join(q.toDF("c", "qc"), Seq("c"), "left")
+      .select(col("n").as("node"), coalesce(col("qc"), col("c")).as("component"))
+    // Quotient nodes that are not old label-bearers are genuinely new nodes;
+    // their quotient component is already final. (Old labels are themselves
+    // labeled nodes — labels contains (l, l) — so the anti-join drops them.)
+    val newNodes = q.toDF("node", "component")
+      .join(lab.select(col("n").as("node")), Seq("node"), "left_anti")
+    relabeled.unionByName(newNodes)
   }
 }

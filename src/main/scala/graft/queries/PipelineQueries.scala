@@ -113,6 +113,31 @@ object PipelineQueries extends QueryDomain {
         .orderBy($"doc_id")
     },
 
+    "q_cc_incremental" -> { (s, dir) =>
+      import s.implicits._
+      // Incremental component maintenance
+      // ([[GraphOps.incrementalComponents]]): the duplicate graph ACCRETES
+      // — each ingest batch adds near-dup pairs — and recomputing
+      // components over the full history per batch is the scale trap the
+      // quotient-contraction path avoids (only the new batch's edges are
+      // traversed). Pairs split deterministically into "history"
+      // ((doc_i+doc_j)%3 != 0) and "today" (== 0); yesterday's labeling
+      // plus today's edges must equal a from-scratch run over the union,
+      // which is exactly how the gate is oracled — the same recursive-CTE
+      // SQL as q_dedup_clusters.
+      val pairs = SimHash.nearDupPairs(docs(s, dir), "doc_id", "text",
+        bits = 60, bandBits = 15, maxHamming = 3)
+      val history = pairs.filter(($"doc_i" + $"doc_j") % 3 =!= 0)
+      val today = pairs.filter(($"doc_i" + $"doc_j") % 3 === 0)
+      val labels = GraphOps.connectedComponents(history, "doc_i", "doc_j")
+      GraphOps.incrementalComponents(labels, "node", "component",
+          today, "doc_i", "doc_j")
+        .select($"node".as("doc_id"), $"component".as("cluster_id"))
+        .withColumn("cluster_size",
+          count(lit(1)).over(Window.partitionBy($"cluster_id")).cast("long"))
+        .orderBy($"doc_id")
+    },
+
     "q_entity_resolution" -> { (s, dir) =>
       import s.implicits._
       // END-TO-END entity resolution — the composition the blocking
@@ -2812,6 +2837,33 @@ object PipelineQueries extends QueryDomain {
     // The streaming twin replays the same corpus with a horizon spanning
     // it, so its exact answer is the IDENTICAL brute-force scan.
     "q_stream_neardup" -> simhashNearDupOracle,
+
+    // Shared with q_cc_incremental: the incremental labeling must equal the
+    // from-scratch run over the union graph, so ONE from-scratch SQL gates
+    // both (the annIvfOracle precedent).
+    "q_cc_incremental" ->
+      s"""WITH RECURSIVE tk AS (SELECT doc_id,
+         |  list_transform(string_split(text, ' '), tok -> ${duckWideHash("tok")}) AS th
+         |  FROM documents
+         |  WHERE text IS NOT NULL AND length(trim(text)) > 0),
+         |t AS (SELECT doc_id,
+         |  CAST(list_sum(list_transform(range(0, 60), b ->
+         |    CASE WHEN list_sum(list_transform(th, h ->
+         |        CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+         |      THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS s
+         |  FROM tk),
+         |pairs AS (SELECT a.doc_id AS u, b.doc_id AS v
+         |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.s, b.s)) <= 3),
+         |edges AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+         |reach(node, lbl) AS (
+         |  SELECT u, u FROM edges
+         |  UNION
+         |  SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.node = e.v),
+         |comp AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node)
+         |SELECT node AS doc_id, cluster_id,
+         |  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+         |FROM comp ORDER BY doc_id""".stripMargin,
 
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE tk AS (SELECT doc_id,

@@ -91,6 +91,58 @@ class GraphOpsSpec extends AnyFunSuite with SparkSpec {
     assertThrows[IllegalStateException](ccOf(chain, maxIter = 1, localCap = 0))
   }
 
+  test("round-0 states that are stars rooted at a NON-minimum still relabel (r14 fix)") {
+    // A raw input can be disjoint-star-SHAPED with edges pointing
+    // small → large — structurally clean under the pre-fix convergence
+    // check, but rooted wrong. Both the endgame (cap > 0) and the pure
+    // distributed path (cap = 0) must label with the minimum.
+    for (cap <- Seq(0, 1 << 17)) {
+      assert(ccOf(Seq((1L, 2L)), localCap = cap) === Map(1L -> 1L, 2L -> 1L),
+        s"single edge, cap=$cap")
+      assert(ccOf(Seq((1L, 2L), (3L, 2L)), localCap = cap) ===
+        Map(1L -> 1L, 2L -> 1L, 3L -> 1L), s"mis-rooted star, cap=$cap")
+    }
+  }
+
+  test("incrementalComponents ≡ from-scratch CC across random splits") {
+    val rng = new scala.util.Random(23)
+    // Random graph with chains and a hub so merges via bridges, brand-new
+    // components, and label takeovers by smaller new ids all occur.
+    val all = Seq.fill(300)((rng.nextInt(200).toLong + 100L, rng.nextInt(200).toLong + 100L)) ++
+      (500L until 540L).map(i => (i, i + 1)) ++
+      (1L to 20L).map(i => (700L, 700L + i)) ++
+      Seq((5L, 120L)) // a NEW node with a smaller id than its component min
+    for (seed <- Seq(1, 2, 3)) {
+      val r2 = new scala.util.Random(seed)
+      val (oldE, newE) = all.partition(_ => r2.nextBoolean())
+      val labels = GraphOps.connectedComponents(oldE.toDF("a", "b"), "a", "b")
+      val incr = GraphOps.incrementalComponents(labels, "node", "component",
+          newE.toDF("a", "b"), "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(incr == unionFind(all ++ Seq.empty), s"split seed $seed diverged")
+      assert(incr.size == incr.keySet.size)
+    }
+  }
+
+  test("incrementalComponents: internal-only new edges leave the labeling unchanged") {
+    // Every "new" edge lands inside an existing component — the quotient
+    // graph is empty and the old labels must pass through untouched.
+    val oldE = Seq((1L, 2L), (2L, 3L), (10L, 11L))
+    val labels = GraphOps.connectedComponents(oldE.toDF("a", "b"), "a", "b")
+    val incr = GraphOps.incrementalComponents(labels, "node", "component",
+        Seq((1L, 3L), (10L, 11L)).toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(incr == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("incrementalComponents: a new batch can be entirely new nodes") {
+    val labels = GraphOps.connectedComponents(Seq((1L, 2L)).toDF("a", "b"), "a", "b")
+    val incr = GraphOps.incrementalComponents(labels, "node", "component",
+        Seq((50L, 51L), (51L, 52L)).toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(incr == Map(1L -> 1L, 2L -> 1L, 50L -> 50L, 51L -> 50L, 52L -> 50L))
+  }
+
   test("non-integral node ids are rejected") {
     val strIds = Seq(("a", "b")).toDF("u", "v")
     assertThrows[IllegalArgumentException](
