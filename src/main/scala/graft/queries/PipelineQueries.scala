@@ -125,8 +125,11 @@ object PipelineQueries extends QueryDomain {
       // plus today's edges must equal a from-scratch run over the union,
       // which is exactly how the gate is oracled — the same recursive-CTE
       // SQL as q_dedup_clusters.
+      // Lazy localCheckpoint: the pair set feeds BOTH the history CC and
+      // the today filter — without it the banded generator runs twice.
       val pairs = SimHash.nearDupPairs(docs(s, dir), "doc_id", "text",
         bits = 60, bandBits = 15, maxHamming = 3)
+        .localCheckpoint(eager = false)
       val history = pairs.filter(($"doc_i" + $"doc_j") % 3 =!= 0)
       val today = pairs.filter(($"doc_i" + $"doc_j") % 3 === 0)
       val labels = GraphOps.connectedComponents(history, "doc_i", "doc_j")

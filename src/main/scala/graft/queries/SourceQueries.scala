@@ -98,6 +98,30 @@ object SourceQueries extends QueryDomain {
         .orderBy($"n_nationkey")
     },
 
+    "q_schema_merge" -> { (s, dir) =>
+      import s.implicits._
+      // Parquet schema EVOLUTION across files of one dataset — the lake
+      // reality `mergeSchema` exists for: files written before a column
+      // landed must read with NULLs for it, files after with their values,
+      // under one unioned schema. Staged once per (sf, JVM): even part
+      // keys written v1 = (p_partkey, p_name), odd keys v2 = + p_retailprice;
+      // the ROOT is read with mergeSchema (footer union at planning time —
+      // no data pass) + recursiveFileLookup. The oracle reconstructs the
+      // evolution view from the base table with a CASE.
+      val root = Staging.dir("evolve", dir, "part") { p =>
+        val b = t(s, dir, "part")
+        b.filter($"p_partkey" % 2 === 0).select($"p_partkey", $"p_name")
+          .write.mode("overwrite").parquet(p + "/v1")
+        b.filter($"p_partkey" % 2 === 1)
+          .select($"p_partkey", $"p_name", $"p_retailprice")
+          .write.mode("overwrite").parquet(p + "/v2")
+      }
+      s.read.option("mergeSchema", "true").option("recursiveFileLookup", "true")
+        .parquet(root)
+        .select($"p_partkey", $"p_name", $"p_retailprice")
+        .orderBy($"p_partkey")
+    },
+
     "q_orc_source" -> { (s, dir) =>
       import s.implicits._
       // Customer through ORC (Spark's other native columnar format — the
@@ -148,6 +172,11 @@ object SourceQueries extends QueryDomain {
       """SELECT n_nationkey, n_name, r_name
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |ORDER BY n_nationkey""".stripMargin,
+
+    "q_schema_merge" ->
+      """SELECT p_partkey, p_name,
+        |  CASE WHEN p_partkey % 2 = 1 THEN p_retailprice END AS p_retailprice
+        |FROM part ORDER BY p_partkey""".stripMargin,
 
     "q_orc_source" ->
       """SELECT c_mktsegment, COUNT(*) AS n_customers,
