@@ -175,6 +175,46 @@ object ScaleJoins {
   def readPartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Small-file COMPACTION — the lake maintenance pass (OPTIMIZE without a
+    * table format): streaming sinks and incremental appends accrete
+    * thousands of KB-sized parquet files, and at 100 TB the per-file open
+    * cost (footer read, object-store request) comes to dominate every
+    * scan. Rewrites `srcPath` into `dstPath` as ≈ `ceil(totalBytes /
+    * targetFileBytes)` files. Rows are preserved exactly (round-trip
+    * identity is the gate); row ORDER is not a parquet dataset property
+    * and is not preserved.
+    *
+    * Scale posture: the target file count comes from the FILE LISTING
+    * (driver-side metadata, no data pass). When the target count is below
+    * the current partition count the rewrite uses `coalesce` — file merge
+    * with NO shuffle (each output task concatenates whole input splits);
+    * only a (rare) split UP of too-few-too-big files pays a round-robin
+    * repartition. Returns (filesBefore, filesAfter).
+    */
+  def compactParquet(spark: SparkSession, srcPath: String, dstPath: String,
+      targetFileBytes: Long = 128L << 20): (Int, Int) = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val p = new org.apache.hadoop.fs.Path(srcPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(p).filter { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+    val totalBytes = files.map(_.getLen).sum
+    val nOut = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val df = spark.read.parquet(srcPath)
+    val sized =
+      if (nOut < df.rdd.getNumPartitions) df.coalesce(nOut)
+      else if (nOut == df.rdd.getNumPartitions) df
+      else df.repartition(nOut)
+    sized.write.mode("overwrite").parquet(dstPath)
+    val outFiles = fs.listStatus(new org.apache.hadoop.fs.Path(dstPath)).count { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+    (files.length, outFiles)
+  }
+
   /** Capped co-occurrence projection: distinct unordered item pairs that
     * share a key — "users who touched the same page", "suppliers shipping
     * the same part" — with each key contributing at most C(maxPerKey, 2)

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
+import graft.operators.ScaleJoins
 import graft.sources.{AvroIo, AvroSource, CsvSource, JsonSource, OrcSource}
 
 /** Source-operator coverage: drives the CSV scan (reference O1,
@@ -98,6 +99,25 @@ object SourceQueries extends QueryDomain {
         .orderBy($"n_nationkey")
     },
 
+    "q_compact_files" -> { (s, dir) =>
+      import s.implicits._
+      // Small-file compaction round-trip ([[ScaleJoins.compactParquet]] —
+      // the lake OPTIMIZE pass): part deliberately fragmented into 64
+      // KB-scale shards (the streaming-sink/incremental-append accretion
+      // pattern), compacted to ~256 KB files via a shuffle-free coalesce,
+      // read back. The gate pins ROW preservation (round-trip identity vs
+      // the base table); the file-count drop is spec-pinned in
+      // ScaleJoinsSpec. Staged once per (sf, JVM).
+      val root = Staging.dir("compact", dir, "part") { p =>
+        t(s, dir, "part").repartition(64)
+          .write.mode("overwrite").parquet(p + "/frag")
+        ScaleJoins.compactParquet(s, p + "/frag", p + "/packed",
+          targetFileBytes = 256L << 10)
+        ()
+      }
+      s.read.parquet(root + "/packed").orderBy($"p_partkey")
+    },
+
     "q_schema_merge" -> { (s, dir) =>
       import s.implicits._
       // Parquet schema EVOLUTION across files of one dataset — the lake
@@ -172,6 +192,9 @@ object SourceQueries extends QueryDomain {
       """SELECT n_nationkey, n_name, r_name
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |ORDER BY n_nationkey""".stripMargin,
+
+    "q_compact_files" ->
+      """SELECT * FROM part ORDER BY p_partkey""",
 
     "q_schema_merge" ->
       """SELECT p_partkey, p_name,

@@ -83,4 +83,22 @@ class ScaleJoinsSpec extends AnyFunSuite with SparkSpec {
         .collect().map(_.toSeq).toSet
     assert(run(ps) === run(ps.repartition(13)))
   }
+
+  test("compactParquet: file count drops to the byte-sized target, rows survive exactly") {
+    val base = spark.read.parquet(s"$sf0001/part.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    base.repartition(32).write.mode("overwrite").parquet(s"$dir/frag")
+    val (before, after) = ScaleJoins.compactParquet(
+      spark, s"$dir/frag", s"$dir/packed", targetFileBytes = 1L << 20)
+    assert(before === 32)
+    // sf0.001 part is well under 1 MB total -> exactly one output file.
+    assert(after === 1, s"expected 1 packed file, got $after")
+    val back = spark.read.parquet(s"$dir/packed")
+    assert(back.count() === base.count())
+    assert(back.select("p_partkey").collect().map(_.getLong(0)).sorted.toSeq ===
+      base.select("p_partkey").collect().map(_.getLong(0)).sorted.toSeq)
+    // The merge path must be shuffle-free: coalesce, not repartition.
+    val df = spark.read.parquet(s"$dir/frag")
+    assert(df.coalesce(1).queryExecution.executedPlan.toString.contains("Coalesce"))
+  }
 }
