@@ -154,6 +154,64 @@ object VectorOps {
       k, saltBuckets)
   }
 
+  /** Binary-quantization (BQ) approximate search — the 1-bit-per-dimension
+    * compression tier modern vector stores ship (32× smaller than FLOAT):
+    * every vector's SIGN PATTERN packs into one long (dim ≤ 64), each query
+    * shortlists the `shortlist` smallest-Hamming codes, and ONLY the
+    * shortlist is reranked by exact cosine over the original floats.
+    *
+    * The code packs as TWO 32-bit halves (Horner fold `acc·2 + (v_i > 0)`
+    * per half): a single 64-bit pack would need the SIGN bit, which ANSI
+    * long multiplication (Spark) and `<< 63` (DuckDB) both reject as
+    * overflow — 32-bit halves stay exact-integer everywhere. Hamming is
+    * the summed `bit_count(xor)` of the halves. The rerank cosine is the
+    * same strict-fold dot/norm formulation as [[topK]], so emitted doubles
+    * are cross-engine twins.
+    *
+    * Scale posture: codes are computed row-locally in one O(dim) pass; the
+    * Hamming stage scans data once against broadcast query CODES (8 bytes
+    * per query — at 100 TB this is the stage you run on the compressed
+    * index alone, no floats touched); both ranking stages are the salted
+    * two-stage top-k (no single-task per-query window); the exact rerank
+    * joins floats back for `shortlist` rows per query only. Recall vs the
+    * exact ranking is spec'd in VectorOpsSpec, not assumed.
+    *
+    * Output: (query_id, rank, neighbor_id, cos).
+    */
+  def bqTopK(
+      data: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, dim: Int, k: Int,
+      shortlist: Int, saltBuckets: Int = 256): DataFrame = {
+    require(dim >= 1 && dim <= 64, "bqTopK packs two 32-bit halves: dim must be <= 64")
+    require(k >= 1 && shortlist >= k, "shortlist must be >= k")
+    def half(vec: Column, from: Int, until: Int): Column =
+      if (from > until) lit(0L)
+      else aggregate(sequence(lit(from), lit(until)), lit(0L),
+        (acc, i) => acc * 2 + when(element_at(vec, i) > lit(0f), 1L).otherwise(0L))
+    def lo(vec: Column): Column = half(vec, 1, math.min(32, dim))
+    def hi(vec: Column): Column = half(vec, 33, dim)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+      norm2(col(vecCol)).as("qnn"),
+      lo(col(vecCol)).as("qlo"), hi(col(vecCol)).as("qhi"))
+    val d = data.select(col(idCol).as("neighbor_id"), col(vecCol).as("dvec"),
+      norm2(col(vecCol)).as("dnn"),
+      lo(col(vecCol)).as("dlo"), hi(col(vecCol)).as("dhi"))
+    val shortlisted = topKPerQuery(
+      d.select(col("neighbor_id"), col("dlo"), col("dhi"))
+        .join(broadcast(q.select(col("query_id"), col("qlo"), col("qhi"))),
+          col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          (bit_count(col("qlo").bitwiseXOR(col("dlo"))) +
+            bit_count(col("qhi").bitwiseXOR(col("dhi")))).cast("double").as("ham")),
+      shortlist, saltBuckets, scoreName = "ham", ascending = true)
+    val reranked = shortlisted.select(col("query_id"), col("neighbor_id"))
+      .join(d.select(col("neighbor_id"), col("dvec"), col("dnn")), "neighbor_id")
+      .join(broadcast(q.select(col("query_id"), col("qvec"), col("qnn"))), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        cosineWithNorms(col("qvec"), col("dvec"), col("qnn"), col("dnn")).as("cos"))
+    topKPerQuery(reranked, k, saltBuckets)
+  }
+
   /** Exact top-`k` EUCLIDEAN neighbors of each query vector — the metric
     * twin of [[topK]] (broadcast queries, salted two-stage ranking), ranked
     * by squared distance ascending. `dist2 = |q|² + |d|² − 2·q·d` reuses the

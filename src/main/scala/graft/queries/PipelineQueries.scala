@@ -1992,6 +1992,22 @@ object PipelineQueries extends QueryDomain {
         .orderBy($"query_id", $"rnk")
     },
 
+    "q_bq_topk" -> { (s, dir) =>
+      import s.implicits._
+      // Binary-quantization search ([[VectorOps.bqTopK]]): 1 bit per
+      // dimension (the sign) packed into one long, Hamming shortlist of 40
+      // per query on the codes alone, exact-cosine rerank of the shortlist
+      // — the 32× compression tier next to SQ8 (8 bits) and PQ (codebook).
+      // Codes are exact integer folds and the rerank cosine is the shared
+      // strict-fold formulation, so the whole pipeline hash-matches the
+      // oracle; recall vs exact is spec'd in VectorOpsSpec.
+      val e = t(s, dir, "embeddings")
+      VectorOps.bqTopK(e, e.filter($"vec_id" < 5), "vec_id", "embedding",
+          dim = 64, k = 10, shortlist = 40)
+        .select($"query_id", $"rank".cast("int").as("rnk"), $"neighbor_id", $"cos")
+        .orderBy($"query_id", $"rnk")
+    },
+
     "q_sq8_topk" -> { (s, dir) =>
       import s.implicits._
       // SQ8-compressed approximate MIPS ([[VectorOps.sq8TopK]]): vectors
@@ -3898,6 +3914,33 @@ object PipelineQueries extends QueryDomain {
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
          |  FROM p)
          |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
+    "q_bq_topk" ->
+      s"""WITH $embCte,
+         |c AS (SELECT vec_id,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(range(1, 33), i ->
+         |        CASE WHEN embedding[i] > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+         |      (acc, b) -> acc * 2 + b) AS lo,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(range(33, 65), i ->
+         |        CASE WHEN embedding[i] > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+         |      (acc, b) -> acc * 2 + b) AS hi
+         |  FROM embeddings),
+         |s AS (SELECT n.vec_id, e, nn, lo, hi FROM n JOIN c ON n.vec_id = c.vec_id),
+         |ham AS (SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+         |    bit_count(xor(q.lo, d.lo)) + bit_count(xor(q.hi, d.hi)) AS ham,
+         |    q.e AS qe, q.nn AS qnn, d.e AS de, d.nn AS dnn
+         |  FROM s q JOIN s d ON q.vec_id < 5 AND d.vec_id <> q.vec_id),
+         |sl AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY ham, neighbor_id) AS hrnk FROM ham),
+         |rr AS (SELECT query_id, neighbor_id,
+         |    ${duckDot("qe", "de")} / sqrt(qnn * dnn) AS cos
+         |  FROM sl WHERE hrnk <= 40),
+         |rk AS (SELECT query_id, neighbor_id, cos, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk FROM rr)
+         |SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id, cos
+         |FROM rk WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
 
     "q_sq8_topk" ->
       s"""WITH $embCte,

@@ -297,6 +297,28 @@ class VectorOpsSpec extends AnyFunSuite with SparkSpec {
     assert(recall >= 0.9, s"SQ8 recall@10 fell to $recall")
   }
 
+  test("bqTopK: full-corpus shortlist ≡ exact topK; tight shortlist keeps usable recall") {
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val queries = e.filter($"vec_id" < 5)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select($"query_id", $"rank", $"neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val exact = pairs(VectorOps.topK(e, queries, "vec_id", "embedding", k = 10))
+    // With the shortlist covering the whole corpus the rerank IS the exact
+    // ranking — the lossless end of the compression dial.
+    val full = pairs(VectorOps.bqTopK(e, queries, "vec_id", "embedding",
+      dim = 64, k = 10, shortlist = 1 << 20))
+    assert(full === exact)
+    // The compressed path proper: 1-bit codes, Hamming shortlist of 40.
+    val tight = VectorOps.bqTopK(e, queries, "vec_id", "embedding",
+        dim = 64, k = 10, shortlist = 40)
+      .select($"query_id", $"neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactPairs = exact.map { case (q, _, n) => (q, n) }
+    val recall = (tight & exactPairs).size.toDouble / exactPairs.size
+    assert(recall >= 0.5, s"BQ recall@10 (shortlist 40) fell to $recall")
+  }
+
   test("pqEncode/pqSearch: encode ≡ driver-side argmin; usable recall vs exact MIPS") {
     import org.apache.spark.sql.functions.{array, explode, lit, slice, struct}
     val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
