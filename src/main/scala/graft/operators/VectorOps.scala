@@ -212,6 +212,49 @@ object VectorOps {
     topKPerQuery(reranked, k, saltBuckets)
   }
 
+  /** Matryoshka (MRL) prefix-dimension search: shortlist by exact cosine
+    * over only the FIRST `prefixDim` dimensions — MRL-trained embeddings
+    * concentrate signal in the prefix, so a dim/4 slice is a ~4× cheaper
+    * scoring pass — then rerank the shortlist by full-dimension cosine.
+    * The adaptive-retrieval pattern ("funnel retrieval") of the MRL paper
+    * (Kusupati et al., NeurIPS'22). Both stages are the same strict-fold
+    * cosine as [[topK]] (prefix norms computed over the slice), so every
+    * emitted double is a cross-engine twin; both rankings ride the salted
+    * two-stage top-k. Recall at a given (prefixDim, shortlist) is a
+    * property of the EMBEDDINGS (MRL training), not of this plan — the
+    * spec pins the lossless full-shortlist end and measures the fixture's
+    * recall rather than assuming it.
+    *
+    * Output: (query_id, rank, neighbor_id, cos).
+    */
+  def mrlTopK(
+      data: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, prefixDim: Int, k: Int,
+      shortlist: Int, saltBuckets: Int = 256): DataFrame = {
+    require(prefixDim >= 1, "prefixDim must be positive")
+    require(k >= 1 && shortlist >= k, "shortlist must be >= k")
+    def pre(vec: Column): Column = slice(vec, 1, prefixDim)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+      norm2(col(vecCol)).as("qnn"),
+      pre(col(vecCol)).as("qpre"), norm2(pre(col(vecCol))).as("qpnn"))
+    val d = data.select(col(idCol).as("neighbor_id"), col(vecCol).as("dvec"),
+      norm2(col(vecCol)).as("dnn"),
+      pre(col(vecCol)).as("dpre"), norm2(pre(col(vecCol))).as("dpnn"))
+    val shortlisted = topKPerQuery(
+      d.select(col("neighbor_id"), col("dpre"), col("dpnn"))
+        .join(broadcast(q.select(col("query_id"), col("qpre"), col("qpnn"))),
+          col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          cosineWithNorms(col("qpre"), col("dpre"), col("qpnn"), col("dpnn")).as("pcos")),
+      shortlist, saltBuckets, scoreName = "pcos")
+    val reranked = shortlisted.select(col("query_id"), col("neighbor_id"))
+      .join(d.select(col("neighbor_id"), col("dvec"), col("dnn")), "neighbor_id")
+      .join(broadcast(q.select(col("query_id"), col("qvec"), col("qnn"))), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        cosineWithNorms(col("qvec"), col("dvec"), col("qnn"), col("dnn")).as("cos"))
+    topKPerQuery(reranked, k, saltBuckets)
+  }
+
   /** Exact top-`k` EUCLIDEAN neighbors of each query vector — the metric
     * twin of [[topK]] (broadcast queries, salted two-stage ranking), ranked
     * by squared distance ascending. `dist2 = |q|² + |d|² − 2·q·d` reuses the

@@ -1992,6 +1992,20 @@ object PipelineQueries extends QueryDomain {
         .orderBy($"query_id", $"rnk")
     },
 
+    "q_mrl_rerank" -> { (s, dir) =>
+      import s.implicits._
+      // Matryoshka funnel retrieval ([[VectorOps.mrlTopK]]): shortlist of
+      // 40 by exact prefix-16 cosine (a 4× cheaper scoring pass on
+      // MRL-style embeddings), full-64-dim exact rerank of the shortlist.
+      // Both stages are the shared strict-fold cosine, so the pipeline
+      // hash-matches the oracle end to end.
+      val e = t(s, dir, "embeddings")
+      VectorOps.mrlTopK(e, e.filter($"vec_id" < 5), "vec_id", "embedding",
+          prefixDim = 16, k = 10, shortlist = 40)
+        .select($"query_id", $"rank".cast("int").as("rnk"), $"neighbor_id", $"cos")
+        .orderBy($"query_id", $"rnk")
+    },
+
     "q_bq_topk" -> { (s, dir) =>
       import s.implicits._
       // Binary-quantization search ([[VectorOps.bqTopK]]): 1 bit per
@@ -3914,6 +3928,24 @@ object PipelineQueries extends QueryDomain {
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
          |  FROM p)
          |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
+    "q_mrl_rerank" ->
+      s"""WITH $embCte,
+         |p AS (SELECT vec_id, e, nn, e[1:16] AS pe,
+         |    ${duckDot("(e[1:16])", "(e[1:16])")} AS pnn FROM n),
+         |sc AS (SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+         |    ${duckDot("q.pe", "d.pe")} / sqrt(q.pnn * d.pnn) AS pcos,
+         |    q.e AS qe, q.nn AS qnn, d.e AS de, d.nn AS dnn
+         |  FROM p q JOIN p d ON q.vec_id < 5 AND d.vec_id <> q.vec_id),
+         |sl AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY pcos DESC, neighbor_id) AS prnk FROM sc),
+         |rr AS (SELECT query_id, neighbor_id,
+         |    ${duckDot("qe", "de")} / sqrt(qnn * dnn) AS cos
+         |  FROM sl WHERE prnk <= 40),
+         |rk AS (SELECT query_id, neighbor_id, cos, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk FROM rr)
+         |SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id, cos
+         |FROM rk WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
 
     "q_bq_topk" ->
       s"""WITH $embCte,

@@ -319,6 +319,31 @@ class VectorOpsSpec extends AnyFunSuite with SparkSpec {
     assert(recall >= 0.5, s"BQ recall@10 (shortlist 40) fell to $recall")
   }
 
+  test("mrlTopK: full-corpus shortlist ≡ exact topK; prefix-16 shortlist keeps usable recall") {
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val queries = e.filter($"vec_id" < 5)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select($"query_id", $"rank", $"neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val exact = pairs(VectorOps.topK(e, queries, "vec_id", "embedding", k = 10))
+    val full = pairs(VectorOps.mrlTopK(e, queries, "vec_id", "embedding",
+      prefixDim = 16, k = 10, shortlist = 1 << 20))
+    assert(full === exact)
+    val tight = VectorOps.mrlTopK(e, queries, "vec_id", "embedding",
+        prefixDim = 16, k = 10, shortlist = 40)
+      .select($"query_id", $"neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactPairs = exact.map { case (q, _, n) => (q, n) }
+    val recall = (tight & exactPairs).size.toDouble / exactPairs.size
+    // The fixture's embeddings are NOT MRL-trained — signal is uniform
+    // across dimensions, so a 16/64 prefix carries ~1/4 of it; measured
+    // recall here is 0.42, the technique's LOWER bound regime (MRL-trained
+    // embeddings concentrate signal in the prefix by construction). The
+    // floor pins the pipeline stays a meaningful shortlist, not noise
+    // (random-40-of-199 would land ~0.2).
+    assert(recall >= 0.3, s"MRL recall@10 (prefix 16, shortlist 40) fell to $recall")
+  }
+
   test("pqEncode/pqSearch: encode ≡ driver-side argmin; usable recall vs exact MIPS") {
     import org.apache.spark.sql.functions.{array, explode, lit, slice, struct}
     val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
