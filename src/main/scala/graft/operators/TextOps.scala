@@ -173,6 +173,17 @@ object TextOps {
   def bagOfWordsKey(text: Column): Column =
     concat_ws(" ", sort_array(array_distinct(tokens(text))))
 
+  /** Count of DISTINCT blocklist terms present among the document's
+    * whitespace tokens — the curation blocklist screen (NSFW/spam/keyword
+    * filters à la RefinedWeb/C4's word filters). TOKEN-level equality, not
+    * substring containment: "class" never trips a "lass" entry, and the
+    * semantics are engine-exact (`array_intersect` ↔ `list_intersect`).
+    * One per-row pass; the term list is a plan-time literal array — at any
+    * realistic blocklist size this stays a row-local expression, no join.
+    */
+  def blocklistHits(text: Column, terms: Seq[String]): Column =
+    size(array_intersect(array_distinct(tokens(text)), array(terms.map(lit): _*)))
+
   /** Compiled Jaro–Winkler similarity ([[graft.functions.JaroWinkler]]) —
     * the record-linkage fuzzy-match scalar, bit-matched to DuckDB's
     * `jaro_winkler_similarity`.

@@ -558,6 +558,21 @@ object PipelineQueries extends QueryDomain {
         $"doc_a", $"doc_b")
     },
 
+    "q_blocklist_filter" -> { (s, dir) =>
+      import s.implicits._
+      // Keyword-blocklist screening ([[TextOps.blocklistHits]]) — the
+      // cheap first curation gate (C4/RefinedWeb-style word filters):
+      // documents carrying any blocklisted token are surfaced with their
+      // distinct-hit count; 'degenerate' never occurs in the fixture, so
+      // the no-match path is exercised inside the same literal array.
+      val terms = Seq("dup", "slow", "degenerate")
+      docs(s, dir)
+        .select($"doc_id",
+          TextOps.blocklistHits($"text", terms).cast("long").as("n_hits"))
+        .filter($"n_hits" > 0)
+        .orderBy($"doc_id")
+    },
+
     "q_pii_redact" -> { (s, dir) =>
       import s.implicits._
       // Rule-based PII scrubbing ([[TextOps.redact]] + [[CorpusOps.PiiRules]])
@@ -3052,6 +3067,15 @@ object PipelineQueries extends QueryDomain {
          |FROM ea a JOIN eb b ON a.w = b.w JOIN wdf ON wdf.w = a.w
          |WHERE wdf.wdf <= 3 AND a.doc_a <> b.doc_b
          |GROUP BY a.doc_a, b.doc_b ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_blocklist_filter" ->
+      """SELECT doc_id,
+        |  CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+        |    ['dup', 'slow', 'degenerate'])) AS BIGINT) AS n_hits
+        |FROM documents
+        |WHERE len(list_intersect(list_distinct(string_split(text, ' ')),
+        |  ['dup', 'slow', 'degenerate'])) > 0
+        |ORDER BY doc_id""".stripMargin,
 
     "q_pii_redact" -> {
       val Seq((email, er), (phone, pr), (ip, ir)) = CorpusOps.PiiRules
