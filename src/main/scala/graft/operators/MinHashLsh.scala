@@ -233,15 +233,44 @@ object MinHashLsh {
   def lshProbe(
       spark: org.apache.spark.sql.SparkSession,
       probeDocs: DataFrame, idCol: String, textCol: String, name: String,
-      threshNum: Int = 1, threshDen: Int = 2): DataFrame = {
+      threshNum: Int = 1, threshDen: Int = 2): DataFrame =
+    lshProbeWith(spark, probeDocs, idCol, textCol, name, threshNum, threshDen,
+      dedupCandidates = true)
+
+  /** [[lshProbe]] WITHOUT the candidate dedup: a pair colliding in k bands
+    * emits (and verifies) k times, and the caller deduplicates downstream.
+    * This is the STREAMING twin's shape — probing an unbounded document
+    * stream against the static index is a stateless stream-static join per
+    * micro-batch, but a stream-side `distinct` would hold every pair ever
+    * seen as unbounded state; per-band emissions + a batch-side distinct at
+    * the sink keep the stream stateless (the q_stream_neardup posture).
+    * Final pair sets are identical; the batch form just verifies less.
+    *
+    * Stream-static joins re-read the static side EVERY micro-batch (Spark
+    * has no cross-batch reuse for uncached relations): a long-running
+    * online-dedup job should cache `<name>_bands` / `<name>_sets` after
+    * each index append so the per-batch cost is the probe batch alone.
+    */
+  def lshProbeEmissions(
+      spark: org.apache.spark.sql.SparkSession,
+      probeDocs: DataFrame, idCol: String, textCol: String, name: String,
+      threshNum: Int = 1, threshDen: Int = 2): DataFrame =
+    lshProbeWith(spark, probeDocs, idCol, textCol, name, threshNum, threshDen,
+      dedupCandidates = false)
+
+  private def lshProbeWith(
+      spark: org.apache.spark.sql.SparkSession,
+      probeDocs: DataFrame, idCol: String, textCol: String, name: String,
+      threshNum: Int, threshDen: Int, dedupCandidates: Boolean): DataFrame = {
     val (nh, nb, sn, _) = readLshMeta(spark, name)
     val pSh = shingleDocs(probeDocs, idCol, textCol, sn)
     val pBand = bandedKeys(signatures(pSh, nh), nb, nh / nb)
-    val candidates = pBand.toDF("new_id", "band", "band_key")
+    val cand0 = pBand.toDF("new_id", "band", "band_key")
       .join(spark.table(s"${name}_bands").toDF("corpus_id", "band", "band_key"),
         Seq("band", "band_key"))
       .filter(col("new_id") =!= col("corpus_id"))
-      .select("new_id", "corpus_id").distinct()
+      .select("new_id", "corpus_id")
+    val candidates = if (dedupCandidates) cand0.distinct() else cand0
     candidates
       .join(pSh.toDF("new_id", "sh_n"), "new_id")
       .join(spark.table(s"${name}_sets").toDF("corpus_id", "sh_c"), "corpus_id")

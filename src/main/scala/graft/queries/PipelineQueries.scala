@@ -654,19 +654,45 @@ object PipelineQueries extends QueryDomain {
       // ([[Staging.memo]]): a second append would duplicate band rows, and
       // bench reps must measure the PROBE, not the build.
       val d = docs(s, dir)
-      val name = Staging.memo[String]("lshprobe", dir) {
-        val nm = "graft_lsh_probe_" + dir.replaceAll("[^A-Za-z0-9]", "_")
-        MinHashLsh.saveLshIndex(d.filter($"doc_id" % 4 <= 1), "doc_id", "text", nm,
-          numHashes = 32, numBands = 8, shingleN = 3, buckets = 8)
-        MinHashLsh.appendToLshIndex(s, d.filter($"doc_id" % 4 === 2), "doc_id", "text", nm)
-        nm
-      }
+      val name = lshProbeIndex(s, dir)
       orderedSmall(
         MinHashLsh.lshProbe(s, d.filter($"doc_id" % 4 === 3), "doc_id", "text", name,
             threshNum = 1, threshDen = 2)
           .select($"new_id", $"corpus_id", $"n_common".cast("long").as("n_common"),
             $"n_union".cast("long").as("n_union")),
         $"new_id", $"corpus_id")
+    },
+
+    "q_stream_lsh_probe" -> { (s, dir) =>
+      import s.implicits._
+      // ONLINE dedup against the persisted corpus index — the streaming
+      // twin of q_lsh_probe (whose staged index tables it shares): each
+      // micro-batch of incoming documents signs itself row-locally and
+      // probes the static bucketed bands/sets tables through a STATELESS
+      // stream-static join — zero stream state, zero corpus-side shuffle,
+      // arbitrarily long uptime. Per-band collision duplicates collapse
+      // under the batch-side distinct at the sink
+      // ([[MinHashLsh.lshProbeEmissions]] — a stream-side distinct would
+      // hold every pair ever emitted as unbounded state). The probe
+      // quarter replays as two micro-batches; output must equal the batch
+      // probe — the same oracle gates both.
+      val staged = Staging.streamDocsDir(s, dir)
+      val ss = Staging.streamSession(s)
+      val name = lshProbeIndex(s, dir) // catalog is shared across sessions
+      val schema = Staging.replayDocsSchema(ss, staged)
+      val src = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+        .filter($"doc_id" % 4 === 3)
+      val sink = Staging.nextStreamSink(ss)
+      val q = MinHashLsh.lshProbeEmissions(ss, src, "doc_id", "text", name,
+          threshNum = 1, threshDen = 2)
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      ss.table(sink).distinct()
+        .select($"new_id", $"corpus_id", $"n_common".cast("long").as("n_common"),
+          $"n_union".cast("long").as("n_union"))
+        .orderBy($"new_id", $"corpus_id")
     },
 
     "q_containment" -> { (s, dir) =>
@@ -2430,6 +2456,23 @@ object PipelineQueries extends QueryDomain {
       |FROM w3 GROUP BY user_id ORDER BY user_id""".stripMargin
 
   /** DuckDB twin of [[TextOps.polyHash]] (left fold, 64-bit, mod 1e9+7). */
+  /** The q_lsh_probe / q_stream_lsh_probe shared index staging: corpus =
+    * doc_id%4 ∈ {0,1} built, ingest %4 == 2 appended — once per (sf, JVM)
+    * ([[Staging.memo]]); a second append would duplicate band rows, and
+    * bench reps must measure the PROBE, not the build. Whichever gate runs
+    * first builds it; the catalog is shared across cloned sessions.
+    */
+  private def lshProbeIndex(s: SparkSession, dir: String): String =
+    Staging.memo[String]("lshprobe", dir) {
+      import s.implicits._
+      val d = docs(s, dir)
+      val nm = "graft_lsh_probe_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      MinHashLsh.saveLshIndex(d.filter($"doc_id" % 4 <= 1), "doc_id", "text", nm,
+        numHashes = 32, numBands = 8, shingleN = 3, buckets = 8)
+      MinHashLsh.appendToLshIndex(s, d.filter($"doc_id" % 4 === 2), "doc_id", "text", nm)
+      nm
+    }
+
   private def duckHash(s: String, base: Int = 31): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       s"list_transform(range(1, length($s)+1), i -> CAST(ascii(substr($s, i, 1)) AS BIGINT))), " +
@@ -3120,6 +3163,22 @@ object PipelineQueries extends QueryDomain {
         |WHERE len(list_distinct(list_concat(a.gr, b.gr))) > 0
         |  AND 5 * len(list_intersect(a.gr, b.gr)) >= 3 * len(list_distinct(list_concat(a.gr, b.gr)))
         |ORDER BY doc_i, doc_j""".stripMargin,
+
+    // Shared with q_stream_lsh_probe: the stream-static probe must equal
+    // the batch probe over the same replayed quarter — one oracle gates
+    // both (the annIvfOracle / q_cc_incremental precedent).
+    "q_stream_lsh_probe" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |s AS (SELECT doc_id,
+        |  list_distinct(list_transform(range(1, len(w)-1), i -> w[i]||' '||w[i+1]||' '||w[i+2])) AS sh
+        |  FROM t WHERE len(w) >= 3)
+        |SELECT a.doc_id AS new_id, b.doc_id AS corpus_id,
+        |  CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_common,
+        |  CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS BIGINT) AS n_union
+        |FROM s a JOIN s b ON a.doc_id % 4 = 3 AND b.doc_id % 4 <= 2 AND a.doc_id <> b.doc_id
+        |WHERE len(list_distinct(list_concat(a.sh, b.sh))) > 0
+        |  AND 2 * len(list_intersect(a.sh, b.sh)) >= len(list_distinct(list_concat(a.sh, b.sh)))
+        |ORDER BY new_id, corpus_id""".stripMargin,
 
     "q_lsh_probe" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
