@@ -817,6 +817,11 @@ object CorpusOps {
     val spark = docs.sparkSession
     import spark.implicits._
     val width = (TextOps.Prime + hashBuckets - 1) / hashBuckets
+    // Lazy localCheckpoint: `n` (the full tokenize + polyHash pass over the
+    // corpus) feeds BOTH the census aggregate and the classed join below —
+    // without it the whole scan+tokenize runs twice (the double-generator
+    // trap incrementalComponents guards against the same way). Lazy, so the
+    // first action materializes it once and the second consumer reuses it.
     val n = docs
       .filter(col(textCol).isNotNull)
       .select(col(idCol).as("tb_id"), col(groupCol).as("tb_grp"),
@@ -824,6 +829,7 @@ object CorpusOps {
         TextOps.polyHash(col(textCol), hashBase).as("tb_h"))
       .join(broadcast(budgets.toDF("tb_grp", "tb_budget")), Seq("tb_grp"))
       .withColumn("tb_bkt", (col("tb_h") / lit(width)).cast("long"))
+      .localCheckpoint(eager = false)
     val census = n.groupBy(col("tb_grp"), col("tb_bkt"))
       .agg(sum(col("n_tokens")).as("bkt_tokens"))
     val wb = Window.partitionBy(col("tb_grp")).orderBy(col("tb_bkt"))

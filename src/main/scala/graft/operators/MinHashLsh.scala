@@ -213,10 +213,16 @@ object MinHashLsh {
     val (nh, nb, sn, buckets) = readLshMeta(spark, name)
     val sh = shingleDocs(newDocs, idCol, textCol, sn)
     val banded = bandedKeys(signatures(sh, nh), nb, nh / nb)
-    banded.write.bucketBy(buckets, "band", "band_key").sortBy("band", "band_key")
-      .mode("append").saveAsTable(s"${name}_bands")
+    // The two appends are not atomic; order them so a failure BETWEEN them
+    // degrades safely. Sets first: an orphan sets row (no bands rows yet)
+    // is invisible — candidates originate from band collisions, and the
+    // sets join only ever looks up ids the bands table produced. The
+    // reverse order would leave band rows whose verify lookup silently
+    // drops candidates (missed duplicates) until the next repair.
     sh.write.bucketBy(buckets, "doc_id").sortBy("doc_id")
       .mode("append").saveAsTable(s"${name}_sets")
+    banded.write.bucketBy(buckets, "band", "band_key").sortBy("band", "band_key")
+      .mode("append").saveAsTable(s"${name}_bands")
   }
 
   /** Probe the persisted index with a new batch: cross pairs

@@ -194,25 +194,111 @@ object ScaleJoins {
   def compactParquet(spark: SparkSession, srcPath: String, dstPath: String,
       targetFileBytes: Long = 128L << 20): (Int, Int) = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
-    val p = new org.apache.hadoop.fs.Path(srcPath)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = fs.listStatus(p).filter { st =>
-      val n = st.getPath.getName
-      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    val fs = new org.apache.hadoop.fs.Path(srcPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val src = fs.makeQualified(new org.apache.hadoop.fs.Path(srcPath))
+    def visible(n: String) = !n.startsWith("_") && !n.startsWith(".")
+    // Recursive leaf walk: a LEAF is any directory holding >= 1 data file.
+    // A hive-partitioned tree ([[writePartitioned]]) has its data files one
+    // directory level per partition column down — the r14 non-recursive
+    // listing saw zero top-level files there, sized the job at 0 bytes, and
+    // coalesced the whole dataset into ONE file with the partition layout
+    // flattened. Compacting per-leaf instead preserves the directory layout
+    // exactly (each leaf rewrites to the same relative path under dst), so
+    // partition pruning works identically on the compacted copy.
+    def walk(p: org.apache.hadoop.fs.Path)
+        : Seq[(org.apache.hadoop.fs.Path, Long, Int)] = {
+      val entries = fs.listStatus(p).filter(st => visible(st.getPath.getName))
+      val files = entries.filter(_.isFile)
+      val sub = entries.filter(_.isDirectory).toSeq.flatMap(d => walk(d.getPath))
+      if (files.nonEmpty) (p, files.map(_.getLen).sum, files.length) +: sub else sub
     }
-    val totalBytes = files.map(_.getLen).sum
-    val nOut = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
-    val df = spark.read.parquet(srcPath)
-    val sized =
-      if (nOut < df.rdd.getNumPartitions) df.coalesce(nOut)
-      else if (nOut == df.rdd.getNumPartitions) df
-      else df.repartition(nOut)
-    sized.write.mode("overwrite").parquet(dstPath)
-    val outFiles = fs.listStatus(new org.apache.hadoop.fs.Path(dstPath)).count { st =>
-      val n = st.getPath.getName
-      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    val leaves = walk(src)
+    require(leaves.nonEmpty, s"no parquet data files under $srcPath")
+    val dst = fs.makeQualified(new org.apache.hadoop.fs.Path(dstPath))
+    leaves.foreach { case (leaf, totalBytes, _) =>
+      val nOut =
+        math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+      val rel = src.toUri.relativize(leaf.toUri).getPath
+      val out = if (rel.isEmpty) dst else new org.apache.hadoop.fs.Path(dst, rel)
+      // Partition VALUES live in the directory names, not the files, so a
+      // per-leaf read/write round-trips each leaf's rows byte-identically.
+      val df = spark.read.parquet(leaf.toString)
+      val sized =
+        if (nOut < df.rdd.getNumPartitions) df.coalesce(nOut)
+        else if (nOut == df.rdd.getNumPartitions) df
+        else df.repartition(nOut)
+      sized.write.mode("overwrite").parquet(out.toString)
     }
-    (files.length, outFiles)
+    (leaves.map(_._3).sum, walk(dst).map(_._3).sum)
+  }
+
+  /** Compaction for BUCKETED managed tables — the maintenance pass
+    * [[compactParquet]] cannot perform: each incremental append (e.g.
+    * [[graft.operators.MinHashLsh.appendToLshIndex]] /
+    * `VectorOps.appendToIvfIndex`) accretes one file-set per append into
+    * the bands/sets/inverted-list tables, and after ~100 daily appends the
+    * index hits the small-file wall — but a path-level rewrite would
+    * destroy the bucket spec that gives the probes their zero-shuffle
+    * co-location. This rewrite goes through the CATALOG: the table's own
+    * `bucketSpec` (numBuckets, bucket columns, sort columns) is read from
+    * its metadata and re-applied verbatim, so the compacted table is
+    * bit-for-bit the same logical relation under the same spec and every
+    * downstream bucketed join keeps its no-Exchange plan (pinned in
+    * MinHashLshSpec against a post-compaction probe plan).
+    *
+    * The rewrite is ZERO-SHUFFLE: with auto-bucketed-scan forced off for
+    * the read, the scan itself is bucket-aligned (one task per bucket,
+    * every file of that bucket concatenated), and the bucketed writer then
+    * emits exactly ONE file per non-empty bucket — k appends × t tasks ×
+    * b buckets collapses to ≤ numBuckets files with no Exchange anywhere.
+    * (An explicit `repartition(n, bucketCols)` does NOT work here: Catalyst
+    * elides it against the table's claimed distribution while the
+    * auto-bucketed-scan rule independently decides a plain scan is cheaper,
+    * leaving arbitrary split-aligned tasks — measured 16 → 13 files
+    * instead of 16 → 4.) Per-bucket target file size is therefore set at
+    * index build time via the bucket count, which is the bucketed-layout
+    * contract anyway.
+    *
+    * Swap discipline: the rewrite lands in a temp table first (reads of
+    * the live table are never racing its overwrite), then DROP + RENAME —
+    * the same not-atomic-but-safe ordering as the index appends: a crash
+    * between the two leaves either the intact original or the intact
+    * compacted copy under the temp name, never a half-written table.
+    * Returns (filesBefore, filesAfter).
+    */
+  def compactBucketed(spark: SparkSession, table: String): (Int, Int) = {
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val meta = spark.sessionState.catalog.getTableMetadata(ident)
+    val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
+      s"$table has no bucket spec — use compactParquet for unbucketed data"))
+    val fs = new org.apache.hadoop.fs.Path(meta.location)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(loc: java.net.URI): Int =
+      fs.listStatus(new org.apache.hadoop.fs.Path(loc)).count { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+    val before = dataFiles(meta.location)
+    val bCols = spec.bucketColumnNames
+    val tmp = table + "__compact"
+    spark.sql(s"DROP TABLE IF EXISTS `$tmp`")
+    dropOrphanManagedDir(spark, tmp)
+    val scanKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.get(scanKey)
+    spark.conf.set(scanKey, "false")
+    try {
+      val w0 = spark.table(table).write
+        .bucketBy(spec.numBuckets, bCols.head, bCols.tail: _*)
+      val w = if (spec.sortColumnNames.nonEmpty)
+        w0.sortBy(spec.sortColumnNames.head, spec.sortColumnNames.tail: _*)
+      else w0
+      w.mode("overwrite").saveAsTable(tmp)
+    } finally spark.conf.set(scanKey, prev)
+    spark.sql(s"DROP TABLE `$table`")
+    spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
+    (before,
+      dataFiles(spark.sessionState.catalog.getTableMetadata(ident).location))
   }
 
   /** Capped co-occurrence projection: distinct unordered item pairs that

@@ -2455,10 +2455,13 @@ object PipelineQueries extends QueryDomain {
       |    + CAST(MIN(d2) IS NOT NULL AS INT) AS INT) AS steps_completed
       |FROM w3 GROUP BY user_id ORDER BY user_id""".stripMargin
 
-  /** DuckDB twin of [[TextOps.polyHash]] (left fold, 64-bit, mod 1e9+7). */
   /** The q_lsh_probe / q_stream_lsh_probe shared index staging: corpus =
-    * doc_id%4 ∈ {0,1} built, ingest %4 == 2 appended — once per (sf, JVM)
-    * ([[Staging.memo]]); a second append would duplicate band rows, and
+    * doc_id%4 ∈ {0,1} built, ingest %4 == 2 appended as TWO batches
+    * (%8 == 2 then %8 == 6), then the bucketed tables are compacted
+    * ([[graft.operators.ScaleJoins.compactBucketed]]) — so every probe in
+    * the suite runs against a POST-COMPACTION index, pinning that
+    * compaction preserves probe results. Staged once per (sf, JVM)
+    * ([[Staging.memo]]); a repeat append would duplicate band rows, and
     * bench reps must measure the PROBE, not the build. Whichever gate runs
     * first builds it; the catalog is shared across cloned sessions.
     */
@@ -2469,10 +2472,14 @@ object PipelineQueries extends QueryDomain {
       val nm = "graft_lsh_probe_" + dir.replaceAll("[^A-Za-z0-9]", "_")
       MinHashLsh.saveLshIndex(d.filter($"doc_id" % 4 <= 1), "doc_id", "text", nm,
         numHashes = 32, numBands = 8, shingleN = 3, buckets = 8)
-      MinHashLsh.appendToLshIndex(s, d.filter($"doc_id" % 4 === 2), "doc_id", "text", nm)
+      MinHashLsh.appendToLshIndex(s, d.filter($"doc_id" % 8 === 2), "doc_id", "text", nm)
+      MinHashLsh.appendToLshIndex(s, d.filter($"doc_id" % 8 === 6), "doc_id", "text", nm)
+      ScaleJoins.compactBucketed(s, s"${nm}_bands")
+      ScaleJoins.compactBucketed(s, s"${nm}_sets")
       nm
     }
 
+  /** DuckDB twin of [[TextOps.polyHash]] (left fold, 64-bit, mod 1e9+7). */
   private def duckHash(s: String, base: Int = 31): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       s"list_transform(range(1, length($s)+1), i -> CAST(ascii(substr($s, i, 1)) AS BIGINT))), " +

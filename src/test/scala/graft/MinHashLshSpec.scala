@@ -142,4 +142,62 @@ class MinHashLshSpec extends AnyFunSuite with SparkSpec {
     assert(badExchange.findFirstIn(plan).isEmpty,
       s"corpus-side exchange over a bucketed index table:\n$plan")
   }
+
+  test("compactBucketed: N appends collapse to ≤ buckets files; probe results and " +
+      "no-exchange plan survive") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val probe = docs.filter($"doc_id" % 4 === 3)
+    val name = "lsh_spec_compact"
+    // Build + three daily appends: the file-accretion shape compaction
+    // exists for (each append lands its own file-set per table).
+    MinHashLsh.saveLshIndex(docs.filter($"doc_id" % 4 === 0), "doc_id", "text",
+      name, numHashes = 32, numBands = 8, buckets = 4)
+    Seq(1, 2, 5).foreach { r =>
+      MinHashLsh.appendToLshIndex(spark,
+        docs.filter($"doc_id" % 8 === r), "doc_id", "text", name)
+    }
+    def pairs() = MinHashLsh.lshProbe(spark, probe, "doc_id", "text", name)
+      .select("new_id", "corpus_id", "n_common", "n_union")
+      .as[(Long, Long, Int, Int)].collect().toSet
+    val beforePairs = pairs()
+    assert(beforePairs.nonEmpty, "fixture must plant cross-parity near-dups")
+    val (bandsBefore, bandsAfter) =
+      graft.operators.ScaleJoins.compactBucketed(spark, s"${name}_bands")
+    val (setsBefore, setsAfter) =
+      graft.operators.ScaleJoins.compactBucketed(spark, s"${name}_sets")
+    // 1 build + 3 appends × up-to-4-files each collapse to ≤ 4 (one file
+    // per non-empty bucket) — and the drop is strict.
+    assert(bandsAfter <= 4 && bandsAfter < bandsBefore, s"$bandsBefore -> $bandsAfter")
+    assert(setsAfter <= 4 && setsAfter < setsBefore, s"$setsBefore -> $setsAfter")
+    // The compacted table still carries the bucket spec in the catalog...
+    val spec = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(s"${name}_bands")).bucketSpec
+    assert(spec.exists(s => s.numBuckets == 4 &&
+      s.bucketColumnNames == Seq("band", "band_key")))
+    // ...the probe result is unchanged...
+    assert(pairs() === beforePairs)
+    // ...and the probe plan is still exchange-free on the corpus side.
+    val plan = MinHashLsh.lshProbe(spark, probe, "doc_id", "text", name)
+      .queryExecution.executedPlan.toString
+    val badExchange = "(?s)Exchange hashpartitioning[^\\n]*\\n[^E]*lsh_spec_compact".r
+    assert(badExchange.findFirstIn(plan).isEmpty,
+      s"corpus-side exchange after compaction:\n$plan")
+  }
+
+  test("compactBucketed refuses unbucketed tables") {
+    // A previous JVM's warehouse dir may linger with no catalog entry;
+    // overwrite can't clear it for a first-time CREATE (the writeBucketed
+    // orphan story) — stage through ScaleJoins so the dir is cleaned.
+    spark.sql("DROP TABLE IF EXISTS lsh_spec_flat")
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val dir = new java.io.File(wh, "lsh_spec_flat")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    if (dir.exists()) rm(dir)
+    spark.range(10).write.mode("overwrite").saveAsTable("lsh_spec_flat")
+    intercept[IllegalArgumentException] {
+      graft.operators.ScaleJoins.compactBucketed(spark, "lsh_spec_flat")
+    }
+  }
 }

@@ -101,4 +101,37 @@ class ScaleJoinsSpec extends AnyFunSuite with SparkSpec {
     val df = spark.read.parquet(s"$dir/frag")
     assert(df.coalesce(1).queryExecution.executedPlan.toString.contains("Coalesce"))
   }
+
+  test("compactParquet: hive-partitioned layout compacts per leaf, layout preserved") {
+    import spark.implicits._
+    val base = spark.read.parquet(s"$sf0001/orders.parquet")
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus")
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_part").toString
+    // A fragmented writePartitioned tree: 8 files inside every status dir.
+    ScaleJoins.writePartitioned(base.repartition(8), s"$dir/frag", Seq("o_orderstatus"))
+    val statuses = base.select($"o_orderstatus").distinct()
+      .as[String].collect().sorted.toSeq
+    val (before, after) = ScaleJoins.compactParquet(
+      spark, s"$dir/frag", s"$dir/packed", targetFileBytes = 1L << 20)
+    // r14 regression shape: the non-recursive listing saw ZERO top-level
+    // files here, sized the job at 0 bytes, and flattened the partition
+    // dirs into one file. Now: every leaf was seen and compacted to one.
+    assert(before === 8 * statuses.size)
+    assert(after === statuses.size, s"expected one file per leaf, got $after")
+    // Partition directories survive in place...
+    val subdirs = new java.io.File(s"$dir/packed").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(subdirs === statuses.map(s => s"o_orderstatus=$s"))
+    // ...and the compacted copy is row-identical, partition column included.
+    val back = spark.read.parquet(s"$dir/packed")
+    assert(back.count() === base.count())
+    assert(back.select($"o_orderkey", $"o_orderstatus").as[(Long, String)]
+      .collect().sorted.toSeq ===
+      base.select($"o_orderkey", $"o_orderstatus").as[(Long, String)]
+        .collect().sorted.toSeq)
+    // Partition pruning still works on the compacted tree.
+    val pruned = back.filter($"o_orderstatus" === statuses.head)
+      .queryExecution.executedPlan.toString
+    assert(pruned.contains("PartitionFilters"), pruned)
+  }
 }
