@@ -173,16 +173,39 @@ object TextOps {
   def bagOfWordsKey(text: Column): Column =
     concat_ws(" ", sort_array(array_distinct(tokens(text))))
 
+  /** Edge punctuation stripped from tokens by [[blocklistHits]]'s
+    * normalization — a fixed ASCII set so Spark's `trim(col, chars)` and
+    * DuckDB's `trim(s, chars)` see literally the same character class.
+    */
+  val EdgePunct = ".,;:!?'\"()[]{}"
+
   /** Count of DISTINCT blocklist terms present among the document's
     * whitespace tokens — the curation blocklist screen (NSFW/spam/keyword
     * filters à la RefinedWeb/C4's word filters). TOKEN-level equality, not
     * substring containment: "class" never trips a "lass" entry, and the
     * semantics are engine-exact (`array_intersect` ↔ `list_intersect`).
+    *
+    * With `normalize` (the default, matching the cited filters' semantics):
+    * tokens are lower-cased and stripped of EDGE punctuation
+    * ([[EdgePunct]]), so "NSFW" and "word." match blocklist entries "nsfw"
+    * and "word"; INTERIOR punctuation is preserved ("e.g" stays distinct
+    * from "eg"). Terms are lower-cased to match but NOT stripped — the
+    * blocklist is caller-canonical. `normalize = false` keeps the raw
+    * exact-token semantics.
+    *
     * One per-row pass; the term list is a plan-time literal array — at any
     * realistic blocklist size this stays a row-local expression, no join.
     */
-  def blocklistHits(text: Column, terms: Seq[String]): Column =
-    size(array_intersect(array_distinct(tokens(text)), array(terms.map(lit): _*)))
+  def blocklistHits(text: Column, terms: Seq[String],
+      normalize: Boolean = true): Column = {
+    val toks =
+      if (normalize) transform(tokens(text), t => trim(lower(t), EdgePunct))
+      else tokens(text)
+    val canon =
+      if (normalize) terms.map(_.toLowerCase(java.util.Locale.ROOT)).distinct
+      else terms
+    size(array_intersect(array_distinct(toks), array(canon.map(lit): _*)))
+  }
 
   /** Compiled Jaro–Winkler similarity ([[graft.functions.JaroWinkler]]) —
     * the record-linkage fuzzy-match scalar, bit-matched to DuckDB's

@@ -565,7 +565,10 @@ object PipelineQueries extends QueryDomain {
       // documents carrying any blocklisted token are surfaced with their
       // distinct-hit count; 'degenerate' never occurs in the fixture, so
       // the no-match path is exercised inside the same literal array.
-      val terms = Seq("dup", "slow", "degenerate")
+      // Mixed-case TERMS exercise the default normalization (r14 ADVICE:
+      // the raw-token form missed case variants the cited filters fold) —
+      // without term lower-casing this gate would return zero rows.
+      val terms = Seq("Dup", "SLOW", "degenerate")
       docs(s, dir)
         .select($"doc_id",
           TextOps.blocklistHits($"text", terms).cast("long").as("n_hits"))
@@ -3118,14 +3121,20 @@ object PipelineQueries extends QueryDomain {
          |WHERE wdf.wdf <= 3 AND a.doc_a <> b.doc_b
          |GROUP BY a.doc_a, b.doc_b ORDER BY doc_a, doc_b""".stripMargin,
 
-    "q_blocklist_filter" ->
-      """SELECT doc_id,
-        |  CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
-        |    ['dup', 'slow', 'degenerate'])) AS BIGINT) AS n_hits
-        |FROM documents
-        |WHERE len(list_intersect(list_distinct(string_split(text, ' ')),
-        |  ['dup', 'slow', 'degenerate'])) > 0
-        |ORDER BY doc_id""".stripMargin,
+    // The trim char set is TextOps.EdgePunct verbatim (single quote doubled
+    // for the SQL literal) — both engines strip the same edge characters.
+    "q_blocklist_filter" -> {
+      val punct = graft.operators.TextOps.EdgePunct.replace("'", "''")
+      s"""WITH n AS (SELECT doc_id,
+         |  list_distinct(list_transform(string_split(text, ' '),
+         |    t -> trim(lower(t), '$punct'))) AS toks FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(list_intersect(toks, ['dup', 'slow', 'degenerate']))
+         |    AS BIGINT) AS n_hits
+         |FROM n
+         |WHERE len(list_intersect(toks, ['dup', 'slow', 'degenerate'])) > 0
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "q_pii_redact" -> {
       val Seq((email, er), (phone, pr), (ip, ir)) = CorpusOps.PiiRules

@@ -88,4 +88,23 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
     assert(one(TextStats.predictedLang($"t"), "the a spark") === "en")
     assert(one(TextStats.predictedLang($"t"), "spark query batch") === "zh")
   }
+
+  test("blocklistHits: default normalization folds case and edge punctuation") {
+    val terms = Seq("nsfw", "Spam")
+    def hits(s: String, normalize: Boolean = true): Int =
+      one(TextOps.blocklistHits($"t", terms, normalize), s)
+        .asInstanceOf[Int]
+    // Case folds on both sides: doc token "NSFW" matches term "nsfw",
+    // doc token "spam" matches the mixed-case term "Spam".
+    assert(hits("NSFW content and spam here") === 2)
+    // Edge punctuation strips: "spam," / "(nsfw)" / "spam!?" all match.
+    assert(hits("spam, and (nsfw) or spam!?") === 2)
+    // INTERIOR punctuation is preserved: "sp.am" is not "spam".
+    assert(hits("sp.am only") === 0)
+    // Distinct-term count, not occurrence count.
+    assert(hits("spam spam spam") === 1)
+    // normalize = false keeps the raw exact-token semantics.
+    assert(hits("NSFW spam.", normalize = false) === 0)
+    assert(hits("nsfw spam.", normalize = false) === 1)
+  }
 }
