@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-governance operators: retention sweeps and right-to-be-forgotten
+  * (RTBF/GDPR-delete) over a training corpus AND the derived index tables.
+  * This is the stage every production corpus pipeline needs and no query
+  * engine gives you for free: deleting a document from `documents.parquet`
+  * is not deletion while its shingle sets, band keys, embeddings codes,
+  * and posting rows survive in derived state — the purge has to walk the
+  * whole lineage.
+  *
+  * Shape discipline: every purge is a TOMBSTONE ANTI-JOIN. The tombstone
+  * key-set (deletion requests, expired-retention keys) is tiny relative to
+  * the corpus — thousands against billions — so it broadcasts, and the
+  * corpus side never shuffles: at 100 TB the sweep is one scan + rewrite,
+  * embarrassingly parallel. Derived BUCKETED tables (the LSH/IVF/postings
+  * indexes) rewrite through [[ScaleJoins.rewriteBucketed]], which preserves
+  * the catalog bucket spec and the bucket-aligned zero-shuffle read — so a
+  * purge also COMPACTS (one file per bucket out) and every post-purge probe
+  * keeps its no-Exchange plan (pinned in GovernanceOpsSpec).
+  */
+object GovernanceOps {
+
+  /** Normalize a tombstone frame to one distinct key column named `as`.
+    * Distinct is cheap (the set is small) and load-bearing: duplicate
+    * deletion requests are the norm, and a non-distinct broadcast side
+    * would duplicate retained-side rows in a plain join formulation —
+    * anti-join is immune, but the distinct also shrinks the broadcast.
+    */
+  private def keySet(tombstones: DataFrame, keyCol: String, as: String): DataFrame =
+    tombstones.select(col(keyCol).as(as)).distinct()
+
+  /** Corpus minus the tombstoned keys — the retention/RTBF rewrite for a
+    * plain (path-based) dataset. Left-anti with the tombstone set
+    * broadcast: the corpus reads straight through, no shuffle, no sort;
+    * rows whose key matches any tombstone vanish, everything else passes
+    * byte-identically. `broadcastTombstones = false` falls back to a
+    * shuffled anti-join for the rare retention sweep whose resolved
+    * key-set is itself huge (e.g. "forget every doc from a decommissioned
+    * source" materialized as keys — though THAT sweep is better written as
+    * a predicate filter in the first place).
+    */
+  def forgetDocs(corpus: DataFrame, keyCol: String, tombstones: DataFrame,
+      tombKeyCol: String, broadcastTombstones: Boolean = true): DataFrame = {
+    val t0 = keySet(tombstones, tombKeyCol, keyCol)
+    val t = if (broadcastTombstones) broadcast(t0) else t0
+    corpus.join(t, Seq(keyCol), "left_anti")
+  }
+
+  /** The deletion AUDIT TRAIL — what a compliance review actually asks
+    * for: which keys disappeared between the pre-purge and post-purge
+    * snapshots, via [[MergeOps.snapshotDiff]] (full-outer on the key,
+    * null-safe column compare). `removed` rows are the executed deletions;
+    * any `changed`/`added` row in the result is a purge that did more than
+    * delete — a defect surfaced, not masked.
+    */
+  def forgetAudit(before: DataFrame, after: DataFrame, keys: Seq[String]): DataFrame =
+    MergeOps.snapshotDiff(before, after, keys)
+      .filter(col("status") =!= "unchanged")
+
+  /** Purge tombstoned keys from a BUCKETED managed table in place,
+    * preserving its bucket spec ([[ScaleJoins.rewriteBucketed]]): the read
+    * is bucket-aligned (no shuffle), the anti-join is broadcast
+    * (partition-local), and the writer re-emits one file per non-empty
+    * bucket — purge and compaction in the same single pass. Returns
+    * (dataFilesBefore, dataFilesAfter).
+    */
+  def purgeKeysBucketed(spark: SparkSession, table: String, keyCol: String,
+      tombstones: DataFrame, tombKeyCol: String): (Int, Int) =
+    ScaleJoins.rewriteBucketed(spark, table)(
+      _.join(broadcast(keySet(tombstones, tombKeyCol, keyCol)),
+        Seq(keyCol), "left_anti"))
+
+  /** RTBF over a persisted LSH corpus index ([[MinHashLsh.saveLshIndex]]):
+    * purge the tombstoned doc ids from BOTH index tables. The post-purge
+    * index is row-identical to one built from scratch over the retained
+    * corpus (spec-pinned), so probes can never surface a forgotten
+    * document.
+    *
+    * The two rewrites are not atomic; either crash order is OUTPUT-safe —
+    * a band row without its sets row generates a candidate the verify
+    * inner-join drops, a sets row without band rows is never looked up —
+    * so a half-completed purge yields no forgotten id in any probe result;
+    * re-run to finish removing the residual rows themselves. Bands go
+    * first: band keys are the rows probes actively collide with, sets are
+    * passive lookup targets.
+    */
+  def forgetFromLshIndex(spark: SparkSession, name: String,
+      tombstones: DataFrame, tombKeyCol: String): Unit = {
+    purgeKeysBucketed(spark, s"${name}_bands", "doc_id", tombstones, tombKeyCol)
+    purgeKeysBucketed(spark, s"${name}_sets", "doc_id", tombstones, tombKeyCol)
+    ()
+  }
+}

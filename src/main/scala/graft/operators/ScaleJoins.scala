@@ -267,7 +267,20 @@ object ScaleJoins {
     * compacted copy under the temp name, never a half-written table.
     * Returns (filesBefore, filesAfter).
     */
-  def compactBucketed(spark: SparkSession, table: String): (Int, Int) = {
+  def compactBucketed(spark: SparkSession, table: String): (Int, Int) =
+    rewriteBucketed(spark, table)(identity)
+
+  /** Rewrite a bucketed managed table through `transform`, preserving its
+    * catalog bucket spec — the shared core of [[compactBucketed]]
+    * (transform = identity) and
+    * [[GovernanceOps.purgeKeysBucketed]] (transform = tombstone
+    * anti-join). The transform must be row-level (filter/project): anything
+    * that moves rows BETWEEN buckets would still write correctly (the
+    * writer recomputes bucket ids) but would forfeit the zero-shuffle
+    * bucket-aligned read. Returns (dataFilesBefore, dataFilesAfter).
+    */
+  private[operators] def rewriteBucketed(spark: SparkSession, table: String)(
+      transform: DataFrame => DataFrame): (Int, Int) = {
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
     val meta = spark.sessionState.catalog.getTableMetadata(ident)
     val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
@@ -288,7 +301,7 @@ object ScaleJoins {
     val prev = spark.conf.get(scanKey)
     spark.conf.set(scanKey, "false")
     try {
-      val w0 = spark.table(table).write
+      val w0 = transform(spark.table(table)).write
         .bucketBy(spec.numBuckets, bCols.head, bCols.tail: _*)
       val w = if (spec.sortColumnNames.nonEmpty)
         w0.sortBy(spec.sortColumnNames.head, spec.sortColumnNames.tail: _*)

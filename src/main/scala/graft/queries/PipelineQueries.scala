@@ -576,6 +576,28 @@ object PipelineQueries extends QueryDomain {
         .orderBy($"doc_id")
     },
 
+    "q_rtbf_forget" -> { (s, dir) =>
+      import s.implicits._
+      // Retention / right-to-be-forgotten ([[GovernanceOps.forgetDocs]] +
+      // the [[MergeOps.snapshotDiff]] audit) — the data-governance stage of
+      // a production corpus pipeline: tombstones = every 37th doc (the
+      // deletion-request key-set), the corpus rewritten through the
+      // broadcast tombstone anti-join (corpus side never shuffles), then
+      // the before/after snapshot diff folded to per-status totals.
+      // `removed` must be exactly the tombstone set and `unchanged`
+      // everything else — any `changed`/`added` row (a purge that did more
+      // than delete) breaks the oracle's 2-row shape. Index-side purge
+      // ([[GovernanceOps.forgetFromLshIndex]]) is pinned in
+      // GovernanceOpsSpec against a from-scratch rebuild.
+      val d = docs(s, dir)
+      val tomb = d.filter($"doc_id" % 37 === 0).select($"doc_id")
+      val retained = GovernanceOps.forgetDocs(d, "doc_id", tomb, "doc_id")
+      MergeOps.snapshotDiff(d, retained, Seq("doc_id"))
+        .groupBy($"status")
+        .agg(count(lit(1)).as("n_docs"), sum($"doc_id").as("sum_ids"))
+        .orderBy($"status")
+    },
+
     "q_pii_redact" -> { (s, dir) =>
       import s.implicits._
       // Rule-based PII scrubbing ([[TextOps.redact]] + [[CorpusOps.PiiRules]])
@@ -3135,6 +3157,13 @@ object PipelineQueries extends QueryDomain {
          |WHERE len(list_intersect(toks, ['dup', 'slow', 'degenerate'])) > 0
          |ORDER BY doc_id""".stripMargin
     },
+
+    "q_rtbf_forget" ->
+      """SELECT CASE WHEN doc_id % 37 = 0 THEN 'removed'
+        |  ELSE 'unchanged' END AS status,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        |FROM documents GROUP BY 1 ORDER BY status""".stripMargin,
 
     "q_pii_redact" -> {
       val Seq((email, er), (phone, pr), (ip, ir)) = CorpusOps.PiiRules

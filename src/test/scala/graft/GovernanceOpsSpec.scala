@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{GovernanceOps, MinHashLsh}
+
+class GovernanceOpsSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def docs = spark.read.parquet(s"$sf0001/documents.parquet")
+
+  test("forgetDocs: exact anti-join semantics, tombstone side broadcast") {
+    val tomb = docs.filter($"doc_id" % 37 === 0).select($"doc_id")
+    val retained = GovernanceOps.forgetDocs(docs, "doc_id", tomb, "doc_id")
+    val got = retained.select($"doc_id").as[Long].collect().toSet
+    val want = docs.filter($"doc_id" % 37 =!= 0)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(got === want)
+    // The corpus side must NOT shuffle: broadcast left-anti, no exchange
+    // feeding the corpus scan.
+    val plan = retained.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"), plan)
+  }
+
+  test("forgetDocs handles duplicate deletion requests and a different key name") {
+    val tomb = Seq(4L, 4L, 8L, 8L, 8L).toDF("req_id")
+    val retained = GovernanceOps.forgetDocs(
+      docs.filter($"doc_id" < 12), "doc_id", tomb, "req_id")
+    assert(retained.select($"doc_id").as[Long].collect().sorted.toSeq ===
+      (0L until 12L).filterNot(Set(4L, 8L)).toSeq)
+  }
+
+  test("forgetAudit: removed keys only; a purge that mutates rows is surfaced") {
+    val before = docs.filter($"doc_id" < 20)
+    val tomb = Seq(3L, 7L).toDF("doc_id")
+    val after = GovernanceOps.forgetDocs(before, "doc_id", tomb, "doc_id")
+    val audit = GovernanceOps.forgetAudit(before, after, Seq("doc_id"))
+      .select($"doc_id", $"status").as[(Long, String)].collect().toSet
+    assert(audit === Set((3L, "removed"), (7L, "removed")))
+    // A "purge" that also edits a surviving row shows up as changed.
+    val mutated = after.withColumn("text",
+      when($"doc_id" === 5, lit("REDACTED")).otherwise($"text"))
+    val bad = GovernanceOps.forgetAudit(before, mutated, Seq("doc_id"))
+      .select($"doc_id", $"status").as[(Long, String)].collect().toSet
+    assert(bad === Set((3L, "removed"), (7L, "removed"), (5L, "changed")))
+  }
+
+  test("forgetFromLshIndex: purged index ≡ from-scratch build on retained docs; " +
+      "no forgotten id in probes; plan stays exchange-free") {
+    val corpus = docs.filter($"doc_id" % 4 <= 2)
+    val probe = docs.filter($"doc_id" % 4 === 3)
+    // Tombstone a corpus slice that includes planted near-dup partners so
+    // the purge provably removes probe RESULTS, not just inert rows
+    // (%8 == 5 holds several of the fixture's planted partners; %8 ∈
+    // {1,4,6} partners survive, so the retained index stays non-trivial).
+    val tomb = corpus.filter($"doc_id" % 8 === 5).select($"doc_id")
+    val tombIds = tomb.as[Long].collect().toSet
+    assert(tombIds.nonEmpty)
+    def pairs(name: String) =
+      MinHashLsh.lshProbe(spark, probe, "doc_id", "text", name)
+        .select("new_id", "corpus_id", "n_common", "n_union")
+        .as[(Long, Long, Int, Int)].collect().toSet
+    MinHashLsh.saveLshIndex(corpus, "doc_id", "text", "gov_spec_purged",
+      numHashes = 32, numBands = 8, buckets = 4)
+    val preForget = pairs("gov_spec_purged")
+    assert(preForget.exists(p => tombIds(p._2)),
+      "fixture must plant near-dups inside the tombstoned slice")
+    GovernanceOps.forgetFromLshIndex(spark, "gov_spec_purged", tomb, "doc_id")
+    val purged = pairs("gov_spec_purged")
+    // No forgotten id can surface from the purged index...
+    assert(purged.forall(p => !tombIds(p._2)))
+    // ...and the purged index state equals a from-scratch build on the
+    // retained corpus — row-identical probes.
+    MinHashLsh.saveLshIndex(
+      GovernanceOps.forgetDocs(corpus, "doc_id", tomb, "doc_id"),
+      "doc_id", "text", "gov_spec_scratch", numHashes = 32, numBands = 8,
+      buckets = 4)
+    assert(purged === pairs("gov_spec_scratch"))
+    assert(purged.nonEmpty, "retained corpus must still hold near-dups")
+    // Bucket spec survived the purge rewrite; probe plan still reads the
+    // corpus co-located (no exchange over either index table).
+    val spec = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier("gov_spec_purged_bands"))
+      .bucketSpec
+    assert(spec.exists(s => s.numBuckets == 4 &&
+      s.bucketColumnNames == Seq("band", "band_key")))
+    val plan = MinHashLsh.lshProbe(spark, probe, "doc_id", "text",
+      "gov_spec_purged").queryExecution.executedPlan.toString
+    val badExchange = "(?s)Exchange hashpartitioning[^\\n]*\\n[^E]*gov_spec_purged".r
+    assert(badExchange.findFirstIn(plan).isEmpty,
+      s"corpus-side exchange after purge:\n$plan")
+  }
+}
