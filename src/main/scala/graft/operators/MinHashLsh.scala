@@ -243,6 +243,36 @@ object MinHashLsh {
     lshProbeWith(spark, probeDocs, idCol, textCol, name, threshNum, threshDen,
       dedupCandidates = true)
 
+  /** Pin the index's two tables in executor memory for a LONG-RUNNING
+    * online-dedup job: Spark's stream-static join re-plans the static side
+    * every micro-batch, and an uncached bucketed table is re-read from
+    * parquet each time — per-batch cost proportional to the CORPUS, not
+    * the batch. With the tables cached, each micro-batch's plan resolves to
+    * the in-memory relation instead (cache lookup is by analyzed plan, so
+    * the streaming query picks it up with no code change), and the
+    * per-batch cost drops to the probe batch alone — measured in
+    * BASELINE.md's round-15 recording. Output is identical either way
+    * (spec-pinned).
+    *
+    * Lifecycle: any WRITE to the tables ([[appendToLshIndex]], a
+    * [[graft.operators.ScaleJoins.compactBucketed]] swap, an RTBF purge)
+    * invalidates/drops the cache entries — re-invoke after each index
+    * maintenance operation. Eager (`count()` per table) so the first
+    * micro-batch doesn't pay the materialization.
+    */
+  def cacheLshIndex(spark: org.apache.spark.sql.SparkSession, name: String): Unit =
+    Seq(s"${name}_bands", s"${name}_sets").foreach { t =>
+      spark.catalog.cacheTable(t)
+      spark.table(t).count()
+      ()
+    }
+
+  /** Release [[cacheLshIndex]]'s executor memory (job teardown). */
+  def uncacheLshIndex(spark: org.apache.spark.sql.SparkSession, name: String): Unit =
+    Seq(s"${name}_bands", s"${name}_sets").foreach { t =>
+      if (spark.catalog.isCached(t)) spark.catalog.uncacheTable(t)
+    }
+
   /** [[lshProbe]] WITHOUT the candidate dedup: a pair colliding in k bands
     * emits (and verifies) k times, and the caller deduplicates downstream.
     * This is the STREAMING twin's shape — probing an unbounded document
@@ -254,15 +284,57 @@ object MinHashLsh {
     *
     * Stream-static joins re-read the static side EVERY micro-batch (Spark
     * has no cross-batch reuse for uncached relations): a long-running
-    * online-dedup job should cache `<name>_bands` / `<name>_sets` after
-    * each index append so the per-batch cost is the probe batch alone.
+    * online-dedup job should [[cacheLshIndex]] after each index
+    * maintenance operation so the per-batch cost is the probe batch alone
+    * (measured — BASELINE.md round-15 recording).
     */
   def lshProbeEmissions(
       spark: org.apache.spark.sql.SparkSession,
       probeDocs: DataFrame, idCol: String, textCol: String, name: String,
-      threshNum: Int = 1, threshDen: Int = 2): DataFrame =
-    lshProbeWith(spark, probeDocs, idCol, textCol, name, threshNum, threshDen,
-      dedupCandidates = false)
+      threshNum: Int = 1, threshDen: Int = 2): DataFrame = {
+    val (nh, nb, sn, _) = readLshMeta(spark, name)
+    val rpb = nh / nb
+    // CARRIED-SHINGLES plan — the stateless-streaming shape. The batch
+    // form's "join candidates back to the probe's shingle sets by new_id"
+    // is batch-local in spirit, but under a streaming source BOTH sides
+    // derive from the stream, so Spark plans a stateful
+    // StreamingSymmetricHashJoin: a state store plus two
+    // REQUIRED_BY_STATEFUL_OPERATOR exchanges and a second scan of the
+    // source — measured as ~95% of the per-batch cost at sf1 (6.4 s/batch
+    // whether or not the static index was cached; see BASELINE.md r15).
+    // Carrying `sh` through the band explode removes the join-back
+    // entirely: ONE scan of the batch, the band-collision join against the
+    // bucketed corpus (corpus side co-located, zero exchange), then the
+    // verify join against the bucketed sets — no stream state anywhere.
+    // The cost is `numBands` copies of each probe doc's shingle array in
+    // the band join's stream side; micro-batch size (maxFilesPerTrigger /
+    // maxBytesPerTrigger) bounds it.
+    val sv = org.apache.spark.sql.graft.bridge.column(
+      graft.functions.MinHashSig(
+        org.apache.spark.sql.graft.bridge.expression(col("sh")), nh))
+    val bandStructs = (0 until nb).map { b =>
+      struct(
+        lit(b).as("band"),
+        xxhash64((0 until rpb)
+          .map(j => col("graft_sv")(b * rpb + j)): _*).as("band_key"))
+    }
+    val banded = shingleDocs(probeDocs, idCol, textCol, sn)
+      .select(col("doc_id").as("new_id"), col("sh").as("sh_n"), sv.as("graft_sv"))
+      .filter(col("graft_sv").isNotNull)
+      .select(col("new_id"), col("sh_n"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("new_id"), col("sh_n"),
+        col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+    banded
+      .join(spark.table(s"${name}_bands").toDF("corpus_id", "band", "band_key"),
+        Seq("band", "band_key"))
+      .filter(col("new_id") =!= col("corpus_id"))
+      .join(spark.table(s"${name}_sets").toDF("corpus_id", "sh_c"), "corpus_id")
+      .select(col("new_id"), col("corpus_id"),
+        size(array_intersect(col("sh_n"), col("sh_c"))).as("n_common"),
+        size(array_union(col("sh_n"), col("sh_c"))).as("n_union"))
+      .filter(col("n_union") > 0 &&
+        col("n_common") * threshDen >= col("n_union") * threshNum)
+  }
 
   private def lshProbeWith(
       spark: org.apache.spark.sql.SparkSession,

@@ -184,6 +184,61 @@ class MinHashLshSpec extends AnyFunSuite with SparkSpec {
       s"corpus-side exchange after compaction:\n$plan")
   }
 
+  test("lshProbeEmissions streaming: distinct emissions ≡ batch probe, ZERO stream state") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val probe = docs.filter($"doc_id" % 4 === 3)
+    val name = "lsh_spec_emit"
+    MinHashLsh.saveLshIndex(docs.filter($"doc_id" % 4 <= 2), "doc_id", "text",
+      name, numHashes = 32, numBands = 8, buckets = 4)
+    val want = MinHashLsh.lshProbe(spark, probe, "doc_id", "text", name)
+      .select("new_id", "corpus_id", "n_common", "n_union")
+      .as[(Long, Long, Int, Int)].collect().toSet
+    assert(want.nonEmpty)
+    val staged = java.nio.file.Files.createTempDirectory("lsh_emit").toString
+    probe.repartition(2).write.mode("overwrite").parquet(staged)
+    val src = spark.readStream.schema(spark.read.parquet(staged).schema)
+      .option("maxFilesPerTrigger", 1).parquet(staged)
+    val q = MinHashLsh.lshProbeEmissions(spark, src, "doc_id", "text", name)
+      .writeStream.format("memory").queryName("lsh_emit_sink")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("lsh_emit_sink").distinct()
+      .select("new_id", "corpus_id", "n_common", "n_union")
+      .as[(Long, Long, Int, Int)].collect().toSet
+    assert(got === want)
+    // The whole point of the carried-shingles plan: the per-batch pipeline
+    // is STATELESS — no StreamingSymmetricHashJoin, no state store. (The
+    // join-back formulation plans a stateful stream-stream join that
+    // dominated per-batch cost ~30:1 over the actual probe work.)
+    val sops = q.lastProgress.stateOperators
+    assert(sops.isEmpty, s"expected a stateless streaming plan, got state " +
+      s"operators: ${sops.map(_.operatorName).mkString(",")}")
+  }
+
+  test("cacheLshIndex: probe output identical with the static side cached") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val probe = docs.filter($"doc_id" % 4 === 3)
+    val name = "lsh_spec_cache"
+    MinHashLsh.saveLshIndex(docs.filter($"doc_id" % 4 <= 2), "doc_id", "text",
+      name, numHashes = 32, numBands = 8, buckets = 4)
+    def pairs() = MinHashLsh.lshProbe(spark, probe, "doc_id", "text", name)
+      .select("new_id", "corpus_id", "n_common", "n_union")
+      .as[(Long, Long, Int, Int)].collect().toSet
+    val cold = pairs()
+    assert(cold.nonEmpty)
+    MinHashLsh.cacheLshIndex(spark, name)
+    try {
+      assert(spark.catalog.isCached(s"${name}_bands"))
+      assert(spark.catalog.isCached(s"${name}_sets"))
+      // The cached plan actually serves the probe (an in-memory relation
+      // scan in the executed plan), with identical results.
+      val df = MinHashLsh.lshProbe(spark, probe, "doc_id", "text", name)
+      assert(df.queryExecution.executedPlan.toString.contains("InMemoryRelation"))
+      assert(pairs() === cold)
+    } finally MinHashLsh.uncacheLshIndex(spark, name)
+    assert(!spark.catalog.isCached(s"${name}_bands"))
+  }
+
   test("compactBucketed refuses unbucketed tables") {
     // A previous JVM's warehouse dir may linger with no catalog entry;
     // overwrite can't clear it for a first-time CREATE (the writeBucketed
