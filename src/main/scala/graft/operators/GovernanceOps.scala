@@ -93,4 +93,19 @@ object GovernanceOps {
     purgeKeysBucketed(spark, s"${name}_sets", "doc_id", tombstones, tombKeyCol)
     ()
   }
+
+  /** RTBF over a persisted IVF ANN index ([[VectorOps.saveIvfIndex]]):
+    * purge the tombstoned vector ids from the bucketed inverted-list
+    * table, so similarity search can never return a forgotten vector (and
+    * its embedding — content-derived data — is actually gone). The
+    * centroids table holds only cluster means, not per-vector data, and is
+    * untouched; post-purge search equals a from-scratch build on the
+    * retained vectors with the same centroids (spec-pinned).
+    */
+  def forgetFromIvfIndex(spark: SparkSession, name: String,
+      tombstones: DataFrame, tombKeyCol: String): Unit = {
+    purgeKeysBucketed(spark, s"${name}_members", "neighbor_id",
+      tombstones, tombKeyCol)
+    ()
+  }
 }

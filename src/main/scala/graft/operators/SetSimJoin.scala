@@ -168,6 +168,17 @@ object SetSimJoin {
   /** Pairs (doc_i < doc_j) within the same `blockCols` values whose token
     * sets have Jaccard ≥ threshNum/threshDen, with exact overlap counts.
     *
+    * DESIGN ENVELOPE — bounded blocks. Exact set-similarity join at a
+    * fixed threshold over a bounded vocabulary is intrinsically
+    * candidate-volume-bound: once the vocabulary saturates, every token's
+    * df grows linearly with block size and the candidate mass
+    * Σ C(df, 2) grows QUADRATICALLY (measured on the trigram fixture:
+    * 1.4e7 → 1.25e9 → 1.3e11 across 5k → 50k → 500k docs — BASELINE.md
+    * round-15 adjudication; prefix filtering removes a constant factor,
+    * not the quadratic). Keep blocks bounded; corpus-wide near-dup at
+    * 100 TB belongs to the banded [[MinHashLsh]] family, which emits only
+    * probable pairs and measured ~9× cost at 100× data.
+    *
     * @param docs    one row per document; `setCol` is an ARRAY column of
     *                DISTINCT tokens (dedup upstream — counts are set-based)
     * @param dfStrategy document-frequency computation — see [[DfStrategy]]

@@ -2156,21 +2156,27 @@ object PipelineQueries extends QueryDomain {
       import s.implicits._
       // Incremental IVF index maintenance ([[VectorOps.appendToIvfIndex]]):
       // the index is BUILT on the even vec_ids and the odd half arrives
-      // later as an append (assigned with the persisted centroids, bucketed
-      // append under the same spec — never a rebuild). Probing the loaded
-      // index must equal q_ann_ivf's search over the whole table with the
-      // same centroids — the same oracle gates both. Build+append stage
-      // once per (sf, JVM) ([[Staging.memo]]): a second append would
-      // duplicate members, and bench reps must measure the PROBE, not the
-      // build.
+      // later as TWO appends (assigned with the persisted centroids,
+      // bucketed appends under the same spec — never a rebuild), then the
+      // accreted member file-sets are compacted
+      // ([[ScaleJoins.compactBucketed]]) — so the probe below runs against
+      // a post-compaction index, pinning that compaction preserves search
+      // results for the IVF family too. Probing the loaded index must
+      // equal q_ann_ivf's search over the whole table with the same
+      // centroids — the same oracle gates both. Staged once per (sf, JVM)
+      // ([[Staging.memo]]): a repeat append would duplicate members, and
+      // bench reps must measure the PROBE, not the build.
       val e = t(s, dir, "embeddings")
       val name = Staging.memo[String]("ivfappend", dir) {
         val nm = "graft_ivf_append_" + dir.replaceAll("[^A-Za-z0-9]", "_")
         val centroids = e.filter($"vec_id" < 10)
         VectorOps.saveIvfIndex(e.filter($"vec_id" % 2 === 0), centroids,
           "vec_id", "embedding", nm, buckets = 8)
-        VectorOps.appendToIvfIndex(s, e.filter($"vec_id" % 2 === 1),
+        VectorOps.appendToIvfIndex(s, e.filter($"vec_id" % 4 === 1),
           "vec_id", "embedding", nm, buckets = 8)
+        VectorOps.appendToIvfIndex(s, e.filter($"vec_id" % 4 === 3),
+          "vec_id", "embedding", nm, buckets = 8)
+        ScaleJoins.compactBucketed(s, s"${nm}_members")
         nm
       }
       VectorOps.ivfSearchLoaded(VectorOps.loadIvfIndex(s, name),

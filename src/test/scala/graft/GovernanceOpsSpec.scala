@@ -90,4 +90,32 @@ class GovernanceOpsSpec extends AnyFunSuite with SparkSpec {
     assert(badExchange.findFirstIn(plan).isEmpty,
       s"corpus-side exchange after purge:\n$plan")
   }
+
+  test("forgetFromIvfIndex: purged search ≡ from-scratch build on retained " +
+      "vectors; no forgotten neighbor") {
+    import graft.operators.VectorOps
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val centroids = e.filter($"vec_id" < 10)
+    val queries = e.filter($"vec_id".between(100, 109))
+    def search(name: String) =
+      VectorOps.ivfSearchLoaded(VectorOps.loadIvfIndex(spark, name),
+        queries, "vec_id", "embedding", k = 3, nProbe = 2)
+        .select($"query_id", $"rank", $"neighbor_id")
+        .as[(Long, Long, Long)].collect().toSet
+    VectorOps.saveIvfIndex(e, centroids, "vec_id", "embedding",
+      "gov_spec_ivf", buckets = 4)
+    // Tombstone three vectors that ARE current search results, so the
+    // purge provably removes answers, not inert rows.
+    val tombIds = search("gov_spec_ivf").map(_._3).take(3)
+    assert(tombIds.nonEmpty)
+    val tomb = tombIds.toSeq.toDF("vec_id")
+    GovernanceOps.forgetFromIvfIndex(spark, "gov_spec_ivf", tomb, "vec_id")
+    val purged = search("gov_spec_ivf")
+    assert(purged.forall(r => !tombIds(r._3)))
+    VectorOps.saveIvfIndex(
+      GovernanceOps.forgetDocs(e, "vec_id", tomb, "vec_id"), centroids,
+      "vec_id", "embedding", "gov_spec_ivf_scratch", buckets = 4)
+    assert(purged === search("gov_spec_ivf_scratch"))
+    assert(purged.nonEmpty)
+  }
 }
