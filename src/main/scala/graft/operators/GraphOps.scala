@@ -529,4 +529,39 @@ object GraphOps {
       .join(lab.select(col("n").as("node")), Seq("node"), "left_anti")
     relabeled.unionByName(newNodes)
   }
+
+  /** ONLINE duplicate-cluster maintenance — the streaming twin of
+    * [[incrementalComponents]]: each micro-batch of near-dup edges folds
+    * into the labeling via `foreachBatch`, so a long-running dedup job
+    * keeps canonical clusters current without ever re-traversing the
+    * historical edge set (per-batch cost is bounded by the batch's
+    * quotient graph, exactly the batch operator's contract).
+    *
+    * foreachBatch, not a stateful operator: component merging is a global
+    * fixpoint over keys (an edge can fuse two arbitrary clusters), which
+    * per-key `mapGroupsWithState` state cannot express — the labels
+    * DataFrame IS the state. It is EAGERLY `localCheckpoint`ed each fold;
+    * the lazy form would accrete one plan layer per batch and replan the
+    * entire history every trigger (the streaming-fold lineage trap — the
+    * per-round analog is measured in the iterative graph operators).
+    *
+    * After `query.processAllAvailable()` (or at any trigger boundary),
+    * `labels()` returns the labeling, row-identical to
+    * [[connectedComponents]] over every edge seen so far — gated by the
+    * same from-scratch oracle as the batch gates (q_stream_components).
+    */
+  def streamComponents(edgeStream: DataFrame, srcCol: String, dstCol: String)
+      : (org.apache.spark.sql.streaming.StreamingQuery, () => DataFrame) = {
+    val spark = edgeStream.sparkSession
+    import spark.implicits._
+    @volatile var labels = Seq.empty[(Long, Long)].toDF("node", "component")
+    val q = edgeStream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        labels = incrementalComponents(labels, "node", "component",
+          batch, srcCol, dstCol).localCheckpoint(eager = true)
+        ()
+      }
+      .start()
+    (q, () => labels)
+  }
 }

@@ -141,6 +141,52 @@ object PipelineQueries extends QueryDomain {
         .orderBy($"doc_id")
     },
 
+    "q_stream_components" -> { (s, dir) =>
+      import s.implicits._
+      // ONLINE duplicate-cluster maintenance
+      // ([[GraphOps.streamComponents]]) — the streaming twin of
+      // q_cc_incremental: the SimHash near-dup pair set replays as three
+      // micro-batches, each folding through incrementalComponents inside
+      // foreachBatch (the labels frame IS the state, eagerly
+      // localCheckpointed so lineage stays O(1) in batch count). The final
+      // labeling must equal from-scratch components over every pair seen —
+      // the same recursive-CTE oracle gates batch, incremental, and stream.
+      // Flat part-files, not a nested dataset dir: the file-stream source
+      // lists FILES under the path (the Staging.streamDocsDir layout).
+      val staged = Staging.dir("streamcc", dir, "pairs") { p =>
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(p))
+        val tmp = s"${p}_stage"
+        SimHash.nearDupPairs(docs(s, dir), "doc_id", "text",
+            bits = 60, bandBits = 15, maxHamming = 3)
+          .select($"doc_i", $"doc_j")
+          .repartition(3).write.mode("overwrite").parquet(tmp)
+        val parts = Option(new java.io.File(tmp).listFiles()).toSeq.flatten
+          .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .sortBy(_.getName)
+        require(parts.nonEmpty, s"no part files under $tmp")
+        parts.zipWithIndex.foreach { case (f, i) =>
+          java.nio.file.Files.move(f.toPath,
+            java.nio.file.Paths.get(p, f"batch_$i%02d.parquet"),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          ()
+        }
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(new java.io.File(tmp))
+      }
+      val ss = Staging.streamSession(s)
+      val src = ss.readStream.schema(ss.read.parquet(staged).schema)
+        .option("maxFilesPerTrigger", 1).parquet(staged)
+      val (q, labels) = GraphOps.streamComponents(src, "doc_i", "doc_j")
+      try q.processAllAvailable() finally q.stop()
+      labels()
+        .select($"node".as("doc_id"), $"component".as("cluster_id"))
+        .withColumn("cluster_size",
+          count(lit(1)).over(Window.partitionBy($"cluster_id")).cast("long"))
+        .orderBy($"doc_id")
+    },
+
     "q_entity_resolution" -> { (s, dir) =>
       import s.implicits._
       // END-TO-END entity resolution — the composition the blocking
@@ -2530,6 +2576,34 @@ object PipelineQueries extends QueryDomain {
     s"""v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) e FROM embeddings),
        |n AS (SELECT vec_id, e, ${duckDot("e", "e")} AS nn FROM v)""".stripMargin
 
+  /** The from-scratch connected-components oracle shared by
+    * q_cc_incremental and q_stream_components: SimHash near-dup pairs →
+    * symmetric edge closure → recursive-CTE min-label reachability.
+    */
+  private lazy val ccFromScratchOracle: String =
+    s"""WITH RECURSIVE tk AS (SELECT doc_id,
+       |  list_transform(string_split(text, ' '), tok -> ${duckWideHash("tok")}) AS th
+       |  FROM documents
+       |  WHERE text IS NOT NULL AND length(trim(text)) > 0),
+       |t AS (SELECT doc_id,
+       |  CAST(list_sum(list_transform(range(0, 60), b ->
+       |    CASE WHEN list_sum(list_transform(th, h ->
+       |        CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+       |      THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS s
+       |  FROM tk),
+       |pairs AS (SELECT a.doc_id AS u, b.doc_id AS v
+       |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.s, b.s)) <= 3),
+       |edges AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+       |reach(node, lbl) AS (
+       |  SELECT u, u FROM edges
+       |  UNION
+       |  SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.node = e.v),
+       |comp AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node)
+       |SELECT node AS doc_id, cluster_id,
+       |  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+       |FROM comp ORDER BY doc_id""".stripMargin
+
   /** Shared by q_sessionize AND q_stream_sessionize: the stateful streaming
     * sessionizer is gated against the batch oracle — that equality is the
     * entire point of the gate.
@@ -2967,32 +3041,12 @@ object PipelineQueries extends QueryDomain {
     // it, so its exact answer is the IDENTICAL brute-force scan.
     "q_stream_neardup" -> simhashNearDupOracle,
 
-    // Shared with q_cc_incremental: the incremental labeling must equal the
-    // from-scratch run over the union graph, so ONE from-scratch SQL gates
-    // both (the annIvfOracle precedent).
-    "q_cc_incremental" ->
-      s"""WITH RECURSIVE tk AS (SELECT doc_id,
-         |  list_transform(string_split(text, ' '), tok -> ${duckWideHash("tok")}) AS th
-         |  FROM documents
-         |  WHERE text IS NOT NULL AND length(trim(text)) > 0),
-         |t AS (SELECT doc_id,
-         |  CAST(list_sum(list_transform(range(0, 60), b ->
-         |    CASE WHEN list_sum(list_transform(th, h ->
-         |        CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
-         |      THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS s
-         |  FROM tk),
-         |pairs AS (SELECT a.doc_id AS u, b.doc_id AS v
-         |  FROM t a JOIN t b ON a.doc_id < b.doc_id
-         |  WHERE bit_count(xor(a.s, b.s)) <= 3),
-         |edges AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
-         |reach(node, lbl) AS (
-         |  SELECT u, u FROM edges
-         |  UNION
-         |  SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.node = e.v),
-         |comp AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node)
-         |SELECT node AS doc_id, cluster_id,
-         |  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
-         |FROM comp ORDER BY doc_id""".stripMargin,
+    // Shared with q_cc_incremental AND q_stream_components: batch-fold and
+    // stream-fold labelings must both equal the from-scratch run over the
+    // union graph, so ONE from-scratch SQL gates all three shapes (the
+    // annIvfOracle precedent).
+    "q_cc_incremental" -> ccFromScratchOracle,
+    "q_stream_components" -> ccFromScratchOracle,
 
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE tk AS (SELECT doc_id,

@@ -221,6 +221,47 @@ class GraphOpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("streamComponents: micro-batch fold ≡ from-scratch CC, cross-batch merges included") {
+    // Components that only exist ACROSS batches: batch 1 builds {1,2} and
+    // {3,4} separately, batch 2's (2,3) fuses them; batch 3 adds brand-new
+    // nodes AND another fuse (4,5) — the shapes that break a per-key-state
+    // formulation.
+    val batches = Seq(
+      Seq((1L, 2L), (3L, 4L), (10L, 11L)),
+      Seq((2L, 3L), (20L, 21L)),
+      Seq((4L, 5L), (30L, 31L), (11L, 20L)))
+    // Flat part-files: the file-stream source lists FILES under the path,
+    // not nested dataset directories (the Staging layout convention).
+    val staged = java.nio.file.Files.createTempDirectory("graft_streamcc").toString
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val tmp = s"$staged/stage$i"
+      b.toDF("u", "v").coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(staged, s"b$i.parquet"))
+      // Modification-time ordering drives replay order.
+      java.nio.file.Paths.get(staged, s"b$i.parquet").toFile
+        .setLastModified(System.currentTimeMillis() - 10000 + i * 1000)
+    }
+    val src = spark.readStream
+      .schema(spark.read.parquet(s"$staged/b0.parquet").schema)
+      .option("maxFilesPerTrigger", 1).parquet(staged)
+    val (q, labels) = GraphOps.streamComponents(src, "u", "v")
+    try q.processAllAvailable() finally q.stop()
+    val got = labels().as[(Long, Long)].collect().toMap
+    val want = GraphOps.connectedComponents(
+      batches.flatten.toDF("u", "v"), "u", "v")
+      .as[(Long, Long)].collect().toMap
+    assert(got === want)
+    // The cross-batch fusions actually happened: 1–5 one component, the
+    // batch-1 pair 10/11 fused with batch-2's 20/21 via batch-3's (11,20).
+    assert(Seq(1L, 2L, 3L, 4L, 5L).map(got).toSet.size === 1)
+    assert(Seq(10L, 11L, 20L, 21L).map(got).toSet.size === 1)
+    assert(got(30L) === got(31L))
+    assert(got(30L) !== got(1L))
+  }
+
   test("pageRankInt: a hub out-ranks leaves and ranks are partition-stable") {
     // star: hub 0 with 20 leaves, plus a detached pair
     val edges = (1L to 20L).map(i => (0L, i)) :+ (100L, 101L)
