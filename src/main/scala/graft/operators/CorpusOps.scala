@@ -872,4 +872,61 @@ object CorpusOps {
       .filter(col("tb_cum") <= col("tb_budget"))
       .select(col("tb_id").as(idCol), col("tb_grp").as(groupCol), col("n_tokens"))
   }
+
+  /** DSIR-style importance weights (Data Selection via Importance
+    * Resampling, Xie et al. 2023): score every raw document by the
+    * log-likelihood ratio of its hashed-unigram bag under a target-corpus
+    * unigram LM vs the raw-corpus unigram LM,
+    *
+    *   w(doc) = Σ_tok [log p_tgt(b(tok)) − log p_raw(b(tok))]
+    *
+    * with `b` a polynomial hash into `buckets` buckets and add-1 smoothing
+    * on both models — then keep the highest-weight documents ("is this raw
+    * document distributed like the high-quality target?"). The target
+    * corpus is the subset of `docs` where `isTarget` holds (in production,
+    * a trusted reference corpus unioned in with the flag set).
+    *
+    * Logs are at INTEGER log₂ resolution via bit lengths —
+    * `length(bin(c+1))` — the same formulation [[surprisal]] gates: it is
+    * the only log both engines compute bit-identically, and DSIR's
+    * selection consumes only the ORDER of weights, where coarse resolution
+    * costs ties, not bias (break ties deterministically downstream). The
+    * model-size normalizers stay in the sum (n_tokens · [bits(R+B) −
+    * bits(T+B)]) so documents of different lengths rank on comparable
+    * weights, exactly as the paper's summed per-token ratio does.
+    *
+    * Scale posture: one combiner-reduced aggregate keyed on the bucket id
+    * (≤ `buckets` rows of state — the two LMs), broadcast of that
+    * bucket table back over the token stream, one keyed aggregate per doc.
+    * No windows, no driver-side model. Selection downstream is a
+    * TakeOrdered top-k, never a full sort.
+    *
+    * Output: (idCol, n_tokens, weight) — weight is an exact BIGINT; higher
+    * means more target-like. Empty/null texts are excluded (no tokens, no
+    * evidence).
+    */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, buckets: Int = 512): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val tok = docs
+      .filter(col(textCol).isNotNull && col(textCol) =!= "")
+      .select(col(idCol).as("ds_id"), isTarget.as("ds_tgt"),
+        explode(TextOps.tokens(col(textCol))).as("ds_tok"))
+      .withColumn("ds_b", TextOps.polyHash(col("ds_tok")) % buckets)
+    val lm = tok.groupBy(col("ds_b")).agg(
+      count(lit(1)).as("cr"),
+      sum(when(col("ds_tgt"), 1L).otherwise(0L)).as("ct"))
+    val totals = lm.agg(sum(col("cr")).as("ds_r"), sum(col("ct")).as("ds_t"))
+    val term = lm.select(col("ds_b"),
+      (length(bin(col("ct") + 1L)) - length(bin(col("cr") + 1L)))
+        .cast("long").as("ds_term"))
+    tok.join(broadcast(term), Seq("ds_b"))
+      .groupBy(col("ds_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("ds_term")).as("ds_s"))
+      .crossJoin(broadcast(totals))
+      .select(col("ds_id").as(idCol), col("n_tokens"),
+        (col("ds_s") + col("n_tokens") *
+          (length(bin(col("ds_r") + buckets.toLong)) -
+           length(bin(col("ds_t") + buckets.toLong))).cast("long")).as("weight"))
+  }
 }

@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Classifier-evaluation operators for the curation loop: every serious
+  * LLM-data pipeline trains quality/toxicity/language classifiers and must
+  * evaluate them at corpus scale before trusting them to gate documents
+  * (the quality-screening stage the reference's ETL feeds; cf.
+  * `/root/reference` `load_postgres_*.py` which stages exactly such scored
+  * tables). Both operators follow the repo's determinism contract: all
+  * accumulation is exact integer arithmetic; a double appears only as ONE
+  * final IEEE division of two exact operands, so results are bit-identical
+  * across engines and partitionings (hash-gateable).
+  */
+object EvalOps {
+
+  /** Per-group ROC-AUC via the Mann–Whitney rank-sum with midrank tie
+    * handling — the standard exact formulation:
+    *
+    *   AUC = (2·Σ_{pos} R_i − P(P+1)) / (2·P·N)
+    *
+    * where R_i are midranks of the positives under ascending score order,
+    * P/N the positive/negative counts. Ties contribute 1/2 per crossing
+    * pair, exactly as the trapezoidal ROC integral does. Midranks enter
+    * DOUBLED so everything stays integral: a score level with `m` rows of
+    * which `p` positive, preceded by `cum` rows, contributes
+    * p·(2·cum + m + 1) to 2·Σ R.
+    *
+    * Scale posture: the first shuffle keys on (group, score) and is
+    * combiner-reduced, so the window that forms the cumulative counts runs
+    * over SCORE-LEVEL aggregate rows, not data rows — state per group is
+    * bounded by the number of distinct scores (quantize continuous scores
+    * first; the gate uses an integer score). No data-row window, no
+    * single-partition stage. Overflow: the rank-sum is Θ(n²) in the group's
+    * row count, so longs are exact to ~3·10⁹ rows per group — beyond that,
+    * evaluate on a sample (an eval set at that size measures nothing a
+    * 3·10⁹-row sample doesn't).
+    *
+    * `labelCol` must be 0/1 (checked). Degenerate groups (no positives or
+    * no negatives) report NULL auc rather than 0/0.
+    *
+    * Output: (group, n_pos, n_neg, auc_num = 2U, auc_den = 2PN, auc)
+    * — the exact integer numerator/denominator pin the result beyond
+    * double printing, and auc is their single IEEE-divided quotient.
+    */
+  def rocAuc(df: DataFrame, groupCol: String, scoreCol: String,
+      labelCol: String): DataFrame = {
+    val lab = col(labelCol).cast("long")
+    val base = df.select(
+      col(groupCol).as("grp"),
+      col(scoreCol).as("score"),
+      when(lab === 0L || lab === 1L, lab)
+        .otherwise(raise_error(concat(lit(s"rocAuc: $labelCol must be 0/1, got "),
+          lab.cast("string")))).as("lab"))
+    val byScore = base.groupBy(col("grp"), col("score"))
+      .agg(count(lit(1)).as("m"), sum(col("lab")).as("p"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("score").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = byScore.withColumn("cum", coalesce(sum(col("m")).over(w), lit(0L)))
+    val agg = cum.groupBy(col("grp")).agg(
+      sum(col("p")).as("n_pos"),
+      (sum(col("m")) - sum(col("p"))).as("n_neg"),
+      sum(col("p") * (lit(2L) * col("cum") + col("m") + lit(1L))).as("r2"))
+    agg.select(
+      col("grp"),
+      col("n_pos"), col("n_neg"),
+      (col("r2") - col("n_pos") * (col("n_pos") + 1L)).as("auc_num"),
+      (lit(2L) * col("n_pos") * col("n_neg")).as("auc_den"),
+      when(col("n_pos") === 0L || col("n_neg") === 0L, lit(null).cast("double"))
+        .otherwise((col("r2") - col("n_pos") * (col("n_pos") + 1L)).cast("double") /
+          (lit(2L) * col("n_pos") * col("n_neg")).cast("double")).as("auc"))
+      .withColumnRenamed("grp", groupCol)
+  }
+
+  /** Reliability-diagram bins (calibration curve): rows are cut into `k`
+    * equi-depth bins of the score's total order (ties broken by
+    * `tiebreakCols`, which must complete a total order) and each bin
+    * reports its size, positive count, exact mean score and positive rate.
+    * A calibrated classifier has pos_rate tracking mean_score.
+    *
+    * Binning rides [[RankOps.equidepthBins]] — the zipWithIndex two-phase
+    * global rank, never a single-partition window — so the operator is the
+    * corpus-scale shape, not the `ntile` one. Scores must be exact values
+    * (integers or decimals); the mean is an exact integer/decimal sum with
+    * one final IEEE division.
+    *
+    * Output: (bin 0..k-1, n, n_pos, mean_score, pos_rate) ordered by bin.
+    */
+  def calibrationBins(df: DataFrame, scoreCol: String, labelCol: String,
+      tiebreakCols: Seq[Column], k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val lab = col(labelCol).cast("long")
+    val checked = df.withColumn("__graft_lab",
+      when(lab === 0L || lab === 1L, lab)
+        .otherwise(raise_error(concat(lit(s"calibrationBins: $labelCol must be 0/1, got "),
+          lab.cast("string")))))
+    RankOps.equidepthBins(checked, col(scoreCol), tiebreakCols, k, binCol = "bin")
+      .groupBy(col("bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("__graft_lab")).as("n_pos"),
+        (sum(col(scoreCol).cast("long")).cast("double") /
+          count(lit(1)).cast("double")).as("mean_score"),
+        (sum(col("__graft_lab")).cast("double") /
+          count(lit(1)).cast("double")).as("pos_rate"))
+      .orderBy(col("bin"))
+  }
+}

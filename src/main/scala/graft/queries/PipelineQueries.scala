@@ -644,6 +644,56 @@ object PipelineQueries extends QueryDomain {
         .orderBy($"status")
     },
 
+    "q_auc" -> { (s, dir) =>
+      import s.implicits._
+      // Per-source ROC-AUC ([[EvalOps.rocAuc]]) of a toy "is English"
+      // classifier whose score is document length — the eval step every
+      // corpus-curation classifier runs before it is trusted to gate
+      // documents. Exact integer Mann–Whitney rank-sum with midrank tie
+      // handling; the gate pins the exact integer numerator/denominator
+      // alongside the single IEEE-divided auc, so a tie-handling slip
+      // cannot hide in double printing. The window runs over score-LEVEL
+      // aggregate rows (combiner-reduced), never data rows.
+      EvalOps.rocAuc(
+        t(s, dir, "documents")
+          .select($"source", $"n_chars",
+            when($"lang" === "en", 1L).otherwise(0L).as("lab")),
+        "source", "n_chars", "lab")
+        .orderBy($"source")
+    },
+
+    "q_calibration" -> { (s, dir) =>
+      import s.implicits._
+      // Reliability diagram ([[EvalOps.calibrationBins]]): the same toy
+      // classifier cut into 8 equi-depth score bins, each reporting size,
+      // positives, exact mean score and positive rate. Binning rides the
+      // zipWithIndex two-phase global rank ([[RankOps.equidepthBins]]) —
+      // the corpus-scale shape — not ntile's single-partition window; ties
+      // broken by doc_id so the cut is engine-independent.
+      EvalOps.calibrationBins(
+        t(s, dir, "documents")
+          .select($"doc_id", $"n_chars",
+            when($"lang" === "en", 1L).otherwise(0L).as("lab")),
+        "n_chars", "lab", Seq($"doc_id"), k = 8)
+    },
+
+    "q_dsir_select" -> { (s, dir) =>
+      import s.implicits._
+      // DSIR data selection ([[CorpusOps.dsirWeights]], Xie et al. 2023):
+      // every document scored by the log-likelihood ratio of its
+      // hashed-unigram bag under the English-subset target LM vs the
+      // raw-corpus LM (512 buckets, add-1 smoothing, integer-log₂ bits —
+      // the [[CorpusOps.surprisal]] formulation both engines compute
+      // bit-identically), then the 40 most target-like docs kept by
+      // (weight desc, doc_id) — a TakeOrdered, never a full sort. Two
+      // combiner-reduced aggregates + a ≤512-row broadcast: the 100 TB
+      // shape of "select raw data distributed like the trusted corpus".
+      CorpusOps.dsirWeights(docs(s, dir), "doc_id", "text",
+        isTarget = $"lang" === "en", buckets = 512)
+        .orderBy($"weight".desc, $"doc_id")
+        .limit(40)
+    },
+
     "q_pii_redact" -> { (s, dir) =>
       import s.implicits._
       // Rule-based PII scrubbing ([[TextOps.redact]] + [[CorpusOps.PiiRules]])
@@ -3224,6 +3274,75 @@ object PipelineQueries extends QueryDomain {
         |  CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
         |FROM documents GROUP BY 1 ORDER BY status""".stripMargin,
+
+    // Mann–Whitney with midranks, all-integer until the one final division:
+    // a score level of m rows (p positive) preceded by cum rows contributes
+    // p·(2·cum + m + 1) to 2·Σ R_pos; then 2U = r2 − P(P+1), den = 2PN.
+    "q_auc" ->
+      """WITH d AS (SELECT source, n_chars AS score,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS lab FROM documents),
+        |s AS (SELECT source, score, CAST(count(*) AS BIGINT) AS m,
+        |    CAST(SUM(lab) AS BIGINT) AS p FROM d GROUP BY source, score),
+        |c AS (SELECT source, m, p,
+        |    CAST(COALESCE(SUM(m) OVER (PARTITION BY source ORDER BY score
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cum
+        |  FROM s),
+        |a AS (SELECT source, CAST(SUM(p) AS BIGINT) AS n_pos,
+        |    CAST(SUM(m) - SUM(p) AS BIGINT) AS n_neg,
+        |    CAST(SUM(p * (2*cum + m + 1)) AS BIGINT) AS r2
+        |  FROM c GROUP BY source)
+        |SELECT source, n_pos, n_neg,
+        |  CAST(r2 - n_pos*(n_pos+1) AS BIGINT) AS auc_num,
+        |  CAST(2*n_pos*n_neg AS BIGINT) AS auc_den,
+        |  CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+        |    ELSE CAST(r2 - n_pos*(n_pos+1) AS DOUBLE)
+        |      / CAST(2*n_pos*n_neg AS DOUBLE) END AS auc
+        |FROM a ORDER BY source""".stripMargin,
+
+    // Mirrors equidepthBins(k = 8) over the total order (n_chars, doc_id):
+    // bin = (rank−1)·8 div n; exact integer sums, one division per double.
+    "q_calibration" ->
+      """WITH r AS (SELECT doc_id, n_chars,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS lab,
+        |    ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rnk,
+        |    COUNT(*) OVER () AS nn
+        |  FROM documents)
+        |SELECT CAST((rnk - 1) * 8 // nn AS INT) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(SUM(lab) AS BIGINT) AS n_pos,
+        |  CAST(CAST(SUM(n_chars) AS BIGINT) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS mean_score,
+        |  CAST(CAST(SUM(lab) AS BIGINT) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS pos_rate
+        |FROM r GROUP BY 1 ORDER BY bin""".stripMargin,
+
+    // Mirrors dsirWeights(buckets = 512) + the top-40 cut: bucket-hashed
+    // unigram LMs with add-1 smoothing at integer-log₂ (bit-length)
+    // resolution, per-token ratio summed per doc with the model-size
+    // normalizers carried via n_tokens.
+    "q_dsir_select" -> {
+      val h = duckHash("ds_tok")
+      s"""WITH tok AS (SELECT doc_id, lang = 'en' AS is_tgt,
+         |    unnest(string_split(text, ' ')) AS ds_tok
+         |  FROM documents WHERE text IS NOT NULL AND text <> ''),
+         |tb AS (SELECT $h % 512 AS b,
+         |    CAST(count(*) AS BIGINT) AS cr,
+         |    CAST(count(*) FILTER (WHERE is_tgt) AS BIGINT) AS ct
+         |  FROM tok GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(cr) AS BIGINT) AS r,
+         |    CAST(SUM(ct) AS BIGINT) AS t FROM tb),
+         |term AS (SELECT b,
+         |    CAST(length(bin(ct + 1)) - length(bin(cr + 1)) AS BIGINT) AS trm
+         |  FROM tb),
+         |w AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |    CAST(SUM(trm) + count(*) *
+         |      (length(bin(r + 512)) - length(bin(t + 512))) AS BIGINT) AS weight
+         |  FROM tok JOIN term ON ($h % 512) = term.b CROSS JOIN tot
+         |  GROUP BY doc_id, r, t)
+         |SELECT doc_id, n_tokens, weight FROM w
+         |ORDER BY weight DESC, doc_id LIMIT 40""".stripMargin
+    },
 
     "q_pii_redact" -> {
       val Seq((email, er), (phone, pr), (ip, ir)) = CorpusOps.PiiRules

@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{CorpusOps, EvalOps}
+
+class EvalOpsSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def labeledDocs = spark.read.parquet(s"$sf0001/documents.parquet")
+    .select($"source", $"n_chars",
+      when($"lang" === "en", 1L).otherwise(0L).as("lab"))
+
+  test("rocAuc ≡ brute-force pair counting on the fixture (per source)") {
+    val rows = labeledDocs.as[(String, Long, Long)].collect()
+    val expect = rows.groupBy(_._1).map { case (src, grp) =>
+      val pos = grp.filter(_._3 == 1L).map(_._2)
+      val neg = grp.filter(_._3 == 0L).map(_._2)
+      // Probability a random (pos, neg) pair is correctly ordered, ties ½.
+      val auc =
+        if (pos.isEmpty || neg.isEmpty) None
+        else {
+          val wins = (for (p <- pos; n <- neg)
+            yield if (p > n) 2L else if (p == n) 1L else 0L).sum
+          Some(wins.toDouble / (2L * pos.length * neg.length).toDouble)
+        }
+      src -> (pos.length.toLong, neg.length.toLong, auc)
+    }
+    val got = EvalOps.rocAuc(labeledDocs, "source", "n_chars", "lab")
+      .as[(String, Long, Long, Long, Long, Option[Double])].collect()
+    assert(got.length == expect.size)
+    got.foreach { case (src, np, nn, num, den, auc) =>
+      val (ep, en, eauc) = expect(src)
+      assert((np, nn) == (ep, en), src)
+      assert(den == 2L * np * nn, src)
+      // The rank-sum numerator is exactly 2·(wins + ties/2), so the two
+      // divisions share identical operands: bit-exact equality, not approx.
+      assert(auc === eauc, src)
+      eauc.foreach(e => assert(num.toDouble / den.toDouble == e, src))
+    }
+  }
+
+  test("rocAuc: perfect separation → 1.0, inverted → 0.0, degenerate → null") {
+    val perfect = Seq(("g", 10L, 1L), ("g", 9L, 1L), ("g", 2L, 0L), ("g", 1L, 0L))
+      .toDF("g", "score", "lab")
+    assert(EvalOps.rocAuc(perfect, "g", "score", "lab")
+      .select($"auc").as[Double].head() == 1.0)
+    val inverted = perfect.withColumn("lab", lit(1L) - $"lab")
+    assert(EvalOps.rocAuc(inverted, "g", "score", "lab")
+      .select($"auc").as[Double].head() == 0.0)
+    val onlyPos = Seq(("g", 1L, 1L), ("g", 2L, 1L)).toDF("g", "score", "lab")
+    assert(EvalOps.rocAuc(onlyPos, "g", "score", "lab")
+      .select($"auc").as[Option[Double]].head().isEmpty)
+  }
+
+  test("rocAuc: all-tied scores → 0.5 exactly (pure midrank path)") {
+    val tied = Seq(("g", 5L, 1L), ("g", 5L, 0L), ("g", 5L, 1L), ("g", 5L, 0L))
+      .toDF("g", "score", "lab")
+    assert(EvalOps.rocAuc(tied, "g", "score", "lab")
+      .select($"auc").as[Double].head() == 0.5)
+  }
+
+  test("rocAuc is partitioning-invariant (bit-exact doubles)") {
+    val a = EvalOps.rocAuc(labeledDocs.repartition(13), "source", "n_chars", "lab")
+      .orderBy($"source").collect().toSeq
+    val b = EvalOps.rocAuc(labeledDocs.coalesce(1), "source", "n_chars", "lab")
+      .orderBy($"source").collect().toSeq
+    assert(a == b)
+  }
+
+  test("rocAuc rejects labels outside {0, 1}") {
+    val bad = Seq(("g", 1L, 2L)).toDF("g", "score", "lab")
+    val e = intercept[Exception] {
+      EvalOps.rocAuc(bad, "g", "score", "lab").collect()
+    }
+    assert(e.getMessage.contains("must be 0/1") ||
+      Option(e.getCause).exists(_.getMessage.contains("must be 0/1")))
+  }
+
+  test("calibrationBins ≡ driver-side equi-depth reference on the fixture") {
+    val d = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select($"doc_id", $"n_chars",
+        when($"lang" === "en", 1L).otherwise(0L).as("lab"))
+    val rows = d.as[(Long, Long, Long)].collect().sortBy(r => (r._2, r._1))
+    val n = rows.length
+    val k = 8
+    val expect = rows.zipWithIndex
+      .groupBy { case (_, i) => i.toLong * k / n }
+      .toSeq.sortBy(_._1)
+      .map { case (bin, g) =>
+        val cnt = g.length.toLong
+        val npos = g.map(_._1._3).sum
+        (bin.toInt, cnt, npos,
+          g.map(_._1._2).sum.toDouble / cnt.toDouble,
+          npos.toDouble / cnt.toDouble)
+      }
+    val got = EvalOps.calibrationBins(d, "n_chars", "lab", Seq($"doc_id"), k)
+      .as[(Int, Long, Long, Double, Double)].collect().toSeq
+    assert(got == expect)
+    // Equi-depth by construction: bins differ in size by at most one.
+    val sizes = got.map(_._2)
+    assert(sizes.max - sizes.min <= 1 && sizes.sum == n.toLong)
+  }
+
+  test("dsirWeights ≡ driver-side reference with the same hash and bit-lengths") {
+    val prime = 1000000007L
+    def polyHash(s: String): Long =
+      s.foldLeft(0L)((acc, c) => (acc * 31L + c.toLong) % prime)
+    def bits(x: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(x)
+    val B = 64
+    val d = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select($"doc_id", $"text", $"lang")
+    val rows = d.as[(Long, String, String)].collect()
+    val toks = rows.filter(r => r._2 != null && r._2.nonEmpty)
+      .flatMap { case (id, text, lang) =>
+        text.split(" ", -1).map(t => (id, lang == "en", polyHash(t) % B))
+      }
+    val cr = toks.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    val ct = toks.filter(_._2).groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    val rTot = toks.length.toLong
+    val tTot = toks.count(_._2).toLong
+    val norm = bits(rTot + B) - bits(tTot + B)
+    val expect = toks.groupBy(_._1).view.mapValues { g =>
+      val s = g.map(t => bits(ct.getOrElse(t._3, 0L) + 1) - bits(cr(t._3) + 1)).sum
+      (g.length.toLong, s + g.length * norm)
+    }.toMap
+    val got = CorpusOps.dsirWeights(d, "doc_id", "text",
+      isTarget = $"lang" === "en", buckets = B)
+      .as[(Long, Long, Long)].collect()
+    assert(got.length == expect.size)
+    got.foreach { case (id, nt, w) => assert((nt, w) == expect(id), s"doc $id") }
+  }
+
+  test("dsirWeights ranks target-like docs above non-target-like docs") {
+    // Target docs are made of 'alpha beta', raw-only junk of 'zork quux':
+    // a fresh raw doc of target tokens must outweigh one of junk tokens.
+    val d = (Seq.tabulate(20)(i => (i.toLong, "alpha beta alpha beta", true)) ++
+      Seq.tabulate(20)(i => (100L + i, "zork quux zork quux", false)) ++
+      Seq((900L, "alpha beta alpha beta", false),
+          (901L, "zork quux zork quux", false)))
+      .toDF("id", "text", "tgt")
+    val w = CorpusOps.dsirWeights(d, "id", "text", isTarget = $"tgt", buckets = 64)
+      .filter($"id" >= 900L)
+      .select($"id", $"weight").as[(Long, Long)].collect().toMap
+    assert(w(900L) > w(901L))
+  }
+}

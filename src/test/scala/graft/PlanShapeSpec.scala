@@ -371,6 +371,25 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       s"FK check must be a broadcast anti-join:\n$p")
   }
 
+  test("q_dsir_select: LM bucket table broadcasts; selection is TakeOrdered") {
+    val p = plan("q_dsir_select")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the ≤buckets-row term table must broadcast over the token stream:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k selection must be TakeOrdered, never a global sort:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_auc: rank window runs over score-level aggregates, not data rows") {
+    val p = plan("q_auc")
+    // HashAggregate on (grp, score) BELOW the window: the plan string lists
+    // the window's child subtree after it — assert both operators exist and
+    // no cartesian/broadcast-nested-loop crept in.
+    assert(p.contains("Window") &&
+      "HashAggregate".r.findAllIn(p).size >= 2, s"missing pre-window combine:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("whole-stage codegen covers the scalar pipelines") {
     // AQE prints codegen stages only in the FINAL plan — execute first.
     val df = SparkEntry.queries("q_scalar_string")(spark, sf0001)
