@@ -75,6 +75,62 @@ object EvalOps {
       .withColumnRenamed("grp", groupCol)
   }
 
+  /** Operating-point selection: per group, the LOWEST score threshold
+    * whose "predict positive iff score ≥ threshold" rule still meets the
+    * precision target `precNum/precDen` — i.e. the maximum-recall
+    * operating point at that precision, the decision every
+    * quality-classifier deployment makes before gating documents. The
+    * precision test is an integer cross-multiplication
+    * (tp·precDen ≥ pp·precNum — never a float compare), candidate
+    * thresholds are exactly the distinct scores, and groups where no
+    * threshold qualifies emit no row (their precision-recall curve never
+    * reaches the target).
+    *
+    * Scale posture: same frame as [[rocAuc]] — one combiner-reduced
+    * (group, score) aggregate, then windows over SCORE-LEVEL rows only
+    * (cumulative-from-the-top counts and the final min-qualifying pick).
+    *
+    * Output: (group, threshold, tp, fp, fn, precision, recall); doubles
+    * are single IEEE divisions of exact longs.
+    */
+  def operatingPoint(df: DataFrame, groupCol: String, scoreCol: String,
+      labelCol: String, precNum: Int, precDen: Int): DataFrame = {
+    require(precNum >= 0 && precDen > 0 && precNum <= precDen,
+      s"need 0 <= precNum/precDen <= 1, got $precNum/$precDen")
+    val lab = col(labelCol).cast("long")
+    val base = df.select(
+      col(groupCol).as("grp"),
+      col(scoreCol).as("score"),
+      when(lab === 0L || lab === 1L, lab)
+        .otherwise(raise_error(concat(
+          lit(s"operatingPoint: $labelCol must be 0/1, got "),
+          lab.cast("string")))).as("lab"))
+    val byScore = base.groupBy(col("grp"), col("score"))
+      .agg(count(lit(1)).as("m"), sum(col("lab")).as("p"))
+    val wTop = Window.partitionBy(col("grp")).orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy(col("grp"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = byScore
+      .withColumn("tp", sum(col("p")).over(wTop))
+      .withColumn("pp", sum(col("m")).over(wTop))
+      .withColumn("pos", sum(col("p")).over(wAll))
+    val qualified = cum
+      .filter(col("tp") * precDen >= col("pp") * precNum && col("tp") > 0L)
+    val pick = Window.partitionBy(col("grp")).orderBy(col("score").asc)
+    qualified
+      .withColumn("__graft_rn", row_number().over(pick))
+      .filter(col("__graft_rn") === 1)
+      .select(
+        col("grp").as(groupCol),
+        col("score").as("threshold"),
+        col("tp"),
+        (col("pp") - col("tp")).as("fp"),
+        (col("pos") - col("tp")).as("fn"),
+        (col("tp").cast("double") / col("pp").cast("double")).as("precision"),
+        (col("tp").cast("double") / col("pos").cast("double")).as("recall"))
+  }
+
   /** Reliability-diagram bins (calibration curve): rows are cut into `k`
     * equi-depth bins of the score's total order (ties broken by
     * `tiebreakCols`, which must complete a total order) and each bin

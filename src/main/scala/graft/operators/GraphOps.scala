@@ -564,4 +564,59 @@ object GraphOps {
       .start()
     (q, () => labels)
   }
+
+  /** k-core: the maximal subgraph of the undirected (symmetrized,
+    * deduplicated, loop-free) graph in which every node has degree ≥ `k` —
+    * the standard density screen for graph-shaped corpora (a near-dup or
+    * citation cluster that survives the 3-core is structural, not a chance
+    * collision). Computed by the textbook peeling fixpoint: drop every
+    * node of degree < k, recompute degrees, repeat until stable. The
+    * result is a well-defined function of the edge set (the k-core is
+    * unique), so the output is deterministic with no tie rules.
+    *
+    * Shape per round: one node-keyed count aggregate + two node-keyed
+    * anti-joins of the edge list against the dropped-node set (AQE
+    * broadcasts the dropped side when small) — never an all-pairs or
+    * driver-side structure; the round state localCheckpoints so plan depth
+    * stays one round. Rounds are bounded by the peeling depth of the
+    * graph — O(1)-ish on real corpus graphs, O(n) only on adversarial
+    * chains (a path peels from the ends inward one layer per round); the
+    * `maxRounds` guard turns that pathology into a loud error instead of
+    * a runaway job. One count() action per round is the convergence check.
+    *
+    * Output: (node, deg) — the surviving nodes with their degree INSIDE
+    * the core (deg ≥ k by construction); empty when the core is empty.
+    */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, kMin: Int,
+      maxRounds: Int = 100): DataFrame =
+    kCoreWithRounds(edges, srcCol, dstCol, kMin, maxRounds)._1
+
+  /** [[kCore]] exposing the round count — the gate pins rounds ≤ the
+    * oracle's unrolling depth, so the unrolled-CTE oracle is provably
+    * sufficient for the fixture rather than assumed so.
+    */
+  private[graft] def kCoreWithRounds(edges: DataFrame, srcCol: String,
+      dstCol: String, kMin: Int, maxRounds: Int): (DataFrame, Int) = {
+    require(kMin >= 1, s"kMin must be >= 1, got $kMin")
+    var cur = symmetrize(edges, srcCol, dstCol).localCheckpoint(eager = false)
+    var rounds = 0
+    var converged = false
+    while (!converged) {
+      val low = cur.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") < kMin).select(col("u"))
+        .localCheckpoint(eager = false)
+      if (low.isEmpty) converged = true
+      else {
+        rounds += 1
+        if (rounds > maxRounds) throw new IllegalStateException(
+          s"kCore did not converge in $maxRounds peeling rounds — " +
+            "adversarial chain-shaped graph; raise maxRounds deliberately")
+        cur = cur.join(low, Seq("u"), "left_anti")
+          .join(low.select(col("u").as("v")), Seq("v"), "left_anti")
+          .select(col("u"), col("v"))
+          .localCheckpoint(eager = false)
+      }
+    }
+    (cur.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg")), rounds)
+  }
 }

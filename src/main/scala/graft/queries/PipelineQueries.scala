@@ -662,6 +662,41 @@ object PipelineQueries extends QueryDomain {
         .orderBy($"source")
     },
 
+    "q_threshold_pick" -> { (s, dir) =>
+      import s.implicits._
+      // Operating-point selection ([[EvalOps.operatingPoint]]): per source,
+      // the maximum-recall threshold still meeting precision ≥ 1/2 for the
+      // same toy classifier — the deployment decision after q_auc's
+      // ranking quality check. Integer cross-multiplied precision test on
+      // score-level cumulative counts; at this target 15–16 of the 20
+      // sources qualify, so BOTH the emit and the no-qualifying-threshold
+      // paths are exercised in one gate.
+      EvalOps.operatingPoint(
+        t(s, dir, "documents")
+          .select($"source", $"n_chars",
+            when($"lang" === "en", 1L).otherwise(0L).as("lab")),
+        "source", "n_chars", "lab", precNum = 1, precDen = 2)
+        .orderBy($"source")
+    },
+
+    "q_kcore" -> { (s, dir) =>
+      import s.implicits._
+      // k-core density screen ([[GraphOps.kCore]], k = 10) on the
+      // consecutive-order customer graph — the peeling fixpoint that keeps
+      // only structurally-embedded nodes (2 rounds / 10 nodes peeled at
+      // sf0.001, 4 rounds / 64 at sf0.01). maxRounds = 8 is the oracle's
+      // unrolling depth: deeper convergence throws loudly rather than
+      // silently diverging from the unrolled-CTE oracle (extra unrolled
+      // rounds past the fixpoint are no-ops, so depth-8 is exact whenever
+      // the operator converges within 8).
+      val o = t(s, dir, "orders").select($"o_orderkey", $"o_custkey")
+      val edges = o.as("a")
+        .join(o.as("b"), col("a.o_orderkey") + 1 === col("b.o_orderkey"))
+        .select(col("a.o_custkey").as("c1"), col("b.o_custkey").as("c2"))
+      GraphOps.kCore(edges, "c1", "c2", kMin = 10, maxRounds = 8)
+        .orderBy($"node")
+    },
+
     "q_calibration" -> { (s, dir) =>
       import s.implicits._
       // Reliability diagram ([[EvalOps.calibrationBins]]): the same toy
@@ -2747,6 +2782,33 @@ object PipelineQueries extends QueryDomain {
       |  FROM raw WHERE s <> d),
       |e AS (SELECT u, v FROM p UNION ALL SELECT v, u FROM p)""".stripMargin
 
+  /** `rounds` peeling rounds unrolled: a{i} = nodes of degree ≥ k in
+    * c{i-1}, c{i} = c{i-1} restricted to edges with BOTH endpoints in
+    * a{i} — the fixpoint [[graft.operators.GraphOps.kCore]] iterates.
+    * Rounds past the fixpoint are no-ops, so any depth ≥ the true
+    * convergence depth yields the exact core (the Spark gate pins that
+    * bound via maxRounds).
+    */
+  private def kCoreOracle(k: Int, rounds: Int): String = {
+    // MATERIALIZED is load-bearing: c{i} references c{i-1} three times
+    // (the edge set and both endpoint filters), so DuckDB's default CTE
+    // inlining re-expands the chain 3^rounds times — at depth 8 that is
+    // thousands of re-scans of orders.parquet (observed as a
+    // too-many-open-files failure), where materialization is 8 linear
+    // passes.
+    val steps = (1 to rounds).map(i =>
+      s"""a$i AS MATERIALIZED (
+         |  SELECT u FROM c${i - 1} GROUP BY u HAVING count(*) >= $k),
+         |c$i AS MATERIALIZED (SELECT t.u, t.v FROM c${i - 1} t
+         |  JOIN a$i x ON t.u = x.u JOIN a$i y ON t.v = y.u)""".stripMargin)
+      .mkString(",\n")
+    s"""WITH $symGraphCtes,
+       |c0 AS MATERIALIZED (SELECT u, v FROM e),
+       |$steps
+       |SELECT u AS node, CAST(count(*) AS BIGINT) AS deg FROM c$rounds
+       |GROUP BY u ORDER BY node""".stripMargin
+  }
+
   /** k rounds of BFS relaxation unrolled: d{i} = node-keyed MIN over
     * d{i-1} ∪ (d{i-1} ⋈ e with dist+1) — the same recurrence
     * [[graft.operators.GraphOps.bfsDistances]] iterates.
@@ -3299,6 +3361,34 @@ object PipelineQueries extends QueryDomain {
         |    ELSE CAST(r2 - n_pos*(n_pos+1) AS DOUBLE)
         |      / CAST(2*n_pos*n_neg AS DOUBLE) END AS auc
         |FROM a ORDER BY source""".stripMargin,
+
+    // Cumulative-from-the-top tp/pp per distinct score; qualify by the
+    // integer cross-multiply tp·2 ≥ pp·1; min qualifying score per source.
+    "q_threshold_pick" ->
+      """WITH d AS (SELECT source, n_chars AS score,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS lab FROM documents),
+        |s AS (SELECT source, score, CAST(count(*) AS BIGINT) AS m,
+        |    CAST(SUM(lab) AS BIGINT) AS p FROM d GROUP BY source, score),
+        |c AS (SELECT source, score,
+        |    CAST(SUM(p) OVER (PARTITION BY source ORDER BY score DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+        |    CAST(SUM(m) OVER (PARTITION BY source ORDER BY score DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pp,
+        |    CAST(SUM(p) OVER (PARTITION BY source) AS BIGINT) AS pos
+        |  FROM s),
+        |q AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY score ASC) AS rn
+        |  FROM c WHERE tp * 2 >= pp * 1 AND tp > 0)
+        |SELECT source, score AS threshold, tp,
+        |  CAST(pp - tp AS BIGINT) AS fp, CAST(pos - tp AS BIGINT) AS fn,
+        |  CAST(tp AS DOUBLE) / CAST(pp AS DOUBLE) AS precision,
+        |  CAST(tp AS DOUBLE) / CAST(pos AS DOUBLE) AS recall
+        |FROM q WHERE rn = 1 ORDER BY source""".stripMargin,
+
+    // 8 unrolled peeling rounds (fixture converges in ≤ 4; extra rounds
+    // are fixpoint no-ops, and the Spark side's maxRounds = 8 throws if
+    // convergence ever needs more — the unrolling depth is load-bearing).
+    "q_kcore" -> kCoreOracle(10, 8),
 
     // Mirrors equidepthBins(k = 8) over the total order (n_chars, doc_id):
     // bin = (rank−1)·8 div n; exact integer sums, one division per double.

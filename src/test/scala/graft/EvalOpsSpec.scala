@@ -77,6 +77,51 @@ class EvalOpsSpec extends AnyFunSuite with SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("must be 0/1")))
   }
 
+  test("operatingPoint ≡ brute-force threshold scan on the fixture") {
+    val rows = labeledDocs.as[(String, Long, Long)].collect()
+    val expect = rows.groupBy(_._1).flatMap { case (src, grp) =>
+      val pos = grp.count(_._3 == 1L).toLong
+      grp.map(_._2).distinct.sorted
+        .map { th =>
+          val pred = grp.filter(_._2 >= th)
+          val tp = pred.count(_._3 == 1L).toLong
+          (th, tp, pred.length.toLong)
+        }
+        .find { case (_, tp, pp) => tp * 2 >= pp * 1 && tp > 0 }
+        .map { case (th, tp, pp) =>
+          src -> ((th, tp, pp - tp, pos - tp,
+            tp.toDouble / pp.toDouble, tp.toDouble / pos.toDouble))
+        }
+    }
+    val got = EvalOps.operatingPoint(labeledDocs, "source", "n_chars", "lab", 1, 2)
+      .as[(String, Long, Long, Long, Long, Double, Double)].collect()
+    assert(got.length == expect.size)
+    got.foreach { case (src, th, tp, fp, fn, prec, rec) =>
+      assert(expect(src) == ((th, tp, fp, fn, prec, rec)), src)
+    }
+  }
+
+  test("operatingPoint hand case: target 3/4 forces the strict threshold") {
+    // scores 4,3,2,1 with labels 1,0,1,0: precision@{4,3,2,1} =
+    // 1/1, 1/2, 2/3, 2/4 — at target 3/4 only threshold 4 qualifies
+    // (recall 1/2); at target 1/2 thresholds 4,2,1 qualify → min is 1
+    // (recall 1). Both the strict and the max-recall cut are pinned.
+    val d = Seq(("g", 4L, 1L), ("g", 3L, 0L), ("g", 2L, 1L), ("g", 1L, 0L))
+      .toDF("g", "score", "lab")
+    val strict = EvalOps.operatingPoint(d, "g", "score", "lab", 3, 4)
+      .as[(String, Long, Long, Long, Long, Double, Double)].head()
+    assert(strict == (("g", 4L, 1L, 0L, 1L, 1.0, 0.5)))
+    val loose = EvalOps.operatingPoint(d, "g", "score", "lab", 1, 2)
+      .as[(String, Long, Long, Long, Long, Double, Double)].head()
+    assert(loose == (("g", 1L, 2L, 2L, 0L, 0.5, 1.0)))
+  }
+
+  test("operatingPoint: a group that never reaches the target emits no row") {
+    val d = Seq(("g", 2L, 0L), ("g", 1L, 1L)).toDF("g", "score", "lab")
+    // precision@2 = 0/1 (tp=0 excluded), precision@1 = 1/2 < 9/10
+    assert(EvalOps.operatingPoint(d, "g", "score", "lab", 9, 10).isEmpty)
+  }
+
   test("calibrationBins ≡ driver-side equi-depth reference on the fixture") {
     val d = spark.read.parquet(s"$sf0001/documents.parquet")
       .select($"doc_id", $"n_chars",

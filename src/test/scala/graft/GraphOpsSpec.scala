@@ -274,4 +274,62 @@ class GraphOpsSpec extends AnyFunSuite with SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(pr === again)
   }
+
+  /** Ground truth for kCore: sequential peeling to the fixpoint. */
+  private def bruteKCore(edges: Seq[(Long, Long)], k: Int): Map[Long, Long] = {
+    var und = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    var changed = true
+    while (changed) {
+      val deg = und.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+        .view.mapValues(_.size.toLong).toMap
+      val dead = deg.filter(_._2 < k).keySet
+      changed = dead.nonEmpty
+      und = und.filterNot(e => dead(e._1) || dead(e._2))
+    }
+    und.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+  }
+
+  test("kCore: triangle survives the 2-core, the pendant is peeled") {
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a", "b")
+    val got = GraphOps.kCore(e, "a", "b", kMin = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("kCore: a path has no 2-core — peels from the ends to empty") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    assert(GraphOps.kCore(e, "a", "b", kMin = 2).isEmpty)
+    // and the maxRounds guard throws instead of silently stopping short
+    val err = intercept[IllegalStateException] {
+      GraphOps.kCore(e, "a", "b", kMin = 2, maxRounds = 1).collect()
+    }
+    assert(err.getMessage.contains("did not converge"))
+  }
+
+  test("kCore ≡ sequential peeling on the fixture customer graph (k=10)") {
+    val o = spark.read.parquet(s"$sf0001/orders.parquet")
+      .select($"o_orderkey", $"o_custkey")
+    val edges = o.as("a")
+      .join(o.as("b"), $"a.o_orderkey" + 1 === $"b.o_orderkey")
+      .select($"a.o_custkey".as("c1"), $"b.o_custkey".as("c2"))
+    val raw = edges.as[(Long, Long)].collect().toSeq
+    val expect = bruteKCore(raw, 10)
+    val (core, rounds) = GraphOps.kCoreWithRounds(edges, "c1", "c2", 10, 100)
+    val got = core.as[(Long, Long)].collect().toMap
+    assert(got === expect)
+    // the q_kcore oracle unrolls 8 rounds — convergence must stay within
+    assert(rounds <= 8, s"peeling took $rounds rounds; oracle depth is 8")
+  }
+
+  test("kCore handles duplicate/reversed/self-loop edges and is partition-stable") {
+    val e = Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (1L, 3L),
+      (3L, 3L), (3L, 4L)).toDF("a", "b")
+    val a = GraphOps.kCore(e.repartition(5), "a", "b", 2)
+      .as[(Long, Long)].collect().toMap
+    val b = GraphOps.kCore(e.coalesce(1), "a", "b", 2)
+      .as[(Long, Long)].collect().toMap
+    assert(a === Map(1L -> 2L, 2L -> 2L, 3L -> 2L) && a === b)
+  }
 }
