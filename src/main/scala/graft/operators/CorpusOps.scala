@@ -905,6 +905,60 @@ object CorpusOps {
     * means more target-like. Empty/null texts are excluded (no tokens, no
     * evidence).
     */
+  /** The DSIR model as a dense bucket→term array for ROW-LOCAL scoring:
+    * entry `b` is the per-token log-ratio contribution
+    * `bits(ct_b+1) − bits(cr_b+1) + bits(R+B) − bits(T+B)` with the
+    * model-size normalizers FOLDED IN, so a document's weight is simply
+    * the sum of its tokens' entries — exactly [[dsirWeights]]' integers
+    * rearranged (Σterm + n·norm = Σ(term + norm)). Buckets unseen in the
+    * corpus carry the pure normalizer (ct = cr = 0 ⇒ bits(1) − bits(1) =
+    * 0), so any token a FUTURE document brings still scores.
+    *
+    * This is the online-scoring half of the operator pair: the array is
+    * O(buckets) (driver-bounded by the `buckets` parameter the caller
+    * chose — 512 longs here, never data-sized), embeds as a literal in
+    * [[dsirScore]], and turns scoring into a pure per-row expression — no
+    * join, no shuffle, no state: the shape a Structured Streaming
+    * micro-batch can run forever.
+    */
+  def dsirModelTerms(docs: DataFrame, textCol: String,
+      isTarget: Column, buckets: Int = 512): Array[Long] = {
+    require(buckets >= 2 && buckets <= (1 << 20),
+      s"buckets must be in [2, 2^20] (the model array is driver-resident), got $buckets")
+    def bits(x: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(x)
+    val tok = docs
+      .filter(col(textCol).isNotNull && col(textCol) =!= "")
+      .select(isTarget.as("ds_tgt"),
+        explode(TextOps.tokens(col(textCol))).as("ds_tok"))
+      .select((TextOps.polyHash(col("ds_tok")) % buckets).as("ds_b"), col("ds_tgt"))
+    val lm = tok.groupBy(col("ds_b")).agg(
+      count(lit(1)).as("cr"),
+      sum(when(col("ds_tgt"), 1L).otherwise(0L)).as("ct")).collect()
+    val rTot = lm.map(_.getLong(1)).sum
+    val tTot = lm.map(_.getLong(2)).sum
+    val norm = bits(rTot + buckets) - bits(tTot + buckets)
+    val terms = Array.fill(buckets)(norm)
+    lm.foreach { row =>
+      val b = row.getLong(0).toInt
+      terms(b) = bits(row.getLong(2) + 1) - bits(row.getLong(1) + 1) + norm
+    }
+    terms
+  }
+
+  /** Row-local DSIR weight of `textCol` under a [[dsirModelTerms]] model:
+    * a single compiled fold over the token array against the embedded
+    * term table — Σ terms(hash(token) mod B). Identical integers to
+    * [[dsirWeights]] for the same corpus split (spec-pinned). NULL/empty
+    * text scores NULL (no tokens, no evidence) — filter upstream, as the
+    * batch operator does.
+    */
+  def dsirScore(textCol: Column, terms: Array[Long]): Column = {
+    val tbl = array(terms.map(lit(_)): _*)
+    aggregate(TextOps.tokens(textCol), lit(0L),
+      (acc, tk) => acc + element_at(tbl,
+        (TextOps.polyHash(tk) % terms.length).cast("int") + 1))
+  }
+
   def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
       isTarget: Column, buckets: Int = 512): DataFrame = {
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
@@ -928,5 +982,61 @@ object CorpusOps {
         (col("ds_s") + col("n_tokens") *
           (length(bin(col("ds_r") + buckets.toLong)) -
            length(bin(col("ds_t") + buckets.toLong))).cast("long")).as("weight"))
+  }
+
+  /** Duplicated-SPAN profile — the substring-level dedup shape of Lee et
+    * al. 2022 ("Deduplicating Training Data Makes Language Models
+    * Better"), at token-window resolution: every length-`w` token window
+    * whose 60-bit content hash occurs ≥ `minDf` times ANYWHERE in the
+    * corpus (other documents or a repeat within the same one) marks its
+    * positions duplicated; overlapping marked windows merge into maximal
+    * spans (gaps-and-islands over the running interval max), and each
+    * document reports how many tokens survive span removal. Unlike
+    * whole-doc dedup this catches the boilerplate/quotation case where a
+    * unique document CONTAINS a duplicated passage.
+    *
+    * Shape: positional n-grams are a per-row generate (the [[wordNgramsAll]]
+    * let-binding — O(w·tokens) per doc, no quadratic re-split); the df
+    * count is one combiner-reduced aggregate keyed on the window hash; the
+    * join back is hash-keyed; interval merging is a per-DOCUMENT window
+    * over that document's duplicated positions only. No global sort, no
+    * driver state.
+    *
+    * Output: (doc_id, n_tokens, n_spans, dup_tokens, kept_tokens) for
+    * every non-empty document — zero spans for clean docs; docs shorter
+    * than `w` tokens have no windows and are trivially clean.
+    */
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      w: Int, minDf: Int = 2): DataFrame = {
+    require(w >= 2, s"window must be >= 2 tokens, got $w")
+    require(minDf >= 2, s"a duplicated window has df >= 2, got $minDf")
+    val base = docs.filter(col(textCol).isNotNull && col(textCol) =!= "")
+    val grams = base.select(col(idCol).as("sp_id"),
+        posexplode(wordNgramsAll(col(textCol), w)).as(Seq("pos", "gram")))
+      .select(col("sp_id"), col("pos").cast("long").as("pos"),
+        TextOps.wideHash(col("gram")).as("h"))
+    val dupH = grams.groupBy(col("h")).agg(count(lit(1)).as("hdf"))
+      .filter(col("hdf") >= minDf).select(col("h"))
+    val dupPos = grams.join(dupH, Seq("h")).select(col("sp_id"), col("pos"))
+    val wPrev = Window.partitionBy(col("sp_id")).orderBy(col("pos").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy(col("sp_id")).orderBy(col("pos").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val islands = dupPos
+      .withColumn("rmax", max(col("pos") + w).over(wPrev))
+      .withColumn("flag",
+        when(col("rmax").isNull || col("pos") > col("rmax"), 1L).otherwise(0L))
+      .withColumn("island", sum(col("flag")).over(wRun))
+    val spans = islands.groupBy(col("sp_id"), col("island"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + w).as("e"))
+    val perDoc = spans.groupBy(col("sp_id"))
+      .agg(count(lit(1)).as("n_spans"), sum(col("e") - col("s")).as("dup_tokens"))
+    base.select(col(idCol).as("sp_id"),
+        size(TextOps.tokens(col(textCol))).cast("long").as("n_tokens"))
+      .join(perDoc, Seq("sp_id"), "left")
+      .select(col("sp_id").as(idCol), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        (col("n_tokens") - coalesce(col("dup_tokens"), lit(0L))).as("kept_tokens"))
   }
 }

@@ -662,6 +662,47 @@ object PipelineQueries extends QueryDomain {
         .orderBy($"source")
     },
 
+    "q_span_dedup" -> { (s, dir) =>
+      import s.implicits._
+      // Substring-level dedup profile ([[CorpusOps.duplicatedSpans]],
+      // Lee et al. 2022): 8-token windows hashed corpus-wide; windows
+      // occurring ≥ 2× mark their positions duplicated and overlapping
+      // marks merge into maximal spans (gaps-and-islands over the running
+      // interval max). Catches the duplicated-passage-inside-a-unique-doc
+      // shape whole-doc dedup misses — the fixture's planted near-dups
+      // surface as long spans, the background stays mostly clean.
+      CorpusOps.duplicatedSpans(docs(s, dir), "doc_id", "text", w = 8)
+        .orderBy($"doc_id")
+    },
+
+    "q_stream_dsir" -> { (s, dir) =>
+      import s.implicits._
+      // ONLINE DSIR quality scoring — the streaming half of q_dsir_select:
+      // the bucket→term model ([[CorpusOps.dsirModelTerms]], built once
+      // from the full static corpus, 512 longs) embeds as a literal in a
+      // row-local fold ([[CorpusOps.dsirScore]]), so each micro-batch
+      // scores its documents with NO join, NO shuffle and NO state — the
+      // probe quarter replays as two micro-batches and must carry exactly
+      // the batch operator's integers (same-oracle equality, minus the
+      // normalizer rearrangement proven in CorpusOpsSpec).
+      val staged = Staging.streamDocsDir(s, dir)
+      val ss = Staging.streamSession(s)
+      val terms = CorpusOps.dsirModelTerms(docs(s, dir), "text",
+        isTarget = $"lang" === "en", buckets = 512)
+      val schema = Staging.replayDocsSchema(ss, staged)
+      val src = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+        .filter($"doc_id" % 4 === 3 && $"text".isNotNull && $"text" =!= "")
+      val sink = Staging.nextStreamSink(ss)
+      val q = src.select($"doc_id",
+          size(TextOps.tokens($"text")).cast("long").as("n_tokens"),
+          CorpusOps.dsirScore($"text", terms).as("weight"))
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      ss.table(sink).orderBy($"doc_id")
+    },
+
     "q_threshold_pick" -> { (s, dir) =>
       import s.implicits._
       // Operating-point selection ([[EvalOps.operatingPoint]]): per source,
@@ -2641,6 +2682,34 @@ object PipelineQueries extends QueryDomain {
       nm
     }
 
+  /** The shared DSIR frame (q_dsir_select / q_stream_dsir): bucket-hashed
+    * unigram LMs over the full corpus, integer-log₂ terms, per-doc weight
+    * sums. `docFilter` restricts which docs are SCORED (never which feed
+    * the LMs); `tail` is the final SELECT over the `w` CTE.
+    */
+  private def dsirOracle(docFilter: String, tail: String): String = {
+    val h = duckHash("ds_tok")
+    s"""WITH tok AS (SELECT doc_id, lang = 'en' AS is_tgt,
+       |    unnest(string_split(text, ' ')) AS ds_tok
+       |  FROM documents WHERE text IS NOT NULL AND text <> ''),
+       |tb AS (SELECT $h % 512 AS b,
+       |    CAST(count(*) AS BIGINT) AS cr,
+       |    CAST(count(*) FILTER (WHERE is_tgt) AS BIGINT) AS ct
+       |  FROM tok GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(cr) AS BIGINT) AS r,
+       |    CAST(SUM(ct) AS BIGINT) AS t FROM tb),
+       |term AS (SELECT b,
+       |    CAST(length(bin(ct + 1)) - length(bin(cr + 1)) AS BIGINT) AS trm
+       |  FROM tb),
+       |w AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |    CAST(SUM(trm) + count(*) *
+       |      (length(bin(r + 512)) - length(bin(t + 512))) AS BIGINT) AS weight
+       |  FROM tok JOIN term ON ($h % 512) = term.b CROSS JOIN tot
+       |  $docFilter
+       |  GROUP BY doc_id, r, t)
+       |$tail""".stripMargin
+  }
+
   /** DuckDB twin of [[TextOps.polyHash]] (left fold, 64-bit, mod 1e9+7). */
   private def duckHash(s: String, base: Int = 31): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
@@ -3362,6 +3431,42 @@ object PipelineQueries extends QueryDomain {
         |      / CAST(2*n_pos*n_neg AS DOUBLE) END AS auc
         |FROM a ORDER BY source""".stripMargin,
 
+    // Positional 8-token windows wide-hashed; df ≥ 2 marks positions;
+    // gaps-and-islands (running interval max) merges marks into maximal
+    // spans. MATERIALIZED-free: each CTE is referenced once except g (2×).
+    "q_span_dedup" -> {
+      val h = duckWideHash("gram")
+      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk
+         |  FROM documents WHERE text IS NOT NULL AND text <> ''),
+         |g AS (SELECT doc_id, i - 1 AS pos, $h AS h
+         |  FROM (SELECT doc_id, i, array_to_string(tk[i:i+7], ' ') AS gram
+         |        FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 6)) AS i
+         |              FROM tk))),
+         |d AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+         |p AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (h)),
+         |i1 AS (SELECT doc_id, pos,
+         |    MAX(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS rmax
+         |  FROM p),
+         |i2 AS (SELECT doc_id, pos,
+         |    SUM(CASE WHEN rmax IS NULL OR pos > rmax THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY pos
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+         |  FROM i1),
+         |sp AS (SELECT doc_id, island, MIN(pos) AS s, MAX(pos) + 8 AS e
+         |  FROM i2 GROUP BY doc_id, island),
+         |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         |    CAST(SUM(e - s) AS BIGINT) AS dup_tokens
+         |  FROM sp GROUP BY doc_id),
+         |n AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens FROM tk)
+         |SELECT n.doc_id, n_tokens,
+         |  COALESCE(n_spans, CAST(0 AS BIGINT)) AS n_spans,
+         |  COALESCE(dup_tokens, CAST(0 AS BIGINT)) AS dup_tokens,
+         |  CAST(n_tokens - COALESCE(dup_tokens, 0) AS BIGINT) AS kept_tokens
+         |FROM n LEFT JOIN agg ON n.doc_id = agg.doc_id
+         |ORDER BY n.doc_id""".stripMargin
+    },
+
     // Cumulative-from-the-top tp/pp per distinct score; qualify by the
     // integer cross-multiply tp·2 ≥ pp·1; min qualifying score per source.
     "q_threshold_pick" ->
@@ -3411,28 +3516,14 @@ object PipelineQueries extends QueryDomain {
     // unigram LMs with add-1 smoothing at integer-log₂ (bit-length)
     // resolution, per-token ratio summed per doc with the model-size
     // normalizers carried via n_tokens.
-    "q_dsir_select" -> {
-      val h = duckHash("ds_tok")
-      s"""WITH tok AS (SELECT doc_id, lang = 'en' AS is_tgt,
-         |    unnest(string_split(text, ' ')) AS ds_tok
-         |  FROM documents WHERE text IS NOT NULL AND text <> ''),
-         |tb AS (SELECT $h % 512 AS b,
-         |    CAST(count(*) AS BIGINT) AS cr,
-         |    CAST(count(*) FILTER (WHERE is_tgt) AS BIGINT) AS ct
-         |  FROM tok GROUP BY 1),
-         |tot AS (SELECT CAST(SUM(cr) AS BIGINT) AS r,
-         |    CAST(SUM(ct) AS BIGINT) AS t FROM tb),
-         |term AS (SELECT b,
-         |    CAST(length(bin(ct + 1)) - length(bin(cr + 1)) AS BIGINT) AS trm
-         |  FROM tb),
-         |w AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-         |    CAST(SUM(trm) + count(*) *
-         |      (length(bin(r + 512)) - length(bin(t + 512))) AS BIGINT) AS weight
-         |  FROM tok JOIN term ON ($h % 512) = term.b CROSS JOIN tot
-         |  GROUP BY doc_id, r, t)
-         |SELECT doc_id, n_tokens, weight FROM w
-         |ORDER BY weight DESC, doc_id LIMIT 40""".stripMargin
-    },
+    "q_dsir_select" -> dsirOracle("",
+      "SELECT doc_id, n_tokens, weight FROM w ORDER BY weight DESC, doc_id LIMIT 40"),
+
+    // The streaming scorer must reproduce the batch integers exactly for
+    // the probe quarter, with the LMs still built from the FULL corpus
+    // (the model is static; only the scored docs stream).
+    "q_stream_dsir" -> dsirOracle("WHERE doc_id % 4 = 3",
+      "SELECT doc_id, n_tokens, weight FROM w ORDER BY doc_id"),
 
     "q_pii_redact" -> {
       val Seq((email, er), (phone, pr), (ip, ir)) = CorpusOps.PiiRules

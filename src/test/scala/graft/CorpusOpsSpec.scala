@@ -587,4 +587,113 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec {
       .orderBy($"h", $"doc_id").as[(Long, Long)].collect().map(_._1).toSeq
     assert(kept.map(_._1).toSet === order.take(2).toSet)
   }
+
+  // ---- duplicated spans -----------------------------------------------
+
+  /** Driver-side twin of the 60-bit window hash (polyHash base 31 + base
+    * 131 · 2³⁰) and the full peel: positional w-grams, df ≥ minDf marks,
+    * interval union per doc.
+    */
+  private def bruteSpans(docs: Seq[(Long, String)], w: Int)
+      : Map[Long, (Long, Long, Long)] = {
+    val prime = 1000000007L
+    def ph(s: String, base: Long): Long =
+      s.foldLeft(0L)((acc, c) => (acc * base + c.toLong) % prime)
+    def wide(s: String): Long = ph(s, 31L) + ph(s, 131L) * (1L << 30)
+    val nonEmpty = docs.filter(d => d._2 != null && d._2.nonEmpty)
+    val grams = nonEmpty.flatMap { case (id, text) =>
+      val tk = text.split(" ", -1)
+      if (tk.length < w) Seq.empty
+      else tk.sliding(w).zipWithIndex.map { case (g, i) =>
+        (id, i.toLong, wide(g.mkString(" ")))
+      }.toSeq
+    }
+    val df = grams.groupBy(_._3).view.mapValues(_.size).toMap
+    val marked = grams.filter(g => df(g._3) >= 2)
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    nonEmpty.map { case (id, text) =>
+      val n = text.split(" ", -1).length.toLong
+      val spans = marked.getOrElse(id, Seq.empty)
+        .foldLeft(List.empty[(Long, Long)]) {
+          case (acc, p) => acc match {
+            case (s, e) :: rest if p <= e => (s, math.max(e, p + w)) :: rest
+            case _ => (p, p + w) :: acc
+          }
+        }
+      val dup = spans.map { case (s, e) => e - s }.sum
+      id -> ((n, spans.length.toLong, dup))
+    }.toMap
+  }
+
+  test("duplicatedSpans ≡ driver-side interval peel on the fixture") {
+    val d = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select($"doc_id", $"text")
+    val expect = bruteSpans(d.as[(Long, String)].collect().toSeq, 8)
+    val got = CorpusOps.duplicatedSpans(d, "doc_id", "text", w = 8)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got.length == expect.size)
+    got.foreach { case (id, n, ns, dup, kept) =>
+      assert(expect(id) == ((n, ns, dup)), s"doc $id")
+      assert(kept == n - dup, s"doc $id")
+    }
+    // the fixture's planted near-dups must actually surface as spans
+    assert(got.count(_._3 > 0) > 0, "no duplicated spans found — dead gate")
+  }
+
+  test("duplicatedSpans: overlapping and adjacent windows merge into one span") {
+    // Docs 1 and 2 share the 10-token run t0..t9: windows at positions
+    // 0..2 (w=8) are duplicated and merge into ONE span [0, 10) in both
+    // docs; doc 3 is shorter than w and reports clean.
+    val shared = (0 until 10).map(i => s"t$i").mkString(" ")
+    val d = Seq((1L, shared + " x1 y1 z1"), (2L, shared + " x2 y2 z2"),
+      (3L, "a b c")).toDF("doc_id", "text")
+    val got = CorpusOps.duplicatedSpans(d, "doc_id", "text", w = 8)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got(1L) == ((13L, 1L, 10L, 3L)))
+    assert(got(2L) == ((13L, 1L, 10L, 3L)))
+    assert(got(3L) == ((3L, 0L, 0L, 3L)))
+  }
+
+  test("duplicatedSpans: an in-document repeat is duplication too") {
+    // One doc, the 8-token phrase repeated back-to-back: both occurrences
+    // mark; the merged span covers the whole 16 tokens.
+    val p = (0 until 8).map(i => s"p$i").mkString(" ")
+    val d = Seq((1L, s"$p $p")).toDF("doc_id", "text")
+    val got = CorpusOps.duplicatedSpans(d, "doc_id", "text", w = 8)
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(got == ((1L, 16L, 1L, 16L, 0L)))
+  }
+
+  // ---- DSIR online scorer ---------------------------------------------
+
+  test("dsirScore with dsirModelTerms ≡ dsirWeights integers on the fixture") {
+    val d = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select($"doc_id", $"text", $"lang")
+    val terms = CorpusOps.dsirModelTerms(d, "text", $"lang" === "en", buckets = 64)
+    val batch = CorpusOps.dsirWeights(d, "doc_id", "text", $"lang" === "en", 64)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    val online = d.filter($"text".isNotNull && $"text" =!= "")
+      .select($"doc_id", CorpusOps.dsirScore($"text", terms).as("w"))
+      .as[(Long, Long)].collect()
+    assert(online.length == batch.size)
+    online.foreach { case (id, w) => assert(w == batch(id), s"doc $id") }
+  }
+
+  test("dsirScore handles tokens from buckets the corpus never filled") {
+    // A 2-token model corpus leaves most of the 64 buckets untouched;
+    // scoring a foreign document still works, with every unseen bucket
+    // contributing exactly the folded normalizer.
+    val model = Seq((1L, "aa bb", true), (2L, "aa cc", false))
+      .toDF("id", "text", "tgt")
+    val terms = CorpusOps.dsirModelTerms(model, "text", $"tgt", buckets = 64)
+    val prime = 1000000007L
+    def ph(s: String): Long =
+      s.foldLeft(0L)((acc, c) => (acc * 31L + c.toLong) % prime)
+    val text = "zz qq ww"
+    val expect = text.split(" ").map(t => terms((ph(t) % 64).toInt)).sum
+    val got = Seq(Tuple1(text)).toDF("text")
+      .select(CorpusOps.dsirScore($"text", terms)).as[Long].head()
+    assert(got == expect)
+  }
 }
