@@ -108,4 +108,37 @@ object GovernanceOps {
       tombstones, tombKeyCol)
     ()
   }
+
+  /** Partition-level retention (TTL) sweep over a
+    * [[ScaleJoins.writePartitioned]] layout: every `partCol=value`
+    * directory whose value fails `keep` is DROPPED — a metadata-only
+    * operation (directory deletes; zero data read, zero rewrite). This is
+    * the scale-correct form of "expire events older than N days" when the
+    * layout is partitioned by the retention column: [[forgetDocs]]'
+    * row-level anti-join must scan-and-rewrite the dataset, which is right
+    * for arbitrary key sets and WRONG for age-based retention — at 100 TB
+    * an aligned TTL sweep costs directory listings, and the surviving
+    * partitions' data files are untouched byte-for-byte (spec-pinned via
+    * listing + modification times in GovernanceOpsSpec).
+    *
+    * `keep` receives the RAW directory value string (hive-unescaped by
+    * the caller if the partition column can carry special characters —
+    * the retention columns this is for, dates/days/months, cannot).
+    * Non-partition files at the root (_SUCCESS etc.) are ignored. Returns
+    * the dropped values, sorted, for the audit log.
+    */
+  def expirePartitions(spark: SparkSession, path: String, partCol: String,
+      keep: String => Boolean): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prefix = s"$partCol="
+    val parts = fs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
+    require(parts.nonEmpty,
+      s"no $prefix* partition directories under $path — wrong column or layout?")
+    val dropped = parts
+      .filter(st => !keep(st.getPath.getName.stripPrefix(prefix)))
+    dropped.foreach(st => fs.delete(st.getPath, true))
+    dropped.map(_.getPath.getName.stripPrefix(prefix)).toSeq.sorted
+  }
 }

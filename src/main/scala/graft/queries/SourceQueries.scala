@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
-import graft.operators.ScaleJoins
+import graft.operators.{GovernanceOps, ScaleJoins}
 import graft.sources.{AvroIo, AvroSource, CsvSource, JsonSource, OrcSource}
 
 /** Source-operator coverage: drives the CSV scan (reference O1,
@@ -142,6 +142,30 @@ object SourceQueries extends QueryDomain {
         .orderBy($"p_partkey")
     },
 
+    "q_ttl_expire" -> { (s, dir) =>
+      import s.implicits._
+      // Partition-level TTL retention ([[GovernanceOps.expirePartitions]])
+      // — the metadata-only complement of q_rtbf_forget's row-level
+      // anti-join: events hive-partitioned by day (30 directories),
+      // days < 19740 dropped as directory deletes with ZERO data read or
+      // rewrite; surviving partitions' files stay byte-identical
+      // (GovernanceOpsSpec pins paths + mtimes). Staged once per (sf,
+      // JVM); the gate aggregates the survivors and the oracle filters the
+      // base table by the same cutoff.
+      val root = Staging.dir("ttl", dir, "events") { p =>
+        val ev = events(s, dir).withColumn("day", expr("ts div 86400000000000"))
+        ScaleJoins.writePartitioned(ev, p, Seq("day"))
+        GovernanceOps.expirePartitions(s, p, "day", v => v.toLong >= 19740L)
+        ()
+      }
+      ScaleJoins.readPartitioned(s, root)
+        .groupBy($"day".cast("long").as("day"))
+        .agg(count(lit(1)).as("n_events"),
+          dsum($"value").as("sum_value"),
+          sum($"user_id").as("sum_users"))
+        .orderBy($"day")
+    },
+
     "q_orc_source" -> { (s, dir) =>
       import s.implicits._
       // Customer through ORC (Spark's other native columnar format — the
@@ -195,6 +219,19 @@ object SourceQueries extends QueryDomain {
 
     "q_compact_files" ->
       """SELECT * FROM part ORDER BY p_partkey""",
+
+    // The TTL sweep must leave exactly the rows of the surviving day
+    // partitions — the oracle applies the same day cutoff to the base
+    // table (epoch_ns floor-div mirrors the gate's `ts div`, both on the
+    // nanosecond clock).
+    "q_ttl_expire" ->
+      """SELECT CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+        |  CAST(SUM(user_id) AS BIGINT) AS sum_users
+        |FROM events
+        |WHERE epoch_ns(ts) // 86400000000000 >= 19740
+        |GROUP BY 1 ORDER BY day""".stripMargin,
 
     "q_schema_merge" ->
       """SELECT p_partkey, p_name,

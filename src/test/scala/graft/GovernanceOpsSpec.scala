@@ -118,4 +118,51 @@ class GovernanceOpsSpec extends AnyFunSuite with SparkSpec {
     assert(purged === search("gov_spec_ivf_scratch"))
     assert(purged.nonEmpty)
   }
+
+  test("expirePartitions: metadata-only — survivors' files untouched byte-for-byte") {
+    val root = java.nio.file.Files
+      .createTempDirectory("gov_ttl_spec").toString
+    val d = Seq((1L, 10L, "a"), (2L, 10L, "b"), (3L, 11L, "c"),
+      (4L, 12L, "d"), (5L, 13L, "e")).toDF("id", "day", "payload")
+    graft.operators.ScaleJoins.writePartitioned(d, root, Seq("day"))
+    def listing(p: String): Map[String, (Long, Long)] = {
+      val fs = new org.apache.hadoop.fs.Path(p)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def walk(q: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] = {
+        val st = fs.listStatus(q)
+        st.filter(_.isFile).toSeq ++ st.filter(_.isDirectory).flatMap(s => walk(s.getPath))
+      }
+      walk(new org.apache.hadoop.fs.Path(p))
+        .map(st => st.getPath.toString -> ((st.getLen, st.getModificationTime)))
+        .toMap
+    }
+    val before = listing(root)
+    val dropped = GovernanceOps.expirePartitions(spark, root, "day",
+      v => v.toLong >= 12L)
+    assert(dropped === Seq("10", "11"))
+    val after = listing(root)
+    // every surviving data file is the SAME file: path, length, mtime —
+    // the sweep never rewrote anything
+    val survivors = before.filter { case (p, _) =>
+      p.contains("day=12") || p.contains("day=13") }
+    assert(after.filter(_._1.contains("day=1")) == survivors)
+    assert(!after.keys.exists(p => p.contains("day=10") || p.contains("day=11")))
+    // content = the filtered base
+    val got = graft.operators.ScaleJoins.readPartitioned(spark, root)
+      .select($"id").as[Long].collect().sorted.toSeq
+    assert(got === Seq(4L, 5L))
+    // second sweep with the same predicate is a no-op
+    assert(GovernanceOps.expirePartitions(spark, root, "day",
+      v => v.toLong >= 12L).isEmpty)
+  }
+
+  test("expirePartitions refuses a path with no matching partition dirs") {
+    val root = java.nio.file.Files
+      .createTempDirectory("gov_ttl_flat").toString
+    Seq((1L, "x")).toDF("id", "v").write.mode("overwrite").parquet(root)
+    val e = intercept[IllegalArgumentException] {
+      GovernanceOps.expirePartitions(spark, root, "day", _ => true)
+    }
+    assert(e.getMessage.contains("partition directories"))
+  }
 }
