@@ -293,6 +293,79 @@ object CorpusOps {
           .as("dup_fraction"))
   }
 
+  /** Persisted DECONTAMINATION index: the held-out benchmark's distinct
+    * length-`n` character windows ([[TextOps.windowHashes]], 60-bit keys)
+    * as a bucketed `{name}_windows(w, ref_id)` table — build once when the
+    * benchmark is frozen, probe every training batch forever. Boilerplate
+    * is excluded AT BUILD TIME: windows occurring in more than `maxRefDf`
+    * BENCHMARK documents never enter the index (note the contract shift vs
+    * [[sharedWindowOverlap]], whose cap is over both sides combined — an
+    * index must not depend on future probes, so boilerplate is defined by
+    * the reference side alone, which is also the cheaper probe).
+    *
+    * Same lifecycle discipline as [[MinHashLsh.saveLshIndex]]: parameters
+    * live in `{name}_meta` so probes cannot drift from the build.
+    */
+  def saveWindowIndex(ref: DataFrame, idCol: String, textCol: String,
+      name: String, n: Int, maxRefDf: Option[Int] = None,
+      buckets: Int = 32): Unit = {
+    require(n >= 2, "a 1-char window matches near-everything; use a real window")
+    val w = ref.filter(length(col(textCol)) >= n)
+      .select(col(idCol).as("ref_id"),
+        explode(TextOps.windowHashes(col(textCol), n)).as("w"))
+    val kept = maxRefDf match {
+      case Some(cap) =>
+        require(cap >= 1, s"maxRefDf must be >= 1, got $cap")
+        val under = w.groupBy(col("w")).agg(count(lit(1)).as("wdf"))
+          .filter(col("wdf") <= cap).select(col("w"))
+        w.join(under, Seq("w"))
+      case None => w
+    }
+    ScaleJoins.writeBucketed(kept.select(col("w"), col("ref_id")),
+      s"${name}_windows", Seq("w"), buckets)
+    ScaleJoins.dropOrphanManagedDir(ref.sparkSession, s"${name}_meta")
+    val spark = ref.sparkSession
+    import spark.implicits._
+    Seq((n, buckets)).toDF("window_n", "buckets")
+      .write.mode("overwrite").saveAsTable(s"${name}_meta")
+  }
+
+  /** Probe the window index with a batch of training documents: one
+    * emission per (training doc, benchmark doc, shared window) triple.
+    * STATELESS — a per-row generate on the probe side plus one equi-join
+    * against the bucketed windows table (index side reads co-located; the
+    * probe side, the small one, shuffles to the bucket layout) — so the
+    * same plan runs unchanged under a Structured Streaming micro-batch
+    * with zero stream state (q_stream_decontam), exactly the
+    * [[MinHashLsh.lshProbeEmissions]] shape. Aggregate at the sink:
+    * windows are DISTINCT per document on both sides, so
+    * `count(*) per (doc_a, doc_b)` over the emissions IS the shared-window
+    * count ([[windowProbe]] is that fold for batch callers).
+    */
+  def windowProbeEmissions(spark: org.apache.spark.sql.SparkSession,
+      probeDocs: DataFrame, idCol: String, textCol: String,
+      name: String): DataFrame = {
+    val n = spark.table(s"${name}_meta").select("window_n").head().getInt(0)
+    probeDocs.filter(length(col(textCol)) >= n)
+      .select(col(idCol).as("doc_a"),
+        explode(TextOps.windowHashes(col(textCol), n)).as("w"))
+      .join(spark.table(s"${name}_windows").toDF("w", "doc_b"), Seq("w"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("w"))
+  }
+
+  /** Batch fold of [[windowProbeEmissions]]: every (training, benchmark)
+    * pair sharing ≥ 1 indexed window, with its distinct shared-window
+    * count — "which training documents are contaminated with which
+    * benchmark items", the recurring decontamination sweep.
+    */
+  def windowProbe(spark: org.apache.spark.sql.SparkSession,
+      probeDocs: DataFrame, idCol: String, textCol: String,
+      name: String): DataFrame =
+    windowProbeEmissions(spark, probeDocs, idCol, textCol, name)
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared_windows"))
+
   /** Deterministic per-stratum Bernoulli sampling by content hash: a row in
     * stratum `v` with rate `(num, den)` is kept iff
     * `polyHash(key) % den < num`. Strata without a configured rate are

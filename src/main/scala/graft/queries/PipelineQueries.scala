@@ -604,6 +604,52 @@ object PipelineQueries extends QueryDomain {
         $"doc_a", $"doc_b")
     },
 
+    "q_window_probe" -> { (s, dir) =>
+      import s.implicits._
+      // Persisted decontamination index ([[CorpusOps.saveWindowIndex]] +
+      // [[CorpusOps.windowProbe]]): the src0 benchmark's 24-char windows
+      // bucketed once (ref-side boilerplate df ≤ 3 excluded at build), the
+      // training side probed against it — q_decontaminate's recurring
+      // form: the benchmark freezes once, every future training batch
+      // probes without recomputing reference windows.
+      val name = windowIndex(s, dir)
+      orderedSmall(
+        CorpusOps.windowProbe(s, docs(s, dir).filter($"source" =!= "src0"),
+          "doc_id", "text", name),
+        $"doc_a", $"doc_b")
+    },
+
+    "q_stream_decontam" -> { (s, dir) =>
+      import s.implicits._
+      // ONLINE decontamination — the streaming twin of q_window_probe
+      // (same staged index, same oracle): each micro-batch of training
+      // docs probes the bucketed windows table through a stateless
+      // stream-static equi-join emitting (doc_a, doc_b, w) triples; the
+      // per-pair count folds at the SINK (windows are distinct per doc, so
+      // the fold is exact), never in stream state.
+      val staged = Staging.streamDocsDir(s, dir)
+      val ss = Staging.streamSession(s)
+      val name = windowIndex(s, dir) // catalog shared across sessions
+      val schema = Staging.replayDocsSchema(ss, staged)
+      // The staged stream schema is (doc_id, text, ts) — no source column;
+      // the fixture's identity source = 'src' || doc_id % 20 (every gate
+      // SF) makes doc_id % 20 =!= 0 the exact training-side filter. A
+      // fixture change breaks this LOUDLY (hash mismatch vs the shared
+      // oracle), not silently.
+      val src = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+        .filter($"doc_id" % 20 =!= 0)
+      val sink = Staging.nextStreamSink(ss)
+      val q = CorpusOps.windowProbeEmissions(ss, src, "doc_id", "text", name)
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      orderedSmall(
+        ss.table(sink).groupBy($"doc_a", $"doc_b")
+          .agg(count(lit(1)).as("n_shared_windows")),
+        $"doc_a", $"doc_b")
+    },
+
     "q_blocklist_filter" -> { (s, dir) =>
       import s.implicits._
       // Keyword-blocklist screening ([[TextOps.blocklistHits]]) — the
@@ -2668,6 +2714,42 @@ object PipelineQueries extends QueryDomain {
     * bench reps must measure the PROBE, not the build. Whichever gate runs
     * first builds it; the catalog is shared across cloned sessions.
     */
+  /** The persisted-window-index probe recurrence (q_window_probe /
+    * q_stream_decontam): benchmark windows with ref-side df ≤ 3, joined by
+    * every non-benchmark document's distinct windows.
+    */
+  private lazy val windowProbeOracle =
+    s"""WITH wa AS (SELECT doc_id,
+       |  list_transform(list_distinct(list_transform(range(1, length(text)-22),
+       |    i -> substr(text, i, 24))), w -> ${duckWideHash("w")}) AS ws
+       |  FROM documents WHERE length(text) >= 24 AND source <> 'src0'),
+       |wb AS (SELECT doc_id,
+       |  list_transform(list_distinct(list_transform(range(1, length(text)-22),
+       |    i -> substr(text, i, 24))), w -> ${duckWideHash("w")}) AS ws
+       |  FROM documents WHERE length(text) >= 24 AND source = 'src0'),
+       |eb AS (SELECT doc_id AS doc_b, unnest(ws) AS w FROM wb),
+       |bdf AS (SELECT w, count(*) AS wdf FROM eb GROUP BY w),
+       |keep AS (SELECT doc_b, eb.w FROM eb JOIN bdf ON bdf.w = eb.w
+       |  WHERE wdf <= 3),
+       |ea AS (SELECT doc_id AS doc_a, unnest(ws) AS w FROM wa)
+       |SELECT a.doc_a, k.doc_b, CAST(count(*) AS BIGINT) AS n_shared_windows
+       |FROM ea a JOIN keep k ON a.w = k.w
+       |WHERE a.doc_a <> k.doc_b
+       |GROUP BY a.doc_a, k.doc_b ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Staged once per (sf, JVM): the src0-benchmark window index shared by
+    * q_window_probe and q_stream_decontam (24-char windows, ref-side
+    * boilerplate cap 3, 8 buckets at fixture scale).
+    */
+  private def windowIndex(s: SparkSession, dir: String): String =
+    Staging.memo[String]("windowidx", dir) {
+      import s.implicits._
+      val nm = "graft_window_idx_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      CorpusOps.saveWindowIndex(docs(s, dir).filter($"source" === "src0"),
+        "doc_id", "text", nm, n = 24, maxRefDf = Some(3), buckets = 8)
+      nm
+    }
+
   private def lshProbeIndex(s: SparkSession, dir: String): String =
     Staging.memo[String]("lshprobe", dir) {
       import s.implicits._
@@ -3383,6 +3465,13 @@ object PipelineQueries extends QueryDomain {
          |FROM ea a JOIN eb b ON a.w = b.w JOIN wdf ON wdf.w = a.w
          |WHERE wdf.wdf <= 3 AND a.doc_a <> b.doc_b
          |GROUP BY a.doc_a, b.doc_b ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Shared by q_window_probe AND its streaming twin q_stream_decontam:
+    // the index build caps boilerplate on the REFERENCE side only (wdf over
+    // benchmark docs ≤ 3 — an index cannot depend on future probes), then
+    // every (training, benchmark) window match counts once.
+    "q_window_probe" -> windowProbeOracle,
+    "q_stream_decontam" -> windowProbeOracle,
 
     // The trim char set is TextOps.EdgePunct verbatim (single quote doubled
     // for the SQL literal) — both engines strip the same edge characters.

@@ -665,6 +665,46 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec {
     assert(got == ((1L, 16L, 1L, 16L, 0L)))
   }
 
+  // ---- persisted decontamination window index --------------------------
+
+  test("windowProbe ≡ the inline overlap with a ref-side-only boilerplate cap") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val ref = docs.filter($"source" === "src0")
+    val train = docs.filter($"source" =!= "src0")
+    CorpusOps.saveWindowIndex(ref, "doc_id", "text", "widx_spec",
+      n = 24, maxRefDf = Some(3), buckets = 4)
+    // Driver-side reference: distinct 24-char windows per doc, ref windows
+    // with ref-df <= 3, pair counts.
+    val refWins = ref.select($"doc_id",
+        explode(TextOps.windowHashes($"text", 24)).as("w"))
+      .as[(Long, Long)].collect()
+    val refDf = refWins.groupBy(_._2).view.mapValues(_.size).toMap
+    val keep = refWins.filter(p => refDf(p._2) <= 3)
+      .groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    val expect = train.select($"doc_id",
+        explode(TextOps.windowHashes($"text", 24)).as("w"))
+      .as[(Long, Long)].collect()
+      .flatMap { case (a, w) => keep.getOrElse(w, Array.empty[Long]).map(b => (a, b)) }
+      .filter { case (a, b) => a != b }
+      .groupBy(p => p).view.mapValues(_.size.toLong).toMap
+    val got = CorpusOps.windowProbe(spark, train, "doc_id", "text", "widx_spec")
+      .as[(Long, Long, Long)].collect()
+    assert(got.length == expect.size && got.nonEmpty)
+    got.foreach { case (a, b, n) => assert(expect((a, b)) == n, s"pair ($a,$b)") }
+  }
+
+  test("windowProbe: index side reads bucketed — no index-side exchange") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    CorpusOps.saveWindowIndex(docs.filter($"source" === "src0"),
+      "doc_id", "text", "widx_plan", n = 24, maxRefDf = Some(3), buckets = 4)
+    val plan = CorpusOps.windowProbe(spark,
+        docs.filter($"source" =!= "src0"), "doc_id", "text", "widx_plan")
+      .queryExecution.executedPlan.toString
+    val badExchange = "(?s)Exchange hashpartitioning[^\\n]*\\n[^E]*widx_plan".r
+    assert(badExchange.findFirstIn(plan).isEmpty,
+      s"index-side exchange over the bucketed windows table:\n$plan")
+  }
+
   // ---- DSIR online scorer ---------------------------------------------
 
   test("dsirScore with dsirModelTerms ≡ dsirWeights integers on the fixture") {
