@@ -69,9 +69,18 @@ object GovernanceOps {
     */
   def purgeKeysBucketed(spark: SparkSession, table: String, keyCol: String,
       tombstones: DataFrame, tombKeyCol: String): (Int, Int) =
-    ScaleJoins.rewriteBucketed(spark, table)(
-      _.join(broadcast(keySet(tombstones, tombKeyCol, keyCol)),
-        Seq(keyCol), "left_anti"))
+    ScaleJoins.rewriteBucketed(spark, table) { df =>
+      // Restore the table's column ORDER after the using-column join:
+      // Spark moves the join key to the front of a USING join's output,
+      // and a purge must be a pure row filter — readers address bucketed
+      // index tables positionally (toDF renames), so a silent reorder
+      // turns every later probe into nonsense. Caught by the window-index
+      // RTBF spec (ref_id is the windows table's SECOND column; the LSH/
+      // IVF tables' keys happen to be first, which masked this).
+      df.join(broadcast(keySet(tombstones, tombKeyCol, keyCol)),
+          Seq(keyCol), "left_anti")
+        .select(df.columns.map(col).toIndexedSeq: _*)
+    }
 
   /** RTBF over a persisted LSH corpus index ([[MinHashLsh.saveLshIndex]]):
     * purge the tombstoned doc ids from BOTH index tables. The post-purge
@@ -105,6 +114,24 @@ object GovernanceOps {
   def forgetFromIvfIndex(spark: SparkSession, name: String,
       tombstones: DataFrame, tombKeyCol: String): Unit = {
     purgeKeysBucketed(spark, s"${name}_members", "neighbor_id",
+      tombstones, tombKeyCol)
+    ()
+  }
+
+  /** RTBF over a persisted decontamination window index
+    * ([[CorpusOps.saveWindowIndex]]): purge a withdrawn benchmark
+    * document's windows from the bucketed table — after the purge no
+    * probe can report contamination against it, and the index is
+    * row-identical to a rebuild without the document EXCEPT for the
+    * documented boilerplate-cap nuance: the build-time ref-df cap was
+    * computed over the original benchmark, so windows the removed doc had
+    * pushed over the cap stay excluded (re-run [[CorpusOps.saveWindowIndex]]
+    * when cap drift matters — it rarely does; removal only ever UNDER-
+    * reports boilerplate, never leaks the removed doc).
+    */
+  def forgetFromWindowIndex(spark: SparkSession, name: String,
+      tombstones: DataFrame, tombKeyCol: String): Unit = {
+    purgeKeysBucketed(spark, s"${name}_windows", "ref_id",
       tombstones, tombKeyCol)
     ()
   }

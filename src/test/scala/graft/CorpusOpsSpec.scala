@@ -693,6 +693,24 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec {
     got.foreach { case (a, b, n) => assert(expect((a, b)) == n, s"pair ($a,$b)") }
   }
 
+  test("forgetFromWindowIndex: a withdrawn benchmark doc vanishes from probes") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val ref = docs.filter($"source" === "src0")
+    val train = docs.filter($"source" =!= "src0")
+    CorpusOps.saveWindowIndex(ref, "doc_id", "text", "widx_rtbf",
+      n = 24, maxRefDf = Some(3), buckets = 4)
+    def pairs() = CorpusOps.windowProbe(spark, train, "doc_id", "text", "widx_rtbf")
+      .as[(Long, Long, Long)].collect().toSet
+    val before = pairs()
+    val victim = before.head._2 // a benchmark doc that currently matches
+    graft.operators.GovernanceOps.forgetFromWindowIndex(spark, "widx_rtbf",
+      Seq(victim).toDF("doc_id"), "doc_id")
+    val after = pairs()
+    assert(after.forall(_._2 != victim), "forgotten benchmark doc still probed")
+    assert(after === before.filter(_._2 != victim),
+      "purge touched pairs of other benchmark docs")
+  }
+
   test("windowProbe: index side reads bucketed — no index-side exchange") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     CorpusOps.saveWindowIndex(docs.filter($"source" === "src0"),
