@@ -136,6 +136,34 @@ object GovernanceOps {
     ()
   }
 
+  /** k-anonymity / l-diversity risk report (Sweeney 2002; Machanavajjhala
+    * et al. 2007) — the release-gate check before a dataset with
+    * quasi-identifier columns leaves the pipeline: a QUASI-IDENTIFIER
+    * group smaller than `k` re-identifies its members by linkage, and a
+    * group whose SENSITIVE column carries fewer than `l` distinct values
+    * discloses the attribute even at size ≥ k. Reports every risky group
+    * with both metrics; an empty result is the release condition.
+    *
+    * Shape: one hash aggregate keyed on the quasi-identifier columns
+    * (exact per-group size + exact distinct-sensitive count), then a
+    * filter — the output is bounded by the RISKY groups, which is the
+    * point of the check. No windows, no joins.
+    */
+  def anonymityRisk(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, k: Int, l: Int): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(k >= 2, s"k-anonymity below 2 is no anonymity, got $k")
+    require(l >= 1, s"l must be >= 1, got $l")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("group_size"),
+        countDistinct(col(sensitiveCol)).as("n_sensitive"))
+      .filter(col("group_size") < k || col("n_sensitive") < l)
+      .select(quasiCols.map(col) ++ Seq(
+        col("group_size"), col("n_sensitive"),
+        (col("group_size") < k).as("k_risk"),
+        (col("n_sensitive") < l).as("l_risk")): _*)
+  }
+
   /** Partition-level retention (TTL) sweep over a
     * [[ScaleJoins.writePartitioned]] layout: every `partCol=value`
     * directory whose value fails `keep` is DROPPED — a metadata-only

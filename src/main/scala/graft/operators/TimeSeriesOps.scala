@@ -70,6 +70,75 @@ object TimeSeriesOps {
     * length (collect + sort inside the group). Bound the series with a
     * time-window filter upstream for unbounded keys.
     */
+  /** One-sided (upper) CUSUM drift detector per key — the telemetry /
+    * data-quality changepoint screen (Page 1954): over the
+    * (orderCol, tieCols)-sorted series,
+    *
+    *   s₀ = 0;  sᵢ = max(0, sᵢ₋₁ + (vᵢ − refValue))
+    *
+    * with an alarm whenever sᵢ exceeds `threshold` — a sustained upward
+    * shift of the mean accumulates in s where noise cancels. EXACT
+    * integer arithmetic throughout: values quantize once to ten-
+    * thousandths (`DECIMAL(18,4) · 10⁴ → BIGINT`, the [[graft.operators.StatOps]]
+    * convention) and `refValue`/`threshold` are given in the same units,
+    * so the result is bit-reproducible across engines and partitionings —
+    * float CUSUM's running sum could never face a hash gate.
+    *
+    * Unlike [[ewmaLast]]'s genuinely non-linear recursion, CUSUM
+    * LINEARIZES: with cᵢ = Σ_{j≤i}(vⱼ − ref) the max(0,·) recursion has
+    * the closed form
+    *
+    *   sᵢ = cᵢ − min(0, min_{j≤i} cⱼ)
+    *
+    * (the running sum minus its running minimum — each reset-to-zero is
+    * exactly "restart the sum at the prefix minimum"). That makes the
+    * detector two cumulative WINDOWS over one per-key sort — no
+    * collect_list, no per-key array, no fold: the shape that survives
+    * million-row keys. (The fold formulation also proved untrustworthy as
+    * an oracle: DuckDB 1.0's `list_reduce` mis-evaluates struct
+    * accumulators whose lambda reads a field twice — observed alarming at
+    * s < h with prefix-dependent answers — so the window identity is
+    * load-bearing for the gate, property-pinned against the recursive
+    * reference in TimeSeriesOpsSpec.)
+    *
+    * Output: key cols + (n, cusum_final, n_over) — the closing statistic
+    * and how many observations sat above the threshold. No reset-on-alarm
+    * (the count is "time spent in alarm", the form that needs no extra
+    * convention); both are integers in ten-thousandth units.
+    */
+  def cusum(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCol: Column,
+      tieCols: Seq[Column],
+      valueCol: Column,
+      refValueE4: Long,
+      thresholdE4: Long): DataFrame = {
+    require(thresholdE4 > 0, s"threshold must be positive, got $thresholdE4")
+    val vq = (valueCol.cast("decimal(18,4)") * 10000).cast("long")
+    val keys = keyCols.map(col)
+    val ord = (orderCol.as("graft_o") +:
+      tieCols.zipWithIndex.map { case (c, i) => c.as(s"graft_t$i") })
+    val ordCols = ("graft_o" +: tieCols.indices.map(i => s"graft_t$i")).map(col)
+    val wCum = Window.partitionBy(keys: _*)
+      .orderBy(ordCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = df.select(keys ++ ord :+ vq.as("graft_v"): _*)
+      .withColumn("graft_c", sum(col("graft_v") - refValueE4).over(wCum))
+    // Same partitioning+ordering → Spark reuses the one sort for all
+    // three windows (no second exchange).
+    val wDesc = Window.partitionBy(keys: _*)
+      .orderBy(ordCols.map(_.desc): _*)
+    val s = col("graft_c") - least(min(col("graft_c")).over(wCum), lit(0L))
+    base
+      .withColumn("graft_s", s)
+      .withColumn("graft_last", row_number().over(wDesc))
+      .groupBy(keys: _*)
+      .agg(count(lit(1)).cast("int").as("n"),
+        max(when(col("graft_last") === 1, col("graft_s"))).as("cusum_final"),
+        sum(when(col("graft_s") > thresholdE4, 1L).otherwise(0L)).as("n_over"))
+  }
+
   def ewmaLast(
       df: DataFrame,
       keyCols: Seq[String],

@@ -276,6 +276,43 @@ object PipelineQueries extends QueryDomain {
         .orderBy($"shard", $"pos")
     },
 
+    "q_cusum" -> { (s, dir) =>
+      import s.implicits._
+      // One-sided CUSUM drift detector per user ([[TimeSeriesOps.cusum]],
+      // Page 1954): reference 60.0, alarm threshold 200.0 (ten-thousandth
+      // units) over the (ts_µs, event_id)-ordered value series — the
+      // telemetry changepoint screen. Exact BIGINT fold (values quantized
+      // once to DECIMAL(18,4)·10⁴), so the recursion hash-gates where a
+      // float running sum could not; the fixture yields a non-trivial
+      // alarm spread (some users spend time above threshold, most don't).
+      TimeSeriesOps.cusum(events(s, dir),
+          Seq("user_id"), expr("ts div 1000"), Seq($"event_id"),
+          $"value", refValueE4 = 600000L, thresholdE4 = 2000000L)
+        .orderBy($"user_id")
+    },
+
+    "q_k_anonymity" -> { (s, dir) =>
+      import s.implicits._
+      // k-anonymity / l-diversity release gate
+      // ([[GovernanceOps.anonymityRisk]], k = 5, l = 3): events under the
+      // quasi-identifier (event_type, day, value-bucket) with user_id as
+      // the sensitive attribute — every group small enough to link or
+      // uniform enough to disclose is reported with both metrics. The
+      // parameters bite at BOTH SFs without flagging everything (140/241
+      // and 138/417 groups risky), so the filter's both sides are under
+      // the gate. floor(value/100), never CAST (DuckDB's BIGINT cast
+      // rounds where Spark's truncates — the Tables.events hazard).
+      val e = events(s, dir).select($"event_type",
+        expr("ts div 86400000000000").as("day"),
+        floor($"value" / 100.0).cast("long").as("vb"),
+        $"user_id")
+      GovernanceOps.anonymityRisk(e, Seq("event_type", "day", "vb"),
+          "user_id", k = 5, l = 3)
+        .select($"event_type", $"day", $"vb", $"group_size", $"n_sensitive",
+          $"k_risk".cast("int").as("k_risk"), $"l_risk".cast("int").as("l_risk"))
+        .orderBy($"event_type", $"day", $"vb")
+    },
+
     "q_ewma" -> { (s, dir) =>
       import s.implicits._
       // Final EWMA per user ([[TimeSeriesOps.ewmaLast]], α = 1/4 — an
@@ -3152,6 +3189,47 @@ object PipelineQueries extends QueryDomain {
         |    AND (b.price_c < a.price_c OR b.qty < a.qty
         |         OR b.disc_pct < a.disc_pct))
         |ORDER BY price_c, qty, disc_pct""".stripMargin,
+
+    // The prefix-sum identity s_i = c_i − min(0, min_{j≤i} c_j) — two
+    // cumulative windows, NOT a list_reduce fold: DuckDB 1.0's
+    // list_reduce mis-evaluates struct accumulators whose lambda reads a
+    // field twice (observed alarming below the threshold with
+    // prefix-length-dependent answers), and the window form is the
+    // operator's own scale shape anyway.
+    "q_cusum" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS o, event_id AS t0,
+        |    CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS v
+        |  FROM events),
+        |c AS (SELECT user_id, o, t0,
+        |    CAST(SUM(v - 600000) OVER w AS BIGINT) AS c,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY o DESC, t0 DESC) AS rn_desc
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY o, t0
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |s AS (SELECT user_id, rn_desc,
+        |    c - least(CAST(MIN(c) OVER (PARTITION BY user_id ORDER BY o, t0
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT),
+        |      CAST(0 AS BIGINT)) AS s
+        |  FROM c)
+        |SELECT user_id, CAST(count(*) AS INT) AS n,
+        |  CAST(MAX(CASE WHEN rn_desc = 1 THEN s END) AS BIGINT) AS cusum_final,
+        |  CAST(SUM(CASE WHEN s > 2000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_over
+        |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_k_anonymity" ->
+      """WITH e AS (SELECT event_type,
+        |    epoch_ns(ts) // 86400000000000 AS day,
+        |    CAST(floor(value / 100.0) AS BIGINT) AS vb, user_id FROM events),
+        |g AS (SELECT event_type, day, vb,
+        |    CAST(count(*) AS BIGINT) AS group_size,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS n_sensitive
+        |  FROM e GROUP BY 1, 2, 3)
+        |SELECT event_type, day, vb, group_size, n_sensitive,
+        |  CAST(group_size < 5 AS INT) AS k_risk,
+        |  CAST(n_sensitive < 3 AS INT) AS l_risk
+        |FROM g WHERE group_size < 5 OR n_sensitive < 3
+        |ORDER BY event_type, day, vb""".stripMargin,
 
     "q_ewma" ->
       """WITH e AS (SELECT user_id,

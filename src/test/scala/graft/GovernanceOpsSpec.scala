@@ -156,6 +156,23 @@ class GovernanceOpsSpec extends AnyFunSuite with SparkSpec {
       v => v.toLong >= 12L).isEmpty)
   }
 
+  test("anonymityRisk: hand-built groups flag exactly the k- and l-violations") {
+    // g1: 3 rows, 3 distinct sensitive → k-risk only (size < 4).
+    // g2: 5 rows, 1 distinct → l-risk only (diversity < 2).
+    // g3: 5 rows, 3 distinct → clean, must not appear.
+    val d = Seq(
+      ("g1", 10L), ("g1", 11L), ("g1", 12L),
+      ("g2", 20L), ("g2", 20L), ("g2", 20L), ("g2", 20L), ("g2", 20L),
+      ("g3", 30L), ("g3", 31L), ("g3", 32L), ("g3", 30L), ("g3", 31L))
+      .toDF("qi", "sens")
+    val got = GovernanceOps.anonymityRisk(d, Seq("qi"), "sens", k = 4, l = 2)
+      .as[(String, Long, Long, Boolean, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got.keySet === Set("g1", "g2"))
+    assert(got("g1") == ((3L, 3L, true, false)))
+    assert(got("g2") == ((5L, 1L, false, true)))
+  }
+
   test("expirePartitions refuses a path with no matching partition dirs") {
     val root = java.nio.file.Files
       .createTempDirectory("gov_ttl_flat").toString

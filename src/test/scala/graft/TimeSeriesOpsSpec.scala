@@ -87,4 +87,46 @@ class TimeSeriesOpsSpec extends AnyFunSuite with SparkSpec {
       .as[(Long, Int, Double)].collect()
     assert(got.toSeq === Seq((1L, 1, 7.5)))
   }
+
+  test("cusum window identity ≡ the recursive reference on the fixture") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val (ref, h) = (600000L, 2000000L)
+    // The operator's own sort key (ts_µs, event_id), via the same
+    // nanosecond-normalized accessor the gate uses.
+    val keyed = graft.Tables.events(spark, sf0001)
+      .selectExpr("user_id", "ts div 1000 AS o", "event_id",
+        "CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS LONG) AS vq")
+      .as[(Long, Long, Long, Long)].collect()
+    val expect = keyed.groupBy(_._1).map { case (u, g) =>
+      var s = 0L; var a = 0L
+      g.sortBy(r => (r._2, r._3)).foreach { r =>
+        s = math.max(0L, s + r._4 - ref)
+        if (s > h) a += 1
+      }
+      u -> ((g.length, s, a))
+    }
+    val got = TimeSeriesOps.cusum(
+        graft.Tables.events(spark, sf0001),
+        Seq("user_id"), expr("ts div 1000"), Seq(col("event_id")),
+        col("value"), ref, h)
+      .as[(Long, Int, Long, Long)].collect()
+    assert(got.length == expect.size && got.nonEmpty)
+    got.foreach { case (u, n, fin, over) =>
+      assert(expect(u) == ((n, fin, over)), s"user $u")
+    }
+    assert(got.exists(_._4 > 0) && got.exists(_._4 == 0),
+      "threshold must bite for some users and not others")
+  }
+
+  test("cusum hand case and partitioning invariance") {
+    import org.apache.spark.sql.functions.col
+    // v = 3, 10, 1 (e4 units), ref = 2, h = 5 → s: 1, 9, 8 → alarms 2
+    val d = Seq((1L, 1L, 1L, 0.0003), (1L, 2L, 2L, 0.0010), (1L, 3L, 3L, 0.0001))
+      .toDF("k", "o", "t", "v")
+    def run(parts: Int) = TimeSeriesOps.cusum(d.repartition(parts),
+        Seq("k"), col("o"), Seq(col("t")), col("v"), 2L, 5L)
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    assert(run(3) === Seq((1L, 3, 8L, 2L)))
+    assert(run(3) === run(7))
+  }
 }
