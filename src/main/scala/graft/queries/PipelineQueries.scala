@@ -2190,6 +2190,40 @@ object PipelineQueries extends QueryDomain {
         .orderBy($"user_id", $"session_idx")
     },
 
+    "q_stream_cusum" -> { (s, dir) =>
+      import s.implicits._
+      // The STREAMING CUSUM under the batch oracle
+      // ([[graft.streaming.EventStreams.cusumExact]]): values quantize to
+      // e4 BIGINTs at the source (sentinel NULLs → 0; the sentinel user
+      // −1 filters out of the sink), each user buffers until the
+      // watermark passes its horizon, and the timeout fold must land on
+      // q_cusum's exact integers. Sentinel files drive the watermark past
+      // every real user's deadline.
+      val staged = Staging.streamSessionizeDir(s, dir, gapSec = 21600L)
+      val ss = Staging.streamSession(s)
+      val schema = Staging.replaySchema(ss, staged)
+      val stream = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", Staging.filesInDir(staged) - 1)
+        .parquet(staged)
+        .select($"user_id".as("key"),
+          expr("ts div 1000").as("ts"),
+          $"event_id".as("tie"),
+          expr("CAST(CAST(COALESCE(value, 0.0) AS DECIMAL(18,4)) * 10000 AS LONG)")
+            .as("v"))
+        .as[graft.streaming.EventStreams.CusumEvent]
+      val sink = Staging.nextStreamSink(ss)
+      val q = graft.streaming.EventStreams
+        .cusumExact(stream, refValueE4 = 600000L, thresholdE4 = 2000000L,
+          horizonSec = 21600L)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      ss.table(sink).filter($"key" =!= -1L)
+        .select($"key".as("user_id"), $"n",
+          $"cusumFinal".as("cusum_final"), $"nOver".as("n_over"))
+        .orderBy($"user_id")
+    },
+
     "q_stream_funnel" -> { (s, dir) =>
       import s.implicits._
       // The STREAMING funnel under the batch oracle: the events fixture
@@ -2751,6 +2785,34 @@ object PipelineQueries extends QueryDomain {
     * bench reps must measure the PROBE, not the build. Whichever gate runs
     * first builds it; the catalog is shared across cloned sessions.
     */
+  /** Shared by q_cusum AND q_stream_cusum: the prefix-sum identity
+    * s_i = c_i − min(0, min_{j≤i} c_j) — two cumulative windows, NOT a
+    * list_reduce fold: DuckDB 1.0's list_reduce mis-evaluates struct
+    * accumulators whose lambda reads a field twice (observed alarming
+    * below the threshold with prefix-length-dependent answers), and the
+    * window form is the operator's own scale shape anyway.
+    */
+  private lazy val cusumOracle =
+    """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS o, event_id AS t0,
+      |    CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS v
+      |  FROM events),
+      |c AS (SELECT user_id, o, t0,
+      |    CAST(SUM(v - 600000) OVER w AS BIGINT) AS c,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY o DESC, t0 DESC) AS rn_desc
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY o, t0
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |s AS (SELECT user_id, rn_desc,
+      |    c - least(CAST(MIN(c) OVER (PARTITION BY user_id ORDER BY o, t0
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT),
+      |      CAST(0 AS BIGINT)) AS s
+      |  FROM c)
+      |SELECT user_id, CAST(count(*) AS INT) AS n,
+      |  CAST(MAX(CASE WHEN rn_desc = 1 THEN s END) AS BIGINT) AS cusum_final,
+      |  CAST(SUM(CASE WHEN s > 2000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_over
+      |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** The persisted-window-index probe recurrence (q_window_probe /
     * q_stream_decontam): benchmark windows with ref-side df ≤ 3, joined by
     * every non-benchmark document's distinct windows.
@@ -3196,26 +3258,12 @@ object PipelineQueries extends QueryDomain {
     // field twice (observed alarming below the threshold with
     // prefix-length-dependent answers), and the window form is the
     // operator's own scale shape anyway.
-    "q_cusum" ->
-      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS o, event_id AS t0,
-        |    CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS v
-        |  FROM events),
-        |c AS (SELECT user_id, o, t0,
-        |    CAST(SUM(v - 600000) OVER w AS BIGINT) AS c,
-        |    ROW_NUMBER() OVER (PARTITION BY user_id
-        |      ORDER BY o DESC, t0 DESC) AS rn_desc
-        |  FROM e
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY o, t0
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-        |s AS (SELECT user_id, rn_desc,
-        |    c - least(CAST(MIN(c) OVER (PARTITION BY user_id ORDER BY o, t0
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT),
-        |      CAST(0 AS BIGINT)) AS s
-        |  FROM c)
-        |SELECT user_id, CAST(count(*) AS INT) AS n,
-        |  CAST(MAX(CASE WHEN rn_desc = 1 THEN s END) AS BIGINT) AS cusum_final,
-        |  CAST(SUM(CASE WHEN s > 2000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_over
-        |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_cusum" -> cusumOracle,
+
+    // The buffered streaming replay must land on the batch detector's
+    // exact integers — same oracle (the sentinel user never reaches the
+    // compared sink).
+    "q_stream_cusum" -> cusumOracle,
 
     "q_k_anonymity" ->
       """WITH e AS (SELECT event_type,

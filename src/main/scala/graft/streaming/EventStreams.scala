@@ -248,6 +248,76 @@ object EventStreams {
       }
   }
 
+  /** Input row for [[cusumExact]]: `ts` µs, `tie` breaks equal
+    * timestamps, `v` the value PRE-QUANTIZED to ten-thousandth BIGINTs
+    * (the [[graft.operators.TimeSeriesOps.cusum]] convention — quantize
+    * once at the source so stream and batch share identical integers).
+    */
+  final case class CusumEvent(key: Long, ts: Long, tie: Long, v: Long)
+
+  /** Buffered per-key observations awaiting the watermark; running-max
+    * deadline, same monotonicity argument as [[FunnelBuf]].
+    */
+  final case class CusumBuf(events: List[CusumEvent], deadlineMs: Long = 0L)
+
+  /** One key's closed detector state — the stream twin of
+    * [[graft.operators.TimeSeriesOps.cusum]]'s output row.
+    */
+  final case class CusumOut(key: Long, n: Int, cusumFinal: Long, nOver: Long)
+
+  /** Streaming EXACT one-sided CUSUM — buffer-until-watermark: like the
+    * funnel (and unlike the mergeable sketches), the max(0,·) recursion is
+    * order-sensitive, so an out-of-order arrival inside the watermark
+    * rewrites history an O(1)-state incremental fold already emitted.
+    * The honest exact twin buffers each key's horizon and folds ONCE at
+    * the event-time timeout, over the fully-(ts, tie)-ordered buffer —
+    * bit-identical to the batch operator's answer (shared oracle). State
+    * per key is the horizon's observations (production bounds
+    * `horizonSec`; the replay gate's horizon covers the finite fixture);
+    * disorder deeper than `lateSec` is dropped at the source — the
+    * documented watermark trade.
+    */
+  def cusumExact(
+      events: Dataset[CusumEvent],
+      refValueE4: Long,
+      thresholdE4: Long,
+      horizonSec: Long,
+      lateSec: Long = 0L): Dataset[CusumOut] = {
+    import events.sparkSession.implicits._
+    require(thresholdE4 > 0, s"threshold must be positive, got $thresholdE4")
+    events
+      .withColumn("event_time", timestamp_micros(col("ts")))
+      .withWatermark("event_time", s"$lateSec seconds")
+      .as[CusumEvent]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[CusumBuf, CusumOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: Long, rows: Iterator[CusumEvent], state: GroupState[CusumBuf]) =>
+          if (state.hasTimedOut) {
+            val buffered = state.getOption.map(_.events).getOrElse(Nil)
+            state.remove()
+            var s = 0L
+            var a = 0L
+            buffered.sortBy(e => (e.ts, e.tie)).foreach { e =>
+              s = math.max(0L, s + e.v - refValueE4)
+              if (s > thresholdE4) a += 1
+            }
+            Iterator.single(CusumOut(key, buffered.size, s, a))
+          } else {
+            val arrived = rows.toSeq
+            val maxMs = arrived.iterator.map(_.ts).max / 1000L
+            val deadlineMs = math.max(
+              state.getOption.map(_.deadlineMs).getOrElse(0L),
+              maxMs + horizonSec * 1000L + 1)
+            state.update(CusumBuf(
+              state.getOption.map(_.events).getOrElse(Nil) ++ arrived, deadlineMs))
+            state.setTimeoutTimestamp(math.max(
+              deadlineMs, state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+  }
+
   /** Input row for [[hashSampleExact]]: group key, pre-hashed UNIQUE row
     * key, BIGINT value, µs.
     */

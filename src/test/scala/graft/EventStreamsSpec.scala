@@ -799,4 +799,41 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
       assert(pairs === Set((3L, 4L, 0L)), s"got $pairs")
     } finally q.stop()
   }
+
+  test("cusumExact: out-of-order in-watermark delivery folds in ts order; state evicts") {
+    // v (e4) = 3, 10, 1 at ts 1s/2s/3s, ref 2, h 5 → s: 1, 9, 8 → 2
+    // alarms. Delivered OUT OF ORDER across two batches — the buffered
+    // fold must still process in (ts, tie) order (an incremental O(1)
+    // fold would see 10 first and answer differently); the key's state is
+    // evicted after its horizon.
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import graft.streaming.EventStreams.CusumEvent
+    val input = MemoryStream[CusumEvent]
+    // lateSec = 10 keeps the ts = 1 s arrival ABOVE the watermark after
+    // the 3 s batch (3 − 10 < 1): genuinely in-watermark disorder. With
+    // lateSec = 0 the same arrival is below the watermark and dropped at
+    // the source (measured: n = 2, final = 7) — the documented trade.
+    val q = EventStreams.cusumExact(input.toDS(), refValueE4 = 2L,
+        thresholdE4 = 5L, horizonSec = 100L, lateSec = 10L)
+      .writeStream.format("memory").queryName("cusum_sink")
+      .outputMode("append").start()
+    try {
+      input.addData(CusumEvent(1L, 2000000L, 2L, 10L), CusumEvent(1L, 3000000L, 3L, 1L))
+      q.processAllAvailable()
+      input.addData(CusumEvent(1L, 1000000L, 1L, 3L)) // late but in-watermark
+      q.processAllAvailable()
+      // advance the watermark past the horizon, then a data batch fires
+      // the timeout (emission needs a following batch).
+      input.addData(CusumEvent(9L, 500000000L, 0L, 0L))
+      q.processAllAvailable()
+      input.addData(CusumEvent(8L, 600000000L, 0L, 0L))
+      q.processAllAvailable()
+      val out = spark.table("cusum_sink").filter($"key" === 1L)
+        .as[(Long, Int, Long, Long)].collect()
+      assert(out.toSeq === Seq((1L, 3, 8L, 2L)), s"got ${out.toSeq}")
+      assert(q.lastProgress.stateOperators(0).numRowsTotal <= 2,
+        "closed key's buffer must be evicted")
+    } finally q.stop()
+  }
 }
