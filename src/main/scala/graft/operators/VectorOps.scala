@@ -839,4 +839,102 @@ object VectorOps {
       .select(col("query_id"), col("rank").cast("int").as("rank"),
         col("neighbor_id"), col("adc"))
   }
+
+  /** Dominant principal component by INTEGER-SCALED power iteration — the
+    * embedding-pipeline staple (whitening direction, drift axis, PCA-based
+    * dimensionality screen) in the [[graft.operators.GraphOps.pageRankInt]]
+    * determinism discipline: every step is BIGINT multiply-then-
+    * truncate-shift, so the result is bit-reproducible across engines and
+    * partitionings — float power iteration's order-sensitive Σ could
+    * never face a hash gate.
+    *
+    * The DISTRIBUTED work is the one data pass: vectors quantize to
+    * ten-thousandth BIGINTs and the scaled scatter matrix
+    *
+    *   C = n · Σ x xᵀ − (Σx)(Σx)ᵀ        (= n² · covariance, exact)
+    *
+    * comes from a combiner-reduced aggregate keyed on (i, j) — d² cells of
+    * state, data never collected. The d×d matrix (driver-bounded like a
+    * k-means centroid set) then runs `iterations` rounds of
+    *
+    *   y = C'' x;  x' = trunc(y / 2^max(0, bitlen(max|y|) − 21))
+    *
+    * where C'' = trunc(C / 2^max(0, bitlen(max|C|) − 30)) — divisions
+    * truncate toward zero (both engines' integer division) and magnitudes stay
+    * under 2³⁰·2²¹·d < 2⁶³, every floor is a deterministic function of
+    * the data, and the oracle unrolls the identical recurrence. Sign
+    * convention: the max-|entry| coordinate (lowest index on ties) is
+    * made positive. x₀ = 1 (document the standard caveat: a start vector
+    * exactly orthogonal to the dominant eigenvector converges to the
+    * second — measure-zero and fixture-checked).
+    *
+    * Exactness bound: the driver arithmetic is Long, so inputs must keep
+    * n · max|x_q|² · d under 2⁶² (require-checked from the aggregates) —
+    * ~3·10⁹ unit-scale vectors; beyond that, sample (the direction of
+    * 3·10⁹ points is not improved by the next decade).
+    *
+    * Output: (dim 0-based INT, component BIGINT in the final iteration's
+    * integer scale — a DIRECTION, not a unit vector).
+    */
+  def topComponentInt(df: DataFrame, vecCol: String,
+      iterations: Int = 8): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val spark = df.sparkSession
+    // float → DOUBLE first (exact widening in both engines), then the
+    // decimal quantization — a direct float→decimal cast would expose the
+    // two engines' float-rounding conventions.
+    val vq = transform(col(vecCol),
+      e => (e.cast("double").cast("decimal(18,4)") * 10000).cast("long"))
+    val base = df.filter(col(vecCol).isNotNull).select(vq.as("v"))
+    val flat = base.select(posexplode(col("v")).as(Seq("i", "xi")), col("v"))
+    val pairRows = flat
+      .select(col("i"), col("xi"), posexplode(col("v")).as(Seq("j", "xj")))
+      .groupBy(col("i"), col("j"))
+      .agg(sum((col("xi") * col("xj")).cast("decimal(38,0)")).as("sxx"))
+    val sums = flat.groupBy(col("i"))
+      .agg(sum(col("xi").cast("decimal(38,0)")).as("s"), count(lit(1)).as("cnt"))
+    val sRows = sums.collect()
+    require(sRows.nonEmpty, "topComponentInt: no vectors")
+    val n = BigInt(sRows.head.getLong(2))
+    val d = sRows.length
+    val s = Array.ofDim[BigInt](d)
+    sRows.foreach(r => s(r.getInt(0)) = BigInt(r.getDecimal(1).toBigInteger))
+    val c = Array.ofDim[BigInt](d, d)
+    pairRows.collect().foreach { r =>
+      c(r.getInt(0))(r.getInt(1)) = BigInt(r.getDecimal(2).toBigInteger)
+    }
+    def bitlen(x: BigInt): Int = x.abs.bitLength
+    // C = n·Sxx − S Sᵀ, then quantized to ≤ 2^30 so all later products
+    // stay in Long. The Long bound is checked, not assumed. All divisions
+    // TRUNCATE toward zero — Scala's BigInt/Long `/` and DuckDB's `//`
+    // share that convention (an arithmetic shift would FLOOR and diverge
+    // on negative entries — measured as an off-by-one at the gate).
+    val cFull = Array.tabulate(d, d)((i, j) => n * c(i)(j) - s(i) * s(j))
+    val maxC = cFull.flatten.map(_.abs).max
+    require(bitlen(maxC) <= 62,
+      s"topComponentInt: scatter magnitude 2^${bitlen(maxC)} exceeds the Long " +
+        "bound — sample the input (see scaladoc)")
+    val shiftC = math.max(0, bitlen(maxC) - 30)
+    val cq = cFull.map(_.map(v => (v / BigInt(1L << shiftC)).toLong))
+    var x = Array.fill(d)(1L)
+    for (_ <- 1 to iterations) {
+      val y = Array.tabulate(d)(i =>
+        (0 until d).map(j => cq(i)(j) * x(j)).sum)
+      val m = y.map(math.abs).max
+      x =
+        if (m == 0L) y
+        else {
+          val shift = math.max(0, (64 - java.lang.Long.numberOfLeadingZeros(m)) - 21)
+          y.map(v => v / (1L << shift))
+        }
+    }
+    // Deterministic sign: the max-|v| coordinate (lowest index on ties)
+    // points positive.
+    val pick = x.zipWithIndex.maxBy { case (v, i) => (math.abs(v), -i) }._1
+    val signed = if (pick < 0) x.map(v => -v) else x
+    import spark.implicits._
+    signed.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
+      .toDF("dim", "component")
+      .select(col("dim").cast("int").as("dim"), col("component"))
+  }
 }

@@ -276,6 +276,19 @@ object PipelineQueries extends QueryDomain {
         .orderBy($"shard", $"pos")
     },
 
+    "q_pca_top" -> { (s, dir) =>
+      import s.implicits._
+      // Dominant principal component ([[VectorOps.topComponentInt]], 8
+      // integer-scaled power-iteration rounds): ONE distributed pass
+      // builds the exact scaled scatter matrix n·Σxxᵀ − (Σx)(Σx)ᵀ
+      // (combiner-reduced (i,j)-keyed aggregate, d² cells of state), the
+      // 64×64 matrix eigensolves on the driver in pure BIGINT
+      // multiply-then-floor-shift — the pageRankInt discipline, so the
+      // direction hash-gates against the oracle's unrolled recurrence.
+      VectorOps.topComponentInt(t(s, dir, "embeddings"), "embedding",
+        iterations = 8)
+    },
+
     "q_cusum" -> { (s, dir) =>
       import s.implicits._
       // One-sided CUSUM drift detector per user ([[TimeSeriesOps.cusum]],
@@ -2785,6 +2798,50 @@ object PipelineQueries extends QueryDomain {
     * bench reps must measure the PROBE, not the build. Whichever gate runs
     * first builds it; the catalog is shared across cloned sessions.
     */
+  /** `rounds` integer power-iteration rounds unrolled — the recurrence
+    * [[graft.operators.VectorOps.topComponentInt]] runs on the driver:
+    * exact HUGEINT scatter n·Sxx − S Sᵀ, quantized to ≤ 2³⁰ by a
+    * bit-length floor-shift, then y = C''x with x renormalized to ≤ 2²¹
+    * each round by the same shift rule; deterministic sign at the end.
+    * MATERIALIZED throughout — each round's CTE is referenced by the next
+    * round AND by its own scalar max-subqueries.
+    */
+  private def pcaTopOracle(rounds: Int): String = {
+    val steps = (1 to rounds).map { r =>
+      s"""y$r AS MATERIALIZED (SELECT c.i, CAST(SUM(c.c * x.x) AS BIGINT) AS y
+         |  FROM cq c JOIN x${r - 1} x ON x.i = c.j GROUP BY c.i),
+         |x$r AS MATERIALIZED (SELECT i,
+         |  CASE WHEN (SELECT MAX(ABS(y)) FROM y$r) = 0 THEN y
+         |  ELSE y // (CAST(1 AS BIGINT) <<
+         |    GREATEST(length(bin((SELECT MAX(ABS(y)) FROM y$r))) - 21, 0))
+         |  END AS x FROM y$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH em AS MATERIALIZED (SELECT list_transform(embedding,
+       |    e -> CAST(CAST(CAST(e AS DOUBLE) AS DECIMAL(18,4)) * 10000 AS BIGINT)) AS v
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |a AS MATERIALIZED (SELECT v, unnest(range(1, len(v)+1)) AS i FROM em),
+       |b AS (SELECT i, v[i] AS xi, v, unnest(range(1, len(v)+1)) AS j FROM a),
+       |sxx AS MATERIALIZED (SELECT i, j,
+       |    SUM(CAST(xi AS HUGEINT) * v[j]) AS sxx FROM b GROUP BY i, j),
+       |si AS MATERIALIZED (SELECT i, SUM(CAST(v[i] AS HUGEINT)) AS s,
+       |    CAST(COUNT(*) AS HUGEINT) AS n FROM a GROUP BY i),
+       |cf AS MATERIALIZED (SELECT x.i, x.j,
+       |    (SELECT FIRST(n) FROM si) * x.sxx - s1.s * s2.s AS c
+       |  FROM sxx x JOIN si s1 ON s1.i = x.i JOIN si s2 ON s2.i = x.j),
+       |cq AS MATERIALIZED (SELECT i, j,
+       |    CAST(c // (CAST(1 AS BIGINT) <<
+       |      GREATEST(length(bin(CAST((SELECT MAX(ABS(c)) FROM cf) AS BIGINT)))
+       |        - 30, 0)) AS BIGINT) AS c
+       |  FROM cf),
+       |x0 AS (SELECT i, CAST(1 AS BIGINT) AS x FROM si),
+       |$steps,
+       |pick AS (SELECT x AS pv FROM x$rounds ORDER BY ABS(x) DESC, i ASC LIMIT 1)
+       |SELECT CAST(i - 1 AS INT) AS dim,
+       |  CAST(CASE WHEN (SELECT pv FROM pick) < 0 THEN -x ELSE x END
+       |    AS BIGINT) AS component
+       |FROM x$rounds ORDER BY dim""".stripMargin
+  }
+
   /** Shared by q_cusum AND q_stream_cusum: the prefix-sum identity
     * s_i = c_i − min(0, min_{j≤i} c_j) — two cumulative windows, NOT a
     * list_reduce fold: DuckDB 1.0's list_reduce mis-evaluates struct
@@ -3258,6 +3315,10 @@ object PipelineQueries extends QueryDomain {
     // field twice (observed alarming below the threshold with
     // prefix-length-dependent answers), and the window form is the
     // operator's own scale shape anyway.
+    // 8 unrolled integer power-iteration rounds over the exact scatter
+    // matrix — bit-identical to the driver-side BIGINT recurrence.
+    "q_pca_top" -> pcaTopOracle(8),
+
     "q_cusum" -> cusumOracle,
 
     // The buffered streaming replay must land on the batch detector's

@@ -415,4 +415,51 @@ class VectorOpsSpec extends AnyFunSuite with SparkSpec {
       assert(n === en && sv === esv && mean === emean, s"($lbl,$p)")
     }
   }
+
+  test("topComponentInt recovers a planted principal axis (direction + sign)") {
+    // Points spread along (3, 4) with a small orthogonal wobble: the
+    // dominant component must be ∝ (3, 4) — ratio 4/3 at integer
+    // resolution — with the max-|entry| coordinate positive.
+    val pts = (-20 to 20).map { k =>
+      // ((k % 3) + 3) % 3 − 1 ∈ {−1, 0, 1}: Scala's % is sign-preserving,
+      // so a bare (k % 3) − 1 reaches −3 for negative k and the "wobble"
+      // becomes a k-correlated tilt of the axis itself.
+      val wob = ((k % 3) + 3) % 3 - 1
+      Array((3.0 * k - 0.08 * wob * 4).toFloat, (4.0 * k + 0.08 * wob * 3).toFloat)
+    }
+    val df = pts.map(p => Tuple1(p.toSeq)).toDF("embedding")
+    val got = VectorOps.topComponentInt(df, "embedding")
+      .as[(Int, Long)].collect().sortBy(_._1).map(_._2)
+    assert(got.length == 2 && got(1) > 0, s"sign convention: ${got.toSeq}")
+    val ratio = got(1).toDouble / got(0).toDouble
+    assert(math.abs(ratio - 4.0 / 3.0) < 0.01, s"axis ratio $ratio")
+  }
+
+  test("topComponentInt: partitioning-invariant on the fixture; tracks a planted 64-dim axis") {
+    // Exact-integer invariance on the REAL embeddings (near-isotropic
+    // spectrum — fine for determinism, useless for convergence claims)...
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val a = VectorOps.topComponentInt(e.repartition(13), "embedding")
+      .as[(Int, Long)].collect().sortBy(_._1).map(_._2)
+    val b = VectorOps.topComponentInt(e.coalesce(1), "embedding")
+      .as[(Int, Long)].collect().sortBy(_._1).map(_._2)
+    assert(a.toSeq == b.toSeq)
+    // ...and accuracy on a 64-dim set WITH a dominant direction: points
+    // t·u + small deterministic noise must recover u (|cos| > 0.999 —
+    // power iteration needs an eigengap, which the planted axis provides).
+    val d = 64
+    val u = Array.tabulate(d)(i => math.sin(i + 1.0))
+    val un = { val n = math.sqrt(u.map(v => v * v).sum); u.map(_ / n) }
+    val pts = (1 to 300).map { r =>
+      val t = (r % 21) - 10.0
+      Array.tabulate(d)(i => (t * un(i) + 0.01 * ((r * 31 + i * 7) % 5 - 2)).toFloat)
+    }
+    val df = pts.map(p => Tuple1(p.toSeq)).toDF("embedding")
+    val got = VectorOps.topComponentInt(df, "embedding")
+      .as[(Int, Long)].collect().sortBy(_._1).map(_._2.toDouble)
+    val cos = math.abs(
+      got.zip(un).map { case (x, y) => x * y }.sum /
+        math.sqrt(got.map(v => v * v).sum))
+    assert(cos > 0.999, s"planted axis not recovered: cos=$cos")
+  }
 }
