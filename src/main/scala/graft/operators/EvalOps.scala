@@ -164,4 +164,65 @@ object EvalOps {
           count(lit(1)).cast("double")).as("pos_rate"))
       .orderBy(col("bin"))
   }
+
+  /** Per-group Cohen's kappa — chance-corrected agreement between two
+    * categorical labelers (gold vs predicted, or two annotators), the
+    * standard acceptance metric before a weak labeler's output is trusted
+    * as training signal. With n rows, a = agreements, and marginal label
+    * counts rᵢ (rater A) / cᵢ (rater B):
+    *
+    *   κ = (p_o − p_e) / (1 − p_e),  p_o = a/n,  p_e = Σᵢ rᵢ·cᵢ / n²
+    *     = (n·a − Σᵢ rᵢ·cᵢ) / (n² − Σᵢ rᵢ·cᵢ)
+    *
+    * — the second form is the one computed: every operand is an exact
+    * integer, and κ is ONE final IEEE division, so the statistic is
+    * hash-gateable (the repo's determinism contract).
+    *
+    * Scale posture: two combiner-reduced (group, label) marginal
+    * aggregates equi-joined on their label and one (group) agreement
+    * aggregate — state is bounded by the LABEL cardinality per group,
+    * never data rows; no window, no collect. Overflow: n² must fit a
+    * long, exact to ~3·10⁹ rows per group (the [[rocAuc]] bound).
+    *
+    * Null rater labels are rejected with an error (a null is a missing
+    * annotation, not a category — dropping it silently would skew p_e).
+    * Groups where the raters share no label (p_e = 0) are fine; κ = p_o.
+    * Degenerate groups with n² = Σ rᵢ·cᵢ (both raters constant — p_e = 1)
+    * report NULL kappa rather than 0/0.
+    *
+    * Output: (group, n, n_agree, pe_num = Σ rᵢ·cᵢ, kappa_num, kappa_den,
+    * kappa), one row per group.
+    */
+  def cohensKappa(df: DataFrame, groupCol: String, raterACol: String,
+      raterBCol: String): DataFrame = {
+    def checked(c: String): Column =
+      when(col(c).isNotNull, col(c).cast("string"))
+        .otherwise(raise_error(lit(s"cohensKappa: $c must be non-null")))
+    val base = df.select(col(groupCol).as("grp"),
+      checked(raterACol).as("ra"), checked(raterBCol).as("rb"))
+    val agree = base.groupBy(col("grp")).agg(
+      count(lit(1)).as("n"),
+      sum((col("ra") === col("rb")).cast("long")).as("n_agree"))
+    val margA = base.groupBy(col("grp"), col("ra").as("lab"))
+      .agg(count(lit(1)).as("ca"))
+    val margB = base.groupBy(col("grp"), col("rb").as("lab"))
+      .agg(count(lit(1)).as("cb"))
+    // Inner join: a label absent from either rater contributes 0 to p_e.
+    val pe = margA.join(margB, Seq("grp", "lab"))
+      .groupBy(col("grp")).agg(sum(col("ca") * col("cb")).as("pe_num"))
+    // Left join: a group whose raters share NO label has no pe row at all.
+    agree.join(pe, Seq("grp"), "left")
+      .select(
+        col("grp").as(groupCol),
+        col("n"), col("n_agree"),
+        coalesce(col("pe_num"), lit(0L)).as("pe_num"),
+        (col("n") * col("n_agree") - coalesce(col("pe_num"), lit(0L)))
+          .as("kappa_num"),
+        (col("n") * col("n") - coalesce(col("pe_num"), lit(0L)))
+          .as("kappa_den"))
+      .withColumn("kappa",
+        when(col("kappa_den") === 0L, lit(null).cast("double"))
+          .otherwise(col("kappa_num").cast("double") /
+            col("kappa_den").cast("double")))
+  }
 }

@@ -189,4 +189,48 @@ class EvalOpsSpec extends AnyFunSuite with SparkSpec {
       .select($"id", $"weight").as[(Long, Long)].collect().toMap
     assert(w(900L) > w(901L))
   }
+
+  test("cohensKappa ≡ brute-force confusion-matrix kappa on random labels") {
+    val rnd = new scala.util.Random(4242)
+    val labs = Array("a", "b", "c", "d")
+    val rows = Seq.tabulate(600) { i =>
+      (s"g${i % 5}", labs(rnd.nextInt(4)), labs(rnd.nextInt(4)))
+    }
+    val got = EvalOps.cohensKappa(rows.toDF("grp", "ra", "rb"), "grp", "ra", "rb")
+      .as[(String, Long, Long, Long, Long, Long, Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    rows.groupBy(_._1).foreach { case (g, grp) =>
+      val n = grp.length.toLong
+      val agree = grp.count(r => r._2 == r._3).toLong
+      val peNum = labs.map(l =>
+        grp.count(_._2 == l).toLong * grp.count(_._3 == l).toLong).sum
+      val (_, gn, gAgree, gPe, gNum, gDen, gK) = got(g)
+      assert((gn, gAgree, gPe) == ((n, agree, peNum)), s"group $g")
+      assert((gNum, gDen) == ((n * agree - peNum, n * n - peNum)), s"group $g")
+      assert(gK.contains((n * agree - peNum).toDouble / (n * n - peNum).toDouble))
+    }
+  }
+
+  test("cohensKappa degenerate groups: constant raters NULL, disjoint labels pe=0") {
+    val d = Seq(
+      // both raters constant and equal: p_e = 1 -> kappa NULL
+      ("const", "x", "x"), ("const", "x", "x"),
+      // raters share no label: pe_num = 0, kappa = p_o = 0
+      ("disj", "a", "b"), ("disj", "a", "b")).toDF("grp", "ra", "rb")
+    val got = EvalOps.cohensKappa(d, "grp", "ra", "rb")
+      .as[(String, Long, Long, Long, Long, Long, Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got("const")._7.isEmpty && got("const")._6 == 0L)
+    assert(got("disj")._4 == 0L && got("disj")._7.contains(0.0))
+  }
+
+  test("cohensKappa rejects null rater labels") {
+    val d = Seq(("g", Some("a"), Some("a")), ("g", None, Some("b")))
+      .toDF("grp", "ra", "rb")
+    val e = intercept[Exception] {
+      EvalOps.cohensKappa(d, "grp", "ra", "rb").collect()
+    }
+    assert(e.getMessage.contains("cohensKappa") ||
+      Option(e.getCause).exists(_.getMessage.contains("cohensKappa")))
+  }
 }
