@@ -458,4 +458,195 @@ object StatOps {
     }
     wide.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
   }
+
+  /** Per-group EXACT Kendall tau-b — the rank correlation that validates a
+    * quality score against a gold signal without assuming linearity (the
+    * check [[correlation]]'s Pearson r cannot make when the relationship is
+    * monotone but curved). All five pair classes are exact longs; tau_b is
+    * a fixed chain of exact-rounded casts, `− × /` and the bit-specified
+    * IEEE `sqrt`, so the statistic itself hash-gates:
+    *
+    *   τ_b = (nc − nd) / √((T − tx)·(T − ty)),   T = n(n−1)/2
+    *
+    * The naive formulation is an all-pairs self-join (Θ(n²) rows shuffled —
+    * dead at corpus scale) or a per-group sort + merge count (one task per
+    * group — dead for a hot group). This one decomposes the discordant
+    * count by a VALUE-RANGE GRID, the way the repo's set-similarity joins
+    * decompose candidate generation:
+    *
+    *  1. per group, x and y each split into `buckets` equal-width value
+    *     ranges (disjoint intervals, so bucket order implies strict value
+    *     order across buckets);
+    *  2. pairs in different x AND different y buckets are decided by the
+    *     bucket HISTOGRAM alone — ≤ buckets² aggregate cells per group,
+    *     never data rows;
+    *  3. pairs sharing an x bucket are counted exactly inside that bucket
+    *     (a Fenwick sweep, O(m log m) on the bucket's m rows); pairs
+    *     sharing a y bucket but not an x bucket likewise, as the bucket's
+    *     total minus its per-x-bucket within counts.
+    *
+    * Every task therefore touches one (group, bucket) slice — ~n/buckets
+    * rows under a benign distribution — and the exact counts are invariant
+    * to the bucket boundaries, so boundary arithmetic only balances load
+    * (heavy value skew ⇒ raise `buckets` or pre-quantize; correctness is
+    * unaffected). Ties, the tie classes, and n are plain combiner-reduced
+    * aggregates. The group-ranges frame is broadcast (one row per group —
+    * per-group statistics presume modest group cardinality).
+    *
+    * Rows with a NULL or NaN measure are excluded (a missing measure has no
+    * rank). Overflow: pair counts are Θ(n²) per group, exact in longs to
+    * ~3·10⁹ rows per group (the [[EvalOps.rocAuc]] bound). Degenerate
+    * groups (n < 2, or a constant side — T = tx or T = ty) report NULL
+    * tau_b rather than 0/0.
+    *
+    * Output: (group, n, nc, nd, tx, ty, txy, tau_b) — concordant,
+    * discordant, x-tied, y-tied, both-tied pair counts; one row per group.
+    * The group column is carried as STRING (cast once at entry); pack
+    * multi-column groups into one column upstream.
+    */
+  def kendallTau(df: DataFrame, groupCol: String, xCol: String, yCol: String,
+      buckets: Int = 32): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(groupCol).cast("string").as("g"),
+        col(xCol).cast("double").as("x"), col(yCol).cast("double").as("y"))
+      .where(col("x").isNotNull && col("y").isNotNull &&
+        !isnan(col("x")) && !isnan(col("y")))
+    val ranges = base.groupBy(col("g")).agg(
+      min(col("x")).as("xmin"), max(col("x")).as("xmax"),
+      min(col("y")).as("ymin"), max(col("y")).as("ymax"))
+    // Equal-width value buckets: monotone in the value and value-disjoint
+    // across ids, so bucket(i) < bucket(j) ⇒ value(i) < value(j) strictly.
+    def bkt(v: Column, lo: Column, hi: Column): Column =
+      when(hi === lo, lit(0)).otherwise(least(lit(buckets - 1),
+        floor((v - lo) / (hi - lo) * buckets).cast("int")))
+    val b = base.join(broadcast(ranges), Seq("g"))
+      .select(col("g"), col("x"), col("y"),
+        bkt(col("x"), col("xmin"), col("xmax")).as("bx"),
+        bkt(col("y"), col("ymin"), col("ymax")).as("by"))
+    val rows = b.as[(String, Double, Double, Int, Int)]
+
+    // Pair class A — different x bucket AND different y bucket: decided by
+    // the histogram alone (≤ buckets² cells per group, not data rows).
+    val cross = b.groupBy(col("g"), col("bx"), col("by"))
+      .agg(count(lit(1)).as("cnt"))
+      .as[(String, Int, Int, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (g, it) =>
+        val cells = it.toArray
+        var s = 0L
+        var i = 0
+        while (i < cells.length) {
+          var j = 0
+          while (j < cells.length) {
+            if (cells(i)._2 < cells(j)._2 && cells(i)._3 > cells(j)._3)
+              s += cells(i)._4 * cells(j)._4
+            j += 1
+          }
+          i += 1
+        }
+        (g, s)
+      }.toDF("g", "nd_cross")
+
+    // Pair class B — same x bucket (any y): exact Fenwick sweep per
+    // (group, x-bucket) slice.
+    val sameX = rows.groupByKey(r => (r._1, r._4))
+      .mapGroups { (key: (String, Int), it: Iterator[(String, Double, Double, Int, Int)]) =>
+        (key._1, discordantPairs(it.map(r => (r._2, r._3)).toArray))
+      }.toDF("g", "c")
+      .groupBy(col("g")).agg(sum(col("c")).as("nd_samex"))
+
+    // Pair class C — same y bucket, DIFFERENT x bucket: the y-bucket
+    // slice's total discordant count minus its per-x-bucket within counts
+    // (those pairs are class B's).
+    val sameY = rows.groupByKey(r => (r._1, r._5))
+      .mapGroups { (key: (String, Int), it: Iterator[(String, Double, Double, Int, Int)]) =>
+        val arr = it.toArray
+        val all = discordantPairs(arr.map(r => (r._2, r._3)))
+        val within = arr.groupBy(_._4).valuesIterator
+          .map(sub => discordantPairs(sub.map(r => (r._2, r._3)))).sum
+        (key._1, all - within)
+      }.toDF("g", "c")
+      .groupBy(col("g")).agg(sum(col("c")).as("nd_samey"))
+
+    // Ties and n: combiner-reduced aggregates. Σ c(c−1) is even, so the
+    // integer `div 2` is exact.
+    val nAgg = base.groupBy(col("g")).agg(count(lit(1)).as("n"))
+    def tiePairs(cs: Seq[String], name: String) =
+      base.groupBy(("g" +: cs).map(col): _*).agg(count(lit(1)).as("c"))
+        .groupBy(col("g"))
+        .agg(expr("sum(c * (c - 1)) div 2").cast("long").as(name))
+
+    val joined = nAgg
+      .join(tiePairs(Seq("x"), "tx"), Seq("g"), "left")
+      .join(tiePairs(Seq("y"), "ty"), Seq("g"), "left")
+      .join(tiePairs(Seq("x", "y"), "txy"), Seq("g"), "left")
+      .join(cross, Seq("g"), "left")
+      .join(sameX, Seq("g"), "left")
+      .join(sameY, Seq("g"), "left")
+      .na.fill(0L, Seq("tx", "ty", "txy", "nd_cross", "nd_samex", "nd_samey"))
+    val tAll = expr("n * (n - 1) div 2")
+    val nd = col("nd_cross") + col("nd_samex") + col("nd_samey")
+    joined.select(
+      col("g").as(groupCol), col("n"),
+      (tAll - nd - (col("tx") + col("ty") - col("txy"))).as("nc"),
+      nd.as("nd"), col("tx"), col("ty"), col("txy"),
+      when(tAll - col("tx") === 0L || tAll - col("ty") === 0L,
+        lit(null).cast("double"))
+        .otherwise((tAll - nd - (col("tx") + col("ty") - col("txy")) - nd)
+          .cast("double") /
+          sqrt((tAll - col("tx")).cast("double") *
+            (tAll - col("ty")).cast("double"))).as("tau_b"))
+  }
+
+  /** Exact count of strictly discordant pairs (x_i < x_j AND y_i > y_j)
+    * among `rows`, O(m log m): sort by (x asc, y asc), sweep equal-x runs
+    * as blocks (query all, then insert all — an x-tied pair never counts),
+    * Fenwick over compressed y ranks; `inserted − count(y ≤ cur)` is the
+    * strictly-greater count, so y ties never count either.
+    */
+  private def discordantPairs(rows: Array[(Double, Double)]): Long = {
+    val m = rows.length
+    if (m < 2) return 0L
+    val ys = rows.map(_._2).distinct
+    java.util.Arrays.sort(ys)
+    def rankOf(y: Double): Int = {
+      var lo = 0
+      var hi = ys.length - 1
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (ys(mid) < y) lo = mid + 1 else hi = mid
+      }
+      lo
+    }
+    val fen = new Array[Long](ys.length + 1)
+    def add(r: Int): Unit = {
+      var i = r + 1
+      while (i <= ys.length) { fen(i) += 1L; i += i & (-i) }
+    }
+    def countLe(r: Int): Long = {
+      var i = r + 1
+      var s = 0L
+      while (i > 0) { s += fen(i); i -= i & (-i) }
+      s
+    }
+    // NaN-free by the caller's filter, so < is a strict weak order.
+    val sorted = rows.sortWith((a, b) =>
+      a._1 < b._1 || (a._1 == b._1 && a._2 < b._2))
+    var cnt = 0L
+    var inserted = 0L
+    var i = 0
+    while (i < m) {
+      var j = i
+      while (j < m && sorted(j)._1 == sorted(i)._1) j += 1
+      var k = i
+      while (k < j) { cnt += inserted - countLe(rankOf(sorted(k)._2)); k += 1 }
+      k = i
+      while (k < j) { add(rankOf(sorted(k)._2)); k += 1 }
+      inserted += j - i
+      i = j
+    }
+    cnt
+  }
 }

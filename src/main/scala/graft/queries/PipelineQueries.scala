@@ -1717,6 +1717,24 @@ object PipelineQueries extends QueryDomain {
         .orderBy($"l_returnflag")
     },
 
+    "q_kendall_tau" -> { (s, dir) =>
+      import s.implicits._
+      // Per-lang EXACT Kendall tau-b ([[StatOps.kendallTau]]) of document
+      // length vs whitespace token count — the monotone-not-linear rank
+      // check Pearson r can't make. Value-range-grid decomposition:
+      // cross-bucket pairs decided by a ≤B² histogram, same-bucket pairs
+      // by per-slice Fenwick sweeps — never an all-pairs join, never one
+      // task per group. All five pair classes are exact longs; the O(n²)
+      // pairwise oracle checks every one; tau_b is one fixed
+      // cast/multiply/sqrt/divide chain of exact operands. buckets = 8 so
+      // the fixture's ~100-row groups exercise all three pair classes.
+      StatOps.kendallTau(
+        docs(s, dir).select($"lang", $"n_chars".as("x"),
+          TextStats.nTokens($"text").as("y")),
+        "lang", "x", "y", buckets = 8)
+        .orderBy($"lang")
+    },
+
     "q_chi_square" -> { (s, dir) =>
       import s.implicits._
       // χ² independence of lang × source ([[StatOps.chiSquare]]): exact
@@ -4222,6 +4240,39 @@ object PipelineQueries extends QueryDomain {
          |  CASE WHEN n > 1 THEN $num / ($nD * ($nD - 1.0)) END AS cov_samp
          |FROM m ORDER BY l_returnflag""".stripMargin
     },
+
+    // Kendall tau-b twin: the O(n²) pairwise self-join definition — every
+    // pair classified once (a.doc_id < b.doc_id; all five classes are
+    // symmetric under swap, so the order key only dedups). The engine side
+    // computes the same longs via the value-range grid; tau_b closes from
+    // them with the identical cast/multiply/sqrt/divide chain.
+    "q_kendall_tau" ->
+      """WITH d AS (SELECT lang AS g, doc_id,
+        |    CAST(n_chars AS DOUBLE) AS x,
+        |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS y
+        |  FROM documents WHERE n_chars IS NOT NULL AND text IS NOT NULL),
+        |p AS (SELECT a.g,
+        |    CAST(count(*) FILTER ((a.x < b.x AND a.y > b.y)
+        |        OR (a.x > b.x AND a.y < b.y)) AS BIGINT) AS nd,
+        |    CAST(count(*) FILTER (a.x = b.x) AS BIGINT) AS tx,
+        |    CAST(count(*) FILTER (a.y = b.y) AS BIGINT) AS ty,
+        |    CAST(count(*) FILTER (a.x = b.x AND a.y = b.y) AS BIGINT) AS txy
+        |  FROM d a JOIN d b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY a.g),
+        |n AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY g)
+        |SELECT n.g AS lang, n.n,
+        |  CAST(n*(n-1)//2 - COALESCE(nd,0)
+        |    - (COALESCE(tx,0) + COALESCE(ty,0) - COALESCE(txy,0)) AS BIGINT) AS nc,
+        |  COALESCE(nd,0) AS nd, COALESCE(tx,0) AS tx, COALESCE(ty,0) AS ty,
+        |  COALESCE(txy,0) AS txy,
+        |  CASE WHEN n*(n-1)//2 - COALESCE(tx,0) = 0
+        |        OR n*(n-1)//2 - COALESCE(ty,0) = 0 THEN NULL
+        |    ELSE CAST(n*(n-1)//2 - COALESCE(nd,0)
+        |        - (COALESCE(tx,0) + COALESCE(ty,0) - COALESCE(txy,0))
+        |        - COALESCE(nd,0) AS DOUBLE)
+        |      / sqrt(CAST(n*(n-1)//2 - COALESCE(tx,0) AS DOUBLE)
+        |           * CAST(n*(n-1)//2 - COALESCE(ty,0) AS DOUBLE)) END AS tau_b
+        |FROM n LEFT JOIN p USING (g) ORDER BY lang""".stripMargin,
 
     "q_chi_square" ->
       """WITH cells AS (SELECT lang AS a, source AS b, count(*) AS o
