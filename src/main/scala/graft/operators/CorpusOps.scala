@@ -1112,4 +1112,66 @@ object CorpusOps {
         coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
         (col("n_tokens") - coalesce(col("dup_tokens"), lit(0L))).as("kept_tokens"))
   }
+
+  /** Per-source token-distribution DRIFT: the exact total-variation
+    * distance between each source's unigram distribution and the rest of
+    * the corpus — the corpus-health monitor that flags a source whose
+    * content shifted (a crawl gone bad, a changed upstream filter) before
+    * it trains into the model. TVD is chosen over KL/JS deliberately: it
+    * needs no logarithm, and `log` is the one elementary function IEEE 754
+    * does NOT bit-specify across engines — so unlike a JS divergence, this
+    * statistic can hold the repo's exactness contract:
+    *
+    *   TVD(p, q) = ½ Σᵢ |cᵢ/n − dᵢ/m| = (Σᵢ |cᵢ·m − dᵢ·n|) / (2·n·m)
+    *
+    * with cᵢ the source's token counts (n = Σcᵢ), dᵢ = tᵢ − cᵢ the rest's
+    * (m = T − n). The numerator is an EXACT DECIMAL(38,0): operands are
+    * (18,0)×(19,0) products — precision 38, never Spark's lossy ≥39
+    * adjustment — exact while T < 10¹⁸ tokens. Tokens absent from the
+    * source never materialize as join rows: their mass enters through the
+    * closed form Σ_{i∉s} tᵢ·n = n·(T − Σ_{i∈s} tᵢ). The final tvd double
+    * routes the decimal through its digit string (the [[StatOps
+    * .correlation]] canonical-VARCHAR cast) and one fixed ×/÷ chain.
+    *
+    * Scale posture: one explode (linear), two combiner-reduced hash
+    * aggregates, ONE token-keyed equi-join of (source,token) counts
+    * against token totals — vocabulary-sized, not corpus-sized — and
+    * per-source frames broadcast. No window, no collect.
+    *
+    * Single-source corpora (m = 0) report NULL tvd. NULL texts contribute
+    * no tokens; a source of only NULL texts emits no row.
+    *
+    * Output: (source, n_tokens, m_tokens, tvd_num, tvd), one row per
+    * source.
+    */
+  def tokenDrift(df: DataFrame, textCol: String, sourceCol: String): DataFrame = {
+    val tok = df.select(col(sourceCol).as("src"),
+      explode(TextOps.tokens(col(textCol))).as("tok"))
+    val cs = tok.groupBy(col("src"), col("tok")).agg(count(lit(1)).as("c"))
+    val tot = cs.groupBy(col("tok")).agg(sum(col("c")).as("t"))
+    val ns = cs.groupBy(col("src")).agg(sum(col("c")).as("n"))
+    val tt = cs.agg(sum(col("c")).as("tt"))
+    def d18(c: Column) = c.cast("decimal(18,0)")
+    def d19(c: Column) = c.cast("decimal(19,0)")
+    val pres = cs.join(tot, Seq("tok"))
+      .join(broadcast(ns), Seq("src"))
+      .crossJoin(broadcast(tt))
+      .groupBy(col("src"))
+      .agg(
+        sum(abs(d18(col("c")) * d19(col("tt") - col("n")) -
+          d18(col("t") - col("c")) * d19(col("n")))).as("num_present"),
+        sum(col("t")).as("t_present"))
+    val f = pres.join(broadcast(ns), Seq("src")).crossJoin(broadcast(tt))
+      .select(col("src").as(sourceCol),
+        col("n").as("n_tokens"),
+        (col("tt") - col("n")).as("m_tokens"),
+        (col("num_present") +
+          d18(col("n")) * d19(col("tt") - col("t_present")))
+          .cast("decimal(38,0)").as("tvd_num"))
+    f.withColumn("tvd",
+      when(col("m_tokens") === 0L, lit(null).cast("double"))
+        .otherwise(col("tvd_num").cast("string").cast("double") /
+          (lit(2.0) * col("n_tokens").cast("double") *
+            col("m_tokens").cast("double"))))
+  }
 }

@@ -1735,6 +1735,18 @@ object PipelineQueries extends QueryDomain {
         .orderBy($"lang")
     },
 
+    "q_token_drift" -> { (s, dir) =>
+      import s.implicits._
+      // Per-source unigram-distribution drift vs the rest of the corpus
+      // ([[CorpusOps.tokenDrift]]): exact total-variation distance — the
+      // numerator an exact DECIMAL(38,0) of cross-multiplied counts
+      // (|cᵢ·m − dᵢ·n|, absent-token mass in closed form, no log anywhere
+      // so the statistic hash-gates where KL/JS could not). One explode,
+      // two hash aggregates, one vocabulary-sized equi-join.
+      CorpusOps.tokenDrift(docs(s, dir), "text", "source")
+        .orderBy($"source")
+    },
+
     "q_chi_square" -> { (s, dir) =>
       import s.implicits._
       // χ² independence of lang × source ([[StatOps.chiSquare]]): exact
@@ -4273,6 +4285,37 @@ object PipelineQueries extends QueryDomain {
         |      / sqrt(CAST(n*(n-1)//2 - COALESCE(tx,0) AS DOUBLE)
         |           * CAST(n*(n-1)//2 - COALESCE(ty,0) AS DOUBLE)) END AS tau_b
         |FROM n LEFT JOIN p USING (g) ORDER BY lang""".stripMargin,
+
+    // TVD drift twin: same cross-multiplied integer numerator —
+    // (18,0)×(19,0) decimal products (width 38 ⇒ int128 in DuckDB, exact
+    // in both engines), absent-token mass via the closed form
+    // n·(T − Σ_present t), the double via the canonical VARCHAR route.
+    "q_token_drift" ->
+      """WITH tk AS (SELECT source AS src,
+        |    unnest(string_split(text, ' ')) AS tok FROM documents),
+        |cs AS (SELECT src, tok, CAST(count(*) AS BIGINT) AS c
+        |  FROM tk GROUP BY src, tok),
+        |tot AS (SELECT tok, CAST(sum(c) AS BIGINT) AS t FROM cs GROUP BY tok),
+        |ns AS (SELECT src, CAST(sum(c) AS BIGINT) AS n FROM cs GROUP BY src),
+        |ttot AS (SELECT CAST(sum(c) AS BIGINT) AS tt FROM cs),
+        |pres AS (SELECT cs.src,
+        |    SUM(abs(CAST(c AS DECIMAL(18,0)) * CAST(tt - n AS DECIMAL(19,0))
+        |      - CAST(t - c AS DECIMAL(18,0)) * CAST(n AS DECIMAL(19,0))))
+        |      AS num_present,
+        |    CAST(sum(t) AS BIGINT) AS t_present
+        |  FROM cs JOIN tot USING (tok) JOIN ns USING (src) CROSS JOIN ttot
+        |  GROUP BY cs.src),
+        |f AS (SELECT pres.src, ns.n, tt - ns.n AS m,
+        |    CAST(num_present + CAST(ns.n AS DECIMAL(18,0))
+        |      * CAST(tt - t_present AS DECIMAL(19,0)) AS DECIMAL(38,0))
+        |      AS tvd_num
+        |  FROM pres JOIN ns USING (src) CROSS JOIN ttot)
+        |SELECT src AS source, n AS n_tokens, CAST(m AS BIGINT) AS m_tokens,
+        |  tvd_num,
+        |  CASE WHEN m = 0 THEN NULL
+        |    ELSE CAST(CAST(tvd_num AS VARCHAR) AS DOUBLE)
+        |      / (2.0 * CAST(n AS DOUBLE) * CAST(m AS DOUBLE)) END AS tvd
+        |FROM f ORDER BY source""".stripMargin,
 
     "q_chi_square" ->
       """WITH cells AS (SELECT lang AS a, source AS b, count(*) AS o

@@ -754,4 +754,45 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec {
       .select(CorpusOps.dsirScore($"text", terms)).as[Long].head()
     assert(got == expect)
   }
+
+  test("tokenDrift ≡ brute-force exact TVD (BigInt reference)") {
+    val docs = Seq(
+      ("s1", "a a b c"), ("s1", "a b"),
+      ("s2", "c c d"), ("s2", "d d e a"),
+      ("s3", "f f f f"))
+      .toDF("source", "text")
+    val toks = Seq(("s1", Seq("a","a","b","c")), ("s1", Seq("a","b")),
+      ("s2", Seq("c","c","d")), ("s2", Seq("d","d","e","a")),
+      ("s3", Seq("f","f","f","f"))).flatMap { case (s, ts) => ts.map((s, _)) }
+    val total = toks.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val tt = toks.size.toLong
+    val expect = toks.groupBy(_._1).map { case (src, g) =>
+      val c = g.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val n = g.size.toLong
+      val m = tt - n
+      val num = total.keysIterator.map { tok =>
+        val ci = c.getOrElse(tok, 0L)
+        (BigInt(ci) * m - BigInt(total(tok) - ci) * n).abs
+      }.sum
+      val tvd = BigDecimal(num).toDouble / (2.0 * n.toDouble * m.toDouble)
+      src -> ((n, m, num, tvd))
+    }
+    val got = CorpusOps.tokenDrift(docs, "text", "source")
+      .select($"source", $"n_tokens", $"m_tokens",
+        $"tvd_num".cast("string"), $"tvd")
+      .as[(String, Long, Long, String, Option[Double])].collect()
+    assert(got.length == expect.size)
+    got.foreach { case (src, n, m, num, tvd) =>
+      val (en, em, enum_, etvd) = expect(src)
+      assert((n, m, BigInt(num)) == ((en, em, enum_)), src)
+      assert(tvd.contains(etvd), src)
+    }
+  }
+
+  test("tokenDrift: single-source corpus reports NULL tvd; null text drops") {
+    val docs = Seq(("only", Some("x y")), ("only", None)).toDF("source", "text")
+    val got = CorpusOps.tokenDrift(docs, "text", "source")
+      .as[(String, Long, Long, java.math.BigDecimal, Option[Double])].head()
+    assert(got._2 == 2L && got._3 == 0L && got._5.isEmpty)
+  }
 }
