@@ -2282,6 +2282,43 @@ object PipelineQueries extends QueryDomain {
         .orderBy($"user_id")
     },
 
+    "q_stream_budget" -> { (s, dir) =>
+      import s.implicits._
+      // ONLINE token-budget admission
+      // ([[graft.streaming.EventStreams.budgetAdmitExact]]): per event
+      // type, events admit in (ts, tie) order while the running token
+      // total stays within the budget — the maximal admissible prefix,
+      // i.e. the per-source ingest quota enforced online. Values clamp
+      // non-negative and quantize to e4 BIGINTs at the source, so the
+      // prefix rule is a monotone integer cumsum and the
+      // buffer-until-watermark fold lands exactly on the batch window
+      // cumsum the oracle computes. Budget 3000e4 cuts mid-stream at
+      // both SFs. Sentinel files drive the watermark past every real
+      // key's deadline; the sentinel key filters from the sink.
+      val staged = Staging.streamSessionizeDir(s, dir, gapSec = 21600L)
+      val ss = Staging.streamSession(s)
+      val schema = Staging.replaySchema(ss, staged)
+      val stream = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", Staging.filesInDir(staged) - 1)
+        .parquet(staged)
+        .select($"event_type".as("key"),
+          expr("ts div 1000").as("ts"),
+          $"event_id".as("tie"),
+          expr("CAST(CAST(GREATEST(COALESCE(value, 0.0), 0.0) " +
+            "AS DECIMAL(18,4)) * 10000 AS LONG)").as("v"))
+        .as[graft.streaming.EventStreams.BudgetEvent]
+      val sink = Staging.nextStreamSink(ss)
+      val q = graft.streaming.EventStreams
+        .budgetAdmitExact(stream, budget = 30000000L, horizonSec = 21600L)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      ss.table(sink).filter($"key" =!= "sentinel")
+        .select($"key".as("event_type"), $"n",
+          $"nAdmit".as("n_admit"), $"tokAdmit".as("tok_admit"))
+        .orderBy($"event_type")
+    },
+
     "q_stream_funnel" -> { (s, dir) =>
       import s.implicits._
       // The STREAMING funnel under the batch oracle: the events fixture
@@ -3370,6 +3407,25 @@ object PipelineQueries extends QueryDomain {
     // exact integers — same oracle (the sentinel user never reaches the
     // compared sink).
     "q_stream_cusum" -> cusumOracle,
+
+    // Online budget admission: the batch window-cumsum prefix rule the
+    // stream's buffer-until-watermark fold must land on exactly.
+    "q_stream_budget" ->
+      """WITH e AS (SELECT event_type, epoch_ns(ts) // 1000 AS o,
+        |    event_id AS t0,
+        |    CAST(CAST(GREATEST(COALESCE(value, 0.0), 0.0)
+        |      AS DECIMAL(18,4)) * 10000 AS BIGINT) AS v
+        |  FROM events),
+        |c AS (SELECT event_type, v,
+        |    CAST(SUM(v) OVER (PARTITION BY event_type ORDER BY o, t0
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum
+        |  FROM e)
+        |SELECT event_type, CAST(count(*) AS INT) AS n,
+        |  CAST(count(*) FILTER (cum <= 30000000) AS BIGINT) AS n_admit,
+        |  CAST(COALESCE(sum(v) FILTER (cum <= 30000000), 0) AS BIGINT)
+        |    AS tok_admit
+        |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_k_anonymity" ->
       """WITH e AS (SELECT event_type,

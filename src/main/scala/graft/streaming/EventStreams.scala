@@ -318,6 +318,79 @@ object EventStreams {
       }
   }
 
+  /** Input row for [[budgetAdmitExact]]: `ts` µs, `tie` breaks equal
+    * timestamps, `v` a NON-NEGATIVE token count (clamp at the source —
+    * a negative count has no quota meaning and would break the
+    * monotone-cumsum prefix rule the operator relies on).
+    */
+  final case class BudgetEvent(key: String, ts: Long, tie: Long, v: Long)
+
+  /** Buffered per-key observations awaiting the watermark; running-max
+    * deadline, same monotonicity argument as [[FunnelBuf]].
+    */
+  final case class BudgetBuf(events: List[BudgetEvent], deadlineMs: Long = 0L)
+
+  /** One key's closed admission summary. */
+  final case class BudgetOut(key: String, n: Int, nAdmit: Long, tokAdmit: Long)
+
+  /** Streaming ONLINE token-budget admission — the online half of
+    * [[graft.operators.CorpusOps.tokenBudgetMix]]'s "B tokens from source
+    * s" contract: per key, events are admitted in (ts, tie) order while
+    * the running token total stays within `budget` — the maximal
+    * admissible PREFIX, i.e. ingestion stops the moment the quota trips,
+    * the way a per-source crawl/ingest budget is enforced online. The
+    * prefix rule is order-sensitive, so like [[cusumExact]] and
+    * [[funnelExact]] the exact twin buffers each key's horizon and folds
+    * ONCE at the event-time timeout over the fully (ts, tie)-ordered
+    * buffer — bit-identical to the batch window cumsum (shared oracle).
+    * With non-negative `v` the cumsum is monotone, so "cum ≤ budget" IS
+    * the prefix rule (negative counts are rejected at fold time). State
+    * per key is the horizon's observations; disorder deeper than
+    * `lateSec` drops at the source — the documented watermark trade.
+    */
+  def budgetAdmitExact(
+      events: Dataset[BudgetEvent],
+      budget: Long,
+      horizonSec: Long,
+      lateSec: Long = 0L): Dataset[BudgetOut] = {
+    import events.sparkSession.implicits._
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    events
+      .withColumn("event_time", timestamp_micros(col("ts")))
+      .withWatermark("event_time", s"$lateSec seconds")
+      .as[BudgetEvent]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[BudgetBuf, BudgetOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: String, rows: Iterator[BudgetEvent], state: GroupState[BudgetBuf]) =>
+          if (state.hasTimedOut) {
+            val buffered = state.getOption.map(_.events).getOrElse(Nil)
+            state.remove()
+            var cum = 0L
+            var nAdmit = 0L
+            var tokAdmit = 0L
+            buffered.sortBy(e => (e.ts, e.tie)).foreach { e =>
+              require(e.v >= 0,
+                s"budgetAdmitExact: negative token count ${e.v} (key $key)")
+              cum += e.v
+              if (cum <= budget) { nAdmit += 1; tokAdmit += e.v }
+            }
+            Iterator.single(BudgetOut(key, buffered.size, nAdmit, tokAdmit))
+          } else {
+            val arrived = rows.toSeq
+            val maxMs = arrived.iterator.map(_.ts).max / 1000L
+            val deadlineMs = math.max(
+              state.getOption.map(_.deadlineMs).getOrElse(0L),
+              maxMs + horizonSec * 1000L + 1)
+            state.update(BudgetBuf(
+              state.getOption.map(_.events).getOrElse(Nil) ++ arrived, deadlineMs))
+            state.setTimeoutTimestamp(math.max(
+              deadlineMs, state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+  }
+
   /** Input row for [[hashSampleExact]]: group key, pre-hashed UNIQUE row
     * key, BIGINT value, µs.
     */

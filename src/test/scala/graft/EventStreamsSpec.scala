@@ -836,4 +836,59 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
         "closed key's buffer must be evicted")
     } finally q.stop()
   }
+
+  test("budgetAdmitExact: prefix rule in ts order, disorder-proof, state evicts") {
+    // v = 6, 7, 2 at ts 1s/2s/3s with budget 10: the PREFIX rule admits
+    // only the 6 (cum 6, 13, 15) — a greedy skip-and-continue would admit
+    // 6 and 2; out-of-order delivery of the 6 must not change the answer.
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import graft.streaming.EventStreams.BudgetEvent
+    val input = MemoryStream[BudgetEvent]
+    val q = EventStreams.budgetAdmitExact(input.toDS(), budget = 10L,
+        horizonSec = 100L, lateSec = 10L)
+      .writeStream.format("memory").queryName("budget_sink")
+      .outputMode("append").start()
+    try {
+      input.addData(BudgetEvent("a", 2000000L, 2L, 7L), BudgetEvent("a", 3000000L, 3L, 2L))
+      q.processAllAvailable()
+      input.addData(BudgetEvent("a", 1000000L, 1L, 6L)) // late but in-watermark
+      q.processAllAvailable()
+      input.addData(BudgetEvent("zz", 500000000L, 0L, 0L))
+      q.processAllAvailable()
+      input.addData(BudgetEvent("zy", 600000000L, 0L, 0L))
+      q.processAllAvailable()
+      val out = spark.table("budget_sink").filter($"key" === "a")
+        .as[(String, Int, Long, Long)].collect()
+      assert(out.toSeq === Seq(("a", 3, 1L, 6L)), s"got ${out.toSeq}")
+      assert(q.lastProgress.stateOperators(0).numRowsTotal <= 2,
+        "closed key's buffer must be evicted")
+    } finally q.stop()
+  }
+
+  test("budgetAdmitExact: exact-budget boundary admits; zero-value events admit free") {
+    // cum: 4, 10 (== budget, admits), 11 (stops); a trailing 0-cost event
+    // is NOT re-admitted — the prefix is closed once tripped.
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import graft.streaming.EventStreams.BudgetEvent
+    val input = MemoryStream[BudgetEvent]
+    val q = EventStreams.budgetAdmitExact(input.toDS(), budget = 10L,
+        horizonSec = 50L)
+      .writeStream.format("memory").queryName("budget_sink2")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        BudgetEvent("b", 1000000L, 1L, 4L), BudgetEvent("b", 2000000L, 2L, 6L),
+        BudgetEvent("b", 3000000L, 3L, 1L), BudgetEvent("b", 4000000L, 4L, 0L))
+      q.processAllAvailable()
+      input.addData(BudgetEvent("zz", 500000000L, 0L, 0L))
+      q.processAllAvailable()
+      input.addData(BudgetEvent("zy", 600000000L, 0L, 0L))
+      q.processAllAvailable()
+      val out = spark.table("budget_sink2").filter($"key" === "b")
+        .as[(String, Int, Long, Long)].collect()
+      assert(out.toSeq === Seq(("b", 4, 2L, 10L)), s"got ${out.toSeq}")
+    } finally q.stop()
+  }
 }
