@@ -124,4 +124,90 @@ object MultimodalOps {
       col("n_chars").cast("long").as("n_chars"),
       col("lang")).as[MediaRecord]
   }
+
+  /** A payload's 64-bit difference hash, packed as two 32-bit halves
+    * (h0 = bits 0–31, h1 = bits 32–63) — the [[graft.operators.VectorOps]]
+    * BQ convention: neither ANSI long arithmetic nor DuckDB `<< 63` can
+    * build the sign bit, so a single long is the one packing the oracle
+    * could NOT reproduce.
+    */
+  case class MediaDHash(doc_id: Long, h0: Long, h1: Long)
+
+  /** 64-bit DIFFERENCE hash (dHash — Krawetz's gradient perceptual hash,
+    * the image-dedup workhorse) over the payload byte stream: 65 evenly
+    * sampled bytes s_j = payload[⌊j·n/65⌋], bit j = (s_j > s_{j+1}).
+    * A real image pipeline samples a decoded 8×9 luminance grid instead of
+    * raw bytes — swap [[dHashBits]]'s sampler, keep everything downstream
+    * (the [[decodeStub]] contract). Empty/NULL payloads hash to all-zero
+    * bits.
+    */
+  def dHashBits(bytes: Array[Byte]): Array[Int] = {
+    val n = bytes.length
+    val bits = new Array[Int](64)
+    if (n > 0) {
+      var j = 0
+      while (j < 64) {
+        val a = bytes((j.toLong * n / 65L).toInt) & 0xff
+        val b = bytes(((j + 1).toLong * n / 65L).toInt) & 0xff
+        bits(j) = if (a > b) 1 else 0
+        j += 1
+      }
+    }
+    bits
+  }
+
+  /** Partition-parallel [[dHashBits]] over the typed Dataset. */
+  def dHashes(media: Dataset[MediaRecord]): Dataset[MediaDHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      val bits = dHashBits(payloadOf(r))
+      var h0 = 0L
+      var h1 = 0L
+      var j = 0
+      while (j < 32) { h0 |= bits(j).toLong << j; j += 1 }
+      while (j < 64) { h1 |= bits(j).toLong << (j - 32); j += 1 }
+      MediaDHash(r.doc_id, h0, h1)
+    })
+  }
+
+  /** Perceptual-hash NEAR-DUP pairs over binary payloads — the multimodal
+    * member of the dedup family (MinHash/SimHash dedup text; this is the
+    * shape an image/video pipeline runs on decoded media): payloads whose
+    * [[dHashes]] differ in at most `maxHamming` of 64 bits. Candidates
+    * come ONLY from a banded equi-join — the 64 bits split into 8 bands of
+    * 8; by pigeonhole any pair within Hamming distance < 8 shares at least
+    * one intact band, so for `maxHamming` ≤ 7 the banding has RECALL 1
+    * (checked) while never forming cross-band pairs. The exact Hamming
+    * distance then verifies each candidate via two 32-bit XOR popcounts.
+    * Same scale posture as [[graft.operators.SimHash]]: band buckets bound
+    * the candidate volume; no all-pairs stage anywhere.
+    *
+    * Output: (doc_i, doc_j, hamming), doc_i < doc_j, one row per pair.
+    */
+  def dHashNearDup(media: Dataset[MediaRecord], maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 7,
+      s"maxHamming must be in [0, 7] (8-band recall-1 regime), got $maxHamming")
+    val h = dHashes(media).toDF()
+    val bandCols = (0 until 8).map { k =>
+      val src = if (k < 4) col("h0") else col("h1")
+      struct(lit(k).as("bk"),
+        shiftright(src, (k % 4) * 8).bitwiseAND(lit(255L)).as("bv"))
+    }
+    val bands = h.select(col("doc_id"), col("h0"), col("h1"),
+        explode(array(bandCols: _*)).as("b"))
+      .select(col("doc_id"), col("h0"), col("h1"),
+        col("b.bk").as("bk"), col("b.bv").as("bv"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.bk") === col("b.bk") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"),
+        col("a.h0").as("ah0"), col("a.h1").as("ah1"),
+        col("b.h0").as("bh0"), col("b.h1").as("bh1"))
+      .distinct()
+    cand.withColumn("hamming",
+        (bit_count(col("ah0").bitwiseXOR(col("bh0"))) +
+          bit_count(col("ah1").bitwiseXOR(col("bh1")))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_i"), col("doc_j"), col("hamming"))
+  }
 }

@@ -2708,6 +2708,31 @@ object PipelineQueries extends QueryDomain {
         .orderBy($"doc_id", $"frame_idx")
     },
 
+    "q_phash_neardup" -> { (s, dir) =>
+      import s.implicits._
+      // Perceptual-hash near-dup over BINARY payloads
+      // ([[MultimodalOps.dHashNearDup]]): 64-bit difference hash (dHash)
+      // of 65 evenly sampled payload bytes, 8×8-bit LSH bands for
+      // candidates (pigeonhole recall 1 at Hamming ≤ 7), exact XOR-popcount
+      // verify — the image-dedup shape run here over the fake-decode byte
+      // stream (swap the sampler for a luminance grid in production). The
+      // oracle recomputes every bit from sampled ascii() comparisons and
+      // counts differing bits per candidate pair. Staged near-dups: each
+      // payload reappears (+1e6) with its FIRST byte overwritten — the
+      // same-length single-byte perturbation an image dedup faces (the
+      // fixture's planted text near-dups change LENGTH, which shifts every
+      // sample position — byte-identical layout is the contract dHash
+      // detects under).
+      val d = docs(s, dir)
+      val staged = d.unionByName(d.select(
+        ($"doc_id" + 1000000L).as("doc_id"),
+        concat(lit("X"), expr("substring(text, 2)")).as("text"),
+        $"lang", $"source", $"n_chars"))
+      val media = MultimodalOps.documentsAsMedia(s, staged)
+      MultimodalOps.dHashNearDup(media, maxHamming = 6)
+        .orderBy($"doc_i", $"doc_j")
+    },
+
     "q_mm_resize" -> { (s, dir) =>
       import s.implicits._
       // Nearest-neighbor payload RESIZE to 64 samples
@@ -5120,6 +5145,40 @@ object PipelineQueries extends QueryDomain {
          |  ${duckHash("text")} AS byte_hash,
          |  CAST(length(text) // 64 + 1 AS INT) AS n_frames
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // dHash twin: every bit recomputed from sampled ascii() comparisons
+    // (payload bytes == codepoints on the ASCII fixture), bands as 8-bit
+    // sums, candidates from the band equi-join, hamming counted over the
+    // joined bit tables — no 64-bit packing needed oracle-side.
+    "q_phash_neardup" ->
+      """WITH src AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000,
+        |    'X' || substr(text, 2) FROM documents),
+        |b AS (SELECT doc_id, text,
+        |    CAST(length(text) AS BIGINT) AS n FROM src),
+        |bt AS (SELECT doc_id, n, text,
+        |    unnest(range(0, 64)) AS j FROM b),
+        |bits AS (SELECT doc_id, j,
+        |    CASE WHEN n > 0 AND
+        |        ascii(substr(text, CAST(j*n//65 + 1 AS INT), 1)) >
+        |        ascii(substr(text, CAST((j+1)*n//65 + 1 AS INT), 1))
+        |      THEN 1 ELSE 0 END AS bit
+        |  FROM bt),
+        |bd AS (SELECT doc_id, j // 8 AS bk,
+        |    SUM(bit * (1 << (j % 8))) AS bv
+        |  FROM bits GROUP BY doc_id, j // 8),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_i, b.doc_id AS doc_j
+        |  FROM bd a JOIN bd b
+        |    ON a.bk = b.bk AND a.bv = b.bv AND a.doc_id < b.doc_id),
+        |ham AS (SELECT doc_i, doc_j,
+        |    CAST(SUM(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS hamming
+        |  FROM cand
+        |  JOIN bits x ON x.doc_id = doc_i
+        |  JOIN bits y ON y.doc_id = doc_j AND y.j = x.j
+        |  GROUP BY doc_i, doc_j)
+        |SELECT doc_i, doc_j, hamming FROM ham
+        |WHERE hamming <= 6 ORDER BY doc_i, doc_j""".stripMargin,
 
     "q_frame_sample" -> {
       // NB: the outer index must NOT be named `i` — duckHash's lambda

@@ -81,4 +81,49 @@ class MultimodalOpsSpec extends AnyFunSuite with SparkSpec {
       resized(1L).resized_hash === 0L)
     assert(resized(2L).n_out === 4)
   }
+
+  test("dHashNearDup ≡ brute-force all-pairs at maxHamming 7 (recall-1 regime)") {
+    import MultimodalOps.MediaRecord
+    implicit val sq = spark.sqlContext
+    val rnd = new scala.util.Random(1515)
+    // Clusters of near-identical payloads: a base byte array plus copies
+    // with k in-place byte flips (same length — the dHash contract).
+    val payloads = (0 until 12).flatMap { c =>
+      val base = Array.fill(200)((rnd.nextInt(96) + 32).toByte)
+      (0 until 4).map { v =>
+        val arr = base.clone()
+        (0 until v * 2).foreach(_ => arr(rnd.nextInt(arr.length)) =
+          (rnd.nextInt(96) + 32).toByte)
+        arr
+      }
+    }
+    val media = spark.createDataset(payloads.zipWithIndex.map { case (p, i) =>
+      MediaRecord(i.toLong, p, p.length.toLong, "en")
+    })
+    val bits = payloads.map(MultimodalOps.dHashBits)
+    val expect = (for {
+      i <- payloads.indices; j <- (i + 1) until payloads.length
+      h = (0 until 64).count(b => bits(i)(b) != bits(j)(b))
+      if h <= 7
+    } yield (i.toLong, j.toLong, h.toLong)).toSet
+    val got = MultimodalOps.dHashNearDup(media, maxHamming = 7)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == expect) // banding loses nothing at Hamming <= 7
+    assert(expect.nonEmpty)
+  }
+
+  test("dHashes packs bits 0-31 into h0 and 32-63 into h1, non-negative halves") {
+    import MultimodalOps.MediaRecord
+    implicit val sq = spark.sqlContext
+    val p = Array.tabulate(300)(i => ((i * 37 + 11) % 251).toByte)
+    val media = spark.createDataset(Seq(MediaRecord(7L, p, 300L, "en"),
+      MediaRecord(8L, null, 0L, "en")))
+    val got = MultimodalOps.dHashes(media).collect().map(h => h.doc_id -> h).toMap
+    val bits = MultimodalOps.dHashBits(p)
+    val e0 = (0 until 32).map(j => bits(j).toLong << j).sum
+    val e1 = (32 until 64).map(j => bits(j).toLong << (j - 32)).sum
+    assert(got(7L).h0 == e0 && got(7L).h1 == e1)
+    assert(got(7L).h0 >= 0L && got(7L).h1 >= 0L)
+    assert(got(8L).h0 == 0L && got(8L).h1 == 0L) // NULL payload -> zero hash
+  }
 }
