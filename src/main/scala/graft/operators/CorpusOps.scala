@@ -1113,6 +1113,68 @@ object CorpusOps {
         (col("n_tokens") - coalesce(col("dup_tokens"), lit(0L))).as("kept_tokens"))
   }
 
+  /** Frequent itemsets up to size 3 over per-document DISTINCT token sets
+    * — Apriori (Agrawal–Srikant VLDB'94) in its distributed form: the
+    * collocation/market-basket miner ("which tokens systematically
+    * co-occur in documents"), the set-valued complement of the sequential
+    * bigram LM.
+    *
+    * Level-wise with monotonicity doing the pruning at every step:
+    *  - F1 is one combiner-reduced document-frequency aggregate;
+    *  - candidate PAIRS are generated per document but only over tokens
+    *    that survived F1 (the join with f1 prunes before the quadratic
+    *    step), then one hash aggregate + support filter → F2;
+    *  - candidate TRIPLES are the classic self-join of each document's
+    *    FREQUENT pairs sharing their middle item ((a,b) ⋈ (b,c), a<b<c),
+    *    with the third face (a,c) checked against F2 BEFORE counting —
+    *    every k=3 candidate thus has all three sub-pairs frequent, the
+    *    full Apriori prune, and only then is support counted.
+    *
+    * Per-document work is bounded by the document's F1-surviving distinct
+    * tokens (k ⇒ C(k,2) pair rows), all joins are id- or item-keyed
+    * equi-joins, and nothing ever enumerates the vocabulary's cross
+    * product. Support is an absolute document count (exact integers).
+    * Monotonicity makes the prune lossless: a frequent triple's sub-pairs
+    * are frequent, so the output equals the unpruned definition the
+    * oracle computes.
+    *
+    * Output: (k 1..3, item1, item2, item3, support) — item2/item3 NULL
+    * below their size; one row per frequent itemset.
+    */
+  def frequentItemsets(docs: DataFrame, idCol: String, textCol: String,
+      minSupport: Int): DataFrame = {
+    require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
+    val items = docs.select(col(idCol).as("fi_id"),
+      explode(array_distinct(TextOps.tokens(col(textCol)))).as("tok"))
+    val f1 = items.groupBy(col("tok")).agg(count(lit(1)).as("sup"))
+      .filter(col("sup") >= minSupport)
+    val e = items.join(f1.select(col("tok")), Seq("tok"))
+    val docPairs = e.as("a").join(e.as("b"),
+        col("a.fi_id") === col("b.fi_id") && col("a.tok") < col("b.tok"))
+      .select(col("a.fi_id").as("fi_id"),
+        col("a.tok").as("t1"), col("b.tok").as("t2"))
+    val f2 = docPairs.groupBy(col("t1"), col("t2"))
+      .agg(count(lit(1)).as("sup"))
+      .filter(col("sup") >= minSupport)
+    val fp = docPairs.join(f2.select(col("t1"), col("t2")), Seq("t1", "t2"))
+    val cand3 = fp.as("x").join(fp.as("y"),
+        col("x.fi_id") === col("y.fi_id") && col("x.t2") === col("y.t1"))
+      .select(col("x.fi_id").as("fi_id"), col("x.t1").as("t1"),
+        col("x.t2").as("t2"), col("y.t2").as("t3"))
+      // third Apriori face: (t1, t3) must itself be frequent
+      .join(f2.select(col("t1"), col("t2").as("t3")), Seq("t1", "t3"))
+    val f3 = cand3.groupBy(col("t1"), col("t2"), col("t3"))
+      .agg(count(lit(1)).as("sup"))
+      .filter(col("sup") >= minSupport)
+    val nullItem = lit(null).cast("string")
+    f1.select(lit(1).as("k"), col("tok").as("item1"),
+        nullItem.as("item2"), nullItem.as("item3"), col("sup").as("support"))
+      .unionByName(f2.select(lit(2).as("k"), col("t1").as("item1"),
+        col("t2").as("item2"), nullItem.as("item3"), col("sup").as("support")))
+      .unionByName(f3.select(lit(3).as("k"), col("t1").as("item1"),
+        col("t2").as("item2"), col("t3").as("item3"), col("sup").as("support")))
+  }
+
   /** Per-source token-distribution DRIFT: the exact total-variation
     * distance between each source's unigram distribution and the rest of
     * the corpus — the corpus-health monitor that flags a source whose

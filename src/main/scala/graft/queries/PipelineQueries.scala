@@ -1735,6 +1735,21 @@ object PipelineQueries extends QueryDomain {
         .orderBy($"lang")
     },
 
+    "q_itemsets" -> { (s, dir) =>
+      import s.implicits._
+      // Frequent token itemsets up to size 3
+      // ([[CorpusOps.frequentItemsets]], Apriori VLDB'94): per-document
+      // distinct-token sets, level-wise candidate generation with the
+      // full monotonicity prune (pairs only over F1 survivors; triples
+      // only from frequent pairs sharing their middle item with the
+      // third face checked before counting). Lossless by monotonicity,
+      // so the oracle's unpruned self-join definition must match
+      // exactly. Absolute support 300 of the fixture's 500 documents.
+      CorpusOps.frequentItemsets(docs(s, dir), "doc_id", "text",
+        minSupport = 300)
+        .orderBy($"k", $"item1", $"item2", $"item3")
+    },
+
     "q_token_drift" -> { (s, dir) =>
       import s.implicits._
       // Per-source unigram-distribution drift vs the rest of the corpus
@@ -4366,6 +4381,33 @@ object PipelineQueries extends QueryDomain {
         |      / sqrt(CAST(n*(n-1)//2 - COALESCE(tx,0) AS DOUBLE)
         |           * CAST(n*(n-1)//2 - COALESCE(ty,0) AS DOUBLE)) END AS tau_b
         |FROM n LEFT JOIN p USING (g) ORDER BY lang""".stripMargin,
+
+    // Apriori twin: the UNPRUNED definition — distinct tokens per doc,
+    // k-way self-joins with ordered items, HAVING support — which the
+    // engine's pruned level-wise form must equal exactly (monotonicity
+    // makes the prune lossless).
+    "q_itemsets" ->
+      """WITH it AS (SELECT doc_id,
+        |    unnest(list_distinct(string_split(text, ' '))) AS tok
+        |  FROM documents),
+        |f1 AS (SELECT tok, CAST(count(*) AS BIGINT) AS sup
+        |  FROM it GROUP BY tok HAVING count(*) >= 300),
+        |e AS (SELECT doc_id, it.tok FROM it JOIN f1 USING (tok)),
+        |f2 AS (SELECT a.tok AS t1, b.tok AS t2,
+        |    CAST(count(*) AS BIGINT) AS sup
+        |  FROM e a JOIN e b ON a.doc_id = b.doc_id AND a.tok < b.tok
+        |  GROUP BY 1, 2 HAVING count(*) >= 300),
+        |f3 AS (SELECT a.tok AS t1, b.tok AS t2, c.tok AS t3,
+        |    CAST(count(*) AS BIGINT) AS sup
+        |  FROM e a
+        |  JOIN e b ON a.doc_id = b.doc_id AND a.tok < b.tok
+        |  JOIN e c ON a.doc_id = c.doc_id AND b.tok < c.tok
+        |  GROUP BY 1, 2, 3 HAVING count(*) >= 300)
+        |SELECT 1 AS k, tok AS item1, CAST(NULL AS VARCHAR) AS item2,
+        |  CAST(NULL AS VARCHAR) AS item3, sup AS support FROM f1
+        |UNION ALL SELECT 2, t1, t2, CAST(NULL AS VARCHAR), sup FROM f2
+        |UNION ALL SELECT 3, t1, t2, t3, sup FROM f3
+        |ORDER BY k, item1, item2, item3""".stripMargin,
 
     // TVD drift twin: same cross-multiplied integer numerator —
     // (18,0)×(19,0) decimal products (width 38 ⇒ int128 in DuckDB, exact

@@ -789,6 +789,40 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("frequentItemsets ≡ unpruned brute force on random baskets (prune bites)") {
+    val rnd = new scala.util.Random(44)
+    val vocab = ('a' to 'z').map(_.toString)
+    // Skewed baskets: few hot items, long cold tail — the regime where
+    // the F1/F2 prunes actually remove candidates.
+    val docsSeq = Seq.tabulate(120) { i =>
+      val k = 3 + rnd.nextInt(6)
+      val toks = Seq.fill(k)(vocab(
+        math.min(rnd.nextInt(26), math.min(rnd.nextInt(26), rnd.nextInt(26))))).distinct
+      (i.toLong, toks.mkString(" "))
+    }
+    val minSup = 15
+    val sets = docsSeq.map(_._2.split(" ").toSet)
+    def sup(items: Set[String]) = sets.count(items.subsetOf(_)).toLong
+    val expect = (
+      vocab.map(t => (1, t, null: String, null: String, sup(Set(t)))) ++
+      (for (a <- vocab; b <- vocab if a < b) yield
+        (2, a, b, null: String, sup(Set(a, b)))) ++
+      (for (a <- vocab; b <- vocab if a < b; c <- vocab if b < c) yield
+        (3, a, b, c, sup(Set(a, b, c))))
+    ).filter(_._5 >= minSup).toSet
+    val got = CorpusOps.frequentItemsets(docsSeq.toDF("doc_id", "text"),
+        "doc_id", "text", minSup)
+      .as[(Int, String, Option[String], Option[String], Long)]
+      .collect().map(r => (r._1, r._2, r._3.orNull, r._4.orNull, r._5)).toSet
+    assert(got == expect)
+    assert(expect.exists(_._1 == 3), "fixture must exercise the triple level")
+  }
+
+  test("frequentItemsets: support above every df yields an empty result") {
+    val d = Seq((1L, "a b"), (2L, "b c")).toDF("doc_id", "text")
+    assert(CorpusOps.frequentItemsets(d, "doc_id", "text", 3).isEmpty)
+  }
+
   test("tokenDrift: single-source corpus reports NULL tvd; null text drops") {
     val docs = Seq(("only", Some("x y")), ("only", None)).toDF("source", "text")
     val got = CorpusOps.tokenDrift(docs, "text", "source")
