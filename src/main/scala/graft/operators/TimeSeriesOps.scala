@@ -160,4 +160,71 @@ object TimeSeriesOps {
           (acc, x) => lit(alpha) * x.getField("v") + lit(1.0 - alpha) * acc
         ).as("ewma")): _*)
   }
+
+  /** Per-key EXACT sample autocorrelation at lags 1..`maxLag` — the
+    * seasonality/drift fingerprint of a metric stream (a near-1 r₁ says
+    * the series trends, a spike at r_k says period k). The standard ACF
+    *
+    *   r_L = Σᵢ (vᵢ − v̄)(vᵢ₊L − v̄) / Σᵢ (vᵢ − v̄)²
+    *
+    * is a ratio of rationals, so it hash-gates through the repo's
+    * integer-centering trick: with n and S = Σv per key, uᵢ = n·vᵢ − S is
+    * an exact BIGINT and r_L = Σ uᵢuᵢ₊L / Σ uᵢ² EXACTLY (both sums scale
+    * by n², which cancels). The products accumulate as (18,0)×(19,0)
+    * DECIMALs — precision 38, int128 in DuckDB, never Spark's lossy ≥39
+    * adjustment — and each r_L is one IEEE division of the two
+    * digit-string-cast operands. Values quantize ONCE to e4 BIGINTs
+    * (NULLs → 0), the [[cusum]] convention.
+    *
+    * Scale posture: one combiner-reduced per-key moment aggregate, the
+    * (n, S) frame broadcast back, then ONE per-key window sort serving
+    * every lead(u, L) (same partition + order ⇒ one exchange, one sort)
+    * and one closing hash aggregate. Exactness bound: |u| ≤ n·|v|ₑ₄ must
+    * fit 18 digits — at e4 quantization of |v| ≤ 10⁴ that is ~10¹⁰ rows
+    * per key; quantize coarser beyond.
+    *
+    * Degenerate keys (constant series ⇒ zero denominator, or n ≤ L)
+    * report NULL r_L; their pinned integer sums still gate. Output:
+    * (keys…, n, acf_den, c1..c`maxLag`, r1..r`maxLag`).
+    */
+  def acf(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCol: Column,
+      tieCols: Seq[Column],
+      valueCol: Column,
+      maxLag: Int = 3): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 16, s"maxLag must be in [1,16], got $maxLag")
+    val keys = keyCols.map(col)
+    val vq = (coalesce(valueCol, lit(0.0)).cast("decimal(18,4)") * 10000)
+      .cast("long")
+    val ord = orderCol.as("graft_o") +:
+      tieCols.zipWithIndex.map { case (c, i) => c.as(s"graft_t$i") }
+    val ordCols = ("graft_o" +: tieCols.indices.map(i => s"graft_t$i")).map(col)
+    val base = df.select(keys ++ ord :+ vq.as("graft_v"): _*)
+    val stats = base.groupBy(keys: _*)
+      .agg(count(lit(1)).as("graft_n"), sum(col("graft_v")).as("graft_s"))
+    val w = Window.partitionBy(keys: _*).orderBy(ordCols: _*)
+    def d18(c: Column) = c.cast("decimal(18,0)")
+    def d19(c: Column) = c.cast("decimal(19,0)")
+    val withU = base.join(broadcast(stats), keyCols)
+      .withColumn("graft_u", col("graft_n") * col("graft_v") - col("graft_s"))
+    val withLeads = (1 to maxLag).foldLeft(withU) { (d, lag) =>
+      d.withColumn(s"graft_u$lag", lead(col("graft_u"), lag).over(w))
+    }
+    val aggs =
+      sum(d18(col("graft_u")) * d19(col("graft_u"))).as("acf_den") +:
+        (1 to maxLag).map(lag =>
+          coalesce(sum(d18(col("graft_u")) * d19(col(s"graft_u$lag"))),
+            lit(0).cast("decimal(38,0)")).as(s"c$lag"))
+    val agg = withLeads.groupBy(keys: _*)
+      .agg(max(col("graft_n")).as("n"), aggs: _*)
+    def dbl(c: Column) = c.cast("string").cast("double")
+    (1 to maxLag).foldLeft(agg) { (d, lag) =>
+      d.withColumn(s"r$lag",
+        when(col("acf_den") === 0 || col("n") <= lag,
+          lit(null).cast("double"))
+          .otherwise(dbl(col(s"c$lag")) / dbl(col("acf_den"))))
+    }
+  }
 }

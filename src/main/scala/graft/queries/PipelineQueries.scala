@@ -304,6 +304,21 @@ object PipelineQueries extends QueryDomain {
         .orderBy($"user_id")
     },
 
+    "q_autocorr" -> { (s, dir) =>
+      import s.implicits._
+      // Exact sample autocorrelation at lags 1–3 per event type
+      // ([[TimeSeriesOps.acf]]): the seasonality/trend fingerprint of each
+      // metric stream over (ts_µs, event_id) order. Integer centering
+      // (uᵢ = n·vᵢ − S) turns the mean-centered ratio into exact
+      // (18,0)×(19,0) decimal sums — the pinned c/den integers gate the
+      // statistic beyond double printing; one window sort serves all
+      // three leads.
+      TimeSeriesOps.acf(events(s, dir),
+          Seq("event_type"), expr("ts div 1000"), Seq($"event_id"),
+          $"value", maxLag = 3)
+        .orderBy($"event_type")
+    },
+
     "q_k_anonymity" -> { (s, dir) =>
       import s.implicits._
       // k-anonymity / l-diversity release gate
@@ -3447,6 +3462,44 @@ object PipelineQueries extends QueryDomain {
     // exact integers — same oracle (the sentinel user never reaches the
     // compared sink).
     "q_stream_cusum" -> cusumOracle,
+
+    // ACF twin: same integer centering u = n·v − S, same (18,0)×(19,0)
+    // decimal products (int128 in DuckDB), doubles via digit strings.
+    "q_autocorr" ->
+      """WITH e AS (SELECT event_type, epoch_ns(ts) // 1000 AS o,
+        |    event_id AS t0,
+        |    CAST(CAST(COALESCE(value, 0.0) AS DECIMAL(18,4)) * 10000
+        |      AS BIGINT) AS v
+        |  FROM events),
+        |st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(v) AS BIGINT) AS s FROM e GROUP BY event_type),
+        |u AS (SELECT e.event_type, o, t0, n, n * v - s AS u
+        |  FROM e JOIN st USING (event_type)),
+        |l AS (SELECT event_type, n, u,
+        |    lead(u, 1) OVER w AS u1, lead(u, 2) OVER w AS u2,
+        |    lead(u, 3) OVER w AS u3
+        |  FROM u WINDOW w AS (PARTITION BY event_type ORDER BY o, t0)),
+        |a AS (SELECT event_type, MAX(n) AS n,
+        |    SUM(CAST(u AS DECIMAL(18,0)) * CAST(u AS DECIMAL(19,0))) AS den,
+        |    COALESCE(SUM(CAST(u AS DECIMAL(18,0)) * CAST(u1 AS DECIMAL(19,0))), 0) AS c1,
+        |    COALESCE(SUM(CAST(u AS DECIMAL(18,0)) * CAST(u2 AS DECIMAL(19,0))), 0) AS c2,
+        |    COALESCE(SUM(CAST(u AS DECIMAL(18,0)) * CAST(u3 AS DECIMAL(19,0))), 0) AS c3
+        |  FROM l GROUP BY event_type)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |  CAST(den AS DECIMAL(38,0)) AS acf_den,
+        |  CAST(c1 AS DECIMAL(38,0)) AS c1,
+        |  CAST(c2 AS DECIMAL(38,0)) AS c2,
+        |  CAST(c3 AS DECIMAL(38,0)) AS c3,
+        |  CASE WHEN den = 0 OR n <= 1 THEN NULL
+        |    ELSE CAST(CAST(c1 AS VARCHAR) AS DOUBLE)
+        |      / CAST(CAST(den AS VARCHAR) AS DOUBLE) END AS r1,
+        |  CASE WHEN den = 0 OR n <= 2 THEN NULL
+        |    ELSE CAST(CAST(c2 AS VARCHAR) AS DOUBLE)
+        |      / CAST(CAST(den AS VARCHAR) AS DOUBLE) END AS r2,
+        |  CASE WHEN den = 0 OR n <= 3 THEN NULL
+        |    ELSE CAST(CAST(c3 AS VARCHAR) AS DOUBLE)
+        |      / CAST(CAST(den AS VARCHAR) AS DOUBLE) END AS r3
+        |FROM a ORDER BY event_type""".stripMargin,
 
     // Online budget admission: the batch window-cumsum prefix rule the
     // stream's buffer-until-watermark fold must land on exactly.

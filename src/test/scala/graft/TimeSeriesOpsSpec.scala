@@ -129,4 +129,59 @@ class TimeSeriesOpsSpec extends AnyFunSuite with SparkSpec {
     assert(run(3) === Seq((1L, 3, 8L, 2L)))
     assert(run(3) === run(7))
   }
+
+  test("acf ≡ brute-force BigInt reference on random series") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(303)
+    val rows = (0 until 3).flatMap { k =>
+      Seq.tabulate(80) { i =>
+        (s"k$k", i.toLong, i.toLong, (rnd.nextInt(2000) - 1000) / 100.0)
+      }
+    }
+    val got = TimeSeriesOps.acf(rows.toDF("k", "o", "t", "v"),
+        Seq("k"), col("o"), Seq(col("t")), col("v"), maxLag = 3)
+      .select($"k", $"n", $"acf_den".cast("string"),
+        $"c1".cast("string"), $"c2".cast("string"), $"c3".cast("string"),
+        $"r1", $"r2", $"r3")
+      .as[(String, Long, String, String, String, String,
+        Option[Double], Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    rows.groupBy(_._1).foreach { case (k, g) =>
+      val v = g.sortBy(_._2).map(r => BigInt((r._4 * 10000).round))
+      val n = BigInt(v.length)
+      val sum = v.sum
+      val u = v.map(x => n * x - sum)
+      val den = u.map(x => x * x).sum
+      def cL(lag: Int) = (0 until v.length - lag).map(i => u(i) * u(i + lag)).sum
+      val (_, gn, gden, gc1, gc2, gc3, gr1, _, _) = got(k)
+      assert(gn == v.length.toLong && BigInt(gden) == den, k)
+      assert((BigInt(gc1), BigInt(gc2), BigInt(gc3)) == ((cL(1), cL(2), cL(3))), k)
+      assert(gr1.contains(
+        BigDecimal(cL(1)).toDouble / BigDecimal(den).toDouble), k)
+    }
+  }
+
+  test("acf degenerate: constant series and n <= lag report NULL r") {
+    import spark.implicits._
+    val d = Seq(
+      ("const", 1L, 1L, 5.0), ("const", 2L, 2L, 5.0), ("const", 3L, 3L, 5.0),
+      ("short", 1L, 1L, 1.0), ("short", 2L, 2L, 2.0))
+      .toDF("k", "o", "t", "v")
+    val got = TimeSeriesOps.acf(d, Seq("k"), col("o"), Seq(col("t")), col("v"))
+      .select($"k", $"r1", $"r2", $"r3")
+      .as[(String, Option[Double], Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got("const")._2.isEmpty && got("const")._3.isEmpty)
+    assert(got("short")._2.nonEmpty && got("short")._3.isEmpty &&
+      got("short")._4.isEmpty)
+  }
+
+  test("acf detects a period-2 signal (r2 near 1, r1 near -1)") {
+    import spark.implicits._
+    val d = Seq.tabulate(100)(i => ("p", i.toLong, i.toLong,
+      if (i % 2 == 0) 10.0 else -10.0)).toDF("k", "o", "t", "v")
+    val (r1, r2) = TimeSeriesOps.acf(d, Seq("k"), col("o"), Seq(col("t")), col("v"))
+      .select($"r1", $"r2").as[(Double, Double)].head()
+    assert(r1 < -0.9 && r2 > 0.9)
+  }
 }
