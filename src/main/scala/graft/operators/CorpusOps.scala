@@ -1175,6 +1175,56 @@ object CorpusOps {
         col("t2").as("item2"), col("t3").as("item3"), col("sup").as("support")))
   }
 
+  /** Per-source Gini coefficient of token-frequency CONCENTRATION — the
+    * inequality profile of a source's vocabulary usage (0 = every token
+    * equally frequent, →1 = a few tokens dominate). Complements
+    * [[tokenDrift]]: drift says a source's distribution moved, Gini says
+    * whether it collapsed into boilerplate — the early symptom of a
+    * templated/spammy source.
+    *
+    * Exact by the rank identity: with per-token counts c ranked ascending
+    * (rank i of m), Σᵢ Σⱼ |cᵢ − cⱼ| = 2·Σᵢ (2i − m − 1)·cᵢ, so
+    *
+    *   G = Σᵢ (2i − m − 1)·cᵢ / (m·T),   T = Σ cᵢ
+    *
+    * Tie order cannot matter (within a tied block the weights sum to the
+    * same regardless of order — the |cᵢ−cⱼ| form is order-free), so the
+    * row_number tie-break on the token is display-stable, not
+    * result-bearing. The weighted sum accumulates as (19,0)×(18,0)
+    * DECIMALs; G is one IEEE division of digit-string-cast exact operands.
+    *
+    * Scale posture: one combiner-reduced (source, token) count, then the
+    * rank window runs over VOCABULARY-level aggregate rows (the
+    * [[graft.operators.EvalOps.rocAuc]] shape), never data rows.
+    *
+    * Output: (source, m_tokens, total_tokens, gini_num, gini); sources
+    * with m·T = 0 impossible (a row implies a token), m = 1 gives G = 0.
+    */
+  def vocabGini(df: DataFrame, textCol: String, sourceCol: String): DataFrame = {
+    val counts = df.select(col(sourceCol).as("src"),
+        explode(TextOps.tokens(col(textCol))).as("tok"))
+      .groupBy(col("src"), col("tok")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("src")).orderBy(col("c").asc, col("tok").asc)
+    val wAll = Window.partitionBy(col("src"))
+    val ranked = counts
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("m", count(lit(1)).over(wAll))
+    def d18(c: Column) = c.cast("decimal(18,0)")
+    def d19(c: Column) = c.cast("decimal(19,0)")
+    def dbl(c: Column) = c.cast("string").cast("double")
+    ranked.groupBy(col("src"))
+      .agg(
+        max(col("m")).as("m_tokens"),
+        sum(col("c")).as("total_tokens"),
+        sum(d19(lit(2L) * col("i") - col("m") - 1L) * d18(col("c")))
+          .cast("decimal(38,0)").as("gini_num"))
+      .select(col("src").as(sourceCol), col("m_tokens"), col("total_tokens"),
+        col("gini_num"),
+        (dbl(col("gini_num")) /
+          dbl((d18(col("m_tokens")) * d19(col("total_tokens")))
+            .cast("decimal(38,0)"))).as("gini"))
+  }
+
   /** Per-source token-distribution DRIFT: the exact total-variation
     * distance between each source's unigram distribution and the rest of
     * the corpus — the corpus-health monitor that flags a source whose

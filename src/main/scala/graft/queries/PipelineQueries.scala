@@ -1780,6 +1780,18 @@ object PipelineQueries extends QueryDomain {
         .orderBy($"source")
     },
 
+    "q_gini" -> { (s, dir) =>
+      import s.implicits._
+      // Per-source Gini of token-frequency concentration
+      // ([[CorpusOps.vocabGini]]): the boilerplate/template early-warning
+      // next to q_token_drift's distribution shift. Exact by the rank
+      // identity Σᵢⱼ|cᵢ−cⱼ| = 2Σ(2i−m−1)c — tie order provably
+      // result-free — with the weighted sum as (19,0)×(18,0) decimals and
+      // the rank window over VOCABULARY-level aggregate rows only.
+      CorpusOps.vocabGini(docs(s, dir), "text", "source")
+        .orderBy($"source")
+    },
+
     "q_chi_square" -> { (s, dir) =>
       import s.implicits._
       // χ² independence of lang × source ([[StatOps.chiSquare]]): exact
@@ -4464,6 +4476,30 @@ object PipelineQueries extends QueryDomain {
         |UNION ALL SELECT 2, t1, t2, CAST(NULL AS VARCHAR), sup FROM f2
         |UNION ALL SELECT 3, t1, t2, t3, sup FROM f3
         |ORDER BY k, item1, item2, item3""".stripMargin,
+
+    // Gini twin: same rank identity over vocabulary-level counts, same
+    // (19,0)×(18,0) decimal accumulation, doubles via digit strings.
+    "q_gini" ->
+      """WITH tk AS (SELECT source AS src,
+        |    unnest(string_split(text, ' ')) AS tok FROM documents),
+        |c AS (SELECT src, tok, CAST(count(*) AS BIGINT) AS c
+        |  FROM tk GROUP BY src, tok),
+        |r AS (SELECT src, c,
+        |    CAST(row_number() OVER (PARTITION BY src ORDER BY c, tok)
+        |      AS BIGINT) AS i,
+        |    CAST(count(*) OVER (PARTITION BY src) AS BIGINT) AS m
+        |  FROM c),
+        |a AS (SELECT src, CAST(max(m) AS BIGINT) AS m_tokens,
+        |    CAST(sum(c) AS BIGINT) AS total_tokens,
+        |    CAST(SUM(CAST(2*i - m - 1 AS DECIMAL(19,0))
+        |      * CAST(c AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS gini_num
+        |  FROM r GROUP BY src)
+        |SELECT src AS source, m_tokens, total_tokens, gini_num,
+        |  CAST(CAST(gini_num AS VARCHAR) AS DOUBLE)
+        |    / CAST(CAST(CAST(CAST(m_tokens AS DECIMAL(18,0))
+        |        * CAST(total_tokens AS DECIMAL(19,0)) AS DECIMAL(38,0))
+        |        AS VARCHAR) AS DOUBLE) AS gini
+        |FROM a ORDER BY source""".stripMargin,
 
     // TVD drift twin: same cross-multiplied integer numerator —
     // (18,0)×(19,0) decimal products (width 38 ⇒ int128 in DuckDB, exact

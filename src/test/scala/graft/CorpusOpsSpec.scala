@@ -823,6 +823,43 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec {
     assert(CorpusOps.frequentItemsets(d, "doc_id", "text", 3).isEmpty)
   }
 
+  test("vocabGini ≡ brute-force pairwise |ci−cj| definition (tie-heavy data)") {
+    val rnd = new scala.util.Random(606)
+    val vocab = ('a' to 'h').map(_.toString)
+    val docsSeq = Seq.tabulate(60) { i =>
+      val k = 2 + rnd.nextInt(8)
+      // small range forces many tied counts — the rank identity's edge
+      (s"s${i % 3}", Seq.fill(k)(vocab(rnd.nextInt(8))).mkString(" "))
+    }
+    val got = CorpusOps.vocabGini(docsSeq.toDF("source", "text"), "text", "source")
+      .select($"source", $"m_tokens", $"total_tokens",
+        $"gini_num".cast("string"), $"gini")
+      .as[(String, Long, Long, String, Double)].collect().map(r => r._1 -> r).toMap
+    docsSeq.groupBy(_._1).foreach { case (src, g) =>
+      val counts = g.flatMap(_._2.split(" ")).groupBy(identity)
+        .values.map(_.size.toLong).toSeq
+      val m = counts.length.toLong
+      val t = counts.sum
+      val num2 = (for (a <- counts; b <- counts) yield math.abs(a - b)).sum
+      assert(num2 % 2 == 0)
+      val (_, gm, gt, gnum, ggini) = got(src)
+      assert((gm, gt, BigInt(gnum)) == ((m, t, BigInt(num2 / 2))), src)
+      assert(ggini == (num2 / 2).toDouble / (m.toDouble * t.toDouble), src)
+    }
+  }
+
+  test("vocabGini: uniform counts give 0; a dominated vocab approaches 1") {
+    val uniform = Seq(("u", "a b c d")).toDF("source", "text")
+    val got = CorpusOps.vocabGini(uniform, "text", "source")
+      .select($"gini").as[Double].head()
+    assert(got == 0.0)
+    val skewed = Seq(("s", (Seq.fill(99)("hot") :+ "cold").mkString(" ")))
+      .toDF("source", "text")
+    val g2 = CorpusOps.vocabGini(skewed, "text", "source")
+      .select($"gini").as[Double].head()
+    assert(g2 > 0.45 && g2 < 0.5) // m=2: max Gini is (T-2)/2T -> ~0.49
+  }
+
   test("tokenDrift: single-source corpus reports NULL tvd; null text drops") {
     val docs = Seq(("only", Some("x y")), ("only", None)).toDF("source", "text")
     val got = CorpusOps.tokenDrift(docs, "text", "source")
