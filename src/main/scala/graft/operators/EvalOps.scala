@@ -193,6 +193,69 @@ object EvalOps {
     * Output: (group, n, n_agree, pe_num = Σ rᵢ·cᵢ, kappa_num, kappa_den,
     * kappa), one row per group.
     */
+  /** Per-class precision / recall / F1 of a multi-class labeler against
+    * gold, plus the macro-F1 summary row — the per-class view
+    * [[cohensKappa]]'s single agreement number hides (a labeler can agree
+    * 90% overall while never getting one minority class right).
+    *
+    * Classes are the UNION of observed gold and predicted labels. All
+    * counts are exact longs from three combiner-reduced label-marginal
+    * aggregates (diagonal, gold, predicted — state per class, never data
+    * rows); precision/recall/F1 are single IEEE divisions of exact
+    * operands (2·tp / (2·tp + fp + fn) for F1), NULL where undefined
+    * (no gold support → recall/F1 when tp+fp also 0, etc.). The macro row
+    * averages F1 over ALL classes (NULL F1 contributes 0 — the
+    * zero-division convention scikit's `zero_division=0` documents) via
+    * the repo's SORTED FOLD, so the double sum has one defined order and
+    * hash-gates ([[graft.operators.StatOps.chiSquare]]'s construction).
+    *
+    * Output: (cls, n_gold, n_pred, tp, precision, recall, f1) per class +
+    * one ('__macro__', NULL…, macro_f1) row.
+    */
+  def classPrf(df: DataFrame, goldCol: String, predCol: String): DataFrame = {
+    def checked(c: String): Column =
+      when(col(c).isNotNull, col(c).cast("string"))
+        .otherwise(raise_error(lit(s"classPrf: $c must be non-null")))
+    val base = df.select(checked(goldCol).as("gold"), checked(predCol).as("pred"))
+    val diag = base.filter(col("gold") === col("pred"))
+      .groupBy(col("gold").as("cls")).agg(count(lit(1)).as("tp"))
+    val goldN = base.groupBy(col("gold").as("cls")).agg(count(lit(1)).as("n_gold"))
+    val predN = base.groupBy(col("pred").as("cls")).agg(count(lit(1)).as("n_pred"))
+    val perClass = goldN.join(predN, Seq("cls"), "full_outer")
+      .join(diag, Seq("cls"), "left")
+      .select(col("cls"),
+        coalesce(col("n_gold"), lit(0L)).as("n_gold"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+      .withColumn("precision",
+        when(col("n_pred") === 0L, lit(null).cast("double"))
+          .otherwise(col("tp").cast("double") / col("n_pred").cast("double")))
+      .withColumn("recall",
+        when(col("n_gold") === 0L, lit(null).cast("double"))
+          .otherwise(col("tp").cast("double") / col("n_gold").cast("double")))
+      .withColumn("f1",
+        when(col("n_gold") + col("n_pred") === 0L, lit(null).cast("double"))
+          .otherwise((lit(2L) * col("tp")).cast("double") /
+            (col("n_gold") + col("n_pred")).cast("double")))
+    // 2tp + fp + fn = (tp + fp) + (tp + fn) = n_pred + n_gold — never 0
+    // for an observed class, but the guard keeps the contract total.
+    val macroRow = perClass
+      .agg(
+        (aggregate(
+          sort_array(collect_list(struct(col("cls"),
+            coalesce(col("f1"), lit(0.0)).as("f1v")))),
+          lit(0.0), (acc, x) => acc + x.getField("f1v")) /
+          count(lit(1)).cast("double")).as("f1"))
+      .select(lit("__macro__").as("cls"),
+        lit(null).cast("long").as("n_gold"),
+        lit(null).cast("long").as("n_pred"),
+        lit(null).cast("long").as("tp"),
+        lit(null).cast("double").as("precision"),
+        lit(null).cast("double").as("recall"),
+        col("f1"))
+    perClass.unionByName(macroRow)
+  }
+
   def cohensKappa(df: DataFrame, groupCol: String, raterACol: String,
       raterBCol: String): DataFrame = {
     def checked(c: String): Column =

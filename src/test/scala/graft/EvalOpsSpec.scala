@@ -224,6 +224,35 @@ class EvalOpsSpec extends AnyFunSuite with SparkSpec {
     assert(got("disj")._4 == 0L && got("disj")._7.contains(0.0))
   }
 
+  test("classPrf ≡ brute-force per-class PRF + sorted-fold macro") {
+    val rnd = new scala.util.Random(777)
+    val labs = Array("w", "x", "y", "z")
+    val rows = Seq.tabulate(400)(_ => (labs(rnd.nextInt(4)), labs(rnd.nextInt(3))))
+    // pred never emits "z": a gold-only class must appear with n_pred=0.
+    val got = EvalOps.classPrf(rows.toDF("gold", "pred"), "gold", "pred")
+      .as[(String, Option[Long], Option[Long], Option[Long],
+        Option[Double], Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    val classes = (rows.map(_._1) ++ rows.map(_._2)).distinct.sorted
+    val f1s = classes.map { c =>
+      val nGold = rows.count(_._1 == c).toLong
+      val nPred = rows.count(_._2 == c).toLong
+      val tp = rows.count(r => r._1 == c && r._2 == c).toLong
+      val (_, gg, gp, gtp, gPrec, gRec, gF1) = got(c)
+      assert((gg, gp, gtp) == ((Some(nGold), Some(nPred), Some(tp))), c)
+      assert(gPrec == (if (nPred == 0) None else Some(tp.toDouble / nPred)), c)
+      assert(gRec == (if (nGold == 0) None else Some(tp.toDouble / nGold)), c)
+      val f1 = if (nGold + nPred == 0) None
+        else Some(2.0 * tp / (nGold + nPred).toDouble)
+      assert(gF1 == f1, c)
+      f1.getOrElse(0.0)
+    }
+    // macro: left-to-right fold in class order, then one division
+    val macroF1 = f1s.foldLeft(0.0)(_ + _) / classes.length.toDouble
+    assert(got("__macro__")._7.contains(macroF1))
+    assert(got.size == classes.length + 1)
+  }
+
   test("cohensKappa rejects null rater labels") {
     val d = Seq(("g", Some("a"), Some("a")), ("g", None, Some("b")))
       .toDF("grp", "ra", "rb")
