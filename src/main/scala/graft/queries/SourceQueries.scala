@@ -86,6 +86,31 @@ object SourceQueries extends QueryDomain {
         .orderBy($"o_orderstatus")
     },
 
+    "q_fixedwidth_source" -> { (s, dir) =>
+      import s.implicits._
+      // Nation through a FIXED-WIDTH text export
+      // ([[graft.sources.FixedWidthSource]] — the mainframe/legacy-billing
+      // layout: no delimiter, byte-range columns, left-aligned
+      // space-padded): staged once per (sf, JVM) with rpad, read back via
+      // the registry's fields spec, cast-typed downstream exactly like the
+      // CSV path, joined to region (parquet) to prove composition. The
+      // oracle is the round-trip identity over the base tables.
+      val staged = Staging.dir("fixedwidth", dir, "nation") { p =>
+        t(s, dir, "nation").select(concat(
+            rpad($"n_nationkey".cast("string"), 12, " "),
+            rpad($"n_name", 32, " "),
+            rpad($"n_regionkey".cast("string"), 12, " ")).as("value"))
+          .write.mode("overwrite").text(p)
+      }
+      val n = graft.sources.SourceRegistry("fixedwidth").load(s, staged,
+        Map("fields" -> "n_nationkey:12,n_name:32,n_regionkey:12"))
+        .select($"n_nationkey".cast("int").as("n_nationkey"),
+          $"n_name", $"n_regionkey".cast("int").as("n_regionkey"))
+      n.join(t(s, dir, "region"), $"n_regionkey" === $"r_regionkey")
+        .select($"n_nationkey", $"n_name", $"r_name")
+        .orderBy($"n_nationkey")
+    },
+
     "q_csv_source" -> { (s, dir) =>
       import s.implicits._
       // Nation through CSV: ints survive an explicit cast-back, strings are
@@ -213,6 +238,14 @@ object SourceQueries extends QueryDomain {
         |ORDER BY o_orderstatus""".stripMargin,
 
     "q_csv_source" ->
+      """SELECT n_nationkey, n_name, r_name
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY n_nationkey""".stripMargin,
+
+    // Round-trip identity: pad → substring → rtrim → cast recovers the
+    // base rows exactly (names have no trailing spaces, widths cover the
+    // domain), so the oracle is the same join the CSV gate pins.
+    "q_fixedwidth_source" ->
       """SELECT n_nationkey, n_name, r_name
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |ORDER BY n_nationkey""".stripMargin,

@@ -66,6 +66,40 @@ object JdbcSource extends SourceProvider {
       spark.read.format("jdbc").options(options).option("dbtable", path).load())
 }
 
+/** Fixed-width text source — the layout mainframe/legacy-billing exports
+  * still arrive in (no delimiter, each column a byte range). The column
+  * spec rides the options map: `fields = "name:width,name:width,…"`,
+  * columns LEFT-aligned and right-space-padded (the COBOL PIC X
+  * convention); values come back as RTRIMmed strings and downstream
+  * conform/cast (O4–O6) types them, exactly like the CSV path. Parsing is
+  * pure `substring` arithmetic over Spark's `text` datasource — one
+  * codegen'd projection per file scan, no per-row UDF, splittable and
+  * column-prunable like any text scan.
+  */
+object FixedWidthSource extends SourceProvider {
+  val name = "fixedwidth"
+  def load(spark: SparkSession, path: String, options: Map[String, String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, rtrim, substring}
+    val spec = options.getOrElse("fields", throw new IllegalArgumentException(
+      "fixedwidth source needs options(\"fields\") = \"name:width,…\""))
+    val fields = spec.split(",").map { f =>
+      f.split(":") match {
+        case Array(n, w) if w.trim.forall(_.isDigit) && w.trim.toInt > 0 =>
+          (n.trim.toLowerCase, w.trim.toInt)
+        case _ => throw new IllegalArgumentException(
+          s"bad fixedwidth field spec '$f' (want name:width, width > 0)")
+      }
+    }
+    require(fields.nonEmpty, "fixedwidth source needs at least one field")
+    val raw = spark.read.text(path)
+    val offsets = fields.scanLeft(1) { case (pos, (_, w)) => pos + w }
+    val cols = fields.zip(offsets).map { case ((n, w), pos) =>
+      rtrim(substring(col("value"), pos, w)).as(n)
+    }
+    raw.select(cols.toIndexedSeq: _*)
+  }
+}
+
 /** Name → provider registry. The reference resolves sources reflectively from
   * `config.ini` (`/root/reference/load_postgres_from_spark_df.py:177-196`) and
   * ships a registry/class mismatch that makes reflective lookup fail; a plain
@@ -73,7 +107,8 @@ object JdbcSource extends SourceProvider {
   */
 object SourceRegistry {
   val all: Map[String, SourceProvider] =
-    Seq(CsvSource, ParquetSource, JsonSource, OrcSource, JdbcSource, AvroSource)
+    Seq(CsvSource, ParquetSource, JsonSource, OrcSource, JdbcSource, AvroSource,
+        FixedWidthSource)
       .map(p => p.name -> p).toMap
   // Aliases mirroring the reference's config section names (config.ini:8-12).
   private val aliases = Map("s3" -> "parquet", "s3_csv" -> "csv", "s3_parquet" -> "parquet", "pg" -> "jdbc")

@@ -41,8 +41,34 @@ class SourceProviderSpec extends AnyFunSuite with SparkSpec {
     assert(back.count() == 5)
   }
 
+  test("fixedwidth: substring parse, rtrim, lower-cased names, bad specs rejected") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_fw").toString
+    // 4-wide id, 8-wide name (left-aligned, space-padded), 3-wide code
+    Files.write(java.nio.file.Paths.get(dir, "a.txt"), java.util.Arrays.asList(
+      "1   alpha   x  ",
+      "22  beta withx7 ",
+      "333 gamma   yz9"))
+    val df = FixedWidthSource.load(spark, dir,
+      Map("fields" -> "ID:4, Name:8, code:3"))
+    assert(df.columns.toSeq == Seq("id", "name", "code"))
+    val rows = df.orderBy(org.apache.spark.sql.functions.col("id"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(rows.toSeq == Seq(
+      ("1", "alpha", "x"),
+      ("22", "beta wit", "hx7"),   // widths cut, never shift
+      ("333", "gamma", "yz9")))
+    intercept[IllegalArgumentException](
+      FixedWidthSource.load(spark, dir, Map.empty))
+    intercept[IllegalArgumentException](
+      FixedWidthSource.load(spark, dir, Map("fields" -> "id:0")))
+    intercept[IllegalArgumentException](
+      FixedWidthSource.load(spark, dir, Map("fields" -> "id")))
+  }
+
   test("registry dispatch + reference aliases") {
     assert(SourceRegistry("csv") eq CsvSource)
+    assert(SourceRegistry("fixedwidth") eq FixedWidthSource)
     assert(SourceRegistry("orc") eq OrcSource)
     assert(SourceRegistry("s3") eq ParquetSource)      // config.ini 's3' section
     assert(SourceRegistry("s3_csv") eq CsvSource)
