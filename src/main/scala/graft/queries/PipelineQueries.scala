@@ -2342,6 +2342,39 @@ object PipelineQueries extends QueryDomain {
         .orderBy($"user_id")
     },
 
+    "q_stream_acf" -> { (s, dir) =>
+      import s.implicits._
+      // STREAMING exact autocorrelation
+      // ([[graft.streaming.EventStreams.acfExact]]): the order-sensitive
+      // r₁..r₃ of q_autocorr computed per event type at the event-time
+      // timeout over the buffered horizon — BigInt integer centering, the
+      // same digit-string→double route as the batch decimals, so the
+      // emitted doubles land bit-identical on the batch oracle's r
+      // columns. Sentinel files drive the watermark; the sentinel key
+      // filters from the sink.
+      val staged = Staging.streamSessionizeDir(s, dir, gapSec = 21600L)
+      val ss = Staging.streamSession(s)
+      val schema = Staging.replaySchema(ss, staged)
+      val stream = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", Staging.filesInDir(staged) - 1)
+        .parquet(staged)
+        .select($"event_type".as("key"),
+          expr("ts div 1000").as("ts"),
+          $"event_id".as("tie"),
+          expr("CAST(CAST(COALESCE(value, 0.0) AS DECIMAL(18,4)) * 10000 " +
+            "AS LONG)").as("v"))
+        .as[graft.streaming.EventStreams.BudgetEvent]
+      val sink = Staging.nextStreamSink(ss)
+      val q = graft.streaming.EventStreams
+        .acfExact(stream, horizonSec = 21600L)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      ss.table(sink).filter($"key" =!= "sentinel")
+        .select($"key".as("event_type"), $"n", $"r1", $"r2", $"r3")
+        .orderBy($"event_type")
+    },
+
     "q_stream_budget" -> { (s, dir) =>
       import s.implicits._
       // ONLINE token-budget admission
@@ -3520,6 +3553,42 @@ object PipelineQueries extends QueryDomain {
         |  CAST(c1 AS DECIMAL(38,0)) AS c1,
         |  CAST(c2 AS DECIMAL(38,0)) AS c2,
         |  CAST(c3 AS DECIMAL(38,0)) AS c3,
+        |  CASE WHEN den = 0 OR n <= 1 THEN NULL
+        |    ELSE CAST(CAST(c1 AS VARCHAR) AS DOUBLE)
+        |      / CAST(CAST(den AS VARCHAR) AS DOUBLE) END AS r1,
+        |  CASE WHEN den = 0 OR n <= 2 THEN NULL
+        |    ELSE CAST(CAST(c2 AS VARCHAR) AS DOUBLE)
+        |      / CAST(CAST(den AS VARCHAR) AS DOUBLE) END AS r2,
+        |  CASE WHEN den = 0 OR n <= 3 THEN NULL
+        |    ELSE CAST(CAST(c3 AS VARCHAR) AS DOUBLE)
+        |      / CAST(CAST(den AS VARCHAR) AS DOUBLE) END AS r3
+        |FROM a ORDER BY event_type""".stripMargin,
+
+    // Streaming ACF twin: q_autocorr's CTE chain with only the doubles
+    // exposed (the pinned decimal sums are the batch gate's job; the
+    // stream's fold must land on identical r's) and n as INT (the stream
+    // row's buffer size).
+    "q_stream_acf" ->
+      """WITH e AS (SELECT event_type, epoch_ns(ts) // 1000 AS o,
+        |    event_id AS t0,
+        |    CAST(CAST(COALESCE(value, 0.0) AS DECIMAL(18,4)) * 10000
+        |      AS BIGINT) AS v
+        |  FROM events),
+        |st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(v) AS BIGINT) AS s FROM e GROUP BY event_type),
+        |u AS (SELECT e.event_type, o, t0, n, n * v - s AS u
+        |  FROM e JOIN st USING (event_type)),
+        |l AS (SELECT event_type, n, u,
+        |    lead(u, 1) OVER w AS u1, lead(u, 2) OVER w AS u2,
+        |    lead(u, 3) OVER w AS u3
+        |  FROM u WINDOW w AS (PARTITION BY event_type ORDER BY o, t0)),
+        |a AS (SELECT event_type, MAX(n) AS n,
+        |    SUM(CAST(u AS DECIMAL(18,0)) * CAST(u AS DECIMAL(19,0))) AS den,
+        |    COALESCE(SUM(CAST(u AS DECIMAL(18,0)) * CAST(u1 AS DECIMAL(19,0))), 0) AS c1,
+        |    COALESCE(SUM(CAST(u AS DECIMAL(18,0)) * CAST(u2 AS DECIMAL(19,0))), 0) AS c2,
+        |    COALESCE(SUM(CAST(u AS DECIMAL(18,0)) * CAST(u3 AS DECIMAL(19,0))), 0) AS c3
+        |  FROM l GROUP BY event_type)
+        |SELECT event_type, CAST(n AS INT) AS n,
         |  CASE WHEN den = 0 OR n <= 1 THEN NULL
         |    ELSE CAST(CAST(c1 AS VARCHAR) AS DOUBLE)
         |      / CAST(CAST(den AS VARCHAR) AS DOUBLE) END AS r1,

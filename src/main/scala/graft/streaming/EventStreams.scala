@@ -391,6 +391,71 @@ object EventStreams {
       }
   }
 
+  /** One key's closed ACF summary — the stream twin of
+    * [[graft.operators.TimeSeriesOps.acf]]'s r-columns (the pinned decimal
+    * sums stay batch-side; the stream emits the identical doubles, each
+    * produced by the same digit-string → correctly-rounded-parse route).
+    */
+  final case class AcfOut(key: String, n: Int,
+      r1: Option[Double], r2: Option[Double], r3: Option[Double])
+
+  /** Streaming EXACT autocorrelation at lags 1–3 — like [[cusumExact]] the
+    * statistic is order-sensitive (u_{i}u_{i+L} pairs are adjacency in
+    * event-time order), so the exact twin buffers each key's horizon and
+    * computes ONCE at the event-time timeout over the fully (ts, tie)-
+    * ordered buffer, with BigInt integer centering (uᵢ = n·vᵢ − S —
+    * [[graft.operators.TimeSeriesOps.acf]]'s identity, arbitrary
+    * precision here since a fold pays no decimal-width tax). Each r_L is
+    * `Double.parseDouble(numerator.toString) / parseDouble(den.toString)`
+    * — the exact digit-string route Spark's decimal→string→double cast
+    * takes, so the stream's doubles are bit-identical to the batch
+    * operator's (shared-oracle gateable).
+    */
+  def acfExact(
+      events: Dataset[BudgetEvent],
+      horizonSec: Long,
+      lateSec: Long = 0L): Dataset[AcfOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withColumn("event_time", timestamp_micros(col("ts")))
+      .withWatermark("event_time", s"$lateSec seconds")
+      .as[BudgetEvent]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[BudgetBuf, AcfOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: String, rows: Iterator[BudgetEvent], state: GroupState[BudgetBuf]) =>
+          if (state.hasTimedOut) {
+            val buffered = state.getOption.map(_.events).getOrElse(Nil)
+            state.remove()
+            val v = buffered.sortBy(e => (e.ts, e.tie)).map(e => BigInt(e.v)).toArray
+            val n = BigInt(v.length)
+            val s = v.sum
+            val u = v.map(x => n * x - s)
+            val den = u.iterator.map(x => x * x).sum
+            def dbl(x: BigInt): Double = java.lang.Double.parseDouble(x.toString)
+            def r(lag: Int): Option[Double] =
+              if (den == 0 || v.length <= lag) None
+              else {
+                val c = (0 until v.length - lag).iterator
+                  .map(i => u(i) * u(i + lag)).sum
+                Some(dbl(c) / dbl(den))
+              }
+            Iterator.single(AcfOut(key, v.length, r(1), r(2), r(3)))
+          } else {
+            val arrived = rows.toSeq
+            val maxMs = arrived.iterator.map(_.ts).max / 1000L
+            val deadlineMs = math.max(
+              state.getOption.map(_.deadlineMs).getOrElse(0L),
+              maxMs + horizonSec * 1000L + 1)
+            state.update(BudgetBuf(
+              state.getOption.map(_.events).getOrElse(Nil) ++ arrived, deadlineMs))
+            state.setTimeoutTimestamp(math.max(
+              deadlineMs, state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+  }
+
   /** Input row for [[hashSampleExact]]: group key, pre-hashed UNIQUE row
     * key, BIGINT value, µs.
     */

@@ -866,6 +866,44 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("acfExact: disorder-proof timeout fold matches the batch operator bit-exactly") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import graft.streaming.EventStreams.BudgetEvent
+    import graft.operators.TimeSeriesOps
+    val rnd = new scala.util.Random(1212)
+    val vals = Seq.tabulate(40)(i => (i.toLong, (rnd.nextInt(400) - 200).toLong))
+    val input = MemoryStream[BudgetEvent]
+    val q = EventStreams.acfExact(input.toDS(), horizonSec = 100L, lateSec = 200L)
+      .writeStream.format("memory").queryName("acf_sink")
+      .outputMode("append").start()
+    try {
+      // deliver shuffled (in-watermark disorder), two batches
+      val shuffled = rnd.shuffle(vals)
+      val (b1, b2) = shuffled.splitAt(20)
+      input.addData(b1.map { case (i, v) => BudgetEvent("a", (i + 1) * 1000000L, i, v) }: _*)
+      q.processAllAvailable()
+      input.addData(b2.map { case (i, v) => BudgetEvent("a", (i + 1) * 1000000L, i, v) }: _*)
+      q.processAllAvailable()
+      input.addData(BudgetEvent("zz", 500000000L, 0L, 0L))
+      q.processAllAvailable()
+      input.addData(BudgetEvent("zy", 600000000L, 0L, 0L))
+      q.processAllAvailable()
+      val got = spark.table("acf_sink").filter($"key" === "a")
+        .as[(String, Int, Option[Double], Option[Double], Option[Double])].head()
+      // batch twin on the same series (value = v / 10000 re-quantizes to v)
+      val batch = TimeSeriesOps.acf(
+        vals.map { case (i, v) => ("a", i, i, v.toDouble / 10000.0) }
+          .toDF("k", "o", "t", "v"),
+        Seq("k"), org.apache.spark.sql.functions.col("o"),
+        Seq(org.apache.spark.sql.functions.col("t")),
+        org.apache.spark.sql.functions.col("v"), maxLag = 3)
+        .select($"n", $"r1", $"r2", $"r3")
+        .as[(Long, Option[Double], Option[Double], Option[Double])].head()
+      assert(got == (("a", batch._1.toInt, batch._2, batch._3, batch._4)))
+    } finally q.stop()
+  }
+
   test("budgetAdmitExact: exact-budget boundary admits; zero-value events admit free") {
     // cum: 4, 10 (== budget, admits), 11 (stops); a trailing 0-cost event
     // is NOT re-admitted — the prefix is closed once tripped.
