@@ -256,6 +256,97 @@ object EvalOps {
     perClass.unionByName(macroRow)
   }
 
+  /** The nDCG rank discounts 1/log₂(i+1), i = 1..k — computed ONCE in
+    * Scala and embedded as DOUBLE LITERALS in both the Spark plan and the
+    * DuckDB twin (via `Double.toString`, the shortest round-trip
+    * rendering, which any IEEE engine parses back to the identical bits).
+    * `log` is the one elementary function IEEE 754 does NOT bit-specify
+    * across engines, so the discounts must never be recomputed
+    * engine-side — this is the same literal-model move as
+    * [[graft.operators.CorpusOps.dsirScore]].
+    */
+  def ndcgWeights(k: Int): Array[Double] =
+    Array.tabulate(k)(i => 1.0 / (math.log(i + 2.0) / math.log(2.0)))
+
+  /** Retrieval-quality metrics — nDCG@k and MRR@k per query plus their
+    * macro means — the acceptance eval for every retrieval tier in
+    * [[graft.operators.VectorOps]] (brute/IVF/PQ/BQ/MRL) and
+    * [[graft.operators.CorpusOps.bm25]]: swap the `ranked` input, keep the
+    * judge.
+    *
+    * Inputs: `ranked` = (query_id, rank, neighbor_id) with rank dense
+    * 1..k per query; `labels` = (idCol, labelCol) for every query and
+    * corpus item. Relevance is binary label equality, and the query is
+    * assumed a corpus member excluded from its own retrieval (the
+    * [[graft.operators.VectorOps.topK]] contract), so each query's total
+    * relevant count is count(label) − 1.
+    *
+    * Determinism: DCG folds rel·w_rank in RANK order (the repo's sorted
+    * fold); IDCG is a literal PREFIX-SUM lookup at min(R, k) — no fold at
+    * all; MRR is one division by an exact rank; macros fold per-query
+    * doubles in query-id order. With the literal discounts shared (see
+    * [[ndcgWeights]]) every double is bit-reproducible.
+    *
+    * Scale posture: one label-count aggregate, two label equi-joins, one
+    * per-query aggregate over ≤ k rows each. Queries with R = 0 report
+    * NULL ndcg (contributing 0 to the macro, documented).
+    *
+    * Output: (query_id, n_rel, mrr, dcg, ndcg) per query + one macro row
+    * with query_id = −1 (ids must be non-negative numerics).
+    */
+  def retrievalMetrics(ranked: DataFrame, labels: DataFrame, idCol: String,
+      labelCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = ndcgWeights(k)
+    val prefix = w.scanLeft(0.0)(_ + _).tail
+    val lab = labels.select(col(idCol).as("gid"), col(labelCol).as("glab"))
+    val counts = lab.groupBy(col("glab")).agg(count(lit(1)).as("lc"))
+    val ql = ranked.select(col("query_id")).distinct()
+      .join(lab, col("query_id") === col("gid"))
+      .join(counts, Seq("glab"))
+      .select(col("query_id"), col("glab").as("qlab"),
+        (col("lc") - 1L).as("n_rel"))
+    val t = ranked
+      .join(lab.select(col("gid").as("nid"), col("glab").as("nlab")),
+        col("neighbor_id") === col("nid"))
+      .join(broadcast(ql), Seq("query_id"))
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        (col("nlab") === col("qlab")).cast("int").as("rel"))
+    val wArr = array(w.map(lit).toIndexedSeq: _*)
+    val perQ = t
+      .withColumn("term", when(col("rel") === 1,
+        element_at(wArr, col("rank"))).otherwise(lit(0.0)))
+      .groupBy(col("query_id"))
+      .agg(
+        aggregate(sort_array(collect_list(struct(col("rank"), col("term")))),
+          lit(0.0), (acc, x) => acc + x.getField("term")).as("dcg"),
+        min(when(col("rel") === 1, col("rank"))).as("first_rel"))
+      .withColumn("mrr", when(col("first_rel").isNull, lit(0.0))
+        .otherwise(lit(1.0) / col("first_rel").cast("double")))
+    val pArr = array(prefix.map(lit).toIndexedSeq: _*)
+    val f = ql.join(perQ, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_rel"),
+        coalesce(col("mrr"), lit(0.0)).as("mrr"),
+        coalesce(col("dcg"), lit(0.0)).as("dcg"))
+      .withColumn("ndcg", when(col("n_rel") === 0L, lit(null).cast("double"))
+        .otherwise(col("dcg") /
+          element_at(pArr, least(col("n_rel"), lit(k.toLong)).cast("int"))))
+    val macroRow = f.agg(
+        (aggregate(
+          sort_array(collect_list(struct(col("query_id"), col("mrr").as("v")))),
+          lit(0.0), (a, x) => a + x.getField("v")) /
+          count(lit(1)).cast("double")).as("mrr"),
+        (aggregate(
+          sort_array(collect_list(struct(col("query_id"),
+            coalesce(col("ndcg"), lit(0.0)).as("v")))),
+          lit(0.0), (a, x) => a + x.getField("v")) /
+          count(lit(1)).cast("double")).as("ndcg"))
+      .select(lit(-1L).as("query_id"), lit(null).cast("long").as("n_rel"),
+        col("mrr"), lit(null).cast("double").as("dcg"), col("ndcg"))
+    f.select(col("query_id"), col("n_rel"), col("mrr"), col("dcg"), col("ndcg"))
+      .unionByName(macroRow)
+  }
+
   def cohensKappa(df: DataFrame, groupCol: String, raterACol: String,
       raterBCol: String): DataFrame = {
     def checked(c: String): Column =

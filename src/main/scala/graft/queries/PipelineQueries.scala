@@ -2535,6 +2535,25 @@ object PipelineQueries extends QueryDomain {
         .orderBy($"query_id", $"rnk")
     },
 
+    "q_retrieval_eval" -> { (s, dir) =>
+      import s.implicits._
+      // Retrieval-quality judging ([[EvalOps.retrievalMetrics]]): nDCG@10
+      // + MRR@10 of the exact cosine top-k (q_cosine_topk's system)
+      // against label-equality relevance, per query + macro means. The
+      // log₂ discounts are SHARED DOUBLE LITERALS (log is not
+      // IEEE-bit-specified across engines — the dsirScore literal-model
+      // move); DCG folds in rank order, IDCG is a literal prefix-sum
+      // lookup, macros fold in query-id order — every double
+      // bit-reproducible.
+      val e = t(s, dir, "embeddings")
+      val ranked = VectorOps.topK(e, e.filter($"vec_id" < 20),
+          "vec_id", "embedding", k = 10)
+        .select($"query_id", $"rank", $"neighbor_id")
+      EvalOps.retrievalMetrics(ranked, e.select($"vec_id", $"label"),
+        "vec_id", "label", k = 10)
+        .orderBy($"query_id")
+    },
+
     "q_mrl_rerank" -> { (s, dir) =>
       import s.implicits._
       // Matryoshka funnel retrieval ([[VectorOps.mrlTopK]]): shortlist of
@@ -5183,6 +5202,64 @@ object PipelineQueries extends QueryDomain {
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
          |  FROM p)
          |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
+    // Retrieval-eval twin: q_cosine_topk's ranking CTE at <20/k=10, then
+    // the metric arithmetic with the SAME Scala-rendered discount/prefix
+    // literals the engine plan embeds (Double.toString round-trips to
+    // identical bits in any IEEE parser).
+    "q_retrieval_eval" -> {
+      val w = EvalOps.ndcgWeights(10)
+      // Literals as VARCHAR→DOUBLE parses: a bare decimal literal is a
+      // DECIMAL in DuckDB, and its decimal→double conversion is the
+      // twice-rounding path (one ulp off — the q_correlation finding);
+      // the string parse is correctly rounded in both engines.
+      def dlit(d: Double) = s"CAST('${d.toString}' AS DOUBLE)"
+      val wLit = w.map(dlit).mkString("[", ", ", "]")
+      val pLit = w.scanLeft(0.0)(_ + _).tail.map(dlit)
+        .mkString("[", ", ", "]")
+      s"""WITH $embCte,
+         |p AS (SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+         |    ${duckDot("q.e", "d.e")} / sqrt(q.nn * d.nn) AS cos
+         |  FROM n q JOIN n d ON q.vec_id < 20 AND d.vec_id <> q.vec_id),
+         |rk AS (SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+         |  FROM p),
+         |top AS (SELECT query_id, neighbor_id, rnk FROM rk WHERE rnk <= 10),
+         |lab AS (SELECT vec_id AS id, label FROM embeddings),
+         |lc AS (SELECT label, CAST(count(*) AS BIGINT) AS c
+         |  FROM lab GROUP BY label),
+         |ql AS (SELECT l.id AS query_id, l.label AS qlab, lc.c - 1 AS n_rel
+         |  FROM lab l JOIN lc USING (label) WHERE l.id < 20),
+         |t2 AS (SELECT top.query_id, rnk,
+         |    CASE WHEN nl.label = ql.qlab THEN 1 ELSE 0 END AS rel
+         |  FROM top JOIN ql USING (query_id)
+         |  JOIN lab nl ON top.neighbor_id = nl.id),
+         |m AS (SELECT query_id,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list(CASE WHEN rel = 1 THEN ($wLit)[CAST(rnk AS INT)]
+         |           ELSE 0.0 END ORDER BY rnk)),
+         |      (acc, x) -> acc + x) AS dcg,
+         |    CASE WHEN count(*) FILTER (rel = 1) = 0 THEN 0.0
+         |      ELSE 1.0 / CAST(min(rnk) FILTER (rel = 1) AS DOUBLE)
+         |      END AS mrr
+         |  FROM t2 GROUP BY query_id),
+         |f AS (SELECT ql.query_id, CAST(ql.n_rel AS BIGINT) AS n_rel,
+         |    COALESCE(m.mrr, 0.0) AS mrr, COALESCE(m.dcg, 0.0) AS dcg,
+         |    CASE WHEN ql.n_rel = 0 THEN NULL
+         |      ELSE COALESCE(m.dcg, 0.0)
+         |        / ($pLit)[CAST(least(ql.n_rel, 10) AS INT)] END AS ndcg
+         |  FROM ql LEFT JOIN m ON ql.query_id = m.query_id)
+         |SELECT query_id, n_rel, mrr, dcg, ndcg FROM f
+         |UNION ALL SELECT -1, NULL,
+         |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |    list(mrr ORDER BY query_id)), (acc, x) -> acc + x)
+         |    / CAST(count(*) AS DOUBLE),
+         |  NULL,
+         |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |    list(COALESCE(ndcg, 0.0) ORDER BY query_id)),
+         |    (acc, x) -> acc + x) / CAST(count(*) AS DOUBLE)
+         |FROM f ORDER BY query_id""".stripMargin
+    },
 
     "q_mrl_rerank" ->
       s"""WITH $embCte,

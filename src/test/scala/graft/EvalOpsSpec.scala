@@ -253,6 +253,58 @@ class EvalOpsSpec extends AnyFunSuite with SparkSpec {
     assert(got.size == classes.length + 1)
   }
 
+  test("retrievalMetrics ≡ brute-force nDCG/MRR with the shared literal weights") {
+    val rnd = new scala.util.Random(88)
+    val k = 10
+    val w = EvalOps.ndcgWeights(k)
+    val prefix = w.scanLeft(0.0)(_ + _).tail
+    // labels over 60 items, queries = ids 0..9; rankings synthetic.
+    val labels = (0 until 60).map(i => (i.toLong, rnd.nextInt(5)))
+    val labMap = labels.toMap.map { case (i, l) => i -> l }
+    val ranked = (0 until 10).flatMap { q =>
+      val neigh = rnd.shuffle((0 until 60).filterNot(_ == q).toList).take(k)
+      neigh.zipWithIndex.map { case (nid, i) => (q.toLong, i + 1, nid.toLong) }
+    }
+    val got = EvalOps.retrievalMetrics(
+      ranked.toDF("query_id", "rank", "neighbor_id"),
+      labels.toDF("id", "lab"), "id", "lab", k)
+      .as[(Long, Option[Long], Double, Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    val perQ = (0 until 10).map { q =>
+      val qlab = labMap(q.toLong)
+      val nRel = labels.count(_._2 == qlab).toLong - 1
+      val rels = ranked.filter(_._1 == q.toLong).sortBy(_._2)
+        .map(r => labMap(r._3) == qlab)
+      val dcg = rels.zipWithIndex.foldLeft(0.0) { case (acc, (rel, i)) =>
+        acc + (if (rel) w(i) else 0.0)
+      }
+      val mrr = rels.indexOf(true) match {
+        case -1 => 0.0
+        case i => 1.0 / (i + 1).toDouble
+      }
+      val ndcg = if (nRel == 0) None
+        else Some(dcg / prefix(math.min(nRel, k.toLong).toInt - 1))
+      val (_, gn, gmrr, gdcg, gndcg) = got(q.toLong)
+      assert(gn.contains(nRel) && gmrr == mrr && gdcg.contains(dcg), s"q$q")
+      assert(gndcg == ndcg, s"q$q")
+      (mrr, ndcg.getOrElse(0.0))
+    }
+    val macroMrr = perQ.map(_._1).foldLeft(0.0)(_ + _) / 10.0
+    val macroNdcg = perQ.map(_._2).foldLeft(0.0)(_ + _) / 10.0
+    assert(got(-1L)._3 == macroMrr && got(-1L)._5.contains(macroNdcg))
+  }
+
+  test("retrievalMetrics: a query whose label is unique reports NULL ndcg, mrr 0") {
+    val labels = Seq((0L, "only"), (1L, "a"), (2L, "a"), (3L, "a"))
+    val ranked = Seq((0L, 1, 1L), (0L, 2, 2L), (0L, 3, 3L))
+    val got = EvalOps.retrievalMetrics(
+      ranked.toDF("query_id", "rank", "neighbor_id"),
+      labels.toDF("id", "lab"), "id", "lab", 3)
+      .as[(Long, Option[Long], Double, Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got(0L)._2.contains(0L) && got(0L)._3 == 0.0 && got(0L)._5.isEmpty)
+  }
+
   test("cohensKappa rejects null rater labels") {
     val d = Seq(("g", Some("a"), Some("a")), ("g", None, Some("b")))
       .toDF("grp", "ra", "rb")
