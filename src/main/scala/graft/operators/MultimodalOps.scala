@@ -184,19 +184,42 @@ object MultimodalOps {
     *
     * Output: (doc_i, doc_j, hamming), doc_i < doc_j, one row per pair.
     */
-  def dHashNearDup(media: Dataset[MediaRecord], maxHamming: Int): DataFrame = {
+  /** @param maxBucket skip band buckets larger than this before pair
+    *   generation — the LSH hub-bucket guard. On low-entropy payloads a
+    *   band value can collect tens of thousands of hashes (measured at
+    *   sf10: ~2 000 distinct band values over 1 M synthetic docs ⇒
+    *   Σ C(c,2) ≈ 3.9·10¹⁰ candidates, ~all false — the wall is the
+    *   candidate volume, not the verify). A skipped bucket only loses
+    *   pairs whose EVERY intact band is oversized — i.e. members of
+    *   degenerate near-identical mega-clusters, which production
+    *   pipelines route to exact clustering (or drop as boilerplate)
+    *   rather than pairwise-enumerate. Default ∞ keeps the strict
+    *   recall-1 contract.
+    */
+  def dHashNearDup(media: Dataset[MediaRecord], maxHamming: Int,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 7,
       s"maxHamming must be in [0, 7] (8-band recall-1 regime), got $maxHamming")
+    require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
     val h = dHashes(media).toDF()
     val bandCols = (0 until 8).map { k =>
       val src = if (k < 4) col("h0") else col("h1")
       struct(lit(k).as("bk"),
         shiftright(src, (k % 4) * 8).bitwiseAND(lit(255L)).as("bv"))
     }
-    val bands = h.select(col("doc_id"), col("h0"), col("h1"),
+    val bands0 = h.select(col("doc_id"), col("h0"), col("h1"),
         explode(array(bandCols: _*)).as("b"))
       .select(col("doc_id"), col("h0"), col("h1"),
         col("b.bk").as("bk"), col("b.bv").as("bv"))
+    val bands =
+      if (maxBucket == Int.MaxValue) bands0
+      else {
+        val sizes = bands0.groupBy(col("bk"), col("bv"))
+          .agg(count(lit(1)).as("graft_bc"))
+          .filter(col("graft_bc") <= maxBucket)
+          .select(col("bk"), col("bv"))
+        bands0.join(sizes, Seq("bk", "bv"))
+      }
     val cand = bands.as("a").join(bands.as("b"),
         col("a.bk") === col("b.bk") && col("a.bv") === col("b.bv") &&
           col("a.doc_id") < col("b.doc_id"))

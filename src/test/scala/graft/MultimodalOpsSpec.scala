@@ -112,6 +112,29 @@ class MultimodalOpsSpec extends AnyFunSuite with SparkSpec {
     assert(expect.nonEmpty)
   }
 
+  test("dHashNearDup maxBucket: mega-bucket pairs drop, small-bucket pairs survive") {
+    import MultimodalOps.MediaRecord
+    implicit val sq = spark.sqlContext
+    // 30 identical payloads (one mega-bucket per band) + one distinct
+    // near-dup pair in its own small buckets.
+    val hot = Array.fill(120)(65.toByte)
+    val basePair = Array.tabulate(120)(i => ((i * 53 + 7) % 251).toByte)
+    val pairB = basePair.clone(); pairB(0) = (pairB(0) ^ 1).toByte
+    val media = spark.createDataset(
+      (0 until 30).map(i => MediaRecord(i.toLong, hot, 120L, "en")) ++
+        Seq(MediaRecord(100L, basePair, 120L, "en"),
+          MediaRecord(101L, pairB, 120L, "en")))
+    val capped = MultimodalOps.dHashNearDup(media, maxHamming = 7, maxBucket = 8)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(capped.forall { case (i, j, _) => i >= 100L && j >= 100L },
+      "mega-bucket pairs must be skipped")
+    assert(capped.exists { case (i, j, _) => i == 100L && j == 101L },
+      "small-bucket near-dup pair must survive the cap")
+    val uncapped = MultimodalOps.dHashNearDup(media, maxHamming = 7)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(uncapped.size >= capped.size + (30 * 29) / 2)
+  }
+
   test("dHashes packs bits 0-31 into h0 and 32-63 into h1, non-negative halves") {
     import MultimodalOps.MediaRecord
     implicit val sq = spark.sqlContext
