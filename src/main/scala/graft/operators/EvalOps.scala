@@ -347,6 +347,52 @@ object EvalOps {
       .unionByName(macroRow)
   }
 
+  /** Pair-set precision/recall/F1 — the judge for every pairwise
+    * detector in the dedup family ([[graft.operators.SimHash]],
+    * [[graft.operators.MinHashLsh]], [[graft.operators.SetSimJoin]],
+    * [[graft.operators.VectorOps.semDedup]],
+    * [[graft.operators.MultimodalOps.dHashNearDup]]): `pred` and `truth`
+    * are canonical (doc_i < doc_j) pair tables; the metric compares them
+    * as SETS via one full-outer equi-join on the pair key — never an
+    * all-pairs stage, both inputs arrive already candidate-bounded by
+    * their own banding. Duplicate pair rows are collapsed (set
+    * semantics). Counts are exact longs; P/R/F1 single IEEE divisions,
+    * NULL where undefined (empty pred → precision NULL, empty truth →
+    * recall NULL).
+    *
+    * Output: one row (tp, fp, fn, precision, recall, f1).
+    */
+  def pairSetPrf(pred: DataFrame, truth: DataFrame): DataFrame = {
+    def canon(df: DataFrame, flag: String): DataFrame =
+      df.select(col("doc_i"), col("doc_j")).distinct()
+        .withColumn(flag, lit(1L))
+    val j = canon(pred, "inp").join(canon(truth, "intr"),
+      Seq("doc_i", "doc_j"), "full_outer")
+    val agg = j.agg(
+      sum(coalesce(col("inp"), lit(0L)) * coalesce(col("intr"), lit(0L))).as("tp"),
+      sum(coalesce(col("inp"), lit(0L)) *
+        (lit(1L) - coalesce(col("intr"), lit(0L)))).as("fp"),
+      sum((lit(1L) - coalesce(col("inp"), lit(0L))) *
+        coalesce(col("intr"), lit(0L))).as("fn"))
+    agg.select(
+      coalesce(col("tp"), lit(0L)).as("tp"),
+      coalesce(col("fp"), lit(0L)).as("fp"),
+      coalesce(col("fn"), lit(0L)).as("fn"))
+      .withColumn("precision",
+        when(col("tp") + col("fp") === 0L, lit(null).cast("double"))
+          .otherwise(col("tp").cast("double") /
+            (col("tp") + col("fp")).cast("double")))
+      .withColumn("recall",
+        when(col("tp") + col("fn") === 0L, lit(null).cast("double"))
+          .otherwise(col("tp").cast("double") /
+            (col("tp") + col("fn")).cast("double")))
+      .withColumn("f1",
+        when(lit(2L) * col("tp") + col("fp") + col("fn") === 0L,
+          lit(null).cast("double"))
+          .otherwise((lit(2L) * col("tp")).cast("double") /
+            (lit(2L) * col("tp") + col("fp") + col("fn")).cast("double")))
+  }
+
   def cohensKappa(df: DataFrame, groupCol: String, raterACol: String,
       raterBCol: String): DataFrame = {
     def checked(c: String): Column =

@@ -94,6 +94,26 @@ object PipelineQueries extends QueryDomain {
         $"doc_i", $"doc_j")
     },
 
+    "q_dedup_eval" -> { (s, dir) =>
+      import s.implicits._
+      // The dedup family judged by its own judge ([[EvalOps.pairSetPrf]]):
+      // pair-level precision/recall/F1 of the lossy 60-bit SimHash@3
+      // detector against the exact-Jaccard ≥ ½ ground truth (MinHash-LSH
+      // + exact verify — brute-force-equal on this fixture, its own gate
+      // pins that). Different near-dup DEFINITIONS, so the counts are a
+      // real measurement, not a tautology; one full-outer join on the
+      // canonical pair key, both sides candidate-bounded by their
+      // banding.
+      EvalOps.pairSetPrf(
+        SimHash.nearDupPairs(docs(s, dir), "doc_id", "text",
+          bits = 60, bandBits = 15, maxHamming = 3)
+          .select($"doc_i", $"doc_j"),
+        MinHashLsh.nearDupPairs(docs(s, dir), "doc_id", "text",
+          numHashes = 32, numBands = 8, shingleN = 3,
+          threshNum = 1, threshDen = 2)
+          .select($"doc_i", $"doc_j"))
+    },
+
     "q_dedup_clusters" -> { (s, dir) =>
       import s.implicits._
       // Cluster RESOLUTION — the step downstream of every pairwise near-dup
@@ -3798,6 +3818,54 @@ object PipelineQueries extends QueryDomain {
          |FROM t ORDER BY doc_id""".stripMargin,
 
     "q_simhash_neardup" -> simhashNearDupOracle,
+
+    // Dedup-judge twin: the SimHash pair CTE (q_simhash_neardup's) FULL
+    // JOINed against the exact-Jaccard pair CTE (q_dedup_minhash's
+    // brute-force), counts + single divisions.
+    "q_dedup_eval" ->
+      s"""WITH tk AS (SELECT doc_id,
+         |  list_transform(string_split(text, ' '), tok -> ${duckWideHash("tok")}) AS th
+         |  FROM documents
+         |  WHERE text IS NOT NULL AND length(trim(text)) > 0),
+         |t AS (SELECT doc_id,
+         |  CAST(list_sum(list_transform(range(0, 60), b ->
+         |    CASE WHEN list_sum(list_transform(th, h ->
+         |        CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+         |      THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS s
+         |  FROM tk),
+         |sh AS (SELECT a.doc_id AS doc_i, b.doc_id AS doc_j
+         |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.s, b.s)) <= 3),
+         |jt AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |js AS (SELECT doc_id,
+         |  list_distinct(list_transform(range(1, len(w)-1),
+         |    i -> w[i]||' '||w[i+1]||' '||w[i+2])) AS sh
+         |  FROM jt WHERE len(w) >= 3),
+         |tr AS (SELECT a.doc_id AS doc_i, b.doc_id AS doc_j
+         |  FROM js a JOIN js b ON a.doc_id < b.doc_id
+         |  WHERE len(list_distinct(list_concat(a.sh, b.sh))) > 0
+         |    AND 2 * len(list_intersect(a.sh, b.sh))
+         |        >= len(list_distinct(list_concat(a.sh, b.sh)))),
+         |j AS (SELECT
+         |    CASE WHEN sh.doc_i IS NOT NULL THEN 1 ELSE 0 END AS inp,
+         |    CASE WHEN tr.doc_i IS NOT NULL THEN 1 ELSE 0 END AS intr
+         |  FROM sh FULL JOIN tr
+         |    ON sh.doc_i = tr.doc_i AND sh.doc_j = tr.doc_j),
+         |c AS (SELECT CAST(SUM(inp * intr) AS BIGINT) AS tp,
+         |    CAST(SUM(inp * (1 - intr)) AS BIGINT) AS fp,
+         |    CAST(SUM((1 - inp) * intr) AS BIGINT) AS fn
+         |  FROM j)
+         |SELECT COALESCE(tp, 0) AS tp, COALESCE(fp, 0) AS fp,
+         |  COALESCE(fn, 0) AS fn,
+         |  CASE WHEN COALESCE(tp,0) + COALESCE(fp,0) = 0 THEN NULL
+         |    ELSE CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS precision,
+         |  CASE WHEN COALESCE(tp,0) + COALESCE(fn,0) = 0 THEN NULL
+         |    ELSE CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS recall,
+         |  CASE WHEN 2*COALESCE(tp,0) + COALESCE(fp,0) + COALESCE(fn,0) = 0
+         |    THEN NULL
+         |    ELSE CAST(2*tp AS DOUBLE) / CAST(2*tp + fp + fn AS DOUBLE)
+         |    END AS f1
+         |FROM c""".stripMargin,
 
     // The streaming twin replays the same corpus with a horizon spanning
     // it, so its exact answer is the IDENTICAL brute-force scan.

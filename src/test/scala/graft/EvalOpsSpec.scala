@@ -305,6 +305,25 @@ class EvalOpsSpec extends AnyFunSuite with SparkSpec {
     assert(got(0L)._2.contains(0L) && got(0L)._3 == 0.0 && got(0L)._5.isEmpty)
   }
 
+  test("pairSetPrf: controlled overlap, duplicate collapse, empty edges") {
+    def pairs(ps: (Long, Long)*) = ps.toDF("doc_i", "doc_j")
+    val pred = pairs((1L, 2L), (1L, 2L), (3L, 4L), (5L, 6L)) // dup collapses
+    val truth = pairs((1L, 2L), (3L, 4L), (7L, 8L))
+    val got = EvalOps.pairSetPrf(pred, truth)
+      .as[(Long, Long, Long, Option[Double], Option[Double], Option[Double])]
+      .head()
+    assert(got == ((2L, 1L, 1L, Some(2.0 / 3.0), Some(2.0 / 3.0),
+      Some(4.0 / 6.0))))
+    val emptyPred = EvalOps.pairSetPrf(pairs(), truth)
+      .as[(Long, Long, Long, Option[Double], Option[Double], Option[Double])]
+      .head()
+    assert(emptyPred == ((0L, 0L, 3L, None, Some(0.0), Some(0.0))))
+    val bothEmpty = EvalOps.pairSetPrf(pairs(), pairs())
+      .as[(Long, Long, Long, Option[Double], Option[Double], Option[Double])]
+      .head()
+    assert(bothEmpty == ((0L, 0L, 0L, None, None, None)))
+  }
+
   test("cohensKappa rejects null rater labels") {
     val d = Seq(("g", Some("a"), Some("a")), ("g", None, Some("b")))
       .toDF("grp", "ra", "rb")
