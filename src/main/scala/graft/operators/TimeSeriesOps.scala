@@ -187,6 +187,59 @@ object TimeSeriesOps {
     * report NULL r_L; their pinned integer sums still gate. Output:
     * (keys…, n, acf_den, c1..c`maxLag`, r1..r`maxLag`).
     */
+  /** Per-key burstiness — the FANO FACTOR (variance-to-mean ratio) of
+    * per-window event counts: F = 1 for a Poisson arrival process, > 1
+    * bursty, < 1 regular. The traffic-health check next to [[acf]]'s
+    * temporal correlation: a crawler gone rogue or a collapsed source
+    * shows up as a Fano spike before any volume alarm fires.
+    *
+    * Windows are fixed `windowSec` buckets of event time; only OBSERVED
+    * windows enter (an all-quiet window is indistinguishable from
+    * out-of-range here — densify with [[gapFill]] first if zeros must
+    * count). With n windows and counts cᵢ (S = Σcᵢ):
+    *
+    *   F = ((n·Σcᵢ² − S²) / n) / S  =  (n·Σcᵢ² − S²) / (n·S)
+    *
+    * — all integers, accumulated as (18,0)×(19,0) DECIMALs, one IEEE
+    * division of digit-string-cast operands. Scale: two combiner-reduced
+    * hash aggregates ((key, window) then key), no window function at all.
+    *
+    * Output: (keys…, n_windows, n_events, fano_num, fano_den, fano);
+    * single-window keys are fine (F = 0 when n = 1 ⇒ num = 0).
+    */
+  def fanoFactor(
+      df: DataFrame,
+      keyCols: Seq[String],
+      tsCol: Column,
+      windowSec: Long): DataFrame = {
+    require(windowSec > 0, s"windowSec must be positive, got $windowSec")
+    val keys = keyCols.map(col)
+    // tsCol is epoch MICROSECONDS (the repo's time-series convention);
+    // integer floor-div — a double `/` would round at 2^53.
+    val win = TemporalJoins.floorDiv(tsCol.cast("long"), windowSec * 1000000L)
+    val perWin = df.select((keys :+ win.as("graft_w")): _*)
+      .groupBy((keys :+ col("graft_w")): _*)
+      .agg(count(lit(1)).as("graft_c"))
+    def d18(c: Column) = c.cast("decimal(18,0)")
+    def d19(c: Column) = c.cast("decimal(19,0)")
+    def dbl(c: Column) = c.cast("string").cast("double")
+    // Σc² accumulates in LONG (exact while a window holds < 3·10⁹ rows
+    // and the square mass < 9·10¹⁸); the cross-products then take the
+    // (18,0)×(19,0) decimal route — precision 38, never the lossy ≥39
+    // adjustment.
+    perWin.groupBy(keys: _*)
+      .agg(count(lit(1)).as("n_windows"),
+        sum(col("graft_c")).as("n_events"),
+        sum(col("graft_c") * col("graft_c")).as("graft_cc"))
+      .select((keys :+ col("n_windows") :+ col("n_events") :+
+        (d18(col("n_windows")) * d19(col("graft_cc")) -
+          d18(col("n_events")) * d19(col("n_events")))
+          .cast("decimal(38,0)").as("fano_num") :+
+        (d18(col("n_windows")) * d19(col("n_events")))
+          .cast("decimal(38,0)").as("fano_den")): _*)
+      .withColumn("fano", dbl(col("fano_num")) / dbl(col("fano_den")))
+  }
+
   def acf(
       df: DataFrame,
       keyCols: Seq[String],

@@ -324,6 +324,18 @@ object PipelineQueries extends QueryDomain {
         .orderBy($"user_id")
     },
 
+    "q_burstiness" -> { (s, dir) =>
+      import s.implicits._
+      // Per-type traffic burstiness ([[TimeSeriesOps.fanoFactor]]): the
+      // Fano factor (variance/mean of per-hour event counts, 1 = Poisson)
+      // — the rogue-crawler/collapsed-source early warning next to
+      // q_autocorr's temporal correlation. Exact integer moments over
+      // observed hour windows; two hash aggregates, no window function.
+      TimeSeriesOps.fanoFactor(events(s, dir),
+          Seq("event_type"), expr("ts div 1000"), windowSec = 3600L)
+        .orderBy($"event_type")
+    },
+
     "q_autocorr" -> { (s, dir) =>
       import s.implicits._
       // Exact sample autocorrelation at lags 1–3 per event type
@@ -3564,6 +3576,31 @@ object PipelineQueries extends QueryDomain {
     // exact integers — same oracle (the sentinel user never reaches the
     // compared sink).
     "q_stream_cusum" -> cusumOracle,
+
+    // Fano twin: per-hour counts (floor-div on the µs clock), integer
+    // moments, (18,0)×(19,0) decimal cross-products, digit-string double.
+    "q_burstiness" ->
+      """WITH e AS (SELECT event_type,
+        |    epoch_ns(ts) // 1000 // 3600000000 AS w FROM events),
+        |c AS (SELECT event_type, w, CAST(count(*) AS BIGINT) AS c
+        |  FROM e GROUP BY event_type, w),
+        |a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_windows,
+        |    CAST(sum(c) AS BIGINT) AS n_events,
+        |    CAST(sum(c * c) AS BIGINT) AS cc
+        |  FROM c GROUP BY event_type)
+        |SELECT event_type, n_windows, n_events,
+        |  CAST(CAST(n_windows AS DECIMAL(18,0)) * CAST(cc AS DECIMAL(19,0))
+        |    - CAST(n_events AS DECIMAL(18,0)) * CAST(n_events AS DECIMAL(19,0))
+        |    AS DECIMAL(38,0)) AS fano_num,
+        |  CAST(CAST(n_windows AS DECIMAL(18,0))
+        |    * CAST(n_events AS DECIMAL(19,0)) AS DECIMAL(38,0)) AS fano_den,
+        |  CAST(CAST(CAST(CAST(n_windows AS DECIMAL(18,0)) * CAST(cc AS DECIMAL(19,0))
+        |    - CAST(n_events AS DECIMAL(18,0)) * CAST(n_events AS DECIMAL(19,0))
+        |    AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE)
+        |  / CAST(CAST(CAST(CAST(n_windows AS DECIMAL(18,0))
+        |    * CAST(n_events AS DECIMAL(19,0)) AS DECIMAL(38,0)) AS VARCHAR)
+        |    AS DOUBLE) AS fano
+        |FROM a ORDER BY event_type""".stripMargin,
 
     // ACF twin: same integer centering u = n·v − S, same (18,0)×(19,0)
     // decimal products (int128 in DuckDB), doubles via digit strings.

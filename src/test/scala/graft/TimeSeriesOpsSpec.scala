@@ -161,6 +161,35 @@ class TimeSeriesOpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("fanoFactor ≡ brute-force variance/mean of window counts") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(505)
+    // bursty key: one hot window holds most events, the rest trickle;
+    // regular key: exactly one event per window.
+    val rows = Seq.tabulate(300)(i =>
+      ("bursty", (if (i < 250) rnd.nextInt(5).toLong
+                  else 100L + (i - 250) * 10L) * 1000000L)) ++
+      Seq.tabulate(300)(i => ("regular", (i * 10L) * 1000000L))
+    val got = TimeSeriesOps.fanoFactor(rows.toDF("k", "ts"),
+        Seq("k"), col("ts"), windowSec = 10L)
+      .select($"k", $"n_windows", $"n_events",
+        $"fano_num".cast("string"), $"fano_den".cast("string"), $"fano")
+      .as[(String, Long, Long, String, String, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    rows.groupBy(_._1).foreach { case (k, g) =>
+      val counts = g.groupBy(t => t._2 / 10000000L).values.map(_.size.toLong).toSeq
+      val n = counts.length.toLong
+      val sTot = counts.sum
+      val cc = counts.map(c => c * c).sum
+      val num = BigInt(n) * cc - BigInt(sTot) * sTot
+      val den = BigInt(n) * sTot
+      val (_, gn, gs, gnum, gden, gf) = got(k)
+      assert((gn, gs, BigInt(gnum), BigInt(gden)) == ((n, sTot, num, den)), k)
+      assert(gf == num.toDouble / den.toDouble, k)
+    }
+    assert(got("bursty")._6 > 5.0 && got("regular")._6 < 1.5)
+  }
+
   test("acf degenerate: constant series and n <= lag report NULL r") {
     import spark.implicits._
     val d = Seq(
