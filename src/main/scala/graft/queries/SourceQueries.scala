@@ -86,6 +86,29 @@ object SourceQueries extends QueryDomain {
         .orderBy($"o_orderstatus")
     },
 
+    "q_snapshot_read" -> { (s, dir) =>
+      import s.implicits._
+      // Manifest-committed snapshot isolation
+      // ([[graft.sources.SnapshotStore]] — the transactional-publish core
+      // under every lake table format): v1 = full nation published, then
+      // a CRASHED writer's orphan parquet lands under data/ (no manifest
+      // references it), then v2 = region-filtered nation. The latest read
+      // must see exactly v2 — the orphan and the superseded v1 are
+      // invisible because readers resolve a manifest, never a listing.
+      // Time travel + vacuum are spec-pinned (SnapshotStoreSpec).
+      val root = Staging.dir("snapshot", dir, "nation") { p =>
+        val n = t(s, dir, "nation")
+        graft.sources.SnapshotStore.publish(n, p)
+        n.limit(5).write.mode("overwrite").parquet(p + "/data/crashed-000")
+        graft.sources.SnapshotStore.publish(n.filter($"n_regionkey" < 3), p)
+        ()
+      }
+      graft.sources.SnapshotStore.read(s, root)
+        .join(t(s, dir, "region"), $"n_regionkey" === $"r_regionkey")
+        .select($"n_nationkey", $"n_name", $"r_name")
+        .orderBy($"n_nationkey")
+    },
+
     "q_fixedwidth_source" -> { (s, dir) =>
       import s.implicits._
       // Nation through a FIXED-WIDTH text export
@@ -240,6 +263,15 @@ object SourceQueries extends QueryDomain {
     "q_csv_source" ->
       """SELECT n_nationkey, n_name, r_name
         |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY n_nationkey""".stripMargin,
+
+    // The committed-snapshot read: exactly v2's rows — the filter the
+    // second publish applied — regardless of the orphan and v1 files
+    // physically present under data/.
+    "q_snapshot_read" ->
+      """SELECT n_nationkey, n_name, r_name
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |WHERE n_regionkey < 3
         |ORDER BY n_nationkey""".stripMargin,
 
     // Round-trip identity: pad → substring → rtrim → cast recovers the

@@ -1,0 +1,137 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Manifest-committed snapshot tables — the minimal transactional-publish
+  * protocol under every lake table format (Iceberg/Delta/Hudi reduce to
+  * exactly this core): data files land under `data/` with unique names,
+  * then ONE atomic manifest rename makes a version visible. Readers
+  * resolve a manifest, never a directory listing, so
+  *
+  *  - a writer that crashes mid-job leaves ORPHAN files no reader ever
+  *    sees (no partial snapshots),
+  *  - concurrent readers keep a consistent view while a publish is in
+  *    flight (old manifest stays the latest until the rename),
+  *  - every historical version stays readable (time travel) until its
+  *    files are vacuumed.
+  *
+  * The manifest is a plain text file `manifest-v{N}.txt` (one
+  * `data/`-relative file path per line — deliberately dependency-free,
+  * like [[graft.cli.IniConfig]]); atomicity comes from writing to a
+  * `.tmp` name and `FileSystem.rename` — atomic on POSIX and HDFS, the
+  * same primitive Spark's own `FileOutputCommitter` v1 relies on.
+  *
+  * Scale posture: `publish` is one Spark write job plus an O(#files)
+  * listing of its OWN output subdirectory (never the table root);
+  * `read` is one manifest read (driver, O(#files) lines) and a parquet
+  * scan pinned to exactly the committed files — Spark still
+  * partition-prunes, column-prunes, and pushes filters into that scan.
+  * Vacuum ([[vacuum]]) deletes data files no retained manifest
+  * references — the GC every manifest store needs once compaction or
+  * re-publish supersedes files.
+  */
+object SnapshotStore {
+
+  private val ManifestRe = "manifest-v(\\d+)\\.txt".r
+
+  private def fs(spark: SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Committed versions, ascending (empty for a fresh/nonexistent dir). */
+  def versions(spark: SparkSession, dir: String): Seq[Int] = {
+    val f = fs(spark, dir)
+    val p = new Path(dir)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).toSeq.flatMap(s => s.getPath.getName match {
+      case ManifestRe(v) => Some(v.toInt)
+      case _ => None
+    }).sorted
+  }
+
+  private def manifestPath(dir: String, v: Int) =
+    new Path(dir, s"manifest-v$v.txt")
+
+  /** Write `df` as the table's next version; returns the version number.
+    * The data job writes under `data/v{N}-{uuid}/`; only after it fully
+    * succeeds does the manifest rename publish it. A crash before the
+    * rename leaves invisible orphans (cleaned by [[vacuum]]).
+    */
+  def publish(df: DataFrame, dir: String): Int = {
+    val spark = df.sparkSession
+    val f = fs(spark, dir)
+    val next = versions(spark, dir).lastOption.getOrElse(0) + 1
+    val sub = s"v$next-${java.util.UUID.randomUUID().toString.take(8)}"
+    val dataDir = new Path(new Path(dir, "data"), sub)
+    df.write.mode("error").parquet(dataDir.toString)
+    val files = f.listStatus(dataDir).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
+      .sorted
+      .map(n => s"$sub/$n")
+    val tmp = new Path(dir, s".manifest-v$next.tmp")
+    val out = f.create(tmp, true)
+    try out.write(files.mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    if (!f.rename(tmp, manifestPath(dir, next)))
+      throw new IllegalStateException(
+        s"snapshot publish lost the race for version $next of $dir")
+    next
+  }
+
+  /** Read a committed version (latest by default) — exactly the
+    * manifest's files, never a directory listing, so orphans and
+    * in-flight writes are invisible.
+    */
+  def read(spark: SparkSession, dir: String, version: Option[Int] = None): DataFrame = {
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"no committed snapshot under $dir")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"version $v not committed under $dir (have $vs)")
+    val f = fs(spark, dir)
+    val in = f.open(manifestPath(dir, v))
+    val files =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).toList
+      finally in.close()
+    require(files.nonEmpty, s"version $v of $dir committed no files")
+    spark.read.parquet(files.map(rel => new Path(new Path(dir, "data"), rel).toString): _*)
+  }
+
+  /** Delete data files referenced by NO retained manifest (keep the last
+    * `keepVersions`) plus the dropped manifests themselves. Returns the
+    * number of data files deleted. Orphans from crashed publishes go too.
+    */
+  def vacuum(spark: SparkSession, dir: String, keepVersions: Int = 1): Int = {
+    require(keepVersions >= 1, s"must keep >= 1 version, got $keepVersions")
+    val f = fs(spark, dir)
+    val vs = versions(spark, dir)
+    val keep = vs.takeRight(keepVersions).toSet
+    val referenced = vs.filter(keep).flatMap { v =>
+      val in = f.open(manifestPath(dir, v))
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).toList
+      finally in.close()
+    }.toSet
+    // Qualify BOTH sides before relativizing: listFiles returns
+    // scheme-qualified paths and URI.relativize refuses cross-scheme
+    // pairs (returning the input whole — which would mark every file
+    // unreferenced and delete the live version).
+    val dataRoot = f.makeQualified(new Path(dir, "data"))
+    var deleted = 0
+    if (f.exists(dataRoot)) {
+      val it = f.listFiles(dataRoot, true)
+      val toDelete = scala.collection.mutable.ArrayBuffer.empty[Path]
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile) {
+          val rel = dataRoot.toUri
+            .relativize(f.makeQualified(st.getPath).toUri).getPath
+          if (!referenced.contains(rel)) toDelete += st.getPath
+        }
+      }
+      toDelete.foreach { p => if (f.delete(p, false)) deleted += 1 }
+    }
+    vs.filterNot(keep).foreach(v => f.delete(manifestPath(dir, v), false))
+    deleted
+  }
+}

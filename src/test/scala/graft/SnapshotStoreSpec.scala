@@ -1,0 +1,67 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.SnapshotStore
+
+/** [[SnapshotStore]]'s transactional contract: atomic publish, orphan
+  * invisibility, time travel, vacuum GC — the properties the q_snapshot_read
+  * gate's one read cannot pin alone.
+  */
+class SnapshotStoreSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def freshDir() =
+    Files.createTempDirectory("graft_snap").toString
+
+  test("publish/read identity and monotonic versions") {
+    val dir = freshDir()
+    val v1 = (1 to 10).map(i => (i.toLong, s"row$i")).toDF("id", "s")
+    assert(SnapshotStore.publish(v1, dir) == 1)
+    val v2 = v1.filter($"id" <= 4)
+    assert(SnapshotStore.publish(v2, dir) == 2)
+    assert(SnapshotStore.versions(spark, dir) == Seq(1, 2))
+    assert(SnapshotStore.read(spark, dir).count() == 4)
+    assert(SnapshotStore.read(spark, dir, Some(1))
+      .orderBy($"id").as[(Long, String)].collect().toSeq ==
+      (1 to 10).map(i => (i.toLong, s"row$i")))
+  }
+
+  test("orphans from a crashed writer are invisible to every version") {
+    val dir = freshDir()
+    val d = (1 to 6).map(i => (i.toLong, i * 10L)).toDF("id", "v")
+    SnapshotStore.publish(d, dir)
+    // a crashed job's output: data files with no manifest
+    (100 to 105).map(i => (i.toLong, 0L)).toDF("id", "v")
+      .write.parquet(s"$dir/data/crashed-abc")
+    assert(SnapshotStore.read(spark, dir).agg(max($"id")).as[Long].head() == 6L)
+    SnapshotStore.publish(d.filter($"id" <= 2), dir)
+    assert(SnapshotStore.read(spark, dir).count() == 2)
+    assert(SnapshotStore.read(spark, dir, Some(1)).count() == 6)
+  }
+
+  test("vacuum deletes orphans and superseded files; the kept version still reads") {
+    val dir = freshDir()
+    val d = (1 to 8).map(i => (i.toLong, s"x$i")).toDF("id", "s")
+    SnapshotStore.publish(d, dir)
+    (200 to 220).map(i => (i.toLong, "junk")).toDF("id", "s")
+      .write.parquet(s"$dir/data/crashed-xyz")
+    SnapshotStore.publish(d.filter($"id" % 2 === 0), dir)
+    val deleted = SnapshotStore.vacuum(spark, dir, keepVersions = 1)
+    assert(deleted > 0, "v1 files + orphans must be deleted")
+    assert(SnapshotStore.versions(spark, dir) == Seq(2))
+    assert(SnapshotStore.read(spark, dir).count() == 4)
+    intercept[IllegalArgumentException](
+      SnapshotStore.read(spark, dir, Some(1)))
+    // idempotent: nothing left to collect
+    assert(SnapshotStore.vacuum(spark, dir, keepVersions = 1) == 0)
+  }
+
+  test("reading a fresh dir fails loudly; vacuum requires keeping one version") {
+    val dir = freshDir()
+    intercept[IllegalArgumentException](SnapshotStore.read(spark, dir))
+    intercept[IllegalArgumentException](
+      SnapshotStore.vacuum(spark, dir, keepVersions = 0))
+  }
+}
