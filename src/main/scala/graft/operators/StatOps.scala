@@ -600,6 +600,66 @@ object StatOps {
             (tAll - col("ty")).cast("double"))).as("tau_b"))
   }
 
+  /** Per-group EXACT Spearman's rho with midrank ties — the other rank
+    * correlation next to [[kendallTau]] (ρ weighs rank DISPLACEMENT,
+    * τ counts pair inversions; both are monotone-association checks
+    * Pearson r cannot make). Hash-gateable through two exact moves:
+    *
+    *  1. DOUBLED MIDRANKS from value-LEVEL aggregates (the
+    *     [[EvalOps.rocAuc]] construction): a level of m rows preceded by
+    *     cum rows has midrank2 = 2·cum + m + 1 — integral, windowed over
+    *     level rows only, never data rows;
+    *  2. INTEGER CENTERING: Σ midrank2 = n(n+1) exactly (ties included),
+    *     so u = midrank2 − (n+1) centers to Σu = 0 in integers and
+    *     ρ = Σuₓu_y / √(Σuₓ²·Σu_y²) — the n factors cancel, products
+    *     accumulate as (18,0)×(19,0) DECIMALs (|u| ≤ n ⇒ exact to
+    *     ~10¹² rows per group), and ρ is one fixed cast/×/√/÷ chain.
+    *
+    * Scale posture: two level-keyed aggregates + windows over LEVEL rows,
+    * two level-keyed equi-joins back to the stream, one closing hash
+    * aggregate. NULL/NaN measures are excluded (no rank). Degenerate
+    * groups (a constant side ⇒ zero variance, or n < 2) report NULL rho;
+    * the pinned decimal sums still gate.
+    *
+    * Output: (group, n, sxy, sxx, syy, rho), one row per group.
+    */
+  def spearman(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val base = df.select(col(groupCol).cast("string").as("g"),
+        col(xCol).cast("double").as("x"), col(yCol).cast("double").as("y"))
+      .where(col("x").isNotNull && col("y").isNotNull &&
+        !isnan(col("x")) && !isnan(col("y")))
+    val nAgg = base.groupBy(col("g")).agg(count(lit(1)).as("n"))
+    def midranks(vc: String): DataFrame = {
+      val byV = base.groupBy(col("g"), col(vc)).agg(count(lit(1)).as("m"))
+      val w = Window.partitionBy(col("g")).orderBy(col(vc).asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      byV.withColumn("cum", coalesce(sum(col("m")).over(w), lit(0L)))
+        .select(col("g"), col(vc),
+          (lit(2L) * col("cum") + col("m") + 1L).as(s"r2_$vc"))
+    }
+    def d18(c: Column) = c.cast("decimal(18,0)")
+    def d19(c: Column) = c.cast("decimal(19,0)")
+    def dbl(c: Column) = c.cast("string").cast("double")
+    val joined = base
+      .join(midranks("x"), Seq("g", "x"))
+      .join(midranks("y"), Seq("g", "y"))
+      .join(broadcast(nAgg), Seq("g"))
+      .select(col("g"), col("n"),
+        (col("r2_x") - (col("n") + 1L)).as("ux"),
+        (col("r2_y") - (col("n") + 1L)).as("uy"))
+    joined.groupBy(col("g"))
+      .agg(max(col("n")).as("n"),
+        sum(d18(col("ux")) * d19(col("uy"))).cast("decimal(38,0)").as("sxy"),
+        sum(d18(col("ux")) * d19(col("ux"))).cast("decimal(38,0)").as("sxx"),
+        sum(d18(col("uy")) * d19(col("uy"))).cast("decimal(38,0)").as("syy"))
+      .select(col("g").as(groupCol), col("n"),
+        col("sxy"), col("sxx"), col("syy"),
+        when(col("sxx") === 0 || col("syy") === 0, lit(null).cast("double"))
+          .otherwise(dbl(col("sxy")) /
+            sqrt(dbl(col("sxx")) * dbl(col("syy")))).as("rho"))
+  }
+
   /** Exact count of strictly discordant pairs (x_i < x_j AND y_i > y_j)
     * among `rows`, O(m log m): sort by (x asc, y asc), sweep equal-x runs
     * as blocks (query all, then insert all — an x-tied pair never counts),

@@ -1815,6 +1815,21 @@ object PipelineQueries extends QueryDomain {
         .orderBy($"k", $"item1", $"item2", $"item3")
     },
 
+    "q_spearman" -> { (s, dir) =>
+      import s.implicits._
+      // Per-lang EXACT Spearman's rho ([[StatOps.spearman]]) on the
+      // q_kendall_tau frame — rank displacement next to tau's pair
+      // inversions. Doubled midranks from value-LEVEL aggregates (the
+      // rocAuc construction), integer centering u = midrank2 − (n+1)
+      // (Σ midrank2 = n(n+1) exactly, ties included), (18,0)×(19,0)
+      // decimal sums pinned alongside the one-chain rho.
+      StatOps.spearman(
+        docs(s, dir).select($"lang", $"n_chars".as("x"),
+          TextStats.nTokens($"text").as("y")),
+        "lang", "x", "y")
+        .orderBy($"lang")
+    },
+
     "q_token_drift" -> { (s, dir) =>
       import s.implicits._
       // Per-source unigram-distribution drift vs the rest of the corpus
@@ -4754,6 +4769,41 @@ object PipelineQueries extends QueryDomain {
         |        * CAST(total_tokens AS DECIMAL(19,0)) AS DECIMAL(38,0))
         |        AS VARCHAR) AS DOUBLE) AS gini
         |FROM a ORDER BY source""".stripMargin,
+
+    // Spearman twin: level-keyed midranks (2·cum + m + 1), integer
+    // centering u = r2 − (n+1), the same decimal products and
+    // digit-string doubles.
+    "q_spearman" ->
+      """WITH d AS (SELECT lang AS g, doc_id,
+        |    CAST(n_chars AS DOUBLE) AS x,
+        |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS y
+        |  FROM documents WHERE n_chars IS NOT NULL AND text IS NOT NULL),
+        |nn AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY g),
+        |bx AS (SELECT g, x, CAST(count(*) AS BIGINT) AS m FROM d GROUP BY g, x),
+        |rx AS (SELECT g, x, 2 * COALESCE(SUM(m) OVER (PARTITION BY g ORDER BY x
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + m + 1 AS r2x
+        |  FROM bx),
+        |by AS (SELECT g, y, CAST(count(*) AS BIGINT) AS m FROM d GROUP BY g, y),
+        |ry AS (SELECT g, y, 2 * COALESCE(SUM(m) OVER (PARTITION BY g ORDER BY y
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + m + 1 AS r2y
+        |  FROM by),
+        |u AS (SELECT d.g, CAST(r2x - (n + 1) AS BIGINT) AS ux,
+        |    CAST(r2y - (n + 1) AS BIGINT) AS uy
+        |  FROM d JOIN rx USING (g, x) JOIN ry USING (g, y) JOIN nn USING (g)),
+        |a AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(ux AS DECIMAL(18,0)) * CAST(uy AS DECIMAL(19,0)))
+        |      AS DECIMAL(38,0)) AS sxy,
+        |    CAST(SUM(CAST(ux AS DECIMAL(18,0)) * CAST(ux AS DECIMAL(19,0)))
+        |      AS DECIMAL(38,0)) AS sxx,
+        |    CAST(SUM(CAST(uy AS DECIMAL(18,0)) * CAST(uy AS DECIMAL(19,0)))
+        |      AS DECIMAL(38,0)) AS syy
+        |  FROM u GROUP BY g)
+        |SELECT g AS lang, n, sxy, sxx, syy,
+        |  CASE WHEN sxx = 0 OR syy = 0 THEN NULL
+        |    ELSE CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+        |      / sqrt(CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+        |           * CAST(CAST(syy AS VARCHAR) AS DOUBLE)) END AS rho
+        |FROM a ORDER BY lang""".stripMargin,
 
     // TVD drift twin: same cross-multiplied integer numerator —
     // (18,0)×(19,0) decimal products (width 38 ⇒ int128 in DuckDB, exact

@@ -105,6 +105,52 @@ class KendallTauSpec extends AnyFunSuite with SparkSpec {
     assert(got("perfect")._8.contains(1.0) && got("perfect")._3 == 3L)
   }
 
+  test("spearman ≡ brute-force midrank reference under heavy ties") {
+    val rnd = new scala.util.Random(2024)
+    val data = Seq.tabulate(400) { i =>
+      (s"g${i % 3}", rnd.nextInt(15).toDouble, rnd.nextInt(10).toDouble)
+    }
+    val got = StatOps.spearman(data.toDF("g", "x", "y"), "g", "x", "y")
+      .select($"g", $"n", $"sxy".cast("string"), $"sxx".cast("string"),
+        $"syy".cast("string"), $"rho")
+      .as[(String, Long, String, String, String, Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    data.groupBy(_._1).foreach { case (g, rows) =>
+      def midrank2(vs: Seq[Double]): Map[Double, Long] = {
+        val sorted = vs.sorted
+        vs.distinct.map { v =>
+          val cum = sorted.count(_ < v).toLong
+          val m = sorted.count(_ == v).toLong
+          v -> (2 * cum + m + 1)
+        }.toMap
+      }
+      val n = rows.length.toLong
+      val rx = midrank2(rows.map(_._2))
+      val ry = midrank2(rows.map(_._3))
+      val u = rows.map(r => (BigInt(rx(r._2) - (n + 1)), BigInt(ry(r._3) - (n + 1))))
+      assert(u.map(_._1).sum == 0 && u.map(_._2).sum == 0) // exact centering
+      val sxy = u.map { case (a, b) => a * b }.sum
+      val sxx = u.map { case (a, _) => a * a }.sum
+      val syy = u.map { case (_, b) => b * b }.sum
+      val (_, gn, gsxy, gsxx, gsyy, grho) = got(g)
+      assert((gn, BigInt(gsxy), BigInt(gsxx), BigInt(gsyy)) ==
+        ((n, sxy, sxx, syy)), g)
+      val rho = BigDecimal(sxy).toDouble /
+        math.sqrt(BigDecimal(sxx).toDouble * BigDecimal(syy).toDouble)
+      assert(grho.contains(rho), g)
+    }
+  }
+
+  test("spearman: monotone data gives rho 1; constant side gives NULL") {
+    val mono = Seq.tabulate(50)(i => ("m", i.toDouble, (i * i).toDouble))
+    val const = Seq.tabulate(5)(i => ("c", 1.0, i.toDouble))
+    val got = StatOps.spearman((mono ++ const).toDF("g", "x", "y"), "g", "x", "y")
+      .select($"g", $"rho").as[(String, Option[Double])]
+      .collect().toMap
+    assert(got("m").contains(1.0))
+    assert(got("c").isEmpty)
+  }
+
   test("kendallTau drops NULL and NaN measures") {
     val d = Seq(
       ("g", Some(1.0), Some(1.0)), ("g", Some(2.0), Some(2.0)),
