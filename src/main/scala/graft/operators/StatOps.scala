@@ -600,6 +600,61 @@ object StatOps {
             (tAll - col("ty")).cast("double"))).as("tau_b"))
   }
 
+  /** Per-group EXACT trimmed mean — the robust location estimate between
+    * [[robustOutliers]]'s median and the plain mean: drop the lowest and
+    * highest ⌊n·trimNum/trimDen⌋ values, average the middle. The screen
+    * for "mean latency excluding the tails" / "mean quality score without
+    * the spam spikes".
+    *
+    * Exact by LEVEL-RANGE arithmetic: values quantize ONCE to integer
+    * `10^-scale` units (the [[robustOutliers]] IEEE chain), each (group,
+    * value) LEVEL carries its count m and cumulative predecessor count
+    * cum, and the level's contribution to the trimmed window
+    * [lo, hi) = [⌊n·p⌋, n − ⌊n·p⌋) is the interval overlap
+    * max(0, min(cum+m, hi) − max(cum, lo)) — pure integers, so the
+    * trimmed sum is an exact DECIMAL product sum and the mean ONE IEEE
+    * division. No data-row sort: the window runs over value-LEVEL rows
+    * (the [[EvalOps.rocAuc]] shape).
+    *
+    * Output: (group, n, n_kept, trim_sum — integer 10^-scale units,
+    * trimmed_mean — in original units). Groups trimmed to nothing
+    * (n ≤ 2·⌊n·p⌋) report NULL mean. Requires trimNum/trimDen < 1/2.
+    */
+  def trimmedMean(df: DataFrame, groupCol: String, valueCol: String,
+      trimNum: Int, trimDen: Int, scale: Int = 4): DataFrame = {
+    require(trimNum >= 0 && trimDen > 0 && 2 * trimNum < trimDen,
+      s"need 0 <= trimNum/trimDen < 1/2, got $trimNum/$trimDen")
+    val unit = math.pow(10.0, scale) // exact while scale <= 15
+    val base = df.select(col(groupCol).as("grp"),
+        floor(col(valueCol) * unit + 0.5).cast("long").as("v"))
+      .where(col("v").isNotNull)
+    val byV = base.groupBy(col("grp"), col("v")).agg(count(lit(1)).as("m"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("v").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy(col("grp"))
+    val lvl = byV
+      .withColumn("cum", coalesce(sum(col("m")).over(w), lit(0L)))
+      .withColumn("n", sum(col("m")).over(wAll))
+    val lo = expr(s"n * $trimNum div $trimDen")
+    val hi = col("n") - lo
+    val keep = greatest(lit(0L),
+      least(col("cum") + col("m"), hi) - greatest(col("cum"), lo))
+    def d18(c: Column) = c.cast("decimal(18,0)")
+    def d19(c: Column) = c.cast("decimal(19,0)")
+    def dbl(c: Column) = c.cast("string").cast("double")
+    lvl.withColumn("keep", keep)
+      .groupBy(col("grp"))
+      .agg(max(col("n")).as("n"),
+        sum(col("keep")).as("n_kept"),
+        sum(d18(col("keep")) * d19(col("v"))).cast("decimal(38,0)")
+          .as("trim_sum"))
+      .select(col("grp").as(groupCol), col("n"), col("n_kept"),
+        col("trim_sum"),
+        when(col("n_kept") === 0L, lit(null).cast("double"))
+          .otherwise(dbl(col("trim_sum")) /
+            (col("n_kept").cast("double") * lit(unit))).as("trimmed_mean"))
+  }
+
   /** Per-group EXACT Spearman's rho with midrank ties — the other rank
     * correlation next to [[kendallTau]] (ρ weighs rank DISPLACEMENT,
     * τ counts pair inversions; both are monotone-association checks

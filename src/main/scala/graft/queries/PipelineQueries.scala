@@ -336,6 +336,19 @@ object PipelineQueries extends QueryDomain {
         .orderBy($"event_type")
     },
 
+    "q_trimmed_mean" -> { (s, dir) =>
+      import s.implicits._
+      // Per-type 10%-trimmed mean of the event value
+      // ([[StatOps.trimmedMean]]): the robust location between
+      // q_robust_outliers' median and the plain mean. Values quantize
+      // once to e4 BIGINTs; each value LEVEL contributes the exact
+      // integer overlap of its rank interval with the trimmed window —
+      // no data-row sort anywhere, windows over LEVEL rows only.
+      StatOps.trimmedMean(events(s, dir), "event_type", "value",
+        trimNum = 1, trimDen = 10)
+        .orderBy($"event_type")
+    },
+
     "q_autocorr" -> { (s, dir) =>
       import s.implicits._
       // Exact sample autocorrelation at lags 1–3 per event type
@@ -3591,6 +3604,34 @@ object PipelineQueries extends QueryDomain {
     // exact integers — same oracle (the sentinel user never reaches the
     // compared sink).
     "q_stream_cusum" -> cusumOracle,
+
+    // Trimmed-mean twin: level counts + predecessor cumulatives, the
+    // integer rank-interval overlap with [n·p, n−n·p), decimal product
+    // sum, one digit-string division.
+    "q_trimmed_mean" ->
+      """WITH v AS (SELECT event_type AS grp,
+        |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS v FROM events),
+        |lv AS (SELECT grp, v, CAST(count(*) AS BIGINT) AS m
+        |  FROM v WHERE v IS NOT NULL GROUP BY grp, v),
+        |c AS (SELECT grp, v, m,
+        |    COALESCE(SUM(m) OVER (PARTITION BY grp ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum,
+        |    SUM(m) OVER (PARTITION BY grp) AS n
+        |  FROM lv),
+        |k AS (SELECT grp, v, n,
+        |    greatest(0, least(cum + m, n - (n * 1 // 10))
+        |      - greatest(cum, n * 1 // 10)) AS keep
+        |  FROM c),
+        |a AS (SELECT grp, CAST(max(n) AS BIGINT) AS n,
+        |    CAST(sum(keep) AS BIGINT) AS n_kept,
+        |    CAST(SUM(CAST(keep AS DECIMAL(18,0)) * CAST(v AS DECIMAL(19,0)))
+        |      AS DECIMAL(38,0)) AS trim_sum
+        |  FROM k GROUP BY grp)
+        |SELECT grp AS event_type, n, n_kept, trim_sum,
+        |  CASE WHEN n_kept = 0 THEN NULL
+        |    ELSE CAST(CAST(trim_sum AS VARCHAR) AS DOUBLE)
+        |      / (CAST(n_kept AS DOUBLE) * 10000.0) END AS trimmed_mean
+        |FROM a ORDER BY event_type""".stripMargin,
 
     // Fano twin: per-hour counts (floor-div on the µs clock), integer
     // moments, (18,0)×(19,0) decimal cross-products, digit-string double.

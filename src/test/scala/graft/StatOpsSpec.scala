@@ -97,4 +97,43 @@ class StatOpsSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("Join"), s"profile must stay a single aggregate, no joins:\n$p")
     assertThrows[IllegalArgumentException](StatOps.columnProfile(d, Seq.empty))
   }
+
+  test("trimmedMean ≡ brute-force sort-and-slice under heavy ties") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(909)
+    val data = Seq.tabulate(500) { i =>
+      (s"g${i % 4}", (rnd.nextInt(40) - 20).toDouble / 4.0)
+    }
+    val got = StatOps.trimmedMean(data.toDF("g", "v"), "g", "v", 1, 10)
+      .select($"g", $"n", $"n_kept", $"trim_sum".cast("string"),
+        $"trimmed_mean")
+      .as[(String, Long, Long, String, Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    data.groupBy(_._1).foreach { case (g, rows) =>
+      val q = rows.map(r => math.floor(r._2 * 10000.0 + 0.5).toLong).sorted
+      val n = q.length
+      val lo = n / 10
+      val kept = q.slice(lo, n - lo)
+      val sum = kept.map(BigInt(_)).sum
+      val (_, gn, gk, gsum, gm) = got(g)
+      assert((gn, gk, BigInt(gsum)) == ((n.toLong, kept.length.toLong, sum)), g)
+      assert(gm.contains(
+        java.lang.Double.parseDouble(sum.toString) /
+          (kept.length.toDouble * 10000.0)), g)
+    }
+  }
+
+  test("trimmedMean edges: tiny groups and full-trim NULL") {
+    import spark.implicits._
+    // n = 1 or 2 with p = 1/10: lo = 0, nothing trimmed
+    val d = Seq(("a", 5.0), ("b", 1.0), ("b", 3.0)).toDF("g", "v")
+    val got = StatOps.trimmedMean(d, "g", "v", 1, 10)
+      .select($"g", $"n_kept", $"trimmed_mean")
+      .as[(String, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got.size == 2)
+    assert(got("a") == ((1L, Some(5.0))) && got("b")._1 == 2L)
+    assertThrows[IllegalArgumentException](
+      StatOps.trimmedMean(d, "g", "v", 1, 2)) // p must be < 1/2
+  }
 }
