@@ -2708,6 +2708,28 @@ object PipelineQueries extends QueryDomain {
         .orderBy($"query_id", $"rnk")
     },
 
+    "q_ann_recall" -> { (s, dir) =>
+      import s.implicits._
+      // ANN FIDELITY judged by the pair-set judge
+      // ([[EvalOps.pairSetPrf]]): the q_ann_ivf tier's retrieved
+      // (query, neighbor) set at k=3/nProbe=2 against the exact top-3 —
+      // recall here is the recall@k every vector store quotes, measured
+      // not assumed, and precision < 1 exposes neighbors the probe set
+      // let in that the exact ranking rejects. The (query, neighbor)
+      // pairs ride the judge's (doc_i, doc_j) key verbatim (directional
+      // pairs are just keys to it).
+      val e = t(s, dir, "embeddings")
+      val centroids = e.filter($"vec_id" < 10)
+      val queriesDf = e.filter($"vec_id".between(100, 109))
+      val index = VectorOps.ivfAssign(e, centroids, "vec_id", "embedding")
+      EvalOps.pairSetPrf(
+        VectorOps.ivfSearch(index, e, queriesDf, "vec_id", "embedding",
+            k = 3, nProbe = 2)
+          .select($"query_id".as("doc_i"), $"neighbor_id".as("doc_j")),
+        VectorOps.topK(e, queriesDf, "vec_id", "embedding", k = 3)
+          .select($"query_id".as("doc_i"), $"neighbor_id".as("doc_j")))
+    },
+
     "q_ivf_append" -> { (s, dir) =>
       import s.implicits._
       // Incremental IVF index maintenance ([[VectorOps.appendToIvfIndex]]):
@@ -5624,6 +5646,60 @@ object PipelineQueries extends QueryDomain {
     // Built-then-appended index state == built-at-once state with the same
     // centroids, so the probe answers — and the oracle — are identical.
     "q_ivf_append" -> annIvfOracle,
+
+    // ANN-recall twin: annIvfOracle's probe pipeline emitting pairs,
+    // full-joined against the exact top-3 pair set, then the pair-set
+    // PRF closing (q_dedup_eval's construction).
+    "q_ann_recall" ->
+      s"""WITH $embCte,
+         |cen AS (SELECT vec_id AS cid, e, nn FROM n WHERE vec_id < 10),
+         |asg AS (SELECT vec_id, cluster_id FROM (
+         |  SELECT d.vec_id, c.cid AS cluster_id,
+         |    ROW_NUMBER() OVER (PARTITION BY d.vec_id
+         |      ORDER BY ${duckDot("d.e", "c.e")} / sqrt(d.nn * c.nn) DESC, c.cid) AS rn
+         |  FROM n d CROSS JOIN cen c) WHERE rn = 1),
+         |qq AS (SELECT vec_id AS qid, e, nn FROM n
+         |  WHERE vec_id BETWEEN 100 AND 109),
+         |probes AS (SELECT qid, cluster_id FROM (
+         |  SELECT qq.qid, c.cid AS cluster_id,
+         |    ROW_NUMBER() OVER (PARTITION BY qq.qid
+         |      ORDER BY ${duckDot("qq.e", "c.e")} / sqrt(qq.nn * c.nn) DESC, c.cid) AS rn
+         |  FROM qq CROSS JOIN cen c) WHERE rn <= 2),
+         |cand AS (SELECT p.qid, a.vec_id AS nid
+         |  FROM probes p JOIN asg a ON a.cluster_id = p.cluster_id
+         |  WHERE a.vec_id <> p.qid),
+         |pred AS (SELECT qid AS di, nid AS dj FROM (
+         |  SELECT cand.qid, cand.nid,
+         |    ROW_NUMBER() OVER (PARTITION BY cand.qid
+         |      ORDER BY ${duckDot("q.e", "d.e")} / sqrt(q.nn * d.nn) DESC,
+         |        cand.nid) AS rnk
+         |  FROM cand JOIN n q ON q.vec_id = cand.qid
+         |  JOIN n d ON d.vec_id = cand.nid) WHERE rnk <= 3),
+         |tr AS (SELECT qid AS di, nid AS dj FROM (
+         |  SELECT qq.qid, d.vec_id AS nid,
+         |    ROW_NUMBER() OVER (PARTITION BY qq.qid
+         |      ORDER BY ${duckDot("qq.e", "d.e")} / sqrt(qq.nn * d.nn) DESC,
+         |        d.vec_id) AS rnk
+         |  FROM qq JOIN n d ON d.vec_id <> qq.qid) WHERE rnk <= 3),
+         |j AS (SELECT
+         |    CASE WHEN p.di IS NOT NULL THEN 1 ELSE 0 END AS inp,
+         |    CASE WHEN t.di IS NOT NULL THEN 1 ELSE 0 END AS intr
+         |  FROM pred p FULL JOIN tr t ON p.di = t.di AND p.dj = t.dj),
+         |c AS (SELECT CAST(SUM(inp * intr) AS BIGINT) AS tp,
+         |    CAST(SUM(inp * (1 - intr)) AS BIGINT) AS fp,
+         |    CAST(SUM((1 - inp) * intr) AS BIGINT) AS fn
+         |  FROM j)
+         |SELECT COALESCE(tp, 0) AS tp, COALESCE(fp, 0) AS fp,
+         |  COALESCE(fn, 0) AS fn,
+         |  CASE WHEN COALESCE(tp,0) + COALESCE(fp,0) = 0 THEN NULL
+         |    ELSE CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS precision,
+         |  CASE WHEN COALESCE(tp,0) + COALESCE(fn,0) = 0 THEN NULL
+         |    ELSE CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS recall,
+         |  CASE WHEN 2*COALESCE(tp,0) + COALESCE(fp,0) + COALESCE(fn,0) = 0
+         |    THEN NULL
+         |    ELSE CAST(2*tp AS DOUBLE) / CAST(2*tp + fp + fn AS DOUBLE)
+         |    END AS f1
+         |FROM c""".stripMargin,
 
         // Parallel unnests zip in DuckDB's SELECT list; range(0, len) matches
     // posexplode's 0-based pos. The unit quantization mirrors
