@@ -2402,6 +2402,37 @@ object PipelineQueries extends QueryDomain {
         .orderBy($"user_id")
     },
 
+    "q_stream_fano" -> { (s, dir) =>
+      import s.implicits._
+      // STREAMING burstiness ([[graft.streaming.EventStreams.fanoExact]]):
+      // q_burstiness' Fano factor per event type with O(#observed
+      // windows) keyed state — counts are increment-commutative, so no
+      // event buffering, no order sensitivity; the closing BigInt
+      // integers land bit-identically on the batch division via the
+      // digit-string route. The 20th stream gate; shares q_burstiness'
+      // hour windows and oracle arithmetic.
+      val staged = Staging.streamSessionizeDir(s, dir, gapSec = 21600L)
+      val ss = Staging.streamSession(s)
+      val schema = Staging.replaySchema(ss, staged)
+      val stream = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", Staging.filesInDir(staged) - 1)
+        .parquet(staged)
+        .select($"event_type".as("key"),
+          expr("ts div 1000").as("ts"),
+          $"event_id".as("tie"), lit(0L).as("v"))
+        .as[graft.streaming.EventStreams.BudgetEvent]
+      val sink = Staging.nextStreamSink(ss)
+      val q = graft.streaming.EventStreams
+        .fanoExact(stream, windowSec = 3600L, horizonSec = 21600L)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      ss.table(sink).filter($"key" =!= "sentinel")
+        .select($"key".as("event_type"), $"nWindows".as("n_windows"),
+          $"nEvents".as("n_events"), $"fano")
+        .orderBy($"event_type")
+    },
+
     "q_stream_acf" -> { (s, dir) =>
       import s.implicits._
       // STREAMING exact autocorrelation
@@ -3716,6 +3747,28 @@ object PipelineQueries extends QueryDomain {
         |  CASE WHEN den = 0 OR n <= 3 THEN NULL
         |    ELSE CAST(CAST(c3 AS VARCHAR) AS DOUBLE)
         |      / CAST(CAST(den AS VARCHAR) AS DOUBLE) END AS r3
+        |FROM a ORDER BY event_type""".stripMargin,
+
+    // Streaming Fano twin: q_burstiness' arithmetic with only the
+    // double exposed (the decimal pins are the batch gate's) and the
+    // window count as INT (the stream state's map size).
+    "q_stream_fano" ->
+      """WITH e AS (SELECT event_type,
+        |    epoch_ns(ts) // 1000 // 3600000000 AS w FROM events),
+        |c AS (SELECT event_type, w, CAST(count(*) AS BIGINT) AS c
+        |  FROM e GROUP BY event_type, w),
+        |a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(c) AS BIGINT) AS s, CAST(sum(c * c) AS BIGINT) AS cc
+        |  FROM c GROUP BY event_type)
+        |SELECT event_type, CAST(n AS INT) AS n_windows,
+        |  s AS n_events,
+        |  CASE WHEN n * s = 0 THEN NULL
+        |    ELSE CAST(CAST(CAST(CAST(n AS DECIMAL(18,0)) * CAST(cc AS DECIMAL(19,0))
+        |      - CAST(s AS DECIMAL(18,0)) * CAST(s AS DECIMAL(19,0))
+        |      AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE)
+        |    / CAST(CAST(CAST(CAST(n AS DECIMAL(18,0))
+        |      * CAST(s AS DECIMAL(19,0)) AS DECIMAL(38,0)) AS VARCHAR)
+        |      AS DOUBLE) END AS fano
         |FROM a ORDER BY event_type""".stripMargin,
 
     // Streaming ACF twin: q_autocorr's CTE chain with only the doubles

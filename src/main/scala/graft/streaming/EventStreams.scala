@@ -391,6 +391,74 @@ object EventStreams {
       }
   }
 
+  /** Per-key windowed-count state for [[fanoExact]] — O(#observed
+    * windows), NOT O(#events): counts are commutative increments, so the
+    * state is horizon/windowSec entries per key no matter the event rate
+    * (the mergeable class, like [[kmvDistinctExact]], unlike the
+    * buffer-until-watermark folds).
+    */
+  final case class FanoState(wins: Map[Long, Long], deadlineMs: Long = 0L)
+
+  /** One key's closed burstiness summary — the stream twin of
+    * [[graft.operators.TimeSeriesOps.fanoFactor]]'s (n, S, fano) columns.
+    */
+  final case class FanoOut(key: String, nWindows: Int, nEvents: Long,
+      fano: Option[Double])
+
+  /** Streaming Fano-factor burstiness — per key, the variance-to-mean
+    * ratio of per-window event counts, closed at the event-time timeout.
+    * Unlike [[cusumExact]]/[[acfExact]] the statistic is a function of
+    * the window-count MULTISET (order-free, increment-commutative), so
+    * the state is the count map itself — O(horizon/windowSec) entries
+    * per key, independent of event volume and arrival order. The closing
+    * integers are the batch operator's (n·Σc² − S², n·S) computed in
+    * BigInt, and fano takes the digit-string → correctly-rounded-parse
+    * route, landing bit-identically on the batch division.
+    */
+  def fanoExact(
+      events: Dataset[BudgetEvent],
+      windowSec: Long,
+      horizonSec: Long,
+      lateSec: Long = 0L): Dataset[FanoOut] = {
+    import events.sparkSession.implicits._
+    require(windowSec > 0, s"windowSec must be positive, got $windowSec")
+    events
+      .withColumn("event_time", timestamp_micros(col("ts")))
+      .withWatermark("event_time", s"$lateSec seconds")
+      .as[BudgetEvent]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[FanoState, FanoOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: String, rows: Iterator[BudgetEvent], state: GroupState[FanoState]) =>
+          if (state.hasTimedOut) {
+            val wins = state.getOption.map(_.wins).getOrElse(Map.empty)
+            state.remove()
+            val n = BigInt(wins.size)
+            val s = wins.valuesIterator.map(BigInt(_)).sum
+            val cc = wins.valuesIterator.map(c => BigInt(c) * c).sum
+            val num = n * cc - s * s
+            val den = n * s
+            def dbl(x: BigInt): Double =
+              java.lang.Double.parseDouble(x.toString)
+            val fano = if (den == 0) None else Some(dbl(num) / dbl(den))
+            Iterator.single(FanoOut(key, wins.size, s.toLong, fano))
+          } else {
+            val prev = state.getOption.map(_.wins).getOrElse(Map.empty)
+            var wins = prev
+            var maxMs = state.getOption.map(_.deadlineMs).getOrElse(0L)
+            rows.foreach { e =>
+              val w = Math.floorDiv(e.ts, windowSec * 1000000L)
+              wins = wins.updated(w, wins.getOrElse(w, 0L) + 1L)
+              maxMs = math.max(maxMs, e.ts / 1000L + horizonSec * 1000L + 1)
+            }
+            state.update(FanoState(wins, maxMs))
+            state.setTimeoutTimestamp(math.max(
+              maxMs, state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+  }
+
   /** One key's closed ACF summary — the stream twin of
     * [[graft.operators.TimeSeriesOps.acf]]'s r-columns (the pinned decimal
     * sums stay batch-side; the stream emits the identical doubles, each

@@ -904,6 +904,48 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("fanoExact: order-free windowed-count state matches the batch operator; state is O(windows)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import graft.streaming.EventStreams.BudgetEvent
+    import graft.operators.TimeSeriesOps
+    val rnd = new scala.util.Random(4040)
+    // 120 events over ~6 windows of 10 s, heavy clumping, DUPLICATE ts
+    // values on purpose (the count-map state must be tie-proof). Offset
+    // by an hour: epoch-0 event times EQUAL the query's initial watermark
+    // and Spark's stateful late-filter drops them — a boundary artifact
+    // of synthetic data, not of the operator (real fixtures live decades
+    // past epoch 0); measured here before the offset was added.
+    val ts = Seq.tabulate(120)(i =>
+      (3600L + (if (i < 80) rnd.nextInt(15) else 20 + rnd.nextInt(40)))
+        * 1000000L)
+    val input = MemoryStream[BudgetEvent]
+    val q = EventStreams.fanoExact(input.toDS(), windowSec = 10L,
+        horizonSec = 100L, lateSec = 200L)
+      .writeStream.format("memory").queryName("fano_sink")
+      .outputMode("append").start()
+    try {
+      val shuffled = rnd.shuffle(ts.zipWithIndex)
+      input.addData(shuffled.map { case (t, i) => BudgetEvent("a", t, i.toLong, 0L) }: _*)
+      q.processAllAvailable()
+      // state after ingest: one row per KEY whose payload is the window
+      // map — numRowsTotal counts keys, bounded regardless of 120 events
+      assert(q.lastProgress.stateOperators(0).numRowsTotal <= 1)
+      input.addData(BudgetEvent("zz", 50000000000L, 0L, 0L))
+      q.processAllAvailable()
+      input.addData(BudgetEvent("zy", 60000000000L, 0L, 0L))
+      q.processAllAvailable()
+      val got = spark.table("fano_sink").filter($"key" === "a")
+        .as[(String, Int, Long, Option[Double])].head()
+      val batch = TimeSeriesOps.fanoFactor(
+        ts.map(t => ("a", t)).toDF("k", "ts"), Seq("k"),
+        org.apache.spark.sql.functions.col("ts"), 10L)
+        .select($"n_windows", $"n_events", $"fano")
+        .as[(Long, Long, Double)].head()
+      assert(got == (("a", batch._1.toInt, batch._2, Some(batch._3))))
+    } finally q.stop()
+  }
+
   test("budgetAdmitExact: exact-budget boundary admits; zero-value events admit free") {
     // cum: 4, 10 (== budget, admits), 11 (stops); a trailing 0-cost event
     // is NOT re-admitted — the prefix is closed once tripped.
