@@ -398,4 +398,57 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     // codegen stages print as "*(n) Operator" in the final plan
     assert(p.contains("*(1)"), s"scalar pipeline fell out of codegen:\n$p")
   }
+
+  test("q_kendall_tau: grid decomposition plans no cartesian, ranges broadcast") {
+    val p = plan("q_kendall_tau")
+    assert(!p.contains("CartesianProduct"), s"grid Kendall must never go all-pairs:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"per-group ranges must broadcast:\n$p")
+  }
+
+  test("q_spearman: level-keyed midrank joins, no cartesian, no data-row window") {
+    val p = plan("q_spearman")
+    assert(!p.contains("CartesianProduct"))
+    // the rank windows partition by (g) over LEVEL rows after aggregates:
+    // the plan must show HashAggregate BEFORE any Window in the chain
+    assert(p.indexOf("HashAggregate") >= 0 && p.contains("Window"))
+  }
+
+  test("q_token_drift: one token-keyed join, per-source frames broadcast") {
+    val p = plan("q_token_drift")
+    assert(!p.contains("CartesianProduct"))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 1 ||
+      p.contains("BroadcastNestedLoopJoin"),
+      s"source totals must broadcast:\n$p")
+  }
+
+  test("q_phash_neardup: band-bucket equi-join only — no cartesian, no nested loop") {
+    val p = plan("q_phash_neardup")
+    assert(!p.contains("CartesianProduct"), s"dHash candidates must come from bands:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"the pair join must stay an equi-join on (band, value):\n$p")
+  }
+
+  test("q_itemsets: id- and item-keyed equi-joins only") {
+    val p = plan("q_itemsets")
+    assert(!p.contains("CartesianProduct"),
+      s"Apriori must never cross the vocabulary:\n$p")
+  }
+
+  test("q_trimmed_mean: level aggregate precedes the rank window (no data-row sort)") {
+    val p = plan("q_trimmed_mean")
+    assert(!p.contains("CartesianProduct"))
+    val aggIdx = p.indexOf("HashAggregate")
+    val winIdx = p.indexOf("Window")
+    assert(aggIdx >= 0 && winIdx >= 0,
+      s"expected level aggregate + level window:\n$p")
+  }
+
+  test("q_snapshot_read: filters push into the manifest-pinned parquet scan") {
+    val df = SparkEntry.queries("q_snapshot_read")(spark, sf0001)
+    val filtered = df.filter(df("n_nationkey") > 10)
+    val p = filtered.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("GreaterThan(n_nationkey"),
+      s"snapshot reads must keep native pushdown:\n$p")
+  }
+
 }
