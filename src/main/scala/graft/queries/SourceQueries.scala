@@ -86,6 +86,29 @@ object SourceQueries extends QueryDomain {
         .orderBy($"o_orderstatus")
     },
 
+    "q_quarantine" -> { (s, dir) =>
+      import s.implicits._
+      // Dead-letter ingest ([[graft.sources.Quarantine.readJsonLines]]):
+      // nation exported as JSON lines with every 5th record TRUNCATED
+      // (invalid JSON), read back PERMISSIVE — good rows load parsed, the
+      // broken lines route byte-for-byte to the DLQ (spec-pinned in
+      // QuarantineSpec). The gate pins the good-row set: exactly the
+      // non-corrupted keys, typed.
+      val root = Staging.dir("quarantine", dir, "nation") { p =>
+        t(s, dir, "nation")
+          .select($"n_nationkey",
+            to_json(struct($"n_nationkey", $"n_name", $"n_regionkey"))
+              .as("js"))
+          .select(when($"n_nationkey" % 5 === 0,
+              expr("substring(js, 1, length(js) - 2)"))
+            .otherwise($"js").as("value"))
+          .write.mode("overwrite").text(p + "/in")
+      }
+      graft.sources.Quarantine.readJsonLines(s, root + "/in",
+          "n_nationkey INT, n_name STRING, n_regionkey INT", root + "/dlq")
+        .orderBy($"n_nationkey")
+    },
+
     "q_snapshot_read" -> { (s, dir) =>
       import s.implicits._
       // Manifest-committed snapshot isolation
@@ -263,6 +286,13 @@ object SourceQueries extends QueryDomain {
     "q_csv_source" ->
       """SELECT n_nationkey, n_name, r_name
         |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY n_nationkey""".stripMargin,
+
+    // Quarantine: the good-row set is exactly the non-truncated keys —
+    // the staging rule (every 5th key corrupted) applied to the base.
+    "q_quarantine" ->
+      """SELECT n_nationkey, n_name, n_regionkey
+        |FROM nation WHERE n_nationkey % 5 <> 0
         |ORDER BY n_nationkey""".stripMargin,
 
     // The committed-snapshot read: exactly v2's rows — the filter the
