@@ -60,6 +60,36 @@ object GovernanceOps {
     MergeOps.snapshotDiff(before, after, keys)
       .filter(col("status") =!= "unchanged")
 
+  /** Deterministic PSEUDONYMIZATION of identifier columns — the
+    * share-with-analysts rewrite between raw data and full deletion:
+    * each listed column is replaced by a salted token
+    * `polyHash(salt ‖ ':' ‖ value)` so (a) raw identifiers leave the
+    * frame, (b) equal inputs map to equal tokens — joins, groupings and
+    * per-entity analytics still work across every pseudonymized table
+    * sharing the salt, and (c) rotating the salt unlinks all historical
+    * exports at once (the per-dataset secret is the GDPR-art.4(5)
+    * "additional information kept separately"). A per-row token is a
+    * pure codegen'd expression — no shuffle, no state, no lookup table
+    * to govern.
+    *
+    * The hash is [[graft.operators.TextOps.polyHash]] (≈30 informative
+    * bits): collisions are birthday-bounded (~2⁻³⁰·n²/2 expected), fine
+    * for analytics pseudonyms; swap in the 60-bit
+    * [[graft.operators.TextOps]] wide form upstream if a keyspace is
+    * collision-sensitive. NULL identifiers stay NULL (a token for NULL
+    * would fabricate an entity).
+    */
+  def pseudonymize(df: DataFrame, cols: Seq[String], salt: String): DataFrame = {
+    require(cols.nonEmpty, "pseudonymize needs at least one column")
+    require(salt.nonEmpty, "an empty salt defeats unlinkability")
+    cols.foldLeft(df) { (d, c) =>
+      d.withColumn(c,
+        when(col(c).isNull, lit(null).cast("long"))
+          .otherwise(TextOps.polyHash(
+            concat(lit(salt), lit(":"), col(c).cast("string")))))
+    }
+  }
+
   /** Purge tombstoned keys from a BUCKETED managed table in place,
     * preserving its bucket spec ([[ScaleJoins.rewriteBucketed]]): the read
     * is bucket-aligned (no shuffle), the anti-join is broadcast

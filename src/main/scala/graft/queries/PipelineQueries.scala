@@ -778,6 +778,24 @@ object PipelineQueries extends QueryDomain {
         .orderBy($"doc_id")
     },
 
+    "q_pseudonymize" -> { (s, dir) =>
+      import s.implicits._
+      // Deterministic pseudonymization ([[GovernanceOps.pseudonymize]]):
+      // the share-with-analysts rewrite between raw identifiers and full
+      // deletion — user ids replaced by salted polyHash tokens, per-row
+      // codegen'd expression, no lookup table to govern. The gate pins
+      // the property the rewrite exists for: per-ENTITY analytics still
+      // work — grouping by token reproduces exactly the per-user
+      // aggregate (counts + exact decimal value sums) under new names.
+      val p = GovernanceOps.pseudonymize(
+        events(s, dir).select($"user_id", $"value"),
+        Seq("user_id"), salt = "graft-r15")
+      p.groupBy($"user_id".as("user_token"))
+        .agg(count(lit(1)).as("n_events"),
+          graft.Tables.dsum($"value").as("total_value"))
+        .orderBy($"user_token")
+    },
+
     "q_rtbf_forget" -> { (s, dir) =>
       import s.implicits._
       // Retention / right-to-be-forgotten ([[GovernanceOps.forgetDocs]] +
@@ -4229,6 +4247,17 @@ object PipelineQueries extends QueryDomain {
         |  CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
         |FROM documents GROUP BY 1 ORDER BY status""".stripMargin,
+
+    // Pseudonymize twin: the same salted polyHash over
+    // 'salt:id-as-string', then the per-token aggregate — grouping by
+    // token must reproduce the per-user aggregate exactly.
+    "q_pseudonymize" -> {
+      val tok = duckHash("'graft-r15:' || CAST(user_id AS VARCHAR)")
+      s"""SELECT $tok AS user_token,
+         |  CAST(count(*) AS BIGINT) AS n_events,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+         |FROM events GROUP BY 1 ORDER BY user_token""".stripMargin
+    },
 
     // Mann–Whitney with midranks, all-integer until the one final division:
     // a score level of m rows (p positive) preceded by cum rows contributes

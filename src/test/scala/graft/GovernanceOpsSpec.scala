@@ -182,4 +182,28 @@ class GovernanceOpsSpec extends AnyFunSuite with SparkSpec {
     }
     assert(e.getMessage.contains("partition directories"))
   }
+
+  test("pseudonymize: deterministic, join-preserving, NULL-safe, salt-sensitive") {
+    import spark.implicits._
+    val d = Seq((Some(7L), "a"), (Some(7L), "b"), (Some(9L), "c"), (None, "d"))
+      .toDF("uid", "payload")
+    val p1 = GovernanceOps.pseudonymize(d, Seq("uid"), "salt-A")
+      .as[(Option[Long], String)].collect()
+    // same input -> same token (grouping survives); raw ids gone
+    val toks = p1.filter(_._2 != "d").map(_._1.get)
+    assert(toks.distinct.length == 2)
+    assert(p1.filter(r => r._2 == "a" || r._2 == "b").map(_._1).distinct.length == 1)
+    assert(!toks.contains(7L) && !toks.contains(9L))
+    // NULL stays NULL — no fabricated entity
+    assert(p1.find(_._2 == "d").get._1.isEmpty)
+    // rotating the salt unlinks: tokens differ under a new salt
+    val p2 = GovernanceOps.pseudonymize(d, Seq("uid"), "salt-B")
+      .as[(Option[Long], String)].collect()
+    assert(p1.find(_._2 == "a").get._1 != p2.find(_._2 == "a").get._1)
+    assertThrows[IllegalArgumentException](
+      GovernanceOps.pseudonymize(d, Seq.empty, "s"))
+    assertThrows[IllegalArgumentException](
+      GovernanceOps.pseudonymize(d, Seq("uid"), ""))
+  }
+
 }
