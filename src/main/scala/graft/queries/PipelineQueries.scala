@@ -2779,6 +2779,33 @@ object PipelineQueries extends QueryDomain {
           .select($"query_id".as("doc_i"), $"neighbor_id".as("doc_j")))
     },
 
+    "q_ivf_curve" -> { (s, dir) =>
+      import s.implicits._
+      // The IVF TUNING CURVE — recall@3 (and precision/F1) as a function
+      // of nProbe 1→3, the accuracy-vs-cost dial every vector store
+      // publishes before a deployment picks its operating point:
+      // q_ann_recall generalized to one [[EvalOps.pairSetPrf]] row per
+      // probe width against the shared exact top-3. Recall must be
+      // non-decreasing in nProbe by construction (probe sets nest) — the
+      // oracle pins the whole curve, not one point.
+      val e = t(s, dir, "embeddings")
+      val centroids = e.filter($"vec_id" < 10)
+      val queriesDf = e.filter($"vec_id".between(100, 109))
+      val index = VectorOps.ivfAssign(e, centroids, "vec_id", "embedding")
+      val truth = VectorOps.topK(e, queriesDf, "vec_id", "embedding", k = 3)
+        .select($"query_id".as("doc_i"), $"neighbor_id".as("doc_j"))
+      Seq(1, 2, 3).map { np =>
+        EvalOps.pairSetPrf(
+          VectorOps.ivfSearch(index, e, queriesDf, "vec_id", "embedding",
+              k = 3, nProbe = np)
+            .select($"query_id".as("doc_i"), $"neighbor_id".as("doc_j")),
+          truth).withColumn("n_probe", lit(np))
+      }.reduce(_ unionByName _)
+        .select($"n_probe", $"tp", $"fp", $"fn",
+          $"precision", $"recall", $"f1")
+        .orderBy($"n_probe")
+    },
+
     "q_ivf_append" -> { (s, dir) =>
       import s.implicits._
       // Incremental IVF index maintenance ([[VectorOps.appendToIvfIndex]]):
@@ -5728,6 +5755,69 @@ object PipelineQueries extends QueryDomain {
     // Built-then-appended index state == built-at-once state with the same
     // centroids, so the probe answers — and the oracle — are identical.
     "q_ivf_append" -> annIvfOracle,
+
+    // IVF tuning-curve twin: one probe pipeline per nProbe (probe sets
+    // nest by the shared rank), each full-joined against the shared
+    // exact top-3 and closed by the pair-set PRF, unioned into the curve.
+    "q_ivf_curve" -> {
+      val legs = Seq(1, 2, 3).map { np =>
+        s"""probes$np AS (SELECT qid, cluster_id FROM pr WHERE rn <= $np),
+           |cand$np AS (SELECT p.qid, a.vec_id AS nid
+           |  FROM probes$np p JOIN asg a ON a.cluster_id = p.cluster_id
+           |  WHERE a.vec_id <> p.qid),
+           |pred$np AS (SELECT qid AS di, nid AS dj FROM (
+           |  SELECT cand$np.qid, cand$np.nid,
+           |    ROW_NUMBER() OVER (PARTITION BY cand$np.qid
+           |      ORDER BY ${duckDot("q.e", "d.e")} / sqrt(q.nn * d.nn) DESC,
+           |        cand$np.nid) AS rnk
+           |  FROM cand$np JOIN n q ON q.vec_id = cand$np.qid
+           |  JOIN n d ON d.vec_id = cand$np.nid) WHERE rnk <= 3),
+           |c$np AS (SELECT
+           |    CAST(SUM(inp * intr) AS BIGINT) AS tp,
+           |    CAST(SUM(inp * (1 - intr)) AS BIGINT) AS fp,
+           |    CAST(SUM((1 - inp) * intr) AS BIGINT) AS fn
+           |  FROM (SELECT
+           |      CASE WHEN p.di IS NOT NULL THEN 1 ELSE 0 END AS inp,
+           |      CASE WHEN t.di IS NOT NULL THEN 1 ELSE 0 END AS intr
+           |    FROM pred$np p FULL JOIN tr t
+           |      ON p.di = t.di AND p.dj = t.dj))""".stripMargin
+      }
+      val selects = Seq(1, 2, 3).map { np =>
+        s"""SELECT $np AS n_probe, COALESCE(tp, 0) AS tp,
+           |  COALESCE(fp, 0) AS fp, COALESCE(fn, 0) AS fn,
+           |  CASE WHEN COALESCE(tp,0) + COALESCE(fp,0) = 0 THEN NULL
+           |    ELSE CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS precision,
+           |  CASE WHEN COALESCE(tp,0) + COALESCE(fn,0) = 0 THEN NULL
+           |    ELSE CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS recall,
+           |  CASE WHEN 2*COALESCE(tp,0) + COALESCE(fp,0) + COALESCE(fn,0) = 0
+           |    THEN NULL
+           |    ELSE CAST(2*tp AS DOUBLE) / CAST(2*tp + fp + fn AS DOUBLE)
+           |    END AS f1
+           |FROM c$np""".stripMargin
+      }
+      s"""WITH $embCte,
+         |cen AS (SELECT vec_id AS cid, e, nn FROM n WHERE vec_id < 10),
+         |asg AS (SELECT vec_id, cluster_id FROM (
+         |  SELECT d.vec_id, c.cid AS cluster_id,
+         |    ROW_NUMBER() OVER (PARTITION BY d.vec_id
+         |      ORDER BY ${duckDot("d.e", "c.e")} / sqrt(d.nn * c.nn) DESC, c.cid) AS rn
+         |  FROM n d CROSS JOIN cen c) WHERE rn = 1),
+         |qq AS (SELECT vec_id AS qid, e, nn FROM n
+         |  WHERE vec_id BETWEEN 100 AND 109),
+         |pr AS (SELECT qq.qid, c.cid AS cluster_id,
+         |    ROW_NUMBER() OVER (PARTITION BY qq.qid
+         |      ORDER BY ${duckDot("qq.e", "c.e")} / sqrt(qq.nn * c.nn) DESC, c.cid) AS rn
+         |  FROM qq CROSS JOIN cen c),
+         |tr AS (SELECT qid AS di, nid AS dj FROM (
+         |  SELECT qq.qid, d.vec_id AS nid,
+         |    ROW_NUMBER() OVER (PARTITION BY qq.qid
+         |      ORDER BY ${duckDot("qq.e", "d.e")} / sqrt(qq.nn * d.nn) DESC,
+         |        d.vec_id) AS rnk
+         |  FROM qq JOIN n d ON d.vec_id <> qq.qid) WHERE rnk <= 3),
+         |${legs.mkString(",\n")}
+         |${selects.mkString("\nUNION ALL\n")}
+         |ORDER BY n_probe""".stripMargin
+    },
 
     // ANN-recall twin: annIvfOracle's probe pipeline emitting pairs,
     // full-joined against the exact top-3 pair set, then the pair-set
