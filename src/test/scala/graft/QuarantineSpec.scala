@@ -40,6 +40,37 @@ class QuarantineSpec extends AnyFunSuite with SparkSpec {
     assert(spark.read.text(s"$dir/dlq").isEmpty)
   }
 
+  test("the contract holds under readStream: foreachBatch routes DLQ per micro-batch") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{StringType, StructType}
+    val dir = stage(Seq(
+      """{"id":1,"name":"a"}""", """broken-line""", """{"id":2,"name":"b"}"""))
+    val schema = StructType.fromDDL("id INT, name STRING")
+      .add("_corrupt", StringType)
+    val good = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
+    val bad = scala.collection.mutable.ArrayBuffer.empty[String]
+    val q = spark.readStream.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(dir)
+      .writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // the streaming twin of Quarantine.readJsonLines' split: one
+        // cached micro-batch feeds the DLQ side and the good side
+        val c = batch.cache()
+        bad.synchronized {
+          bad ++= c.filter(col("_corrupt").isNotNull)
+            .select(col("_corrupt")).collect().map(_.getString(0))
+          good ++= c.filter(col("_corrupt").isNull)
+            .collect().map(r => (r.getInt(0), r.getString(1)))
+        }
+        c.unpersist()
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    assert(good.sorted.toSeq == Seq((1, "a"), (2, "b")))
+    assert(bad.toSeq == Seq("broken-line"))
+  }
+
   test("type-mismatched fields quarantine the whole line (PERMISSIVE + corrupt col)") {
     val bad = """{"id":"not-a-number","name":"x"}"""
     val dir = stage(Seq("""{"id":7,"name":"ok"}""", bad))
