@@ -301,8 +301,16 @@ object EvalOps {
     val prefix = w.scanLeft(0.0)(_ + _).tail
     val lab = labels.select(col(idCol).as("gid"), col(labelCol).as("glab"))
     val counts = lab.groupBy(col("glab")).agg(count(lit(1)).as("lc"))
+    // LEFT join + loud error: a query id missing from `labels` silently
+    // dropping would understate the macro means — a judging bug masked
+    // as a smaller eval set.
     val ql = ranked.select(col("query_id")).distinct()
-      .join(lab, col("query_id") === col("gid"))
+      .join(lab, col("query_id") === col("gid"), "left")
+      .withColumn("glab",
+        when(col("glab").isNotNull, col("glab"))
+          .otherwise(raise_error(concat(
+            lit("retrievalMetrics: query "),
+            col("query_id").cast("string"), lit(" has no label")))))
       .join(counts, Seq("glab"))
       .select(col("query_id"), col("glab").as("qlab"),
         (col("lc") - 1L).as("n_rel"))

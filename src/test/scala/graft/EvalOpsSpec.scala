@@ -324,6 +324,17 @@ class EvalOpsSpec extends AnyFunSuite with SparkSpec {
     assert(bothEmpty == ((0L, 0L, 0L, None, None, None)))
   }
 
+  test("retrievalMetrics fails loudly when a query has no label") {
+    val labels = Seq((1L, "a"), (2L, "a"))
+    val ranked = Seq((99L, 1, 1L)) // query 99 unlabeled
+    val e = intercept[Exception] {
+      EvalOps.retrievalMetrics(ranked.toDF("query_id", "rank", "neighbor_id"),
+        labels.toDF("id", "lab"), "id", "lab", 3).collect()
+    }
+    assert(e.getMessage.contains("has no label") ||
+      Option(e.getCause).exists(_.getMessage.contains("has no label")))
+  }
+
   test("cohensKappa rejects null rater labels") {
     val d = Seq(("g", Some("a"), Some("a")), ("g", None, Some("b")))
       .toDF("grp", "ra", "rb")
