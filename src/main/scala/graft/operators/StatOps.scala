@@ -600,6 +600,44 @@ object StatOps {
             (tAll - col("ty")).cast("double"))).as("tau_b"))
   }
 
+  /** Per-group 2-D DENSITY GRID — the heatmap behind every
+    * length-vs-quality / size-vs-score profiling plot: equal-width value
+    * buckets on each axis (the [[kendallTau]] bucketing — monotone,
+    * value-disjoint, data-derived min/max), exact integer cell counts.
+    * The bucket arithmetic is a fixed IEEE chain (subtract, divide,
+    * multiply, floor, clamp — all bit-specified), and min/max aggregates
+    * are exact on doubles, so the cell assignment itself reproduces
+    * across engines and the grid hash-gates.
+    *
+    * Scale posture: one per-group min/max aggregate broadcast back, one
+    * combiner-reduced (group, bx, by) count — output ≤ B² cells per
+    * group, never data rows. NULL/NaN measures excluded.
+    *
+    * Output: (group, bx, by, n) — occupied cells only.
+    */
+  def hist2d(df: DataFrame, groupCol: String, xCol: String, yCol: String,
+      bucketsX: Int = 8, bucketsY: Int = 8): DataFrame = {
+    require(bucketsX >= 1 && bucketsY >= 1,
+      s"bucket counts must be >= 1, got ($bucketsX, $bucketsY)")
+    val base = df.select(col(groupCol).as("g"),
+        col(xCol).cast("double").as("x"), col(yCol).cast("double").as("y"))
+      .where(col("x").isNotNull && col("y").isNotNull &&
+        !isnan(col("x")) && !isnan(col("y")))
+    val ranges = base.groupBy(col("g")).agg(
+      min(col("x")).as("xmin"), max(col("x")).as("xmax"),
+      min(col("y")).as("ymin"), max(col("y")).as("ymax"))
+    def bkt(v: Column, lo: Column, hi: Column, b: Int): Column =
+      when(hi === lo, lit(0)).otherwise(least(lit(b - 1),
+        floor((v - lo) / (hi - lo) * b).cast("int")))
+    base.join(broadcast(ranges), Seq("g"))
+      .select(col("g"),
+        bkt(col("x"), col("xmin"), col("xmax"), bucketsX).as("bx"),
+        bkt(col("y"), col("ymin"), col("ymax"), bucketsY).as("by"))
+      .groupBy(col("g"), col("bx"), col("by"))
+      .agg(count(lit(1)).as("n"))
+      .withColumnRenamed("g", groupCol)
+  }
+
   /** Per-group EXACT trimmed mean — the robust location estimate between
     * [[robustOutliers]]'s median and the plain mean: drop the lowest and
     * highest ⌊n·trimNum/trimDen⌋ values, average the middle. The screen

@@ -1846,6 +1846,20 @@ object PipelineQueries extends QueryDomain {
         .orderBy($"k", $"item1", $"item2", $"item3")
     },
 
+    "q_hist2d" -> { (s, dir) =>
+      import s.implicits._
+      // 2-D density grid per lang ([[StatOps.hist2d]]): the heatmap
+      // behind the length-vs-token-count profile, on q_kendall_tau's
+      // frame. Equal-width bucket assignment is a fixed IEEE chain over
+      // exact min/max aggregates, so the CELLS themselves hash-gate —
+      // output is ≤ 64 aggregate cells per group, never data rows.
+      StatOps.hist2d(
+        docs(s, dir).select($"lang", $"n_chars".as("x"),
+          TextStats.nTokens($"text").as("y")),
+        "lang", "x", "y", bucketsX = 8, bucketsY = 8)
+        .orderBy($"lang", $"bx", $"by")
+    },
+
     "q_spearman" -> { (s, dir) =>
       import s.implicits._
       // Per-lang EXACT Spearman's rho ([[StatOps.spearman]]) on the
@@ -4941,6 +4955,26 @@ object PipelineQueries extends QueryDomain {
         |        * CAST(total_tokens AS DECIMAL(19,0)) AS DECIMAL(38,0))
         |        AS VARCHAR) AS DOUBLE) AS gini
         |FROM a ORDER BY source""".stripMargin,
+
+    // 2-D grid twin: the identical IEEE bucket chain over exact min/max
+    // aggregates — ((v−lo)/(hi−lo))·B, floor, clamp — then cell counts.
+    "q_hist2d" ->
+      """WITH d AS (SELECT lang AS g,
+        |    CAST(n_chars AS DOUBLE) AS x,
+        |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS y
+        |  FROM documents WHERE n_chars IS NOT NULL AND text IS NOT NULL),
+        |r AS (SELECT g, min(x) AS xmin, max(x) AS xmax,
+        |    min(y) AS ymin, max(y) AS ymax FROM d GROUP BY g),
+        |b AS (SELECT d.g,
+        |    CASE WHEN xmax = xmin THEN 0
+        |      ELSE least(7, CAST(floor((x - xmin) / (xmax - xmin) * 8)
+        |        AS INT)) END AS bx,
+        |    CASE WHEN ymax = ymin THEN 0
+        |      ELSE least(7, CAST(floor((y - ymin) / (ymax - ymin) * 8)
+        |        AS INT)) END AS by
+        |  FROM d JOIN r USING (g))
+        |SELECT g AS lang, bx, by, CAST(count(*) AS BIGINT) AS n
+        |FROM b GROUP BY g, bx, by ORDER BY lang, bx, by""".stripMargin,
 
     // Spearman twin: level-keyed midranks (2·cum + m + 1), integer
     // centering u = r2 − (n+1), the same decimal products and

@@ -98,6 +98,31 @@ class StatOpsSpec extends AnyFunSuite with SparkSpec {
     assertThrows[IllegalArgumentException](StatOps.columnProfile(d, Seq.empty))
   }
 
+  test("hist2d ≡ brute-force bucket counts; cells sum to n; single-value axes go to cell 0") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(111)
+    val data = Seq.tabulate(400)(_ =>
+      ("g", rnd.nextInt(100).toDouble, rnd.nextInt(50).toDouble)) ++
+      Seq.tabulate(5)(i => ("const", 3.0, i.toDouble))
+    val got = StatOps.hist2d(data.toDF("g", "x", "y"), "g", "x", "y", 8, 8)
+      .as[(String, Int, Int, Long)].collect()
+    data.groupBy(_._1).foreach { case (g, rows) =>
+      val xs = rows.map(_._2); val ys = rows.map(_._3)
+      val (xmin, xmax) = (xs.min, xs.max)
+      val (ymin, ymax) = (ys.min, ys.max)
+      def bkt(v: Double, lo: Double, hi: Double): Int =
+        if (hi == lo) 0
+        else math.min(7, math.floor((v - lo) / (hi - lo) * 8).toInt)
+      val expect = rows.groupBy(r => (bkt(r._2, xmin, xmax), bkt(r._3, ymin, ymax)))
+        .map { case (k, v) => k -> v.size.toLong }
+      val cells = got.filter(_._1 == g).map(r => (r._2, r._3) -> r._4).toMap
+      assert(cells == expect, g)
+      assert(cells.values.sum == rows.size.toLong, g)
+    }
+    // constant x axis lands everything in bx = 0
+    assert(got.filter(_._1 == "const").forall(_._2 == 0))
+  }
+
   test("trimmedMean ≡ brute-force sort-and-slice under heavy ties") {
     import spark.implicits._
     val rnd = new scala.util.Random(909)
