@@ -600,6 +600,42 @@ object StatOps {
             (tAll - col("ty")).cast("double"))).as("tau_b"))
   }
 
+  /** Pairwise Pearson CORRELATION MATRIX over `cols` — the feature-drift
+    * screen run over a metrics table before anyone trusts a composite
+    * score: every off-diagonal r from ONE moment pass. [[correlation]]'s
+    * exact-decimal contract, widened: the single aggregate carries n,
+    * k decimal sums, k decimal square-sums, and C(k,2) decimal
+    * cross-sums — one combiner-reduced scan however many columns — and
+    * each r closes with the identical digit-string/sqrt chain, so the
+    * whole matrix hash-gates. Output long-form (col_x < col_y), one row
+    * per pair: (col_x, col_y, n, corr_xy); degenerate (zero-variance)
+    * sides give NULL.
+    */
+  def correlationMatrix(df: DataFrame, cols: Seq[String],
+      precision: Int = 18, scale: Int = 4): DataFrame = {
+    require(cols.size >= 2, s"need at least two columns, got $cols")
+    require(cols.distinct.size == cols.size, s"duplicate columns in $cols")
+    def q(c: String) = col(c).cast(s"decimal($precision,$scale)")
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    val aggs =
+      cols.map(c => sum(q(c)).as(s"s_$c")) ++
+        cols.map(c => sum(q(c) * q(c)).as(s"ss_$c")) ++
+        pairs.map { case (a, b) => sum(q(a) * q(b)).as(s"sx_${a}_$b") }
+    val m = df.agg(count(lit(1)).as("n"), aggs: _*)
+    val nD = col("n").cast("double")
+    def dbl(c: String) = col(c).cast("string").cast("double")
+    val rows = pairs.map { case (a, b) =>
+      val num = nD * dbl(s"sx_${a}_$b") - dbl(s"s_$a") * dbl(s"s_$b")
+      val den = sqrt(greatest(lit(0.0), nD * dbl(s"ss_$a") - dbl(s"s_$a") * dbl(s"s_$a"))) *
+        sqrt(greatest(lit(0.0), nD * dbl(s"ss_$b") - dbl(s"s_$b") * dbl(s"s_$b")))
+      struct(lit(a).as("col_x"), lit(b).as("col_y"), col("n").as("n"),
+        when(den > 0.0, num / den).as("corr_xy"))
+    }
+    m.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
+  }
+
   /** Per-group 2-D DENSITY GRID — the heatmap behind every
     * length-vs-quality / size-vs-score profiling plot: equal-width value
     * buckets on each axis (the [[kendallTau]] bucketing — monotone,

@@ -1810,6 +1810,18 @@ object PipelineQueries extends QueryDomain {
         .orderBy($"l_returnflag")
     },
 
+    "q_corr_matrix" -> { (s, dir) =>
+      import s.implicits._
+      // Pairwise Pearson matrix over four lineitem measures
+      // ([[StatOps.correlationMatrix]]): all six off-diagonal r's from
+      // ONE combiner-reduced moment pass (n + 4 sums + 4 square-sums +
+      // 6 cross-sums in a single aggregate row), each closing with
+      // q_correlation's exact decimal/digit-string chain.
+      StatOps.correlationMatrix(t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy($"col_x", $"col_y")
+    },
+
     "q_kendall_tau" -> { (s, dir) =>
       import s.implicits._
       // Per-lang EXACT Kendall tau-b ([[StatOps.kendallTau]]) of document
@@ -4870,6 +4882,37 @@ object PipelineQueries extends QueryDomain {
          |  CASE WHEN $den > 0 THEN $num / $den END AS corr_xy,
          |  CASE WHEN n > 1 THEN $num / ($nD * ($nD - 1.0)) END AS cov_samp
          |FROM m ORDER BY l_returnflag""".stripMargin
+    },
+
+    // Correlation-matrix twin: one moments CTE (q_correlation's decimal
+    // conventions — (18,4) sums, (19,4) products for int128), one
+    // UNION ALL row per pair with the identical closing chain.
+    "q_corr_matrix" -> {
+      val cs = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      def s18(c: String) = s"SUM(CAST($c AS DECIMAL(18,4)))"
+      def p19(a: String, b: String) =
+        s"SUM(CAST($a AS DECIMAL(19,4)) * CAST($b AS DECIMAL(19,4)))"
+      val pairs = for {
+        i <- cs.indices; j <- (i + 1) until cs.size
+      } yield (cs(i), cs(j))
+      val moments =
+        cs.map(c => s"  ${s18(c)} AS s_$c,") ++
+          cs.map(c => s"  ${p19(c, c)} AS ss_$c,") ++
+          pairs.map { case (a, b) => s"  ${p19(a, b)} AS sx_${a}_$b," }
+      def v(c: String) = s"CAST(CAST($c AS VARCHAR) AS DOUBLE)"
+      val legs = pairs.map { case (a, b) =>
+        val num = s"(CAST(n AS DOUBLE) * ${v(s"sx_${a}_$b")} - ${v(s"s_$a")} * ${v(s"s_$b")})"
+        val den = s"(sqrt(greatest(0.0, CAST(n AS DOUBLE) * ${v(s"ss_$a")} - ${v(s"s_$a")} * ${v(s"s_$a")})) * " +
+          s"sqrt(greatest(0.0, CAST(n AS DOUBLE) * ${v(s"ss_$b")} - ${v(s"s_$b")} * ${v(s"s_$b")})))"
+        s"""SELECT '$a' AS col_x, '$b' AS col_y, CAST(n AS BIGINT) AS n,
+           |  CASE WHEN $den > 0 THEN $num / $den END AS corr_xy FROM m"""
+          .stripMargin
+      }
+      s"""WITH m AS (SELECT count(*) AS n,
+         |${moments.mkString("\n").stripSuffix(",")}
+         |  FROM lineitem)
+         |${legs.mkString("\nUNION ALL\n")}
+         |ORDER BY col_x, col_y""".stripMargin
     },
 
     // Kendall tau-b twin: the O(n²) pairwise self-join definition — every

@@ -44,4 +44,36 @@ class CorrelationSpec extends AnyFunSuite with SparkSpec {
     assert(got("a") === ((2L, None, Some(0.0))))  // x constant: corr null, cov 0
     assert(got("b") === ((1L, None, None)))
   }
+
+  test("correlationMatrix pairs equal the pairwise correlation operator bit-exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(321)
+    val d = Seq.tabulate(300)(_ => {
+      val x = rnd.nextInt(1000) / 10.0
+      (x, x * 2 + rnd.nextInt(100) / 10.0, rnd.nextInt(50) / 10.0)
+    }).toDF("a", "b", "c")
+    val m = StatOps.correlationMatrix(d, Seq("a", "b", "c"))
+      .as[(String, String, Long, Option[Double])]
+      .collect().map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(m.size == 3)
+    Seq(("a", "b"), ("a", "c"), ("b", "c")).foreach { case (x, y) =>
+      val single = StatOps.correlation(d.withColumn("g", lit(1)),
+          Seq("g"), x, y)
+        .select(col("n"), col("corr_xy"))
+        .as[(Long, Option[Double])].head()
+      assert(m((x, y)) == single, s"($x, $y)")
+    }
+    assertThrows[IllegalArgumentException](StatOps.correlationMatrix(d, Seq("a")))
+    assertThrows[IllegalArgumentException](
+      StatOps.correlationMatrix(d, Seq("a", "a")))
+  }
+
+  test("correlationMatrix: a constant column yields NULL r against everything") {
+    import spark.implicits._
+    val d = Seq.tabulate(20)(i => (i.toDouble, 5.0)).toDF("a", "k")
+    val m = StatOps.correlationMatrix(d, Seq("a", "k"))
+      .select(col("corr_xy")).as[Option[Double]].head()
+    assert(m.isEmpty)
+  }
+
 }
