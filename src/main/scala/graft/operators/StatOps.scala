@@ -600,6 +600,33 @@ object StatOps {
             (tAll - col("ty")).cast("double"))).as("tau_b"))
   }
 
+  /** Per-group exact MODE with a deterministic tie-break (the SMALLEST
+    * value among the most frequent) — the last of the location trio next
+    * to [[countingMedian]] and [[trimmedMean]], and the one SQL's
+    * `mode()` cannot hash-gate (its tie choice is engine-defined). One
+    * combiner-reduced (group, value) count, then one struct-argmax
+    * aggregate over LEVEL rows — no window, no sort. Values must be
+    * integral (exact equality is the grouping key; quantize doubles
+    * upstream, the [[robustOutliers]] chain).
+    *
+    * Output: (group, mode_value, mode_count, n, n_distinct).
+    */
+  def mode(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val counts = df.select(col(groupCol).as("g"),
+        col(valueCol).cast("long").as("v"))
+      .where(col("v").isNotNull)
+      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
+    counts.groupBy(col("g"))
+      .agg(
+        max(struct(col("c"), (lit(-1L) * col("v")).as("nv"))).as("m"),
+        sum(col("c")).as("n"),
+        count(lit(1)).as("n_distinct"))
+      .select(col("g").as(groupCol),
+        (lit(-1L) * col("m.nv")).as("mode_value"),
+        col("m.c").as("mode_count"),
+        col("n"), col("n_distinct"))
+  }
+
   /** Pairwise Pearson CORRELATION MATRIX over `cols` — the feature-drift
     * screen run over a metrics table before anyone trusts a composite
     * score: every off-diagonal r from ONE moment pass. [[correlation]]'s

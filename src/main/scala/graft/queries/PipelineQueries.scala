@@ -1810,6 +1810,16 @@ object PipelineQueries extends QueryDomain {
         .orderBy($"l_returnflag")
     },
 
+    "q_mode" -> { (s, dir) =>
+      import s.implicits._
+      // Per-flag exact mode of the quantity ([[StatOps.mode]]): the
+      // location stat SQL's own mode() cannot hash-gate (engine-defined
+      // tie choice) — here ties break to the SMALLEST value via a
+      // struct-argmax over level rows, no window, no sort.
+      StatOps.mode(t(s, dir, "lineitem"), "l_returnflag", "l_quantity")
+        .orderBy($"l_returnflag")
+    },
+
     "q_corr_matrix" -> { (s, dir) =>
       import s.implicits._
       // Pairwise Pearson matrix over four lineitem measures
@@ -4883,6 +4893,22 @@ object PipelineQueries extends QueryDomain {
          |  CASE WHEN n > 1 THEN $num / ($nD * ($nD - 1.0)) END AS cov_samp
          |FROM m ORDER BY l_returnflag""".stripMargin
     },
+
+    // Mode twin: level counts, ROW_NUMBER by (count DESC, value ASC) —
+    // the deterministic tie-break the operator pins.
+    "q_mode" ->
+      """WITH c AS (SELECT l_returnflag AS g,
+        |    CAST(l_quantity AS BIGINT) AS v,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY g, v),
+        |r AS (SELECT g, v, c,
+        |    ROW_NUMBER() OVER (PARTITION BY g ORDER BY c DESC, v ASC) AS rn,
+        |    CAST(SUM(c) OVER (PARTITION BY g) AS BIGINT) AS n,
+        |    CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS n_distinct
+        |  FROM c)
+        |SELECT g AS l_returnflag, v AS mode_value, c AS mode_count,
+        |  n, n_distinct
+        |FROM r WHERE rn = 1 ORDER BY l_returnflag""".stripMargin,
 
     // Correlation-matrix twin: one moments CTE (q_correlation's decimal
     // conventions — (18,4) sums, (19,4) products for int128), one

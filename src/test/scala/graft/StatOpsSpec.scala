@@ -98,6 +98,27 @@ class StatOpsSpec extends AnyFunSuite with SparkSpec {
     assertThrows[IllegalArgumentException](StatOps.columnProfile(d, Seq.empty))
   }
 
+  test("mode ≡ brute-force argmax with the smallest-value tie-break") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(654)
+    val data = Seq.tabulate(500)(_ => (s"g${rnd.nextInt(3)}", rnd.nextInt(7).toLong))
+    val got = StatOps.mode(data.toDF("g", "v"), "g", "v")
+      .as[(String, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    data.groupBy(_._1).foreach { case (g, rows) =>
+      val counts = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val maxC = counts.values.max
+      val modeV = counts.filter(_._2 == maxC).keys.min
+      val (_, gv, gc, gn, gd) = got(g)
+      assert((gv, gc, gn, gd) ==
+        ((modeV, maxC, rows.size.toLong, counts.size.toLong)), g)
+    }
+    // explicit tie: values 1 and 2 both occur twice -> mode is 1
+    val tie = Seq(("t", 2L), ("t", 1L), ("t", 2L), ("t", 1L), ("t", 5L))
+      .toDF("g", "v")
+    assert(StatOps.mode(tie, "g", "v")
+      .select($"mode_value", $"mode_count").as[(Long, Long)].head() == ((1L, 2L)))
+  }
+
   test("hist2d ≡ brute-force bucket counts; cells sum to n; single-value axes go to cell 0") {
     import spark.implicits._
     val rnd = new scala.util.Random(111)
