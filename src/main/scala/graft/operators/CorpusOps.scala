@@ -1175,6 +1175,40 @@ object CorpusOps {
         col("t2").as("item2"), col("t3").as("item3"), col("sup").as("support")))
   }
 
+  /** Per-group CLASS-BALANCE report via Simpson's index — the
+    * language/source mix check a multilingual corpus runs before
+    * training (a 90%-English corpus with 20 nominal languages is the
+    * failure this catches): with class counts cᵢ (n = Σcᵢ),
+    *
+    *   simpson = Σcᵢ² / n²   (probability two random docs share a class)
+    *   enc     = n² / Σcᵢ²   (effective number of classes — inverse
+    *                          Simpson: 20 balanced classes → 20, the
+    *                          90/10 corpus → ~1.2)
+    *
+    * Both are single IEEE divisions of exact integers — no log, so
+    * unlike Shannon diversity the statistic hash-gates. Σc² accumulates
+    * as (18,0)×(19,0) DECIMALs. Scale: two combiner-reduced hash
+    * aggregates, state per group = the class cardinality.
+    *
+    * Output: (group, n, n_classes, sq_sum, simpson, enc).
+    */
+  def classBalance(df: DataFrame, groupCol: String, classCol: String): DataFrame = {
+    val counts = df.select(col(groupCol).as("g"), col(classCol).as("cls"))
+      .groupBy(col("g"), col("cls")).agg(count(lit(1)).as("c"))
+    def d18(c: Column) = c.cast("decimal(18,0)")
+    def d19(c: Column) = c.cast("decimal(19,0)")
+    def dbl(c: Column) = c.cast("string").cast("double")
+    counts.groupBy(col("g"))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("n_classes"),
+        sum(d18(col("c")) * d19(col("c"))).cast("decimal(38,0)").as("sq_sum"))
+      .select(col("g").as(groupCol), col("n"), col("n_classes"), col("sq_sum"),
+        (dbl(col("sq_sum")) /
+          dbl((d18(col("n")) * d19(col("n"))).cast("decimal(38,0)")))
+          .as("simpson"),
+        (dbl((d18(col("n")) * d19(col("n"))).cast("decimal(38,0)")) /
+          dbl(col("sq_sum"))).as("enc"))
+  }
+
   /** Per-source Gini coefficient of token-frequency CONCENTRATION — the
     * inequality profile of a source's vocabulary usage (0 = every token
     * equally frequent, →1 = a few tokens dominate). Complements

@@ -600,6 +600,29 @@ object StatOps {
             (tAll - col("ty")).cast("double"))).as("tau_b"))
   }
 
+  /** Per-group MIN-MAX feature scaling to [0, 1] — the normalization
+    * every score-fusion / model-input stage runs: scaled = (v − min) /
+    * (max − min) with the group's own bounds. Every output double is a
+    * fixed IEEE chain (exact min/max aggregates, one subtract, one
+    * divide), so the scaled column itself hash-gates. Constant groups
+    * (max = min) scale to 0.0 (the sklearn convention); NULL values
+    * pass through NULL. One per-group bounds aggregate broadcast back —
+    * the value stream itself never shuffles.
+    *
+    * Output: the input plus `scaled` DOUBLE.
+    */
+  def minMaxScale(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val b = df.groupBy(col(groupCol).as("graft_g"))
+      .agg(min(col(valueCol)).as("graft_lo"), max(col(valueCol)).as("graft_hi"))
+    df.join(broadcast(b), col(groupCol) === col("graft_g"))
+      .withColumn("scaled",
+        when(col(valueCol).isNull, lit(null).cast("double"))
+          .when(col("graft_hi") === col("graft_lo"), lit(0.0))
+          .otherwise((col(valueCol).cast("double") - col("graft_lo").cast("double")) /
+            (col("graft_hi").cast("double") - col("graft_lo").cast("double"))))
+      .drop("graft_g", "graft_lo", "graft_hi")
+  }
+
   /** Per-group exact MODE with a deterministic tie-break (the SMALLEST
     * value among the most frequent) — the last of the location trio next
     * to [[countingMedian]] and [[trimmedMean]], and the one SQL's

@@ -1810,6 +1810,20 @@ object PipelineQueries extends QueryDomain {
         .orderBy($"l_returnflag")
     },
 
+    "q_minmax_scale" -> { (s, dir) =>
+      import s.implicits._
+      // Per-type min-max normalization ([[StatOps.minMaxScale]]): the
+      // feature-scaling stage before score fusion / model input. Every
+      // scaled double is a fixed IEEE chain over exact min/max bounds,
+      // so the normalized COLUMN hash-gates row by row; the value stream
+      // never shuffles (bounds broadcast back).
+      StatOps.minMaxScale(
+        events(s, dir).select($"event_id", $"event_type", $"value"),
+        "event_type", "value")
+        .select($"event_id", $"event_type", $"scaled")
+        .orderBy($"event_id")
+    },
+
     "q_mode" -> { (s, dir) =>
       import s.implicits._
       // Per-flag exact mode of the quantity ([[StatOps.mode]]): the
@@ -1906,6 +1920,16 @@ object PipelineQueries extends QueryDomain {
       // so the statistic hash-gates where KL/JS could not). One explode,
       // two hash aggregates, one vocabulary-sized equi-join.
       CorpusOps.tokenDrift(docs(s, dir), "text", "source")
+        .orderBy($"source")
+    },
+
+    "q_simpson" -> { (s, dir) =>
+      import s.implicits._
+      // Per-source language balance ([[CorpusOps.classBalance]]):
+      // Simpson's index + effective number of classes — the multilingual
+      // mix check, log-free so it hash-gates where Shannon diversity
+      // could not. Exact integer Σc² as decimals, two IEEE divisions.
+      CorpusOps.classBalance(docs(s, dir), "source", "lang")
         .orderBy($"source")
     },
 
@@ -4894,6 +4918,18 @@ object PipelineQueries extends QueryDomain {
          |FROM m ORDER BY l_returnflag""".stripMargin
     },
 
+    // Min-max twin: the same subtract/divide chain over exact bounds.
+    "q_minmax_scale" ->
+      """WITH b AS (SELECT event_type, min(value) AS lo, max(value) AS hi
+        |  FROM events GROUP BY event_type)
+        |SELECT event_id, e.event_type,
+        |  CASE WHEN value IS NULL THEN NULL
+        |    WHEN hi = lo THEN 0.0
+        |    ELSE (CAST(value AS DOUBLE) - CAST(lo AS DOUBLE))
+        |      / (CAST(hi AS DOUBLE) - CAST(lo AS DOUBLE)) END AS scaled
+        |FROM events e JOIN b USING (event_type)
+        |ORDER BY event_id""".stripMargin,
+
     // Mode twin: level counts, ROW_NUMBER by (count DESC, value ASC) —
     // the deterministic tie-break the operator pins.
     "q_mode" ->
@@ -5000,6 +5036,25 @@ object PipelineQueries extends QueryDomain {
         |UNION ALL SELECT 2, t1, t2, CAST(NULL AS VARCHAR), sup FROM f2
         |UNION ALL SELECT 3, t1, t2, t3, sup FROM f3
         |ORDER BY k, item1, item2, item3""".stripMargin,
+
+    // Simpson twin: class counts, decimal Σc², two digit-string
+    // divisions (simpson and its inverse).
+    "q_simpson" ->
+      """WITH c AS (SELECT source AS g, lang,
+        |    CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY g, lang),
+        |a AS (SELECT g, CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS n_classes,
+        |    CAST(SUM(CAST(c AS DECIMAL(18,0)) * CAST(c AS DECIMAL(19,0)))
+        |      AS DECIMAL(38,0)) AS sq_sum
+        |  FROM c GROUP BY g)
+        |SELECT g AS source, n, n_classes, sq_sum,
+        |  CAST(CAST(sq_sum AS VARCHAR) AS DOUBLE)
+        |    / CAST(CAST(CAST(CAST(n AS DECIMAL(18,0)) * CAST(n AS DECIMAL(19,0))
+        |        AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE) AS simpson,
+        |  CAST(CAST(CAST(CAST(n AS DECIMAL(18,0)) * CAST(n AS DECIMAL(19,0))
+        |        AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE)
+        |    / CAST(CAST(sq_sum AS VARCHAR) AS DOUBLE) AS enc
+        |FROM a ORDER BY source""".stripMargin,
 
     // Gini twin: same rank identity over vocabulary-level counts, same
     // (19,0)×(18,0) decimal accumulation, doubles via digit strings.

@@ -98,6 +98,39 @@ class StatOpsSpec extends AnyFunSuite with SparkSpec {
     assertThrows[IllegalArgumentException](StatOps.columnProfile(d, Seq.empty))
   }
 
+  test("minMaxScale: bounds, constant groups, NULL pass-through, no value shuffle") {
+    import spark.implicits._
+    val d = Seq(("a", Some(10.0)), ("a", Some(20.0)), ("a", Some(15.0)),
+      ("a", None), ("k", Some(5.0)), ("k", Some(5.0)))
+      .toDF("g", "v")
+    val got = StatOps.minMaxScale(d, "g", "v")
+      .select($"g", $"v", $"scaled")
+      .as[(String, Option[Double], Option[Double])].collect()
+    val byV = got.filter(_._1 == "a").map(r => r._2 -> r._3).toMap
+    assert(byV(Some(10.0)).contains(0.0) && byV(Some(20.0)).contains(1.0))
+    assert(byV(Some(15.0)).contains(0.5) && byV(None).isEmpty)
+    assert(got.filter(_._1 == "k").forall(_._3.contains(0.0))) // constant group
+    val p = StatOps.minMaxScale(d, "g", "v").queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"bounds must broadcast:\n$p")
+  }
+
+  test("classBalance: balanced vs dominated groups; integers exact") {
+    import spark.implicits._
+    val d = (Seq.tabulate(40)(i => ("bal", s"c${i % 4}")) ++
+      (Seq.fill(36)(("dom", "big")) ++ Seq.fill(4)(("dom", "small"))))
+      .toDF("g", "cls")
+    val got = graft.operators.CorpusOps.classBalance(d, "g", "cls")
+      .select($"g", $"n", $"n_classes", $"sq_sum".cast("string"), $"simpson", $"enc")
+      .as[(String, Long, Long, String, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    val (_, bn, bc, bs, bSimp, bEnc) = got("bal")
+    assert((bn, bc, BigInt(bs)) == ((40L, 4L, BigInt(4 * 100))))
+    assert(bSimp == 400.0 / 1600.0 && bEnc == 4.0)
+    val (_, dn, dc, ds, _, dEnc) = got("dom")
+    assert((dn, dc, BigInt(ds)) == ((40L, 2L, BigInt(36 * 36 + 16))))
+    assert(dEnc > 1.0 && dEnc < 1.3) // 90/10 -> effective ~1.22 classes
+  }
+
   test("mode ≡ brute-force argmax with the smallest-value tie-break") {
     import spark.implicits._
     val rnd = new scala.util.Random(654)
