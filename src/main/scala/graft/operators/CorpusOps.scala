@@ -1175,6 +1175,44 @@ object CorpusOps {
         col("t2").as("item2"), col("t3").as("item3"), col("sup").as("support")))
   }
 
+  /** Pairwise SOURCE-VOCABULARY overlap — the inter-source similarity
+    * matrix ("which feeds duplicate each other's content domain") that
+    * decides whether two sources deserve separate mixing budgets:
+    * exact Jaccard between each pair of sources' distinct-token SETS.
+    *
+    * Never an all-pairs scan: intersections come from the TOKEN-keyed
+    * self-join of the distinct (source, token) table — a token in k
+    * sources contributes C(k,2) pair rows, bounded by source cardinality
+    * squared, not corpus size — and unions close from the per-source
+    * set sizes (|A∪B| = |A| + |B| − |A∩B|). All counts exact longs,
+    * jaccard one IEEE division.
+    *
+    * Output: (src_i < src_j, n_i, n_j, n_inter, n_union, jaccard) — one
+    * row per source pair that SHARES at least one token (disjoint pairs
+    * carry no signal and would make the output |sources|² regardless of
+    * data).
+    */
+  def sourceOverlap(df: DataFrame, textCol: String, sourceCol: String): DataFrame = {
+    val st = df.select(col(sourceCol).as("src"),
+        explode(array_distinct(TextOps.tokens(col(textCol)))).as("tok"))
+      .distinct()
+    val sizes = st.groupBy(col("src")).agg(count(lit(1)).as("sz"))
+    val inter = st.as("a").join(st.as("b"),
+        col("a.tok") === col("b.tok") && col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("src_i"), col("b.src").as("src_j"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(broadcast(sizes.select(col("src").as("src_i"), col("sz").as("n_i"))),
+        Seq("src_i"))
+      .join(broadcast(sizes.select(col("src").as("src_j"), col("sz").as("n_j"))),
+        Seq("src_j"))
+      .select(col("src_i"), col("src_j"), col("n_i"), col("n_j"),
+        col("n_inter"),
+        (col("n_i") + col("n_j") - col("n_inter")).as("n_union"))
+      .withColumn("jaccard", col("n_inter").cast("double") /
+        (col("n_i") + col("n_j") - col("n_inter")).cast("double"))
+  }
+
   /** Per-group CLASS-BALANCE report via Simpson's index — the
     * language/source mix check a multilingual corpus runs before
     * training (a 90%-English corpus with 20 nominal languages is the

@@ -1923,6 +1923,18 @@ object PipelineQueries extends QueryDomain {
         .orderBy($"source")
     },
 
+    "q_source_overlap" -> { (s, dir) =>
+      import s.implicits._
+      // Inter-source vocabulary Jaccard matrix
+      // ([[CorpusOps.sourceOverlap]]): which feeds duplicate each
+      // other's content domain — intersections from the token-keyed
+      // self-join (a token in k sources contributes C(k,2) pair rows,
+      // never an all-pairs source scan), unions closed from per-source
+      // set sizes. Gate #200.
+      CorpusOps.sourceOverlap(docs(s, dir), "text", "source")
+        .orderBy($"src_i", $"src_j")
+    },
+
     "q_simpson" -> { (s, dir) =>
       import s.implicits._
       // Per-source language balance ([[CorpusOps.classBalance]]):
@@ -5036,6 +5048,25 @@ object PipelineQueries extends QueryDomain {
         |UNION ALL SELECT 2, t1, t2, CAST(NULL AS VARCHAR), sup FROM f2
         |UNION ALL SELECT 3, t1, t2, t3, sup FROM f3
         |ORDER BY k, item1, item2, item3""".stripMargin,
+
+    // Source-overlap twin: distinct (source, token), token-keyed
+    // self-join for intersections, sizes close the unions.
+    "q_source_overlap" ->
+      """WITH st AS (SELECT DISTINCT source AS src,
+        |    unnest(list_distinct(string_split(text, ' '))) AS tok
+        |  FROM documents),
+        |sz AS (SELECT src, CAST(count(*) AS BIGINT) AS sz
+        |  FROM st GROUP BY src),
+        |i AS (SELECT a.src AS src_i, b.src AS src_j,
+        |    CAST(count(*) AS BIGINT) AS n_inter
+        |  FROM st a JOIN st b ON a.tok = b.tok AND a.src < b.src
+        |  GROUP BY 1, 2)
+        |SELECT src_i, src_j, x.sz AS n_i, y.sz AS n_j, n_inter,
+        |  CAST(x.sz + y.sz - n_inter AS BIGINT) AS n_union,
+        |  CAST(n_inter AS DOUBLE)
+        |    / CAST(x.sz + y.sz - n_inter AS DOUBLE) AS jaccard
+        |FROM i JOIN sz x ON x.src = src_i JOIN sz y ON y.src = src_j
+        |ORDER BY src_i, src_j""".stripMargin,
 
     // Simpson twin: class counts, decimal Σc², two digit-string
     // divisions (simpson and its inverse).

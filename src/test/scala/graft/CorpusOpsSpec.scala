@@ -823,6 +823,27 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec {
     assert(CorpusOps.frequentItemsets(d, "doc_id", "text", 3).isEmpty)
   }
 
+  test("sourceOverlap ≡ brute-force set Jaccard; disjoint pairs absent") {
+    val docsSeq = Seq(
+      ("s1", "a b c"), ("s1", "c d"),
+      ("s2", "c d e"),
+      ("s3", "x y z"))
+    val got = CorpusOps.sourceOverlap(docsSeq.toDF("source", "text"),
+        "text", "source")
+      .as[(String, String, Long, Long, Long, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    val sets = docsSeq.groupBy(_._1).view
+      .mapValues(_.flatMap(_._2.split(" ")).toSet).toMap
+    val (_, _, n1, n2, ni, nu, j) = got(("s1", "s2"))
+    val (a, b) = (sets("s1"), sets("s2"))
+    assert((n1, n2, ni, nu) == ((a.size.toLong, b.size.toLong,
+      (a & b).size.toLong, (a | b).size.toLong)))
+    assert(j == (a & b).size.toDouble / (a | b).size.toDouble)
+    // s3 shares no token with anyone: no rows
+    assert(!got.keys.exists(k => k._1 == "s3" || k._2 == "s3"))
+    assert(got.size == 1)
+  }
+
   test("vocabGini ≡ brute-force pairwise |ci−cj| definition (tie-heavy data)") {
     val rnd = new scala.util.Random(606)
     val vocab = ('a' to 'h').map(_.toString)
