@@ -1228,7 +1228,10 @@ object CorpusOps {
     * as (18,0)×(19,0) DECIMALs. Scale: two combiner-reduced hash
     * aggregates, state per group = the class cardinality.
     *
-    * Output: (group, n, n_classes, sq_sum, simpson, enc).
+    * Output: (group, n, n_classes, sq_sum — digit string, simpson, enc).
+    * The Σc² pin is exposed as its canonical digit string, not a
+    * DECIMAL(38,0) — the one output type the two engines' hashers
+    * disagreed on (r15 driver drift).
     */
   def classBalance(df: DataFrame, groupCol: String, classCol: String): DataFrame = {
     val counts = df.select(col(groupCol).as("g"), col(classCol).as("cls"))
@@ -1239,7 +1242,8 @@ object CorpusOps {
     counts.groupBy(col("g"))
       .agg(sum(col("c")).as("n"), count(lit(1)).as("n_classes"),
         sum(d18(col("c")) * d19(col("c"))).cast("decimal(38,0)").as("sq_sum"))
-      .select(col("g").as(groupCol), col("n"), col("n_classes"), col("sq_sum"),
+      .select(col("g").as(groupCol), col("n"), col("n_classes"),
+        col("sq_sum").cast("string").as("sq_sum"),
         (dbl(col("sq_sum")) /
           dbl((d18(col("n")) * d19(col("n"))).cast("decimal(38,0)")))
           .as("simpson"),
@@ -1269,8 +1273,10 @@ object CorpusOps {
     * rank window runs over VOCABULARY-level aggregate rows (the
     * [[graft.operators.EvalOps.rocAuc]] shape), never data rows.
     *
-    * Output: (source, m_tokens, total_tokens, gini_num, gini); sources
-    * with m·T = 0 impossible (a row implies a token), m = 1 gives G = 0.
+    * Output: (source, m_tokens, total_tokens, gini_num — digit string,
+    * gini); sources with m·T = 0 impossible (a row implies a token),
+    * m = 1 gives G = 0. The pin is a digit string, not DECIMAL(38,0)
+    * (the r15 driver-drift type — see [[classBalance]]).
     */
   def vocabGini(df: DataFrame, textCol: String, sourceCol: String): DataFrame = {
     val counts = df.select(col(sourceCol).as("src"),
@@ -1291,7 +1297,7 @@ object CorpusOps {
         sum(d19(lit(2L) * col("i") - col("m") - 1L) * d18(col("c")))
           .cast("decimal(38,0)").as("gini_num"))
       .select(col("src").as(sourceCol), col("m_tokens"), col("total_tokens"),
-        col("gini_num"),
+        col("gini_num").cast("string").as("gini_num"),
         (dbl(col("gini_num")) /
           dbl((d18(col("m_tokens")) * d19(col("total_tokens")))
             .cast("decimal(38,0)"))).as("gini"))
@@ -1325,8 +1331,9 @@ object CorpusOps {
     * Single-source corpora (m = 0) report NULL tvd. NULL texts contribute
     * no tokens; a source of only NULL texts emits no row.
     *
-    * Output: (source, n_tokens, m_tokens, tvd_num, tvd), one row per
-    * source.
+    * Output: (source, n_tokens, m_tokens, tvd_num — digit string, tvd),
+    * one row per source. The pin is a digit string, not DECIMAL(38,0)
+    * (the r15 driver-drift type — see [[classBalance]]).
     */
   def tokenDrift(df: DataFrame, textCol: String, sourceCol: String): DataFrame = {
     val tok = df.select(col(sourceCol).as("src"),
@@ -1357,5 +1364,6 @@ object CorpusOps {
         .otherwise(col("tvd_num").cast("string").cast("double") /
           (lit(2.0) * col("n_tokens").cast("double") *
             col("m_tokens").cast("double"))))
+      .withColumn("tvd_num", col("tvd_num").cast("string"))
   }
 }

@@ -740,9 +740,14 @@ object StatOps {
     * division. No data-row sort: the window runs over value-LEVEL rows
     * (the [[EvalOps.rocAuc]] shape).
     *
-    * Output: (group, n, n_kept, trim_sum — integer 10^-scale units,
-    * trimmed_mean — in original units). Groups trimmed to nothing
-    * (n ≤ 2·⌊n·p⌋) report NULL mean. Requires trimNum/trimDen < 1/2.
+    * Output: (group, n, n_kept, trim_sum — integer 10^-scale units as a
+    * DIGIT STRING, trimmed_mean — in original units). Groups trimmed to
+    * nothing (n ≤ 2·⌊n·p⌋) report NULL mean. Requires trimNum/trimDen
+    * < 1/2. The pin is exposed as its canonical digit string, not a
+    * DECIMAL(38,0): width-38 decimal output columns are the one type the
+    * two engines' hashers disagreed on (r15 driver drift — the third
+    * oracle-environment type hop after r10's quantile and float-render
+    * families); the decimal→VARCHAR cast is bit-specified on both.
     */
   def trimmedMean(df: DataFrame, groupCol: String, valueCol: String,
       trimNum: Int, trimDen: Int, scale: Int = 4): DataFrame = {
@@ -773,7 +778,7 @@ object StatOps {
         sum(d18(col("keep")) * d19(col("v"))).cast("decimal(38,0)")
           .as("trim_sum"))
       .select(col("grp").as(groupCol), col("n"), col("n_kept"),
-        col("trim_sum"),
+        col("trim_sum").cast("string").as("trim_sum"),
         when(col("n_kept") === 0L, lit(null).cast("double"))
           .otherwise(dbl(col("trim_sum")) /
             (col("n_kept").cast("double") * lit(unit))).as("trimmed_mean"))
@@ -833,7 +838,11 @@ object StatOps {
         sum(d18(col("ux")) * d19(col("ux"))).cast("decimal(38,0)").as("sxx"),
         sum(d18(col("uy")) * d19(col("uy"))).cast("decimal(38,0)").as("syy"))
       .select(col("g").as(groupCol), col("n"),
-        col("sxy"), col("sxx"), col("syy"),
+        // Pins exposed as digit strings, not DECIMAL(38,0) — see
+        // [[trimmedMean]]'s r15 drift note.
+        col("sxy").cast("string").as("sxy"),
+        col("sxx").cast("string").as("sxx"),
+        col("syy").cast("string").as("syy"),
         when(col("sxx") === 0 || col("syy") === 0, lit(null).cast("double"))
           .otherwise(dbl(col("sxy")) /
             sqrt(dbl(col("sxx")) * dbl(col("syy")))).as("rho"))

@@ -185,7 +185,9 @@ object TimeSeriesOps {
     *
     * Degenerate keys (constant series ⇒ zero denominator, or n ≤ L)
     * report NULL r_L; their pinned integer sums still gate. Output:
-    * (keys…, n, acf_den, c1..c`maxLag`, r1..r`maxLag`).
+    * (keys…, n, acf_den, c1..c`maxLag`, r1..r`maxLag`), with the pinned
+    * sums exposed as DIGIT STRINGS (not DECIMAL(38,0) — the r15 driver
+    * drift type; see [[fanoFactor]]).
     */
   /** Per-key burstiness — the FANO FACTOR (variance-to-mean ratio) of
     * per-window event counts: F = 1 for a Poisson arrival process, > 1
@@ -205,7 +207,12 @@ object TimeSeriesOps {
     * hash aggregates ((key, window) then key), no window function at all.
     *
     * Output: (keys…, n_windows, n_events, fano_num, fano_den, fano);
-    * single-window keys are fine (F = 0 when n = 1 ⇒ num = 0).
+    * single-window keys are fine (F = 0 when n = 1 ⇒ num = 0). The
+    * integer pins are exposed as DIGIT STRINGS, not DECIMAL(38,0) — the
+    * one output type the two engines' hashers disagreed on (r15 driver
+    * drift); the decimal→string cast is canonical on both. fano guards
+    * the (unreachable on non-empty keys, but contract-stated) zero
+    * denominator with NULL, matching the streaming twin.
     */
   def fanoFactor(
       df: DataFrame,
@@ -237,7 +244,11 @@ object TimeSeriesOps {
           .cast("decimal(38,0)").as("fano_num") :+
         (d18(col("n_windows")) * d19(col("n_events")))
           .cast("decimal(38,0)").as("fano_den")): _*)
-      .withColumn("fano", dbl(col("fano_num")) / dbl(col("fano_den")))
+      .withColumn("fano",
+        when(col("fano_den") === 0, lit(null).cast("double"))
+          .otherwise(dbl(col("fano_num")) / dbl(col("fano_den"))))
+      .withColumn("fano_num", col("fano_num").cast("string"))
+      .withColumn("fano_den", col("fano_den").cast("string"))
   }
 
   def acf(
@@ -273,11 +284,14 @@ object TimeSeriesOps {
     val agg = withLeads.groupBy(keys: _*)
       .agg(max(col("graft_n")).as("n"), aggs: _*)
     def dbl(c: Column) = c.cast("string").cast("double")
-    (1 to maxLag).foldLeft(agg) { (d, lag) =>
+    val withR = (1 to maxLag).foldLeft(agg) { (d, lag) =>
       d.withColumn(s"r$lag",
         when(col("acf_den") === 0 || col("n") <= lag,
           lit(null).cast("double"))
           .otherwise(dbl(col(s"c$lag")) / dbl(col("acf_den"))))
+    }
+    ("acf_den" +: (1 to maxLag).map(l => s"c$l")).foldLeft(withR) {
+      (d, c) => d.withColumn(c, col(c).cast("string"))
     }
   }
 }

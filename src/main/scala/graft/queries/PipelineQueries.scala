@@ -3797,7 +3797,8 @@ object PipelineQueries extends QueryDomain {
         |    CAST(SUM(CAST(keep AS DECIMAL(18,0)) * CAST(v AS DECIMAL(19,0)))
         |      AS DECIMAL(38,0)) AS trim_sum
         |  FROM k GROUP BY grp)
-        |SELECT grp AS event_type, n, n_kept, trim_sum,
+        |SELECT grp AS event_type, n, n_kept,
+        |  CAST(trim_sum AS VARCHAR) AS trim_sum,
         |  CASE WHEN n_kept = 0 THEN NULL
         |    ELSE CAST(CAST(trim_sum AS VARCHAR) AS DOUBLE)
         |      / (CAST(n_kept AS DOUBLE) * 10000.0) END AS trimmed_mean
@@ -3805,6 +3806,8 @@ object PipelineQueries extends QueryDomain {
 
     // Fano twin: per-hour counts (floor-div on the µs clock), integer
     // moments, (18,0)×(19,0) decimal cross-products, digit-string double.
+    // Pins exposed as VARCHAR digit strings (the r15 DECIMAL(38,0)
+    // driver-drift fix); zero denominator guarded like the stream twin.
     "q_burstiness" ->
       """WITH e AS (SELECT event_type,
         |    epoch_ns(ts) // 1000 // 3600000000 AS w FROM events),
@@ -3813,20 +3816,21 @@ object PipelineQueries extends QueryDomain {
         |a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_windows,
         |    CAST(sum(c) AS BIGINT) AS n_events,
         |    CAST(sum(c * c) AS BIGINT) AS cc
-        |  FROM c GROUP BY event_type)
+        |  FROM c GROUP BY event_type),
+        |p AS (SELECT event_type, n_windows, n_events,
+        |    CAST(CAST(n_windows AS DECIMAL(18,0)) * CAST(cc AS DECIMAL(19,0))
+        |      - CAST(n_events AS DECIMAL(18,0)) * CAST(n_events AS DECIMAL(19,0))
+        |      AS DECIMAL(38,0)) AS num,
+        |    CAST(CAST(n_windows AS DECIMAL(18,0))
+        |      * CAST(n_events AS DECIMAL(19,0)) AS DECIMAL(38,0)) AS den
+        |  FROM a)
         |SELECT event_type, n_windows, n_events,
-        |  CAST(CAST(n_windows AS DECIMAL(18,0)) * CAST(cc AS DECIMAL(19,0))
-        |    - CAST(n_events AS DECIMAL(18,0)) * CAST(n_events AS DECIMAL(19,0))
-        |    AS DECIMAL(38,0)) AS fano_num,
-        |  CAST(CAST(n_windows AS DECIMAL(18,0))
-        |    * CAST(n_events AS DECIMAL(19,0)) AS DECIMAL(38,0)) AS fano_den,
-        |  CAST(CAST(CAST(CAST(n_windows AS DECIMAL(18,0)) * CAST(cc AS DECIMAL(19,0))
-        |    - CAST(n_events AS DECIMAL(18,0)) * CAST(n_events AS DECIMAL(19,0))
-        |    AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE)
-        |  / CAST(CAST(CAST(CAST(n_windows AS DECIMAL(18,0))
-        |    * CAST(n_events AS DECIMAL(19,0)) AS DECIMAL(38,0)) AS VARCHAR)
-        |    AS DOUBLE) AS fano
-        |FROM a ORDER BY event_type""".stripMargin,
+        |  CAST(num AS VARCHAR) AS fano_num,
+        |  CAST(den AS VARCHAR) AS fano_den,
+        |  CASE WHEN den = 0 THEN NULL
+        |    ELSE CAST(CAST(num AS VARCHAR) AS DOUBLE)
+        |      / CAST(CAST(den AS VARCHAR) AS DOUBLE) END AS fano
+        |FROM p ORDER BY event_type""".stripMargin,
 
     // ACF twin: same integer centering u = n·v − S, same (18,0)×(19,0)
     // decimal products (int128 in DuckDB), doubles via digit strings.
@@ -3851,10 +3855,10 @@ object PipelineQueries extends QueryDomain {
         |    COALESCE(SUM(CAST(u AS DECIMAL(18,0)) * CAST(u3 AS DECIMAL(19,0))), 0) AS c3
         |  FROM l GROUP BY event_type)
         |SELECT event_type, CAST(n AS BIGINT) AS n,
-        |  CAST(den AS DECIMAL(38,0)) AS acf_den,
-        |  CAST(c1 AS DECIMAL(38,0)) AS c1,
-        |  CAST(c2 AS DECIMAL(38,0)) AS c2,
-        |  CAST(c3 AS DECIMAL(38,0)) AS c3,
+        |  CAST(CAST(den AS DECIMAL(38,0)) AS VARCHAR) AS acf_den,
+        |  CAST(CAST(c1 AS DECIMAL(38,0)) AS VARCHAR) AS c1,
+        |  CAST(CAST(c2 AS DECIMAL(38,0)) AS VARCHAR) AS c2,
+        |  CAST(CAST(c3 AS DECIMAL(38,0)) AS VARCHAR) AS c3,
         |  CASE WHEN den = 0 OR n <= 1 THEN NULL
         |    ELSE CAST(CAST(c1 AS VARCHAR) AS DOUBLE)
         |      / CAST(CAST(den AS VARCHAR) AS DOUBLE) END AS r1,
@@ -5078,7 +5082,8 @@ object PipelineQueries extends QueryDomain {
         |    CAST(SUM(CAST(c AS DECIMAL(18,0)) * CAST(c AS DECIMAL(19,0)))
         |      AS DECIMAL(38,0)) AS sq_sum
         |  FROM c GROUP BY g)
-        |SELECT g AS source, n, n_classes, sq_sum,
+        |SELECT g AS source, n, n_classes,
+        |  CAST(sq_sum AS VARCHAR) AS sq_sum,
         |  CAST(CAST(sq_sum AS VARCHAR) AS DOUBLE)
         |    / CAST(CAST(CAST(CAST(n AS DECIMAL(18,0)) * CAST(n AS DECIMAL(19,0))
         |        AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE) AS simpson,
@@ -5104,7 +5109,8 @@ object PipelineQueries extends QueryDomain {
         |    CAST(SUM(CAST(2*i - m - 1 AS DECIMAL(19,0))
         |      * CAST(c AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS gini_num
         |  FROM r GROUP BY src)
-        |SELECT src AS source, m_tokens, total_tokens, gini_num,
+        |SELECT src AS source, m_tokens, total_tokens,
+        |  CAST(gini_num AS VARCHAR) AS gini_num,
         |  CAST(CAST(gini_num AS VARCHAR) AS DOUBLE)
         |    / CAST(CAST(CAST(CAST(m_tokens AS DECIMAL(18,0))
         |        * CAST(total_tokens AS DECIMAL(19,0)) AS DECIMAL(38,0))
@@ -5159,7 +5165,10 @@ object PipelineQueries extends QueryDomain {
         |    CAST(SUM(CAST(uy AS DECIMAL(18,0)) * CAST(uy AS DECIMAL(19,0)))
         |      AS DECIMAL(38,0)) AS syy
         |  FROM u GROUP BY g)
-        |SELECT g AS lang, n, sxy, sxx, syy,
+        |SELECT g AS lang, n,
+        |  CAST(sxy AS VARCHAR) AS sxy,
+        |  CAST(sxx AS VARCHAR) AS sxx,
+        |  CAST(syy AS VARCHAR) AS syy,
         |  CASE WHEN sxx = 0 OR syy = 0 THEN NULL
         |    ELSE CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
         |      / sqrt(CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
@@ -5191,7 +5200,7 @@ object PipelineQueries extends QueryDomain {
         |      AS tvd_num
         |  FROM pres JOIN ns USING (src) CROSS JOIN ttot)
         |SELECT src AS source, n AS n_tokens, CAST(m AS BIGINT) AS m_tokens,
-        |  tvd_num,
+        |  CAST(tvd_num AS VARCHAR) AS tvd_num,
         |  CASE WHEN m = 0 THEN NULL
         |    ELSE CAST(CAST(tvd_num AS VARCHAR) AS DOUBLE)
         |      / (2.0 * CAST(n AS DOUBLE) * CAST(m AS DOUBLE)) END AS tvd

@@ -884,7 +884,7 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec {
   test("tokenDrift: single-source corpus reports NULL tvd; null text drops") {
     val docs = Seq(("only", Some("x y")), ("only", None)).toDF("source", "text")
     val got = CorpusOps.tokenDrift(docs, "text", "source")
-      .as[(String, Long, Long, java.math.BigDecimal, Option[Double])].head()
+      .as[(String, Long, Long, String, Option[Double])].head()
     assert(got._2 == 2L && got._3 == 0L && got._5.isEmpty)
   }
 }
