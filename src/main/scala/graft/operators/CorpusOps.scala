@@ -1140,12 +1140,43 @@ object CorpusOps {
     *
     * Output: (k 1..3, item1, item2, item3, support) — item2/item3 NULL
     * below their size; one row per frequent itemset.
+    *
+    * Shared-subtree memos (r15 ADVICE): the tokenized doc sets feed F1 AND
+    * the F1-pruned explode; the candidate-pair stream feeds F2 AND the
+    * triple generator; F2 feeds three consumers. The lazy localCheckpoints
+    * make each computed exactly once (plan audit: zero parquet re-scans
+    * after the memo). Honestly measured at sf0.1: wall time is ~unchanged
+    * (~4.4 s warm — the cost is the intrinsic C(k,2)/triple candidate
+    * work, not recomputation), but at scale the memo removes the
+    * re-tokenize of the full corpus per Apriori level. All memos are
+    * corpus-linear or smaller.
     */
   def frequentItemsets(docs: DataFrame, idCol: String, textCol: String,
-      minSupport: Int): DataFrame = {
+      minSupport: Int): DataFrame =
+    itemsetsFrom(tokenSets(docs, idCol, textCol), minSupport)
+
+  /** [[frequentItemsets]] with RELATIVE support ⌊docs·supNum/supDen⌋
+    * (min 1): folds the caller's separate doc-count scan into the staged
+    * memo — the count action materializes the tokenized sets once and
+    * every Apriori level reuses them. */
+  def frequentItemsetsRel(docs: DataFrame, idCol: String, textCol: String,
+      supNum: Int, supDen: Int): DataFrame = {
+    require(supNum >= 1 && supDen >= supNum,
+      s"need 1 <= supNum <= supDen, got $supNum/$supDen")
+    val base = tokenSets(docs, idCol, textCol)
+    val minSupport = math.max(1L, base.count() * supNum / supDen).toInt
+    itemsetsFrom(base, minSupport)
+  }
+
+  private def tokenSets(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol).as("fi_id"),
+        array_distinct(TextOps.tokens(col(textCol))).as("toks"))
+      .localCheckpoint(eager = false)
+
+  private def itemsetsFrom(base: DataFrame, minSupport: Int): DataFrame = {
     require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
-    val items = docs.select(col(idCol).as("fi_id"),
-      explode(array_distinct(TextOps.tokens(col(textCol)))).as("tok"))
+    val items = base.select(col("fi_id"), explode(col("toks")).as("tok"))
     val f1 = items.groupBy(col("tok")).agg(count(lit(1)).as("sup"))
       .filter(col("sup") >= minSupport)
     val e = items.join(f1.select(col("tok")), Seq("tok"))
@@ -1153,9 +1184,11 @@ object CorpusOps {
         col("a.fi_id") === col("b.fi_id") && col("a.tok") < col("b.tok"))
       .select(col("a.fi_id").as("fi_id"),
         col("a.tok").as("t1"), col("b.tok").as("t2"))
+      .localCheckpoint(eager = false)
     val f2 = docPairs.groupBy(col("t1"), col("t2"))
       .agg(count(lit(1)).as("sup"))
       .filter(col("sup") >= minSupport)
+      .localCheckpoint(eager = false)
     val fp = docPairs.join(f2.select(col("t1"), col("t2")), Seq("t1", "t2"))
     val cand3 = fp.as("x").join(fp.as("y"),
         col("x.fi_id") === col("y.fi_id") && col("x.t2") === col("y.t1"))

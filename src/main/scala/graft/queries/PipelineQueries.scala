@@ -1875,10 +1875,9 @@ object PipelineQueries extends QueryDomain {
       // so the oracle's unpruned self-join definition must match
       // exactly. Support = 60% of the corpus — exactly the oracle's
       // literal 300 at both gate SFs (500 docs each) and the realistic
-      // RELATIVE threshold at bench scale (one count job).
-      val d = docs(s, dir)
-      CorpusOps.frequentItemsets(d, "doc_id", "text",
-        minSupport = (d.count() * 3L / 5L).toInt)
+      // RELATIVE threshold at bench scale; the count action doubles as
+      // the tokenized-set memo's materializer (no separate scan).
+      CorpusOps.frequentItemsetsRel(docs(s, dir), "doc_id", "text", 3, 5)
         .orderBy($"k", $"item1", $"item2", $"item3")
     },
 
