@@ -158,7 +158,11 @@ object EvalOps {
       .agg(
         count(lit(1)).as("n"),
         sum(col("__graft_lab")).as("n_pos"),
-        (sum(col(scoreCol).cast("long")).cast("double") /
+        // Decimal-exact sum (the Tables.davg shape): a LONG cast would
+        // truncate fractional scores row-by-row — 0.5 would report a
+        // bin mean of 0.0 — while decimal(18,4) keeps the documented
+        // "integers or decimals" contract exact (r15 ADVICE).
+        (sum(col(scoreCol).cast("decimal(18,4)")).cast("double") /
           count(lit(1)).cast("double")).as("mean_score"),
         (sum(col("__graft_lab")).cast("double") /
           count(lit(1)).cast("double")).as("pos_rate"))

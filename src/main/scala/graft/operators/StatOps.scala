@@ -42,7 +42,10 @@ object StatOps {
     val z = when(col("sigma") === 0.0, lit(0.0))
       .otherwise((vq.cast("double") - col("mean")) / col("sigma"))
     val w = Window.partitionBy(col(groupCol)).orderBy(abs(col("z")).desc, col(idCol).asc)
-    df.join(broadcast(withSigma), col(groupCol) === col("graft_g"))
+    // Null-safe <=> (the temperatureSample convention): rows with a NULL
+    // group key form their own group and stay in the output — a plain ===
+    // would silently drop them (r15 ADVICE).
+    df.join(broadcast(withSigma), col(groupCol) <=> col("graft_g"))
       .withColumn("z", z)
       .withColumn("rnk", row_number().over(w).cast("int"))
       .filter(col("rnk") <= k)
@@ -607,14 +610,16 @@ object StatOps {
     * divide), so the scaled column itself hash-gates. Constant groups
     * (max = min) scale to 0.0 (the sklearn convention); NULL values
     * pass through NULL. One per-group bounds aggregate broadcast back —
-    * the value stream itself never shuffles.
+    * the value stream itself never shuffles. Rows with a NULL group key
+    * form their own group (null-safe <=> join, the temperatureSample
+    * convention) so "the input plus scaled column" holds row-for-row.
     *
     * Output: the input plus `scaled` DOUBLE.
     */
   def minMaxScale(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
     val b = df.groupBy(col(groupCol).as("graft_g"))
       .agg(min(col(valueCol)).as("graft_lo"), max(col(valueCol)).as("graft_hi"))
-    df.join(broadcast(b), col(groupCol) === col("graft_g"))
+    df.join(broadcast(b), col(groupCol) <=> col("graft_g"))
       .withColumn("scaled",
         when(col(valueCol).isNull, lit(null).cast("double"))
           .when(col("graft_hi") === col("graft_lo"), lit(0.0))

@@ -4942,7 +4942,8 @@ object PipelineQueries extends QueryDomain {
         |    WHEN hi = lo THEN 0.0
         |    ELSE (CAST(value AS DOUBLE) - CAST(lo AS DOUBLE))
         |      / (CAST(hi AS DOUBLE) - CAST(lo AS DOUBLE)) END AS scaled
-        |FROM events e JOIN b USING (event_type)
+        |FROM events e JOIN b
+        |  ON e.event_type IS NOT DISTINCT FROM b.event_type
         |ORDER BY event_id""".stripMargin,
 
     // Mode twin: level counts, ROW_NUMBER by (count DESC, value ASC) —
@@ -5350,7 +5351,7 @@ object PipelineQueries extends QueryDomain {
         |z AS (SELECT e.event_id, e.event_type,
         |    CASE WHEN sigma = 0 THEN 0.0
         |         ELSE (CAST(vq AS DOUBLE) - mean) / sigma END AS z
-        |  FROM e JOIN s USING (event_type)),
+        |  FROM e JOIN s ON e.event_type IS NOT DISTINCT FROM s.event_type),
         |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
         |    ORDER BY abs(z) DESC, event_id) AS rnk FROM z)
         |SELECT event_type, CAST(rnk AS INT) AS rnk, event_id, z FROM r

@@ -19,7 +19,11 @@ import org.apache.spark.sql.types.{StringType, StructType}
   *
   * Scale posture: the parse is per-row (splittable text scan), the DLQ
   * write is one extra pass over the cached rows, and the returned frame
-  * is a plain typed scan downstream operators prune/push into as usual.
+  * is a materialized local checkpoint of the good rows — the parse cache
+  * itself is unpersisted before returning (r15 ADVICE: a long-running
+  * session ingesting many feeds must not accumulate a pinned cached copy
+  * of every input), and the checkpoint's blocks free with the returned
+  * frame's lifetime instead of requiring a manual unpersist.
   */
 object Quarantine {
 
@@ -37,6 +41,12 @@ object Quarantine {
       .cache()
     raw.filter(col("_corrupt").isNotNull).select(col("_corrupt"))
       .write.mode("overwrite").text(dlqPath)
-    raw.filter(col("_corrupt").isNull).drop("_corrupt")
+    // Eager localCheckpoint: materializes the good rows (their lineage no
+    // longer filters the corrupt column, so the cache is no longer load-
+    // bearing), then release the parse cache immediately.
+    val good = raw.filter(col("_corrupt").isNull).drop("_corrupt")
+      .localCheckpoint()
+    raw.unpersist()
+    good
   }
 }

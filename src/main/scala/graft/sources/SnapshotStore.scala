@@ -18,9 +18,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * The manifest is a plain text file `manifest-v{N}.txt` (one
   * `data/`-relative file path per line — deliberately dependency-free,
-  * like [[graft.cli.IniConfig]]); atomicity comes from writing to a
-  * `.tmp` name and `FileSystem.rename` — atomic on POSIX and HDFS, the
-  * same primitive Spark's own `FileOutputCommitter` v1 relies on.
+  * like [[graft.cli.IniConfig]]); the commit point is an EXCLUSIVE
+  * `create(path, overwrite = false)` of the final manifest name. Create
+  * is the one primitive that arbitrates a same-version race atomically on
+  * BOTH HDFS (namenode-atomic) and the local filesystem (O_CREAT|O_EXCL)
+  * — a `.tmp` + `rename` protocol is atomic on HDFS but local
+  * `rename(2)` silently REPLACES an existing destination, so two
+  * concurrent publishers of the same version would both "succeed" and
+  * the loser's committed files would quietly orphan. With exclusive
+  * create the loser throws. The manifest body is one small buffered
+  * write + close (HDFS readers cannot observe pre-close bytes; on local
+  * FS the partial-visibility window is a single write syscall), and a
+  * publisher that dies between create and close leaves a LOUDLY broken
+  * version — `read` rejects an empty manifest — never a silent one.
   *
   * Scale posture: `publish` is one Spark write job plus an O(#files)
   * listing of its OWN output subdirectory (never the table root);
@@ -68,13 +78,18 @@ object SnapshotStore {
       .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
       .sorted
       .map(n => s"$sub/$n")
-    val tmp = new Path(dir, s".manifest-v$next.tmp")
-    val out = f.create(tmp, true)
+    // Exclusive create IS the commit point (see class doc): a concurrent
+    // publisher that computed the same version fails HERE, loudly, on
+    // every filesystem; its data files stay invisible orphans for vacuum.
+    val out =
+      try f.create(manifestPath(dir, next), false)
+      catch {
+        case e: java.io.IOException =>
+          throw new IllegalStateException(
+            s"snapshot publish lost the race for version $next of $dir", e)
+      }
     try out.write(files.mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
-    if (!f.rename(tmp, manifestPath(dir, next)))
-      throw new IllegalStateException(
-        s"snapshot publish lost the race for version $next of $dir")
     next
   }
 

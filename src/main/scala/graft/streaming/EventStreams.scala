@@ -62,11 +62,19 @@ object EventStreams {
       userId: Long, startEpoch: Long, endEpoch: Long,
       nEvents: Long, nPurchases: Long, totalValue: Double)
 
+  /** An out-of-order (straggler) session chain carried in state until its
+    * watermark deadline passes — see [[sessionize]]'s straggler contract.
+    */
+  final case class StragglerChain(
+      startEpoch: Long, endEpoch: Long, nEvents: Long, nPurchases: Long, totalValue: Double)
+
   /** Keyed state carried between micro-batches (public: encoders codegen
-    * against its accessors).
+    * against its accessors). `straggler` is the one pending out-of-order
+    * chain from BEFORE the open session's period.
     */
   final case class SessionState(
-      startEpoch: Long, endEpoch: Long, nEvents: Long, nPurchases: Long, totalValue: Double)
+      startEpoch: Long, endEpoch: Long, nEvents: Long, nPurchases: Long, totalValue: Double,
+      straggler: Option[StragglerChain] = None)
 
   /** Gap-based sessionization with explicit keyed state
     * (`flatMapGroupsWithState` + event-time timeout): events for a user
@@ -74,8 +82,18 @@ object EventStreams {
     * closes and emits it inline, and a session idle past the gap closes when
     * the WATERMARK passes its deadline (event-time, not processing-time —
     * a processing-time timeout would spin empty micro-batches forever on an
-    * idle stream). State per user is O(1) (five counters), so executor
+    * idle stream). State per user is O(1) (two five-counter chains: the
+    * open session plus at most one pending out-of-order chain), so executor
     * memory is bounded by active-user cardinality, not event volume.
+    *
+    * Out-of-order contract: an in-watermark event older than the open
+    * session's period by more than the gap folds into a pending chain that
+    * is carried ACROSS micro-batches until the watermark passes its
+    * deadline (or it bridges into the open session) — batch-equivalent
+    * output even when such a chain spans two micro-batches. The single
+    * corner that can still split vs the batch twin is TWO simultaneous
+    * pending chains for one user (disorder deeper than one gap-separated
+    * chain), where the earlier chain is emitted immediately.
     */
   def sessionize(
       events: Dataset[SessionEvent],
@@ -91,38 +109,58 @@ object EventStreams {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, rows: Iterator[SessionEvent], state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
-            val closed = state.getOption.map(s =>
-              SessionOut(userId, s.startEpoch, s.endEpoch, s.nEvents, s.nPurchases, s.totalValue))
+            val closed = state.getOption.toSeq.flatMap { s =>
+              s.straggler.map(p => SessionOut(userId, p.startEpoch, p.endEpoch,
+                p.nEvents, p.nPurchases, p.totalValue)).toSeq :+
+                SessionOut(userId, s.startEpoch, s.endEpoch,
+                  s.nEvents, s.nPurchases, s.totalValue)
+            }
             state.remove()
             closed.iterator
           } else {
             val out = Seq.newBuilder[SessionOut]
+            val prev = state.getOption
             // Within a micro-batch events may arrive unsorted; order before
             // folding so gap detection matches the batch operator.
-            var cur = state.getOption
+            var cur = prev.map(s => StragglerChain(
+              s.startEpoch, s.endEpoch, s.nEvents, s.nPurchases, s.totalValue))
             // Stragglers from BEFORE the open session's period (late by more
             // than the gap) cannot join it — absorbing one would drag the
             // session start across a real gap. They fold into their own
-            // session chain (consecutive in-gap stragglers merge, as the
-            // batch operator would), closed at batch end.
-            var straggler: Option[SessionState] = None
-            def closeStraggler(): Unit = {
-              straggler.foreach(st => out += SessionOut(
-                userId, st.startEpoch, st.endEpoch, st.nEvents, st.nPurchases, st.totalValue))
-              straggler = None
-            }
+            // chain, CARRIED IN KEYED STATE across micro-batches (r15
+            // ADVICE: closing at batch end split an in-watermark session
+            // spanning two batches that the batch operator would merge) and
+            // emitted only when the watermark passes the chain's deadline.
+            // One slot is carried; the corner where disorder sustains TWO
+            // simultaneous pending chains emits the earlier at once — the
+            // one remaining (documented) divergence from the batch twin.
+            var straggler = prev.flatMap(_.straggler)
+            def emit(p: StragglerChain): Unit = out += SessionOut(
+              userId, p.startEpoch, p.endEpoch, p.nEvents, p.nPurchases, p.totalValue)
+            def one(e: SessionEvent) = StragglerChain(
+              e.epochSec, e.epochSec, 1, if (e.isPurchase) 1 else 0, e.value)
             rows.toSeq.sortBy(e => (e.epochSec, e.isPurchase, e.value)).foreach { e =>
               cur match {
                 case Some(s) if e.epochSec < s.startEpoch - gapSec =>
                   straggler match {
-                    case Some(st) if e.epochSec - st.endEpoch <= gapSec =>
-                      straggler = Some(SessionState(
-                        st.startEpoch, math.max(st.endEpoch, e.epochSec), st.nEvents + 1,
-                        st.nPurchases + (if (e.isPurchase) 1 else 0), st.totalValue + e.value))
-                    case _ =>
-                      closeStraggler()
-                      straggler = Some(SessionState(
-                        e.epochSec, e.epochSec, 1, if (e.isPurchase) 1 else 0, e.value))
+                    case Some(st) if e.epochSec >= st.startEpoch - gapSec &&
+                        e.epochSec <= st.endEpoch + gapSec =>
+                      // Two-sided test: a carried chain can receive a yet-
+                      // EARLIER in-gap event from a later micro-batch.
+                      straggler = Some(StragglerChain(
+                        math.min(st.startEpoch, e.epochSec),
+                        math.max(st.endEpoch, e.epochSec), st.nEvents + 1,
+                        st.nPurchases + (if (e.isPurchase) 1 else 0),
+                        st.totalValue + e.value))
+                    case Some(st) =>
+                      // Second simultaneous chain: keep the later (still the
+                      // likelier to bridge toward the open session), emit
+                      // the earlier immediately.
+                      val fresh = one(e)
+                      if (st.endEpoch <= fresh.endEpoch) { emit(st); straggler = Some(fresh) }
+                      else emit(fresh)
+                    case None =>
+                      straggler = Some(one(e))
                   }
                 case Some(s) if e.epochSec - s.endEpoch <= gapSec =>
                   // min/max, not assignment: with watermarkDelaySec > 0 a
@@ -131,24 +169,46 @@ object EventStreams {
                   // would move the session end backwards and corrupt the
                   // next gap test (in-batch events are sorted, cross-batch
                   // ones are not).
-                  cur = Some(SessionState(
+                  cur = Some(StragglerChain(
                     math.min(s.startEpoch, e.epochSec), math.max(s.endEpoch, e.epochSec),
                     s.nEvents + 1,
                     s.nPurchases + (if (e.isPurchase) 1 else 0), s.totalValue + e.value))
                 case Some(s) =>
-                  out += SessionOut(userId, s.startEpoch, s.endEpoch, s.nEvents, s.nPurchases, s.totalValue)
-                  cur = Some(SessionState(
-                    e.epochSec, e.epochSec, 1, if (e.isPurchase) 1 else 0, e.value))
+                  emit(s)
+                  cur = Some(one(e))
                 case None =>
-                  cur = Some(SessionState(
-                    e.epochSec, e.epochSec, 1, if (e.isPurchase) 1 else 0, e.value))
+                  cur = Some(one(e))
               }
             }
-            closeStraggler()
+            // Bridge: events this batch may have extended the open session
+            // back to within the gap of the pending chain — the batch
+            // operator would see one session, so merge them.
+            (straggler, cur) match {
+              case (Some(st), Some(s)) if s.startEpoch - st.endEpoch <= gapSec =>
+                cur = Some(StragglerChain(
+                  math.min(st.startEpoch, s.startEpoch),
+                  math.max(st.endEpoch, s.endEpoch),
+                  st.nEvents + s.nEvents, st.nPurchases + s.nPurchases,
+                  st.totalValue + s.totalValue))
+                straggler = None
+              case _ => ()
+            }
+            // A pending chain whose deadline the watermark has passed is
+            // FINAL: any event that could still merge into it would be
+            // dropped by the watermark before reaching this operator.
+            straggler.foreach { st =>
+              if (state.getCurrentWatermarkMs() > (st.endEpoch + gapSec) * 1000L) {
+                emit(st)
+                straggler = None
+              }
+            }
             cur.foreach { s =>
-              state.update(s)
+              state.update(SessionState(
+                s.startEpoch, s.endEpoch, s.nEvents, s.nPurchases, s.totalValue, straggler))
               // Close when the watermark passes end-of-session + gap (the
               // deadline must sit strictly above the current watermark).
+              // The pending chain is strictly earlier, so its deadline is
+              // covered by the session's.
               state.setTimeoutTimestamp(math.max(
                 (s.endEpoch + gapSec) * 1000L + 1,
                 state.getCurrentWatermarkMs() + 1))

@@ -147,6 +147,15 @@ class EvalOpsSpec extends AnyFunSuite with SparkSpec {
     assert(sizes.max - sizes.min <= 1 && sizes.sum == n.toLong)
   }
 
+  test("calibrationBins: fractional scores keep an exact decimal bin mean") {
+    // r15 ADVICE: the old LONG cast truncated each 0.5 to 0 row-by-row.
+    val d = Seq((1L, 0.5, 1L), (2L, 0.5, 0L), (3L, 1.5, 1L), (4L, 2.5, 1L))
+      .toDF("id", "score", "lab")
+    val got = EvalOps.calibrationBins(d, "score", "lab", Seq($"id"), k = 2)
+      .as[(Int, Long, Long, Double, Double)].collect().toSeq
+    assert(got == Seq((0, 2L, 1L, 0.5, 0.5), (1, 2L, 2L, 2.0, 1.0)), s"got $got")
+  }
+
   test("dsirWeights ≡ driver-side reference with the same hash and bit-lengths") {
     val prime = 1000000007L
     def polyHash(s: String): Long =

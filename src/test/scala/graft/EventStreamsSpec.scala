@@ -390,7 +390,7 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
-  test("a straggler from before the session's period closes as its own singleton") {
+  test("stragglers are CARRIED across micro-batches and merge before closing") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
     val input = MemoryStream[SessionEvent]
@@ -403,24 +403,36 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
       q.processAllAvailable()
       // t=1000/1100 are a full gap BEFORE the open session's start: they
       // must not be absorbed (that would drag the session start across a
-      // real gap) — and being within the gap of EACH OTHER they fold into
-      // ONE straggler session, as the batch operator would produce.
+      // real gap) — they fold into ONE pending chain, carried in state
+      // (NOT closed at batch end: a later in-watermark batch may extend it).
       input.addData(
         SessionEvent(1L, 1000L, isPurchase = true, 2.0),
         SessionEvent(1L, 1100L, isPurchase = false, 1.0))
       q.processAllAvailable()
-      val afterStraggler = spark.table("sess_straggler").as[SessionOut].collect().toSeq
-      assert(afterStraggler == Seq(SessionOut(1L, 1000L, 1100L, 2L, 1L, 3.0)),
-        s"consecutive stragglers must close as one merged session, got $afterStraggler")
-      // the open session is untouched: closes later with its true bounds
-      input.addData(SessionEvent(1L, 9000L, isPurchase = false, 0.0))
+      assert(spark.table("sess_straggler").isEmpty,
+        "an in-watermark pending chain must not close at batch end")
+      // Next micro-batch delivers 1200 — within the gap of the CARRIED
+      // chain: it must merge (the r15-ADVICE case the batch twin merges).
+      input.addData(SessionEvent(1L, 1200L, isPurchase = false, 1.0))
+      q.processAllAvailable()
+      assert(spark.table("sess_straggler").isEmpty)
+      // A forward gap closes the open session inline; the chain still
+      // waits on the watermark.
+      input.addData(SessionEvent(1L, 99000L, isPurchase = false, 0.0))
+      q.processAllAvailable()
+      val afterMain = spark.table("sess_straggler").as[SessionOut].collect().toSeq
+      assert(afterMain == Seq(SessionOut(1L, 5000L, 5100L, 2L, 0L, 2.0)), s"got $afterMain")
+      // This batch lifts the watermark past the chain's deadline
+      // (99000 − 10000 ≫ 1200 + 600): the merged three-event chain closes.
+      input.addData(SessionEvent(1L, 120000L, isPurchase = false, 0.0))
       q.processAllAvailable()
       val all = spark.table("sess_straggler").as[SessionOut].collect().toSet
-      assert(all.contains(SessionOut(1L, 5000L, 5100L, 2L, 0L, 2.0)), s"got $all")
+      assert(all.contains(SessionOut(1L, 1000L, 1200L, 3L, 1L, 4.0)),
+        s"the carried chain must close merged across batches, got $all")
     } finally q.stop()
   }
 
-  test("straggler chains: break within a batch splits; chains never span micro-batches") {
+  test("two simultaneous pending chains: the earlier closes, the later carries and merges") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
     val input = MemoryStream[SessionEvent]
@@ -435,32 +447,34 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
       assert(spark.table("sess_chain").isEmpty)
 
       // One batch, three stragglers: 1000 and 1300 chain (gap 300 ≤ 600),
-      // 5000 breaks the chain (gap 3700) — the first chain closes MID-BATCH
-      // and a second opens, closing at batch end. Purchases/values must ride
-      // the merge.
+      // 5000 breaks the chain (gap 3700). ONE chain slot is carried, so the
+      // EARLIER chain closes immediately (the documented divergence corner)
+      // and [5000] stays pending. Purchases/values ride the merge.
       input.addData(
         SessionEvent(1L, 1000L, isPurchase = true, 2.0),
         SessionEvent(1L, 1300L, isPurchase = false, 1.0),
         SessionEvent(1L, 5000L, isPurchase = false, 1.0))
       q.processAllAvailable()
       val afterBreak = spark.table("sess_chain").as[SessionOut].collect().toSet
-      assert(afterBreak == Set(
-        SessionOut(1L, 1000L, 1300L, 2L, 1L, 3.0),
-        SessionOut(1L, 5000L, 5000L, 1L, 0L, 1.0)), s"got $afterBreak")
+      assert(afterBreak == Set(SessionOut(1L, 1000L, 1300L, 2L, 1L, 3.0)),
+        s"got $afterBreak")
 
-      // Next batch delivers 5200 — within gap of the PREVIOUS batch's 5000
-      // straggler, but chains are per-batch by contract (state carries only
-      // the open session): it closes as its own singleton, not a merge.
+      // Next batch delivers 5200 — within gap of the CARRIED [5000] chain:
+      // it merges across the micro-batch boundary (batch-twin semantics).
       input.addData(SessionEvent(1L, 5200L, isPurchase = false, 1.0))
       q.processAllAvailable()
-      val afterCross = spark.table("sess_chain").as[SessionOut].collect().toSet
-      assert(afterCross.contains(SessionOut(1L, 5200L, 5200L, 1L, 0L, 1.0)),
-        s"a straggler chain must not span micro-batches, got $afterCross")
+      assert(spark.table("sess_chain").as[SessionOut].collect().toSet == afterBreak,
+        "the carried chain must keep waiting on the watermark")
 
-      // The open session was never disturbed by any of it.
+      // Close the open session inline; then lift the watermark past the
+      // chain's deadline so the MERGED [5000,5200] chain closes.
       input.addData(SessionEvent(1L, 999000L, isPurchase = false, 0.0))
       q.processAllAvailable()
+      input.addData(SessionEvent(1L, 1999000L, isPurchase = false, 0.0))
+      q.processAllAvailable()
       val all = spark.table("sess_chain").as[SessionOut].collect().toSet
+      assert(all.contains(SessionOut(1L, 5000L, 5200L, 2L, 0L, 2.0)),
+        s"cross-batch chain merge missing, got $all")
       assert(all.contains(SessionOut(1L, 20000L, 20100L, 2L, 0L, 2.0)), s"got $all")
     } finally q.stop()
   }

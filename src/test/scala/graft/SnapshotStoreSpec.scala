@@ -58,6 +58,23 @@ class SnapshotStoreSpec extends AnyFunSuite with SparkSpec {
     assert(SnapshotStore.vacuum(spark, dir, keepVersions = 1) == 0)
   }
 
+  test("the commit primitive is exclusive on the local FS (a lost race is loud)") {
+    // r15 ADVICE: local rename(2) silently REPLACES an existing manifest,
+    // so publish commits via create(path, overwrite = false). A true
+    // same-version race interleaves between versions() and the create —
+    // not injectable from a test — so pin the primitive itself: creating
+    // over the manifest a racing winner just committed must throw, and
+    // must leave the winner's manifest intact.
+    val dir = freshDir()
+    val d = (1 to 4).map(i => (i.toLong, s"r$i")).toDF("id", "s")
+    SnapshotStore.publish(d, dir)
+    val p = new org.apache.hadoop.fs.Path(dir, "manifest-v1.txt")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    intercept[java.io.IOException](fs.create(p, false).close())
+    assert(SnapshotStore.read(spark, dir, Some(1)).count() == 4,
+      "the winner's committed manifest must survive the loser's attempt")
+  }
+
   test("reading a fresh dir fails loudly; vacuum requires keeping one version") {
     val dir = freshDir()
     intercept[IllegalArgumentException](SnapshotStore.read(spark, dir))

@@ -114,6 +114,24 @@ class StatOpsSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"bounds must broadcast:\n$p")
   }
 
+  test("minMaxScale and zscoreOutliers keep NULL-group rows (null-safe join)") {
+    // r15 ADVICE: a plain === bounds join silently dropped NULL-key rows;
+    // the null-safe <=> makes the NULL key its own group (SQL GROUP BY
+    // semantics), preserving the "input plus scaled column" contract.
+    import spark.implicits._
+    val d = Seq((Some("a"), 10.0, 1L), (Some("a"), 20.0, 2L),
+      (None, 3.0, 3L), (None, 7.0, 4L)).toDF("g", "v", "id")
+    val scaled = StatOps.minMaxScale(d, "g", "v")
+      .select($"g", $"v", $"scaled")
+      .as[(Option[String], Double, Double)].collect().toSet
+    assert(scaled == Set(
+      (Some("a"), 10.0, 0.0), (Some("a"), 20.0, 1.0),
+      (None, 3.0, 0.0), (None, 7.0, 1.0)), s"got $scaled")
+    val z = StatOps.zscoreOutliers(d, "g", "v", "id", k = 2)
+      .select($"g", $"id").as[(Option[String], Long)].collect().toSet
+    assert(z.map(_._2) == Set(1L, 2L, 3L, 4L), s"NULL-group rows dropped: $z")
+  }
+
   test("classBalance: balanced vs dominated groups; integers exact") {
     import spark.implicits._
     val d = (Seq.tabulate(40)(i => ("bal", s"c${i % 4}")) ++
