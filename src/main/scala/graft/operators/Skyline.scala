@@ -104,6 +104,90 @@ object Skyline {
       .drop("_m")
   }
 
+  /** PER-GROUP d-dimensional minimize-all skyline (d ≥ 2) — the
+    * composition [[skyline2dMinPerGroup]] (per-group, 2D-only window
+    * trick) and [[skylineGridMin]] (d-dim, global-only grid) don't cover.
+    * Neither parent's plan generalizes: the running-min window is 2D-only,
+    * and the grid's driver cell prune would collect O(#groups · cells)
+    * summaries — unbounded in the group count. This is instead the
+    * MapReduce-skyline two-phase the literature settled on for the
+    * partitioned case:
+    *
+    *  1. LOCAL skylines: one `mapPartitions` fold keeps an in-memory
+    *     frontier per group PER PARTITION (whatever the incoming
+    *     partitioning — no repartition, no one-task-per-group). A point
+    *     dominated globally is dominated within its group, and its
+    *     dominating SKYLINE witness survives every local fold, so the
+    *     union of local frontiers is a COMPLETE candidate set. Memory per
+    *     task is the partition's frontier mass, not its row count.
+    *  2. MERGE: an exact per-group dominance LEFT ANTI self-join over the
+    *     candidates — equi-keyed on the group columns (null-safe), with
+    *     dominance as the residual predicate. The quadratic risk lives in
+    *     Σ_g |candidates_g|², bounded by (partitions × frontier)² per
+    *     group — frontier-sized, not data-sized; anticorrelated inputs
+    *     pay honestly, as in every skyline algorithm.
+    *
+    * The RDD fold is the repo's documented last-resort tier (genuine
+    * per-partition imperative state — a frontier buffer — that no window
+    * frame expresses for d > 2). All input columns pass through.
+    *
+    * Same caller contract as [[skyline2dMin]]: rows distinct per
+    * (group, dims), integral non-null dimensions.
+    */
+  def skylineMinPerGroup(points: DataFrame, groupCols: Seq[String],
+                         dimCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "per-group skyline needs group columns")
+    require(dimCols.size >= 2, "need at least 2 dimensions")
+    val schema = points.schema
+    val gIdx = groupCols.map(schema.fieldIndex).toArray
+    val dIdx = dimCols.map(schema.fieldIndex).toArray
+    val d = dIdx.length
+    val localFrontier = points.queryExecution.toRdd.mapPartitions { it =>
+      import org.apache.spark.sql.catalyst.InternalRow
+      def dims(r: InternalRow): Array[Long] =
+        dIdx.map(i => schema(i).dataType match {
+          case org.apache.spark.sql.types.LongType => r.getLong(i)
+          case org.apache.spark.sql.types.IntegerType => r.getInt(i).toLong
+          case t => sys.error(s"skylineMinPerGroup: non-integral dim type $t")
+        })
+      def dom(a: Array[Long], b: Array[Long]): Boolean = {
+        var le = true; var lt = false; var i = 0
+        while (i < d) { le &&= a(i) <= b(i); lt ||= a(i) < b(i); i += 1 }
+        le && lt
+      }
+      val frontiers = scala.collection.mutable.HashMap
+        .empty[Seq[Any], scala.collection.mutable.ArrayBuffer[(Array[Long], InternalRow)]]
+      it.foreach { row =>
+        val p = dims(row)
+        // toRdd's UnsafeRow iterator REUSES buffers: string keys must be
+        // copied out or the map keys silently mutate under later rows
+        // (primitives box to fresh values; the kept rows are copied below).
+        val key: Seq[Any] = gIdx.toSeq.map(i =>
+          if (row.isNullAt(i)) null
+          else row.get(i, schema(i).dataType) match {
+            case s: org.apache.spark.unsafe.types.UTF8String => s.copy()
+            case v => v
+          })
+        val f = frontiers.getOrElseUpdate(key,
+          scala.collection.mutable.ArrayBuffer.empty)
+        if (!f.exists { case (q, _) => dom(q, p) }) {
+          f.filterInPlace { case (q, _) => !dom(p, q) }
+          f += ((p, row.copy()))
+        }
+      }
+      frontiers.valuesIterator.flatMap(_.iterator.map(_._2))
+    }
+    val spark = points.sparkSession
+    val cand = org.apache.spark.sql.graft.bridge
+      .internalCreateDataFrame(spark, localFrontier, schema)
+    val p = cand.as("p")
+    val q = cand.as("q")
+    val keyEq = groupCols.map(c => col(s"p.$c") <=> col(s"q.$c")).reduce(_ && _)
+    val le = dimCols.map(c => col(s"q.$c") <= col(s"p.$c")).reduce(_ && _)
+    val lt = dimCols.map(c => col(s"q.$c") < col(s"p.$c")).reduce(_ || _)
+    p.join(q, keyEq && le && lt, "left_anti")
+  }
+
   /** d-dimensional minimize-all skyline (d ≥ 2 — exercised at d = 3) via
     * the CELL-GRID prune: the running-min window trick is 2D-only (a
     * lexicographically-preceding point can have a smaller z but a LARGER

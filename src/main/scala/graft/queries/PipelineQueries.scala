@@ -648,6 +648,30 @@ object PipelineQueries extends QueryDomain {
         .orderBy($"price_c", $"qty", $"disc_pct")
     },
 
+    "q_skyline_group3d" -> { (s, dir) =>
+      import s.implicits._
+      // PER-GROUP three-dimensional Pareto frontier
+      // ([[Skyline.skylineMinPerGroup]]): per return flag, minimize
+      // (price, quantity, discount) over one ship month — the composition
+      // q_skyline_brand (per-group, 2D window) and q_skyline3d (3D grid,
+      // global) leave uncovered. MR-skyline two-phase: partition-local
+      // frontier folds (complete candidate filter, no repartition), then
+      // one group-keyed dominance LEFT ANTI join over frontier-sized
+      // candidates. Same IEEE quantization as q_skyline3d.
+      val pts = t(s, dir, "lineitem")
+        .filter($"l_shipdate" >= lit("1995-03-01").cast("timestamp") &&
+          $"l_shipdate" < lit("1995-04-01").cast("timestamp"))
+        .select($"l_returnflag",
+          expr("CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)").as("price_c"),
+          expr("CAST(floor(l_quantity + 0.5) AS BIGINT)").as("qty"),
+          expr("CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT)").as("disc_pct"))
+        .groupBy($"l_returnflag", $"price_c", $"qty", $"disc_pct")
+        .agg(count(lit(1)).as("n_rows"))
+      Skyline.skylineMinPerGroup(pts, Seq("l_returnflag"),
+          Seq("price_c", "qty", "disc_pct"))
+        .orderBy($"l_returnflag", $"price_c", $"qty", $"disc_pct")
+    },
+
     "q_dedup_incremental" -> { (s, dir) =>
       import s.implicits._
       // INCREMENTAL dedup — the steady-state shape of every production
@@ -2522,6 +2546,66 @@ object PipelineQueries extends QueryDomain {
         .orderBy($"event_type")
     },
 
+    "q_stream_simpson" -> { (s, dir) =>
+      import s.implicits._
+      // STREAMING class balance
+      // ([[graft.streaming.EventStreams.classBalanceExact]]): q_simpson's
+      // Simpson/ENC per source with O(#classes) mergeable count-map keyed
+      // state — the measured-cheap state class. The documents replay
+      // splits on doc_id parity at one file per trigger, so every
+      // source's class map MERGES across a real micro-batch boundary;
+      // the closing BigInt integers land bit-identically on the batch
+      // divisions via the digit-string route (shared-arithmetic oracle).
+      val staged = Staging.streamDocMetaDir(s, dir)
+      val ss = Staging.streamSession(s)
+      val schema = Staging.replayDocMetaSchema(ss, staged)
+      val stream = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+        .select($"source".as("key"), expr("ts div 1000").as("ts"),
+          $"lang".as("cls"))
+        .as[graft.streaming.EventStreams.ClassEvent]
+      val sink = Staging.nextStreamSink(ss)
+      val q = graft.streaming.EventStreams
+        .classBalanceExact(stream, horizonSec = 21600L, lateSec = 2592000L)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      ss.table(sink).filter($"key" =!= "sentinel")
+        .select($"key".as("source"), $"n", $"nClasses".as("n_classes"),
+          $"simpson", $"enc")
+        .orderBy($"source")
+    },
+
+    "q_stream_gini" -> { (s, dir) =>
+      import s.implicits._
+      // STREAMING vocabulary-Gini concentration
+      // ([[graft.streaming.EventStreams.vocabGiniExact]]): q_gini's
+      // rank-identity coefficient per source with VOCABULARY-bounded
+      // token count-map state (mergeable class; the per-key sort is paid
+      // once, at emission). Same parity-split replay as q_stream_simpson
+      // so the token maps merge across a micro-batch boundary; NULL-text
+      // sentinels drive the watermark without contributing tokens.
+      val staged = Staging.streamDocMetaDir(s, dir)
+      val ss = Staging.streamSession(s)
+      val schema = Staging.replayDocMetaSchema(ss, staged)
+      val stream = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+        .select($"source".as("key"), expr("ts div 1000").as("ts"), $"text")
+        .as[graft.streaming.EventStreams.DocEvent]
+      val sink = Staging.nextStreamSink(ss)
+      val q = graft.streaming.EventStreams
+        .vocabGiniExact(stream, horizonSec = 21600L, lateSec = 2592000L)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      ss.table(sink).filter($"key" =!= "sentinel")
+        .select($"key".as("source"), $"mTokens".as("m_tokens"),
+          $"totalTokens".as("total_tokens"), $"gini")
+        .orderBy($"source")
+    },
+
     "q_stream_acf" -> { (s, dir) =>
       import s.implicits._
       // STREAMING exact autocorrelation
@@ -3757,6 +3841,29 @@ object PipelineQueries extends QueryDomain {
         |         OR b.disc_pct < a.disc_pct))
         |ORDER BY price_c, qty, disc_pct""".stripMargin,
 
+    // Per-group 3D skyline twin: the unpruned NOT EXISTS dominance
+    // definition, group-scoped.
+    "q_skyline_group3d" ->
+      """WITH pts AS (
+        |  SELECT l_returnflag AS flag,
+        |    CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS price_c,
+        |    CAST(floor(l_quantity + 0.5) AS BIGINT) AS qty,
+        |    CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT) AS disc_pct,
+        |    CAST(count(*) AS BIGINT) AS n_rows
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1995-03-01'
+        |    AND l_shipdate < TIMESTAMP '1995-04-01'
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT flag AS l_returnflag, price_c, qty, disc_pct, n_rows
+        |FROM pts a
+        |WHERE NOT EXISTS (SELECT 1 FROM pts b
+        |  WHERE b.flag = a.flag
+        |    AND b.price_c <= a.price_c AND b.qty <= a.qty
+        |    AND b.disc_pct <= a.disc_pct
+        |    AND (b.price_c < a.price_c OR b.qty < a.qty
+        |         OR b.disc_pct < a.disc_pct))
+        |ORDER BY l_returnflag, price_c, qty, disc_pct""".stripMargin,
+
     // The prefix-sum identity s_i = c_i − min(0, min_{j≤i} c_j) — two
     // cumulative windows, NOT a list_reduce fold: DuckDB 1.0's
     // list_reduce mis-evaluates struct accumulators whose lambda reads a
@@ -3890,6 +3997,50 @@ object PipelineQueries extends QueryDomain {
         |      * CAST(s AS DECIMAL(19,0)) AS DECIMAL(38,0)) AS VARCHAR)
         |      AS DOUBLE) END AS fano
         |FROM a ORDER BY event_type""".stripMargin,
+
+    // Streaming Simpson twin: q_simpson's arithmetic with only the
+    // doubles exposed (the pinned Σc² digit string is the batch gate's)
+    // and the class count as INT (the stream state's map size).
+    "q_stream_simpson" ->
+      """WITH c AS (SELECT source AS g, lang,
+        |    CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY g, lang),
+        |a AS (SELECT g, CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(count(*) AS INT) AS n_classes,
+        |    CAST(SUM(CAST(c AS DECIMAL(18,0)) * CAST(c AS DECIMAL(19,0)))
+        |      AS DECIMAL(38,0)) AS sq
+        |  FROM c GROUP BY g)
+        |SELECT g AS source, n, n_classes,
+        |  CAST(CAST(sq AS VARCHAR) AS DOUBLE)
+        |    / CAST(CAST(CAST(CAST(n AS DECIMAL(18,0)) * CAST(n AS DECIMAL(19,0))
+        |        AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE) AS simpson,
+        |  CAST(CAST(CAST(CAST(n AS DECIMAL(18,0)) * CAST(n AS DECIMAL(19,0))
+        |        AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE)
+        |    / CAST(CAST(sq AS VARCHAR) AS DOUBLE) AS enc
+        |FROM a ORDER BY source""".stripMargin,
+
+    // Streaming Gini twin: q_gini's rank identity with only the double
+    // exposed (the pinned rank-sum digit string is the batch gate's).
+    "q_stream_gini" ->
+      """WITH tk AS (SELECT source AS src,
+        |    unnest(string_split(text, ' ')) AS tok FROM documents),
+        |c AS (SELECT src, tok, CAST(count(*) AS BIGINT) AS c
+        |  FROM tk GROUP BY src, tok),
+        |r AS (SELECT src, c,
+        |    CAST(row_number() OVER (PARTITION BY src ORDER BY c, tok)
+        |      AS BIGINT) AS i,
+        |    CAST(count(*) OVER (PARTITION BY src) AS BIGINT) AS m
+        |  FROM c),
+        |a AS (SELECT src, CAST(max(m) AS BIGINT) AS m_tokens,
+        |    CAST(sum(c) AS BIGINT) AS total_tokens,
+        |    CAST(SUM(CAST(2*i - m - 1 AS DECIMAL(19,0))
+        |      * CAST(c AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS gini_num
+        |  FROM r GROUP BY src)
+        |SELECT src AS source, m_tokens, total_tokens,
+        |  CAST(CAST(gini_num AS VARCHAR) AS DOUBLE)
+        |    / CAST(CAST(CAST(CAST(m_tokens AS DECIMAL(18,0))
+        |        * CAST(total_tokens AS DECIMAL(19,0)) AS DECIMAL(38,0))
+        |        AS VARCHAR) AS DOUBLE) AS gini
+        |FROM a ORDER BY source""".stripMargin,
 
     // Streaming ACF twin: q_autocorr's CTE chain with only the doubles
     // exposed (the pinned decimal sums are the batch gate's job; the

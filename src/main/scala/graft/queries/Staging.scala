@@ -182,6 +182,73 @@ private[queries] object Staging {
         .foreach { case (n, t) => Paths.get(p, n).toFile.setLastModified(t); () }
     }
 
+  /** Documents-with-metadata replay for the corpus-health stream gates
+    * (q_stream_simpson, q_stream_gini): like [[streamDocsDir]] but also
+    * carrying `source` and `lang`, split on doc_id parity into two
+    * micro-batch files so per-source count-map STATE must merge across a
+    * batch boundary. Two far-future sentinel files follow (`source =
+    * 'sentinel'`, NULL text) — the sentinel KEY emits its own state row,
+    * which callers filter from the sink (the [[streamSessionizeDir]]
+    * protocol; a NULL text contributes no tokens to the gini state).
+    */
+  def streamDocMetaDir(spark: org.apache.spark.sql.SparkSession, sfDir: String): String =
+    dir("streamdocmeta", sfDir, "documents") { p =>
+      Files.createDirectories(Paths.get(p))
+      import org.apache.spark.sql.functions._
+      val docs = graft.Tables.t(spark, sfDir, "documents")
+        .select(col("doc_id"), col("source"), col("lang"), col("text"),
+          ((col("doc_id") + 1600000000L) * 1000000000L).cast("long").as("ts"))
+      val now = System.currentTimeMillis()
+      Seq(0, 1).foreach { parity =>
+        val name = if (parity == 0) "a_docs.parquet" else "b_docs.parquet"
+        writeOneParquet(docs.filter(col("doc_id") % 2 === parity), p, name)
+        Paths.get(p, name).toFile.setLastModified(now - 30000 + parity * 5000L); ()
+      }
+      val maxTs = spark.read.parquet(s"$p/b_docs.parquet")
+        .agg(org.apache.spark.sql.functions.max("ts")).head().getLong(0)
+      val monthNs = 30L * 86400 * 1000000000L
+      writeDocMetaSentinel(Paths.get(p, "c_sentinel.parquet"), maxTs + 10 * monthNs)
+      writeDocMetaSentinel(Paths.get(p, "d_sentinel.parquet"), maxTs + 20 * monthNs)
+      Seq("c_sentinel.parquet" -> (now - 15000), "d_sentinel.parquet" -> (now - 5000))
+        .foreach { case (n, t) => Paths.get(p, n).toFile.setLastModified(t); () }
+    }
+
+  /** A single `source = 'sentinel'` NULL-text row for the documents-with-
+    * metadata replay (see [[streamDocMetaDir]]).
+    */
+  private def writeDocMetaSentinel(path: java.nio.file.Path, ts: Long): Unit = {
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    import org.apache.parquet.schema.MessageTypeParser
+    val schema = MessageTypeParser.parseMessageType(
+      """message doc_meta_sentinel {
+        |  optional int64 doc_id;
+        |  optional binary source (UTF8);
+        |  optional binary lang (UTF8);
+        |  optional binary text (UTF8);
+        |  optional int64 ts;
+        |}""".stripMargin)
+    val writer = ExampleParquetWriter
+      .builder(org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(
+        new org.apache.hadoop.fs.Path(path.toString),
+        new org.apache.hadoop.conf.Configuration()))
+      .withType(schema)
+      .build()
+    val g = new SimpleGroupFactory(schema).newGroup()
+    g.add("doc_id", -1L)
+    g.add("source", "sentinel")
+    g.add("lang", "sentinel")
+    // `text` deliberately unset: NULL contributes no tokens but the row
+    // still drives the watermark and times the sentinel key out.
+    g.add("ts", ts)
+    try writer.write(g) finally writer.close()
+  }
+
+  /** Schema of the staged documents-with-metadata replay. */
+  def replayDocMetaSchema(spark: org.apache.spark.sql.SparkSession, staged: String)
+      : org.apache.spark.sql.types.StructType =
+    spark.read.parquet(s"$staged/a_docs.parquet").schema
+
   /** Embeddings replay for the streaming SRP near-dup gate: batch 1 is the
     * base corpus, batch 2 the planted near-dup twins (q_embed_neardup's
     * construction: id + 1e6, first coordinate exactly doubled) — so every

@@ -1,0 +1,45 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev-loop single-query timer: `runMain graft.tools.TimeQueries <sfDir>
+  * <reps> <query ...>` prints one `TIME <query> min=<s> rows=<n>` line per
+  * query (min of `reps` runs) plus the BASELINE.md contention sentinel.
+  * Exists because the sbt console's REPL classloader cannot reflect the
+  * streaming gates' case-class encoders — a `main` runs on the real
+  * classpath. Same local[32]/32-partition conf as [[graft.Bench]].
+  */
+object TimeQueries {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val reps = args(1).toInt
+    val names = args.drop(2).toSeq
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def sentinel(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0, 10000000L, 1, 32)
+        .selectExpr("id % 97 AS k", "id")
+        .groupBy("k").sum("id")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    sentinel() // warm-up
+    println(f"SENTINEL min=${Seq(sentinel(), sentinel()).min}%.3f")
+    names.foreach { q =>
+      val runs = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val n = graft.SparkEntry.queries(q)(spark, sfDir).collect().length
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      println(f"TIME $q%s min=${runs.map(_._1).min}%.2f rows=${runs.head._2}%d")
+    }
+    spark.stop()
+  }
+}

@@ -17,4 +17,16 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** InternalRow RDD → DataFrame, for operators whose per-partition fold
+    * runs on `queryExecution.toRdd` (the last-resort imperative tier, e.g.
+    * [[graft.operators.Skyline.skylineMinPerGroup]]'s frontier fold) and
+    * must re-enter the declarative plan without an external-Row round-trip.
+    */
+  def internalCreateDataFrame(
+      spark: org.apache.spark.sql.SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema)
 }

@@ -535,6 +535,60 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("classBalanceExact: count-map state merges across micro-batches; BigInt exact") {
+    import graft.streaming.EventStreams.{ClassEvent, ClassBalanceOut}
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[ClassEvent]
+    val q = EventStreams.classBalanceExact(input.toDS(), horizonSec = 10)
+      .writeStream.format("memory").queryName("cls_bal").outputMode("append").start()
+    try {
+      input.addData(ClassEvent("s", 1000000000L, "a"),
+        ClassEvent("s", 1001000000L, "a"), ClassEvent("s", 1002000000L, "b"))
+      q.processAllAvailable()
+      input.addData(ClassEvent("s", 1003000000L, "b"),
+        ClassEvent("s", 1004000000L, "c"))
+      q.processAllAvailable()
+      assert(spark.table("cls_bal").isEmpty, "must hold until the watermark")
+      // another key far in the future lifts the watermark past s's deadline
+      input.addData(ClassEvent("z", 9000000000L, "x"))
+      q.processAllAvailable()
+      input.addData(ClassEvent("z", 9100000000L, "x"))
+      q.processAllAvailable()
+      val got = spark.table("cls_bal").as[ClassBalanceOut].collect()
+        .filter(_.key == "s").toSeq
+      // counts a=2 b=2 c=1 merged ACROSS the two batches: n=5, sq=9
+      assert(got == Seq(ClassBalanceOut("s", 5L, 3, 9.0 / 25.0, 25.0 / 9.0)),
+        s"got $got")
+    } finally q.stop()
+  }
+
+  test("vocabGiniExact: vocabulary map merges across micro-batches; rank identity exact") {
+    import graft.streaming.EventStreams.{DocEvent, VocabGiniOut}
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[DocEvent]
+    val q = EventStreams.vocabGiniExact(input.toDS(), horizonSec = 10)
+      .writeStream.format("memory").queryName("vgini").outputMode("append").start()
+    try {
+      input.addData(DocEvent("s", 1000000000L, Some("a b a")))
+      q.processAllAvailable()
+      // second batch extends b and adds c — counts must merge: a=2 b=2 c=1
+      input.addData(DocEvent("s", 1001000000L, Some("b c")),
+        DocEvent("s", 1002000000L, None)) // NULL text: watermark only
+      q.processAllAvailable()
+      input.addData(DocEvent("z", 9000000000L, Some("x")))
+      q.processAllAvailable()
+      input.addData(DocEvent("z", 9100000000L, Some("x")))
+      q.processAllAvailable()
+      val got = spark.table("vgini").as[VocabGiniOut].collect()
+        .filter(_.key == "s").toSeq
+      // ranked (c,1)(a,2)(b,2): num = (2−4)·1 + (4−4)·2 + (6−4)·2 = 2;
+      // gini = 2 / (3·5)
+      assert(got == Seq(VocabGiniOut("s", 3L, 5L, 2.0 / 15.0)), s"got $got")
+    } finally q.stop()
+  }
+
   test("streaming funnel: a late early view legitimizes an already-seen click") {
     // THE case that rules out O(1) incremental folding: batch 1 delivers a
     // click at ts=200 with no prior view (an incremental fold would reject

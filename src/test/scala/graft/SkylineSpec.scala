@@ -118,4 +118,37 @@ class SkylineSpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == expected)
   }
+
+  test("per-group 3D skyline ≡ per-group brute force: random, anticorrelated, many partitions") {
+    val rng = new scala.util.Random(73)
+    val rand = Seq.fill(800)((s"g${rng.nextInt(5)}",
+      rng.nextInt(60).toLong, rng.nextInt(60).toLong, rng.nextInt(60).toLong))
+    // anticorrelated plane x+y+z = const: EVERY distinct point is a
+    // skyline member — the worst case the merge join must pay honestly
+    val anti = (0 until 100).map { i =>
+      val x = rng.nextInt(50).toLong; val y = rng.nextInt(50).toLong
+      ("anti", x, y, 120L - x - y)
+    }
+    val pts = (rand ++ anti).distinct
+    val expected = pts.groupBy(_._1).flatMap { case (g, ps) =>
+      brute3(ps.map(p => (p._2, p._3, p._4))).map { case (x, y, z) => (g, x, y, z) }
+    }.toSet
+    // many small partitions: the local frontier folds must stay a
+    // COMPLETE candidate filter whatever the data placement
+    val df = pts.toDF("g", "x", "y", "z").repartition(13)
+    val got = Skyline.skylineMinPerGroup(df, Seq("g"), Seq("x", "y", "z"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expected)
+  }
+
+  test("per-group 3D skyline: NULL group key is its own group; extra columns pass through") {
+    val pts = Seq((Some("a"), 1L, 5L, 5L, "p1"), (Some("a"), 5L, 1L, 5L, "p2"),
+      (Some("a"), 2L, 4L, 7L, "p3"), (None, 3L, 3L, 3L, "n1"),
+      (None, 4L, 4L, 4L, "n2-dominated"))
+      .toDF("g", "x", "y", "z", "tag")
+    val got = Skyline.skylineMinPerGroup(pts, Seq("g"), Seq("x", "y", "z"))
+      .select($"g", $"tag").as[(Option[String], String)].collect().toSet
+    assert(got == Set((Some("a"), "p1"), (Some("a"), "p2"),
+      (Some("a"), "p3"), (None, "n1")), s"got $got")
+  }
 }
