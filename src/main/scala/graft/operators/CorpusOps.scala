@@ -1336,6 +1336,85 @@ object CorpusOps {
             .cast("decimal(38,0)"))).as("gini"))
   }
 
+  /** Per-document N-GRAM NOVELTY against a reference corpus — the
+    * "how much of this is new" score that complements decontamination's
+    * binary overlap verdict: the fraction of the document's DISTINCT word
+    * n-grams absent from the reference's n-gram vocabulary. Low novelty
+    * flags near-template/recycled content before it trains; the same score
+    * ranks a candidate crawl batch by marginal information against the
+    * corpus already held.
+    *
+    * Exact integers (distinct-gram counts) and one IEEE division per doc.
+    * Scale posture: one explode per side, the reference collapsed to its
+    * DISTINCT gram vocabulary once, one gram-keyed LEFT ANTI equi-join
+    * (the novel grams), two per-doc hash aggregates — never doc×doc, never
+    * doc×vocabulary.
+    *
+    * Output: (id, n_ngrams, n_novel, novelty), one row per input doc;
+    * docs with fewer than `n` tokens (or NULL text) report n_ngrams = 0
+    * and NULL novelty.
+    */
+  def ngramNovelty(docs: DataFrame, idCol: String, textCol: String,
+      reference: DataFrame, refTextCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val dg = docs.select(col(idCol).as("nv_id"),
+      explode(array_distinct(wordNgramsAll(col(textCol), n))).as("ng"))
+    val refVocab = reference
+      .select(explode(wordNgramsAll(col(refTextCol), n)).as("ng"))
+      .distinct()
+    val tot = dg.groupBy(col("nv_id")).agg(count(lit(1)).as("n_ngrams"))
+    val novel = dg.join(refVocab, Seq("ng"), "left_anti")
+      .groupBy(col("nv_id")).agg(count(lit(1)).as("n_novel"))
+    docs.select(col(idCol).as("nv_id"))
+      .join(tot, Seq("nv_id"), "left")
+      .join(novel, Seq("nv_id"), "left")
+      .select(col("nv_id").as(idCol),
+        coalesce(col("n_ngrams"), lit(0L)).as("n_ngrams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+      .withColumn("novelty",
+        when(col("n_ngrams") === 0L, lit(null).cast("double"))
+          .otherwise(col("n_novel").cast("double") /
+            col("n_ngrams").cast("double")))
+  }
+
+  /** Per-source VOCABULARY RICHNESS — the lexical-diversity profile next
+    * to [[vocabGini]]'s concentration: type-token ratio (vocabulary /
+    * volume) plus the hapax- and dis-legomena fractions (share of the
+    * vocabulary used exactly once / twice). The trio is the standard
+    * template-vs-organic screen — boilerplate crushes TTR and hapax rate
+    * together, while an organic source holds hapax_rate near the
+    * Zipf-predicted ~1/2 — and unlike a Zipf-slope fit it needs no `log`,
+    * so it hash-gates (the one elementary function IEEE 754 does not
+    * bit-specify is exactly what a slope regression would require).
+    *
+    * All counts exact longs over VOCABULARY-level aggregate rows; the
+    * three ratios are single IEEE divisions. Scale posture: one
+    * combiner-reduced (source, token) count, one closing per-source hash
+    * aggregate — no window, no join, no collect.
+    *
+    * Output: (source, total_tokens, m_tokens, n_hapax, n_dis, ttr,
+    * hapax_rate, dis_rate), one row per source with ≥1 token.
+    */
+  def vocabRichness(df: DataFrame, textCol: String, sourceCol: String): DataFrame = {
+    val counts = df.select(col(sourceCol).as("src"),
+        explode(TextOps.tokens(col(textCol))).as("tok"))
+      .groupBy(col("src"), col("tok")).agg(count(lit(1)).as("c"))
+    counts.groupBy(col("src"))
+      .agg(
+        sum(col("c")).as("total_tokens"),
+        count(lit(1)).as("m_tokens"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n_hapax"),
+        sum(when(col("c") === 2L, 1L).otherwise(0L)).as("n_dis"))
+      .select(col("src").as(sourceCol), col("total_tokens"), col("m_tokens"),
+        col("n_hapax"), col("n_dis"),
+        (col("m_tokens").cast("double") / col("total_tokens").cast("double"))
+          .as("ttr"),
+        (col("n_hapax").cast("double") / col("m_tokens").cast("double"))
+          .as("hapax_rate"),
+        (col("n_dis").cast("double") / col("m_tokens").cast("double"))
+          .as("dis_rate"))
+  }
+
   /** Per-source token-distribution DRIFT: the exact total-variation
     * distance between each source's unigram distribution and the rest of
     * the corpus — the corpus-health monitor that flags a source whose

@@ -194,6 +194,74 @@ object GovernanceOps {
         (col("n_sensitive") < l).as("l_risk")): _*)
   }
 
+  /** t-CLOSENESS risk report (Li, Li & Venkatasubramanian ICDE 2007) — the
+    * disclosure check [[anonymityRisk]]'s l-diversity cannot make: a group
+    * can carry l distinct sensitive values yet still disclose the
+    * attribute when its DISTRIBUTION leans far from the table's (the
+    * classic "all salaries in this group are the three lowest" leak).
+    * Closeness here is total-variation distance between the group's
+    * sensitive-value distribution and the global one — for categorical
+    * attributes TVD is exactly the equal-ground-distance Earth Mover's
+    * Distance the paper uses, and unlike KL it needs no `log`, so the
+    * statistic hash-gates (the [[graft.operators.CorpusOps.tokenDrift]]
+    * exactness argument):
+    *
+    *   t(g) = TVD = (Σ_v |c_v·N − C_v·n|) / (2·n·N)
+    *
+    * with c the group's value counts (n = Σc), C the global counts
+    * (N = ΣC). Values absent from the group never materialize as rows:
+    * their mass enters through the closed form n·(N − Σ_{v∈g} C_v). The
+    * numerator accumulates as (18,0)×(19,0) DECIMAL products (exact to
+    * N < 10¹⁸ rows) and is exposed as its digit string.
+    *
+    * Scale posture: one (QI, value) combiner-reduced count, one
+    * VALUE-keyed equi-join against the ≤|domain| global count table
+    * (broadcast), two closing hash aggregates — never a per-group scan of
+    * the value domain. Output: every QI group with (group_size, t_num,
+    * t_closeness, t_risk = t > tNum/tDen), one row per group — release
+    * condition: no t_risk row.
+    */
+  def tCloseness(df: DataFrame, quasiCols: Seq[String], sensitiveCol: String,
+      tNum: Int, tDen: Int): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(tNum >= 0 && tDen > 0, s"bad threshold $tNum/$tDen")
+    val qi = quasiCols.map(col)
+    val cs = df.groupBy((qi :+ col(sensitiveCol).as("sv")): _*)
+      .agg(count(lit(1)).as("c"))
+    val glob = cs.groupBy(col("sv")).agg(sum(col("c")).as("cg"))
+    val ns = cs.groupBy(qi: _*).agg(sum(col("c")).as("n"))
+    val nAll = cs.agg(sum(col("c")).as("nn"))
+    def d18(c: org.apache.spark.sql.Column) = c.cast("decimal(18,0)")
+    def d19(c: org.apache.spark.sql.Column) = c.cast("decimal(19,0)")
+    def dbl(c: org.apache.spark.sql.Column) = c.cast("string").cast("double")
+    val pres = cs.join(broadcast(glob), Seq("sv"))
+      .join(ns, quasiCols)
+      .crossJoin(broadcast(nAll))
+      .groupBy(qi: _*)
+      .agg(
+        sum(abs(d18(col("c")) * d19(col("nn")) -
+          d18(col("cg")) * d19(col("n")))).as("num_present"),
+        sum(col("cg")).as("cg_present"))
+    pres.join(ns, quasiCols).crossJoin(broadcast(nAll))
+      .select(qi ++ Seq(
+        col("n").as("group_size"),
+        (col("num_present") +
+          d18(col("n")) * d19(col("nn") - col("cg_present")))
+          .cast("decimal(38,0)").as("t_num"),
+        col("n"), col("nn")): _*)
+      .select(qi ++ Seq(
+        col("group_size"),
+        col("t_num").cast("string").as("t_num"),
+        (dbl(col("t_num")) /
+          (lit(2.0) * col("n").cast("double") * col("nn").cast("double")))
+          .as("t_closeness"),
+        // IEEE chain on exact operands — identical across engines, so the
+        // flag itself hash-gates.
+        (dbl(col("t_num")) * lit(tDen.toDouble) >
+          lit(2.0 * tNum) * col("n").cast("double") * col("nn").cast("double"))
+          .as("t_risk")): _*)
+  }
+
   /** Partition-level retention (TTL) sweep over a
     * [[ScaleJoins.writePartitioned]] layout: every `partCol=value`
     * directory whose value fails `keep` is DROPPED — a metadata-only

@@ -853,6 +853,62 @@ object StatOps {
             sqrt(dbl(col("sxx")) * dbl(col("syy")))).as("rho"))
   }
 
+  /** Per-group two-sample KOLMOGOROV–SMIRNOV drift of an integral measure
+    * against the REST of the data: D_g = max_v |F_g(v) − F_rest(v)| — the
+    * distribution-shape companion to [[graft.operators.CorpusOps
+    * .tokenDrift]]'s token-mix TVD (drift in doc length / score / latency
+    * SHAPE that a mean-shift monitor misses). Exact and hash-gateable
+    * because every CDF is a ratio of integer cumulative counts:
+    *
+    *   D_g = max_v |cum_g(v)·(N−n_g) − (cum_all(v)−cum_g(v))·n_g|
+    *         / (n_g·(N−n_g))
+    *
+    * with the numerator accumulated as (18,0)×(19,0) DECIMAL products and
+    * the division one IEEE op over digit-string-cast operands.
+    *
+    * Scale posture: the max must be probed at every distinct LEVEL of
+    * either side, so the plan materializes the |groups|·|levels| dense
+    * grid (one crossJoin of the per-group count table with the value-level
+    * table) and runs one window per group over LEVEL rows — bounded by the
+    * quantized value domain, never data rows; quantize coarser when the
+    * domain is wide (the [[robustOutliers]] ⌊v·10^s+0.5⌋ chain).
+    *
+    * Output: (group, n, n_rest, ks_num — digit string, ks); single-group
+    * inputs (n_rest = 0) report NULL ks with a zero pin.
+    */
+  def ksDrift(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val base = df.select(col(groupCol).cast("string").as("g"),
+        col(valueCol).cast("long").as("v"))
+      .where(col("v").isNotNull)
+    val lv = base.groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
+    val tot = base.groupBy(col("v")).agg(count(lit(1)).as("t"))
+    val ng = base.groupBy(col("g")).agg(count(lit(1)).as("n"))
+    val nAll = base.agg(count(lit(1)).as("nn"))
+    val grid = ng.crossJoin(tot)
+      .join(lv, Seq("g", "v"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .crossJoin(broadcast(nAll))
+    val w = Window.partitionBy(col("g")).orderBy(col("v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def d18(c: Column) = c.cast("decimal(18,0)")
+    def d19(c: Column) = c.cast("decimal(19,0)")
+    def dbl(c: Column) = c.cast("string").cast("double")
+    val cum = grid
+      .withColumn("cum_c", sum(col("c")).over(w))
+      .withColumn("cum_t", sum(col("t")).over(w))
+    cum.groupBy(col("g"))
+      .agg(max(col("n")).as("n"), max(col("nn") - col("n")).as("n_rest"),
+        max(abs(d18(col("cum_c")) * d19(col("nn") - col("n")) -
+            d18(col("cum_t") - col("cum_c")) * d19(col("n"))))
+          .cast("decimal(38,0)").as("ks_num"))
+      .select(col("g").as(groupCol), col("n"), col("n_rest"),
+        col("ks_num").cast("string").as("ks_num"),
+        when(col("n_rest") === 0L, lit(null).cast("double"))
+          .otherwise(dbl(col("ks_num")) /
+            dbl((d18(col("n")) * d19(col("n_rest"))).cast("decimal(38,0)")))
+          .as("ks"))
+  }
+
   /** Exact count of strictly discordant pairs (x_i < x_j AND y_i > y_j)
     * among `rows`, O(m log m): sort by (x asc, y asc), sweep equal-x runs
     * as blocks (query all, then insert all — an x-tied pair never counts),

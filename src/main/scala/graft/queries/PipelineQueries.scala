@@ -1980,6 +1980,61 @@ object PipelineQueries extends QueryDomain {
         .orderBy($"source")
     },
 
+    "q_vocab_richness" -> { (s, dir) =>
+      import s.implicits._
+      // Per-source lexical diversity ([[CorpusOps.vocabRichness]]):
+      // type-token ratio + hapax/dis-legomena fractions — the
+      // template-vs-organic screen next to q_gini's concentration, and
+      // log-free where a Zipf-slope fit could not hash-gate. Two
+      // combiner-reduced aggregates over vocabulary-level rows.
+      CorpusOps.vocabRichness(docs(s, dir), "text", "source")
+        .orderBy($"source")
+    },
+
+    "q_ks_drift" -> { (s, dir) =>
+      import s.implicits._
+      // Per-lang two-sample Kolmogorov–Smirnov drift of document LENGTH
+      // against the rest of the corpus ([[StatOps.ksDrift]]): the
+      // distribution-SHAPE monitor beside q_token_drift's token-mix TVD.
+      // Exact integer cumulative-count cross-products over the
+      // groups×levels grid (level rows, never data rows); D's numerator
+      // pinned as a digit string.
+      StatOps.ksDrift(
+        docs(s, dir).select($"lang", $"n_chars"), "lang", "n_chars")
+        .orderBy($"lang")
+    },
+
+    "q_t_closeness" -> { (s, dir) =>
+      import s.implicits._
+      // t-closeness release gate ([[GovernanceOps.tCloseness]], threshold
+      // 1/4) under q_k_anonymity's quasi-identifier frame: per
+      // (event_type, day) group, the exact TVD between the group's
+      // user-bucket distribution and the table's — the distribution-skew
+      // disclosure l-diversity cannot see. Absent buckets enter via the
+      // closed form; the numerator is a digit-string pin; the risk flag
+      // is a fixed IEEE chain over exact operands (engine-stable).
+      val e = events(s, dir).select($"event_type",
+        expr("ts div 86400000000000").as("day"),
+        expr("user_id % 50").as("sv_bucket"))
+      GovernanceOps.tCloseness(e, Seq("event_type", "day"), "sv_bucket",
+          tNum = 1, tDen = 4)
+        .orderBy($"event_type", $"day")
+    },
+
+    "q_ngram_novelty" -> { (s, dir) =>
+      import s.implicits._
+      // Per-document trigram novelty of the probe quarter against the
+      // training three-quarters ([[CorpusOps.ngramNovelty]]): the graded
+      // "how much is new" score beside q_decontaminate's binary overlap
+      // verdict — low novelty flags recycled/template content before it
+      // trains. One gram-keyed LEFT ANTI join against the reference's
+      // distinct-gram vocabulary; never doc×doc.
+      val d = docs(s, dir)
+      CorpusOps.ngramNovelty(d.filter($"doc_id" % 4 === 3), "doc_id", "text",
+          d.filter($"doc_id" % 4 =!= 3), "text", n = 3)
+        .orderBy($"doc_id")
+    },
+
     "q_chi_square" -> { (s, dir) =>
       import s.implicits._
       // χ² independence of lang × source ([[StatOps.chiSquare]]): exact
@@ -5267,6 +5322,114 @@ object PipelineQueries extends QueryDomain {
         |        * CAST(total_tokens AS DECIMAL(19,0)) AS DECIMAL(38,0))
         |        AS VARCHAR) AS DOUBLE) AS gini
         |FROM a ORDER BY source""".stripMargin,
+
+    // Vocabulary-richness twin: vocabulary-level counts, exact integers,
+    // three IEEE divisions.
+    "q_vocab_richness" ->
+      """WITH c AS (SELECT src, tok, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT source AS src,
+        |      unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY src, tok)
+        |SELECT src AS source,
+        |  CAST(sum(c) AS BIGINT) AS total_tokens,
+        |  CAST(count(*) AS BIGINT) AS m_tokens,
+        |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+        |  CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dis,
+        |  CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS ttr,
+        |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS hapax_rate,
+        |  CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS dis_rate
+        |FROM c GROUP BY src ORDER BY source""".stripMargin,
+
+    // KS-drift twin: the groups×levels dense grid, integer cumulative
+    // cross-products, the max pinned as a digit string.
+    "q_ks_drift" ->
+      """WITH b AS (SELECT lang AS g, CAST(n_chars AS BIGINT) AS v
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |lv AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY g, v),
+        |tot AS (SELECT v, CAST(count(*) AS BIGINT) AS t FROM b GROUP BY v),
+        |ng AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY g),
+        |na AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM b),
+        |grid AS (SELECT ng.g, ng.n, tot.v, tot.t, COALESCE(lv.c, 0) AS c, nn
+        |  FROM ng CROSS JOIN tot CROSS JOIN na
+        |  LEFT JOIN lv ON lv.g = ng.g AND lv.v = tot.v),
+        |cum AS (SELECT g, n, nn, v,
+        |    SUM(c) OVER (PARTITION BY g ORDER BY v) AS cum_c,
+        |    SUM(t) OVER (PARTITION BY g ORDER BY v) AS cum_t
+        |  FROM grid),
+        |a AS (SELECT g, CAST(MAX(n) AS BIGINT) AS n,
+        |    CAST(MAX(nn - n) AS BIGINT) AS n_rest,
+        |    CAST(MAX(abs(CAST(cum_c AS DECIMAL(18,0)) * CAST(nn - n AS DECIMAL(19,0))
+        |      - CAST(cum_t - cum_c AS DECIMAL(18,0)) * CAST(n AS DECIMAL(19,0))))
+        |      AS DECIMAL(38,0)) AS ks_num
+        |  FROM cum GROUP BY g)
+        |SELECT g AS lang, n, n_rest, CAST(ks_num AS VARCHAR) AS ks_num,
+        |  CASE WHEN n_rest = 0 THEN NULL
+        |    ELSE CAST(CAST(ks_num AS VARCHAR) AS DOUBLE)
+        |      / CAST(CAST(CAST(CAST(n AS DECIMAL(18,0))
+        |          * CAST(n_rest AS DECIMAL(19,0)) AS DECIMAL(38,0))
+        |          AS VARCHAR) AS DOUBLE) END AS ks
+        |FROM a ORDER BY lang""".stripMargin,
+
+    // t-closeness twin: tokenDrift's cross-multiplied TVD numerator over
+    // (QI, sensitive-bucket) counts; the risk flag is the same IEEE chain.
+    "q_t_closeness" ->
+      """WITH e AS (SELECT event_type,
+        |    epoch_ns(ts) // 86400000000000 AS day,
+        |    user_id % 50 AS sv FROM events),
+        |cs AS (SELECT event_type, day, sv, CAST(count(*) AS BIGINT) AS c
+        |  FROM e GROUP BY 1, 2, 3),
+        |gl AS (SELECT sv, CAST(sum(c) AS BIGINT) AS cg FROM cs GROUP BY sv),
+        |ns AS (SELECT event_type, day, CAST(sum(c) AS BIGINT) AS n
+        |  FROM cs GROUP BY 1, 2),
+        |na AS (SELECT CAST(sum(c) AS BIGINT) AS nn FROM cs),
+        |pres AS (SELECT cs.event_type, cs.day,
+        |    SUM(abs(CAST(c AS DECIMAL(18,0)) * CAST(nn AS DECIMAL(19,0))
+        |      - CAST(cg AS DECIMAL(18,0)) * CAST(n AS DECIMAL(19,0))))
+        |      AS num_present,
+        |    CAST(sum(cg) AS BIGINT) AS cg_present
+        |  FROM cs JOIN gl USING (sv) JOIN ns USING (event_type, day)
+        |  CROSS JOIN na
+        |  GROUP BY 1, 2),
+        |f AS (SELECT pres.event_type, pres.day, n AS group_size,
+        |    CAST(num_present + CAST(n AS DECIMAL(18,0))
+        |      * CAST(nn - cg_present AS DECIMAL(19,0)) AS DECIMAL(38,0))
+        |      AS t_num, n, nn
+        |  FROM pres JOIN ns USING (event_type, day) CROSS JOIN na)
+        |SELECT event_type, day, group_size,
+        |  CAST(t_num AS VARCHAR) AS t_num,
+        |  CAST(CAST(t_num AS VARCHAR) AS DOUBLE)
+        |    / (2.0 * CAST(n AS DOUBLE) * CAST(nn AS DOUBLE)) AS t_closeness,
+        |  CAST(CAST(t_num AS VARCHAR) AS DOUBLE) * 4.0
+        |    > 2.0 * CAST(n AS DOUBLE) * CAST(nn AS DOUBLE) AS t_risk
+        |FROM f ORDER BY event_type, day""".stripMargin,
+
+    // Trigram-novelty twin: distinct probe grams anti-joined against the
+    // reference's distinct-gram vocabulary.
+    "q_ngram_novelty" ->
+      """WITH probe AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 3),
+        |pg AS (SELECT DISTINCT doc_id,
+        |    tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS ng
+        |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 1)) AS i
+        |        FROM (SELECT doc_id, string_split(text, ' ') AS tk
+        |              FROM probe WHERE text IS NOT NULL))),
+        |rg AS (SELECT DISTINCT tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS ng
+        |  FROM (SELECT tk, unnest(range(1, len(tk) - 1)) AS i
+        |        FROM (SELECT string_split(text, ' ') AS tk FROM documents
+        |              WHERE doc_id % 4 <> 3 AND text IS NOT NULL))),
+        |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams
+        |  FROM pg GROUP BY doc_id),
+        |nov AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_novel
+        |  FROM pg ANTI JOIN rg USING (ng) GROUP BY doc_id)
+        |SELECT p.doc_id,
+        |  COALESCE(n_ngrams, 0) AS n_ngrams,
+        |  COALESCE(n_novel, 0) AS n_novel,
+        |  CASE WHEN COALESCE(n_ngrams, 0) = 0 THEN NULL
+        |    ELSE CAST(COALESCE(n_novel, 0) AS DOUBLE)
+        |      / CAST(n_ngrams AS DOUBLE) END AS novelty
+        |FROM probe p LEFT JOIN tot USING (doc_id) LEFT JOIN nov USING (doc_id)
+        |ORDER BY p.doc_id""".stripMargin,
 
     // 2-D grid twin: the identical IEEE bucket chain over exact min/max
     // aggregates — ((v−lo)/(hi−lo))·B, floor, clamp — then cell counts.

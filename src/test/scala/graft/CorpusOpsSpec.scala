@@ -887,4 +887,55 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec {
       .as[(String, Long, Long, String, Option[Double])].head()
     assert(got._2 == 2L && got._3 == 0L && got._5.isEmpty)
   }
+
+  test("vocabRichness: hand case + fixture brute force") {
+    // "a a a b b c" per source s1: T=6, m=3, hapax={c}, dis={b}
+    val hand = Seq(("s1", "a a a b b c"), ("s2", "x y")).toDF("source", "text")
+    val got = CorpusOps.vocabRichness(hand, "text", "source")
+      .as[(String, Long, Long, Long, Long, Double, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got("s1") == ("s1", 6L, 3L, 1L, 1L, 3.0 / 6.0, 1.0 / 3.0, 1.0 / 3.0))
+    assert(got("s2") == ("s2", 2L, 2L, 2L, 0L, 1.0, 1.0, 0.0))
+    // fixture brute force
+    val d = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select($"source", $"text").as[(String, String)].collect()
+    val expect = d.groupBy(_._1).map { case (src, docs) =>
+      val counts = docs.flatMap(_._2.split(" ", -1)).groupBy(identity)
+        .map { case (_, v) => v.size.toLong }
+      val m = counts.size.toLong
+      src -> ((docs.map(_._2.split(" ", -1).length.toLong).sum, m,
+        counts.count(_ == 1L).toLong, counts.count(_ == 2L).toLong))
+    }
+    val fix = CorpusOps.vocabRichness(
+        spark.read.parquet(s"$sf0001/documents.parquet"), "text", "source")
+      .as[(String, Long, Long, Long, Long, Double, Double, Double)]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(fix == expect)
+  }
+
+  test("ngramNovelty: hand case — novel vs seen grams, short and null docs") {
+    val ref = Seq((100L, Some("a b c d"))).toDF("doc_id", "text")
+    val probe = Seq(
+      (1L, Some("a b c")),       // grams "a b c": seen in ref
+      (2L, Some("a b c x")),     // "a b c" seen, "b c x" novel
+      (3L, Some("p q")),         // < 3 tokens: zero grams
+      (4L, None: Option[String]) // null text: zero grams
+    ).toDF("doc_id", "text")
+    val got = CorpusOps.ngramNovelty(probe, "doc_id", "text", ref, "text", 3)
+      .as[(Long, Long, Long, Option[Double])].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 1L, 0L, Some(0.0)),
+      (2L, 2L, 1L, Some(0.5)),
+      (3L, 0L, 0L, None),
+      (4L, 0L, 0L, None)), s"got $got")
+  }
+
+  test("ngramNovelty: duplicate grams inside a doc count once (distinct sets)") {
+    val ref = Seq((1L, Some("z z z z"))).toDF("doc_id", "text")
+    val probe = Seq((7L, Some("m n m n m n"))).toDF("doc_id", "text")
+    // bigrams of probe: "m n","n m","m n","n m","m n" -> distinct {m n, n m}
+    val got = CorpusOps.ngramNovelty(probe, "doc_id", "text", ref, "text", 2)
+      .as[(Long, Long, Long, Option[Double])].head()
+    assert(got == ((7L, 2L, 2L, Some(1.0))), s"got $got")
+  }
 }

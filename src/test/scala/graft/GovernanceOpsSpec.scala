@@ -206,4 +206,55 @@ class GovernanceOpsSpec extends AnyFunSuite with SparkSpec {
       GovernanceOps.pseudonymize(d, Seq("uid"), ""))
   }
 
+  test("tCloseness: hand-computed TVD, absent-value closed form, risk flag") {
+    import spark.implicits._
+    // Global sv counts: x=4, y=4 (N=8). Group A = {x,x,x,x} (n=4):
+    //   TVD = ½(|4/4 − 4/8| + |0/4 − 4/8|) = ½(½ + ½) = ½ — y is ABSENT
+    //   from A, so its mass must enter via the closed form.
+    //   t_num = Σ|c·N − C·n| = |4·8 − 4·4| + |0·8 − 4·4| = 16 + 16 = 32;
+    //   t = 32 / (2·4·8) = 0.5.
+    // Group B = {y,y,y,y,x,x... } — use B = {x,x,y,y... }? Keep B = the
+    // complement {y,y,y,y} (n=4): symmetric, t = 0.5 as well. Add C with
+    // the global mix {x,y} (n=2): t = 0.
+    val d = (Seq.fill(4)(("A", "x")) ++ Seq.fill(3)(("B", "y")) ++
+      Seq(("C", "x"), ("C", "y"))).toDF("qi", "sv")
+    // Global: x=5, y=4, N=9. A: n=4, t_num=|4·9−5·4|+|0−4·4|=16+16=32,
+    //   t = 32/72 = 4/9 ≈ 0.444. B: n=3, t_num=|0−5·3|+|3·9−4·3|=15+15=30,
+    //   t = 30/54 = 5/9 ≈ 0.556. C: n=2, t_num=|1·9−5·2|+|1·9−4·2|=1+1=2,
+    //   t = 2/36 = 1/18 ≈ 0.056.
+    val got = GovernanceOps.tCloseness(d, Seq("qi"), "sv", tNum = 1, tDen = 2)
+      .as[(String, Long, String, Double, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got("A") == (("A", 4L, "32", 32.0 / 72.0, false)))
+    assert(got("B") == (("B", 3L, "30", 30.0 / 54.0, true)), s"got ${got("B")}")
+    assert(got("C") == (("C", 2L, "2", 2.0 / 36.0, false)))
+  }
+
+  test("tCloseness ≡ driver-side TVD reference on the events fixture frame") {
+    import spark.implicits._
+    val e = spark.read.parquet(s"$sf0001/events.parquet")
+      .select($"event_type".as("qi"), ($"user_id" % 7).cast("string").as("sv"))
+    val rows = e.as[(String, String)].collect()
+    val n = rows.length.toLong
+    val globalC = rows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val got = GovernanceOps.tCloseness(e, Seq("qi"), "sv", 1, 4)
+      .as[(String, Long, String, Double, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    rows.groupBy(_._1).foreach { case (g, grp) =>
+      val ng = grp.length.toLong
+      val cs = grp.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      val tNum = globalC.keysIterator.map { v =>
+        (BigInt(cs.getOrElse(v, 0L)) * n - BigInt(globalC(v)) * ng).abs
+      }.sum
+      val (_, gs, pin, t, risk) = got(g)
+      assert(gs == ng && BigInt(pin) == tNum, g)
+      val expT = java.lang.Double.parseDouble(tNum.toString) /
+        (2.0 * ng.toDouble * n.toDouble)
+      assert(t == expT, g)
+      assert(risk ==
+        (java.lang.Double.parseDouble(tNum.toString) * 4.0 >
+          2.0 * ng.toDouble * n.toDouble), g)
+    }
+  }
+
 }

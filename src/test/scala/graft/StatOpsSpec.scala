@@ -233,4 +233,44 @@ class StatOpsSpec extends AnyFunSuite with SparkSpec {
     assertThrows[IllegalArgumentException](
       StatOps.trimmedMean(d, "g", "v", 1, 2)) // p must be < 1/2
   }
+
+  test("ksDrift ≡ driver-side two-sample KS vs rest on the fixture") {
+    import spark.implicits._
+    val d = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select($"lang", $"n_chars").as[(String, Long)].collect()
+    val all = d.map(_._2).sorted
+    val got = StatOps.ksDrift(
+        spark.read.parquet(s"$sf0001/documents.parquet")
+          .select($"lang", $"n_chars"), "lang", "n_chars")
+      .as[(String, Long, Long, String, Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    d.groupBy(_._1).foreach { case (g, rows) =>
+      val mine = rows.map(_._2)
+      val rest = d.filter(_._1 != g).map(_._2)
+      val levels = all.distinct
+      val dNum = levels.map { v =>
+        val cg = mine.count(_ <= v).toLong
+        val cr = rest.count(_ <= v).toLong
+        (BigInt(cg) * rest.length - BigInt(cr) * mine.length).abs
+      }.max
+      val (_, n, nRest, ksNum, ks) = got(g)
+      assert(n == mine.length.toLong && nRest == rest.length.toLong, g)
+      assert(BigInt(ksNum) == dNum, g)
+      val expKs = java.lang.Double.parseDouble(dNum.toString) /
+        java.lang.Double.parseDouble((BigInt(mine.length) * rest.length).toString)
+      assert(ks.contains(expKs), g)
+    }
+  }
+
+  test("ksDrift: identical distributions give 0; single group gives NULL") {
+    import spark.implicits._
+    val same = Seq(("a", 1L), ("a", 2L), ("b", 1L), ("b", 2L)).toDF("g", "v")
+    val gotSame = StatOps.ksDrift(same, "g", "v")
+      .as[(String, Long, Long, String, Option[Double])].collect()
+    assert(gotSame.forall(_._5.contains(0.0)), gotSame.mkString(","))
+    val single = Seq(("only", 5L), ("only", 7L)).toDF("g", "v")
+    val gotSingle = StatOps.ksDrift(single, "g", "v")
+      .as[(String, Long, Long, String, Option[Double])].head()
+    assert(gotSingle._3 == 0L && gotSingle._5.isEmpty)
+  }
 }
