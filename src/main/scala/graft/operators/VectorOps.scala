@@ -840,6 +840,122 @@ object VectorOps {
         col("neighbor_id"), col("adc"))
   }
 
+  /** Per-vector RESIDUAL against the nearest centroid (cosine rank-1, the
+    * [[ivfAssign]] rule): (id, cluster_id, rvec = vec − cvec) — the input
+    * both halves of the IVF-PQ tier share. Vectors no centroid accepts
+    * (zero-norm) are excluded, as in [[ivfAssign]].
+    */
+  def ivfResiduals(data: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame): DataFrame = {
+    val cen = centroids.select(col(idCol).cast("long").as("cluster_id"),
+      asDouble(col(vecCol)).as("graft_cvec"))
+    assignWithVec(data, centroids, idCol, vecCol)
+      .filter(col("cluster_id").isNotNull)
+      .join(broadcast(cen), Seq("cluster_id"))
+      .select(col("id"), col("cluster_id"),
+        zip_with(asDouble(col("vec")), col("graft_cvec"),
+          (x, y) => x - y).as("rvec"))
+  }
+
+  /** IVF-PQ residual ENCODE — the production middle tier between
+    * [[ivfAssign]]'s coarse lists and [[pqEncode]]'s flat codes (the
+    * FAISS `IVFx,PQy` composition): each vector stores its coarse
+    * cluster id plus `m` codeword ids quantizing the RESIDUAL
+    * vec − centroid. Residuals carry far less energy than raw vectors,
+    * so the same codebook budget spends its resolution where the coarse
+    * quantizer left error — the reason every large-scale deployment
+    * quantizes residuals, not vectors.
+    *
+    * Same scale posture as [[pqEncode]]: the assignment is the compiled
+    * zero-shuffle fold, the codebooks broadcast, and the encode is one
+    * explode + combiner-reduced argmin — a vector's index footprint is
+    * 1 + m LONGs, computed map-side.
+    *
+    * @return (id, cluster_id, sub, code)
+    */
+  def ivfPqEncode(data: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, codebooks: DataFrame, m: Int, dim: Int): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"dim=$dim must split into m=$m equal subspaces")
+    val resid = ivfResiduals(data, idCol, vecCol, centroids)
+    val subs = (0 until m).map(s =>
+      struct(lit(s).as("sub"), subvec(col("rvec"), s, m, dim).as("subvec")))
+    val ex = resid.select(col("id"), col("cluster_id"),
+        explode(array(subs: _*)).as("sv"))
+      .select(col("id"), col("cluster_id"),
+        col("sv.sub").as("sub"), col("sv.subvec").as("subvec"))
+    val l2 = foldSum(zip_with(col("subvec"), asDouble(col("cvec")),
+      (x, y) => (x - y) * (x - y)))
+    ex.join(broadcast(codebooks), Seq("sub"))
+      .groupBy(col("id"), col("cluster_id"), col("sub"))
+      .agg(min(struct(l2.as("l2"), col("cid").as("cid"))).as("best"))
+      .select(col("id"), col("cluster_id"), col("sub"), col("best.cid").as("code"))
+  }
+
+  /** IVF-PQ SEARCH: probe the `nProbe` clusters of largest q·c (the
+    * IVF-IP rule — q·c is the base term of the very approximation), then
+    * score each probed member by the residual-ADC decomposition
+    *
+    *   score(q, x) ≈ q·c(x) + Σ_s q_s · codeword(code_s(x))
+    *
+    * — the coarse term exact per (query, cluster), the residual terms
+    * read from the same broadcast LUT as [[pqSearch]], and no candidate
+    * ever touches its original floats. Against flat [[pqSearch]] this
+    * buys the probe-pruned candidate set (|data|·nProbe/|clusters|, not
+    * |data|); against exact [[ivfSearch]] it buys the 1 + m LONG
+    * footprint — both knobs of the FAISS IVF-PQ deployment standard.
+    *
+    * Determinism: the q·c dots and LUT entries are strict folds; the
+    * per-pair residual sum is a sorted fold (the [[pqSearch]]
+    * convention) with the coarse term added last; ranking ties break on
+    * neighbor id. Recall is measured by gate, not assumed (the
+    * [[EvalOps.pairSetPrf]] judge composes, as with q_ann_recall).
+    *
+    * @param encoded [[ivfPqEncode]] output for the corpus
+    * @return (query_id, rank INT, neighbor_id, adc DOUBLE)
+    */
+  def ivfPqSearch(encoded: DataFrame, centroids: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, codebooks: DataFrame,
+      m: Int, dim: Int, k: Int, nProbe: Int,
+      excludeSelf: Boolean = true): DataFrame = {
+    require(m >= 1 && dim % m == 0 && k >= 1 && nProbe >= 1)
+    val cen = centroids.select(col(idCol).cast("long").as("cluster_id"),
+      asDouble(col(vecCol)).as("graft_cvec"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val wp = Window.partitionBy(col("query_id"))
+      .orderBy(col("qc").desc, col("cluster_id"))
+    val probes = broadcast(q).crossJoin(broadcast(cen))
+      .select(col("query_id"), col("cluster_id"),
+        dot(col("qvec"), col("graft_cvec")).as("qc"))
+      .withColumn("prank", row_number().over(wp))
+      .filter(col("prank") <= nProbe)
+      .select(col("query_id"), col("cluster_id"), col("qc"))
+    val qsubs = (0 until m).map(s =>
+      struct(lit(s).as("sub"), subvec(col("qvec"), s, m, dim).as("qsub")))
+    val lut = q.select(col("query_id"), explode(array(qsubs: _*)).as("sv"))
+      .select(col("query_id"), col("sv.sub").as("sub"), col("sv.qsub").as("qsub"))
+      .join(codebooks, Seq("sub"))
+      .select(col("query_id"), col("sub"), col("cid").as("code"),
+        dot(col("qsub"), col("cvec")).as("part"))
+    val cand = encoded.join(broadcast(probes), Seq("cluster_id"))
+    val withLut = cand.join(broadcast(lut), Seq("query_id", "sub", "code"))
+    val filtered =
+      if (excludeSelf) withLut.filter(col("id") =!= col("query_id")) else withLut
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("neighbor_id").asc)
+    filtered
+      .groupBy(col("query_id"), col("id").as("neighbor_id"))
+      .agg(min(col("qc")).as("qc"),
+        aggregate(sort_array(collect_list(col("part"))), lit(0.0), (a, x) => a + x)
+          .as("radc"),
+        count(lit(1)).as("graft_nsub"))
+      .filter(col("graft_nsub") === m)
+      .withColumn("adc", col("qc") + col("radc"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("neighbor_id"), col("adc"))
+  }
+
   /** Dominant principal component by INTEGER-SCALED power iteration — the
     * embedding-pipeline staple (whitening direction, drift axis, PCA-based
     * dimensionality screen) in the [[graft.operators.GraphOps.pageRankInt]]

@@ -3074,6 +3074,62 @@ object PipelineQueries extends QueryDomain {
         .orderBy($"query_id", $"rnk")
     },
 
+    "q_ivfpq_topk" -> { (s, dir) =>
+      import s.implicits._
+      // IVF-PQ residual tier ([[VectorOps.ivfPqEncode]] +
+      // [[VectorOps.ivfPqSearch]]) — the FAISS `IVFx,PQy` composition
+      // between q_ann_ivf's coarse lists and q_pq_topk's flat codes:
+      // vectors store cluster id + 2 residual codeword ids; queries probe
+      // the 3 largest-q·c clusters and score candidates by
+      // qc + residual-ADC, never touching original floats. Codebooks are
+      // the RESIDUALS of 8 fixed non-centroid seeds (vec_id 20–27 — a
+      // centroid seed would have residual ≈ 0), deterministic like
+      // q_ann_ivf's fixed centroid set.
+      val e = t(s, dir, "embeddings")
+      val centroids = e.filter($"vec_id" < 10)
+      val res8 = VectorOps.ivfResiduals(
+        e.filter($"vec_id".between(20, 27)), "vec_id", "embedding", centroids)
+      val cbs = res8.select(explode(array(
+          struct(lit(0).as("sub"), $"id".as("cid"),
+            slice($"rvec", 1, 32).as("cvec")),
+          struct(lit(1).as("sub"), $"id".as("cid"),
+            slice($"rvec", 33, 32).as("cvec")))).as("cb"))
+        .select($"cb.sub".as("sub"), $"cb.cid".as("cid"), $"cb.cvec".as("cvec"))
+      val enc = VectorOps.ivfPqEncode(e, "vec_id", "embedding", centroids,
+        cbs, m = 2, dim = 64)
+      VectorOps.ivfPqSearch(enc, centroids, e.filter($"vec_id".between(100, 109)),
+          "vec_id", "embedding", cbs, m = 2, dim = 64, k = 5, nProbe = 3)
+        .select($"query_id", $"rank".as("rnk"), $"neighbor_id", $"adc")
+        .orderBy($"query_id", $"rnk")
+    },
+
+    "q_ivfpq_recall" -> { (s, dir) =>
+      import s.implicits._
+      // IVF-PQ fidelity through the pair-set judge ([[EvalOps.pairSetPrf]],
+      // the q_ann_recall pattern): the residual-ADC tier's retrieved
+      // (query, neighbor) set at k=3/nProbe=3 against the exact top-3 —
+      // the compression tier's recall measured, not assumed.
+      val e = t(s, dir, "embeddings")
+      val centroids = e.filter($"vec_id" < 10)
+      val res8 = VectorOps.ivfResiduals(
+        e.filter($"vec_id".between(20, 27)), "vec_id", "embedding", centroids)
+      val cbs = res8.select(explode(array(
+          struct(lit(0).as("sub"), $"id".as("cid"),
+            slice($"rvec", 1, 32).as("cvec")),
+          struct(lit(1).as("sub"), $"id".as("cid"),
+            slice($"rvec", 33, 32).as("cvec")))).as("cb"))
+        .select($"cb.sub".as("sub"), $"cb.cid".as("cid"), $"cb.cvec".as("cvec"))
+      val enc = VectorOps.ivfPqEncode(e, "vec_id", "embedding", centroids,
+        cbs, m = 2, dim = 64)
+      val queriesDf = e.filter($"vec_id".between(100, 109))
+      EvalOps.pairSetPrf(
+        VectorOps.ivfPqSearch(enc, centroids, queriesDf,
+            "vec_id", "embedding", cbs, m = 2, dim = 64, k = 3, nProbe = 3)
+          .select($"query_id".as("doc_i"), $"neighbor_id".as("doc_j")),
+        VectorOps.topK(e, queriesDf, "vec_id", "embedding", k = 3)
+          .select($"query_id".as("doc_i"), $"neighbor_id".as("doc_j")))
+    },
+
     "q_embed_centroid" -> { (s, dir) =>
       import s.implicits._
       // Per-label mean pooling ([[VectorOps.groupCentroids]]): class
@@ -3337,6 +3393,63 @@ object PipelineQueries extends QueryDomain {
          |      ORDER BY ${duckDot("q.e", "d.e")} / sqrt(q.nn * d.nn) DESC, cand.nid) AS rnk
          |  FROM cand JOIN n q ON q.vec_id = cand.qid JOIN n d ON d.vec_id = cand.nid)
          |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
+
+  /** Shared IVF-PQ residual-ADC chain (q_ivfpq_topk + q_ivfpq_recall):
+    * cosine-argmax assignment to the vec_id<10 centroids, residual arrays,
+    * residual-space codebooks from seeds 20–27 (m=2), nProbe=3 by largest
+    * q·c, score = qc + sorted-fold residual ADC. Ends at `sc`
+    * (query_id, neighbor_id, adc).
+    */
+  private lazy val ivfPqCtes =
+    s"""$embCte,
+       |cen AS (SELECT vec_id AS cid, e, nn FROM n WHERE vec_id < 10),
+       |asg AS (SELECT vec_id, cluster_id FROM (
+       |  SELECT d.vec_id, c.cid AS cluster_id,
+       |    ROW_NUMBER() OVER (PARTITION BY d.vec_id
+       |      ORDER BY ${duckDot("d.e", "c.e")} / sqrt(d.nn * c.nn) DESC, c.cid) AS rn
+       |  FROM n d CROSS JOIN cen c) WHERE rn = 1),
+       |rv AS (SELECT n.vec_id, asg.cluster_id,
+       |    list_transform(range(1, len(n.e)+1), i -> n.e[i] - c.e[i]) AS r
+       |  FROM n JOIN asg ON asg.vec_id = n.vec_id
+       |  JOIN cen c ON c.cid = asg.cluster_id),
+       |sp AS (SELECT 0 AS sub UNION ALL SELECT 1),
+       |cb AS (SELECT sp.sub, rv.vec_id AS cid,
+       |    CASE WHEN sp.sub = 0 THEN r[1:32] ELSE r[33:64] END AS cvec
+       |  FROM rv, sp WHERE rv.vec_id BETWEEN 20 AND 27),
+       |ds AS (SELECT rv.vec_id AS id, rv.cluster_id, sp.sub,
+       |    CASE WHEN sp.sub = 0 THEN r[1:32] ELSE r[33:64] END AS dv
+       |  FROM rv, sp),
+       |enc AS (SELECT id, cluster_id, sub, cid AS code FROM (
+       |  SELECT d.id, d.cluster_id, d.sub, c.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY d.id, d.sub
+       |      ORDER BY list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |        list_transform(range(1, len(d.dv)+1),
+       |          i -> (d.dv[i]-c.cvec[i])*(d.dv[i]-c.cvec[i]))),
+       |        (a, x) -> a + x) ASC, c.cid ASC) AS rn
+       |  FROM ds d JOIN cb c ON c.sub = d.sub) WHERE rn = 1),
+       |q AS (SELECT vec_id AS query_id, e, nn FROM n
+       |  WHERE vec_id BETWEEN 100 AND 109),
+       |probes AS (SELECT query_id, cluster_id, qc FROM (
+       |  SELECT q.query_id, c.cid AS cluster_id, ${duckDot("q.e", "c.e")} AS qc,
+       |    ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |      ORDER BY ${duckDot("q.e", "c.e")} DESC, c.cid) AS rn
+       |  FROM q CROSS JOIN cen c) WHERE rn <= 3),
+       |qs AS (SELECT query_id, sp.sub,
+       |    CASE WHEN sp.sub = 0 THEN e[1:32] ELSE e[33:64] END AS qv
+       |  FROM q, sp),
+       |lut AS (SELECT qs.query_id, qs.sub, c.cid AS code,
+       |    ${duckDot("qs.qv", "c.cvec")} AS part
+       |  FROM qs JOIN cb c ON c.sub = qs.sub),
+       |sc AS (SELECT p.query_id, enc.id AS neighbor_id,
+       |    MIN(p.qc) + list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_sort(list(part))), (a, x) -> a + x) AS adc
+       |  FROM enc
+       |  JOIN probes p ON p.cluster_id = enc.cluster_id
+       |  JOIN lut l ON l.query_id = p.query_id AND l.sub = enc.sub
+       |    AND l.code = enc.code
+       |  WHERE enc.id <> p.query_id
+       |  GROUP BY p.query_id, enc.id
+       |  HAVING count(*) = 2)""".stripMargin
 
   /** Shared by q_heavy_hitters AND q_stream_topk: the exact GROUP BY +
     * HAVING over word bigrams both two-pass pipelines equal.
@@ -6196,6 +6309,48 @@ object PipelineQueries extends QueryDomain {
          |  SELECT *, ROW_NUMBER() OVER (
          |    PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS rnk FROM sc)
          |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
+    "q_ivfpq_topk" ->
+      s"""WITH $ivfPqCtes
+         |SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id, adc FROM (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS rnk
+         |  FROM sc)
+         |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
+    // IVF-PQ recall through the pair-set judge: predicted = the residual-
+    // ADC top-3, truth = the exact cosine top-3 (the q_ann_recall tail).
+    "q_ivfpq_recall" ->
+      s"""WITH $ivfPqCtes,
+         |pred AS (SELECT query_id AS di, neighbor_id AS dj FROM (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS rnk
+         |  FROM sc) WHERE rnk <= 3),
+         |tr AS (SELECT query_id AS di, nid AS dj FROM (
+         |  SELECT q.query_id, d.vec_id AS nid,
+         |    ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |      ORDER BY ${duckDot("q.e", "d.e")} / sqrt(q.nn * d.nn) DESC,
+         |        d.vec_id) AS rnk
+         |  FROM q JOIN n d ON d.vec_id <> q.query_id) WHERE rnk <= 3),
+         |j AS (SELECT
+         |    CASE WHEN p.di IS NOT NULL THEN 1 ELSE 0 END AS inp,
+         |    CASE WHEN t.di IS NOT NULL THEN 1 ELSE 0 END AS intr
+         |  FROM pred p FULL JOIN tr t ON p.di = t.di AND p.dj = t.dj),
+         |c AS (SELECT CAST(SUM(inp * intr) AS BIGINT) AS tp,
+         |    CAST(SUM(inp * (1 - intr)) AS BIGINT) AS fp,
+         |    CAST(SUM((1 - inp) * intr) AS BIGINT) AS fn
+         |  FROM j)
+         |SELECT COALESCE(tp, 0) AS tp, COALESCE(fp, 0) AS fp,
+         |  COALESCE(fn, 0) AS fn,
+         |  CASE WHEN COALESCE(tp,0) + COALESCE(fp,0) = 0 THEN NULL
+         |    ELSE CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS precision,
+         |  CASE WHEN COALESCE(tp,0) + COALESCE(fn,0) = 0 THEN NULL
+         |    ELSE CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS recall,
+         |  CASE WHEN 2*COALESCE(tp,0) + COALESCE(fp,0) + COALESCE(fn,0) = 0
+         |    THEN NULL
+         |    ELSE CAST(2*tp AS DOUBLE) / CAST(2*tp + fp + fn AS DOUBLE)
+         |    END AS f1
+         |FROM c""".stripMargin,
 
     "q_rrf_fusion" ->
       s"""WITH $embCte,

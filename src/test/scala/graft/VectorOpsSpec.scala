@@ -393,6 +393,65 @@ class VectorOpsSpec extends AnyFunSuite with SparkSpec {
     assert(recall >= 0.2, s"PQ recall@10 fell to $recall (random ≈ 0.02)")
   }
 
+  test("ivfPq: exact-residual codebooks make ADC ≡ q·c + q·r; full probe ≡ MIPS ranking") {
+    import org.apache.spark.sql.functions.{array, explode, lit, slice, struct}
+    // Tiny synthetic corpus: 2 clusters, 12 vectors, 8 dims. Codebooks hold
+    // the EXACT residual of every vector, so encode must pick each vector's
+    // own residual (l2 = 0, tie to smallest cid) and the ADC decomposition
+    // q·c + Σ q_s·codeword_s collapses to q·c + q·r = q·x up to fold
+    // order — making the full-probe ranking equal exact MIPS.
+    val vecs = (0 until 12).map { i =>
+      (i.toLong, (0 until 8).map(d =>
+        (math.sin(i * 8 + d + 1).toFloat * 3 + (if (i % 2 == 0) 5f else -5f))))
+    }
+    val e = vecs.toDF("vec_id", "embedding")
+    val centroids = e.filter($"vec_id" < 2) // one per parity class
+    val res = VectorOps.ivfResiduals(e, "vec_id", "embedding", centroids)
+    val cbs = res.select(explode(array(
+        struct(lit(0).as("sub"), $"id".as("cid"), slice($"rvec", 1, 4).as("cvec")),
+        struct(lit(1).as("sub"), $"id".as("cid"), slice($"rvec", 5, 4).as("cvec"))))
+        .as("cb"))
+      .select($"cb.sub".as("sub"), $"cb.cid".as("cid"), $"cb.cvec".as("cvec"))
+    val enc = VectorOps.ivfPqEncode(e, "vec_id", "embedding", centroids,
+      cbs, m = 2, dim = 8)
+    // every vector's own residual wins both subspaces (zero l2; ties on a
+    // duplicate residual break to the smaller cid — none here by design)
+    val codes = enc.collect()
+      .map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(3)).toMap
+    val resRows = res.as[(Long, Long, Seq[Double])].collect()
+    val residOf = resRows.map(r => r._1 -> r._3).toMap
+    vecs.foreach { case (id, _) =>
+      for (sub <- 0 to 1) {
+        val mine = if (sub == 0) residOf(id).take(4) else residOf(id).drop(4)
+        val winners = resRows.filter { r =>
+          (if (sub == 0) r._3.take(4) else r._3.drop(4)) == mine
+        }.map(_._1)
+        assert(winners.contains(codes((id, sub))), s"id=$id sub=$sub")
+        assert(codes((id, sub)) == winners.min, s"tie must break to min cid")
+      }
+    }
+    val got = VectorOps.ivfPqSearch(enc, centroids, e.filter($"vec_id" >= 10),
+        "vec_id", "embedding", cbs, m = 2, dim = 8, k = 4, nProbe = 2)
+      .select($"query_id", $"rank", $"neighbor_id", $"adc")
+      .as[(Long, Int, Long, Double)].collect()
+    // exact MIPS reference (dot in doubles); ADC with exact codebooks is
+    // q·x re-associated, so rankings must agree when gaps exceed the
+    // re-association noise (they do by construction here: values are O(10))
+    val all = vecs.map { case (id, v) => id -> v.map(_.toDouble) }
+    got.groupBy(_._1).foreach { case (qid, rows) =>
+      val qv = all.find(_._1 == qid).get._2
+      val exact = all.filter(_._1 != qid)
+        .map { case (nid, nv) => (nid, qv.zip(nv).map(p => p._1 * p._2).sum) }
+        .sortBy { case (nid, ip) => (-ip, nid) }.take(4).map(_._1)
+      assert(rows.sortBy(_._2).map(_._3).toSeq == exact.toSeq, s"q=$qid")
+      rows.foreach { case (_, _, nid, adc) =>
+        val expDot = qv.zip(all.find(_._1 == nid).get._2).map(p => p._1 * p._2).sum
+        assert(math.abs(adc - expDot) < 1e-9 * math.max(1.0, math.abs(expDot)),
+          s"adc=$adc vs dot=$expDot")
+      }
+    }
+  }
+
   test("groupCentroids ≡ driver-side unit-quantized pooling; stable under repartition") {
     val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val rows = e.select($"label", $"embedding").as[(Int, Seq[Float])].collect()
