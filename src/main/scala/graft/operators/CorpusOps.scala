@@ -1336,6 +1336,62 @@ object CorpusOps {
             .cast("decimal(38,0)"))).as("gini"))
   }
 
+  /** TOP-k TOKEN MOVERS between two corpus versions — [[tokenDrift]]
+    * answers "did this source move" with one number; this names WHAT
+    * moved: the k tokens with the largest absolute probability shift
+    * |c_a/N_a − c_b/N_b| between corpus A and corpus B, ranked by the
+    * exact cross-multiplied numerator |c_a·N_b − c_b·N_a| (ties to the
+    * token). Tokens absent from one side rank by their full mass on the
+    * other (c = 0 enters the same formula), so a token that APPEARED or
+    * VANISHED outranks one that merely rebalanced — the diagnosis view a
+    * drift alarm hands to a human.
+    *
+    * Scale posture: two combiner-reduced token counts, one token-keyed
+    * FULL OUTER equi-join over VOCABULARY rows, one global top-k
+    * (TakeOrdered, never a full sort). The shift numerator accumulates
+    * as an (18,0)×(19,0) DECIMAL product pair and is exposed as its
+    * digit string (the r15 drift-safe pin); `shift` is one IEEE
+    * division of digit-string-cast operands.
+    *
+    * Output: (rnk 1..k, token, c_a, c_b, shift_num — digit string,
+    * shift DOUBLE), rows ordered by rank.
+    */
+  def tokenShift(dfA: DataFrame, dfB: DataFrame, textCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    def counts(df: DataFrame) = df
+      .select(explode(TextOps.tokens(col(textCol))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val ca = counts(dfA)
+    val cb = counts(dfB)
+    val na = ca.agg(sum(col("c")).as("na"))
+    val nb = cb.agg(sum(col("c")).as("nb"))
+    def d18(c: Column) = c.cast("decimal(18,0)")
+    def d19(c: Column) = c.cast("decimal(19,0)")
+    def dbl(c: Column) = c.cast("string").cast("double")
+    val joined = ca.withColumnRenamed("c", "c_a")
+      .join(cb.withColumnRenamed("c", "c_b"), Seq("tok"), "full_outer")
+      .na.fill(0L, Seq("c_a", "c_b"))
+      .crossJoin(broadcast(na)).crossJoin(broadcast(nb))
+      .select(col("tok").as("token"), col("c_a"), col("c_b"),
+        abs(d18(col("c_a")) * d19(col("nb")) -
+          d18(col("c_b")) * d19(col("na")))
+          .cast("decimal(38,0)").as("num"),
+        col("na"), col("nb"))
+    // TakeOrdered cut first (never a full global sort); the rank window
+    // then runs over k rows only.
+    val top = joined.orderBy(col("num").desc, col("token").asc).limit(k)
+    val w = Window.orderBy(col("num").desc, col("token").asc)
+    top
+      .withColumn("rnk", row_number().over(w))
+      .select(col("rnk").cast("int").as("rnk"), col("token"),
+        col("c_a"), col("c_b"),
+        col("num").cast("string").as("shift_num"),
+        (dbl(col("num")) /
+          dbl((d18(col("na")) * d19(col("nb"))).cast("decimal(38,0)")))
+          .as("shift"))
+  }
+
   /** Per-document N-GRAM NOVELTY against a reference corpus — the
     * "how much of this is new" score that complements decontamination's
     * binary overlap verdict: the fraction of the document's DISTINCT word

@@ -1767,6 +1767,24 @@ object PipelineQueries extends QueryDomain {
         .orderBy($"doc_id")
     },
 
+    "q_token_shift" -> { (s, dir) =>
+      import s.implicits._
+      // Top-25 TOKEN MOVERS between corpus versions
+      // ([[CorpusOps.tokenShift]]): q_corpus_diff's v1/v2 construction,
+      // ranked by the exact cross-multiplied probability-shift numerator
+      // — the "WHAT moved" diagnosis next to q_token_drift's "did it
+      // move" number. Vocabulary-keyed full-outer join, TakeOrdered cut,
+      // digit-string pin.
+      val d = docs(s, dir).select($"doc_id", $"text")
+      val v1 = d.filter(pmod($"doc_id", lit(7L)) =!= 0)
+      val v2 = d.filter(pmod($"doc_id", lit(5L)) =!= 0)
+        .withColumn("text",
+          when(pmod($"doc_id", lit(11L)) === 0, concat($"text", lit(" v2")))
+            .otherwise($"text"))
+      CorpusOps.tokenShift(v1, v2, "text", k = 25)
+        .orderBy($"rnk")
+    },
+
     "q_zorder_scan" -> { (s, dir) =>
       import s.implicits._
       // Z-ORDER data layout ([[ScaleJoins.writeZOrdered]]): lineitem staged
@@ -5632,6 +5650,40 @@ object PipelineQueries extends QueryDomain {
         |    ELSE CAST(CAST(tvd_num AS VARCHAR) AS DOUBLE)
         |      / (2.0 * CAST(n AS DOUBLE) * CAST(m AS DOUBLE)) END AS tvd
         |FROM f ORDER BY source""".stripMargin,
+
+    // Token-movers twin: the same v1/v2 construction, vocabulary-keyed
+    // full-outer join, exact cross-multiplied shift numerator, rank by
+    // (numerator DESC, token).
+    "q_token_shift" ->
+      """WITH v1 AS (SELECT text FROM documents WHERE doc_id % 7 <> 0),
+        |v2 AS (SELECT CASE WHEN doc_id % 11 = 0 THEN text || ' v2'
+        |    ELSE text END AS text
+        |  FROM documents WHERE doc_id % 5 <> 0),
+        |ca AS (SELECT tok, CAST(count(*) AS BIGINT) AS c_a
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM v1)
+        |  GROUP BY tok),
+        |cb AS (SELECT tok, CAST(count(*) AS BIGINT) AS c_b
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM v2)
+        |  GROUP BY tok),
+        |na AS (SELECT CAST(sum(c_a) AS BIGINT) AS na FROM ca),
+        |nb AS (SELECT CAST(sum(c_b) AS BIGINT) AS nb FROM cb),
+        |j AS (SELECT COALESCE(ca.tok, cb.tok) AS token,
+        |    COALESCE(c_a, 0) AS c_a, COALESCE(c_b, 0) AS c_b
+        |  FROM ca FULL OUTER JOIN cb ON ca.tok = cb.tok),
+        |sh AS (SELECT token, c_a, c_b,
+        |    CAST(abs(CAST(c_a AS DECIMAL(18,0)) * CAST(nb AS DECIMAL(19,0))
+        |      - CAST(c_b AS DECIMAL(18,0)) * CAST(na AS DECIMAL(19,0)))
+        |      AS DECIMAL(38,0)) AS num, na, nb
+        |  FROM j CROSS JOIN na CROSS JOIN nb)
+        |SELECT CAST(rnk AS INT) AS rnk, token, c_a, c_b,
+        |  CAST(num AS VARCHAR) AS shift_num,
+        |  CAST(CAST(num AS VARCHAR) AS DOUBLE)
+        |    / CAST(CAST(CAST(CAST(na AS DECIMAL(18,0))
+        |        * CAST(nb AS DECIMAL(19,0)) AS DECIMAL(38,0)) AS VARCHAR)
+        |        AS DOUBLE) AS shift
+        |FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY num DESC, token) AS rnk
+        |      FROM sh)
+        |WHERE rnk <= 25 ORDER BY rnk""".stripMargin,
 
     "q_chi_square" ->
       """WITH cells AS (SELECT lang AS a, source AS b, count(*) AS o

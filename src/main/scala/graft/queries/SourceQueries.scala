@@ -132,6 +132,52 @@ object SourceQueries extends QueryDomain {
         .orderBy($"n_nationkey")
     },
 
+    "q_snapshot_diff" -> { (s, dir) =>
+      import s.implicits._
+      // Version-vs-version SEMANTIC DIFF through the snapshot layer
+      // ([[graft.sources.SnapshotStore.diff]] — time travel composed with
+      // [[graft.operators.MergeOps.snapshotDiff]]'s classification): the
+      // q_corpus_diff construction published as manifest versions 1 and 2,
+      // diffed by reading both versions back — same oracle as the
+      // frame-level gate, so the whole publish → manifest → read → diff
+      // chain must be value-transparent.
+      val root = Staging.dir("snapdiff", dir, "documents") { p =>
+        val d = t(s, dir, "documents").select($"doc_id", $"text")
+        graft.sources.SnapshotStore.publish(
+          d.filter(pmod($"doc_id", lit(7L)) =!= 0), p)
+        graft.sources.SnapshotStore.publish(
+          d.filter(pmod($"doc_id", lit(5L)) =!= 0)
+            .withColumn("text",
+              when(pmod($"doc_id", lit(11L)) === 0, concat($"text", lit(" v2")))
+                .otherwise($"text")), p)
+        ()
+      }
+      graft.sources.SnapshotStore.diff(s, root, 1, 2, Seq("doc_id"))
+        .orderBy($"doc_id")
+    },
+
+    "q_schema_drift" -> { (s, dir) =>
+      import s.implicits._
+      // SCHEMA drift between committed versions
+      // ([[graft.sources.SnapshotStore.schemaDrift]]): version 2 drops
+      // n_name, adds name_len, retypes n_nationkey INT→STRING and keeps
+      // n_regionkey — the report a consumer checks before assuming
+      // yesterday's reader still binds. All four statuses exercised in
+      // one gate; schema evolution across versions is legal because each
+      // version's files are self-describing.
+      val root = Staging.dir("schemadrift", dir, "nation") { p =>
+        val n = t(s, dir, "nation")
+        graft.sources.SnapshotStore.publish(
+          n.select($"n_nationkey", $"n_name", $"n_regionkey"), p)
+        graft.sources.SnapshotStore.publish(
+          n.select($"n_nationkey".cast("string").as("n_nationkey"),
+            $"n_regionkey", length($"n_name").as("name_len")), p)
+        ()
+      }
+      graft.sources.SnapshotStore.schemaDrift(s, root, 1, 2)
+        .orderBy($"column")
+    },
+
     "q_fixedwidth_source" -> { (s, dir) =>
       import s.implicits._
       // Nation through a FIXED-WIDTH text export
@@ -303,6 +349,33 @@ object SourceQueries extends QueryDomain {
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |WHERE n_regionkey < 3
         |ORDER BY n_nationkey""".stripMargin,
+
+    // Version diff through the snapshot layer ≡ the frame-level diff
+    // (the q_corpus_diff construction recomputed from the base table).
+    "q_snapshot_diff" ->
+      """WITH v1 AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0),
+        |v2 AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 5 <> 0)
+        |SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+        |  CASE WHEN a.doc_id IS NULL THEN 'added'
+        |       WHEN b.doc_id IS NULL THEN 'removed'
+        |       WHEN a.text IS NOT DISTINCT FROM b.text THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    // Schema drift: the staging rule's four statuses are a deterministic
+    // function of the published projections, so the oracle is the literal
+    // expected report.
+    "q_schema_drift" ->
+      """SELECT * FROM (VALUES
+        |  ('n_name', 'removed', 'STRING', CAST(NULL AS VARCHAR)),
+        |  ('n_nationkey', 'retyped', 'INT', 'STRING'),
+        |  ('n_regionkey', 'unchanged', 'INT', 'INT'),
+        |  ('name_len', 'added', CAST(NULL AS VARCHAR), 'INT'))
+        |  AS t("column", status, type_a, type_b)
+        |ORDER BY "column"""".stripMargin,
 
     // Round-trip identity: pad → substring → rtrim → cast recovers the
     // base rows exactly (names have no trailing spaces, widths cover the

@@ -112,6 +112,55 @@ object SnapshotStore {
     spark.read.parquet(files.map(rel => new Path(new Path(dir, "data"), rel).toString): _*)
   }
 
+  /** SEMANTIC DIFF between two committed versions — the "what changed
+    * between yesterday's corpus and today's" question every snapshot
+    * consumer asks before retraining: [[graft.operators.MergeOps
+    * .snapshotDiff]]'s added/removed/changed/unchanged classification
+    * with the two sides resolved through the manifest layer (time travel
+    * makes version-vs-version diff a one-liner — the point of keeping
+    * history). Requires the versions to share a schema; when schemas may
+    * have moved, run [[schemaDrift]] first.
+    *
+    * Output: (keyCols…, status STRING).
+    */
+  def diff(spark: SparkSession, dir: String, versionA: Int, versionB: Int,
+      keyCols: Seq[String]): DataFrame =
+    graft.operators.MergeOps.snapshotDiff(
+      read(spark, dir, Some(versionA)), read(spark, dir, Some(versionB)),
+      keyCols)
+
+  /** SCHEMA drift between two committed versions: one row per column
+    * name present in either version with status `added` / `removed` /
+    * `retyped` / `unchanged` and both type strings (NULL where absent).
+    * The structural companion to [[diff]] — schema evolution between
+    * versions is legal (each version's files are self-describing), and
+    * this is the report a consumer checks before assuming yesterday's
+    * reader still binds.
+    *
+    * Output: (column, status, type_a, type_b), driver-bounded (schema
+    * width), returned as a DataFrame so it gates/joins like everything
+    * else.
+    */
+  def schemaDrift(spark: SparkSession, dir: String,
+      versionA: Int, versionB: Int): DataFrame = {
+    import spark.implicits._
+    def types(v: Int): Map[String, String] =
+      read(spark, dir, Some(v)).schema.fields
+        .map(f => f.name -> f.dataType.sql).toMap
+    val ta = types(versionA)
+    val tb = types(versionB)
+    (ta.keySet ++ tb.keySet).toSeq.sorted.map { c =>
+      val (sa, sb) = (ta.get(c), tb.get(c))
+      val status = (sa, sb) match {
+        case (None, Some(_)) => "added"
+        case (Some(_), None) => "removed"
+        case (Some(x), Some(y)) if x == y => "unchanged"
+        case _ => "retyped"
+      }
+      (c, status, sa, sb)
+    }.toDF("column", "status", "type_a", "type_b")
+  }
+
   /** Delete data files referenced by NO retained manifest (keep the last
     * `keepVersions`) plus the dropped manifests themselves. Returns the
     * number of data files deleted. Orphans from crashed publishes go too.

@@ -930,6 +930,20 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec {
       (4L, 0L, 0L, None)), s"got $got")
   }
 
+  test("tokenShift: appeared/vanished tokens outrank rebalanced ones; exact pins") {
+    // A: "x x x y" (Na=4); B: "x x z z" (Nb=4).
+    //   x: |3*4 - 2*4| = 4;  y: |1*4 - 0| = 4;  z: |0 - 2*4| = 8.
+    // Rank: z (vanished-side mass 8), then x/y tie at 4 -> token order.
+    val a = Seq((1L, "x x x y")).toDF("doc_id", "text")
+    val b = Seq((1L, "x x z z")).toDF("doc_id", "text")
+    val got = CorpusOps.tokenShift(a, b, "text", k = 3)
+      .as[(Int, String, Long, Long, String, Double)].collect().toSeq
+    assert(got == Seq(
+      (1, "z", 0L, 2L, "8", 8.0 / 16.0),
+      (2, "x", 3L, 2L, "4", 4.0 / 16.0),
+      (3, "y", 1L, 0L, "4", 4.0 / 16.0)), s"got $got")
+  }
+
   test("ngramNovelty: duplicate grams inside a doc count once (distinct sets)") {
     val ref = Seq((1L, Some("z z z z"))).toDF("doc_id", "text")
     val probe = Seq((7L, Some("m n m n m n"))).toDF("doc_id", "text")

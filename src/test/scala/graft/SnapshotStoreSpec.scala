@@ -75,6 +75,35 @@ class SnapshotStoreSpec extends AnyFunSuite with SparkSpec {
       "the winner's committed manifest must survive the loser's attempt")
   }
 
+  test("diff and schemaDrift resolve versions through the manifest layer") {
+    val dir = freshDir()
+    val v1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s")
+    SnapshotStore.publish(v1, dir)
+    // v2: drops 1, changes 2, keeps 3, adds 4
+    SnapshotStore.publish(
+      Seq((2L, "B"), (3L, "c"), (4L, "d")).toDF("id", "s"), dir)
+    val d12 = SnapshotStore.diff(spark, dir, 1, 2, Seq("id"))
+      .as[(Long, String)].collect().toMap
+    assert(d12 == Map(1L -> "removed", 2L -> "changed",
+      3L -> "unchanged", 4L -> "added"), s"got $d12")
+    // direction matters: reversed versions flip added/removed
+    val d21 = SnapshotStore.diff(spark, dir, 2, 1, Seq("id"))
+      .as[(Long, String)].collect().toMap
+    assert(d21(1L) == "added" && d21(4L) == "removed")
+    // schema evolution in v3: id retyped, s removed, n added
+    SnapshotStore.publish(
+      Seq(("2", 5L), ("3", 6L)).toDF("id", "n"), dir)
+    val drift = SnapshotStore.schemaDrift(spark, dir, 1, 3)
+      .as[(String, String, Option[String], Option[String])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(drift("id") == (("id", "retyped", Some("BIGINT"), Some("STRING"))))
+    assert(drift("s") == (("s", "removed", Some("STRING"), None)))
+    assert(drift("n") == (("n", "added", None, Some("BIGINT"))))
+    assert(SnapshotStore.schemaDrift(spark, dir, 1, 1)
+      .as[(String, String, Option[String], Option[String])]
+      .collect().forall(_._2 == "unchanged"))
+  }
+
   test("reading a fresh dir fails loudly; vacuum requires keeping one version") {
     val dir = freshDir()
     intercept[IllegalArgumentException](SnapshotStore.read(spark, dir))
