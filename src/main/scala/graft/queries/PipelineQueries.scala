@@ -2679,6 +2679,35 @@ object PipelineQueries extends QueryDomain {
         .orderBy($"source")
     },
 
+    "q_stream_richness" -> { (s, dir) =>
+      import s.implicits._
+      // STREAMING vocabulary richness
+      // ([[graft.streaming.EventStreams.vocabRichnessExact]]): q_vocab_
+      // richness' TTR + hapax/dis fractions from the SAME token count-map
+      // state shape as q_stream_gini — one state class, two statistics.
+      // Same parity-split replay; shared batch oracle.
+      val staged = Staging.streamDocMetaDir(s, dir)
+      val ss = Staging.streamSession(s)
+      val schema = Staging.replayDocMetaSchema(ss, staged)
+      val stream = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+        .select($"source".as("key"), expr("ts div 1000").as("ts"), $"text")
+        .as[graft.streaming.EventStreams.DocEvent]
+      val sink = Staging.nextStreamSink(ss)
+      val q = graft.streaming.EventStreams
+        .vocabRichnessExact(stream, horizonSec = 21600L, lateSec = 2592000L)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      ss.table(sink).filter($"key" =!= "sentinel")
+        .select($"key".as("source"), $"totalTokens".as("total_tokens"),
+          $"mTokens".as("m_tokens"), $"nHapax".as("n_hapax"),
+          $"nDis".as("n_dis"), $"ttr", $"hapaxRate".as("hapax_rate"),
+          $"disRate".as("dis_rate"))
+        .orderBy($"source")
+    },
+
     "q_stream_acf" -> { (s, dir) =>
       import s.implicits._
       // STREAMING exact autocorrelation
@@ -3468,6 +3497,27 @@ object PipelineQueries extends QueryDomain {
        |  WHERE enc.id <> p.query_id
        |  GROUP BY p.query_id, enc.id
        |  HAVING count(*) = 2)""".stripMargin
+
+  /** Shared by q_vocab_richness AND q_stream_richness: vocabulary-level
+    * counts, exact integers, three IEEE divisions — the batch aggregate
+    * and the streaming count-map fold must land on the same rows.
+    */
+  private lazy val vocabRichnessOracle =
+    """WITH c AS (SELECT src, tok, CAST(count(*) AS BIGINT) AS c
+      |  FROM (SELECT source AS src,
+      |      unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  GROUP BY src, tok)
+      |SELECT src AS source,
+      |  CAST(sum(c) AS BIGINT) AS total_tokens,
+      |  CAST(count(*) AS BIGINT) AS m_tokens,
+      |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+      |  CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dis,
+      |  CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS ttr,
+      |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE) AS hapax_rate,
+      |  CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE) AS dis_rate
+      |FROM c GROUP BY src ORDER BY source""".stripMargin
 
   /** Shared by q_heavy_hitters AND q_stream_topk: the exact GROUP BY +
     * HAVING over word bigrams both two-pass pipelines equal.
@@ -5455,23 +5505,11 @@ object PipelineQueries extends QueryDomain {
         |FROM a ORDER BY source""".stripMargin,
 
     // Vocabulary-richness twin: vocabulary-level counts, exact integers,
-    // three IEEE divisions.
-    "q_vocab_richness" ->
-      """WITH c AS (SELECT src, tok, CAST(count(*) AS BIGINT) AS c
-        |  FROM (SELECT source AS src,
-        |      unnest(string_split(text, ' ')) AS tok FROM documents)
-        |  GROUP BY src, tok)
-        |SELECT src AS source,
-        |  CAST(sum(c) AS BIGINT) AS total_tokens,
-        |  CAST(count(*) AS BIGINT) AS m_tokens,
-        |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
-        |  CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dis,
-        |  CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS ttr,
-        |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
-        |    / CAST(count(*) AS DOUBLE) AS hapax_rate,
-        |  CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS DOUBLE)
-        |    / CAST(count(*) AS DOUBLE) AS dis_rate
-        |FROM c GROUP BY src ORDER BY source""".stripMargin,
+    // three IEEE divisions. Shared with the streaming twin — the
+    // count-map fold must land on identical integers and doubles.
+    "q_vocab_richness" -> vocabRichnessOracle,
+
+    "q_stream_richness" -> vocabRichnessOracle,
 
     // KS-drift twin: the groups×levels dense grid, integer cumulative
     // cross-products, the max pinned as a digit string.

@@ -743,6 +743,70 @@ object EventStreams {
       }
   }
 
+  /** One key's closed lexical-diversity summary — the stream twin of
+    * [[graft.operators.CorpusOps.vocabRichness]]'s columns.
+    */
+  final case class VocabRichnessOut(key: String, totalTokens: Long,
+      mTokens: Long, nHapax: Long, nDis: Long,
+      ttr: Double, hapaxRate: Double, disRate: Double)
+
+  /** Streaming vocabulary richness (TTR + hapax/dis-legomena fractions)
+    * — the same [[VocabGiniState]] token count map as [[vocabGiniExact]]
+    * (the mergeable class; one state shape serves both statistics), with
+    * a counting close instead of the rank fold: all three ratios are
+    * IEEE divisions of exact longs, landing bit-identically on the batch
+    * operator's (shared-oracle gateable).
+    */
+  def vocabRichnessExact(
+      docs: Dataset[DocEvent],
+      horizonSec: Long,
+      lateSec: Long = 0L): Dataset[VocabRichnessOut] = {
+    import docs.sparkSession.implicits._
+    docs
+      .withColumn("event_time", timestamp_micros(col("ts")))
+      .withWatermark("event_time", s"$lateSec seconds")
+      .as[DocEvent]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[VocabGiniState, VocabRichnessOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: String, rows: Iterator[DocEvent], state: GroupState[VocabGiniState]) =>
+          if (state.hasTimedOut) {
+            val toks = state.getOption.map(_.toks).getOrElse(Map.empty)
+            state.remove()
+            if (toks.isEmpty) Iterator.empty
+            else {
+              val m = toks.size.toLong
+              var total = 0L
+              var hapax = 0L
+              var dis = 0L
+              toks.valuesIterator.foreach { c =>
+                total += c
+                if (c == 1L) hapax += 1L else if (c == 2L) dis += 1L
+              }
+              Iterator.single(VocabRichnessOut(key, total, m, hapax, dis,
+                m.toDouble / total.toDouble, hapax.toDouble / m.toDouble,
+                dis.toDouble / m.toDouble))
+            }
+          } else {
+            val prev = state.getOption
+            var toks = prev.map(_.toks).getOrElse(Map.empty[String, Long])
+            var maxMs = prev.map(_.deadlineMs).getOrElse(0L)
+            rows.foreach { e =>
+              e.text.foreach { t =>
+                t.split(" ", -1).foreach { tok =>
+                  toks = toks.updated(tok, toks.getOrElse(tok, 0L) + 1L)
+                }
+              }
+              maxMs = math.max(maxMs, e.ts / 1000L + horizonSec * 1000L + 1)
+            }
+            state.update(VocabGiniState(toks, maxMs))
+            state.setTimeoutTimestamp(math.max(
+              maxMs, state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+  }
+
   /** Input row for [[hashSampleExact]]: group key, pre-hashed UNIQUE row
     * key, BIGINT value, µs.
     */

@@ -589,6 +589,30 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("vocabRichnessExact: same count-map state, counting close; cross-batch merge") {
+    import graft.streaming.EventStreams.{DocEvent, VocabRichnessOut}
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[DocEvent]
+    val q = EventStreams.vocabRichnessExact(input.toDS(), horizonSec = 10)
+      .writeStream.format("memory").queryName("vrich").outputMode("append").start()
+    try {
+      input.addData(DocEvent("s", 1000000000L, Some("a b a")))
+      q.processAllAvailable()
+      input.addData(DocEvent("s", 1001000000L, Some("b c")))
+      q.processAllAvailable()
+      input.addData(DocEvent("z", 9000000000L, Some("x")))
+      q.processAllAvailable()
+      input.addData(DocEvent("z", 9100000000L, Some("x")))
+      q.processAllAvailable()
+      val got = spark.table("vrich").as[VocabRichnessOut].collect()
+        .filter(_.key == "s").toSeq
+      // merged counts a=2 b=2 c=1: T=5, m=3, hapax={c}, dis={a,b}
+      assert(got == Seq(VocabRichnessOut("s", 5L, 3L, 1L, 2L,
+        3.0 / 5.0, 1.0 / 3.0, 2.0 / 3.0)), s"got $got")
+    } finally q.stop()
+  }
+
   test("streaming funnel: a late early view legitimizes an already-seen click") {
     // THE case that rules out O(1) incremental folding: batch 1 delivers a
     // click at ts=200 with no prior view (an incremental fold would reject

@@ -443,6 +443,48 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       s"expected level aggregate + level window:\n$p")
   }
 
+  test("q_ks_drift: the groups×levels grid stays broadcast — no cartesian, no data shuffle join") {
+    val p = plan("q_ks_drift")
+    assert(!p.contains("CartesianProduct"),
+      s"the dense grid must build via broadcast, never a shuffled cartesian:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"every grid join is level-sized and must broadcast:\n$p")
+  }
+
+  test("q_token_shift: TakeOrdered cut, never a full global sort before the limit") {
+    val p = plan("q_token_shift")
+    assert(p.contains("TakeOrdered"),
+      s"the top-k must plan as TakeOrdered over the vocabulary:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_ivfpq_topk: probes/LUT broadcast — no sort-merge join, no cartesian anywhere") {
+    val p = plan("q_ivfpq_topk")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortMergeJoin"),
+      s"encoded rows must join broadcast probes/LUT only:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      s"assignment/probe/LUT joins must broadcast:\n$p")
+  }
+
+  test("q_skyline_group3d: one group-keyed merge over frontier candidates, no cartesian") {
+    val p = plan("q_skyline_group3d")
+    assert(!p.contains("CartesianProduct"),
+      s"the dominance verify must stay group-equi-keyed:\n$p")
+  }
+
+  test("q_vocab_richness: pure aggregate chain — no join at all") {
+    val p = plan("q_vocab_richness")
+    assert(!p.contains("Join"), s"richness is two hash aggregates:\n$p")
+  }
+
+  test("q_t_closeness: global distribution broadcasts; no cartesian") {
+    val p = plan("q_t_closeness")
+    assert(!p.contains("CartesianProduct"))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"value-keyed global counts and group totals must broadcast:\n$p")
+  }
+
   test("q_snapshot_read: filters push into the manifest-pinned parquet scan") {
     val df = SparkEntry.queries("q_snapshot_read")(spark, sf0001)
     val filtered = df.filter(df("n_nationkey") > 10)
