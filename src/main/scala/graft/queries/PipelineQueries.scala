@@ -2619,6 +2619,66 @@ object PipelineQueries extends QueryDomain {
         .orderBy($"event_type")
     },
 
+    "q_stream_trimmed" -> { (s, dir) =>
+      import s.implicits._
+      // STREAMING exact trimmed mean
+      // ([[graft.streaming.EventStreams.trimmedMeanExact]]):
+      // q_trimmed_mean's level-range rank-interval arithmetic off a
+      // value→count keyed map — the fourth statistic of the mergeable
+      // count-map state class. Levels sort ONCE, at emission; the BigInt
+      // trimmed sum lands on the batch division via the digit-string
+      // route (shared-arithmetic oracle).
+      val staged = Staging.streamSessionizeDir(s, dir, gapSec = 21600L)
+      val ss = Staging.streamSession(s)
+      val schema = Staging.replaySchema(ss, staged)
+      val stream = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", Staging.filesInDir(staged) - 1)
+        .parquet(staged)
+        .filter($"value".isNotNull)
+        .select($"event_type".as("key"), expr("ts div 1000").as("ts"),
+          expr("CAST(floor(value * 10000.0 + 0.5) AS LONG)").as("v"))
+        .as[graft.streaming.EventStreams.ValueEvent]
+      val sink = Staging.nextStreamSink(ss)
+      val q = graft.streaming.EventStreams
+        .trimmedMeanExact(stream, trimNum = 1, trimDen = 10, unitScale = 4,
+          horizonSec = 21600L)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      ss.table(sink).filter($"key" =!= "sentinel")
+        .select($"key".as("event_type"), $"n", $"nKept".as("n_kept"),
+          $"trimmedMean".as("trimmed_mean"))
+        .orderBy($"event_type")
+    },
+
+    "q_stream_median" -> { (s, dir) =>
+      import s.implicits._
+      // STREAMING exact lower median
+      // ([[graft.streaming.EventStreams.countingMedianExact]]): the
+      // rank-⌈n/2⌉ walk over the same value→count state map — one state
+      // class, many rank statistics. The med double is the exact integer
+      // level over the unit, identical on both engines.
+      val staged = Staging.streamSessionizeDir(s, dir, gapSec = 21600L)
+      val ss = Staging.streamSession(s)
+      val schema = Staging.replaySchema(ss, staged)
+      val stream = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", Staging.filesInDir(staged) - 1)
+        .parquet(staged)
+        .filter($"value".isNotNull)
+        .select($"event_type".as("key"), expr("ts div 1000").as("ts"),
+          expr("CAST(floor(value * 10000.0 + 0.5) AS LONG)").as("v"))
+        .as[graft.streaming.EventStreams.ValueEvent]
+      val sink = Staging.nextStreamSink(ss)
+      val q = graft.streaming.EventStreams
+        .countingMedianExact(stream, unitScale = 4, horizonSec = 21600L)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      ss.table(sink).filter($"key" =!= "sentinel")
+        .select($"key".as("event_type"), $"n", $"med")
+        .orderBy($"event_type")
+    },
+
     "q_stream_simpson" -> { (s, dir) =>
       import s.implicits._
       // STREAMING class balance
@@ -4233,6 +4293,47 @@ object PipelineQueries extends QueryDomain {
         |      * CAST(s AS DECIMAL(19,0)) AS DECIMAL(38,0)) AS VARCHAR)
         |      AS DOUBLE) END AS fano
         |FROM a ORDER BY event_type""".stripMargin,
+
+    // Streaming trimmed-mean twin: q_trimmed_mean's chain with only the
+    // BIGINTs and the double exposed (the digit-string pin is the batch
+    // gate's).
+    "q_stream_trimmed" ->
+      """WITH v AS (SELECT event_type AS grp,
+        |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS v FROM events),
+        |lv AS (SELECT grp, v, CAST(count(*) AS BIGINT) AS m
+        |  FROM v WHERE v IS NOT NULL GROUP BY grp, v),
+        |c AS (SELECT grp, v, m,
+        |    COALESCE(SUM(m) OVER (PARTITION BY grp ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum,
+        |    SUM(m) OVER (PARTITION BY grp) AS n
+        |  FROM lv),
+        |k AS (SELECT grp, v, n,
+        |    greatest(0, least(cum + m, n - (n * 1 // 10))
+        |      - greatest(cum, n * 1 // 10)) AS keep
+        |  FROM c),
+        |a AS (SELECT grp, CAST(max(n) AS BIGINT) AS n,
+        |    CAST(sum(keep) AS BIGINT) AS n_kept,
+        |    CAST(SUM(CAST(keep AS DECIMAL(18,0)) * CAST(v AS DECIMAL(19,0)))
+        |      AS DECIMAL(38,0)) AS trim_sum
+        |  FROM k GROUP BY grp)
+        |SELECT grp AS event_type, n, n_kept,
+        |  CASE WHEN n_kept = 0 THEN NULL
+        |    ELSE CAST(CAST(trim_sum AS VARCHAR) AS DOUBLE)
+        |      / (CAST(n_kept AS DOUBLE) * 10000.0) END AS trimmed_mean
+        |FROM a ORDER BY event_type""".stripMargin,
+
+    // Streaming median twin: exact lower median over the e4 levels; the
+    // med double is the exact integer level over the unit.
+    "q_stream_median" ->
+      """WITH v AS (SELECT event_type,
+        |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (SELECT event_type, v,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n FROM v)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |  CAST(v AS DOUBLE) / 10000.0 AS med
+        |FROM r WHERE rn = (n + 1) // 2 ORDER BY event_type""".stripMargin,
 
     // Streaming Simpson twin: q_simpson's arithmetic with only the
     // doubles exposed (the pinned Σc² digit string is the batch gate's)

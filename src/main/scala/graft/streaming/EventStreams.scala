@@ -807,6 +807,155 @@ object EventStreams {
       }
   }
 
+  /** Input row for the value-level statistics twins
+    * ([[trimmedMeanExact]], [[countingMedianExact]]): group key, µs event
+    * time, PRE-QUANTIZED integer value (the batch operators' ⌊v·10^s+0.5⌋
+    * chain applied upstream).
+    */
+  final case class ValueEvent(key: String, ts: Long, v: Long)
+
+  /** Per-key value→count state — O(#distinct quantized values), the
+    * mergeable count-map class once more: both rank statistics below are
+    * functions of the value MULTISET, so increments commute and neither
+    * volume nor arrival order grows the state.
+    */
+  final case class ValueCountsState(vals: Map[Long, Long], deadlineMs: Long = 0L)
+
+  /** One key's closed trimmed mean — the stream twin of
+    * [[graft.operators.StatOps.trimmedMean]]'s (n, n_kept, trimmed_mean)
+    * columns (the decimal pin stays batch-side).
+    */
+  final case class TrimmedMeanOut(key: String, n: Long, nKept: Long,
+      trimmedMean: Option[Double])
+
+  /** One key's closed exact lower median — the stream twin of
+    * [[graft.operators.StatOps.countingMedian]]'s (n, med) columns, med
+    * in original units.
+    */
+  final case class MedianOut(key: String, n: Long, med: Double)
+
+  private def valueCountsFold(
+      rows: Iterator[ValueEvent],
+      state: GroupState[ValueCountsState],
+      horizonSec: Long): Unit = {
+    val prev = state.getOption
+    var vals = prev.map(_.vals).getOrElse(Map.empty[Long, Long])
+    var maxMs = prev.map(_.deadlineMs).getOrElse(0L)
+    rows.foreach { e =>
+      vals = vals.updated(e.v, vals.getOrElse(e.v, 0L) + 1L)
+      maxMs = math.max(maxMs, e.ts / 1000L + horizonSec * 1000L + 1)
+    }
+    state.update(ValueCountsState(vals, maxMs))
+    state.setTimeoutTimestamp(math.max(
+      maxMs, state.getCurrentWatermarkMs() + 1))
+  }
+
+  /** Streaming EXACT trimmed mean — [[graft.operators.StatOps
+    * .trimmedMean]]'s level-range rank-interval arithmetic run once at
+    * the event-time timeout over the value count map: levels sort at
+    * emission (vocabulary-of-values sized, not event sized), each level
+    * contributes the exact integer overlap of its rank interval with the
+    * trimmed window [⌊n·p⌋, n−⌊n·p⌋), the trimmed sum accumulates in
+    * BigInt, and the mean takes the digit-string →
+    * correctly-rounded-parse route — bit-identical to the batch division
+    * (shared-arithmetic oracle). `unitScale` is the upstream quantization
+    * exponent (values are integer 10^-unitScale units).
+    */
+  def trimmedMeanExact(
+      events: Dataset[ValueEvent],
+      trimNum: Int, trimDen: Int, unitScale: Int,
+      horizonSec: Long,
+      lateSec: Long = 0L): Dataset[TrimmedMeanOut] = {
+    import events.sparkSession.implicits._
+    require(trimNum >= 0 && trimDen > 0 && 2 * trimNum < trimDen,
+      s"need 0 <= trimNum/trimDen < 1/2, got $trimNum/$trimDen")
+    val unit = math.pow(10.0, unitScale)
+    events
+      .withColumn("event_time", timestamp_micros(col("ts")))
+      .withWatermark("event_time", s"$lateSec seconds")
+      .as[ValueEvent]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[ValueCountsState, TrimmedMeanOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: String, rows: Iterator[ValueEvent], state: GroupState[ValueCountsState]) =>
+          if (state.hasTimedOut) {
+            val vals = state.getOption.map(_.vals).getOrElse(Map.empty)
+            state.remove()
+            if (vals.isEmpty) Iterator.empty
+            else {
+              val levels = vals.toArray.sortBy(_._1)
+              val n = levels.iterator.map(_._2).sum
+              val lo = n * trimNum / trimDen
+              val hi = n - lo
+              var cum = 0L
+              var nKept = 0L
+              var trimSum = BigInt(0)
+              levels.foreach { case (v, m) =>
+                val keep = math.max(0L, math.min(cum + m, hi) - math.max(cum, lo))
+                nKept += keep
+                trimSum += BigInt(keep) * v
+                cum += m
+              }
+              val mean =
+                if (nKept == 0L) None
+                else Some(java.lang.Double.parseDouble(trimSum.toString) /
+                  (nKept.toDouble * unit))
+              Iterator.single(TrimmedMeanOut(key, n, nKept, mean))
+            }
+          } else {
+            valueCountsFold(rows, state, horizonSec)
+            Iterator.empty
+          }
+      }
+  }
+
+  /** Streaming EXACT lower median — the third statistic off the
+    * [[ValueCountsState]] map: walk the sorted levels to rank ⌈n/2⌉.
+    * The med double is one IEEE division of the exact integer level by
+    * the unit — identical to the batch decimal→double conversion (both
+    * correctly round the same rational).
+    */
+  def countingMedianExact(
+      events: Dataset[ValueEvent],
+      unitScale: Int,
+      horizonSec: Long,
+      lateSec: Long = 0L): Dataset[MedianOut] = {
+    import events.sparkSession.implicits._
+    val unit = math.pow(10.0, unitScale)
+    events
+      .withColumn("event_time", timestamp_micros(col("ts")))
+      .withWatermark("event_time", s"$lateSec seconds")
+      .as[ValueEvent]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[ValueCountsState, MedianOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: String, rows: Iterator[ValueEvent], state: GroupState[ValueCountsState]) =>
+          if (state.hasTimedOut) {
+            val vals = state.getOption.map(_.vals).getOrElse(Map.empty)
+            state.remove()
+            if (vals.isEmpty) Iterator.empty
+            else {
+              val levels = vals.toArray.sortBy(_._1)
+              val n = levels.iterator.map(_._2).sum
+              val k = (n + 1) / 2
+              var cum = 0L
+              var med = levels.last._1
+              val it = levels.iterator
+              var found = false
+              while (it.hasNext && !found) {
+                val (v, m) = it.next()
+                cum += m
+                if (cum >= k) { med = v; found = true }
+              }
+              Iterator.single(MedianOut(key, n, med.toDouble / unit))
+            }
+          } else {
+            valueCountsFold(rows, state, horizonSec)
+            Iterator.empty
+          }
+      }
+  }
+
   /** Input row for [[hashSampleExact]]: group key, pre-hashed UNIQUE row
     * key, BIGINT value, µs.
     */

@@ -613,6 +613,46 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("trimmedMeanExact/countingMedianExact: value count-map merges across batches") {
+    import graft.streaming.EventStreams.{ValueEvent, TrimmedMeanOut, MedianOut}
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val inT = MemoryStream[ValueEvent]
+    val qT = EventStreams.trimmedMeanExact(inT.toDS(), trimNum = 1, trimDen = 5,
+        unitScale = 0, horizonSec = 10)
+      .writeStream.format("memory").queryName("st_trim").outputMode("append").start()
+    val inM = MemoryStream[ValueEvent]
+    val qM = EventStreams.countingMedianExact(inM.toDS(), unitScale = 0,
+        horizonSec = 10)
+      .writeStream.format("memory").queryName("st_med").outputMode("append").start()
+    try {
+      // 10 values 1..10 split across two micro-batches OUT OF ORDER:
+      // trim 1/5 -> lo = 2, keep ranks [2, 8) = values 3..8, sum 33, mean 5.5
+      // lower median = rank 5 -> value 5
+      val ts = 1000000000L
+      inT.addData((6 to 10).map(v => ValueEvent("s", ts, v.toLong)): _*)
+      qT.processAllAvailable()
+      inT.addData((1 to 5).map(v => ValueEvent("s", ts + 1000000L, v.toLong)): _*)
+      qT.processAllAvailable()
+      inT.addData(ValueEvent("z", 9000000000L, 0L)); qT.processAllAvailable()
+      inT.addData(ValueEvent("z", 9100000000L, 0L)); qT.processAllAvailable()
+      val gotT = spark.table("st_trim").as[TrimmedMeanOut].collect()
+        .filter(_.key == "s").toSeq
+      assert(gotT == Seq(TrimmedMeanOut("s", 10L, 6L, Some(33.0 / 6.0))),
+        s"got $gotT")
+
+      inM.addData((6 to 10).map(v => ValueEvent("m", ts, v.toLong)): _*)
+      qM.processAllAvailable()
+      inM.addData((1 to 5).map(v => ValueEvent("m", ts + 1000000L, v.toLong)): _*)
+      qM.processAllAvailable()
+      inM.addData(ValueEvent("z", 9000000000L, 0L)); qM.processAllAvailable()
+      inM.addData(ValueEvent("z", 9100000000L, 0L)); qM.processAllAvailable()
+      val gotM = spark.table("st_med").as[MedianOut].collect()
+        .filter(_.key == "m").toSeq
+      assert(gotM == Seq(MedianOut("m", 10L, 5.0)), s"got $gotM")
+    } finally { qT.stop(); qM.stop() }
+  }
+
   test("streaming funnel: a late early view legitimizes an already-seen click") {
     // THE case that rules out O(1) incremental folding: batch 1 delivers a
     // click at ts=200 with no prior view (an incremental fold would reject
