@@ -752,6 +752,52 @@ object VectorOps {
     probeRank(q, index.centroids, index.members, k, nProbe, saltBuckets)
   }
 
+  /** CLUSTER-QUALITY report for a centroid set — the "is this clustering
+    * any good" measurement behind [[kmeans]]/[[ivfAssign]] deployment:
+    * per cluster, the member count and the EXACT within-cluster inertia
+    * Σ‖x − c‖² over ⌊v·10^scale+0.5⌋-quantized coordinates. Quantizing
+    * BOTH sides to integers first makes the squared distances exact
+    * longs (a double Σ of raw squares is aggregation-order-dependent and
+    * could never hash-gate), so the total is an exact DECIMAL(38,0)
+    * digit-string pin and the reported inertia one IEEE division by
+    * 10^(2·scale). Empty clusters emit no row (their centroid simply
+    * attracts nothing — the k-means empty-cluster signal).
+    *
+    * Overflow bound: per-row Σ_d (Δ·10^s)² must fit a LONG — at e4 and
+    * |Δ| ≤ 10³ that is ~9·10⁴ dims; the cross-row sum is decimal-exact.
+    *
+    * Scale posture: one compiled zero-shuffle assignment fold + one
+    * broadcast centroid join + one combiner-reduced per-cluster
+    * aggregate. Output: (cluster_id, n, inertia_num — digit string,
+    * inertia DOUBLE in original units²).
+    */
+  def clusterQuality(data: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, scale: Int = 4): DataFrame = {
+    require(scale >= 0 && scale <= 8, s"scale must be in [0,8], got $scale")
+    val cen = centroids.select(col(idCol).cast("long").as("cluster_id"),
+      asDouble(col(vecCol)).as("graft_cvec"))
+    val unit = math.pow(10.0, scale)
+    def q(c: Column) = floor(c * unit + 0.5).cast("long")
+    // The per-row sum folds in LONGS (a double fold of the squared terms
+    // could pass 2^53 on wide vectors and silently round).
+    val rowSq = aggregate(
+      zip_with(asDouble(col("vec")), col("graft_cvec"),
+        (x, y) => (q(x) - q(y)) * (q(x) - q(y))),
+      lit(0L), (a, x) => a + x)
+    def d18(c: Column) = c.cast("decimal(18,0)")
+    def dbl(c: Column) = c.cast("string").cast("double")
+    assignWithVec(data, centroids, idCol, vecCol)
+      .filter(col("cluster_id").isNotNull)
+      .join(broadcast(cen), Seq("cluster_id"))
+      .select(col("cluster_id"), rowSq.as("graft_sq"))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(d18(col("graft_sq"))).cast("decimal(38,0)").as("inertia_num"))
+      .select(col("cluster_id"), col("n"),
+        col("inertia_num").cast("string").as("inertia_num"),
+        (dbl(col("inertia_num")) / lit(unit * unit)).as("inertia"))
+  }
+
   /** Contiguous subvector `s` of `m` equal splits of a `dim`-wide vector
     * (doubles). `slice` is 1-based; width is a plan-time constant. */
   private def subvec(vec: Column, s: Int, m: Int, dim: Int): Column =

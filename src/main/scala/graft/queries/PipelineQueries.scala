@@ -3237,6 +3237,20 @@ object PipelineQueries extends QueryDomain {
           .select($"query_id".as("doc_i"), $"neighbor_id".as("doc_j")))
     },
 
+    "q_cluster_quality" -> { (s, dir) =>
+      import s.implicits._
+      // Cluster-quality report ([[VectorOps.clusterQuality]]): per-cluster
+      // member count + EXACT within-cluster inertia over e4-quantized
+      // coordinates, for q_ann_ivf's fixed centroid set — the measurement
+      // that decides when an IVF index's centroids need reclustering.
+      // Quantize-then-square makes every distance an exact long, so the
+      // statistic hash-gates where a double Σ‖x−c‖² never could.
+      val e = t(s, dir, "embeddings")
+      VectorOps.clusterQuality(e, "vec_id", "embedding",
+          e.filter($"vec_id" < 10), scale = 4)
+        .orderBy($"cluster_id")
+    },
+
     "q_embed_centroid" -> { (s, dir) =>
       import s.implicits._
       // Per-label mean pooling ([[VectorOps.groupCentroids]]): class
@@ -6609,6 +6623,34 @@ object PipelineQueries extends QueryDomain {
          |WHERE rrf_rank <= 10 ORDER BY rrf_rank""".stripMargin,
 
     "q_ann_ivf" -> annIvfOracle,
+
+    // Cluster-quality twin: the annIvfOracle assignment (cosine argmax to
+    // the fixed centroids), e4-quantized integer squared distances folded
+    // in BIGINT per row, the cross-row total pinned as a digit string.
+    "q_cluster_quality" ->
+      s"""WITH $embCte,
+         |cen AS (SELECT vec_id AS cid, e, nn FROM n WHERE vec_id < 10),
+         |asg AS (SELECT vec_id, cluster_id FROM (
+         |  SELECT d.vec_id, c.cid AS cluster_id,
+         |    ROW_NUMBER() OVER (PARTITION BY d.vec_id
+         |      ORDER BY ${duckDot("d.e", "c.e")} / sqrt(d.nn * c.nn) DESC, c.cid) AS rn
+         |  FROM n d CROSS JOIN cen c) WHERE rn = 1),
+         |sq AS (SELECT asg.cluster_id,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(range(1, len(d.e)+1), i ->
+         |        (CAST(floor(d.e[i] * 10000.0 + 0.5) AS BIGINT)
+         |          - CAST(floor(c.e[i] * 10000.0 + 0.5) AS BIGINT))
+         |        * (CAST(floor(d.e[i] * 10000.0 + 0.5) AS BIGINT)
+         |          - CAST(floor(c.e[i] * 10000.0 + 0.5) AS BIGINT)))),
+         |      (a, x) -> a + x) AS s
+         |  FROM asg JOIN n d ON d.vec_id = asg.vec_id
+         |  JOIN cen c ON c.cid = asg.cluster_id)
+         |SELECT cluster_id, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(CAST(SUM(CAST(s AS DECIMAL(18,0))) AS DECIMAL(38,0))
+         |    AS VARCHAR) AS inertia_num,
+         |  CAST(CAST(CAST(SUM(CAST(s AS DECIMAL(18,0))) AS DECIMAL(38,0))
+         |    AS VARCHAR) AS DOUBLE) / 100000000.0 AS inertia
+         |FROM sq GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
 
     // Built-then-appended index state == built-at-once state with the same
     // centroids, so the probe answers — and the oracle — are identical.

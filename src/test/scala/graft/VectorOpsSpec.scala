@@ -452,6 +452,44 @@ class VectorOpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("clusterQuality ≡ driver-side quantized inertia; partitioning-invariant") {
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val cen = e.filter($"vec_id" < 10)
+    val got = VectorOps.clusterQuality(e, "vec_id", "embedding", cen, scale = 4)
+      .as[(Long, Long, String, Double)].collect().map(r => r._1 -> r).toMap
+    // driver replication: cosine-argmax assignment, e4 integer squares
+    val all = e.select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+    val cents = all.filter(_._1 < 10).map { case (id, v) => id -> v.map(_.toDouble) }
+    def q(x: Double): Long = math.floor(x * 10000.0 + 0.5).toLong
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).foldLeft(0.0)((acc, p) => acc + p._1 * p._2)
+      d / math.sqrt(a.foldLeft(0.0)((s, x) => s + x * x) *
+        b.foldLeft(0.0)((s, x) => s + x * x))
+    }
+    val expect = all.map { case (id, vf) =>
+      val v = vf.map(_.toDouble)
+      val cid = cents.map { case (c, cv) => (-cos(v, cv), c) }.min._2
+      val sq = v.zip(cents.find(_._1 == cid).get._2)
+        .foldLeft(0L) { case (acc, (x, y)) =>
+          val d = q(x) - q(y); acc + d * d
+        }
+      cid -> sq
+    }.groupBy(_._1).map { case (cid, rows) =>
+      cid -> ((rows.length.toLong, rows.map(r => BigInt(r._2)).sum))
+    }
+    expect.foreach { case (cid, (n, sq)) =>
+      val (_, gn, pin, d) = got(cid)
+      assert(gn == n && BigInt(pin) == sq, s"cluster $cid")
+      assert(d == java.lang.Double.parseDouble(sq.toString) / 1.0e8)
+    }
+    assert(got.keySet == expect.keySet)
+    // partitioning-invariant (exact integers, order-free aggregate)
+    val re = VectorOps.clusterQuality(e.repartition(17), "vec_id", "embedding",
+        cen, scale = 4)
+      .as[(Long, Long, String, Double)].collect().map(r => r._1 -> r).toMap
+    assert(re == got)
+  }
+
   test("groupCentroids ≡ driver-side unit-quantized pooling; stable under repartition") {
     val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val rows = e.select($"label", $"embedding").as[(Int, Seq[Float])].collect()
