@@ -217,7 +217,9 @@ object GovernanceOps {
     * Scale posture: one (QI, value) combiner-reduced count, one
     * VALUE-keyed equi-join against the ≤|domain| global count table
     * (broadcast), two closing hash aggregates — never a per-group scan of
-    * the value domain. Output: every QI group with (group_size, t_num,
+    * the value domain. NULL sensitive values and NULL quasi-identifier
+    * groups are first-class (null-safe `<=>` join keys — NULL is a
+    * category, not a dropped row). Output: every QI group with (group_size, t_num,
     * t_closeness, t_risk = t > tNum/tDen), one row per group — release
     * condition: no t_risk row.
     */
@@ -234,15 +236,25 @@ object GovernanceOps {
     def d18(c: org.apache.spark.sql.Column) = c.cast("decimal(18,0)")
     def d19(c: org.apache.spark.sql.Column) = c.cast("decimal(19,0)")
     def dbl(c: org.apache.spark.sql.Column) = c.cast("string").cast("double")
-    val pres = cs.join(broadcast(glob), Seq("sv"))
-      .join(ns, quasiCols)
+    // NULL-SAFE (<=>) join keys throughout — still planned as hash joins
+    // (EqualNullSafe is an equi-join key to Catalyst). A NULL sensitive
+    // value is a legitimate category (its mass must not silently migrate
+    // into the absent-value closed form), and a group with a NULL
+    // quasi-identifier is still a group a release gate must report —
+    // plain equi-joins would drop both (r16 ADVICE).
+    val globR = glob.withColumnRenamed("sv", "sv__tc")
+    val nsR = quasiCols.foldLeft(ns)((d, c) => d.withColumnRenamed(c, s"${c}__tc"))
+    val qiEq = quasiCols.map(c => col(c) <=> col(s"${c}__tc")).reduce(_ && _)
+    val pres = cs.join(broadcast(globR), col("sv") <=> col("sv__tc")).drop("sv__tc")
+      .join(nsR, qiEq).drop(quasiCols.map(c => s"${c}__tc"): _*)
       .crossJoin(broadcast(nAll))
       .groupBy(qi: _*)
       .agg(
         sum(abs(d18(col("c")) * d19(col("nn")) -
           d18(col("cg")) * d19(col("n")))).as("num_present"),
         sum(col("cg")).as("cg_present"))
-    pres.join(ns, quasiCols).crossJoin(broadcast(nAll))
+    pres.join(nsR, qiEq).drop(quasiCols.map(c => s"${c}__tc"): _*)
+      .crossJoin(broadcast(nAll))
       .select(qi ++ Seq(
         col("n").as("group_size"),
         (col("num_present") +

@@ -139,6 +139,36 @@ object Skyline {
     require(groupCols.nonEmpty, "per-group skyline needs group columns")
     require(dimCols.size >= 2, "need at least 2 dimensions")
     val schema = points.schema
+    // Plan-time type validation (r16 ADVICE): the local fold's frontier
+    // map keys defensively copy UTF8String values out of the reused
+    // UnsafeRow buffer, but an array/struct/map/binary group column would
+    // still alias the recycled buffer (or, for binary, compare by
+    // reference) and silently corrupt grouping — and a non-integral dim
+    // would otherwise only fail at executor runtime. Fail loudly on the
+    // driver instead.
+    dimCols.foreach { c =>
+      val t = schema(schema.fieldIndex(c)).dataType
+      require(t == org.apache.spark.sql.types.LongType ||
+          t == org.apache.spark.sql.types.IntegerType,
+        s"skylineMinPerGroup: dim column $c must be INT or BIGINT " +
+          s"(got ${t.sql}) — quantize doubles first (the q_embed_centroid " +
+          "integer-units playbook)")
+    }
+    groupCols.foreach { c =>
+      import org.apache.spark.sql.types._
+      val t = schema(schema.fieldIndex(c)).dataType
+      val atomic = t match {
+        case IntegerType | LongType | ShortType | ByteType | BooleanType |
+             StringType | FloatType | DoubleType | DateType | TimestampType |
+             TimestampNTZType => true
+        case _: DecimalType => true
+        case _ => false
+      }
+      require(atomic,
+        s"skylineMinPerGroup: group column $c must be an atomic non-binary " +
+          s"type (got ${t.sql}) — nested/binary keys cannot be safely " +
+          "copied out of the reused row buffer")
+    }
     val gIdx = groupCols.map(schema.fieldIndex).toArray
     val dIdx = dimCols.map(schema.fieldIndex).toArray
     val d = dIdx.length

@@ -19,11 +19,23 @@ import org.apache.spark.sql.types.{StringType, StructType}
   *
   * Scale posture: the parse is per-row (splittable text scan), the DLQ
   * write is one extra pass over the cached rows, and the returned frame
-  * is a materialized local checkpoint of the good rows — the parse cache
+  * is a materialized CHECKPOINT of the good rows — the parse cache
   * itself is unpersisted before returning (r15 ADVICE: a long-running
   * session ingesting many feeds must not accumulate a pinned cached copy
   * of every input), and the checkpoint's blocks free with the returned
   * frame's lifetime instead of requiring a manual unpersist.
+  *
+  * Fault-tolerance tradeoff (r16 ADVICE, documented contract): when the
+  * session has a RELIABLE checkpoint directory configured
+  * (`sparkContext.setCheckpointDir`), the good rows checkpoint there and
+  * survive executor loss. Without one, the fallback is a LOCAL
+  * checkpoint: executor-resident blocks that are neither replicated nor
+  * recomputable — any executor loss makes the returned frame
+  * unrecoverable, and downstream filter/column pushdown into the source
+  * scan is cut either way (the materialization severs lineage BY DESIGN:
+  * the corrupt column must not be optimized out from under the DLQ
+  * split). Production ingests at scale should set a checkpoint dir; the
+  * returned frame is then as durable as any shuffle output.
   */
 object Quarantine {
 
@@ -41,11 +53,15 @@ object Quarantine {
       .cache()
     raw.filter(col("_corrupt").isNotNull).select(col("_corrupt"))
       .write.mode("overwrite").text(dlqPath)
-    // Eager localCheckpoint: materializes the good rows (their lineage no
+    // Eager checkpoint: materializes the good rows (their lineage no
     // longer filters the corrupt column, so the cache is no longer load-
-    // bearing), then release the parse cache immediately.
-    val good = raw.filter(col("_corrupt").isNull).drop("_corrupt")
-      .localCheckpoint()
+    // bearing), then release the parse cache immediately. Reliable when a
+    // checkpoint dir is configured, local otherwise — see the class-doc
+    // fault-tolerance contract.
+    val filtered = raw.filter(col("_corrupt").isNull).drop("_corrupt")
+    val good =
+      if (spark.sparkContext.getCheckpointDir.isDefined) filtered.checkpoint()
+      else filtered.localCheckpoint()
     raw.unpersist()
     good
   }

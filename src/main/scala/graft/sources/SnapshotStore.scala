@@ -18,19 +18,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * The manifest is a plain text file `manifest-v{N}.txt` (one
   * `data/`-relative file path per line — deliberately dependency-free,
-  * like [[graft.cli.IniConfig]]); the commit point is an EXCLUSIVE
-  * `create(path, overwrite = false)` of the final manifest name. Create
-  * is the one primitive that arbitrates a same-version race atomically on
-  * BOTH HDFS (namenode-atomic) and the local filesystem (O_CREAT|O_EXCL)
-  * — a `.tmp` + `rename` protocol is atomic on HDFS but local
-  * `rename(2)` silently REPLACES an existing destination, so two
-  * concurrent publishers of the same version would both "succeed" and
-  * the loser's committed files would quietly orphan. With exclusive
-  * create the loser throws. The manifest body is one small buffered
-  * write + close (HDFS readers cannot observe pre-close bytes; on local
-  * FS the partial-visibility window is a single write syscall), and a
-  * publisher that dies between create and close leaves a LOUDLY broken
-  * version — `read` rejects an empty manifest — never a silent one.
+  * like [[graft.cli.IniConfig]]). The commit protocol is two-step:
+  *
+  *  1. EXCLUSIVE `create(manifest-v{N}.txt.tmp, overwrite = false)` —
+  *     create is the one primitive that arbitrates a same-version race
+  *     atomically on BOTH HDFS (namenode-atomic) and the local
+  *     filesystem (O_CREAT|O_EXCL), so of two concurrent publishers
+  *     that computed the same next version exactly one owns the tmp
+  *     name and the loser throws. The full manifest body is written
+  *     and CLOSED under the tmp name, invisible to readers.
+  *  2. `rename(tmp, manifest-v{N}.txt)` — the VISIBILITY point. Rename
+  *     is atomic on HDFS and POSIX, and no committed destination can
+  *     exist (step 1 guarantees a single publisher per version), so
+  *     readers switch from "version absent" to "version complete with
+  *     its full body" in one step — `versions()`/`read()` can never
+  *     observe an empty or partially flushed manifest.
+  *
+  * A publisher that dies between create and rename leaves an orphan
+  * `.tmp` (plus orphan data files) that blocks only SAME-version
+  * publishers — loudly, with a message naming the stale file; [[vacuum]]
+  * removes tmp orphans along with unreferenced data files.
   *
   * Scale posture: `publish` is one Spark write job plus an O(#files)
   * listing of its OWN output subdirectory (never the table root);
@@ -78,18 +85,24 @@ object SnapshotStore {
       .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
       .sorted
       .map(n => s"$sub/$n")
-    // Exclusive create IS the commit point (see class doc): a concurrent
-    // publisher that computed the same version fails HERE, loudly, on
-    // every filesystem; its data files stay invisible orphans for vacuum.
+    // Two-step commit (see class doc): exclusive create of the TMP name
+    // arbitrates the same-version race; the rename is the atomic
+    // visibility point, so readers never see a partial manifest.
+    val tmp = new Path(dir, s"manifest-v$next.txt.tmp")
     val out =
-      try f.create(manifestPath(dir, next), false)
+      try f.create(tmp, false)
       catch {
         case e: java.io.IOException =>
           throw new IllegalStateException(
-            s"snapshot publish lost the race for version $next of $dir", e)
+            s"snapshot publish lost the race for version $next of $dir " +
+              s"(if no publish is in flight, $tmp is a crashed publisher's " +
+              "orphan — run vacuum)", e)
       }
     try out.write(files.mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
+    if (!f.rename(tmp, manifestPath(dir, next)))
+      throw new IllegalStateException(
+        s"snapshot publish could not rename $tmp to its manifest name")
     next
   }
 
@@ -163,7 +176,10 @@ object SnapshotStore {
 
   /** Delete data files referenced by NO retained manifest (keep the last
     * `keepVersions`) plus the dropped manifests themselves. Returns the
-    * number of data files deleted. Orphans from crashed publishes go too.
+    * number of data files deleted. Orphans from crashed publishes go too
+    * — data files AND stale `manifest-v*.txt.tmp` markers (vacuum already
+    * requires no publish in flight: an in-flight publisher's data files
+    * are referenced by no manifest and would be swept regardless).
     */
   def vacuum(spark: SparkSession, dir: String, keepVersions: Int = 1): Int = {
     require(keepVersions >= 1, s"must keep >= 1 version, got $keepVersions")
@@ -196,6 +212,10 @@ object SnapshotStore {
       toDelete.foreach { p => if (f.delete(p, false)) deleted += 1 }
     }
     vs.filterNot(keep).foreach(v => f.delete(manifestPath(dir, v), false))
+    f.listStatus(new Path(dir)).toSeq
+      .filter(st => st.isFile && st.getPath.getName.startsWith("manifest-v") &&
+        st.getPath.getName.endsWith(".txt.tmp"))
+      .foreach(st => f.delete(st.getPath, false))
     deleted
   }
 }

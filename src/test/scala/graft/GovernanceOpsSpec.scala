@@ -230,6 +230,23 @@ class GovernanceOpsSpec extends AnyFunSuite with SparkSpec {
     assert(got("C") == (("C", 2L, "2", 2.0 / 36.0, false)))
   }
 
+  test("tCloseness keeps NULL sensitive values and NULL quasi-identifier groups") {
+    import spark.implicits._
+    // Global: sv 1 -> 2, NULL -> 1, 2 -> 1 (N = 4). Group a = {1,1,NULL}
+    // (n=3): t_num = |2·4−2·3| + |1·4−1·3| + closed form 3·(4−3) = 2+1+3=6,
+    // t = 6/(2·3·4) = 0.25. Group NULL = {2} (n=1): |1·4−1·1| + 1·(4−1) = 6,
+    // t = 6/(2·1·4) = 0.75. Plain equi-joins would drop the NULL sv row's
+    // mass from group a AND the whole NULL-qi group (r16 ADVICE).
+    val d = Seq((Some("a"), Some(1)), (Some("a"), Some(1)), (Some("a"), None),
+      (Option.empty[String], Some(2))).toDF("qi", "sv")
+    val got = GovernanceOps.tCloseness(d, Seq("qi"), "sv", tNum = 1, tDen = 2)
+      .as[(Option[String], Long, String, Double, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got.size == 2, got.toString)
+    assert(got(Some("a")) == ((Some("a"), 3L, "6", 0.25, false)), got.toString)
+    assert(got(None) == ((None, 1L, "6", 0.75, true)), got.toString)
+  }
+
   test("tCloseness ≡ driver-side TVD reference on the events fixture frame") {
     import spark.implicits._
     val e = spark.read.parquet(s"$sf0001/events.parquet")

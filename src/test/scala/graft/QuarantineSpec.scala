@@ -83,4 +83,22 @@ class QuarantineSpec extends AnyFunSuite with SparkSpec {
     assert(out.filter($"id" === 7).count() == 1)
     assert(dlq.contains(bad))
   }
+
+  test("with a checkpoint dir configured the good rows checkpoint RELIABLY " +
+    "(fault-tolerant blocks); without one they fall back to local") {
+    val ckpt = Files.createTempDirectory("graft_ckpt").toString
+    val dir = stage(Seq("""{"id":1,"name":"a"}""", """broken"""))
+    val prev = spark.sparkContext.getCheckpointDir
+    try {
+      spark.sparkContext.setCheckpointDir(ckpt)
+      val out = Quarantine.readJsonLines(spark, s"$dir/in.json",
+        "id INT, name STRING", s"$dir/dlq")
+      assert(out.count() == 1)
+      // Dataset.checkpoint wraps the materialized RDD in a fresh LogicalRDD
+      // (isCheckpointed is false on the wrapper), so the observable
+      // contract is the durable artifact: blocks under the configured dir.
+      val wrote = Files.walk(Paths.get(ckpt)).toArray.length > 1
+      assert(wrote, "reliable checkpoint must write under the configured dir")
+    } finally prev.foreach(spark.sparkContext.setCheckpointDir)
+  }
 }

@@ -151,4 +151,23 @@ class SkylineSpec extends AnyFunSuite with SparkSpec {
     assert(got == Set((Some("a"), "p1"), (Some("a"), "p2"),
       (Some("a"), "p3"), (None, "n1")), s"got $got")
   }
+
+  test("skylineMinPerGroup validates dim and group column types at plan time") {
+    import org.apache.spark.sql.functions._
+    val pts = Seq(("a", 1L, 2L)).toDF("g", "x", "y")
+    // non-integral dim: fails on the DRIVER, before any job runs
+    val dbl = pts.withColumn("x", $"x".cast("double"))
+    val e1 = intercept[IllegalArgumentException](
+      Skyline.skylineMinPerGroup(dbl, Seq("g"), Seq("x", "y")))
+    assert(e1.getMessage.contains("quantize"), e1.getMessage)
+    // nested group key: the frontier map cannot safely copy it out of the
+    // reused row buffer — rejected up front
+    val arr = pts.withColumn("g", array($"g"))
+    val e2 = intercept[IllegalArgumentException](
+      Skyline.skylineMinPerGroup(arr, Seq("g"), Seq("x", "y")))
+    assert(e2.getMessage.contains("atomic"), e2.getMessage)
+    val bin = pts.withColumn("g", $"g".cast("binary"))
+    intercept[IllegalArgumentException](
+      Skyline.skylineMinPerGroup(bin, Seq("g"), Seq("x", "y")))
+  }
 }

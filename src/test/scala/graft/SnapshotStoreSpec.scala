@@ -110,4 +110,24 @@ class SnapshotStoreSpec extends AnyFunSuite with SparkSpec {
     intercept[IllegalArgumentException](
       SnapshotStore.vacuum(spark, dir, keepVersions = 0))
   }
+
+  test("tmp+rename commit: a crashed publisher's tmp is invisible, blocks the " +
+    "same version loudly, and vacuum clears it") {
+    val dir = freshDir()
+    val d = (1 to 5).map(i => (i.toLong, s"r$i")).toDF("id", "s")
+    assert(SnapshotStore.publish(d, dir) == 1)
+    // Simulate a publisher of v2 that died between create and rename.
+    Files.write(java.nio.file.Paths.get(dir, "manifest-v2.txt.tmp"),
+      "half-written\n".getBytes("UTF-8"))
+    // Readers are untouched: the tmp is not a committed version, and the
+    // latest manifest still reads complete (the r16 ADVICE failure mode —
+    // a visible-but-empty final manifest — cannot occur under tmp+rename).
+    assert(SnapshotStore.versions(spark, dir) == Seq(1))
+    assert(SnapshotStore.read(spark, dir).count() == 5)
+    val e = intercept[IllegalStateException](SnapshotStore.publish(d, dir))
+    assert(e.getMessage.contains("vacuum"), e.getMessage)
+    SnapshotStore.vacuum(spark, dir, keepVersions = 1)
+    assert(SnapshotStore.publish(d, dir) == 2)
+    assert(SnapshotStore.read(spark, dir).count() == 5)
+  }
 }

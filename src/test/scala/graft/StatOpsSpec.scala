@@ -273,4 +273,18 @@ class StatOpsSpec extends AnyFunSuite with SparkSpec {
       .as[(String, Long, Long, String, Option[Double])].head()
     assert(gotSingle._3 == 0L && gotSingle._5.isEmpty)
   }
+
+  test("ksDrift enforces the grid bound: an unquantized wide domain fails loudly") {
+    import spark.implicits._
+    // 2 groups x 3 levels = 6 cells: over a 5-cell cap the call must fail
+    // on the driver with the quantization hint, never build the grid.
+    val d = Seq(("a", 1L), ("a", 2L), ("b", 2L), ("b", 3L)).toDF("g", "v")
+    val e = intercept[IllegalArgumentException](
+      StatOps.ksDrift(d, "g", "v", maxGridCells = 5L))
+    assert(e.getMessage.contains("quantize"), e.getMessage)
+    // at the bound it still runs
+    assert(StatOps.ksDrift(d, "g", "v", maxGridCells = 6L).count() == 2)
+    assertThrows[IllegalArgumentException](
+      StatOps.ksDrift(d, "g", "v", maxGridCells = 0L))
+  }
 }
