@@ -60,6 +60,137 @@ object CorpusOps {
           .otherwise(0L).as("keep"))
   }
 
+  /** HEURISTIC QUALITY-RULE REPORT — the C4/Gopher/RefinedWeb composite
+    * filter every web-scale curation pipeline runs BEFORE dedup (Rae et
+    * al. 2021 "Scaling Language Models: ... Gopher" §A1.1; Raffel et al.
+    * 2020 C4; Penedo et al. 2023 RefinedWeb): per document, the
+    * repetition / symbol / layout signals plus ONE composite keep flag.
+    * Per-doc signals (lines split on `\n`; words split on spaces within a
+    * line, empties dropped; NULL text reads as empty):
+    *
+    *  - `n_lines`, `n_dup_lines` (occurrences beyond each line's first),
+    *    `dup_line_frac` — Gopher's duplicate-line screen;
+    *  - `n_words`, `sum_word_chars`, `mean_word_len` — the word-length
+    *    band (organic prose sits in [3,10]);
+    *  - `top2_gram`, `top2_n`, `top2_chars` (= occurrences × gram length,
+    *    Gopher's overlapping-char convention), `top2_char_frac` — the
+    *    "most frequent 2-gram covers too much" rule, tie broken to the
+    *    lexicographically smallest gram;
+    *  - `n_symbols` (`#` chars + `...` occurrences), `symbol_ratio`
+    *    (per word) — the hashtag/ellipsis screen;
+    *  - `n_bullet_lines` (prefix `- ` / `* ` / `• `), `bullet_frac`;
+    *    `n_ellipsis_lines` (suffix `...` / `…`), `ellipsis_frac`;
+    *  - `keep` — ALL of: minWords ≤ n_words ≤ maxWords; mean word length
+    *    in [3,10]; symbol_ratio < 1/10; bullet_frac < 9/10;
+    *    ellipsis_frac < 3/10; dup_line_frac < 3/10; top2_char_frac < 1/5
+    *    — evaluated as exact integer cross-multiplications (the
+    *    [[repetitionStats]] discipline), so the flag hash-gates.
+    *
+    * The DOUBLE ratio columns are single IEEE divisions of exact longs
+    * (engine-stable); every decision input is integer.
+    *
+    * Scale posture: ONE scan, join-free, shuffle-free — every signal,
+    * including the top-2-gram mode, is a per-row expression (the mode is
+    * an `array_sort` + run-length `aggregate` fold INSIDE the row, never
+    * an explode), so the operator map-streams at 100 TB and Catalyst
+    * prunes the scan to (id, text). [[repetitionStats]] remains the
+    * explode/aggregate form for corpora whose single documents are too
+    * large to fold in memory; this is the report for web-scale MANY-doc
+    * corpora where per-doc arrays are KB-sized.
+    */
+  def qualityRules(docs: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    require(minWords >= 1 && maxWords >= minWords,
+      s"need 1 <= minWords <= maxWords, got $minWords..$maxWords")
+    val t = coalesce(col(textCol), lit(""))
+    // Let-binding discipline throughout (the wordNgramsAll singleton-
+    // transform trick): the line array, the word array, and the fold
+    // result are each bound to a LAMBDA VARIABLE before being referenced
+    // more than once — a bare Scala val would re-inline the whole
+    // subexpression per reference (HOFs are CodegenFallback, so runtime
+    // subexpression elimination would NOT rescue the duplicates).
+    val metrics = element_at(transform(array(split(t, "\n")), ls => {
+      val words = filter(flatten(transform(ls, l => split(l, " "))),
+        w => w =!= "")
+      // Per-line word bigrams (never across a line break), each line's
+      // token array bound through its own singleton transform.
+      val bg = flatten(transform(ls, l =>
+        element_at(transform(array(filter(split(l, " "), w => w =!= "")),
+          wl => when(size(wl) < 2, array().cast("array<string>"))
+            .otherwise(transform(sequence(lit(1), size(wl) - 1),
+              i => concat_ws(" ", element_at(wl, i), element_at(wl, i + 1))))),
+          1)))
+      // Run-length fold over the sorted bigrams: strictly-greater keeps
+      // the FIRST maximal run = the lexicographically smallest tied gram.
+      val top = aggregate(array_sort(bg),
+        struct(lit("").as("prev"), lit(0L).as("run"),
+          lit(0L).as("best"), lit("").as("bestg")),
+        (acc, g) => {
+          val run = when(g === acc.getField("prev"),
+            acc.getField("run") + 1L).otherwise(lit(1L))
+          struct(g.as("prev"), run.as("run"),
+            when(run > acc.getField("best"), run)
+              .otherwise(acc.getField("best")).as("best"),
+            when(run > acc.getField("best"), g)
+              .otherwise(acc.getField("bestg")).as("bestg"))
+        })
+      val bulletLines = filter(ls, l =>
+        l.startsWith("- ") || l.startsWith("* ") || l.startsWith("• "))
+      val ellipsisLines = filter(ls, l =>
+        l.endsWith("...") || l.endsWith("…"))
+      // words and top are each referenced more than once below — bind both
+      // through one singleton struct so they evaluate ONCE per row.
+      element_at(transform(array(struct(words.as("w"), top.as("tp"))), v =>
+        struct(
+          size(ls).cast("long").as("n_lines"),
+          (size(ls) - size(array_distinct(ls))).cast("long").as("n_dup_lines"),
+          size(v.getField("w")).cast("long").as("n_words"),
+          aggregate(v.getField("w"), lit(0L), (a, w) => a + length(w))
+            .as("sum_word_chars"),
+          v.getField("tp").getField("best").as("top2_n"),
+          v.getField("tp").getField("bestg").as("top2_gram"),
+          (v.getField("tp").getField("best") *
+            length(v.getField("tp").getField("bestg"))).as("top2_chars"),
+          size(bulletLines).cast("long").as("n_bullet_lines"),
+          size(ellipsisLines).cast("long").as("n_ellipsis_lines"))), 1)
+    }), 1)
+    val nSymbols =
+      (length(t) - length(regexp_replace(t, "#", ""))).cast("long") +
+        ((length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / 3).cast("long")
+    def frac(num: Column, den: Column): Column =
+      when(den === 0L, lit(null).cast("double"))
+        .otherwise(num.cast("double") / den.cast("double"))
+    val m = docs.select(col(idCol).as("doc_id"),
+      length(t).cast("long").as("n_chars"),
+      nSymbols.as("n_symbols"),
+      metrics.as("m"))
+    val f = m.select(col("doc_id"), col("n_chars"),
+      col("m.n_lines").as("n_lines"), col("m.n_dup_lines").as("n_dup_lines"),
+      col("m.n_words").as("n_words"),
+      col("m.sum_word_chars").as("sum_word_chars"),
+      col("m.top2_n").as("top2_n"),
+      when(col("m.top2_n") > 0L, col("m.top2_gram")).as("top2_gram"),
+      col("m.top2_chars").as("top2_chars"),
+      col("n_symbols"),
+      col("m.n_bullet_lines").as("n_bullet_lines"),
+      col("m.n_ellipsis_lines").as("n_ellipsis_lines"))
+    f.select(col("*"),
+        frac(col("n_dup_lines"), col("n_lines")).as("dup_line_frac"),
+        frac(col("sum_word_chars"), col("n_words")).as("mean_word_len"),
+        frac(col("top2_chars"), col("n_chars")).as("top2_char_frac"),
+        frac(col("n_symbols"), col("n_words")).as("symbol_ratio"),
+        frac(col("n_bullet_lines"), col("n_lines")).as("bullet_frac"),
+        frac(col("n_ellipsis_lines"), col("n_lines")).as("ellipsis_frac"),
+        (col("n_words") >= minWords.toLong && col("n_words") <= maxWords.toLong &&
+          col("sum_word_chars") >= col("n_words") * 3L &&
+          col("sum_word_chars") <= col("n_words") * 10L &&
+          col("n_symbols") * 10L < col("n_words") &&
+          col("n_bullet_lines") * 10L < col("n_lines") * 9L &&
+          col("n_ellipsis_lines") * 10L < col("n_lines") * 3L &&
+          col("n_dup_lines") * 10L < col("n_lines") * 3L &&
+          col("top2_chars") * 5L < col("n_chars")).as("keep"))
+  }
+
   /** Top-`k` representative terms per document, TF-IDF-style but ranked
     * entirely in integers: term frequency descending, document frequency
     * ascending (rarer wins), token ascending — the argmax of tf·idf for any

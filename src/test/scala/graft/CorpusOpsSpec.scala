@@ -17,6 +17,83 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec {
     assert(got(3) === Seq.empty)
   }
 
+  test("qualityRules: hand-computed signals on a crafted doc; empty/null text") {
+    val text = "- aaa bbb\n- aaa bbb\nccc ddd ccc ddd ccc ...\nxx"
+    val d = Seq((1L, Some(text)), (2L, Some("")), (3L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val got = CorpusOps.qualityRules(d, "doc_id", "text", minWords = 1)
+    val r = got.filter($"doc_id" === 1L).head()
+    assert(r.getAs[Long]("n_lines") == 4L)
+    assert(r.getAs[Long]("n_dup_lines") == 1L)       // "- aaa bbb" repeats
+    assert(r.getAs[Long]("n_words") == 13L)
+    assert(r.getAs[Long]("sum_word_chars") == 34L)
+    // bigram counts: "- aaa"x2, "aaa bbb"x2, "ccc ddd"x2, "ddd ccc"x2,
+    // "ccc ..."x1 — run-length tie goes to the lexicographically smallest
+    assert(r.getAs[String]("top2_gram") == "- aaa")
+    assert(r.getAs[Long]("top2_n") == 2L)
+    assert(r.getAs[Long]("top2_chars") == 10L)
+    assert(r.getAs[Long]("n_symbols") == 1L)          // one "..."
+    assert(r.getAs[Long]("n_bullet_lines") == 2L)
+    assert(r.getAs[Long]("n_ellipsis_lines") == 1L)
+    assert(r.getAs[Double]("dup_line_frac") == 0.25)
+    assert(r.getAs[Double]("mean_word_len") == 34.0 / 13.0)
+    // mean word length 34/13 < 3 → drop despite minWords = 1
+    assert(!r.getAs[Boolean]("keep"))
+    val empty = got.filter($"doc_id" === 2L).head()
+    assert(empty.getAs[Long]("n_lines") == 1L &&
+      empty.getAs[Long]("n_words") == 0L &&
+      empty.getAs[Any]("top2_gram") == null &&
+      !empty.getAs[Boolean]("keep"))
+    // NULL text reads as empty — same row shape, keep = false
+    val nul = got.filter($"doc_id" === 3L).head()
+    assert(nul.getAs[Long]("n_words") == 0L && !nul.getAs[Boolean]("keep"))
+  }
+
+  test("qualityRules ≡ driver-side reference on the documents fixture") {
+    val rows = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val got = CorpusOps.qualityRules(
+      spark.read.parquet(s"$sf0001/documents.parquet"), "doc_id", "text",
+      minWords = 30, maxWords = 100000)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    rows.foreach { case (id, text) =>
+      val lines = text.split("\n", -1)
+      val words = lines.flatMap(_.split(" ", -1)).filter(_.nonEmpty)
+      val bigrams = lines.flatMap { l =>
+        val wl = l.split(" ", -1).filter(_.nonEmpty)
+        wl.sliding(2).filter(_.length == 2).map(_.mkString(" "))
+      }
+      val top = if (bigrams.isEmpty) ("", 0L)
+        else {
+          val counts = bigrams.groupBy(identity).view.mapValues(_.length.toLong)
+          counts.toSeq.minBy { case (g, c) => (-c, g) } match { case (g, c) => (g, c) }
+        }
+      val r = got(id)
+      assert(r.getAs[Long]("n_lines") == lines.length.toLong, id)
+      assert(r.getAs[Long]("n_dup_lines") ==
+        (lines.length - lines.distinct.length).toLong, id)
+      assert(r.getAs[Long]("n_words") == words.length.toLong, id)
+      assert(r.getAs[Long]("sum_word_chars") == words.map(_.length.toLong).sum, id)
+      if (top._2 > 0) {
+        assert(r.getAs[String]("top2_gram") == top._1, id)
+        assert(r.getAs[Long]("top2_n") == top._2, id)
+      }
+      val keep = words.length >= 30 &&
+        words.map(_.length.toLong).sum >= 3L * words.length &&
+        words.map(_.length.toLong).sum <= 10L * words.length &&
+        10L * r.getAs[Long]("n_symbols") < words.length &&
+        10L * r.getAs[Long]("n_bullet_lines") < 9L * lines.length &&
+        10L * r.getAs[Long]("n_ellipsis_lines") < 3L * lines.length &&
+        10L * (lines.length - lines.distinct.length) < 3L * lines.length &&
+        5L * top._2 * top._1.length < text.length
+      assert(r.getAs[Boolean]("keep") == keep, id)
+    }
+    // the composite flag must be non-trivial on the fixture (both outcomes)
+    val keeps = got.values.map(_.getAs[Boolean]("keep")).toSeq
+    assert(keeps.contains(true) && keeps.contains(false),
+      s"degenerate fixture split: ${keeps.count(identity)}/${keeps.size}")
+  }
+
   test("repetitionStats: counts and the integer keep rule match a hand-computed doc") {
     // bigrams of "a b a b a b c": a b ×3, b a ×2, b c ×1 → 6 total, top 3.
     // 3·5 ≤ 6·1 is false → drop. "x y z w" has all-distinct bigrams (3 of

@@ -485,6 +485,22 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       s"value-keyed global counts and group totals must broadcast:\n$p")
   }
 
+  test("q_quality_rules: single scan, join-free, no mid-plan exchange (in-row fold)") {
+    val p = plan("q_quality_rules")
+    assert(!p.contains("Join"), s"quality rules must not join:\n$p")
+    assert(!p.contains("Window"), s"the top-2-gram mode is an in-row fold, not a window:\n$p")
+    assert("Scan parquet".r.findAllIn(p).size == 1, s"one documents scan only:\n$p")
+    // allowed exchanges: docs()'s round-robin input spread + the gate's
+    // presentation sort — never a hash (aggregation/join) shuffle
+    assert(!p.contains("hashpartitioning"), s"map-side operator must not hash-shuffle:\n$p")
+    assert("Exchange".r.findAllIn(p).size <= 2, s"unexpected exchanges:\n$p")
+    // the expensive per-row signals evaluate ONCE: the run-length fold
+    // (`aggregate(array_sort(...)`) must appear exactly once in the plan,
+    // not re-inlined per struct field
+    assert("aggregate\\(array_sort".r.findAllIn(p).size == 1,
+      s"top-2-gram fold re-inlined:\n$p")
+  }
+
   test("q_snapshot_read: filters push into the manifest-pinned parquet scan") {
     val df = SparkEntry.queries("q_snapshot_read")(spark, sf0001)
     val filtered = df.filter(df("n_nationkey") > 10)
