@@ -1802,6 +1802,27 @@ object PipelineQueries extends QueryDomain {
         .orderBy($"doc_id")
     },
 
+    "q_lang_id" -> { (s, dir) =>
+      import s.implicits._
+      // LANGUAGE ID ([[LangId]]): Cavnar–Trenkle character-trigram rank
+      // profiles trained on the labeled three-quarters, the probe quarter
+      // classified by the integer out-of-place distance (missing gram =
+      // topK penalty, ties to the smaller language) — the multilingual-mix
+      // gate in front of q_temperature_mix. Profiles broadcast; every
+      // shuffle is doc-keyed.
+      val d = docs(s, dir)
+      val train = d.filter(pmod($"doc_id", lit(4L)) =!= 3)
+      val probe = d.filter(pmod($"doc_id", lit(4L)) === 3)
+      val prof = graft.operators.LangId.profiles(
+        train, "text", "lang", gramLen = 3, topK = 64)
+      graft.operators.LangId.classify(
+          probe, "doc_id", "text", prof, gramLen = 3, topK = 64)
+        .join(probe.select($"doc_id", $"lang".as("lang_true")), Seq("doc_id"))
+        .select($"doc_id", $"lang_true", $"lang_pred", $"dist",
+          ($"lang_true" === $"lang_pred").as("correct"))
+        .orderBy($"doc_id")
+    },
+
     "q_zorder_scan" -> { (s, dir) =>
       import s.implicits._
       // Z-ORDER data layout ([[ScaleJoins.writeZOrdered]]): lineitem staged
@@ -5919,6 +5940,45 @@ object PipelineQueries extends QueryDomain {
         |    AND n_dup_lines * 10 < n_lines * 3
         |    AND top2_chars * 5 < n_chars) AS keep
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    // Language-ID twin: the same trigram rank profiles and out-of-place
+    // distance in SQL — row_number over (count DESC, gram ASC) on both
+    // sides, COALESCE(|Δrank|, topK) penalty, argmin tie to smaller lang.
+    "q_lang_id" ->
+      """WITH train AS (SELECT lang, text FROM documents WHERE doc_id % 4 <> 3),
+        |probe AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 4 = 3),
+        |tc AS (SELECT lang, gram, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT lang, substr(text, i, 3) AS gram
+        |        FROM (SELECT lang, text, unnest(range(1, length(text) - 1)) AS i
+        |              FROM train))
+        |  GROUP BY 1, 2),
+        |prof AS (SELECT lang, gram, CAST(rnk AS BIGINT) AS rank_lang
+        |  FROM (SELECT lang, gram,
+        |          row_number() OVER (PARTITION BY lang ORDER BY c DESC, gram ASC) AS rnk
+        |        FROM tc) WHERE rnk <= 64),
+        |pc AS (SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT doc_id, substr(text, i, 3) AS gram
+        |        FROM (SELECT doc_id, text, unnest(range(1, length(text) - 1)) AS i
+        |              FROM probe))
+        |  GROUP BY 1, 2),
+        |ptop AS (SELECT doc_id, gram, CAST(rnk AS BIGINT) AS rank_doc
+        |  FROM (SELECT doc_id, gram,
+        |          row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram ASC) AS rnk
+        |        FROM pc) WHERE rnk <= 64),
+        |langs AS (SELECT DISTINCT lang FROM prof),
+        |cand AS (SELECT doc_id, l.lang,
+        |    CAST(sum(COALESCE(abs(rank_doc - rank_lang), 64)) AS BIGINT) AS dist
+        |  FROM ptop CROSS JOIN langs l
+        |  LEFT JOIN prof ON prof.lang = l.lang AND prof.gram = ptop.gram
+        |  GROUP BY 1, 2),
+        |best AS (SELECT doc_id, lang AS lang_pred, dist
+        |  FROM (SELECT doc_id, lang, dist,
+        |          row_number() OVER (PARTITION BY doc_id ORDER BY dist ASC, lang ASC) AS rn
+        |        FROM cand) WHERE rn = 1)
+        |SELECT b.doc_id, p.lang AS lang_true, b.lang_pred, b.dist,
+        |  (p.lang = b.lang_pred) AS correct
+        |FROM best b JOIN probe p USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_chi_square" ->
       """WITH cells AS (SELECT lang AS a, source AS b, count(*) AS o

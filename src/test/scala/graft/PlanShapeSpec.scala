@@ -501,6 +501,15 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       s"top-2-gram fold re-inlined:\n$p")
   }
 
+  test("q_lang_id: profiles and language list broadcast; no cartesian, no shuffled profile join") {
+    val p = plan("q_lang_id")
+    assert(!p.contains("CartesianProduct"), s"langs fanout must broadcast:\n$p")
+    // profile lookup is a broadcast hash join on (lang, gram); the tiny
+    // language list fans out via a broadcast nested loop
+    assert(p.contains("BroadcastHashJoin"), s"profiles must broadcast:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"), s"language list must broadcast:\n$p")
+  }
+
   test("q_snapshot_read: filters push into the manifest-pinned parquet scan") {
     val df = SparkEntry.queries("q_snapshot_read")(spark, sf0001)
     val filtered = df.filter(df("n_nationkey") > 10)
