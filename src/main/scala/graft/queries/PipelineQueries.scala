@@ -2806,6 +2806,45 @@ object PipelineQueries extends QueryDomain {
         .orderBy($"source")
     },
 
+    "q_stream_token_shift" -> { (s, dir) =>
+      import s.implicits._
+      // STREAMING token movers ([[graft.streaming.EventStreams
+      // .tokenShiftExact]]): per source, q_token_shift's exact
+      // cross-multiplied top-10 between the (doc_id div 20) even ("a")
+      // and odd ("b") corpus versions arriving interleaved on ONE stream
+      // (the div-20 split varies WITHIN each source key — source itself
+      // is doc_id%20, so any mod-4 split would degenerate to one side) —
+      // two vocabulary-bounded count maps in one mergeable state value
+      // (the one-state-shape-many-statistics discipline). Parity-split
+      // replay makes both sides span a micro-batch boundary; sentinels
+      // drive the watermark. Emissions share the batch arithmetic
+      // (BigInt cross-products, digit-string→double), so the oracle is
+      // the batch formula in SQL.
+      val staged = Staging.streamDocMetaDir(s, dir)
+      val ss = Staging.streamSession(s)
+      val schema = Staging.replayDocMetaSchema(ss, staged)
+      val stream = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+        .select($"source".as("key"), expr("ts div 1000").as("ts"),
+          expr("CASE WHEN pmod(doc_id div 20, 2) = 0 THEN 'a' ELSE 'b' END")
+            .as("side"),
+          $"text")
+        .as[graft.streaming.EventStreams.DocSideEvent]
+      val sink = Staging.nextStreamSink(ss)
+      val q = graft.streaming.EventStreams
+        .tokenShiftExact(stream, k = 10, horizonSec = 21600L,
+          lateSec = 2592000L)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      ss.table(sink).filter($"key" =!= "sentinel")
+        .select($"key".as("source"), $"rnk", $"token",
+          $"cA".as("c_a"), $"cB".as("c_b"),
+          $"shiftNum".as("shift_num"), $"shift")
+        .orderBy($"source", $"rnk")
+    },
+
     "q_stream_acf" -> { (s, dir) =>
       import s.implicits._
       // STREAMING exact autocorrelation
@@ -5940,6 +5979,38 @@ object PipelineQueries extends QueryDomain {
         |    AND n_dup_lines * 10 < n_lines * 3
         |    AND top2_chars * 5 < n_chars) AS keep
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    // Streaming token-shift twin: the batch q_token_shift formula per
+    // source over the parity-defined corpus versions.
+    "q_stream_token_shift" ->
+      """WITH ca AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c_a
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents WHERE (doc_id // 20) % 2 = 0) GROUP BY 1, 2),
+        |cb AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c_b
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents WHERE (doc_id // 20) % 2 = 1) GROUP BY 1, 2),
+        |na AS (SELECT source, CAST(sum(c_a) AS BIGINT) AS na FROM ca GROUP BY source),
+        |nb AS (SELECT source, CAST(sum(c_b) AS BIGINT) AS nb FROM cb GROUP BY source),
+        |j AS (SELECT COALESCE(ca.source, cb.source) AS source,
+        |    COALESCE(ca.tok, cb.tok) AS token,
+        |    COALESCE(c_a, 0) AS c_a, COALESCE(c_b, 0) AS c_b
+        |  FROM ca FULL OUTER JOIN cb
+        |    ON ca.source = cb.source AND ca.tok = cb.tok),
+        |sh AS (SELECT j.source, token, c_a, c_b,
+        |    CAST(abs(CAST(c_a AS DECIMAL(18,0)) * CAST(nb AS DECIMAL(19,0))
+        |      - CAST(c_b AS DECIMAL(18,0)) * CAST(na AS DECIMAL(19,0)))
+        |      AS DECIMAL(38,0)) AS num, na, nb
+        |  FROM j JOIN na ON j.source = na.source
+        |  JOIN nb ON j.source = nb.source)
+        |SELECT source, CAST(rnk AS INT) AS rnk, token, c_a, c_b,
+        |  CAST(num AS VARCHAR) AS shift_num,
+        |  CAST(CAST(num AS VARCHAR) AS DOUBLE)
+        |    / CAST(CAST(CAST(CAST(na AS DECIMAL(18,0))
+        |        * CAST(nb AS DECIMAL(19,0)) AS DECIMAL(38,0)) AS VARCHAR)
+        |        AS DOUBLE) AS shift
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+        |        ORDER BY num DESC, token) AS rnk FROM sh)
+        |WHERE rnk <= 10 ORDER BY source, rnk""".stripMargin,
 
     // Language-ID twin: the same trigram rank profiles and out-of-place
     // distance in SQL — row_number over (count DESC, gram ASC) on both

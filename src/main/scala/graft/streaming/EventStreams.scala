@@ -807,6 +807,103 @@ object EventStreams {
       }
   }
 
+  /** Input row for [[tokenShiftExact]]: group key, µs event time, corpus
+    * side ("a" = old version, "b" = new), document text (None = sentinel).
+    */
+  final case class DocSideEvent(key: String, ts: Long, side: String,
+      text: Option[String])
+
+  /** Per-key two-sided token count state for [[tokenShiftExact]] — the
+    * mergeable count-map class ([[VocabGiniState]]) twice over: bounded by
+    * the key's VOCABULARY per corpus side, never token volume.
+    */
+  final case class TokenShiftState(a: Map[String, Long], b: Map[String, Long],
+      deadlineMs: Long = 0L)
+
+  /** One ranked token mover — the stream twin of
+    * [[graft.operators.CorpusOps.tokenShift]]'s output row (shiftNum is
+    * the exact cross-multiplied numerator's digit string).
+    */
+  final case class TokenShiftOut(key: String, rnk: Int, token: String,
+      cA: Long, cB: Long, shiftNum: String, shift: Double)
+
+  /** Streaming TOP-K TOKEN MOVERS between two corpus versions arriving on
+    * one stream — [[graft.operators.CorpusOps.tokenShift]]'s exact
+    * |c_a·N_b − c_b·N_a| ranking per key, closed at the event-time
+    * timeout. Two corpus versions = two keyed count maps in ONE state
+    * value (the r16 precedent that one mergeable state shape serves many
+    * statistics); the close fold pays one vocabulary-sized sort per key
+    * AT EMISSION only. Tokenization mirrors [[graft.operators.TextOps
+    * .tokens]]; the numerators are BigInt cross-products and `shift`
+    * takes the digit-string → correctly-rounded-parse route onto the
+    * batch division, so emissions land bit-identically on the batch
+    * oracle. Keys that closed with either side EMPTY emit nothing (no
+    * movers between a corpus and nothing — the batch operator's N·N > 0
+    * domain).
+    */
+  def tokenShiftExact(
+      docs: Dataset[DocSideEvent],
+      k: Int,
+      horizonSec: Long,
+      lateSec: Long = 0L): Dataset[TokenShiftOut] = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import docs.sparkSession.implicits._
+    docs
+      .withColumn("event_time", timestamp_micros(col("ts")))
+      .withWatermark("event_time", s"$lateSec seconds")
+      .as[DocSideEvent]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[TokenShiftState, TokenShiftOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: String, rows: Iterator[DocSideEvent], state: GroupState[TokenShiftState]) =>
+          if (state.hasTimedOut) {
+            val st = state.getOption
+            state.remove()
+            val a = st.map(_.a).getOrElse(Map.empty[String, Long])
+            val b = st.map(_.b).getOrElse(Map.empty[String, Long])
+            if (a.isEmpty || b.isEmpty) Iterator.empty
+            else {
+              val na = BigInt(a.valuesIterator.sum)
+              val nb = BigInt(b.valuesIterator.sum)
+              def dbl(x: BigInt): Double =
+                java.lang.Double.parseDouble(x.toString)
+              val den = dbl(na * nb)
+              (a.keySet ++ b.keySet).iterator.map { tok =>
+                val ca = a.getOrElse(tok, 0L)
+                val cb = b.getOrElse(tok, 0L)
+                (tok, ca, cb, (BigInt(ca) * nb - BigInt(cb) * na).abs)
+              }.toArray
+                .sortWith { (x, y) =>
+                  x._4 > y._4 || (x._4 == y._4 && x._1 < y._1)
+                }
+                .take(k).iterator.zipWithIndex.map {
+                  case ((tok, ca, cb, num), i) =>
+                    TokenShiftOut(key, i + 1, tok, ca, cb, num.toString,
+                      dbl(num) / den)
+                }
+            }
+          } else {
+            val prev = state.getOption
+            var a = prev.map(_.a).getOrElse(Map.empty[String, Long])
+            var b = prev.map(_.b).getOrElse(Map.empty[String, Long])
+            var maxMs = prev.map(_.deadlineMs).getOrElse(0L)
+            rows.foreach { e =>
+              e.text.foreach { t =>
+                t.split(" ", -1).foreach { tok =>
+                  if (e.side == "a") a = a.updated(tok, a.getOrElse(tok, 0L) + 1L)
+                  else b = b.updated(tok, b.getOrElse(tok, 0L) + 1L)
+                }
+              }
+              maxMs = math.max(maxMs, e.ts / 1000L + horizonSec * 1000L + 1)
+            }
+            state.update(TokenShiftState(a, b, maxMs))
+            state.setTimeoutTimestamp(math.max(
+              maxMs, state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+  }
+
   /** Input row for the value-level statistics twins
     * ([[trimmedMeanExact]], [[countingMedianExact]]): group key, µs event
     * time, PRE-QUANTIZED integer value (the batch operators' ⌊v·10^s+0.5⌋

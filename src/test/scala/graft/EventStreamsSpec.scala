@@ -589,6 +589,40 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("tokenShiftExact: two-sided maps merge across batches; batch formula at close; " +
+    "empty side emits nothing") {
+    import graft.streaming.EventStreams.{DocSideEvent, TokenShiftOut}
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[DocSideEvent]
+    val q = EventStreams.tokenShiftExact(input.toDS(), k = 2, horizonSec = 10)
+      .writeStream.format("memory").queryName("tshift").outputMode("append").start()
+    try {
+      input.addData(DocSideEvent("s", 1000000000L, "a", Some("x y x")),
+        DocSideEvent("onesided", 1000000000L, "a", Some("q q")))
+      q.processAllAvailable()
+      // side b arrives in a LATER batch + side a extends: maps must merge
+      input.addData(DocSideEvent("s", 1001000000L, "b", Some("x z")),
+        DocSideEvent("s", 1002000000L, "a", Some("y")),
+        DocSideEvent("s", 1003000000L, "a", None)) // sentinel: watermark only
+      q.processAllAvailable()
+      input.addData(DocSideEvent("w", 9000000000L, "a", Some("p")),
+        DocSideEvent("w", 9000000001L, "b", Some("p")))
+      q.processAllAvailable()
+      input.addData(DocSideEvent("w", 9100000000L, "b", Some("p")))
+      q.processAllAvailable()
+      val got = spark.table("tshift").as[TokenShiftOut].collect()
+      // key s: a = {x:2, y:2}, Na=4; b = {x:1, z:1}, Nb=2.
+      //   num(x)=|2·2−1·4|=0, num(y)=|2·2−0|=4, num(z)=|0−1·4|=4
+      //   → rank1 y (tie y<z), rank2 z; shift = 4/8 = 0.5
+      val s = got.filter(_.key == "s").sortBy(_.rnk).toSeq
+      assert(s == Seq(TokenShiftOut("s", 1, "y", 2L, 0L, "4", 0.5),
+        TokenShiftOut("s", 2, "z", 0L, 1L, "4", 0.5)), s"got $s")
+      // a key whose window closed with one side empty emits nothing
+      assert(!got.exists(_.key == "onesided"), s"got ${got.toSeq}")
+    } finally q.stop()
+  }
+
   test("vocabRichnessExact: same count-map state, counting close; cross-batch merge") {
     import graft.streaming.EventStreams.{DocEvent, VocabRichnessOut}
     import spark.implicits._
