@@ -3314,6 +3314,46 @@ object PipelineQueries extends QueryDomain {
           .select($"query_id".as("doc_i"), $"neighbor_id".as("doc_j")))
     },
 
+    "q_ivfpq_curve" -> { (s, dir) =>
+      import s.implicits._
+      // The IVF-PQ TUNING CURVE — q_ivf_curve's dial measurement for the
+      // compression tier (r16 VERDICT item 5): recall@3 (with the full
+      // pair-set PRF row) as a function of (m sub-quantizers, codebook
+      // size, nProbe) on the fixture codebooks. Answers which dial moves
+      // q_ivfpq_recall's honest-toy 0.067 — nProbe nesting, codebook
+      // growth, and the m split each get a measured point; BASELINE.md
+      // records the curve.
+      val e = t(s, dir, "embeddings")
+      val centroids = e.filter($"vec_id" < 10)
+      val queriesDf = e.filter($"vec_id".between(100, 109))
+      val truth = VectorOps.topK(e, queriesDf, "vec_id", "embedding", k = 3)
+        .select($"query_id".as("doc_i"), $"neighbor_id".as("doc_j"))
+      def branch(m: Int, nCodes: Int, nProbe: Int) = {
+        val sd = 64 / m
+        val res = VectorOps.ivfResiduals(
+          e.filter($"vec_id".between(20, 19 + nCodes)),
+          "vec_id", "embedding", centroids)
+        val cbs = res.select(explode(array((0 until m).map(sub =>
+            struct(lit(sub).as("sub"), $"id".as("cid"),
+              slice($"rvec", sub * sd + 1, sd).as("cvec"))): _*)).as("cb"))
+          .select($"cb.sub".as("sub"), $"cb.cid".as("cid"),
+            $"cb.cvec".as("cvec"))
+        val enc = VectorOps.ivfPqEncode(e, "vec_id", "embedding", centroids,
+          cbs, m = m, dim = 64)
+        EvalOps.pairSetPrf(
+          VectorOps.ivfPqSearch(enc, centroids, queriesDf, "vec_id",
+              "embedding", cbs, m = m, dim = 64, k = 3, nProbe = nProbe)
+            .select($"query_id".as("doc_i"), $"neighbor_id".as("doc_j")),
+          truth)
+          .select(lit(m).as("m"), lit(nCodes).as("n_codes"),
+            lit(nProbe).as("n_probe"), $"tp", $"fp", $"fn",
+            $"precision", $"recall", $"f1")
+      }
+      ivfPqCurveConfigs.map { case (m, nc, np) => branch(m, nc, np) }
+        .reduce(_ unionByName _)
+        .orderBy($"m", $"n_codes", $"n_probe")
+    },
+
     "q_cluster_quality" -> { (s, dir) =>
       import s.implicits._
       // Cluster-quality report ([[VectorOps.clusterQuality]]): per-cluster
@@ -3598,6 +3638,92 @@ object PipelineQueries extends QueryDomain {
     * q·c, score = qc + sorted-fold residual ADC. Ends at `sc`
     * (query_id, neighbor_id, adc).
     */
+  /** q_ivfpq_curve's measured grid: the nProbe dial at (m=2, 8 codes),
+    * the codebook-size dial, and the sub-quantizer-count dial. Shared by
+    * the Spark gate and the oracle generator so both sweep identically.
+    */
+  private val ivfPqCurveConfigs: Seq[(Int, Int, Int)] =
+    Seq((1, 8, 3), (2, 8, 1), (2, 8, 2), (2, 8, 3), (2, 16, 3), (4, 8, 3))
+
+  /** One q_ivfpq_curve oracle branch: the [[ivfPqCtes]] chain
+    * parameterized over (m, nCodes, nProbe) with per-config CTE-name
+    * suffixes (rv/asg/q/tr are shared across branches). Slices are
+    * 1-based inclusive `[lo:hi]`, codebook ids run 20..19+nCodes, and the
+    * ADC sum keeps the sorted-fold determinism convention.
+    */
+  private def ivfPqCurveBranch(m: Int, nCodes: Int, nProbe: Int): String = {
+    val sd = 64 / m
+    val x = s"_${m}_${nCodes}_$nProbe"
+    val sp = (0 until m).map(i => s"SELECT $i AS sub").mkString(" UNION ALL ")
+    def slc(v: String, subRef: String): String =
+      if (m == 1) s"$v[1:64]"
+      else "CASE " + (0 until m).map(i =>
+        s"WHEN $subRef = $i THEN $v[${i * sd + 1}:${(i + 1) * sd}]")
+        .mkString(" ") + " END"
+    s"""cb$x AS (SELECT sp.sub, rv.vec_id AS cid, ${slc("r", "sp.sub")} AS cvec
+       |  FROM rv, ($sp) sp WHERE rv.vec_id BETWEEN 20 AND ${19 + nCodes}),
+       |ds$x AS (SELECT rv.vec_id AS id, rv.cluster_id, sp.sub,
+       |    ${slc("r", "sp.sub")} AS dv
+       |  FROM rv, ($sp) sp),
+       |enc$x AS (SELECT id, cluster_id, sub, cid AS code FROM (
+       |  SELECT d.id, d.cluster_id, d.sub, c.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY d.id, d.sub
+       |      ORDER BY list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |        list_transform(range(1, len(d.dv)+1),
+       |          i -> (d.dv[i]-c.cvec[i])*(d.dv[i]-c.cvec[i]))),
+       |        (a, x) -> a + x) ASC, c.cid ASC) AS rn
+       |  FROM ds$x d JOIN cb$x c ON c.sub = d.sub) WHERE rn = 1),
+       |probes$x AS (SELECT query_id, cluster_id, qc FROM (
+       |  SELECT q.query_id, c.cid AS cluster_id, ${duckDot("q.e", "c.e")} AS qc,
+       |    ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |      ORDER BY ${duckDot("q.e", "c.e")} DESC, c.cid) AS rn
+       |  FROM q CROSS JOIN cen c) WHERE rn <= $nProbe),
+       |qs$x AS (SELECT query_id, sp.sub, ${slc("e", "sp.sub")} AS qv
+       |  FROM q, ($sp) sp),
+       |lut$x AS (SELECT qs.query_id, qs.sub, c.cid AS code,
+       |    ${duckDot("qs.qv", "c.cvec")} AS part
+       |  FROM qs$x qs JOIN cb$x c ON c.sub = qs.sub),
+       |sc$x AS (SELECT p.query_id, enc.id AS neighbor_id,
+       |    MIN(p.qc) + list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_sort(list(part))), (a, x) -> a + x) AS adc
+       |  FROM enc$x enc
+       |  JOIN probes$x p ON p.cluster_id = enc.cluster_id
+       |  JOIN lut$x l ON l.query_id = p.query_id AND l.sub = enc.sub
+       |    AND l.code = enc.code
+       |  WHERE enc.id <> p.query_id
+       |  GROUP BY p.query_id, enc.id
+       |  HAVING count(*) = $m),
+       |pred$x AS (SELECT query_id AS di, neighbor_id AS dj FROM (
+       |  SELECT *, ROW_NUMBER() OVER (
+       |    PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS rnk
+       |  FROM sc$x) WHERE rnk <= 3),
+       |c$x AS (SELECT CAST(SUM(inp * intr) AS BIGINT) AS tp,
+       |    CAST(SUM(inp * (1 - intr)) AS BIGINT) AS fp,
+       |    CAST(SUM((1 - inp) * intr) AS BIGINT) AS fn
+       |  FROM (SELECT
+       |      CASE WHEN p.di IS NOT NULL THEN 1 ELSE 0 END AS inp,
+       |      CASE WHEN t.di IS NOT NULL THEN 1 ELSE 0 END AS intr
+       |    FROM pred$x p FULL JOIN tr t ON p.di = t.di AND p.dj = t.dj))""".stripMargin
+  }
+
+  /** One final-select branch for q_ivfpq_curve. */
+  private def ivfPqCurveSelect(m: Int, nCodes: Int, nProbe: Int): String = {
+    val x = s"_${m}_${nCodes}_$nProbe"
+    s"""SELECT CAST($m AS INT) AS m, CAST($nCodes AS INT) AS n_codes,
+       |  CAST($nProbe AS INT) AS n_probe,
+       |  COALESCE(tp, 0) AS tp, COALESCE(fp, 0) AS fp,
+       |  COALESCE(fn, 0) AS fn,
+       |  CASE WHEN COALESCE(tp,0) + COALESCE(fp,0) = 0 THEN NULL
+       |    ELSE CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS precision,
+       |  CASE WHEN COALESCE(tp,0) + COALESCE(fn,0) = 0 THEN NULL
+       |    ELSE CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS recall,
+       |  CASE WHEN 2*COALESCE(tp,0) + COALESCE(fp,0) + COALESCE(fn,0) = 0
+       |    THEN NULL
+       |    ELSE CAST(2*tp AS DOUBLE) / CAST(2*tp + fp + fn AS DOUBLE)
+       |    END AS f1
+       |FROM c$x""".stripMargin
+  }
+
   private lazy val ivfPqCtes =
     s"""$embCte,
        |cen AS (SELECT vec_id AS cid, e, nn FROM n WHERE vec_id < 10),
@@ -6769,6 +6895,34 @@ object PipelineQueries extends QueryDomain {
          |    ELSE CAST(2*tp AS DOUBLE) / CAST(2*tp + fp + fn AS DOUBLE)
          |    END AS f1
          |FROM c""".stripMargin,
+
+    // IVF-PQ tuning-curve twin: the q_ivfpq_recall chain parameterized
+    // per config (suffixed CTEs; rv/asg/q/tr shared), one PRF row each.
+    "q_ivfpq_curve" ->
+      s"""WITH $embCte,
+         |cen AS (SELECT vec_id AS cid, e, nn FROM n WHERE vec_id < 10),
+         |asg AS (SELECT vec_id, cluster_id FROM (
+         |  SELECT d.vec_id, c.cid AS cluster_id,
+         |    ROW_NUMBER() OVER (PARTITION BY d.vec_id
+         |      ORDER BY ${duckDot("d.e", "c.e")} / sqrt(d.nn * c.nn) DESC, c.cid) AS rn
+         |  FROM n d CROSS JOIN cen c) WHERE rn = 1),
+         |rv AS (SELECT n.vec_id, asg.cluster_id,
+         |    list_transform(range(1, len(n.e)+1), i -> n.e[i] - c.e[i]) AS r
+         |  FROM n JOIN asg ON asg.vec_id = n.vec_id
+         |  JOIN cen c ON c.cid = asg.cluster_id),
+         |q AS (SELECT vec_id AS query_id, e, nn FROM n
+         |  WHERE vec_id BETWEEN 100 AND 109),
+         |tr AS (SELECT query_id AS di, nid AS dj FROM (
+         |  SELECT q.query_id, d.vec_id AS nid,
+         |    ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |      ORDER BY ${duckDot("q.e", "d.e")} / sqrt(q.nn * d.nn) DESC,
+         |        d.vec_id) AS rnk
+         |  FROM q JOIN n d ON d.vec_id <> q.query_id) WHERE rnk <= 3),
+         |${ivfPqCurveConfigs.map { case (m, nc, np) =>
+               ivfPqCurveBranch(m, nc, np) }.mkString(",\n")}
+         |${ivfPqCurveConfigs.map { case (m, nc, np) =>
+               ivfPqCurveSelect(m, nc, np) }.mkString("\nUNION ALL\n")}
+         |ORDER BY m, n_codes, n_probe""".stripMargin,
 
     "q_rrf_fusion" ->
       s"""WITH $embCte,
