@@ -73,6 +73,69 @@ object LangId {
     *
     * Output: (doc_id, lang_pred, dist), one row per classifiable doc.
     */
+  /** ONLINE classification — the deploy shape: profiles train offline
+    * ([[profiles]]), collect to the driver (|langs|·topK rows, bounded by
+    * construction), and every incoming document classifies ROW-LOCALLY
+    * inside one compiled fold — zero stream state, zero shuffle, works
+    * identically on a batch frame and a streaming micro-batch (the
+    * stateless [[graft.operators.MinHashLsh.lshProbeEmissions]] tier;
+    * the per-row count/sort/score is genuine imperative logic no window
+    * expresses without a doc-keyed shuffle, the compiled-fold
+    * convention). Emissions are bit-identical to [[classify]] — the same
+    * oracle gates both. Docs with NULL text or no grams emit nothing.
+    */
+  def classifyEmissions(docs: DataFrame, idCol: String, textCol: String,
+      profs: DataFrame, gramLen: Int = 3, topK: Int = 100): DataFrame = {
+    require(gramLen >= 1 && topK >= 1, s"bad gramLen=$gramLen topK=$topK")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // Driver-bounded collect (the RankOps range-bounds convention): the
+    // profile table is |langs|·topK by construction.
+    val langProfiles: Array[(String, Map[String, Long])] = profs
+      .select(col("lang"), col("gram"), col("rank").cast("long"))
+      .as[(String, String, Long)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.map(r => r._2 -> r._3).toMap)
+      .toArray.sortBy(_._1)
+    val k = topK.toLong
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        col(textCol).as("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        if (text == null || text.length < gramLen) Iterator.empty
+        else {
+          val counts = new scala.collection.mutable.HashMap[String, Long]
+          var i = 0
+          while (i <= text.length - gramLen) {
+            val g = text.substring(i, i + gramLen)
+            counts.update(g, counts.getOrElse(g, 0L) + 1L)
+            i += 1
+          }
+          val top = counts.toArray
+            .sortWith((a, b) => a._2 > b._2 || (a._2 == b._2 && a._1 < b._1))
+            .take(topK)
+          var bestLang: String = null
+          var bestDist = Long.MaxValue
+          langProfiles.foreach { case (lang, prof) =>
+            var dist = 0L
+            var r = 0
+            while (r < top.length) {
+              val g = top(r)._1
+              dist += prof.get(g).map(rl => math.abs((r + 1L) - rl)).getOrElse(k)
+              r += 1
+            }
+            // strict < keeps the FIRST minimum in sorted-lang order = the
+            // lexicographically smaller tied language (the batch window's
+            // tie-break)
+            if (dist < bestDist) { bestDist = dist; bestLang = lang }
+          }
+          if (bestLang == null) Iterator.empty
+          else Iterator.single((id, bestLang, bestDist))
+        }
+      }
+      .toDF("doc_id", "lang_pred", "dist")
+  }
+
   def classify(docs: DataFrame, idCol: String, textCol: String,
       profs: DataFrame, gramLen: Int = 3, topK: Int = 100): DataFrame = {
     require(gramLen >= 1 && topK >= 1, s"bad gramLen=$gramLen topK=$topK")

@@ -2806,6 +2806,40 @@ object PipelineQueries extends QueryDomain {
         .orderBy($"source")
     },
 
+    "q_stream_lang_id" -> { (s, dir) =>
+      import s.implicits._
+      // ONLINE language ID ([[graft.operators.LangId.classifyEmissions]]):
+      // q_lang_id's profiles train offline on the labeled three-quarters,
+      // collect driver-side (|langs|·topK bounded), and the probe quarter
+      // replays as two micro-batches classifying ROW-LOCALLY — zero
+      // stream state, zero shuffle, the q_stream_lsh_probe stateless
+      // tier. Emissions are bit-identical to the batch classifier, so the
+      // SAME oracle gates both; lang_true joins batch-side at the sink.
+      val staged = Staging.streamDocsDir(s, dir)
+      val ss = Staging.streamSession(s)
+      val prof = graft.operators.LangId.profiles(
+        docs(s, dir).filter(pmod($"doc_id", lit(4L)) =!= 3),
+        "text", "lang", gramLen = 3, topK = 64)
+      val schema = Staging.replayDocsSchema(ss, staged)
+      val src = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+        .filter($"doc_id" % 4 === 3)
+      val sink = Staging.nextStreamSink(ss)
+      val q = graft.operators.LangId.classifyEmissions(
+          src, "doc_id", "text", prof, gramLen = 3, topK = 64)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      ss.table(sink)
+        .join(graft.Tables.docs(ss, dir)
+          .filter(pmod($"doc_id", lit(4L)) === 3)
+          .select($"doc_id", $"lang".as("lang_true")), Seq("doc_id"))
+        .select($"doc_id", $"lang_true", $"lang_pred", $"dist",
+          ($"lang_true" === $"lang_pred").as("correct"))
+        .orderBy($"doc_id")
+    },
+
     "q_stream_token_shift" -> { (s, dir) =>
       import s.implicits._
       // STREAMING token movers ([[graft.streaming.EventStreams
@@ -3774,6 +3808,42 @@ object PipelineQueries extends QueryDomain {
        |  WHERE enc.id <> p.query_id
        |  GROUP BY p.query_id, enc.id
        |  HAVING count(*) = 2)""".stripMargin
+
+  private lazy val langIdOracle =
+    """WITH train AS (SELECT lang, text FROM documents WHERE doc_id % 4 <> 3),
+        |probe AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 4 = 3),
+        |tc AS (SELECT lang, gram, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT lang, substr(text, i, 3) AS gram
+        |        FROM (SELECT lang, text, unnest(range(1, length(text) - 1)) AS i
+        |              FROM train))
+        |  GROUP BY 1, 2),
+        |prof AS (SELECT lang, gram, CAST(rnk AS BIGINT) AS rank_lang
+        |  FROM (SELECT lang, gram,
+        |          row_number() OVER (PARTITION BY lang ORDER BY c DESC, gram ASC) AS rnk
+        |        FROM tc) WHERE rnk <= 64),
+        |pc AS (SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT doc_id, substr(text, i, 3) AS gram
+        |        FROM (SELECT doc_id, text, unnest(range(1, length(text) - 1)) AS i
+        |              FROM probe))
+        |  GROUP BY 1, 2),
+        |ptop AS (SELECT doc_id, gram, CAST(rnk AS BIGINT) AS rank_doc
+        |  FROM (SELECT doc_id, gram,
+        |          row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram ASC) AS rnk
+        |        FROM pc) WHERE rnk <= 64),
+        |langs AS (SELECT DISTINCT lang FROM prof),
+        |cand AS (SELECT doc_id, l.lang,
+        |    CAST(sum(COALESCE(abs(rank_doc - rank_lang), 64)) AS BIGINT) AS dist
+        |  FROM ptop CROSS JOIN langs l
+        |  LEFT JOIN prof ON prof.lang = l.lang AND prof.gram = ptop.gram
+        |  GROUP BY 1, 2),
+        |best AS (SELECT doc_id, lang AS lang_pred, dist
+        |  FROM (SELECT doc_id, lang, dist,
+        |          row_number() OVER (PARTITION BY doc_id ORDER BY dist ASC, lang ASC) AS rn
+        |        FROM cand) WHERE rn = 1)
+        |SELECT b.doc_id, p.lang AS lang_true, b.lang_pred, b.dist,
+        |  (p.lang = b.lang_pred) AS correct
+        |FROM best b JOIN probe p USING (doc_id)
+        |ORDER BY doc_id""".stripMargin
 
   /** Shared by q_vocab_richness AND q_stream_richness: vocabulary-level
     * counts, exact integers, three IEEE divisions — the batch aggregate
@@ -6141,43 +6211,13 @@ object PipelineQueries extends QueryDomain {
     // Language-ID twin: the same trigram rank profiles and out-of-place
     // distance in SQL — row_number over (count DESC, gram ASC) on both
     // sides, COALESCE(|Δrank|, topK) penalty, argmin tie to smaller lang.
-    "q_lang_id" ->
-      """WITH train AS (SELECT lang, text FROM documents WHERE doc_id % 4 <> 3),
-        |probe AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 4 = 3),
-        |tc AS (SELECT lang, gram, CAST(count(*) AS BIGINT) AS c
-        |  FROM (SELECT lang, substr(text, i, 3) AS gram
-        |        FROM (SELECT lang, text, unnest(range(1, length(text) - 1)) AS i
-        |              FROM train))
-        |  GROUP BY 1, 2),
-        |prof AS (SELECT lang, gram, CAST(rnk AS BIGINT) AS rank_lang
-        |  FROM (SELECT lang, gram,
-        |          row_number() OVER (PARTITION BY lang ORDER BY c DESC, gram ASC) AS rnk
-        |        FROM tc) WHERE rnk <= 64),
-        |pc AS (SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS c
-        |  FROM (SELECT doc_id, substr(text, i, 3) AS gram
-        |        FROM (SELECT doc_id, text, unnest(range(1, length(text) - 1)) AS i
-        |              FROM probe))
-        |  GROUP BY 1, 2),
-        |ptop AS (SELECT doc_id, gram, CAST(rnk AS BIGINT) AS rank_doc
-        |  FROM (SELECT doc_id, gram,
-        |          row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram ASC) AS rnk
-        |        FROM pc) WHERE rnk <= 64),
-        |langs AS (SELECT DISTINCT lang FROM prof),
-        |cand AS (SELECT doc_id, l.lang,
-        |    CAST(sum(COALESCE(abs(rank_doc - rank_lang), 64)) AS BIGINT) AS dist
-        |  FROM ptop CROSS JOIN langs l
-        |  LEFT JOIN prof ON prof.lang = l.lang AND prof.gram = ptop.gram
-        |  GROUP BY 1, 2),
-        |best AS (SELECT doc_id, lang AS lang_pred, dist
-        |  FROM (SELECT doc_id, lang, dist,
-        |          row_number() OVER (PARTITION BY doc_id ORDER BY dist ASC, lang ASC) AS rn
-        |        FROM cand) WHERE rn = 1)
-        |SELECT b.doc_id, p.lang AS lang_true, b.lang_pred, b.dist,
-        |  (p.lang = b.lang_pred) AS correct
-        |FROM best b JOIN probe p USING (doc_id)
-        |ORDER BY doc_id""".stripMargin,
+    // Shared by q_lang_id AND q_stream_lang_id: the stateless online
+    // classifier's emissions are bit-identical to the batch operator.
+    "q_lang_id" -> langIdOracle,
 
-    "q_chi_square" ->
+    "q_stream_lang_id" -> langIdOracle,
+
+        "q_chi_square" ->
       """WITH cells AS (SELECT lang AS a, source AS b, count(*) AS o
         |  FROM documents GROUP BY 1, 2),
         |rt AS (SELECT a, sum(o) AS ra FROM cells GROUP BY a),

@@ -48,6 +48,26 @@ class LangIdSpec extends AnyFunSuite with SparkSpec {
       "doc_id", "text", p, gramLen = 2, topK = 4).isEmpty)
   }
 
+  test("classifyEmissions ≡ classify row-for-row (the stateless online twin)") {
+    val trainDf = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter($"doc_id" % 4 =!= 3)
+    val probeDf = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter($"doc_id" % 4 === 3)
+    val p = LangId.profiles(trainDf, "text", "lang", gramLen = 3, topK = 64)
+    val batch = LangId.classify(probeDf, "doc_id", "text", p,
+        gramLen = 3, topK = 64)
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    val online = LangId.classifyEmissions(probeDf, "doc_id", "text", p,
+        gramLen = 3, topK = 64)
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(online == batch)
+    // null text and too-short text emit nothing
+    val edge = LangId.classifyEmissions(
+      Seq((1L, Option.empty[String]), (2L, Some("ab"))).toDF("doc_id", "text"),
+      "doc_id", "text", p, gramLen = 3, topK = 64)
+    assert(edge.isEmpty)
+  }
+
   test("classify ≡ driver-side Cavnar–Trenkle reference on the fixture split") {
     val n = 3
     val k = 64
