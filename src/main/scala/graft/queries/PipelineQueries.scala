@@ -1802,7 +1802,56 @@ object PipelineQueries extends QueryDomain {
         .orderBy($"doc_id")
     },
 
-    "q_lang_id" -> { (s, dir) =>
+    "q_stream_quality" -> { (s, dir) =>
+      import s.implicits._
+      // ONLINE quality filtering ([[CorpusOps.qualityRules]] unchanged on
+      // a streaming frame): the operator is pure per-row expressions —
+      // zero state, zero shuffle — so the ingest-time quality gate is the
+      // batch operator applied to micro-batches. Emissions equal the
+      // batch gate row-for-row; the SAME oracle gates both.
+      val staged = Staging.streamDocsDir(s, dir)
+      val ss = Staging.streamSession(s)
+      val schema = Staging.replayDocsSchema(ss, staged)
+      val src = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+        .filter($"doc_id" >= 0) // drop the replay's watermark sentinels
+        .select($"doc_id", regexp_replace($"text", " line ", "\n").as("text"))
+      val sink = Staging.nextStreamSink(ss)
+      val q = CorpusOps.qualityRules(src, "doc_id", "text", minWords = 30)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      ss.table(sink).orderBy($"doc_id")
+    },
+
+    "q_redact_pii" -> { (s, dir) =>
+      import s.implicits._
+      // PII DETECTION + REDACTION ([[GovernanceOps.redactPii]]): the
+      // pre-release scrub — per-doc email/phone/IP counts plus the text
+      // with typed placeholders, all from backreference-free regexes that
+      // Java and RE2 match identically (the redacted TEXT itself is
+      // hashed). The fixture has no organic PII, so the gate injects
+      // synthetic identifiers deterministically from doc_id on both
+      // engines — detection is then non-trivial and exactly known.
+      val d = docs(s, dir).select($"doc_id", concat($"text",
+        when(pmod($"doc_id", lit(5L)) === 0,
+          concat(lit(" contact user"), $"doc_id".cast("string"),
+            lit("@example.com"))).otherwise(lit("")),
+        when(pmod($"doc_id", lit(7L)) === 0,
+          concat(lit(" call +1 555-000-"),
+            pmod($"doc_id", lit(10000L)).cast("string"))).otherwise(lit("")),
+        when(pmod($"doc_id", lit(11L)) === 0,
+          concat(lit(" node 10.0."), pmod($"doc_id", lit(256L)).cast("string"),
+            lit("."), pmod($"doc_id", lit(256L)).cast("string")))
+          .otherwise(lit(""))).as("text"))
+      GovernanceOps.redactPii(d, "doc_id", "text")
+        .select($"id".as("doc_id"), $"n_emails", $"n_phones", $"n_ips",
+          $"text_redacted")
+        .orderBy($"doc_id")
+    },
+
+    "q_lang_ngram" -> { (s, dir) =>
       import s.implicits._
       // LANGUAGE ID ([[LangId]]): Cavnar–Trenkle character-trigram rank
       // profiles trained on the labeled three-quarters, the probe quarter
@@ -2806,10 +2855,10 @@ object PipelineQueries extends QueryDomain {
         .orderBy($"source")
     },
 
-    "q_stream_lang_id" -> { (s, dir) =>
+    "q_stream_lang_ngram" -> { (s, dir) =>
       import s.implicits._
       // ONLINE language ID ([[graft.operators.LangId.classifyEmissions]]):
-      // q_lang_id's profiles train offline on the labeled three-quarters,
+      // q_lang_ngram's profiles train offline on the labeled three-quarters,
       // collect driver-side (|langs|·topK bounded), and the probe quarter
       // replays as two micro-batches classifying ROW-LOCALLY — zero
       // stream state, zero shuffle, the q_stream_lsh_probe stateless
@@ -3808,6 +3857,67 @@ object PipelineQueries extends QueryDomain {
        |  WHERE enc.id <> p.query_id
        |  GROUP BY p.query_id, enc.id
        |  HAVING count(*) = 2)""".stripMargin
+
+  private lazy val qualityRulesOracle =
+    """WITH d AS (SELECT doc_id, replace(text, ' line ', chr(10)) AS text
+        |  FROM documents),
+        |base AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n_chars,
+        |    string_split(text, chr(10)) AS lines FROM d),
+        |ls AS (SELECT doc_id,
+        |    CAST(len(lines) AS BIGINT) AS n_lines,
+        |    CAST(len(lines) - len(list_distinct(lines)) AS BIGINT) AS n_dup_lines,
+        |    CAST(len(list_filter(lines, l -> l LIKE '- %' OR l LIKE '* %'
+        |      OR l LIKE '• %')) AS BIGINT) AS n_bullet_lines,
+        |    CAST(len(list_filter(lines, l -> l LIKE '%...' OR l LIKE '%…'))
+        |      AS BIGINT) AS n_ellipsis_lines,
+        |    CAST(length(text) - length(replace(text, '#', ''))
+        |      + (length(text) - length(replace(text, '...', ''))) // 3
+        |      AS BIGINT) AS n_symbols
+        |  FROM base),
+        |lw AS (SELECT doc_id, list_filter(string_split(l, ' '), w -> w <> '') AS wl
+        |  FROM (SELECT doc_id, unnest(lines) AS l FROM base)),
+        |ws AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        |    CAST(sum(length(w)) AS BIGINT) AS sum_word_chars
+        |  FROM (SELECT doc_id, unnest(wl) AS w FROM lw) GROUP BY doc_id),
+        |bc AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT doc_id, wl[i] || ' ' || wl[i+1] AS g
+        |        FROM (SELECT doc_id, wl, unnest(range(1, len(wl))) AS i FROM lw))
+        |  GROUP BY 1, 2),
+        |bt AS (SELECT doc_id, g, c FROM (SELECT doc_id, g, c,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn
+        |  FROM bc) WHERE rn = 1),
+        |f AS (SELECT base.doc_id, n_chars, n_lines, n_dup_lines,
+        |    COALESCE(n_words, 0) AS n_words,
+        |    COALESCE(sum_word_chars, 0) AS sum_word_chars,
+        |    COALESCE(c, 0) AS top2_n,
+        |    CASE WHEN COALESCE(c, 0) > 0 THEN g END AS top2_gram,
+        |    COALESCE(c, 0) * CAST(length(COALESCE(g, '')) AS BIGINT) AS top2_chars,
+        |    n_symbols, n_bullet_lines, n_ellipsis_lines
+        |  FROM base JOIN ls USING (doc_id) LEFT JOIN ws USING (doc_id)
+        |  LEFT JOIN bt USING (doc_id))
+        |SELECT doc_id, n_chars, n_lines, n_dup_lines, n_words, sum_word_chars,
+        |  top2_n, top2_gram, top2_chars, n_symbols, n_bullet_lines,
+        |  n_ellipsis_lines,
+        |  CASE WHEN n_lines > 0 THEN CAST(n_dup_lines AS DOUBLE)
+        |    / CAST(n_lines AS DOUBLE) END AS dup_line_frac,
+        |  CASE WHEN n_words > 0 THEN CAST(sum_word_chars AS DOUBLE)
+        |    / CAST(n_words AS DOUBLE) END AS mean_word_len,
+        |  CASE WHEN n_chars > 0 THEN CAST(top2_chars AS DOUBLE)
+        |    / CAST(n_chars AS DOUBLE) END AS top2_char_frac,
+        |  CASE WHEN n_words > 0 THEN CAST(n_symbols AS DOUBLE)
+        |    / CAST(n_words AS DOUBLE) END AS symbol_ratio,
+        |  CASE WHEN n_lines > 0 THEN CAST(n_bullet_lines AS DOUBLE)
+        |    / CAST(n_lines AS DOUBLE) END AS bullet_frac,
+        |  CASE WHEN n_lines > 0 THEN CAST(n_ellipsis_lines AS DOUBLE)
+        |    / CAST(n_lines AS DOUBLE) END AS ellipsis_frac,
+        |  (n_words >= 30 AND n_words <= 100000
+        |    AND sum_word_chars >= n_words * 3 AND sum_word_chars <= n_words * 10
+        |    AND n_symbols * 10 < n_words
+        |    AND n_bullet_lines * 10 < n_lines * 9
+        |    AND n_ellipsis_lines * 10 < n_lines * 3
+        |    AND n_dup_lines * 10 < n_lines * 3
+        |    AND top2_chars * 5 < n_chars) AS keep
+        |FROM f ORDER BY doc_id""".stripMargin
 
   private lazy val langIdOracle =
     """WITH train AS (SELECT lang, text FROM documents WHERE doc_id % 4 <> 3),
@@ -6114,69 +6224,42 @@ object PipelineQueries extends QueryDomain {
     // Quality-rules twin: the reflowed lines via explicit unnest + window
     // aggregation (the in-row fold is Spark-side only — DuckDB 1.0's
     // list_reduce struct accumulators mis-evaluate); ratios and the keep
-    // flag are the same IEEE divisions / integer cross-products.
-    "q_quality_rules" ->
-      """WITH d AS (SELECT doc_id, replace(text, ' line ', chr(10)) AS text
-        |  FROM documents),
-        |base AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n_chars,
-        |    string_split(text, chr(10)) AS lines FROM d),
-        |ls AS (SELECT doc_id,
-        |    CAST(len(lines) AS BIGINT) AS n_lines,
-        |    CAST(len(lines) - len(list_distinct(lines)) AS BIGINT) AS n_dup_lines,
-        |    CAST(len(list_filter(lines, l -> l LIKE '- %' OR l LIKE '* %'
-        |      OR l LIKE '• %')) AS BIGINT) AS n_bullet_lines,
-        |    CAST(len(list_filter(lines, l -> l LIKE '%...' OR l LIKE '%…'))
-        |      AS BIGINT) AS n_ellipsis_lines,
-        |    CAST(length(text) - length(replace(text, '#', ''))
-        |      + (length(text) - length(replace(text, '...', ''))) // 3
-        |      AS BIGINT) AS n_symbols
-        |  FROM base),
-        |lw AS (SELECT doc_id, list_filter(string_split(l, ' '), w -> w <> '') AS wl
-        |  FROM (SELECT doc_id, unnest(lines) AS l FROM base)),
-        |ws AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
-        |    CAST(sum(length(w)) AS BIGINT) AS sum_word_chars
-        |  FROM (SELECT doc_id, unnest(wl) AS w FROM lw) GROUP BY doc_id),
-        |bc AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
-        |  FROM (SELECT doc_id, wl[i] || ' ' || wl[i+1] AS g
-        |        FROM (SELECT doc_id, wl, unnest(range(1, len(wl))) AS i FROM lw))
-        |  GROUP BY 1, 2),
-        |bt AS (SELECT doc_id, g, c FROM (SELECT doc_id, g, c,
-        |    row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn
-        |  FROM bc) WHERE rn = 1),
-        |f AS (SELECT base.doc_id, n_chars, n_lines, n_dup_lines,
-        |    COALESCE(n_words, 0) AS n_words,
-        |    COALESCE(sum_word_chars, 0) AS sum_word_chars,
-        |    COALESCE(c, 0) AS top2_n,
-        |    CASE WHEN COALESCE(c, 0) > 0 THEN g END AS top2_gram,
-        |    COALESCE(c, 0) * CAST(length(COALESCE(g, '')) AS BIGINT) AS top2_chars,
-        |    n_symbols, n_bullet_lines, n_ellipsis_lines
-        |  FROM base JOIN ls USING (doc_id) LEFT JOIN ws USING (doc_id)
-        |  LEFT JOIN bt USING (doc_id))
-        |SELECT doc_id, n_chars, n_lines, n_dup_lines, n_words, sum_word_chars,
-        |  top2_n, top2_gram, top2_chars, n_symbols, n_bullet_lines,
-        |  n_ellipsis_lines,
-        |  CASE WHEN n_lines > 0 THEN CAST(n_dup_lines AS DOUBLE)
-        |    / CAST(n_lines AS DOUBLE) END AS dup_line_frac,
-        |  CASE WHEN n_words > 0 THEN CAST(sum_word_chars AS DOUBLE)
-        |    / CAST(n_words AS DOUBLE) END AS mean_word_len,
-        |  CASE WHEN n_chars > 0 THEN CAST(top2_chars AS DOUBLE)
-        |    / CAST(n_chars AS DOUBLE) END AS top2_char_frac,
-        |  CASE WHEN n_words > 0 THEN CAST(n_symbols AS DOUBLE)
-        |    / CAST(n_words AS DOUBLE) END AS symbol_ratio,
-        |  CASE WHEN n_lines > 0 THEN CAST(n_bullet_lines AS DOUBLE)
-        |    / CAST(n_lines AS DOUBLE) END AS bullet_frac,
-        |  CASE WHEN n_lines > 0 THEN CAST(n_ellipsis_lines AS DOUBLE)
-        |    / CAST(n_lines AS DOUBLE) END AS ellipsis_frac,
-        |  (n_words >= 30 AND n_words <= 100000
-        |    AND sum_word_chars >= n_words * 3 AND sum_word_chars <= n_words * 10
-        |    AND n_symbols * 10 < n_words
-        |    AND n_bullet_lines * 10 < n_lines * 9
-        |    AND n_ellipsis_lines * 10 < n_lines * 3
-        |    AND n_dup_lines * 10 < n_lines * 3
-        |    AND top2_chars * 5 < n_chars) AS keep
-        |FROM f ORDER BY doc_id""".stripMargin,
+    // flag are the same IEEE divisions / integer cross-products. Shared
+    // by q_quality_rules AND q_stream_quality (the operator is pure
+    // per-row expressions — the stream twin runs it unchanged).
+    "q_quality_rules" -> qualityRulesOracle,
 
-    // Streaming token-shift twin: the batch q_token_shift formula per
+    "q_stream_quality" -> qualityRulesOracle,
+
+    // PII-redaction twin: identical injected identifiers, identical
+    // backreference-free patterns (RE2 'g' = Java replace-all).
+    "q_redact_pii" ->
+      """WITH d AS (SELECT doc_id, text
+        |  || CASE WHEN doc_id % 5 = 0 THEN ' contact user'
+        |       || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+        |  || CASE WHEN doc_id % 7 = 0 THEN ' call +1 555-000-'
+        |       || CAST(doc_id % 10000 AS VARCHAR) ELSE '' END
+        |  || CASE WHEN doc_id % 11 = 0 THEN ' node 10.0.'
+        |       || CAST(doc_id % 256 AS VARCHAR) || '.'
+        |       || CAST(doc_id % 256 AS VARCHAR) ELSE '' END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+        |    AS n_emails,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\+[0-9][0-9 -]{7,}[0-9]')) AS BIGINT) AS n_phones,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT)
+        |    AS n_ips,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+[0-9][0-9 -]{7,}[0-9]', '<PHONE>', 'g'),
+        |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g')
+        |    AS text_redacted
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+        // Streaming token-shift twin: the batch q_token_shift formula per
     // source over the parity-defined corpus versions.
     "q_stream_token_shift" ->
       """WITH ca AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c_a
@@ -6211,11 +6294,13 @@ object PipelineQueries extends QueryDomain {
     // Language-ID twin: the same trigram rank profiles and out-of-place
     // distance in SQL — row_number over (count DESC, gram ASC) on both
     // sides, COALESCE(|Δrank|, topK) penalty, argmin tie to smaller lang.
-    // Shared by q_lang_id AND q_stream_lang_id: the stateless online
-    // classifier's emissions are bit-identical to the batch operator.
-    "q_lang_id" -> langIdOracle,
+    // Shared by q_lang_ngram AND q_stream_lang_ngram: the stateless
+    // online classifier's emissions are bit-identical to the batch
+    // operator. (q_lang_id remains the marker-token scorer's gate — this
+    // is the Cavnar–Trenkle n-gram family the r16 VERDICT asked for.)
+    "q_lang_ngram" -> langIdOracle,
 
-    "q_stream_lang_id" -> langIdOracle,
+    "q_stream_lang_ngram" -> langIdOracle,
 
         "q_chi_square" ->
       """WITH cells AS (SELECT lang AS a, source AS b, count(*) AS o

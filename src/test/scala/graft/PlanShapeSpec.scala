@@ -501,8 +501,8 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       s"top-2-gram fold re-inlined:\n$p")
   }
 
-  test("q_lang_id: profiles and language list broadcast; no cartesian, no shuffled profile join") {
-    val p = plan("q_lang_id")
+  test("q_lang_ngram: profiles and language list broadcast; no cartesian, no shuffled profile join") {
+    val p = plan("q_lang_ngram")
     assert(!p.contains("CartesianProduct"), s"langs fanout must broadcast:\n$p")
     // profile lookup is a broadcast hash join on (lang, gram); the tiny
     // language list fans out via a broadcast nested loop
