@@ -559,4 +559,45 @@ class VectorOpsSpec extends AnyFunSuite with SparkSpec {
         math.sqrt(got.map(v => v * v).sum))
     assert(cos > 0.999, s"planted axis not recovered: cos=$cos")
   }
+
+  test("IVF-PQ with kmeans-trained sub-codebooks: the production path the " +
+    "q_ivfpq_curve plateau points at (trained >= raw-residual recall)") {
+    import graft.operators.EvalOps
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val centroids = e.filter($"vec_id" < 10)
+    val queriesDf = e.filter($"vec_id".between(100, 109))
+    val truth = VectorOps.topK(e, queriesDf, "vec_id", "embedding", k = 3)
+      .select($"query_id".as("doc_i"), $"neighbor_id".as("doc_j"))
+    val resAll = VectorOps.ivfResiduals(e, "vec_id", "embedding", centroids)
+    def recall(cbs: org.apache.spark.sql.DataFrame): Double = {
+      val enc = VectorOps.ivfPqEncode(e, "vec_id", "embedding", centroids,
+        cbs, m = 2, dim = 64)
+      EvalOps.pairSetPrf(
+        VectorOps.ivfPqSearch(enc, centroids, queriesDf, "vec_id",
+            "embedding", cbs, m = 2, dim = 64, k = 3, nProbe = 3)
+          .select($"query_id".as("doc_i"), $"neighbor_id".as("doc_j")),
+        truth).select($"recall").head().getDouble(0)
+    }
+    // raw tier: the q_ivfpq_recall fixture codebook — 8 arbitrary residuals
+    val cbsRaw = resAll.filter($"id".between(20L, 27L))
+      .select(explode(array(
+        struct(lit(0).as("sub"), $"id".as("cid"), slice($"rvec", 1, 32).as("cvec")),
+        struct(lit(1).as("sub"), $"id".as("cid"), slice($"rvec", 33, 32).as("cvec")))).as("cb"))
+      .select($"cb.sub".as("sub"), $"cb.cid".as("cid"), $"cb.cvec".as("cvec"))
+    // production tier: the same 8 seeds Lloyd-refined per sub-space over
+    // ALL residual sub-vectors (how FAISS trains PQ codebooks)
+    val cbsTrained = (0 until 2).map { sub =>
+      val sv = resAll.select($"id", slice($"rvec", sub * 32 + 1, 32).as("sv"))
+      VectorOps.kmeans(sv, sv.filter($"id".between(20L, 27L)), "id", "sv",
+          iters = 3)
+        .select(lit(sub).as("sub"), $"cluster_id".as("cid"), $"cvec")
+    }.reduce(_ unionByName _)
+    val rRaw = recall(cbsRaw)
+    val rTrained = recall(cbsTrained)
+    info(s"recall@3 raw=$rRaw kmeans-trained=$rTrained")
+    // training must never hurt, and on this fixture it strictly helps —
+    // the evidence behind BASELINE.md's "codebook quality is the binding
+    // constraint" adjudication of the flat q_ivfpq_curve
+    assert(rTrained >= rRaw, s"trained $rTrained < raw $rRaw")
+  }
 }
