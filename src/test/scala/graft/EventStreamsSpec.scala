@@ -623,6 +623,44 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("tokenShiftExact ≡ batch tokenShift on seeded random corpora (values and ranks)") {
+    import graft.streaming.EventStreams.{DocSideEvent, TokenShiftOut}
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val rnd = new scala.util.Random(421701L)
+    val vocab = Vector("ab", "cd", "ef", "gh", "ij", "kl", "mn", "op")
+    def doc() = Seq.fill(3 + rnd.nextInt(6))(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    val rows = (0 until 40).map { i =>
+      DocSideEvent("k", 1000000000L + i * 1000000L,
+        if (rnd.nextBoolean()) "a" else "b", Some(doc()))
+    }
+    val a = rows.filter(_.side == "a").map(r => Tuple1(r.text.get)).toDF("text")
+    val b = rows.filter(_.side == "b").map(r => Tuple1(r.text.get)).toDF("text")
+    val expect = graft.operators.CorpusOps.tokenShift(a, b, "text", k = 5)
+      .select($"rnk", $"token", $"c_a", $"c_b", $"shift_num", $"shift")
+      .as[(Int, String, Long, Long, String, Double)].collect().toSeq
+    val input = MemoryStream[DocSideEvent]
+    val q = EventStreams.tokenShiftExact(input.toDS(), k = 5, horizonSec = 10)
+      .writeStream.format("memory").queryName("tshift_rand")
+      .outputMode("append").start()
+    try {
+      // three micro-batches so both side maps merge across batch boundaries
+      val (b1, rest) = rows.splitAt(13)
+      val (b2, b3) = rest.splitAt(13)
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      input.addData(b3: _*); q.processAllAvailable()
+      input.addData(DocSideEvent("close", 9000000000000L, "a", None))
+      q.processAllAvailable()
+      input.addData(DocSideEvent("close", 9100000000000L, "a", None))
+      q.processAllAvailable()
+      val got = spark.table("tshift_rand").as[TokenShiftOut].collect()
+        .filter(_.key == "k").sortBy(_.rnk)
+        .map(o => (o.rnk, o.token, o.cA, o.cB, o.shiftNum, o.shift)).toSeq
+      assert(got == expect, s"stream $got\nbatch  $expect")
+    } finally q.stop()
+  }
+
   test("vocabRichnessExact: same count-map state, counting close; cross-batch merge") {
     import graft.streaming.EventStreams.{DocEvent, VocabRichnessOut}
     import spark.implicits._
