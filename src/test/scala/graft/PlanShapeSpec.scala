@@ -510,6 +510,27 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"), s"language list must broadcast:\n$p")
   }
 
+  test("q_redact_pii: single scan, join-free, no hash shuffle (regex passes are map-side)") {
+    val p = plan("q_redact_pii")
+    assert(!p.contains("Join"), s"redaction must not join:\n$p")
+    assert(!p.contains("hashpartitioning"), s"redaction must not hash-shuffle:\n$p")
+    assert("Scan parquet".r.findAllIn(p).size == 1, s"one documents scan only:\n$p")
+  }
+
+  test("q_ivfpq_curve: every config branch broadcasts probes/LUT — no cartesian") {
+    val p = plan("q_ivfpq_curve")
+    assert(!p.contains("CartesianProduct"), s"no all-pairs anywhere in the sweep:\n$p")
+    // per config: probes + LUT broadcast onto the encoded side (2 BHJ each,
+    // 6 configs); the only sort-merge joins allowed are pairSetPrf's
+    // FULL OUTER judge joins (full outer cannot broadcast) — pair-set
+    // sized, never data-sized
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 12,
+      s"probes/LUT must broadcast in every config branch:\n$p")
+    assert("SortMergeJoin".r.findAllIn(p).size <=
+      "FullOuter".r.findAllIn(p).size,
+      s"a non-judge sort-merge join appeared on the encoded side:\n$p")
+  }
+
   test("q_snapshot_read: filters push into the manifest-pinned parquet scan") {
     val df = SparkEntry.queries("q_snapshot_read")(spark, sf0001)
     val filtered = df.filter(df("n_nationkey") > 10)
