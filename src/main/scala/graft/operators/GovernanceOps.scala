@@ -148,45 +148,6 @@ object GovernanceOps {
     ()
   }
 
-  /** PII DETECTION + REDACTION — the scrub every corpus runs before text
-    * leaves the governed zone (and the detector behind a "does this
-    * source leak contact data" report): per document, occurrence counts
-    * for the three canonical machine-recognizable PII classes plus the
-    * text with each occurrence replaced by a typed placeholder
-    * (`<EMAIL>`, `<PHONE>`, `<IP>`). Patterns are deliberately
-    * backreference-free character-class regexes so Java (Spark) and RE2
-    * (DuckDB/Go scanners) match identically — counts and the redacted
-    * text itself hash-gate. Replacement order email → phone → IP is part
-    * of the contract (placeholders contain no digits, so later passes
-    * never re-match inside an earlier redaction).
-    *
-    * This is detection of STRUCTURED identifiers only — names and
-    * free-text identity need an NER model (the [[MultimodalOps]] stub
-    * tier); the regex classes are the standard first gate, not the whole
-    * answer.
-    *
-    * Scale posture: pure per-row expressions — single scan, join-free,
-    * shuffle-free; streaming-ready as-is (zero state).
-    *
-    * Output: (id, n_emails, n_phones, n_ips, text_redacted); NULL text
-    * reads as empty.
-    */
-  def redactPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-    val phone = "\\+[0-9][0-9 -]{7,}[0-9]"
-    val ip = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
-    val t = coalesce(col(textCol), lit(""))
-    df.select(col(idCol).as("id"),
-      regexp_count(t, lit(email)).cast("long").as("n_emails"),
-      regexp_count(t, lit(phone)).cast("long").as("n_phones"),
-      regexp_count(t, lit(ip)).cast("long").as("n_ips"),
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(t, email, "<EMAIL>"),
-          phone, "<PHONE>"),
-        ip, "<IP>").as("text_redacted"))
-  }
-
   /** RTBF over a persisted decontamination window index
     * ([[CorpusOps.saveWindowIndex]]): purge a withdrawn benchmark
     * document's windows from the bucketed table — after the purge no

@@ -1825,32 +1825,6 @@ object PipelineQueries extends QueryDomain {
       ss.table(sink).orderBy($"doc_id")
     },
 
-    "q_redact_pii" -> { (s, dir) =>
-      import s.implicits._
-      // PII DETECTION + REDACTION ([[GovernanceOps.redactPii]]): the
-      // pre-release scrub — per-doc email/phone/IP counts plus the text
-      // with typed placeholders, all from backreference-free regexes that
-      // Java and RE2 match identically (the redacted TEXT itself is
-      // hashed). The fixture has no organic PII, so the gate injects
-      // synthetic identifiers deterministically from doc_id on both
-      // engines — detection is then non-trivial and exactly known.
-      val d = docs(s, dir).select($"doc_id", concat($"text",
-        when(pmod($"doc_id", lit(5L)) === 0,
-          concat(lit(" contact user"), $"doc_id".cast("string"),
-            lit("@example.com"))).otherwise(lit("")),
-        when(pmod($"doc_id", lit(7L)) === 0,
-          concat(lit(" call +1 555-000-"),
-            pmod($"doc_id", lit(10000L)).cast("string"))).otherwise(lit("")),
-        when(pmod($"doc_id", lit(11L)) === 0,
-          concat(lit(" node 10.0."), pmod($"doc_id", lit(256L)).cast("string"),
-            lit("."), pmod($"doc_id", lit(256L)).cast("string")))
-          .otherwise(lit(""))).as("text"))
-      GovernanceOps.redactPii(d, "doc_id", "text")
-        .select($"id".as("doc_id"), $"n_emails", $"n_phones", $"n_ips",
-          $"text_redacted")
-        .orderBy($"doc_id")
-    },
-
     "q_lang_ngram" -> { (s, dir) =>
       import s.implicits._
       // LANGUAGE ID ([[LangId]]): Cavnar–Trenkle character-trigram rank
@@ -6230,34 +6204,6 @@ object PipelineQueries extends QueryDomain {
     "q_quality_rules" -> qualityRulesOracle,
 
     "q_stream_quality" -> qualityRulesOracle,
-
-    // PII-redaction twin: identical injected identifiers, identical
-    // backreference-free patterns (RE2 'g' = Java replace-all).
-    "q_redact_pii" ->
-      """WITH d AS (SELECT doc_id, text
-        |  || CASE WHEN doc_id % 5 = 0 THEN ' contact user'
-        |       || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
-        |  || CASE WHEN doc_id % 7 = 0 THEN ' call +1 555-000-'
-        |       || CAST(doc_id % 10000 AS VARCHAR) ELSE '' END
-        |  || CASE WHEN doc_id % 11 = 0 THEN ' node 10.0.'
-        |       || CAST(doc_id % 256 AS VARCHAR) || '.'
-        |       || CAST(doc_id % 256 AS VARCHAR) ELSE '' END AS text
-        |  FROM documents)
-        |SELECT doc_id,
-        |  CAST(len(regexp_extract_all(text,
-        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
-        |    AS n_emails,
-        |  CAST(len(regexp_extract_all(text,
-        |    '\+[0-9][0-9 -]{7,}[0-9]')) AS BIGINT) AS n_phones,
-        |  CAST(len(regexp_extract_all(text,
-        |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT)
-        |    AS n_ips,
-        |  regexp_replace(regexp_replace(regexp_replace(text,
-        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |    '\+[0-9][0-9 -]{7,}[0-9]', '<PHONE>', 'g'),
-        |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g')
-        |    AS text_redacted
-        |FROM d ORDER BY doc_id""".stripMargin,
 
         // Streaming token-shift twin: the batch q_token_shift formula per
     // source over the parity-defined corpus versions.

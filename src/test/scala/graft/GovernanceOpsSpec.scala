@@ -230,20 +230,6 @@ class GovernanceOpsSpec extends AnyFunSuite with SparkSpec {
     assert(got("C") == (("C", 2L, "2", 2.0 / 36.0, false)))
   }
 
-  test("redactPii: counts + typed placeholders on crafted PII; null text; clean text") {
-    import spark.implicits._
-    val d = Seq(
-      (1L, Some("mail a.b+c@x-y.co and d@e.org call +1 555-000-1234 node 10.0.0.1")),
-      (2L, Some("no pii here")),
-      (3L, Option.empty[String])).toDF("id", "text")
-    val got = GovernanceOps.redactPii(d, "id", "text")
-      .as[(Long, Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
-    assert(got(1L) == ((1L, 2L, 1L, 1L,
-      "mail <EMAIL> and <EMAIL> call <PHONE> node <IP>")), got(1L).toString)
-    assert(got(2L) == ((2L, 0L, 0L, 0L, "no pii here")))
-    assert(got(3L) == ((3L, 0L, 0L, 0L, "")))
-  }
-
   test("tCloseness keeps NULL sensitive values and NULL quasi-identifier groups") {
     import spark.implicits._
     // Global: sv 1 -> 2, NULL -> 1, 2 -> 1 (N = 4). Group a = {1,1,NULL}

@@ -510,13 +510,6 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"), s"language list must broadcast:\n$p")
   }
 
-  test("q_redact_pii: single scan, join-free, no hash shuffle (regex passes are map-side)") {
-    val p = plan("q_redact_pii")
-    assert(!p.contains("Join"), s"redaction must not join:\n$p")
-    assert(!p.contains("hashpartitioning"), s"redaction must not hash-shuffle:\n$p")
-    assert("Scan parquet".r.findAllIn(p).size == 1, s"one documents scan only:\n$p")
-  }
-
   test("q_ivfpq_curve: every config branch broadcasts probes/LUT — no cartesian") {
     val p = plan("q_ivfpq_curve")
     assert(!p.contains("CartesianProduct"), s"no all-pairs anywhere in the sweep:\n$p")
