@@ -49,6 +49,63 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec {
     assert(nul.getAs[Long]("n_words") == 0L && !nul.getAs[Boolean]("keep"))
   }
 
+  test("qualityRules ≡ driver-side reference on seeded adversarial texts " +
+    "(multi-space, empty lines, bullets, ellipses, symbols)") {
+    val rnd = new scala.util.Random(171717L)
+    val words = Vector("a", "bb", "ccc", "dddd", "#tag", "eee", "x...y", "zz")
+    def line(): String = {
+      val base = Seq.fill(rnd.nextInt(6))(words(rnd.nextInt(words.length)))
+        .mkString(if (rnd.nextBoolean()) " " else "  ") // double spaces too
+      val withBullet = if (rnd.nextInt(4) == 0) "- " + base else base
+      if (rnd.nextInt(4) == 0) withBullet + "..." else withBullet
+    }
+    val docs = (0 until 60).map { i =>
+      val t = Seq.fill(1 + rnd.nextInt(5))(line()).mkString("\n")
+      // leading/trailing whitespace on some docs
+      (i.toLong, if (rnd.nextBoolean()) " " + t + " " else t)
+    }
+    val got = CorpusOps.qualityRules(docs.toDF("doc_id", "text"),
+        "doc_id", "text", minWords = 3, maxWords = 50)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    docs.foreach { case (id, text) =>
+      val lines = text.split("\n", -1)
+      val ws = lines.flatMap(_.split(" ", -1)).filter(_.nonEmpty)
+      val bigrams = lines.flatMap { l =>
+        val wl = l.split(" ", -1).filter(_.nonEmpty)
+        wl.sliding(2).filter(_.length == 2).map(_.mkString(" "))
+      }
+      val top = if (bigrams.isEmpty) ("", 0L)
+        else bigrams.groupBy(identity).view.mapValues(_.length.toLong)
+          .toSeq.minBy { case (g, c) => (-c, g) }
+      val nSym = text.count(_ == '#') +
+        "\\.\\.\\.".r.findAllIn(text).length
+      val r = got(id)
+      assert(r.getAs[Long]("n_lines") == lines.length.toLong, id)
+      assert(r.getAs[Long]("n_dup_lines") ==
+        (lines.length - lines.distinct.length).toLong, id)
+      assert(r.getAs[Long]("n_words") == ws.length.toLong, id)
+      assert(r.getAs[Long]("n_symbols") == nSym.toLong, id)
+      assert(r.getAs[Long]("n_bullet_lines") ==
+        lines.count(l => l.startsWith("- ") || l.startsWith("* ") ||
+          l.startsWith("• ")).toLong, id)
+      assert(r.getAs[Long]("n_ellipsis_lines") ==
+        lines.count(l => l.endsWith("...") || l.endsWith("…")).toLong, id)
+      if (top._2 > 0) {
+        assert(r.getAs[String]("top2_gram") == top._1, id)
+        assert(r.getAs[Long]("top2_n") == top._2, id)
+      }
+      val keep = ws.length >= 3 && ws.length <= 50 &&
+        ws.map(_.length.toLong).sum >= 3L * ws.length &&
+        ws.map(_.length.toLong).sum <= 10L * ws.length &&
+        10L * nSym < ws.length &&
+        10L * r.getAs[Long]("n_bullet_lines") < 9L * lines.length &&
+        10L * r.getAs[Long]("n_ellipsis_lines") < 3L * lines.length &&
+        10L * (lines.length - lines.distinct.length) < 3L * lines.length &&
+        5L * top._2 * top._1.length < text.length
+      assert(r.getAs[Boolean]("keep") == keep, id)
+    }
+  }
+
   test("qualityRules ≡ driver-side reference on the documents fixture") {
     val rows = spark.read.parquet(s"$sf0001/documents.parquet")
       .select($"doc_id", $"text").as[(Long, String)].collect()
