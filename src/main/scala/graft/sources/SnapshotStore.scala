@@ -212,10 +212,11 @@ object SnapshotStore {
       toDelete.foreach { p => if (f.delete(p, false)) deleted += 1 }
     }
     vs.filterNot(keep).foreach(v => f.delete(manifestPath(dir, v), false))
-    f.listStatus(new Path(dir)).toSeq
-      .filter(st => st.isFile && st.getPath.getName.startsWith("manifest-v") &&
-        st.getPath.getName.endsWith(".txt.tmp"))
-      .foreach(st => f.delete(st.getPath, false))
+    if (f.exists(new Path(dir)))
+      f.listStatus(new Path(dir)).toSeq
+        .filter(st => st.isFile && st.getPath.getName.startsWith("manifest-v") &&
+          st.getPath.getName.endsWith(".txt.tmp"))
+        .foreach(st => f.delete(st.getPath, false))
     deleted
   }
 }

@@ -109,6 +109,8 @@ class SnapshotStoreSpec extends AnyFunSuite with SparkSpec {
     intercept[IllegalArgumentException](SnapshotStore.read(spark, dir))
     intercept[IllegalArgumentException](
       SnapshotStore.vacuum(spark, dir, keepVersions = 0))
+    // vacuum of a dir that never existed is a harmless no-op, not an error
+    assert(SnapshotStore.vacuum(spark, s"$dir/never-created") == 0)
   }
 
   test("tmp+rename commit: a crashed publisher's tmp is invisible, blocks the " +
