@@ -83,6 +83,13 @@ object LangId {
     * expresses without a doc-keyed shuffle, the compiled-fold
     * convention). Emissions are bit-identical to [[classify]] — the same
     * oracle gates both. Docs with NULL text or no grams emit nothing.
+    *
+    * Tie-order caveat: rank ties break by gram string order, which here
+    * is Java String order (UTF-16 code units) vs the batch window's
+    * UTF8String byte order — identical on ASCII (and on any text where
+    * tied grams don't straddle the orders' divergence), the fixture's
+    * domain; normalize exotic scripts upstream before relying on
+    * emissions ≡ batch at the tie boundary.
     */
   def classifyEmissions(docs: DataFrame, idCol: String, textCol: String,
       profs: DataFrame, gramLen: Int = 3, topK: Int = 100): DataFrame = {

@@ -839,7 +839,10 @@ object EventStreams {
     * batch division, so emissions land bit-identically on the batch
     * oracle. Keys that closed with either side EMPTY emit nothing (no
     * movers between a corpus and nothing — the batch operator's N·N > 0
-    * domain).
+    * domain). Tie-order caveat as [[graft.operators.LangId
+    * .classifyEmissions]]: the close fold's token tie-break is Java
+    * String order (≡ the batch UTF8String byte order on ASCII tokens,
+    * the fixture's domain).
     */
   def tokenShiftExact(
       docs: Dataset[DocSideEvent],
