@@ -65,14 +65,6 @@ object LangId {
       .select(col("lang"), col("gram"), col("rank"))
   }
 
-  /** Classify documents against trained [[profiles]]. `topK` must match
-    * the training call (it is both the doc-profile depth and the
-    * missing-gram penalty). Documents with no grams (text shorter than
-    * the training gram length) are absent from the output — screen them
-    * with a length rule upstream.
-    *
-    * Output: (doc_id, lang_pred, dist), one row per classifiable doc.
-    */
   /** ONLINE classification — the deploy shape: profiles train offline
     * ([[profiles]]), collect to the driver (|langs|·topK rows, bounded by
     * construction), and every incoming document classifies ROW-LOCALLY
@@ -143,6 +135,14 @@ object LangId {
       .toDF("doc_id", "lang_pred", "dist")
   }
 
+  /** Classify documents against trained [[profiles]]. `topK` must match
+    * the training call (it is both the doc-profile depth and the
+    * missing-gram penalty). Documents with no grams (text shorter than
+    * the training gram length) are absent from the output — screen them
+    * with a length rule upstream.
+    *
+    * Output: (doc_id, lang_pred, dist), one row per classifiable doc.
+    */
   def classify(docs: DataFrame, idCol: String, textCol: String,
       profs: DataFrame, gramLen: Int = 3, topK: Int = 100): DataFrame = {
     require(gramLen >= 1 && topK >= 1, s"bad gramLen=$gramLen topK=$topK")
