@@ -76,6 +76,12 @@ object LangId {
     * convention). Emissions are bit-identical to [[classify]] — the same
     * oracle gates both. Docs with NULL text or no grams emit nothing.
     *
+    * Grams are extracted by CODE POINT (via `offsetByCodePoints`), not
+    * UTF-16 code unit, matching [[charGrams]]'s Spark `substr`/`length`
+    * semantics exactly — supplementary-plane text (emoji, rare CJK)
+    * yields the same gram multiset on both paths (r17 ADVICE; a
+    * code-UNIT loop would split surrogate pairs and diverge).
+    *
     * Tie-order caveat: rank ties break by gram string order, which here
     * is Java String order (UTF-16 code units) vs the batch window's
     * UTF8String byte order — identical on ASCII (and on any text where
@@ -101,12 +107,25 @@ object LangId {
         col(textCol).as("text"))
       .as[(Long, String)]
       .flatMap { case (id, text) =>
-        if (text == null || text.length < gramLen) Iterator.empty
+        val nCp = if (text == null) 0 else text.codePointCount(0, text.length)
+        if (nCp < gramLen) Iterator.empty
         else {
+          // Char offset of every code-point boundary, so gram i is the
+          // UTF-16 slice [offs(i), offs(i + gramLen)) — the code-POINT
+          // window the batch substr takes (see scaladoc).
+          val offs = new Array[Int](nCp + 1)
+          var o = 0
+          var j = 0
+          while (j < nCp) {
+            offs(j) = o
+            o += Character.charCount(text.codePointAt(o))
+            j += 1
+          }
+          offs(nCp) = text.length
           val counts = new scala.collection.mutable.HashMap[String, Long]
           var i = 0
-          while (i <= text.length - gramLen) {
-            val g = text.substring(i, i + gramLen)
+          while (i <= nCp - gramLen) {
+            val g = text.substring(offs(i), offs(i + gramLen))
             counts.update(g, counts.getOrElse(g, 0L) + 1L)
             i += 1
           }

@@ -892,13 +892,18 @@ object StatOps {
     val card = base.agg(
       count_distinct(col("g")).as("groups"),
       count_distinct(col("v")).as("levels")).head()
-    val cells =
-      if (card.isNullAt(0)) 0L else card.getLong(0) * card.getLong(1)
-    require(cells <= maxGridCells,
-      s"ksDrift grid would have $cells cells (${card.getLong(0)} groups x " +
-        s"${card.getLong(1)} value levels) > maxGridCells=$maxGridCells — " +
-        "quantize the value column coarser (the robustOutliers " +
-        "⌊v*10^s+0.5⌋ chain) or raise the knob deliberately")
+    val groups = if (card.isNullAt(0)) 0L else card.getLong(0)
+    val levels = if (card.isNullAt(1)) 0L else card.getLong(1)
+    // Division-form bound (r17 ADVICE): groups*levels can wrap Long for
+    // two ~2^32 cardinalities, silently passing a product check in the
+    // pathological case the guard exists for. groups <= max/levels (floor)
+    // <=> groups*levels <= max, exactly, with no overflow on either side.
+    require(levels == 0L || groups <= maxGridCells / levels,
+      s"ksDrift grid would have ${BigInt(groups) * BigInt(levels)} cells " +
+        s"($groups groups x $levels value levels) > " +
+        s"maxGridCells=$maxGridCells — quantize the value column coarser " +
+        "(the robustOutliers ⌊v*10^s+0.5⌋ chain) or raise the knob " +
+        "deliberately")
     val lv = base.groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
     val tot = base.groupBy(col("v")).agg(count(lit(1)).as("t"))
     val ng = base.groupBy(col("g")).agg(count(lit(1)).as("n"))

@@ -22,8 +22,9 @@ import org.apache.spark.sql.types.{StringType, StructType}
   * is a materialized CHECKPOINT of the good rows — the parse cache
   * itself is unpersisted before returning (r15 ADVICE: a long-running
   * session ingesting many feeds must not accumulate a pinned cached copy
-  * of every input), and the checkpoint's blocks free with the returned
-  * frame's lifetime instead of requiring a manual unpersist.
+  * of every input). A LOCAL checkpoint's executor blocks free with the
+  * returned frame's lifetime; a RELIABLE checkpoint's files do NOT —
+  * see the storage-retention contract below.
   *
   * Fault-tolerance tradeoff (r16 ADVICE, documented contract): when the
   * session has a RELIABLE checkpoint directory configured
@@ -36,6 +37,21 @@ import org.apache.spark.sql.types.{StringType, StructType}
   * the corrupt column must not be optimized out from under the DLQ
   * split). Production ingests at scale should set a checkpoint dir; the
   * returned frame is then as durable as any shuffle output.
+  *
+  * Storage-retention contract of the reliable path (r17 ADVICE):
+  * `Dataset.checkpoint()` files persist ON DISK under
+  * `<checkpointDir>/<session-uuid>/rdd-<id>/` until something reclaims
+  * them — unlike a local checkpoint's executor blocks, they do NOT free
+  * with the returned frame's lifetime. Spark auto-deletes them when the
+  * frame's RDD is garbage-collected ONLY if the session was built with
+  * `spark.cleaner.referenceTracking.cleanCheckpoints=true` (default
+  * false, and it is a SparkConf setting fixed at context start, not a
+  * runtime SQL conf). A long-running session ingesting many feeds
+  * without that flag accumulates one `rdd-<id>` subtree per call. So:
+  * set the cleaner flag at session build, or periodically delete the
+  * checkpoint directory's stale subtrees (safe once the frames read
+  * from them are dropped), or accept the accumulation knowingly — the
+  * durability is the point; the disk it holds is the price.
   */
 object Quarantine {
 

@@ -18,26 +18,45 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * The manifest is a plain text file `manifest-v{N}.txt` (one
   * `data/`-relative file path per line — deliberately dependency-free,
-  * like [[graft.cli.IniConfig]]). The commit protocol is two-step:
+  * like [[graft.cli.IniConfig]]). The commit protocol is three-step:
   *
-  *  1. EXCLUSIVE `create(manifest-v{N}.txt.tmp, overwrite = false)` —
-  *     create is the one primitive that arbitrates a same-version race
-  *     atomically on BOTH HDFS (namenode-atomic) and the local
-  *     filesystem (O_CREAT|O_EXCL), so of two concurrent publishers
-  *     that computed the same next version exactly one owns the tmp
-  *     name and the loser throws. The full manifest body is written
-  *     and CLOSED under the tmp name, invisible to readers.
-  *  2. `rename(tmp, manifest-v{N}.txt)` — the VISIBILITY point. Rename
+  *  1. EXCLUSIVE `create(manifest-v{N}.lock, overwrite = false)` — the
+  *     DURABLE commit right for version N. Create is the one primitive
+  *     that arbitrates a same-version race atomically on BOTH HDFS
+  *     (namenode-atomic) and the local filesystem (O_CREAT|O_EXCL), and
+  *     the lock is NEVER renamed or removed by publish (only [[vacuum]]
+  *     sweeps it), so of any number of publishers that computed the
+  *     same next version — no matter how their steps interleave —
+  *     exactly one ever owns version N and every later claimant throws.
+  *     (A commit right tied to a transient name is not enough: an
+  *     earlier design keyed exclusivity to the `.tmp` name below, which
+  *     the winner's rename FREES, letting a slow same-version publisher
+  *     re-create it and silently rename over the committed manifest.)
+  *  2. The full manifest body is written and CLOSED under
+  *     `manifest-v{N}.txt.tmp`, invisible to readers.
+  *  3. `rename(tmp, manifest-v{N}.txt)` — the VISIBILITY point. Rename
   *     is atomic on HDFS and POSIX, and no committed destination can
-  *     exist (step 1 guarantees a single publisher per version), so
-  *     readers switch from "version absent" to "version complete with
-  *     its full body" in one step — `versions()`/`read()` can never
-  *     observe an empty or partially flushed manifest.
+  *     exist (the lock guarantees a single publisher per version ever
+  *     reaches this step), so readers switch from "version absent" to
+  *     "version complete with its full body" in one step —
+  *     `versions()`/`read()` can never observe an empty or partially
+  *     flushed manifest.
   *
-  * A publisher that dies between create and rename leaves an orphan
-  * `.tmp` (plus orphan data files) that blocks only SAME-version
-  * publishers — loudly, with a message naming the stale file; [[vacuum]]
-  * removes tmp orphans along with unreferenced data files.
+  * A publisher that dies after taking the lock leaves an orphan `.lock`
+  * (plus possibly a `.tmp` and orphan data files) that blocks only
+  * SAME-version publishers — loudly, with a message naming the stale
+  * file; [[vacuum]] removes lock/tmp orphans along with unreferenced
+  * data files.
+  *
+  * OBJECT-STORE caveat (the one assumption local tests cannot falsify):
+  * the protocol requires atomic exclusive-create and atomic
+  * destination-replacing-free rename — true on HDFS and POSIX
+  * filesystems, NOT on S3A, where rename is a non-atomic copy+delete
+  * and plain create is check-then-put. On such stores, front publishes
+  * with an external coordinator (or single-writer discipline), or swap
+  * the primitives for the store's conditional-put (If-None-Match)
+  * equivalents; the three-step shape and the lock's durable-claim role
+  * carry over unchanged.
   *
   * Scale posture: `publish` is one Spark write job plus an O(#files)
   * listing of its OWN output subdirectory (never the table root);
@@ -69,6 +88,11 @@ object SnapshotStore {
   private def manifestPath(dir: String, v: Int) =
     new Path(dir, s"manifest-v$v.txt")
 
+  private def lockPath(dir: String, v: Int) =
+    new Path(dir, s"manifest-v$v.lock")
+
+  private val LockRe = "manifest-v(\\d+)\\.lock".r
+
   /** Write `df` as the table's next version; returns the version number.
     * The data job writes under `data/v{N}-{uuid}/`; only after it fully
     * succeeds does the manifest rename publish it. A crash before the
@@ -78,6 +102,23 @@ object SnapshotStore {
     val spark = df.sparkSession
     val f = fs(spark, dir)
     val next = versions(spark, dir).lastOption.getOrElse(0) + 1
+    // Step 1 (see class doc): the DURABLE commit right. Taken before the
+    // data job so a claimant that would lose fails before writing
+    // anything; never renamed or removed here, so a slow same-version
+    // publisher can never re-claim N after the winner commits (r17
+    // ADVICE — exclusivity tied to the transient tmp name frees at the
+    // winner's rename and lets the loser rename over the manifest).
+    val lock = lockPath(dir, next)
+    val lockOut =
+      try f.create(lock, false)
+      catch {
+        case e: java.io.IOException =>
+          throw new IllegalStateException(
+            s"snapshot publish lost the race for version $next of $dir " +
+              s"(if no publish is in flight, $lock is a crashed publisher's " +
+              "orphan — run vacuum)", e)
+      }
+    lockOut.close()
     val sub = s"v$next-${java.util.UUID.randomUUID().toString.take(8)}"
     val dataDir = new Path(new Path(dir, "data"), sub)
     df.write.mode("error").parquet(dataDir.toString)
@@ -85,19 +126,13 @@ object SnapshotStore {
       .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
       .sorted
       .map(n => s"$sub/$n")
-    // Two-step commit (see class doc): exclusive create of the TMP name
-    // arbitrates the same-version race; the rename is the atomic
-    // visibility point, so readers never see a partial manifest.
+    // Steps 2+3: body under the tmp name, then the atomic visibility
+    // rename. The destination cannot exist — the lock admitted exactly
+    // one publisher for this version. The tmp create may overwrite:
+    // ownership is decided by the lock alone, so any leftover tmp here
+    // is a dead claimant's debris this publisher is entitled to replace.
     val tmp = new Path(dir, s"manifest-v$next.txt.tmp")
-    val out =
-      try f.create(tmp, false)
-      catch {
-        case e: java.io.IOException =>
-          throw new IllegalStateException(
-            s"snapshot publish lost the race for version $next of $dir " +
-              s"(if no publish is in flight, $tmp is a crashed publisher's " +
-              "orphan — run vacuum)", e)
-      }
+    val out = f.create(tmp, true)
     try out.write(files.mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
     if (!f.rename(tmp, manifestPath(dir, next)))
@@ -177,9 +212,12 @@ object SnapshotStore {
   /** Delete data files referenced by NO retained manifest (keep the last
     * `keepVersions`) plus the dropped manifests themselves. Returns the
     * number of data files deleted. Orphans from crashed publishes go too
-    * — data files AND stale `manifest-v*.txt.tmp` markers (vacuum already
+    * — data files, stale `manifest-v*.txt.tmp` markers, AND
+    * `manifest-v*.lock` markers of versions that never committed (a
+    * retained version's lock stays with its manifest). Vacuum already
     * requires no publish in flight: an in-flight publisher's data files
-    * are referenced by no manifest and would be swept regardless).
+    * are referenced by no manifest and would be swept regardless — and
+    * sweeping its lock would hand away its commit right.
     */
   def vacuum(spark: SparkSession, dir: String, keepVersions: Int = 1): Int = {
     require(keepVersions >= 1, s"must keep >= 1 version, got $keepVersions")
@@ -211,11 +249,21 @@ object SnapshotStore {
       }
       toDelete.foreach { p => if (f.delete(p, false)) deleted += 1 }
     }
-    vs.filterNot(keep).foreach(v => f.delete(manifestPath(dir, v), false))
+    vs.filterNot(keep).foreach { v =>
+      f.delete(manifestPath(dir, v), false)
+      f.delete(lockPath(dir, v), false)
+    }
     if (f.exists(new Path(dir)))
       f.listStatus(new Path(dir)).toSeq
-        .filter(st => st.isFile && st.getPath.getName.startsWith("manifest-v") &&
-          st.getPath.getName.endsWith(".txt.tmp"))
+        .filter { st =>
+          st.isFile && (st.getPath.getName match {
+            case n if n.startsWith("manifest-v") && n.endsWith(".txt.tmp") => true
+            // Crashed-publisher lock with no committed manifest; retained
+            // versions' locks stay (they are the durable claim on N).
+            case LockRe(v) => !keep.contains(v.toInt)
+            case _ => false
+          })
+        }
         .foreach(st => f.delete(st.getPath, false))
     deleted
   }

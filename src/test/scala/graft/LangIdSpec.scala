@@ -68,6 +68,37 @@ class LangIdSpec extends AnyFunSuite with SparkSpec {
     assert(edge.isEmpty)
   }
 
+  test("classifyEmissions ≡ classify on supplementary-plane text " +
+    "(code-point grams, r17 ADVICE)") {
+    // Every emoji is one code POINT but two UTF-16 code units: a
+    // code-unit gram loop would split surrogate pairs and diverge from
+    // the batch substr path. (Grams here mix ASCII and supplementary
+    // only — no U+E000..U+FFFF — so the documented tie-ORDER caveat
+    // does not bite and the paths must agree exactly.)
+    val train = Seq(
+      ("😀😁😂😃😀😁😂😃😀😁", "emoji"),
+      ("abcdabcdabcdabcd", "ascii")).toDF("text", "lang")
+    val p = LangId.profiles(train, "text", "lang", gramLen = 3, topK = 32)
+    val probe = Seq(
+      (1L, "😀😁😂😃😀😁"), (2L, "abcdabcd"), (3L, "😀a😁b😂c"))
+      .toDF("doc_id", "text")
+    val batch = LangId.classify(probe, "doc_id", "text", p,
+        gramLen = 3, topK = 32)
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    val online = LangId.classifyEmissions(probe, "doc_id", "text", p,
+        gramLen = 3, topK = 32)
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(batch.map(r => r._1 -> r._2).toMap.filterKeys(_ <= 2L).toMap ==
+      Map(1L -> "emoji", 2L -> "ascii"), s"fixture sanity: $batch")
+    assert(online == batch)
+    // 2 code points (4 UTF-16 units) with gramLen 3: no grams on EITHER
+    // path — the code-unit loop would have wrongly emitted here.
+    val edge = LangId.classifyEmissions(
+      Seq((9L, "😀😁")).toDF("doc_id", "text"),
+      "doc_id", "text", p, gramLen = 3, topK = 32)
+    assert(edge.isEmpty)
+  }
+
   test("classify ≡ driver-side Cavnar–Trenkle reference on the fixture split") {
     val n = 3
     val k = 64

@@ -58,19 +58,24 @@ class SnapshotStoreSpec extends AnyFunSuite with SparkSpec {
     assert(SnapshotStore.vacuum(spark, dir, keepVersions = 1) == 0)
   }
 
-  test("the commit primitive is exclusive on the local FS (a lost race is loud)") {
-    // r15 ADVICE: local rename(2) silently REPLACES an existing manifest,
-    // so publish commits via create(path, overwrite = false). A true
-    // same-version race interleaves between versions() and the create —
-    // not injectable from a test — so pin the primitive itself: creating
-    // over the manifest a racing winner just committed must throw, and
-    // must leave the winner's manifest intact.
+  test("the commit right is durable: a committed version's lock still blocks " +
+    "a late same-version claimant after the tmp name freed (r17 ADVICE)") {
+    // The lost-update race: two publishers compute next = 1; the winner
+    // publishes (its rename FREES the tmp name). Under the old
+    // tmp-keyed design the slow loser's exclusive create of the same tmp
+    // then SUCCEEDED and its rename silently replaced manifest-v1.txt.
+    // The never-renamed manifest-v1.lock is the fix — pin that the
+    // loser's arbitration step (exclusive lock create) throws even
+    // though the tmp name is free, with the winner's manifest intact.
     val dir = freshDir()
     val d = (1 to 4).map(i => (i.toLong, s"r$i")).toDF("id", "s")
     SnapshotStore.publish(d, dir)
-    val p = new org.apache.hadoop.fs.Path(dir, "manifest-v1.txt")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    intercept[java.io.IOException](fs.create(p, false).close())
+    val lock = new org.apache.hadoop.fs.Path(dir, "manifest-v1.lock")
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(lock), "publish must leave the durable per-version lock")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, "manifest-v1.txt.tmp")),
+      "the tmp name must be free after commit — the race window under test")
+    intercept[java.io.IOException](fs.create(lock, false).close())
     assert(SnapshotStore.read(spark, dir, Some(1)).count() == 4,
       "the winner's committed manifest must survive the loser's attempt")
   }
@@ -113,23 +118,43 @@ class SnapshotStoreSpec extends AnyFunSuite with SparkSpec {
     assert(SnapshotStore.vacuum(spark, s"$dir/never-created") == 0)
   }
 
-  test("tmp+rename commit: a crashed publisher's tmp is invisible, blocks the " +
-    "same version loudly, and vacuum clears it") {
+  test("lock+tmp+rename commit: a crashed publisher's debris is invisible, " +
+    "blocks the same version loudly, and vacuum clears it") {
     val dir = freshDir()
     val d = (1 to 5).map(i => (i.toLong, s"r$i")).toDF("id", "s")
     assert(SnapshotStore.publish(d, dir) == 1)
-    // Simulate a publisher of v2 that died between create and rename.
+    // Simulate a publisher of v2 that died after taking the lock,
+    // mid-tmp-write (the new protocol's worst crash point).
+    Files.write(java.nio.file.Paths.get(dir, "manifest-v2.lock"),
+      Array.empty[Byte])
     Files.write(java.nio.file.Paths.get(dir, "manifest-v2.txt.tmp"),
       "half-written\n".getBytes("UTF-8"))
-    // Readers are untouched: the tmp is not a committed version, and the
-    // latest manifest still reads complete (the r16 ADVICE failure mode —
-    // a visible-but-empty final manifest — cannot occur under tmp+rename).
+    // Readers are untouched: neither lock nor tmp is a committed version,
+    // and the latest manifest still reads complete (the r16 ADVICE failure
+    // mode — a visible-but-empty final manifest — cannot occur here).
     assert(SnapshotStore.versions(spark, dir) == Seq(1))
     assert(SnapshotStore.read(spark, dir).count() == 5)
     val e = intercept[IllegalStateException](SnapshotStore.publish(d, dir))
     assert(e.getMessage.contains("vacuum"), e.getMessage)
     SnapshotStore.vacuum(spark, dir, keepVersions = 1)
+    assert(!Files.exists(java.nio.file.Paths.get(dir, "manifest-v2.lock")),
+      "vacuum must sweep the uncommitted version's lock")
+    assert(!Files.exists(java.nio.file.Paths.get(dir, "manifest-v2.txt.tmp")),
+      "vacuum must sweep the uncommitted version's tmp")
+    assert(Files.exists(java.nio.file.Paths.get(dir, "manifest-v1.lock")),
+      "vacuum must KEEP the retained version's lock (the durable claim)")
     assert(SnapshotStore.publish(d, dir) == 2)
     assert(SnapshotStore.read(spark, dir).count() == 5)
+  }
+
+  test("vacuum drops a superseded version's lock with its manifest") {
+    val dir = freshDir()
+    val d = (1 to 3).map(i => (i.toLong, s"r$i")).toDF("id", "s")
+    SnapshotStore.publish(d, dir)
+    SnapshotStore.publish(d.filter($"id" <= 1), dir)
+    SnapshotStore.vacuum(spark, dir, keepVersions = 1)
+    assert(!Files.exists(java.nio.file.Paths.get(dir, "manifest-v1.lock")))
+    assert(Files.exists(java.nio.file.Paths.get(dir, "manifest-v2.lock")))
+    assert(SnapshotStore.read(spark, dir).count() == 1)
   }
 }
