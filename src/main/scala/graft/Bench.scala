@@ -153,11 +153,23 @@ object Bench {
     val sentinelJson =
       if (sentinelTs.isEmpty) "null"
       else f"""{"median":${median(sentinelTs)}%.3f,"min":${sentinelTs.min}%.3f}"""
+    // Sentinel-NORMALIZED subset ratio (r17 VERDICT item 7): subset minima
+    // divided by the sentinel minimum, so cross-round comparisons separate
+    // box contention from plan movement mechanically — the sentinel is the
+    // same constant plan every round, so a contended sweep inflates both
+    // numerator and denominator and the ratio stays put, while a real plan
+    // regression moves only the numerator. Null whenever either input is
+    // untrustworthy (incomplete subset / no sentinel draws).
+    val subsetNormJson =
+      if (subsetComplete && sentinelTs.nonEmpty && sentinelTs.min > 0)
+        f"${subsetTotal / sentinelTs.min}%.2f"
+      else "null"
     val stdoutJson =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,""" +
         f""""n_queries":${names.length},"subset18_total":$subsetTotalJson,""" +
         f""""subset18_total_median":$subsetTotalMedJson,""" +
         f""""subset18_complete":$subsetComplete,""" +
+        f""""subset18_norm":$subsetNormJson,""" +
         f""""sentinel":$sentinelJson,"queries":${jmap(stdoutEntries, median)},""" +
         f""""queries_min":${jmap(stdoutEntries, _.min)},""" +
         f""""failed":$failed,"sf":"$sfDir","full_record":"BENCH.json"}"""
@@ -166,6 +178,7 @@ object Bench {
         f""""n_queries":${names.length},"subset18_total":$subsetTotalJson,""" +
         f""""subset18_total_median":$subsetTotalMedJson,""" +
         f""""subset18_complete":$subsetComplete,""" +
+        f""""subset18_norm":$subsetNormJson,""" +
         f""""sentinel":$sentinelJson,"sentinel_reps":${sentinelTs.map(t => f"$t%.3f").mkString("[", ",", "]")},""" +
         f""""queries":${jmap(results, median)},"queries_min":${jmap(results, _.min)},""" +
         f""""failed":$failed,"sf":"$sfDir"}"""

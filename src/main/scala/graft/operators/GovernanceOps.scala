@@ -226,10 +226,28 @@ object GovernanceOps {
   def tCloseness(df: DataFrame, quasiCols: Seq[String], sensitiveCol: String,
       tNum: Int, tDen: Int): DataFrame = {
     require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    val qi = quasiCols.map(col)
+    tClosenessFromCounts(
+      df.groupBy((qi :+ col(sensitiveCol).as("sv")): _*)
+        .agg(count(lit(1)).as("c")),
+      quasiCols, "sv", "c", tNum, tDen)
+  }
+
+  /** [[tCloseness]] over PRE-AGGREGATED (quasiCols…, sensitive value,
+    * count) rows — the formula half of the operator, split out so a
+    * STREAMING monitor can feed it the (QI, value) counts its keyed state
+    * emitted at the watermark (the batch operator is
+    * `groupBy(...).count` composed with this). At most one row per
+    * (QI, value) pair is assumed (the aggregate's contract); the count
+    * column must be a non-null integral.
+    */
+  def tClosenessFromCounts(counts: DataFrame, quasiCols: Seq[String],
+      svCol: String, cntCol: String, tNum: Int, tDen: Int): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
     require(tNum >= 0 && tDen > 0, s"bad threshold $tNum/$tDen")
     val qi = quasiCols.map(col)
-    val cs = df.groupBy((qi :+ col(sensitiveCol).as("sv")): _*)
-      .agg(count(lit(1)).as("c"))
+    val cs = counts.select(
+      (qi :+ col(svCol).as("sv")) :+ col(cntCol).cast("long").as("c"): _*)
     val glob = cs.groupBy(col("sv")).agg(sum(col("c")).as("cg"))
     val ns = cs.groupBy(qi: _*).agg(sum(col("c")).as("n"))
     val nAll = cs.agg(sum(col("c")).as("nn"))

@@ -120,6 +120,81 @@ object SetSimJoin {
 
   private def ceilDivC(n: Column, d: Int): Column = floor((n + (d - 1)) / d).cast("int")
 
+  /** DF-CAP guard for the exact joins — the set-similarity analog of
+    * [[MultimodalOps.dHashNearDup]]'s `maxBucket` hub-bucket guard (r17
+    * VERDICT: the suite's one unguarded quadratic). Removes every token
+    * whose per-`blockCols` document frequency exceeds `maxDf` from the
+    * `setCol` arrays, so a downstream [[jaccardJoin]]/[[containmentJoin]]
+    * runs on the FILTERED universe where no posting list exceeds `maxDf`
+    * and the candidate mass is bounded by Σ C(df, 2) ≤ |vocab|·C(maxDf, 2)
+    * — LINEAR in vocabulary instead of quadratic in block size once the
+    * vocabulary saturates (the measured Σ C(df, 2) law: 1.4e7 → 1.25e9 →
+    * 1.3e11 across 5k → 50k → 500k docs, BASELINE.md round 15).
+    *
+    * SEMANTICS — stop-token removal, not an approximation knob: the
+    * output is the EXACT similarity join over sets minus their
+    * ubiquitous tokens (similarity carried only by boilerplate-grade
+    * tokens no longer qualifies; similarity among rare tokens is
+    * untouched). That redefinition is deliberate: it is deterministic,
+    * engine-independent, and oracle-able — a cap applied inside candidate
+    * generation instead would make the result depend on prefix-rank
+    * internals no second engine can replicate. It mirrors what production
+    * near-dup pipelines do with saturated grams anyway (route mega-df
+    * tokens to boilerplate handling rather than pairwise-enumerate them).
+    *
+    * LOUD when it truncates (the [[StatOps.ksDrift]] eager-census
+    * precedent): one extra one-row aggregate per call counts the capped
+    * (block, token) keys and warns with the count and the worst df;
+    * silent only when nothing was dropped.
+    *
+    * Scale posture: the census is a combiner-reduced `groupBy(block,
+    * token).count` (hot tokens collapse map-side); the hot set has at
+    * most `totalTokenRows / maxDf` entries — the census that selects it
+    * also bounds it — grouped per block and BROADCAST, so the corpus
+    * itself is filtered row-locally by `array_except` with ZERO extra
+    * corpus shuffles.
+    *
+    * @param maxDf  largest per-block document frequency a token may have
+    *               and stay; `Long.MaxValue` is the identity
+    * @return `docs` with `setCol` filtered (column order preserved)
+    */
+  def capTokenDf(docs: DataFrame, setCol: String, blockCols: Seq[String],
+      maxDf: Long): DataFrame = {
+    require(maxDf >= 1L, s"maxDf must be >= 1, got $maxDf")
+    if (maxDf == Long.MaxValue) return docs
+    val bc = blockCols.map(col)
+    // Census over DISTINCT per-doc tokens (the setCol contract): one
+    // combiner-reduced aggregate, never the index itself.
+    val ex = docs.select(explode(col(setCol)).as("sj_tok") +: bc: _*)
+    val hot = ex.groupBy(bc :+ col("sj_tok"): _*)
+      .agg(count(lit(1)).as("sj_df"))
+      .filter(col("sj_df") > maxDf)
+    // Blockless calls join on a constant key instead of a cross join (an
+    // empty hot side must keep every doc, which a cross join would drop).
+    val joinCols = if (blockCols.isEmpty) Seq("graft_cap_k") else blockCols
+    val hotPerBlock0 = hot.groupBy(bc: _*)
+      .agg(collect_list(col("sj_tok")).as("graft_hot_toks"),
+        count(lit(1)).as("graft_hot_n"), max(col("sj_df")).as("graft_hot_df"))
+    val hotPerBlock =
+      if (blockCols.isEmpty) hotPerBlock0.withColumn("graft_cap_k", lit(1))
+      else hotPerBlock0
+    val census = hotPerBlock
+      .agg(coalesce(sum(col("graft_hot_n")), lit(0L)),
+        coalesce(max(col("graft_hot_df")), lit(0L))).head()
+    if (census.getLong(0) > 0L)
+      log.warn(s"capTokenDf(maxDf=$maxDf) dropped ${census.getLong(0)} " +
+        s"(block, token) keys (worst df ${census.getLong(1)}) from " +
+        s"'$setCol' — similarity carried only by these ubiquitous tokens " +
+        "is not reported")
+    val base = if (blockCols.isEmpty) docs.withColumn("graft_cap_k", lit(1)) else docs
+    val out = base.join(broadcast(hotPerBlock), joinCols, "left")
+      .withColumn(setCol,
+        when(col("graft_hot_toks").isNull, col(setCol))
+          .otherwise(array_except(col(setCol), col("graft_hot_toks"))))
+      .drop("graft_hot_toks", "graft_hot_n", "graft_hot_df", "graft_cap_k")
+    out.select(docs.columns.map(col): _*)
+  }
+
   /** The FULL inverted index with the rare-first rank attached — the shared
     * substrate of [[jaccardJoin]] (which then keeps only each doc's prefix)
     * and [[containmentJoin]] (whose index side needs every token's rank for
@@ -177,7 +252,11 @@ object SetSimJoin {
     * round-15 adjudication; prefix filtering removes a constant factor,
     * not the quadratic). Keep blocks bounded; corpus-wide near-dup at
     * 100 TB belongs to the banded [[MinHashLsh]] family, which emits only
-    * probable pairs and measured ~9× cost at 100× data.
+    * probable pairs and measured ~9× cost at 100× data. When the exact
+    * join must run on a saturated input anyway, pre-filter through
+    * [[capTokenDf]] — the loud df-cap guard that bounds every posting
+    * list and with it the candidate mass (to |vocab|·C(maxDf, 2)),
+    * trading away only similarity carried by ubiquitous tokens.
     *
     * @param docs    one row per document; `setCol` is an ARRAY column of
     *                DISTINCT tokens (dedup upstream — counts are set-based)

@@ -22,7318 +22,22 @@ import graft.operators._
   */
 object PipelineQueries extends QueryDomain {
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-
-    // ---- deduplication ----------------------------------------------------
-    "q_dedup_exact" -> { (s, dir) =>
-      import s.implicits._
-      // Exact dedup by content hash-group: the fixture's texts are unique, so
-      // duplicates are synthesized by unioning an id-shifted copy; the dedup
-      // must keep exactly the minimum-id instance of every text.
-      // t(), not docs(): the first real operation is the window's shuffle on
-      // `text`, which provides the parallelism itself — docs()'s round-robin
-      // repartition would just shuffle the full text column an extra time
-      // for zero pre-shuffle work (it exists for per-row-expression-heavy
-      // pipelines that would otherwise run on the fixture's single split).
-      val d = t(s, dir, "documents").select($"doc_id", $"text", $"lang", $"source")
-      val dup = d.unionByName(d.withColumn("doc_id", $"doc_id" + 1000000L))
-      val w = Window.partitionBy($"text").orderBy($"doc_id")
-      dup.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
-        .select($"doc_id", $"lang", $"source")
-        .orderBy($"doc_id")
-    },
-
-    "q_dedup_fingerprint" -> { (s, dir) =>
-      import s.implicits._
-      // Normalization-key dedup: documents sharing a sorted bag-of-words
-      // collapse to one group (min id kept), fingerprinted with the rolling
-      // hash. GroupBy on the key — scales as a standard hash aggregate.
-      val d = docs(s, dir)
-        .select($"doc_id", TextOps.bagOfWordsKey($"text").as("bk"))
-      d.groupBy($"bk")
-        .agg(min($"doc_id").as("keep_doc_id"), count(lit(1)).as("group_size"))
-        .select($"keep_doc_id", $"group_size", TextOps.polyHash($"bk").as("bag_fp"))
-        .orderBy($"keep_doc_id")
-    },
-
-    "q_dedup_minhash" -> { (s, dir) =>
-      import s.implicits._
-      // MinHash-banded LSH near-dup pairs (word 3-gram shingles, 32 hashes,
-      // 8 bands × 4) with exact-Jaccard verification at J >= 1/2. The
-      // oracle brute-forces all pairs — at the fixture's similarity gap
-      // (planted near-dups at J≈0.97, background < 0.2) banded recall is
-      // 1 - ~3e-8, so LSH+verify equals brute force exactly. 32×8 rather
-      // than 64×16 halves the signature work at no observable recall cost
-      // for that gap; re-derive bands before tightening the J threshold.
-      orderedSmall(
-        MinHashLsh.nearDupPairs(docs(s, dir), "doc_id", "text",
-          numHashes = 32, numBands = 8, shingleN = 3, threshNum = 1, threshDen = 2)
-          .select($"doc_i", $"doc_j",
-            $"n_common".cast("long").as("n_common"), $"n_union".cast("long").as("n_union")),
-        $"doc_i", $"doc_j")
-    },
-
-    "q_dedup_simhash" -> { (s, dir) =>
-      import s.implicits._
-      val d = docs(s, dir)
-        .select($"doc_id", SimHash.tokenHashes($"text").as("th"))
-      d.select($"doc_id", SimHash.simhashFast($"th", 32).as("simhash32"),
-        size($"th").cast("long").as("n_tokens"))
-        .orderBy($"doc_id")
-    },
-
-    "q_simhash_neardup" -> { (s, dir) =>
-      import s.implicits._
-      // Banded SimHash near-dup search (60-bit signatures, 4 bands × 15).
-      // maxHamming=3 <= bands-1, so banded recall is exactly 1 and the
-      // output equals the oracle's brute-force all-pairs scan by pigeonhole,
-      // independent of the fixture's similarity distribution.
-      orderedSmall(
-        SimHash.nearDupPairs(docs(s, dir), "doc_id", "text",
-          bits = 60, bandBits = 15, maxHamming = 3),
-        $"doc_i", $"doc_j")
-    },
-
-    "q_dedup_eval" -> { (s, dir) =>
-      import s.implicits._
-      // The dedup family judged by its own judge ([[EvalOps.pairSetPrf]]):
-      // pair-level precision/recall/F1 of the lossy 60-bit SimHash@3
-      // detector against the exact-Jaccard ≥ ½ ground truth (MinHash-LSH
-      // + exact verify — brute-force-equal on this fixture, its own gate
-      // pins that). Different near-dup DEFINITIONS, so the counts are a
-      // real measurement, not a tautology; one full-outer join on the
-      // canonical pair key, both sides candidate-bounded by their
-      // banding.
-      EvalOps.pairSetPrf(
-        SimHash.nearDupPairs(docs(s, dir), "doc_id", "text",
-          bits = 60, bandBits = 15, maxHamming = 3)
-          .select($"doc_i", $"doc_j"),
-        MinHashLsh.nearDupPairs(docs(s, dir), "doc_id", "text",
-          numHashes = 32, numBands = 8, shingleN = 3,
-          threshNum = 1, threshDen = 2)
-          .select($"doc_i", $"doc_j"))
-    },
-
-    "q_dedup_clusters" -> { (s, dir) =>
-      import s.implicits._
-      // Cluster RESOLUTION — the step downstream of every pairwise near-dup
-      // generator: pairs (here the banded 60-bit SimHash generator of
-      // q_simhash_neardup, Hamming <= 3, recall exactly 1 by pigeonhole)
-      // form a graph whose connected components are the duplicate clusters.
-      // [[GraphOps.connectedComponents]] (alternating large-star/small-star,
-      // O(log n) rounds of node-keyed shuffles, no driver-side graph) labels
-      // each member with the component-minimum doc_id — the canonical
-      // keep-one representative — and a window sizes the clusters.
-      val pairs = SimHash.nearDupPairs(docs(s, dir), "doc_id", "text",
-        bits = 60, bandBits = 15, maxHamming = 3)
-      val comp = GraphOps.connectedComponents(pairs, "doc_i", "doc_j")
-      comp.select($"node".as("doc_id"), $"component".as("cluster_id"))
-        .withColumn("cluster_size",
-          count(lit(1)).over(Window.partitionBy($"cluster_id")).cast("long"))
-        .orderBy($"doc_id")
-    },
-
-    "q_cc_incremental" -> { (s, dir) =>
-      import s.implicits._
-      // Incremental component maintenance
-      // ([[GraphOps.incrementalComponents]]): the duplicate graph ACCRETES
-      // — each ingest batch adds near-dup pairs — and recomputing
-      // components over the full history per batch is the scale trap the
-      // quotient-contraction path avoids (only the new batch's edges are
-      // traversed). Pairs split deterministically into "history"
-      // ((doc_i+doc_j)%3 != 0) and "today" (== 0); yesterday's labeling
-      // plus today's edges must equal a from-scratch run over the union,
-      // which is exactly how the gate is oracled — the same recursive-CTE
-      // SQL as q_dedup_clusters.
-      // Lazy localCheckpoint: the pair set feeds BOTH the history CC and
-      // the today filter — without it the banded generator runs twice.
-      val pairs = SimHash.nearDupPairs(docs(s, dir), "doc_id", "text",
-        bits = 60, bandBits = 15, maxHamming = 3)
-        .localCheckpoint(eager = false)
-      val history = pairs.filter(($"doc_i" + $"doc_j") % 3 =!= 0)
-      val today = pairs.filter(($"doc_i" + $"doc_j") % 3 === 0)
-      val labels = GraphOps.connectedComponents(history, "doc_i", "doc_j")
-      GraphOps.incrementalComponents(labels, "node", "component",
-          today, "doc_i", "doc_j")
-        .select($"node".as("doc_id"), $"component".as("cluster_id"))
-        .withColumn("cluster_size",
-          count(lit(1)).over(Window.partitionBy($"cluster_id")).cast("long"))
-        .orderBy($"doc_id")
-    },
-
-    "q_stream_components" -> { (s, dir) =>
-      import s.implicits._
-      // ONLINE duplicate-cluster maintenance
-      // ([[GraphOps.streamComponents]]) — the streaming twin of
-      // q_cc_incremental: the SimHash near-dup pair set replays as three
-      // micro-batches, each folding through incrementalComponents inside
-      // foreachBatch (the labels frame IS the state, eagerly
-      // localCheckpointed so lineage stays O(1) in batch count). The final
-      // labeling must equal from-scratch components over every pair seen —
-      // the same recursive-CTE oracle gates batch, incremental, and stream.
-      // Flat part-files, not a nested dataset dir: the file-stream source
-      // lists FILES under the path (the Staging.streamDocsDir layout).
-      val staged = Staging.dir("streamcc", dir, "pairs") { p =>
-        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(p))
-        val tmp = s"${p}_stage"
-        SimHash.nearDupPairs(docs(s, dir), "doc_id", "text",
-            bits = 60, bandBits = 15, maxHamming = 3)
-          .select($"doc_i", $"doc_j")
-          .repartition(3).write.mode("overwrite").parquet(tmp)
-        val parts = Option(new java.io.File(tmp).listFiles()).toSeq.flatten
-          .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-          .sortBy(_.getName)
-        require(parts.nonEmpty, s"no part files under $tmp")
-        parts.zipWithIndex.foreach { case (f, i) =>
-          java.nio.file.Files.move(f.toPath,
-            java.nio.file.Paths.get(p, f"batch_$i%02d.parquet"),
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-          ()
-        }
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-        }
-        rm(new java.io.File(tmp))
-      }
-      val ss = Staging.streamSession(s)
-      val src = ss.readStream.schema(ss.read.parquet(staged).schema)
-        .option("maxFilesPerTrigger", 1).parquet(staged)
-      val (q, labels) = GraphOps.streamComponents(src, "doc_i", "doc_j")
-      try q.processAllAvailable() finally q.stop()
-      labels()
-        .select($"node".as("doc_id"), $"component".as("cluster_id"))
-        .withColumn("cluster_size",
-          count(lit(1)).over(Window.partitionBy($"cluster_id")).cast("long"))
-        .orderBy($"doc_id")
-    },
-
-    "q_entity_resolution" -> { (s, dir) =>
-      import s.implicits._
-      // END-TO-END entity resolution — the composition the blocking
-      // family exists for: (1) BLOCK by sorted-neighborhood over the
-      // bag-of-words wide-hash order ([[RankOps.sortedNeighborhoodPairs]],
-      // window 4 — identical records hash identically so copies sit
-      // adjacent); (2) VERIFY each candidate pair by 60-bit SimHash
-      // Hamming ≤ 3 ([[SimHash.textSignatures]] — candidates only, never
-      // all pairs); (3) CLUSTER verified matches by connected components
-      // ([[GraphOps.connectedComponents]]); (4) size each cluster.
-      // Duplicates planted as TWO id-shifted copies per doc, so true
-      // clusters have size ≥ 3 and transitivity does real work (copies
-      // chain a→a'→a'' through adjacent pairs even when the ends sit
-      // outside one window). The fixture's natural bag-collisions add
-      // verify-stage decisions AND exhibit windowed blocking's honest
-      // recall trade: in a bag-group of g ≥ window docs, a doc's copies
-      // sit g ranks apart and unrelated in-between docs fail the verify,
-      // so those copies stay unclustered — the documented SNM contract
-      // (widen the window or add a second blocking pass for recall).
-      val b0 = t(s, dir, "documents").select($"doc_id", $"text")
-      val base = b0
-        .unionByName(b0.withColumn("doc_id", $"doc_id" + 1000000L))
-        .unionByName(b0.withColumn("doc_id", $"doc_id" + 2000000L))
-      val keyed = base.select($"doc_id",
-        TextOps.wideHash(TextOps.bagOfWordsKey($"text")).as("bh"))
-      val cand = RankOps
-        .sortedNeighborhoodPairs(keyed, Seq($"bh", $"doc_id"), window = 4)
-        .select($"doc_id_i", $"doc_id_j")
-      val sigs = SimHash.textSignatures(base, "doc_id", "text", bits = 60)
-      val edges = cand
-        .join(sigs.select($"doc_id".as("doc_id_i"), $"sig".as("sig_i")), "doc_id_i")
-        .join(sigs.select($"doc_id".as("doc_id_j"), $"sig".as("sig_j")), "doc_id_j")
-        .filter(bit_count($"sig_i".bitwiseXOR($"sig_j")) <= 3)
-      GraphOps.connectedComponents(edges, "doc_id_i", "doc_id_j")
-        .select($"node".as("doc_id"), $"component".as("cluster_id"))
-        .withColumn("cluster_size",
-          count(lit(1)).over(Window.partitionBy($"cluster_id")).cast("long"))
-        .orderBy($"doc_id")
-    },
-
-    "q_co_occur" -> { (s, dir) =>
-      import s.implicits._
-      // Capped co-occurrence projection ([[ScaleJoins.cappedCoOccurrence]]):
-      // co-supplier pairs per part with each part contributing only its 8
-      // smallest suppliers — the EXPLICIT, deterministic truncation that
-      // keeps the projection |keys|·cap² instead of a hub key's Σdeg²
-      // blow-up (the failure mode the first q_triangles gate measured).
-      orderedSmall(
-        ScaleJoins.cappedCoOccurrence(t(s, dir, "lineitem"),
-          "l_partkey", "l_suppkey", maxPerKey = 8),
-        $"it_i", $"it_j")
-    },
-
-    "q_triangles" -> { (s, dir) =>
-      import s.implicits._
-      // Exact triangle counting ([[GraphOps.triangleCount]]) over a SPARSE
-      // deterministic graph: customers linked when their orders have
-      // consecutive order keys (an equi-join on o_orderkey+1 — average
-      // degree ~2·orders-per-customer, a realistic social-graph density).
-      // A co-occurrence projection (e.g. co-suppliers per part) is the
-      // WRONG gate graph here: on this uniform fixture it converges to a
-      // near-complete clique whose Θ(n³) triangles measure the input, not
-      // the operator. Degree ordering bounds wedge work at O(m^1.5).
-      val o = t(s, dir, "orders").select($"o_orderkey", $"o_custkey")
-      val edges = o.as("a")
-        .join(o.as("b"), col("a.o_orderkey") + 1 === col("b.o_orderkey"))
-        .select(col("a.o_custkey").as("c1"), col("b.o_custkey").as("c2"))
-      GraphOps.triangleCount(edges, "c1", "c2")
-    },
-
-    "q_epoch_shuffle" -> { (s, dir) =>
-      import s.implicits._
-      // Deterministic epoch shuffle + shard/position assignment — the
-      // training-export step: each epoch permutes the corpus by a seeded
-      // content-independent hash (epoch in the hash = a fresh permutation
-      // per epoch, reproducible across runs/engines), shards by hash mod
-      // N, and positions within each shard by a shard-keyed window (the
-      // per-shard sort is the bounded one — never a global sort).
-      val seed = 3 // epoch number
-      val h = TextOps.wideHash(concat(lit(s"e$seed:"), $"doc_id".cast("string")))
-      val w = Window.partitionBy($"shard").orderBy($"h", $"doc_id")
-      t(s, dir, "documents")
-        .select($"doc_id", h.as("h"))
-        .withColumn("shard", pmod($"h", lit(4L)).cast("int"))
-        .withColumn("pos", row_number().over(w))
-        .select($"doc_id", $"shard", $"pos")
-        .orderBy($"shard", $"pos")
-    },
-
-    "q_pca_top" -> { (s, dir) =>
-      import s.implicits._
-      // Dominant principal component ([[VectorOps.topComponentInt]], 8
-      // integer-scaled power-iteration rounds): ONE distributed pass
-      // builds the exact scaled scatter matrix n·Σxxᵀ − (Σx)(Σx)ᵀ
-      // (combiner-reduced (i,j)-keyed aggregate, d² cells of state), the
-      // 64×64 matrix eigensolves on the driver in pure BIGINT
-      // multiply-then-floor-shift — the pageRankInt discipline, so the
-      // direction hash-gates against the oracle's unrolled recurrence.
-      VectorOps.topComponentInt(t(s, dir, "embeddings"), "embedding",
-        iterations = 8)
-    },
-
-    "q_cusum" -> { (s, dir) =>
-      import s.implicits._
-      // One-sided CUSUM drift detector per user ([[TimeSeriesOps.cusum]],
-      // Page 1954): reference 60.0, alarm threshold 200.0 (ten-thousandth
-      // units) over the (ts_µs, event_id)-ordered value series — the
-      // telemetry changepoint screen. Exact BIGINT fold (values quantized
-      // once to DECIMAL(18,4)·10⁴), so the recursion hash-gates where a
-      // float running sum could not; the fixture yields a non-trivial
-      // alarm spread (some users spend time above threshold, most don't).
-      TimeSeriesOps.cusum(events(s, dir),
-          Seq("user_id"), expr("ts div 1000"), Seq($"event_id"),
-          $"value", refValueE4 = 600000L, thresholdE4 = 2000000L)
-        .orderBy($"user_id")
-    },
-
-    "q_burstiness" -> { (s, dir) =>
-      import s.implicits._
-      // Per-type traffic burstiness ([[TimeSeriesOps.fanoFactor]]): the
-      // Fano factor (variance/mean of per-hour event counts, 1 = Poisson)
-      // — the rogue-crawler/collapsed-source early warning next to
-      // q_autocorr's temporal correlation. Exact integer moments over
-      // observed hour windows; two hash aggregates, no window function.
-      TimeSeriesOps.fanoFactor(events(s, dir),
-          Seq("event_type"), expr("ts div 1000"), windowSec = 3600L)
-        .orderBy($"event_type")
-    },
-
-    "q_trimmed_mean" -> { (s, dir) =>
-      import s.implicits._
-      // Per-type 10%-trimmed mean of the event value
-      // ([[StatOps.trimmedMean]]): the robust location between
-      // q_robust_outliers' median and the plain mean. Values quantize
-      // once to e4 BIGINTs; each value LEVEL contributes the exact
-      // integer overlap of its rank interval with the trimmed window —
-      // no data-row sort anywhere, windows over LEVEL rows only.
-      StatOps.trimmedMean(events(s, dir), "event_type", "value",
-        trimNum = 1, trimDen = 10)
-        .orderBy($"event_type")
-    },
-
-    "q_autocorr" -> { (s, dir) =>
-      import s.implicits._
-      // Exact sample autocorrelation at lags 1–3 per event type
-      // ([[TimeSeriesOps.acf]]): the seasonality/trend fingerprint of each
-      // metric stream over (ts_µs, event_id) order. Integer centering
-      // (uᵢ = n·vᵢ − S) turns the mean-centered ratio into exact
-      // (18,0)×(19,0) decimal sums — the pinned c/den integers gate the
-      // statistic beyond double printing; one window sort serves all
-      // three leads.
-      TimeSeriesOps.acf(events(s, dir),
-          Seq("event_type"), expr("ts div 1000"), Seq($"event_id"),
-          $"value", maxLag = 3)
-        .orderBy($"event_type")
-    },
-
-    "q_k_anonymity" -> { (s, dir) =>
-      import s.implicits._
-      // k-anonymity / l-diversity release gate
-      // ([[GovernanceOps.anonymityRisk]], k = 5, l = 3): events under the
-      // quasi-identifier (event_type, day, value-bucket) with user_id as
-      // the sensitive attribute — every group small enough to link or
-      // uniform enough to disclose is reported with both metrics. The
-      // parameters bite at BOTH SFs without flagging everything (140/241
-      // and 138/417 groups risky), so the filter's both sides are under
-      // the gate. floor(value/100), never CAST (DuckDB's BIGINT cast
-      // rounds where Spark's truncates — the Tables.events hazard).
-      val e = events(s, dir).select($"event_type",
-        expr("ts div 86400000000000").as("day"),
-        floor($"value" / 100.0).cast("long").as("vb"),
-        $"user_id")
-      GovernanceOps.anonymityRisk(e, Seq("event_type", "day", "vb"),
-          "user_id", k = 5, l = 3)
-        .select($"event_type", $"day", $"vb", $"group_size", $"n_sensitive",
-          $"k_risk".cast("int").as("k_risk"), $"l_risk".cast("int").as("l_risk"))
-        .orderBy($"event_type", $"day", $"vb")
-    },
-
-    "q_ewma" -> { (s, dir) =>
-      import s.implicits._
-      // Final EWMA per user ([[TimeSeriesOps.ewmaLast]], α = 1/4 — an
-      // exact binary fraction, so the literals are bit-identical in both
-      // engines): the recursive smoothing fold over (ts_µs, event_id)
-      // order. One strict left fold per key — the float-op sequence is
-      // fixed by the data, so the double output hash-gates directly.
-      TimeSeriesOps.ewmaLast(events(s, dir),
-          Seq("user_id"), expr("ts div 1000"), Seq($"event_id"),
-          $"value", alpha = 0.25)
-        .orderBy($"user_id")
-    },
-
-    "q_cohort_retention" -> { (s, dir) =>
-      import s.implicits._
-      // Cohort retention matrix — the warehouse classic: users cohorted
-      // by first-seen week, counted per (cohort_week, weeks_since) cell.
-      // Week index is pure integer µs arithmetic (epoch_µs div week), so
-      // both engines bucket identically with no calendar functions; two
-      // aggregates (per-user min, then cell counts), both user-keyed
-      // until the bounded cell aggregate.
-      val weekUs = 7L * 86400L * 1000000L
-      val e = events(s, dir)
-        .select($"user_id", expr(s"(ts div 1000) div $weekUs").as("wk"))
-      val first = e.groupBy($"user_id").agg(min($"wk").as("cohort_wk"))
-      e.join(first, "user_id")
-        .groupBy($"cohort_wk", ($"wk" - $"cohort_wk").as("weeks_since"))
-        .agg(countDistinct($"user_id").as("n_active"))
-        .orderBy($"cohort_wk", $"weeks_since")
-    },
-
-    "q_funnel" -> { (s, dir) =>
-      import s.implicits._
-      // Ordered-step funnel ([[FunnelOps.funnel]]): earliest
-      // view → click → purchase completion per user, each step strictly
-      // after the row completing the previous one (total order
-      // (ts_µs, event_id) — simultaneous events resolve
-      // deterministically). Microseconds on BOTH sides: the fixture's
-      // TIMESTAMP(NANOS) reads as µs in DuckDB, so ordering by raw nanos
-      // here could break ties the oracle cannot see. One user-keyed
-      // shuffle and one sort serve all three chained running-min windows
-      // AND the final aggregate (plan-guarded).
-      FunnelOps.funnel(events(s, dir), "user_id",
-          orderTs = expr("ts div 1000"), tieCols = Seq($"event_id"),
-          steps = Seq(
-            "view" -> ($"event_type" === "view"),
-            "click" -> ($"event_type" === "click"),
-            "purchase" -> ($"event_type" === "purchase")))
-        .orderBy($"user_id")
-    },
-
-    "q_neg_sample" -> { (s, dir) =>
-      import s.implicits._
-      // Deterministic in-batch negative sampling
-      // ([[CorpusOps.inBatchNegatives]]): every 10th doc is a query with
-      // its successor as the positive; negatives come from the query's
-      // own hash bucket, ranked by the pair hash — stable across
-      // runs/engines/partitionings where rand() sampling is not.
-      //
-      // nBuckets is the operator's scale knob (bucket-join fan-out =
-      // |q|·|c|/nBuckets): hardcoded 8 made the sf1 sweep quadratic
-      // (0.87 → 56 s at 10× data). It now grows with the corpus by
-      // integer arithmetic BOTH engines compute identically —
-      // 8·(1 + (n−1) div 5000) caps per-bucket candidates at ~625 and
-      // turns the 10×-data cost into ~10×. The count stages per (sf, JVM)
-      // so bench reps measure the sampler, not a count job.
-      val d = t(s, dir, "documents")
-      val nDocs = Staging.memo[Long]("negsample_n", dir)(d.count())
-      val nBuckets = (8L * (1L + (nDocs - 1L) / 5000L)).toInt
-      val pairs = d.filter(pmod($"doc_id", lit(10L)) === 0)
-        .select($"doc_id".as("query_id"), ($"doc_id" + 1).as("pos_id"))
-      CorpusOps.inBatchNegatives(pairs, "query_id", "pos_id",
-          d.select($"doc_id"), "doc_id", k = 4, nBuckets = nBuckets)
-        .orderBy($"query_id", $"rank")
-    },
-
-    "q_token_classes" -> { (s, dir) =>
-      import s.implicits._
-      // GPT-2-style regex pre-tokenization, class-counted: one
-      // regexp_extract_all pass splits letter runs, digit runs, and
-      // single punctuation marks ('[a-z]+|[0-9]+|[^a-z0-9 ]' — kept to
-      // constructs Java regex and DuckDB's RE2 interpret identically).
-      // The fixture text is pure lowercase+space, so digits/punctuation
-      // are planted deterministically by suffixing each doc with its own
-      // id and a bang — same construction in the oracle.
-      val pat = "[a-z]+|[0-9]+|[^a-z0-9 ]"
-      val toks = regexp_extract_all(
-        concat($"text", lit(" v"), $"doc_id".cast("string"), lit("!")),
-        lit(pat), lit(0))
-      docs(s, dir)
-        .select($"doc_id", toks.as("tk"))
-        .select($"doc_id",
-          size($"tk").as("n_tokens"),
-          size(filter($"tk", x => x.rlike("^[0-9]+$"))).as("n_digit"),
-          size(filter($"tk", x => x.rlike("^[a-z]+$"))).as("n_word"))
-        .withColumn("n_punct", $"n_tokens" - $"n_digit" - $"n_word")
-        .orderBy($"doc_id")
-    },
-
-    "q_dq_checks" -> { (s, dir) =>
-      import s.implicits._
-      // Declarative data-quality report ([[DqChecks.check]]): not-null +
-      // range checks fused into ONE scan, uniqueness as a keyed
-      // aggregate, referential integrity as an anti-join against the
-      // distinct dimension keys. Violations planted the suite's standard
-      // way (a deterministic union of broken copies: null custkeys +
-      // duplicate orderkeys for every orderkey % 100 == 0) on top of the
-      // fixture's natural ones (2978 prices above 400k; the FK orphans
-      // come from excluding custkey % 7 == 0 from the reference side).
-      val o = t(s, dir, "orders")
-        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
-      val broken = o.filter(pmod($"o_orderkey", lit(100L)) === 0)
-        .select($"o_orderkey", lit(null).cast("long").as("o_custkey"),
-          $"o_totalprice")
-      val target = o.unionByName(broken)
-      val refCust = t(s, dir, "customer")
-        .filter(pmod($"c_custkey", lit(7L)) =!= 0)
-      DqChecks.check(target,
-        rowChecks = Seq(
-          DqChecks.notNull("custkey_not_null", $"o_custkey"),
-          DqChecks.satisfies("price_in_range",
-            $"o_totalprice".between(0.0, 400000.0)),
-          DqChecks.satisfies("orderkey_positive", $"o_orderkey" >= 0)),
-        uniques = Seq(DqChecks.UniqueCheck("orderkey_unique",
-          Seq("o_orderkey"))),
-        fks = Seq(DqChecks.FkCheck("custkey_in_customer",
-          Seq("o_custkey"), refCust, Seq("c_custkey"))))
-    },
-
-    "q_bfs_reach" -> { (s, dir) =>
-      import s.implicits._
-      // Multi-source bounded BFS ([[GraphOps.bfsDistances]]) over the
-      // q_triangles consecutive-order customer graph: every customer
-      // within 3 undirected hops of a seed set (custkey % 50 == 0) gets
-      // its minimum hop count — the "everything near a known-bad seed"
-      // triage query. k rounds of edge join + node-keyed min aggregate;
-      // pure integer mins, so the oracle is the same relaxation unrolled
-      // as k CTEs.
-      val o = t(s, dir, "orders").select($"o_orderkey", $"o_custkey")
-      val edges = o.as("a")
-        .join(o.as("b"), col("a.o_orderkey") + 1 === col("b.o_orderkey"))
-        .select(col("a.o_custkey").as("c1"), col("b.o_custkey").as("c2"))
-      val seeds = o.select($"o_custkey")
-        .filter(pmod($"o_custkey", lit(50L)) === 0).distinct()
-      GraphOps.bfsDistances(edges, "c1", "c2", seeds, "o_custkey", maxHops = 3)
-        .orderBy($"node")
-    },
-
-    "q_pagerank" -> { (s, dir) =>
-      import s.implicits._
-      // Integer-scaled PageRank ([[GraphOps.pageRankInt]], 5 damped
-      // rounds at d = 17/20) on the same graph. Every arithmetic step is
-      // BIGINT multiply-then-floor-divide, so the iteration is
-      // bit-reproducible across engines and partitionings — float
-      // PageRank's order-sensitive Σ could never face a hash gate. The
-      // oracle unrolls the recurrence as 5 CTEs over the symmetrized
-      // edge list.
-      val o = t(s, dir, "orders").select($"o_orderkey", $"o_custkey")
-      val edges = o.as("a")
-        .join(o.as("b"), col("a.o_orderkey") + 1 === col("b.o_orderkey"))
-        .select(col("a.o_custkey").as("c1"), col("b.o_custkey").as("c2"))
-      GraphOps.pageRankInt(edges, "c1", "c2", iterations = 5)
-        .orderBy($"node")
-    },
-
-    "q_ppr" -> { (s, dir) =>
-      import s.implicits._
-      // Personalized PageRank ([[GraphOps.personalizedPageRankInt]], 5
-      // damped rounds) from the q_bfs_reach seed set (custkey % 50 == 0)
-      // on the same consecutive-order customer graph — seed-expansion
-      // relevance ("score everyone by closeness to the labeled handful"),
-      // complementing BFS hop counts with a degree-weighted diffusion
-      // score. Same exact-BIGINT recurrence as q_pagerank, so the oracle
-      // unrolls it with the restart mass gated on the seed predicate.
-      val o = t(s, dir, "orders").select($"o_orderkey", $"o_custkey")
-      val edges = o.as("a")
-        .join(o.as("b"), col("a.o_orderkey") + 1 === col("b.o_orderkey"))
-        .select(col("a.o_custkey").as("c1"), col("b.o_custkey").as("c2"))
-      val seeds = o.select($"o_custkey")
-        .filter(pmod($"o_custkey", lit(50L)) === 0).distinct()
-      GraphOps.personalizedPageRankInt(
-          edges, "c1", "c2", seeds, "o_custkey", iterations = 5)
-        .orderBy($"node")
-    },
-
-    "q_label_prop" -> { (s, dir) =>
-      import s.implicits._
-      // Majority-vote label propagation ([[GraphOps.labelPropagation]],
-      // 3 synchronous rounds, ties to the min label) on the same
-      // consecutive-order customer graph — community detection without
-      // PageRank's arithmetic. Fixed rounds + deterministic tie rule
-      // make it hash-gateable; the oracle unrolls the rounds as CTEs
-      // with a rank window playing the argmax.
-      val o = t(s, dir, "orders").select($"o_orderkey", $"o_custkey")
-      val edges = o.as("a")
-        .join(o.as("b"), col("a.o_orderkey") + 1 === col("b.o_orderkey"))
-        .select(col("a.o_custkey").as("c1"), col("b.o_custkey").as("c2"))
-      GraphOps.labelPropagation(edges, "c1", "c2", iterations = 3)
-        .withColumn("community_size",
-          count(lit(1)).over(Window.partitionBy($"community")))
-        .orderBy($"node")
-    },
-
-    "q_skyline" -> { (s, dir) =>
-      import s.implicits._
-      // Pareto frontier (minimize price, minimize size) over distinct
-      // part price/size points via [[Skyline.skyline2dMin]] — the
-      // grid-pruned two-phase plan, NOT an all-pairs dominance join.
-      // Price is quantized to integer cents with the IEEE chain
-      // floor(v·100 + 0.5) on both engines (the q_embed_centroid
-      // playbook) so every gated column is BIGINT; the oracle states
-      // dominance as NOT EXISTS, which the grid plan must reproduce
-      // exactly.
-      val pts = t(s, dir, "part")
-        .select(
-          expr("CAST(floor(p_retailprice * 100.0 + 0.5) AS BIGINT)")
-            .as("price_c"),
-          $"p_size".cast("long").as("size"))
-        .groupBy($"price_c", $"size").agg(count(lit(1)).as("n_parts"))
-      Skyline.skyline2dMin(pts, "price_c", "size")
-        .orderBy($"price_c", $"size")
-    },
-
-    "q_skyline_brand" -> { (s, dir) =>
-      import s.implicits._
-      // Per-brand Pareto frontier ([[Skyline.skyline2dMinPerGroup]]) —
-      // the partitioned variant: one exchange on the brand key, the
-      // lexicographic running-min window doing all the dominance work, NO
-      // join anywhere (plan-guarded). Same integer-cents quantization as
-      // q_skyline.
-      val pts = t(s, dir, "part")
-        .select($"p_brand",
-          expr("CAST(floor(p_retailprice * 100.0 + 0.5) AS BIGINT)")
-            .as("price_c"),
-          $"p_size".cast("long").as("size"))
-        .groupBy($"p_brand", $"price_c", $"size")
-        .agg(count(lit(1)).as("n_parts"))
-      Skyline.skyline2dMinPerGroup(pts, Seq("p_brand"), "price_c", "size")
-        .orderBy($"p_brand", $"price_c", $"size")
-    },
-
-    "q_skyline3d" -> { (s, dir) =>
-      import s.implicits._
-      // Three-dimensional Pareto frontier ([[Skyline.skylineGridMin]] —
-      // the cell-grid plan: driver-bounded cell prune + broadcast
-      // cell-pair table + LEFT ANTI dominance verify; the 2D running-min
-      // window does NOT generalize past two dimensions) over one ship
-      // month of lineitem: minimize (price, quantity, discount). All
-      // three dims quantized to BIGINTs with the IEEE ⌊v·s+0.5⌋ chain.
-      val pts = t(s, dir, "lineitem")
-        .filter($"l_shipdate" >= lit("1995-03-01").cast("timestamp") &&
-          $"l_shipdate" < lit("1995-04-01").cast("timestamp"))
-        .select(
-          expr("CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)").as("price_c"),
-          expr("CAST(floor(l_quantity + 0.5) AS BIGINT)").as("qty"),
-          expr("CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT)").as("disc_pct"))
-        .groupBy($"price_c", $"qty", $"disc_pct")
-        .agg(count(lit(1)).as("n_rows"))
-      Skyline.skylineGridMin(pts, Seq("price_c", "qty", "disc_pct"))
-        .orderBy($"price_c", $"qty", $"disc_pct")
-    },
-
-    "q_skyline_group3d" -> { (s, dir) =>
-      import s.implicits._
-      // PER-GROUP three-dimensional Pareto frontier
-      // ([[Skyline.skylineMinPerGroup]]): per return flag, minimize
-      // (price, quantity, discount) over one ship month — the composition
-      // q_skyline_brand (per-group, 2D window) and q_skyline3d (3D grid,
-      // global) leave uncovered. MR-skyline two-phase: partition-local
-      // frontier folds (complete candidate filter, no repartition), then
-      // one group-keyed dominance LEFT ANTI join over frontier-sized
-      // candidates. Same IEEE quantization as q_skyline3d.
-      val pts = t(s, dir, "lineitem")
-        .filter($"l_shipdate" >= lit("1995-03-01").cast("timestamp") &&
-          $"l_shipdate" < lit("1995-04-01").cast("timestamp"))
-        .select($"l_returnflag",
-          expr("CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)").as("price_c"),
-          expr("CAST(floor(l_quantity + 0.5) AS BIGINT)").as("qty"),
-          expr("CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT)").as("disc_pct"))
-        .groupBy($"l_returnflag", $"price_c", $"qty", $"disc_pct")
-        .agg(count(lit(1)).as("n_rows"))
-      Skyline.skylineMinPerGroup(pts, Seq("l_returnflag"),
-          Seq("price_c", "qty", "disc_pct"))
-        .orderBy($"l_returnflag", $"price_c", $"qty", $"disc_pct")
-    },
-
-    "q_dedup_incremental" -> { (s, dir) =>
-      import s.implicits._
-      // INCREMENTAL dedup — the steady-state shape of every production
-      // pipeline (a new crawl batch arrives; the corpus is already clean):
-      // batch docs (doc_id % 5 = 0, ~20%) are dropped iff some CORPUS doc
-      // sits within Hamming <= 3 of their 60-bit SimHash
-      // ([[SimHash.crossNearDupPairs]], recall exactly 1 by pigeonhole, so
-      // the anti-join equals the oracle's brute-force batch×corpus scan).
-      // Batch-internal duplicates are NOT dropped — that is the contract:
-      // dedup the batch against the corpus, then self-dedup separately.
-      val d = docs(s, dir)
-      val batch = d.filter(pmod($"doc_id", lit(5L)) === 0)
-      val corpus = d.filter(pmod($"doc_id", lit(5L)) =!= 0)
-      val hits = SimHash.crossNearDupPairs(
-        batch, "doc_id", "text", corpus, "doc_id", "text",
-        bits = 60, bandBits = 15, maxHamming = 3)
-      batch.join(hits.select($"doc_a".as("doc_id")).distinct(),
-          Seq("doc_id"), "left_anti")
-        .select($"doc_id", $"source", $"n_chars")
-        .orderBy($"doc_id")
-    },
-
-    "q_cluster_canonical" -> { (s, dir) =>
-      import s.implicits._
-      // The KEEP decision that closes the near-dup loop: every document
-      // labeled with its duplicate cluster (q_dedup_clusters' components;
-      // docs in no pair are their own singleton cluster), then ONE canonical
-      // row survives per cluster — the longest text, doc_id as total
-      // tiebreak. Output is the deduplicated corpus manifest: one row per
-      // cluster with its representative and the cluster's size.
-      val d = docs(s, dir)
-      val pairs = SimHash.nearDupPairs(d, "doc_id", "text",
-        bits = 60, bandBits = 15, maxHamming = 3)
-      val comp = GraphOps.connectedComponents(pairs, "doc_i", "doc_j")
-      val labeled = d.join(comp, d("doc_id") === comp("node"), "left_outer")
-        .select(d("doc_id"), coalesce($"component", d("doc_id")).as("cluster_id"),
-          d("n_chars"))
-      val byCluster = Window.partitionBy($"cluster_id")
-      labeled
-        .withColumn("rn",
-          row_number().over(byCluster.orderBy($"n_chars".desc, $"doc_id".asc)))
-        .withColumn("cluster_size", count(lit(1)).over(byCluster).cast("long"))
-        .filter($"rn" === 1)
-        .select($"doc_id", $"cluster_id", $"cluster_size")
-        .orderBy($"doc_id")
-    },
-
-    "q_decontaminate" -> { (s, dir) =>
-      import s.implicits._
-      // Train-test overlap detection ([[CorpusOps.sharedWindowOverlap]]):
-      // treat source 'src0' as the held-out benchmark and report every
-      // training document sharing a 24-char contiguous window with it,
-      // ranked by distinct shared windows. Windows join on their 60-bit
-      // wideHash (primitive keys); boilerplate windows occurring in more
-      // than 3 documents across both sides are dropped — the cap BITES at
-      // this SF (shared-window df reaches 4), so the guard's semantics are
-      // under the gate, not just its happy path.
-      val d = docs(s, dir)
-      orderedSmall(
-        CorpusOps.sharedWindowOverlap(
-          d.filter($"source" =!= "src0"), "doc_id", "text",
-          d.filter($"source" === "src0"), "doc_id", "text",
-          n = 24, maxWindowDf = Some(3)),
-        $"doc_a", $"doc_b")
-    },
-
-    "q_window_probe" -> { (s, dir) =>
-      import s.implicits._
-      // Persisted decontamination index ([[CorpusOps.saveWindowIndex]] +
-      // [[CorpusOps.windowProbe]]): the src0 benchmark's 24-char windows
-      // bucketed once (ref-side boilerplate df ≤ 3 excluded at build), the
-      // training side probed against it — q_decontaminate's recurring
-      // form: the benchmark freezes once, every future training batch
-      // probes without recomputing reference windows.
-      val name = windowIndex(s, dir)
-      orderedSmall(
-        CorpusOps.windowProbe(s, docs(s, dir).filter($"source" =!= "src0"),
-          "doc_id", "text", name),
-        $"doc_a", $"doc_b")
-    },
-
-    "q_stream_decontam" -> { (s, dir) =>
-      import s.implicits._
-      // ONLINE decontamination — the streaming twin of q_window_probe
-      // (same staged index, same oracle): each micro-batch of training
-      // docs probes the bucketed windows table through a stateless
-      // stream-static equi-join emitting (doc_a, doc_b, w) triples; the
-      // per-pair count folds at the SINK (windows are distinct per doc, so
-      // the fold is exact), never in stream state.
-      val staged = Staging.streamDocsDir(s, dir)
-      val ss = Staging.streamSession(s)
-      val name = windowIndex(s, dir) // catalog shared across sessions
-      val schema = Staging.replayDocsSchema(ss, staged)
-      // The staged stream schema is (doc_id, text, ts) — no source column;
-      // the fixture's identity source = 'src' || doc_id % 20 (every gate
-      // SF) makes doc_id % 20 =!= 0 the exact training-side filter. A
-      // fixture change breaks this LOUDLY (hash mismatch vs the shared
-      // oracle), not silently.
-      val src = ss.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(staged)
-        .filter($"doc_id" % 20 =!= 0)
-      val sink = Staging.nextStreamSink(ss)
-      val q = CorpusOps.windowProbeEmissions(ss, src, "doc_id", "text", name)
-        .writeStream.format("memory").queryName(sink).outputMode("append").start()
-      try q.processAllAvailable() finally q.stop()
-      orderedSmall(
-        ss.table(sink).groupBy($"doc_a", $"doc_b")
-          .agg(count(lit(1)).as("n_shared_windows")),
-        $"doc_a", $"doc_b")
-    },
-
-    "q_blocklist_filter" -> { (s, dir) =>
-      import s.implicits._
-      // Keyword-blocklist screening ([[TextOps.blocklistHits]]) — the
-      // cheap first curation gate (C4/RefinedWeb-style word filters):
-      // documents carrying any blocklisted token are surfaced with their
-      // distinct-hit count; 'degenerate' never occurs in the fixture, so
-      // the no-match path is exercised inside the same literal array.
-      // Mixed-case TERMS exercise the default normalization (r14 ADVICE:
-      // the raw-token form missed case variants the cited filters fold) —
-      // without term lower-casing this gate would return zero rows.
-      val terms = Seq("Dup", "SLOW", "degenerate")
-      docs(s, dir)
-        .select($"doc_id",
-          TextOps.blocklistHits($"text", terms).cast("long").as("n_hits"))
-        .filter($"n_hits" > 0)
-        .orderBy($"doc_id")
-    },
-
-    "q_pseudonymize" -> { (s, dir) =>
-      import s.implicits._
-      // Deterministic pseudonymization ([[GovernanceOps.pseudonymize]]):
-      // the share-with-analysts rewrite between raw identifiers and full
-      // deletion — user ids replaced by salted polyHash tokens, per-row
-      // codegen'd expression, no lookup table to govern. The gate pins
-      // the property the rewrite exists for: per-ENTITY analytics still
-      // work — grouping by token reproduces exactly the per-user
-      // aggregate (counts + exact decimal value sums) under new names.
-      val p = GovernanceOps.pseudonymize(
-        events(s, dir).select($"user_id", $"value"),
-        Seq("user_id"), salt = "graft-r15")
-      p.groupBy($"user_id".as("user_token"))
-        .agg(count(lit(1)).as("n_events"),
-          graft.Tables.dsum($"value").as("total_value"))
-        .orderBy($"user_token")
-    },
-
-    "q_rtbf_forget" -> { (s, dir) =>
-      import s.implicits._
-      // Retention / right-to-be-forgotten ([[GovernanceOps.forgetDocs]] +
-      // the [[MergeOps.snapshotDiff]] audit) — the data-governance stage of
-      // a production corpus pipeline: tombstones = every 37th doc (the
-      // deletion-request key-set), the corpus rewritten through the
-      // broadcast tombstone anti-join (corpus side never shuffles), then
-      // the before/after snapshot diff folded to per-status totals.
-      // `removed` must be exactly the tombstone set and `unchanged`
-      // everything else — any `changed`/`added` row (a purge that did more
-      // than delete) breaks the oracle's 2-row shape. Index-side purge
-      // ([[GovernanceOps.forgetFromLshIndex]]) is pinned in
-      // GovernanceOpsSpec against a from-scratch rebuild.
-      val d = docs(s, dir)
-      val tomb = d.filter($"doc_id" % 37 === 0).select($"doc_id")
-      val retained = GovernanceOps.forgetDocs(d, "doc_id", tomb, "doc_id")
-      MergeOps.snapshotDiff(d, retained, Seq("doc_id"))
-        .groupBy($"status")
-        .agg(count(lit(1)).as("n_docs"), sum($"doc_id").as("sum_ids"))
-        .orderBy($"status")
-    },
-
-    "q_auc" -> { (s, dir) =>
-      import s.implicits._
-      // Per-source ROC-AUC ([[EvalOps.rocAuc]]) of a toy "is English"
-      // classifier whose score is document length — the eval step every
-      // corpus-curation classifier runs before it is trusted to gate
-      // documents. Exact integer Mann–Whitney rank-sum with midrank tie
-      // handling; the gate pins the exact integer numerator/denominator
-      // alongside the single IEEE-divided auc, so a tie-handling slip
-      // cannot hide in double printing. The window runs over score-LEVEL
-      // aggregate rows (combiner-reduced), never data rows.
-      EvalOps.rocAuc(
-        t(s, dir, "documents")
-          .select($"source", $"n_chars",
-            when($"lang" === "en", 1L).otherwise(0L).as("lab")),
-        "source", "n_chars", "lab")
-        .orderBy($"source")
-    },
-
-    "q_cohens_kappa" -> { (s, dir) =>
-      import s.implicits._
-      // Per-source Cohen's kappa ([[EvalOps.cohensKappa]]) between the
-      // n-gram language-ID heuristic (the same argmax q_lang_id gates) and
-      // the gold lang label — the chance-corrected agreement check every
-      // weak labeler passes before its output becomes training signal.
-      // Exact integer marginal cross-products; kappa is one IEEE division
-      // of pinned integer operands, so the statistic itself hash-gates.
-      EvalOps.cohensKappa(
-        docs(s, dir).select($"source",
-          TextStats.predictedLang($"text").as("pred"), $"lang"),
-        "source", "pred", "lang")
-        .orderBy($"source")
-    },
-
-    "q_class_prf" -> { (s, dir) =>
-      import s.implicits._
-      // Per-class precision/recall/F1 + macro-F1 ([[EvalOps.classPrf]])
-      // of the lang-ID heuristic against gold — the per-class breakdown
-      // q_cohens_kappa's single agreement number hides. Exact longs from
-      // three label-marginal aggregates; macro-F1 sums doubles in the
-      // SORTED-FOLD order (q_chi_square's construction) so even the
-      // averaged double hash-gates.
-      EvalOps.classPrf(
-        docs(s, dir).select($"lang",
-          TextStats.predictedLang($"text").as("pred")),
-        "lang", "pred")
-        .orderBy($"cls")
-    },
-
-    "q_span_dedup" -> { (s, dir) =>
-      import s.implicits._
-      // Substring-level dedup profile ([[CorpusOps.duplicatedSpans]],
-      // Lee et al. 2022): 8-token windows hashed corpus-wide; windows
-      // occurring ≥ 2× mark their positions duplicated and overlapping
-      // marks merge into maximal spans (gaps-and-islands over the running
-      // interval max). Catches the duplicated-passage-inside-a-unique-doc
-      // shape whole-doc dedup misses — the fixture's planted near-dups
-      // surface as long spans, the background stays mostly clean.
-      CorpusOps.duplicatedSpans(docs(s, dir), "doc_id", "text", w = 8)
-        .orderBy($"doc_id")
-    },
-
-    "q_stream_dsir" -> { (s, dir) =>
-      import s.implicits._
-      // ONLINE DSIR quality scoring — the streaming half of q_dsir_select:
-      // the bucket→term model ([[CorpusOps.dsirModelTerms]], built once
-      // from the full static corpus, 512 longs) embeds as a literal in a
-      // row-local fold ([[CorpusOps.dsirScore]]), so each micro-batch
-      // scores its documents with NO join, NO shuffle and NO state — the
-      // probe quarter replays as two micro-batches and must carry exactly
-      // the batch operator's integers (same-oracle equality, minus the
-      // normalizer rearrangement proven in CorpusOpsSpec).
-      val staged = Staging.streamDocsDir(s, dir)
-      val ss = Staging.streamSession(s)
-      val terms = CorpusOps.dsirModelTerms(docs(s, dir), "text",
-        isTarget = $"lang" === "en", buckets = 512)
-      val schema = Staging.replayDocsSchema(ss, staged)
-      val src = ss.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(staged)
-        .filter($"doc_id" % 4 === 3 && $"text".isNotNull && $"text" =!= "")
-      val sink = Staging.nextStreamSink(ss)
-      val q = src.select($"doc_id",
-          size(TextOps.tokens($"text")).cast("long").as("n_tokens"),
-          CorpusOps.dsirScore($"text", terms).as("weight"))
-        .writeStream.format("memory").queryName(sink).outputMode("append").start()
-      try q.processAllAvailable() finally q.stop()
-      ss.table(sink).orderBy($"doc_id")
-    },
-
-    "q_threshold_pick" -> { (s, dir) =>
-      import s.implicits._
-      // Operating-point selection ([[EvalOps.operatingPoint]]): per source,
-      // the maximum-recall threshold still meeting precision ≥ 1/2 for the
-      // same toy classifier — the deployment decision after q_auc's
-      // ranking quality check. Integer cross-multiplied precision test on
-      // score-level cumulative counts; at this target 15–16 of the 20
-      // sources qualify, so BOTH the emit and the no-qualifying-threshold
-      // paths are exercised in one gate.
-      EvalOps.operatingPoint(
-        t(s, dir, "documents")
-          .select($"source", $"n_chars",
-            when($"lang" === "en", 1L).otherwise(0L).as("lab")),
-        "source", "n_chars", "lab", precNum = 1, precDen = 2)
-        .orderBy($"source")
-    },
-
-    "q_kcore" -> { (s, dir) =>
-      import s.implicits._
-      // k-core density screen ([[GraphOps.kCore]], k = 10) on the
-      // consecutive-order customer graph — the peeling fixpoint that keeps
-      // only structurally-embedded nodes (2 rounds / 10 nodes peeled at
-      // sf0.001, 4 rounds / 64 at sf0.01). maxRounds = 8 is the oracle's
-      // unrolling depth: deeper convergence throws loudly rather than
-      // silently diverging from the unrolled-CTE oracle (extra unrolled
-      // rounds past the fixpoint are no-ops, so depth-8 is exact whenever
-      // the operator converges within 8).
-      val o = t(s, dir, "orders").select($"o_orderkey", $"o_custkey")
-      val edges = o.as("a")
-        .join(o.as("b"), col("a.o_orderkey") + 1 === col("b.o_orderkey"))
-        .select(col("a.o_custkey").as("c1"), col("b.o_custkey").as("c2"))
-      GraphOps.kCore(edges, "c1", "c2", kMin = 10, maxRounds = 8)
-        .orderBy($"node")
-    },
-
-    "q_calibration" -> { (s, dir) =>
-      import s.implicits._
-      // Reliability diagram ([[EvalOps.calibrationBins]]): the same toy
-      // classifier cut into 8 equi-depth score bins, each reporting size,
-      // positives, exact mean score and positive rate. Binning rides the
-      // zipWithIndex two-phase global rank ([[RankOps.equidepthBins]]) —
-      // the corpus-scale shape — not ntile's single-partition window; ties
-      // broken by doc_id so the cut is engine-independent.
-      EvalOps.calibrationBins(
-        t(s, dir, "documents")
-          .select($"doc_id", $"n_chars",
-            when($"lang" === "en", 1L).otherwise(0L).as("lab")),
-        "n_chars", "lab", Seq($"doc_id"), k = 8)
-    },
-
-    "q_dsir_select" -> { (s, dir) =>
-      import s.implicits._
-      // DSIR data selection ([[CorpusOps.dsirWeights]], Xie et al. 2023):
-      // every document scored by the log-likelihood ratio of its
-      // hashed-unigram bag under the English-subset target LM vs the
-      // raw-corpus LM (512 buckets, add-1 smoothing, integer-log₂ bits —
-      // the [[CorpusOps.surprisal]] formulation both engines compute
-      // bit-identically), then the 40 most target-like docs kept by
-      // (weight desc, doc_id) — a TakeOrdered, never a full sort. Two
-      // combiner-reduced aggregates + a ≤512-row broadcast: the 100 TB
-      // shape of "select raw data distributed like the trusted corpus".
-      CorpusOps.dsirWeights(docs(s, dir), "doc_id", "text",
-        isTarget = $"lang" === "en", buckets = 512)
-        .orderBy($"weight".desc, $"doc_id")
-        .limit(40)
-    },
-
-    "q_pii_redact" -> { (s, dir) =>
-      import s.implicits._
-      // Rule-based PII scrubbing ([[TextOps.redact]] + [[CorpusOps.PiiRules]])
-      // — the release-gate curation pass. The synthetic fixture carries no
-      // PII, so the gate PLANTS it deterministically per doc (two emails, a
-      // dashed phone, a dotted IPv4), counts the hits, and scrubs; the
-      // DuckDB twin runs the same rules — the patterns live in ONE place
-      // (PiiRules) and are interpolated into the oracle SQL, and they stay
-      // inside the Java∩RE2 common dialect so both engines agree exactly.
-      val planted = concat($"text", lit(" contact a"), $"doc_id",
-        lit("@example.com or b"), $"doc_id", lit("@mail.example.org call 555-"),
-        lpad(($"doc_id" % 1000).cast("string"), 3, "0"), lit("-1234 from 10.0."),
-        ($"doc_id" % 256).cast("string"), lit(".1"))
-      docs(s, dir).select($"doc_id", planted.as("t"))
-        .select($"doc_id",
-          regexp_count($"t", lit(CorpusOps.PiiRules(0)._1)).cast("long").as("n_emails"),
-          regexp_count($"t", lit(CorpusOps.PiiRules(1)._1)).cast("long").as("n_phones"),
-          regexp_count($"t", lit(CorpusOps.PiiRules(2)._1)).cast("long").as("n_ips"),
-          TextOps.redact($"t", CorpusOps.PiiRules).as("clean_text"))
-        .orderBy($"doc_id")
-    },
-
-    "q_dup_fraction" -> { (s, dir) =>
-      import s.implicits._
-      // Corpus-health duplication profile ([[CorpusOps.windowDuplication]]):
-      // per document, the fraction of its distinct 16-char windows that
-      // occur in other documents too (corpus df >= 2) — high values flag
-      // boilerplate and near-duplicates for curation.
-      CorpusOps.windowDuplication(docs(s, dir), "doc_id", "text", n = 16)
-        .orderBy($"doc_id")
-    },
-
-    "q_ngram_jaccard" -> { (s, dir) =>
-      import s.implicits._
-      // Exact character-trigram Jaccard >= 3/5 within (lang, source) blocks,
-      // via [[SetSimJoin]]'s inverted index + prefix filtering: candidate
-      // pairs come from rare-token prefix collisions, never an all-pairs
-      // block scan, so work stays near-linear as blocks grow. Character
-      // trigrams are a BOUNDED vocabulary, so document frequency uses the
-      // PACKED strategy: the combiner-reduced df table is packed driver-side
-      // and the prefix is selected row-locally by the codegen'd
-      // [[graft.functions.PrefixTokens]] — no (block, token) index shuffle
-      // AND no per-doc rank window shuffle (the full-inverted-index exchange
-      // the window form pays on both self-join sides) — see
-      // [[SetSimJoin.DfStrategy]].
-      // Shingling is the codegen'd [[graft.functions.PackedShingles]] — one
-      // compiled O(len) pass per row, each trigram packed LOSSLESSLY into a
-      // long (21 bits per code point), so every downstream stage — explode,
-      // df aggregate, prefix equi-join, verify array_intersect — runs on
-      // primitive 8-byte keys instead of variable-length strings (~1.8× on
-      // the whole query). The packing is a bijection for valid UTF-8, so
-      // pair and count results are identical to the string form (proved in
-      // PackedShinglesSpec) and the string-trigram oracle still hash-matches.
-      val g = docs(s, dir).select($"doc_id", $"lang", $"source",
-        TextOps.charShinglesPacked($"text", 3).as("gr"))
-        .filter(length($"text") >= 3)
-      orderedSmall(
-        SetSimJoin.jaccardJoin(g, "doc_id", "gr", Seq("lang", "source"),
-            threshNum = 3, threshDen = 5,
-            dfStrategy = SetSimJoin.DfStrategy.Packed)
-          .select($"doc_i", $"doc_j", $"n_common", $"n_union"),
-        $"doc_i", $"doc_j")
-    },
-
-    "q_lsh_probe" -> { (s, dir) =>
-      import s.implicits._
-      // Persisted banded-MinHash corpus index + incremental append + probe
-      // ([[MinHashLsh.saveLshIndex]]/[[appendToLshIndex]]/[[lshProbe]]) —
-      // the production dedup-against-corpus pattern: corpus signatures are
-      // computed once (bucketed bands + sets tables), a later ingest batch
-      // appends its own signatures only, and the probe finds which corpus
-      // docs each incoming doc duplicates with ZERO corpus-side shuffle.
-      // Staged: corpus = doc_id%4 ∈ {0,1}, appended ingest = %4 == 2,
-      // probe batch = %4 == 3. The oracle brute-forces the cross pairs over
-      // the UNION (build ∪ append) — equality also pins that the appended
-      // index state matches a from-scratch build. Recall is exactly 1 at
-      // the fixture's similarity gap (same 32×8 argument as
-      // q_dedup_minhash). Build+append stage once per (sf, JVM)
-      // ([[Staging.memo]]): a second append would duplicate band rows, and
-      // bench reps must measure the PROBE, not the build.
-      val d = docs(s, dir)
-      val name = lshProbeIndex(s, dir)
-      orderedSmall(
-        MinHashLsh.lshProbe(s, d.filter($"doc_id" % 4 === 3), "doc_id", "text", name,
-            threshNum = 1, threshDen = 2)
-          .select($"new_id", $"corpus_id", $"n_common".cast("long").as("n_common"),
-            $"n_union".cast("long").as("n_union")),
-        $"new_id", $"corpus_id")
-    },
-
-    "q_stream_lsh_probe" -> { (s, dir) =>
-      import s.implicits._
-      // ONLINE dedup against the persisted corpus index — the streaming
-      // twin of q_lsh_probe (whose staged index tables it shares): each
-      // micro-batch of incoming documents signs itself row-locally and
-      // probes the static bucketed bands/sets tables through a STATELESS
-      // stream-static join — zero stream state, zero corpus-side shuffle,
-      // arbitrarily long uptime. Per-band collision duplicates collapse
-      // under the batch-side distinct at the sink
-      // ([[MinHashLsh.lshProbeEmissions]] — a stream-side distinct would
-      // hold every pair ever emitted as unbounded state). The probe
-      // quarter replays as two micro-batches; output must equal the batch
-      // probe — the same oracle gates both.
-      val staged = Staging.streamDocsDir(s, dir)
-      val ss = Staging.streamSession(s)
-      val name = lshProbeIndex(s, dir) // catalog is shared across sessions
-      val schema = Staging.replayDocsSchema(ss, staged)
-      val src = ss.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(staged)
-        .filter($"doc_id" % 4 === 3)
-      val sink = Staging.nextStreamSink(ss)
-      val q = MinHashLsh.lshProbeEmissions(ss, src, "doc_id", "text", name,
-          threshNum = 1, threshDen = 2)
-        .writeStream.format("memory").queryName(sink).outputMode("append").start()
-      try q.processAllAvailable() finally q.stop()
-      ss.table(sink).distinct()
-        .select($"new_id", $"corpus_id", $"n_common".cast("long").as("n_common"),
-          $"n_union".cast("long").as("n_union"))
-        .orderBy($"new_id", $"corpus_id")
-    },
-
-    "q_containment" -> { (s, dir) =>
-      import s.implicits._
-      // Asymmetric word-3-gram CONTAINMENT >= 9/10 — the sub-document
-      // duplication shape symmetric Jaccard misses (a quote / syndicated
-      // passage / boilerplate absorbed into a much larger page has
-      // containment ~1 but Jaccard ~|small|/|big|). Candidates come from
-      // the contained side's rare-first prefix probing the FULL inverted
-      // index ([[SetSimJoin.containmentJoin]], one-sided prefix filtering
-      // — never an all-pairs scan); word shingles are an unbounded
-      // vocabulary, so df uses the Window strategy (one index exchange).
-      // Shingling is the compiled [[TextOps.wordShingles]] — the same
-      // split-on-space 3-gram contract as the q_dedup_minhash oracle twin.
-      val g = docs(s, dir)
-        .select($"doc_id", TextOps.wordShingles($"text", 3).as("sh"))
-        .filter(size($"sh") > 0)
-      orderedSmall(
-        SetSimJoin.containmentJoin(g, "doc_id", "sh", Nil,
-          threshNum = 9, threshDen = 10),
-        $"doc_small", $"doc_big")
-    },
-
-    "q_edit_join" -> { (s, dir) =>
-      import s.implicits._
-      // Edit-distance similarity join ([[StringJoins.editDistanceJoin]]):
-      // all name pairs within Levenshtein distance 2, candidates from the
-      // positional q-gram COUNT filter (equi-join on hashed grams + length/
-      // position pruning) with the bucketed short-string path — never
-      // all-pairs. The fixture's names have no planted typos, so a
-      // one-character-appended copy is unioned in (ed = 1 to its original);
-      // the oracle brute-forces with the same length prefilter.
-      val p = t(s, dir, "part").filter($"p_partkey" <= 600)
-        .select($"p_partkey".as("id"), $"p_name".as("s"))
-      val planted = p.select(($"id" + 100000L).as("id"),
-        concat($"s", lit("x")).as("s"))
-      orderedSmall(
-        StringJoins.editDistanceJoin(p.unionByName(planted), "id", "s", maxDist = 2),
-        $"id_i", $"id_j")
-    },
-
-    "q_jaro_winkler" -> { (s, dir) =>
-      import s.implicits._
-      // Compiled Jaro–Winkler scores ([[TextOps.jaroWinkler]] /
-      // [[graft.functions.JaroWinkler]]): each name against its successor
-      // (background distribution) and against a prefix-typo'd copy (high
-      // similarity) — the record-linkage scalar, bit-matched to the
-      // oracle's jaro_winkler_similarity.
-      val p = t(s, dir, "part").filter($"p_partkey" <= 500)
-        .select($"p_partkey".as("id"), $"p_name".as("str"))
-      val nxt = p.select(($"id" - 1).as("id"), $"str".as("str_next"))
-      p.join(nxt, "id")
-        .select($"id", TextOps.jaroWinkler($"str", $"str_next").as("jw_next"),
-          TextOps.jaroWinkler($"str", concat(lit("x"), $"str")).as("jw_typo"))
-        .orderBy($"id")
-    },
-
-    // ---- sketches ---------------------------------------------------------
-    "q_kmv_distinct" -> { (s, dir) =>
-      import s.implicits._
-      // Distinct-document cardinality per language via the KMV bottom-k
-      // sketch ([[graft.operators.Sketches.kmvDistinct]]): O(k) state per
-      // group, map-side-merged partials — the scale shape for distinct
-      // counting — and, unlike approx_count_distinct's HLL, a DETERMINISTIC
-      // function of the value set, so the kth hash and the estimate itself
-      // hash-match the DuckDB oracle. The exact distinct count rides along
-      // for error inspection.
-      val d = docs(s, dir).filter($"text".isNotNull)
-        .select($"lang", TextOps.polyHash($"text").as("h"))
-      orderedSmall(
-        d.groupBy($"lang")
-          .agg(Sketches.kmvDistinct($"h", 64).as("s"),
-            countDistinct($"h").as("n_exact_hashes"))
-          .select($"lang", $"s.n_min".as("n_min"), $"s.kth_hash".as("kth_hash"),
-            $"s.estimate".as("est_distinct"), $"n_exact_hashes"),
-        $"lang")
-    },
-
-    "q_sample_quantiles" -> { (s, dir) =>
-      import s.implicits._
-      // Approximate per-language document-length quantiles from the
-      // DETERMINISTIC bottom-k-by-hash row sample
-      // ([[Sketches.sampleQuantiles]], [[graft.functions.HashSampleValues]])
-      // — the oracle-gateable counterpart of approx_percentile, whose
-      // engine-defined summary could never hash-match. The sample is a
-      // pure function of the (hash, value) set, so the positional
-      // nearest-rank reads agree bit-for-bit with DuckDB replaying the
-      // same bottom-64 selection. Exact count and median ride along for
-      // error inspection; at sf0.01 groups exceed k (real eviction), at
-      // sf0.001 they sit under it (exact path) — both paths gated.
-      // The hash key is the UNIQUE doc_id — the estimator's contract
-      // (HashSampleValues scaladoc): hashing the VALUE-bearing text would
-      // collapse duplicate texts to one competitor and silently sample
-      // distinct texts instead of rows.
-      val d = docs(s, dir).filter($"text".isNotNull)
-        .select($"lang", TextOps.polyHash($"doc_id".cast("string")).as("h"),
-          length($"text").cast("long").as("v"))
-      orderedSmall(
-        d.groupBy($"lang")
-          .agg(Sketches.sampleQuantiles($"h", $"v", 64, Seq(25, 50, 75, 90)).as("sq"),
-            count(lit(1)).as("n_rows"))
-          .select($"lang", $"sq.n_sample".as("n_sample"), $"sq.p25".as("p25"),
-            $"sq.p50".as("p50"), $"sq.p75".as("p75"), $"sq.p90".as("p90"),
-            $"n_rows"),
-        $"lang")
-    },
-
-    "q_cms_freq" -> { (s, dir) =>
-      import s.implicits._
-      // Count-Min frequency sketch (Cormode & Muthukrishnan '05),
-      // expressed RELATIONALLY — the Spark-first shape: the d×w counter
-      // matrix per language is just a hash aggregate over (lang, row,
-      // bucket) keys (bounded output: langs × 4 × 512 rows — the sketch
-      // IS a small table, no custom aggregate needed), and point
-      // frequency estimates are a broadcast probe join + min over the d
-      // rows. Completes the sketch quartet (KMV distinct, MG heavy
-      // hitters, sample quantiles, CMS frequency); deterministic by
-      // construction — counters are pure sums keyed by polyHash buckets,
-      // so the whole sketch hash-matches the DuckDB replay. Exact counts
-      // ride along; est ≥ exact always (one-sided CMS error, spec-pinned).
-      val W = 512L
-      val bases = Seq(31L, 131L, 137L, 139L)
-      val probes = Seq("the", "of", "and", "data", "model", "training",
-        "x", "language", "q", "zz")
-      val toks = docs(s, dir).filter($"text".isNotNull)
-        .select($"lang", explode(TextOps.tokens($"text")).as("tok"))
-        .filter(length($"tok") > 0)
-      def keys(c: Column) = array(bases.zipWithIndex.map { case (b, i) =>
-        struct(lit(i).as("i"), pmod(TextOps.polyHash(c, b), lit(W)).as("bkt"))
-      }: _*)
-      val counters = toks.select($"lang", explode(keys($"tok")).as("rb"))
-        .groupBy($"lang", $"rb.i".as("i"), $"rb.bkt".as("bkt"))
-        .agg(count(lit(1)).as("cnt"))
-      val probeKeys = probes.toDF("token")
-        .select($"token", explode(keys($"token")).as("rb"))
-        .select($"token", $"rb.i".as("i"), $"rb.bkt".as("bkt"))
-      val langs = toks.select($"lang").distinct()
-      val est = langs.crossJoin(broadcast(probeKeys))
-        .join(counters, Seq("lang", "i", "bkt"), "left")
-        .groupBy($"lang", $"token")
-        .agg(min(coalesce($"cnt", lit(0L))).as("est_count"))
-      val exact = toks.filter($"tok".isin(probes: _*))
-        .groupBy($"lang", $"tok").agg(count(lit(1)).as("cnt_exact"))
-        .withColumnRenamed("tok", "token")
-      orderedSmall(
-        est.join(exact, Seq("lang", "token"), "left")
-          .select($"lang", $"token", $"est_count",
-            coalesce($"cnt_exact", lit(0L)).as("exact_count")),
-        $"lang", $"token")
-    },
-
-    // ---- text analysis ----------------------------------------------------
-    "q_kmv_overlap" -> { (s, dir) =>
-      import s.implicits._
-      // Corpus-overlap estimation from COMPOSED KMV sketches
-      // ([[Sketches.kmvMinima]] + [[Sketches.kmvOverlap]], Beyer et al.):
-      // two document subsets with a planted ~50% overlap (doc_id %2 vs %3 —
-      // intersection %6) each reduce to a bottom-64 sketch; union and
-      // intersection cardinalities come from merging the SKETCHES, never
-      // the value sets — the cross-corpus contamination-screen shape at
-      // 100 TB. Exact counts ride along for error inspection.
-      val h = docs(s, dir).filter($"text".isNotNull)
-        .select($"doc_id", TextOps.polyHash($"text").as("h"))
-      val a = h.filter($"doc_id" % 2 === 0)
-        .agg(Sketches.kmvMinima($"h", 64).as("am"), countDistinct($"h").as("exact_a"))
-      val b = h.filter($"doc_id" % 3 === 0)
-        .agg(Sketches.kmvMinima($"h", 64).as("bm"), countDistinct($"h").as("exact_b"))
-      val eu = h.filter($"doc_id" % 2 === 0 || $"doc_id" % 3 === 0)
-        .agg(countDistinct($"h").as("exact_union"))
-      val ei = h.filter($"doc_id" % 6 === 0)
-        .agg(countDistinct($"h").as("exact_intersection"))
-      a.crossJoin(b).crossJoin(eu).crossJoin(ei)
-        .select(Sketches.kmvOverlap($"am", $"bm", 64).as("o"),
-          $"exact_a", $"exact_b", $"exact_union", $"exact_intersection")
-        .select($"o.n_union_min", $"o.union_kth", $"o.est_union",
-          $"o.n_both", $"o.est_intersection",
-          $"exact_a", $"exact_b", $"exact_union", $"exact_intersection")
-    },
-
-    "q_text_stats" -> { (s, dir) =>
-      import s.implicits._
-      val d = docs(s, dir).select($"lang", $"source",
-        TextStats.nTokens($"text").as("nt"),
-        TextStats.nStopwords($"text").as("ns"),
-        TextStats.nPunct($"text").as("np"))
-      d.groupBy($"lang")
-        .agg(count(lit(1)).as("n_docs"),
-          sum($"nt").as("total_tokens"),
-          sum($"ns").as("total_stopwords"),
-          sum($"np").as("total_punct"),
-          countDistinct($"source").as("n_sources"))
-        .select($"lang", $"n_docs", $"total_tokens", $"total_stopwords", $"total_punct",
-          $"n_sources",
-          ($"total_tokens".cast("double") / $"n_docs".cast("double")).as("avg_tokens"),
-          ($"total_stopwords".cast("double") / $"total_tokens".cast("double")).as("stop_ratio"))
-        .orderBy($"lang")
-    },
-
-    "q_quality_score" -> { (s, dir) =>
-      import s.implicits._
-      docs(s, dir).select($"doc_id",
-        TextStats.nTokens($"text").as("n_tokens"),
-        TextStats.nRegexTokens($"text").as("n_regex_tokens"),
-        TextStats.nTokensEst($"text").as("n_tokens_est"),
-        TextStats.nUniqueTokens($"text").as("n_uniq_tokens"),
-        TextStats.nStopwords($"text").as("n_stopwords"),
-        TextStats.qualityScore($"text").as("quality"))
-        .orderBy($"doc_id")
-    },
-
-    "q_lang_id" -> { (s, dir) =>
-      import s.implicits._
-      val scoreCols = TextStats.LangProfiles.map { case (lang, m) =>
-        TextStats.langScore($"text", m).as(s"s_$lang")
-      }
-      docs(s, dir)
-        .select(($"doc_id" +: scoreCols :+
-          TextStats.predictedLang($"text").as("pred_lang") :+
-          $"lang".as("labeled_lang")): _*)
-        .orderBy($"doc_id")
-    },
-
-    "q_doc_fingerprint" -> { (s, dir) =>
-      import s.implicits._
-      docs(s, dir).select($"doc_id",
-        TextOps.fingerprint($"text").as("fp"),
-        length($"text").cast("long").as("n_chars_actual"))
-        .orderBy($"doc_id")
-    },
-
-    "q_repetition_filter" -> { (s, dir) =>
-      import s.implicits._
-      // Gopher-style repetition quality rule: drop a document whose most
-      // frequent word bigram covers more than 1/5 of its bigram occurrences.
-      // Integer cross-compare only — no float threshold to diverge on.
-      CorpusOps.repetitionStats(docs(s, dir), "doc_id", "text",
-        n = 2, maxRepNum = 1, maxRepDen = 5)
-        .orderBy($"doc_id")
-    },
-
-    "q_top_terms" -> { (s, dir) =>
-      import s.implicits._
-      // TF-IDF-style representative terms, ranked entirely in integers
-      // (tf desc, df asc, token asc) — the argmax of tf·idf for any
-      // monotone idf, with zero float determinism risk.
-      CorpusOps.topTerms(docs(s, dir), "doc_id", "text", k = 3)
-        .orderBy($"doc_id", $"rnk")
-    },
-
-    "q_vocab_build" -> { (s, dir) =>
-      import s.implicits._
-      // Tokenizer-vocabulary construction: the top-V corpus tokens by
-      // frequency get dense contiguous ids 0..V−1 (count desc, token asc —
-      // a total integer order, no float anywhere). Scale posture: one
-      // combiner-reduced token count, then TakeOrderedAndProject for the
-      // top-V (per-partition top-V + a V-sized driver merge — the full
-      // vocabulary is never globally sorted); only the V survivors meet the
-      // single-partition ranking window (bounded by contract, V = 1000).
-      val V = 1000
-      val counts = docs(s, dir)
-        .select(explode(TextOps.tokens($"text")).as("token"))
-        .filter(length($"token") > 0)
-        .groupBy($"token").agg(count(lit(1)).as("n"))
-        .orderBy($"n".desc, $"token".asc)
-        .limit(V)
-      counts.withColumn("token_id",
-          (row_number().over(Window.orderBy($"n".desc, $"token".asc)) - 1).cast("long"))
-        .select($"token_id", $"token", $"n")
-        .orderBy($"token_id")
-    },
-
-    "q_bpe_merges" -> { (s, dir) =>
-      import s.implicits._
-      // BPE trainer ([[CorpusOps.learnBpeMerges]]): the first 6 merge
-      // rules learned over the corpus, completing the tokenizer chain
-      // (q_vocab_build → q_bpe_merges → q_tokenize_ids). The corpus is
-      // scanned once into a word-frequency table; every iteration runs over
-      // that vocabulary-bounded table. The oracle unrolls the same 6
-      // iterations as chained CTEs — pair counts, argmax, and a
-      // list_reduce greedy fold bit-identical to the Spark `aggregate`
-      // fold ([[PipelineQueries.bpeOracle]]).
-      CorpusOps.learnBpeMerges(docs(s, dir), "doc_id", "text", 6)
-        .orderBy($"rank")
-    },
-
-    "q_bpe_segment" -> { (s, dir) =>
-      import s.implicits._
-      // BPE encoder ([[CorpusOps.bpeSegment]]): the corpus vocabulary
-      // segmented by replaying the 6 learned merges, then the encoder's
-      // chained folds run over the vocabulary-bounded word table. The
-      // merges are STAGED once per (sf, JVM) ([[Staging.memo]]) — they
-      // are a pure 6-row function of the fixture, and re-learning them
-      // in-gate billed the trainer's 6 iterative jobs to every rep of
-      // this ENCODER gate (the r11 driver bench recorded it at 49 s
-      // median — 19% of the whole sweep; the trainer stays live-measured
-      // under its own q_bpe_merges gate). Exploded to scalar
-      // (word, wc, pos, piece) rows for the driver's comparator; the
-      // oracle replays the same chain and explodes its final vocab state.
-      val d = docs(s, dir)
-      val merges = Staging.memo("bpe_merges6", dir) {
-        CorpusOps.learnBpeMerges(d, "doc_id", "text", 6)
-          .orderBy($"rank").collect()
-          .map(r => (r.getString(1), r.getString(2))).toSeq
-      }
-      CorpusOps.bpeSegment(d, "doc_id", "text", merges)
-        .select($"word", $"wc", posexplode($"syms").as(Seq("pos", "piece")))
-        .select($"word", $"wc", $"pos".cast("int").as("pos"), $"piece")
-        .orderBy($"word", $"pos")
-    },
-
-    "q_bigram_lm" -> { (s, dir) =>
-      import s.implicits._
-      // Count-based bigram LM slice: the full conditional distribution
-      // P(w2 | w1) for three context words, as EXACT integer numerator /
-      // denominator pairs (the transcendental-free convention — a float
-      // probability could never be hash-gated; n_bigram/n_context is the
-      // training artifact anyway). Contexts filter BEFORE the aggregate, so
-      // only selected rows shuffle. The (w1, w2) hash aggregate is the
-      // scale path: combiner-reduced, high-cardinality keys.
-      val ctx = Seq("the", "a", "of")
-      val bg = docs(s, dir)
-        .select(explode(CorpusOps.wordNgramsAll($"text", 2)).as("bg"))
-        .select(split($"bg", " ").as("p"))
-        .select($"p"(0).as("w1"), $"p"(1).as("w2"))
-        .filter($"w1".isin(ctx: _*))
-      val counts = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("n_bigram"))
-      val totals = counts.groupBy($"w1").agg(sum($"n_bigram").as("n_context"))
-      counts.join(totals, "w1")
-        .select($"w1", $"w2", $"n_bigram", $"n_context")
-        .orderBy($"w1", $"w2")
-    },
-
-    "q_tokenize_ids" -> { (s, dir) =>
-      import s.implicits._
-      // Corpus tokenization against the learned vocabulary
-      // ([[CorpusOps.tokenizeToIds]]) — the step between q_vocab_build and
-      // sequence packing: every document becomes an id sequence, in exact
-      // document order (order carried as (pos, id) data through the
-      // aggregate, never assumed from partitioning). V = 16 so the OOV
-      // branch BITES at this fixture (rare tokens map to −1), not just the
-      // happy path. The gate re-explodes the assembled ids ARRAY to scalar
-      // (pos, token_id) rows — the assembly is fully exercised (a wrong
-      // order or element surfaces as a position mismatch) while the
-      // driver's value comparator only ever sees scalars, the convention
-      // of every other gate.
-      val d = docs(s, dir)
-      val vocab = d.select(explode(TextOps.tokens($"text")).as("token"))
-        .filter(length($"token") > 0)
-        .groupBy($"token").agg(count(lit(1)).as("n"))
-        .orderBy($"n".desc, $"token".asc).limit(16)
-        .withColumn("token_id",
-          (row_number().over(Window.orderBy($"n".desc, $"token".asc)) - 1).cast("long"))
-      CorpusOps.tokenizeToIds(d, "doc_id", "text", vocab)
-        .select($"doc_id", $"n_tokens", posexplode($"ids").as(Seq("pos", "token_id")))
-        .orderBy($"doc_id", $"pos")
-    },
-
-    "q_length_batches" -> { (s, dir) =>
-      import s.implicits._
-      // Length-bucketed batching ([[CorpusOps.lengthBatches]]): docs
-      // bucketed by token count (width 16), dealt into 4 streams per
-      // bucket (the hot-bucket scale-out knob), each (bucket, stream) cut
-      // into batches of 8 in (n_tokens, doc_id) order — the
-      // padding-efficiency layout for non-packed training. Pure function
-      // of the corpus, so the whole assignment is hash-gateable.
-      CorpusOps.lengthBatches(docs(s, dir), "doc_id", "text",
-        bucketWidth = 16, batchSize = 8, nStreams = 4)
-        .orderBy($"doc_id")
-    },
-
-    "q_equidepth_bins" -> { (s, dir) =>
-      import s.implicits._
-      // Equi-depth binning ([[RankOps.equidepthBins]] over
-      // [[RankOps.globalRank]]): 8 bins of lineitem prices, each holding
-      // n/8 ± 1 rows by construction. The rank is the zipWithIndex
-      // two-phase shape — never a single-partition window — and the bin is
-      // pure integer arithmetic ⌊(rank−1)·k/n⌋ over the total order
-      // (price, orderkey, linenumber), so the assignment is
-      // engine-independent. Gated per bin: count, exact double min/max
-      // (values pass through unchanged — no float arithmetic), and the
-      // orderkey sum pinning WHICH rows landed in the bin (two equal
-      // prices straddling a boundary differ in key_sum if swapped).
-      val l = t(s, dir, "lineitem")
-        .select($"l_orderkey", $"l_linenumber", $"l_extendedprice")
-      RankOps.equidepthBins(l, $"l_extendedprice",
-          Seq($"l_orderkey", $"l_linenumber"), k = 8, binCol = "bin")
-        .groupBy($"bin")
-        .agg(count(lit(1)).as("cnt"),
-          min($"l_extendedprice").as("min_price"),
-          max($"l_extendedprice").as("max_price"),
-          sum($"l_orderkey").as("key_sum"))
-        .orderBy($"bin")
-    },
-
-    "q_sorted_neighbors" -> { (s, dir) =>
-      import s.implicits._
-      // Sorted-neighborhood blocking ([[RankOps.sortedNeighborhoodPairs]],
-      // Hernández & Stolfo SIGMOD'95): documents globally ordered by
-      // (char length, doc_id); every pair within 4 rank positions becomes
-      // a dedup candidate, emitted exactly once by the adjacent-bucket
-      // join — never an all-pairs product, never a one-task sort. The
-      // oracle reproduces the rank with a window and the pairing with a
-      // rank-distance self-join.
-      val d = t(s, dir, "documents")
-        .select($"doc_id", length($"text").as("tl"))
-      orderedSmall(
-        RankOps.sortedNeighborhoodPairs(d, Seq($"tl", $"doc_id"), window = 4)
-          .select($"doc_id_i", $"doc_id_j", $"rank_dist"),
-        $"doc_id_i", $"doc_id_j")
-    },
-
-    "q_curation_funnel" -> { (s, dir) =>
-      import s.implicits._
-      // The END-TO-END curation pipeline as one query — what a user of this
-      // engine actually runs before training: exact dedup (keep min-id per
-      // text), token-length band, Gopher repetition rule, quality-score
-      // floor, language-consistency check — applied CUMULATIVELY, reported
-      // as a survivor funnel (stage_id, stage, n_docs). One pass: every
-      // stage is a per-doc flag (the repetition flag joins in from its own
-      // two aggregates), the funnel one aggregate of flag products, the
-      // 6-row unpivot a driver-side stack. Thresholds are set where the
-      // fixture's distributions actually SPLIT (every stage drops rows —
-      // a funnel of no-op stages gates nothing): duplicates synthesized by
-      // the id-shifted union (the q_dedup_exact fixture trick), token band
-      // 24..80, top-bigram share ≤ 1/16, quality ≥ 0.68 (the median).
-      val base = t(s, dir, "documents").select($"doc_id", $"text", $"lang")
-      val d = base.unionByName(base.withColumn("doc_id", $"doc_id" + 1000000L))
-      val w = Window.partitionBy($"text").orderBy($"doc_id")
-      val rep = CorpusOps.repetitionStats(d, "doc_id", "text", n = 2,
-        maxRepNum = 1, maxRepDen = 16).select($"doc_id", $"keep".as("rep_keep"))
-      d.withColumn("is_canon", (row_number().over(w) === 1).cast("long"))
-        .withColumn("len_ok",
-          TextStats.nTokens($"text").between(24, 80).cast("long"))
-        .join(rep, Seq("doc_id"), "left")
-        .withColumn("rep_ok", coalesce($"rep_keep", lit(0L)))
-        .withColumn("qual_ok", (TextStats.qualityScore($"text") >= 0.68).cast("long"))
-        .withColumn("lang_ok", (TextStats.predictedLang($"text") === $"lang").cast("long"))
-        .agg(
-          count(lit(1)).as("n_raw"),
-          sum($"is_canon").as("n_dedup"),
-          sum($"is_canon" * $"len_ok").as("n_len"),
-          sum($"is_canon" * $"len_ok" * $"rep_ok").as("n_rep"),
-          sum($"is_canon" * $"len_ok" * $"rep_ok" * $"qual_ok").as("n_qual"),
-          sum($"is_canon" * $"len_ok" * $"rep_ok" * $"qual_ok" * $"lang_ok")
-            .as("n_lang"))
-        .selectExpr("""stack(6,
-          1, 'raw',        n_raw,
-          2, 'dedup',      n_dedup,
-          3, 'length',     n_len,
-          4, 'repetition', n_rep,
-          5, 'quality',    n_qual,
-          6, 'language',   n_lang) AS (stage_id, stage, n_docs)""")
-        .select($"stage_id".cast("int").as("stage_id"), $"stage", $"n_docs")
-        .orderBy($"stage_id")
-    },
-
-    "q_doc_surprisal" -> { (s, dir) =>
-      import s.implicits._
-      // Perplexity-style quality scoring at integer resolution
-      // ([[CorpusOps.surprisal]]): per-token −log₂ p via bit lengths, so
-      // the "LM score" is exact integers + one final division — the only
-      // formulation of this filter both engines can agree on bit-for-bit.
-      CorpusOps.surprisal(docs(s, dir), "doc_id", "text")
-        .orderBy($"doc_id")
-    },
-
-    "q_heavy_hitters" -> { (s, dir) =>
-      import s.implicits._
-      // Exact heavy hitters over word BIGRAMS (vocab 916 ≫ capacity 800 at
-      // this SF, so the Misra–Gries pass genuinely evicts) via the two-pass
-      // pipeline ([[CorpusOps.heavyHitters]]): bounded-state MG candidates,
-      // then an exact candidate-only count — output identical to a full
-      // GROUP BY + HAVING (which is exactly what the oracle runs) without
-      // ever shuffling the vocabulary.
-      val grams = docs(s, dir)
-        .select(explode(CorpusOps.wordNgramsAll($"text", 2)).as("gram"))
-      CorpusOps.heavyHitters(grams, "gram", threshNum = 1, threshDen = 800)
-        .orderBy($"item")
-    },
-
-    "q_seq_pack" -> { (s, dir) =>
-      import s.implicits._
-      // Pretraining sequence packing ([[CorpusOps.packSequences]]): the
-      // concat-and-split layout over 8 parallel streams with 128-token
-      // sequences — which training sequence(s) each document lands in,
-      // with zero padding waste. The offset window shuffles once on the
-      // stream key; nStreams is the scale-out knob.
-      //
-      // Round-9 post-mortem bisect: this gate emits only the per-document
-      // inputs (stream, token count); the window-derived offsets/sequence
-      // indices gate separately as q_seq_pack_offsets, so a future red row
-      // pins the divergence to tokenization vs window arithmetic. Empty
-      // text is filtered on BOTH sides — `split('', ' ')` / `string_split`
-      // semantics for the empty string are a known cross-version hazard.
-      CorpusOps.packSequences(docs(s, dir).filter($"text" =!= ""), "doc_id", "text",
-        seqLen = 128, nStreams = 8)
-        .select($"doc_id", $"stream", $"n_tokens")
-        .orderBy($"doc_id")
-    },
-
-    "q_seq_pack_offsets" -> { (s, dir) =>
-      import s.implicits._
-      // The window half of the packing gate (see q_seq_pack): per-stream
-      // exclusive running offsets and the derived sequence spans.
-      CorpusOps.packSequences(docs(s, dir).filter($"text" =!= ""), "doc_id", "text",
-        seqLen = 128, nStreams = 8)
-        .select($"doc_id", $"start_off", $"first_seq", $"last_seq",
-          $"n_seqs_spanned")
-        .orderBy($"doc_id")
-    },
-
-    "q_chunk_docs" -> { (s, dir) =>
-      import s.implicits._
-      // Context-window chunking ([[CorpusOps.chunkByTokens]]): 64-token
-      // windows advancing by 48 (16-token overlap) — the RAG/pretraining
-      // prep step that turns documents into model-sized pieces. Zero
-      // shuffles: a per-row generate whose token array is bound once ahead
-      // of the explode; chunk counts and tail lengths are integer `div`
-      // arithmetic shared verbatim with the oracle.
-      CorpusOps.chunkByTokens(docs(s, dir), "doc_id", "text",
-        chunkSize = 64, overlap = 16)
-        .orderBy($"doc_id", $"chunk_id")
-    },
-
-    "q_bm25_topk" -> { (s, dir) =>
-      import s.implicits._
-      // Lexical retrieval ([[CorpusOps.bm25]]): top-20 docs for a 3-term
-      // keyword query — the sparse complement to q_cosine_topk's dense
-      // ranking (fuse via rrfFuse). The ln-free rational idf keeps the
-      // emitted score bit-identical to the DuckDB twin (see the scaladoc);
-      // the SCORE itself is gated, not just the ordering.
-      CorpusOps.bm25(docs(s, dir), "doc_id", "text",
-        queryTerms = Seq("join", "spark", "vector"), k = 20)
-        .orderBy($"rnk")
-    },
-
-    "q_bm25_indexed" -> { (s, dir) =>
-      import s.implicits._
-      // The same retrieval THROUGH the persisted index
-      // ([[CorpusOps.saveTextIndex]] + [[bm25Indexed]]): postings bucketed+
-      // sorted by token, built once per (sf, JVM), queried without
-      // re-tokenizing the corpus — build-once/probe-many, the text twin of
-      // the persisted IVF index. Shares q_bm25_topk's oracle verbatim:
-      // identical output is the round-trip contract.
-      val idx = s"bm25_idx_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
-      Staging.dir("bm25idx", dir, "documents") { _ =>
-        CorpusOps.saveTextIndex(docs(s, dir), "doc_id", "text", idx, buckets = 8)
-      }
-      CorpusOps.bm25Indexed(s, idx, Seq("join", "spark", "vector"), k = 20)
-        .orderBy($"rnk")
-    },
-
-    "q_stratified_sample" -> { (s, dir) =>
-      import s.implicits._
-      // Dataset-mixing sampler: per-language keep rates, decided by a
-      // content hash (base 131 — independent of q_split_hash's base-31
-      // train/val/test decision). fr/zh have no configured rate ⇒ dropped.
-      CorpusOps.stratifiedHashSample(docs(s, dir), $"lang", $"text",
-        Seq(("en", 1, 2), ("de", 1, 4), ("es", 1, 10)), hashBase = 131L)
-        .select($"doc_id", $"lang")
-        .orderBy($"doc_id")
-    },
-
-    "q_weighted_sample" -> { (s, dir) =>
-      import s.implicits._
-      // Importance-weighted corpus draw ([[CorpusOps.weightedSample]], A-ES):
-      // 40 docs weighted by length — longer documents proportionally more
-      // likely, sample exact and reproducible (hash-uniform, base 151 so the
-      // draw is independent of the base-31 split and base-131 strata
-      // decisions). The float priority never reaches the output; the rank's
-      // ORDERING is gated instead, with doc_id as the total tiebreak.
-      CorpusOps.weightedSample(docs(s, dir), $"text", $"n_chars", $"doc_id", k = 40)
-        .select($"sample_rank", $"doc_id", $"lang", $"n_chars")
-        .orderBy($"sample_rank")
-    },
-
-    "q_temperature_mix" -> { (s, dir) =>
-      import s.implicits._
-      // α=1/2 temperature mixing over the (skewed) language distribution
-      // ([[CorpusOps.temperatureSample]]): each lang kept at rate c/√n_lang,
-      // so expected counts flatten from n_lang to 4·√n_lang — en dominates
-      // the corpus but not the mix. The threshold test is integer-exact
-      // (u²·n < c²m², DECIMAL(38,0) product), so the keep set is
-      // bit-identical in DuckDB; base 173 keeps the draw independent of the
-      // split/strata/weighted decisions.
-      CorpusOps.temperatureSample(docs(s, dir), $"lang", $"text", c = 4)
-        .select($"doc_id", $"lang")
-        .orderBy($"doc_id")
-    },
-
-    "q_token_budget_mix" -> { (s, dir) =>
-      import s.implicits._
-      // Token-budget source mixing ([[CorpusOps.tokenBudgetMix]]): each
-      // source down-sampled to its own token budget by taking docs in
-      // deterministic content-hash order until the budget is spent — the
-      // "B_s tokens from source s" stage of a training mix. Budgets are
-      // DIFFERENTIATED by the numeric source suffix (300 + 100·(suffix%4))
-      // so the budget relation is exercised, not a constant; base 193
-      // keeps the draw independent of the split/strata/weighted/temperature
-      // decisions. The two-phase bucket-census plan (no whole-source
-      // single-task cumsum) is output-identical to the oracle's naive
-      // window — the equivalence CorpusOpsSpec pins directly.
-      val srcs = docs(s, dir).select($"source").distinct()
-        .as[String].collect().toSeq.sorted // config-sized: |sources| rows
-      val budgets = srcs.map(src =>
-        src -> (300L + 100L * (src.stripPrefix("src").toLong % 4)))
-      CorpusOps.tokenBudgetMix(docs(s, dir), "doc_id", "source", "text", budgets)
-        .orderBy($"doc_id")
-    },
-
-    "q_partition_prune" -> { (s, dir) =>
-      import s.implicits._
-      // Hive-partitioned event-log layout ([[ScaleJoins.writePartitioned]]):
-      // events staged partitioned by event_type, then read with a predicate
-      // on the partition column — pruned at PLANNING time (PartitionFilters,
-      // plan-guarded), so the other event types' files are never opened. At
-      // 100 TB this layout turns "one event type out of a year of logs"
-      // from a full scan into a directory listing. ts/props are dropped at
-      // the write: the layout story is the partition column, and NANOS
-      // timestamps don't survive a parquet re-write under nanosAsLong.
-      val p = Staging.dir("evpart", dir, "events")(path =>
-        ScaleJoins.writePartitioned(
-          events(s, dir).select($"event_id", $"user_id", $"event_type", $"value"),
-          path, Seq("event_type")))
-      ScaleJoins.readPartitioned(s, p)
-        .filter($"event_type" === "purchase")
-        .groupBy($"user_id")
-        .agg(count(lit(1)).as("n_purchases"), dsum($"value").as("total_value"))
-        .orderBy($"user_id")
-    },
-
-    "q_corpus_diff" -> { (s, dir) =>
-      import s.implicits._
-      // Dataset-versioning diff ([[MergeOps.snapshotDiff]]): two synthetic
-      // corpus snapshots — v2 drops every doc_id % 5 = 0, gains every
-      // doc_id % 7 = 0 that v1 lacked, and rewrites text for doc_id % 11 = 0
-      // — classified added/removed/changed/unchanged per key with null-safe
-      // column comparison. One full-outer key join; the modifications are
-      // deterministic string ops, so both engines build identical snapshots.
-      val d = docs(s, dir).select($"doc_id", $"text")
-      val v1 = d.filter(pmod($"doc_id", lit(7L)) =!= 0)
-      val v2 = d.filter(pmod($"doc_id", lit(5L)) =!= 0)
-        .withColumn("text",
-          when(pmod($"doc_id", lit(11L)) === 0, concat($"text", lit(" v2")))
-            .otherwise($"text"))
-      MergeOps.snapshotDiff(v1, v2, Seq("doc_id"))
-        .orderBy($"doc_id")
-    },
-
-    "q_token_shift" -> { (s, dir) =>
-      import s.implicits._
-      // Top-25 TOKEN MOVERS between corpus versions
-      // ([[CorpusOps.tokenShift]]): q_corpus_diff's v1/v2 construction,
-      // ranked by the exact cross-multiplied probability-shift numerator
-      // — the "WHAT moved" diagnosis next to q_token_drift's "did it
-      // move" number. Vocabulary-keyed full-outer join, TakeOrdered cut,
-      // digit-string pin.
-      val d = docs(s, dir).select($"doc_id", $"text")
-      val v1 = d.filter(pmod($"doc_id", lit(7L)) =!= 0)
-      val v2 = d.filter(pmod($"doc_id", lit(5L)) =!= 0)
-        .withColumn("text",
-          when(pmod($"doc_id", lit(11L)) === 0, concat($"text", lit(" v2")))
-            .otherwise($"text"))
-      CorpusOps.tokenShift(v1, v2, "text", k = 25)
-        .orderBy($"rnk")
-    },
-
-    "q_quality_rules" -> { (s, dir) =>
-      import s.implicits._
-      // Heuristic QUALITY-RULE report ([[CorpusOps.qualityRules]]): the
-      // Gopher/C4 composite screen (duplicate-line fraction, top-2-gram
-      // character coverage, symbol/bullet/ellipsis rates, word-length
-      // band) + ONE integer-exact keep flag — the curation stage that
-      // runs BEFORE dedup. The fixture's single-line texts are reflowed
-      // (literal " line " → \n) so the line rules bite; every flag input
-      // is an integer cross-product, every ratio a single IEEE division.
-      // Single scan, join-free, shuffle-free (plan-guarded): the top-2-
-      // gram mode is an in-row sort+fold, never an explode.
-      val d = docs(s, dir).select($"doc_id",
-        regexp_replace($"text", " line ", "\n").as("text"))
-      CorpusOps.qualityRules(d, "doc_id", "text", minWords = 30)
-        .orderBy($"doc_id")
-    },
-
-    "q_stream_quality" -> { (s, dir) =>
-      import s.implicits._
-      // ONLINE quality filtering ([[CorpusOps.qualityRules]] unchanged on
-      // a streaming frame): the operator is pure per-row expressions —
-      // zero state, zero shuffle — so the ingest-time quality gate is the
-      // batch operator applied to micro-batches. Emissions equal the
-      // batch gate row-for-row; the SAME oracle gates both.
-      val staged = Staging.streamDocsDir(s, dir)
-      val ss = Staging.streamSession(s)
-      val schema = Staging.replayDocsSchema(ss, staged)
-      val src = ss.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(staged)
-        .filter($"doc_id" >= 0) // drop the replay's watermark sentinels
-        .select($"doc_id", regexp_replace($"text", " line ", "\n").as("text"))
-      val sink = Staging.nextStreamSink(ss)
-      val q = CorpusOps.qualityRules(src, "doc_id", "text", minWords = 30)
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
-      try q.processAllAvailable() finally q.stop()
-      ss.table(sink).orderBy($"doc_id")
-    },
-
-    "q_lang_ngram" -> { (s, dir) =>
-      import s.implicits._
-      // LANGUAGE ID ([[LangId]]): Cavnar–Trenkle character-trigram rank
-      // profiles trained on the labeled three-quarters, the probe quarter
-      // classified by the integer out-of-place distance (missing gram =
-      // topK penalty, ties to the smaller language) — the multilingual-mix
-      // gate in front of q_temperature_mix. Profiles broadcast; every
-      // shuffle is doc-keyed.
-      val d = docs(s, dir)
-      val train = d.filter(pmod($"doc_id", lit(4L)) =!= 3)
-      val probe = d.filter(pmod($"doc_id", lit(4L)) === 3)
-      val prof = graft.operators.LangId.profiles(
-        train, "text", "lang", gramLen = 3, topK = 64)
-      graft.operators.LangId.classify(
-          probe, "doc_id", "text", prof, gramLen = 3, topK = 64)
-        .join(probe.select($"doc_id", $"lang".as("lang_true")), Seq("doc_id"))
-        .select($"doc_id", $"lang_true", $"lang_pred", $"dist",
-          ($"lang_true" === $"lang_pred").as("correct"))
-        .orderBy($"doc_id")
-    },
-
-    "q_zorder_scan" -> { (s, dir) =>
-      import s.implicits._
-      // Z-ORDER data layout ([[ScaleJoins.writeZOrdered]]): lineitem staged
-      // Morton-interleaved on (l_partkey, l_suppkey), then scanned with a
-      // box predicate on BOTH keys. The layout gives every staged file
-      // tight footer min/max on both columns at once, so the pushed range
-      // filters skip the files outside the box — single-column sorting can
-      // only do this for its own column (footers proven in ZOrderSpec; the
-      // z bit-interleave arithmetic is what this gate pins cross-engine).
-      val p = Staging.dir("zorder", dir, "lineitem") { path =>
-        val li = t(s, dir, "lineitem")
-          .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey")
-        // bits sized to the fixture's key domain (one max-scan at staging;
-        // a hardcoded 15 failed the sf1 sweep's shifted keys). Wider
-        // interleave leaves the z of every in-range key UNCHANGED (leading
-        // zeros contribute nothing), so the oracle's range(0, 15) formula
-        // still matches all output rows — the box caps them below 2^15.
-        val mx = li.agg(greatest(max($"l_partkey"), max($"l_suppkey")))
-          .head().getLong(0)
-        val bits = math.max(15, 64 - java.lang.Long.numberOfLeadingZeros(mx))
-        ScaleJoins.writeZOrdered(li, path, "l_partkey", "l_suppkey", bits = bits)
-      }
-      // Box bounds sit inside every SF's key domain (suppkey scales with
-      // SF; [2,19]×[100,1499] is non-empty from sf0.001 up).
-      s.read.parquet(p)
-        .filter($"l_partkey".between(100, 1499) && $"l_suppkey".between(2, 19))
-        .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey", $"z")
-        // the synthetic fixture's (orderkey, linenumber) is NOT unique, so
-        // the total order includes every column (ties = identical rows)
-        .orderBy($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey")
-    },
-
-    "q_value_outliers" -> { (s, dir) =>
-      import s.implicits._
-      // Per-event-type z-score screen ([[StatOps.zscoreOutliers]]): the 3
-      // most anomalous events of each type. Moments are exact decimal sums
-      // (order-free), so the emitted z itself is hash-gateable — a plain
-      // double avg/stddev could not be.
-      StatOps.zscoreOutliers(events(s, dir), "event_type", "value", "event_id", k = 3)
-        .orderBy($"event_type", $"rnk")
-    },
-
-    "q_robust_outliers" -> { (s, dir) =>
-      import s.implicits._
-      // Median/MAD robust screen ([[StatOps.robustOutliers]]) — the
-      // complement to the z-score pass for columns whose extremes corrupt
-      // the moments themselves. Every gated column is a BIGINT in integer
-      // ten-thousandths, quantized by the IEEE chain ⌊v·10⁴+0.5⌋ on BOTH
-      // engines — the DECIMAL-output form was hash-red at the driver for
-      // two rounds while passing on local DuckDB (double→decimal tie
-      // rounding is version-sensitive).
-      StatOps.robustOutliers(events(s, dir), "event_type", "value")
-        .orderBy($"grp")
-    },
-
-    "q_correlation" -> { (s, dir) =>
-      import s.implicits._
-      // Per-group Pearson correlation + sample covariance
-      // ([[StatOps.correlation]]): exact decimal moments close into one
-      // fixed double expression, so the statistic itself is hash-gateable —
-      // the built-in corr/covar_samp accumulate order-dependent doubles and
-      // could never be. One six-number hash aggregate per group.
-      StatOps.correlation(t(s, dir, "lineitem"), Seq("l_returnflag"),
-          "l_quantity", "l_extendedprice")
-        .orderBy($"l_returnflag")
-    },
-
-    "q_minmax_scale" -> { (s, dir) =>
-      import s.implicits._
-      // Per-type min-max normalization ([[StatOps.minMaxScale]]): the
-      // feature-scaling stage before score fusion / model input. Every
-      // scaled double is a fixed IEEE chain over exact min/max bounds,
-      // so the normalized COLUMN hash-gates row by row; the value stream
-      // never shuffles (bounds broadcast back).
-      StatOps.minMaxScale(
-        events(s, dir).select($"event_id", $"event_type", $"value"),
-        "event_type", "value")
-        .select($"event_id", $"event_type", $"scaled")
-        .orderBy($"event_id")
-    },
-
-    "q_mode" -> { (s, dir) =>
-      import s.implicits._
-      // Per-flag exact mode of the quantity ([[StatOps.mode]]): the
-      // location stat SQL's own mode() cannot hash-gate (engine-defined
-      // tie choice) — here ties break to the SMALLEST value via a
-      // struct-argmax over level rows, no window, no sort.
-      StatOps.mode(t(s, dir, "lineitem"), "l_returnflag", "l_quantity")
-        .orderBy($"l_returnflag")
-    },
-
-    "q_corr_matrix" -> { (s, dir) =>
-      import s.implicits._
-      // Pairwise Pearson matrix over four lineitem measures
-      // ([[StatOps.correlationMatrix]]): all six off-diagonal r's from
-      // ONE combiner-reduced moment pass (n + 4 sums + 4 square-sums +
-      // 6 cross-sums in a single aggregate row), each closing with
-      // q_correlation's exact decimal/digit-string chain.
-      StatOps.correlationMatrix(t(s, dir, "lineitem"),
-        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
-        .orderBy($"col_x", $"col_y")
-    },
-
-    "q_kendall_tau" -> { (s, dir) =>
-      import s.implicits._
-      // Per-lang EXACT Kendall tau-b ([[StatOps.kendallTau]]) of document
-      // length vs whitespace token count — the monotone-not-linear rank
-      // check Pearson r can't make. Value-range-grid decomposition:
-      // cross-bucket pairs decided by a ≤B² histogram, same-bucket pairs
-      // by per-slice Fenwick sweeps — never an all-pairs join, never one
-      // task per group. All five pair classes are exact longs; the O(n²)
-      // pairwise oracle checks every one; tau_b is one fixed
-      // cast/multiply/sqrt/divide chain of exact operands. buckets = 8 so
-      // the fixture's ~100-row groups exercise all three pair classes.
-      StatOps.kendallTau(
-        docs(s, dir).select($"lang", $"n_chars".as("x"),
-          TextStats.nTokens($"text").as("y")),
-        "lang", "x", "y", buckets = 8)
-        .orderBy($"lang")
-    },
-
-    "q_itemsets" -> { (s, dir) =>
-      import s.implicits._
-      // Frequent token itemsets up to size 3
-      // ([[CorpusOps.frequentItemsets]], Apriori VLDB'94): per-document
-      // distinct-token sets, level-wise candidate generation with the
-      // full monotonicity prune (pairs only over F1 survivors; triples
-      // only from frequent pairs sharing their middle item with the
-      // third face checked before counting). Lossless by monotonicity,
-      // so the oracle's unpruned self-join definition must match
-      // exactly. Support = 60% of the corpus — exactly the oracle's
-      // literal 300 at both gate SFs (500 docs each) and the realistic
-      // RELATIVE threshold at bench scale; the count action doubles as
-      // the tokenized-set memo's materializer (no separate scan).
-      CorpusOps.frequentItemsetsRel(docs(s, dir), "doc_id", "text", 3, 5)
-        .orderBy($"k", $"item1", $"item2", $"item3")
-    },
-
-    "q_hist2d" -> { (s, dir) =>
-      import s.implicits._
-      // 2-D density grid per lang ([[StatOps.hist2d]]): the heatmap
-      // behind the length-vs-token-count profile, on q_kendall_tau's
-      // frame. Equal-width bucket assignment is a fixed IEEE chain over
-      // exact min/max aggregates, so the CELLS themselves hash-gate —
-      // output is ≤ 64 aggregate cells per group, never data rows.
-      StatOps.hist2d(
-        docs(s, dir).select($"lang", $"n_chars".as("x"),
-          TextStats.nTokens($"text").as("y")),
-        "lang", "x", "y", bucketsX = 8, bucketsY = 8)
-        .orderBy($"lang", $"bx", $"by")
-    },
-
-    "q_spearman" -> { (s, dir) =>
-      import s.implicits._
-      // Per-lang EXACT Spearman's rho ([[StatOps.spearman]]) on the
-      // q_kendall_tau frame — rank displacement next to tau's pair
-      // inversions. Doubled midranks from value-LEVEL aggregates (the
-      // rocAuc construction), integer centering u = midrank2 − (n+1)
-      // (Σ midrank2 = n(n+1) exactly, ties included), (18,0)×(19,0)
-      // decimal sums pinned alongside the one-chain rho.
-      StatOps.spearman(
-        docs(s, dir).select($"lang", $"n_chars".as("x"),
-          TextStats.nTokens($"text").as("y")),
-        "lang", "x", "y")
-        .orderBy($"lang")
-    },
-
-    "q_token_drift" -> { (s, dir) =>
-      import s.implicits._
-      // Per-source unigram-distribution drift vs the rest of the corpus
-      // ([[CorpusOps.tokenDrift]]): exact total-variation distance — the
-      // numerator an exact DECIMAL(38,0) of cross-multiplied counts
-      // (|cᵢ·m − dᵢ·n|, absent-token mass in closed form, no log anywhere
-      // so the statistic hash-gates where KL/JS could not). One explode,
-      // two hash aggregates, one vocabulary-sized equi-join.
-      CorpusOps.tokenDrift(docs(s, dir), "text", "source")
-        .orderBy($"source")
-    },
-
-    "q_source_overlap" -> { (s, dir) =>
-      import s.implicits._
-      // Inter-source vocabulary Jaccard matrix
-      // ([[CorpusOps.sourceOverlap]]): which feeds duplicate each
-      // other's content domain — intersections from the token-keyed
-      // self-join (a token in k sources contributes C(k,2) pair rows,
-      // never an all-pairs source scan), unions closed from per-source
-      // set sizes. Gate #200.
-      CorpusOps.sourceOverlap(docs(s, dir), "text", "source")
-        .orderBy($"src_i", $"src_j")
-    },
-
-    "q_simpson" -> { (s, dir) =>
-      import s.implicits._
-      // Per-source language balance ([[CorpusOps.classBalance]]):
-      // Simpson's index + effective number of classes — the multilingual
-      // mix check, log-free so it hash-gates where Shannon diversity
-      // could not. Exact integer Σc² as decimals, two IEEE divisions.
-      CorpusOps.classBalance(docs(s, dir), "source", "lang")
-        .orderBy($"source")
-    },
-
-    "q_gini" -> { (s, dir) =>
-      import s.implicits._
-      // Per-source Gini of token-frequency concentration
-      // ([[CorpusOps.vocabGini]]): the boilerplate/template early-warning
-      // next to q_token_drift's distribution shift. Exact by the rank
-      // identity Σᵢⱼ|cᵢ−cⱼ| = 2Σ(2i−m−1)c — tie order provably
-      // result-free — with the weighted sum as (19,0)×(18,0) decimals and
-      // the rank window over VOCABULARY-level aggregate rows only.
-      CorpusOps.vocabGini(docs(s, dir), "text", "source")
-        .orderBy($"source")
-    },
-
-    "q_vocab_richness" -> { (s, dir) =>
-      import s.implicits._
-      // Per-source lexical diversity ([[CorpusOps.vocabRichness]]):
-      // type-token ratio + hapax/dis-legomena fractions — the
-      // template-vs-organic screen next to q_gini's concentration, and
-      // log-free where a Zipf-slope fit could not hash-gate. Two
-      // combiner-reduced aggregates over vocabulary-level rows.
-      CorpusOps.vocabRichness(docs(s, dir), "text", "source")
-        .orderBy($"source")
-    },
-
-    "q_ks_drift" -> { (s, dir) =>
-      import s.implicits._
-      // Per-lang two-sample Kolmogorov–Smirnov drift of document LENGTH
-      // against the rest of the corpus ([[StatOps.ksDrift]]): the
-      // distribution-SHAPE monitor beside q_token_drift's token-mix TVD.
-      // Exact integer cumulative-count cross-products over the
-      // groups×levels grid (level rows, never data rows); D's numerator
-      // pinned as a digit string.
-      StatOps.ksDrift(
-        docs(s, dir).select($"lang", $"n_chars"), "lang", "n_chars")
-        .orderBy($"lang")
-    },
-
-    "q_t_closeness" -> { (s, dir) =>
-      import s.implicits._
-      // t-closeness release gate ([[GovernanceOps.tCloseness]], threshold
-      // 1/4) under q_k_anonymity's quasi-identifier frame: per
-      // (event_type, day) group, the exact TVD between the group's
-      // user-bucket distribution and the table's — the distribution-skew
-      // disclosure l-diversity cannot see. Absent buckets enter via the
-      // closed form; the numerator is a digit-string pin; the risk flag
-      // is a fixed IEEE chain over exact operands (engine-stable).
-      val e = events(s, dir).select($"event_type",
-        expr("ts div 86400000000000").as("day"),
-        expr("user_id % 50").as("sv_bucket"))
-      GovernanceOps.tCloseness(e, Seq("event_type", "day"), "sv_bucket",
-          tNum = 1, tDen = 4)
-        .orderBy($"event_type", $"day")
-    },
-
-    "q_ngram_novelty" -> { (s, dir) =>
-      import s.implicits._
-      // Per-document trigram novelty of the probe quarter against the
-      // training three-quarters ([[CorpusOps.ngramNovelty]]): the graded
-      // "how much is new" score beside q_decontaminate's binary overlap
-      // verdict — low novelty flags recycled/template content before it
-      // trains. One gram-keyed LEFT ANTI join against the reference's
-      // distinct-gram vocabulary; never doc×doc.
-      val d = docs(s, dir)
-      CorpusOps.ngramNovelty(d.filter($"doc_id" % 4 === 3), "doc_id", "text",
-          d.filter($"doc_id" % 4 =!= 3), "text", n = 3)
-        .orderBy($"doc_id")
-    },
-
-    "q_chi_square" -> { (s, dir) =>
-      import s.implicits._
-      // χ² independence of lang × source ([[StatOps.chiSquare]]): exact
-      // integer contingency counts, per-cell terms as fixed double
-      // expressions, the cross-cell sum as a SORTED fold — the one
-      // construction that makes the statistic partition-order-free and
-      // therefore gateable.
-      StatOps.chiSquare(docs(s, dir), "lang", "source")
-    },
-
-    "q_linear_fit" -> { (s, dir) =>
-      import s.implicits._
-      // Per-group least-squares line ([[StatOps.linearFit]]): slope/
-      // intercept/R² of extended price on quantity per return flag, closed
-      // from the same exact decimal moments as q_correlation — the trend
-      // statistic regr_slope cannot gate (its double accumulation is
-      // order-dependent).
-      StatOps.linearFit(t(s, dir, "lineitem"), Seq("l_returnflag"),
-          "l_quantity", "l_extendedprice")
-        .orderBy($"l_returnflag")
-    },
-
-    "q_impute" -> { (s, dir) =>
-      import s.implicits._
-      // Group-median null imputation ([[StatOps.imputeMedian]]): every 9th
-      // event's value is nulled, then filled from its event_type's discrete
-      // median — non-null bits pass through untouched, fills are flagged.
-      // One median aggregate broadcast back; the stream never re-shuffles.
-      val ev = events(s, dir)
-        .select($"event_id", $"event_type",
-          when($"event_id" % 9 =!= 0, $"value").as("v"))
-      StatOps.imputeMedian(ev, "event_type", "v")
-        .select($"event_id", $"event_type", $"v", $"v_filled", $"was_imputed")
-        .orderBy($"event_id")
-    },
-
-    "q_counting_median" -> { (s, dir) =>
-      import s.implicits._
-      // Two-pass exact counting median ([[StatOps.countingMedianLong]]):
-      // the histogram locates each group's median bin, only that bin's
-      // slice sorts — same selection rule the oracle's rank arithmetic
-      // computes directly, bounded state where the one-pass form sorts the
-      // group. The gated med is a BIGINT in integer ten-thousandths via
-      // the IEEE chain ⌊v·10⁴+0.5⌋ on BOTH engines — no double→DECIMAL
-      // cast anywhere in a gated column (the DECIMAL form was hash-red at
-      // the driver for two rounds while passing on local DuckDB).
-      StatOps.countingMedianLong(
-        t(s, dir, "lineitem").select($"l_returnflag",
-          floor($"l_extendedprice" * 10000.0 + 0.5).as("price_i4")),
-        "l_returnflag", "price_i4", loI = 0L, hiI = 1100000000L, nBins = 1100)
-        .orderBy($"grp")
-    },
-
-    "q_hist_quantiles" -> { (s, dir) =>
-      import s.implicits._
-      // Histogram-sketch quantiles ([[StatOps.histogramQuantiles]]): p25/50/
-      // 75/90/99 of extended price per return flag from 1100 fixed bins —
-      // bounded aggregate state instead of the per-group sort the exact
-      // q_percentiles gate pays. All-integer binning and thresholds; the
-      // oracle reproduces the arithmetic bin by bin.
-      StatOps.histogramQuantiles(t(s, dir, "lineitem"),
-          "l_returnflag", "l_extendedprice", lo = 0, hi = 110000, nBins = 1100,
-          qs = Seq((1, 4), (1, 2), (3, 4), (9, 10), (99, 100)))
-        .orderBy($"grp", $"q_num", $"q_den")
-    },
-
-    "q_profile" -> { (s, dir) =>
-      import s.implicits._
-      // Single-pass column profile ([[StatOps.columnProfile]]) — the
-      // ANALYZE-TABLE shape: per column, row/null/exact-distinct counts and
-      // min/max. The double column pre-casts to DECIMAL(18,2) so min/max
-      // render identically in both engines; `seg_opt` plants NULLs so the
-      // null-count arm is exercised, not just zero.
-      val c = t(s, dir, "customer")
-        .withColumn("c_acctbal", $"c_acctbal".cast("decimal(18,2)"))
-        .withColumn("seg_opt", when($"c_mktsegment" =!= "BUILDING", $"c_mktsegment"))
-      StatOps.columnProfile(c,
-          Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "seg_opt"))
-        .orderBy($"col_name")
-    },
-
-    // ---- events: sessionization + time windows ----------------------------
-    // Every reader goes through [[graft.Tables.events]], which normalizes
-    // `ts` to a nanosecond BIGINT whatever the fixture's physical type
-    // (TIMESTAMP(NANOS)-as-long or timestamp[us]); epoch math stays in
-    // exact integers either way.
-    "q_sessionize" -> { (s, dir) =>
-      import s.implicits._
-      Sessionize.sessions(events(s, dir), "user_id",
-        epochSec = expr("ts div 1000000000"),
-        gapSec = 21600L, orderCols = Seq($"ts", $"event_id"),
-        aggs = Seq(
-          sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("n_purchases"),
-          dsum($"value").as("total_value")))
-        .orderBy($"user_id", $"session_idx")
-    },
-
-    "q_event_windows" -> { (s, dir) =>
-      import s.implicits._
-      // Streaming-style tumbling windows on a batch frame. The watermarked
-      // readStream twin is [[graft.streaming.EventStreams.hourlyEventWindows]]
-      // (same groupBy(window(...)); MemoryStream-tested in EventStreamsSpec).
-      events(s, dir)
-        .withColumn("tsm", timestamp_micros(expr("ts div 1000")))
-        .groupBy(window($"tsm", "1 hour").as("w"), $"event_type")
-        .agg(count(lit(1)).as("n_events"),
-          countDistinct($"user_id").as("n_users"),
-          dsum($"value").as("total_value"))
-        .select(unix_timestamp($"w.start").as("window_start"), $"event_type",
-          $"n_events", $"n_users", $"total_value")
-        .orderBy($"window_start", $"event_type")
-    },
-
-    "q_gap_fill" -> { (s, dir) =>
-      import s.implicits._
-      // Gap-fill + forward-fill ([[TimeSeriesOps.gapFill]]): each user's
-      // irregular daily activity densifies to a calendar spine between
-      // first and last active day, missing days carrying the most recent
-      // (count, exact-decimal value sum) forward — the resample().ffill()
-      // primitive. One keyed aggregate, a shuffle-free spine explode, one
-      // equi-join, one per-user window.
-      val obs = events(s, dir)
-        .withColumn("day", to_date(timestamp_micros(expr("ts div 1000"))))
-        .groupBy($"user_id", $"day")
-        .agg(count(lit(1)).as("n_events"), dsum($"value").as("day_value"))
-      TimeSeriesOps.gapFill(obs, Seq("user_id"), "day", Seq("n_events", "day_value"))
-        .orderBy($"user_id", $"day")
-    },
-
-    "q_asof_join" -> { (s, dir) =>
-      import s.implicits._
-      // As-of join ([[TemporalJoins.asofJoin]]): each purchase event picks
-      // the same user's most recent click at-or-before it — the attribution
-      // primitive kdb/pandas/DuckDB ship natively and Spark lacks. Join-free
-      // union+window plan (one shuffle on user_id). Clicks are deduped per
-      // (user, second) first so tie choice is well-defined on BOTH engines
-      // (ASOF tie order is otherwise unspecified).
-      val e = events(s, dir)
-        .select($"event_id", $"user_id", $"event_type", expr("ts div 1000000000").as("ep"))
-      val purchases = e.filter($"event_type" === "purchase")
-        .select($"event_id".as("purchase_id"), $"user_id", $"ep".as("purchase_ep"))
-      val clicks = e.filter($"event_type" === "click")
-        .select($"user_id", $"ep".as("click_ep"), $"event_id")
-        .groupBy($"user_id", $"click_ep").agg(max($"event_id").as("click_id"))
-      TemporalJoins.asofJoin(purchases, clicks, Seq("user_id"), "purchase_ep", "click_ep")
-        .select($"purchase_id", $"user_id", $"purchase_ep", $"click_id",
-          ($"purchase_ep" - $"click_ep").as("gap_sec"))
-        .orderBy($"purchase_id")
-    },
-
-    "q_range_join" -> { (s, dir) =>
-      import s.implicits._
-      // Point-in-interval range join ([[TemporalJoins.rangeJoin]]): count
-      // the same user's clicks inside each purchase's trailing 1-hour
-      // attribution window. Intervals bucket at the window span, so each
-      // explodes to ≤ 2 index rows and the match is a plain equi-join on
-      // (user_id, bucket) — never |clicks|·|purchases|. Left join back so
-      // zero-click purchases keep their row.
-      val e = events(s, dir)
-        .select($"event_id", $"user_id", $"event_type", expr("ts div 1000000000").as("ep"))
-      val purchases = e.filter($"event_type" === "purchase")
-        .select($"event_id".as("purchase_id"), $"user_id", $"ep".as("purchase_ep"))
-      val clicks = e.filter($"event_type" === "click")
-        .select($"user_id", $"ep".as("click_ep"))
-      val hits = TemporalJoins.rangeJoin(clicks,
-          purchases.withColumn("w_start", $"purchase_ep" - 3600L),
-          Seq("user_id"), "click_ep", "w_start", "purchase_ep", bucketWidth = 3600L)
-        .groupBy($"purchase_id").agg(count(lit(1)).as("n_clicks_1h"))
-      purchases.join(hits, Seq("purchase_id"), "left_outer")
-        .select($"purchase_id", $"user_id", $"purchase_ep",
-          coalesce($"n_clicks_1h", lit(0L)).as("n_clicks_1h"))
-        .orderBy($"purchase_id")
-    },
-
-    "q_interval_join" -> { (s, dir) =>
-      import s.implicits._
-      // Interval×interval overlap join ([[TemporalJoins.intervalJoin]]):
-      // each purchase opens a 30-minute window, each click a 15-minute
-      // window; per purchase, count same-user overlapping click windows and
-      // total overlap seconds. Both sides bucket at the larger span, the
-      // pair survives only in its overlap-start bucket (no dedup stage),
-      // and the oracle is the plain inequality join DuckDB can afford at
-      // fixture scale. Left join back keeps zero-overlap purchases.
-      val e = events(s, dir)
-        .select($"event_id", $"user_id", $"event_type", expr("ts div 1000000000").as("ep"))
-      val purchases = e.filter($"event_type" === "purchase")
-        .select($"event_id".as("purchase_id"), $"user_id",
-          $"ep".as("p_start"), ($"ep" + 1800L).as("p_end"))
-      val clicks = e.filter($"event_type" === "click")
-        .select($"user_id", $"ep".as("c_start"), ($"ep" + 900L).as("c_end"))
-      val hits = TemporalJoins.intervalJoin(purchases, clicks, Seq("user_id"),
-          "p_start", "p_end", "c_start", "c_end", bucketWidth = 1800L)
-        .groupBy($"purchase_id").agg(count(lit(1)).as("n_overlap"),
-          sum(least($"p_end", $"c_end") - greatest($"p_start", $"c_start")).as("overlap_sec"))
-      purchases.join(hits, Seq("purchase_id"), "left_outer")
-        .select($"purchase_id", $"user_id", $"p_start",
-          coalesce($"n_overlap", lit(0L)).as("n_overlap"),
-          coalesce($"overlap_sec", lit(0L)).as("overlap_sec"))
-        .orderBy($"purchase_id")
-    },
-
-    "q_stream_windows" -> { (s, dir) =>
-      import s.implicits._
-      // The STREAMING path under the oracle gate: the events fixture played
-      // through readStream → watermarked tumbling windows in APPEND mode —
-      // the production shape (complete mode would hold every window ever
-      // seen in state forever) — must hash-match the DuckDB batch
-      // aggregation. Append emits a window only once the watermark passes
-      // its close, so the finite fixture rides the same sentinel protocol as
-      // `q_stream_sessionize`: two far-future sentinel files (each its own
-      // micro-batch via maxFilesPerTrigger=1) push the watermark past every
-      // real window's close + the 2-hour production-default delay; the
-      // second guarantees a DATA batch after the advance (emission happens
-      // in the batch after the watermark moves, and a no-data batch is an
-      // engine option, not a guarantee). Sentinel windows are filtered back
-      // out of the sink. n_users is approximate (HLL) in streaming and is
-      // not part of the gated output.
-      //
-      // Micro-batch economy: the protocol needs exactly TWO batches — {data
-      // …, first sentinel} (whose end-of-batch max event time advances the
-      // watermark past every deadline) then {second sentinel} (the
-      // guaranteed data batch that emits). maxFilesPerTrigger = #files − 1
-      // packs the replay that way (the staging orders sentinels last by
-      // mod-time); one file per trigger would pay a full state-store
-      // commit cycle per data file for nothing. The stream runs in a
-      // low-state-partition clone session — see [[Staging.streamSession]].
-      val staged = Staging.streamSessionizeDir(s, dir, gapSec = 21600L)
-      val ss = Staging.streamSession(s)
-      val schema = Staging.replaySchema(ss, staged)
-      val stream = ss.readStream.schema(schema)
-        .option("maxFilesPerTrigger", Staging.filesInDir(staged) - 1)
-        .parquet(staged)
-        .withColumn("tsm", timestamp_micros(expr("ts div 1000")))
-        .select($"tsm", $"event_type", $"user_id", $"value")
-      val sink = Staging.nextStreamSink(ss)
-      val q = graft.streaming.EventStreams.hourlyEventWindows(stream)
-        .drop("n_users_approx")
-        .writeStream.format("memory").queryName(sink).outputMode("append").start()
-      try q.processAllAvailable() finally q.stop()
-      ss.table(sink).filter($"event_type" =!= "sentinel")
-        .orderBy($"window_start", $"event_type")
-    },
-
-    "q_hopping_windows" -> { (s, dir) =>
-      import s.implicits._
-      // HOPPING (sliding) windows — 1-hour windows advancing every 30
-      // minutes, so each event lands in exactly two epoch-aligned windows
-      // (Spark's multi-window explode under `window(ts, dur, slide)`). The
-      // oracle replicates the assignment arithmetically: wstart =
-      // (sec div 1800 − o)·1800 for o ∈ {0,1}. Same decimal-sum convention
-      // as q_event_windows.
-      events(s, dir)
-        .withColumn("tsm", timestamp_seconds(expr("ts div 1000000000")))
-        .groupBy(window($"tsm", "1 hour", "30 minutes").as("w"), $"event_type")
-        .agg(count(lit(1)).as("n_events"), dsum($"value").as("total_value"))
-        .select(unix_timestamp($"w.start").as("window_start"), $"event_type",
-          $"n_events", $"total_value")
-        .orderBy($"window_start", $"event_type")
-    },
-
-    "q_stream_enrich" -> { (s, dir) =>
-      import s.implicits._
-      // STREAM-STATIC enrichment — the dimension-join class of Structured
-      // Streaming (no watermark needed: the static side is bounded and the
-      // join is stateless per micro-batch): streamed purchases enriched
-      // with each user's corpus-wide event count and first-seen second,
-      // both computed batch-side. Gate = the batch twin of the same join.
-      val staged = Staging.streamSessionizeDir(s, dir, gapSec = 21600L)
-      val ss = Staging.streamSession(s)
-      val schema = Staging.replaySchema(ss, staged)
-      val profile = events(ss, dir)
-        .groupBy($"user_id")
-        .agg(count(lit(1)).as("n_user_events"),
-          min(expr("ts div 1000000000")).as("first_seen_sec"))
-      val stream = ss.readStream.schema(schema)
-        .option("maxFilesPerTrigger", Staging.filesInDir(staged) - 1)
-        .parquet(staged)
-        .filter($"event_type" === "purchase")
-        .select($"event_id", $"user_id", expr("ts div 1000000000").as("sec"), $"value")
-      val sink = Staging.nextStreamSink(ss)
-      val q = stream.join(profile, Seq("user_id"))
-        .select($"event_id", $"user_id", $"n_user_events",
-          ($"sec" - $"first_seen_sec").as("user_age_sec"))
-        .writeStream.format("memory").queryName(sink).outputMode("append").start()
-      try q.processAllAvailable() finally q.stop()
-      ss.table(sink).orderBy($"event_id")
-    },
-
-    "q_stream_join" -> { (s, dir) =>
-      import s.implicits._
-      // STREAM-STREAM inner join with an event-time range under the gate —
-      // the attribution shape (each purchase matched to the same user's
-      // views in the preceding hour), the last major Structured Streaming
-      // capability class ([[graft.streaming.EventStreams.attributeTo]]
-      // would be overkill — the join IS the operator). Watermarks bound
-      // the two sides' STATE (a view older than the watermark minus the
-      // range can never match a future purchase and is evicted); inner-join
-      // EMISSION is immediate as both sides arrive, so the finite replay
-      // needs no sentinel protocol — the staged sentinels filter out by
-      // type. Timestamps join at microsecond resolution; `ts div 1000` is
-      // floor division of non-negative nanos, mirrored exactly by the
-      // oracle's `epoch_ns // 1000`, and the gated `lag_us` is an integer
-      // difference of those exact values.
-      val staged = Staging.streamSessionizeDir(s, dir, gapSec = 21600L)
-      val ss = Staging.streamSession(s)
-      val schema = Staging.replaySchema(ss, staged)
-      def src = ss.readStream.schema(schema)
-        .option("maxFilesPerTrigger", Staging.filesInDir(staged) - 1)
-        .parquet(staged)
-        .withColumn("tsm", timestamp_micros(expr("ts div 1000")))
-      val buys = src.filter($"event_type" === "purchase")
-        .select($"event_id".as("buy_id"), $"user_id", $"tsm".as("b_ts"),
-          expr("ts div 1000").as("b_us"))
-        .withWatermark("b_ts", "2 hours")
-      val views = src.filter($"event_type" === "view")
-        .select($"event_id".as("view_id"), $"user_id".as("v_user"),
-          $"tsm".as("v_ts"), expr("ts div 1000").as("v_us"))
-        .withWatermark("v_ts", "2 hours")
-      val sink = Staging.nextStreamSink(ss)
-      val q = buys.join(views,
-          $"user_id" === $"v_user" &&
-            $"v_ts" >= $"b_ts" - expr("INTERVAL 1 HOUR") && $"v_ts" <= $"b_ts")
-        .select($"buy_id", $"view_id", $"user_id", ($"b_us" - $"v_us").as("lag_us"))
-        .writeStream.format("memory").queryName(sink).outputMode("append").start()
-      try q.processAllAvailable() finally q.stop()
-      ss.table(sink).orderBy($"buy_id", $"view_id")
-    },
-
-    "q_stream_outer_join" -> { (s, dir) =>
-      import s.implicits._
-      // STREAM-STREAM LEFT OUTER join — the one join class q_stream_join's
-      // inner form doesn't exercise: a purchase with NO view in its
-      // preceding hour must still emit, with null view columns, and that
-      // emission is WATERMARK-DRIVEN (only once both sides' watermarks
-      // prove no matching view can still arrive is the null row safe).
-      // Consequently the far-future sentinels must reach the watermark:
-      // unlike the inner gate, each side keeps `event_type = 'sentinel'`
-      // rows through `withWatermark` and the sentinel artifacts (user_id =
-      // -1) are filtered AFTER the sink — the documented Staging protocol.
-      // The oracle is the plain batch LEFT JOIN; null sort order is pinned
-      // NULLS FIRST on both engines.
-      val staged = Staging.streamSessionizeDir(s, dir, gapSec = 21600L)
-      val ss = Staging.streamSession(s)
-      val schema = Staging.replaySchema(ss, staged)
-      def src = ss.readStream.schema(schema)
-        .option("maxFilesPerTrigger", Staging.filesInDir(staged) - 1)
-        .parquet(staged)
-        .withColumn("tsm", timestamp_micros(expr("ts div 1000")))
-      val buys = src.filter($"event_type".isin("purchase", "sentinel"))
-        .select($"event_id".as("buy_id"), $"user_id", $"tsm".as("b_ts"),
-          expr("ts div 1000").as("b_us"))
-        .withWatermark("b_ts", "2 hours")
-      val views = src.filter($"event_type".isin("view", "sentinel"))
-        .select($"event_id".as("view_id"), $"user_id".as("v_user"),
-          $"tsm".as("v_ts"), expr("ts div 1000").as("v_us"))
-        .withWatermark("v_ts", "2 hours")
-      val sink = Staging.nextStreamSink(ss)
-      val q = buys.join(views,
-          $"user_id" === $"v_user" &&
-            $"v_ts" >= $"b_ts" - expr("INTERVAL 1 HOUR") && $"v_ts" <= $"b_ts",
-          "left_outer")
-        .select($"buy_id", $"view_id", $"user_id", ($"b_us" - $"v_us").as("lag_us"))
-        .writeStream.format("memory").queryName(sink).outputMode("append").start()
-      try q.processAllAvailable() finally q.stop()
-      ss.table(sink).filter($"user_id" =!= -1L)
-        .orderBy($"buy_id", $"view_id".asc_nulls_first)
-    },
-
-    "q_stream_dedup" -> { (s, dir) =>
-      import s.implicits._
-      // Streaming exact dedup under the gate
-      // ([[graft.streaming.EventStreams.dedupEvents]]): the events fixture
-      // replayed through TWO readStream sources unioned — every event
-      // delivered twice, the at-least-once failure mode — must reproduce
-      // the batch DISTINCT on event_id exactly. First-seen rows emit
-      // immediately in append mode, so no sentinel protocol is needed (the
-      // staged dir's sentinels just ride along and are filtered with the
-      // usual predicate); the watermark bounds dedup-key state by the
-      // horizon — the unbounded-stream posture. `value` is an untouched
-      // passthrough (no accumulation → bit-exact vs the oracle).
-      val staged = Staging.streamSessionizeDir(s, dir, gapSec = 21600L)
-      val ss = Staging.streamSession(s)
-      val schema = Staging.replaySchema(ss, staged)
-      def src = ss.readStream.schema(schema).parquet(staged)
-        .withColumn("tsm", timestamp_micros(expr("ts div 1000")))
-        .select($"tsm", $"event_id", $"user_id", $"event_type",
-          expr("ts div 1000000000").as("ep"), $"value")
-      val sink = Staging.nextStreamSink(ss)
-      val q = graft.streaming.EventStreams
-        .dedupEvents(src.unionByName(src), Seq("event_id"))
-        .drop("tsm")
-        .writeStream.format("memory").queryName(sink).outputMode("append").start()
-      try q.processAllAvailable() finally q.stop()
-      ss.table(sink).filter($"event_type" =!= "sentinel").orderBy($"event_id")
-    },
-
-    "q_stream_neardup" -> { (s, dir) =>
-      import s.implicits._
-      // Streaming banded-SimHash near-dup under the gate
-      // ([[graft.streaming.EventStreams.simhashNearDup]] — signatures from
-      // the SAME compiled fold as the batch operator, band buckets as keyed
-      // state): the documents fixture replayed as TWO micro-batches (parity
-      // split, so pairs must cross the batch boundary through bucket state)
-      // must reproduce q_simhash_neardup's brute-force-equal answer exactly
-      // — same pigeonhole recall-1 contract, horizon spanning the replay.
-      // Cross-band duplicate emissions collapse under the same final
-      // distinct the batch operator ends in.
-      val staged = Staging.streamDocsDir(s, dir)
-      val ss = Staging.streamSession(s)
-      val schema = Staging.replayDocsSchema(ss, staged)
-      val src = ss.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(staged)
-        .withColumn("tsm", timestamp_micros(expr("ts div 1000")))
-      val sink = Staging.nextStreamSink(ss)
-      val q = graft.streaming.EventStreams
-        .simhashNearDup(src, "doc_id", "text", "tsm",
-          horizonSec = 100000000000L, bits = 60, bandBits = 15, maxHamming = 3)
-        .writeStream.format("memory").queryName(sink).outputMode("append").start()
-      try q.processAllAvailable() finally q.stop()
-      ss.table(sink).distinct().orderBy($"doc_i", $"doc_j")
-    },
-
-    "q_stream_topk" -> { (s, dir) =>
-      import s.implicits._
-      // Streaming heavy hitters — the streaming-ingest version of
-      // q_heavy_hitters' two-pass pipeline: pass 1 folds the replayed
-      // bigram stream into sharded Misra–Gries keyed state
-      // ([[graft.streaming.EventStreams.mgCandidatesStream]], O(shards ×
-      // capacity) state, emitted at the watermark horizon via the doc
-      // replay's null-text sentinels); pass 2 exact-counts JUST the
-      // emitted candidates over the fixture — identical output to the
-      // full GROUP BY + HAVING oracle because every true heavy hitter
-      // survives its shard's summary after any arrival order.
-      val staged = Staging.streamDocsDir(s, dir)
-      val ss = Staging.streamSession(s)
-      val schema = Staging.replayDocsSchema(ss, staged)
-      val src = ss.readStream.schema(schema)
-        .option("maxFilesPerTrigger", Staging.filesInDir(staged) - 1)
-        .parquet(staged)
-        .withColumn("tsm", timestamp_micros(expr("ts div 1000")))
-      val sink = Staging.nextStreamSink(ss)
-      val q = graft.streaming.EventStreams
-        .mgCandidatesStream(src, CorpusOps.wordNgramsAll($"text", 2), "tsm",
-          capacity = 800, nShards = 8, horizonSec = 3600L)
-        .writeStream.format("memory").queryName(sink).outputMode("append").start()
-      try q.processAllAvailable() finally q.stop()
-      val cands = ss.table(sink).select($"item").distinct()
-      val it = graft.Tables.docs(ss, dir)
-        .select(explode(CorpusOps.wordNgramsAll(col("text"), 2)).as("item"))
-      val totals = it.agg(count(lit(1)).as("total"))
-      it.join(broadcast(cands), "item")
-        .groupBy($"item").agg(count(lit(1)).as("cnt"))
-        .crossJoin(broadcast(totals))
-        .filter($"cnt" * 800 >= $"total")
-        .select($"item", $"cnt", $"total")
-        .orderBy($"item")
-    },
-
-    "q_stream_sessionize" -> { (s, dir) =>
-      import s.implicits._
-      // The STATEFUL streaming path under the oracle gate: the events fixture
-      // played through [[graft.streaming.EventStreams.sessionize]]
-      // (flatMapGroupsWithState, append mode, event-time timeouts) must
-      // reproduce the batch q_sessionize result exactly. Sentinel files from
-      // [[Staging.streamSessionizeDir]] (filtered back out below) drive the
-      // watermark past every real deadline so timeouts close all sessions —
-      // a finite-fixture necessity; a production stream just keeps running.
-      // `value` rides as exact integer ten-thousandths (decimal(18,4)·10⁴ as
-      // double): per-session double accumulation of integers is exact and
-      // order-independent, so totalValue/10⁴ equals the batch dsum twin
-      // bit-for-bit.
-      //
-      // Micro-batch economy: same two-batch packing and low-state-partition
-      // clone session as q_stream_windows (see the comment there).
-      val gapSec = 21600L
-      val staged = Staging.streamSessionizeDir(s, dir, gapSec)
-      val ss = Staging.streamSession(s)
-      val schema = Staging.replaySchema(ss, staged)
-      val stream = ss.readStream.schema(schema)
-        .option("maxFilesPerTrigger", Staging.filesInDir(staged) - 1)
-        .parquet(staged)
-        .select($"user_id".as("userId"),
-          expr("ts div 1000000000").as("epochSec"),
-          ($"event_type" === "purchase").as("isPurchase"),
-          ($"value".cast("decimal(18,4)") * 10000).cast("double").as("value"))
-        .as[graft.streaming.EventStreams.SessionEvent]
-      val sink = Staging.nextStreamSink(ss)
-      val q = graft.streaming.EventStreams.sessionize(stream, gapSec = gapSec)
-        .writeStream.format("memory").queryName(sink).outputMode("append").start()
-      try q.processAllAvailable() finally q.stop()
-      val w = Window.partitionBy($"userId").orderBy($"startEpoch")
-      ss.table(sink).filter($"userId" >= 0L)
-        .withColumn("session_idx", row_number().over(w).cast("long"))
-        .select($"userId".as("user_id"), $"session_idx",
-          $"startEpoch".as("start_epoch"), $"endEpoch".as("end_epoch"),
-          $"nEvents".as("n_events"), $"nPurchases".as("n_purchases"),
-          ($"totalValue" / 10000.0).as("total_value"))
-        .orderBy($"user_id", $"session_idx")
-    },
-
-    "q_stream_cusum" -> { (s, dir) =>
-      import s.implicits._
-      // The STREAMING CUSUM under the batch oracle
-      // ([[graft.streaming.EventStreams.cusumExact]]): values quantize to
-      // e4 BIGINTs at the source (sentinel NULLs → 0; the sentinel user
-      // −1 filters out of the sink), each user buffers until the
-      // watermark passes its horizon, and the timeout fold must land on
-      // q_cusum's exact integers. Sentinel files drive the watermark past
-      // every real user's deadline.
-      val staged = Staging.streamSessionizeDir(s, dir, gapSec = 21600L)
-      val ss = Staging.streamSession(s)
-      val schema = Staging.replaySchema(ss, staged)
-      val stream = ss.readStream.schema(schema)
-        .option("maxFilesPerTrigger", Staging.filesInDir(staged) - 1)
-        .parquet(staged)
-        .select($"user_id".as("key"),
-          expr("ts div 1000").as("ts"),
-          $"event_id".as("tie"),
-          expr("CAST(CAST(COALESCE(value, 0.0) AS DECIMAL(18,4)) * 10000 AS LONG)")
-            .as("v"))
-        .as[graft.streaming.EventStreams.CusumEvent]
-      val sink = Staging.nextStreamSink(ss)
-      val q = graft.streaming.EventStreams
-        .cusumExact(stream, refValueE4 = 600000L, thresholdE4 = 2000000L,
-          horizonSec = 21600L)
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
-      try q.processAllAvailable() finally q.stop()
-      ss.table(sink).filter($"key" =!= -1L)
-        .select($"key".as("user_id"), $"n",
-          $"cusumFinal".as("cusum_final"), $"nOver".as("n_over"))
-        .orderBy($"user_id")
-    },
-
-    "q_stream_fano" -> { (s, dir) =>
-      import s.implicits._
-      // STREAMING burstiness ([[graft.streaming.EventStreams.fanoExact]]):
-      // q_burstiness' Fano factor per event type with O(#observed
-      // windows) keyed state — counts are increment-commutative, so no
-      // event buffering, no order sensitivity; the closing BigInt
-      // integers land bit-identically on the batch division via the
-      // digit-string route. The 20th stream gate; shares q_burstiness'
-      // hour windows and oracle arithmetic.
-      val staged = Staging.streamSessionizeDir(s, dir, gapSec = 21600L)
-      val ss = Staging.streamSession(s)
-      val schema = Staging.replaySchema(ss, staged)
-      val stream = ss.readStream.schema(schema)
-        .option("maxFilesPerTrigger", Staging.filesInDir(staged) - 1)
-        .parquet(staged)
-        .select($"event_type".as("key"),
-          expr("ts div 1000").as("ts"),
-          $"event_id".as("tie"), lit(0L).as("v"))
-        .as[graft.streaming.EventStreams.BudgetEvent]
-      val sink = Staging.nextStreamSink(ss)
-      val q = graft.streaming.EventStreams
-        .fanoExact(stream, windowSec = 3600L, horizonSec = 21600L)
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
-      try q.processAllAvailable() finally q.stop()
-      ss.table(sink).filter($"key" =!= "sentinel")
-        .select($"key".as("event_type"), $"nWindows".as("n_windows"),
-          $"nEvents".as("n_events"), $"fano")
-        .orderBy($"event_type")
-    },
-
-    "q_stream_trimmed" -> { (s, dir) =>
-      import s.implicits._
-      // STREAMING exact trimmed mean
-      // ([[graft.streaming.EventStreams.trimmedMeanExact]]):
-      // q_trimmed_mean's level-range rank-interval arithmetic off a
-      // value→count keyed map — the fourth statistic of the mergeable
-      // count-map state class. Levels sort ONCE, at emission; the BigInt
-      // trimmed sum lands on the batch division via the digit-string
-      // route (shared-arithmetic oracle).
-      val staged = Staging.streamSessionizeDir(s, dir, gapSec = 21600L)
-      val ss = Staging.streamSession(s)
-      val schema = Staging.replaySchema(ss, staged)
-      val stream = ss.readStream.schema(schema)
-        .option("maxFilesPerTrigger", Staging.filesInDir(staged) - 1)
-        .parquet(staged)
-        .filter($"value".isNotNull)
-        .select($"event_type".as("key"), expr("ts div 1000").as("ts"),
-          expr("CAST(floor(value * 10000.0 + 0.5) AS LONG)").as("v"))
-        .as[graft.streaming.EventStreams.ValueEvent]
-      val sink = Staging.nextStreamSink(ss)
-      val q = graft.streaming.EventStreams
-        .trimmedMeanExact(stream, trimNum = 1, trimDen = 10, unitScale = 4,
-          horizonSec = 21600L)
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
-      try q.processAllAvailable() finally q.stop()
-      ss.table(sink).filter($"key" =!= "sentinel")
-        .select($"key".as("event_type"), $"n", $"nKept".as("n_kept"),
-          $"trimmedMean".as("trimmed_mean"))
-        .orderBy($"event_type")
-    },
-
-    "q_stream_median" -> { (s, dir) =>
-      import s.implicits._
-      // STREAMING exact lower median
-      // ([[graft.streaming.EventStreams.countingMedianExact]]): the
-      // rank-⌈n/2⌉ walk over the same value→count state map — one state
-      // class, many rank statistics. The med double is the exact integer
-      // level over the unit, identical on both engines.
-      val staged = Staging.streamSessionizeDir(s, dir, gapSec = 21600L)
-      val ss = Staging.streamSession(s)
-      val schema = Staging.replaySchema(ss, staged)
-      val stream = ss.readStream.schema(schema)
-        .option("maxFilesPerTrigger", Staging.filesInDir(staged) - 1)
-        .parquet(staged)
-        .filter($"value".isNotNull)
-        .select($"event_type".as("key"), expr("ts div 1000").as("ts"),
-          expr("CAST(floor(value * 10000.0 + 0.5) AS LONG)").as("v"))
-        .as[graft.streaming.EventStreams.ValueEvent]
-      val sink = Staging.nextStreamSink(ss)
-      val q = graft.streaming.EventStreams
-        .countingMedianExact(stream, unitScale = 4, horizonSec = 21600L)
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
-      try q.processAllAvailable() finally q.stop()
-      ss.table(sink).filter($"key" =!= "sentinel")
-        .select($"key".as("event_type"), $"n", $"med")
-        .orderBy($"event_type")
-    },
-
-    "q_stream_simpson" -> { (s, dir) =>
-      import s.implicits._
-      // STREAMING class balance
-      // ([[graft.streaming.EventStreams.classBalanceExact]]): q_simpson's
-      // Simpson/ENC per source with O(#classes) mergeable count-map keyed
-      // state — the measured-cheap state class. The documents replay
-      // splits on doc_id parity at one file per trigger, so every
-      // source's class map MERGES across a real micro-batch boundary;
-      // the closing BigInt integers land bit-identically on the batch
-      // divisions via the digit-string route (shared-arithmetic oracle).
-      val staged = Staging.streamDocMetaDir(s, dir)
-      val ss = Staging.streamSession(s)
-      val schema = Staging.replayDocMetaSchema(ss, staged)
-      val stream = ss.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(staged)
-        .select($"source".as("key"), expr("ts div 1000").as("ts"),
-          $"lang".as("cls"))
-        .as[graft.streaming.EventStreams.ClassEvent]
-      val sink = Staging.nextStreamSink(ss)
-      val q = graft.streaming.EventStreams
-        .classBalanceExact(stream, horizonSec = 21600L, lateSec = 2592000L)
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
-      try q.processAllAvailable() finally q.stop()
-      ss.table(sink).filter($"key" =!= "sentinel")
-        .select($"key".as("source"), $"n", $"nClasses".as("n_classes"),
-          $"simpson", $"enc")
-        .orderBy($"source")
-    },
-
-    "q_stream_gini" -> { (s, dir) =>
-      import s.implicits._
-      // STREAMING vocabulary-Gini concentration
-      // ([[graft.streaming.EventStreams.vocabGiniExact]]): q_gini's
-      // rank-identity coefficient per source with VOCABULARY-bounded
-      // token count-map state (mergeable class; the per-key sort is paid
-      // once, at emission). Same parity-split replay as q_stream_simpson
-      // so the token maps merge across a micro-batch boundary; NULL-text
-      // sentinels drive the watermark without contributing tokens.
-      val staged = Staging.streamDocMetaDir(s, dir)
-      val ss = Staging.streamSession(s)
-      val schema = Staging.replayDocMetaSchema(ss, staged)
-      val stream = ss.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(staged)
-        .select($"source".as("key"), expr("ts div 1000").as("ts"), $"text")
-        .as[graft.streaming.EventStreams.DocEvent]
-      val sink = Staging.nextStreamSink(ss)
-      val q = graft.streaming.EventStreams
-        .vocabGiniExact(stream, horizonSec = 21600L, lateSec = 2592000L)
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
-      try q.processAllAvailable() finally q.stop()
-      ss.table(sink).filter($"key" =!= "sentinel")
-        .select($"key".as("source"), $"mTokens".as("m_tokens"),
-          $"totalTokens".as("total_tokens"), $"gini")
-        .orderBy($"source")
-    },
-
-    "q_stream_richness" -> { (s, dir) =>
-      import s.implicits._
-      // STREAMING vocabulary richness
-      // ([[graft.streaming.EventStreams.vocabRichnessExact]]): q_vocab_
-      // richness' TTR + hapax/dis fractions from the SAME token count-map
-      // state shape as q_stream_gini — one state class, two statistics.
-      // Same parity-split replay; shared batch oracle.
-      val staged = Staging.streamDocMetaDir(s, dir)
-      val ss = Staging.streamSession(s)
-      val schema = Staging.replayDocMetaSchema(ss, staged)
-      val stream = ss.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(staged)
-        .select($"source".as("key"), expr("ts div 1000").as("ts"), $"text")
-        .as[graft.streaming.EventStreams.DocEvent]
-      val sink = Staging.nextStreamSink(ss)
-      val q = graft.streaming.EventStreams
-        .vocabRichnessExact(stream, horizonSec = 21600L, lateSec = 2592000L)
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
-      try q.processAllAvailable() finally q.stop()
-      ss.table(sink).filter($"key" =!= "sentinel")
-        .select($"key".as("source"), $"totalTokens".as("total_tokens"),
-          $"mTokens".as("m_tokens"), $"nHapax".as("n_hapax"),
-          $"nDis".as("n_dis"), $"ttr", $"hapaxRate".as("hapax_rate"),
-          $"disRate".as("dis_rate"))
-        .orderBy($"source")
-    },
-
-    "q_stream_lang_ngram" -> { (s, dir) =>
-      import s.implicits._
-      // ONLINE language ID ([[graft.operators.LangId.classifyEmissions]]):
-      // q_lang_ngram's profiles train offline on the labeled three-quarters,
-      // collect driver-side (|langs|·topK bounded), and the probe quarter
-      // replays as two micro-batches classifying ROW-LOCALLY — zero
-      // stream state, zero shuffle, the q_stream_lsh_probe stateless
-      // tier. Emissions are bit-identical to the batch classifier, so the
-      // SAME oracle gates both; lang_true joins batch-side at the sink.
-      val staged = Staging.streamDocsDir(s, dir)
-      val ss = Staging.streamSession(s)
-      val prof = graft.operators.LangId.profiles(
-        docs(s, dir).filter(pmod($"doc_id", lit(4L)) =!= 3),
-        "text", "lang", gramLen = 3, topK = 64)
-      val schema = Staging.replayDocsSchema(ss, staged)
-      val src = ss.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(staged)
-        .filter($"doc_id" % 4 === 3)
-      val sink = Staging.nextStreamSink(ss)
-      val q = graft.operators.LangId.classifyEmissions(
-          src, "doc_id", "text", prof, gramLen = 3, topK = 64)
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
-      try q.processAllAvailable() finally q.stop()
-      ss.table(sink)
-        .join(graft.Tables.docs(ss, dir)
-          .filter(pmod($"doc_id", lit(4L)) === 3)
-          .select($"doc_id", $"lang".as("lang_true")), Seq("doc_id"))
-        .select($"doc_id", $"lang_true", $"lang_pred", $"dist",
-          ($"lang_true" === $"lang_pred").as("correct"))
-        .orderBy($"doc_id")
-    },
-
-    "q_stream_token_shift" -> { (s, dir) =>
-      import s.implicits._
-      // STREAMING token movers ([[graft.streaming.EventStreams
-      // .tokenShiftExact]]): per source, q_token_shift's exact
-      // cross-multiplied top-10 between the (doc_id div 20) even ("a")
-      // and odd ("b") corpus versions arriving interleaved on ONE stream
-      // (the div-20 split varies WITHIN each source key — source itself
-      // is doc_id%20, so any mod-4 split would degenerate to one side) —
-      // two vocabulary-bounded count maps in one mergeable state value
-      // (the one-state-shape-many-statistics discipline). Parity-split
-      // replay makes both sides span a micro-batch boundary; sentinels
-      // drive the watermark. Emissions share the batch arithmetic
-      // (BigInt cross-products, digit-string→double), so the oracle is
-      // the batch formula in SQL.
-      val staged = Staging.streamDocMetaDir(s, dir)
-      val ss = Staging.streamSession(s)
-      val schema = Staging.replayDocMetaSchema(ss, staged)
-      val stream = ss.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(staged)
-        .select($"source".as("key"), expr("ts div 1000").as("ts"),
-          expr("CASE WHEN pmod(doc_id div 20, 2) = 0 THEN 'a' ELSE 'b' END")
-            .as("side"),
-          $"text")
-        .as[graft.streaming.EventStreams.DocSideEvent]
-      val sink = Staging.nextStreamSink(ss)
-      val q = graft.streaming.EventStreams
-        .tokenShiftExact(stream, k = 10, horizonSec = 21600L,
-          lateSec = 2592000L)
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
-      try q.processAllAvailable() finally q.stop()
-      ss.table(sink).filter($"key" =!= "sentinel")
-        .select($"key".as("source"), $"rnk", $"token",
-          $"cA".as("c_a"), $"cB".as("c_b"),
-          $"shiftNum".as("shift_num"), $"shift")
-        .orderBy($"source", $"rnk")
-    },
-
-    "q_stream_acf" -> { (s, dir) =>
-      import s.implicits._
-      // STREAMING exact autocorrelation
-      // ([[graft.streaming.EventStreams.acfExact]]): the order-sensitive
-      // r₁..r₃ of q_autocorr computed per event type at the event-time
-      // timeout over the buffered horizon — BigInt integer centering, the
-      // same digit-string→double route as the batch decimals, so the
-      // emitted doubles land bit-identical on the batch oracle's r
-      // columns. Sentinel files drive the watermark; the sentinel key
-      // filters from the sink.
-      val staged = Staging.streamSessionizeDir(s, dir, gapSec = 21600L)
-      val ss = Staging.streamSession(s)
-      val schema = Staging.replaySchema(ss, staged)
-      val stream = ss.readStream.schema(schema)
-        .option("maxFilesPerTrigger", Staging.filesInDir(staged) - 1)
-        .parquet(staged)
-        .select($"event_type".as("key"),
-          expr("ts div 1000").as("ts"),
-          $"event_id".as("tie"),
-          expr("CAST(CAST(COALESCE(value, 0.0) AS DECIMAL(18,4)) * 10000 " +
-            "AS LONG)").as("v"))
-        .as[graft.streaming.EventStreams.BudgetEvent]
-      val sink = Staging.nextStreamSink(ss)
-      val q = graft.streaming.EventStreams
-        .acfExact(stream, horizonSec = 21600L)
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
-      try q.processAllAvailable() finally q.stop()
-      ss.table(sink).filter($"key" =!= "sentinel")
-        .select($"key".as("event_type"), $"n", $"r1", $"r2", $"r3")
-        .orderBy($"event_type")
-    },
-
-    "q_stream_budget" -> { (s, dir) =>
-      import s.implicits._
-      // ONLINE token-budget admission
-      // ([[graft.streaming.EventStreams.budgetAdmitExact]]): per event
-      // type, events admit in (ts, tie) order while the running token
-      // total stays within the budget — the maximal admissible prefix,
-      // i.e. the per-source ingest quota enforced online. Values clamp
-      // non-negative and quantize to e4 BIGINTs at the source, so the
-      // prefix rule is a monotone integer cumsum and the
-      // buffer-until-watermark fold lands exactly on the batch window
-      // cumsum the oracle computes. Budget 3000e4 cuts mid-stream at
-      // both SFs. Sentinel files drive the watermark past every real
-      // key's deadline; the sentinel key filters from the sink.
-      val staged = Staging.streamSessionizeDir(s, dir, gapSec = 21600L)
-      val ss = Staging.streamSession(s)
-      val schema = Staging.replaySchema(ss, staged)
-      val stream = ss.readStream.schema(schema)
-        .option("maxFilesPerTrigger", Staging.filesInDir(staged) - 1)
-        .parquet(staged)
-        .select($"event_type".as("key"),
-          expr("ts div 1000").as("ts"),
-          $"event_id".as("tie"),
-          expr("CAST(CAST(GREATEST(COALESCE(value, 0.0), 0.0) " +
-            "AS DECIMAL(18,4)) * 10000 AS LONG)").as("v"))
-        .as[graft.streaming.EventStreams.BudgetEvent]
-      val sink = Staging.nextStreamSink(ss)
-      val q = graft.streaming.EventStreams
-        .budgetAdmitExact(stream, budget = 30000000L, horizonSec = 21600L)
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
-      try q.processAllAvailable() finally q.stop()
-      ss.table(sink).filter($"key" =!= "sentinel")
-        .select($"key".as("event_type"), $"n",
-          $"nAdmit".as("n_admit"), $"tokAdmit".as("tok_admit"))
-        .orderBy($"event_type")
-    },
-
-    "q_stream_funnel" -> { (s, dir) =>
-      import s.implicits._
-      // The STREAMING funnel under the batch oracle: the events fixture
-      // replayed through [[graft.streaming.EventStreams.funnelExact]]
-      // (buffer-until-watermark keyed state — the funnel's strictly-
-      // ordered chain is NOT incrementally foldable with O(1) state under
-      // out-of-order delivery, so the exact twin buffers its horizon and
-      // folds once at timeout) must reproduce q_funnel's answer exactly.
-      // Sentinel files drive the watermark past every user's deadline;
-      // sentinel rows ride as step -1 (they advance the watermark but
-      // never enter a fold) and their user filters out of the sink.
-      val staged = Staging.streamSessionizeDir(s, dir, gapSec = 21600L)
-      val ss = Staging.streamSession(s)
-      val schema = Staging.replaySchema(ss, staged)
-      val stream = ss.readStream.schema(schema)
-        .option("maxFilesPerTrigger", Staging.filesInDir(staged) - 1)
-        .parquet(staged)
-        .select($"user_id".as("userId"),
-          expr("ts div 1000").as("ts"),
-          $"event_id".as("tie"),
-          when($"event_type" === "view", 0)
-            .when($"event_type" === "click", 1)
-            .when($"event_type" === "purchase", 2)
-            .otherwise(-1).as("step"))
-        .as[graft.streaming.EventStreams.FunnelEvent]
-      val sink = Staging.nextStreamSink(ss)
-      val q = graft.streaming.EventStreams
-        .funnelExact(stream, numSteps = 3, horizonSec = 21600L)
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
-      try q.processAllAvailable() finally q.stop()
-      ss.table(sink).filter($"userId" >= 0L)
-        .select($"userId".as("user_id"),
-          element_at($"times", 1).as("t_view"),
-          element_at($"times", 2).as("t_click"),
-          element_at($"times", 3).as("t_purchase"),
-          $"stepsCompleted".as("steps_completed"))
-        .orderBy($"user_id")
-    },
-
-    "q_stream_kmv" -> { (s, dir) =>
-      import s.implicits._
-      // STREAMING SKETCH STATE — the KMV bottom-k distinct-user sketch per
-      // event type ([[graft.streaming.EventStreams.kmvDistinctExact]]),
-      // the mergeable-sketch class of stateful streaming: unlike the
-      // funnel's ordered chain the sketch is a commutative function of the
-      // value SET, so state is O(k) longs per key BY CONSTRUCTION (not
-      // bounded-by-horizon) and any micro-batch slicing of the replay
-      // lands on the identical sketch. Inserts and readout share the batch
-      // aggregate's KmvBuffer, and the gate faces the same KMV SQL oracle
-      // shape as q_kmv_distinct — over events, keyed by type.
-      val staged = Staging.streamSessionizeDir(s, dir, gapSec = 21600L)
-      val ss = Staging.streamSession(s)
-      val schema = Staging.replaySchema(ss, staged)
-      val stream = ss.readStream.schema(schema)
-        .option("maxFilesPerTrigger", Staging.filesInDir(staged) - 1)
-        .parquet(staged)
-        .filter($"user_id".isNotNull) // sentinels are -1: they pass, then filter from the sink
-        .select($"event_type".as("key"),
-          TextOps.polyHash($"user_id".cast("string")).as("h"),
-          expr("ts div 1000").as("ts"))
-        .as[graft.streaming.EventStreams.KmvEvent]
-      val sink = Staging.nextStreamSink(ss)
-      val q = graft.streaming.EventStreams
-        .kmvDistinctExact(stream, k = 64, range = TextOps.Prime,
-          horizonSec = 21600L)
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
-      try q.processAllAvailable() finally q.stop()
-      ss.table(sink).filter($"key" =!= "sentinel")
-        .select($"key".as("event_type"), $"nMin".as("n_min"),
-          $"kthHash".as("kth_hash"), $"estDistinct".as("est_distinct"))
-        .orderBy($"event_type")
-    },
-
-    "q_stream_quantiles" -> { (s, dir) =>
-      import s.implicits._
-      // STREAMING SAMPLE QUANTILES — the stream twin of q_sample_quantiles
-      // ([[graft.streaming.EventStreams.hashSampleExact]]): per event type,
-      // the bottom-64-by-hash sample of the event VALUES (exact integer
-      // ten-thousandths), with positional nearest-rank quantile reads over
-      // the emitted sample. Second member of the mergeable-sketch class
-      // q_stream_kmv anchors — O(k) pair state per key by construction,
-      // slicing/disorder invariant, inserts shared with the batch
-      // aggregate's HashSampleBuffer. The hash key is the UNIQUE event id,
-      // so the sample is a uniform row sample; the oracle replays the same
-      // bottom-64 selection over the events table.
-      val staged = Staging.streamSessionizeDir(s, dir, gapSec = 21600L)
-      val ss = Staging.streamSession(s)
-      val schema = Staging.replaySchema(ss, staged)
-      val stream = ss.readStream.schema(schema)
-        .option("maxFilesPerTrigger", Staging.filesInDir(staged) - 1)
-        .parquet(staged)
-        .filter($"user_id".isNotNull) // sentinels are -1: they pass, then filter from the sink
-        .select($"event_type".as("key"),
-          TextOps.polyHash($"event_id".cast("string")).as("h"),
-          ($"value".cast("decimal(18,4)") * 10000).cast("long").as("v"),
-          expr("ts div 1000").as("ts"))
-        .as[graft.streaming.EventStreams.SampleEvent]
-      val sink = Staging.nextStreamSink(ss)
-      val q = graft.streaming.EventStreams
-        .hashSampleExact(stream, k = 64, horizonSec = 21600L)
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
-      try q.processAllAvailable() finally q.stop()
-      // Positional reads via the shared helper — the rank convention has
-      // ONE home (Sketches.sampleQuantileCols), so this gate cannot drift
-      // from the batch q_sample_quantiles.
-      ss.table(sink).filter($"key" =!= "sentinel")
-        .select($"key".as("event_type") +: $"nSample".as("n_sample") +:
-          Sketches.sampleQuantileCols($"values", Seq(25, 50, 75, 90)): _*)
-        .orderBy($"event_type")
-    },
-
-    // ---- similarity search over embeddings --------------------------------
-    "q_cosine_topk" -> { (s, dir) =>
-      import s.implicits._
-      val e = t(s, dir, "embeddings")
-      VectorOps.topK(e, e.filter($"vec_id" < 10), "vec_id", "embedding", k = 5)
-        .select($"query_id", $"rank".cast("int").as("rnk"), $"neighbor_id", $"cos")
-        .orderBy($"query_id", $"rnk")
-    },
-
-    "q_retrieval_eval" -> { (s, dir) =>
-      import s.implicits._
-      // Retrieval-quality judging ([[EvalOps.retrievalMetrics]]): nDCG@10
-      // + MRR@10 of the exact cosine top-k (q_cosine_topk's system)
-      // against label-equality relevance, per query + macro means. The
-      // log₂ discounts are SHARED DOUBLE LITERALS (log is not
-      // IEEE-bit-specified across engines — the dsirScore literal-model
-      // move); DCG folds in rank order, IDCG is a literal prefix-sum
-      // lookup, macros fold in query-id order — every double
-      // bit-reproducible.
-      val e = t(s, dir, "embeddings")
-      val ranked = VectorOps.topK(e, e.filter($"vec_id" < 20),
-          "vec_id", "embedding", k = 10)
-        .select($"query_id", $"rank", $"neighbor_id")
-      EvalOps.retrievalMetrics(ranked, e.select($"vec_id", $"label"),
-        "vec_id", "label", k = 10)
-        .orderBy($"query_id")
-    },
-
-    "q_mrl_rerank" -> { (s, dir) =>
-      import s.implicits._
-      // Matryoshka funnel retrieval ([[VectorOps.mrlTopK]]): shortlist of
-      // 40 by exact prefix-16 cosine (a 4× cheaper scoring pass on
-      // MRL-style embeddings), full-64-dim exact rerank of the shortlist.
-      // Both stages are the shared strict-fold cosine, so the pipeline
-      // hash-matches the oracle end to end.
-      val e = t(s, dir, "embeddings")
-      VectorOps.mrlTopK(e, e.filter($"vec_id" < 5), "vec_id", "embedding",
-          prefixDim = 16, k = 10, shortlist = 40)
-        .select($"query_id", $"rank".cast("int").as("rnk"), $"neighbor_id", $"cos")
-        .orderBy($"query_id", $"rnk")
-    },
-
-    "q_bq_topk" -> { (s, dir) =>
-      import s.implicits._
-      // Binary-quantization search ([[VectorOps.bqTopK]]): 1 bit per
-      // dimension (the sign) packed into one long, Hamming shortlist of 40
-      // per query on the codes alone, exact-cosine rerank of the shortlist
-      // — the 32× compression tier next to SQ8 (8 bits) and PQ (codebook).
-      // Codes are exact integer folds and the rerank cosine is the shared
-      // strict-fold formulation, so the whole pipeline hash-matches the
-      // oracle; recall vs exact is spec'd in VectorOpsSpec.
-      val e = t(s, dir, "embeddings")
-      VectorOps.bqTopK(e, e.filter($"vec_id" < 5), "vec_id", "embedding",
-          dim = 64, k = 10, shortlist = 40)
-        .select($"query_id", $"rank".cast("int").as("rnk"), $"neighbor_id", $"cos")
-        .orderBy($"query_id", $"rnk")
-    },
-
-    "q_sq8_topk" -> { (s, dir) =>
-      import s.implicits._
-      // SQ8-compressed approximate MIPS ([[VectorOps.sq8TopK]]): vectors
-      // quantized to int8 codes + a per-vector scale (4× smaller than
-      // FLOAT), candidates scored by exact integer dots, dequantized once
-      // per pair. The recall trade vs the exact ranking is spec'd in
-      // VectorOpsSpec; here the quantized pipeline itself is hash-gated
-      // (codes, scales, and the dequantized score are all exact-arithmetic
-      // cross-engine twins).
-      val e = t(s, dir, "embeddings")
-      VectorOps.sq8TopK(e, e.filter($"vec_id" < 5), "vec_id", "embedding", k = 10)
-        .select($"query_id", $"rank".cast("int").as("rnk"), $"neighbor_id", $"ip8")
-        .orderBy($"query_id", $"rnk")
-    },
-
-    "q_rrf_fusion" -> { (s, dir) =>
-      import s.implicits._
-      // Hybrid-retrieval fusion ([[VectorOps.rrfFuse]]): each query's cosine
-      // top-10 and Euclidean top-10 lists merged by reciprocal-rank fusion
-      // (k = 60) — the calibration-free way to combine rankings from
-      // different metrics. Terms are sorted before the strict fold so the
-      // fused double is shuffle-order-independent; both rankings derive from
-      // the same broadcast-queries + salted-top-k plan as q_cosine_topk.
-      val e = t(s, dir, "embeddings")
-      val q = e.filter($"vec_id" < 10)
-      VectorOps.rrfFuse(Seq(
-          VectorOps.topK(e, q, "vec_id", "embedding", k = 10),
-          VectorOps.topKL2(e, q, "vec_id", "embedding", k = 10)), topN = 10)
-        .orderBy($"query_id", $"rrf_rank")
-    },
-
-    "q_hybrid_retrieval" -> { (s, dir) =>
-      import s.implicits._
-      // The retrieval pipeline END TO END: one user query in both
-      // modalities — keywords for the BM25 lexical leg, document 0's
-      // embedding for the dense leg (doc_id and vec_id share the id space
-      // by fixture design) — fused into one ranking by reciprocal-rank
-      // fusion. Composes q_bm25_topk + q_cosine_topk through rrfFuse; each
-      // leg keeps its own plan (prefix-pruned tf aggregate / broadcast-
-      // query top-k) and the fusion adds one keyed aggregate — nothing new
-      // shuffles wide.
-      val e = t(s, dir, "embeddings")
-      val lex = CorpusOps.bm25(docs(s, dir), "doc_id", "text",
-          queryTerms = Seq("join", "spark", "vector"), k = 20)
-        .select(lit(0L).as("query_id"), $"rnk".as("rank"),
-          $"doc_id".as("neighbor_id"))
-      val dense = VectorOps.topK(e, e.filter($"vec_id" === 0),
-          "vec_id", "embedding", k = 20)
-        .select($"query_id", $"rank", $"neighbor_id")
-      VectorOps.rrfFuse(Seq(lex, dense), topN = 10)
-        .orderBy($"rrf_rank")
-    },
-
-    "q_ann_ivf" -> { (s, dir) =>
-      import s.implicits._
-      val e = t(s, dir, "embeddings")
-      val centroids = e.filter($"vec_id" < 10)
-      val queriesDf = e.filter($"vec_id".between(100, 109))
-      val index = VectorOps.ivfAssign(e, centroids, "vec_id", "embedding")
-      VectorOps.ivfSearch(index, e, queriesDf, "vec_id", "embedding", k = 3, nProbe = 2)
-        .select($"query_id", $"rank".cast("int").as("rnk"), $"neighbor_id", $"cos")
-        .orderBy($"query_id", $"rnk")
-    },
-
-    "q_ann_recall" -> { (s, dir) =>
-      import s.implicits._
-      // ANN FIDELITY judged by the pair-set judge
-      // ([[EvalOps.pairSetPrf]]): the q_ann_ivf tier's retrieved
-      // (query, neighbor) set at k=3/nProbe=2 against the exact top-3 —
-      // recall here is the recall@k every vector store quotes, measured
-      // not assumed, and precision < 1 exposes neighbors the probe set
-      // let in that the exact ranking rejects. The (query, neighbor)
-      // pairs ride the judge's (doc_i, doc_j) key verbatim (directional
-      // pairs are just keys to it).
-      val e = t(s, dir, "embeddings")
-      val centroids = e.filter($"vec_id" < 10)
-      val queriesDf = e.filter($"vec_id".between(100, 109))
-      val index = VectorOps.ivfAssign(e, centroids, "vec_id", "embedding")
-      EvalOps.pairSetPrf(
-        VectorOps.ivfSearch(index, e, queriesDf, "vec_id", "embedding",
-            k = 3, nProbe = 2)
-          .select($"query_id".as("doc_i"), $"neighbor_id".as("doc_j")),
-        VectorOps.topK(e, queriesDf, "vec_id", "embedding", k = 3)
-          .select($"query_id".as("doc_i"), $"neighbor_id".as("doc_j")))
-    },
-
-    "q_ivf_curve" -> { (s, dir) =>
-      import s.implicits._
-      // The IVF TUNING CURVE — recall@3 (and precision/F1) as a function
-      // of nProbe 1→3, the accuracy-vs-cost dial every vector store
-      // publishes before a deployment picks its operating point:
-      // q_ann_recall generalized to one [[EvalOps.pairSetPrf]] row per
-      // probe width against the shared exact top-3. Recall must be
-      // non-decreasing in nProbe by construction (probe sets nest) — the
-      // oracle pins the whole curve, not one point.
-      val e = t(s, dir, "embeddings")
-      val centroids = e.filter($"vec_id" < 10)
-      val queriesDf = e.filter($"vec_id".between(100, 109))
-      val index = VectorOps.ivfAssign(e, centroids, "vec_id", "embedding")
-      val truth = VectorOps.topK(e, queriesDf, "vec_id", "embedding", k = 3)
-        .select($"query_id".as("doc_i"), $"neighbor_id".as("doc_j"))
-      Seq(1, 2, 3).map { np =>
-        EvalOps.pairSetPrf(
-          VectorOps.ivfSearch(index, e, queriesDf, "vec_id", "embedding",
-              k = 3, nProbe = np)
-            .select($"query_id".as("doc_i"), $"neighbor_id".as("doc_j")),
-          truth).withColumn("n_probe", lit(np))
-      }.reduce(_ unionByName _)
-        .select($"n_probe", $"tp", $"fp", $"fn",
-          $"precision", $"recall", $"f1")
-        .orderBy($"n_probe")
-    },
-
-    "q_ivf_append" -> { (s, dir) =>
-      import s.implicits._
-      // Incremental IVF index maintenance ([[VectorOps.appendToIvfIndex]]):
-      // the index is BUILT on the even vec_ids and the odd half arrives
-      // later as TWO appends (assigned with the persisted centroids,
-      // bucketed appends under the same spec — never a rebuild), then the
-      // accreted member file-sets are compacted
-      // ([[ScaleJoins.compactBucketed]]) — so the probe below runs against
-      // a post-compaction index, pinning that compaction preserves search
-      // results for the IVF family too. Probing the loaded index must
-      // equal q_ann_ivf's search over the whole table with the same
-      // centroids — the same oracle gates both. Staged once per (sf, JVM)
-      // ([[Staging.memo]]): a repeat append would duplicate members, and
-      // bench reps must measure the PROBE, not the build.
-      val e = t(s, dir, "embeddings")
-      val name = Staging.memo[String]("ivfappend", dir) {
-        val nm = "graft_ivf_append_" + dir.replaceAll("[^A-Za-z0-9]", "_")
-        val centroids = e.filter($"vec_id" < 10)
-        VectorOps.saveIvfIndex(e.filter($"vec_id" % 2 === 0), centroids,
-          "vec_id", "embedding", nm, buckets = 8)
-        VectorOps.appendToIvfIndex(s, e.filter($"vec_id" % 4 === 1),
-          "vec_id", "embedding", nm, buckets = 8)
-        VectorOps.appendToIvfIndex(s, e.filter($"vec_id" % 4 === 3),
-          "vec_id", "embedding", nm, buckets = 8)
-        ScaleJoins.compactBucketed(s, s"${nm}_members")
-        nm
-      }
-      VectorOps.ivfSearchLoaded(VectorOps.loadIvfIndex(s, name),
-          e.filter($"vec_id".between(100, 109)), "vec_id", "embedding",
-          k = 3, nProbe = 2)
-        .select($"query_id", $"rank".cast("int").as("rnk"), $"neighbor_id", $"cos")
-        .orderBy($"query_id", $"rnk")
-    },
-
-    "q_pq_topk" -> { (s, dir) =>
-      import s.implicits._
-      // Product-quantization MIPS top-k ([[VectorOps.pqEncode]] +
-      // [[VectorOps.pqSearch]]): 64-dim vectors compress to TWO codeword
-      // ids (m=2 subspaces, 8 fixed codewords each — the vec_id < 8 halves,
-      // deterministic like q_ann_ivf's fixed centroid set) and queries
-      // score candidates through a broadcast ADC lookup table — the
-      // third leg of the ANN family next to IVF and SQ8. Encode argmin,
-      // LUT dots, and the per-pair sorted 2-term fold are all
-      // deterministic float ops shared exactly with the DuckDB twin.
-      val e = t(s, dir, "embeddings")
-      val cbs = e.filter($"vec_id" < 8).select(explode(array(
-          struct(lit(0).as("sub"), $"vec_id".as("cid"),
-            slice($"embedding", 1, 32).as("cvec")),
-          struct(lit(1).as("sub"), $"vec_id".as("cid"),
-            slice($"embedding", 33, 32).as("cvec")))).as("cb"))
-        .select($"cb.sub".as("sub"), $"cb.cid".as("cid"), $"cb.cvec".as("cvec"))
-      val codes = VectorOps.pqEncode(e, "vec_id", "embedding", cbs, m = 2, dim = 64)
-      VectorOps.pqSearch(codes, e.filter($"vec_id".between(100, 109)),
-          "vec_id", "embedding", cbs, m = 2, dim = 64, k = 5)
-        .select($"query_id", $"rank".as("rnk"), $"neighbor_id", $"adc")
-        .orderBy($"query_id", $"rnk")
-    },
-
-    "q_ivfpq_topk" -> { (s, dir) =>
-      import s.implicits._
-      // IVF-PQ residual tier ([[VectorOps.ivfPqEncode]] +
-      // [[VectorOps.ivfPqSearch]]) — the FAISS `IVFx,PQy` composition
-      // between q_ann_ivf's coarse lists and q_pq_topk's flat codes:
-      // vectors store cluster id + 2 residual codeword ids; queries probe
-      // the 3 largest-q·c clusters and score candidates by
-      // qc + residual-ADC, never touching original floats. Codebooks are
-      // the RESIDUALS of 8 fixed non-centroid seeds (vec_id 20–27 — a
-      // centroid seed would have residual ≈ 0), deterministic like
-      // q_ann_ivf's fixed centroid set.
-      val e = t(s, dir, "embeddings")
-      val centroids = e.filter($"vec_id" < 10)
-      val res8 = VectorOps.ivfResiduals(
-        e.filter($"vec_id".between(20, 27)), "vec_id", "embedding", centroids)
-      val cbs = res8.select(explode(array(
-          struct(lit(0).as("sub"), $"id".as("cid"),
-            slice($"rvec", 1, 32).as("cvec")),
-          struct(lit(1).as("sub"), $"id".as("cid"),
-            slice($"rvec", 33, 32).as("cvec")))).as("cb"))
-        .select($"cb.sub".as("sub"), $"cb.cid".as("cid"), $"cb.cvec".as("cvec"))
-      val enc = VectorOps.ivfPqEncode(e, "vec_id", "embedding", centroids,
-        cbs, m = 2, dim = 64)
-      VectorOps.ivfPqSearch(enc, centroids, e.filter($"vec_id".between(100, 109)),
-          "vec_id", "embedding", cbs, m = 2, dim = 64, k = 5, nProbe = 3)
-        .select($"query_id", $"rank".as("rnk"), $"neighbor_id", $"adc")
-        .orderBy($"query_id", $"rnk")
-    },
-
-    "q_ivfpq_recall" -> { (s, dir) =>
-      import s.implicits._
-      // IVF-PQ fidelity through the pair-set judge ([[EvalOps.pairSetPrf]],
-      // the q_ann_recall pattern): the residual-ADC tier's retrieved
-      // (query, neighbor) set at k=3/nProbe=3 against the exact top-3 —
-      // the compression tier's recall measured, not assumed.
-      val e = t(s, dir, "embeddings")
-      val centroids = e.filter($"vec_id" < 10)
-      val res8 = VectorOps.ivfResiduals(
-        e.filter($"vec_id".between(20, 27)), "vec_id", "embedding", centroids)
-      val cbs = res8.select(explode(array(
-          struct(lit(0).as("sub"), $"id".as("cid"),
-            slice($"rvec", 1, 32).as("cvec")),
-          struct(lit(1).as("sub"), $"id".as("cid"),
-            slice($"rvec", 33, 32).as("cvec")))).as("cb"))
-        .select($"cb.sub".as("sub"), $"cb.cid".as("cid"), $"cb.cvec".as("cvec"))
-      val enc = VectorOps.ivfPqEncode(e, "vec_id", "embedding", centroids,
-        cbs, m = 2, dim = 64)
-      val queriesDf = e.filter($"vec_id".between(100, 109))
-      EvalOps.pairSetPrf(
-        VectorOps.ivfPqSearch(enc, centroids, queriesDf,
-            "vec_id", "embedding", cbs, m = 2, dim = 64, k = 3, nProbe = 3)
-          .select($"query_id".as("doc_i"), $"neighbor_id".as("doc_j")),
-        VectorOps.topK(e, queriesDf, "vec_id", "embedding", k = 3)
-          .select($"query_id".as("doc_i"), $"neighbor_id".as("doc_j")))
-    },
-
-    "q_ivfpq_curve" -> { (s, dir) =>
-      import s.implicits._
-      // The IVF-PQ TUNING CURVE — q_ivf_curve's dial measurement for the
-      // compression tier (r16 VERDICT item 5): recall@3 (with the full
-      // pair-set PRF row) as a function of (m sub-quantizers, codebook
-      // size, nProbe) on the fixture codebooks. Answers which dial moves
-      // q_ivfpq_recall's honest-toy 0.067 — nProbe nesting, codebook
-      // growth, and the m split each get a measured point; BASELINE.md
-      // records the curve.
-      val e = t(s, dir, "embeddings")
-      val centroids = e.filter($"vec_id" < 10)
-      val queriesDf = e.filter($"vec_id".between(100, 109))
-      val truth = VectorOps.topK(e, queriesDf, "vec_id", "embedding", k = 3)
-        .select($"query_id".as("doc_i"), $"neighbor_id".as("doc_j"))
-      def branch(m: Int, nCodes: Int, nProbe: Int) = {
-        val sd = 64 / m
-        val res = VectorOps.ivfResiduals(
-          e.filter($"vec_id".between(20, 19 + nCodes)),
-          "vec_id", "embedding", centroids)
-        val cbs = res.select(explode(array((0 until m).map(sub =>
-            struct(lit(sub).as("sub"), $"id".as("cid"),
-              slice($"rvec", sub * sd + 1, sd).as("cvec"))): _*)).as("cb"))
-          .select($"cb.sub".as("sub"), $"cb.cid".as("cid"),
-            $"cb.cvec".as("cvec"))
-        val enc = VectorOps.ivfPqEncode(e, "vec_id", "embedding", centroids,
-          cbs, m = m, dim = 64)
-        EvalOps.pairSetPrf(
-          VectorOps.ivfPqSearch(enc, centroids, queriesDf, "vec_id",
-              "embedding", cbs, m = m, dim = 64, k = 3, nProbe = nProbe)
-            .select($"query_id".as("doc_i"), $"neighbor_id".as("doc_j")),
-          truth)
-          .select(lit(m).as("m"), lit(nCodes).as("n_codes"),
-            lit(nProbe).as("n_probe"), $"tp", $"fp", $"fn",
-            $"precision", $"recall", $"f1")
-      }
-      ivfPqCurveConfigs.map { case (m, nc, np) => branch(m, nc, np) }
-        .reduce(_ unionByName _)
-        .orderBy($"m", $"n_codes", $"n_probe")
-    },
-
-    "q_cluster_quality" -> { (s, dir) =>
-      import s.implicits._
-      // Cluster-quality report ([[VectorOps.clusterQuality]]): per-cluster
-      // member count + EXACT within-cluster inertia over e4-quantized
-      // coordinates, for q_ann_ivf's fixed centroid set — the measurement
-      // that decides when an IVF index's centroids need reclustering.
-      // Quantize-then-square makes every distance an exact long, so the
-      // statistic hash-gates where a double Σ‖x−c‖² never could.
-      val e = t(s, dir, "embeddings")
-      VectorOps.clusterQuality(e, "vec_id", "embedding",
-          e.filter($"vec_id" < 10), scale = 4)
-        .orderBy($"cluster_id")
-    },
-
-    "q_embed_centroid" -> { (s, dir) =>
-      import s.implicits._
-      // Per-label mean pooling ([[VectorOps.groupCentroids]]): class
-      // prototype vectors in long form — exact decimal sums make the
-      // pooled statistic order-free and therefore hash-gateable. Only the
-      // EXACT decimal sum `sv` (and the count) is gated: the derived float
-      // mean divides out engine-side, and hashing it would put each
-      // engine's float→string renderer in the contract — DuckDB's changed
-      // across releases and flipped this gate red in round 9.
-      VectorOps.groupCentroids(t(s, dir, "embeddings"), "label", "embedding")
-        .select($"grp", $"pos", $"n", $"sv")
-        .orderBy($"grp", $"pos")
-    },
-
-    "q_embed_neardup" -> { (s, dir) =>
-      import s.implicits._
-      // Embedding-cosine near-dup via banded sign-random-projection LSH
-      // (32-bit sketches, 4 bands × 8, Hamming <= 3 = bands-1 so banded
-      // recall is exactly 1 vs the oracle's brute-force scan), with the
-      // exact cosine attached to every surviving pair. The fixture's
-      // embeddings have no natural near-dups (max pair cosine ≈ 0.51), so —
-      // as q_dedup_exact does for text — near-dups are planted by unioning
-      // an id-shifted copy with coordinate 1 exactly doubled (×2 is exact
-      // float arithmetic, so both engines build bit-identical vectors).
-      val e = t(s, dir, "embeddings")
-      val planted = e.select(($"vec_id" + 1000000L).as("vec_id"),
-        concat(array(element_at($"embedding", 1) * lit(2.0f)),
-          slice($"embedding", 2, 63)).as("embedding"))
-      val all = e.select($"vec_id", $"embedding").unionByName(planted)
-      orderedSmall(
-        VectorOps.srpNearDupPairs(all, "vec_id", "embedding",
-          dim = 64, bits = 32, bandBits = 8, maxHamming = 3),
-        $"vec_i", $"vec_j")
-    },
-
-    "q_stream_embed_neardup" -> { (s, dir) =>
-      import s.implicits._
-      // Streaming SRP-banded embedding near-dup — the vector twin of
-      // q_stream_neardup, sharing its band-bucket state machine
-      // ([[graft.streaming.EventStreams.srpNearDup]]): the base corpus
-      // replays as batch 1, the planted twins as batch 2, so every pair
-      // crosses the boundary through keyed state (new-batch-vs-corpus).
-      // The stream emits (vec_i, vec_j, hamming); the exact cosine is
-      // attached by ONE batch join over the small pair set — output, and
-      // oracle, identical to q_embed_neardup.
-      val staged = Staging.streamEmbDir(s, dir)
-      val ss = Staging.streamSession(s)
-      val schema = ss.read.parquet(s"$staged/a_base.parquet").schema
-      val src = ss.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(staged)
-        .withColumn("tsm", timestamp_micros(expr("ts div 1000")))
-      val sink = Staging.nextStreamSink(ss)
-      val q = graft.streaming.EventStreams
-        .srpNearDup(src, "vec_id", "embedding", "tsm",
-          dim = 64, horizonSec = 100000000000L,
-          bits = 32, bandBits = 8, maxHamming = 3)
-        .writeStream.format("memory").queryName(sink).outputMode("append").start()
-      try q.processAllAvailable() finally q.stop()
-      val e = t(ss, dir, "embeddings")
-      val planted = e.select(($"vec_id" + 1000000L).as("vec_id"),
-        concat(array(element_at($"embedding", 1) * lit(2.0f)),
-          slice($"embedding", 2, 63)).as("embedding"))
-      val all = e.select($"vec_id", $"embedding").unionByName(planted)
-        .select($"vec_id", $"embedding", VectorOps.norm2($"embedding").as("nn"))
-      val pairs = ss.table(sink).distinct()
-      orderedSmall(
-        pairs
-          .join(all.select($"vec_id".as("doc_i"), $"embedding".as("v_i"), $"nn".as("nn_i")), "doc_i")
-          .join(all.select($"vec_id".as("doc_j"), $"embedding".as("v_j"), $"nn".as("nn_j")), "doc_j")
-          .select($"doc_i".as("vec_i"), $"doc_j".as("vec_j"), $"hamming",
-            VectorOps.cosineWithNorms($"v_i", $"v_j", $"nn_i", $"nn_j").as("cos")),
-        $"vec_i", $"vec_j")
-    },
-
-    "q_semdedup" -> { (s, dir) =>
-      import s.implicits._
-      // SemDeDup ([[VectorOps.semDedup]]): nearest-centroid clusters bound
-      // the exact pairwise-cosine stage; within a cluster a row is dropped
-      // iff a smaller-id member sits at cos >= 0.8. Same planted twins as
-      // q_embed_neardup (first coordinate exactly doubled — bit-identical in
-      // both engines), fixed centroid rows like q_ann_ivf. Twins co-cluster
-      // with their originals (the perturbation barely moves the argmax), so
-      // the drops are exactly the planted side; cross-cluster recall 0 is
-      // the algorithm's documented contract, not a defect.
-      val e = t(s, dir, "embeddings")
-      val planted = e.select(($"vec_id" + 1000000L).as("vec_id"),
-        concat(array(element_at($"embedding", 1) * lit(2.0f)),
-          slice($"embedding", 2, 63)).as("embedding"))
-      val all = e.select($"vec_id", $"embedding").unionByName(planted)
-      val centroids = e.filter($"vec_id" < 10).select($"vec_id", $"embedding")
-      orderedSmall(
-        VectorOps.semDedup(all, centroids, "vec_id", "embedding", minCos = 0.8),
-        $"id")
-    },
-
-    // ---- multimodal binary-column plumbing --------------------------------
-    "q_multimodal_features" -> { (s, dir) =>
-      import s.implicits._
-      val media = MultimodalOps.documentsAsMedia(s, docs(s, dir))
-      MultimodalOps.extractFeatures(media).toDF()
-        .orderBy($"doc_id")
-    },
-
-    "q_frame_sample" -> { (s, dir) =>
-      import s.implicits._
-      // Every 4th 64-byte frame of each payload with its rolling hash —
-      // the frame-sampling stage of a video/audio pipeline over the same
-      // binary-column plumbing as q_multimodal_features.
-      val media = MultimodalOps.documentsAsMedia(s, docs(s, dir))
-      MultimodalOps.sampleFrames(media, frameSize = 64, stride = 4).toDF()
-        .orderBy($"doc_id", $"frame_idx")
-    },
-
-    "q_phash_neardup" -> { (s, dir) =>
-      import s.implicits._
-      // Perceptual-hash near-dup over BINARY payloads
-      // ([[MultimodalOps.dHashNearDup]]): 64-bit difference hash (dHash)
-      // of 65 evenly sampled payload bytes, 8×8-bit LSH bands for
-      // candidates (pigeonhole recall 1 at Hamming ≤ 7), exact XOR-popcount
-      // verify — the image-dedup shape run here over the fake-decode byte
-      // stream (swap the sampler for a luminance grid in production). The
-      // oracle recomputes every bit from sampled ascii() comparisons and
-      // counts differing bits per candidate pair. Staged near-dups: each
-      // payload reappears (+1e6) with its FIRST byte overwritten — the
-      // same-length single-byte perturbation an image dedup faces (the
-      // fixture's planted text near-dups change LENGTH, which shifts every
-      // sample position — byte-identical layout is the contract dHash
-      // detects under).
-      val d = docs(s, dir)
-      val staged = d.unionByName(d.select(
-        ($"doc_id" + 1000000L).as("doc_id"),
-        concat(lit("X"), expr("substring(text, 2)")).as("text"),
-        $"lang", $"source", $"n_chars"))
-      val media = MultimodalOps.documentsAsMedia(s, staged)
-      MultimodalOps.dHashNearDup(media, maxHamming = 6)
-        .orderBy($"doc_i", $"doc_j")
-    },
-
-    "q_mm_resize" -> { (s, dir) =>
-      import s.implicits._
-      // Nearest-neighbor payload RESIZE to 64 samples
-      // ([[MultimodalOps.resize]]) — the remaining member of the
-      // decode / feature-extract / resize / frame-sample multimodal
-      // quartet: out[i] = in[⌊i·n/64⌋], the exact index map image
-      // resizers use, over the same partition-parallel binary plumbing.
-      // The oracle replays the index arithmetic and the rolling byte
-      // hash from the source text (ASCII fixture — byte i IS codepoint i).
-      val media = MultimodalOps.documentsAsMedia(s, docs(s, dir))
-      MultimodalOps.resize(media, target = 64).toDF()
-        .orderBy($"doc_id")
-    }
-  )
-
-  /** BM25 CTE chain ending in `s(doc_id, score)` — shared by the two BM25
-    * gates and the hybrid-retrieval composition.
-    */
-  private val bm25Ctes =
-      """dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
-        |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS sumdl FROM dl),
-        |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
-        |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM tok
-        |  WHERE token IN ('join', 'spark', 'vector') GROUP BY 1, 2),
-        |df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
-        |c AS (SELECT tf.doc_id, tf.token,
-        |    ((CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5))
-        |      * (tf * (CAST(1.2 AS DOUBLE) + 1))
-        |      / (tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl / (CAST(sumdl AS DOUBLE) / n)))) AS contrib
-        |  FROM tf JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN st),
-        |s AS (SELECT doc_id,
-        |    coalesce(sum(CASE WHEN token = 'join' THEN contrib END), 0.0)
-        |    + coalesce(sum(CASE WHEN token = 'spark' THEN contrib END), 0.0)
-        |    + coalesce(sum(CASE WHEN token = 'vector' THEN contrib END), 0.0) AS score
-        |  FROM c GROUP BY doc_id)""".stripMargin
-
-  private val Bm25Oracle =
-      s"""WITH $bm25Ctes
-        |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rnk,
-        |  doc_id, score
-        |FROM s ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
-
-  // ---- DuckDB oracle fragments -------------------------------------------
-
-  /** Shared by q_simhash_neardup AND q_stream_neardup: the brute-force
-    * all-pairs Hamming scan both banded operators equal by pigeonhole.
-    */
-  private lazy val simhashNearDupOracle =
-    s"""WITH tk AS (SELECT doc_id,
-       |  list_transform(string_split(text, ' '), tok -> ${duckWideHash("tok")}) AS th
-       |  FROM documents
-       |  -- mirrors SimHash.nearDupPairs' degenerate-doc exclusion
-       |  WHERE text IS NOT NULL AND length(trim(text)) > 0),
-       |t AS (SELECT doc_id,
-       |  CAST(list_sum(list_transform(range(0, 60), b ->
-       |    CASE WHEN list_sum(list_transform(th, h ->
-       |        CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
-       |      THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS s
-       |  FROM tk)
-       |SELECT a.doc_id AS doc_i, b.doc_id AS doc_j,
-       |  CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
-       |FROM t a JOIN t b ON a.doc_id < b.doc_id
-       |WHERE bit_count(xor(a.s, b.s)) <= 3
-       |ORDER BY doc_i, doc_j""".stripMargin
-
-  /** Shared by q_embed_neardup AND q_stream_embed_neardup: brute-force
-    * all-pairs SRP+cosine scan over base ∪ planted twins.
-    */
-  private lazy val embedNearDupOracle: String = {
-      // k-th hyperplane dot, 0-based dim index j0 = j-1 (DuckDB range is
-      // 1-based here): weight = ((k+1)*(j0+7)*2654435761) % 1000003 - 501001.
-      val srpDot = "list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
-        "list_transform(range(1, 65), j -> e[j] * CAST((((k+1) * (j+6) * 2654435761) % 1000003) - 501001 AS DOUBLE))), " +
-        "(acc, x) -> acc + x)"
-      s"""WITH base AS (
-         |  SELECT vec_id, embedding FROM embeddings
-         |  UNION ALL
-         |  SELECT vec_id + 1000000,
-         |    list_concat([embedding[1] * CAST(2 AS FLOAT)], embedding[2:])
-         |  FROM embeddings),
-         |v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-         |  FROM base),
-         |s AS (SELECT vec_id, e,
-         |  CAST(list_sum(list_transform(range(0, 32), k ->
-         |    CASE WHEN $srpDot > 0 THEN (CAST(1 AS BIGINT) << k) ELSE CAST(0 AS BIGINT) END))
-         |    AS BIGINT) AS sig
-         |  FROM v),
-         |n AS (SELECT vec_id, e, sig, ${duckDot("e", "e")} AS nn FROM s)
-         |SELECT a.vec_id AS vec_i, b.vec_id AS vec_j,
-         |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming,
-         |  ${duckDot("a.e", "b.e")} / sqrt(a.nn * b.nn) AS cos
-         |FROM n a JOIN n b ON a.vec_id < b.vec_id
-         |WHERE bit_count(xor(a.sig, b.sig)) <= 3
-         |ORDER BY vec_i, vec_j""".stripMargin
-    }
-
-  /** Shared by q_ann_ivf AND q_ivf_append: probe-and-rank over the
-    * fixed centroid set — the appended index state equals the
-    * built-at-once state, so one SQL gates both.
-    */
-  private lazy val annIvfOracle =
-    s"""WITH $embCte,
-         |cen AS (SELECT vec_id AS cid, e, nn FROM n WHERE vec_id < 10),
-         |asg AS (SELECT vec_id, cluster_id FROM (
-         |  SELECT d.vec_id, c.cid AS cluster_id,
-         |    ROW_NUMBER() OVER (PARTITION BY d.vec_id
-         |      ORDER BY ${duckDot("d.e", "c.e")} / sqrt(d.nn * c.nn) DESC, c.cid) AS rn
-         |  FROM n d CROSS JOIN cen c) WHERE rn = 1),
-         |q AS (SELECT vec_id AS qid, e, nn FROM n WHERE vec_id BETWEEN 100 AND 109),
-         |probes AS (SELECT qid, cluster_id FROM (
-         |  SELECT q.qid, c.cid AS cluster_id,
-         |    ROW_NUMBER() OVER (PARTITION BY q.qid
-         |      ORDER BY ${duckDot("q.e", "c.e")} / sqrt(q.nn * c.nn) DESC, c.cid) AS rn
-         |  FROM q CROSS JOIN cen c) WHERE rn <= 2),
-         |cand AS (SELECT p.qid, a.vec_id AS nid
-         |  FROM probes p JOIN asg a ON a.cluster_id = p.cluster_id
-         |  WHERE a.vec_id <> p.qid)
-         |SELECT qid AS query_id, CAST(rnk AS INT) AS rnk, nid AS neighbor_id, cos FROM (
-         |  SELECT cand.qid, cand.nid,
-         |    ${duckDot("q.e", "d.e")} / sqrt(q.nn * d.nn) AS cos,
-         |    ROW_NUMBER() OVER (PARTITION BY cand.qid
-         |      ORDER BY ${duckDot("q.e", "d.e")} / sqrt(q.nn * d.nn) DESC, cand.nid) AS rnk
-         |  FROM cand JOIN n q ON q.vec_id = cand.qid JOIN n d ON d.vec_id = cand.nid)
-         |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
-
-  /** Shared IVF-PQ residual-ADC chain (q_ivfpq_topk + q_ivfpq_recall):
-    * cosine-argmax assignment to the vec_id<10 centroids, residual arrays,
-    * residual-space codebooks from seeds 20–27 (m=2), nProbe=3 by largest
-    * q·c, score = qc + sorted-fold residual ADC. Ends at `sc`
-    * (query_id, neighbor_id, adc).
-    */
-  /** q_ivfpq_curve's measured grid: the nProbe dial at (m=2, 8 codes),
-    * the codebook-size dial, and the sub-quantizer-count dial. Shared by
-    * the Spark gate and the oracle generator so both sweep identically.
-    */
-  private val ivfPqCurveConfigs: Seq[(Int, Int, Int)] =
-    Seq((1, 8, 3), (2, 8, 1), (2, 8, 2), (2, 8, 3), (2, 16, 3), (4, 8, 3))
-
-  /** One q_ivfpq_curve oracle branch: the [[ivfPqCtes]] chain
-    * parameterized over (m, nCodes, nProbe) with per-config CTE-name
-    * suffixes (rv/asg/q/tr are shared across branches). Slices are
-    * 1-based inclusive `[lo:hi]`, codebook ids run 20..19+nCodes, and the
-    * ADC sum keeps the sorted-fold determinism convention.
-    */
-  private def ivfPqCurveBranch(m: Int, nCodes: Int, nProbe: Int): String = {
-    val sd = 64 / m
-    val x = s"_${m}_${nCodes}_$nProbe"
-    val sp = (0 until m).map(i => s"SELECT $i AS sub").mkString(" UNION ALL ")
-    def slc(v: String, subRef: String): String =
-      if (m == 1) s"$v[1:64]"
-      else "CASE " + (0 until m).map(i =>
-        s"WHEN $subRef = $i THEN $v[${i * sd + 1}:${(i + 1) * sd}]")
-        .mkString(" ") + " END"
-    s"""cb$x AS (SELECT sp.sub, rv.vec_id AS cid, ${slc("r", "sp.sub")} AS cvec
-       |  FROM rv, ($sp) sp WHERE rv.vec_id BETWEEN 20 AND ${19 + nCodes}),
-       |ds$x AS (SELECT rv.vec_id AS id, rv.cluster_id, sp.sub,
-       |    ${slc("r", "sp.sub")} AS dv
-       |  FROM rv, ($sp) sp),
-       |enc$x AS (SELECT id, cluster_id, sub, cid AS code FROM (
-       |  SELECT d.id, d.cluster_id, d.sub, c.cid,
-       |    ROW_NUMBER() OVER (PARTITION BY d.id, d.sub
-       |      ORDER BY list_reduce(list_prepend(CAST(0 AS DOUBLE),
-       |        list_transform(range(1, len(d.dv)+1),
-       |          i -> (d.dv[i]-c.cvec[i])*(d.dv[i]-c.cvec[i]))),
-       |        (a, x) -> a + x) ASC, c.cid ASC) AS rn
-       |  FROM ds$x d JOIN cb$x c ON c.sub = d.sub) WHERE rn = 1),
-       |probes$x AS (SELECT query_id, cluster_id, qc FROM (
-       |  SELECT q.query_id, c.cid AS cluster_id, ${duckDot("q.e", "c.e")} AS qc,
-       |    ROW_NUMBER() OVER (PARTITION BY q.query_id
-       |      ORDER BY ${duckDot("q.e", "c.e")} DESC, c.cid) AS rn
-       |  FROM q CROSS JOIN cen c) WHERE rn <= $nProbe),
-       |qs$x AS (SELECT query_id, sp.sub, ${slc("e", "sp.sub")} AS qv
-       |  FROM q, ($sp) sp),
-       |lut$x AS (SELECT qs.query_id, qs.sub, c.cid AS code,
-       |    ${duckDot("qs.qv", "c.cvec")} AS part
-       |  FROM qs$x qs JOIN cb$x c ON c.sub = qs.sub),
-       |sc$x AS (SELECT p.query_id, enc.id AS neighbor_id,
-       |    MIN(p.qc) + list_reduce(list_prepend(CAST(0 AS DOUBLE),
-       |      list_sort(list(part))), (a, x) -> a + x) AS adc
-       |  FROM enc$x enc
-       |  JOIN probes$x p ON p.cluster_id = enc.cluster_id
-       |  JOIN lut$x l ON l.query_id = p.query_id AND l.sub = enc.sub
-       |    AND l.code = enc.code
-       |  WHERE enc.id <> p.query_id
-       |  GROUP BY p.query_id, enc.id
-       |  HAVING count(*) = $m),
-       |pred$x AS (SELECT query_id AS di, neighbor_id AS dj FROM (
-       |  SELECT *, ROW_NUMBER() OVER (
-       |    PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS rnk
-       |  FROM sc$x) WHERE rnk <= 3),
-       |c$x AS (SELECT CAST(SUM(inp * intr) AS BIGINT) AS tp,
-       |    CAST(SUM(inp * (1 - intr)) AS BIGINT) AS fp,
-       |    CAST(SUM((1 - inp) * intr) AS BIGINT) AS fn
-       |  FROM (SELECT
-       |      CASE WHEN p.di IS NOT NULL THEN 1 ELSE 0 END AS inp,
-       |      CASE WHEN t.di IS NOT NULL THEN 1 ELSE 0 END AS intr
-       |    FROM pred$x p FULL JOIN tr t ON p.di = t.di AND p.dj = t.dj))""".stripMargin
+  private val parts: Seq[QueryDomain] =
+    Seq(DedupQueries, TextAnalysisQueries, EventQueries, VectorQueries)
+
+  // ++ silently SHADOWS duplicate keys (the r17 gate-name-collision trap);
+  // force the collision loud at object init instead.
+  val queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val m = parts.map(_.queries).reduce(_ ++ _)
+    require(m.size == parts.map(_.queries.size).sum,
+      "duplicate gate name across query-family files — Map ++ would shadow one")
+    m
   }
 
-  /** One final-select branch for q_ivfpq_curve. */
-  private def ivfPqCurveSelect(m: Int, nCodes: Int, nProbe: Int): String = {
-    val x = s"_${m}_${nCodes}_$nProbe"
-    s"""SELECT CAST($m AS INT) AS m, CAST($nCodes AS INT) AS n_codes,
-       |  CAST($nProbe AS INT) AS n_probe,
-       |  COALESCE(tp, 0) AS tp, COALESCE(fp, 0) AS fp,
-       |  COALESCE(fn, 0) AS fn,
-       |  CASE WHEN COALESCE(tp,0) + COALESCE(fp,0) = 0 THEN NULL
-       |    ELSE CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS precision,
-       |  CASE WHEN COALESCE(tp,0) + COALESCE(fn,0) = 0 THEN NULL
-       |    ELSE CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS recall,
-       |  CASE WHEN 2*COALESCE(tp,0) + COALESCE(fp,0) + COALESCE(fn,0) = 0
-       |    THEN NULL
-       |    ELSE CAST(2*tp AS DOUBLE) / CAST(2*tp + fp + fn AS DOUBLE)
-       |    END AS f1
-       |FROM c$x""".stripMargin
+  val oracleSql: Map[String, String] = {
+    val m = parts.map(_.oracleSql).reduce(_ ++ _)
+    require(m.size == parts.map(_.oracleSql.size).sum,
+      "duplicate oracle name across query-family files — Map ++ would shadow one")
+    m
   }
-
-  private lazy val ivfPqCtes =
-    s"""$embCte,
-       |cen AS (SELECT vec_id AS cid, e, nn FROM n WHERE vec_id < 10),
-       |asg AS (SELECT vec_id, cluster_id FROM (
-       |  SELECT d.vec_id, c.cid AS cluster_id,
-       |    ROW_NUMBER() OVER (PARTITION BY d.vec_id
-       |      ORDER BY ${duckDot("d.e", "c.e")} / sqrt(d.nn * c.nn) DESC, c.cid) AS rn
-       |  FROM n d CROSS JOIN cen c) WHERE rn = 1),
-       |rv AS (SELECT n.vec_id, asg.cluster_id,
-       |    list_transform(range(1, len(n.e)+1), i -> n.e[i] - c.e[i]) AS r
-       |  FROM n JOIN asg ON asg.vec_id = n.vec_id
-       |  JOIN cen c ON c.cid = asg.cluster_id),
-       |sp AS (SELECT 0 AS sub UNION ALL SELECT 1),
-       |cb AS (SELECT sp.sub, rv.vec_id AS cid,
-       |    CASE WHEN sp.sub = 0 THEN r[1:32] ELSE r[33:64] END AS cvec
-       |  FROM rv, sp WHERE rv.vec_id BETWEEN 20 AND 27),
-       |ds AS (SELECT rv.vec_id AS id, rv.cluster_id, sp.sub,
-       |    CASE WHEN sp.sub = 0 THEN r[1:32] ELSE r[33:64] END AS dv
-       |  FROM rv, sp),
-       |enc AS (SELECT id, cluster_id, sub, cid AS code FROM (
-       |  SELECT d.id, d.cluster_id, d.sub, c.cid,
-       |    ROW_NUMBER() OVER (PARTITION BY d.id, d.sub
-       |      ORDER BY list_reduce(list_prepend(CAST(0 AS DOUBLE),
-       |        list_transform(range(1, len(d.dv)+1),
-       |          i -> (d.dv[i]-c.cvec[i])*(d.dv[i]-c.cvec[i]))),
-       |        (a, x) -> a + x) ASC, c.cid ASC) AS rn
-       |  FROM ds d JOIN cb c ON c.sub = d.sub) WHERE rn = 1),
-       |q AS (SELECT vec_id AS query_id, e, nn FROM n
-       |  WHERE vec_id BETWEEN 100 AND 109),
-       |probes AS (SELECT query_id, cluster_id, qc FROM (
-       |  SELECT q.query_id, c.cid AS cluster_id, ${duckDot("q.e", "c.e")} AS qc,
-       |    ROW_NUMBER() OVER (PARTITION BY q.query_id
-       |      ORDER BY ${duckDot("q.e", "c.e")} DESC, c.cid) AS rn
-       |  FROM q CROSS JOIN cen c) WHERE rn <= 3),
-       |qs AS (SELECT query_id, sp.sub,
-       |    CASE WHEN sp.sub = 0 THEN e[1:32] ELSE e[33:64] END AS qv
-       |  FROM q, sp),
-       |lut AS (SELECT qs.query_id, qs.sub, c.cid AS code,
-       |    ${duckDot("qs.qv", "c.cvec")} AS part
-       |  FROM qs JOIN cb c ON c.sub = qs.sub),
-       |sc AS (SELECT p.query_id, enc.id AS neighbor_id,
-       |    MIN(p.qc) + list_reduce(list_prepend(CAST(0 AS DOUBLE),
-       |      list_sort(list(part))), (a, x) -> a + x) AS adc
-       |  FROM enc
-       |  JOIN probes p ON p.cluster_id = enc.cluster_id
-       |  JOIN lut l ON l.query_id = p.query_id AND l.sub = enc.sub
-       |    AND l.code = enc.code
-       |  WHERE enc.id <> p.query_id
-       |  GROUP BY p.query_id, enc.id
-       |  HAVING count(*) = 2)""".stripMargin
-
-  private lazy val qualityRulesOracle =
-    """WITH d AS (SELECT doc_id, replace(text, ' line ', chr(10)) AS text
-        |  FROM documents),
-        |base AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n_chars,
-        |    string_split(text, chr(10)) AS lines FROM d),
-        |ls AS (SELECT doc_id,
-        |    CAST(len(lines) AS BIGINT) AS n_lines,
-        |    CAST(len(lines) - len(list_distinct(lines)) AS BIGINT) AS n_dup_lines,
-        |    CAST(len(list_filter(lines, l -> l LIKE '- %' OR l LIKE '* %'
-        |      OR l LIKE '• %')) AS BIGINT) AS n_bullet_lines,
-        |    CAST(len(list_filter(lines, l -> l LIKE '%...' OR l LIKE '%…'))
-        |      AS BIGINT) AS n_ellipsis_lines,
-        |    CAST(length(text) - length(replace(text, '#', ''))
-        |      + (length(text) - length(replace(text, '...', ''))) // 3
-        |      AS BIGINT) AS n_symbols
-        |  FROM base),
-        |lw AS (SELECT doc_id, list_filter(string_split(l, ' '), w -> w <> '') AS wl
-        |  FROM (SELECT doc_id, unnest(lines) AS l FROM base)),
-        |ws AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
-        |    CAST(sum(length(w)) AS BIGINT) AS sum_word_chars
-        |  FROM (SELECT doc_id, unnest(wl) AS w FROM lw) GROUP BY doc_id),
-        |bc AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
-        |  FROM (SELECT doc_id, wl[i] || ' ' || wl[i+1] AS g
-        |        FROM (SELECT doc_id, wl, unnest(range(1, len(wl))) AS i FROM lw))
-        |  GROUP BY 1, 2),
-        |bt AS (SELECT doc_id, g, c FROM (SELECT doc_id, g, c,
-        |    row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn
-        |  FROM bc) WHERE rn = 1),
-        |f AS (SELECT base.doc_id, n_chars, n_lines, n_dup_lines,
-        |    COALESCE(n_words, 0) AS n_words,
-        |    COALESCE(sum_word_chars, 0) AS sum_word_chars,
-        |    COALESCE(c, 0) AS top2_n,
-        |    CASE WHEN COALESCE(c, 0) > 0 THEN g END AS top2_gram,
-        |    COALESCE(c, 0) * CAST(length(COALESCE(g, '')) AS BIGINT) AS top2_chars,
-        |    n_symbols, n_bullet_lines, n_ellipsis_lines
-        |  FROM base JOIN ls USING (doc_id) LEFT JOIN ws USING (doc_id)
-        |  LEFT JOIN bt USING (doc_id))
-        |SELECT doc_id, n_chars, n_lines, n_dup_lines, n_words, sum_word_chars,
-        |  top2_n, top2_gram, top2_chars, n_symbols, n_bullet_lines,
-        |  n_ellipsis_lines,
-        |  CASE WHEN n_lines > 0 THEN CAST(n_dup_lines AS DOUBLE)
-        |    / CAST(n_lines AS DOUBLE) END AS dup_line_frac,
-        |  CASE WHEN n_words > 0 THEN CAST(sum_word_chars AS DOUBLE)
-        |    / CAST(n_words AS DOUBLE) END AS mean_word_len,
-        |  CASE WHEN n_chars > 0 THEN CAST(top2_chars AS DOUBLE)
-        |    / CAST(n_chars AS DOUBLE) END AS top2_char_frac,
-        |  CASE WHEN n_words > 0 THEN CAST(n_symbols AS DOUBLE)
-        |    / CAST(n_words AS DOUBLE) END AS symbol_ratio,
-        |  CASE WHEN n_lines > 0 THEN CAST(n_bullet_lines AS DOUBLE)
-        |    / CAST(n_lines AS DOUBLE) END AS bullet_frac,
-        |  CASE WHEN n_lines > 0 THEN CAST(n_ellipsis_lines AS DOUBLE)
-        |    / CAST(n_lines AS DOUBLE) END AS ellipsis_frac,
-        |  (n_words >= 30 AND n_words <= 100000
-        |    AND sum_word_chars >= n_words * 3 AND sum_word_chars <= n_words * 10
-        |    AND n_symbols * 10 < n_words
-        |    AND n_bullet_lines * 10 < n_lines * 9
-        |    AND n_ellipsis_lines * 10 < n_lines * 3
-        |    AND n_dup_lines * 10 < n_lines * 3
-        |    AND top2_chars * 5 < n_chars) AS keep
-        |FROM f ORDER BY doc_id""".stripMargin
-
-  private lazy val langIdOracle =
-    """WITH train AS (SELECT lang, text FROM documents WHERE doc_id % 4 <> 3),
-        |probe AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 4 = 3),
-        |tc AS (SELECT lang, gram, CAST(count(*) AS BIGINT) AS c
-        |  FROM (SELECT lang, substr(text, i, 3) AS gram
-        |        FROM (SELECT lang, text, unnest(range(1, length(text) - 1)) AS i
-        |              FROM train))
-        |  GROUP BY 1, 2),
-        |prof AS (SELECT lang, gram, CAST(rnk AS BIGINT) AS rank_lang
-        |  FROM (SELECT lang, gram,
-        |          row_number() OVER (PARTITION BY lang ORDER BY c DESC, gram ASC) AS rnk
-        |        FROM tc) WHERE rnk <= 64),
-        |pc AS (SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS c
-        |  FROM (SELECT doc_id, substr(text, i, 3) AS gram
-        |        FROM (SELECT doc_id, text, unnest(range(1, length(text) - 1)) AS i
-        |              FROM probe))
-        |  GROUP BY 1, 2),
-        |ptop AS (SELECT doc_id, gram, CAST(rnk AS BIGINT) AS rank_doc
-        |  FROM (SELECT doc_id, gram,
-        |          row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram ASC) AS rnk
-        |        FROM pc) WHERE rnk <= 64),
-        |langs AS (SELECT DISTINCT lang FROM prof),
-        |cand AS (SELECT doc_id, l.lang,
-        |    CAST(sum(COALESCE(abs(rank_doc - rank_lang), 64)) AS BIGINT) AS dist
-        |  FROM ptop CROSS JOIN langs l
-        |  LEFT JOIN prof ON prof.lang = l.lang AND prof.gram = ptop.gram
-        |  GROUP BY 1, 2),
-        |best AS (SELECT doc_id, lang AS lang_pred, dist
-        |  FROM (SELECT doc_id, lang, dist,
-        |          row_number() OVER (PARTITION BY doc_id ORDER BY dist ASC, lang ASC) AS rn
-        |        FROM cand) WHERE rn = 1)
-        |SELECT b.doc_id, p.lang AS lang_true, b.lang_pred, b.dist,
-        |  (p.lang = b.lang_pred) AS correct
-        |FROM best b JOIN probe p USING (doc_id)
-        |ORDER BY doc_id""".stripMargin
-
-  /** Shared by q_vocab_richness AND q_stream_richness: vocabulary-level
-    * counts, exact integers, three IEEE divisions — the batch aggregate
-    * and the streaming count-map fold must land on the same rows.
-    */
-  private lazy val vocabRichnessOracle =
-    """WITH c AS (SELECT src, tok, CAST(count(*) AS BIGINT) AS c
-      |  FROM (SELECT source AS src,
-      |      unnest(string_split(text, ' ')) AS tok FROM documents)
-      |  GROUP BY src, tok)
-      |SELECT src AS source,
-      |  CAST(sum(c) AS BIGINT) AS total_tokens,
-      |  CAST(count(*) AS BIGINT) AS m_tokens,
-      |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
-      |  CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dis,
-      |  CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS ttr,
-      |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
-      |    / CAST(count(*) AS DOUBLE) AS hapax_rate,
-      |  CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS DOUBLE)
-      |    / CAST(count(*) AS DOUBLE) AS dis_rate
-      |FROM c GROUP BY src ORDER BY source""".stripMargin
-
-  /** Shared by q_heavy_hitters AND q_stream_topk: the exact GROUP BY +
-    * HAVING over word bigrams both two-pass pipelines equal.
-    */
-  private lazy val heavyHittersOracle =
-    """WITH t AS (SELECT tk[i] || ' ' || tk[i+1] AS item
-      |  FROM (SELECT tk, unnest(range(1, len(tk))) AS i
-      |        FROM (SELECT string_split(text, ' ') AS tk
-      |              FROM documents WHERE text IS NOT NULL))),
-      |s AS (SELECT CAST(count(*) AS BIGINT) AS total FROM t)
-      |SELECT item, CAST(count(*) AS BIGINT) AS cnt, s.total AS total
-      |FROM t, s GROUP BY item, s.total
-      |HAVING count(*) * 800 >= s.total ORDER BY item""".stripMargin
-
-  /** Shared by q_funnel AND q_stream_funnel: the chained running-min
-    * construction over (ts_µs, event_id) order — the batch answer the
-    * streaming replay must reproduce bit-for-bit.
-    */
-  private val funnelOracle =
-    """WITH e AS (SELECT user_id, event_id, event_type,
-      |    epoch_ns(ts) // 1000 AS tns FROM events),
-      |w1 AS (SELECT *,
-      |  CASE WHEN event_type = 'view' THEN tns END AS d0 FROM e),
-      |w2 AS (SELECT *, CASE WHEN event_type = 'click' AND
-      |    MIN(d0) OVER (PARTITION BY user_id ORDER BY tns, event_id
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NOT NULL
-      |  THEN tns END AS d1 FROM w1),
-      |w3 AS (SELECT *, CASE WHEN event_type = 'purchase' AND
-      |    MIN(d1) OVER (PARTITION BY user_id ORDER BY tns, event_id
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NOT NULL
-      |  THEN tns END AS d2 FROM w2)
-      |SELECT user_id, MIN(d0) AS t_view, MIN(d1) AS t_click,
-      |  MIN(d2) AS t_purchase,
-      |  CAST(CAST(MIN(d0) IS NOT NULL AS INT)
-      |    + CAST(MIN(d1) IS NOT NULL AS INT)
-      |    + CAST(MIN(d2) IS NOT NULL AS INT) AS INT) AS steps_completed
-      |FROM w3 GROUP BY user_id ORDER BY user_id""".stripMargin
-
-  /** The q_lsh_probe / q_stream_lsh_probe shared index staging: corpus =
-    * doc_id%4 ∈ {0,1} built, ingest %4 == 2 appended as TWO batches
-    * (%8 == 2 then %8 == 6), then the bucketed tables are compacted
-    * ([[graft.operators.ScaleJoins.compactBucketed]]) — so every probe in
-    * the suite runs against a POST-COMPACTION index, pinning that
-    * compaction preserves probe results. Staged once per (sf, JVM)
-    * ([[Staging.memo]]); a repeat append would duplicate band rows, and
-    * bench reps must measure the PROBE, not the build. Whichever gate runs
-    * first builds it; the catalog is shared across cloned sessions.
-    */
-  /** `rounds` integer power-iteration rounds unrolled — the recurrence
-    * [[graft.operators.VectorOps.topComponentInt]] runs on the driver:
-    * exact HUGEINT scatter n·Sxx − S Sᵀ, quantized to ≤ 2³⁰ by a
-    * bit-length floor-shift, then y = C''x with x renormalized to ≤ 2²¹
-    * each round by the same shift rule; deterministic sign at the end.
-    * MATERIALIZED throughout — each round's CTE is referenced by the next
-    * round AND by its own scalar max-subqueries.
-    */
-  private def pcaTopOracle(rounds: Int): String = {
-    val steps = (1 to rounds).map { r =>
-      s"""y$r AS MATERIALIZED (SELECT c.i, CAST(SUM(c.c * x.x) AS BIGINT) AS y
-         |  FROM cq c JOIN x${r - 1} x ON x.i = c.j GROUP BY c.i),
-         |x$r AS MATERIALIZED (SELECT i,
-         |  CASE WHEN (SELECT MAX(ABS(y)) FROM y$r) = 0 THEN y
-         |  ELSE y // (CAST(1 AS BIGINT) <<
-         |    GREATEST(length(bin((SELECT MAX(ABS(y)) FROM y$r))) - 21, 0))
-         |  END AS x FROM y$r)""".stripMargin
-    }.mkString(",\n")
-    s"""WITH em AS MATERIALIZED (SELECT list_transform(embedding,
-       |    e -> CAST(CAST(CAST(e AS DOUBLE) AS DECIMAL(18,4)) * 10000 AS BIGINT)) AS v
-       |  FROM embeddings WHERE embedding IS NOT NULL),
-       |a AS MATERIALIZED (SELECT v, unnest(range(1, len(v)+1)) AS i FROM em),
-       |b AS (SELECT i, v[i] AS xi, v, unnest(range(1, len(v)+1)) AS j FROM a),
-       |sxx AS MATERIALIZED (SELECT i, j,
-       |    SUM(CAST(xi AS HUGEINT) * v[j]) AS sxx FROM b GROUP BY i, j),
-       |si AS MATERIALIZED (SELECT i, SUM(CAST(v[i] AS HUGEINT)) AS s,
-       |    CAST(COUNT(*) AS HUGEINT) AS n FROM a GROUP BY i),
-       |cf AS MATERIALIZED (SELECT x.i, x.j,
-       |    (SELECT FIRST(n) FROM si) * x.sxx - s1.s * s2.s AS c
-       |  FROM sxx x JOIN si s1 ON s1.i = x.i JOIN si s2 ON s2.i = x.j),
-       |cq AS MATERIALIZED (SELECT i, j,
-       |    CAST(c // (CAST(1 AS BIGINT) <<
-       |      GREATEST(length(bin(CAST((SELECT MAX(ABS(c)) FROM cf) AS BIGINT)))
-       |        - 30, 0)) AS BIGINT) AS c
-       |  FROM cf),
-       |x0 AS (SELECT i, CAST(1 AS BIGINT) AS x FROM si),
-       |$steps,
-       |pick AS (SELECT x AS pv FROM x$rounds ORDER BY ABS(x) DESC, i ASC LIMIT 1)
-       |SELECT CAST(i - 1 AS INT) AS dim,
-       |  CAST(CASE WHEN (SELECT pv FROM pick) < 0 THEN -x ELSE x END
-       |    AS BIGINT) AS component
-       |FROM x$rounds ORDER BY dim""".stripMargin
-  }
-
-  /** Shared by q_cusum AND q_stream_cusum: the prefix-sum identity
-    * s_i = c_i − min(0, min_{j≤i} c_j) — two cumulative windows, NOT a
-    * list_reduce fold: DuckDB 1.0's list_reduce mis-evaluates struct
-    * accumulators whose lambda reads a field twice (observed alarming
-    * below the threshold with prefix-length-dependent answers), and the
-    * window form is the operator's own scale shape anyway.
-    */
-  private lazy val cusumOracle =
-    """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS o, event_id AS t0,
-      |    CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS v
-      |  FROM events),
-      |c AS (SELECT user_id, o, t0,
-      |    CAST(SUM(v - 600000) OVER w AS BIGINT) AS c,
-      |    ROW_NUMBER() OVER (PARTITION BY user_id
-      |      ORDER BY o DESC, t0 DESC) AS rn_desc
-      |  FROM e
-      |  WINDOW w AS (PARTITION BY user_id ORDER BY o, t0
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-      |s AS (SELECT user_id, rn_desc,
-      |    c - least(CAST(MIN(c) OVER (PARTITION BY user_id ORDER BY o, t0
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT),
-      |      CAST(0 AS BIGINT)) AS s
-      |  FROM c)
-      |SELECT user_id, CAST(count(*) AS INT) AS n,
-      |  CAST(MAX(CASE WHEN rn_desc = 1 THEN s END) AS BIGINT) AS cusum_final,
-      |  CAST(SUM(CASE WHEN s > 2000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_over
-      |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin
-
-  /** The persisted-window-index probe recurrence (q_window_probe /
-    * q_stream_decontam): benchmark windows with ref-side df ≤ 3, joined by
-    * every non-benchmark document's distinct windows.
-    */
-  private lazy val windowProbeOracle =
-    s"""WITH wa AS (SELECT doc_id,
-       |  list_transform(list_distinct(list_transform(range(1, length(text)-22),
-       |    i -> substr(text, i, 24))), w -> ${duckWideHash("w")}) AS ws
-       |  FROM documents WHERE length(text) >= 24 AND source <> 'src0'),
-       |wb AS (SELECT doc_id,
-       |  list_transform(list_distinct(list_transform(range(1, length(text)-22),
-       |    i -> substr(text, i, 24))), w -> ${duckWideHash("w")}) AS ws
-       |  FROM documents WHERE length(text) >= 24 AND source = 'src0'),
-       |eb AS (SELECT doc_id AS doc_b, unnest(ws) AS w FROM wb),
-       |bdf AS (SELECT w, count(*) AS wdf FROM eb GROUP BY w),
-       |keep AS (SELECT doc_b, eb.w FROM eb JOIN bdf ON bdf.w = eb.w
-       |  WHERE wdf <= 3),
-       |ea AS (SELECT doc_id AS doc_a, unnest(ws) AS w FROM wa)
-       |SELECT a.doc_a, k.doc_b, CAST(count(*) AS BIGINT) AS n_shared_windows
-       |FROM ea a JOIN keep k ON a.w = k.w
-       |WHERE a.doc_a <> k.doc_b
-       |GROUP BY a.doc_a, k.doc_b ORDER BY doc_a, doc_b""".stripMargin
-
-  /** Staged once per (sf, JVM): the src0-benchmark window index shared by
-    * q_window_probe and q_stream_decontam (24-char windows, ref-side
-    * boilerplate cap 3, 8 buckets at fixture scale).
-    */
-  private def windowIndex(s: SparkSession, dir: String): String =
-    Staging.memo[String]("windowidx", dir) {
-      import s.implicits._
-      val nm = "graft_window_idx_" + dir.replaceAll("[^A-Za-z0-9]", "_")
-      CorpusOps.saveWindowIndex(docs(s, dir).filter($"source" === "src0"),
-        "doc_id", "text", nm, n = 24, maxRefDf = Some(3), buckets = 8)
-      nm
-    }
-
-  private def lshProbeIndex(s: SparkSession, dir: String): String =
-    Staging.memo[String]("lshprobe", dir) {
-      import s.implicits._
-      val d = docs(s, dir)
-      val nm = "graft_lsh_probe_" + dir.replaceAll("[^A-Za-z0-9]", "_")
-      MinHashLsh.saveLshIndex(d.filter($"doc_id" % 4 <= 1), "doc_id", "text", nm,
-        numHashes = 32, numBands = 8, shingleN = 3, buckets = 8)
-      MinHashLsh.appendToLshIndex(s, d.filter($"doc_id" % 8 === 2), "doc_id", "text", nm)
-      MinHashLsh.appendToLshIndex(s, d.filter($"doc_id" % 8 === 6), "doc_id", "text", nm)
-      ScaleJoins.compactBucketed(s, s"${nm}_bands")
-      ScaleJoins.compactBucketed(s, s"${nm}_sets")
-      nm
-    }
-
-  /** The shared DSIR frame (q_dsir_select / q_stream_dsir): bucket-hashed
-    * unigram LMs over the full corpus, integer-log₂ terms, per-doc weight
-    * sums. `docFilter` restricts which docs are SCORED (never which feed
-    * the LMs); `tail` is the final SELECT over the `w` CTE.
-    */
-  private def dsirOracle(docFilter: String, tail: String): String = {
-    val h = duckHash("ds_tok")
-    s"""WITH tok AS (SELECT doc_id, lang = 'en' AS is_tgt,
-       |    unnest(string_split(text, ' ')) AS ds_tok
-       |  FROM documents WHERE text IS NOT NULL AND text <> ''),
-       |tb AS (SELECT $h % 512 AS b,
-       |    CAST(count(*) AS BIGINT) AS cr,
-       |    CAST(count(*) FILTER (WHERE is_tgt) AS BIGINT) AS ct
-       |  FROM tok GROUP BY 1),
-       |tot AS (SELECT CAST(SUM(cr) AS BIGINT) AS r,
-       |    CAST(SUM(ct) AS BIGINT) AS t FROM tb),
-       |term AS (SELECT b,
-       |    CAST(length(bin(ct + 1)) - length(bin(cr + 1)) AS BIGINT) AS trm
-       |  FROM tb),
-       |w AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-       |    CAST(SUM(trm) + count(*) *
-       |      (length(bin(r + 512)) - length(bin(t + 512))) AS BIGINT) AS weight
-       |  FROM tok JOIN term ON ($h % 512) = term.b CROSS JOIN tot
-       |  $docFilter
-       |  GROUP BY doc_id, r, t)
-       |$tail""".stripMargin
-  }
-
-  /** DuckDB twin of [[TextOps.polyHash]] (left fold, 64-bit, mod 1e9+7). */
-  private def duckHash(s: String, base: Int = 31): String =
-    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
-      s"list_transform(range(1, length($s)+1), i -> CAST(ascii(substr($s, i, 1)) AS BIGINT))), " +
-      s"(acc, c) -> (acc * $base + c) % 1000000007)"
-
-  /** DuckDB twin of [[TextOps.wideHash]] (60 informative bits). */
-  private def duckWideHash(s: String): String =
-    s"(${duckHash(s)} + ${duckHash(s, 131)} * 1073741824)"
-
-  /** DuckDB twin of [[VectorOps]]' strict left-fold dot product. */
-  private def duckDot(a: String, b: String): String =
-    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
-      s"list_transform(range(1, len($a)+1), i -> $a[i]*$b[i])), (acc, x) -> acc + x)"
-
-  /** Shared embeddings CTE: doubles + precomputed squared norms. */
-  private val embCte =
-    s"""v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) e FROM embeddings),
-       |n AS (SELECT vec_id, e, ${duckDot("e", "e")} AS nn FROM v)""".stripMargin
-
-  /** The from-scratch connected-components oracle shared by
-    * q_cc_incremental and q_stream_components: SimHash near-dup pairs →
-    * symmetric edge closure → recursive-CTE min-label reachability.
-    */
-  private lazy val ccFromScratchOracle: String =
-    s"""WITH RECURSIVE tk AS (SELECT doc_id,
-       |  list_transform(string_split(text, ' '), tok -> ${duckWideHash("tok")}) AS th
-       |  FROM documents
-       |  WHERE text IS NOT NULL AND length(trim(text)) > 0),
-       |t AS (SELECT doc_id,
-       |  CAST(list_sum(list_transform(range(0, 60), b ->
-       |    CASE WHEN list_sum(list_transform(th, h ->
-       |        CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
-       |      THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS s
-       |  FROM tk),
-       |pairs AS (SELECT a.doc_id AS u, b.doc_id AS v
-       |  FROM t a JOIN t b ON a.doc_id < b.doc_id
-       |  WHERE bit_count(xor(a.s, b.s)) <= 3),
-       |edges AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
-       |reach(node, lbl) AS (
-       |  SELECT u, u FROM edges
-       |  UNION
-       |  SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.node = e.v),
-       |comp AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node)
-       |SELECT node AS doc_id, cluster_id,
-       |  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
-       |FROM comp ORDER BY doc_id""".stripMargin
-
-  /** Shared by q_sessionize AND q_stream_sessionize: the stateful streaming
-    * sessionizer is gated against the batch oracle — that equality is the
-    * entire point of the gate.
-    */
-  private val sessionizeOracle =
-    """WITH e AS (SELECT user_id, event_id, event_type, value, ts,
-      |  CAST(floor(epoch(ts)) AS BIGINT) AS ep FROM events),
-      |l AS (SELECT *,
-      |  lag(ep) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM e),
-      |f AS (SELECT *, CASE WHEN prev IS NULL OR ep - prev > 21600 THEN 1 ELSE 0 END AS new_s FROM l),
-      |x AS (SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx FROM f)
-      |SELECT user_id, session_idx,
-      |  min(ep) AS start_epoch, max(ep) AS end_epoch,
-      |  count(*) AS n_events,
-      |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
-      |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
-      |FROM x GROUP BY user_id, session_idx
-      |ORDER BY user_id, session_idx""".stripMargin
-
-  private val langScoreSql = TextStats.LangProfiles.map { case (lang, m) =>
-    val in = m.map(w => s"'$w'").mkString(", ")
-    lang -> s"CAST(len(list_filter(string_split(text, ' '), w -> w IN ($in))) AS BIGINT)"
-  }
-
-  /** Unrolled k-iteration BPE trainer in DuckDB SQL: each iteration is a
-    * (pair-count, argmax, fold) CTE triple chained off the previous vocab.
-    * The fold replicates [[graft.operators.CorpusOps.learnBpeMerges]]'s
-    * greedy left-to-right non-overlapping merge exactly — `list_reduce`
-    * over singleton-wrapped symbols (the first element is the fold's
-    * initial accumulator, matching the Spark `aggregate`'s `slice(1,1)`
-    * init). Last-element access and drop-last are spelled with EXPLICIT
-    * 1-based positive bounds (`acc[len(acc)]`, `acc[1:len(acc)-1]`) —
-    * negative subscripts/slices lean on DuckDB's inclusive-negative
-    * convention, a version-sensitive construct family (round-9 audit).
-    * Argmax tiebreak (freq DESC, lft, rgt) is a binary string compare in
-    * both engines.
-    */
-  private def bpeChain(k: Int): String = {
-    val iters = (1 to k).map { i =>
-      s"""p$i AS (
-         |  SELECT s.pair[1] AS lft, s.pair[2] AS rgt, SUM(wc) AS freq
-         |  FROM v${i - 1}, unnest(list_zip(syms[1:len(syms)-1], syms[2:len(syms)])) AS s(pair)
-         |  WHERE len(syms) >= 2 GROUP BY 1, 2),
-         |m$i AS (SELECT lft, rgt, freq FROM p$i ORDER BY freq DESC, lft, rgt LIMIT 1),
-         |v$i AS (
-         |  SELECT word, CASE WHEN len(syms) < 2 THEN syms ELSE
-         |    list_reduce(list_transform(syms, x -> [x]),
-         |      (acc, x) -> CASE WHEN acc[len(acc)] = m$i.lft AND x[1] = m$i.rgt
-         |                  THEN acc[1:len(acc)-1] || [m$i.lft || m$i.rgt] ELSE acc || x END)
-         |    END AS syms, wc
-         |  FROM v${i - 1} CROSS JOIN m$i)""".stripMargin
-    }.mkString(",\n")
-    s"""WITH w AS (
-       |  SELECT x.w AS word, COUNT(*) AS wc
-       |  FROM documents, unnest(string_split(text, ' ')) AS x(w)
-       |  WHERE length(x.w) > 0 GROUP BY 1),
-       |v0 AS (SELECT word, string_split(word, '') AS syms, wc FROM w),
-       |$iters""".stripMargin
-  }
-
-  private def bpeOracle(k: Int): String = {
-    val sel = (1 to k).map(i =>
-      s"SELECT $i AS rank, lft, rgt, CAST(freq AS BIGINT) AS freq FROM m$i")
-      .mkString("\nUNION ALL\n")
-    s"""${bpeChain(k)}
-       |SELECT * FROM (
-       |$sel) ORDER BY rank""".stripMargin
-  }
-
-  /** The encoder twin: the chain's final vocab state, exploded to scalar
-    * (word, wc, pos, piece) rows — DuckDB's 1-based subscripts shifted to
-    * posexplode's 0-based pos.
-    */
-  private def bpeSegmentOracle(k: Int): String =
-    s"""${bpeChain(k)}
-       |SELECT word, CAST(wc AS BIGINT) AS wc,
-       |  CAST(generate_subscripts(syms, 1) - 1 AS INT) AS pos,
-       |  unnest(syms) AS piece
-       |FROM v$k ORDER BY word, pos""".stripMargin
-
-  /** Shared CTE prefix for the graph-traversal oracles: the consecutive-
-    * order customer graph symmetrized to a directed edge list `e(u, v)`
-    * (both directions of every distinct non-loop pair — the exact
-    * normalization [[graft.operators.GraphOps]] applies).
-    */
-  private val symGraphCtes =
-    """raw AS (SELECT a.o_custkey AS s, b.o_custkey AS d
-      |  FROM orders a JOIN orders b ON a.o_orderkey + 1 = b.o_orderkey),
-      |p AS (SELECT DISTINCT least(s, d) AS u, greatest(s, d) AS v
-      |  FROM raw WHERE s <> d),
-      |e AS (SELECT u, v FROM p UNION ALL SELECT v, u FROM p)""".stripMargin
-
-  /** `rounds` peeling rounds unrolled: a{i} = nodes of degree ≥ k in
-    * c{i-1}, c{i} = c{i-1} restricted to edges with BOTH endpoints in
-    * a{i} — the fixpoint [[graft.operators.GraphOps.kCore]] iterates.
-    * Rounds past the fixpoint are no-ops, so any depth ≥ the true
-    * convergence depth yields the exact core (the Spark gate pins that
-    * bound via maxRounds).
-    */
-  private def kCoreOracle(k: Int, rounds: Int): String = {
-    // MATERIALIZED is load-bearing: c{i} references c{i-1} three times
-    // (the edge set and both endpoint filters), so DuckDB's default CTE
-    // inlining re-expands the chain 3^rounds times — at depth 8 that is
-    // thousands of re-scans of orders.parquet (observed as a
-    // too-many-open-files failure), where materialization is 8 linear
-    // passes.
-    val steps = (1 to rounds).map(i =>
-      s"""a$i AS MATERIALIZED (
-         |  SELECT u FROM c${i - 1} GROUP BY u HAVING count(*) >= $k),
-         |c$i AS MATERIALIZED (SELECT t.u, t.v FROM c${i - 1} t
-         |  JOIN a$i x ON t.u = x.u JOIN a$i y ON t.v = y.u)""".stripMargin)
-      .mkString(",\n")
-    s"""WITH $symGraphCtes,
-       |c0 AS MATERIALIZED (SELECT u, v FROM e),
-       |$steps
-       |SELECT u AS node, CAST(count(*) AS BIGINT) AS deg FROM c$rounds
-       |GROUP BY u ORDER BY node""".stripMargin
-  }
-
-  /** k rounds of BFS relaxation unrolled: d{i} = node-keyed MIN over
-    * d{i-1} ∪ (d{i-1} ⋈ e with dist+1) — the same recurrence
-    * [[graft.operators.GraphOps.bfsDistances]] iterates.
-    */
-  private def bfsOracle(k: Int): String = {
-    val steps = (1 to k).map(i =>
-      s"""d$i AS (SELECT node, MIN(dist) AS dist FROM (
-         |  SELECT node, dist FROM d${i - 1} UNION ALL
-         |  SELECT e.v, d.dist + 1 FROM d${i - 1} d JOIN e ON e.u = d.node)
-         |  GROUP BY node)""".stripMargin).mkString(",\n")
-    s"""WITH $symGraphCtes,
-       |d0 AS (SELECT DISTINCT o_custkey AS node, 0 AS dist FROM orders
-       |  WHERE o_custkey % 50 = 0),
-       |$steps
-       |SELECT node, CAST(dist AS INT) AS dist FROM d$k ORDER BY node""".stripMargin
-  }
-
-  /** k rounds of the integer PageRank recurrence unrolled. DuckDB's
-    * SUM(BIGINT) widens to HUGEINT — the outer CAST brings each round's
-    * rank back to BIGINT; `//` on positive BIGINTs floors exactly like
-    * Spark's `div`.
-    */
-  private def pageRankOracle(k: Int): String = {
-    val steps = (1 to k).map(i =>
-      s"""p$i AS (SELECT e.v AS node,
-         |  CAST(150000000000 + SUM((p.pr * 17) // (20 * d.deg)) AS BIGINT) AS pr
-         |  FROM p${i - 1} p JOIN deg d ON d.u = p.node JOIN e ON e.u = p.node
-         |  GROUP BY e.v)""".stripMargin).mkString(",\n")
-    s"""WITH $symGraphCtes,
-       |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY u),
-       |p0 AS (SELECT u AS node, CAST(1000000000000 AS BIGINT) AS pr FROM deg),
-       |$steps
-       |SELECT node, pr FROM p$k ORDER BY node""".stripMargin
-  }
-
-  /** k rounds of the PERSONALIZED integer PageRank recurrence unrolled:
-    * identical arithmetic to [[pageRankOracle]], with both the initial
-    * mass and each round's restart term gated on the seed predicate
-    * (custkey % 50 = 0 — the q_bfs_reach seed set).
-    */
-  private def pprOracle(k: Int): String = {
-    val steps = (1 to k).map(i =>
-      s"""p$i AS (SELECT e.v AS node,
-         |  CAST(CASE WHEN e.v % 50 = 0 THEN 150000000000 ELSE 0 END
-         |    + SUM((p.pr * 17) // (20 * d.deg)) AS BIGINT) AS pr
-         |  FROM p${i - 1} p JOIN deg d ON d.u = p.node JOIN e ON e.u = p.node
-         |  GROUP BY e.v)""".stripMargin).mkString(",\n")
-    s"""WITH $symGraphCtes,
-       |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY u),
-       |p0 AS (SELECT u AS node,
-       |  CAST(CASE WHEN u % 50 = 0 THEN 1000000000000 ELSE 0 END AS BIGINT) AS pr
-       |  FROM deg),
-       |$steps
-       |SELECT node, pr FROM p$k ORDER BY node""".stripMargin
-  }
-
-  /** k rounds of synchronous majority-vote label propagation unrolled:
-    * each round counts neighbor labels and keeps the (max count, min
-    * label) winner per node via a rank window — the same argmax
-    * [[graft.operators.GraphOps.labelPropagation]] computes with a
-    * struct-max aggregate.
-    */
-  private def labelPropOracle(k: Int): String = {
-    val steps = (1 to k).map(i =>
-      s"""c$i AS (SELECT e.u AS node, l.lbl, count(*) AS cnt
-         |  FROM e JOIN l${i - 1} l ON l.node = e.v GROUP BY 1, 2),
-         |l$i AS (SELECT node, lbl FROM (
-         |  SELECT node, lbl, row_number() OVER (
-         |    PARTITION BY node ORDER BY cnt DESC, lbl ASC) AS rn FROM c$i)
-         |  WHERE rn = 1)""".stripMargin).mkString(",\n")
-    s"""WITH $symGraphCtes,
-       |l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM e),
-       |$steps
-       |SELECT node, lbl AS community,
-       |  CAST(count(*) OVER (PARTITION BY lbl) AS BIGINT) AS community_size
-       |FROM l$k ORDER BY node""".stripMargin
-  }
-
-  val oracleSql: Map[String, String] = Map(
-    "q_label_prop" -> labelPropOracle(3),
-    "q_ppr" -> pprOracle(5),
-
-    // the streaming replay must land on the identical batch KMV sketch
-    "q_stream_kmv" ->
-      s"""WITH h AS (SELECT DISTINCT event_type,
-         |    ${duckHash("CAST(user_id AS VARCHAR)")} AS h
-         |  FROM events WHERE user_id IS NOT NULL),
-         |r AS (SELECT event_type, h,
-         |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk,
-         |    COUNT(*) OVER (PARTITION BY event_type) AS nd
-         |  FROM h)
-         |SELECT event_type,
-         |  CAST(LEAST(nd, 64) AS INTEGER) AS n_min,
-         |  MAX(CASE WHEN rk = LEAST(nd, 64) THEN h END) AS kth_hash,
-         |  CASE WHEN nd < 64 THEN CAST(nd AS DOUBLE)
-         |       ELSE 63.0 * 1000000007.0
-         |            / CAST(MAX(CASE WHEN rk = 64 THEN h END) AS DOUBLE)
-         |       END AS est_distinct
-         |FROM r GROUP BY event_type, nd ORDER BY event_type""".stripMargin,
-
-    "q_cms_freq" -> {
-      val probesIn = "'the','of','and','data','model','training','x','language','q','zz'"
-      val probeRows = Seq("the", "of", "and", "data", "model", "training",
-        "x", "language", "q", "zz").map(t => s"('$t')").mkString(", ")
-      def keyRows(src: String, tokCol: String, carry: String) =
-        Seq((31, 0), (131, 1), (137, 2), (139, 3)).map { case (b, i) =>
-          s"SELECT $carry, $i AS i, ${duckHash(tokCol, b)} % 512 AS bkt FROM $src"
-        }.mkString("\n  UNION ALL ")
-      s"""WITH toks0 AS (SELECT lang, unnest(string_split(text, ' ')) AS tok
-         |  FROM documents WHERE text IS NOT NULL),
-         |toks AS (SELECT lang, tok FROM toks0 WHERE length(tok) > 0),
-         |keys AS (${keyRows("toks", "tok", "lang")}),
-         |counters AS (SELECT lang, i, bkt, CAST(COUNT(*) AS BIGINT) AS cnt
-         |  FROM keys GROUP BY lang, i, bkt),
-         |probes(token) AS (VALUES $probeRows),
-         |pk AS (${keyRows("probes", "token", "token")}),
-         |langs AS (SELECT DISTINCT lang FROM toks),
-         |grid AS (SELECT l.lang, p.token, p.i, p.bkt FROM langs l, pk p),
-         |est AS (SELECT g.lang, g.token, MIN(COALESCE(c.cnt, 0)) AS est_count
-         |  FROM grid g LEFT JOIN counters c
-         |    ON c.lang = g.lang AND c.i = g.i AND c.bkt = g.bkt
-         |  GROUP BY g.lang, g.token),
-         |ex AS (SELECT lang, tok AS token, CAST(COUNT(*) AS BIGINT) AS exact_count
-         |  FROM toks WHERE tok IN ($probesIn) GROUP BY lang, tok)
-         |SELECT e.lang, e.token, e.est_count,
-         |  COALESCE(x.exact_count, 0) AS exact_count
-         |FROM est e LEFT JOIN ex x ON x.lang = e.lang AND x.token = e.token
-         |ORDER BY e.lang, e.token""".stripMargin
-    },
-
-    "q_stream_quantiles" ->
-      s"""WITH h AS (SELECT event_type,
-         |    ${duckHash("CAST(event_id AS VARCHAR)")} AS h,
-         |    CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS v
-         |  FROM events WHERE user_id IS NOT NULL),
-         |hd AS (SELECT event_type, h, MIN(v) AS v FROM h GROUP BY event_type, h),
-         |r AS (SELECT event_type, v,
-         |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk FROM hd),
-         |s AS (SELECT event_type, v FROM r WHERE rk <= 64),
-         |o AS (SELECT event_type, v,
-         |    row_number() OVER (PARTITION BY event_type ORDER BY v) AS vrk,
-         |    COUNT(*) OVER (PARTITION BY event_type) AS ns FROM s)
-         |SELECT event_type, CAST(MAX(ns) AS INT) AS n_sample,
-         |  MAX(CASE WHEN vrk = (ns-1)*25//100 + 1 THEN v END) AS p25,
-         |  MAX(CASE WHEN vrk = (ns-1)*50//100 + 1 THEN v END) AS p50,
-         |  MAX(CASE WHEN vrk = (ns-1)*75//100 + 1 THEN v END) AS p75,
-         |  MAX(CASE WHEN vrk = (ns-1)*90//100 + 1 THEN v END) AS p90
-         |FROM o GROUP BY event_type ORDER BY event_type""".stripMargin,
-
-    "q_skyline" ->
-      """WITH pts AS (
-        |  SELECT CAST(floor(p_retailprice * 100.0 + 0.5) AS BIGINT) AS price_c,
-        |    CAST(p_size AS BIGINT) AS size,
-        |    CAST(count(*) AS BIGINT) AS n_parts
-        |  FROM part GROUP BY 1, 2)
-        |SELECT price_c, size, n_parts FROM pts a
-        |WHERE NOT EXISTS (SELECT 1 FROM pts b
-        |  WHERE b.price_c <= a.price_c AND b.size <= a.size
-        |    AND (b.price_c < a.price_c OR b.size < a.size))
-        |ORDER BY price_c, size""".stripMargin,
-
-    "q_skyline_brand" ->
-      """WITH pts AS (
-        |  SELECT p_brand,
-        |    CAST(floor(p_retailprice * 100.0 + 0.5) AS BIGINT) AS price_c,
-        |    CAST(p_size AS BIGINT) AS size,
-        |    CAST(count(*) AS BIGINT) AS n_parts
-        |  FROM part GROUP BY 1, 2, 3)
-        |SELECT p_brand, price_c, size, n_parts FROM pts a
-        |WHERE NOT EXISTS (SELECT 1 FROM pts b
-        |  WHERE b.p_brand = a.p_brand
-        |    AND b.price_c <= a.price_c AND b.size <= a.size
-        |    AND (b.price_c < a.price_c OR b.size < a.size))
-        |ORDER BY p_brand, price_c, size""".stripMargin,
-
-    "q_skyline3d" ->
-      """WITH pts AS (
-        |  SELECT CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS price_c,
-        |    CAST(floor(l_quantity + 0.5) AS BIGINT) AS qty,
-        |    CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT) AS disc_pct,
-        |    CAST(count(*) AS BIGINT) AS n_rows
-        |  FROM lineitem
-        |  WHERE l_shipdate >= TIMESTAMP '1995-03-01'
-        |    AND l_shipdate < TIMESTAMP '1995-04-01'
-        |  GROUP BY 1, 2, 3)
-        |SELECT price_c, qty, disc_pct, n_rows FROM pts a
-        |WHERE NOT EXISTS (SELECT 1 FROM pts b
-        |  WHERE b.price_c <= a.price_c AND b.qty <= a.qty
-        |    AND b.disc_pct <= a.disc_pct
-        |    AND (b.price_c < a.price_c OR b.qty < a.qty
-        |         OR b.disc_pct < a.disc_pct))
-        |ORDER BY price_c, qty, disc_pct""".stripMargin,
-
-    // Per-group 3D skyline twin: the unpruned NOT EXISTS dominance
-    // definition, group-scoped.
-    "q_skyline_group3d" ->
-      """WITH pts AS (
-        |  SELECT l_returnflag AS flag,
-        |    CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS price_c,
-        |    CAST(floor(l_quantity + 0.5) AS BIGINT) AS qty,
-        |    CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT) AS disc_pct,
-        |    CAST(count(*) AS BIGINT) AS n_rows
-        |  FROM lineitem
-        |  WHERE l_shipdate >= TIMESTAMP '1995-03-01'
-        |    AND l_shipdate < TIMESTAMP '1995-04-01'
-        |  GROUP BY 1, 2, 3, 4)
-        |SELECT flag AS l_returnflag, price_c, qty, disc_pct, n_rows
-        |FROM pts a
-        |WHERE NOT EXISTS (SELECT 1 FROM pts b
-        |  WHERE b.flag = a.flag
-        |    AND b.price_c <= a.price_c AND b.qty <= a.qty
-        |    AND b.disc_pct <= a.disc_pct
-        |    AND (b.price_c < a.price_c OR b.qty < a.qty
-        |         OR b.disc_pct < a.disc_pct))
-        |ORDER BY l_returnflag, price_c, qty, disc_pct""".stripMargin,
-
-    // The prefix-sum identity s_i = c_i − min(0, min_{j≤i} c_j) — two
-    // cumulative windows, NOT a list_reduce fold: DuckDB 1.0's
-    // list_reduce mis-evaluates struct accumulators whose lambda reads a
-    // field twice (observed alarming below the threshold with
-    // prefix-length-dependent answers), and the window form is the
-    // operator's own scale shape anyway.
-    // 8 unrolled integer power-iteration rounds over the exact scatter
-    // matrix — bit-identical to the driver-side BIGINT recurrence.
-    "q_pca_top" -> pcaTopOracle(8),
-
-    "q_cusum" -> cusumOracle,
-
-    // The buffered streaming replay must land on the batch detector's
-    // exact integers — same oracle (the sentinel user never reaches the
-    // compared sink).
-    "q_stream_cusum" -> cusumOracle,
-
-    // Trimmed-mean twin: level counts + predecessor cumulatives, the
-    // integer rank-interval overlap with [n·p, n−n·p), decimal product
-    // sum, one digit-string division.
-    "q_trimmed_mean" ->
-      """WITH v AS (SELECT event_type AS grp,
-        |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS v FROM events),
-        |lv AS (SELECT grp, v, CAST(count(*) AS BIGINT) AS m
-        |  FROM v WHERE v IS NOT NULL GROUP BY grp, v),
-        |c AS (SELECT grp, v, m,
-        |    COALESCE(SUM(m) OVER (PARTITION BY grp ORDER BY v
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum,
-        |    SUM(m) OVER (PARTITION BY grp) AS n
-        |  FROM lv),
-        |k AS (SELECT grp, v, n,
-        |    greatest(0, least(cum + m, n - (n * 1 // 10))
-        |      - greatest(cum, n * 1 // 10)) AS keep
-        |  FROM c),
-        |a AS (SELECT grp, CAST(max(n) AS BIGINT) AS n,
-        |    CAST(sum(keep) AS BIGINT) AS n_kept,
-        |    CAST(SUM(CAST(keep AS DECIMAL(18,0)) * CAST(v AS DECIMAL(19,0)))
-        |      AS DECIMAL(38,0)) AS trim_sum
-        |  FROM k GROUP BY grp)
-        |SELECT grp AS event_type, n, n_kept,
-        |  CAST(trim_sum AS VARCHAR) AS trim_sum,
-        |  CASE WHEN n_kept = 0 THEN NULL
-        |    ELSE CAST(CAST(trim_sum AS VARCHAR) AS DOUBLE)
-        |      / (CAST(n_kept AS DOUBLE) * 10000.0) END AS trimmed_mean
-        |FROM a ORDER BY event_type""".stripMargin,
-
-    // Fano twin: per-hour counts (floor-div on the µs clock), integer
-    // moments, (18,0)×(19,0) decimal cross-products, digit-string double.
-    // Pins exposed as VARCHAR digit strings (the r15 DECIMAL(38,0)
-    // driver-drift fix); zero denominator guarded like the stream twin.
-    "q_burstiness" ->
-      """WITH e AS (SELECT event_type,
-        |    epoch_ns(ts) // 1000 // 3600000000 AS w FROM events),
-        |c AS (SELECT event_type, w, CAST(count(*) AS BIGINT) AS c
-        |  FROM e GROUP BY event_type, w),
-        |a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_windows,
-        |    CAST(sum(c) AS BIGINT) AS n_events,
-        |    CAST(sum(c * c) AS BIGINT) AS cc
-        |  FROM c GROUP BY event_type),
-        |p AS (SELECT event_type, n_windows, n_events,
-        |    CAST(CAST(n_windows AS DECIMAL(18,0)) * CAST(cc AS DECIMAL(19,0))
-        |      - CAST(n_events AS DECIMAL(18,0)) * CAST(n_events AS DECIMAL(19,0))
-        |      AS DECIMAL(38,0)) AS num,
-        |    CAST(CAST(n_windows AS DECIMAL(18,0))
-        |      * CAST(n_events AS DECIMAL(19,0)) AS DECIMAL(38,0)) AS den
-        |  FROM a)
-        |SELECT event_type, n_windows, n_events,
-        |  CAST(num AS VARCHAR) AS fano_num,
-        |  CAST(den AS VARCHAR) AS fano_den,
-        |  CASE WHEN den = 0 THEN NULL
-        |    ELSE CAST(CAST(num AS VARCHAR) AS DOUBLE)
-        |      / CAST(CAST(den AS VARCHAR) AS DOUBLE) END AS fano
-        |FROM p ORDER BY event_type""".stripMargin,
-
-    // ACF twin: same integer centering u = n·v − S, same (18,0)×(19,0)
-    // decimal products (int128 in DuckDB), doubles via digit strings.
-    "q_autocorr" ->
-      """WITH e AS (SELECT event_type, epoch_ns(ts) // 1000 AS o,
-        |    event_id AS t0,
-        |    CAST(CAST(COALESCE(value, 0.0) AS DECIMAL(18,4)) * 10000
-        |      AS BIGINT) AS v
-        |  FROM events),
-        |st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-        |    CAST(sum(v) AS BIGINT) AS s FROM e GROUP BY event_type),
-        |u AS (SELECT e.event_type, o, t0, n, n * v - s AS u
-        |  FROM e JOIN st USING (event_type)),
-        |l AS (SELECT event_type, n, u,
-        |    lead(u, 1) OVER w AS u1, lead(u, 2) OVER w AS u2,
-        |    lead(u, 3) OVER w AS u3
-        |  FROM u WINDOW w AS (PARTITION BY event_type ORDER BY o, t0)),
-        |a AS (SELECT event_type, MAX(n) AS n,
-        |    SUM(CAST(u AS DECIMAL(18,0)) * CAST(u AS DECIMAL(19,0))) AS den,
-        |    COALESCE(SUM(CAST(u AS DECIMAL(18,0)) * CAST(u1 AS DECIMAL(19,0))), 0) AS c1,
-        |    COALESCE(SUM(CAST(u AS DECIMAL(18,0)) * CAST(u2 AS DECIMAL(19,0))), 0) AS c2,
-        |    COALESCE(SUM(CAST(u AS DECIMAL(18,0)) * CAST(u3 AS DECIMAL(19,0))), 0) AS c3
-        |  FROM l GROUP BY event_type)
-        |SELECT event_type, CAST(n AS BIGINT) AS n,
-        |  CAST(CAST(den AS DECIMAL(38,0)) AS VARCHAR) AS acf_den,
-        |  CAST(CAST(c1 AS DECIMAL(38,0)) AS VARCHAR) AS c1,
-        |  CAST(CAST(c2 AS DECIMAL(38,0)) AS VARCHAR) AS c2,
-        |  CAST(CAST(c3 AS DECIMAL(38,0)) AS VARCHAR) AS c3,
-        |  CASE WHEN den = 0 OR n <= 1 THEN NULL
-        |    ELSE CAST(CAST(c1 AS VARCHAR) AS DOUBLE)
-        |      / CAST(CAST(den AS VARCHAR) AS DOUBLE) END AS r1,
-        |  CASE WHEN den = 0 OR n <= 2 THEN NULL
-        |    ELSE CAST(CAST(c2 AS VARCHAR) AS DOUBLE)
-        |      / CAST(CAST(den AS VARCHAR) AS DOUBLE) END AS r2,
-        |  CASE WHEN den = 0 OR n <= 3 THEN NULL
-        |    ELSE CAST(CAST(c3 AS VARCHAR) AS DOUBLE)
-        |      / CAST(CAST(den AS VARCHAR) AS DOUBLE) END AS r3
-        |FROM a ORDER BY event_type""".stripMargin,
-
-    // Streaming Fano twin: q_burstiness' arithmetic with only the
-    // double exposed (the decimal pins are the batch gate's) and the
-    // window count as INT (the stream state's map size).
-    "q_stream_fano" ->
-      """WITH e AS (SELECT event_type,
-        |    epoch_ns(ts) // 1000 // 3600000000 AS w FROM events),
-        |c AS (SELECT event_type, w, CAST(count(*) AS BIGINT) AS c
-        |  FROM e GROUP BY event_type, w),
-        |a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-        |    CAST(sum(c) AS BIGINT) AS s, CAST(sum(c * c) AS BIGINT) AS cc
-        |  FROM c GROUP BY event_type)
-        |SELECT event_type, CAST(n AS INT) AS n_windows,
-        |  s AS n_events,
-        |  CASE WHEN n * s = 0 THEN NULL
-        |    ELSE CAST(CAST(CAST(CAST(n AS DECIMAL(18,0)) * CAST(cc AS DECIMAL(19,0))
-        |      - CAST(s AS DECIMAL(18,0)) * CAST(s AS DECIMAL(19,0))
-        |      AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE)
-        |    / CAST(CAST(CAST(CAST(n AS DECIMAL(18,0))
-        |      * CAST(s AS DECIMAL(19,0)) AS DECIMAL(38,0)) AS VARCHAR)
-        |      AS DOUBLE) END AS fano
-        |FROM a ORDER BY event_type""".stripMargin,
-
-    // Streaming trimmed-mean twin: q_trimmed_mean's chain with only the
-    // BIGINTs and the double exposed (the digit-string pin is the batch
-    // gate's).
-    "q_stream_trimmed" ->
-      """WITH v AS (SELECT event_type AS grp,
-        |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS v FROM events),
-        |lv AS (SELECT grp, v, CAST(count(*) AS BIGINT) AS m
-        |  FROM v WHERE v IS NOT NULL GROUP BY grp, v),
-        |c AS (SELECT grp, v, m,
-        |    COALESCE(SUM(m) OVER (PARTITION BY grp ORDER BY v
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum,
-        |    SUM(m) OVER (PARTITION BY grp) AS n
-        |  FROM lv),
-        |k AS (SELECT grp, v, n,
-        |    greatest(0, least(cum + m, n - (n * 1 // 10))
-        |      - greatest(cum, n * 1 // 10)) AS keep
-        |  FROM c),
-        |a AS (SELECT grp, CAST(max(n) AS BIGINT) AS n,
-        |    CAST(sum(keep) AS BIGINT) AS n_kept,
-        |    CAST(SUM(CAST(keep AS DECIMAL(18,0)) * CAST(v AS DECIMAL(19,0)))
-        |      AS DECIMAL(38,0)) AS trim_sum
-        |  FROM k GROUP BY grp)
-        |SELECT grp AS event_type, n, n_kept,
-        |  CASE WHEN n_kept = 0 THEN NULL
-        |    ELSE CAST(CAST(trim_sum AS VARCHAR) AS DOUBLE)
-        |      / (CAST(n_kept AS DOUBLE) * 10000.0) END AS trimmed_mean
-        |FROM a ORDER BY event_type""".stripMargin,
-
-    // Streaming median twin: exact lower median over the e4 levels; the
-    // med double is the exact integer level over the unit.
-    "q_stream_median" ->
-      """WITH v AS (SELECT event_type,
-        |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS v
-        |  FROM events WHERE value IS NOT NULL),
-        |r AS (SELECT event_type, v,
-        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v) AS rn,
-        |    COUNT(*) OVER (PARTITION BY event_type) AS n FROM v)
-        |SELECT event_type, CAST(n AS BIGINT) AS n,
-        |  CAST(v AS DOUBLE) / 10000.0 AS med
-        |FROM r WHERE rn = (n + 1) // 2 ORDER BY event_type""".stripMargin,
-
-    // Streaming Simpson twin: q_simpson's arithmetic with only the
-    // doubles exposed (the pinned Σc² digit string is the batch gate's)
-    // and the class count as INT (the stream state's map size).
-    "q_stream_simpson" ->
-      """WITH c AS (SELECT source AS g, lang,
-        |    CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY g, lang),
-        |a AS (SELECT g, CAST(sum(c) AS BIGINT) AS n,
-        |    CAST(count(*) AS INT) AS n_classes,
-        |    CAST(SUM(CAST(c AS DECIMAL(18,0)) * CAST(c AS DECIMAL(19,0)))
-        |      AS DECIMAL(38,0)) AS sq
-        |  FROM c GROUP BY g)
-        |SELECT g AS source, n, n_classes,
-        |  CAST(CAST(sq AS VARCHAR) AS DOUBLE)
-        |    / CAST(CAST(CAST(CAST(n AS DECIMAL(18,0)) * CAST(n AS DECIMAL(19,0))
-        |        AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE) AS simpson,
-        |  CAST(CAST(CAST(CAST(n AS DECIMAL(18,0)) * CAST(n AS DECIMAL(19,0))
-        |        AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE)
-        |    / CAST(CAST(sq AS VARCHAR) AS DOUBLE) AS enc
-        |FROM a ORDER BY source""".stripMargin,
-
-    // Streaming Gini twin: q_gini's rank identity with only the double
-    // exposed (the pinned rank-sum digit string is the batch gate's).
-    "q_stream_gini" ->
-      """WITH tk AS (SELECT source AS src,
-        |    unnest(string_split(text, ' ')) AS tok FROM documents),
-        |c AS (SELECT src, tok, CAST(count(*) AS BIGINT) AS c
-        |  FROM tk GROUP BY src, tok),
-        |r AS (SELECT src, c,
-        |    CAST(row_number() OVER (PARTITION BY src ORDER BY c, tok)
-        |      AS BIGINT) AS i,
-        |    CAST(count(*) OVER (PARTITION BY src) AS BIGINT) AS m
-        |  FROM c),
-        |a AS (SELECT src, CAST(max(m) AS BIGINT) AS m_tokens,
-        |    CAST(sum(c) AS BIGINT) AS total_tokens,
-        |    CAST(SUM(CAST(2*i - m - 1 AS DECIMAL(19,0))
-        |      * CAST(c AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS gini_num
-        |  FROM r GROUP BY src)
-        |SELECT src AS source, m_tokens, total_tokens,
-        |  CAST(CAST(gini_num AS VARCHAR) AS DOUBLE)
-        |    / CAST(CAST(CAST(CAST(m_tokens AS DECIMAL(18,0))
-        |        * CAST(total_tokens AS DECIMAL(19,0)) AS DECIMAL(38,0))
-        |        AS VARCHAR) AS DOUBLE) AS gini
-        |FROM a ORDER BY source""".stripMargin,
-
-    // Streaming ACF twin: q_autocorr's CTE chain with only the doubles
-    // exposed (the pinned decimal sums are the batch gate's job; the
-    // stream's fold must land on identical r's) and n as INT (the stream
-    // row's buffer size).
-    "q_stream_acf" ->
-      """WITH e AS (SELECT event_type, epoch_ns(ts) // 1000 AS o,
-        |    event_id AS t0,
-        |    CAST(CAST(COALESCE(value, 0.0) AS DECIMAL(18,4)) * 10000
-        |      AS BIGINT) AS v
-        |  FROM events),
-        |st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-        |    CAST(sum(v) AS BIGINT) AS s FROM e GROUP BY event_type),
-        |u AS (SELECT e.event_type, o, t0, n, n * v - s AS u
-        |  FROM e JOIN st USING (event_type)),
-        |l AS (SELECT event_type, n, u,
-        |    lead(u, 1) OVER w AS u1, lead(u, 2) OVER w AS u2,
-        |    lead(u, 3) OVER w AS u3
-        |  FROM u WINDOW w AS (PARTITION BY event_type ORDER BY o, t0)),
-        |a AS (SELECT event_type, MAX(n) AS n,
-        |    SUM(CAST(u AS DECIMAL(18,0)) * CAST(u AS DECIMAL(19,0))) AS den,
-        |    COALESCE(SUM(CAST(u AS DECIMAL(18,0)) * CAST(u1 AS DECIMAL(19,0))), 0) AS c1,
-        |    COALESCE(SUM(CAST(u AS DECIMAL(18,0)) * CAST(u2 AS DECIMAL(19,0))), 0) AS c2,
-        |    COALESCE(SUM(CAST(u AS DECIMAL(18,0)) * CAST(u3 AS DECIMAL(19,0))), 0) AS c3
-        |  FROM l GROUP BY event_type)
-        |SELECT event_type, CAST(n AS INT) AS n,
-        |  CASE WHEN den = 0 OR n <= 1 THEN NULL
-        |    ELSE CAST(CAST(c1 AS VARCHAR) AS DOUBLE)
-        |      / CAST(CAST(den AS VARCHAR) AS DOUBLE) END AS r1,
-        |  CASE WHEN den = 0 OR n <= 2 THEN NULL
-        |    ELSE CAST(CAST(c2 AS VARCHAR) AS DOUBLE)
-        |      / CAST(CAST(den AS VARCHAR) AS DOUBLE) END AS r2,
-        |  CASE WHEN den = 0 OR n <= 3 THEN NULL
-        |    ELSE CAST(CAST(c3 AS VARCHAR) AS DOUBLE)
-        |      / CAST(CAST(den AS VARCHAR) AS DOUBLE) END AS r3
-        |FROM a ORDER BY event_type""".stripMargin,
-
-    // Online budget admission: the batch window-cumsum prefix rule the
-    // stream's buffer-until-watermark fold must land on exactly.
-    "q_stream_budget" ->
-      """WITH e AS (SELECT event_type, epoch_ns(ts) // 1000 AS o,
-        |    event_id AS t0,
-        |    CAST(CAST(GREATEST(COALESCE(value, 0.0), 0.0)
-        |      AS DECIMAL(18,4)) * 10000 AS BIGINT) AS v
-        |  FROM events),
-        |c AS (SELECT event_type, v,
-        |    CAST(SUM(v) OVER (PARTITION BY event_type ORDER BY o, t0
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-        |      AS cum
-        |  FROM e)
-        |SELECT event_type, CAST(count(*) AS INT) AS n,
-        |  CAST(count(*) FILTER (cum <= 30000000) AS BIGINT) AS n_admit,
-        |  CAST(COALESCE(sum(v) FILTER (cum <= 30000000), 0) AS BIGINT)
-        |    AS tok_admit
-        |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
-
-    "q_k_anonymity" ->
-      """WITH e AS (SELECT event_type,
-        |    epoch_ns(ts) // 86400000000000 AS day,
-        |    CAST(floor(value / 100.0) AS BIGINT) AS vb, user_id FROM events),
-        |g AS (SELECT event_type, day, vb,
-        |    CAST(count(*) AS BIGINT) AS group_size,
-        |    CAST(count(DISTINCT user_id) AS BIGINT) AS n_sensitive
-        |  FROM e GROUP BY 1, 2, 3)
-        |SELECT event_type, day, vb, group_size, n_sensitive,
-        |  CAST(group_size < 5 AS INT) AS k_risk,
-        |  CAST(n_sensitive < 3 AS INT) AS l_risk
-        |FROM g WHERE group_size < 5 OR n_sensitive < 3
-        |ORDER BY event_type, day, vb""".stripMargin,
-
-    "q_ewma" ->
-      """WITH e AS (SELECT user_id,
-        |    {'o': epoch_ns(ts) // 1000, 't0': event_id,
-        |     'v': CAST(value AS DOUBLE)} AS ob FROM events),
-        |g AS (SELECT user_id, list_sort(list(ob)) AS os FROM e GROUP BY user_id)
-        |SELECT user_id, CAST(len(os) AS INT) AS n,
-        |  list_reduce(list_transform(os, s -> s.v),
-        |    (acc, x) -> CAST(0.25 AS DOUBLE) * x
-        |      + CAST(0.75 AS DOUBLE) * acc) AS ewma
-        |FROM g ORDER BY user_id""".stripMargin,
-
-    "q_epoch_shuffle" -> {
-      val h = duckWideHash("'e3:' || CAST(doc_id AS VARCHAR)")
-      s"""WITH t AS (SELECT doc_id, $h AS h FROM documents),
-         |s AS (SELECT doc_id, h, CAST(h % 4 AS INT) AS shard FROM t)
-         |SELECT doc_id, shard, CAST(ROW_NUMBER() OVER (
-         |    PARTITION BY shard ORDER BY h, doc_id) AS INT) AS pos
-         |FROM s ORDER BY shard, pos""".stripMargin
-    },
-
-    "q_cohort_retention" ->
-      """WITH e AS (SELECT user_id,
-        |    (epoch_ns(ts) // 1000) // 604800000000 AS wk FROM events),
-        |f AS (SELECT user_id, MIN(wk) AS cohort_wk FROM e GROUP BY user_id)
-        |SELECT f.cohort_wk, e.wk - f.cohort_wk AS weeks_since,
-        |  CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_active
-        |FROM e JOIN f USING (user_id)
-        |GROUP BY 1, 2 ORDER BY cohort_wk, weeks_since""".stripMargin,
-
-    "q_funnel" -> funnelOracle,
-
-    // the streaming replay must land on the identical batch answer
-    "q_stream_funnel" -> funnelOracle,
-
-    "q_neg_sample" -> {
-      val qh = duckHash("CAST(qid AS VARCHAR)")
-      val ch = duckHash("CAST(cid AS VARCHAR)")
-      val pairH = duckHash("CAST(qid AS VARCHAR) || ':' || CAST(cid AS VARCHAR)")
-      s"""WITH nb AS (SELECT 8 * (1 + (COUNT(*) - 1) // 5000) AS v FROM documents),
-         |p AS (SELECT doc_id AS qid, doc_id + 1 AS pid FROM documents
-         |  WHERE doc_id % 10 = 0),
-         |q AS (SELECT DISTINCT qid, $qh % (SELECT v FROM nb) AS bkt FROM p),
-         |c AS (SELECT doc_id AS cid, $ch % (SELECT v FROM nb) AS bkt
-         |  FROM (SELECT CAST(doc_id AS BIGINT) AS cid, doc_id FROM documents)),
-         |j AS (SELECT q.qid, c.cid FROM q JOIN c ON c.bkt = q.bkt
-         |  WHERE c.cid <> q.qid AND NOT EXISTS (
-         |    SELECT 1 FROM p WHERE p.qid = q.qid AND p.pid = c.cid)),
-         |r AS (SELECT qid, cid, CAST(ROW_NUMBER() OVER (PARTITION BY qid
-         |    ORDER BY $pairH, cid) AS INT) AS rank FROM j)
-         |SELECT qid AS query_id, cid AS neg_id, rank FROM r
-         |WHERE rank <= 4 ORDER BY query_id, rank""".stripMargin
-    },
-
-    "q_token_classes" ->
-      """WITH t AS (SELECT doc_id,
-        |  regexp_extract_all(text || ' v' || CAST(doc_id AS VARCHAR) || '!',
-        |    '[a-z]+|[0-9]+|[^a-z0-9 ]') AS tk
-        |  FROM documents)
-        |SELECT doc_id,
-        |  CAST(len(tk) AS INT) AS n_tokens,
-        |  CAST(len(list_filter(tk, x -> regexp_matches(x, '^[0-9]+$')))
-        |    AS INT) AS n_digit,
-        |  CAST(len(list_filter(tk, x -> regexp_matches(x, '^[a-z]+$')))
-        |    AS INT) AS n_word,
-        |  CAST(len(tk) - len(list_filter(tk, x -> regexp_matches(x, '^[0-9]+$')))
-        |    - len(list_filter(tk, x -> regexp_matches(x, '^[a-z]+$')))
-        |    AS INT) AS n_punct
-        |FROM t ORDER BY doc_id""".stripMargin,
-
-    "q_dq_checks" ->
-      """WITH t AS (
-        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
-        |  UNION ALL
-        |  SELECT o_orderkey, NULL, o_totalprice FROM orders
-        |  WHERE o_orderkey % 100 = 0),
-        |ref AS (SELECT DISTINCT c_custkey FROM customer
-        |  WHERE c_custkey % 7 <> 0)
-        |SELECT check_name, violations FROM (
-        |  SELECT 'custkey_not_null' AS check_name,
-        |    CAST(COUNT(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT)
-        |      AS violations FROM t
-        |  UNION ALL
-        |  SELECT 'price_in_range',
-        |    CAST(COUNT(*) FILTER (WHERE NOT COALESCE(
-        |      o_totalprice BETWEEN 0.0 AND 400000.0, FALSE)) AS BIGINT)
-        |    FROM t
-        |  UNION ALL
-        |  SELECT 'orderkey_positive',
-        |    CAST(COUNT(*) FILTER (WHERE NOT COALESCE(
-        |      o_orderkey >= 0, FALSE)) AS BIGINT) FROM t
-        |  UNION ALL
-        |  SELECT 'orderkey_unique', CAST(COALESCE(SUM(n - 1), 0) AS BIGINT)
-        |  FROM (SELECT COUNT(*) AS n FROM t GROUP BY o_orderkey) WHERE n > 1
-        |  UNION ALL
-        |  SELECT 'custkey_in_customer', CAST(COUNT(*) AS BIGINT) FROM t
-        |  WHERE o_custkey IS NOT NULL
-        |    AND o_custkey NOT IN (SELECT c_custkey FROM ref))
-        |ORDER BY check_name""".stripMargin,
-
-    "q_bfs_reach" -> bfsOracle(3),
-
-    "q_pagerank" -> pageRankOracle(5),
-
-    "q_dedup_exact" ->
-      """WITH dup AS (
-        |  SELECT doc_id, text, lang, source FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 1000000, text, lang, source FROM documents)
-        |SELECT doc_id, lang, source FROM dup
-        |QUALIFY ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) = 1
-        |ORDER BY doc_id""".stripMargin,
-
-    "q_dedup_fingerprint" ->
-      s"""WITH k AS (SELECT doc_id,
-         |  array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ') AS bk
-         |  FROM documents)
-         |SELECT min(doc_id) AS keep_doc_id, count(*) AS group_size,
-         |  ${duckHash("bk")} AS bag_fp
-         |FROM k GROUP BY bk ORDER BY keep_doc_id""".stripMargin,
-
-    "q_dedup_minhash" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |s AS (SELECT doc_id,
-        |  list_distinct(list_transform(range(1, len(w)-1), i -> w[i]||' '||w[i+1]||' '||w[i+2])) AS sh
-        |  FROM t WHERE len(w) >= 3)
-        |SELECT a.doc_id AS doc_i, b.doc_id AS doc_j,
-        |  CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_common,
-        |  CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS BIGINT) AS n_union
-        |FROM s a JOIN s b ON a.doc_id < b.doc_id
-        |WHERE len(list_distinct(list_concat(a.sh, b.sh))) > 0
-        |  AND 2 * len(list_intersect(a.sh, b.sh)) >= len(list_distinct(list_concat(a.sh, b.sh)))
-        |ORDER BY doc_i, doc_j""".stripMargin,
-
-    "q_dedup_simhash" ->
-      s"""WITH t AS (SELECT doc_id,
-         |  list_transform(string_split(text, ' '), tok -> ${duckHash("tok")}) AS th
-         |  FROM documents)
-         |SELECT doc_id,
-         |  CAST(list_sum(list_transform(range(0, 32), b ->
-         |    CASE WHEN list_sum(list_transform(th, h ->
-         |        CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
-         |      THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS simhash32,
-         |  CAST(len(th) AS BIGINT) AS n_tokens
-         |FROM t ORDER BY doc_id""".stripMargin,
-
-    "q_simhash_neardup" -> simhashNearDupOracle,
-
-    // Dedup-judge twin: the SimHash pair CTE (q_simhash_neardup's) FULL
-    // JOINed against the exact-Jaccard pair CTE (q_dedup_minhash's
-    // brute-force), counts + single divisions.
-    "q_dedup_eval" ->
-      s"""WITH tk AS (SELECT doc_id,
-         |  list_transform(string_split(text, ' '), tok -> ${duckWideHash("tok")}) AS th
-         |  FROM documents
-         |  WHERE text IS NOT NULL AND length(trim(text)) > 0),
-         |t AS (SELECT doc_id,
-         |  CAST(list_sum(list_transform(range(0, 60), b ->
-         |    CASE WHEN list_sum(list_transform(th, h ->
-         |        CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
-         |      THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS s
-         |  FROM tk),
-         |sh AS (SELECT a.doc_id AS doc_i, b.doc_id AS doc_j
-         |  FROM t a JOIN t b ON a.doc_id < b.doc_id
-         |  WHERE bit_count(xor(a.s, b.s)) <= 3),
-         |jt AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-         |js AS (SELECT doc_id,
-         |  list_distinct(list_transform(range(1, len(w)-1),
-         |    i -> w[i]||' '||w[i+1]||' '||w[i+2])) AS sh
-         |  FROM jt WHERE len(w) >= 3),
-         |tr AS (SELECT a.doc_id AS doc_i, b.doc_id AS doc_j
-         |  FROM js a JOIN js b ON a.doc_id < b.doc_id
-         |  WHERE len(list_distinct(list_concat(a.sh, b.sh))) > 0
-         |    AND 2 * len(list_intersect(a.sh, b.sh))
-         |        >= len(list_distinct(list_concat(a.sh, b.sh)))),
-         |j AS (SELECT
-         |    CASE WHEN sh.doc_i IS NOT NULL THEN 1 ELSE 0 END AS inp,
-         |    CASE WHEN tr.doc_i IS NOT NULL THEN 1 ELSE 0 END AS intr
-         |  FROM sh FULL JOIN tr
-         |    ON sh.doc_i = tr.doc_i AND sh.doc_j = tr.doc_j),
-         |c AS (SELECT CAST(SUM(inp * intr) AS BIGINT) AS tp,
-         |    CAST(SUM(inp * (1 - intr)) AS BIGINT) AS fp,
-         |    CAST(SUM((1 - inp) * intr) AS BIGINT) AS fn
-         |  FROM j)
-         |SELECT COALESCE(tp, 0) AS tp, COALESCE(fp, 0) AS fp,
-         |  COALESCE(fn, 0) AS fn,
-         |  CASE WHEN COALESCE(tp,0) + COALESCE(fp,0) = 0 THEN NULL
-         |    ELSE CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS precision,
-         |  CASE WHEN COALESCE(tp,0) + COALESCE(fn,0) = 0 THEN NULL
-         |    ELSE CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS recall,
-         |  CASE WHEN 2*COALESCE(tp,0) + COALESCE(fp,0) + COALESCE(fn,0) = 0
-         |    THEN NULL
-         |    ELSE CAST(2*tp AS DOUBLE) / CAST(2*tp + fp + fn AS DOUBLE)
-         |    END AS f1
-         |FROM c""".stripMargin,
-
-    // The streaming twin replays the same corpus with a horizon spanning
-    // it, so its exact answer is the IDENTICAL brute-force scan.
-    "q_stream_neardup" -> simhashNearDupOracle,
-
-    // Shared with q_cc_incremental AND q_stream_components: batch-fold and
-    // stream-fold labelings must both equal the from-scratch run over the
-    // union graph, so ONE from-scratch SQL gates all three shapes (the
-    // annIvfOracle precedent).
-    "q_cc_incremental" -> ccFromScratchOracle,
-    "q_stream_components" -> ccFromScratchOracle,
-
-    "q_dedup_clusters" ->
-      s"""WITH RECURSIVE tk AS (SELECT doc_id,
-         |  list_transform(string_split(text, ' '), tok -> ${duckWideHash("tok")}) AS th
-         |  FROM documents
-         |  WHERE text IS NOT NULL AND length(trim(text)) > 0),
-         |t AS (SELECT doc_id,
-         |  CAST(list_sum(list_transform(range(0, 60), b ->
-         |    CASE WHEN list_sum(list_transform(th, h ->
-         |        CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
-         |      THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS s
-         |  FROM tk),
-         |pairs AS (SELECT a.doc_id AS u, b.doc_id AS v
-         |  FROM t a JOIN t b ON a.doc_id < b.doc_id
-         |  WHERE bit_count(xor(a.s, b.s)) <= 3),
-         |edges AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
-         |reach(node, lbl) AS (
-         |  SELECT u, u FROM edges
-         |  UNION
-         |  SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.node = e.v),
-         |comp AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node)
-         |SELECT node AS doc_id, cluster_id,
-         |  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
-         |FROM comp ORDER BY doc_id""".stripMargin,
-
-    "q_entity_resolution" ->
-      s"""WITH RECURSIVE base AS (
-         |  SELECT doc_id, text FROM documents
-         |  UNION ALL SELECT doc_id + 1000000, text FROM documents
-         |  UNION ALL SELECT doc_id + 2000000, text FROM documents),
-         |bk AS (SELECT doc_id, ${duckWideHash(
-             "array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')")} AS bh
-         |  FROM base),
-         |r AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bh, doc_id) AS rnk
-         |  FROM bk),
-         |cand AS (SELECT a.doc_id AS u, b.doc_id AS v
-         |  FROM r a JOIN r b ON b.rnk > a.rnk AND b.rnk - a.rnk < 4),
-         |tk AS (SELECT doc_id,
-         |  list_transform(string_split(text, ' '), tok -> ${duckWideHash("tok")}) AS th
-         |  FROM base
-         |  WHERE text IS NOT NULL AND length(trim(text)) > 0),
-         |sh AS (SELECT doc_id,
-         |  CAST(list_sum(list_transform(range(0, 60), b ->
-         |    CASE WHEN list_sum(list_transform(th, h ->
-         |        CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
-         |      THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS s
-         |  FROM tk),
-         |pairs AS (SELECT u, v FROM cand
-         |  JOIN sh sa ON sa.doc_id = cand.u
-         |  JOIN sh sb ON sb.doc_id = cand.v
-         |  WHERE bit_count(xor(sa.s, sb.s)) <= 3),
-         |edges AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
-         |reach(node, lbl) AS (
-         |  SELECT u, u FROM edges
-         |  UNION
-         |  SELECT e.u, r2.lbl FROM edges e JOIN reach r2 ON r2.node = e.v),
-         |comp AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node)
-         |SELECT node AS doc_id, cluster_id,
-         |  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
-         |FROM comp ORDER BY doc_id""".stripMargin,
-
-    "q_co_occur" ->
-      """WITH ki AS (SELECT DISTINCT l_partkey AS k, l_suppkey AS it FROM lineitem),
-        |capped AS (SELECT k, it FROM (
-        |    SELECT k, it, row_number() OVER (PARTITION BY k ORDER BY it) AS rk
-        |    FROM ki) WHERE rk <= 8)
-        |SELECT a.it AS it_i, b.it AS it_j, CAST(count(*) AS BIGINT) AS n_shared_keys
-        |FROM capped a JOIN capped b ON a.k = b.k AND a.it < b.it
-        |GROUP BY 1, 2
-        |ORDER BY it_i, it_j""".stripMargin,
-
-    "q_triangles" ->
-      """WITH raw AS (SELECT a.o_custkey AS s, b.o_custkey AS d
-        |  FROM orders a JOIN orders b ON a.o_orderkey + 1 = b.o_orderkey),
-        |e AS (SELECT DISTINCT least(s, d) AS u, greatest(s, d) AS v
-        |  FROM raw WHERE s <> d),
-        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM (
-        |  SELECT u AS node FROM e UNION SELECT v FROM e)),
-        |m AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e),
-        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
-        |  FROM e e1
-        |  JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
-        |  JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v)
-        |SELECT n_nodes, n_edges, n_triangles FROM n, m, t""".stripMargin,
-
-    // Brute-force batch×corpus Hamming scan — equals the banded cross-join
-    // by the recall-1 pigeonhole (crossNearDupPairs' contract).
-    "q_dedup_incremental" ->
-      s"""WITH tk AS (SELECT doc_id,
-         |  list_transform(string_split(text, ' '), tok -> ${duckWideHash("tok")}) AS th
-         |  FROM documents
-         |  WHERE text IS NOT NULL AND length(trim(text)) > 0),
-         |t AS (SELECT doc_id,
-         |  CAST(list_sum(list_transform(range(0, 60), b ->
-         |    CASE WHEN list_sum(list_transform(th, h ->
-         |        CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
-         |      THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS s
-         |  FROM tk),
-         |hit AS (SELECT DISTINCT a.doc_id
-         |  FROM t a JOIN t c ON a.doc_id % 5 = 0 AND c.doc_id % 5 <> 0
-         |    AND bit_count(xor(a.s, c.s)) <= 3)
-         |SELECT d.doc_id, d.source, d.n_chars FROM documents d
-         |WHERE d.doc_id % 5 = 0
-         |  AND d.doc_id NOT IN (SELECT doc_id FROM hit)
-         |ORDER BY doc_id""".stripMargin,
-
-    // q_dedup_clusters' recursive-CTE components + the canonical argmax:
-    // singletons label themselves; longest text wins, doc_id breaks ties.
-    "q_cluster_canonical" ->
-      s"""WITH RECURSIVE tk AS (SELECT doc_id,
-         |  list_transform(string_split(text, ' '), tok -> ${duckWideHash("tok")}) AS th
-         |  FROM documents
-         |  WHERE text IS NOT NULL AND length(trim(text)) > 0),
-         |t AS (SELECT doc_id,
-         |  CAST(list_sum(list_transform(range(0, 60), b ->
-         |    CASE WHEN list_sum(list_transform(th, h ->
-         |        CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
-         |      THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS s
-         |  FROM tk),
-         |pairs AS (SELECT a.doc_id AS u, b.doc_id AS v
-         |  FROM t a JOIN t b ON a.doc_id < b.doc_id
-         |  WHERE bit_count(xor(a.s, b.s)) <= 3),
-         |edges AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
-         |reach(node, lbl) AS (
-         |  SELECT u, u FROM edges
-         |  UNION
-         |  SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.node = e.v),
-         |comp AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node),
-         |lab AS (SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
-         |    d.n_chars
-         |  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id)
-         |SELECT doc_id, cluster_id, CAST(sz AS BIGINT) AS cluster_size FROM (
-         |  SELECT doc_id, cluster_id,
-         |    ROW_NUMBER() OVER (PARTITION BY cluster_id
-         |      ORDER BY n_chars DESC, doc_id) AS rn,
-         |    count(*) OVER (PARTITION BY cluster_id) AS sz
-         |  FROM lab) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
-
-    "q_decontaminate" ->
-      s"""WITH wa AS (SELECT doc_id,
-         |  list_transform(list_distinct(list_transform(range(1, length(text)-22),
-         |    i -> substr(text, i, 24))), w -> ${duckWideHash("w")}) AS ws
-         |  FROM documents WHERE length(text) >= 24 AND source <> 'src0'),
-         |wb AS (SELECT doc_id,
-         |  list_transform(list_distinct(list_transform(range(1, length(text)-22),
-         |    i -> substr(text, i, 24))), w -> ${duckWideHash("w")}) AS ws
-         |  FROM documents WHERE length(text) >= 24 AND source = 'src0'),
-         |ea AS (SELECT doc_id AS doc_a, unnest(ws) AS w FROM wa),
-         |eb AS (SELECT doc_id AS doc_b, unnest(ws) AS w FROM wb),
-         |wdf AS (SELECT w, count(*) AS wdf
-         |  FROM (SELECT w FROM ea UNION ALL SELECT w FROM eb) u GROUP BY w)
-         |SELECT a.doc_a, b.doc_b, CAST(count(*) AS BIGINT) AS n_shared_windows
-         |FROM ea a JOIN eb b ON a.w = b.w JOIN wdf ON wdf.w = a.w
-         |WHERE wdf.wdf <= 3 AND a.doc_a <> b.doc_b
-         |GROUP BY a.doc_a, b.doc_b ORDER BY doc_a, doc_b""".stripMargin,
-
-    // Shared by q_window_probe AND its streaming twin q_stream_decontam:
-    // the index build caps boilerplate on the REFERENCE side only (wdf over
-    // benchmark docs ≤ 3 — an index cannot depend on future probes), then
-    // every (training, benchmark) window match counts once.
-    "q_window_probe" -> windowProbeOracle,
-    "q_stream_decontam" -> windowProbeOracle,
-
-    // The trim char set is TextOps.EdgePunct verbatim (single quote doubled
-    // for the SQL literal) — both engines strip the same edge characters.
-    "q_blocklist_filter" -> {
-      val punct = graft.operators.TextOps.EdgePunct.replace("'", "''")
-      s"""WITH n AS (SELECT doc_id,
-         |  list_distinct(list_transform(string_split(text, ' '),
-         |    t -> trim(lower(t), '$punct'))) AS toks FROM documents)
-         |SELECT doc_id,
-         |  CAST(len(list_intersect(toks, ['dup', 'slow', 'degenerate']))
-         |    AS BIGINT) AS n_hits
-         |FROM n
-         |WHERE len(list_intersect(toks, ['dup', 'slow', 'degenerate'])) > 0
-         |ORDER BY doc_id""".stripMargin
-    },
-
-    "q_rtbf_forget" ->
-      """SELECT CASE WHEN doc_id % 37 = 0 THEN 'removed'
-        |  ELSE 'unchanged' END AS status,
-        |  CAST(count(*) AS BIGINT) AS n_docs,
-        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
-        |FROM documents GROUP BY 1 ORDER BY status""".stripMargin,
-
-    // Pseudonymize twin: the same salted polyHash over
-    // 'salt:id-as-string', then the per-token aggregate — grouping by
-    // token must reproduce the per-user aggregate exactly.
-    "q_pseudonymize" -> {
-      val tok = duckHash("'graft-r15:' || CAST(user_id AS VARCHAR)")
-      s"""SELECT $tok AS user_token,
-         |  CAST(count(*) AS BIGINT) AS n_events,
-         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
-         |FROM events GROUP BY 1 ORDER BY user_token""".stripMargin
-    },
-
-    // Mann–Whitney with midranks, all-integer until the one final division:
-    // a score level of m rows (p positive) preceded by cum rows contributes
-    // p·(2·cum + m + 1) to 2·Σ R_pos; then 2U = r2 − P(P+1), den = 2PN.
-    "q_auc" ->
-      """WITH d AS (SELECT source, n_chars AS score,
-        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS lab FROM documents),
-        |s AS (SELECT source, score, CAST(count(*) AS BIGINT) AS m,
-        |    CAST(SUM(lab) AS BIGINT) AS p FROM d GROUP BY source, score),
-        |c AS (SELECT source, m, p,
-        |    CAST(COALESCE(SUM(m) OVER (PARTITION BY source ORDER BY score
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |      AS BIGINT) AS cum
-        |  FROM s),
-        |a AS (SELECT source, CAST(SUM(p) AS BIGINT) AS n_pos,
-        |    CAST(SUM(m) - SUM(p) AS BIGINT) AS n_neg,
-        |    CAST(SUM(p * (2*cum + m + 1)) AS BIGINT) AS r2
-        |  FROM c GROUP BY source)
-        |SELECT source, n_pos, n_neg,
-        |  CAST(r2 - n_pos*(n_pos+1) AS BIGINT) AS auc_num,
-        |  CAST(2*n_pos*n_neg AS BIGINT) AS auc_den,
-        |  CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
-        |    ELSE CAST(r2 - n_pos*(n_pos+1) AS DOUBLE)
-        |      / CAST(2*n_pos*n_neg AS DOUBLE) END AS auc
-        |FROM a ORDER BY source""".stripMargin,
-
-    // Cohen's kappa twin: the SAME argmax case chain q_lang_id gates
-    // builds the predicted label, then exact integer marginal
-    // cross-products — kappa as one division of pinned BIGINTs.
-    "q_cohens_kappa" -> {
-      val scores = langScoreSql.map { case (lang, sql) => s"$sql AS s_$lang" }
-        .mkString(",\n        |    ").stripMargin
-      val langs = langScoreSql.map(_._1)
-      val caseChain = langs.init.map { lang =>
-        val conds = langs.filterNot(_ == lang).map(o => s"s_$lang >= s_$o")
-          .mkString(" AND ")
-        s"WHEN $conds THEN '$lang'"
-      }.mkString(" ")
-      s"""WITH sc AS (SELECT source, lang,
-         |    $scores
-         |  FROM documents),
-         |d AS (SELECT source,
-         |    CASE $caseChain ELSE '${langs.last}' END AS ra, lang AS rb
-         |  FROM sc),
-         |a AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
-         |    CAST(count(*) FILTER (ra = rb) AS BIGINT) AS n_agree
-         |  FROM d GROUP BY source),
-         |ma AS (SELECT source, ra AS lab, CAST(count(*) AS BIGINT) AS ca
-         |  FROM d GROUP BY source, ra),
-         |mb AS (SELECT source, rb AS lab, CAST(count(*) AS BIGINT) AS cb
-         |  FROM d GROUP BY source, rb),
-         |pe AS (SELECT source, CAST(sum(ca * cb) AS BIGINT) AS pe_num
-         |  FROM ma JOIN mb USING (source, lab) GROUP BY source)
-         |SELECT a.source, n, n_agree,
-         |  COALESCE(pe_num, 0) AS pe_num,
-         |  CAST(n * n_agree - COALESCE(pe_num, 0) AS BIGINT) AS kappa_num,
-         |  CAST(n * n - COALESCE(pe_num, 0) AS BIGINT) AS kappa_den,
-         |  CASE WHEN n * n - COALESCE(pe_num, 0) = 0 THEN NULL
-         |    ELSE CAST(n * n_agree - COALESCE(pe_num, 0) AS DOUBLE)
-         |      / CAST(n * n - COALESCE(pe_num, 0) AS DOUBLE) END AS kappa
-         |FROM a LEFT JOIN pe USING (source) ORDER BY source""".stripMargin
-    },
-
-    // Per-class PRF twin: the same argmax case chain, three marginal
-    // CTEs with a FULL JOIN union of classes, macro-F1 as the sorted
-    // list_reduce fold (q_chi_square's construction).
-    "q_class_prf" -> {
-      val scores = langScoreSql.map { case (lang, sql) => s"$sql AS s_$lang" }
-        .mkString(",\n        |    ").stripMargin
-      val langs = langScoreSql.map(_._1)
-      val caseChain = langs.init.map { lang =>
-        val conds = langs.filterNot(_ == lang).map(o => s"s_$lang >= s_$o")
-          .mkString(" AND ")
-        s"WHEN $conds THEN '$lang'"
-      }.mkString(" ")
-      s"""WITH sc AS (SELECT lang,
-         |    $scores
-         |  FROM documents),
-         |d AS (SELECT lang AS gold,
-         |    CASE $caseChain ELSE '${langs.last}' END AS pred FROM sc),
-         |g AS (SELECT gold AS cls, CAST(count(*) AS BIGINT) AS n_gold
-         |  FROM d GROUP BY 1),
-         |p AS (SELECT pred AS cls, CAST(count(*) AS BIGINT) AS n_pred
-         |  FROM d GROUP BY 1),
-         |t AS (SELECT gold AS cls, CAST(count(*) AS BIGINT) AS tp
-         |  FROM d WHERE gold = pred GROUP BY 1),
-         |pc AS (SELECT COALESCE(g.cls, p.cls) AS cls,
-         |    COALESCE(n_gold, 0) AS n_gold, COALESCE(n_pred, 0) AS n_pred
-         |  FROM g FULL JOIN p ON g.cls = p.cls),
-         |pc2 AS (SELECT pc.cls, n_gold, n_pred, COALESCE(tp, 0) AS tp
-         |  FROM pc LEFT JOIN t ON pc.cls = t.cls),
-         |f AS (SELECT cls, n_gold, n_pred, tp,
-         |    CASE WHEN n_pred = 0 THEN NULL
-         |      ELSE CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE) END AS precision,
-         |    CASE WHEN n_gold = 0 THEN NULL
-         |      ELSE CAST(tp AS DOUBLE) / CAST(n_gold AS DOUBLE) END AS recall,
-         |    CASE WHEN n_gold + n_pred = 0 THEN NULL
-         |      ELSE CAST(2*tp AS DOUBLE) / CAST(n_gold + n_pred AS DOUBLE)
-         |      END AS f1
-         |  FROM pc2)
-         |SELECT cls, n_gold, n_pred, tp, precision, recall, f1 FROM f
-         |UNION ALL
-         |SELECT '__macro__', NULL, NULL, NULL, NULL, NULL,
-         |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
-         |      list(COALESCE(f1, 0.0) ORDER BY cls)), (acc, x) -> acc + x)
-         |    / CAST(count(*) AS DOUBLE)
-         |FROM f ORDER BY cls""".stripMargin
-    },
-
-    // Positional 8-token windows wide-hashed; df ≥ 2 marks positions;
-    // gaps-and-islands (running interval max) merges marks into maximal
-    // spans. MATERIALIZED-free: each CTE is referenced once except g (2×).
-    "q_span_dedup" -> {
-      val h = duckWideHash("gram")
-      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk
-         |  FROM documents WHERE text IS NOT NULL AND text <> ''),
-         |g AS (SELECT doc_id, i - 1 AS pos, $h AS h
-         |  FROM (SELECT doc_id, i, array_to_string(tk[i:i+7], ' ') AS gram
-         |        FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 6)) AS i
-         |              FROM tk))),
-         |d AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
-         |p AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (h)),
-         |i1 AS (SELECT doc_id, pos,
-         |    MAX(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS rmax
-         |  FROM p),
-         |i2 AS (SELECT doc_id, pos,
-         |    SUM(CASE WHEN rmax IS NULL OR pos > rmax THEN 1 ELSE 0 END)
-         |      OVER (PARTITION BY doc_id ORDER BY pos
-         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
-         |  FROM i1),
-         |sp AS (SELECT doc_id, island, MIN(pos) AS s, MAX(pos) + 8 AS e
-         |  FROM i2 GROUP BY doc_id, island),
-         |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
-         |    CAST(SUM(e - s) AS BIGINT) AS dup_tokens
-         |  FROM sp GROUP BY doc_id),
-         |n AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens FROM tk)
-         |SELECT n.doc_id, n_tokens,
-         |  COALESCE(n_spans, CAST(0 AS BIGINT)) AS n_spans,
-         |  COALESCE(dup_tokens, CAST(0 AS BIGINT)) AS dup_tokens,
-         |  CAST(n_tokens - COALESCE(dup_tokens, 0) AS BIGINT) AS kept_tokens
-         |FROM n LEFT JOIN agg ON n.doc_id = agg.doc_id
-         |ORDER BY n.doc_id""".stripMargin
-    },
-
-    // Cumulative-from-the-top tp/pp per distinct score; qualify by the
-    // integer cross-multiply tp·2 ≥ pp·1; min qualifying score per source.
-    "q_threshold_pick" ->
-      """WITH d AS (SELECT source, n_chars AS score,
-        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS lab FROM documents),
-        |s AS (SELECT source, score, CAST(count(*) AS BIGINT) AS m,
-        |    CAST(SUM(lab) AS BIGINT) AS p FROM d GROUP BY source, score),
-        |c AS (SELECT source, score,
-        |    CAST(SUM(p) OVER (PARTITION BY source ORDER BY score DESC
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
-        |    CAST(SUM(m) OVER (PARTITION BY source ORDER BY score DESC
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pp,
-        |    CAST(SUM(p) OVER (PARTITION BY source) AS BIGINT) AS pos
-        |  FROM s),
-        |q AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
-        |      ORDER BY score ASC) AS rn
-        |  FROM c WHERE tp * 2 >= pp * 1 AND tp > 0)
-        |SELECT source, score AS threshold, tp,
-        |  CAST(pp - tp AS BIGINT) AS fp, CAST(pos - tp AS BIGINT) AS fn,
-        |  CAST(tp AS DOUBLE) / CAST(pp AS DOUBLE) AS precision,
-        |  CAST(tp AS DOUBLE) / CAST(pos AS DOUBLE) AS recall
-        |FROM q WHERE rn = 1 ORDER BY source""".stripMargin,
-
-    // 8 unrolled peeling rounds (fixture converges in ≤ 4; extra rounds
-    // are fixpoint no-ops, and the Spark side's maxRounds = 8 throws if
-    // convergence ever needs more — the unrolling depth is load-bearing).
-    "q_kcore" -> kCoreOracle(10, 8),
-
-    // Mirrors equidepthBins(k = 8) over the total order (n_chars, doc_id):
-    // bin = (rank−1)·8 div n; exact integer sums, one division per double.
-    "q_calibration" ->
-      """WITH r AS (SELECT doc_id, n_chars,
-        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS lab,
-        |    ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rnk,
-        |    COUNT(*) OVER () AS nn
-        |  FROM documents)
-        |SELECT CAST((rnk - 1) * 8 // nn AS INT) AS bin,
-        |  CAST(count(*) AS BIGINT) AS n,
-        |  CAST(SUM(lab) AS BIGINT) AS n_pos,
-        |  CAST(CAST(SUM(n_chars) AS BIGINT) AS DOUBLE)
-        |    / CAST(count(*) AS DOUBLE) AS mean_score,
-        |  CAST(CAST(SUM(lab) AS BIGINT) AS DOUBLE)
-        |    / CAST(count(*) AS DOUBLE) AS pos_rate
-        |FROM r GROUP BY 1 ORDER BY bin""".stripMargin,
-
-    // Mirrors dsirWeights(buckets = 512) + the top-40 cut: bucket-hashed
-    // unigram LMs with add-1 smoothing at integer-log₂ (bit-length)
-    // resolution, per-token ratio summed per doc with the model-size
-    // normalizers carried via n_tokens.
-    "q_dsir_select" -> dsirOracle("",
-      "SELECT doc_id, n_tokens, weight FROM w ORDER BY weight DESC, doc_id LIMIT 40"),
-
-    // The streaming scorer must reproduce the batch integers exactly for
-    // the probe quarter, with the LMs still built from the FULL corpus
-    // (the model is static; only the scored docs stream).
-    "q_stream_dsir" -> dsirOracle("WHERE doc_id % 4 = 3",
-      "SELECT doc_id, n_tokens, weight FROM w ORDER BY doc_id"),
-
-    "q_pii_redact" -> {
-      val Seq((email, er), (phone, pr), (ip, ir)) = CorpusOps.PiiRules
-      s"""WITH t AS (SELECT doc_id,
-         |  text || ' contact a' || CAST(doc_id AS VARCHAR) || '@example.com or b'
-         |    || CAST(doc_id AS VARCHAR) || '@mail.example.org call 555-'
-         |    || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-1234 from 10.0.'
-         |    || CAST(doc_id % 256 AS VARCHAR) || '.1' AS t
-         |  FROM documents)
-         |SELECT doc_id,
-         |  CAST(len(regexp_extract_all(t, '$email')) AS BIGINT) AS n_emails,
-         |  CAST(len(regexp_extract_all(t, '$phone')) AS BIGINT) AS n_phones,
-         |  CAST(len(regexp_extract_all(t, '$ip')) AS BIGINT) AS n_ips,
-         |  regexp_replace(regexp_replace(regexp_replace(t,
-         |    '$email', '$er', 'g'), '$phone', '$pr', 'g'), '$ip', '$ir', 'g')
-         |    AS clean_text
-         |FROM t ORDER BY doc_id""".stripMargin
-    },
-
-    "q_dup_fraction" ->
-      s"""WITH w AS (SELECT doc_id,
-         |  unnest(list_transform(list_distinct(list_transform(range(1, length(text)-14),
-         |    i -> substr(text, i, 16))), s -> ${duckWideHash("s")})) AS w
-         |  FROM documents WHERE length(text) >= 16),
-         |wdf AS (SELECT w, count(*) AS wdf FROM w GROUP BY w)
-         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
-         |  CAST(sum(CASE WHEN wdf.wdf > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
-         |  CAST(sum(CASE WHEN wdf.wdf > 1 THEN 1 ELSE 0 END) AS DOUBLE)
-         |    / CAST(count(*) AS DOUBLE) AS dup_fraction
-         |FROM w JOIN wdf ON w.w = wdf.w
-         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-
-    "q_ngram_jaccard" ->
-      """WITH g AS (SELECT doc_id, lang, source,
-        |  list_distinct(list_transform(range(1, length(text)-1), i -> substr(text, i, 3))) AS gr
-        |  FROM documents WHERE length(text) >= 3)
-        |SELECT a.doc_id AS doc_i, b.doc_id AS doc_j,
-        |  CAST(len(list_intersect(a.gr, b.gr)) AS BIGINT) AS n_common,
-        |  CAST(len(list_distinct(list_concat(a.gr, b.gr))) AS BIGINT) AS n_union
-        |FROM g a JOIN g b
-        |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-        |WHERE len(list_distinct(list_concat(a.gr, b.gr))) > 0
-        |  AND 5 * len(list_intersect(a.gr, b.gr)) >= 3 * len(list_distinct(list_concat(a.gr, b.gr)))
-        |ORDER BY doc_i, doc_j""".stripMargin,
-
-    // Shared with q_stream_lsh_probe: the stream-static probe must equal
-    // the batch probe over the same replayed quarter — one oracle gates
-    // both (the annIvfOracle / q_cc_incremental precedent).
-    "q_stream_lsh_probe" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |s AS (SELECT doc_id,
-        |  list_distinct(list_transform(range(1, len(w)-1), i -> w[i]||' '||w[i+1]||' '||w[i+2])) AS sh
-        |  FROM t WHERE len(w) >= 3)
-        |SELECT a.doc_id AS new_id, b.doc_id AS corpus_id,
-        |  CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_common,
-        |  CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS BIGINT) AS n_union
-        |FROM s a JOIN s b ON a.doc_id % 4 = 3 AND b.doc_id % 4 <= 2 AND a.doc_id <> b.doc_id
-        |WHERE len(list_distinct(list_concat(a.sh, b.sh))) > 0
-        |  AND 2 * len(list_intersect(a.sh, b.sh)) >= len(list_distinct(list_concat(a.sh, b.sh)))
-        |ORDER BY new_id, corpus_id""".stripMargin,
-
-    "q_lsh_probe" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |s AS (SELECT doc_id,
-        |  list_distinct(list_transform(range(1, len(w)-1), i -> w[i]||' '||w[i+1]||' '||w[i+2])) AS sh
-        |  FROM t WHERE len(w) >= 3)
-        |SELECT a.doc_id AS new_id, b.doc_id AS corpus_id,
-        |  CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_common,
-        |  CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS BIGINT) AS n_union
-        |FROM s a JOIN s b ON a.doc_id % 4 = 3 AND b.doc_id % 4 <= 2 AND a.doc_id <> b.doc_id
-        |WHERE len(list_distinct(list_concat(a.sh, b.sh))) > 0
-        |  AND 2 * len(list_intersect(a.sh, b.sh)) >= len(list_distinct(list_concat(a.sh, b.sh)))
-        |ORDER BY new_id, corpus_id""".stripMargin,
-
-    "q_containment" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |s AS (SELECT doc_id,
-        |  list_distinct(list_transform(range(1, len(w)-1), i -> w[i]||' '||w[i+1]||' '||w[i+2])) AS sh
-        |  FROM t WHERE len(w) >= 3)
-        |SELECT a.doc_id AS doc_small, b.doc_id AS doc_big,
-        |  CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_common,
-        |  CAST(len(a.sh) AS BIGINT) AS n_small
-        |FROM s a JOIN s b ON a.doc_id <> b.doc_id
-        |WHERE len(a.sh) > 0 AND 10 * len(list_intersect(a.sh, b.sh)) >= 9 * len(a.sh)
-        |ORDER BY doc_small, doc_big""".stripMargin,
-
-    "q_edit_join" ->
-      """WITH s AS (
-        |  SELECT p_partkey AS id, p_name AS str FROM part WHERE p_partkey <= 600
-        |  UNION ALL
-        |  SELECT p_partkey + 100000, p_name || 'x' FROM part WHERE p_partkey <= 600)
-        |SELECT a.id AS id_i, b.id AS id_j,
-        |  CAST(levenshtein(a.str, b.str) AS BIGINT) AS dist
-        |FROM s a JOIN s b
-        |  ON a.id < b.id AND abs(length(a.str) - length(b.str)) <= 2
-        |WHERE levenshtein(a.str, b.str) <= 2
-        |ORDER BY id_i, id_j""".stripMargin,
-
-    "q_jaro_winkler" ->
-      """WITH p AS (SELECT p_partkey AS id, p_name AS str
-        |  FROM part WHERE p_partkey <= 500)
-        |SELECT a.id, jaro_winkler_similarity(a.str, b.str) AS jw_next,
-        |  jaro_winkler_similarity(a.str, 'x' || a.str) AS jw_typo
-        |FROM p a JOIN p b ON b.id = a.id + 1
-        |ORDER BY a.id""".stripMargin,
-
-    "q_kmv_distinct" ->
-      s"""WITH h AS (SELECT DISTINCT lang, ${duckHash("text")} AS h
-         |  FROM documents WHERE text IS NOT NULL),
-         |r AS (SELECT lang, h,
-         |    row_number() OVER (PARTITION BY lang ORDER BY h) AS rk,
-         |    COUNT(*) OVER (PARTITION BY lang) AS nd
-         |  FROM h)
-         |SELECT lang,
-         |  CAST(LEAST(nd, 64) AS INTEGER) AS n_min,
-         |  MAX(CASE WHEN rk = LEAST(nd, 64) THEN h END) AS kth_hash,
-         |  CASE WHEN nd < 64 THEN CAST(nd AS DOUBLE)
-         |       ELSE 63.0 * 1000000007.0
-         |            / CAST(MAX(CASE WHEN rk = 64 THEN h END) AS DOUBLE) END AS est_distinct,
-         |  CAST(nd AS BIGINT) AS n_exact_hashes
-         |FROM r GROUP BY lang, nd ORDER BY lang""".stripMargin,
-
-    "q_sample_quantiles" ->
-      // n_rows rides a window over the raw rows instead of a joined CTE:
-      // a join ON lang would silently drop a NULL-lang group that the
-      // Spark side's groupBy keeps.
-      s"""WITH h AS (SELECT lang, ${duckHash("CAST(doc_id AS VARCHAR)")} AS h,
-         |    CAST(length(text) AS BIGINT) AS v,
-         |    CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS n_rows
-         |  FROM documents WHERE text IS NOT NULL),
-         |hd AS (SELECT lang, h, MIN(v) AS v, MAX(n_rows) AS n_rows
-         |  FROM h GROUP BY lang, h),
-         |r AS (SELECT lang, v, n_rows,
-         |    row_number() OVER (PARTITION BY lang ORDER BY h) AS rk FROM hd),
-         |s AS (SELECT lang, v, n_rows FROM r WHERE rk <= 64),
-         |o AS (SELECT lang, v, n_rows,
-         |    row_number() OVER (PARTITION BY lang ORDER BY v) AS vrk,
-         |    COUNT(*) OVER (PARTITION BY lang) AS ns FROM s)
-         |SELECT lang, CAST(MAX(ns) AS INT) AS n_sample,
-         |  MAX(CASE WHEN vrk = (ns-1)*25//100 + 1 THEN v END) AS p25,
-         |  MAX(CASE WHEN vrk = (ns-1)*50//100 + 1 THEN v END) AS p50,
-         |  MAX(CASE WHEN vrk = (ns-1)*75//100 + 1 THEN v END) AS p75,
-         |  MAX(CASE WHEN vrk = (ns-1)*90//100 + 1 THEN v END) AS p90,
-         |  MAX(n_rows) AS n_rows
-         |FROM o GROUP BY lang ORDER BY lang""".stripMargin,
-
-    "q_kmv_overlap" ->
-      s"""WITH h AS (SELECT doc_id, ${duckHash("text")} AS h
-         |  FROM documents WHERE text IS NOT NULL),
-         |a AS (SELECT list(DISTINCT h ORDER BY h)[:64] AS am,
-         |    CAST(count(DISTINCT h) AS BIGINT) AS exact_a
-         |  FROM h WHERE doc_id % 2 = 0),
-         |b AS (SELECT list(DISTINCT h ORDER BY h)[:64] AS bm,
-         |    CAST(count(DISTINCT h) AS BIGINT) AS exact_b
-         |  FROM h WHERE doc_id % 3 = 0),
-         |eu AS (SELECT CAST(count(DISTINCT h) AS BIGINT) AS exact_union
-         |  FROM h WHERE doc_id % 2 = 0 OR doc_id % 3 = 0),
-         |ei AS (SELECT CAST(count(DISTINCT h) AS BIGINT) AS exact_intersection
-         |  FROM h WHERE doc_id % 6 = 0),
-         |m AS (SELECT list_sort(list_distinct(list_concat(am, bm)))[:64] AS u, *
-         |  FROM a, b, eu, ei),
-         |c AS (SELECT *, len(u) AS n_union_min,
-         |    CASE WHEN len(u) = 0 THEN 0 ELSE u[len(u)] END AS union_kth,
-         |    CASE WHEN len(u) < 64 THEN CAST(len(u) AS DOUBLE)
-         |         ELSE 63.0 * 1000000007.0 / CAST(u[len(u)] AS DOUBLE) END AS est_union,
-         |    len(list_intersect(list_intersect(u, am), bm)) AS n_both
-         |  FROM m)
-         |SELECT CAST(n_union_min AS INT) AS n_union_min, union_kth, est_union,
-         |  CAST(n_both AS INT) AS n_both,
-         |  CASE WHEN n_union_min < 64 THEN CAST(n_both AS DOUBLE)
-         |       ELSE CAST(n_both AS DOUBLE) / 64.0 * est_union END AS est_intersection,
-         |  exact_a, exact_b, exact_union, exact_intersection
-         |FROM c""".stripMargin,
-
-    "q_text_stats" ->
-      """WITH d AS (SELECT lang, source,
-        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
-        |  CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a'))) AS BIGINT) AS ns,
-        |  CAST(length(text) - length(regexp_replace(text, '[^a-z ]', '', 'g')) AS BIGINT) AS np
-        |  FROM documents)
-        |SELECT lang, count(*) AS n_docs,
-        |  CAST(sum(nt) AS BIGINT) AS total_tokens,
-        |  CAST(sum(ns) AS BIGINT) AS total_stopwords,
-        |  CAST(sum(np) AS BIGINT) AS total_punct,
-        |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
-        |  CAST(sum(nt) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_tokens,
-        |  CAST(sum(ns) AS DOUBLE) / CAST(sum(nt) AS DOUBLE) AS stop_ratio
-        |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
-
-    "q_quality_score" ->
-      """WITH d AS (SELECT doc_id,
-        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-        |  CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_regex_tokens,
-        |  (length(text) + 3) // 4 AS n_tokens_est,
-        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq_tokens,
-        |  CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a'))) AS BIGINT) AS n_stopwords
-        |  FROM documents)
-        |SELECT doc_id, n_tokens, n_regex_tokens, CAST(n_tokens_est AS BIGINT) AS n_tokens_est,
-        |  n_uniq_tokens, n_stopwords,
-        |  (CAST(n_uniq_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 0.5
-        |    + (1.0 - CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 0.3
-        |    + least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0) * 0.2 AS quality
-        |FROM d ORDER BY doc_id""".stripMargin,
-
-    "q_lang_id" -> {
-      val scores = langScoreSql.map { case (lang, sql) => s"  $sql AS s_$lang," }.mkString("\n")
-      val langs = langScoreSql.map(_._1)
-      val caseChain = langs.init.map { lang =>
-        val conds = langs.filterNot(_ == lang).map(o => s"s_$lang >= s_$o").mkString(" AND ")
-        s"WHEN $conds THEN '$lang'"
-      }.mkString("\n    ", "\n    ", "")
-      s"""WITH d AS (SELECT doc_id,
-         |$scores
-         |  lang AS labeled_lang
-         |  FROM documents)
-         |SELECT doc_id, ${langs.map(l => s"s_$l").mkString(", ")},
-         |  CASE$caseChain
-         |    ELSE '${langs.last}' END AS pred_lang,
-         |  labeled_lang
-         |FROM d ORDER BY doc_id""".stripMargin
-    },
-
-    "q_doc_fingerprint" ->
-      s"""SELECT doc_id, ${duckHash("text")} AS fp,
-         |  CAST(length(text) AS BIGINT) AS n_chars_actual
-         |FROM documents ORDER BY doc_id""".stripMargin,
-
-    "q_hopping_windows" ->
-      """WITH e AS (SELECT event_type,
-        |    epoch_ns(ts) // 1000000000 AS sec,
-        |    CAST(value AS DECIMAL(18,4)) AS v FROM events),
-        |w AS (SELECT event_type, v,
-        |    (sec // 1800 - o) * 1800 AS window_start
-        |  FROM e, (VALUES (0), (1)) AS t(o))
-        |SELECT CAST(window_start AS BIGINT) AS window_start, event_type,
-        |  count(*) AS n_events, CAST(sum(v) AS DOUBLE) AS total_value
-        |FROM w GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
-
-    // Batch twin of the stream-static enrichment join.
-    "q_stream_enrich" ->
-      """WITH p AS (SELECT user_id, count(*) AS n_user_events,
-        |    min(epoch_ns(ts) // 1000000000) AS first_seen_sec
-        |  FROM events GROUP BY user_id)
-        |SELECT e.event_id, e.user_id, CAST(p.n_user_events AS BIGINT) AS n_user_events,
-        |  CAST(epoch_ns(e.ts) // 1000000000 - p.first_seen_sec AS BIGINT) AS user_age_sec
-        |FROM events e JOIN p USING (user_id)
-        |WHERE e.event_type = 'purchase'
-        |ORDER BY event_id""".stripMargin,
-
-    // Batch twin of the stream-stream range join: same user-key equi-join,
-    // same microsecond floor arithmetic, same 1-hour window.
-    "q_stream_join" ->
-      """WITH e AS (SELECT event_id, user_id, event_type,
-        |    epoch_ns(ts) // 1000 AS us FROM events)
-        |SELECT b.event_id AS buy_id, c.event_id AS view_id, b.user_id,
-        |  CAST(b.us - c.us AS BIGINT) AS lag_us
-        |FROM e b JOIN e c ON b.user_id = c.user_id
-        |WHERE b.event_type = 'purchase' AND c.event_type = 'view'
-        |  AND c.us BETWEEN b.us - 3600000000 AND b.us
-        |ORDER BY buy_id, view_id""".stripMargin,
-
-    "q_stream_outer_join" ->
-      """WITH e AS (SELECT event_id, user_id, event_type,
-        |    epoch_ns(ts) // 1000 AS us FROM events),
-        |b AS (SELECT * FROM e WHERE event_type = 'purchase'),
-        |v AS (SELECT * FROM e WHERE event_type = 'view')
-        |SELECT b.event_id AS buy_id, v.event_id AS view_id, b.user_id,
-        |  CAST(b.us - v.us AS BIGINT) AS lag_us
-        |FROM b LEFT JOIN v ON b.user_id = v.user_id
-        |  AND v.us BETWEEN b.us - 3600000000 AND b.us
-        |ORDER BY buy_id, view_id NULLS FIRST""".stripMargin,
-
-    "q_stream_dedup" ->
-      """SELECT event_id, user_id, event_type,
-        |  CAST(floor(epoch(ts)) AS BIGINT) AS ep, value
-        |FROM events ORDER BY event_id""".stripMargin,
-
-    "q_weighted_sample" ->
-      s"""WITH h AS (SELECT doc_id, lang, n_chars,
-         |  ln((${duckHash("text", 151)} + 1) / 1000000008.0)
-         |    / CAST(n_chars AS DOUBLE) AS pri
-         |  FROM documents)
-         |SELECT CAST(row_number() OVER (ORDER BY pri DESC, doc_id) AS INT) AS sample_rank,
-         |  doc_id, lang, n_chars
-         |FROM h ORDER BY pri DESC, doc_id LIMIT 40""".stripMargin,
-
-    // Integer-exact α=1/2 temperature test: u²·n_lang < (4·2^20)², HUGEINT
-    // product on the left (u² < 2^40 times a BIGINT count).
-    "q_token_budget_mix" ->
-      s"""WITH n AS (SELECT doc_id, source,
-         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-         |  ${duckHash("text", 193)} AS h,
-         |  300 + 100 * (CAST(substr(source, 4) AS BIGINT) % 4) AS budget
-         |  FROM documents WHERE text IS NOT NULL),
-         |c AS (SELECT doc_id, source, n_tokens, budget,
-         |  sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
-         |    ROWS UNBOUNDED PRECEDING) AS cum
-         |  FROM n)
-         |SELECT doc_id, source, n_tokens FROM c WHERE cum <= budget
-         |ORDER BY doc_id""".stripMargin,
-
-    "q_temperature_mix" ->
-      s"""WITH n AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
-         |u AS (SELECT doc_id, lang,
-         |  ${duckHash("text", 173)} % 1048576 AS u FROM documents)
-         |SELECT d.doc_id, d.lang FROM u d JOIN n ON n.lang = d.lang
-         |WHERE CAST(d.u * d.u AS HUGEINT) * n.n
-         |  < CAST(4194304 AS HUGEINT) * 4194304
-         |ORDER BY doc_id""".stripMargin,
-
-    // Mirrors robustOutliers with NO quantile_* function: each discrete
-    // median (value, then deviation) is selected by explicit rank arithmetic
-    // — the value at rank ⌈n/2⌉, i.e. `rn*2 = n + n%2` — the same lower-
-    // middle rule percentile_disc implements, stated in constructs every
-    // DuckDB release agrees on (quantile_disc's even-n selection drifted
-    // across versions and flipped this gate red in round 9). dev/mad/
-    // max_dev scales pinned to Spark's decimal arithmetic ((18,4) minus
-    // (18,4) → (19,4)).
-    // All-BIGINT twin of StatOps.robustOutliers: values quantize via the
-    // IEEE chain ⌊v·10⁴+0.5⌋ (bit-identical across engines), never an
-    // engine-native double→DECIMAL cast (version-sensitive tie rounding —
-    // the rounds-9/10 driver red).
-    "q_robust_outliers" ->
-      """WITH v AS (SELECT event_type AS grp,
-        |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS v FROM events),
-        |vr AS (SELECT grp, v,
-        |    ROW_NUMBER() OVER (PARTITION BY grp ORDER BY v) AS rn,
-        |    COUNT(*) OVER (PARTITION BY grp) AS n
-        |  FROM v WHERE v IS NOT NULL),
-        |m AS (SELECT grp, v AS med FROM vr WHERE rn * 2 = n + (n % 2)),
-        |d AS (SELECT v.grp, v.v, m.med, abs(v.v - m.med) AS dev FROM v JOIN m USING (grp)),
-        |dr AS (SELECT grp, dev,
-        |    ROW_NUMBER() OVER (PARTITION BY grp ORDER BY dev) AS rn,
-        |    COUNT(*) OVER (PARTITION BY grp) AS n
-        |  FROM d WHERE dev IS NOT NULL),
-        |md AS (SELECT grp, dev AS mad FROM dr WHERE rn * 2 = n + (n % 2))
-        |SELECT d.grp AS grp, CAST(count(*) AS BIGINT) AS n,
-        |  CAST(min(d.med) AS BIGINT) AS med,
-        |  CAST(min(md.mad) AS BIGINT) AS mad,
-        |  CAST(SUM(CASE WHEN d.dev * 2 > md.mad * 9 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
-        |  CAST(max(d.dev) AS BIGINT) AS max_dev
-        |FROM d JOIN md USING (grp)
-        |GROUP BY d.grp ORDER BY grp""".stripMargin,
-
-    "q_correlation" -> {
-      // decimal -> double via the canonical VARCHAR (see StatOps.correlation:
-      // DuckDB's direct int128-decimal -> double rounds twice, one ulp off).
-      def v(c: String) = s"CAST(CAST($c AS VARCHAR) AS DOUBLE)"
-      val nD = "CAST(n AS DOUBLE)"
-      val num = s"($nD * ${v("sxy")} - ${v("sx")} * ${v("sy")})"
-      // greatest(0, ·) + `> 0` gate mirror StatOps.correlation's clamp: the
-      // variance terms are ≥ 0 exactly but can round negative in doubles.
-      val den = s"(sqrt(greatest(0.0, $nD * ${v("sxx")} - ${v("sx")} * ${v("sx")})) * " +
-        s"sqrt(greatest(0.0, $nD * ${v("syy")} - ${v("sy")} * ${v("sy")})))"
-      s"""WITH m AS (SELECT l_returnflag,
-         |  count(*) AS n,
-         |  SUM(CAST(l_quantity AS DECIMAL(18,4))) AS sx,
-         |  SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS sy,
-         |  -- DECIMAL(19,·): DuckDB 1.0 multiplies width-18 decimals in their
-         |  -- int64 storage and overflows; width 19 forces int128. The values
-         |  -- are exact either way, matching Spark's (18,4)^2 -> (37,8).
-         |  SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4))) AS sxx,
-         |  SUM(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS syy,
-         |  SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS sxy
-         |  FROM lineitem GROUP BY l_returnflag)
-         |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
-         |  CASE WHEN $den > 0 THEN $num / $den END AS corr_xy,
-         |  CASE WHEN n > 1 THEN $num / ($nD * ($nD - 1.0)) END AS cov_samp
-         |FROM m ORDER BY l_returnflag""".stripMargin
-    },
-
-    // Min-max twin: the same subtract/divide chain over exact bounds.
-    "q_minmax_scale" ->
-      """WITH b AS (SELECT event_type, min(value) AS lo, max(value) AS hi
-        |  FROM events GROUP BY event_type)
-        |SELECT event_id, e.event_type,
-        |  CASE WHEN value IS NULL THEN NULL
-        |    WHEN hi = lo THEN 0.0
-        |    ELSE (CAST(value AS DOUBLE) - CAST(lo AS DOUBLE))
-        |      / (CAST(hi AS DOUBLE) - CAST(lo AS DOUBLE)) END AS scaled
-        |FROM events e JOIN b
-        |  ON e.event_type IS NOT DISTINCT FROM b.event_type
-        |ORDER BY event_id""".stripMargin,
-
-    // Mode twin: level counts, ROW_NUMBER by (count DESC, value ASC) —
-    // the deterministic tie-break the operator pins.
-    "q_mode" ->
-      """WITH c AS (SELECT l_returnflag AS g,
-        |    CAST(l_quantity AS BIGINT) AS v,
-        |    CAST(count(*) AS BIGINT) AS c
-        |  FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY g, v),
-        |r AS (SELECT g, v, c,
-        |    ROW_NUMBER() OVER (PARTITION BY g ORDER BY c DESC, v ASC) AS rn,
-        |    CAST(SUM(c) OVER (PARTITION BY g) AS BIGINT) AS n,
-        |    CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS n_distinct
-        |  FROM c)
-        |SELECT g AS l_returnflag, v AS mode_value, c AS mode_count,
-        |  n, n_distinct
-        |FROM r WHERE rn = 1 ORDER BY l_returnflag""".stripMargin,
-
-    // Correlation-matrix twin: one moments CTE (q_correlation's decimal
-    // conventions — (18,4) sums, (19,4) products for int128), one
-    // UNION ALL row per pair with the identical closing chain.
-    "q_corr_matrix" -> {
-      val cs = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-      def s18(c: String) = s"SUM(CAST($c AS DECIMAL(18,4)))"
-      def p19(a: String, b: String) =
-        s"SUM(CAST($a AS DECIMAL(19,4)) * CAST($b AS DECIMAL(19,4)))"
-      val pairs = for {
-        i <- cs.indices; j <- (i + 1) until cs.size
-      } yield (cs(i), cs(j))
-      val moments =
-        cs.map(c => s"  ${s18(c)} AS s_$c,") ++
-          cs.map(c => s"  ${p19(c, c)} AS ss_$c,") ++
-          pairs.map { case (a, b) => s"  ${p19(a, b)} AS sx_${a}_$b," }
-      def v(c: String) = s"CAST(CAST($c AS VARCHAR) AS DOUBLE)"
-      val legs = pairs.map { case (a, b) =>
-        val num = s"(CAST(n AS DOUBLE) * ${v(s"sx_${a}_$b")} - ${v(s"s_$a")} * ${v(s"s_$b")})"
-        val den = s"(sqrt(greatest(0.0, CAST(n AS DOUBLE) * ${v(s"ss_$a")} - ${v(s"s_$a")} * ${v(s"s_$a")})) * " +
-          s"sqrt(greatest(0.0, CAST(n AS DOUBLE) * ${v(s"ss_$b")} - ${v(s"s_$b")} * ${v(s"s_$b")})))"
-        s"""SELECT '$a' AS col_x, '$b' AS col_y, CAST(n AS BIGINT) AS n,
-           |  CASE WHEN $den > 0 THEN $num / $den END AS corr_xy FROM m"""
-          .stripMargin
-      }
-      s"""WITH m AS (SELECT count(*) AS n,
-         |${moments.mkString("\n").stripSuffix(",")}
-         |  FROM lineitem)
-         |${legs.mkString("\nUNION ALL\n")}
-         |ORDER BY col_x, col_y""".stripMargin
-    },
-
-    // Kendall tau-b twin: the O(n²) pairwise self-join definition — every
-    // pair classified once (a.doc_id < b.doc_id; all five classes are
-    // symmetric under swap, so the order key only dedups). The engine side
-    // computes the same longs via the value-range grid; tau_b closes from
-    // them with the identical cast/multiply/sqrt/divide chain.
-    "q_kendall_tau" ->
-      """WITH d AS (SELECT lang AS g, doc_id,
-        |    CAST(n_chars AS DOUBLE) AS x,
-        |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS y
-        |  FROM documents WHERE n_chars IS NOT NULL AND text IS NOT NULL),
-        |p AS (SELECT a.g,
-        |    CAST(count(*) FILTER ((a.x < b.x AND a.y > b.y)
-        |        OR (a.x > b.x AND a.y < b.y)) AS BIGINT) AS nd,
-        |    CAST(count(*) FILTER (a.x = b.x) AS BIGINT) AS tx,
-        |    CAST(count(*) FILTER (a.y = b.y) AS BIGINT) AS ty,
-        |    CAST(count(*) FILTER (a.x = b.x AND a.y = b.y) AS BIGINT) AS txy
-        |  FROM d a JOIN d b ON a.g = b.g AND a.doc_id < b.doc_id
-        |  GROUP BY a.g),
-        |n AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY g)
-        |SELECT n.g AS lang, n.n,
-        |  CAST(n*(n-1)//2 - COALESCE(nd,0)
-        |    - (COALESCE(tx,0) + COALESCE(ty,0) - COALESCE(txy,0)) AS BIGINT) AS nc,
-        |  COALESCE(nd,0) AS nd, COALESCE(tx,0) AS tx, COALESCE(ty,0) AS ty,
-        |  COALESCE(txy,0) AS txy,
-        |  CASE WHEN n*(n-1)//2 - COALESCE(tx,0) = 0
-        |        OR n*(n-1)//2 - COALESCE(ty,0) = 0 THEN NULL
-        |    ELSE CAST(n*(n-1)//2 - COALESCE(nd,0)
-        |        - (COALESCE(tx,0) + COALESCE(ty,0) - COALESCE(txy,0))
-        |        - COALESCE(nd,0) AS DOUBLE)
-        |      / sqrt(CAST(n*(n-1)//2 - COALESCE(tx,0) AS DOUBLE)
-        |           * CAST(n*(n-1)//2 - COALESCE(ty,0) AS DOUBLE)) END AS tau_b
-        |FROM n LEFT JOIN p USING (g) ORDER BY lang""".stripMargin,
-
-    // Apriori twin: the UNPRUNED definition — distinct tokens per doc,
-    // k-way self-joins with ordered items, HAVING support — which the
-    // engine's pruned level-wise form must equal exactly (monotonicity
-    // makes the prune lossless).
-    "q_itemsets" ->
-      """WITH it AS (SELECT doc_id,
-        |    unnest(list_distinct(string_split(text, ' '))) AS tok
-        |  FROM documents),
-        |f1 AS (SELECT tok, CAST(count(*) AS BIGINT) AS sup
-        |  FROM it GROUP BY tok HAVING count(*) >= 300),
-        |e AS (SELECT doc_id, it.tok FROM it JOIN f1 USING (tok)),
-        |f2 AS (SELECT a.tok AS t1, b.tok AS t2,
-        |    CAST(count(*) AS BIGINT) AS sup
-        |  FROM e a JOIN e b ON a.doc_id = b.doc_id AND a.tok < b.tok
-        |  GROUP BY 1, 2 HAVING count(*) >= 300),
-        |f3 AS (SELECT a.tok AS t1, b.tok AS t2, c.tok AS t3,
-        |    CAST(count(*) AS BIGINT) AS sup
-        |  FROM e a
-        |  JOIN e b ON a.doc_id = b.doc_id AND a.tok < b.tok
-        |  JOIN e c ON a.doc_id = c.doc_id AND b.tok < c.tok
-        |  GROUP BY 1, 2, 3 HAVING count(*) >= 300)
-        |SELECT 1 AS k, tok AS item1, CAST(NULL AS VARCHAR) AS item2,
-        |  CAST(NULL AS VARCHAR) AS item3, sup AS support FROM f1
-        |UNION ALL SELECT 2, t1, t2, CAST(NULL AS VARCHAR), sup FROM f2
-        |UNION ALL SELECT 3, t1, t2, t3, sup FROM f3
-        |ORDER BY k, item1, item2, item3""".stripMargin,
-
-    // Source-overlap twin: distinct (source, token), token-keyed
-    // self-join for intersections, sizes close the unions.
-    "q_source_overlap" ->
-      """WITH st AS (SELECT DISTINCT source AS src,
-        |    unnest(list_distinct(string_split(text, ' '))) AS tok
-        |  FROM documents),
-        |sz AS (SELECT src, CAST(count(*) AS BIGINT) AS sz
-        |  FROM st GROUP BY src),
-        |i AS (SELECT a.src AS src_i, b.src AS src_j,
-        |    CAST(count(*) AS BIGINT) AS n_inter
-        |  FROM st a JOIN st b ON a.tok = b.tok AND a.src < b.src
-        |  GROUP BY 1, 2)
-        |SELECT src_i, src_j, x.sz AS n_i, y.sz AS n_j, n_inter,
-        |  CAST(x.sz + y.sz - n_inter AS BIGINT) AS n_union,
-        |  CAST(n_inter AS DOUBLE)
-        |    / CAST(x.sz + y.sz - n_inter AS DOUBLE) AS jaccard
-        |FROM i JOIN sz x ON x.src = src_i JOIN sz y ON y.src = src_j
-        |ORDER BY src_i, src_j""".stripMargin,
-
-    // Simpson twin: class counts, decimal Σc², two digit-string
-    // divisions (simpson and its inverse).
-    "q_simpson" ->
-      """WITH c AS (SELECT source AS g, lang,
-        |    CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY g, lang),
-        |a AS (SELECT g, CAST(sum(c) AS BIGINT) AS n,
-        |    CAST(count(*) AS BIGINT) AS n_classes,
-        |    CAST(SUM(CAST(c AS DECIMAL(18,0)) * CAST(c AS DECIMAL(19,0)))
-        |      AS DECIMAL(38,0)) AS sq_sum
-        |  FROM c GROUP BY g)
-        |SELECT g AS source, n, n_classes,
-        |  CAST(sq_sum AS VARCHAR) AS sq_sum,
-        |  CAST(CAST(sq_sum AS VARCHAR) AS DOUBLE)
-        |    / CAST(CAST(CAST(CAST(n AS DECIMAL(18,0)) * CAST(n AS DECIMAL(19,0))
-        |        AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE) AS simpson,
-        |  CAST(CAST(CAST(CAST(n AS DECIMAL(18,0)) * CAST(n AS DECIMAL(19,0))
-        |        AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE)
-        |    / CAST(CAST(sq_sum AS VARCHAR) AS DOUBLE) AS enc
-        |FROM a ORDER BY source""".stripMargin,
-
-    // Gini twin: same rank identity over vocabulary-level counts, same
-    // (19,0)×(18,0) decimal accumulation, doubles via digit strings.
-    "q_gini" ->
-      """WITH tk AS (SELECT source AS src,
-        |    unnest(string_split(text, ' ')) AS tok FROM documents),
-        |c AS (SELECT src, tok, CAST(count(*) AS BIGINT) AS c
-        |  FROM tk GROUP BY src, tok),
-        |r AS (SELECT src, c,
-        |    CAST(row_number() OVER (PARTITION BY src ORDER BY c, tok)
-        |      AS BIGINT) AS i,
-        |    CAST(count(*) OVER (PARTITION BY src) AS BIGINT) AS m
-        |  FROM c),
-        |a AS (SELECT src, CAST(max(m) AS BIGINT) AS m_tokens,
-        |    CAST(sum(c) AS BIGINT) AS total_tokens,
-        |    CAST(SUM(CAST(2*i - m - 1 AS DECIMAL(19,0))
-        |      * CAST(c AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS gini_num
-        |  FROM r GROUP BY src)
-        |SELECT src AS source, m_tokens, total_tokens,
-        |  CAST(gini_num AS VARCHAR) AS gini_num,
-        |  CAST(CAST(gini_num AS VARCHAR) AS DOUBLE)
-        |    / CAST(CAST(CAST(CAST(m_tokens AS DECIMAL(18,0))
-        |        * CAST(total_tokens AS DECIMAL(19,0)) AS DECIMAL(38,0))
-        |        AS VARCHAR) AS DOUBLE) AS gini
-        |FROM a ORDER BY source""".stripMargin,
-
-    // Vocabulary-richness twin: vocabulary-level counts, exact integers,
-    // three IEEE divisions. Shared with the streaming twin — the
-    // count-map fold must land on identical integers and doubles.
-    "q_vocab_richness" -> vocabRichnessOracle,
-
-    "q_stream_richness" -> vocabRichnessOracle,
-
-    // KS-drift twin: the groups×levels dense grid, integer cumulative
-    // cross-products, the max pinned as a digit string.
-    "q_ks_drift" ->
-      """WITH b AS (SELECT lang AS g, CAST(n_chars AS BIGINT) AS v
-        |  FROM documents WHERE n_chars IS NOT NULL),
-        |lv AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY g, v),
-        |tot AS (SELECT v, CAST(count(*) AS BIGINT) AS t FROM b GROUP BY v),
-        |ng AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY g),
-        |na AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM b),
-        |grid AS (SELECT ng.g, ng.n, tot.v, tot.t, COALESCE(lv.c, 0) AS c, nn
-        |  FROM ng CROSS JOIN tot CROSS JOIN na
-        |  LEFT JOIN lv ON lv.g = ng.g AND lv.v = tot.v),
-        |cum AS (SELECT g, n, nn, v,
-        |    SUM(c) OVER (PARTITION BY g ORDER BY v) AS cum_c,
-        |    SUM(t) OVER (PARTITION BY g ORDER BY v) AS cum_t
-        |  FROM grid),
-        |a AS (SELECT g, CAST(MAX(n) AS BIGINT) AS n,
-        |    CAST(MAX(nn - n) AS BIGINT) AS n_rest,
-        |    CAST(MAX(abs(CAST(cum_c AS DECIMAL(18,0)) * CAST(nn - n AS DECIMAL(19,0))
-        |      - CAST(cum_t - cum_c AS DECIMAL(18,0)) * CAST(n AS DECIMAL(19,0))))
-        |      AS DECIMAL(38,0)) AS ks_num
-        |  FROM cum GROUP BY g)
-        |SELECT g AS lang, n, n_rest, CAST(ks_num AS VARCHAR) AS ks_num,
-        |  CASE WHEN n_rest = 0 THEN NULL
-        |    ELSE CAST(CAST(ks_num AS VARCHAR) AS DOUBLE)
-        |      / CAST(CAST(CAST(CAST(n AS DECIMAL(18,0))
-        |          * CAST(n_rest AS DECIMAL(19,0)) AS DECIMAL(38,0))
-        |          AS VARCHAR) AS DOUBLE) END AS ks
-        |FROM a ORDER BY lang""".stripMargin,
-
-    // t-closeness twin: tokenDrift's cross-multiplied TVD numerator over
-    // (QI, sensitive-bucket) counts; the risk flag is the same IEEE chain.
-    "q_t_closeness" ->
-      """WITH e AS (SELECT event_type,
-        |    epoch_ns(ts) // 86400000000000 AS day,
-        |    user_id % 50 AS sv FROM events),
-        |cs AS (SELECT event_type, day, sv, CAST(count(*) AS BIGINT) AS c
-        |  FROM e GROUP BY 1, 2, 3),
-        |gl AS (SELECT sv, CAST(sum(c) AS BIGINT) AS cg FROM cs GROUP BY sv),
-        |ns AS (SELECT event_type, day, CAST(sum(c) AS BIGINT) AS n
-        |  FROM cs GROUP BY 1, 2),
-        |na AS (SELECT CAST(sum(c) AS BIGINT) AS nn FROM cs),
-        |pres AS (SELECT cs.event_type, cs.day,
-        |    SUM(abs(CAST(c AS DECIMAL(18,0)) * CAST(nn AS DECIMAL(19,0))
-        |      - CAST(cg AS DECIMAL(18,0)) * CAST(n AS DECIMAL(19,0))))
-        |      AS num_present,
-        |    CAST(sum(cg) AS BIGINT) AS cg_present
-        |  FROM cs JOIN gl USING (sv) JOIN ns USING (event_type, day)
-        |  CROSS JOIN na
-        |  GROUP BY 1, 2),
-        |f AS (SELECT pres.event_type, pres.day, n AS group_size,
-        |    CAST(num_present + CAST(n AS DECIMAL(18,0))
-        |      * CAST(nn - cg_present AS DECIMAL(19,0)) AS DECIMAL(38,0))
-        |      AS t_num, n, nn
-        |  FROM pres JOIN ns USING (event_type, day) CROSS JOIN na)
-        |SELECT event_type, day, group_size,
-        |  CAST(t_num AS VARCHAR) AS t_num,
-        |  CAST(CAST(t_num AS VARCHAR) AS DOUBLE)
-        |    / (2.0 * CAST(n AS DOUBLE) * CAST(nn AS DOUBLE)) AS t_closeness,
-        |  CAST(CAST(t_num AS VARCHAR) AS DOUBLE) * 4.0
-        |    > 2.0 * CAST(n AS DOUBLE) * CAST(nn AS DOUBLE) AS t_risk
-        |FROM f ORDER BY event_type, day""".stripMargin,
-
-    // Trigram-novelty twin: distinct probe grams anti-joined against the
-    // reference's distinct-gram vocabulary.
-    "q_ngram_novelty" ->
-      """WITH probe AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 3),
-        |pg AS (SELECT DISTINCT doc_id,
-        |    tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS ng
-        |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 1)) AS i
-        |        FROM (SELECT doc_id, string_split(text, ' ') AS tk
-        |              FROM probe WHERE text IS NOT NULL))),
-        |rg AS (SELECT DISTINCT tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS ng
-        |  FROM (SELECT tk, unnest(range(1, len(tk) - 1)) AS i
-        |        FROM (SELECT string_split(text, ' ') AS tk FROM documents
-        |              WHERE doc_id % 4 <> 3 AND text IS NOT NULL))),
-        |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams
-        |  FROM pg GROUP BY doc_id),
-        |nov AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_novel
-        |  FROM pg ANTI JOIN rg USING (ng) GROUP BY doc_id)
-        |SELECT p.doc_id,
-        |  COALESCE(n_ngrams, 0) AS n_ngrams,
-        |  COALESCE(n_novel, 0) AS n_novel,
-        |  CASE WHEN COALESCE(n_ngrams, 0) = 0 THEN NULL
-        |    ELSE CAST(COALESCE(n_novel, 0) AS DOUBLE)
-        |      / CAST(n_ngrams AS DOUBLE) END AS novelty
-        |FROM probe p LEFT JOIN tot USING (doc_id) LEFT JOIN nov USING (doc_id)
-        |ORDER BY p.doc_id""".stripMargin,
-
-    // 2-D grid twin: the identical IEEE bucket chain over exact min/max
-    // aggregates — ((v−lo)/(hi−lo))·B, floor, clamp — then cell counts.
-    "q_hist2d" ->
-      """WITH d AS (SELECT lang AS g,
-        |    CAST(n_chars AS DOUBLE) AS x,
-        |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS y
-        |  FROM documents WHERE n_chars IS NOT NULL AND text IS NOT NULL),
-        |r AS (SELECT g, min(x) AS xmin, max(x) AS xmax,
-        |    min(y) AS ymin, max(y) AS ymax FROM d GROUP BY g),
-        |b AS (SELECT d.g,
-        |    CASE WHEN xmax = xmin THEN 0
-        |      ELSE least(7, CAST(floor((x - xmin) / (xmax - xmin) * 8)
-        |        AS INT)) END AS bx,
-        |    CASE WHEN ymax = ymin THEN 0
-        |      ELSE least(7, CAST(floor((y - ymin) / (ymax - ymin) * 8)
-        |        AS INT)) END AS by
-        |  FROM d JOIN r USING (g))
-        |SELECT g AS lang, bx, by, CAST(count(*) AS BIGINT) AS n
-        |FROM b GROUP BY g, bx, by ORDER BY lang, bx, by""".stripMargin,
-
-    // Spearman twin: level-keyed midranks (2·cum + m + 1), integer
-    // centering u = r2 − (n+1), the same decimal products and
-    // digit-string doubles.
-    "q_spearman" ->
-      """WITH d AS (SELECT lang AS g, doc_id,
-        |    CAST(n_chars AS DOUBLE) AS x,
-        |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS y
-        |  FROM documents WHERE n_chars IS NOT NULL AND text IS NOT NULL),
-        |nn AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY g),
-        |bx AS (SELECT g, x, CAST(count(*) AS BIGINT) AS m FROM d GROUP BY g, x),
-        |rx AS (SELECT g, x, 2 * COALESCE(SUM(m) OVER (PARTITION BY g ORDER BY x
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + m + 1 AS r2x
-        |  FROM bx),
-        |by AS (SELECT g, y, CAST(count(*) AS BIGINT) AS m FROM d GROUP BY g, y),
-        |ry AS (SELECT g, y, 2 * COALESCE(SUM(m) OVER (PARTITION BY g ORDER BY y
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + m + 1 AS r2y
-        |  FROM by),
-        |u AS (SELECT d.g, CAST(r2x - (n + 1) AS BIGINT) AS ux,
-        |    CAST(r2y - (n + 1) AS BIGINT) AS uy
-        |  FROM d JOIN rx USING (g, x) JOIN ry USING (g, y) JOIN nn USING (g)),
-        |a AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
-        |    CAST(SUM(CAST(ux AS DECIMAL(18,0)) * CAST(uy AS DECIMAL(19,0)))
-        |      AS DECIMAL(38,0)) AS sxy,
-        |    CAST(SUM(CAST(ux AS DECIMAL(18,0)) * CAST(ux AS DECIMAL(19,0)))
-        |      AS DECIMAL(38,0)) AS sxx,
-        |    CAST(SUM(CAST(uy AS DECIMAL(18,0)) * CAST(uy AS DECIMAL(19,0)))
-        |      AS DECIMAL(38,0)) AS syy
-        |  FROM u GROUP BY g)
-        |SELECT g AS lang, n,
-        |  CAST(sxy AS VARCHAR) AS sxy,
-        |  CAST(sxx AS VARCHAR) AS sxx,
-        |  CAST(syy AS VARCHAR) AS syy,
-        |  CASE WHEN sxx = 0 OR syy = 0 THEN NULL
-        |    ELSE CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
-        |      / sqrt(CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
-        |           * CAST(CAST(syy AS VARCHAR) AS DOUBLE)) END AS rho
-        |FROM a ORDER BY lang""".stripMargin,
-
-    // TVD drift twin: same cross-multiplied integer numerator —
-    // (18,0)×(19,0) decimal products (width 38 ⇒ int128 in DuckDB, exact
-    // in both engines), absent-token mass via the closed form
-    // n·(T − Σ_present t), the double via the canonical VARCHAR route.
-    "q_token_drift" ->
-      """WITH tk AS (SELECT source AS src,
-        |    unnest(string_split(text, ' ')) AS tok FROM documents),
-        |cs AS (SELECT src, tok, CAST(count(*) AS BIGINT) AS c
-        |  FROM tk GROUP BY src, tok),
-        |tot AS (SELECT tok, CAST(sum(c) AS BIGINT) AS t FROM cs GROUP BY tok),
-        |ns AS (SELECT src, CAST(sum(c) AS BIGINT) AS n FROM cs GROUP BY src),
-        |ttot AS (SELECT CAST(sum(c) AS BIGINT) AS tt FROM cs),
-        |pres AS (SELECT cs.src,
-        |    SUM(abs(CAST(c AS DECIMAL(18,0)) * CAST(tt - n AS DECIMAL(19,0))
-        |      - CAST(t - c AS DECIMAL(18,0)) * CAST(n AS DECIMAL(19,0))))
-        |      AS num_present,
-        |    CAST(sum(t) AS BIGINT) AS t_present
-        |  FROM cs JOIN tot USING (tok) JOIN ns USING (src) CROSS JOIN ttot
-        |  GROUP BY cs.src),
-        |f AS (SELECT pres.src, ns.n, tt - ns.n AS m,
-        |    CAST(num_present + CAST(ns.n AS DECIMAL(18,0))
-        |      * CAST(tt - t_present AS DECIMAL(19,0)) AS DECIMAL(38,0))
-        |      AS tvd_num
-        |  FROM pres JOIN ns USING (src) CROSS JOIN ttot)
-        |SELECT src AS source, n AS n_tokens, CAST(m AS BIGINT) AS m_tokens,
-        |  CAST(tvd_num AS VARCHAR) AS tvd_num,
-        |  CASE WHEN m = 0 THEN NULL
-        |    ELSE CAST(CAST(tvd_num AS VARCHAR) AS DOUBLE)
-        |      / (2.0 * CAST(n AS DOUBLE) * CAST(m AS DOUBLE)) END AS tvd
-        |FROM f ORDER BY source""".stripMargin,
-
-    // Token-movers twin: the same v1/v2 construction, vocabulary-keyed
-    // full-outer join, exact cross-multiplied shift numerator, rank by
-    // (numerator DESC, token).
-    "q_token_shift" ->
-      """WITH v1 AS (SELECT text FROM documents WHERE doc_id % 7 <> 0),
-        |v2 AS (SELECT CASE WHEN doc_id % 11 = 0 THEN text || ' v2'
-        |    ELSE text END AS text
-        |  FROM documents WHERE doc_id % 5 <> 0),
-        |ca AS (SELECT tok, CAST(count(*) AS BIGINT) AS c_a
-        |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM v1)
-        |  GROUP BY tok),
-        |cb AS (SELECT tok, CAST(count(*) AS BIGINT) AS c_b
-        |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM v2)
-        |  GROUP BY tok),
-        |na AS (SELECT CAST(sum(c_a) AS BIGINT) AS na FROM ca),
-        |nb AS (SELECT CAST(sum(c_b) AS BIGINT) AS nb FROM cb),
-        |j AS (SELECT COALESCE(ca.tok, cb.tok) AS token,
-        |    COALESCE(c_a, 0) AS c_a, COALESCE(c_b, 0) AS c_b
-        |  FROM ca FULL OUTER JOIN cb ON ca.tok = cb.tok),
-        |sh AS (SELECT token, c_a, c_b,
-        |    CAST(abs(CAST(c_a AS DECIMAL(18,0)) * CAST(nb AS DECIMAL(19,0))
-        |      - CAST(c_b AS DECIMAL(18,0)) * CAST(na AS DECIMAL(19,0)))
-        |      AS DECIMAL(38,0)) AS num, na, nb
-        |  FROM j CROSS JOIN na CROSS JOIN nb)
-        |SELECT CAST(rnk AS INT) AS rnk, token, c_a, c_b,
-        |  CAST(num AS VARCHAR) AS shift_num,
-        |  CAST(CAST(num AS VARCHAR) AS DOUBLE)
-        |    / CAST(CAST(CAST(CAST(na AS DECIMAL(18,0))
-        |        * CAST(nb AS DECIMAL(19,0)) AS DECIMAL(38,0)) AS VARCHAR)
-        |        AS DOUBLE) AS shift
-        |FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY num DESC, token) AS rnk
-        |      FROM sh)
-        |WHERE rnk <= 25 ORDER BY rnk""".stripMargin,
-
-    // Quality-rules twin: the reflowed lines via explicit unnest + window
-    // aggregation (the in-row fold is Spark-side only — DuckDB 1.0's
-    // list_reduce struct accumulators mis-evaluate); ratios and the keep
-    // flag are the same IEEE divisions / integer cross-products. Shared
-    // by q_quality_rules AND q_stream_quality (the operator is pure
-    // per-row expressions — the stream twin runs it unchanged).
-    "q_quality_rules" -> qualityRulesOracle,
-
-    "q_stream_quality" -> qualityRulesOracle,
-
-        // Streaming token-shift twin: the batch q_token_shift formula per
-    // source over the parity-defined corpus versions.
-    "q_stream_token_shift" ->
-      """WITH ca AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c_a
-        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
-        |        FROM documents WHERE (doc_id // 20) % 2 = 0) GROUP BY 1, 2),
-        |cb AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c_b
-        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
-        |        FROM documents WHERE (doc_id // 20) % 2 = 1) GROUP BY 1, 2),
-        |na AS (SELECT source, CAST(sum(c_a) AS BIGINT) AS na FROM ca GROUP BY source),
-        |nb AS (SELECT source, CAST(sum(c_b) AS BIGINT) AS nb FROM cb GROUP BY source),
-        |j AS (SELECT COALESCE(ca.source, cb.source) AS source,
-        |    COALESCE(ca.tok, cb.tok) AS token,
-        |    COALESCE(c_a, 0) AS c_a, COALESCE(c_b, 0) AS c_b
-        |  FROM ca FULL OUTER JOIN cb
-        |    ON ca.source = cb.source AND ca.tok = cb.tok),
-        |sh AS (SELECT j.source, token, c_a, c_b,
-        |    CAST(abs(CAST(c_a AS DECIMAL(18,0)) * CAST(nb AS DECIMAL(19,0))
-        |      - CAST(c_b AS DECIMAL(18,0)) * CAST(na AS DECIMAL(19,0)))
-        |      AS DECIMAL(38,0)) AS num, na, nb
-        |  FROM j JOIN na ON j.source = na.source
-        |  JOIN nb ON j.source = nb.source)
-        |SELECT source, CAST(rnk AS INT) AS rnk, token, c_a, c_b,
-        |  CAST(num AS VARCHAR) AS shift_num,
-        |  CAST(CAST(num AS VARCHAR) AS DOUBLE)
-        |    / CAST(CAST(CAST(CAST(na AS DECIMAL(18,0))
-        |        * CAST(nb AS DECIMAL(19,0)) AS DECIMAL(38,0)) AS VARCHAR)
-        |        AS DOUBLE) AS shift
-        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
-        |        ORDER BY num DESC, token) AS rnk FROM sh)
-        |WHERE rnk <= 10 ORDER BY source, rnk""".stripMargin,
-
-    // Language-ID twin: the same trigram rank profiles and out-of-place
-    // distance in SQL — row_number over (count DESC, gram ASC) on both
-    // sides, COALESCE(|Δrank|, topK) penalty, argmin tie to smaller lang.
-    // Shared by q_lang_ngram AND q_stream_lang_ngram: the stateless
-    // online classifier's emissions are bit-identical to the batch
-    // operator. (q_lang_id remains the marker-token scorer's gate — this
-    // is the Cavnar–Trenkle n-gram family the r16 VERDICT asked for.)
-    "q_lang_ngram" -> langIdOracle,
-
-    "q_stream_lang_ngram" -> langIdOracle,
-
-        "q_chi_square" ->
-      """WITH cells AS (SELECT lang AS a, source AS b, count(*) AS o
-        |  FROM documents GROUP BY 1, 2),
-        |rt AS (SELECT a, sum(o) AS ra FROM cells GROUP BY a),
-        |ct AS (SELECT b, sum(o) AS cb FROM cells GROUP BY b),
-        |tot AS (SELECT sum(o) AS n,
-        |    count(DISTINCT a) AS n_a, count(DISTINCT b) AS n_b FROM cells),
-        |terms AS (SELECT cells.a, cells.b,
-        |    (CAST(o AS DOUBLE) - CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(n AS DOUBLE))
-        |    * (CAST(o AS DOUBLE) - CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(n AS DOUBLE))
-        |    / (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(n AS DOUBLE)) AS term,
-        |    n, n_a, n_b
-        |  FROM cells JOIN rt USING (a) JOIN ct USING (b) CROSS JOIN tot)
-        |SELECT CAST(n AS BIGINT) AS n, CAST(n_a AS BIGINT) AS n_a,
-        |  CAST(n_b AS BIGINT) AS n_b,
-        |  CAST((n_a - 1) * (n_b - 1) AS BIGINT) AS dof,
-        |  list_reduce(list_prepend(CAST(0 AS DOUBLE), list(term ORDER BY a, b)),
-        |    (acc, x) -> acc + x) AS chi2
-        |FROM terms GROUP BY n, n_a, n_b""".stripMargin,
-
-    "q_linear_fit" -> {
-      def v(c: String) = s"CAST(CAST($c AS VARCHAR) AS DOUBLE)"
-      val nD = "CAST(n AS DOUBLE)"
-      val num = s"($nD * ${v("sxy")} - ${v("sx")} * ${v("sy")})"
-      val denX = s"($nD * ${v("sxx")} - ${v("sx")} * ${v("sx")})"
-      val denY = s"($nD * ${v("syy")} - ${v("sy")} * ${v("sy")})"
-      val slope = s"($num / $denX)"
-      s"""WITH m AS (SELECT l_returnflag,
-         |  count(*) AS n,
-         |  SUM(CAST(l_quantity AS DECIMAL(18,4))) AS sx,
-         |  SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS sy,
-         |  SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4))) AS sxx,
-         |  SUM(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS syy,
-         |  SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS sxy
-         |  FROM lineitem GROUP BY l_returnflag)
-         |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
-         |  CASE WHEN $denX > 0 THEN $slope END AS slope,
-         |  CASE WHEN $denX > 0 THEN (${v("sy")} - $slope * ${v("sx")}) / $nD END AS intercept,
-         |  CASE WHEN $denX > 0 AND $denY > 0 THEN $num * $num / ($denX * $denY) END AS r2
-         |FROM m ORDER BY l_returnflag""".stripMargin
-    },
-
-    // Rank-arithmetic discrete median (see q_counting_median) — quarantined
-    // from quantile_disc's version-sensitive even-n selection.
-    "q_impute" ->
-      """WITH ev AS (SELECT event_id, event_type,
-        |    CASE WHEN event_id % 9 <> 0 THEN value END AS v
-        |  FROM events),
-        |vr AS (SELECT event_type, CAST(v AS DECIMAL(18,4)) AS vq FROM ev
-        |  WHERE v IS NOT NULL),
-        |r AS (SELECT event_type, vq,
-        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY vq) AS rn,
-        |    COUNT(*) OVER (PARTITION BY event_type) AS n
-        |  FROM vr),
-        |med AS (SELECT event_type, vq AS m FROM r WHERE rn * 2 = n + (n % 2))
-        |SELECT ev.event_id, ev.event_type, ev.v,
-        |  COALESCE(ev.v, CAST(med.m AS DOUBLE)) AS v_filled,
-        |  (ev.v IS NULL AND med.m IS NOT NULL) AS was_imputed
-        |FROM ev LEFT JOIN med USING (event_type)
-        |ORDER BY event_id""".stripMargin,
-
-    // Explicit rank arithmetic, no quantile_* function: the discrete median
-    // is the value at rank ⌈n/2⌉ within the group — exactly countingMedian's
-    // own selection rule, and version-stable where quantile_disc's even-n
-    // convention has shifted across DuckDB releases (the round-9 red gate).
-    // Values quantize via the IEEE chain ⌊v·10⁴+0.5⌋ into BIGINT — never an
-    // engine-native double→DECIMAL cast (the round-10 driver red).
-    "q_counting_median" ->
-      """WITH v AS (SELECT l_returnflag AS grp,
-        |    CAST(floor(l_extendedprice * 10000.0 + 0.5) AS BIGINT) AS v
-        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
-        |r AS (SELECT grp, v,
-        |    ROW_NUMBER() OVER (PARTITION BY grp ORDER BY v) AS rn,
-        |    COUNT(*) OVER (PARTITION BY grp) AS n
-        |  FROM v)
-        |SELECT grp, CAST(n AS BIGINT) AS n, v AS med
-        |FROM r WHERE rn * 2 = n + (n % 2) ORDER BY grp""".stripMargin,
-
-    "q_hist_quantiles" ->
-      """WITH v AS (SELECT l_returnflag AS grp,
-        |    CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000 AS BIGINT) AS vi
-        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
-        |b AS (SELECT grp,
-        |    CASE WHEN vi < 0 THEN 0 WHEN vi >= 1100000000 THEN 1099
-        |         ELSE vi // 1000000 END AS bin
-        |  FROM v),
-        |h AS (SELECT grp, bin, count(*) AS cnt FROM b GROUP BY 1, 2),
-        |c AS (SELECT grp, bin, cnt,
-        |    SUM(cnt) OVER (PARTITION BY grp ORDER BY bin) AS cum,
-        |    SUM(cnt) OVER (PARTITION BY grp) AS n
-        |  FROM h),
-        |q(q_num, q_den) AS (VALUES (1, 4), (1, 2), (3, 4), (9, 10), (99, 100)),
-        |sel AS (SELECT grp, q_num, q_den, min(bin) AS bin, min(n) AS n
-        |  FROM c CROSS JOIN q WHERE cum * q_den >= n * q_num
-        |  GROUP BY 1, 2, 3)
-        |SELECT grp, q_num, q_den, bin,
-        |  CAST(0 + bin * 1000000 AS DOUBLE) / 10000.0 AS lo_edge,
-        |  CAST(0 + (bin + 1) * 1000000 AS DOUBLE) / 10000.0 AS hi_edge,
-        |  CAST(n AS BIGINT) AS n
-        |FROM sel ORDER BY grp, q_num, q_den""".stripMargin,
-
-    "q_profile" ->
-"""WITH c AS (SELECT c_custkey, c_name, c_nationkey,
-        |    CAST(c_acctbal AS DECIMAL(18,2)) AS c_acctbal,
-        |    CASE WHEN c_mktsegment <> 'BUILDING' THEN c_mktsegment END AS seg_opt
-        |  FROM customer)
-        |SELECT col_name, CAST(n_rows AS BIGINT) AS n_rows,
-        |  CAST(n_null AS BIGINT) AS n_null,
-        |  CAST(n_distinct AS BIGINT) AS n_distinct, min_val, max_val
-        |FROM (
-        |  SELECT 'c_custkey' AS col_name, COUNT(*) AS n_rows,
-        |    COUNT(*) - COUNT(c_custkey) AS n_null,
-        |    COUNT(DISTINCT c_custkey) AS n_distinct,
-        |    CAST(MIN(c_custkey) AS VARCHAR) AS min_val,
-        |    CAST(MAX(c_custkey) AS VARCHAR) AS max_val FROM c
-        |  UNION ALL
-        |  SELECT 'c_name', COUNT(*), COUNT(*) - COUNT(c_name),
-        |    COUNT(DISTINCT c_name),
-        |    CAST(MIN(c_name) AS VARCHAR), CAST(MAX(c_name) AS VARCHAR) FROM c
-        |  UNION ALL
-        |  SELECT 'c_nationkey', COUNT(*), COUNT(*) - COUNT(c_nationkey),
-        |    COUNT(DISTINCT c_nationkey),
-        |    CAST(MIN(c_nationkey) AS VARCHAR), CAST(MAX(c_nationkey) AS VARCHAR) FROM c
-        |  UNION ALL
-        |  SELECT 'c_acctbal', COUNT(*), COUNT(*) - COUNT(c_acctbal),
-        |    COUNT(DISTINCT c_acctbal),
-        |    CAST(MIN(c_acctbal) AS VARCHAR), CAST(MAX(c_acctbal) AS VARCHAR) FROM c
-        |  UNION ALL
-        |  SELECT 'seg_opt', COUNT(*), COUNT(*) - COUNT(seg_opt),
-        |    COUNT(DISTINCT seg_opt),
-        |    CAST(MIN(seg_opt) AS VARCHAR), CAST(MAX(seg_opt) AS VARCHAR) FROM c)
-        |ORDER BY col_name""".stripMargin,
-
-    "q_value_outliers" ->
-      """WITH e AS (SELECT event_id, event_type, CAST(value AS DECIMAL(18,4)) AS vq FROM events),
-        |st AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
-        |    SUM(vq) AS sv, SUM(vq * vq) AS svv FROM e GROUP BY 1),
-        |m AS (SELECT event_type,
-        |    CAST(sv AS DOUBLE) / n AS mean,
-        |    CAST(svv AS DOUBLE) / n
-        |      - (CAST(sv AS DOUBLE) / n) * (CAST(sv AS DOUBLE) / n) AS var FROM st),
-        |s AS (SELECT event_type, mean, sqrt(GREATEST(var, 0.0)) AS sigma FROM m),
-        |z AS (SELECT e.event_id, e.event_type,
-        |    CASE WHEN sigma = 0 THEN 0.0
-        |         ELSE (CAST(vq AS DOUBLE) - mean) / sigma END AS z
-        |  FROM e JOIN s ON e.event_type IS NOT DISTINCT FROM s.event_type),
-        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
-        |    ORDER BY abs(z) DESC, event_id) AS rnk FROM z)
-        |SELECT event_type, CAST(rnk AS INT) AS rnk, event_id, z FROM r
-        |WHERE rnk <= 3 ORDER BY event_type, rnk""".stripMargin,
-
-    "q_corpus_diff" ->
-      """WITH v1 AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0),
-        |v2 AS (SELECT doc_id,
-        |    CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS text
-        |  FROM documents WHERE doc_id % 5 <> 0)
-        |SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
-        |  CASE WHEN a.doc_id IS NULL THEN 'added'
-        |       WHEN b.doc_id IS NULL THEN 'removed'
-        |       WHEN a.text IS NOT DISTINCT FROM b.text THEN 'unchanged'
-        |       ELSE 'changed' END AS status
-        |FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id
-        |ORDER BY doc_id""".stripMargin,
-
-    // The DuckDB twin recomputes the Morton interleave arithmetically from
-    // the base table — the layout is Spark-side staging, the z VALUES and
-    // the box-filtered row set are what cross-engine equality pins.
-    "q_zorder_scan" ->
-      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
-        |  CAST(list_sum(list_transform(range(0, 15), b ->
-        |    ((l_partkey >> b) & 1) * (CAST(1 AS BIGINT) << (2*b)) +
-        |    ((l_suppkey >> b) & 1) * (CAST(1 AS BIGINT) << (2*b + 1)))) AS BIGINT) AS z
-        |FROM lineitem
-        |WHERE l_partkey BETWEEN 100 AND 1499 AND l_suppkey BETWEEN 2 AND 19
-        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin,
-
-    "q_partition_prune" ->
-      """SELECT user_id, COUNT(*) AS n_purchases,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
-        |FROM events WHERE event_type = 'purchase'
-        |GROUP BY user_id ORDER BY user_id""".stripMargin,
-
-    "q_sessionize" -> sessionizeOracle,
-
-    // The streaming sessionizer is gated against the SAME batch oracle —
-    // that equality is the entire point of the gate.
-    "q_stream_sessionize" -> sessionizeOracle,
-
-    "q_event_windows" ->
-      """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS window_start,
-        |  event_type, count(*) AS n_events,
-        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
-        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
-        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
-
-    "q_gap_fill" ->
-      """WITH obs AS (
-        |  SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n_events,
-        |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS day_value
-        |  FROM events GROUP BY 1, 2),
-        |spine AS (
-        |  SELECT user_id,
-        |    CAST(unnest(generate_series(CAST(min(day) AS TIMESTAMP),
-        |      CAST(max(day) AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
-        |  FROM obs GROUP BY user_id),
-        |j AS (
-        |  SELECT s.user_id, s.day, o.n_events, o.day_value,
-        |    (o.user_id IS NOT NULL) AS is_observed
-        |  FROM spine s LEFT JOIN obs o ON o.user_id = s.user_id AND o.day = s.day)
-        |SELECT user_id, day,
-        |  last_value(n_events IGNORE NULLS) OVER w AS n_events,
-        |  last_value(day_value IGNORE NULLS) OVER w AS day_value,
-        |  is_observed
-        |FROM j
-        |WINDOW w AS (PARTITION BY user_id ORDER BY day ROWS UNBOUNDED PRECEDING)
-        |ORDER BY user_id, day""".stripMargin,
-
-    "q_stream_windows" ->
-      """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS window_start,
-        |  event_type, count(*) AS n_events,
-        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
-        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
-
-    "q_repetition_filter" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |g AS (SELECT doc_id,
-        |    unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS gram
-        |  FROM t WHERE len(w) >= 2),
-        |c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2)
-        |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_grams,
-        |  CAST(max(cnt) AS BIGINT) AS top_gram_n,
-        |  CAST(CASE WHEN max(cnt) * 5 <= sum(cnt) * 1 THEN 1 ELSE 0 END AS BIGINT) AS keep
-        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-
-    "q_top_terms" ->
-      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
-        |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2),
-        |df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
-        |r AS (SELECT tf.doc_id, tf.token, tf.tf, df.df,
-        |    ROW_NUMBER() OVER (PARTITION BY tf.doc_id
-        |      ORDER BY tf.tf DESC, df.df ASC, tf.token ASC) AS rnk
-        |  FROM tf JOIN df USING (token))
-        |SELECT doc_id, CAST(rnk AS INT) AS rnk, token, tf, df
-        |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
-
-    "q_vocab_build" ->
-      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
-        |n AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM t
-        |  WHERE length(token) > 0 GROUP BY token)
-        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token) - 1 AS BIGINT) AS token_id,
-        |  token, n
-        |FROM n ORDER BY n DESC, token LIMIT 1000""".stripMargin,
-
-    // Parallel unnest + generate_subscripts zip in DuckDB's SELECT list;
-    // DuckDB's 1-based subscripts shift to posexplode's 0-based pos.
-    "q_tokenize_ids" ->
-      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
-        |n AS (SELECT token, count(*) AS n FROM tok
-        |  WHERE length(token) > 0 GROUP BY token),
-        |v AS (SELECT token,
-        |    CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token) - 1 AS BIGINT) AS token_id
-        |  FROM n ORDER BY n DESC, token LIMIT 16),
-        |e AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token,
-        |    generate_subscripts(string_split(text, ' '), 1) AS pos
-        |  FROM documents WHERE text IS NOT NULL)
-        |SELECT e.doc_id,
-        |  CAST(count(*) OVER (PARTITION BY e.doc_id) AS BIGINT) AS n_tokens,
-        |  CAST(e.pos - 1 AS INT) AS pos,
-        |  CAST(COALESCE(v.token_id, -1) AS BIGINT) AS token_id
-        |FROM e LEFT JOIN v USING (token)
-        |ORDER BY doc_id, pos""".stripMargin,
-
-    "q_length_batches" ->
-      """WITH t AS (SELECT doc_id,
-        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-        |  FROM documents WHERE text IS NOT NULL),
-        |b AS (SELECT doc_id, n_tokens, n_tokens // 16 AS bucket,
-        |    doc_id % 4 AS stream FROM t)
-        |SELECT doc_id, n_tokens, CAST(bucket AS BIGINT) AS bucket,
-        |  CAST(stream AS BIGINT) AS stream,
-        |  CAST((ROW_NUMBER() OVER (PARTITION BY bucket, stream
-        |    ORDER BY n_tokens, doc_id) - 1) // 8 AS BIGINT) AS batch_idx,
-        |  CAST((bucket + 1) * 16 - 1 AS BIGINT) AS pad_to
-        |FROM b ORDER BY doc_id""".stripMargin,
-
-    "q_equidepth_bins" ->
-      """WITH r AS (SELECT l_orderkey, l_extendedprice AS p,
-        |    ROW_NUMBER() OVER (ORDER BY l_extendedprice, l_orderkey,
-        |      l_linenumber) AS rnk,
-        |    COUNT(*) OVER () AS n
-        |  FROM lineitem)
-        |SELECT CAST((rnk - 1) * 8 // n AS INT) AS bin,
-        |  CAST(COUNT(*) AS BIGINT) AS cnt,
-        |  MIN(p) AS min_price, MAX(p) AS max_price,
-        |  CAST(SUM(l_orderkey) AS BIGINT) AS key_sum
-        |FROM r GROUP BY 1 ORDER BY bin""".stripMargin,
-
-    "q_sorted_neighbors" ->
-      """WITH r AS (SELECT doc_id,
-        |    ROW_NUMBER() OVER (ORDER BY length(text), doc_id) AS rnk
-        |  FROM documents)
-        |SELECT a.doc_id AS doc_id_i, b.doc_id AS doc_id_j,
-        |  CAST(b.rnk - a.rnk AS INT) AS rank_dist
-        |FROM r a JOIN r b ON b.rnk > a.rnk AND b.rnk - a.rnk < 4
-        |ORDER BY doc_id_i, doc_id_j""".stripMargin,
-
-    "q_bpe_merges" -> bpeOracle(6),
-
-    "q_bpe_segment" -> bpeSegmentOracle(6),
-
-    "q_bigram_lm" ->
-      """WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
-        |p AS (SELECT unnest(list_transform(range(1, len(w)), i -> [w[i], w[i+1]])) AS bg
-        |  FROM t WHERE len(w) >= 2),
-        |b AS (SELECT bg[1] AS w1, bg[2] AS w2 FROM p WHERE bg[1] IN ('the', 'a', 'of')),
-        |c AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_bigram FROM b GROUP BY w1, w2),
-        |tot AS (SELECT w1, CAST(sum(n_bigram) AS BIGINT) AS n_context FROM c GROUP BY w1)
-        |SELECT c.w1, c.w2, c.n_bigram, tot.n_context
-        |FROM c JOIN tot USING (w1) ORDER BY w1, w2""".stripMargin,
-
-    // The funnel twin chains the SAME fragments the per-stage gates use:
-    // q_dedup_exact's min-id window, q_quality_score's formula (identical
-    // float-op order), q_lang_id's argmax case chain, q_repetition_filter's
-    // bigram rule — composed cumulatively and unpivoted to 6 rows.
-    "q_curation_funnel" -> {
-      val scores = langScoreSql.map { case (lang, sql) => s"$sql AS s_$lang" }
-        .mkString(",\n        |    ").stripMargin
-      val langs = langScoreSql.map(_._1)
-      val caseChain = langs.init.map { lang =>
-        val conds = langs.filterNot(_ == lang).map(o => s"s_$lang >= s_$o")
-          .mkString(" AND ")
-        s"WHEN $conds THEN '$lang'"
-      }.mkString(" ")
-      s"""WITH dup AS (SELECT doc_id, text, lang FROM documents
-         |  UNION ALL SELECT doc_id + 1000000, text, lang FROM documents),
-         |base AS (SELECT doc_id, text, lang,
-         |    CASE WHEN ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) = 1
-         |         THEN 1 ELSE 0 END AS is_canon,
-         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-         |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq,
-         |    CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a'))) AS BIGINT) AS n_stop,
-         |    $scores
-         |  FROM dup),
-         |rep AS (SELECT doc_id,
-         |    CASE WHEN max(cnt) * 16 <= sum(cnt) THEN 1 ELSE 0 END AS rep_ok
-         |  FROM (SELECT doc_id, gram, count(*) AS cnt
-         |        FROM (SELECT doc_id,
-         |                unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS gram
-         |              FROM (SELECT doc_id, string_split(text, ' ') AS w FROM dup)
-         |              WHERE len(w) >= 2)
-         |        GROUP BY doc_id, gram) GROUP BY doc_id),
-         |f AS (SELECT base.is_canon,
-         |    CASE WHEN n_tokens BETWEEN 24 AND 80 THEN 1 ELSE 0 END AS len_ok,
-         |    COALESCE(rep.rep_ok, 0) AS rep_ok,
-         |    CASE WHEN (CAST(n_uniq AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 0.5
-         |        + (1.0 - CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 0.3
-         |        + least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0) * 0.2 >= 0.68
-         |      THEN 1 ELSE 0 END AS qual_ok,
-         |    CASE WHEN (CASE $caseChain ELSE '${langs.last}' END) = lang
-         |      THEN 1 ELSE 0 END AS lang_ok
-         |  FROM base LEFT JOIN rep USING (doc_id)),
-         |a AS (SELECT CAST(count(*) AS BIGINT) AS n_raw,
-         |    CAST(SUM(is_canon) AS BIGINT) AS n_dedup,
-         |    CAST(SUM(is_canon * len_ok) AS BIGINT) AS n_len,
-         |    CAST(SUM(is_canon * len_ok * rep_ok) AS BIGINT) AS n_rep,
-         |    CAST(SUM(is_canon * len_ok * rep_ok * qual_ok) AS BIGINT) AS n_qual,
-         |    CAST(SUM(is_canon * len_ok * rep_ok * qual_ok * lang_ok) AS BIGINT) AS n_lang
-         |  FROM f)
-         |SELECT stage_id, stage, n_docs FROM (
-         |  SELECT 1 AS stage_id, 'raw' AS stage, n_raw AS n_docs FROM a
-         |  UNION ALL SELECT 2, 'dedup', n_dedup FROM a
-         |  UNION ALL SELECT 3, 'length', n_len FROM a
-         |  UNION ALL SELECT 4, 'repetition', n_rep FROM a
-         |  UNION ALL SELECT 5, 'quality', n_qual FROM a
-         |  UNION ALL SELECT 6, 'language', n_lang FROM a)
-         |ORDER BY stage_id""".stripMargin
-    },
-
-    // bin() agrees across engines (no leading zeros), so
-    // bitlen = length(bin(n)) is the same integer everywhere.
-    "q_doc_surprisal" ->
-      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
-        |  FROM documents WHERE text IS NOT NULL),
-        |tf AS (SELECT token, CAST(count(*) AS BIGINT) AS freq FROM t GROUP BY token),
-        |s AS (SELECT CAST(count(*) AS BIGINT) AS total FROM t)
-        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-        |  CAST(SUM(length(bin(s.total)) - length(bin(tf.freq))) AS BIGINT) AS bits,
-        |  CAST(SUM(length(bin(s.total)) - length(bin(tf.freq))) AS DOUBLE)
-        |    / count(*) AS avg_bits
-        |FROM t JOIN tf USING (token) CROSS JOIN s
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-
-    // The oracle is the full GROUP BY + HAVING the two-pass pipeline must
-    // equal exactly (1/800 of all bigram occurrences).
-    "q_heavy_hitters" -> heavyHittersOracle,
-
-    // The streaming twin's exact second pass yields the identical GROUP BY
-    // + HAVING answer (candidates ⊇ true heavy hitters after any order).
-    "q_stream_topk" -> heavyHittersOracle,
-
-    // Mirrors packSequences(seqLen = 128, nStreams = 8): stream = doc_id % 8,
-    // start_off = exclusive running token sum within stream in doc_id order,
-    // sequence indices by integer division. Split into two gates (inputs vs
-    // window outputs) to bisect any future divergence; empty text filtered
-    // on both sides (string_split('') is a cross-version hazard).
-    "q_seq_pack" ->
-      """SELECT doc_id, doc_id % 8 AS stream,
-        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-        |FROM documents WHERE text IS NOT NULL AND text <> ''
-        |ORDER BY doc_id""".stripMargin,
-
-    // start_off is CAST back to BIGINT at its definition: DuckDB widens
-    // SUM(BIGINT) to HUGEINT, and a HUGEINT-typed gated column (or anything
-    // derived from one) hash-mismatches Spark's longs at the driver even
-    // when the values agree — the same family the pagerank oracle fixed.
-    "q_seq_pack_offsets" ->
-      """WITH d AS (SELECT doc_id, doc_id % 8 AS stream,
-        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-        |  FROM documents WHERE text IS NOT NULL AND text <> ''),
-        |w AS (SELECT doc_id, stream, n_tokens,
-        |  CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY stream ORDER BY doc_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
-        |  FROM d)
-        |SELECT doc_id, start_off,
-        |  CAST(start_off // 128 AS BIGINT) AS first_seq,
-        |  CAST((start_off + n_tokens - 1) // 128 AS BIGINT) AS last_seq,
-        |  CAST((start_off + n_tokens - 1) // 128 - start_off // 128 + 1
-        |    AS BIGINT) AS n_seqs_spanned
-        |FROM w ORDER BY doc_id""".stripMargin,
-
-    // Mirrors chunkByTokens(chunkSize = 64, overlap = 16) ⇒ step 48:
-    // nch = (max(nt − 64, 0) + 47) div 48 + 1, chunk i covers 1-based token
-    // positions [i·48 + 1, i·48 + 64] capped at nt (DuckDB list slicing
-    // caps like Spark's `slice`). unnest(range(...)) is the lateral
-    // generate; generate_series can't take a per-row bound here.
-    "q_chunk_docs" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
-        |  FROM documents WHERE text IS NOT NULL),
-        |n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS nt FROM t),
-        |c AS (SELECT doc_id, toks, nt,
-        |  (greatest(nt - 64, 0) + 47) // 48 + 1 AS nch FROM n),
-        |e AS (SELECT doc_id, toks, nt, unnest(range(0, nch)) AS i FROM c)
-        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
-        |  least(nt - i*48, 64) AS n_chunk_tokens,
-        |  array_to_string(toks[i*48 + 1 : i*48 + 64], ' ') AS chunk_text
-        |FROM e ORDER BY doc_id, chunk_id""".stripMargin,
-
-    // Association order mirrors CorpusOps.bm25 exactly — every op is an
-    // exact-rounded IEEE + − × / in the same left-assoc chain, so the score
-    // double is bit-identical. DuckDB parses decimal literals as DECIMAL
-    // (exact) and only promotes to double on contact with one, so k1+1 must
-    // be CAST(1.2 AS DOUBLE) + 1 — the double sum 2.2000000000000002 Spark
-    // computes, not DECIMAL 2.2's nearest double. The other literals (0.5,
-    // 0.75, 1.0, and 1.2 multiplying a double) promote losslessly.
-    "q_bm25_topk" -> Bm25Oracle,
-    // Identical output through the persisted index IS the round-trip gate.
-    "q_bm25_indexed" -> Bm25Oracle,
-
-    "q_stratified_sample" ->
-      s"""WITH h AS (SELECT doc_id, lang, ${duckHash("text", 131)} AS hv FROM documents)
-         |SELECT doc_id, lang FROM h
-         |WHERE (lang = 'en' AND hv % 2 < 1)
-         |   OR (lang = 'de' AND hv % 4 < 1)
-         |   OR (lang = 'es' AND hv % 10 < 1)
-         |ORDER BY doc_id""".stripMargin,
-
-    "q_asof_join" ->
-      """WITH e AS (SELECT event_id, user_id, event_type,
-        |  CAST(floor(epoch(ts)) AS BIGINT) AS ep FROM events),
-        |p AS (SELECT event_id AS purchase_id, user_id, ep AS purchase_ep
-        |  FROM e WHERE event_type = 'purchase'),
-        |c AS (SELECT user_id, ep AS click_ep, max(event_id) AS click_id
-        |  FROM e WHERE event_type = 'click' GROUP BY 1, 2)
-        |SELECT p.purchase_id, p.user_id, p.purchase_ep, c.click_id,
-        |  p.purchase_ep - c.click_ep AS gap_sec
-        |FROM p ASOF LEFT JOIN c
-        |  ON p.user_id = c.user_id AND p.purchase_ep >= c.click_ep
-        |ORDER BY p.purchase_id""".stripMargin,
-
-    "q_range_join" ->
-      """WITH e AS (SELECT event_id, user_id, event_type,
-        |  CAST(floor(epoch(ts)) AS BIGINT) AS ep FROM events),
-        |p AS (SELECT event_id AS purchase_id, user_id, ep AS purchase_ep
-        |  FROM e WHERE event_type = 'purchase'),
-        |c AS (SELECT user_id, ep AS click_ep FROM e WHERE event_type = 'click'),
-        |h AS (SELECT p.purchase_id, count(*) AS n FROM p JOIN c
-        |  ON p.user_id = c.user_id
-        |  AND c.click_ep BETWEEN p.purchase_ep - 3600 AND p.purchase_ep
-        |  GROUP BY 1)
-        |SELECT p.purchase_id, p.user_id, p.purchase_ep,
-        |  CAST(coalesce(h.n, 0) AS BIGINT) AS n_clicks_1h
-        |FROM p LEFT JOIN h ON p.purchase_id = h.purchase_id
-        |ORDER BY p.purchase_id""".stripMargin,
-
-    "q_interval_join" ->
-      """WITH e AS (SELECT event_id, user_id, event_type,
-        |  CAST(floor(epoch(ts)) AS BIGINT) AS ep FROM events),
-        |p AS (SELECT event_id AS purchase_id, user_id, ep AS p_start,
-        |  ep + 1800 AS p_end FROM e WHERE event_type = 'purchase'),
-        |c AS (SELECT user_id, ep AS c_start, ep + 900 AS c_end
-        |  FROM e WHERE event_type = 'click'),
-        |h AS (SELECT p.purchase_id, count(*) AS n,
-        |  SUM(LEAST(p.p_end, c.c_end) - GREATEST(p.p_start, c.c_start)) AS sec
-        |  FROM p JOIN c ON p.user_id = c.user_id
-        |  AND p.p_start <= c.c_end AND c.c_start <= p.p_end
-        |  GROUP BY 1)
-        |SELECT p.purchase_id, p.user_id, p.p_start,
-        |  CAST(coalesce(h.n, 0) AS BIGINT) AS n_overlap,
-        |  CAST(coalesce(h.sec, 0) AS BIGINT) AS overlap_sec
-        |FROM p LEFT JOIN h ON p.purchase_id = h.purchase_id
-        |ORDER BY p.purchase_id""".stripMargin,
-
-    "q_cosine_topk" ->
-      s"""WITH $embCte,
-         |p AS (SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
-         |  ${duckDot("q.e", "d.e")} / sqrt(q.nn * d.nn) AS cos
-         |  FROM n q JOIN n d ON q.vec_id < 10 AND d.vec_id <> q.vec_id)
-         |SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id, cos FROM (
-         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
-         |  FROM p)
-         |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
-
-    // Retrieval-eval twin: q_cosine_topk's ranking CTE at <20/k=10, then
-    // the metric arithmetic with the SAME Scala-rendered discount/prefix
-    // literals the engine plan embeds (Double.toString round-trips to
-    // identical bits in any IEEE parser).
-    "q_retrieval_eval" -> {
-      val w = EvalOps.ndcgWeights(10)
-      // Literals as VARCHAR→DOUBLE parses: a bare decimal literal is a
-      // DECIMAL in DuckDB, and its decimal→double conversion is the
-      // twice-rounding path (one ulp off — the q_correlation finding);
-      // the string parse is correctly rounded in both engines.
-      def dlit(d: Double) = s"CAST('${d.toString}' AS DOUBLE)"
-      val wLit = w.map(dlit).mkString("[", ", ", "]")
-      val pLit = w.scanLeft(0.0)(_ + _).tail.map(dlit)
-        .mkString("[", ", ", "]")
-      s"""WITH $embCte,
-         |p AS (SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
-         |    ${duckDot("q.e", "d.e")} / sqrt(q.nn * d.nn) AS cos
-         |  FROM n q JOIN n d ON q.vec_id < 20 AND d.vec_id <> q.vec_id),
-         |rk AS (SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
-         |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
-         |  FROM p),
-         |top AS (SELECT query_id, neighbor_id, rnk FROM rk WHERE rnk <= 10),
-         |lab AS (SELECT vec_id AS id, label FROM embeddings),
-         |lc AS (SELECT label, CAST(count(*) AS BIGINT) AS c
-         |  FROM lab GROUP BY label),
-         |ql AS (SELECT l.id AS query_id, l.label AS qlab, lc.c - 1 AS n_rel
-         |  FROM lab l JOIN lc USING (label) WHERE l.id < 20),
-         |t2 AS (SELECT top.query_id, rnk,
-         |    CASE WHEN nl.label = ql.qlab THEN 1 ELSE 0 END AS rel
-         |  FROM top JOIN ql USING (query_id)
-         |  JOIN lab nl ON top.neighbor_id = nl.id),
-         |m AS (SELECT query_id,
-         |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
-         |      list(CASE WHEN rel = 1 THEN ($wLit)[CAST(rnk AS INT)]
-         |           ELSE 0.0 END ORDER BY rnk)),
-         |      (acc, x) -> acc + x) AS dcg,
-         |    CASE WHEN count(*) FILTER (rel = 1) = 0 THEN 0.0
-         |      ELSE 1.0 / CAST(min(rnk) FILTER (rel = 1) AS DOUBLE)
-         |      END AS mrr
-         |  FROM t2 GROUP BY query_id),
-         |f AS (SELECT ql.query_id, CAST(ql.n_rel AS BIGINT) AS n_rel,
-         |    COALESCE(m.mrr, 0.0) AS mrr, COALESCE(m.dcg, 0.0) AS dcg,
-         |    CASE WHEN ql.n_rel = 0 THEN NULL
-         |      ELSE COALESCE(m.dcg, 0.0)
-         |        / ($pLit)[CAST(least(ql.n_rel, 10) AS INT)] END AS ndcg
-         |  FROM ql LEFT JOIN m ON ql.query_id = m.query_id)
-         |SELECT query_id, n_rel, mrr, dcg, ndcg FROM f
-         |UNION ALL SELECT -1, NULL,
-         |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
-         |    list(mrr ORDER BY query_id)), (acc, x) -> acc + x)
-         |    / CAST(count(*) AS DOUBLE),
-         |  NULL,
-         |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
-         |    list(COALESCE(ndcg, 0.0) ORDER BY query_id)),
-         |    (acc, x) -> acc + x) / CAST(count(*) AS DOUBLE)
-         |FROM f ORDER BY query_id""".stripMargin
-    },
-
-    "q_mrl_rerank" ->
-      s"""WITH $embCte,
-         |p AS (SELECT vec_id, e, nn, e[1:16] AS pe,
-         |    ${duckDot("(e[1:16])", "(e[1:16])")} AS pnn FROM n),
-         |sc AS (SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
-         |    ${duckDot("q.pe", "d.pe")} / sqrt(q.pnn * d.pnn) AS pcos,
-         |    q.e AS qe, q.nn AS qnn, d.e AS de, d.nn AS dnn
-         |  FROM p q JOIN p d ON q.vec_id < 5 AND d.vec_id <> q.vec_id),
-         |sl AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-         |    ORDER BY pcos DESC, neighbor_id) AS prnk FROM sc),
-         |rr AS (SELECT query_id, neighbor_id,
-         |    ${duckDot("qe", "de")} / sqrt(qnn * dnn) AS cos
-         |  FROM sl WHERE prnk <= 40),
-         |rk AS (SELECT query_id, neighbor_id, cos, ROW_NUMBER() OVER (
-         |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk FROM rr)
-         |SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id, cos
-         |FROM rk WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
-
-    "q_bq_topk" ->
-      s"""WITH $embCte,
-         |c AS (SELECT vec_id,
-         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |      list_transform(range(1, 33), i ->
-         |        CASE WHEN embedding[i] > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
-         |      (acc, b) -> acc * 2 + b) AS lo,
-         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |      list_transform(range(33, 65), i ->
-         |        CASE WHEN embedding[i] > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
-         |      (acc, b) -> acc * 2 + b) AS hi
-         |  FROM embeddings),
-         |s AS (SELECT n.vec_id, e, nn, lo, hi FROM n JOIN c ON n.vec_id = c.vec_id),
-         |ham AS (SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
-         |    bit_count(xor(q.lo, d.lo)) + bit_count(xor(q.hi, d.hi)) AS ham,
-         |    q.e AS qe, q.nn AS qnn, d.e AS de, d.nn AS dnn
-         |  FROM s q JOIN s d ON q.vec_id < 5 AND d.vec_id <> q.vec_id),
-         |sl AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-         |    ORDER BY ham, neighbor_id) AS hrnk FROM ham),
-         |rr AS (SELECT query_id, neighbor_id,
-         |    ${duckDot("qe", "de")} / sqrt(qnn * dnn) AS cos
-         |  FROM sl WHERE hrnk <= 40),
-         |rk AS (SELECT query_id, neighbor_id, cos, ROW_NUMBER() OVER (
-         |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk FROM rr)
-         |SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id, cos
-         |FROM rk WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
-
-    "q_sq8_topk" ->
-      s"""WITH $embCte,
-         |s AS (SELECT vec_id, e,
-         |  CASE WHEN list_max(list_transform(e, x -> abs(x))) = 0 THEN 0.0
-         |       ELSE CAST(127.0 AS DOUBLE) / list_max(list_transform(e, x -> abs(x))) END AS scale
-         |  FROM v),
-         |q8 AS (SELECT vec_id, scale,
-         |  list_transform(e, x -> CAST(floor(x * scale + 0.5) AS BIGINT)) AS q FROM s),
-         |p AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-         |  CASE WHEN a.scale = 0 OR b.scale = 0 THEN 0.0
-         |       ELSE CAST(list_sum(list_transform(range(1, len(a.q)+1), i -> a.q[i]*b.q[i])) AS DOUBLE)
-         |            / a.scale / b.scale END AS ip8
-         |  FROM q8 a JOIN q8 b ON a.vec_id < 5 AND b.vec_id <> a.vec_id)
-         |SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id, ip8 FROM (
-         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ip8 DESC, neighbor_id) AS rnk
-         |  FROM p)
-         |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
-
-    // PQ twin: same subspace slices, same strict-fold L2 argmin encode
-    // (ROW_NUMBER ≡ Spark's min(struct) under the total (l2, cid) order),
-    // same ADC lookup join and sorted 2-term score fold.
-    "q_pq_topk" ->
-      s"""WITH $embCte,
-         |sp AS (SELECT 0 AS sub UNION ALL SELECT 1),
-         |cb AS (SELECT sp.sub, vec_id AS cid,
-         |    CASE WHEN sp.sub = 0 THEN e[1:32] ELSE e[33:64] END AS cvec
-         |  FROM n, sp WHERE vec_id < 8),
-         |ds AS (SELECT vec_id AS id, sp.sub,
-         |    CASE WHEN sp.sub = 0 THEN e[1:32] ELSE e[33:64] END AS dv
-         |  FROM n, sp),
-         |enc AS (SELECT id, sub, cid AS code FROM (
-         |  SELECT d.id, d.sub, c.cid, ROW_NUMBER() OVER (PARTITION BY d.id, d.sub
-         |    ORDER BY list_reduce(list_prepend(CAST(0 AS DOUBLE),
-         |      list_transform(range(1, len(d.dv)+1),
-         |        i -> (d.dv[i]-c.cvec[i])*(d.dv[i]-c.cvec[i]))),
-         |      (a, x) -> a + x) ASC, c.cid ASC) AS rn
-         |  FROM ds d JOIN cb c ON c.sub = d.sub) WHERE rn = 1),
-         |lut AS (SELECT qd.id AS query_id, qd.sub, c.cid AS code,
-         |    ${duckDot("qd.dv", "c.cvec")} AS part
-         |  FROM ds qd JOIN cb c ON c.sub = qd.sub
-         |  WHERE qd.id BETWEEN 100 AND 109),
-         |sc AS (SELECT l.query_id, enc.id AS neighbor_id,
-         |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list_sort(list(part))),
-         |      (a, x) -> a + x) AS adc
-         |  FROM enc JOIN lut l ON l.sub = enc.sub AND l.code = enc.code
-         |  WHERE enc.id <> l.query_id
-         |  GROUP BY l.query_id, enc.id)
-         |SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id, adc FROM (
-         |  SELECT *, ROW_NUMBER() OVER (
-         |    PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS rnk FROM sc)
-         |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
-
-    "q_ivfpq_topk" ->
-      s"""WITH $ivfPqCtes
-         |SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id, adc FROM (
-         |  SELECT *, ROW_NUMBER() OVER (
-         |    PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS rnk
-         |  FROM sc)
-         |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
-
-    // IVF-PQ recall through the pair-set judge: predicted = the residual-
-    // ADC top-3, truth = the exact cosine top-3 (the q_ann_recall tail).
-    "q_ivfpq_recall" ->
-      s"""WITH $ivfPqCtes,
-         |pred AS (SELECT query_id AS di, neighbor_id AS dj FROM (
-         |  SELECT *, ROW_NUMBER() OVER (
-         |    PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS rnk
-         |  FROM sc) WHERE rnk <= 3),
-         |tr AS (SELECT query_id AS di, nid AS dj FROM (
-         |  SELECT q.query_id, d.vec_id AS nid,
-         |    ROW_NUMBER() OVER (PARTITION BY q.query_id
-         |      ORDER BY ${duckDot("q.e", "d.e")} / sqrt(q.nn * d.nn) DESC,
-         |        d.vec_id) AS rnk
-         |  FROM q JOIN n d ON d.vec_id <> q.query_id) WHERE rnk <= 3),
-         |j AS (SELECT
-         |    CASE WHEN p.di IS NOT NULL THEN 1 ELSE 0 END AS inp,
-         |    CASE WHEN t.di IS NOT NULL THEN 1 ELSE 0 END AS intr
-         |  FROM pred p FULL JOIN tr t ON p.di = t.di AND p.dj = t.dj),
-         |c AS (SELECT CAST(SUM(inp * intr) AS BIGINT) AS tp,
-         |    CAST(SUM(inp * (1 - intr)) AS BIGINT) AS fp,
-         |    CAST(SUM((1 - inp) * intr) AS BIGINT) AS fn
-         |  FROM j)
-         |SELECT COALESCE(tp, 0) AS tp, COALESCE(fp, 0) AS fp,
-         |  COALESCE(fn, 0) AS fn,
-         |  CASE WHEN COALESCE(tp,0) + COALESCE(fp,0) = 0 THEN NULL
-         |    ELSE CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS precision,
-         |  CASE WHEN COALESCE(tp,0) + COALESCE(fn,0) = 0 THEN NULL
-         |    ELSE CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS recall,
-         |  CASE WHEN 2*COALESCE(tp,0) + COALESCE(fp,0) + COALESCE(fn,0) = 0
-         |    THEN NULL
-         |    ELSE CAST(2*tp AS DOUBLE) / CAST(2*tp + fp + fn AS DOUBLE)
-         |    END AS f1
-         |FROM c""".stripMargin,
-
-    // IVF-PQ tuning-curve twin: the q_ivfpq_recall chain parameterized
-    // per config (suffixed CTEs; rv/asg/q/tr shared), one PRF row each.
-    "q_ivfpq_curve" ->
-      s"""WITH $embCte,
-         |cen AS (SELECT vec_id AS cid, e, nn FROM n WHERE vec_id < 10),
-         |asg AS (SELECT vec_id, cluster_id FROM (
-         |  SELECT d.vec_id, c.cid AS cluster_id,
-         |    ROW_NUMBER() OVER (PARTITION BY d.vec_id
-         |      ORDER BY ${duckDot("d.e", "c.e")} / sqrt(d.nn * c.nn) DESC, c.cid) AS rn
-         |  FROM n d CROSS JOIN cen c) WHERE rn = 1),
-         |rv AS (SELECT n.vec_id, asg.cluster_id,
-         |    list_transform(range(1, len(n.e)+1), i -> n.e[i] - c.e[i]) AS r
-         |  FROM n JOIN asg ON asg.vec_id = n.vec_id
-         |  JOIN cen c ON c.cid = asg.cluster_id),
-         |q AS (SELECT vec_id AS query_id, e, nn FROM n
-         |  WHERE vec_id BETWEEN 100 AND 109),
-         |tr AS (SELECT query_id AS di, nid AS dj FROM (
-         |  SELECT q.query_id, d.vec_id AS nid,
-         |    ROW_NUMBER() OVER (PARTITION BY q.query_id
-         |      ORDER BY ${duckDot("q.e", "d.e")} / sqrt(q.nn * d.nn) DESC,
-         |        d.vec_id) AS rnk
-         |  FROM q JOIN n d ON d.vec_id <> q.query_id) WHERE rnk <= 3),
-         |${ivfPqCurveConfigs.map { case (m, nc, np) =>
-               ivfPqCurveBranch(m, nc, np) }.mkString(",\n")}
-         |${ivfPqCurveConfigs.map { case (m, nc, np) =>
-               ivfPqCurveSelect(m, nc, np) }.mkString("\nUNION ALL\n")}
-         |ORDER BY m, n_codes, n_probe""".stripMargin,
-
-    "q_rrf_fusion" ->
-      s"""WITH $embCte,
-         |p AS (SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
-         |  ${duckDot("q.e", "d.e")} AS dp, q.nn AS qnn, d.nn AS dnn
-         |  FROM n q JOIN n d ON q.vec_id < 10 AND d.vec_id <> q.vec_id),
-         |cosr AS (SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
-         |    PARTITION BY query_id ORDER BY dp / sqrt(qnn * dnn) DESC, neighbor_id) AS rnk
-         |  FROM p),
-         |l2r AS (SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
-         |    PARTITION BY query_id
-         |    ORDER BY qnn + dnn - CAST(2 AS DOUBLE) * dp ASC, neighbor_id) AS rnk
-         |  FROM p),
-         |terms AS (
-         |  SELECT query_id, neighbor_id,
-         |    CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + CAST(rnk AS DOUBLE)) AS term
-         |  FROM cosr WHERE rnk <= 10
-         |  UNION ALL
-         |  SELECT query_id, neighbor_id,
-         |    CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + CAST(rnk AS DOUBLE)) AS term
-         |  FROM l2r WHERE rnk <= 10),
-         |f AS (SELECT query_id, neighbor_id,
-         |  list_reduce(list_prepend(CAST(0 AS DOUBLE), list_sort(list(term))),
-         |    (a, x) -> a + x) AS rrf_score,
-         |  CAST(count(*) AS BIGINT) AS n_lists
-         |  FROM terms GROUP BY query_id, neighbor_id)
-         |SELECT query_id, CAST(rrf_rank AS INT) AS rrf_rank, neighbor_id,
-         |  rrf_score, n_lists FROM (
-         |  SELECT *, ROW_NUMBER() OVER (
-         |    PARTITION BY query_id ORDER BY rrf_score DESC, neighbor_id) AS rrf_rank
-         |  FROM f)
-         |WHERE rrf_rank <= 10 ORDER BY query_id, rrf_rank""".stripMargin,
-
-    // Hybrid retrieval: the bm25 CTE chain (shared with q_bm25_topk) ranks
-    // the lexical leg, the q_cosine_topk pair construction ranks the dense
-    // leg for query vector 0, and both feed q_rrf_fusion's sorted-fold RRF.
-    "q_hybrid_retrieval" ->
-      s"""WITH $embCte,
-         |$bm25Ctes,
-         |lexr AS (SELECT CAST(0 AS BIGINT) AS query_id, doc_id AS neighbor_id,
-         |    row_number() OVER (ORDER BY score DESC, doc_id) AS rnk FROM s),
-         |p AS (SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
-         |  ${duckDot("q.e", "d.e")} / sqrt(q.nn * d.nn) AS cos
-         |  FROM n q JOIN n d ON q.vec_id = 0 AND d.vec_id <> q.vec_id),
-         |cosr AS (SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
-         |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk FROM p),
-         |terms AS (
-         |  SELECT query_id, neighbor_id,
-         |    CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + CAST(rnk AS DOUBLE)) AS term
-         |  FROM lexr WHERE rnk <= 20
-         |  UNION ALL
-         |  SELECT query_id, neighbor_id,
-         |    CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + CAST(rnk AS DOUBLE)) AS term
-         |  FROM cosr WHERE rnk <= 20),
-         |f AS (SELECT query_id, neighbor_id,
-         |  list_reduce(list_prepend(CAST(0 AS DOUBLE), list_sort(list(term))),
-         |    (a, x) -> a + x) AS rrf_score,
-         |  CAST(count(*) AS BIGINT) AS n_lists
-         |  FROM terms GROUP BY query_id, neighbor_id)
-         |SELECT query_id, CAST(rrf_rank AS INT) AS rrf_rank, neighbor_id,
-         |  rrf_score, n_lists FROM (
-         |  SELECT *, ROW_NUMBER() OVER (
-         |    PARTITION BY query_id ORDER BY rrf_score DESC, neighbor_id) AS rrf_rank
-         |  FROM f)
-         |WHERE rrf_rank <= 10 ORDER BY rrf_rank""".stripMargin,
-
-    "q_ann_ivf" -> annIvfOracle,
-
-    // Cluster-quality twin: the annIvfOracle assignment (cosine argmax to
-    // the fixed centroids), e4-quantized integer squared distances folded
-    // in BIGINT per row, the cross-row total pinned as a digit string.
-    "q_cluster_quality" ->
-      s"""WITH $embCte,
-         |cen AS (SELECT vec_id AS cid, e, nn FROM n WHERE vec_id < 10),
-         |asg AS (SELECT vec_id, cluster_id FROM (
-         |  SELECT d.vec_id, c.cid AS cluster_id,
-         |    ROW_NUMBER() OVER (PARTITION BY d.vec_id
-         |      ORDER BY ${duckDot("d.e", "c.e")} / sqrt(d.nn * c.nn) DESC, c.cid) AS rn
-         |  FROM n d CROSS JOIN cen c) WHERE rn = 1),
-         |sq AS (SELECT asg.cluster_id,
-         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |      list_transform(range(1, len(d.e)+1), i ->
-         |        (CAST(floor(d.e[i] * 10000.0 + 0.5) AS BIGINT)
-         |          - CAST(floor(c.e[i] * 10000.0 + 0.5) AS BIGINT))
-         |        * (CAST(floor(d.e[i] * 10000.0 + 0.5) AS BIGINT)
-         |          - CAST(floor(c.e[i] * 10000.0 + 0.5) AS BIGINT)))),
-         |      (a, x) -> a + x) AS s
-         |  FROM asg JOIN n d ON d.vec_id = asg.vec_id
-         |  JOIN cen c ON c.cid = asg.cluster_id)
-         |SELECT cluster_id, CAST(count(*) AS BIGINT) AS n,
-         |  CAST(CAST(SUM(CAST(s AS DECIMAL(18,0))) AS DECIMAL(38,0))
-         |    AS VARCHAR) AS inertia_num,
-         |  CAST(CAST(CAST(SUM(CAST(s AS DECIMAL(18,0))) AS DECIMAL(38,0))
-         |    AS VARCHAR) AS DOUBLE) / 100000000.0 AS inertia
-         |FROM sq GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
-
-    // Built-then-appended index state == built-at-once state with the same
-    // centroids, so the probe answers — and the oracle — are identical.
-    "q_ivf_append" -> annIvfOracle,
-
-    // IVF tuning-curve twin: one probe pipeline per nProbe (probe sets
-    // nest by the shared rank), each full-joined against the shared
-    // exact top-3 and closed by the pair-set PRF, unioned into the curve.
-    "q_ivf_curve" -> {
-      val legs = Seq(1, 2, 3).map { np =>
-        s"""probes$np AS (SELECT qid, cluster_id FROM pr WHERE rn <= $np),
-           |cand$np AS (SELECT p.qid, a.vec_id AS nid
-           |  FROM probes$np p JOIN asg a ON a.cluster_id = p.cluster_id
-           |  WHERE a.vec_id <> p.qid),
-           |pred$np AS (SELECT qid AS di, nid AS dj FROM (
-           |  SELECT cand$np.qid, cand$np.nid,
-           |    ROW_NUMBER() OVER (PARTITION BY cand$np.qid
-           |      ORDER BY ${duckDot("q.e", "d.e")} / sqrt(q.nn * d.nn) DESC,
-           |        cand$np.nid) AS rnk
-           |  FROM cand$np JOIN n q ON q.vec_id = cand$np.qid
-           |  JOIN n d ON d.vec_id = cand$np.nid) WHERE rnk <= 3),
-           |c$np AS (SELECT
-           |    CAST(SUM(inp * intr) AS BIGINT) AS tp,
-           |    CAST(SUM(inp * (1 - intr)) AS BIGINT) AS fp,
-           |    CAST(SUM((1 - inp) * intr) AS BIGINT) AS fn
-           |  FROM (SELECT
-           |      CASE WHEN p.di IS NOT NULL THEN 1 ELSE 0 END AS inp,
-           |      CASE WHEN t.di IS NOT NULL THEN 1 ELSE 0 END AS intr
-           |    FROM pred$np p FULL JOIN tr t
-           |      ON p.di = t.di AND p.dj = t.dj))""".stripMargin
-      }
-      val selects = Seq(1, 2, 3).map { np =>
-        s"""SELECT $np AS n_probe, COALESCE(tp, 0) AS tp,
-           |  COALESCE(fp, 0) AS fp, COALESCE(fn, 0) AS fn,
-           |  CASE WHEN COALESCE(tp,0) + COALESCE(fp,0) = 0 THEN NULL
-           |    ELSE CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS precision,
-           |  CASE WHEN COALESCE(tp,0) + COALESCE(fn,0) = 0 THEN NULL
-           |    ELSE CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS recall,
-           |  CASE WHEN 2*COALESCE(tp,0) + COALESCE(fp,0) + COALESCE(fn,0) = 0
-           |    THEN NULL
-           |    ELSE CAST(2*tp AS DOUBLE) / CAST(2*tp + fp + fn AS DOUBLE)
-           |    END AS f1
-           |FROM c$np""".stripMargin
-      }
-      s"""WITH $embCte,
-         |cen AS (SELECT vec_id AS cid, e, nn FROM n WHERE vec_id < 10),
-         |asg AS (SELECT vec_id, cluster_id FROM (
-         |  SELECT d.vec_id, c.cid AS cluster_id,
-         |    ROW_NUMBER() OVER (PARTITION BY d.vec_id
-         |      ORDER BY ${duckDot("d.e", "c.e")} / sqrt(d.nn * c.nn) DESC, c.cid) AS rn
-         |  FROM n d CROSS JOIN cen c) WHERE rn = 1),
-         |qq AS (SELECT vec_id AS qid, e, nn FROM n
-         |  WHERE vec_id BETWEEN 100 AND 109),
-         |pr AS (SELECT qq.qid, c.cid AS cluster_id,
-         |    ROW_NUMBER() OVER (PARTITION BY qq.qid
-         |      ORDER BY ${duckDot("qq.e", "c.e")} / sqrt(qq.nn * c.nn) DESC, c.cid) AS rn
-         |  FROM qq CROSS JOIN cen c),
-         |tr AS (SELECT qid AS di, nid AS dj FROM (
-         |  SELECT qq.qid, d.vec_id AS nid,
-         |    ROW_NUMBER() OVER (PARTITION BY qq.qid
-         |      ORDER BY ${duckDot("qq.e", "d.e")} / sqrt(qq.nn * d.nn) DESC,
-         |        d.vec_id) AS rnk
-         |  FROM qq JOIN n d ON d.vec_id <> qq.qid) WHERE rnk <= 3),
-         |${legs.mkString(",\n")}
-         |${selects.mkString("\nUNION ALL\n")}
-         |ORDER BY n_probe""".stripMargin
-    },
-
-    // ANN-recall twin: annIvfOracle's probe pipeline emitting pairs,
-    // full-joined against the exact top-3 pair set, then the pair-set
-    // PRF closing (q_dedup_eval's construction).
-    "q_ann_recall" ->
-      s"""WITH $embCte,
-         |cen AS (SELECT vec_id AS cid, e, nn FROM n WHERE vec_id < 10),
-         |asg AS (SELECT vec_id, cluster_id FROM (
-         |  SELECT d.vec_id, c.cid AS cluster_id,
-         |    ROW_NUMBER() OVER (PARTITION BY d.vec_id
-         |      ORDER BY ${duckDot("d.e", "c.e")} / sqrt(d.nn * c.nn) DESC, c.cid) AS rn
-         |  FROM n d CROSS JOIN cen c) WHERE rn = 1),
-         |qq AS (SELECT vec_id AS qid, e, nn FROM n
-         |  WHERE vec_id BETWEEN 100 AND 109),
-         |probes AS (SELECT qid, cluster_id FROM (
-         |  SELECT qq.qid, c.cid AS cluster_id,
-         |    ROW_NUMBER() OVER (PARTITION BY qq.qid
-         |      ORDER BY ${duckDot("qq.e", "c.e")} / sqrt(qq.nn * c.nn) DESC, c.cid) AS rn
-         |  FROM qq CROSS JOIN cen c) WHERE rn <= 2),
-         |cand AS (SELECT p.qid, a.vec_id AS nid
-         |  FROM probes p JOIN asg a ON a.cluster_id = p.cluster_id
-         |  WHERE a.vec_id <> p.qid),
-         |pred AS (SELECT qid AS di, nid AS dj FROM (
-         |  SELECT cand.qid, cand.nid,
-         |    ROW_NUMBER() OVER (PARTITION BY cand.qid
-         |      ORDER BY ${duckDot("q.e", "d.e")} / sqrt(q.nn * d.nn) DESC,
-         |        cand.nid) AS rnk
-         |  FROM cand JOIN n q ON q.vec_id = cand.qid
-         |  JOIN n d ON d.vec_id = cand.nid) WHERE rnk <= 3),
-         |tr AS (SELECT qid AS di, nid AS dj FROM (
-         |  SELECT qq.qid, d.vec_id AS nid,
-         |    ROW_NUMBER() OVER (PARTITION BY qq.qid
-         |      ORDER BY ${duckDot("qq.e", "d.e")} / sqrt(qq.nn * d.nn) DESC,
-         |        d.vec_id) AS rnk
-         |  FROM qq JOIN n d ON d.vec_id <> qq.qid) WHERE rnk <= 3),
-         |j AS (SELECT
-         |    CASE WHEN p.di IS NOT NULL THEN 1 ELSE 0 END AS inp,
-         |    CASE WHEN t.di IS NOT NULL THEN 1 ELSE 0 END AS intr
-         |  FROM pred p FULL JOIN tr t ON p.di = t.di AND p.dj = t.dj),
-         |c AS (SELECT CAST(SUM(inp * intr) AS BIGINT) AS tp,
-         |    CAST(SUM(inp * (1 - intr)) AS BIGINT) AS fp,
-         |    CAST(SUM((1 - inp) * intr) AS BIGINT) AS fn
-         |  FROM j)
-         |SELECT COALESCE(tp, 0) AS tp, COALESCE(fp, 0) AS fp,
-         |  COALESCE(fn, 0) AS fn,
-         |  CASE WHEN COALESCE(tp,0) + COALESCE(fp,0) = 0 THEN NULL
-         |    ELSE CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS precision,
-         |  CASE WHEN COALESCE(tp,0) + COALESCE(fn,0) = 0 THEN NULL
-         |    ELSE CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS recall,
-         |  CASE WHEN 2*COALESCE(tp,0) + COALESCE(fp,0) + COALESCE(fn,0) = 0
-         |    THEN NULL
-         |    ELSE CAST(2*tp AS DOUBLE) / CAST(2*tp + fp + fn AS DOUBLE)
-         |    END AS f1
-         |FROM c""".stripMargin,
-
-        // Parallel unnests zip in DuckDB's SELECT list; range(0, len) matches
-    // posexplode's 0-based pos. The unit quantization mirrors
-    // groupCentroids bit for bit: ⌊v·10⁸ + 0.5⌋ is a fixed IEEE chain
-    // (exact float→double widening, one rounded multiply, one rounded add,
-    // exact floor), so NO renderer, decimal cast, or round() tie convention
-    // of either engine is in the hash — the round-9 red gate traced to
-    // DuckDB's version-sensitive float→VARCHAR rendering.
-    "q_embed_centroid" ->
-      """WITH e AS (SELECT label AS grp,
-        |    unnest(range(0, len(embedding))) AS pos,
-        |    unnest(embedding) AS v
-        |  FROM embeddings WHERE embedding IS NOT NULL)
-        |SELECT grp, CAST(pos AS INT) AS pos, CAST(count(*) AS BIGINT) AS n,
-        |  CAST(SUM(CAST(floor(CAST(v AS DOUBLE) * 100000000 + CAST(0.5 AS DOUBLE))
-        |    AS BIGINT)) AS BIGINT) AS sv
-        |FROM e GROUP BY grp, pos ORDER BY grp, pos""".stripMargin,
-
-    "q_embed_neardup" -> embedNearDupOracle,
-
-    // The streaming twin emits the same pair set through bucket state and
-    // attaches the identical exact cosine downstream — same answer.
-    "q_stream_embed_neardup" -> embedNearDupOracle,
-
-    "q_semdedup" ->
-      s"""WITH base AS (
-         |  SELECT vec_id, embedding FROM embeddings
-         |  UNION ALL
-         |  SELECT vec_id + 1000000,
-         |    list_concat([embedding[1] * CAST(2 AS FLOAT)], embedding[2:])
-         |  FROM embeddings),
-         |v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-         |  FROM base),
-         |n AS (SELECT vec_id, e, ${duckDot("e", "e")} AS nn FROM v),
-         |cen AS (SELECT vec_id AS cid, e, nn FROM n WHERE vec_id < 10),
-         |asg AS (SELECT vec_id, cluster_id FROM (
-         |  SELECT d.vec_id, c.cid AS cluster_id,
-         |    ROW_NUMBER() OVER (PARTITION BY d.vec_id
-         |      ORDER BY ${duckDot("d.e", "c.e")} / sqrt(d.nn * c.nn) DESC, c.cid) AS rn
-         |  FROM n d CROSS JOIN cen c) WHERE rn = 1),
-         |dropped AS (SELECT DISTINCT b.vec_id
-         |  FROM asg a JOIN asg b
-         |    ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
-         |  JOIN n na ON na.vec_id = a.vec_id
-         |  JOIN n nb ON nb.vec_id = b.vec_id
-         |  WHERE ${duckDot("na.e", "nb.e")} / sqrt(na.nn * nb.nn) >= 0.8)
-         |SELECT asg.vec_id AS id, asg.cluster_id,
-         |  (dropped.vec_id IS NULL) AS kept
-         |FROM asg LEFT JOIN dropped ON dropped.vec_id = asg.vec_id
-         |ORDER BY id""".stripMargin,
-
-    "q_multimodal_features" ->
-      s"""SELECT doc_id,
-         |  CAST(length(text) AS BIGINT) AS n_bytes,
-         |  CAST(ascii(substr(text, 1, 1)) AS INT) AS first_byte,
-         |  ${duckHash("text")} AS byte_hash,
-         |  CAST(length(text) // 64 + 1 AS INT) AS n_frames
-         |FROM documents ORDER BY doc_id""".stripMargin,
-
-    // dHash twin: every bit recomputed from sampled ascii() comparisons
-    // (payload bytes == codepoints on the ASCII fixture), bands as 8-bit
-    // sums, candidates from the band equi-join, hamming counted over the
-    // joined bit tables — no 64-bit packing needed oracle-side.
-    "q_phash_neardup" ->
-      """WITH src AS (SELECT doc_id, text FROM documents
-        |  UNION ALL SELECT doc_id + 1000000,
-        |    'X' || substr(text, 2) FROM documents),
-        |b AS (SELECT doc_id, text,
-        |    CAST(length(text) AS BIGINT) AS n FROM src),
-        |bt AS (SELECT doc_id, n, text,
-        |    unnest(range(0, 64)) AS j FROM b),
-        |bits AS (SELECT doc_id, j,
-        |    CASE WHEN n > 0 AND
-        |        ascii(substr(text, CAST(j*n//65 + 1 AS INT), 1)) >
-        |        ascii(substr(text, CAST((j+1)*n//65 + 1 AS INT), 1))
-        |      THEN 1 ELSE 0 END AS bit
-        |  FROM bt),
-        |bd AS (SELECT doc_id, j // 8 AS bk,
-        |    SUM(bit * (1 << (j % 8))) AS bv
-        |  FROM bits GROUP BY doc_id, j // 8),
-        |cand AS (SELECT DISTINCT a.doc_id AS doc_i, b.doc_id AS doc_j
-        |  FROM bd a JOIN bd b
-        |    ON a.bk = b.bk AND a.bv = b.bv AND a.doc_id < b.doc_id),
-        |ham AS (SELECT doc_i, doc_j,
-        |    CAST(SUM(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) AS BIGINT)
-        |      AS hamming
-        |  FROM cand
-        |  JOIN bits x ON x.doc_id = doc_i
-        |  JOIN bits y ON y.doc_id = doc_j AND y.j = x.j
-        |  GROUP BY doc_i, doc_j)
-        |SELECT doc_i, doc_j, hamming FROM ham
-        |WHERE hamming <= 6 ORDER BY doc_i, doc_j""".stripMargin,
-
-    "q_frame_sample" -> {
-      // NB: the outer index must NOT be named `i` — duckHash's lambda
-      // parameter `i` would shadow it inside the frame expression.
-      val frame = "substr(text, CAST(fi*64+1 AS INT), 64)"
-      s"""WITH f AS (SELECT doc_id, text,
-         |  unnest(range(0, CAST((length(text)+63)//64 AS BIGINT))) AS fi
-         |  FROM documents)
-         |SELECT doc_id, CAST(fi AS INT) AS frame_idx,
-         |  CAST(length($frame) AS INT) AS n_bytes,
-         |  ${duckHash(frame)} AS frame_hash
-         |FROM f WHERE fi % 4 = 0
-         |ORDER BY doc_id, frame_idx""".stripMargin
-    },
-
-    "q_mm_resize" ->
-      // NB: lambda params avoid `i` (duckHash-convention shadowing note on
-      // q_frame_sample). Non-contiguous resampled bytes can't reuse
-      // duckHash (it folds a substring); the fold is inlined over the
-      // resampled code list.
-      """WITH d AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
-        |  FROM documents),
-        |r AS (SELECT doc_id, n,
-        |    CASE WHEN n = 0 THEN CAST([] AS BIGINT[])
-        |         ELSE list_transform(range(0, 64),
-        |           ri -> CAST(ascii(substr(text, CAST((ri*n)//64 + 1 AS INT), 1)) AS BIGINT))
-        |         END AS codes
-        |  FROM d)
-        |SELECT doc_id, n AS n_in,
-        |  CAST(len(codes) AS INT) AS n_out,
-        |  list_reduce(list_prepend(CAST(0 AS BIGINT), codes),
-        |    (acc, c) -> (acc * 31 + c) % 1000000007) AS resized_hash
-        |FROM r ORDER BY doc_id""".stripMargin
-  )
 }

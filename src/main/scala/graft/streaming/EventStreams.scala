@@ -1056,6 +1056,50 @@ object EventStreams {
       }
   }
 
+  /** One closed (key, value, count) row from [[valueCountsExact]] — the
+    * raw count-map emission the cross-key normalizers consume.
+    */
+  final case class ValueCountOut(key: String, v: Long, c: Long)
+
+  /** Streaming per-key VALUE COUNTS — the mergeable count-map state
+    * ([[ValueCountsState]]) emitted RAW at the event-time timeout, one
+    * row per (key, value) with its exact count, values ascending. The
+    * building block for statistics that are per-key count maps composed
+    * with a CROSS-key normalization no keyed state can see (t-closeness'
+    * global sensitive-value distribution, any Σ-over-all-groups
+    * denominator): the stream owns the per-key accumulation (bounded by
+    * the value domain, increment-commutative, so arrival order and
+    * volume never grow state), and the consumer runs the closing
+    * cross-key formula batch-side over these emitted counts — e.g.
+    * [[graft.operators.GovernanceOps.tClosenessFromCounts]], whose batch
+    * twin is the identical formula over a batch `groupBy(...).count`,
+    * so one oracle gates both.
+    */
+  def valueCountsExact(
+      events: Dataset[ValueEvent],
+      horizonSec: Long,
+      lateSec: Long = 0L): Dataset[ValueCountOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withColumn("event_time", timestamp_micros(col("ts")))
+      .withWatermark("event_time", s"$lateSec seconds")
+      .as[ValueEvent]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[ValueCountsState, ValueCountOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: String, rows: Iterator[ValueEvent], state: GroupState[ValueCountsState]) =>
+          if (state.hasTimedOut) {
+            val vals = state.getOption.map(_.vals).getOrElse(Map.empty)
+            state.remove()
+            vals.toArray.sortBy(_._1).iterator
+              .map { case (v, c) => ValueCountOut(key, v, c) }
+          } else {
+            valueCountsFold(rows, state, horizonSec)
+            Iterator.empty
+          }
+      }
+  }
+
   /** Input row for [[hashSampleExact]]: group key, pre-hashed UNIQUE row
     * key, BIGINT value, µs.
     */

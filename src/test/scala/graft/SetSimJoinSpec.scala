@@ -176,6 +176,69 @@ class SetSimJoinSpec extends AnyFunSuite with SparkSpec {
           size(col("a.gr")).cast("long").as("n_small"))
         .filter(col("n_small") > 0 && col("n_common") * td >= col("n_small") * tn))
 
+  test("capTokenDf ≡ brute stop-token removal; capped join ≡ brute force " +
+    "over the filtered sets (the loud df-cap guard, r17 VERDICT)") {
+    val g = grams
+    val maxDf = 3L
+    // Brute reference: per-(lang, source) df over distinct per-doc grams,
+    // each doc's array minus its block's hot grams.
+    val df = g.select($"doc_id", $"lang", $"source", explode($"gr").as("tok"))
+    val hot = df.groupBy($"lang", $"source", $"tok").count()
+      .filter($"count" > maxDf).drop("count")
+    val bruteFiltered = df.join(hot, Seq("lang", "source", "tok"), "left_anti")
+      .groupBy($"doc_id", $"lang", $"source")
+      .agg(sort_array(collect_list($"tok")).as("gr"))
+    val capped = SetSimJoin.capTokenDf(g, "gr", Seq("lang", "source"), maxDf)
+    assert(capped.columns.toSeq == g.columns.toSeq, "column order preserved")
+    val gotSets = capped.select($"doc_id", sort_array($"gr").as("gr"))
+      .as[(Long, Seq[String])].collect().toMap
+    val wantSets = bruteFiltered.select($"doc_id", $"gr")
+      .as[(Long, Seq[String])].collect().toMap
+    // Docs whose whole set was hot keep an EMPTY array (absent from the
+    // brute regroup, which loses empty groups) — same doc universe.
+    assert(gotSets.filter(_._2.nonEmpty) == wantSets.filter(_._2.nonEmpty))
+    assert(gotSets.keySet == g.select($"doc_id").as[Long].collect().toSet)
+    assert(gotSets.values.exists(_.isEmpty) ||
+      gotSets.values.map(_.size).sum < g.select(size($"gr")).as[Int].collect().map(_.toLong).sum,
+      "maxDf=3 must actually truncate on the fixture for this test to bite")
+    // The capped join is EXACT on the filtered universe.
+    val viaIndex = pairsOf(
+      SetSimJoin.jaccardJoin(capped, "doc_id", "gr", Seq("lang", "source"), 3, 5))
+    val brute = pairsOf(
+      capped.as("a").join(capped.as("b"),
+          col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"),
+          size(array_intersect(col("a.gr"), col("b.gr"))).cast("long").as("n_common"),
+          size(array_union(col("a.gr"), col("b.gr"))).cast("long").as("n_union"))
+        .filter($"n_union" > 0 && $"n_common" * 5 >= $"n_union" * 3))
+    assert(viaIndex == brute)
+    assert(brute.nonEmpty, "rare-gram similarity must survive the cap here")
+  }
+
+  test("capTokenDf: identity at Long.MaxValue and at maxDf >= every df; " +
+    "blockless calls cap corpus-wide") {
+    val g = grams.limit(50)
+    assert(SetSimJoin.capTokenDf(g, "gr", Seq("lang", "source"), Long.MaxValue)
+      eq g, "Long.MaxValue short-circuits to the input frame")
+    val n = g.count()
+    val loose = SetSimJoin.capTokenDf(g, "gr", Seq("lang", "source"), n)
+    assert(loose.select($"doc_id", sort_array($"gr")).collect().toSet ==
+      g.select($"doc_id", sort_array($"gr")).collect().toSet,
+      "a cap no df reaches must change nothing")
+    // Blockless: df counted corpus-wide; a gram in > maxDf docs drops.
+    val tiny = Seq(
+      (1L, Seq("a", "x")), (2L, Seq("a", "y")), (3L, Seq("a", "z")),
+      (4L, Seq("b", "w"))).toDF("doc_id", "gr")
+    val cappedTiny = SetSimJoin.capTokenDf(tiny, "gr", Seq.empty, 2L)
+      .select($"doc_id", sort_array($"gr").as("gr"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(cappedTiny == Map(1L -> Seq("x"), 2L -> Seq("y"),
+      3L -> Seq("z"), 4L -> Seq("b", "w")), s"got $cappedTiny")
+    intercept[IllegalArgumentException](
+      SetSimJoin.capTokenDf(tiny, "gr", Seq.empty, 0L))
+  }
+
   test("containment: a small doc inside a big one qualifies; the reverse does not") {
     // The shape Jaccard misses: small ⊂ big with |big| ≫ |small| has
     // containment 1 but Jaccard 3/23 — jaccardJoin at t=1/2 must NOT pair
