@@ -144,23 +144,43 @@ object SetSimJoin {
     *
     * LOUD when it truncates (the [[StatOps.ksDrift]] eager-census
     * precedent): one extra one-row aggregate per call counts the capped
-    * (block, token) keys and warns with the count and the worst df;
-    * silent only when nothing was dropped.
+    * (block, token) keys and warns with the count, the worst df, and the
+    * filtering strategy it chose; silent only when nothing was dropped.
     *
-    * Scale posture: the census is a combiner-reduced `groupBy(block,
-    * token).count` (hot tokens collapse map-side); the hot set has at
-    * most `totalTokenRows / maxDf` entries — the census that selects it
-    * also bounds it — grouped per block and BROADCAST, so the corpus
-    * itself is filtered row-locally by `array_except` with ZERO extra
-    * corpus shuffles.
+    * Scale posture — the census is a combiner-reduced `groupBy(block,
+    * token).count` (hot tokens collapse map-side) and it also STEERS the
+    * filtering plan, because the two sane plans invert at a measurable
+    * boundary the census sees:
+    *
+    *  - SMALL per-block hot sets (every block's hot count ≤
+    *    `broadcastHotMax`): hot tokens group per block and BROADCAST;
+    *    the corpus filters row-locally by `array_except` with ZERO extra
+    *    corpus shuffles. Per-row cost is O(|hot_block| + |set|) — the
+    *    boilerplate-tail regime the guard is for (hot keys are FEW; that
+    *    is what made them hot).
+    *  - LARGE hot sets (a cap low enough to mark much of the vocabulary
+    *    hot — saturated blockless corpora): the row-local filter's
+    *    per-row O(|hot|) inverts, so the sets EXPLODE instead, hot keys
+    *    drop via a shuffled anti-join on (block, token), and the kept
+    *    tokens re-aggregate per `idCol` (one corpus shuffle + one
+    *    doc-keyed shuffle — linear, the unbounded-vocabulary shape).
+    *    Requires `idCol` (a unique row key) — the call fails loudly when
+    *    the large path is needed but no id was given.
     *
     * @param maxDf  largest per-block document frequency a token may have
     *               and stay; `Long.MaxValue` is the identity
-    * @return `docs` with `setCol` filtered (column order preserved)
+    * @param idCol  unique row key enabling the large-hot-set path;
+    *               empty = broadcast path only (loud failure if exceeded)
+    * @param broadcastHotMax largest per-block hot count the broadcast
+    *               path accepts before switching (or failing sans idCol)
+    * @return `docs` with `setCol` filtered (column order preserved;
+    *         a fully-hot set becomes the EMPTY array, the row stays)
     */
   def capTokenDf(docs: DataFrame, setCol: String, blockCols: Seq[String],
-      maxDf: Long): DataFrame = {
+      maxDf: Long, idCol: String = "",
+      broadcastHotMax: Long = 8192L): DataFrame = {
     require(maxDf >= 1L, s"maxDf must be >= 1, got $maxDf")
+    require(broadcastHotMax >= 0L, s"bad broadcastHotMax $broadcastHotMax")
     if (maxDf == Long.MaxValue) return docs
     val bc = blockCols.map(col)
     // Census over DISTINCT per-doc tokens (the setCol contract): one
@@ -180,19 +200,46 @@ object SetSimJoin {
       else hotPerBlock0
     val census = hotPerBlock
       .agg(coalesce(sum(col("graft_hot_n")), lit(0L)),
-        coalesce(max(col("graft_hot_df")), lit(0L))).head()
-    if (census.getLong(0) > 0L)
-      log.warn(s"capTokenDf(maxDf=$maxDf) dropped ${census.getLong(0)} " +
-        s"(block, token) keys (worst df ${census.getLong(1)}) from " +
-        s"'$setCol' — similarity carried only by these ubiquitous tokens " +
-        "is not reported")
-    val base = if (blockCols.isEmpty) docs.withColumn("graft_cap_k", lit(1)) else docs
-    val out = base.join(broadcast(hotPerBlock), joinCols, "left")
-      .withColumn(setCol,
-        when(col("graft_hot_toks").isNull, col(setCol))
-          .otherwise(array_except(col(setCol), col("graft_hot_toks"))))
-      .drop("graft_hot_toks", "graft_hot_n", "graft_hot_df", "graft_cap_k")
-    out.select(docs.columns.map(col): _*)
+        coalesce(max(col("graft_hot_df")), lit(0L)),
+        coalesce(max(col("graft_hot_n")), lit(0L))).head()
+    val (nHot, worstDf, maxHotPerBlock) =
+      (census.getLong(0), census.getLong(1), census.getLong(2))
+    if (nHot == 0L) return docs // nothing to drop; skip the filter join
+    val wide = maxHotPerBlock > broadcastHotMax
+    log.warn(s"capTokenDf(maxDf=$maxDf) dropped $nHot (block, token) keys " +
+      s"(worst df $worstDf, widest block $maxHotPerBlock hot tokens, " +
+      s"${if (wide) "explode/anti-join" else "broadcast array_except"} " +
+      s"path) from '$setCol' — similarity carried only by these " +
+      "ubiquitous tokens is not reported")
+    if (!wide) {
+      val base = if (blockCols.isEmpty) docs.withColumn("graft_cap_k", lit(1)) else docs
+      base.join(broadcast(hotPerBlock), joinCols, "left")
+        .withColumn(setCol,
+          when(col("graft_hot_toks").isNull, col(setCol))
+            .otherwise(array_except(col(setCol), col("graft_hot_toks"))))
+        .drop("graft_hot_toks", "graft_hot_n", "graft_hot_df", "graft_cap_k")
+        .select(docs.columns.map(col): _*)
+    } else {
+      require(idCol.nonEmpty,
+        s"capTokenDf: a block carries $maxHotPerBlock hot tokens > " +
+          s"broadcastHotMax=$broadcastHotMax, so the row-local filter's " +
+          "per-row O(|hot|) cost inverts — pass idCol (a unique row key) " +
+          "to enable the explode/anti-join path, or raise broadcastHotMax " +
+          "deliberately")
+      val exId = docs.select(
+        col(idCol).as("graft_cap_id") +: explode(col(setCol)).as("sj_tok") +: bc: _*)
+      val kept = exId
+        .join(hot.select((bc :+ col("sj_tok")): _*), blockCols :+ "sj_tok", "left_anti")
+        .groupBy(col("graft_cap_id"))
+        .agg(collect_list(col("sj_tok")).as("graft_kept"))
+      docs.join(kept, col(idCol) === col("graft_cap_id"), "left")
+        .withColumn(setCol,
+          // slice(set, 1, 0): the element-typed EMPTY array for rows
+          // whose every token was hot (or whose set was already empty).
+          coalesce(col("graft_kept"), slice(col(setCol), 1, 0)))
+        .drop("graft_kept", "graft_cap_id")
+        .select(docs.columns.map(col): _*)
+    }
   }
 
   /** The FULL inverted index with the rare-first rank attached — the shared

@@ -885,11 +885,36 @@ object StatOps {
     */
   def ksDrift(df: DataFrame, groupCol: String, valueCol: String,
       maxGridCells: Long = 10000000L): DataFrame = {
-    require(maxGridCells >= 1L, s"maxGridCells must be >= 1, got $maxGridCells")
     val base = df.select(col(groupCol).cast("string").as("g"),
         col(valueCol).cast("long").as("v"))
       .where(col("v").isNotNull)
-    val card = base.agg(
+    ksDriftFromCounts(
+      base.groupBy(col("g"), col("v")).agg(count(lit(1)).as("c")),
+      "g", "v", "c", maxGridCells)
+      .withColumnRenamed("g", groupCol)
+  }
+
+  /** [[ksDrift]] over PRE-AGGREGATED (group, value, count) rows — the
+    * formula half of the operator, split out so a STREAMING monitor can
+    * feed it the value→count maps its keyed state emitted at the
+    * watermark ([[graft.streaming.EventStreams.valueCountsExact]]; the
+    * rest-of-data CDF is a cross-GROUP quantity no keyed state can see,
+    * so the closing comparison runs batch-side over the emitted counts —
+    * the [[graft.operators.GovernanceOps.tClosenessFromCounts]] pattern).
+    * The batch operator is `groupBy(g, v).count` composed with this; one
+    * oracle gates both. At most one row per (group, value) is assumed
+    * (the aggregate's contract); NULL values are dropped, matching the
+    * batch operator's `WHERE v IS NOT NULL`.
+    */
+  def ksDriftFromCounts(counts: DataFrame, groupCol: String,
+      valueCol: String, cntCol: String,
+      maxGridCells: Long = 10000000L): DataFrame = {
+    require(maxGridCells >= 1L, s"maxGridCells must be >= 1, got $maxGridCells")
+    val cs = counts.select(col(groupCol).cast("string").as("g"),
+        col(valueCol).cast("long").as("v"),
+        col(cntCol).cast("long").as("c"))
+      .where(col("v").isNotNull)
+    val card = cs.agg(
       count_distinct(col("g")).as("groups"),
       count_distinct(col("v")).as("levels")).head()
     val groups = if (card.isNullAt(0)) 0L else card.getLong(0)
@@ -904,10 +929,10 @@ object StatOps {
         s"maxGridCells=$maxGridCells — quantize the value column coarser " +
         "(the robustOutliers ⌊v*10^s+0.5⌋ chain) or raise the knob " +
         "deliberately")
-    val lv = base.groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
-    val tot = base.groupBy(col("v")).agg(count(lit(1)).as("t"))
-    val ng = base.groupBy(col("g")).agg(count(lit(1)).as("n"))
-    val nAll = base.agg(count(lit(1)).as("nn"))
+    val lv = cs
+    val tot = cs.groupBy(col("v")).agg(sum(col("c")).as("t"))
+    val ng = cs.groupBy(col("g")).agg(sum(col("c")).as("n"))
+    val nAll = cs.agg(sum(col("c")).as("nn"))
     val grid = ng.crossJoin(tot)
       .join(lv, Seq("g", "v"), "left")
       .withColumn("c", coalesce(col("c"), lit(0L)))

@@ -1159,6 +1159,31 @@ object DedupQueries extends QueryDomain {
         $"doc_small", $"doc_big")
     },
 
+    "q_containment_capped" -> { (s, dir) =>
+      import s.implicits._
+      // The DF-CAP guarded containment join ([[SetSimJoin.capTokenDf]],
+      // maxDf = 3, corpus-wide — no blocks, so this also exercises the
+      // blockless census): word trigrams in more than 3 documents are
+      // removed from every set before the one-sided prefix join, bounding
+      // each posting list at 3 where the uncapped q_containment's index
+      // side follows the same saturated-vocabulary candidate law as the
+      // exact Jaccard join. Stop-token-removal semantics (containment is
+      // then measured over each doc's RARE shingles — the sub-document
+      // duplication signal boilerplate was drowning anyway); the oracle
+      // re-derives the identical filtered universe. idCol enables the
+      // explode/anti-join path when a low cap saturates (not at these
+      // SFs — the broadcast path census decides, loudly).
+      val g = docs(s, dir)
+        .select($"doc_id", TextOps.wordShingles($"text", 3).as("sh"))
+        .filter(size($"sh") > 0)
+      val capped = SetSimJoin.capTokenDf(g, "sh", Nil, maxDf = 3L,
+        idCol = "doc_id")
+      orderedSmall(
+        SetSimJoin.containmentJoin(capped, "doc_id", "sh", Nil,
+          threshNum = 9, threshDen = 10),
+        $"doc_small", $"doc_big")
+    },
+
     "q_edit_join" -> { (s, dir) =>
       import s.implicits._
       // Edit-distance similarity join ([[StringJoins.editDistanceJoin]]):
@@ -2203,6 +2228,28 @@ object DedupQueries extends QueryDomain {
         |WHERE len(list_distinct(list_concat(a.sh, b.sh))) > 0
         |  AND 2 * len(list_intersect(a.sh, b.sh)) >= len(list_distinct(list_concat(a.sh, b.sh)))
         |ORDER BY new_id, corpus_id""".stripMargin,
+
+    // The capped twin re-derives the SAME filtered universe (corpus-wide
+    // word-trigram df <= 3) and brute-forces containment over it via
+    // shared-token counts.
+    "q_containment_capped" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |s AS (SELECT doc_id,
+        |  list_distinct(list_transform(range(1, len(w)-1), i -> w[i]||' '||w[i+1]||' '||w[i+2])) AS sh
+        |  FROM t WHERE len(w) >= 3),
+        |e AS (SELECT doc_id, unnest(sh) AS tok FROM s),
+        |dfc AS (SELECT tok, count(*) AS df FROM e GROUP BY tok),
+        |k AS (SELECT e.doc_id, e.tok FROM e JOIN dfc USING (tok) WHERE dfc.df <= 3),
+        |sz AS (SELECT doc_id, count(*) AS n FROM k GROUP BY doc_id),
+        |p AS (SELECT a.doc_id AS doc_small, b.doc_id AS doc_big, count(*) AS n_common
+        |  FROM k a JOIN k b ON a.tok = b.tok AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT p.doc_small, p.doc_big,
+        |  CAST(p.n_common AS BIGINT) AS n_common,
+        |  CAST(sa.n AS BIGINT) AS n_small
+        |FROM p JOIN sz sa ON sa.doc_id = p.doc_small
+        |WHERE sa.n > 0 AND 10 * p.n_common >= 9 * sa.n
+        |ORDER BY doc_small, doc_big""".stripMargin,
 
     "q_containment" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

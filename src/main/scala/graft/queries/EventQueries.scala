@@ -601,6 +601,40 @@ object EventQueries extends QueryDomain {
         .orderBy($"event_type", $"day")
     },
 
+    "q_stream_ks_drift" -> { (s, dir) =>
+      import s.implicits._
+      // STREAMING KS drift monitor ([[graft.streaming.EventStreams
+      // .valueCountsExact]] + [[StatOps.ksDriftFromCounts]]): q_ks_drift's
+      // per-lang doc-length distributions accumulate as the SAME mergeable
+      // count-map state the t-closeness/trimmed/median twins ride (one
+      // state shape, five statistics), emit raw at the watermark, and the
+      // rest-of-corpus CDF comparison — a cross-group quantity no keyed
+      // state can see — runs batch-side over the emitted counts through
+      // the formula the batch operator composes, so the batch oracle gates
+      // the chain. Doc length = code-point length(text), which the fixture
+      // pins equal to n_chars (checked: 0 mismatches at both SFs).
+      val staged = Staging.streamDocMetaDir(s, dir)
+      val ss = Staging.streamSession(s)
+      val schema = Staging.replayDocMetaSchema(ss, staged)
+      val stream = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+        .select(coalesce($"lang", lit("sentinel")).as("key"),
+          expr("ts div 1000").as("ts"),
+          coalesce(length($"text").cast("long"), lit(0L)).as("v"))
+        .as[graft.streaming.EventStreams.ValueEvent]
+      val sink = Staging.nextStreamSink(ss)
+      val q = graft.streaming.EventStreams
+        .valueCountsExact(stream, horizonSec = 21600L, lateSec = 2592000L)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      val counts = ss.table(sink).filter($"key" =!= "sentinel")
+        .select($"key".as("lang"), $"v", $"c")
+      StatOps.ksDriftFromCounts(counts, "lang", "v", "c")
+        .orderBy($"lang")
+    },
+
     "q_stream_simpson" -> { (s, dir) =>
       import s.implicits._
       // STREAMING class balance
@@ -1213,6 +1247,10 @@ object EventQueries extends QueryDomain {
 
     "q_stream_richness" -> vocabRichnessOracle,
     "q_stream_t_closeness" -> tClosenessOracle,
+
+    // Streamed value-count maps through the identical KS formula — the
+    // batch q_ks_drift oracle gates the whole chain.
+    "q_stream_ks_drift" -> ksDriftOracle,
 
         // Streaming token-shift twin: the batch q_token_shift formula per
     // source over the parity-defined corpus versions.

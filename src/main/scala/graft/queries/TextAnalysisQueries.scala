@@ -1312,33 +1312,9 @@ object TextAnalysisQueries extends QueryDomain {
 
     // KS-drift twin: the groups×levels dense grid, integer cumulative
     // cross-products, the max pinned as a digit string.
-    "q_ks_drift" ->
-      """WITH b AS (SELECT lang AS g, CAST(n_chars AS BIGINT) AS v
-        |  FROM documents WHERE n_chars IS NOT NULL),
-        |lv AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY g, v),
-        |tot AS (SELECT v, CAST(count(*) AS BIGINT) AS t FROM b GROUP BY v),
-        |ng AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY g),
-        |na AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM b),
-        |grid AS (SELECT ng.g, ng.n, tot.v, tot.t, COALESCE(lv.c, 0) AS c, nn
-        |  FROM ng CROSS JOIN tot CROSS JOIN na
-        |  LEFT JOIN lv ON lv.g = ng.g AND lv.v = tot.v),
-        |cum AS (SELECT g, n, nn, v,
-        |    SUM(c) OVER (PARTITION BY g ORDER BY v) AS cum_c,
-        |    SUM(t) OVER (PARTITION BY g ORDER BY v) AS cum_t
-        |  FROM grid),
-        |a AS (SELECT g, CAST(MAX(n) AS BIGINT) AS n,
-        |    CAST(MAX(nn - n) AS BIGINT) AS n_rest,
-        |    CAST(MAX(abs(CAST(cum_c AS DECIMAL(18,0)) * CAST(nn - n AS DECIMAL(19,0))
-        |      - CAST(cum_t - cum_c AS DECIMAL(18,0)) * CAST(n AS DECIMAL(19,0))))
-        |      AS DECIMAL(38,0)) AS ks_num
-        |  FROM cum GROUP BY g)
-        |SELECT g AS lang, n, n_rest, CAST(ks_num AS VARCHAR) AS ks_num,
-        |  CASE WHEN n_rest = 0 THEN NULL
-        |    ELSE CAST(CAST(ks_num AS VARCHAR) AS DOUBLE)
-        |      / CAST(CAST(CAST(CAST(n AS DECIMAL(18,0))
-        |          * CAST(n_rest AS DECIMAL(19,0)) AS DECIMAL(38,0))
-        |          AS VARCHAR) AS DOUBLE) END AS ks
-        |FROM a ORDER BY lang""".stripMargin,
+    // (ksDriftOracle lives in QueryShared — the streamed count-map twin
+    // q_stream_ks_drift in EventQueries shares it verbatim.)
+    "q_ks_drift" -> ksDriftOracle,
 
     // t-closeness twin: tokenDrift's cross-multiplied TVD numerator over
     // (QI, sensitive-bucket) counts; the risk flag is the same IEEE chain.

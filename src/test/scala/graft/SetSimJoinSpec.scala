@@ -239,6 +239,35 @@ class SetSimJoinSpec extends AnyFunSuite with SparkSpec {
       SetSimJoin.capTokenDf(tiny, "gr", Seq.empty, 0L))
   }
 
+  test("capTokenDf: the explode/anti-join path ≡ the broadcast path; " +
+    "needing it without an idCol fails loudly") {
+    val g = grams
+    val viaBroadcast = SetSimJoin.capTokenDf(g, "gr", Seq("lang", "source"), 3L)
+      .select($"doc_id", sort_array($"gr").as("gr"))
+      .as[(Long, Seq[String])].collect().toMap
+    // broadcastHotMax = 0 forces every hot block onto the wide path.
+    val viaAntiJoin = SetSimJoin.capTokenDf(g, "gr", Seq("lang", "source"), 3L,
+        idCol = "doc_id", broadcastHotMax = 0L)
+      .select($"doc_id", sort_array($"gr").as("gr"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(viaAntiJoin == viaBroadcast)
+    assert(viaBroadcast.nonEmpty && viaBroadcast.values.exists(_.nonEmpty))
+    val e = intercept[IllegalArgumentException](
+      SetSimJoin.capTokenDf(g, "gr", Seq("lang", "source"), 3L,
+        broadcastHotMax = 0L))
+    assert(e.getMessage.contains("idCol"), e.getMessage)
+    // A row whose whole set is hot stays, with the element-typed empty
+    // array, on BOTH paths.
+    val allHot = Seq((1L, Seq("a")), (2L, Seq("a")), (3L, Seq("a")))
+      .toDF("doc_id", "gr")
+    for (wideMax <- Seq(0L, 8192L)) {
+      val got = SetSimJoin.capTokenDf(allHot, "gr", Seq.empty, 2L,
+          idCol = "doc_id", broadcastHotMax = wideMax)
+        .select($"doc_id", $"gr").as[(Long, Seq[String])].collect().toMap
+      assert(got == Map(1L -> Seq(), 2L -> Seq(), 3L -> Seq()), s"got $got")
+    }
+  }
+
   test("containment: a small doc inside a big one qualifies; the reverse does not") {
     // The shape Jaccard misses: small ⊂ big with |big| ≫ |small| has
     // containment 1 but Jaccard 3/23 — jaccardJoin at t=1/2 must NOT pair
