@@ -207,9 +207,27 @@ object StatOps {
     *
     * Output: ONE row (n, n_a, n_b, dof, chi2).
     */
-  def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val cells = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
-      .agg(count(lit(1)).as("o"))
+  def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame =
+    chiSquareFromCounts(
+      df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+        .agg(count(lit(1)).as("o")),
+      "a", "b", "o")
+
+  /** [[chiSquare]] over PRE-AGGREGATED (a, b, count) contingency cells —
+    * the formula half, split out for the streaming monitors (the
+    * [[graft.operators.GovernanceOps.tClosenessFromCounts]] /
+    * [[ksDriftFromCounts]] pattern): keyed stream state emits per-a
+    * b→count maps, this computes the cross-cell statistic batch-side,
+    * and the batch gate's oracle gates both. At most one row per (a, b)
+    * is assumed. NOTE the cross-cell sum is a SORTED fold over the
+    * (a, b) STRING order — a stream twin must reconstruct the exact
+    * category strings (not surrogate codes) or the fold order, and with
+    * it the IEEE sum, can differ.
+    */
+  def chiSquareFromCounts(counts: DataFrame, aCol: String, bCol: String,
+      cntCol: String): DataFrame = {
+    val cells = counts.select(col(aCol).as("a"), col(bCol).as("b"),
+      col(cntCol).cast("long").as("o"))
     val rowT = cells.groupBy(col("a")).agg(sum(col("o")).as("ra"))
     val colT = cells.groupBy(col("b")).agg(sum(col("o")).as("cb"))
     val tot = cells.agg(sum(col("o")).as("n"),

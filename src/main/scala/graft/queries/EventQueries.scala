@@ -635,6 +635,40 @@ object EventQueries extends QueryDomain {
         .orderBy($"lang")
     },
 
+    "q_stream_chi_square" -> { (s, dir) =>
+      import s.implicits._
+      // STREAMING χ² independence monitor ([[graft.streaming.EventStreams
+      // .valueCountsExact]] + [[StatOps.chiSquareFromCounts]]): the
+      // lang × source contingency cells accumulate as per-lang count-map
+      // state (source rides as its numeric index — the fixture's
+      // source = 'src' + doc_id % 20 bijection), emit raw at the
+      // watermark, and the cross-cell statistic runs batch-side with the
+      // EXACT 'src<idx>' strings reconstructed so the sorted fold's IEEE
+      // sum order matches the batch operator bit-for-bit — the batch
+      // oracle gates the chain. Sixth statistic of the count-map class.
+      val staged = Staging.streamDocMetaDir(s, dir)
+      val ss = Staging.streamSession(s)
+      val schema = Staging.replayDocMetaSchema(ss, staged)
+      val stream = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+        .select(coalesce($"lang", lit("sentinel")).as("key"),
+          expr("ts div 1000").as("ts"),
+          coalesce(expr("try_cast(substring(source, 4) AS LONG)"), lit(-1L))
+            .as("v"))
+        .as[graft.streaming.EventStreams.ValueEvent]
+      val sink = Staging.nextStreamSink(ss)
+      val q = graft.streaming.EventStreams
+        .valueCountsExact(stream, horizonSec = 21600L, lateSec = 2592000L)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      val cells = ss.table(sink).filter($"key" =!= "sentinel")
+        .select($"key".as("lang"),
+          concat(lit("src"), $"v".cast("string")).as("source"), $"c")
+      StatOps.chiSquareFromCounts(cells, "lang", "source", "c")
+    },
+
     "q_stream_simpson" -> { (s, dir) =>
       import s.implicits._
       // STREAMING class balance
@@ -1286,25 +1320,9 @@ object EventQueries extends QueryDomain {
 
     "q_stream_lang_ngram" -> langIdOracle,
 
-        "q_chi_square" ->
-      """WITH cells AS (SELECT lang AS a, source AS b, count(*) AS o
-        |  FROM documents GROUP BY 1, 2),
-        |rt AS (SELECT a, sum(o) AS ra FROM cells GROUP BY a),
-        |ct AS (SELECT b, sum(o) AS cb FROM cells GROUP BY b),
-        |tot AS (SELECT sum(o) AS n,
-        |    count(DISTINCT a) AS n_a, count(DISTINCT b) AS n_b FROM cells),
-        |terms AS (SELECT cells.a, cells.b,
-        |    (CAST(o AS DOUBLE) - CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(n AS DOUBLE))
-        |    * (CAST(o AS DOUBLE) - CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(n AS DOUBLE))
-        |    / (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(n AS DOUBLE)) AS term,
-        |    n, n_a, n_b
-        |  FROM cells JOIN rt USING (a) JOIN ct USING (b) CROSS JOIN tot)
-        |SELECT CAST(n AS BIGINT) AS n, CAST(n_a AS BIGINT) AS n_a,
-        |  CAST(n_b AS BIGINT) AS n_b,
-        |  CAST((n_a - 1) * (n_b - 1) AS BIGINT) AS dof,
-        |  list_reduce(list_prepend(CAST(0 AS DOUBLE), list(term ORDER BY a, b)),
-        |    (acc, x) -> acc + x) AS chi2
-        |FROM terms GROUP BY n, n_a, n_b""".stripMargin,
+    // Streamed contingency cells through the identical sorted-fold χ²
+    // formula — the batch q_chi_square oracle gates the chain.
+    "q_stream_chi_square" -> chiSquareOracle,
 
     "q_sessionize" -> sessionizeOracle,
 

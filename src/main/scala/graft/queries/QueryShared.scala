@@ -130,6 +130,32 @@ object QueryShared {
     * (query_id, neighbor_id, adc).
     */
 
+  /** The χ² oracle, shared by q_chi_square (batch) and
+    * q_stream_chi_square (streamed contingency cells through
+    * [[graft.operators.StatOps.chiSquareFromCounts]] — the stream
+    * reconstructs the exact `src<idx>` strings so the sorted fold's
+    * IEEE sum order matches).
+    */
+  private[queries] lazy val chiSquareOracle: String =
+    """WITH cells AS (SELECT lang AS a, source AS b, count(*) AS o
+      |  FROM documents GROUP BY 1, 2),
+      |rt AS (SELECT a, sum(o) AS ra FROM cells GROUP BY a),
+      |ct AS (SELECT b, sum(o) AS cb FROM cells GROUP BY b),
+      |tot AS (SELECT sum(o) AS n,
+      |    count(DISTINCT a) AS n_a, count(DISTINCT b) AS n_b FROM cells),
+      |terms AS (SELECT cells.a, cells.b,
+      |    (CAST(o AS DOUBLE) - CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(n AS DOUBLE))
+      |    * (CAST(o AS DOUBLE) - CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(n AS DOUBLE))
+      |    / (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(n AS DOUBLE)) AS term,
+      |    n, n_a, n_b
+      |  FROM cells JOIN rt USING (a) JOIN ct USING (b) CROSS JOIN tot)
+      |SELECT CAST(n AS BIGINT) AS n, CAST(n_a AS BIGINT) AS n_a,
+      |  CAST(n_b AS BIGINT) AS n_b,
+      |  CAST((n_a - 1) * (n_b - 1) AS BIGINT) AS dof,
+      |  list_reduce(list_prepend(CAST(0 AS DOUBLE), list(term ORDER BY a, b)),
+      |    (acc, x) -> acc + x) AS chi2
+      |FROM terms GROUP BY n, n_a, n_b""".stripMargin
+
   /** The KS-drift oracle, shared by q_ks_drift (batch) and
     * q_stream_ks_drift (streamed value-count maps through the same
     * [[graft.operators.StatOps.ksDriftFromCounts]] formula).

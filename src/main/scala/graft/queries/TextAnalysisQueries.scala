@@ -1493,6 +1493,10 @@ object TextAnalysisQueries extends QueryDomain {
     // is the Cavnar–Trenkle n-gram family the r16 VERDICT asked for.)
     "q_lang_ngram" -> langIdOracle,
 
+    // Shared with q_stream_chi_square (EventQueries): streamed cells,
+    // identical sorted-fold formula, one oracle.
+    "q_chi_square" -> chiSquareOracle,
+
     "q_linear_fit" -> {
       def v(c: String) = s"CAST(CAST($c AS VARCHAR) AS DOUBLE)"
       val nD = "CAST(n AS DOUBLE)"
