@@ -169,7 +169,9 @@ object SetSimJoin {
     *
     * @param maxDf  largest per-block document frequency a token may have
     *               and stay; `Long.MaxValue` is the identity
-    * @param idCol  unique row key enabling the large-hot-set path;
+    * @param idCol  unique NON-NULL row key enabling the large-hot-set
+    *               path (a NULL key never survives the re-aggregation
+    *               join — that row's set would silently empty);
     *               empty = broadcast path only (loud failure if exceeded)
     * @param broadcastHotMax largest per-block hot count the broadcast
     *               path accepts before switching (or failing sans idCol)
