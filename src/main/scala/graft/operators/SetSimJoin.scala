@@ -167,6 +167,12 @@ object SetSimJoin {
     *    Requires `idCol` (a unique row key) — the call fails loudly when
     *    the large path is needed but no id was given.
     *
+    * Input contract: `setCol` arrays hold DISTINCT tokens (the same
+    * upstream-dedup contract as [[jaccardJoin]]) — the census counts one
+    * occurrence per doc, and the two filtering paths only coincide on
+    * duplicate-free arrays (`array_except` dedups, the re-aggregation
+    * does not).
+    *
     * @param maxDf  largest per-block document frequency a token may have
     *               and stay; `Long.MaxValue` is the identity
     * @param idCol  unique NON-NULL row key enabling the large-hot-set

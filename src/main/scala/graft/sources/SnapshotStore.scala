@@ -209,6 +209,43 @@ object SnapshotStore {
     }.toDF("column", "status", "type_a", "type_b")
   }
 
+  /** COMPACTION — the small-files cure every manifest store eventually
+    * needs: a table that accretes versions from many small publishes (or
+    * a publish whose job ran at high parallelism over little data) pays
+    * per-file open/footer costs on every read. Compact rewrites the
+    * LATEST version's rows into ~`targetFileBytes` files and publishes
+    * the result as a NEW version — readers are never disturbed (the old
+    * version stays readable until [[vacuum]]), and the commit rides the
+    * same lock+tmp+rename protocol as any publish. Returns the new
+    * version number, or None when the latest version is already at or
+    * under the target file count (never rewrite what is already compact).
+    *
+    * The target file count comes from the manifest's own referenced-file
+    * byte total (driver-side, O(#files) `getFileStatus` calls — the same
+    * order as reading the manifest), so no data pass is spent estimating.
+    * The rewrite itself is one `repartition(n)` job — a full shuffle of
+    * the version's rows, the price of size-balanced output files.
+    */
+  def compact(spark: SparkSession, dir: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Option[Int] = {
+    require(targetFileBytes >= 1L, s"bad targetFileBytes $targetFileBytes")
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"no committed snapshot under $dir")
+    val f = fs(spark, dir)
+    val v = vs.last
+    val in = f.open(manifestPath(dir, v))
+    val files =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).toList
+      finally in.close()
+    val dataRoot = new Path(dir, "data")
+    val totalBytes = files.map(rel =>
+      f.getFileStatus(new Path(dataRoot, rel)).getLen).sum
+    val nFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    if (files.length <= nFiles) return None
+    Some(publish(read(spark, dir, Some(v)).repartition(nFiles), dir))
+  }
+
   /** Delete data files referenced by NO retained manifest (keep the last
     * `keepVersions`) plus the dropped manifests themselves. Returns the
     * number of data files deleted. Orphans from crashed publishes go too

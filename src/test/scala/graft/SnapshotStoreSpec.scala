@@ -147,6 +147,31 @@ class SnapshotStoreSpec extends AnyFunSuite with SparkSpec {
     assert(SnapshotStore.read(spark, dir).count() == 5)
   }
 
+  test("compact: many small files rewrite to one new version; rows identical; " +
+    "old version reads until vacuumed; already-compact tables are left alone") {
+    val dir = freshDir()
+    val d = (1 to 400).map(i => (i.toLong, s"row$i" * 10)).toDF("id", "s")
+    // 32 tiny files — the accreted-small-publishes pathology.
+    SnapshotStore.publish(d.repartition(32), dir)
+    def nFiles(v: Int) = SnapshotStore.read(spark, dir, Some(v))
+      .inputFiles.length
+    assert(nFiles(1) == 32)
+    val v2 = SnapshotStore.compact(spark, dir, targetFileBytes = 1L << 30)
+    assert(v2.contains(2), s"got $v2")
+    assert(nFiles(2) == 1, "a GiB target must collapse this table to one file")
+    // Semantic identity + undisturbed time travel.
+    assert(SnapshotStore.read(spark, dir).orderBy($"id")
+      .as[(Long, String)].collect().toSeq ==
+      SnapshotStore.read(spark, dir, Some(1)).orderBy($"id")
+        .as[(Long, String)].collect().toSeq)
+    // Idempotence: the compacted latest is at/below target — no-op.
+    assert(SnapshotStore.compact(spark, dir, targetFileBytes = 1L << 30).isEmpty)
+    // Vacuum then reclaims the 32 small files; the compact version reads.
+    assert(SnapshotStore.vacuum(spark, dir, keepVersions = 1) >= 32)
+    assert(SnapshotStore.read(spark, dir).count() == 400)
+    intercept[IllegalArgumentException](SnapshotStore.read(spark, dir, Some(1)))
+  }
+
   test("vacuum drops a superseded version's lock with its manifest") {
     val dir = freshDir()
     val d = (1 to 3).map(i => (i.toLong, s"r$i")).toDF("id", "s")
