@@ -223,11 +223,26 @@ object SnapshotStore {
     * The target file count comes from the manifest's own referenced-file
     * byte total (driver-side, O(#files) `getFileStatus` calls — the same
     * order as reading the manifest), so no data pass is spent estimating.
-    * The rewrite itself is one `repartition(n)` job — a full shuffle of
-    * the version's rows, the price of size-balanced output files.
+    * The rewrite itself is one shuffle of the version's rows, the price
+    * of size-balanced output files:
+    *
+    *  - `sortCols` empty: round-robin `repartition(n)` — balanced sizes,
+    *    no ordering claim.
+    *  - `sortCols` given: `repartitionByRange(n, cols)` +
+    *    `sortWithinPartitions` — the CLUSTERED rewrite. Each output
+    *    file covers a disjoint range of the sort key, so parquet
+    *    min/max (row-group and file) statistics prune reads on
+    *    key-predicate scans — at 100 TB this, not the file-count cure,
+    *    is what compaction is usually FOR. (Range boundaries come from
+    *    Spark's sampling pass over the child — one extra read of the
+    *    version, the standard range-partitioning cost.) A no-op return
+    *    still means "file count already at target": re-clustering an
+    *    already-compact table is a caller decision, made explicit by
+    *    lowering `targetFileBytes`.
     */
   def compact(spark: SparkSession, dir: String,
-      targetFileBytes: Long = 128L * 1024 * 1024): Option[Int] = {
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      sortCols: Seq[String] = Nil): Option[Int] = {
     require(targetFileBytes >= 1L, s"bad targetFileBytes $targetFileBytes")
     val vs = versions(spark, dir)
     require(vs.nonEmpty, s"no committed snapshot under $dir")
@@ -243,7 +258,14 @@ object SnapshotStore {
       f.getFileStatus(new Path(dataRoot, rel)).getLen).sum
     val nFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
     if (files.length <= nFiles) return None
-    Some(publish(read(spark, dir, Some(v)).repartition(nFiles), dir))
+    val rows = read(spark, dir, Some(v))
+    val rewritten =
+      if (sortCols.isEmpty) rows.repartition(nFiles)
+      else {
+        val sc = sortCols.map(org.apache.spark.sql.functions.col)
+        rows.repartitionByRange(nFiles, sc: _*).sortWithinPartitions(sc: _*)
+      }
+    Some(publish(rewritten, dir))
   }
 
   /** Delete data files referenced by NO retained manifest (keep the last

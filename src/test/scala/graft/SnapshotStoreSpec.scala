@@ -172,6 +172,30 @@ class SnapshotStoreSpec extends AnyFunSuite with SparkSpec {
     intercept[IllegalArgumentException](SnapshotStore.read(spark, dir, Some(1)))
   }
 
+  test("compact(sortCols): output files cover disjoint key ranges — the " +
+    "clustered rewrite parquet min/max pruning needs") {
+    val dir = freshDir()
+    // Shuffled ids so the original layout has NO range structure.
+    val d = scala.util.Random.shuffle((1 to 600).toList)
+      .map(i => (i.toLong, s"v$i")).toDF("id", "s")
+    SnapshotStore.publish(d.repartition(16), dir)
+    val v2 = SnapshotStore.compact(spark, dir,
+      targetFileBytes = 4096L, sortCols = Seq("id"))
+    assert(v2.nonEmpty)
+    val parts = SnapshotStore.read(spark, dir, Some(v2.get)).inputFiles
+    assert(parts.length >= 2, s"need >= 2 files to prove disjointness, got ${parts.length}")
+    val ranges = parts.toSeq.map { p =>
+      val r = spark.read.parquet(p).agg(min($"id"), max($"id")).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hiA), (loB, _)) =>
+        assert(hiA < loB, s"file ranges overlap: $ranges")
+      case _ =>
+    }
+    assert(SnapshotStore.read(spark, dir, Some(v2.get)).count() == 600)
+  }
+
   test("vacuum drops a superseded version's lock with its manifest") {
     val dir = freshDir()
     val d = (1 to 3).map(i => (i.toLong, s"r$i")).toDF("id", "s")
