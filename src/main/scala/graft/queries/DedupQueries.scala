@@ -712,6 +712,53 @@ object DedupQueries extends QueryDomain {
         .orderBy($"doc_id")
     },
 
+    "q_curation_e2e" -> { (s, dir) =>
+      import s.implicits._
+      // THE CURATION FUNNEL END-TO-END — the composition a real
+      // training-data pipeline runs, under ONE oracle: quality screen
+      // ([[CorpusOps.qualityRules]], the Gopher/C4 keep flag) → exact
+      // dedup (min-id per text; clones planted on the doc_id%10 slice —
+      // enough to prove the stage bites without doubling the quality
+      // scan) → decontamination against the src0
+      // benchmark ([[CorpusOps.sharedWindowOverlap]], 24-char windows,
+      // boilerplate df <= 3) → the per-language doc/token census a mix
+      // planner consumes. Interop is the point: each stage's output
+      // frame feeds the next operator unchanged, and the DuckDB twin
+      // replays the whole funnel (the quality CTE chain parameterized
+      // over the clone-unioned corpus). Every count is an exact integer;
+      // n_tokens reuses the quality stage's whitespace-word count.
+      val raw = docs(s, dir).select($"doc_id", $"lang", $"source",
+        regexp_replace($"text", " line ", "\n").as("text"))
+      val dup = raw.unionByName(raw.filter($"doc_id" % 10 === 0)
+        .withColumn("doc_id", $"doc_id" + 1000000L))
+      val q = CorpusOps.qualityRules(dup, "doc_id", "text", minWords = 30)
+        .select($"doc_id", $"n_words", $"keep")
+      val kept = dup.join(q.filter($"keep").drop("keep"), Seq("doc_id"))
+      val w = Window.partitionBy($"text").orderBy($"doc_id")
+      val deduped = kept.withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1).drop("rn")
+      // The funnel prefix (quality fold + dedup window) feeds THREE
+      // consumers whose exchanges all differ (overlap's window explode,
+      // the anti-join's left side, the census) — ReuseExchange cannot
+      // dedupe them, so without materialization the expensive quality
+      // fold re-runs per consumer (measured 7.3 s vs 4.4 s). The
+      // post-funnel frame is corpus-row-sized and column-pruned; an
+      // eager local checkpoint is the cheap cut (blocks free with the
+      // frame — the Quarantine local-path contract).
+      val train = deduped.filter($"source" =!= "src0")
+        .select($"doc_id", $"lang", $"text", $"n_words")
+        .localCheckpoint()
+      val bench = raw.filter($"source" === "src0")
+      val contaminated = CorpusOps.sharedWindowOverlap(
+          train, "doc_id", "text", bench, "doc_id", "text",
+          n = 24, maxWindowDf = Some(3))
+        .select($"doc_a".as("doc_id")).distinct()
+      train.join(contaminated, Seq("doc_id"), "left_anti")
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_words").as("n_tokens"))
+        .orderBy($"lang")
+    },
+
     "q_decontaminate" -> { (s, dir) =>
       import s.implicits._
       // Train-test overlap detection ([[CorpusOps.sharedWindowOverlap]]):
@@ -1870,6 +1917,45 @@ object DedupQueries extends QueryDomain {
          |      ORDER BY n_chars DESC, doc_id) AS rn,
          |    count(*) OVER (PARTITION BY cluster_id) AS sz
          |  FROM lab) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // The funnel twin: the quality CTE chain (QueryShared.qualityCtes)
+    // over the clone-unioned corpus, min-id text dedup, the
+    // q_decontaminate window-overlap shape against src0, then the
+    // per-lang census. One oracle pins four operators' interop.
+    "q_curation_e2e" ->
+      s"""WITH d0 AS (SELECT doc_id, lang, source,
+         |    replace(text, ' line ', chr(10)) AS text FROM documents),
+         |dup AS (SELECT doc_id, lang, source, text FROM d0
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, lang, source, text FROM d0
+         |  WHERE doc_id % 10 = 0),
+         |${qualityCtes("dup")},
+         |kept AS (SELECT dup.doc_id, lang, source, dup.text, qf.n_words
+         |  FROM dup JOIN qf ON qf.doc_id = dup.doc_id WHERE qf.keep),
+         |ded AS (SELECT doc_id, lang, source, text, n_words FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+         |  FROM kept) WHERE rn = 1),
+         |train AS (SELECT doc_id, lang, text, n_words FROM ded
+         |  WHERE source <> 'src0'),
+         |bench AS (SELECT doc_id, text FROM d0 WHERE source = 'src0'),
+         |ta AS (SELECT doc_id, unnest(list_transform(
+         |    list_distinct(list_transform(range(1, length(text)-22),
+         |      i -> substr(text, i, 24))), w -> ${duckWideHash("w")})) AS w
+         |  FROM train WHERE length(text) >= 24),
+         |tb AS (SELECT doc_id, unnest(list_transform(
+         |    list_distinct(list_transform(range(1, length(text)-22),
+         |      i -> substr(text, i, 24))), w -> ${duckWideHash("w")})) AS w
+         |  FROM bench WHERE length(text) >= 24),
+         |wdf AS (SELECT w, count(*) AS wdf
+         |  FROM (SELECT w FROM ta UNION ALL SELECT w FROM tb) u GROUP BY w),
+         |contaminated AS (SELECT DISTINCT ta.doc_id
+         |  FROM ta JOIN tb ON ta.w = tb.w JOIN wdf ON wdf.w = ta.w
+         |  WHERE wdf.wdf <= 3),
+         |clean AS (SELECT * FROM train
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated))
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_words) AS BIGINT) AS n_tokens
+         |FROM clean GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_decontaminate" ->
       s"""WITH wa AS (SELECT doc_id,

@@ -433,66 +433,77 @@ object QueryShared {
        |  GROUP BY p.query_id, enc.id
        |  HAVING count(*) = 2)""".stripMargin
 
+  /** The quality-rule CTE chain over relation `src` (must provide
+    * doc_id + reflowed text), ending in `qf` = per-doc metrics + the
+    * integer-exact `keep` flag. Shared by qualityRulesOracle and the
+    * q_curation_e2e funnel oracle, which runs the SAME chain over the
+    * clone-unioned corpus.
+    */
+  private[queries] def qualityCtes(src: String): String =
+    s"""base AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n_chars,
+       |    string_split(text, chr(10)) AS lines FROM $src),
+       |ls AS (SELECT doc_id,
+       |    CAST(len(lines) AS BIGINT) AS n_lines,
+       |    CAST(len(lines) - len(list_distinct(lines)) AS BIGINT) AS n_dup_lines,
+       |    CAST(len(list_filter(lines, l -> l LIKE '- %' OR l LIKE '* %'
+       |      OR l LIKE '\u2022 %')) AS BIGINT) AS n_bullet_lines,
+       |    CAST(len(list_filter(lines, l -> l LIKE '%...' OR l LIKE '%\u2026'))
+       |      AS BIGINT) AS n_ellipsis_lines,
+       |    CAST(length(text) - length(replace(text, '#', ''))
+       |      + (length(text) - length(replace(text, '...', ''))) // 3
+       |      AS BIGINT) AS n_symbols
+       |  FROM base),
+       |lw AS (SELECT doc_id, list_filter(string_split(l, ' '), w -> w <> '') AS wl
+       |  FROM (SELECT doc_id, unnest(lines) AS l FROM base)),
+       |ws AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |    CAST(sum(length(w)) AS BIGINT) AS sum_word_chars
+       |  FROM (SELECT doc_id, unnest(wl) AS w FROM lw) GROUP BY doc_id),
+       |bc AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
+       |  FROM (SELECT doc_id, wl[i] || ' ' || wl[i+1] AS g
+       |        FROM (SELECT doc_id, wl, unnest(range(1, len(wl))) AS i FROM lw))
+       |  GROUP BY 1, 2),
+       |bt AS (SELECT doc_id, g, c FROM (SELECT doc_id, g, c,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn
+       |  FROM bc) WHERE rn = 1),
+       |f AS (SELECT base.doc_id, n_chars, n_lines, n_dup_lines,
+       |    COALESCE(n_words, 0) AS n_words,
+       |    COALESCE(sum_word_chars, 0) AS sum_word_chars,
+       |    COALESCE(c, 0) AS top2_n,
+       |    CASE WHEN COALESCE(c, 0) > 0 THEN g END AS top2_gram,
+       |    COALESCE(c, 0) * CAST(length(COALESCE(g, '')) AS BIGINT) AS top2_chars,
+       |    n_symbols, n_bullet_lines, n_ellipsis_lines
+       |  FROM base JOIN ls USING (doc_id) LEFT JOIN ws USING (doc_id)
+       |  LEFT JOIN bt USING (doc_id)),
+       |qf AS (SELECT f.*,
+       |  (n_words >= 30 AND n_words <= 100000
+       |    AND sum_word_chars >= n_words * 3 AND sum_word_chars <= n_words * 10
+       |    AND n_symbols * 10 < n_words
+       |    AND n_bullet_lines * 10 < n_lines * 9
+       |    AND n_ellipsis_lines * 10 < n_lines * 3
+       |    AND n_dup_lines * 10 < n_lines * 3
+       |    AND top2_chars * 5 < n_chars) AS keep FROM f)""".stripMargin
+
   private[queries] lazy val qualityRulesOracle =
-    """WITH d AS (SELECT doc_id, replace(text, ' line ', chr(10)) AS text
-        |  FROM documents),
-        |base AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n_chars,
-        |    string_split(text, chr(10)) AS lines FROM d),
-        |ls AS (SELECT doc_id,
-        |    CAST(len(lines) AS BIGINT) AS n_lines,
-        |    CAST(len(lines) - len(list_distinct(lines)) AS BIGINT) AS n_dup_lines,
-        |    CAST(len(list_filter(lines, l -> l LIKE '- %' OR l LIKE '* %'
-        |      OR l LIKE '• %')) AS BIGINT) AS n_bullet_lines,
-        |    CAST(len(list_filter(lines, l -> l LIKE '%...' OR l LIKE '%…'))
-        |      AS BIGINT) AS n_ellipsis_lines,
-        |    CAST(length(text) - length(replace(text, '#', ''))
-        |      + (length(text) - length(replace(text, '...', ''))) // 3
-        |      AS BIGINT) AS n_symbols
-        |  FROM base),
-        |lw AS (SELECT doc_id, list_filter(string_split(l, ' '), w -> w <> '') AS wl
-        |  FROM (SELECT doc_id, unnest(lines) AS l FROM base)),
-        |ws AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
-        |    CAST(sum(length(w)) AS BIGINT) AS sum_word_chars
-        |  FROM (SELECT doc_id, unnest(wl) AS w FROM lw) GROUP BY doc_id),
-        |bc AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
-        |  FROM (SELECT doc_id, wl[i] || ' ' || wl[i+1] AS g
-        |        FROM (SELECT doc_id, wl, unnest(range(1, len(wl))) AS i FROM lw))
-        |  GROUP BY 1, 2),
-        |bt AS (SELECT doc_id, g, c FROM (SELECT doc_id, g, c,
-        |    row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn
-        |  FROM bc) WHERE rn = 1),
-        |f AS (SELECT base.doc_id, n_chars, n_lines, n_dup_lines,
-        |    COALESCE(n_words, 0) AS n_words,
-        |    COALESCE(sum_word_chars, 0) AS sum_word_chars,
-        |    COALESCE(c, 0) AS top2_n,
-        |    CASE WHEN COALESCE(c, 0) > 0 THEN g END AS top2_gram,
-        |    COALESCE(c, 0) * CAST(length(COALESCE(g, '')) AS BIGINT) AS top2_chars,
-        |    n_symbols, n_bullet_lines, n_ellipsis_lines
-        |  FROM base JOIN ls USING (doc_id) LEFT JOIN ws USING (doc_id)
-        |  LEFT JOIN bt USING (doc_id))
-        |SELECT doc_id, n_chars, n_lines, n_dup_lines, n_words, sum_word_chars,
-        |  top2_n, top2_gram, top2_chars, n_symbols, n_bullet_lines,
-        |  n_ellipsis_lines,
-        |  CASE WHEN n_lines > 0 THEN CAST(n_dup_lines AS DOUBLE)
-        |    / CAST(n_lines AS DOUBLE) END AS dup_line_frac,
-        |  CASE WHEN n_words > 0 THEN CAST(sum_word_chars AS DOUBLE)
-        |    / CAST(n_words AS DOUBLE) END AS mean_word_len,
-        |  CASE WHEN n_chars > 0 THEN CAST(top2_chars AS DOUBLE)
-        |    / CAST(n_chars AS DOUBLE) END AS top2_char_frac,
-        |  CASE WHEN n_words > 0 THEN CAST(n_symbols AS DOUBLE)
-        |    / CAST(n_words AS DOUBLE) END AS symbol_ratio,
-        |  CASE WHEN n_lines > 0 THEN CAST(n_bullet_lines AS DOUBLE)
-        |    / CAST(n_lines AS DOUBLE) END AS bullet_frac,
-        |  CASE WHEN n_lines > 0 THEN CAST(n_ellipsis_lines AS DOUBLE)
-        |    / CAST(n_lines AS DOUBLE) END AS ellipsis_frac,
-        |  (n_words >= 30 AND n_words <= 100000
-        |    AND sum_word_chars >= n_words * 3 AND sum_word_chars <= n_words * 10
-        |    AND n_symbols * 10 < n_words
-        |    AND n_bullet_lines * 10 < n_lines * 9
-        |    AND n_ellipsis_lines * 10 < n_lines * 3
-        |    AND n_dup_lines * 10 < n_lines * 3
-        |    AND top2_chars * 5 < n_chars) AS keep
-        |FROM f ORDER BY doc_id""".stripMargin
+    s"""WITH d AS (SELECT doc_id, replace(text, ' line ', chr(10)) AS text
+       |  FROM documents),
+       |${qualityCtes("d")}
+       |SELECT doc_id, n_chars, n_lines, n_dup_lines, n_words, sum_word_chars,
+       |  top2_n, top2_gram, top2_chars, n_symbols, n_bullet_lines,
+       |  n_ellipsis_lines,
+       |  CASE WHEN n_lines > 0 THEN CAST(n_dup_lines AS DOUBLE)
+       |    / CAST(n_lines AS DOUBLE) END AS dup_line_frac,
+       |  CASE WHEN n_words > 0 THEN CAST(sum_word_chars AS DOUBLE)
+       |    / CAST(n_words AS DOUBLE) END AS mean_word_len,
+       |  CASE WHEN n_chars > 0 THEN CAST(top2_chars AS DOUBLE)
+       |    / CAST(n_chars AS DOUBLE) END AS top2_char_frac,
+       |  CASE WHEN n_words > 0 THEN CAST(n_symbols AS DOUBLE)
+       |    / CAST(n_words AS DOUBLE) END AS symbol_ratio,
+       |  CASE WHEN n_lines > 0 THEN CAST(n_bullet_lines AS DOUBLE)
+       |    / CAST(n_lines AS DOUBLE) END AS bullet_frac,
+       |  CASE WHEN n_lines > 0 THEN CAST(n_ellipsis_lines AS DOUBLE)
+       |    / CAST(n_lines AS DOUBLE) END AS ellipsis_frac,
+       |  keep
+       |FROM qf ORDER BY doc_id""".stripMargin
 
   private[queries] lazy val langIdOracle =
     """WITH train AS (SELECT lang, text FROM documents WHERE doc_id % 4 <> 3),
