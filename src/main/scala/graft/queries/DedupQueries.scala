@@ -727,6 +727,13 @@ object DedupQueries extends QueryDomain {
       // replays the whole funnel (the quality CTE chain parameterized
       // over the clone-unioned corpus). Every count is an exact integer;
       // n_tokens reuses the quality stage's whitespace-word count.
+      // Deliberately NOT q_curation_funnel's shape (that gate pins the
+      // per-doc FLAG-product survivor counts of the screen rules in one
+      // aggregate): this one pins frame-to-frame OPERATOR handoff —
+      // qualityRules' output joined back as a filter, the dedup window
+      // over its survivors, sharedWindowOverlap consuming the deduped
+      // frame as its probe side — plus the decontamination stage and the
+      // per-language census the flag funnel has no analog of.
       val raw = docs(s, dir).select($"doc_id", $"lang", $"source",
         regexp_replace($"text", " line ", "\n").as("text"))
       val dup = raw.unionByName(raw.filter($"doc_id" % 10 === 0)
