@@ -808,6 +808,58 @@ object CorpusOps {
       .withColumn("pad_to", (col("bucket") + 1) * bucketWidth - 1)
   }
 
+  /** Token-balanced shard assignment — the training-EXPORT layout knob
+    * beside [[lengthBatches]] (padding efficiency) and the epoch shuffle
+    * (unbiased order, q_epoch_shuffle): deal documents into `nShards`
+    * shards whose TOKEN TOTALS come out near-equal, so N downstream
+    * consumers (tokenizer workers, trainer data streams) finish together
+    * instead of idling behind the shard that drew the long documents —
+    * the straggler tax a content-hash `mod N` shard pays whenever doc
+    * lengths are skewed (which a real corpus's always are).
+    *
+    * Construction: documents take their 1-based [[RankOps.globalRank]] in
+    * (n_tokens DESC, doc_id ASC) total order — the two-phase zipWithIndex
+    * shape, never a single-partition window — and the shard is SNAKE
+    * (boustrophedon) order over that rank: round `r = (rank−1) div
+    * nShards` deals left-to-right when even, right-to-left when odd.
+    * The guarantee is STRUCTURAL: every shard draws exactly one document
+    * per round (so the k largest documents spread one-per-shard across
+    * the first k/nShards rounds — hash sharding instead co-locates
+    * whales whenever their ids collide mod N, a birthday-certain event),
+    * and consecutive rounds sweep in opposite directions, so the
+    * down-sweep's large pick pairs with the up-sweep's small one and
+    * smooth length decay cancels. It is NOT LPT: a single head document
+    * dwarfing its round keeps a spread of that document's order. Pure
+    * integer arithmetic over the rank — deterministic,
+    * engine-reproducible, oracle-gateable.
+    *
+    * Output: (doc_id, n_tokens, shard). Per-shard totals are one
+    * aggregate away; the balance property (max−min shard token spread vs
+    * the hash shard's) is spec-pinned on a skewed fixture.
+    *
+    * Scale posture: the cost is [[RankOps.globalRank]]'s — one range
+    * shuffle of (doc_id, n_tokens) pairs (NOT the text; tokens count in a
+    * projected two-column frame) plus its O(#partitions) count job. The
+    * snake arithmetic adds nothing. Null text is excluded (no token
+    * count), matching [[lengthBatches]].
+    */
+  def balancedShards(docs: DataFrame, idCol: String, textCol: String,
+      nShards: Int): DataFrame = {
+    require(nShards >= 1, s"need at least one shard, got $nShards")
+    val nt = size(TextOps.tokens(col(textCol))).cast("long")
+    val base = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), nt.as("n_tokens"))
+    val ranked = RankOps.globalRank(
+      base, Seq(col("n_tokens").desc, col("doc_id").asc), "graft_rk")
+    val rn = col("graft_rk") - lit(1L)
+    val round = (rn / nShards).cast("long")
+    val pos = pmod(rn, lit(nShards.toLong))
+    val shard = when(pmod(round, lit(2L)) === 0L, pos)
+      .otherwise(lit(nShards.toLong - 1L) - pos)
+    ranked.select(col("doc_id"), col("n_tokens"),
+      shard.cast("int").as("shard"))
+  }
+
   /** Learn the first `numMerges` BPE merge rules over the corpus — the
     * byte-pair-encoding trainer (Sennrich et al., ACL'16) that produces the
     * subword vocabulary [[tokenizeToIds]]-style tokenization consumes.

@@ -235,6 +235,30 @@ object SourceQueries extends QueryDomain {
       s.read.parquet(root + "/packed").orderBy($"p_partkey")
     },
 
+    "q_snapshot_compact" -> { (s, dir) =>
+      import s.implicits._
+      // Snapshot-layer OPTIMIZE ([[graft.sources.SnapshotStore.compact]]):
+      // v1 = part published FRAGMENTED (64 shards — streaming-append
+      // accretion inside a versioned table), then the RANGE-CLUSTERED
+      // rewrite (sortCols = p_partkey) commits v2 through the same
+      // lock+tmp+rename publish protocol every writer uses. The latest
+      // read must see exactly the base rows — compaction is pure layout.
+      // The clustering contract (disjoint per-file key ranges → parquet
+      // min/max pruning on key scans), version semantics (v1 readable
+      // until vacuum) and the already-compact no-op are spec-pinned in
+      // SnapshotStoreSpec. Staged once per (sf, JVM).
+      val root = Staging.dir("snapcompact", dir, "part") { p =>
+        val base = t(s, dir, "part")
+        graft.sources.SnapshotStore.publish(base.repartition(64), p)
+        val v2 = graft.sources.SnapshotStore.compact(s, p,
+          targetFileBytes = 256L << 10, sortCols = Seq("p_partkey"))
+        require(v2.nonEmpty,
+          "fixture must fragment past the target file count")
+        ()
+      }
+      graft.sources.SnapshotStore.read(s, root).orderBy($"p_partkey")
+    },
+
     "q_schema_merge" -> { (s, dir) =>
       import s.implicits._
       // Parquet schema EVOLUTION across files of one dataset — the lake
@@ -386,6 +410,11 @@ object SourceQueries extends QueryDomain {
         |ORDER BY n_nationkey""".stripMargin,
 
     "q_compact_files" ->
+      """SELECT * FROM part ORDER BY p_partkey""",
+
+    // Publish → range-clustered compact → read is row-identity on the
+    // base table; everything layout-level is spec-pinned.
+    "q_snapshot_compact" ->
       """SELECT * FROM part ORDER BY p_partkey""",
 
     // The TTL sweep must leave exactly the rows of the surviving day

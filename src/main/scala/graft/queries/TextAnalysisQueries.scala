@@ -236,6 +236,20 @@ object TextAnalysisQueries extends QueryDomain {
         .orderBy($"doc_id")
     },
 
+    "q_shard_balance" -> { (s, dir) =>
+      import s.implicits._
+      // Token-balanced training-export sharding
+      // ([[CorpusOps.balancedShards]]): snake (boustrophedon) dealing over
+      // the (n_tokens DESC, doc_id) global rank — the rank is the
+      // two-phase zipWithIndex shape, never a single-partition window —
+      // so each of the 6 shards draws exactly one doc per round, largest
+      // first, where a doc_id-hash shard co-locates whale docs whenever
+      // their ids collide mod N. Pure integer arithmetic over the rank;
+      // the balance property itself is spec-pinned in CorpusOpsSpec.
+      CorpusOps.balancedShards(docs(s, dir), "doc_id", "text", nShards = 6)
+        .orderBy($"doc_id")
+    },
+
     "q_equidepth_bins" -> { (s, dir) =>
       import s.implicits._
       // Equi-depth binning ([[RankOps.equidepthBins]] over
@@ -1720,6 +1734,21 @@ object TextAnalysisQueries extends QueryDomain {
         |    ORDER BY n_tokens, doc_id) - 1) // 8 AS BIGINT) AS batch_idx,
         |  CAST((bucket + 1) * 16 - 1 AS BIGINT) AS pad_to
         |FROM b ORDER BY doc_id""".stripMargin,
+
+    // Snake dealing over the (n_tokens DESC, doc_id) total order — the
+    // oracle's single-node ROW_NUMBER equals the gate's distributed
+    // two-phase global rank exactly because the order is total.
+    "q_shard_balance" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents WHERE text IS NOT NULL),
+        |r AS (SELECT doc_id, n_tokens,
+        |    ROW_NUMBER() OVER (ORDER BY n_tokens DESC, doc_id) - 1 AS rn
+        |  FROM t)
+        |SELECT doc_id, n_tokens,
+        |  CAST(CASE WHEN (rn // 6) % 2 = 0 THEN rn % 6
+        |    ELSE 5 - rn % 6 END AS INT) AS shard
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     "q_equidepth_bins" ->
       """WITH r AS (SELECT l_orderkey, l_extendedprice AS p,

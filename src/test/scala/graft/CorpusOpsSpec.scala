@@ -1086,4 +1086,67 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec {
       .as[(Long, Long, Long, Option[Double])].head()
     assert(got == ((7L, 2L, 2L, Some(1.0))), s"got $got")
   }
+
+  test("balancedShards: exact snake layout on a hand case; null text drops") {
+    // 7 docs, token counts distinct so the (n_tokens DESC, doc_id) order is
+    // obvious: ids 1..7 with 70,60,50,40,30,20,10 tokens. nShards = 3:
+    // ranks 1..7 -> rn 0..6 -> rounds [0,0,0, 1,1,1, 2]; snake shards
+    // down(0,1,2), up(2,1,0), down(0).
+    val mk = (n: Int) => Seq.fill(n)("w").mkString(" ")
+    val d = Seq(
+      (1L, Some(mk(70))), (2L, Some(mk(60))), (3L, Some(mk(50))),
+      (4L, Some(mk(40))), (5L, Some(mk(30))), (6L, Some(mk(20))),
+      (7L, Some(mk(10))), (8L, Option.empty[String])
+    ).toDF("doc_id", "text")
+    val got = CorpusOps.balancedShards(d, "doc_id", "text", nShards = 3)
+      .orderBy($"doc_id").as[(Long, Long, Int)].collect().toSeq
+    assert(got == Seq(
+      (1L, 70L, 0), (2L, 60L, 1), (3L, 50L, 2),
+      (4L, 40L, 2), (5L, 30L, 1), (6L, 20L, 0),
+      (7L, 10L, 0)), s"got $got")
+  }
+
+  test("balancedShards: snake beats hash-mod balance on a skewed corpus; " +
+    "every shard populated; nShards = 1 degenerates to one shard") {
+    // Whale-collision fixture — the generic hash-shard failure: 8 whale
+    // docs (2000 tokens) whose ids collide mod 8 onto TWO residues (3 and
+    // 6), exactly what the birthday bound makes near-certain for any real
+    // whale population; 192 small docs with smooth varied lengths. Snake
+    // deals the 8 whales one per shard structurally (round 0).
+    val whaleIds = Set(3L, 11L, 14L, 22L, 27L, 35L, 38L, 46L)
+    val docs = (1 to 200).map { i =>
+      val len = if (whaleIds(i.toLong)) 2000 else 10 + (i * 13) % 200
+      (i.toLong, Seq.fill(len)("w").mkString(" "))
+    }.toDF("doc_id", "text")
+    val n = 8
+    val got = CorpusOps.balancedShards(docs, "doc_id", "text", n)
+    val sums = got.groupBy($"shard").agg(sum($"n_tokens").as("tok"))
+      .as[(Int, Long)].collect().toMap
+    assert(sums.keySet == (0 until n).toSet, s"missing shards: $sums")
+    val snakeSpread = sums.values.max - sums.values.min
+    val hashSums = got
+      .groupBy(pmod($"doc_id", lit(n.toLong)).as("hs"))
+      .agg(sum($"n_tokens").as("tok")).as[(Long, Long)].collect().map(_._2)
+    val hashSpread = hashSums.max - hashSums.min
+    // Hash piles 4 whales each on shards 3 and 6 (≥ ~6000 over fair
+    // share); snake's spread comes from the small-doc tail only.
+    assert(snakeSpread * 4 < hashSpread,
+      s"snake $snakeSpread vs hash $hashSpread")
+    assert(snakeSpread <= 2000L, s"snake spread $snakeSpread")
+
+    val one = CorpusOps.balancedShards(docs, "doc_id", "text", 1)
+      .select($"shard").distinct().as[Int].collect().toSeq
+    assert(one == Seq(0))
+  }
+
+  test("balancedShards: assignment is reproducible across partitionings") {
+    val docs = (1 to 97).map { i =>
+      (i.toLong, Seq.fill(1 + (i * 7) % 13)("w").mkString(" "))
+    }.toDF("doc_id", "text")
+    val a = CorpusOps.balancedShards(docs.repartition(13), "doc_id", "text", 5)
+      .orderBy($"doc_id").as[(Long, Long, Int)].collect().toSeq
+    val b = CorpusOps.balancedShards(docs.coalesce(1), "doc_id", "text", 5)
+      .orderBy($"doc_id").as[(Long, Long, Int)].collect().toSeq
+    assert(a == b)
+  }
 }
