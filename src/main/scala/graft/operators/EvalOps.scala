@@ -169,34 +169,6 @@ object EvalOps {
       .orderBy(col("bin"))
   }
 
-  /** Per-group Cohen's kappa — chance-corrected agreement between two
-    * categorical labelers (gold vs predicted, or two annotators), the
-    * standard acceptance metric before a weak labeler's output is trusted
-    * as training signal. With n rows, a = agreements, and marginal label
-    * counts rᵢ (rater A) / cᵢ (rater B):
-    *
-    *   κ = (p_o − p_e) / (1 − p_e),  p_o = a/n,  p_e = Σᵢ rᵢ·cᵢ / n²
-    *     = (n·a − Σᵢ rᵢ·cᵢ) / (n² − Σᵢ rᵢ·cᵢ)
-    *
-    * — the second form is the one computed: every operand is an exact
-    * integer, and κ is ONE final IEEE division, so the statistic is
-    * hash-gateable (the repo's determinism contract).
-    *
-    * Scale posture: two combiner-reduced (group, label) marginal
-    * aggregates equi-joined on their label and one (group) agreement
-    * aggregate — state is bounded by the LABEL cardinality per group,
-    * never data rows; no window, no collect. Overflow: n² must fit a
-    * long, exact to ~3·10⁹ rows per group (the [[rocAuc]] bound).
-    *
-    * Null rater labels are rejected with an error (a null is a missing
-    * annotation, not a category — dropping it silently would skew p_e).
-    * Groups where the raters share no label (p_e = 0) are fine; κ = p_o.
-    * Degenerate groups with n² = Σ rᵢ·cᵢ (both raters constant — p_e = 1)
-    * report NULL kappa rather than 0/0.
-    *
-    * Output: (group, n, n_agree, pe_num = Σ rᵢ·cᵢ, kappa_num, kappa_den,
-    * kappa), one row per group.
-    */
   /** Per-class precision / recall / F1 of a multi-class labeler against
     * gold, plus the macro-F1 summary row — the per-class view
     * [[cohensKappa]]'s single agreement number hides (a labeler can agree
@@ -405,20 +377,75 @@ object EvalOps {
             (lit(2L) * col("tp") + col("fp") + col("fn")).cast("double")))
   }
 
+  /** Per-group Cohen's kappa — chance-corrected agreement between two
+    * categorical labelers (gold vs predicted, or two annotators), the
+    * standard acceptance metric before a weak labeler's output is trusted
+    * as training signal. With n rows, a = agreements, and marginal label
+    * counts rᵢ (rater A) / cᵢ (rater B):
+    *
+    *   κ = (p_o − p_e) / (1 − p_e),  p_o = a/n,  p_e = Σᵢ rᵢ·cᵢ / n²
+    *     = (n·a − Σᵢ rᵢ·cᵢ) / (n² − Σᵢ rᵢ·cᵢ)
+    *
+    * — the second form is the one computed: every operand is an exact
+    * integer, and κ is ONE final IEEE division, so the statistic is
+    * hash-gateable (the repo's determinism contract).
+    *
+    * Scale posture: two combiner-reduced (group, label) marginal
+    * aggregates equi-joined on their label and one (group) agreement
+    * aggregate — state is bounded by the LABEL cardinality per group,
+    * never data rows; no window, no collect. Overflow: n² must fit a
+    * long, exact to ~3·10⁹ rows per group (the [[rocAuc]] bound).
+    *
+    * Null rater labels are rejected with an error (a null is a missing
+    * annotation, not a category — dropping it silently would skew p_e).
+    * Groups where the raters share no label (p_e = 0) are fine; κ = p_o.
+    * Degenerate groups with n² = Σ rᵢ·cᵢ (both raters constant — p_e = 1)
+    * report NULL kappa rather than 0/0.
+    *
+    * Output: (group, n, n_agree, pe_num = Σ rᵢ·cᵢ, kappa_num, kappa_den,
+    * kappa), one row per group.
+    */
   def cohensKappa(df: DataFrame, groupCol: String, raterACol: String,
       raterBCol: String): DataFrame = {
     def checked(c: String): Column =
       when(col(c).isNotNull, col(c).cast("string"))
         .otherwise(raise_error(lit(s"cohensKappa: $c must be non-null")))
-    val base = df.select(col(groupCol).as("grp"),
-      checked(raterACol).as("ra"), checked(raterBCol).as("rb"))
-    val agree = base.groupBy(col("grp")).agg(
-      count(lit(1)).as("n"),
-      sum((col("ra") === col("rb")).cast("long")).as("n_agree"))
-    val margA = base.groupBy(col("grp"), col("ra").as("lab"))
-      .agg(count(lit(1)).as("ca"))
-    val margB = base.groupBy(col("grp"), col("rb").as("lab"))
-      .agg(count(lit(1)).as("cb"))
+    cohensKappaFromCounts(
+      df.select(col(groupCol).as("grp"),
+          checked(raterACol).as("ra"), checked(raterBCol).as("rb"))
+        .groupBy(col("grp"), col("ra"), col("rb"))
+        .agg(count(lit(1)).as("c")),
+      "grp", "ra", "rb", "c")
+      .withColumnRenamed("grp", groupCol)
+  }
+
+  /** [[cohensKappa]] over PRE-AGGREGATED (group, a-label, b-label, count)
+    * joint cells — the formula half, split out for the streaming
+    * monitors (the FromCounts pattern of
+    * [[graft.operators.StatOps.chiSquareFromCounts]] /
+    * `ksDriftFromCounts` / `tClosenessFromCounts`): keyed stream state
+    * owns the per-group joint-label count map, this closes the
+    * cross-cell statistic batch-side, and the batch gate's oracle gates
+    * both. At most one row per (group, a, b) is assumed; labels must be
+    * non-null (the caller's contract — [[cohensKappa]] enforces it on
+    * raw rows). Every derived quantity (n, agreements, marginals, Σ
+    * rᵢ·cᵢ) is an exact-long aggregate OF the cells, and κ stays the one
+    * IEEE division, so a stream twin that reconstructs the exact label
+    * strings lands bit-identically on the batch result.
+    */
+  def cohensKappaFromCounts(counts: DataFrame, groupCol: String,
+      aCol: String, bCol: String, cntCol: String): DataFrame = {
+    val cells = counts.select(col(groupCol).as("grp"),
+      col(aCol).cast("string").as("ra"), col(bCol).cast("string").as("rb"),
+      col(cntCol).cast("long").as("c"))
+    val agree = cells.groupBy(col("grp")).agg(
+      sum(col("c")).as("n"),
+      sum(when(col("ra") === col("rb"), col("c")).otherwise(0L))
+        .as("n_agree"))
+    val margA = cells.groupBy(col("grp"), col("ra").as("lab"))
+      .agg(sum(col("c")).as("ca"))
+    val margB = cells.groupBy(col("grp"), col("rb").as("lab"))
+      .agg(sum(col("c")).as("cb"))
     // Inner join: a label absent from either rater contributes 0 to p_e.
     val pe = margA.join(margB, Seq("grp", "lab"))
       .groupBy(col("grp")).agg(sum(col("ca") * col("cb")).as("pe_num"))

@@ -669,6 +669,51 @@ object EventQueries extends QueryDomain {
       StatOps.chiSquareFromCounts(cells, "lang", "source", "c")
     },
 
+    "q_stream_cohens_kappa" -> { (s, dir) =>
+      import s.implicits._
+      // STREAMING labeler-agreement monitor
+      // ([[graft.streaming.EventStreams.valueCountsExact]] +
+      // [[graft.operators.EvalOps.cohensKappaFromCounts]]): the weak
+      // labeler (the q_lang_id marker argmax, computed STATELESSLY on
+      // each arriving doc) is scored against the gold lang label as
+      // per-source joint-label count-map state — key = source⊕gold (the
+      // gold label rides in the key so the state value stays one long:
+      // the predicted-profile INDEX), emit raw at the watermark, and κ
+      // closes batch-side from the exact reconstructed label strings.
+      // Seventh statistic of the count-map class; the batch
+      // q_cohens_kappa oracle gates the chain.
+      val langs = graft.operators.TextStats.LangProfiles.map(_._1)
+      val langsArr = array(langs.map(lit): _*)
+      val staged = Staging.streamDocMetaDir(s, dir)
+      val ss = Staging.streamSession(s)
+      val schema = Staging.replayDocMetaSchema(ss, staged)
+      val stream = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+        .select(
+          concat_ws("\u0001",
+            coalesce($"source", lit("sentinel")), $"lang").as("key"),
+          expr("ts div 1000").as("ts"),
+          (array_position(langsArr,
+            graft.operators.TextStats.predictedLang($"text")) - 1L).as("v"))
+        .as[graft.streaming.EventStreams.ValueEvent]
+      val sink = Staging.nextStreamSink(ss)
+      val q = graft.streaming.EventStreams
+        .valueCountsExact(stream, horizonSec = 21600L, lateSec = 2592000L)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      // Sentinel rows carry a NULL gold lang: concat_ws skips nulls, so
+      // their key collapses to exactly "sentinel".
+      val cells = ss.table(sink).filter($"key" =!= "sentinel")
+        .select(split($"key", "\u0001").getItem(0).as("source"),
+          element_at(langsArr, ($"v" + 1L).cast("int")).as("ra"),
+          split($"key", "\u0001").getItem(1).as("rb"), $"c")
+      graft.operators.EvalOps
+        .cohensKappaFromCounts(cells, "source", "ra", "rb", "c")
+        .orderBy($"source")
+    },
+
     "q_stream_simpson" -> { (s, dir) =>
       import s.implicits._
       // STREAMING class balance
@@ -1323,6 +1368,10 @@ object EventQueries extends QueryDomain {
     // Streamed contingency cells through the identical sorted-fold χ²
     // formula — the batch q_chi_square oracle gates the chain.
     "q_stream_chi_square" -> chiSquareOracle,
+
+    // Streamed joint-label cells through the identical integer-exact κ
+    // formula — the batch q_cohens_kappa oracle gates the chain.
+    "q_stream_cohens_kappa" -> cohensKappaOracle,
 
     "q_sessionize" -> sessionizeOracle,
 

@@ -832,6 +832,46 @@ object QueryShared {
     lang -> s"CAST(len(list_filter(string_split(text, ' '), w -> w IN ($in))) AS BIGINT)"
   }
 
+  /** The Cohen's-kappa oracle, shared by q_cohens_kappa (batch) and
+    * q_stream_cohens_kappa (streamed per-source joint (pred, gold) label
+    * counts through [[graft.operators.EvalOps.cohensKappaFromCounts]] —
+    * the stream reconstructs the exact predicted-lang strings from the
+    * profile index so the joint cells match the batch operator's).
+    */
+  private[queries] lazy val cohensKappaOracle: String = {
+    val scores = langScoreSql.map { case (lang, sql) => s"$sql AS s_$lang" }
+      .mkString(",\n      |    ").stripMargin
+    val langs = langScoreSql.map(_._1)
+    val caseChain = langs.init.map { lang =>
+      val conds = langs.filterNot(_ == lang).map(o => s"s_$lang >= s_$o")
+        .mkString(" AND ")
+      s"WHEN $conds THEN '$lang'"
+    }.mkString(" ")
+    s"""WITH sc AS (SELECT source, lang,
+       |    $scores
+       |  FROM documents),
+       |d AS (SELECT source,
+       |    CASE $caseChain ELSE '${langs.last}' END AS ra, lang AS rb
+       |  FROM sc),
+       |a AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(count(*) FILTER (ra = rb) AS BIGINT) AS n_agree
+       |  FROM d GROUP BY source),
+       |ma AS (SELECT source, ra AS lab, CAST(count(*) AS BIGINT) AS ca
+       |  FROM d GROUP BY source, ra),
+       |mb AS (SELECT source, rb AS lab, CAST(count(*) AS BIGINT) AS cb
+       |  FROM d GROUP BY source, rb),
+       |pe AS (SELECT source, CAST(sum(ca * cb) AS BIGINT) AS pe_num
+       |  FROM ma JOIN mb USING (source, lab) GROUP BY source)
+       |SELECT a.source, n, n_agree,
+       |  COALESCE(pe_num, 0) AS pe_num,
+       |  CAST(n * n_agree - COALESCE(pe_num, 0) AS BIGINT) AS kappa_num,
+       |  CAST(n * n - COALESCE(pe_num, 0) AS BIGINT) AS kappa_den,
+       |  CASE WHEN n * n - COALESCE(pe_num, 0) = 0 THEN NULL
+       |    ELSE CAST(n * n_agree - COALESCE(pe_num, 0) AS DOUBLE)
+       |      / CAST(n * n - COALESCE(pe_num, 0) AS DOUBLE) END AS kappa
+       |FROM a LEFT JOIN pe USING (source) ORDER BY source""".stripMargin
+  }
+
   /** Unrolled k-iteration BPE trainer in DuckDB SQL: each iteration is a
     * (pair-count, argmax, fold) CTE triple chained off the previous vocab.
     * The fold replicates [[graft.operators.CorpusOps.learnBpeMerges]]'s

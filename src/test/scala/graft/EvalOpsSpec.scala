@@ -233,6 +233,28 @@ class EvalOpsSpec extends AnyFunSuite with SparkSpec {
     assert(got("disj")._4 == 0L && got("disj")._7.contains(0.0))
   }
 
+  test("cohensKappaFromCounts over pre-aggregated cells ≡ cohensKappa on " +
+    "raw rows (incl. degenerate groups)") {
+    val rnd = new scala.util.Random(9191)
+    val labs = Array("a", "b", "c")
+    val rows = Seq.tabulate(300) { i =>
+      (s"g${i % 4}", labs(rnd.nextInt(3)), labs(rnd.nextInt(3)))
+    } ++ Seq(("const", "x", "x"), ("const", "x", "x"),
+      ("disj", "a", "b"), ("disj", "a", "b"))
+    val df = rows.toDF("grp", "ra", "rb")
+    val cells = df.groupBy($"grp", $"ra", $"rb").agg(count(lit(1)).as("c"))
+    val viaCounts = EvalOps
+      .cohensKappaFromCounts(cells, "grp", "ra", "rb", "c")
+      .orderBy($"grp")
+      .as[(String, Long, Long, Long, Long, Long, Option[Double])]
+      .collect().toSeq
+    val viaRows = EvalOps.cohensKappa(df, "grp", "ra", "rb")
+      .orderBy($"grp")
+      .as[(String, Long, Long, Long, Long, Long, Option[Double])]
+      .collect().toSeq
+    assert(viaCounts == viaRows)
+  }
+
   test("classPrf ≡ brute-force per-class PRF + sorted-fold macro") {
     val rnd = new scala.util.Random(777)
     val labs = Array("w", "x", "y", "z")
