@@ -247,11 +247,15 @@ object SourceQueries extends QueryDomain {
       // min/max pruning on key scans), version semantics (v1 readable
       // until vacuum) and the already-compact no-op are spec-pinned in
       // SnapshotStoreSpec. Staged once per (sf, JVM).
+      // 16 MB target: 64 shards of part sit far above the target file
+      // COUNT at every tested SF (sf0.001 ≈ 100 KB total → 1 target file;
+      // sf10 ≈ tens of MB → a handful), so the rewrite always triggers —
+      // a KB-scale target would instead no-op once shards outgrow it.
       val root = Staging.dir("snapcompact", dir, "part") { p =>
         val base = t(s, dir, "part")
         graft.sources.SnapshotStore.publish(base.repartition(64), p)
         val v2 = graft.sources.SnapshotStore.compact(s, p,
-          targetFileBytes = 256L << 10, sortCols = Seq("p_partkey"))
+          targetFileBytes = 16L << 20, sortCols = Seq("p_partkey"))
         require(v2.nonEmpty,
           "fixture must fragment past the target file count")
         ()
