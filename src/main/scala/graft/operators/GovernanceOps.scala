@@ -180,13 +180,31 @@ object GovernanceOps {
     * point of the check. No windows, no joins.
     */
   def anonymityRisk(df: DataFrame, quasiCols: Seq[String],
-      sensitiveCol: String, k: Int, l: Int): DataFrame = {
+      sensitiveCol: String, k: Int, l: Int): DataFrame =
+    anonymityRiskFromCounts(
+      df.groupBy((quasiCols :+ sensitiveCol).map(col): _*)
+        .agg(count(lit(1)).as("__graft_c")),
+      quasiCols, sensitiveCol, "__graft_c", k, l)
+
+  /** [[anonymityRisk]] over PRE-AGGREGATED (quasi-identifier…, sensitive
+    * value, count) cells — the formula half, split out for the streaming
+    * monitor (the FromCounts pattern of
+    * [[graft.operators.StatOps.chiSquareFromCounts]] and friends): keyed
+    * stream state owns the per-QI-group sensitive-value count map, this
+    * closes group size and distinct-sensitive batch-side, and the batch
+    * gate's oracle gates both. At most one row per (QI…, value) is
+    * assumed. `group_size` sums the counts (NULL sensitive rows INCLUDED
+    * — they link like any other row); `n_sensitive` counts the non-null
+    * value cells, matching `countDistinct`'s null-skipping on raw rows.
+    */
+  def anonymityRiskFromCounts(counts: DataFrame, quasiCols: Seq[String],
+      valueCol: String, cntCol: String, k: Int, l: Int): DataFrame = {
     require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
     require(k >= 2, s"k-anonymity below 2 is no anonymity, got $k")
     require(l >= 1, s"l must be >= 1, got $l")
-    df.groupBy(quasiCols.map(col): _*)
-      .agg(count(lit(1)).as("group_size"),
-        countDistinct(col(sensitiveCol)).as("n_sensitive"))
+    counts.groupBy(quasiCols.map(col): _*)
+      .agg(sum(col(cntCol)).as("group_size"),
+        count(when(col(valueCol).isNotNull, lit(1))).as("n_sensitive"))
       .filter(col("group_size") < k || col("n_sensitive") < l)
       .select(quasiCols.map(col) ++ Seq(
         col("group_size"), col("n_sensitive"),

@@ -1575,19 +1575,7 @@ object DedupQueries extends QueryDomain {
         |      / CAST(CAST(den AS VARCHAR) AS DOUBLE) END AS r3
         |FROM a ORDER BY event_type""".stripMargin,
 
-    "q_k_anonymity" ->
-      """WITH e AS (SELECT event_type,
-        |    epoch_ns(ts) // 86400000000000 AS day,
-        |    CAST(floor(value / 100.0) AS BIGINT) AS vb, user_id FROM events),
-        |g AS (SELECT event_type, day, vb,
-        |    CAST(count(*) AS BIGINT) AS group_size,
-        |    CAST(count(DISTINCT user_id) AS BIGINT) AS n_sensitive
-        |  FROM e GROUP BY 1, 2, 3)
-        |SELECT event_type, day, vb, group_size, n_sensitive,
-        |  CAST(group_size < 5 AS INT) AS k_risk,
-        |  CAST(n_sensitive < 3 AS INT) AS l_risk
-        |FROM g WHERE group_size < 5 OR n_sensitive < 3
-        |ORDER BY event_type, day, vb""".stripMargin,
+    "q_k_anonymity" -> kAnonymityOracle,
 
     "q_ewma" ->
       """WITH e AS (SELECT user_id,

@@ -714,6 +714,57 @@ object EventQueries extends QueryDomain {
         .orderBy($"source")
     },
 
+    "q_stream_k_anonymity" -> { (s, dir) =>
+      import s.implicits._
+      // STREAMING k-anonymity / l-diversity release monitor
+      // ([[graft.streaming.EventStreams.valueCountsExact]] +
+      // [[graft.operators.GovernanceOps.anonymityRiskFromCounts]]): the
+      // quasi-identifier group (event_type, day, value-bucket) rides as
+      // the state KEY and the sensitive user_id as the count-map value,
+      // so group size AND distinct-sensitive both close batch-side from
+      // the emitted cells through the same FromCounts formula the batch
+      // operator composes — the release gate becomes a continuously
+      // maintainable monitor with state bounded by users per QI group.
+      // Eighth statistic of the count-map class; the batch q_k_anonymity
+      // oracle gates the chain.
+      val staged = Staging.streamSessionizeDir(s, dir, gapSec = 21600L)
+      val ss = Staging.streamSession(s)
+      val schema = Staging.replaySchema(ss, staged)
+      val stream = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+        .select(
+          concat_ws("\u0001", $"event_type",
+            expr("ts div 86400000000000"),
+            floor($"value" / 100.0).cast("long")).as("key"),
+          expr("ts div 1000").as("ts"),
+          coalesce($"user_id", lit(-1L)).as("v"))
+        .as[graft.streaming.EventStreams.ValueEvent]
+      val sink = Staging.nextStreamSink(ss)
+      // lateSec = 0 (default): the events replay is ONE real file (every
+      // real row enters at watermark 0), and the sessionize sentinels sit
+      // only 10/20 gaps out -- a doc-replay-sized lateness allowance would
+      // hold the watermark short of recent groups' timeouts forever (the
+      // doc replays need it because real docs split across two files).
+      val q = graft.streaming.EventStreams
+        .valueCountsExact(stream, horizonSec = 21600L)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      val kf = split($"key", "\u0001")
+      val cells = ss.table(sink)
+        .filter(split($"key", "\u0001").getItem(0) =!= "sentinel")
+        .select(kf.getItem(0).as("event_type"),
+          kf.getItem(1).cast("long").as("day"),
+          kf.getItem(2).cast("long").as("vb"), $"v", $"c")
+      graft.operators.GovernanceOps
+        .anonymityRiskFromCounts(cells, Seq("event_type", "day", "vb"),
+          "v", "c", k = 5, l = 3)
+        .select($"event_type", $"day", $"vb", $"group_size", $"n_sensitive",
+          $"k_risk".cast("int").as("k_risk"), $"l_risk".cast("int").as("l_risk"))
+        .orderBy($"event_type", $"day", $"vb")
+    },
+
     "q_stream_simpson" -> { (s, dir) =>
       import s.implicits._
       // STREAMING class balance
@@ -1372,6 +1423,10 @@ object EventQueries extends QueryDomain {
     // Streamed joint-label cells through the identical integer-exact κ
     // formula — the batch q_cohens_kappa oracle gates the chain.
     "q_stream_cohens_kappa" -> cohensKappaOracle,
+
+    // Streamed per-QI-group sensitive count maps through the identical
+    // size/distinct formula — the batch q_k_anonymity oracle gates it.
+    "q_stream_k_anonymity" -> kAnonymityOracle,
 
     "q_sessionize" -> sessionizeOracle,
 

@@ -832,6 +832,25 @@ object QueryShared {
     lang -> s"CAST(len(list_filter(string_split(text, ' '), w -> w IN ($in))) AS BIGINT)"
   }
 
+  /** The k-anonymity / l-diversity oracle, shared by q_k_anonymity
+    * (batch) and q_stream_k_anonymity (streamed per-QI-group sensitive
+    * count maps through
+    * [[graft.operators.GovernanceOps.anonymityRiskFromCounts]]).
+    */
+  private[queries] lazy val kAnonymityOracle: String =
+    """WITH e AS (SELECT event_type,
+      |    epoch_ns(ts) // 86400000000000 AS day,
+      |    CAST(floor(value / 100.0) AS BIGINT) AS vb, user_id FROM events),
+      |g AS (SELECT event_type, day, vb,
+      |    CAST(count(*) AS BIGINT) AS group_size,
+      |    CAST(count(DISTINCT user_id) AS BIGINT) AS n_sensitive
+      |  FROM e GROUP BY 1, 2, 3)
+      |SELECT event_type, day, vb, group_size, n_sensitive,
+      |  CAST(group_size < 5 AS INT) AS k_risk,
+      |  CAST(n_sensitive < 3 AS INT) AS l_risk
+      |FROM g WHERE group_size < 5 OR n_sensitive < 3
+      |ORDER BY event_type, day, vb""".stripMargin
+
   /** The Cohen's-kappa oracle, shared by q_cohens_kappa (batch) and
     * q_stream_cohens_kappa (streamed per-source joint (pred, gold) label
     * counts through [[graft.operators.EvalOps.cohensKappaFromCounts]] —

@@ -173,6 +173,33 @@ class GovernanceOpsSpec extends AnyFunSuite with SparkSpec {
     assert(got("g2") == ((5L, 1L, false, true)))
   }
 
+  test("anonymityRiskFromCounts over pre-aggregated cells ≡ anonymityRisk " +
+    "on raw rows; NULL sensitive rows link but add no diversity") {
+    val rnd = new scala.util.Random(2718)
+    val rows = Seq.tabulate(400) { i =>
+      (s"q${i % 17}", if (rnd.nextInt(10) == 0) None else Some(rnd.nextInt(6).toLong))
+    }
+    val d = rows.toDF("qi", "sens")
+    val cells = d.groupBy($"qi", $"sens").agg(count(lit(1)).as("c"))
+    // 400 rows over 17 groups: sizes 23/24, so k = 24 flags the 23-row
+    // groups; l = 6 flags any group missing one of the 6 values non-null.
+    val viaCounts = GovernanceOps
+      .anonymityRiskFromCounts(cells, Seq("qi"), "sens", "c", k = 24, l = 6)
+      .orderBy($"qi")
+      .as[(String, Long, Long, Boolean, Boolean)].collect().toSeq
+    val viaRows = GovernanceOps.anonymityRisk(d, Seq("qi"), "sens", k = 24, l = 6)
+      .orderBy($"qi")
+      .as[(String, Long, Long, Boolean, Boolean)].collect().toSeq
+    assert(viaCounts == viaRows && viaCounts.nonEmpty)
+
+    // All-null sensitive: group_size counts the rows, n_sensitive is 0.
+    val nul = Seq(("gn", Option.empty[Long]), ("gn", Option.empty[Long]))
+      .toDF("qi", "sens")
+    val got = GovernanceOps.anonymityRisk(nul, Seq("qi"), "sens", k = 2, l = 1)
+      .as[(String, Long, Long, Boolean, Boolean)].collect().toSeq
+    assert(got == Seq(("gn", 2L, 0L, false, true)))
+  }
+
   test("expirePartitions refuses a path with no matching partition dirs") {
     val root = java.nio.file.Files
       .createTempDirectory("gov_ttl_flat").toString
