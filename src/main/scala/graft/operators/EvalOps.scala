@@ -192,11 +192,31 @@ object EvalOps {
     def checked(c: String): Column =
       when(col(c).isNotNull, col(c).cast("string"))
         .otherwise(raise_error(lit(s"classPrf: $c must be non-null")))
-    val base = df.select(checked(goldCol).as("gold"), checked(predCol).as("pred"))
+    classPrfFromCounts(
+      df.select(checked(goldCol).as("gold"), checked(predCol).as("pred"))
+        .groupBy(col("gold"), col("pred")).agg(count(lit(1)).as("__graft_c")),
+      "gold", "pred", "__graft_c")
+  }
+
+  /** [[classPrf]] over PRE-AGGREGATED (gold, pred, count) confusion
+    * cells — the formula half, split out for the streaming monitor (the
+    * FromCounts pattern): the SAME joint-label count-map state that
+    * feeds [[cohensKappaFromCounts]] also closes the per-class view, so
+    * one stream emission serves both agreement statistics. At most one
+    * row per (gold, pred) cell and non-null labels are assumed
+    * ([[classPrf]] enforces the latter on raw rows). All counts stay
+    * exact longs; P/R/F1 stay single IEEE divisions; the macro row's
+    * sorted fold is unchanged — a stream twin reconstructing the exact
+    * label strings lands bit-identically on the batch result.
+    */
+  def classPrfFromCounts(counts: DataFrame, goldCol: String,
+      predCol: String, cntCol: String): DataFrame = {
+    val base = counts.select(col(goldCol).cast("string").as("gold"),
+      col(predCol).cast("string").as("pred"), col(cntCol).cast("long").as("c"))
     val diag = base.filter(col("gold") === col("pred"))
-      .groupBy(col("gold").as("cls")).agg(count(lit(1)).as("tp"))
-    val goldN = base.groupBy(col("gold").as("cls")).agg(count(lit(1)).as("n_gold"))
-    val predN = base.groupBy(col("pred").as("cls")).agg(count(lit(1)).as("n_pred"))
+      .groupBy(col("gold").as("cls")).agg(sum(col("c")).as("tp"))
+    val goldN = base.groupBy(col("gold").as("cls")).agg(sum(col("c")).as("n_gold"))
+    val predN = base.groupBy(col("pred").as("cls")).agg(sum(col("c")).as("n_pred"))
     val perClass = goldN.join(predN, Seq("cls"), "full_outer")
       .join(diag, Seq("cls"), "left")
       .select(col("cls"),

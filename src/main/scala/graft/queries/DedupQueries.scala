@@ -2043,48 +2043,7 @@ object DedupQueries extends QueryDomain {
     // Per-class PRF twin: the same argmax case chain, three marginal
     // CTEs with a FULL JOIN union of classes, macro-F1 as the sorted
     // list_reduce fold (q_chi_square's construction).
-    "q_class_prf" -> {
-      val scores = langScoreSql.map { case (lang, sql) => s"$sql AS s_$lang" }
-        .mkString(",\n        |    ").stripMargin
-      val langs = langScoreSql.map(_._1)
-      val caseChain = langs.init.map { lang =>
-        val conds = langs.filterNot(_ == lang).map(o => s"s_$lang >= s_$o")
-          .mkString(" AND ")
-        s"WHEN $conds THEN '$lang'"
-      }.mkString(" ")
-      s"""WITH sc AS (SELECT lang,
-         |    $scores
-         |  FROM documents),
-         |d AS (SELECT lang AS gold,
-         |    CASE $caseChain ELSE '${langs.last}' END AS pred FROM sc),
-         |g AS (SELECT gold AS cls, CAST(count(*) AS BIGINT) AS n_gold
-         |  FROM d GROUP BY 1),
-         |p AS (SELECT pred AS cls, CAST(count(*) AS BIGINT) AS n_pred
-         |  FROM d GROUP BY 1),
-         |t AS (SELECT gold AS cls, CAST(count(*) AS BIGINT) AS tp
-         |  FROM d WHERE gold = pred GROUP BY 1),
-         |pc AS (SELECT COALESCE(g.cls, p.cls) AS cls,
-         |    COALESCE(n_gold, 0) AS n_gold, COALESCE(n_pred, 0) AS n_pred
-         |  FROM g FULL JOIN p ON g.cls = p.cls),
-         |pc2 AS (SELECT pc.cls, n_gold, n_pred, COALESCE(tp, 0) AS tp
-         |  FROM pc LEFT JOIN t ON pc.cls = t.cls),
-         |f AS (SELECT cls, n_gold, n_pred, tp,
-         |    CASE WHEN n_pred = 0 THEN NULL
-         |      ELSE CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE) END AS precision,
-         |    CASE WHEN n_gold = 0 THEN NULL
-         |      ELSE CAST(tp AS DOUBLE) / CAST(n_gold AS DOUBLE) END AS recall,
-         |    CASE WHEN n_gold + n_pred = 0 THEN NULL
-         |      ELSE CAST(2*tp AS DOUBLE) / CAST(n_gold + n_pred AS DOUBLE)
-         |      END AS f1
-         |  FROM pc2)
-         |SELECT cls, n_gold, n_pred, tp, precision, recall, f1 FROM f
-         |UNION ALL
-         |SELECT '__macro__', NULL, NULL, NULL, NULL, NULL,
-         |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
-         |      list(COALESCE(f1, 0.0) ORDER BY cls)), (acc, x) -> acc + x)
-         |    / CAST(count(*) AS DOUBLE)
-         |FROM f ORDER BY cls""".stripMargin
-    },
+    "q_class_prf" -> classPrfOracle,
 
     // Positional 8-token windows wide-hashed; df ≥ 2 marks positions;
     // gaps-and-islands (running interval max) merges marks into maximal

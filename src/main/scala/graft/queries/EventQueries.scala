@@ -765,6 +765,43 @@ object EventQueries extends QueryDomain {
         .orderBy($"event_type", $"day", $"vb")
     },
 
+    "q_stream_class_prf" -> { (s, dir) =>
+      import s.implicits._
+      // STREAMING per-class P/R/F1 monitor
+      // ([[graft.streaming.EventStreams.valueCountsExact]] +
+      // [[graft.operators.EvalOps.classPrfFromCounts]]): the same
+      // joint-label count map that feeds the kappa twin — gold lang as
+      // the state KEY, predicted-profile index as the value — closed
+      // batch-side into the per-class confusion view (and the macro-F1
+      // sorted fold) the single agreement number hides. Ninth statistic
+      // of the count-map class; the batch q_class_prf oracle gates it.
+      val langs = graft.operators.TextStats.LangProfiles.map(_._1)
+      val langsArr = array(langs.map(lit): _*)
+      val staged = Staging.streamDocMetaDir(s, dir)
+      val ss = Staging.streamSession(s)
+      val schema = Staging.replayDocMetaSchema(ss, staged)
+      val stream = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+        .select(coalesce($"lang", lit("sentinel")).as("key"),
+          expr("ts div 1000").as("ts"),
+          (array_position(langsArr,
+            graft.operators.TextStats.predictedLang($"text")) - 1L).as("v"))
+        .as[graft.streaming.EventStreams.ValueEvent]
+      val sink = Staging.nextStreamSink(ss)
+      val q = graft.streaming.EventStreams
+        .valueCountsExact(stream, horizonSec = 21600L, lateSec = 2592000L)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      val cells = ss.table(sink).filter($"key" =!= "sentinel")
+        .select($"key".as("gold"),
+          element_at(langsArr, ($"v" + 1L).cast("int")).as("pred"), $"c")
+      graft.operators.EvalOps
+        .classPrfFromCounts(cells, "gold", "pred", "c")
+        .orderBy($"cls")
+    },
+
     "q_stream_simpson" -> { (s, dir) =>
       import s.implicits._
       // STREAMING class balance
@@ -1427,6 +1464,10 @@ object EventQueries extends QueryDomain {
     // Streamed per-QI-group sensitive count maps through the identical
     // size/distinct formula — the batch q_k_anonymity oracle gates it.
     "q_stream_k_anonymity" -> kAnonymityOracle,
+
+    // Streamed joint-label cells through the identical confusion-matrix
+    // formulas — the batch q_class_prf oracle gates the chain.
+    "q_stream_class_prf" -> classPrfOracle,
 
     "q_sessionize" -> sessionizeOracle,
 

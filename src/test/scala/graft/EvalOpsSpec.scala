@@ -255,6 +255,27 @@ class EvalOpsSpec extends AnyFunSuite with SparkSpec {
     assert(viaCounts == viaRows)
   }
 
+  test("classPrfFromCounts over pre-aggregated cells ≡ classPrf on raw " +
+    "rows (gold-only and pred-only classes included)") {
+    val rnd = new scala.util.Random(3434)
+    val labs = Array("w", "x", "y", "z")
+    // pred never emits "z", gold never emits "w" at index 3: both
+    // one-sided classes flow through the full-outer join on both paths.
+    val rows = Seq.tabulate(350)(_ =>
+      (labs(1 + rnd.nextInt(3)), labs(rnd.nextInt(3))))
+    val df = rows.toDF("gold", "pred")
+    val cells = df.groupBy($"gold", $"pred").agg(count(lit(1)).as("c"))
+    val viaCounts = EvalOps.classPrfFromCounts(cells, "gold", "pred", "c")
+      .orderBy($"cls")
+      .as[(String, Option[Long], Option[Long], Option[Long],
+        Option[Double], Option[Double], Option[Double])].collect().toSeq
+    val viaRows = EvalOps.classPrf(df, "gold", "pred")
+      .orderBy($"cls")
+      .as[(String, Option[Long], Option[Long], Option[Long],
+        Option[Double], Option[Double], Option[Double])].collect().toSeq
+    assert(viaCounts == viaRows && viaCounts.length == 5) // 4 classes + macro
+  }
+
   test("classPrf ≡ brute-force per-class PRF + sorted-fold macro") {
     val rnd = new scala.util.Random(777)
     val labs = Array("w", "x", "y", "z")
