@@ -717,6 +717,29 @@ object QueryShared {
       nm
     }
 
+  /** Co-bucketed orders/lineitem tables for q_bucket_join, staged once
+    * per (sf, JVM): both sides bucket 16 ways on the order key (lineitem's
+    * renamed at write time so the bucket specs align on one column name),
+    * the layout that lets every later fact-fact join on that key plan
+    * with ZERO Exchange (spec-pinned in ScaleJoinsSpec).
+    */
+  private[queries] def bucketJoinTables(
+      s: SparkSession, dir: String): (String, String) =
+    Staging.memo[(String, String)]("bucketjoin", dir) {
+      import s.implicits._
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val ot = s"graft_bkt_orders_$tag"
+      val lt = s"graft_bkt_lineitem_$tag"
+      ScaleJoins.writeBucketed(
+        t(s, dir, "orders").select($"o_orderkey", $"o_orderpriority"),
+        ot, Seq("o_orderkey"), 16)
+      ScaleJoins.writeBucketed(
+        t(s, dir, "lineitem").select($"l_orderkey".as("o_orderkey"),
+          $"l_extendedprice", $"l_discount"),
+        lt, Seq("o_orderkey"), 16)
+      (ot, lt)
+    }
+
   private[queries] def lshProbeIndex(s: SparkSession, dir: String): String =
     Staging.memo[String]("lshprobe", dir) {
       import s.implicits._

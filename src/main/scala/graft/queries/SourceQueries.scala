@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
 import graft.operators.{GovernanceOps, ScaleJoins}
+import graft.queries.QueryShared.bucketJoinTables
 import graft.sources.{AvroIo, AvroSource, CsvSource, JsonSource, OrcSource}
 
 /** Source-operator coverage: drives the CSV scan (reference O1,
@@ -263,6 +264,28 @@ object SourceQueries extends QueryDomain {
       graft.sources.SnapshotStore.read(s, root).orderBy($"p_partkey")
     },
 
+    "q_bucket_join" -> { (s, dir) =>
+      import s.implicits._
+      // Co-located fact-fact join over pre-bucketed tables
+      // ([[graft.operators.ScaleJoins.writeBucketed]] +
+      // [[graft.operators.ScaleJoins.bucketedJoin]]): orders and lineitem
+      // both bucket 16 ways on the order key at WRITE time, so the join
+      // reads align bucket-to-bucket with zero Exchange — at 100 TB the
+      // one-time layout cost replaces the per-query shuffle of the two
+      // biggest tables. The zero-Exchange plan shape is spec-pinned
+      // (ScaleJoinsSpec, broadcast disabled); this gate pins the
+      // bucketed READ path's correctness through the oracle at both SFs.
+      // Staged once per (sf, JVM).
+      val (ot, lt) = bucketJoinTables(s, dir)
+      ScaleJoins.bucketedJoin(s, ot, lt, Seq("o_orderkey"))
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(dec($"l_extendedprice", 14, 2) *
+            dec(lit(1) - $"l_discount", 8, 4))
+            .cast("double").as("revenue"))
+        .orderBy($"o_orderpriority")
+    },
+
     "q_schema_merge" -> { (s, dir) =>
       import s.implicits._
       // Parquet schema EVOLUTION across files of one dataset — the lake
@@ -420,6 +443,16 @@ object SourceQueries extends QueryDomain {
     // base table; everything layout-level is spec-pinned.
     "q_snapshot_compact" ->
       """SELECT * FROM part ORDER BY p_partkey""",
+
+    // The bucketed layout is pure physics: the join result must equal
+    // the plain join of the base tables.
+    "q_bucket_join" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))
+        |    * CAST(1 - l_discount AS DECIMAL(8,4))) AS DOUBLE) AS revenue
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     // The TTL sweep must leave exactly the rows of the surviving day
     // partitions — the oracle applies the same day cutoff to the base
