@@ -133,6 +133,29 @@ object SourceQueries extends QueryDomain {
         .orderBy($"n_nationkey")
     },
 
+    "q_snapshot_time_travel" -> { (s, dir) =>
+      import s.implicits._
+      // TIME TRAVEL through the snapshot layer: the same staged table as
+      // q_snapshot_read (v1 = full nation, crashed-writer orphan, v2 =
+      // region-filtered nation — [[Staging.dir]] dedupes the staging),
+      // read at `Some(1)` AFTER v2 committed. The pinned-version read
+      // must see exactly v1's rows — superseded versions stay readable
+      // until vacuum, the contract reproducible batch re-runs stand on.
+      // q_snapshot_read pins the latest-read half; this pins the
+      // historical half under its own oracle (the UNFILTERED join).
+      val root = Staging.dir("snapshot", dir, "nation") { p =>
+        val n = t(s, dir, "nation")
+        graft.sources.SnapshotStore.publish(n, p)
+        n.limit(5).write.mode("overwrite").parquet(p + "/data/crashed-000")
+        graft.sources.SnapshotStore.publish(n.filter($"n_regionkey" < 3), p)
+        ()
+      }
+      graft.sources.SnapshotStore.read(s, root, Some(1))
+        .join(t(s, dir, "region"), $"n_regionkey" === $"r_regionkey")
+        .select($"n_nationkey", $"n_name", $"r_name")
+        .orderBy($"n_nationkey")
+    },
+
     "q_snapshot_diff" -> { (s, dir) =>
       import s.implicits._
       // Version-vs-version SEMANTIC DIFF through the snapshot layer
@@ -399,6 +422,13 @@ object SourceQueries extends QueryDomain {
       """SELECT n_nationkey, n_name, r_name
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |WHERE n_regionkey < 3
+        |ORDER BY n_nationkey""".stripMargin,
+
+    // The pinned-version read sees v1 = the UNFILTERED table even though
+    // v2 (the filtered publish) is the latest.
+    "q_snapshot_time_travel" ->
+      """SELECT n_nationkey, n_name, r_name
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
         |ORDER BY n_nationkey""".stripMargin,
 
     // Version diff through the snapshot layer ≡ the frame-level diff
