@@ -1175,4 +1175,45 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
       assert(out.toSeq === Seq(("b", 4, 2L, 10L)), s"got ${out.toSeq}")
     } finally q.stop()
   }
+
+  test("valueCountsExact: seeded random micro-batch slicing lands on the " +
+    "batch count map (the mergeability all nine FromCounts monitors use)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val rnd = new scala.util.Random(5151)
+    val baseUs = ts("2025-03-01 00:00:00").getTime * 1000L
+    // 400 events over 7 keys × 10 values, event times scattered over 2 h —
+    // the count map must be a pure function of the multiset, whatever the
+    // batch slicing. lateSec = 1 day ≥ the span, so no slice drops rows.
+    val events = Seq.tabulate(400) { _ =>
+      EventStreams.ValueEvent(s"k${rnd.nextInt(7)}",
+        baseUs + rnd.nextInt(7200) * 1000000L, rnd.nextInt(10).toLong)
+    }
+    val input = MemoryStream[EventStreams.ValueEvent]
+    val q = EventStreams
+      .valueCountsExact(input.toDS(), horizonSec = 3600L, lateSec = 86400L)
+      .writeStream.format("memory").queryName("vce_slices")
+      .outputMode("append").start()
+    try {
+      // Random chunking: 6 slices of uneven sizes, arbitrary event order.
+      val shuffled = rnd.shuffle(events)
+      val cuts = (Seq(0, 400) ++ Seq.fill(5)(rnd.nextInt(399) + 1))
+        .distinct.sorted
+      cuts.sliding(2).foreach { case Seq(a, b) =>
+        input.addData(shuffled.slice(a, b)); q.processAllAvailable()
+      }
+      // Two far-future sentinels: watermark must pass every deadline AND a
+      // data batch must follow the advance for the timeouts to fire.
+      val far = baseUs + 10L * 86400 * 1000000L
+      input.addData(EventStreams.ValueEvent("sentinel", far, 0L))
+      q.processAllAvailable()
+      input.addData(EventStreams.ValueEvent("sentinel", far + 1000000L, 0L))
+      q.processAllAvailable()
+      val got = spark.table("vce_slices").filter($"key" =!= "sentinel")
+        .as[(String, Long, Long)].collect().toSet
+      val want = events.groupBy(e => (e.key, e.v))
+        .map { case ((k, v), es) => (k, v, es.size.toLong) }.toSet
+      assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+    } finally q.stop()
+  }
 }
