@@ -852,7 +852,10 @@ object CorpusOps {
     val ranked = RankOps.globalRank(
       base, Seq(col("n_tokens").desc, col("doc_id").asc), "graft_rk")
     val rn = col("graft_rk") - lit(1L)
-    val round = (rn / nShards).cast("long")
+    // Integer floor-div (TemporalJoins.floorDiv), not `/`+cast: `/` is
+    // double division, exact only to 2^53 — the rank is a long and the
+    // round must be too.
+    val round = TemporalJoins.floorDiv(rn, nShards.toLong)
     val pos = pmod(rn, lit(nShards.toLong))
     val shard = when(pmod(round, lit(2L)) === 0L, pos)
       .otherwise(lit(nShards.toLong - 1L) - pos)
