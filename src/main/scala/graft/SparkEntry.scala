@@ -15,13 +15,24 @@ object SparkEntry {
   private def domains: Seq[QueryDomain] =
     Seq(RelationalQueries, PipelineQueries, SourceQueries)
 
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
-    domains.map(_.queries).reduce(_ ++ _)
+  /** One entry per implemented operator from SURVEY.md §2. Same loud
+    * duplicate-key guard as [[graft.queries.PipelineQueries]]: `++`
+    * silently shadows a colliding gate name across domains.
+    */
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val m = domains.map(_.queries).reduce(_ ++ _)
+    require(m.size == domains.map(_.queries.size).sum,
+      "duplicate gate name across query domains — Map ++ would shadow one")
+    m
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
     */
-  def oracleSql: Map[String, String] =
-    domains.map(_.oracleSql).reduce(_ ++ _)
+  lazy val oracleSql: Map[String, String] = {
+    val m = domains.map(_.oracleSql).reduce(_ ++ _)
+    require(m.size == domains.map(_.oracleSql.size).sum,
+      "duplicate oracle name across query domains — Map ++ would shadow one")
+    m
+  }
 }
