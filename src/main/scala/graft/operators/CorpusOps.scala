@@ -590,27 +590,6 @@ object CorpusOps {
       .drop("graft_pri")
   }
 
-  /** Fixed-size token chunking with overlap — the context-window prep step
-    * of a training/RAG pipeline: each document's token sequence is cut into
-    * windows of `chunkSize` tokens advancing by `step = chunkSize − overlap`,
-    * the final window keeping its (possibly shorter) tail. Tokenization is
-    * [[TextOps.tokens]] (single-space split), so chunk boundaries land
-    * between tokens, never inside one. Documents with at most `chunkSize`
-    * tokens yield exactly one chunk (their full text); otherwise
-    * `⌈(nt − chunkSize)/step⌉ + 1` chunks — all integer arithmetic (`div`),
-    * no float rounding anywhere.
-    *
-    * Output: (doc_id, chunk_id 0.., n_chunk_tokens, chunk_text).
-    *
-    * Scale posture: a pure per-row generate with NO shuffle — chunking
-    * 100 TB is embarrassingly parallel and this plan keeps it that way. The
-    * token array is bound ONCE per row ahead of the explode; the Generate
-    * boundary blocks projection collapse, so `split` is not re-inlined into
-    * the per-chunk slices (the O(len·chunks) trap — see
-    * [[TextOps.wordShinglesHof]]). Per-chunk work is one O(chunkSize)
-    * `slice` + `array_join`; the tail-chunk length comes from arithmetic
-    * (`least(nt − i·step, chunkSize)`), not a second slice.
-    */
   /** Unigram-surprisal document scoring — the transcendental-free stand-in
     * for the perplexity quality filter every web-corpus pipeline runs: a
     * document full of corpus-rare tokens scores high (gibberish, boilerplate
@@ -717,6 +696,27 @@ object CorpusOps {
       .withColumn("n_seqs_spanned", col("last_seq") - col("first_seq") + 1)
   }
 
+  /** Fixed-size token chunking with overlap — the context-window prep step
+    * of a training/RAG pipeline: each document's token sequence is cut into
+    * windows of `chunkSize` tokens advancing by `step = chunkSize − overlap`,
+    * the final window keeping its (possibly shorter) tail. Tokenization is
+    * [[TextOps.tokens]] (single-space split), so chunk boundaries land
+    * between tokens, never inside one. Documents with at most `chunkSize`
+    * tokens yield exactly one chunk (their full text); otherwise
+    * `⌈(nt − chunkSize)/step⌉ + 1` chunks — all integer arithmetic (`div`),
+    * no float rounding anywhere.
+    *
+    * Output: (doc_id, chunk_id 0.., n_chunk_tokens, chunk_text).
+    *
+    * Scale posture: a pure per-row generate with NO shuffle — chunking
+    * 100 TB is embarrassingly parallel and this plan keeps it that way. The
+    * token array is bound ONCE per row ahead of the explode; the Generate
+    * boundary blocks projection collapse, so `split` is not re-inlined into
+    * the per-chunk slices (the O(len·chunks) trap — see
+    * [[TextOps.wordShinglesHof]]). Per-chunk work is one O(chunkSize)
+    * `slice` + `array_join`; the tail-chunk length comes from arithmetic
+    * (`least(nt − i·step, chunkSize)`), not a second slice.
+    */
   def chunkByTokens(docs: DataFrame, idCol: String, textCol: String,
       chunkSize: Int, overlap: Int): DataFrame = {
     require(chunkSize >= 1, "chunkSize must be >= 1")
@@ -863,26 +863,6 @@ object CorpusOps {
       shard.cast("int").as("shard"))
   }
 
-  /** Learn the first `numMerges` BPE merge rules over the corpus — the
-    * byte-pair-encoding trainer (Sennrich et al., ACL'16) that produces the
-    * subword vocabulary [[tokenizeToIds]]-style tokenization consumes.
-    * Returns one row per learned rule: `(rank, lft, rgt, freq)` in learning
-    * order.
-    *
-    * Scale posture — the standard trick every public BPE trainer uses: the
-    * corpus is touched EXACTLY ONCE, to build the word-frequency table
-    * (one combiner-reduced hash aggregate; vocabulary-bounded output). All
-    * `numMerges` iterations then run over that small weighted table:
-    * adjacent-pair counts are an explode + hash aggregate weighted by word
-    * count, the best pair is a TakeOrdered argmax (freq desc, then
-    * lexicographic — a total order, so the learned rules are deterministic
-    * and oracle-gateable), and the merge is applied with a per-row greedy
-    * left-to-right fold (`aggregate`), non-overlapping exactly like the
-    * reference implementation — `[a,b,b,a,b]` under (a,b) → `[ab,b,ab]`.
-    * Each iteration's vocab is persisted so iteration r+1 folds over r's
-    * cached rows, not a replayed lineage; driver traffic is one
-    * (lft, rgt, freq) row per iteration.
-    */
   /** One BPE merge applied to a symbol array: the greedy left-to-right
     * NON-OVERLAPPING fold — `[a,b,b,a,b]` under (a,b) → `[ab,b,ab]`.
     * Shared by the trainer and the encoder so both segment identically.
@@ -908,6 +888,26 @@ object CorpusOps {
     .select(col("w"), filter(split(col("w"), ""), x => length(x) > 0).as("syms"),
       col("wc"))
 
+  /** Learn the first `numMerges` BPE merge rules over the corpus — the
+    * byte-pair-encoding trainer (Sennrich et al., ACL'16) that produces the
+    * subword vocabulary [[tokenizeToIds]]-style tokenization consumes.
+    * Returns one row per learned rule: `(rank, lft, rgt, freq)` in learning
+    * order.
+    *
+    * Scale posture — the standard trick every public BPE trainer uses: the
+    * corpus is touched EXACTLY ONCE, to build the word-frequency table
+    * (one combiner-reduced hash aggregate; vocabulary-bounded output). All
+    * `numMerges` iterations then run over that small weighted table:
+    * adjacent-pair counts are an explode + hash aggregate weighted by word
+    * count, the best pair is a TakeOrdered argmax (freq desc, then
+    * lexicographic — a total order, so the learned rules are deterministic
+    * and oracle-gateable), and the merge is applied with a per-row greedy
+    * left-to-right fold (`aggregate`), non-overlapping exactly like the
+    * reference implementation — `[a,b,b,a,b]` under (a,b) → `[ab,b,ab]`.
+    * Each iteration's vocab is persisted so iteration r+1 folds over r's
+    * cached rows, not a replayed lineage; driver traffic is one
+    * (lft, rgt, freq) row per iteration.
+    */
   def learnBpeMerges(docs: DataFrame, idCol: String, textCol: String,
       numMerges: Int): DataFrame = {
     require(numMerges > 0, "numMerges must be positive")
@@ -1132,38 +1132,6 @@ object CorpusOps {
       .select(col("tb_id").as(idCol), col("tb_grp").as(groupCol), col("n_tokens"))
   }
 
-  /** DSIR-style importance weights (Data Selection via Importance
-    * Resampling, Xie et al. 2023): score every raw document by the
-    * log-likelihood ratio of its hashed-unigram bag under a target-corpus
-    * unigram LM vs the raw-corpus unigram LM,
-    *
-    *   w(doc) = Σ_tok [log p_tgt(b(tok)) − log p_raw(b(tok))]
-    *
-    * with `b` a polynomial hash into `buckets` buckets and add-1 smoothing
-    * on both models — then keep the highest-weight documents ("is this raw
-    * document distributed like the high-quality target?"). The target
-    * corpus is the subset of `docs` where `isTarget` holds (in production,
-    * a trusted reference corpus unioned in with the flag set).
-    *
-    * Logs are at INTEGER log₂ resolution via bit lengths —
-    * `length(bin(c+1))` — the same formulation [[surprisal]] gates: it is
-    * the only log both engines compute bit-identically, and DSIR's
-    * selection consumes only the ORDER of weights, where coarse resolution
-    * costs ties, not bias (break ties deterministically downstream). The
-    * model-size normalizers stay in the sum (n_tokens · [bits(R+B) −
-    * bits(T+B)]) so documents of different lengths rank on comparable
-    * weights, exactly as the paper's summed per-token ratio does.
-    *
-    * Scale posture: one combiner-reduced aggregate keyed on the bucket id
-    * (≤ `buckets` rows of state — the two LMs), broadcast of that
-    * bucket table back over the token stream, one keyed aggregate per doc.
-    * No windows, no driver-side model. Selection downstream is a
-    * TakeOrdered top-k, never a full sort.
-    *
-    * Output: (idCol, n_tokens, weight) — weight is an exact BIGINT; higher
-    * means more target-like. Empty/null texts are excluded (no tokens, no
-    * evidence).
-    */
   /** The DSIR model as a dense bucket→term array for ROW-LOCAL scoring:
     * entry `b` is the per-token log-ratio contribution
     * `bits(ct_b+1) − bits(cr_b+1) + bits(R+B) − bits(T+B)` with the
@@ -1218,6 +1186,38 @@ object CorpusOps {
         (TextOps.polyHash(tk) % terms.length).cast("int") + 1))
   }
 
+  /** DSIR-style importance weights (Data Selection via Importance
+    * Resampling, Xie et al. 2023): score every raw document by the
+    * log-likelihood ratio of its hashed-unigram bag under a target-corpus
+    * unigram LM vs the raw-corpus unigram LM,
+    *
+    *   w(doc) = Σ_tok [log p_tgt(b(tok)) − log p_raw(b(tok))]
+    *
+    * with `b` a polynomial hash into `buckets` buckets and add-1 smoothing
+    * on both models — then keep the highest-weight documents ("is this raw
+    * document distributed like the high-quality target?"). The target
+    * corpus is the subset of `docs` where `isTarget` holds (in production,
+    * a trusted reference corpus unioned in with the flag set).
+    *
+    * Logs are at INTEGER log₂ resolution via bit lengths —
+    * `length(bin(c+1))` — the same formulation [[surprisal]] gates: it is
+    * the only log both engines compute bit-identically, and DSIR's
+    * selection consumes only the ORDER of weights, where coarse resolution
+    * costs ties, not bias (break ties deterministically downstream). The
+    * model-size normalizers stay in the sum (n_tokens · [bits(R+B) −
+    * bits(T+B)]) so documents of different lengths rank on comparable
+    * weights, exactly as the paper's summed per-token ratio does.
+    *
+    * Scale posture: one combiner-reduced aggregate keyed on the bucket id
+    * (≤ `buckets` rows of state — the two LMs), broadcast of that
+    * bucket table back over the token stream, one keyed aggregate per doc.
+    * No windows, no driver-side model. Selection downstream is a
+    * TakeOrdered top-k, never a full sort.
+    *
+    * Output: (idCol, n_tokens, weight) — weight is an exact BIGINT; higher
+    * means more target-like. Empty/null texts are excluded (no tokens, no
+    * evidence).
+    */
   def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
       isTarget: Column, buckets: Int = 512): DataFrame = {
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")

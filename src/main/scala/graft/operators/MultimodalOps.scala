@@ -183,8 +183,8 @@ object MultimodalOps {
     * the candidate volume; no all-pairs stage anywhere.
     *
     * Output: (doc_i, doc_j, hamming), doc_i < doc_j, one row per pair.
-    */
-  /** @param maxBucket skip band buckets larger than this before pair
+    *
+    * @param maxBucket skip band buckets larger than this before pair
     *   generation — the LSH hub-bucket guard. On low-entropy payloads a
     *   band value can collect tens of thousands of hashes (measured at
     *   sf10: ~2 000 distinct band values over 1 M synthetic docs ⇒

@@ -147,17 +147,6 @@ object SimHash {
       .distinct() // a pair colliding in k bands appears k times
   }
 
-  /** Shared banding core of [[nearDupPairs]] / [[crossNearDupPairs]]:
-    * 60-bit signatures exploded into one row per (band, bandKey).
-    *
-    * wideHash, not polyHash: every signature bit must be informative or the
-    * dead bands would bucket all docs together (see TextOps.wideHash).
-    * Degenerate docs (null or whitespace-only text) are excluded BEFORE
-    * banding: they would all carry the all-zero signature and collide
-    * pairwise in every band — a quadratic bucket over contentless rows
-    * (exact dedup is the right tool there). The oracle applies the same
-    * WHERE clause, keeping the brute-force-equality contract.
-    */
   /** Per-document `bits`-bit signatures straight from a text column (wide
     * token hashes, compiled one-pass fold; null/empty text excluded) —
     * the building block for candidate generators OTHER than this module's
@@ -204,6 +193,17 @@ object SimHash {
           lit(0L)).as("sig")) ++ carry.map(col): _*)
   }
 
+  /** Shared banding core of [[nearDupPairs]] / [[crossNearDupPairs]]:
+    * 60-bit signatures exploded into one row per (band, bandKey).
+    *
+    * wideHash, not polyHash: every signature bit must be informative or the
+    * dead bands would bucket all docs together (see TextOps.wideHash).
+    * Degenerate docs (null or whitespace-only text) are excluded BEFORE
+    * banding: they would all carry the all-zero signature and collide
+    * pairwise in every band — a quadratic bucket over contentless rows
+    * (exact dedup is the right tool there). The oracle applies the same
+    * WHERE clause, keeping the brute-force-equality contract.
+    */
   private def bandedSignatures(
       docs: DataFrame, idCol: String, textCol: String,
       bits: Int, bandBits: Int, maxHamming: Int): DataFrame =

@@ -53,23 +53,6 @@ object TimeSeriesOps {
       .drop("graft_obs")
   }
 
-  /** Final exponentially-weighted moving average per key — the "current
-    * smoothed value" of an irregular series:
-    *
-    *   ewma₀ = v₀;  ewmaᵢ = α·vᵢ + (1−α)·ewmaᵢ₋₁
-    *
-    * computed as ONE strict left fold over the (orderCol, tieCols)-sorted
-    * observations, so the float-op sequence is fixed by the data alone —
-    * bit-reproducible across engines and partitionings (pick α an exact
-    * binary fraction and the literals are too). The recursive form is
-    * NOT expressible as a window aggregate (each term rescales the whole
-    * history), and a per-row-emitting fold would copy O(n²) accumulator
-    * state — the per-key FINAL value is the O(n) shape.
-    *
-    * Scale: one key-partitioned aggregate; per-key memory is the series
-    * length (collect + sort inside the group). Bound the series with a
-    * time-window filter upstream for unbounded keys.
-    */
   /** One-sided (upper) CUSUM drift detector per key — the telemetry /
     * data-quality changepoint screen (Page 1954): over the
     * (orderCol, tieCols)-sorted series,
@@ -139,6 +122,23 @@ object TimeSeriesOps {
         sum(when(col("graft_s") > thresholdE4, 1L).otherwise(0L)).as("n_over"))
   }
 
+  /** Final exponentially-weighted moving average per key — the "current
+    * smoothed value" of an irregular series:
+    *
+    *   ewma₀ = v₀;  ewmaᵢ = α·vᵢ + (1−α)·ewmaᵢ₋₁
+    *
+    * computed as ONE strict left fold over the (orderCol, tieCols)-sorted
+    * observations, so the float-op sequence is fixed by the data alone —
+    * bit-reproducible across engines and partitionings (pick α an exact
+    * binary fraction and the literals are too). The recursive form is
+    * NOT expressible as a window aggregate (each term rescales the whole
+    * history), and a per-row-emitting fold would copy O(n²) accumulator
+    * state — the per-key FINAL value is the O(n) shape.
+    *
+    * Scale: one key-partitioned aggregate; per-key memory is the series
+    * length (collect + sort inside the group). Bound the series with a
+    * time-window filter upstream for unbounded keys.
+    */
   def ewmaLast(
       df: DataFrame,
       keyCols: Seq[String],
@@ -161,34 +161,6 @@ object TimeSeriesOps {
         ).as("ewma")): _*)
   }
 
-  /** Per-key EXACT sample autocorrelation at lags 1..`maxLag` — the
-    * seasonality/drift fingerprint of a metric stream (a near-1 r₁ says
-    * the series trends, a spike at r_k says period k). The standard ACF
-    *
-    *   r_L = Σᵢ (vᵢ − v̄)(vᵢ₊L − v̄) / Σᵢ (vᵢ − v̄)²
-    *
-    * is a ratio of rationals, so it hash-gates through the repo's
-    * integer-centering trick: with n and S = Σv per key, uᵢ = n·vᵢ − S is
-    * an exact BIGINT and r_L = Σ uᵢuᵢ₊L / Σ uᵢ² EXACTLY (both sums scale
-    * by n², which cancels). The products accumulate as (18,0)×(19,0)
-    * DECIMALs — precision 38, int128 in DuckDB, never Spark's lossy ≥39
-    * adjustment — and each r_L is one IEEE division of the two
-    * digit-string-cast operands. Values quantize ONCE to e4 BIGINTs
-    * (NULLs → 0), the [[cusum]] convention.
-    *
-    * Scale posture: one combiner-reduced per-key moment aggregate, the
-    * (n, S) frame broadcast back, then ONE per-key window sort serving
-    * every lead(u, L) (same partition + order ⇒ one exchange, one sort)
-    * and one closing hash aggregate. Exactness bound: |u| ≤ n·|v|ₑ₄ must
-    * fit 18 digits — at e4 quantization of |v| ≤ 10⁴ that is ~10¹⁰ rows
-    * per key; quantize coarser beyond.
-    *
-    * Degenerate keys (constant series ⇒ zero denominator, or n ≤ L)
-    * report NULL r_L; their pinned integer sums still gate. Output:
-    * (keys…, n, acf_den, c1..c`maxLag`, r1..r`maxLag`), with the pinned
-    * sums exposed as DIGIT STRINGS (not DECIMAL(38,0) — the r15 driver
-    * drift type; see [[fanoFactor]]).
-    */
   /** Per-key burstiness — the FANO FACTOR (variance-to-mean ratio) of
     * per-window event counts: F = 1 for a Poisson arrival process, > 1
     * bursty, < 1 regular. The traffic-health check next to [[acf]]'s
@@ -251,6 +223,34 @@ object TimeSeriesOps {
       .withColumn("fano_den", col("fano_den").cast("string"))
   }
 
+  /** Per-key EXACT sample autocorrelation at lags 1..`maxLag` — the
+    * seasonality/drift fingerprint of a metric stream (a near-1 r₁ says
+    * the series trends, a spike at r_k says period k). The standard ACF
+    *
+    *   r_L = Σᵢ (vᵢ − v̄)(vᵢ₊L − v̄) / Σᵢ (vᵢ − v̄)²
+    *
+    * is a ratio of rationals, so it hash-gates through the repo's
+    * integer-centering trick: with n and S = Σv per key, uᵢ = n·vᵢ − S is
+    * an exact BIGINT and r_L = Σ uᵢuᵢ₊L / Σ uᵢ² EXACTLY (both sums scale
+    * by n², which cancels). The products accumulate as (18,0)×(19,0)
+    * DECIMALs — precision 38, int128 in DuckDB, never Spark's lossy ≥39
+    * adjustment — and each r_L is one IEEE division of the two
+    * digit-string-cast operands. Values quantize ONCE to e4 BIGINTs
+    * (NULLs → 0), the [[cusum]] convention.
+    *
+    * Scale posture: one combiner-reduced per-key moment aggregate, the
+    * (n, S) frame broadcast back, then ONE per-key window sort serving
+    * every lead(u, L) (same partition + order ⇒ one exchange, one sort)
+    * and one closing hash aggregate. Exactness bound: |u| ≤ n·|v|ₑ₄ must
+    * fit 18 digits — at e4 quantization of |v| ≤ 10⁴ that is ~10¹⁰ rows
+    * per key; quantize coarser beyond.
+    *
+    * Degenerate keys (constant series ⇒ zero denominator, or n ≤ L)
+    * report NULL r_L; their pinned integer sums still gate. Output:
+    * (keys…, n, acf_den, c1..c`maxLag`, r1..r`maxLag`), with the pinned
+    * sums exposed as DIGIT STRINGS (not DECIMAL(38,0) — the r15 driver
+    * drift type; see [[fanoFactor]]).
+    */
   def acf(
       df: DataFrame,
       keyCols: Seq[String],

@@ -123,12 +123,6 @@ object QueryShared {
          |  FROM cand JOIN n q ON q.vec_id = cand.qid JOIN n d ON d.vec_id = cand.nid)
          |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
 
-  /** Shared IVF-PQ residual-ADC chain (q_ivfpq_topk + q_ivfpq_recall):
-    * cosine-argmax assignment to the vec_id<10 centroids, residual arrays,
-    * residual-space codebooks from seeds 20–27 (m=2), nProbe=3 by largest
-    * q·c, score = qc + sorted-fold residual ADC. Ends at `sc`
-    * (query_id, neighbor_id, adc).
-    */
 
   /** The χ² oracle, shared by q_chi_square (batch) and
     * q_stream_chi_square (streamed contingency cells through
@@ -382,6 +376,12 @@ object QueryShared {
        |FROM c$x""".stripMargin
   }
 
+  /** Shared IVF-PQ residual-ADC chain (q_ivfpq_topk + q_ivfpq_recall):
+    * cosine-argmax assignment to the vec_id<10 centroids, residual arrays,
+    * residual-space codebooks from seeds 20–27 (m=2), nProbe=3 by largest
+    * q·c, score = qc + sorted-fold residual ADC. Ends at `sc`
+    * (query_id, neighbor_id, adc).
+    */
   private[queries] lazy val ivfPqCtes =
     s"""$embCte,
        |cen AS (SELECT vec_id AS cid, e, nn FROM n WHERE vec_id < 10),
@@ -599,16 +599,6 @@ object QueryShared {
       |    + CAST(MIN(d2) IS NOT NULL AS INT) AS INT) AS steps_completed
       |FROM w3 GROUP BY user_id ORDER BY user_id""".stripMargin
 
-  /** The q_lsh_probe / q_stream_lsh_probe shared index staging: corpus =
-    * doc_id%4 ∈ {0,1} built, ingest %4 == 2 appended as TWO batches
-    * (%8 == 2 then %8 == 6), then the bucketed tables are compacted
-    * ([[graft.operators.ScaleJoins.compactBucketed]]) — so every probe in
-    * the suite runs against a POST-COMPACTION index, pinning that
-    * compaction preserves probe results. Staged once per (sf, JVM)
-    * ([[Staging.memo]]); a repeat append would duplicate band rows, and
-    * bench reps must measure the PROBE, not the build. Whichever gate runs
-    * first builds it; the catalog is shared across cloned sessions.
-    */
   /** `rounds` integer power-iteration rounds unrolled — the recurrence
     * [[graft.operators.VectorOps.topComponentInt]] runs on the driver:
     * exact HUGEINT scatter n·Sxx − S Sᵀ, quantized to ≤ 2³⁰ by a
@@ -740,6 +730,16 @@ object QueryShared {
       (ot, lt)
     }
 
+  /** The q_lsh_probe / q_stream_lsh_probe shared index staging: corpus =
+    * doc_id%4 ∈ {0,1} built, ingest %4 == 2 appended as TWO batches
+    * (%8 == 2 then %8 == 6), then the bucketed tables are compacted
+    * ([[graft.operators.ScaleJoins.compactBucketed]]) — so every probe in
+    * the suite runs against a POST-COMPACTION index, pinning that
+    * compaction preserves probe results. Staged once per (sf, JVM)
+    * ([[Staging.memo]]); a repeat append would duplicate band rows, and
+    * bench reps must measure the PROBE, not the build. Whichever gate runs
+    * first builds it; the catalog is shared across cloned sessions.
+    */
   private[queries] def lshProbeIndex(s: SparkSession, dir: String): String =
     Staging.memo[String]("lshprobe", dir) {
       import s.implicits._

@@ -2,11 +2,6 @@ package graft.sink
 
 import java.sql.{Connection, DriverManager, PreparedStatement, Savepoint}
 
-/** Minimal transactional-connection surface the sink needs. Isolating it
-  * behind a trait (instead of raw `java.sql.Connection`) keeps the
-  * savepoint + binary-split logic unit-testable against an in-memory fake —
-  * the harness has no live Postgres (SURVEY.md §7.5 risk 2).
-  */
 /** Raised by backends when the CONNECTION itself is gone (network drop,
   * server restart) rather than a statement-level failure. The distinction
   * drives two different recoveries: statement failures binary-split to
@@ -21,6 +16,11 @@ import java.sql.{Connection, DriverManager, PreparedStatement, Savepoint}
 class SinkConnectionLostException(message: String, cause: Throwable = null)
   extends RuntimeException(message, cause)
 
+/** Minimal transactional-connection surface the sink needs. Isolating it
+  * behind a trait (instead of raw `java.sql.Connection`) keeps the
+  * savepoint + binary-split logic unit-testable against an in-memory fake —
+  * the harness has no live Postgres (SURVEY.md §7.5 risk 2).
+  */
 trait SinkConnection extends AutoCloseable {
   /** Execute `sql` once per row of `batch` inside the current transaction.
     * Throws on any failure (the whole batch is then considered failed).
