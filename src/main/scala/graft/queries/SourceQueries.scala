@@ -309,6 +309,25 @@ object SourceQueries extends QueryDomain {
         .orderBy($"o_orderpriority")
     },
 
+    "q_salted_join" -> { (s, dir) =>
+      import s.implicits._
+      // Skew-safe salted equi-join ([[ScaleJoins.saltedJoin]]): 1M-scale
+      // events join their 5-row per-type dimension on event_type — the
+      // textbook hot-key shape (every key is hot). The salt spreads each
+      // type over 8 tasks; the result must equal the plain inner join,
+      // pinned here through the per-(type, day) census with the dim
+      // attribute riding along. The manual-salt lever for when AQE skew
+      // handling can't reach the join (spec: ScaleJoinsSpec).
+      val e = events(s, dir).select($"event_type",
+        expr("ts div 86400000000000").as("day"))
+      val dim = e.groupBy($"event_type")
+        .agg(count(lit(1)).as("type_total"))
+      ScaleJoins.saltedJoin(e, dim, Seq("event_type"), saltBuckets = 8)
+        .groupBy($"event_type", $"day")
+        .agg(count(lit(1)).as("n"), max($"type_total").as("type_total"))
+        .orderBy($"event_type", $"day")
+    },
+
     "q_schema_merge" -> { (s, dir) =>
       import s.implicits._
       // Parquet schema EVOLUTION across files of one dataset — the lake
@@ -473,6 +492,19 @@ object SourceQueries extends QueryDomain {
     // base table; everything layout-level is spec-pinned.
     "q_snapshot_compact" ->
       """SELECT * FROM part ORDER BY p_partkey""",
+
+    // Salting is pure physics too: the salted join must equal the plain
+    // inner join, row multiplicities included.
+    "q_salted_join" ->
+      """WITH e AS (SELECT event_type,
+        |    epoch_ns(ts) // 86400000000000 AS day FROM events),
+        |d AS (SELECT event_type, CAST(count(*) AS BIGINT) AS type_total
+        |  FROM e GROUP BY 1)
+        |SELECT e.event_type, day, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(max(type_total) AS BIGINT) AS type_total
+        |FROM e JOIN d USING (event_type)
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
 
     // The bucketed layout is pure physics: the join result must equal
     // the plain join of the base tables.
