@@ -21,11 +21,19 @@ import java.nio.file.{Files, Paths}
   * grouped-reps failure mode seen in round 6). `value` is the sum of
   * medians.
   *
-  * A fixed SENTINEL (a constant tiny plan, identical every round) runs once
-  * per rep pass; its median/min quantify the box's co-tenant contention for
-  * THIS run, so a noisy sweep is identified by its own record instead of
-  * argued from cross-round deltas (the r9–r11 post-mortems re-litigated
-  * contention every round for want of this number).
+  * A fixed SENTINEL (a constant tiny plan, identical every round) runs at
+  * each rep-pass head AND every `SentinelStride` queries inside the pass
+  * (the r19 trace — r18's single pass-head draw could not vouch for the
+  * box minutes into a 237-gate pass); the full (pass, offset, seconds)
+  * trace lands in BENCH.json, so a noisy sweep region is identified by its
+  * own record instead of argued from cross-round deltas (the r9–r11
+  * post-mortems re-litigated contention every round for want of this
+  * number). NOTE: `sentinel.min`/`subset18_norm` therefore sample ~6×
+  * more sentinel draws than r17/r18 — the min reads the box's quiet floor
+  * more often, so norm values are comparable to r18's only with that bias
+  * in mind (recorded in BASELINE.md r19). Stream gates additionally run in
+  * their own rep passes AFTER the batch gates, isolating the staged-replay
+  * protocol's I/O from the batch timings (r18 VERDICT item 2).
   *
   * Stdout discipline: the driver parses the stdout TAIL (~2000 chars), and
   * a full per-query map at 134 queries is ~3.5 KB — every BENCH since r8
@@ -103,10 +111,31 @@ object Bench {
       None
     }
     sentinelOnce() // warm-up draw, not recorded
-    var sentinelTs = Vector.empty[Double]
-    for (_ <- 0 until reps) {
-      sentinelOnce().foreach(t => sentinelTs :+= t)
-      for (name <- names) {
+    // The sentinel TRACE (r18 VERDICT item 2): one draw at each pass head
+    // PLUS one every `SentinelStride` queries inside the pass, each recorded
+    // as (pass, offset, seconds). A 237-gate pass runs for minutes, so a
+    // single head-of-pass draw cannot vouch for the box minutes later — the
+    // r18 sweep's med/min pathology (25.3 s median vs 3.08 s min) was only
+    // attributable to contention by argument; the trace makes each region
+    // of the sweep carry its own noise tag mechanically.
+    val SentinelStride = 40
+    var sentinelTrace = Vector.empty[(Int, Int, Double)]
+    def tracedSentinel(pass: Int, offset: Int): Unit =
+      sentinelOnce().foreach(t => sentinelTrace :+= ((pass, offset, t)))
+    // Stream gates (the 35 staged-replay q_stream_* monitors) run in their
+    // OWN rep passes after the batch gates (r18 VERDICT item 2): their
+    // fixed micro-batch protocol cost (staging reads, checkpoint dirs,
+    // state-store lifecycle) is the sweep's heaviest I/O, and isolating it
+    // keeps any cross-talk confined to the stream group — round-robin
+    // interleaving is preserved WITHIN each group, so one noisy wall-clock
+    // window still hits at most one draw per query.
+    val (streamNames, batchNames) = names.partition(_.startsWith("q_stream_"))
+    var pass = 0
+    for (group <- Seq(batchNames, streamNames) if group.nonEmpty; _ <- 0 until reps) {
+      var offset = 0
+      tracedSentinel(pass, offset)
+      for (name <- group) {
+        if (offset > 0 && offset % SentinelStride == 0) tracedSentinel(pass, offset)
         val t0 = System.nanoTime()
         try {
           SparkEntry.queries(name)(spark, sfDir)
@@ -116,8 +145,11 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           failedOnce += name
         }
+        offset += 1
       }
+      pass += 1
     }
+    val sentinelTs = sentinelTrace.map(_._3)
     val results = names.map(n => (n, if (failedOnce(n)) Vector.empty[Double] else timesByName(n)))
     def median(ts: Seq[Double]): Double = ts.sorted.apply(ts.length / 2)
     def jmap(entries: Seq[(String, Vector[Double])], stat: Vector[Double] => Double): String =
@@ -173,6 +205,16 @@ object Bench {
         f""""sentinel":$sentinelJson,"queries":${jmap(stdoutEntries, median)},""" +
         f""""queries_min":${jmap(stdoutEntries, _.min)},""" +
         f""""failed":$failed,"sf":"$sfDir","full_record":"BENCH.json"}"""
+    // Raw per-draw record: every query's individual rep times plus the
+    // full sentinel trace [(pass, offset, sec)…] — the r18 sweep's med/min
+    // pathology was adjudicable only by re-running; with the raw draws and
+    // their nearest noise tags in the record, a drifted median is
+    // attributable (or not) from BENCH.json alone.
+    val repsJson = results.map { case (k, ts) =>
+      "\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val traceJson = sentinelTrace
+      .map { case (p, o, t) => f"[$p,$o,$t%.3f]" }.mkString("[", ",", "]")
     val fileJson =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,""" +
         f""""n_queries":${names.length},"subset18_total":$subsetTotalJson,""" +
@@ -180,7 +222,9 @@ object Bench {
         f""""subset18_complete":$subsetComplete,""" +
         f""""subset18_norm":$subsetNormJson,""" +
         f""""sentinel":$sentinelJson,"sentinel_reps":${sentinelTs.map(t => f"$t%.3f").mkString("[", ",", "]")},""" +
+        f""""sentinel_trace":$traceJson,""" +
         f""""queries":${jmap(results, median)},"queries_min":${jmap(results, _.min)},""" +
+        f""""queries_reps":$repsJson,""" +
         f""""failed":$failed,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("BENCH.json"), fileJson + "\n")
     // Stop Spark BEFORE the metric line: spark.stop() can log shutdown

@@ -204,15 +204,24 @@ object EvalOps {
     * feeds [[cohensKappaFromCounts]] also closes the per-class view, so
     * one stream emission serves both agreement statistics. At most one
     * row per (gold, pred) cell and non-null labels are assumed
-    * ([[classPrf]] enforces the latter on raw rows). All counts stay
+    * ([[classPrf]] enforces the latter on raw rows); cells with a
+    * non-positive count are dropped, so a caller pre-seeding the label
+    * domain with zero-count cells cannot manufacture phantom classes. All counts stay
     * exact longs; P/R/F1 stay single IEEE divisions; the macro row's
     * sorted fold is unchanged — a stream twin reconstructing the exact
     * label strings lands bit-identically on the batch result.
     */
   def classPrfFromCounts(counts: DataFrame, goldCol: String,
       predCol: String, cntCol: String): DataFrame = {
+    // Zero-count cells are dropped here rather than assumed away: a caller
+    // that pre-seeds the full label domain with c = 0 cells (a natural
+    // stream-side move) would otherwise add phantom classes to the
+    // full-outer join and shift the macro-F1 denominator relative to
+    // classPrf on raw rows — only OBSERVED cells may define the class set
+    // (r18 ADVICE).
     val base = counts.select(col(goldCol).cast("string").as("gold"),
       col(predCol).cast("string").as("pred"), col(cntCol).cast("long").as("c"))
+      .filter(col("c") > 0L)
     val diag = base.filter(col("gold") === col("pred"))
       .groupBy(col("gold").as("cls")).agg(sum(col("c")).as("tp"))
     val goldN = base.groupBy(col("gold").as("cls")).agg(sum(col("c")).as("n_gold"))

@@ -38,6 +38,20 @@ object SetSimJoin {
     */
   val DefaultMaxPackedDfEntries: Int = 4 << 20
 
+  /** Default ceiling on the unpruned same-token collision mass
+    * Σ_{(block, token)} C(df, 2) a [[jaccardJoin]]/[[containmentJoin]] call
+    * will accept before failing LOUDLY — the candidate-volume law the exact
+    * prefix join is bound by (measured on the trigram fixture: 1.4e7 →
+    * 1.25e9 → 1.3e11 across 5k → 50k → 500k docs; the 1.3e11 run DNF'd
+    * filling >64 GB of shuffle spill — BASELINE.md round-15 adjudication).
+    * 1e10 sits an order of magnitude above the largest mass that COMPLETED
+    * (sf1's 1.25e9, ~30 s) and an order below the one that did not, so the
+    * default passes every bounded-block workload and rejects exactly the
+    * saturated corpus-wide shapes that were previously a silent spill wall
+    * (r18 VERDICT item 4). `Long.MaxValue` opts out.
+    */
+  val DefaultMaxCandidates: Long = 10000000000L
+
   /** How per-(block, token) document frequency — the rare-first token
     * order — is computed. All strategies produce IDENTICAL df values (and
     * therefore identical join output — property-tested in SetSimJoinSpec);
@@ -119,6 +133,38 @@ object SetSimJoin {
   }
 
   private def ceilDivC(n: Column, d: Int): Column = floor((n + (d - 1)) / d).cast("int")
+
+  /** The census-triggered loud failure behind [[DefaultMaxCandidates]]:
+    * one combiner-reduced df aggregate (map-side combine → ≤ |vocab| rows
+    * → 1 row — the same shape [[capTokenDf]]'s census rides, cheap
+    * relative to the join it guards) computes Σ C(df, 2) over the exploded
+    * index and throws with steering if the join ahead would be
+    * candidate-mass-bound. Products accumulate as decimals: a 100 TB-scale
+    * posting list's df² does not fit a long.
+    */
+  private def guardCandidateMass(ex: DataFrame, blockCols: Seq[String],
+      maxCandidates: Long, op: String): Unit = {
+    if (maxCandidates == Long.MaxValue) return
+    val bc = blockCols.map(col)
+    val massX2 = ex.groupBy(bc :+ col("sj_tok"): _*)
+      .agg(count(lit(1)).as("sj_df"))
+      .agg(coalesce(sum((col("sj_df").cast("decimal(20,0)") *
+        (col("sj_df") - 1).cast("decimal(20,0)")).cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)")))
+      .head().getDecimal(0).toBigInteger
+    val mass = massX2.shiftRight(1) // ΣC(df,2) = Σ df·(df−1) / 2
+    if (mass.compareTo(java.math.BigInteger.valueOf(maxCandidates)) > 0)
+      throw new IllegalArgumentException(
+        s"$op: same-token collision mass " + String.format("ΣC(df,2) = %s", mass) +
+          s" exceeds maxCandidates = $maxCandidates — the exact prefix join " +
+          "is candidate-volume-bound and this input is in its quadratic " +
+          "regime (the measured wall: 1.3e11 mass filled >64 GB of shuffle " +
+          "spill and DNF'd, BASELINE.md r15). Remove ubiquitous tokens " +
+          "first via maxDf = Some(k) (capTokenDf), block the corpus so " +
+          "posting lists stay bounded, use the banded MinHashLsh/SimHash " +
+          "families for corpus-wide near-dup, or raise maxCandidates " +
+          "deliberately.")
+  }
 
   /** DF-CAP guard for the exact joins — the set-similarity analog of
     * [[MultimodalOps.dHashNearDup]]'s `maxBucket` hub-bucket guard (r17
@@ -317,6 +363,13 @@ object SetSimJoin {
     *                DISTINCT tokens (dedup upstream — counts are set-based)
     * @param dfStrategy document-frequency computation — see [[DfStrategy]]
     *                for the vocabulary-size steering rule
+    * @param maxDf   Some(k) routes the input through [[capTokenDf]] first
+    *                (stop-token removal at per-block df > k — the
+    *                candidate-mass cap as a single knob); None leaves the
+    *                sets untouched
+    * @param maxCandidates loud-failure ceiling on the post-cap collision
+    *                mass Σ C(df, 2) — see [[DefaultMaxCandidates]];
+    *                `Long.MaxValue` opts out of the census
     * @return columns: blockCols…, doc_i, doc_j, n_common, n_union (LONG)
     */
   def jaccardJoin(
@@ -327,18 +380,28 @@ object SetSimJoin {
       threshNum: Int,
       threshDen: Int,
       dfStrategy: DfStrategy = DfStrategy.Window,
-      maxPackedDfEntries: Int = DefaultMaxPackedDfEntries): DataFrame = {
+      maxPackedDfEntries: Int = DefaultMaxPackedDfEntries,
+      maxDf: Option[Long] = None,
+      maxCandidates: Long = DefaultMaxCandidates): DataFrame = {
     require(threshNum > 0 && threshNum <= threshDen, "threshold must be in (0, 1]")
     require(maxPackedDfEntries > 0 && maxPackedDfEntries < Int.MaxValue,
       "maxPackedDfEntries must be a positive Int with headroom for the overflow probe")
     def ceilDiv(n: Column, d: Int): Column = floor((n + (d - 1)) / d).cast("int")
     val bc = blockCols.map(col)
-    val d = docs.select(col(idCol).as("sj_id") +: col(setCol).as("sj_set") +: bc: _*)
+    val docsF = maxDf.map(m => capTokenDf(docs, setCol, blockCols, m, idCol))
+      .getOrElse(docs)
+    val d = docsF.select(col(idCol).as("sj_id") +: col(setCol).as("sj_set") +: bc: _*)
 
     // Inverted index: one row per (doc, token), with set size carried along.
     val ex = d.select(
       col("sj_id") +: size(col("sj_set")).as("sj_sz") +:
         explode(col("sj_set")).as("sj_tok") +: bc: _*)
+    // The default-loud candidate-mass census (r18 VERDICT item 4): a
+    // corpus-wide call on a saturated vocabulary previously ran straight
+    // into the >64 GB spill wall with no warning — now it fails eagerly,
+    // BEFORE the prefix join, with the measured law and the escape hatches
+    // in the message.
+    guardCandidateMass(ex, blockCols, maxCandidates, "jaccardJoin")
 
     // Packed's bounded-vocabulary contract is ENFORCED, not assumed: the df
     // table is collected through a hard cap (one row past `maxPackedDfEntries`
@@ -534,6 +597,10 @@ object SetSimJoin {
     * asymmetric — two equal-sized near-identical docs qualify both ways).
     *
     * @param docs one row per document; `setCol` an ARRAY of DISTINCT tokens
+    * @param maxDf Some(k) routes the input through [[capTokenDf]] first;
+    *              None leaves the sets untouched
+    * @param maxCandidates loud-failure ceiling on the post-cap collision
+    *              mass — see [[DefaultMaxCandidates]]; `Long.MaxValue` opts out
     * @return columns: blockCols…, doc_small, doc_big, n_common, n_small (LONG)
     */
   def containmentJoin(
@@ -543,15 +610,23 @@ object SetSimJoin {
       blockCols: Seq[String],
       threshNum: Int,
       threshDen: Int,
-      dfStrategy: DfStrategy = DfStrategy.Window): DataFrame = {
+      dfStrategy: DfStrategy = DfStrategy.Window,
+      maxDf: Option[Long] = None,
+      maxCandidates: Long = DefaultMaxCandidates): DataFrame = {
     require(threshNum > 0 && threshNum <= threshDen, "threshold must be in (0, 1]")
     require(dfStrategy != DfStrategy.Packed,
       "containmentJoin needs full-index ranks; use DfStrategy.Window or Aggregate")
     val bc = blockCols.map(col)
-    val d = docs.select(col(idCol).as("sj_id") +: col(setCol).as("sj_set") +: bc: _*)
+    val docsF = maxDf.map(m => capTokenDf(docs, setCol, blockCols, m, idCol))
+      .getOrElse(docs)
+    val d = docsF.select(col(idCol).as("sj_id") +: col(setCol).as("sj_set") +: bc: _*)
     val ex = d.select(
       col("sj_id") +: size(col("sj_set")).as("sj_sz") +:
         explode(col("sj_set")).as("sj_tok") +: bc: _*)
+    // Same default-loud mass census as jaccardJoin: Σ C(df, 2) is the
+    // probe×index collision law's proxy here (a saturated posting list
+    // collides its prefix probes with its full index side).
+    guardCandidateMass(ex, blockCols, maxCandidates, "containmentJoin")
     val ranked = rankedIndex(ex, blockCols, dfStrategy, None)
       .select(col("sj_id") +: col("sj_tok") +: col("sj_sz") +: col("sj_rk") +: bc: _*)
     // Probe prefix: |A| − ⌈t·|A|⌉ + 1 rare-first tokens of the contained side.

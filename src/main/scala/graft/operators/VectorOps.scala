@@ -834,6 +834,106 @@ object VectorOps {
       .select(col("id"), col("sub"), col("best.cid").as("code"))
   }
 
+  /** INTEGER-QUANTIZED Lloyd refinement of PQ sub-codebooks — the
+    * trained-codebook path the r17 tuning curve demanded (the recall
+    * plateau was codebook QUALITY, not search dials), made
+    * cross-engine-reproducible by the [[clusterQuality]] trick: every
+    * coordinate is quantized to the 10^-scale grid
+    * (`floor(x·10^scale + 0.5)` as LONG), so
+    *
+    *  - ASSIGNMENT is an exact integer squared-L2 argmin (ties to the
+    *    smaller codeword id) — no float fold order to match;
+    *  - the UPDATE is `floor(Σ qv / n)` with the division done in doubles
+    *    (sums stay ≪ 2^53, so the quotient is correctly rounded and
+    *    `floor` lands identically in any IEEE engine) — never a float
+    *    mean;
+    *  - the RETURNED codewords are the exact rationals `qc / 10^scale`
+    *    rendered as doubles — one correctly-rounded division per
+    *    coordinate, bit-identical in Spark and DuckDB.
+    *
+    * A DuckDB twin therefore reproduces the ENTIRE training loop by
+    * unrolling `iters` (assign, update) rounds as CTEs — the same move as
+    * the q_bpe_merges unrolled-fold oracle — and the downstream
+    * encode/search chain runs on bit-identical codebooks. Empty clusters
+    * keep their previous codeword (the [[kmeansStep]] convention).
+    *
+    * Scale posture: each iteration is one broadcast join of the
+    * (id, sub)-exploded quantized data against the m·K-row codebook, a
+    * combiner-reduced (sub, cid, pos) sum aggregate, and an m·K·(dim/m)-row
+    * driver collect (hundreds of rows — the codebook IS driver-sized);
+    * the quantized data is persisted once across iterations. `iters` is
+    * small by construction (2–3 rounds capture most of the Lloyd gain —
+    * the gate measures it).
+    *
+    * @param data   one row per vector (typically [[ivfResiduals]] output)
+    * @param vecCol ARRAY vector column, `dim` wide
+    * @param seeds  initial codebooks `(sub INT, cid LONG, cvec ARRAY)` —
+    *               deterministic, shared verbatim with the oracle
+    * @param scale  quantization grid 10^-scale (default 4, the
+    *               [[clusterQuality]] grid)
+    * @return `(sub, cid, cvec ARRAY<DOUBLE>)` — drop-in for
+    *         [[pqEncode]]/[[pqSearch]]/[[ivfPqEncode]]/[[ivfPqSearch]]
+    */
+  def trainPqCodebooksInt(data: DataFrame, vecCol: String, seeds: DataFrame,
+      m: Int, dim: Int, iters: Int, scale: Int = 4): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"dim=$dim must split into m=$m equal subspaces")
+    require(iters >= 0 && scale >= 1 && scale <= 9, s"bad iters=$iters/scale=$scale")
+    val spark = data.sparkSession
+    import spark.implicits._
+    val unit = math.pow(10.0, scale)
+    def q(c: Column) = floor(c * lit(unit) + lit(0.5)).cast("long")
+    var cb: Seq[(Int, Long, Seq[Long])] = seeds
+      .select(col("sub").cast("int").as("sub"), col("cid").cast("long").as("cid"),
+        transform(asDouble(col("cvec")), x => q(x)).as("qc"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getSeq[Long](2))).toSeq
+      .sortBy(e => (e._1, e._2))
+    // iters = 0 is the 'seed tier' fast path: quantized seeds verbatim,
+    // without ever touching (or persisting) the data side.
+    if (iters == 0) {
+      return cb.toDF("sub", "cid", "qc")
+        .select(col("sub"), col("cid"),
+          transform(col("qc"), x => x.cast("double") / lit(unit)).as("cvec"))
+    }
+    val subs = (0 until m).map(s => struct(lit(s).as("sub"),
+      transform(subvec(col(vecCol), s, m, dim), x => q(x)).as("qv")))
+    val ds = data
+      .select(monotonically_increasing_id().as("gid"), explode(array(subs: _*)).as("sv"))
+      .select(col("gid"), col("sv.sub").as("sub"), col("sv.qv").as("qv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    for (_ <- 0 until iters) {
+      val cbDf = cb.toDF("sub", "cid", "qc")
+      // Integer squared-L2: diffs ≤ ~10^(scale+1) per coordinate square to
+      // ≤ 10^(2·scale+2), and dim/m of them fold well inside a LONG.
+      val dist = aggregate(zip_with(col("qv"), col("qc"), (a, b) => (a - b) * (a - b)),
+        lit(0L), (a, x) => a + x)
+      // The per-(vector, sub) argmin carries qv through the struct (cid is
+      // unique within a sub, so the (dist, cid) prefix already totals the
+      // order and qv is never compared).
+      val updRows = ds.join(broadcast(cbDf), Seq("sub"))
+        .select(col("gid"), col("sub"), dist.as("d"), col("cid"), col("qv"))
+        .groupBy(col("gid"), col("sub"))
+        .agg(min(struct(col("d"), col("cid"), col("qv"))).as("best"))
+        .select(col("sub"), col("best.cid").as("cid"),
+          posexplode(col("best.qv")).as(Seq("pos", "v")))
+        .groupBy(col("sub"), col("cid"), col("pos"))
+        .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+        .select(col("sub"), col("cid"), col("pos"),
+          floor(col("sv").cast("double") / col("n").cast("double"))
+            .cast("long").as("qc"))
+        .collect()
+      val upd: Map[(Int, Long), Seq[Long]] = updRows
+        .groupBy(r => (r.getInt(0), r.getLong(1)))
+        .map { case (k2, rows) =>
+          k2 -> rows.sortBy(_.getInt(2)).map(_.getLong(3)).toSeq
+        }
+      cb = cb.map { case (s2, c2, old) => (s2, c2, upd.getOrElse((s2, c2), old)) }
+    }
+    ds.unpersist(blocking = false)
+    cb.toDF("sub", "cid", "qc")
+      .select(col("sub"), col("cid"),
+        transform(col("qc"), x => x.cast("double") / lit(unit)).as("cvec"))
+  }
+
   /** MIPS-PQ SEARCH with an asymmetric-distance (ADC) lookup table:
     * `score(q, x) ≈ Σ_s q_s · codeword(code_s(x))`. The LUT holds one exact
     * strict-fold dot per (query, sub, codeword) — O(|queries|·m·K) work

@@ -1125,11 +1125,13 @@ object DedupQueries extends QueryDomain {
       val g = docs(s, dir).select($"doc_id", $"lang", $"source",
         TextOps.charShinglesPacked($"text", 3).as("gr"))
         .filter(length($"text") >= 3)
-      val capped = SetSimJoin.capTokenDf(g, "gr", Seq("lang", "source"), maxDf = 4L)
+      // maxDf = Some(4) IS capTokenDf — since r19 the cap is jaccardJoin's
+      // own knob (the r18-VERDICT default-loud wiring), so the oracle now
+      // gates the knob itself, not just a hand-rolled pre-step.
       orderedSmall(
-        SetSimJoin.jaccardJoin(capped, "doc_id", "gr", Seq("lang", "source"),
+        SetSimJoin.jaccardJoin(g, "doc_id", "gr", Seq("lang", "source"),
             threshNum = 3, threshDen = 5,
-            dfStrategy = SetSimJoin.DfStrategy.Packed)
+            dfStrategy = SetSimJoin.DfStrategy.Packed, maxDf = Some(4L))
           .select($"doc_i", $"doc_j", $"n_common", $"n_union"),
         $"doc_i", $"doc_j")
     },
@@ -1230,11 +1232,12 @@ object DedupQueries extends QueryDomain {
       val g = docs(s, dir)
         .select($"doc_id", TextOps.wordShingles($"text", 3).as("sh"))
         .filter(size($"sh") > 0)
-      val capped = SetSimJoin.capTokenDf(g, "sh", Nil, maxDf = 3L,
-        idCol = "doc_id")
+      // maxDf = Some(3) IS capTokenDf — since r19 the cap is
+      // containmentJoin's own knob (the r18-VERDICT default-loud wiring),
+      // so the oracle gates the knob itself, not a hand-rolled pre-step.
       orderedSmall(
-        SetSimJoin.containmentJoin(capped, "doc_id", "sh", Nil,
-          threshNum = 9, threshDen = 10),
+        SetSimJoin.containmentJoin(g, "doc_id", "sh", Nil,
+          threshNum = 9, threshDen = 10, maxDf = Some(3L)),
         $"doc_small", $"doc_big")
     },
 

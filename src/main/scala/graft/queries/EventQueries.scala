@@ -704,11 +704,21 @@ object EventQueries extends QueryDomain {
         .outputMode("append").start()
       try q.processAllAvailable() finally q.stop()
       // Sentinel rows carry a NULL gold lang: concat_ws skips nulls, so
-      // their key collapses to exactly "sentinel".
-      val cells = ss.table(sink).filter($"key" =!= "sentinel")
-        .select(split($"key", "\u0001").getItem(0).as("source"),
+      // their key collapses to exactly "sentinel" — arity 1 under split.
+      // A REAL doc with NULL source but non-null lang keys as
+      // "sentinel\u0001<lang>" (arity 2): the arity filter below KEEPS it
+      // and the when() maps its source back to the NULL group the batch
+      // operator and oracle carry — the previous key =!= "sentinel" filter
+      // alone grouped such rows under the literal string "sentinel" (r18
+      // ADVICE; assumes no real source is literally named "sentinel",
+      // which the events fixture's srcN domain satisfies).
+      val kp = split($"key", "\u0001")
+      val cells = ss.table(sink).filter(size(kp) === 2)
+        .select(
+          when(kp.getItem(0) === "sentinel", lit(null).cast("string"))
+            .otherwise(kp.getItem(0)).as("source"),
           element_at(langsArr, ($"v" + 1L).cast("int")).as("ra"),
-          split($"key", "\u0001").getItem(1).as("rb"), $"c")
+          kp.getItem(1).as("rb"), $"c")
       graft.operators.EvalOps
         .cohensKappaFromCounts(cells, "source", "ra", "rb", "c")
         .orderBy($"source")
@@ -756,7 +766,17 @@ object EventQueries extends QueryDomain {
         .filter(split($"key", "\u0001").getItem(0) =!= "sentinel")
         .select(kf.getItem(0).as("event_type"),
           kf.getItem(1).cast("long").as("day"),
-          kf.getItem(2).cast("long").as("vb"), $"v", $"c")
+          kf.getItem(2).cast("long").as("vb"),
+          // The -1 the stream side coalesced NULL user_id into
+          // (ValueEvent's value slot is a non-null long; -1 sits OUTSIDE
+          // the legal user_id domain, which is >= 0) maps BACK to NULL
+          // here, before the FromCounts closure: anonymityRiskFromCounts
+          // counts only non-null value cells toward n_sensitive, matching
+          // the batch operator's countDistinct null-skip — left as -1 the
+          // sentinel cell would silently inflate l-diversity on a fixture
+          // with null user_ids (r18 ADVICE).
+          when($"v" === -1L, lit(null).cast("long")).otherwise($"v").as("v"),
+          $"c")
       graft.operators.GovernanceOps
         .anonymityRiskFromCounts(cells, Seq("event_type", "day", "vb"),
           "v", "c", k = 5, l = 3)

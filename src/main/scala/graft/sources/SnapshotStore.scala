@@ -20,14 +20,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `data/`-relative file path per line — deliberately dependency-free,
   * like [[graft.cli.IniConfig]]). The commit protocol is three-step:
   *
-  *  1. EXCLUSIVE `create(manifest-v{N}.lock, overwrite = false)` — the
-  *     DURABLE commit right for version N. Create is the one primitive
-  *     that arbitrates a same-version race atomically on BOTH HDFS
-  *     (namenode-atomic) and the local filesystem (O_CREAT|O_EXCL), and
-  *     the lock is NEVER renamed or removed by publish (only [[vacuum]]
-  *     sweeps it), so of any number of publishers that computed the
-  *     same next version — no matter how their steps interleave —
-  *     exactly one ever owns version N and every later claimant throws.
+  *  1. EXCLUSIVE creation of `manifest-v{N}.lock` — the DURABLE commit
+  *     right for version N: `create(…, overwrite = false)` on HDFS
+  *     (namenode-atomic), NIO `Files.createFile` (O_CREAT|O_EXCL) on the
+  *     local scheme — Hadoop's LOCAL create(overwrite = false) is
+  *     exists-then-create and two live claimants can both pass it (caught
+  *     by the r19 two-thread race spec). The lock is NEVER renamed or
+  *     removed by publish (only [[vacuum]] sweeps it), so of any number
+  *     of publishers that computed the same next version — no matter how
+  *     their steps interleave — exactly one ever owns version N and every
+  *     later claimant throws.
   *     (A commit right tied to a transient name is not enough: an
   *     earlier design keyed exclusivity to the `.tmp` name below, which
   *     the winner's rename FREES, letting a slow same-version publisher
@@ -109,16 +111,27 @@ object SnapshotStore {
     // ADVICE — exclusivity tied to the transient tmp name frees at the
     // winner's rename and lets the loser rename over the manifest).
     val lock = lockPath(dir, next)
-    val lockOut =
-      try f.create(lock, false)
-      catch {
-        case e: java.io.IOException =>
-          throw new IllegalStateException(
-            s"snapshot publish lost the race for version $next of $dir " +
-              s"(if no publish is in flight, $lock is a crashed publisher's " +
-              "orphan — run vacuum)", e)
-      }
-    lockOut.close()
+    try {
+      if ("file" == Option(f.getUri.getScheme).getOrElse("")) {
+        // Hadoop's LOCAL create(p, overwrite = false) is exists-then-create
+        // — NOT atomic under a live two-publisher race (both claimants can
+        // pass the exists check before either file lands; caught by the
+        // r19 two-thread race spec, where arbitration then fell through to
+        // the rename step). O_CREAT|O_EXCL via NIO is the real primitive
+        // on POSIX, so the local scheme takes it directly.
+        f.mkdirs(new Path(dir))
+        java.nio.file.Files.createFile(
+          java.nio.file.Paths.get(new java.io.File(lock.toUri.getPath).getPath))
+      } else f.create(lock, false).close()
+    } catch {
+      // nio's FileAlreadyExistsException is an IOException subclass, so
+      // one catch serves both primitives.
+      case e: java.io.IOException =>
+        throw new IllegalStateException(
+          s"snapshot publish lost the race for version $next of $dir " +
+            s"(if no publish is in flight, $lock is a crashed publisher's " +
+            "orphan — run vacuum)", e)
+    }
     val sub = s"v$next-${java.util.UUID.randomUUID().toString.take(8)}"
     val dataDir = new Path(new Path(dir, "data"), sub)
     df.write.mode("error").parquet(dataDir.toString)

@@ -33,12 +33,19 @@ object TimeQueries {
     sentinel() // warm-up
     println(f"SENTINEL min=${Seq(sentinel(), sentinel()).min}%.3f")
     names.foreach { q =>
+      // A sentinel draw right before each query tags ITS wall-clock window
+      // with the box's noise level (the r18 adjudication found a single
+      // head-of-run sentinel can't vouch for draws minutes later), and the
+      // per-rep times are printed so a bimodal contended min is visible.
+      val sq = sentinel()
       val runs = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         val n = graft.SparkEntry.queries(q)(spark, sfDir).collect().length
         ((System.nanoTime() - t0) / 1e9, n)
       }
-      println(f"TIME $q%s min=${runs.map(_._1).min}%.2f rows=${runs.head._2}%d")
+      val repsStr = runs.map(r => f"${r._1}%.2f").mkString(",")
+      println(f"TIME $q%s min=${runs.map(_._1).min}%.2f reps=[$repsStr] " +
+        f"sentinel=$sq%.3f rows=${runs.head._2}%d")
     }
     spark.stop()
   }

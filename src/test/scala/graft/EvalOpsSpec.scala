@@ -276,6 +276,22 @@ class EvalOpsSpec extends AnyFunSuite with SparkSpec {
     assert(viaCounts == viaRows && viaCounts.length == 5) // 4 classes + macro
   }
 
+  test("classPrfFromCounts drops zero-count cells: a pre-seeded label " +
+    "domain adds no phantom classes and leaves the macro row unmoved") {
+    val rows = Seq(("x", "x"), ("x", "y"), ("y", "y")).toDF("gold", "pred")
+    val cells = rows.groupBy($"gold", $"pred").agg(count(lit(1)).as("c"))
+    // A stream pre-seeding its full label domain emits (q, q, 0) cells for
+    // unobserved labels — they must not enter the full-outer join (r18
+    // ADVICE: each phantom class shifts the macro-F1 denominator).
+    val seeded = cells.unionByName(
+      Seq(("q", "q", 0L), ("z", "x", 0L)).toDF("gold", "pred", "c"))
+    val clean = EvalOps.classPrfFromCounts(cells, "gold", "pred", "c")
+      .orderBy($"cls").collect().toSeq
+    val viaSeeded = EvalOps.classPrfFromCounts(seeded, "gold", "pred", "c")
+      .orderBy($"cls").collect().toSeq
+    assert(viaSeeded == clean && clean.length == 3) // x, y, macro — no q/z
+  }
+
   test("classPrf ≡ brute-force per-class PRF + sorted-fold macro") {
     val rnd = new scala.util.Random(777)
     val labs = Array("w", "x", "y", "z")

@@ -331,4 +331,59 @@ class SetSimJoinSpec extends AnyFunSuite with SparkSpec {
     assertThrows[IllegalArgumentException](
       SetSimJoin.containmentJoin(df, "doc_id", "gr", Seq("blk"), 0, 5))
   }
+
+  // --------------------------------- default-loud candidate-mass guard (r18)
+
+  test("maxCandidates: a saturated input fails LOUDLY before the join, " +
+    "with the capTokenDf/LSH steering in the message") {
+    // 40 docs all sharing one token ⇒ ΣC(df,2) = C(40,2) = 780 > 100.
+    val hot = (0 until 40).map(id => (id.toLong, "a",
+      Seq(0L, 100L + id))).toDF("doc_id", "blk", "gr")
+    val ej = intercept[IllegalArgumentException](SetSimJoin.jaccardJoin(
+      hot, "doc_id", "gr", Seq("blk"), 1, 2, maxCandidates = 100L))
+    assert(ej.getMessage.contains("maxCandidates") &&
+      ej.getMessage.contains("capTokenDf") &&
+      ej.getMessage.contains("MinHashLsh"), ej.getMessage)
+    val ec = intercept[IllegalArgumentException](SetSimJoin.containmentJoin(
+      hot, "doc_id", "gr", Seq("blk"), 9, 10, maxCandidates = 100L))
+    assert(ec.getMessage.contains("maxCandidates"), ec.getMessage)
+    // The mass is censused per BLOCK key: the same tokens split across 40
+    // blocks carry zero collision mass and must pass the same ceiling.
+    val blocked = (0 until 40).map(id => (id.toLong, s"b$id",
+      Seq(0L, 100L + id))).toDF("doc_id", "blk", "gr")
+    assert(SetSimJoin.jaccardJoin(blocked, "doc_id", "gr", Seq("blk"), 1, 2,
+      maxCandidates = 100L).count() == 0L)
+    // Long.MaxValue opts out: the saturated input runs (small here, so it
+    // completes) and finds the planted near-identical pairs.
+    assert(SetSimJoin.jaccardJoin(hot, "doc_id", "gr", Seq("blk"), 1, 2,
+      maxCandidates = Long.MaxValue).count() == 0L) // J = 1/3 < 1/2: no pairs
+  }
+
+  test("maxDf = Some(k) ≡ capTokenDf pre-step + join, and the cap lifts a " +
+    "guard-tripping input back under the default ceiling") {
+    val g = grams
+    val viaKnobJ = pairsOf(SetSimJoin.jaccardJoin(
+      g, "doc_id", "gr", Seq("lang", "source"), 3, 5, maxDf = Some(3L)))
+    val viaPre = pairsOf(SetSimJoin.jaccardJoin(
+      SetSimJoin.capTokenDf(g, "gr", Seq("lang", "source"), 3L, idCol = "doc_id"),
+      "doc_id", "gr", Seq("lang", "source"), 3, 5))
+    assert(viaKnobJ == viaPre)
+    val viaKnobC = cPairsOf(SetSimJoin.containmentJoin(
+      g.select($"doc_id", lit("x").as("blk"), $"gr"),
+      "doc_id", "gr", Seq("blk"), 9, 10, maxDf = Some(3L)))
+    val viaPreC = cPairsOf(SetSimJoin.containmentJoin(
+      SetSimJoin.capTokenDf(g.select($"doc_id", lit("x").as("blk"), $"gr"),
+        "gr", Seq("blk"), 3L, idCol = "doc_id"),
+      "doc_id", "gr", Seq("blk"), 9, 10))
+    assert(viaKnobC == viaPreC)
+    // A one-hot-token corpus that TRIPS a tiny ceiling uncapped passes it
+    // once maxDf removes the saturated token — the single-knob escape path
+    // a corpus-wide caller is steered to.
+    val hot = (0 until 40).map(id => (id.toLong, "a",
+      Seq(0L, 100L + id, 101L + id))).toDF("doc_id", "blk", "gr")
+    assertThrows[IllegalArgumentException](SetSimJoin.jaccardJoin(
+      hot, "doc_id", "gr", Seq("blk"), 1, 2, maxCandidates = 100L))
+    assert(SetSimJoin.jaccardJoin(hot, "doc_id", "gr", Seq("blk"), 1, 2,
+      maxDf = Some(10L), maxCandidates = 100L).count() >= 0L)
+  }
 }

@@ -80,6 +80,65 @@ class SnapshotStoreSpec extends AnyFunSuite with SparkSpec {
       "the winner's committed manifest must survive the loser's attempt")
   }
 
+  test("same-version race, both orderings: a claimant against an IN-FLIGHT " +
+    "holder fails loudly; two simultaneous publishers serialize to " +
+    "contiguous committed versions (r18 VERDICT item 8)") {
+    // Ordering B of the race (the r17 test above pins ordering A, where
+    // the loser arrives AFTER the winner committed): here the loser
+    // claims version 1 while the winner still HOLDS the lock, before any
+    // manifest exists — step 1 must arbitrate, loudly, naming the lock.
+    val dir = freshDir()
+    val d = (1 to 4).map(i => (i.toLong, s"r$i")).toDF("id", "s")
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+    fs.create(new org.apache.hadoop.fs.Path(dir, "manifest-v1.lock"), false).close()
+    val e = intercept[IllegalStateException](SnapshotStore.publish(d, dir))
+    assert(e.getMessage.contains("lost the race") &&
+      e.getMessage.contains("manifest-v1.lock"), e.getMessage)
+    assert(SnapshotStore.versions(spark, dir).isEmpty,
+      "the blocked claimant must leave nothing committed")
+
+    // The live two-thread race, released through one barrier so both
+    // claimants list versions() before either can commit. Legal outcomes:
+    // both succeed (the slower thread saw the winner's commit and took
+    // version 2 — a valid serialization) or the loser throws the race
+    // error; illegal in every interleaving: a lost update (fewer
+    // committed versions than successful publishes), a gap, or a
+    // committed version whose rows are not exactly one publisher's input.
+    val dir2 = freshDir()
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val results = new java.util.concurrent.ConcurrentHashMap[Int, Either[Throwable, Int]]()
+    // DISTINCT payloads (4 vs 7 rows) so a lost update is detectable by
+    // CONTENT, not just by version arithmetic.
+    val payloads = Seq(4, 7).map(n =>
+      (1 to n).map(i => (i.toLong, s"r$i")).toDF("id", "s"))
+    val threads = (0 until 2).map { i =>
+      new Thread(() => {
+        barrier.await()
+        results.put(i,
+          try Right(SnapshotStore.publish(payloads(i), dir2))
+          catch { case t: Throwable => Left(t) })
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(120000))
+    val outcomes = (0 until 2).map(results.get)
+    val wins = outcomes.zipWithIndex.collect { case (Right(v), i) => (v, i) }
+    val losses = outcomes.collect { case Left(t) => t }
+    assert(wins.nonEmpty, s"at least one publisher must commit; got $losses")
+    losses.foreach(t => assert(t.isInstanceOf[IllegalStateException] &&
+      t.getMessage.contains("lost the race"), s"unexpected loser error: $t"))
+    assert(SnapshotStore.versions(spark, dir2) == (1 to wins.size),
+      "committed versions must be exactly the successful publishes, contiguous")
+    assert(wins.map(_._1).sorted == (1 to wins.size),
+      s"returned versions must be distinct and contiguous, got ${wins.map(_._1)}")
+    wins.foreach { case (v, i) =>
+      assert(SnapshotStore.read(spark, dir2, Some(v)).count() ==
+        Seq(4L, 7L)(i),
+        s"version $v must read back exactly its publisher's payload")
+    }
+  }
+
   test("diff and schemaDrift resolve versions through the manifest layer") {
     val dir = freshDir()
     val v1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s")

@@ -120,6 +120,37 @@ class VectorOpsSpec extends AnyFunSuite with SparkSpec {
     assert(c(200L) == Seq(-1.0, 0.0), "empty cluster must keep its seed centroid")
   }
 
+  test("trainPqCodebooksInt: exact integer Lloyd — hand-checkable means, " +
+    "iters=0 = quantized seeds, empty codeword keeps its seed, " +
+    "re-run bit-identical") {
+    // One subspace (m=1, dim=2) with two obvious groups; seeds inside each.
+    val pts = Seq(
+      (0L, Seq(0.10, 0.20)), (1L, Seq(0.12, 0.20)), (2L, Seq(0.14, 0.20)),
+      (3L, Seq(0.90, 0.40)), (4L, Seq(0.92, 0.40))).toDF("id", "rvec")
+    val seeds = Seq((0, 10L, Seq(0.10, 0.20)), (0, 20L, Seq(0.90, 0.40)),
+      (0, 30L, Seq(-5.0, -5.0))) // captures nothing
+      .toDF("sub", "cid", "cvec")
+    val got = VectorOps.trainPqCodebooksInt(pts, "rvec", seeds,
+        m = 1, dim = 2, iters = 1)
+      .as[(Int, Long, Seq[Double])].collect().map(r => (r._2, r._3)).toMap
+    // e4 grid: group means are floor((1000+1200+1400)/3)=1200 → 0.12 etc.
+    assert(got(10L) == Seq(0.12, 0.2), s"got ${got(10L)}")
+    assert(got(20L) == Seq(0.91, 0.4), s"got ${got(20L)}") // floor(18200/2)/1e4
+    assert(got(30L) == Seq(-5.0, -5.0), "empty codeword must keep its seed")
+    // iters = 0 returns the quantized seeds verbatim (the 'seed' tier of
+    // q_ivfpq_trained).
+    val id0 = VectorOps.trainPqCodebooksInt(pts, "rvec", seeds,
+        m = 1, dim = 2, iters = 0)
+      .as[(Int, Long, Seq[Double])].collect().map(r => (r._2, r._3)).toMap
+    assert(id0(10L) == Seq(0.1, 0.2) && id0(30L) == Seq(-5.0, -5.0))
+    // Determinism: an independent re-run lands bit-identical (the property
+    // the DuckDB unrolled-CTE oracle stands on).
+    val again = VectorOps.trainPqCodebooksInt(pts, "rvec", seeds,
+        m = 1, dim = 2, iters = 1)
+      .as[(Int, Long, Seq[Double])].collect().map(r => (r._2, r._3)).toMap
+    assert(again == got)
+  }
+
   test("IVF round-trip: saved+loaded search == in-session search, member side unshuffled") {
     // Managed-table hygiene: DROP removes catalog entry + warehouse dir for
     // the current JVM, but a crashed/killed previous run leaves orphan dirs
