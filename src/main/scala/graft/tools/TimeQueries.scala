@@ -8,6 +8,15 @@ import org.apache.spark.sql.SparkSession
   * Exists because the sbt console's REPL classloader cannot reflect the
   * streaming gates' case-class encoders — a `main` runs on the real
   * classpath. Same local[32]/32-partition conf as [[graft.Bench]].
+  *
+  * PROTOCOL: run via `sbt runMain` (or match build.sbt's
+  * SPARK_DRIVER_MEM=8g when invoking java directly). Heap size is part
+  * of the measurement protocol: the r19 adjudication found an oversized
+  * heap (-Xmx64g) turns the GC-heavy gates pathological under co-tenant
+  * memory pressure — q_itemsets measured 12.5–108 s at 64g in the same
+  * windows where the 8g protocol read a clean 4.1 s (vs the r17 4.0 s
+  * record), because a 64 GB young gen page-faults fresh zeroed pages
+  * through an already-pressured box.
   */
 object TimeQueries {
   def main(args: Array[String]): Unit = {
