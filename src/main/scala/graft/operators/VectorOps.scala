@@ -752,6 +752,93 @@ object VectorOps {
     probeRank(q, index.centroids, index.members, k, nProbe, saltBuckets)
   }
 
+  /** A persisted IVF-PQ index loaded back from the catalog: `codes` is the
+    * (id, cluster_id, sub, code) table bucketed by `cluster_id`,
+    * `centroids` the coarse (cluster_id, cvec) table, `codebooks` the
+    * (sub, cid, cvec) sub-quantizer table. THIS is the layout that makes
+    * PQ a 100 TB index: a member costs 1 + m LONGs on disk — the raw
+    * vectors are never stored, never read, never shuffled at probe time.
+    */
+  final case class LoadedIvfPqIndex(codes: DataFrame, centroids: DataFrame,
+      codebooks: DataFrame)
+
+  /** Build and persist an IVF-PQ index: [[ivfPqEncode]] runs once (compiled
+    * zero-shuffle assignment + broadcast codebook argmin) and the code rows
+    * land bucketed by `cluster_id` via [[ScaleJoins.writeBucketed]], so a
+    * later [[ivfPqSearchLoaded]] reads each probed cluster's codes
+    * co-located. Centroids and codebooks persist beside them — the probe
+    * session needs NOTHING but the three tables (the [[saveIvfIndex]]
+    * reuse story at 1 + m longs per member instead of the full vector).
+    * Tables written: `<name>_codes`, `<name>_centroids`, `<name>_codebooks`.
+    */
+  def saveIvfPqIndex(data: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, codebooks: DataFrame,
+      m: Int, dim: Int, name: String, buckets: Int = 32): Unit = {
+    val enc = ivfPqEncode(data, idCol, vecCol, centroids, codebooks, m, dim)
+    ScaleJoins.writeBucketed(enc, s"${name}_codes", Seq("cluster_id"), buckets)
+    ScaleJoins.dropOrphanManagedDir(data.sparkSession, s"${name}_centroids")
+    centroids.select(col(idCol).as("cluster_id"), col(vecCol).as("cvec"))
+      .write.mode("overwrite").saveAsTable(s"${name}_centroids")
+    ScaleJoins.dropOrphanManagedDir(data.sparkSession, s"${name}_codebooks")
+    codebooks.select(col("sub"), col("cid"), col("cvec"))
+      .write.mode("overwrite").saveAsTable(s"${name}_codebooks")
+  }
+
+  /** Incremental IVF-PQ maintenance — [[appendToIvfIndex]] for the code
+    * tier: NEW vectors encode against the index's OWN persisted centroids
+    * and codebooks (m and the subspace width are read off the codebook
+    * table — no recluster, no retrain, no touch of existing codes) and
+    * append under the same bucket spec. The state afterwards is IDENTICAL
+    * to a full [[saveIvfPqIndex]] over (old ∪ new) — the equality the
+    * q_ivfpq_index gate pins against the q_ivfpq_topk oracle. Cost is
+    * O(|new|) encode + one bucketed write; the standard centroid/codebook
+    * drift caveat of [[appendToIvfIndex]] applies doubly (retrain via
+    * [[trainPqCodebooksInt]] + rebuild when recall degrades).
+    */
+  def appendToIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      newData: DataFrame, idCol: String, vecCol: String,
+      name: String, buckets: Int = 32): Unit = {
+    val centroids = spark.table(s"${name}_centroids")
+      .select(col("cluster_id").as(idCol), col("cvec").as(vecCol))
+    val codebooks = spark.table(s"${name}_codebooks")
+    // m and dim live in the codebook table's shape: subs are 0..m−1 and
+    // every codeword is dim/m wide (one tiny aggregate — the table is
+    // driver-sized by construction).
+    val shape = codebooks
+      .agg(max(col("sub")).cast("int"), min(size(col("cvec"))), max(size(col("cvec"))))
+      .head()
+    val (m, sdMin, sdMax) = (shape.getInt(0) + 1, shape.getInt(1), shape.getInt(2))
+    require(sdMin == sdMax, s"ragged codeword widths in ${name}_codebooks")
+    val enc = ivfPqEncode(newData, idCol, vecCol, centroids, codebooks,
+      m, m * sdMin)
+    enc.write
+      .bucketBy(buckets, "cluster_id")
+      .sortBy("cluster_id")
+      .mode("append")
+      .saveAsTable(s"${name}_codes")
+  }
+
+  def loadIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      name: String): LoadedIvfPqIndex =
+    LoadedIvfPqIndex(spark.table(s"${name}_codes"),
+      spark.table(s"${name}_centroids"), spark.table(s"${name}_codebooks"))
+
+  /** [[ivfPqSearch]] over a [[loadIvfPqIndex]]-loaded index: the probe
+    * list and the ADC LUT are built from the persisted centroid/codebook
+    * tables and broadcast onto the bucketed codes scan — no join back to
+    * raw vectors exists anywhere in the plan (there are none to join),
+    * and the only exchange downstream of the scan is the slim
+    * per-(query, candidate) aggregate every tier shares. Results are
+    * identical to in-session [[ivfPqSearch]] over the same inputs
+    * (round-trip-proven in VectorOpsSpec).
+    */
+  def ivfPqSearchLoaded(index: LoadedIvfPqIndex, queries: DataFrame,
+      idCol: String, vecCol: String, m: Int, dim: Int, k: Int, nProbe: Int,
+      excludeSelf: Boolean = true): DataFrame =
+    ivfPqSearch(index.codes,
+      index.centroids.select(col("cluster_id").as(idCol), col("cvec").as(vecCol)),
+      queries, idCol, vecCol, index.codebooks, m, dim, k, nProbe, excludeSelf)
+
   /** CLUSTER-QUALITY report for a centroid set — the "is this clustering
     * any good" measurement behind [[kmeans]]/[[ivfAssign]] deployment:
     * per cluster, the member count and the EXACT within-cluster inertia

@@ -275,6 +275,47 @@ object VectorQueries extends QueryDomain {
         .orderBy($"query_id", $"rnk")
     },
 
+    "q_ivfpq_index" -> { (s, dir) =>
+      import s.implicits._
+      // Persisted IVF-PQ CODES index ([[VectorOps.saveIvfPqIndex]] /
+      // [[appendToIvfPqIndex]] / [[ivfPqSearchLoaded]]) — the layout that
+      // makes PQ a 100 TB index: members persist as 1 + m LONGs (no raw
+      // vectors anywhere in the index or the probe plan). Built on the
+      // even vec_ids, the odd half arrives as TWO appends encoded against
+      // the index's own persisted centroids/codebooks (m and subspace
+      // width read off the codebook table), code file-sets compacted, then
+      // probed — and the result must equal q_ivfpq_topk's in-session
+      // encode+search over the WHOLE table: the same oracle gates both.
+      // Staged once per (sf, JVM) ([[Staging.memo]]): a repeat append
+      // would duplicate codes, and bench reps must measure the PROBE.
+      val e = t(s, dir, "embeddings")
+      val centroids = e.filter($"vec_id" < 10)
+      val res8 = VectorOps.ivfResiduals(
+        e.filter($"vec_id".between(20, 27)), "vec_id", "embedding", centroids)
+      val cbs = res8.select(explode(array(
+          struct(lit(0).as("sub"), $"id".as("cid"),
+            slice($"rvec", 1, 32).as("cvec")),
+          struct(lit(1).as("sub"), $"id".as("cid"),
+            slice($"rvec", 33, 32).as("cvec")))).as("cb"))
+        .select($"cb.sub".as("sub"), $"cb.cid".as("cid"), $"cb.cvec".as("cvec"))
+      val name = Staging.memo[String]("ivfpqindex", dir) {
+        val nm = "graft_ivfpq_index_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+        VectorOps.saveIvfPqIndex(e.filter($"vec_id" % 2 === 0), centroids,
+          "vec_id", "embedding", cbs, m = 2, dim = 64, nm, buckets = 8)
+        VectorOps.appendToIvfPqIndex(s, e.filter($"vec_id" % 4 === 1),
+          "vec_id", "embedding", nm, buckets = 8)
+        VectorOps.appendToIvfPqIndex(s, e.filter($"vec_id" % 4 === 3),
+          "vec_id", "embedding", nm, buckets = 8)
+        ScaleJoins.compactBucketed(s, s"${nm}_codes")
+        nm
+      }
+      VectorOps.ivfPqSearchLoaded(VectorOps.loadIvfPqIndex(s, name),
+          e.filter($"vec_id".between(100, 109)), "vec_id", "embedding",
+          m = 2, dim = 64, k = 5, nProbe = 3)
+        .select($"query_id", $"rank".as("rnk"), $"neighbor_id", $"adc")
+        .orderBy($"query_id", $"rnk")
+    },
+
     "q_ivfpq_recall" -> { (s, dir) =>
       import s.implicits._
       // IVF-PQ fidelity through the pair-set judge ([[EvalOps.pairSetPrf]],
@@ -701,6 +742,17 @@ object VectorQueries extends QueryDomain {
          |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
 
     "q_ivfpq_topk" ->
+      s"""WITH $ivfPqCtes
+         |SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id, adc FROM (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS rnk
+         |  FROM sc)
+         |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
+    // Built-then-appended-then-compacted IVF-PQ codes index ≡ the
+    // in-session encode+search over the whole table — same oracle as
+    // q_ivfpq_topk (the q_ivf_append move for the code tier).
+    "q_ivfpq_index" ->
       s"""WITH $ivfPqCtes
          |SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id, adc FROM (
          |  SELECT *, ROW_NUMBER() OVER (

@@ -195,6 +195,61 @@ class VectorOpsSpec extends AnyFunSuite with SparkSpec {
     } finally cleanup()
   }
 
+  test("IVF-PQ index round-trip: saved+appended+loaded probe == in-session " +
+    "search; codes scan bucketed, no raw vectors in the loaded plan") {
+    def cleanup(): Unit =
+      Seq("ivfpq_rt_codes", "ivfpq_rt_centroids", "ivfpq_rt_codebooks")
+        .foreach { tbl =>
+          spark.sql(s"DROP TABLE IF EXISTS $tbl")
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+          }
+          rm(new java.io.File(s"spark-warehouse/$tbl"))
+        }
+    cleanup()
+    try {
+      val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      val centroids = e.filter($"vec_id" < 10)
+      val queries = e.filter($"vec_id".between(100, 109))
+      val res8 = VectorOps.ivfResiduals(
+        e.filter($"vec_id".between(20, 27)), "vec_id", "embedding", centroids)
+      val cbs = res8.select(explode(array(
+          struct(lit(0).as("sub"), $"id".as("cid"), slice($"rvec", 1, 32).as("cvec")),
+          struct(lit(1).as("sub"), $"id".as("cid"), slice($"rvec", 33, 32).as("cvec")))).as("cb"))
+        .select($"cb.sub".as("sub"), $"cb.cid".as("cid"), $"cb.cvec".as("cvec"))
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+      val inSession = rows(VectorOps.ivfPqSearch(
+        VectorOps.ivfPqEncode(e, "vec_id", "embedding", centroids, cbs, m = 2, dim = 64),
+        centroids, queries, "vec_id", "embedding", cbs, m = 2, dim = 64,
+        k = 5, nProbe = 3))
+      // Build on the even half, append the odd half in two batches — the
+      // appends must encode with the PERSISTED centroids/codebooks (m and
+      // subspace width inferred from the codebook table).
+      VectorOps.saveIvfPqIndex(e.filter($"vec_id" % 2 === 0), centroids,
+        "vec_id", "embedding", cbs, m = 2, dim = 64, "ivfpq_rt", buckets = 4)
+      VectorOps.appendToIvfPqIndex(spark, e.filter($"vec_id" % 4 === 1),
+        "vec_id", "embedding", "ivfpq_rt", buckets = 4)
+      VectorOps.appendToIvfPqIndex(spark, e.filter($"vec_id" % 4 === 3),
+        "vec_id", "embedding", "ivfpq_rt", buckets = 4)
+      val fromDisk = VectorOps.ivfPqSearchLoaded(
+        VectorOps.loadIvfPqIndex(spark, "ivfpq_rt"), queries,
+        "vec_id", "embedding", m = 2, dim = 64, k = 5, nProbe = 3)
+      assert(rows(fromDisk) === inSession)
+      assert(inSession.nonEmpty)
+      // The 1 + m LONG story's proof: the codes side is a bucketed scan,
+      // never shuffled on its keys, and the index table holds ONLY the
+      // code columns — no raw vectors exist anywhere in the index.
+      val p = fromDisk.queryExecution.executedPlan.toString
+      assert(p.contains("SelectedBucketsCount"), s"codes must be a bucketed scan:\n$p")
+      assert(!p.contains("Exchange hashpartitioning(cluster_id"),
+        s"codes side must not shuffle on cluster_id:\n$p")
+      assert(spark.table("ivfpq_rt_codes").schema.map(_.name).toSet ==
+        Set("id", "cluster_id", "sub", "code"),
+        "the index stores 1 + m longs per member and nothing else")
+    } finally cleanup()
+  }
+
   test("IVF append: built-then-appended index == built-at-once, bucketed scan survives") {
     def cleanup(): Unit = Seq("ivf_ap_members", "ivf_ap_centroids").foreach { tbl =>
       spark.sql(s"DROP TABLE IF EXISTS $tbl")
