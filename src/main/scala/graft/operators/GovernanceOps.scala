@@ -148,6 +148,23 @@ object GovernanceOps {
     ()
   }
 
+  /** RTBF over a persisted IVF-PQ codes index
+    * ([[graft.operators.VectorOps.saveIvfPqIndex]]): purge the tombstoned
+    * vector ids from the bucketed codes table. A PQ code is
+    * content-derived data (the codeword ids reconstruct an approximation
+    * of the forgotten embedding), so it must actually go, exactly like
+    * the raw vectors in [[forgetFromIvfIndex]]. Centroid and codebook
+    * tables hold only aggregate/training artifacts shared across the
+    * corpus and are untouched; post-purge probes equal a from-scratch
+    * encode of the retained vectors with the same centroids/codebooks
+    * (spec-pinned in GovernanceOpsSpec).
+    */
+  def forgetFromIvfPqIndex(spark: SparkSession, name: String,
+      tombstones: DataFrame, tombKeyCol: String): Unit = {
+    purgeKeysBucketed(spark, s"${name}_codes", "id", tombstones, tombKeyCol)
+    ()
+  }
+
   /** RTBF over a persisted decontamination window index
     * ([[CorpusOps.saveWindowIndex]]): purge a withdrawn benchmark
     * document's windows from the bucketed table — after the purge no

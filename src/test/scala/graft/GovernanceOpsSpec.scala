@@ -119,6 +119,41 @@ class GovernanceOpsSpec extends AnyFunSuite with SparkSpec {
     assert(purged.nonEmpty)
   }
 
+  test("forgetFromIvfPqIndex: purged probe ≡ from-scratch encode of " +
+      "retained vectors; no forgotten neighbor in the codes tier") {
+    import graft.operators.VectorOps
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val centroids = e.filter($"vec_id" < 10)
+    val queries = e.filter($"vec_id".between(100, 109))
+    val res8 = VectorOps.ivfResiduals(
+      e.filter($"vec_id".between(20, 27)), "vec_id", "embedding", centroids)
+    val cbs = res8.select(explode(array(
+        struct(lit(0).as("sub"), $"id".as("cid"), slice($"rvec", 1, 32).as("cvec")),
+        struct(lit(1).as("sub"), $"id".as("cid"), slice($"rvec", 33, 32).as("cvec")))).as("cb"))
+      .select($"cb.sub".as("sub"), $"cb.cid".as("cid"), $"cb.cvec".as("cvec"))
+    def probe(name: String) =
+      VectorOps.ivfPqSearchLoaded(VectorOps.loadIvfPqIndex(spark, name),
+        queries, "vec_id", "embedding", m = 2, dim = 64, k = 5, nProbe = 3)
+        .select($"query_id", $"rank".cast("long"), $"neighbor_id")
+        .as[(Long, Long, Long)].collect().toSet
+    VectorOps.saveIvfPqIndex(e, centroids, "vec_id", "embedding", cbs,
+      m = 2, dim = 64, "gov_spec_ivfpq", buckets = 4)
+    // Tombstone vectors that ARE current probe results, so the purge
+    // provably removes answers, not inert rows.
+    val tombIds = probe("gov_spec_ivfpq").map(_._3).take(3)
+    assert(tombIds.nonEmpty)
+    val tomb = tombIds.toSeq.toDF("vec_id")
+    GovernanceOps.forgetFromIvfPqIndex(spark, "gov_spec_ivfpq", tomb, "vec_id")
+    val purged = probe("gov_spec_ivfpq")
+    assert(purged.forall(r => !tombIds(r._3)))
+    VectorOps.saveIvfPqIndex(
+      GovernanceOps.forgetDocs(e, "vec_id", tomb, "vec_id"), centroids,
+      "vec_id", "embedding", cbs, m = 2, dim = 64,
+      "gov_spec_ivfpq_scratch", buckets = 4)
+    assert(purged === probe("gov_spec_ivfpq_scratch"))
+    assert(purged.nonEmpty)
+  }
+
   test("expirePartitions: metadata-only — survivors' files untouched byte-for-byte") {
     val root = java.nio.file.Files
       .createTempDirectory("gov_ttl_spec").toString
