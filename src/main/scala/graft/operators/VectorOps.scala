@@ -839,6 +839,62 @@ object VectorOps {
       index.centroids.select(col("cluster_id").as(idCol), col("cvec").as(vecCol)),
       queries, idCol, vecCol, index.codebooks, m, dim, k, nProbe, excludeSelf)
 
+  /** STATELESS stream-static probe of a persisted IVF-PQ codes index — the
+    * online half of the ANN deployment: each arriving micro-batch of query
+    * vectors probes the bucketed codes table with NO stream state anywhere
+    * (the [[graft.operators.MinHashLsh.lshProbeEmissions]] shape). Works on
+    * a streaming OR batch `queries` frame:
+    *
+    *  - probe selection (top-`nProbe` clusters by q·c) runs ROW-LOCALLY
+    *    against the centroid table collected into literals at plan build —
+    *    a window rank would be a stateful operator on a stream; sorting
+    *    (−qc, cluster_id) structs ascending reproduces the batch rule
+    *    qc DESC, cluster_id ASC exactly (double negation is exact);
+    *  - the exploded (query, cluster) probes stream-static-join the
+    *    bucketed codes scan (corpus side co-located, zero exchange) and the
+    *    tiny codebooks table, and the ADC term is one compiled [[dot]] per
+    *    matched subspace.
+    *
+    * Emits RAW (query_id, neighbor_id, qc, part) rows — one per matched
+    * subspace; [[ivfPqCloseFromParts]] closes them into the ranked top-k
+    * batch-side, bit-identical to [[ivfPqSearchLoaded]] over the same
+    * queries (one oracle gates both — the FromCounts convention).
+    */
+  def ivfPqProbeEmissions(spark: org.apache.spark.sql.SparkSession,
+      queries: DataFrame, idCol: String, vecCol: String, name: String,
+      m: Int, dim: Int, nProbe: Int, excludeSelf: Boolean = true): DataFrame = {
+    require(m >= 1 && dim % m == 0 && nProbe >= 1)
+    val sd = dim / m
+    // Centroid tables are tiny by contract (the coarse quantizer is
+    // driver-sized in every IVF deployment); collecting them here is what
+    // buys the row-local, state-free probe rank.
+    val cen = spark.table(s"${name}_centroids")
+      .select(col("cluster_id").cast("long"),
+        transform(col("cvec"), _.cast("double")))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    val qvecD = transform(col(vecCol), _.cast("double"))
+    val probeStructs = array(cen.map { case (cid, cv) =>
+      struct((lit(-1.0) * dot(qvecD, typedLit(cv))).as("nqc"),
+        lit(cid).as("cluster_id"))
+    }: _*)
+    val probed = queries
+      .select(col(idCol).as("query_id"), qvecD.as("graft_qv"),
+        explode(slice(sort_array(probeStructs), 1, nProbe)).as("pb"))
+      .select(col("query_id"), col("graft_qv"),
+        (lit(-1.0) * col("pb.nqc")).as("qc"), col("pb.cluster_id").as("cluster_id"))
+    val cand = probed.join(spark.table(s"${name}_codes"), Seq("cluster_id"))
+    val filt = if (excludeSelf) cand.filter(col("id") =!= col("query_id")) else cand
+    val cbs = spark.table(s"${name}_codebooks")
+      .select(col("sub").as("graft_cb_sub"), col("cid").as("graft_cb_cid"),
+        transform(col("cvec"), _.cast("double")).as("graft_cb_vec"))
+    filt.join(broadcast(cbs),
+        col("sub") === col("graft_cb_sub") && col("code") === col("graft_cb_cid"))
+      .select(col("query_id"), col("id").as("neighbor_id"), col("qc"),
+        dot(slice(col("graft_qv"), col("sub") * sd + 1, lit(sd)),
+          col("graft_cb_vec")).as("part"))
+  }
+
   /** CLUSTER-QUALITY report for a centroid set — the "is this clustering
     * any good" measurement behind [[kmeans]]/[[ivfAssign]] deployment:
     * per cluster, the member count and the EXACT within-cluster inertia
@@ -1173,10 +1229,28 @@ object VectorOps {
     val withLut = cand.join(broadcast(lut), Seq("query_id", "sub", "code"))
     val filtered =
       if (excludeSelf) withLut.filter(col("id") =!= col("query_id")) else withLut
+    ivfPqCloseFromParts(filtered.select(col("query_id"),
+      col("id").as("neighbor_id"), col("qc"), col("part")), m, k)
+  }
+
+  /** The FORMULA half of [[ivfPqSearch]]'s tail (the FromCounts split
+    * applied to ANN): closes raw candidate rows — one row per matched
+    * (query, candidate, subspace), carrying the probe's coarse dot `qc`
+    * and the subspace ADC term `part` — into the ranked top-k. Split out
+    * so the stateless streaming probe ([[ivfPqProbeEmissions]]) can emit
+    * the raw rows from inside a micro-batch (where windows and aggregates
+    * would be stateful) and close them batch-side, landing bit-identical
+    * on the batch search — one oracle gates both.
+    *
+    * Input contract: `cands` = (query_id, neighbor_id, qc, part), exactly
+    * one row per matched subspace; candidates matching fewer than `m`
+    * subspaces are dropped (they carry no complete ADC).
+    */
+  def ivfPqCloseFromParts(cands: DataFrame, m: Int, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc").desc, col("neighbor_id").asc)
-    filtered
-      .groupBy(col("query_id"), col("id").as("neighbor_id"))
+    cands
+      .groupBy(col("query_id"), col("neighbor_id"))
       .agg(min(col("qc")).as("qc"),
         aggregate(sort_array(collect_list(col("part"))), lit(0.0), (a, x) => a + x)
           .as("radc"),

@@ -277,6 +277,29 @@ private[queries] object Staging {
         }
     }
 
+  /** Query vectors 100–109 as a TWO-file replay (one micro-batch each
+    * under maxFilesPerTrigger = 1) for the stateless ANN probe stream
+    * gate. No sentinel files: the probe holds no state and waits on no
+    * watermark — every emission lands in its own batch.
+    */
+  def streamQueryVecDir(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): String =
+    dir("streamqvec", sfDir, "embeddings") { p =>
+      Files.createDirectories(Paths.get(p))
+      import org.apache.spark.sql.functions._
+      val e = graft.Tables.t(spark, sfDir, "embeddings")
+        .filter(col("vec_id").between(100, 109))
+        .select(col("vec_id"), col("embedding"))
+      val now = System.currentTimeMillis()
+      Seq(("a_q.parquet", col("vec_id") < 105),
+          ("b_q.parquet", col("vec_id") >= 105))
+        .zipWithIndex.foreach { case ((name, pred), i) =>
+          writeOneParquet(e.filter(pred), p, name)
+          Paths.get(p, name).toFile.setLastModified(now - 30000 + i * 10000L)
+          ()
+        }
+    }
+
   /** Write `df` as ONE parquet file named `name` directly under `destDir`
     * (Spark writes to a side dir; only the part file moves in — _SUCCESS/
     * .crc artifacts would corrupt filesInDir-based micro-batch packing).

@@ -15,6 +15,37 @@ import graft.queries.QueryShared._
   */
 object VectorQueries extends QueryDomain {
 
+  /** The staged IVF-PQ codes index shared by q_ivfpq_index and
+    * q_stream_ivfpq_probe (the lshProbeIndex convention): built on the
+    * even vec_ids, odd half appended in two batches against the persisted
+    * centroids/codebooks, code file-sets compacted — once per (sf, JVM),
+    * so bench reps measure the PROBE and a repeat append cannot
+    * duplicate codes. Catalog tables are shared across sessions.
+    */
+  private def ivfPqIndexName(s: SparkSession, dir: String): String =
+    Staging.memo[String]("ivfpqindex", dir) {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val centroids = e.filter($"vec_id" < 10)
+      val res8 = VectorOps.ivfResiduals(
+        e.filter($"vec_id".between(20, 27)), "vec_id", "embedding", centroids)
+      val cbs = res8.select(explode(array(
+          struct(lit(0).as("sub"), $"id".as("cid"),
+            slice($"rvec", 1, 32).as("cvec")),
+          struct(lit(1).as("sub"), $"id".as("cid"),
+            slice($"rvec", 33, 32).as("cvec")))).as("cb"))
+        .select($"cb.sub".as("sub"), $"cb.cid".as("cid"), $"cb.cvec".as("cvec"))
+      val nm = "graft_ivfpq_index_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      VectorOps.saveIvfPqIndex(e.filter($"vec_id" % 2 === 0), centroids,
+        "vec_id", "embedding", cbs, m = 2, dim = 64, nm, buckets = 8)
+      VectorOps.appendToIvfPqIndex(s, e.filter($"vec_id" % 4 === 1),
+        "vec_id", "embedding", nm, buckets = 8)
+      VectorOps.appendToIvfPqIndex(s, e.filter($"vec_id" % 4 === 3),
+        "vec_id", "embedding", nm, buckets = 8)
+      ScaleJoins.compactBucketed(s, s"${nm}_codes")
+      nm
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- similarity search over embeddings --------------------------------
@@ -286,32 +317,43 @@ object VectorQueries extends QueryDomain {
       // width read off the codebook table), code file-sets compacted, then
       // probed — and the result must equal q_ivfpq_topk's in-session
       // encode+search over the WHOLE table: the same oracle gates both.
-      // Staged once per (sf, JVM) ([[Staging.memo]]): a repeat append
+      // Staged once per (sf, JVM) ([[ivfPqIndexName]]): a repeat append
       // would duplicate codes, and bench reps must measure the PROBE.
       val e = t(s, dir, "embeddings")
-      val centroids = e.filter($"vec_id" < 10)
-      val res8 = VectorOps.ivfResiduals(
-        e.filter($"vec_id".between(20, 27)), "vec_id", "embedding", centroids)
-      val cbs = res8.select(explode(array(
-          struct(lit(0).as("sub"), $"id".as("cid"),
-            slice($"rvec", 1, 32).as("cvec")),
-          struct(lit(1).as("sub"), $"id".as("cid"),
-            slice($"rvec", 33, 32).as("cvec")))).as("cb"))
-        .select($"cb.sub".as("sub"), $"cb.cid".as("cid"), $"cb.cvec".as("cvec"))
-      val name = Staging.memo[String]("ivfpqindex", dir) {
-        val nm = "graft_ivfpq_index_" + dir.replaceAll("[^A-Za-z0-9]", "_")
-        VectorOps.saveIvfPqIndex(e.filter($"vec_id" % 2 === 0), centroids,
-          "vec_id", "embedding", cbs, m = 2, dim = 64, nm, buckets = 8)
-        VectorOps.appendToIvfPqIndex(s, e.filter($"vec_id" % 4 === 1),
-          "vec_id", "embedding", nm, buckets = 8)
-        VectorOps.appendToIvfPqIndex(s, e.filter($"vec_id" % 4 === 3),
-          "vec_id", "embedding", nm, buckets = 8)
-        ScaleJoins.compactBucketed(s, s"${nm}_codes")
-        nm
-      }
+      val name = ivfPqIndexName(s, dir)
       VectorOps.ivfPqSearchLoaded(VectorOps.loadIvfPqIndex(s, name),
           e.filter($"vec_id".between(100, 109)), "vec_id", "embedding",
           m = 2, dim = 64, k = 5, nProbe = 3)
+        .select($"query_id", $"rank".as("rnk"), $"neighbor_id", $"adc")
+        .orderBy($"query_id", $"rnk")
+    },
+
+    "q_stream_ivfpq_probe" -> { (s, dir) =>
+      import s.implicits._
+      // ONLINE ANN against the persisted codes index — the streaming twin
+      // of q_ivfpq_index (whose staged tables it shares): each micro-batch
+      // of arriving query vectors picks its probe clusters ROW-LOCALLY
+      // against literal centroids and stream-static-joins the bucketed
+      // codes + codebook tables ([[VectorOps.ivfPqProbeEmissions]]) —
+      // zero stream state, zero corpus-side shuffle, arbitrarily long
+      // uptime. Raw (query, neighbor, qc, part) emissions close into the
+      // ranked ADC top-k batch-side ([[VectorOps.ivfPqCloseFromParts]] —
+      // the FromCounts split applied to ANN); output must equal the batch
+      // probe, so the q_ivfpq_topk oracle gates all three.
+      val staged = Staging.streamQueryVecDir(s, dir)
+      val name = ivfPqIndexName(s, dir) // catalog shared across sessions
+      val ss = Staging.streamSession(s)
+      val schema = ss.read.parquet(s"$staged/a_q.parquet").schema
+      val src = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+      val sink = Staging.nextStreamSink(ss)
+      val q = VectorOps.ivfPqProbeEmissions(ss, src, "vec_id", "embedding",
+          name, m = 2, dim = 64, nProbe = 3)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      VectorOps.ivfPqCloseFromParts(ss.table(sink), m = 2, k = 5)
         .select($"query_id", $"rank".as("rnk"), $"neighbor_id", $"adc")
         .orderBy($"query_id", $"rnk")
     },
@@ -753,6 +795,17 @@ object VectorQueries extends QueryDomain {
     // in-session encode+search over the whole table — same oracle as
     // q_ivfpq_topk (the q_ivf_append move for the code tier).
     "q_ivfpq_index" ->
+      s"""WITH $ivfPqCtes
+         |SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id, adc FROM (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS rnk
+         |  FROM sc)
+         |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
+    // The stateless streaming probe of the same staged index must land on
+    // the same ranked top-k — q_ivfpq_topk's oracle gates batch index,
+    // stream probe, and in-session search alike.
+    "q_stream_ivfpq_probe" ->
       s"""WITH $ivfPqCtes
          |SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id, adc FROM (
          |  SELECT *, ROW_NUMBER() OVER (

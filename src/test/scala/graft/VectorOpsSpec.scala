@@ -247,6 +247,16 @@ class VectorOpsSpec extends AnyFunSuite with SparkSpec {
       assert(spark.table("ivfpq_rt_codes").schema.map(_.name).toSet ==
         Set("id", "cluster_id", "sub", "code"),
         "the index stores 1 + m longs per member and nothing else")
+      // The stateless probe-emission path (row-local literal-centroid
+      // probe rank + stream-static joins) closed by ivfPqCloseFromParts
+      // must land bit-identically on the loaded search — the equality the
+      // q_stream_ivfpq_probe gate pins through a real stream; here the
+      // same operators run on a batch frame, pinning it suite-side too.
+      val viaEmissions = rows(VectorOps.ivfPqCloseFromParts(
+        VectorOps.ivfPqProbeEmissions(spark, queries, "vec_id", "embedding",
+          "ivfpq_rt", m = 2, dim = 64, nProbe = 3),
+        m = 2, k = 5))
+      assert(viaEmissions === inSession)
     } finally cleanup()
   }
 
