@@ -367,9 +367,11 @@ object SetSimJoin {
     *                (stop-token removal at per-block df > k — the
     *                candidate-mass cap as a single knob); None leaves the
     *                sets untouched
-    * @param maxCandidates loud-failure ceiling on the post-cap collision
-    *                mass Σ C(df, 2) — see [[DefaultMaxCandidates]];
-    *                `Long.MaxValue` opts out of the census
+    * @param maxCandidates loud-failure ceiling on the collision mass
+    *                Σ C(df, 2) — see [[DefaultMaxCandidates]];
+    *                `Long.MaxValue` opts out of the census, and a set
+    *                `maxDf` skips it (post-cap mass is linear in
+    *                vocabulary by construction)
     * @return columns: blockCols…, doc_i, doc_j, n_common, n_union (LONG)
     */
   def jaccardJoin(
@@ -400,8 +402,12 @@ object SetSimJoin {
     // corpus-wide call on a saturated vocabulary previously ran straight
     // into the >64 GB spill wall with no warning — now it fails eagerly,
     // BEFORE the prefix join, with the measured law and the escape hatches
-    // in the message.
-    guardCandidateMass(ex, blockCols, maxCandidates, "jaccardJoin")
+    // in the message. Skipped when maxDf capped the input: post-cap every
+    // posting list is ≤ maxDf, so ΣC(df,2) ≤ |vocab|·C(maxDf,2) — LINEAR
+    // in vocabulary by construction; the census would only re-prove it
+    // (measured ~2 s of redundant aggregate on the sf0.1 capped gates).
+    if (maxDf.isEmpty)
+      guardCandidateMass(ex, blockCols, maxCandidates, "jaccardJoin")
 
     // Packed's bounded-vocabulary contract is ENFORCED, not assumed: the df
     // table is collected through a hard cap (one row past `maxPackedDfEntries`
@@ -599,8 +605,10 @@ object SetSimJoin {
     * @param docs one row per document; `setCol` an ARRAY of DISTINCT tokens
     * @param maxDf Some(k) routes the input through [[capTokenDf]] first;
     *              None leaves the sets untouched
-    * @param maxCandidates loud-failure ceiling on the post-cap collision
-    *              mass — see [[DefaultMaxCandidates]]; `Long.MaxValue` opts out
+    * @param maxCandidates loud-failure ceiling on the collision mass —
+    *              see [[DefaultMaxCandidates]]; `Long.MaxValue` opts out,
+    *              and a set `maxDf` skips the census (post-cap mass is
+    *              linear in vocabulary by construction)
     * @return columns: blockCols…, doc_small, doc_big, n_common, n_small (LONG)
     */
   def containmentJoin(
@@ -625,8 +633,11 @@ object SetSimJoin {
         explode(col("sj_set")).as("sj_tok") +: bc: _*)
     // Same default-loud mass census as jaccardJoin: Σ C(df, 2) is the
     // probe×index collision law's proxy here (a saturated posting list
-    // collides its prefix probes with its full index side).
-    guardCandidateMass(ex, blockCols, maxCandidates, "containmentJoin")
+    // collides its prefix probes with its full index side). Skipped when
+    // maxDf capped the input (post-cap mass is linear in vocabulary by
+    // construction — see jaccardJoin).
+    if (maxDf.isEmpty)
+      guardCandidateMass(ex, blockCols, maxCandidates, "containmentJoin")
     val ranked = rankedIndex(ex, blockCols, dfStrategy, None)
       .select(col("sj_id") +: col("sj_tok") +: col("sj_sz") +: col("sj_rk") +: bc: _*)
     // Probe prefix: |A| − ⌈t·|A|⌉ + 1 rare-first tokens of the contained side.
