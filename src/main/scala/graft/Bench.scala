@@ -1,6 +1,7 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicReference}
 
 /** Benchmark main — runs every SparkEntry query at SPARK_GRAFT_SF_DIR and
   * emits one machine-readable JSON line (stdout + BENCH.json beside the cwd).
@@ -11,32 +12,48 @@ import java.nio.file.{Files, Paths}
   * execute and the numbers would measure scan+count only. The noop sink
   * consumes every row of every column downstream of the full plan.
   *
-  * Every query runs SPARK_GRAFT_REPS times (default 3) and reports the
-  * per-query MEDIAN (plus the min, as `queries_min`): single-run numbers on
-  * a shared 32-way box showed 2× phantom regressions round-to-round
-  * (q_ngram_jaccard 14.97 s recorded vs 7.54 s re-measured, zero code
-  * change), and the median of three is the cheapest estimator that ignores
-  * one bad draw. Reps are interleaved round-robin across the query list so
-  * one noisy wall-clock window cannot poison all of a query's draws (the
-  * grouped-reps failure mode seen in round 6). `value` is the sum of
-  * medians.
+  * Batch queries run SPARK_GRAFT_REPS times (default 3) and stream queries
+  * SPARK_GRAFT_STREAM_REPS times (default 2 — r19 VERDICT item 2: the 36
+  * staged-replay stream gates were the sweep's most expensive block, their
+  * three draws historically agree within noise, and the third stream pass is
+  * what the r19 driver timeout killed). Per-query stats report the MEDIAN of
+  * the draws taken (plus the min, as `queries_min`): single-run numbers on a
+  * shared 32-way box showed 2× phantom regressions round-to-round, and the
+  * median ignores one bad draw. Reps are interleaved round-robin across the
+  * query list so one noisy wall-clock window cannot poison all of a query's
+  * draws (the grouped-reps failure mode seen in round 6). `value` is the sum
+  * of medians.
+  *
+  * SURVIVABILITY (r19 VERDICT item 1 — the r19 driver bench was SIGTERM'd
+  * mid-stream-pass and recorded `rc 124, parsed: null`, i.e. the round
+  * shipped NO driver-side perf number despite 40 minutes of measurement):
+  *  - SPARK_GRAFT_BUDGET_SEC (default 1500) is a wall-clock budget. Once
+  *    elapsed time crosses it, no further queries START; the run finalizes
+  *    from the draws already taken, with `"budget_truncated":true` and a
+  *    per-query `queries_reps_completed` map in BENCH.json. Truncated
+  *    queries report the stats of the draws they DID take — null stays
+  *    reserved for real failures, so breakage still can't masquerade as
+  *    speed.
+  *  - After EVERY rep pass (and at finalization) the full record is written
+  *    to BENCH.json and the stdout summary line is cached in-process with
+  *    `"partial":true`.
+  *  - A JVM shutdown hook prints the latest cached line: a SIGTERM'd run
+  *    emits the last completed pass's parseable summary as its final stdout
+  *    instead of nothing. On normal completion the hook is disarmed and the
+  *    final `"partial":false` line is printed after spark.stop().
   *
   * A fixed SENTINEL (a constant tiny plan, identical every round) runs at
-  * each rep-pass head AND every `SentinelStride` queries inside the pass
-  * (the r19 trace — r18's single pass-head draw could not vouch for the
-  * box minutes into a 237-gate pass); the full (pass, offset, seconds)
-  * trace lands in BENCH.json, so a noisy sweep region is identified by its
-  * own record instead of argued from cross-round deltas (the r9–r11
-  * post-mortems re-litigated contention every round for want of this
-  * number). NOTE: `sentinel.min`/`subset18_norm` therefore sample ~6×
-  * more sentinel draws than r17/r18 — the min reads the box's quiet floor
-  * more often, so norm values are comparable to r18's only with that bias
-  * in mind (recorded in BASELINE.md r19). Stream gates additionally run in
-  * their own rep passes AFTER the batch gates, isolating the staged-replay
-  * protocol's I/O from the batch timings (r18 VERDICT item 2).
+  * each rep-pass head AND every `SentinelStride` queries inside the pass;
+  * the full (pass, offset, seconds) trace lands in BENCH.json, so a noisy
+  * sweep region is identified by its own record instead of argued from
+  * cross-round deltas. NOTE: `sentinel.min`/`subset18_norm` sample many
+  * more sentinel draws than r17/r18 — norm values are comparable to r18's
+  * only with that bias in mind (recorded in BASELINE.md r19). Stream gates
+  * additionally run in their own rep passes AFTER the batch gates,
+  * isolating the staged-replay protocol's I/O from the batch timings.
   *
   * Stdout discipline: the driver parses the stdout TAIL (~2000 chars), and
-  * a full per-query map at 134 queries is ~3.5 KB — every BENCH since r8
+  * a full per-query map at 240 queries is ~6 KB — every BENCH since r8
   * recorded `parsed: null` because the line START fell outside the window.
   * Stdout therefore carries the summary + the 18-query BASELINE.md subset
   * (the cross-round comparison contract) + the top-cost queries only;
@@ -57,6 +74,8 @@ object Bench {
     "q_set_ops", "q_string_agg", "q_window_funcs")
 
   def main(args: Array[String]): Unit = {
+    val startNanos = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - startNanos) / 1e9
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -84,6 +103,10 @@ object Bench {
     SparkEntry.queries(names.head)(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    val streamReps = sys.env.getOrElse("SPARK_GRAFT_STREAM_REPS", "2").toInt
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BUDGET_SEC", "1500").toDouble
+    def expectedReps(name: String): Int =
+      if (name.startsWith("q_stream_")) streamReps else reps
     // Reps are INTERLEAVED round-robin (full query list `reps` times), not
     // grouped per query: grouped reps put one query's three draws in the
     // same ~30 s wall-clock window, so sustained co-tenant noise poisons
@@ -96,9 +119,9 @@ object Bench {
     val failedOnce = scala.collection.mutable.Set.empty[String]
     // The contention sentinel: a constant plan with one exchange, no table
     // input — identical across rounds, so its wall-clock measures the box,
-    // not the code. One draw per rep pass, at the pass head. Failures are
-    // swallowed like a query's (the sentinel is diagnostics — it must
-    // never be the reason a multi-minute sweep dies with no record).
+    // not the code. Failures are swallowed like a query's (the sentinel is
+    // diagnostics — it must never be the reason a multi-minute sweep dies
+    // with no record).
     def sentinelOnce(): Option[Double] = try {
       val t0 = System.nanoTime()
       spark.range(0, 10000000L, 1, 32)
@@ -113,16 +136,133 @@ object Bench {
     sentinelOnce() // warm-up draw, not recorded
     // The sentinel TRACE (r18 VERDICT item 2): one draw at each pass head
     // PLUS one every `SentinelStride` queries inside the pass, each recorded
-    // as (pass, offset, seconds). A 237-gate pass runs for minutes, so a
-    // single head-of-pass draw cannot vouch for the box minutes later — the
-    // r18 sweep's med/min pathology (25.3 s median vs 3.08 s min) was only
-    // attributable to contention by argument; the trace makes each region
-    // of the sweep carry its own noise tag mechanically.
+    // as (pass, offset, seconds). A 240-gate pass runs for minutes, so a
+    // single head-of-pass draw cannot vouch for the box minutes later; the
+    // trace makes each region of the sweep carry its own noise tag
+    // mechanically.
     val SentinelStride = 40
     var sentinelTrace = Vector.empty[(Int, Int, Double)]
     def tracedSentinel(pass: Int, offset: Int): Unit =
       sentinelOnce().foreach(t => sentinelTrace :+= ((pass, offset, t)))
-    // Stream gates (the 35 staged-replay q_stream_* monitors) run in their
+
+    // ---- JSON emission, callable at ANY point in the sweep ----------------
+    def median(ts: Seq[Double]): Double = ts.sorted.apply(ts.length / 2)
+    // null strictly for FAILED queries; a budget-truncated query reports the
+    // stats of the draws it did take (its confidence is readable from
+    // queries_reps_completed in BENCH.json).
+    def jmap(entries: Seq[(String, Vector[Double])], stat: Vector[Double] => Double): String =
+      entries.map { case (k, ts) =>
+        "\"" + k + "\":" + (if (ts.nonEmpty && !failedOnce(k)) f"${stat(ts)}%.3f" else "null")
+      }.mkString("{", ",", "}")
+    /** Builds both JSON records from current state, writes BENCH.json, and
+      * caches the stdout line. Returns the stdout line.
+      */
+    def emit(partial: Boolean, budgetTruncated: Boolean): String = {
+      val sentinelTs = sentinelTrace.map(_._3)
+      val results = names.map(n => (n, if (failedOnce(n)) Vector.empty[Double] else timesByName(n)))
+      val measured = results.filter { case (k, ts) => ts.nonEmpty && !failedOnce(k) }
+      val failed = results.collect { case (k, _) if failedOnce(k) => "\"" + k + "\"" }
+        .mkString("[", ",", "]")
+      val notRun = results.collect { case (k, ts) if ts.isEmpty && !failedOnce(k) => "\"" + k + "\"" }
+        .mkString("[", ",", "]")
+      val total = measured.map { case (_, ts) => median(ts) }.sum
+      val subsetRes = results.filter(r => baselineSubset(r._1))
+      // The contract number is the sum of per-query MINIMA, not medians: the
+      // r12 driver medians were contention artifacts (q_correlation 11.77 s
+      // median vs 1.07 s min on an idle box), and the minimum is the draw
+      // least polluted by co-tenants — the contention-immune estimator the
+      // cross-round record should key on (r12 VERDICT item 3; convention
+      // documented in BASELINE.md). The median sum stays as a secondary field.
+      //
+      // Completeness semantics (r20): the r12 hazard is a MISSING member
+      // silently shrinking the sum and reading as an improvement. Fewer
+      // draws per member cannot shrink a min-sum (a min over fewer draws is
+      // ≥ the min over more), so under budget truncation the sum stays
+      // trustworthy as long as every member contributed ≥1 draw and none
+      // failed. subset18_total is therefore non-null on ≥1 draw each;
+      // subset18_complete stays the strict full-reps flag, and
+      // subset18_min_reps records the weakest member's draw count.
+      val subsetAllPresent = baselineSubset
+        .forall(n => subsetRes.exists(r => r._1 == n && r._2.nonEmpty && !failedOnce(n)))
+      val subsetComplete = baselineSubset
+        .forall(n => subsetRes.exists(r => r._1 == n && r._2.length == expectedReps(n)))
+      val subsetMinReps =
+        if (subsetAllPresent) subsetRes.map(_._2.length).min else 0
+      val subsetTotal = subsetRes.collect { case (_, ts) if ts.nonEmpty => ts.min }.sum
+      val subsetTotalMed = subsetRes.collect { case (_, ts) if ts.nonEmpty => median(ts) }.sum
+      val subsetTotalJson = if (subsetAllPresent) f"$subsetTotal%.3f" else "null"
+      val subsetTotalMedJson = if (subsetAllPresent) f"$subsetTotalMed%.3f" else "null"
+      // Stdout carries subset + top-cost queries only (see the scaladoc's
+      // stdout-discipline note); the full maps live in BENCH.json.
+      val topCost = measured.sortBy { case (_, ts) => -median(ts) }.take(10)
+      val stdoutEntries = (subsetRes ++ topCost).distinctBy(_._1).sortBy(_._1)
+      val sentinelJson =
+        if (sentinelTs.isEmpty) "null"
+        else f"""{"median":${median(sentinelTs)}%.3f,"min":${sentinelTs.min}%.3f}"""
+      // Sentinel-NORMALIZED subset ratio (r17 VERDICT item 7): subset minima
+      // divided by the sentinel minimum, so cross-round comparisons separate
+      // box contention from plan movement mechanically. Null whenever either
+      // input is untrustworthy (missing subset member / no sentinel draws).
+      val subsetNormJson =
+        if (subsetAllPresent && sentinelTs.nonEmpty && sentinelTs.min > 0)
+          f"${subsetTotal / sentinelTs.min}%.2f"
+        else "null"
+      val common =
+        f""""reps":$reps,"stream_reps":$streamReps,""" +
+          f""""n_queries":${names.length},"n_measured":${measured.length},""" +
+          f""""partial":$partial,"budget_truncated":$budgetTruncated,""" +
+          f""""budget_sec":$budgetSec%.0f,"elapsed_sec":$elapsedSec%.1f,""" +
+          f""""subset18_total":$subsetTotalJson,""" +
+          f""""subset18_total_median":$subsetTotalMedJson,""" +
+          f""""subset18_complete":$subsetComplete,""" +
+          f""""subset18_min_reps":$subsetMinReps,""" +
+          f""""subset18_norm":$subsetNormJson,""" +
+          f""""sentinel":$sentinelJson"""
+      val stdoutJson =
+        f"""{"metric":"total","value":$total%.3f,"unit":"sec",$common,""" +
+          f""""queries":${jmap(stdoutEntries, median)},""" +
+          f""""queries_min":${jmap(stdoutEntries, _.min)},""" +
+          f""""failed":$failed,"not_run":$notRun,"sf":"$sfDir","full_record":"BENCH.json"}"""
+      // Raw per-draw record: every query's individual rep times plus the
+      // full sentinel trace [(pass, offset, sec)…] — with the raw draws and
+      // their nearest noise tags in the record, a drifted median is
+      // attributable (or not) from BENCH.json alone.
+      val repsJson = results.map { case (k, ts) =>
+        "\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
+      val repsCompletedJson = results.map { case (k, ts) =>
+        "\"" + k + "\":" + ts.length
+      }.mkString("{", ",", "}")
+      val traceJson = sentinelTrace
+        .map { case (p, o, t) => f"[$p,$o,$t%.3f]" }.mkString("[", ",", "]")
+      val fileJson =
+        f"""{"metric":"total","value":$total%.3f,"unit":"sec",$common,""" +
+          f""""sentinel_reps":${sentinelTrace.map(x => f"${x._3}%.3f").mkString("[", ",", "]")},""" +
+          f""""sentinel_trace":$traceJson,""" +
+          f""""queries":${jmap(results, median)},"queries_min":${jmap(results, _.min)},""" +
+          f""""queries_reps":$repsJson,""" +
+          f""""queries_reps_completed":$repsCompletedJson,""" +
+          f""""failed":$failed,"not_run":$notRun,"sf":"$sfDir"}"""
+      Files.writeString(Paths.get("BENCH.json"), fileJson + "\n")
+      stdoutJson
+    }
+
+    // The crash-safe tail: after every rep pass the latest partial summary
+    // is cached here, and the shutdown hook prints it if the JVM dies before
+    // normal completion (SIGTERM from the driver's timeout, OOM-killer
+    // sibling, anything). The hook writes to the same inherited stdout fd
+    // the final line would use, so the driver's tail parse sees a well-formed
+    // record with "partial":true instead of nothing (r19: rc 124/parsed null).
+    val lastPartialLine = new AtomicReference[String]("")
+    val hookArmed = new AtomicBoolean(true)
+    sys.addShutdownHook {
+      if (hookArmed.get) {
+        val line = lastPartialLine.get
+        if (line.nonEmpty) { println(line); System.out.flush() }
+      }
+    }
+
+    // Stream gates (the 36 staged-replay q_stream_* monitors) run in their
     // OWN rep passes after the batch gates (r18 VERDICT item 2): their
     // fixed micro-batch protocol cost (staging reads, checkpoint dirs,
     // state-store lifecycle) is the sweep's heaviest I/O, and isolating it
@@ -131,107 +271,52 @@ object Bench {
     // window still hits at most one draw per query.
     val (streamNames, batchNames) = names.partition(_.startsWith("q_stream_"))
     var pass = 0
-    for (group <- Seq(batchNames, streamNames) if group.nonEmpty; _ <- 0 until reps) {
+    var budgetHit = false
+    val groups = Seq((batchNames, reps), (streamNames, streamReps))
+    for ((group, groupReps) <- groups if group.nonEmpty; _ <- 0 until groupReps if !budgetHit) {
       var offset = 0
       tracedSentinel(pass, offset)
-      for (name <- group) {
-        if (offset > 0 && offset % SentinelStride == 0) tracedSentinel(pass, offset)
-        val t0 = System.nanoTime()
-        try {
-          SparkEntry.queries(name)(spark, sfDir)
-            .write.format("noop").mode("overwrite").save()
-          timesByName(name) :+= (System.nanoTime() - t0) / 1e9
-        } catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          failedOnce += name
+      val it = group.iterator
+      while (it.hasNext && !budgetHit) {
+        // Budget check BEFORE each query starts: a crossed budget stops new
+        // work immediately (not just at pass boundaries — the r19 stream
+        // passes alone ran >10 min, far past any useful boundary check),
+        // finalizing from the draws already taken.
+        if (elapsedSec > budgetSec) {
+          budgetHit = true
+        } else {
+          val name = it.next()
+          if (offset > 0 && offset % SentinelStride == 0) tracedSentinel(pass, offset)
+          val t0 = System.nanoTime()
+          try {
+            SparkEntry.queries(name)(spark, sfDir)
+              .write.format("noop").mode("overwrite").save()
+            timesByName(name) :+= (System.nanoTime() - t0) / 1e9
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            failedOnce += name
+          }
+          offset += 1
         }
-        offset += 1
       }
       pass += 1
+      // Crash-safe checkpoint: full BENCH.json + cached partial stdout line
+      // after every pass, so a kill at any later point still has the last
+      // completed pass's record.
+      lastPartialLine.set(emit(partial = true, budgetTruncated = budgetHit))
     }
-    val sentinelTs = sentinelTrace.map(_._3)
-    val results = names.map(n => (n, if (failedOnce(n)) Vector.empty[Double] else timesByName(n)))
-    def median(ts: Seq[Double]): Double = ts.sorted.apply(ts.length / 2)
-    def jmap(entries: Seq[(String, Vector[Double])], stat: Vector[Double] => Double): String =
-      entries.map { case (k, ts) =>
-        "\"" + k + "\":" + (if (ts.length == reps) f"${stat(ts)}%.3f" else "null")
-      }.mkString("{", ",", "}")
-    val failed = results.collect { case (k, ts) if ts.length != reps => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
-    val total = results.collect { case (_, ts) if ts.length == reps => median(ts) }.sum
-    val subsetRes = results.filter(r => baselineSubset(r._1))
-    // The contract number is the sum of per-query MINIMA, not medians: the
-    // r12 driver medians were contention artifacts (q_correlation 11.77 s
-    // median vs 1.07 s min on an idle box), and the minimum is the draw
-    // least polluted by co-tenants — the contention-immune estimator the
-    // cross-round record should key on (r12 VERDICT item 3; convention
-    // documented in BASELINE.md). The median sum stays as a secondary field.
-    val subsetTotal = subsetRes.collect { case (_, ts) if ts.length == reps => ts.min }.sum
-    val subsetTotalMed = subsetRes.collect { case (_, ts) if ts.length == reps => median(ts) }.sum
-    // A failed or renamed subset member silently SHRINKS the sum, which
-    // would read as a cross-round improvement — flag completeness so the
-    // ratio is only trusted when all 18 members contributed.
-    val subsetComplete = baselineSubset
-      .forall(n => results.exists(r => r._1 == n && r._2.length == reps))
-    // An incomplete subset's sum must never be readable as a ratio — print
-    // null instead of the shrunken number (r12 ADVICE).
-    val subsetTotalJson = if (subsetComplete) f"$subsetTotal%.3f" else "null"
-    val subsetTotalMedJson = if (subsetComplete) f"$subsetTotalMed%.3f" else "null"
-    // Stdout carries subset + top-cost queries only (see the scaladoc's
-    // stdout-discipline note); the full maps live in BENCH.json.
-    val topCost = results.filter(_._2.length == reps)
-      .sortBy { case (_, ts) => -median(ts) }.take(10)
-    val stdoutEntries = (subsetRes ++ topCost).distinctBy(_._1).sortBy(_._1)
-    val sentinelJson =
-      if (sentinelTs.isEmpty) "null"
-      else f"""{"median":${median(sentinelTs)}%.3f,"min":${sentinelTs.min}%.3f}"""
-    // Sentinel-NORMALIZED subset ratio (r17 VERDICT item 7): subset minima
-    // divided by the sentinel minimum, so cross-round comparisons separate
-    // box contention from plan movement mechanically — the sentinel is the
-    // same constant plan every round, so a contended sweep inflates both
-    // numerator and denominator and the ratio stays put, while a real plan
-    // regression moves only the numerator. Null whenever either input is
-    // untrustworthy (incomplete subset / no sentinel draws).
-    val subsetNormJson =
-      if (subsetComplete && sentinelTs.nonEmpty && sentinelTs.min > 0)
-        f"${subsetTotal / sentinelTs.min}%.2f"
-      else "null"
-    val stdoutJson =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,""" +
-        f""""n_queries":${names.length},"subset18_total":$subsetTotalJson,""" +
-        f""""subset18_total_median":$subsetTotalMedJson,""" +
-        f""""subset18_complete":$subsetComplete,""" +
-        f""""subset18_norm":$subsetNormJson,""" +
-        f""""sentinel":$sentinelJson,"queries":${jmap(stdoutEntries, median)},""" +
-        f""""queries_min":${jmap(stdoutEntries, _.min)},""" +
-        f""""failed":$failed,"sf":"$sfDir","full_record":"BENCH.json"}"""
-    // Raw per-draw record: every query's individual rep times plus the
-    // full sentinel trace [(pass, offset, sec)…] — the r18 sweep's med/min
-    // pathology was adjudicable only by re-running; with the raw draws and
-    // their nearest noise tags in the record, a drifted median is
-    // attributable (or not) from BENCH.json alone.
-    val repsJson = results.map { case (k, ts) =>
-      "\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
-    }.mkString("{", ",", "}")
-    val traceJson = sentinelTrace
-      .map { case (p, o, t) => f"[$p,$o,$t%.3f]" }.mkString("[", ",", "]")
-    val fileJson =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,""" +
-        f""""n_queries":${names.length},"subset18_total":$subsetTotalJson,""" +
-        f""""subset18_total_median":$subsetTotalMedJson,""" +
-        f""""subset18_complete":$subsetComplete,""" +
-        f""""subset18_norm":$subsetNormJson,""" +
-        f""""sentinel":$sentinelJson,"sentinel_reps":${sentinelTs.map(t => f"$t%.3f").mkString("[", ",", "]")},""" +
-        f""""sentinel_trace":$traceJson,""" +
-        f""""queries":${jmap(results, median)},"queries_min":${jmap(results, _.min)},""" +
-        f""""queries_reps":$repsJson,""" +
-        f""""failed":$failed,"sf":"$sfDir"}"""
-    Files.writeString(Paths.get("BENCH.json"), fileJson + "\n")
-    // Stop Spark BEFORE the metric line: spark.stop() can log shutdown
-    // lines, and the metric JSON must be the very last stdout content for
-    // the driver's tail parse (r12 VERDICT item 1).
+    // Normal completion. Stop Spark BEFORE the metric line: spark.stop() can
+    // log shutdown lines, and the metric JSON must be the very last stdout
+    // content for the driver's tail parse (r12 VERDICT item 1). The hook
+    // stays ARMED through spark.stop() with the final line cached: stop()
+    // takes seconds, and a SIGTERM landing inside it (observed in the r20
+    // kill simulation) would otherwise arrive after the old disarm point and
+    // print nothing. Disarm only once the main path has printed.
+    val finalLine = emit(partial = false, budgetTruncated = budgetHit)
+    lastPartialLine.set(finalLine)
     spark.stop()
-    println(stdoutJson)
+    hookArmed.set(false)
+    println(finalLine)
     System.out.flush()
   }
 }
