@@ -1360,38 +1360,87 @@ object CorpusOps {
         array_distinct(TextOps.tokens(col(textCol))).as("toks"))
       .localCheckpoint(eager = false)
 
+  /** The level-wise Apriori body. Candidate pairs and triples are carried
+    * as PRIMITIVE LONG keys, not multi-column string rows (the r19
+    * PackedShingles move, VERDICT item 3): tokens are encoded ONCE to
+    * dense integer ids — [[RankOps.globalRank]] over the F1 survivors in
+    * token order, the two-phase zipWithIndex shape, never a
+    * single-partition window — and the whole candidate stream (the
+    * C(k,2)-per-doc inner loop that dominates the operator) flows as
+    * 8-byte `i1 << 32 | i2` keys. The string form allocated two
+    * heap-copied strings per candidate row into the checkpoint, the hash
+    * aggregates, and both triple-join sides, which made the gate's wall
+    * time hostage to heap geometry (driver-protocol big heaps page-faulted
+    * a huge young gen: 70.9 s driver-run vs 4.1 s at 8 g, BASELINE.md
+    * r19). Ids are decoded back to strings only on the FREQUENT outputs —
+    * support-filtered, orders of magnitude smaller than the candidate
+    * stream. The id rank is monotone in the token string, so the
+    * `i1 < i2` canonicalization and the (t1, t3) third-face probe are
+    * row-for-row the string form's — output identical, oracle unchanged.
+    */
   private def itemsetsFrom(base: DataFrame, minSupport: Int): DataFrame = {
     require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
     val items = base.select(col("fi_id"), explode(col("toks")).as("tok"))
     val f1 = items.groupBy(col("tok")).agg(count(lit(1)).as("sup"))
       .filter(col("sup") >= minSupport)
-    val e = items.join(f1.select(col("tok")), Seq("tok"))
+    val f1i = RankOps.globalRank(f1, Seq(col("tok").asc), "iid")
+      .localCheckpoint(eager = false)
+    // Pack-safety: pair keys are iid1 << 32 | iid2, so every id must fit
+    // 32 bits — 4.29 B DISTINCT FREQUENT tokens; at minSupport ≥ 2 that
+    // needs > 8.6 B token occurrences before it can trip. The one-row
+    // aggregate doubles as the f1i memo's materializer (the vocabulary-
+    // sized encode/decode table feeds six joins below).
+    val maxIid = f1i.agg(coalesce(max(col("iid")), lit(0L))).head().getLong(0)
+    require(maxIid < (1L << 32),
+      s"frequentItemsets: $maxIid distinct frequent tokens exceed the 32-bit " +
+        "pair-packing bound — raise minSupport (or shard the corpus) so the " +
+        "frequent vocabulary fits")
+    val lowMask = lit((1L << 32) - 1L)
+    // Encode: the candidate stream's ONLY contact with token strings.
+    val e = items.join(f1i.select(col("tok"), col("iid")), Seq("tok"))
+      .select(col("fi_id"), col("iid"))
     val docPairs = e.as("a").join(e.as("b"),
-        col("a.fi_id") === col("b.fi_id") && col("a.tok") < col("b.tok"))
+        col("a.fi_id") === col("b.fi_id") && col("a.iid") < col("b.iid"))
       .select(col("a.fi_id").as("fi_id"),
-        col("a.tok").as("t1"), col("b.tok").as("t2"))
+        shiftleft(col("a.iid"), 32).bitwiseOR(col("b.iid")).as("pk"))
       .localCheckpoint(eager = false)
-    val f2 = docPairs.groupBy(col("t1"), col("t2"))
-      .agg(count(lit(1)).as("sup"))
+    val f2 = docPairs.groupBy(col("pk")).agg(count(lit(1)).as("sup"))
       .filter(col("sup") >= minSupport)
       .localCheckpoint(eager = false)
-    val fp = docPairs.join(f2.select(col("t1"), col("t2")), Seq("t1", "t2"))
+    val fp = docPairs.join(f2.select(col("pk")), Seq("pk"))
+      .select(col("fi_id"), shiftrightunsigned(col("pk"), 32).as("i1"),
+        col("pk").bitwiseAND(lowMask).as("i2"), col("pk"))
     val cand3 = fp.as("x").join(fp.as("y"),
-        col("x.fi_id") === col("y.fi_id") && col("x.t2") === col("y.t1"))
-      .select(col("x.fi_id").as("fi_id"), col("x.t1").as("t1"),
-        col("x.t2").as("t2"), col("y.t2").as("t3"))
+        col("x.fi_id") === col("y.fi_id") && col("x.i2") === col("y.i1"))
+      .select(col("x.fi_id").as("fi_id"), col("x.pk").as("pk12"),
+        col("y.i2").as("i3"),
+        shiftleft(col("x.i1"), 32).bitwiseOR(col("y.i2")).as("pk13"))
       // third Apriori face: (t1, t3) must itself be frequent
-      .join(f2.select(col("t1"), col("t2").as("t3")), Seq("t1", "t3"))
-    val f3 = cand3.groupBy(col("t1"), col("t2"), col("t3"))
-      .agg(count(lit(1)).as("sup"))
+      .join(f2.select(col("pk").as("pk13")), Seq("pk13"))
+    val f3 = cand3.groupBy(col("pk12"), col("i3")).agg(count(lit(1)).as("sup"))
       .filter(col("sup") >= minSupport)
+    // Decode: id-keyed joins against the frequent OUTPUTS only.
+    val dec = f1i.select(col("iid"), col("tok"))
+    def item(as: String, out: String) =
+      dec.select(col("iid").as(as), col("tok").as(out))
     val nullItem = lit(null).cast("string")
+    val out2 = f2
+      .select(shiftrightunsigned(col("pk"), 32).as("i1"),
+        col("pk").bitwiseAND(lowMask).as("i2"), col("sup"))
+      .join(item("i1", "item1"), Seq("i1"))
+      .join(item("i2", "item2"), Seq("i2"))
+    val out3 = f3
+      .select(shiftrightunsigned(col("pk12"), 32).as("i1"),
+        col("pk12").bitwiseAND(lowMask).as("i2"), col("i3"), col("sup"))
+      .join(item("i1", "item1"), Seq("i1"))
+      .join(item("i2", "item2"), Seq("i2"))
+      .join(item("i3", "item3"), Seq("i3"))
     f1.select(lit(1).as("k"), col("tok").as("item1"),
         nullItem.as("item2"), nullItem.as("item3"), col("sup").as("support"))
-      .unionByName(f2.select(lit(2).as("k"), col("t1").as("item1"),
-        col("t2").as("item2"), nullItem.as("item3"), col("sup").as("support")))
-      .unionByName(f3.select(lit(3).as("k"), col("t1").as("item1"),
-        col("t2").as("item2"), col("t3").as("item3"), col("sup").as("support")))
+      .unionByName(out2.select(lit(2).as("k"), col("item1"),
+        col("item2"), nullItem.as("item3"), col("sup").as("support")))
+      .unionByName(out3.select(lit(3).as("k"), col("item1"),
+        col("item2"), col("item3"), col("sup").as("support")))
   }
 
   /** Pairwise SOURCE-VOCABULARY overlap — the inter-source similarity
