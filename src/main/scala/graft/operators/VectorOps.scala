@@ -709,8 +709,10 @@ object VectorOps {
   /** Incremental IVF maintenance — the daily-ingest path: assign NEW
     * vectors against the index's OWN persisted centroids (no recluster, no
     * touch of existing members) and append them to the bucketed
-    * inverted-list table under the SAME bucket spec (Spark validates the
-    * spec on append), so the probe-side co-location survives the append.
+    * inverted-list table under the SAME bucket spec — resolved from the
+    * table's catalog metadata, never restated by the caller
+    * ([[appendBucketed]]) — so the probe-side co-location survives the
+    * append.
     * The index state afterwards is IDENTICAL to a full [[saveIvfIndex]]
     * over (old ∪ new) with those centroids — the equality the
     * `q_ivf_append` gate pins against the same oracle as `q_ann_ivf`.
@@ -723,18 +725,35 @@ object VectorOps {
     */
   def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession,
       newData: DataFrame, idCol: String, vecCol: String,
-      name: String, buckets: Int = 32): Unit = {
+      name: String): Unit = {
     val centroids = spark.table(s"${name}_centroids")
       .select(col("cluster_id").as(idCol), col("cvec").as(vecCol))
     val members = assignWithVec(newData, centroids, idCol, vecCol)
       .filter(col("cluster_id").isNotNull)
       .select(col("id").as("neighbor_id"), col("vec").as("dvec"),
         col("vnn").as("dnn"), col("cluster_id"))
-    members.write
-      .bucketBy(buckets, "cluster_id")
-      .sortBy("cluster_id")
-      .mode("append")
-      .saveAsTable(s"${name}_members")
+    appendBucketed(spark, members, s"${name}_members")
+  }
+
+  /** Append rows to a graft-written bucketed index table under the table's
+    * OWN catalog bucket spec — the spec is the table's property, not the
+    * caller's to restate (r19 ADVICE: a caller-supplied bucket count only
+    * surfaced as a Spark append-time error when it drifted, and nothing
+    * resolved the sort columns at all). The [[ScaleJoins.rewriteBucketed]]
+    * resolution shape.
+    */
+  private def appendBucketed(spark: org.apache.spark.sql.SparkSession,
+      rows: DataFrame, table: String): Unit = {
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val meta = spark.sessionState.catalog.getTableMetadata(ident)
+    val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
+      s"$table has no bucket spec — not a graft-written bucketed index table"))
+    val bc = spec.bucketColumnNames
+    val w0 = rows.write.bucketBy(spec.numBuckets, bc.head, bc.tail: _*)
+    val w = if (spec.sortColumnNames.nonEmpty)
+      w0.sortBy(spec.sortColumnNames.head, spec.sortColumnNames.tail: _*)
+    else w0
+    w.mode("append").saveAsTable(table)
   }
 
   /** [[ivfSearch]] over a [[loadIvfIndex]]-loaded index — same probe-and-rank
@@ -797,13 +816,15 @@ object VectorOps {
     */
   def appendToIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
       newData: DataFrame, idCol: String, vecCol: String,
-      name: String, buckets: Int = 32): Unit = {
+      name: String): Unit = {
     val centroids = spark.table(s"${name}_centroids")
       .select(col("cluster_id").as(idCol), col("cvec").as(vecCol))
     val codebooks = spark.table(s"${name}_codebooks")
     // m and dim live in the codebook table's shape: subs are 0..m−1 and
     // every codeword is dim/m wide (one tiny aggregate — the table is
-    // driver-sized by construction).
+    // driver-sized by construction). The bucket spec likewise lives in
+    // the catalog ([[appendBucketed]]) — the append restates NOTHING the
+    // persisted index already knows.
     val shape = codebooks
       .agg(max(col("sub")).cast("int"), min(size(col("cvec"))), max(size(col("cvec"))))
       .head()
@@ -811,11 +832,7 @@ object VectorOps {
     require(sdMin == sdMax, s"ragged codeword widths in ${name}_codebooks")
     val enc = ivfPqEncode(newData, idCol, vecCol, centroids, codebooks,
       m, m * sdMin)
-    enc.write
-      .bucketBy(buckets, "cluster_id")
-      .sortBy("cluster_id")
-      .mode("append")
-      .saveAsTable(s"${name}_codes")
+    appendBucketed(spark, enc, s"${name}_codes")
   }
 
   def loadIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
@@ -862,17 +879,29 @@ object VectorOps {
     */
   def ivfPqProbeEmissions(spark: org.apache.spark.sql.SparkSession,
       queries: DataFrame, idCol: String, vecCol: String, name: String,
-      m: Int, dim: Int, nProbe: Int, excludeSelf: Boolean = true): DataFrame = {
+      m: Int, dim: Int, nProbe: Int, excludeSelf: Boolean = true,
+      maxInlinedCentroids: Int = 4096): DataFrame = {
     require(m >= 1 && dim % m == 0 && nProbe >= 1)
     val sd = dim / m
     // Centroid tables are tiny by contract (the coarse quantizer is
     // driver-sized in every IVF deployment); collecting them here is what
-    // buys the row-local, state-free probe rank.
+    // buys the row-local, state-free probe rank. The contract is ENFORCED,
+    // not assumed (r19 ADVICE): every centroid is inlined into the per-row
+    // probe sort as a literal struct, so plan size AND per-row cost grow
+    // linearly with the coarse quantizer — a cap keeps an oversized one
+    // from compiling a megabyte plan that evaluates thousands of dot
+    // products per arriving query row.
     val cen = spark.table(s"${name}_centroids")
       .select(col("cluster_id").cast("long"),
         transform(col("cvec"), _.cast("double")))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
       .sortBy(_._1)
+    require(cen.length <= maxInlinedCentroids,
+      s"ivfPqProbeEmissions inlines all ${cen.length} coarse centroids of " +
+        s"'$name' into the row-local probe rank, past maxInlinedCentroids=" +
+        s"$maxInlinedCentroids — plan size and per-row cost are linear in " +
+        "the quantizer. Use the batch ivfPqSearchLoaded path (broadcast " +
+        "centroid join) for large quantizers, or raise the cap deliberately")
     val qvecD = transform(col(vecCol), _.cast("double"))
     val probeStructs = array(cen.map { case (cid, cv) =>
       struct((lit(-1.0) * dot(qvecD, typedLit(cv))).as("nqc"),

@@ -687,12 +687,27 @@ object EventQueries extends QueryDomain {
       val staged = Staging.streamDocMetaDir(s, dir)
       val ss = Staging.streamSession(s)
       val schema = Staging.replayDocMetaSchema(ss, staged)
+      // The null-source marker is IN-BAND (a separator-bearing out-of-band
+      // marker would break the arity-2 decode below — the separator IS the
+      // out-of-band character), so the fixture-convention assumption "no
+      // real source is literally named 'sentinel'" is ENFORCED where the
+      // key is built, loudly, instead of silently folding such a source
+      // into the NULL group (r19 ADVICE): a colliding row raises at
+      // stream time. The staging protocol's own watermark rows
+      // (writeDocMetaSentinel: doc_id = −1, source = lang = 'sentinel')
+      // are exempt — their key is the intended sentinel; the hazard is
+      // only a REAL doc (doc_id ≥ 0) whose arity-2 key would decode to
+      // the NULL source group.
+      val srcChecked = when($"source" === "sentinel" && $"doc_id" >= 0L,
+        raise_error(lit("q_stream_cohens_kappa: a real source literally " +
+          "named 'sentinel' collides with the null-source key marker — " +
+          "rename the marker for this corpus"))).otherwise($"source")
       val stream = ss.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(staged)
         .select(
           concat_ws("\u0001",
-            coalesce($"source", lit("sentinel")), $"lang").as("key"),
+            coalesce(srcChecked, lit("sentinel")), $"lang").as("key"),
           expr("ts div 1000").as("ts"),
           (array_position(langsArr,
             graft.operators.TextStats.predictedLang($"text")) - 1L).as("v"))
@@ -710,8 +725,9 @@ object EventQueries extends QueryDomain {
       // and the when() maps its source back to the NULL group the batch
       // operator and oracle carry — the previous key =!= "sentinel" filter
       // alone grouped such rows under the literal string "sentinel" (r18
-      // ADVICE; assumes no real source is literally named "sentinel",
-      // which the events fixture's srcN domain satisfies).
+      // ADVICE). The no-real-source-named-"sentinel" assumption is no
+      // longer a fixture convention: srcChecked above raises loudly on a
+      // colliding row before it can reach this decode.
       val kp = split($"key", "\u0001")
       val cells = ss.table(sink).filter(size(kp) === 2)
         .select(

@@ -39,9 +39,9 @@ object VectorQueries extends QueryDomain {
       VectorOps.saveIvfPqIndex(e.filter($"vec_id" % 2 === 0), centroids,
         "vec_id", "embedding", cbs, m = 2, dim = 64, nm, buckets = 8)
       VectorOps.appendToIvfPqIndex(s, e.filter($"vec_id" % 4 === 1),
-        "vec_id", "embedding", nm, buckets = 8)
+        "vec_id", "embedding", nm)
       VectorOps.appendToIvfPqIndex(s, e.filter($"vec_id" % 4 === 3),
-        "vec_id", "embedding", nm, buckets = 8)
+        "vec_id", "embedding", nm)
       ScaleJoins.compactBucketed(s, s"${nm}_codes")
       nm
     }
@@ -240,9 +240,9 @@ object VectorQueries extends QueryDomain {
         VectorOps.saveIvfIndex(e.filter($"vec_id" % 2 === 0), centroids,
           "vec_id", "embedding", nm, buckets = 8)
         VectorOps.appendToIvfIndex(s, e.filter($"vec_id" % 4 === 1),
-          "vec_id", "embedding", nm, buckets = 8)
+          "vec_id", "embedding", nm)
         VectorOps.appendToIvfIndex(s, e.filter($"vec_id" % 4 === 3),
-          "vec_id", "embedding", nm, buckets = 8)
+          "vec_id", "embedding", nm)
         ScaleJoins.compactBucketed(s, s"${nm}_members")
         nm
       }

@@ -229,9 +229,9 @@ class VectorOpsSpec extends AnyFunSuite with SparkSpec {
       VectorOps.saveIvfPqIndex(e.filter($"vec_id" % 2 === 0), centroids,
         "vec_id", "embedding", cbs, m = 2, dim = 64, "ivfpq_rt", buckets = 4)
       VectorOps.appendToIvfPqIndex(spark, e.filter($"vec_id" % 4 === 1),
-        "vec_id", "embedding", "ivfpq_rt", buckets = 4)
+        "vec_id", "embedding", "ivfpq_rt")
       VectorOps.appendToIvfPqIndex(spark, e.filter($"vec_id" % 4 === 3),
-        "vec_id", "embedding", "ivfpq_rt", buckets = 4)
+        "vec_id", "embedding", "ivfpq_rt")
       val fromDisk = VectorOps.ivfPqSearchLoaded(
         VectorOps.loadIvfPqIndex(spark, "ivfpq_rt"), queries,
         "vec_id", "embedding", m = 2, dim = 64, k = 5, nProbe = 3)
@@ -280,7 +280,7 @@ class VectorOpsSpec extends AnyFunSuite with SparkSpec {
       VectorOps.saveIvfIndex(e.filter($"vec_id" % 2 === 0), centroids,
         "vec_id", "embedding", "ivf_ap", buckets = 4)
       VectorOps.appendToIvfIndex(spark, e.filter($"vec_id" % 2 === 1),
-        "vec_id", "embedding", "ivf_ap", buckets = 4)
+        "vec_id", "embedding", "ivf_ap")
       val appended = VectorOps.ivfSearchLoaded(VectorOps.loadIvfIndex(spark, "ivf_ap"),
         queries, "vec_id", "embedding", k = 3, nProbe = 2)
 
@@ -295,10 +295,12 @@ class VectorOpsSpec extends AnyFunSuite with SparkSpec {
       assert(p.contains("SelectedBucketsCount"), s"members must stay a bucketed scan:\n$p")
       assert(!p.contains("Exchange hashpartitioning(cluster_id"),
         s"member side must not shuffle on cluster_id:\n$p")
-      // A mismatched bucket spec on append must fail loudly, not corrupt.
+      // The bucket spec is the TABLE's catalog property, not the caller's
+      // to restate (r19 ADVICE) — appending to a never-built index must
+      // fail loudly at spec resolution, not write an unbucketed table.
       intercept[Exception] {
         VectorOps.appendToIvfIndex(spark, e.filter($"vec_id" === 1),
-          "vec_id", "embedding", "ivf_ap", buckets = 8)
+          "vec_id", "embedding", "ivf_never_built")
       }
     } finally cleanup()
   }
