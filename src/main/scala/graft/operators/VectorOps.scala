@@ -840,6 +840,72 @@ object VectorOps {
     LoadedIvfPqIndex(spark.table(s"${name}_codes"),
       spark.table(s"${name}_centroids"), spark.table(s"${name}_codebooks"))
 
+  /** CODEBOOK REFRESH under drift — the last leg of the persisted IVF-PQ
+    * life cycle (build → append → probe → REFRESH when recall degrades):
+    * retrain the sub-quantizer codebooks on the CURRENT corpus, seeded
+    * from the index's own persisted codebooks ([[trainPqCodebooksInt]] —
+    * `iters` integer-quantized Lloyd rounds, so the refreshed codebooks
+    * are bit-reproducible by an unrolled oracle), then re-encode and
+    * rewrite the codes tier in place. Coarse centroids, table names, and
+    * the bucket layout (resolved from the codes table's own catalog spec,
+    * [[appendBucketed]]'s rule) all survive; later [[appendToIvfPqIndex]]
+    * calls encode against the refreshed codebooks automatically.
+    *
+    * A refresh necessarily rewrites EVERY code row — codes are a function
+    * of the codebooks — but that rewrite is the cheapest full pass the
+    * index admits: one linear encode of `data` (compiled zero-shuffle
+    * assignment + broadcast codebook argmin) into one bucketed write of
+    * 1 + m LONGs per member; no raw vectors are ever stored, no probe
+    * plan changes shape. m and the subspace width are read off the
+    * persisted codebook table ([[appendToIvfPqIndex]]'s inference) — the
+    * caller restates nothing the index already knows.
+    *
+    * @param data the CURRENT corpus (the rows the refreshed index should
+    *             cover — the previous membership is rewritten, so this is
+    *             also the RTBF-compatible path: dropped rows vanish)
+    * @param iters Lloyd rounds for [[trainPqCodebooksInt]] (2–3 capture
+    *             most of the gain — the q_ivfpq_trained measurement)
+    */
+  def refreshIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      data: DataFrame, idCol: String, vecCol: String,
+      name: String, iters: Int, scale: Int = 4): Unit = {
+    val centroids = spark.table(s"${name}_centroids")
+      .select(col("cluster_id").as(idCol), col("cvec").as(vecCol))
+    val oldCbs = spark.table(s"${name}_codebooks")
+    val shape = oldCbs
+      .agg(max(col("sub")).cast("int"), min(size(col("cvec"))), max(size(col("cvec"))))
+      .head()
+    val (m, sdMin, sdMax) = (shape.getInt(0) + 1, shape.getInt(1), shape.getInt(2))
+    require(sdMin == sdMax, s"ragged codeword widths in ${name}_codebooks")
+    val dim = m * sdMin
+    // The residuals feed iters+1 driver actions (the trainer's seed
+    // collect + one collect per Lloyd round) and then the full re-encode —
+    // the cross-action-reuse case localCheckpoint exists for (the
+    // q_ivfpq_trained lesson).
+    val res = ivfResiduals(data, idCol, vecCol, centroids).localCheckpoint()
+    // newCbs is a driver-local relation (the trainer collects every round)
+    // — safe to both persist as the new codebook table and feed the
+    // re-encode without any read-after-overwrite hazard.
+    val newCbs = trainPqCodebooksInt(res, "rvec", oldCbs, m, dim, iters, scale)
+    // Resolve the codes table's bucket spec BEFORE any overwrite, then
+    // rewrite codebooks first (append-after-refresh must see the new ones
+    // even if the codes rewrite fails halfway — codes are reproducible
+    // from data, codebooks are the trained state).
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(s"${name}_codes")
+    val spec = spark.sessionState.catalog.getTableMetadata(ident).bucketSpec
+      .getOrElse(throw new IllegalArgumentException(
+        s"${name}_codes has no bucket spec — not a graft-written IVF-PQ index"))
+    newCbs.select(col("sub"), col("cid"), col("cvec"))
+      .write.mode("overwrite").saveAsTable(s"${name}_codebooks")
+    val enc = ivfPqEncode(data, idCol, vecCol, centroids, newCbs, m, dim)
+    val bc = spec.bucketColumnNames
+    val w0 = enc.write.bucketBy(spec.numBuckets, bc.head, bc.tail: _*)
+    val w = if (spec.sortColumnNames.nonEmpty)
+      w0.sortBy(spec.sortColumnNames.head, spec.sortColumnNames.tail: _*)
+    else w0
+    w.mode("overwrite").saveAsTable(s"${name}_codes")
+  }
+
   /** [[ivfPqSearch]] over a [[loadIvfPqIndex]]-loaded index: the probe
     * list and the ADC LUT are built from the persisted centroid/codebook
     * tables and broadcast onto the bucketed codes scan — no join back to

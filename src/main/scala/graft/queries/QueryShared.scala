@@ -802,6 +802,164 @@ object QueryShared {
     s"""v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) e FROM embeddings),
        |n AS (SELECT vec_id, e, ${duckDot("e", "e")} AS nn FROM v)""".stripMargin
 
+  /** The full TRAINED-codebook IVF-PQ chain (q_ivfpq_trained +
+    * q_ivfpq_refresh): residuals against the vec_id<10 centroids, m=4
+    * seed codebooks from ids 20–27 quantized to the e4 grid (cb0), TWO
+    * unrolled integer-Lloyd rounds (cb1, cb2), trained-codebook encode of
+    * the whole corpus (enc_t), probes/LUT, and the residual-ADC score
+    * sc_t (query_id, neighbor_id, adc). Also carries the seed-tier chain
+    * (sc_s) and the pair-set PRF counts (c_s / c_t) the trained gate
+    * reports — consumers that reference only sc_t leave those subtrees
+    * unexecuted (CTE pruning).
+    */
+  private[queries] lazy val ivfPqTrainedCtes: String =
+    s"""$embCte,
+         |cen AS (SELECT vec_id AS cid, e, nn FROM n WHERE vec_id < 10),
+         |asg AS (SELECT vec_id, cluster_id FROM (
+         |  SELECT d.vec_id, c.cid AS cluster_id,
+         |    ROW_NUMBER() OVER (PARTITION BY d.vec_id
+         |      ORDER BY ${duckDot("d.e", "c.e")} / sqrt(d.nn * c.nn) DESC, c.cid) AS rn
+         |  FROM n d CROSS JOIN cen c) WHERE rn = 1),
+         |rv AS (SELECT n.vec_id, asg.cluster_id,
+         |    list_transform(range(1, len(n.e)+1), i -> n.e[i] - c.e[i]) AS r
+         |  FROM n JOIN asg ON asg.vec_id = n.vec_id
+         |  JOIN cen c ON c.cid = asg.cluster_id),
+         |q AS (SELECT vec_id AS query_id, e, nn FROM n
+         |  WHERE vec_id BETWEEN 100 AND 109),
+         |tr AS (SELECT query_id AS di, nid AS dj FROM (
+         |  SELECT q.query_id, d.vec_id AS nid,
+         |    ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |      ORDER BY ${duckDot("q.e", "d.e")} / sqrt(q.nn * d.nn) DESC,
+         |        d.vec_id) AS rnk
+         |  FROM q JOIN n d ON d.vec_id <> q.query_id) WHERE rnk <= 3),
+         |sp AS (SELECT 0 AS sub UNION ALL SELECT 1
+         |  UNION ALL SELECT 2 UNION ALL SELECT 3),
+         |rq AS (SELECT rv.vec_id AS id, sp.sub,
+         |    list_transform(CASE WHEN sp.sub = 0 THEN r[1:16]
+         |      WHEN sp.sub = 1 THEN r[17:32]
+         |      WHEN sp.sub = 2 THEN r[33:48] ELSE r[49:64] END,
+         |      x -> CAST(floor(x * 10000.0 + 0.5) AS BIGINT)) AS qv
+         |  FROM rv, sp),
+         |cb0 AS (SELECT sub, id AS cid, qv AS qc FROM rq
+         |  WHERE id BETWEEN 20 AND 27),
+         |asg1 AS (SELECT sub, cid, qv FROM (
+         |  SELECT d.sub, c.cid, d.qv,
+         |    ROW_NUMBER() OVER (PARTITION BY d.id, d.sub
+         |      ORDER BY list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |        list_transform(range(1, 17),
+         |          i -> (d.qv[i]-c.qc[i])*(d.qv[i]-c.qc[i]))),
+         |        (a, x) -> a + x) ASC, c.cid ASC) AS rn
+         |  FROM rq d JOIN cb0 c ON c.sub = d.sub) WHERE rn = 1),
+         |up1 AS (SELECT sub, cid, i AS pos,
+         |    CAST(floor(CAST(SUM(qv[i]) AS DOUBLE) /
+         |      CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS qc1
+         |  FROM asg1, range(1, 17) t(i) GROUP BY sub, cid, i),
+         |cb1 AS (SELECT c0.sub, c0.cid, COALESCE(u.qc, c0.qc) AS qc
+         |  FROM cb0 c0 LEFT JOIN (SELECT sub, cid, list(qc1 ORDER BY pos) AS qc
+         |      FROM up1 GROUP BY sub, cid) u
+         |    ON u.sub = c0.sub AND u.cid = c0.cid),
+         |asg2 AS (SELECT sub, cid, qv FROM (
+         |  SELECT d.sub, c.cid, d.qv,
+         |    ROW_NUMBER() OVER (PARTITION BY d.id, d.sub
+         |      ORDER BY list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |        list_transform(range(1, 17),
+         |          i -> (d.qv[i]-c.qc[i])*(d.qv[i]-c.qc[i]))),
+         |        (a, x) -> a + x) ASC, c.cid ASC) AS rn
+         |  FROM rq d JOIN cb1 c ON c.sub = d.sub) WHERE rn = 1),
+         |up2 AS (SELECT sub, cid, i AS pos,
+         |    CAST(floor(CAST(SUM(qv[i]) AS DOUBLE) /
+         |      CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS qc1
+         |  FROM asg2, range(1, 17) t(i) GROUP BY sub, cid, i),
+         |cb2 AS (SELECT c1.sub, c1.cid, COALESCE(u.qc, c1.qc) AS qc
+         |  FROM cb1 c1 LEFT JOIN (SELECT sub, cid, list(qc1 ORDER BY pos) AS qc
+         |      FROM up2 GROUP BY sub, cid) u
+         |    ON u.sub = c1.sub AND u.cid = c1.cid),
+         |cbf_s AS (SELECT sub, cid,
+         |    list_transform(qc, x -> CAST(x AS DOUBLE) / 10000.0) AS cvec
+         |  FROM cb0),
+         |cbf_t AS (SELECT sub, cid,
+         |    list_transform(qc, x -> CAST(x AS DOUBLE) / 10000.0) AS cvec
+         |  FROM cb2),
+         |ds AS (SELECT rv.vec_id AS id, rv.cluster_id, sp.sub,
+         |    CASE WHEN sp.sub = 0 THEN r[1:16]
+         |      WHEN sp.sub = 1 THEN r[17:32]
+         |      WHEN sp.sub = 2 THEN r[33:48] ELSE r[49:64] END AS dv
+         |  FROM rv, sp),
+         |probes AS (SELECT query_id, cluster_id, qc FROM (
+         |  SELECT q.query_id, c.cid AS cluster_id, ${duckDot("q.e", "c.e")} AS qc,
+         |    ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |      ORDER BY ${duckDot("q.e", "c.e")} DESC, c.cid) AS rn
+         |  FROM q CROSS JOIN cen c) WHERE rn <= 3),
+         |qs AS (SELECT query_id, sp.sub,
+         |    CASE WHEN sp.sub = 0 THEN e[1:16]
+         |      WHEN sp.sub = 1 THEN e[17:32]
+         |      WHEN sp.sub = 2 THEN e[33:48] ELSE e[49:64] END AS qv
+         |  FROM q, sp),
+         |enc_s AS (SELECT id, cluster_id, sub, cid AS code FROM (
+         |  SELECT d.id, d.cluster_id, d.sub, c.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY d.id, d.sub
+         |      ORDER BY list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |        list_transform(range(1, len(d.dv)+1),
+         |          i -> (d.dv[i]-c.cvec[i])*(d.dv[i]-c.cvec[i]))),
+         |        (a, x) -> a + x) ASC, c.cid ASC) AS rn
+         |  FROM ds d JOIN cbf_s c ON c.sub = d.sub) WHERE rn = 1),
+         |lut_s AS (SELECT qs.query_id, qs.sub, c.cid AS code,
+         |    ${duckDot("qs.qv", "c.cvec")} AS part
+         |  FROM qs JOIN cbf_s c ON c.sub = qs.sub),
+         |sc_s AS (SELECT p.query_id, enc.id AS neighbor_id,
+         |    MIN(p.qc) + list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_sort(list(part))), (a, x) -> a + x) AS adc
+         |  FROM enc_s enc
+         |  JOIN probes p ON p.cluster_id = enc.cluster_id
+         |  JOIN lut_s l ON l.query_id = p.query_id AND l.sub = enc.sub
+         |    AND l.code = enc.code
+         |  WHERE enc.id <> p.query_id
+         |  GROUP BY p.query_id, enc.id
+         |  HAVING count(*) = 4),
+         |pred_s AS (SELECT query_id AS di, neighbor_id AS dj FROM (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS rnk
+         |  FROM sc_s) WHERE rnk <= 3),
+         |c_s AS (SELECT CAST(SUM(inp * intr) AS BIGINT) AS tp,
+         |    CAST(SUM(inp * (1 - intr)) AS BIGINT) AS fp,
+         |    CAST(SUM((1 - inp) * intr) AS BIGINT) AS fn
+         |  FROM (SELECT
+         |      CASE WHEN p.di IS NOT NULL THEN 1 ELSE 0 END AS inp,
+         |      CASE WHEN t.di IS NOT NULL THEN 1 ELSE 0 END AS intr
+         |    FROM pred_s p FULL JOIN tr t ON p.di = t.di AND p.dj = t.dj)),
+         |enc_t AS (SELECT id, cluster_id, sub, cid AS code FROM (
+         |  SELECT d.id, d.cluster_id, d.sub, c.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY d.id, d.sub
+         |      ORDER BY list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |        list_transform(range(1, len(d.dv)+1),
+         |          i -> (d.dv[i]-c.cvec[i])*(d.dv[i]-c.cvec[i]))),
+         |        (a, x) -> a + x) ASC, c.cid ASC) AS rn
+         |  FROM ds d JOIN cbf_t c ON c.sub = d.sub) WHERE rn = 1),
+         |lut_t AS (SELECT qs.query_id, qs.sub, c.cid AS code,
+         |    ${duckDot("qs.qv", "c.cvec")} AS part
+         |  FROM qs JOIN cbf_t c ON c.sub = qs.sub),
+         |sc_t AS (SELECT p.query_id, enc.id AS neighbor_id,
+         |    MIN(p.qc) + list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_sort(list(part))), (a, x) -> a + x) AS adc
+         |  FROM enc_t enc
+         |  JOIN probes p ON p.cluster_id = enc.cluster_id
+         |  JOIN lut_t l ON l.query_id = p.query_id AND l.sub = enc.sub
+         |    AND l.code = enc.code
+         |  WHERE enc.id <> p.query_id
+         |  GROUP BY p.query_id, enc.id
+         |  HAVING count(*) = 4),
+         |pred_t AS (SELECT query_id AS di, neighbor_id AS dj FROM (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS rnk
+         |  FROM sc_t) WHERE rnk <= 3),
+         |c_t AS (SELECT CAST(SUM(inp * intr) AS BIGINT) AS tp,
+         |    CAST(SUM(inp * (1 - intr)) AS BIGINT) AS fp,
+         |    CAST(SUM((1 - inp) * intr) AS BIGINT) AS fn
+         |  FROM (SELECT
+         |      CASE WHEN p.di IS NOT NULL THEN 1 ELSE 0 END AS inp,
+         |      CASE WHEN t.di IS NOT NULL THEN 1 ELSE 0 END AS intr
+         |    FROM pred_t p FULL JOIN tr t ON p.di = t.di AND p.dj = t.dj))""".stripMargin
+
   /** The from-scratch connected-components oracle shared by
     * q_cc_incremental and q_stream_components: SimHash near-dup pairs →
     * symmetric edge closure → recursive-CTE min-label reachability.

@@ -260,6 +260,67 @@ class VectorOpsSpec extends AnyFunSuite with SparkSpec {
     } finally cleanup()
   }
 
+  test("refreshIvfPqIndex: in-place retrain+rewrite == from-scratch rebuild " +
+    "with the trained codebooks; bucket layout survives the rewrite") {
+    val tables = Seq("ivfpq_rf", "ivfpq_rf2")
+      .flatMap(n => Seq(s"${n}_codes", s"${n}_centroids", s"${n}_codebooks"))
+    def cleanup(): Unit = tables.foreach { tbl =>
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(s"spark-warehouse/$tbl"))
+    }
+    cleanup()
+    try {
+      val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      val centroids = e.filter($"vec_id" < 10)
+      val res8 = VectorOps.ivfResiduals(
+        e.filter($"vec_id".between(20, 27)), "vec_id", "embedding", centroids)
+      val seeds = res8.select(explode(array(
+          struct(lit(0).as("sub"), $"id".as("cid"), slice($"rvec", 1, 32).as("cvec")),
+          struct(lit(1).as("sub"), $"id".as("cid"), slice($"rvec", 33, 32).as("cvec")))).as("cb"))
+        .select($"cb.sub".as("sub"), $"cb.cid".as("cid"), $"cb.cvec".as("cvec"))
+      // Life cycle: build on the even half with SEED codebooks, append the
+      // odd half, refresh (retrain 2 rounds on the full corpus + rewrite).
+      VectorOps.saveIvfPqIndex(e.filter($"vec_id" % 2 === 0), centroids,
+        "vec_id", "embedding", seeds, m = 2, dim = 64, "ivfpq_rf", buckets = 4)
+      VectorOps.appendToIvfPqIndex(spark, e.filter($"vec_id" % 2 === 1),
+        "vec_id", "embedding", "ivfpq_rf")
+      VectorOps.refreshIvfPqIndex(spark, e, "vec_id", "embedding", "ivfpq_rf",
+        iters = 2)
+      // The equality that makes refresh a true in-place retrain: identical
+      // state to a from-scratch build with the independently-trained
+      // codebooks — no stale codes, no dropped appends, no trainer drift.
+      val res = VectorOps.ivfResiduals(e, "vec_id", "embedding", centroids)
+      val trained = VectorOps.trainPqCodebooksInt(res, "rvec", seeds,
+        m = 2, dim = 64, iters = 2)
+      VectorOps.saveIvfPqIndex(e, centroids, "vec_id", "embedding", trained,
+        m = 2, dim = 64, "ivfpq_rf2", buckets = 4)
+      def tset(t: String) = spark.table(t).collect().map(_.toSeq).toSet
+      assert(tset("ivfpq_rf_codes") === tset("ivfpq_rf2_codes"))
+      assert(tset("ivfpq_rf_codes").nonEmpty)
+      assert(tset("ivfpq_rf_codebooks") === tset("ivfpq_rf2_codebooks"))
+      // Training moved the codebooks — a refresh that silently no-ops
+      // (e.g. re-persisting the seeds) must fail here.
+      val seedQuantized = VectorOps.trainPqCodebooksInt(res, "rvec", seeds,
+        m = 2, dim = 64, iters = 0)
+      assert(tset("ivfpq_rf_codebooks") !==
+        seedQuantized.collect().map(_.toSeq).toSet)
+      // The rewrite preserved the catalog bucket layout: the probe is
+      // still a bucketed scan with no cluster_id exchange.
+      val fromDisk = VectorOps.ivfPqSearchLoaded(
+        VectorOps.loadIvfPqIndex(spark, "ivfpq_rf"),
+        e.filter($"vec_id".between(100, 109)),
+        "vec_id", "embedding", m = 2, dim = 64, k = 3, nProbe = 2)
+      val p = fromDisk.queryExecution.executedPlan.toString
+      assert(p.contains("SelectedBucketsCount"), s"codes must stay bucketed:\n$p")
+      assert(!p.contains("Exchange hashpartitioning(cluster_id"),
+        s"codes side must not shuffle on cluster_id:\n$p")
+      assert(fromDisk.count() > 0)
+    } finally cleanup()
+  }
+
   test("IVF append: built-then-appended index == built-at-once, bucketed scan survives") {
     def cleanup(): Unit = Seq("ivf_ap_members", "ivf_ap_centroids").foreach { tbl =>
       spark.sql(s"DROP TABLE IF EXISTS $tbl")
