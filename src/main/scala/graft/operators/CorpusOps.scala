@@ -983,6 +983,56 @@ object CorpusOps {
       .select(col("w").as("word"), col("wc"), segmented.as("syms"))
   }
 
+  /** Per-group TOKENIZER FERTILITY — the standard multilingual
+    * tokenizer-eval statistic (Ács 2019; Rust et al., ACL'21: "how many
+    * subwords does the tokenizer spend per word, per language"): a
+    * learned subword vocabulary that serves one language at ~1.2
+    * subwords/word and another at ~4 starves the second of effective
+    * context, and this table is the measurement that catches it before
+    * training does.
+    *
+    * Per `groupCol` (typically language): exact token-weighted totals
+    *   n_words     Σ word occurrences
+    *   n_subwords  Σ wc · |segment(word)|   (the [[bpeSegment]] fold
+    *               under the caller's learned merges)
+    *   n_chars     Σ wc · length(word)      (code points)
+    *   n_bytes     Σ wc · octet_length(word) (UTF-8 bytes)
+    * and the three ratios — fertility = n_subwords/n_words,
+    * bytes_per_subword, chars_per_subword — each ONE IEEE division of
+    * exact integers, so every column hash-gates.
+    *
+    * Scale posture: segmentation is language-INDEPENDENT given the
+    * merges, so DISTINCT words segment once (the vocabulary-bounded
+    * [[bpeSegment]] table — the same only-touch-the-corpus-once trick
+    * the trainer uses) and join word-keyed onto the combiner-reduced
+    * (group, word) count aggregate; no per-document segmentation ever
+    * runs. Both inputs are vocabulary-bounded aggregates of one corpus
+    * scan each.
+    */
+  def tokenizerFertility(docs: DataFrame, groupCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val segs = bpeSegment(docs, groupCol, textCol, merges)
+      .select(col("word"), size(col("syms")).cast("long").as("graft_nsub"))
+    val gw = docs
+      .select(col(groupCol).as("grp"), explode(TextOps.tokens(col(textCol))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("grp"), col("word")).agg(count(lit(1)).as("wc"))
+    gw.join(segs, Seq("word"))
+      .groupBy(col("grp"))
+      .agg(sum(col("wc")).as("n_words"),
+        sum(col("wc") * col("graft_nsub")).as("n_subwords"),
+        sum(col("wc") * length(col("word")).cast("long")).as("n_chars"),
+        sum(col("wc") * octet_length(col("word")).cast("long")).as("n_bytes"))
+      .select(col("grp").as(groupCol), col("n_words"), col("n_subwords"),
+        col("n_chars"), col("n_bytes"),
+        (col("n_subwords").cast("double") / col("n_words").cast("double"))
+          .as("fertility"),
+        (col("n_bytes").cast("double") / col("n_subwords").cast("double"))
+          .as("bytes_per_subword"),
+        (col("n_chars").cast("double") / col("n_subwords").cast("double"))
+          .as("chars_per_subword"))
+  }
+
   /** Deterministic in-batch negative sampling for contrastive training:
     * each query draws its `k` negatives from the candidates hashing into
     * the query's OWN bucket (`polyHash(query) % nBuckets` — the

@@ -176,6 +176,28 @@ object TextAnalysisQueries extends QueryDomain {
         .orderBy($"word", $"pos")
     },
 
+    "q_tokenizer_fertility" -> { (s, dir) =>
+      import s.implicits._
+      // Per-language tokenizer FERTILITY ([[CorpusOps.tokenizerFertility]]
+      // — subwords/word, bytes/subword, chars/subword under the learned
+      // merges): the multilingual tokenizer-eval table that catches a
+      // subword vocabulary starving one language of effective context
+      // BEFORE training does. Shares q_bpe_segment's staged 6-merge memo
+      // (the trainer stays measured under q_bpe_merges); segmentation is
+      // language-independent, so distinct words segment once
+      // (vocab-bounded) and join onto per-(lang, word) exact counts. All
+      // totals exact token-weighted integers; the three ratios are single
+      // IEEE divisions — every column hash-gates.
+      val d = docs(s, dir)
+      val merges = Staging.memo("bpe_merges6", dir) {
+        CorpusOps.learnBpeMerges(d, "doc_id", "text", 6)
+          .orderBy($"rank").collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+      }
+      CorpusOps.tokenizerFertility(d, "lang", "text", merges)
+        .orderBy($"lang")
+    },
+
     "q_bigram_lm" -> { (s, dir) =>
       import s.implicits._
       // Count-based bigram LM slice: the full conditional distribution
@@ -1774,6 +1796,29 @@ object TextAnalysisQueries extends QueryDomain {
     "q_bpe_merges" -> bpeOracle(6),
 
     "q_bpe_segment" -> bpeSegmentOracle(6),
+
+    // Fertility twin: the same unrolled 6-merge chain's final vocab state
+    // (v6), joined to per-(lang, word) exact counts; token-weighted BIGINT
+    // totals (DuckDB's HUGEINT sums cast back) and three exact-integer
+    // IEEE divisions. strlen = UTF-8 bytes, length = code points — the
+    // same byte/char split Spark's octet_length/length makes.
+    "q_tokenizer_fertility" ->
+      s"""${bpeChain(6)},
+         |wl AS (SELECT lang, x.w AS word, CAST(COUNT(*) AS BIGINT) AS wc
+         |  FROM documents, unnest(string_split(text, ' ')) AS x(w)
+         |  WHERE length(x.w) > 0 GROUP BY 1, 2),
+         |f AS (SELECT wl.lang,
+         |    CAST(SUM(wl.wc) AS BIGINT) AS n_words,
+         |    CAST(SUM(wl.wc * len(v6.syms)) AS BIGINT) AS n_subwords,
+         |    CAST(SUM(wl.wc * length(wl.word)) AS BIGINT) AS n_chars,
+         |    CAST(SUM(wl.wc * strlen(wl.word)) AS BIGINT) AS n_bytes
+         |  FROM wl JOIN v6 ON v6.word = wl.word
+         |  GROUP BY 1)
+         |SELECT lang, n_words, n_subwords, n_chars, n_bytes,
+         |  CAST(n_subwords AS DOUBLE) / CAST(n_words AS DOUBLE) AS fertility,
+         |  CAST(n_bytes AS DOUBLE) / CAST(n_subwords AS DOUBLE) AS bytes_per_subword,
+         |  CAST(n_chars AS DOUBLE) / CAST(n_subwords AS DOUBLE) AS chars_per_subword
+         |FROM f ORDER BY lang""".stripMargin,
 
     "q_bigram_lm" ->
       """WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),

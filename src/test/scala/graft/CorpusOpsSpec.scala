@@ -592,6 +592,33 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec {
     assert(none == Seq("a", "b", "c"))
   }
 
+  test("tokenizerFertility: hand-computed totals and ratios; byte/char split on non-ASCII") {
+    // Under merges [(a,b)]: "ab"→[ab] (1 subword), "abc"→[ab,c] (2),
+    // "ü"→[ü] (1 subword, 1 char, 2 UTF-8 bytes).
+    val d = Seq(
+      ("de", "ab ab abc"), // words: ab×2 (1 sub each), abc×1 (2 subs)
+      ("de", "ü"),
+      ("en", "abc abc")
+    ).toDF("lang", "text")
+    val got = CorpusOps.tokenizerFertility(d, "lang", "text", Seq("a" -> "b"))
+      .orderBy($"lang").collect()
+    val de = got(0)
+    assert(de.getString(0) == "de")
+    assert(de.getLong(1) == 4L, "n_words: ab, ab, abc, ü")
+    assert(de.getLong(2) == 5L, "n_subwords: 1+1+2+1")
+    assert(de.getLong(3) == 8L, "n_chars: 2+2+3+1")
+    assert(de.getLong(4) == 9L, "n_bytes: 2+2+3+2 — ü is two UTF-8 bytes")
+    assert(de.getDouble(5) == 5.0 / 4.0, "fertility")
+    assert(de.getDouble(6) == 9.0 / 5.0, "bytes_per_subword")
+    assert(de.getDouble(7) == 8.0 / 5.0, "chars_per_subword")
+    val en = got(1)
+    assert(en.getLong(1) == 2L && en.getLong(2) == 4L &&
+      en.getDouble(5) == 2.0, "en: two 2-subword words")
+    // Segmentation is shared across groups (one vocab-bounded table):
+    // 'abc' counts 2 subwords in BOTH langs.
+    assert(de.getLong(2) + en.getLong(2) == 9L)
+  }
+
   test("learnBpeMerges matches an in-test reference trainer on fixture docs") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet").limit(60)
     val got = CorpusOps.learnBpeMerges(docs, "doc_id", "text", 5)
