@@ -510,6 +510,18 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"), s"language list must broadcast:\n$p")
   }
 
+  test("q_tokenizer_fertility: vocab-keyed equi-join, no cartesian, no per-doc segmentation") {
+    val p = plan("q_tokenizer_fertility")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"segment table must join word-keyed, never all-pairs:\n$p")
+    // Segmentation runs ONCE over the vocabulary-bounded word table: the
+    // merge-replay fold (nested `aggregate`) must sit above a word-level
+    // AGGREGATE, not on per-document rows — exactly one occurrence of the
+    // fold in the whole plan.
+    assert("aggregate\\(\\[named_struct".r.findAllIn(p).size <= 1,
+      s"the merge-replay fold must appear once (vocab-bounded), not per-doc:\n$p")
+  }
+
   test("q_ivfpq_curve + _dims: every config branch broadcasts probes/LUT — no cartesian") {
     // The r18 split: q_ivfpq_curve = 3 nProbe configs, q_ivfpq_curve_dims
     // = 4 m/codebook configs. Per config: probes + LUT broadcast onto the
