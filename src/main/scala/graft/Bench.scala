@@ -34,30 +34,46 @@ import java.util.concurrent.atomic.{AtomicBoolean, AtomicReference}
   *    queries report the stats of the draws they DID take — null stays
   *    reserved for real failures, so breakage still can't masquerade as
   *    speed.
-  *  - After EVERY rep pass (and at finalization) the full record is written
-  *    to BENCH.json and the stdout summary line is cached in-process with
-  *    `"partial":true`.
+  *  - After EVERY rep pass AND at every SentinelStride boundary inside a
+  *    pass (r20 ADVICE: a kill during the first multi-minute pass used to
+  *    leave no record at all) the full record is written to BENCH.json and
+  *    the stdout summary line is cached in-process with `"partial":true`.
   *  - A JVM shutdown hook prints the latest cached line: a SIGTERM'd run
-  *    emits the last completed pass's parseable summary as its final stdout
-  *    instead of nothing. On normal completion the hook is disarmed and the
-  *    final `"partial":false` line is printed after spark.stop().
+  *    emits the last checkpoint's parseable summary as its final stdout
+  *    instead of nothing. On normal completion the final `"partial":false`
+  *    line is printed FIRST and the hook disarmed after (r20 ADVICE: the
+  *    old order had a window where a SIGTERM between disarm and println
+  *    emitted nothing; a duplicated identical line is harmless to a tail
+  *    parse, a missing one is not).
+  *
+  * Pass order interleaves the stream group into the batch reps —
+  * batch-pass-1, stream-pass-1, batch-pass-2, stream-pass-2, batch-pass-3
+  * (r20 VERDICT item 3: the old all-batch-then-all-stream order meant a
+  * budget hit mid-batch-pass-2 left all 36 stream gates with ZERO draws;
+  * min/median semantics already tolerate unequal rep counts, so a truncated
+  * run now still carries ≥1 draw per stream gate). Within each group the
+  * round-robin interleaving is preserved, and each group still runs in its
+  * own passes so the staged-replay protocol's I/O stays confined to the
+  * stream windows (r18 VERDICT item 2).
   *
   * A fixed SENTINEL (a constant tiny plan, identical every round) runs at
   * each rep-pass head AND every `SentinelStride` queries inside the pass;
   * the full (pass, offset, seconds) trace lands in BENCH.json, so a noisy
   * sweep region is identified by its own record instead of argued from
-  * cross-round deltas. NOTE: `sentinel.min`/`subset18_norm` sample many
-  * more sentinel draws than r17/r18 — norm values are comparable to r18's
-  * only with that bias in mind (recorded in BASELINE.md r19). Stream gates
-  * additionally run in their own rep passes AFTER the batch gates,
-  * isolating the staged-replay protocol's I/O from the batch timings.
+  * cross-round deltas.
   *
-  * Stdout discipline: the driver parses the stdout TAIL (~2000 chars), and
-  * a full per-query map at 240 queries is ~6 KB — every BENCH since r8
-  * recorded `parsed: null` because the line START fell outside the window.
-  * Stdout therefore carries the summary + the 18-query BASELINE.md subset
-  * (the cross-round comparison contract) + the top-cost queries only;
-  * BENCH.json beside the cwd keeps the complete per-query medians/minima.
+  * STDOUT DISCIPLINE (r20 VERDICT item 1 — two consecutive rounds of
+  * `parsed: null`): the driver parses a ~2000-char stdout TAIL, so the
+  * metric line must fit that window in EVERY terminal state. r20's line
+  * overflowed to ~2,530 chars because the `not_run` array carried all 36
+  * unreached stream-gate names (701 chars) after a budget hit. The stdout
+  * line now carries: the summary fields, the 18-query BASELINE.md subset
+  * (medians AND minima — the cross-round comparison contract), and
+  * `failed`/`not_run` as COUNTS plus a first-3 `_head` sample. The full
+  * name arrays, the complete per-query maps, the raw rep draws and the
+  * sentinel trace all stay in BENCH.json. BenchSubsetSpec constructs the
+  * worst-case line (budget hit, all streams unreached, failures present,
+  * 5-digit values everywhere) and pins its length ≤ MaxStdoutLineChars.
   */
 object Bench {
   /** The 18-query BASELINE.md subset — the cross-round comparison contract
@@ -72,6 +88,55 @@ object Bench {
     "q_merge_upsert", "q_orderby_limit", "q_outer_joins",
     "q_scalar_datetime", "q_scalar_string", "q_semi_anti_join",
     "q_set_ops", "q_string_agg", "q_window_funcs")
+
+  /** Hard pin for the stdout metric line, asserted by BenchSubsetSpec
+    * against the worst-case line [[stdoutLine]] can construct. The driver's
+    * tail window is ~2000 chars; 1800 leaves slack for a stray trailing
+    * newline or log fragment.
+    */
+  val MaxStdoutLineChars: Int = 1800
+
+  /** How many failed/not-run names the stdout line samples (the counts are
+    * always exact; the full lists live in BENCH.json).
+    */
+  val HeadSample: Int = 3
+
+  private def nameArray(names: Seq[String]): String =
+    names.map("\"" + _ + "\"").mkString("[", ",", "]")
+
+  /** The driver-facing stdout summary line, built from pre-rendered parts.
+    * Pure so BenchSubsetSpec can construct the worst case and pin its
+    * length. `queriesJson`/`queriesMinJson` must be the SUBSET-ONLY maps;
+    * failed/notRun arrive as full name lists and are emitted as counts plus
+    * a first-[[HeadSample]] sample.
+    */
+  def stdoutLine(summaryJson: String, queriesJson: String,
+      queriesMinJson: String, failed: Seq[String], notRun: Seq[String],
+      sfDir: String): String =
+    f"""{"metric":"total",$summaryJson,""" +
+      f""""queries":$queriesJson,"queries_min":$queriesMinJson,""" +
+      f""""failed_n":${failed.length},"failed_head":${nameArray(failed.take(HeadSample))},""" +
+      f""""not_run_n":${notRun.length},"not_run_head":${nameArray(notRun.take(HeadSample))},""" +
+      f""""sf":"$sfDir"}"""
+
+  /** The shared summary fields (everything scalar), used verbatim by both
+    * the stdout line and the BENCH.json record. Pure for the spec.
+    */
+  def summaryJson(total: Double, reps: Int, streamReps: Int, nQueries: Int,
+      nMeasured: Int, partial: Boolean, budgetTruncated: Boolean,
+      budgetSec: Double, elapsedSec: Double, subsetTotalJson: String,
+      subsetTotalMedJson: String, subsetComplete: Boolean, subsetMinReps: Int,
+      subsetNormJson: String, sentinelJson: String): String =
+    f""""value":$total%.3f,"unit":"sec","reps":$reps,"stream_reps":$streamReps,""" +
+      f""""n_queries":$nQueries,"n_measured":$nMeasured,""" +
+      f""""partial":$partial,"budget_truncated":$budgetTruncated,""" +
+      f""""budget_sec":$budgetSec%.0f,"elapsed_sec":$elapsedSec%.1f,""" +
+      f""""subset18_total":$subsetTotalJson,""" +
+      f""""subset18_total_median":$subsetTotalMedJson,""" +
+      f""""subset18_complete":$subsetComplete,""" +
+      f""""subset18_min_reps":$subsetMinReps,""" +
+      f""""subset18_norm":$subsetNormJson,""" +
+      f""""sentinel":$sentinelJson"""
 
   def main(args: Array[String]): Unit = {
     val startNanos = System.nanoTime()
@@ -167,10 +232,8 @@ object Bench {
       val sentinelTs = sentinelTrace.map(_._3)
       val results = names.map(n => (n, if (failedOnce(n)) Vector.empty[Double] else timesByName(n)))
       val measured = results.filter { case (k, ts) => ts.nonEmpty && !failedOnce(k) }
-      val failed = results.collect { case (k, _) if failedOnce(k) => "\"" + k + "\"" }
-        .mkString("[", ",", "]")
-      val notRun = results.collect { case (k, ts) if ts.isEmpty && !failedOnce(k) => "\"" + k + "\"" }
-        .mkString("[", ",", "]")
+      val failedNames = results.collect { case (k, _) if failedOnce(k) => k }
+      val notRunNames = results.collect { case (k, ts) if ts.isEmpty && !failedOnce(k) => k }
       val total = measured.map { case (_, ts) => median(ts) }.sum
       val subsetRes = results.filter(r => baselineSubset(r._1))
       // The contract number is the sum of per-query MINIMA, not medians: the
@@ -198,10 +261,6 @@ object Bench {
       val subsetTotalMed = subsetRes.collect { case (_, ts) if ts.nonEmpty => median(ts) }.sum
       val subsetTotalJson = if (subsetAllPresent) f"$subsetTotal%.3f" else "null"
       val subsetTotalMedJson = if (subsetAllPresent) f"$subsetTotalMed%.3f" else "null"
-      // Stdout carries subset + top-cost queries only (see the scaladoc's
-      // stdout-discipline note); the full maps live in BENCH.json.
-      val topCost = measured.sortBy { case (_, ts) => -median(ts) }.take(10)
-      val stdoutEntries = (subsetRes ++ topCost).distinctBy(_._1).sortBy(_._1)
       val sentinelJson =
         if (sentinelTs.isEmpty) "null"
         else f"""{"median":${median(sentinelTs)}%.3f,"min":${sentinelTs.min}%.3f}"""
@@ -213,22 +272,15 @@ object Bench {
         if (subsetAllPresent && sentinelTs.nonEmpty && sentinelTs.min > 0)
           f"${subsetTotal / sentinelTs.min}%.2f"
         else "null"
-      val common =
-        f""""reps":$reps,"stream_reps":$streamReps,""" +
-          f""""n_queries":${names.length},"n_measured":${measured.length},""" +
-          f""""partial":$partial,"budget_truncated":$budgetTruncated,""" +
-          f""""budget_sec":$budgetSec%.0f,"elapsed_sec":$elapsedSec%.1f,""" +
-          f""""subset18_total":$subsetTotalJson,""" +
-          f""""subset18_total_median":$subsetTotalMedJson,""" +
-          f""""subset18_complete":$subsetComplete,""" +
-          f""""subset18_min_reps":$subsetMinReps,""" +
-          f""""subset18_norm":$subsetNormJson,""" +
-          f""""sentinel":$sentinelJson"""
-      val stdoutJson =
-        f"""{"metric":"total","value":$total%.3f,"unit":"sec",$common,""" +
-          f""""queries":${jmap(stdoutEntries, median)},""" +
-          f""""queries_min":${jmap(stdoutEntries, _.min)},""" +
-          f""""failed":$failed,"not_run":$notRun,"sf":"$sfDir","full_record":"BENCH.json"}"""
+      val common = summaryJson(total, reps, streamReps, names.length,
+        measured.length, partial, budgetTruncated, budgetSec, elapsedSec,
+        subsetTotalJson, subsetTotalMedJson, subsetComplete, subsetMinReps,
+        subsetNormJson, sentinelJson)
+      // Stdout carries the subset maps + compact failed/not_run only (see
+      // the stdout-discipline note); everything else lives in BENCH.json.
+      val subsetSorted = subsetRes.sortBy(_._1)
+      val stdoutJson = stdoutLine(common, jmap(subsetSorted, median),
+        jmap(subsetSorted, _.min), failedNames, notRunNames, sfDir)
       // Raw per-draw record: every query's individual rep times plus the
       // full sentinel trace [(pass, offset, sec)…] — with the raw draws and
       // their nearest noise tags in the record, a drifted median is
@@ -242,18 +294,18 @@ object Bench {
       val traceJson = sentinelTrace
         .map { case (p, o, t) => f"[$p,$o,$t%.3f]" }.mkString("[", ",", "]")
       val fileJson =
-        f"""{"metric":"total","value":$total%.3f,"unit":"sec",$common,""" +
+        f"""{"metric":"total",$common,""" +
           f""""sentinel_reps":${sentinelTrace.map(x => f"${x._3}%.3f").mkString("[", ",", "]")},""" +
           f""""sentinel_trace":$traceJson,""" +
           f""""queries":${jmap(results, median)},"queries_min":${jmap(results, _.min)},""" +
           f""""queries_reps":$repsJson,""" +
           f""""queries_reps_completed":$repsCompletedJson,""" +
-          f""""failed":$failed,"not_run":$notRun,"sf":"$sfDir"}"""
+          f""""failed":${nameArray(failedNames)},"not_run":${nameArray(notRunNames)},"sf":"$sfDir"}"""
       Files.writeString(Paths.get("BENCH.json"), fileJson + "\n")
       stdoutJson
     }
 
-    // The crash-safe tail: after every rep pass the latest partial summary
+    // The crash-safe tail: at every checkpoint the latest partial summary
     // is cached here, and the shutdown hook prints it if the JVM dies before
     // normal completion (SIGTERM from the driver's timeout, OOM-killer
     // sibling, anything). The hook writes to the same inherited stdout fd
@@ -269,17 +321,24 @@ object Bench {
     }
 
     // Stream gates (the 36 staged-replay q_stream_* monitors) run in their
-    // OWN rep passes after the batch gates (r18 VERDICT item 2): their
-    // fixed micro-batch protocol cost (staging reads, checkpoint dirs,
-    // state-store lifecycle) is the sweep's heaviest I/O, and isolating it
-    // keeps any cross-talk confined to the stream group — round-robin
-    // interleaving is preserved WITHIN each group, so one noisy wall-clock
-    // window still hits at most one draw per query.
+    // OWN rep passes (r18 VERDICT item 2): their fixed micro-batch protocol
+    // cost (staging reads, checkpoint dirs, state-store lifecycle) is the
+    // sweep's heaviest I/O, and isolating it keeps any cross-talk confined
+    // to the stream windows. The passes INTERLEAVE with the batch passes
+    // (batch-1, stream-1, batch-2, stream-2, batch-3, …) so a budget
+    // truncation at any point after the first two passes leaves ≥1 draw for
+    // every gate of both groups (r20: the budget fired before the
+    // all-batch-then-all-stream order ever reached the stream group — 0 of
+    // 36 stream gates measured driver-side).
     val (streamNames, batchNames) = names.partition(_.startsWith("q_stream_"))
+    val passPlan: Seq[Seq[String]] =
+      (0 until math.max(reps, streamReps)).flatMap { i =>
+        (if (i < reps && batchNames.nonEmpty) Seq(batchNames) else Nil) ++
+          (if (i < streamReps && streamNames.nonEmpty) Seq(streamNames) else Nil)
+      }
     var pass = 0
     var budgetHit = false
-    val groups = Seq((batchNames, reps), (streamNames, streamReps))
-    for ((group, groupReps) <- groups if group.nonEmpty; _ <- 0 until groupReps if !budgetHit) {
+    for (group <- passPlan if !budgetHit) {
       var offset = 0
       tracedSentinel(pass, offset)
       val it = group.iterator
@@ -292,7 +351,13 @@ object Bench {
           budgetHit = true
         } else {
           val name = it.next()
-          if (offset > 0 && offset % SentinelStride == 0) tracedSentinel(pass, offset)
+          if (offset > 0 && offset % SentinelStride == 0) {
+            tracedSentinel(pass, offset)
+            // Mid-pass crash-safe checkpoint (r20 ADVICE): a kill during the
+            // first multi-minute pass must still leave a BENCH.json and a
+            // cached stdout line from minutes in, not nothing.
+            lastPartialLine.set(emit(partial = true, budgetTruncated = false))
+          }
           val t0 = System.nanoTime()
           try {
             SparkEntry.queries(name)(spark, sfDir)
@@ -314,15 +379,16 @@ object Bench {
     // Normal completion. Stop Spark BEFORE the metric line: spark.stop() can
     // log shutdown lines, and the metric JSON must be the very last stdout
     // content for the driver's tail parse (r12 VERDICT item 1). The hook
-    // stays ARMED through spark.stop() with the final line cached: stop()
-    // takes seconds, and a SIGTERM landing inside it (observed in the r20
-    // kill simulation) would otherwise arrive after the old disarm point and
-    // print nothing. Disarm only once the main path has printed.
+    // stays ARMED through spark.stop() AND through the final println with
+    // the final line cached: stop() takes seconds, and a SIGTERM landing
+    // anywhere in that window would otherwise print nothing (r20 ADVICE —
+    // the old code disarmed BEFORE printing; a duplicate identical final
+    // line from the hook is harmless to the driver's tail parse).
     val finalLine = emit(partial = false, budgetTruncated = budgetHit)
     lastPartialLine.set(finalLine)
     spark.stop()
-    hookArmed.set(false)
     println(finalLine)
     System.out.flush()
+    hookArmed.set(false)
   }
 }

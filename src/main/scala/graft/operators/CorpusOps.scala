@@ -204,10 +204,17 @@ object CorpusOps {
     */
   def topTerms(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     require(k >= 1)
+    // Lazy localCheckpoint: tf feeds BOTH the document-frequency aggregate
+    // and the join back — without the cut each consumer re-ran the corpus
+    // scan + explode + (doc, token) string aggregate (two full corpus
+    // passes where one suffices; r21, guide §3.3 plan truncation). tf is
+    // the distinct (doc, token) table — far smaller than the corpus text
+    // it replaces in the second pass.
     val tf = docs
       .select(col(idCol).as("doc_id"), explode(TextOps.tokens(col(textCol))).as("token"))
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(eager = false)
     val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("tf").desc, col("df").asc, col("token").asc)
@@ -216,6 +223,46 @@ object CorpusOps {
       .filter(col("rnk") <= k)
       .select(col("doc_id"), col("rnk").cast("int").as("rnk"),
         col("token"), col("tf"), col("df"))
+  }
+
+  /** Top-`v` corpus tokens by frequency (count DESC, token ASC — the
+    * [[tokenizeToIds]] vocabulary selection), de-GC'd (r20 VERDICT item 2):
+    * the corpus-wide count keys on the compiled 60-bit token hash
+    * ([[SimHash.tokenWideHashes]] — zero per-token heap strings through
+    * explode/shuffle/aggregate), and the ≤ ~v token STRINGS the output
+    * needs are recovered by one broadcast-semi-join filter pass over the
+    * corpus. The boundary cut is tie-complete (every hash with `n ≥ the
+    * v-th largest n` survives to the exact (n DESC, token ASC) ordered
+    * limit), so the selection — including string tie-breaks — is identical
+    * to the old string-keyed TakeOrdered, hash injectivity on the
+    * vocabulary assumed (60 bits). Empty tokens are excluded (the
+    * `length > 0` vocabulary convention; their hash is 0, which no
+    * non-degenerate token shares).
+    *
+    * Output: (token, n), the top-v rows in selection order.
+    */
+  def topTokens(docs: DataFrame, textCol: String, v: Int): DataFrame = {
+    require(v >= 1, s"v must be >= 1, got $v")
+    val counts = docs
+      .select(explode(SimHash.tokenWideHashes(col(textCol))).as("h"))
+      .filter(col("h") =!= 0L)
+      .groupBy(col("h")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(eager = false)
+    val thresh = counts.orderBy(col("n").desc).limit(v)
+      .agg(min(col("n")).as("graft_th"))
+    val cand = counts.crossJoin(broadcast(thresh))
+      .filter(col("n") >= col("graft_th"))
+      .localCheckpoint(eager = false)
+    val candH = broadcast(cand.select(col("h")).distinct())
+    val names = docs
+      .select(explode(TextOps.tokens(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0)
+      .select(col("token"), TextOps.wideHash(col("token")).as("h"))
+      .join(candH, Seq("h"), "left_semi")
+      .distinct()
+    cand.join(names, Seq("h"))
+      .orderBy(col("n").desc, col("token").asc).limit(v)
+      .select(col("token"), col("n"))
   }
 
   /** BM25 keyword retrieval: top-`k` documents for a fixed query-term set —
@@ -243,7 +290,7 @@ object CorpusOps {
     val terms = queryTerms.distinct.sorted
     val d = docs.select(col(idCol).as("doc_id"), col(textCol).as("graft_text"))
     val dl = d.select(col("doc_id"),
-      size(TextOps.tokens(col("graft_text"))).cast("long").as("dl"))
+      TextStats.nTokens(col("graft_text")).as("dl"))
     val tf = d
       .select(col("doc_id"), explode(TextOps.tokens(col("graft_text"))).as("token"))
       .filter(col("token").isin(terms: _*)) // prune BEFORE the first shuffle
@@ -308,7 +355,7 @@ object CorpusOps {
     // through the same writer)
     ScaleJoins.writeBucketed(
       d.select(col("doc_id"),
-        size(TextOps.tokens(col("graft_text"))).cast("long").as("dl")),
+        TextStats.nTokens(col("graft_text")).as("dl")),
       s"${name}_doclen", Seq("doc_id"), buckets)
   }
 
@@ -686,7 +733,7 @@ object CorpusOps {
     val d = docs.filter(col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"),
         (col(idCol) % nStreams).as("stream"),
-        size(TextOps.tokens(col(textCol))).cast("long").as("n_tokens"))
+        TextStats.nTokens(col(textCol)).as("n_tokens"))
     val w = Window.partitionBy(col("stream")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     d.withColumn("start_off", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
@@ -754,15 +801,25 @@ object CorpusOps {
     * high-cardinality key) → one doc-keyed aggregate. No driver loop, no
     * UDF; the sort inside `array_sort` is per-row over one document's
     * tokens.
+    *
+    * The join keys on the compiled 60-bit token hash, not the token string
+    * (r20 VERDICT item 2: "join on hashed token — decode never needed
+    * since output is ids"): corpus-side per-token rows are (doc_id, pos,
+    * LONG), so the explode → join → aggregate path allocates zero heap
+    * strings per token; the vocab side hashes its (bounded) token column
+    * once. Identical output as long as the hash separates the corpus
+    * vocabulary (60 bits — see [[SimHash.tokenWideHashes]]); an OOV token
+    * still maps to `oovId` because only vocab hashes can match.
     */
   def tokenizeToIds(docs: DataFrame, idCol: String, textCol: String,
       vocab: DataFrame, tokenCol: String = "token", tokenIdCol: String = "token_id",
       oovId: Long = -1L): DataFrame = {
     val ex = docs.filter(col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"),
-        posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "graft_tok")))
-    ex.join(vocab.select(col(tokenCol).as("graft_tok"), col(tokenIdCol).as("graft_id")),
-        Seq("graft_tok"), "left_outer")
+        posexplode(SimHash.tokenWideHashes(col(textCol))).as(Seq("pos", "graft_h")))
+    ex.join(vocab.select(TextOps.wideHash(col(tokenCol)).as("graft_h"),
+          col(tokenIdCol).as("graft_id")),
+        Seq("graft_h"), "left_outer")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
         array_sort(collect_list(struct(col("pos"), coalesce(col("graft_id"), lit(oovId))
@@ -796,7 +853,7 @@ object CorpusOps {
   def lengthBatches(docs: DataFrame, idCol: String, textCol: String,
       bucketWidth: Int, batchSize: Int, nStreams: Int = 1): DataFrame = {
     require(bucketWidth >= 1 && batchSize >= 1 && nStreams >= 1)
-    val nt = size(TextOps.tokens(col(textCol))).cast("long")
+    val nt = TextStats.nTokens(col(textCol))
     val w = Window.partitionBy(col("bucket"), col("stream"))
       .orderBy(col("n_tokens").asc, col("doc_id").asc)
     docs.filter(col(textCol).isNotNull)
@@ -846,7 +903,7 @@ object CorpusOps {
   def balancedShards(docs: DataFrame, idCol: String, textCol: String,
       nShards: Int): DataFrame = {
     require(nShards >= 1, s"need at least one shard, got $nShards")
-    val nt = size(TextOps.tokens(col(textCol))).cast("long")
+    val nt = TextStats.nTokens(col(textCol))
     val base = docs.filter(col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"), nt.as("n_tokens"))
     val ranked = RankOps.globalRank(
@@ -964,23 +1021,30 @@ object CorpusOps {
     * after the aggregate, no join against the corpus.
     */
   def bpeSegment(docs: DataFrame, idCol: String, textCol: String,
-      merges: Seq[(String, String)]): DataFrame = {
+      merges: Seq[(String, String)]): DataFrame =
+    wordFreqSyms(docs, textCol)
+      .select(col("w").as("word"), col("wc"), bpeFoldSyms(merges).as("syms"))
+
+  /** The [[bpeSegment]] replay fold as a Column over `syms` (the word's
+    * symbol array): each merge rule applies the same greedy left-to-right
+    * non-overlapping fold the trainer used. Factored out so callers that
+    * already hold a word table ([[tokenizerFertility]]) can segment it
+    * without a second corpus scan.
+    */
+  private def bpeFoldSyms(merges: Seq[(String, String)]): Column = {
     val mergesCol = array(merges.map { case (l, r) =>
       struct(lit(l).as("lft"), lit(r).as("rgt")) }: _*)
-    val segmented =
-      if (merges.isEmpty) col("syms")
-      else aggregate(mergesCol, col("syms"), (acc, m) =>
-        when(size(acc) < 2, acc).otherwise(
-          aggregate(
-            slice(acc, lit(2), size(acc) - 1),
-            slice(acc, lit(1), lit(1)),
-            (a, x) => when(
-                element_at(a, -1) === m.getField("lft") && x === m.getField("rgt"),
-                concat(slice(a, lit(1), size(a) - 1),
-                  array(concat(m.getField("lft"), m.getField("rgt")))))
-              .otherwise(concat(a, array(x))))))
-    wordFreqSyms(docs, textCol)
-      .select(col("w").as("word"), col("wc"), segmented.as("syms"))
+    if (merges.isEmpty) col("syms")
+    else aggregate(mergesCol, col("syms"), (acc, m) =>
+      when(size(acc) < 2, acc).otherwise(
+        aggregate(
+          slice(acc, lit(2), size(acc) - 1),
+          slice(acc, lit(1), lit(1)),
+          (a, x) => when(
+              element_at(a, -1) === m.getField("lft") && x === m.getField("rgt"),
+              concat(slice(a, lit(1), size(a) - 1),
+                array(concat(m.getField("lft"), m.getField("rgt")))))
+            .otherwise(concat(a, array(x))))))
   }
 
   /** Per-group TOKENIZER FERTILITY — the standard multilingual
@@ -1002,21 +1066,31 @@ object CorpusOps {
     * exact integers, so every column hash-gates.
     *
     * Scale posture: segmentation is language-INDEPENDENT given the
-    * merges, so DISTINCT words segment once (the vocabulary-bounded
-    * [[bpeSegment]] table — the same only-touch-the-corpus-once trick
-    * the trainer uses) and join word-keyed onto the combiner-reduced
-    * (group, word) count aggregate; no per-document segmentation ever
-    * runs. Both inputs are vocabulary-bounded aggregates of one corpus
-    * scan each.
+    * merges, so DISTINCT words segment once (vocabulary-bounded — the
+    * same only-touch-the-corpus-once trick the trainer uses) and join
+    * word-keyed onto the combiner-reduced (group, word) count aggregate;
+    * no per-document segmentation ever runs. The corpus is scanned
+    * EXACTLY ONCE (r21): the (group, word) count table materializes once
+    * (lazy localCheckpoint, the [[tokenBudgetMix]] convention) and the
+    * distinct-word table the segmenter folds over derives from IT
+    * (`gw.groupBy(word)` — vocabulary-sized input), where before r21 the
+    * segmenter ran [[bpeSegment]]'s own corpus scan and second
+    * string-keyed corpus-wide aggregate.
     */
   def tokenizerFertility(docs: DataFrame, groupCol: String, textCol: String,
       merges: Seq[(String, String)]): DataFrame = {
-    val segs = bpeSegment(docs, groupCol, textCol, merges)
-      .select(col("word"), size(col("syms")).cast("long").as("graft_nsub"))
     val gw = docs
       .select(col(groupCol).as("grp"), explode(TextOps.tokens(col(textCol))).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy(col("grp"), col("word")).agg(count(lit(1)).as("wc"))
+      .localCheckpoint(eager = false)
+    // Same distinct-word set bpeSegment's wordFreqSyms would build (both
+    // drop NULL texts via explode and empty words via the length filter),
+    // but derived from the already-counted table, not a second scan.
+    val segs = gw.select(col("word")).distinct()
+      .select(col("word"),
+        filter(split(col("word"), ""), x => length(x) > 0).as("syms"))
+      .select(col("word"), size(bpeFoldSyms(merges)).cast("long").as("graft_nsub"))
     gw.join(segs, Seq("word"))
       .groupBy(col("grp"))
       .agg(sum(col("wc")).as("n_words"),
@@ -1134,7 +1208,7 @@ object CorpusOps {
     val n = docs
       .filter(col(textCol).isNotNull)
       .select(col(idCol).as("tb_id"), col(groupCol).as("tb_grp"),
-        size(TextOps.tokens(col(textCol))).cast("long").as("n_tokens"),
+        TextStats.nTokens(col(textCol)).as("n_tokens"),
         TextOps.polyHash(col(textCol), hashBase).as("tb_h"))
       .join(broadcast(budgets.toDF("tb_grp", "tb_budget")), Seq("tb_grp"))
       .withColumn("tb_bkt", (col("tb_h") / lit(width)).cast("long"))
@@ -1174,7 +1248,7 @@ object CorpusOps {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs.filter(col(textCol).isNotNull)
       .select(col(idCol).as("tb_id"), col(groupCol).as("tb_grp"),
-        size(TextOps.tokens(col(textCol))).cast("long").as("n_tokens"),
+        TextStats.nTokens(col(textCol)).as("n_tokens"),
         TextOps.polyHash(col(textCol), hashBase).as("tb_h"))
       .join(broadcast(budgets.toDF("tb_grp", "tb_budget")), Seq("tb_grp"))
       .withColumn("tb_cum", sum(col("n_tokens")).over(w))
@@ -1341,7 +1415,7 @@ object CorpusOps {
     val perDoc = spans.groupBy(col("sp_id"))
       .agg(count(lit(1)).as("n_spans"), sum(col("e") - col("s")).as("dup_tokens"))
     base.select(col(idCol).as("sp_id"),
-        size(TextOps.tokens(col(textCol))).cast("long").as("n_tokens"))
+        TextStats.nTokens(col(textCol)).as("n_tokens"))
       .join(perDoc, Seq("sp_id"), "left")
       .select(col("sp_id").as(idCol), col("n_tokens"),
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),
@@ -1638,6 +1712,24 @@ object CorpusOps {
     * digit string (the r15 drift-safe pin); `shift` is one IEEE
     * division of digit-string-cast operands.
     *
+    * Per-token work carries LONG hashes, never token strings (r20 VERDICT
+    * item 2, the q_itemsets de-GC treatment): counts, the full-outer
+    * join, and the numerator all key on the compiled 60-bit
+    * [[SimHash.tokenWideHashes]] value, and the ~k token STRINGS the
+    * output needs are recovered afterwards by re-scanning both corpora
+    * through a broadcast semi-join on the surviving hashes — a filter
+    * pass that aggregates nothing, so the transient per-token strings
+    * die young instead of churning a giant hash map. The boundary cut is
+    * tie-complete: candidates are every token with `num ≥ the k-th
+    * largest num`, so the final (num DESC, token ASC) order sees every
+    * token the old string-keyed TakeOrdered could have selected —
+    * identical output (hash injectivity on the vocabulary assumed, 60
+    * bits; the oracle verifies it per fixture). Each count table
+    * materializes once (lazy localCheckpoint) — its three consumers
+    * (join, corpus total, threshold) re-ran the full scan lineage before
+    * r21 (8 parquet scans per run; now 2 count scans + 2 recovery
+    * filter scans).
+    *
     * Output: (rnk 1..k, token, c_a, c_b, shift_num — digit string,
     * shift DOUBLE), rows ordered by rank.
     */
@@ -1645,8 +1737,9 @@ object CorpusOps {
       k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     def counts(df: DataFrame) = df
-      .select(explode(TextOps.tokens(col(textCol))).as("tok"))
+      .select(explode(SimHash.tokenWideHashes(col(textCol))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = false)
     val ca = counts(dfA)
     val cb = counts(dfB)
     val na = ca.agg(sum(col("c")).as("na"))
@@ -1658,14 +1751,34 @@ object CorpusOps {
       .join(cb.withColumnRenamed("c", "c_b"), Seq("tok"), "full_outer")
       .na.fill(0L, Seq("c_a", "c_b"))
       .crossJoin(broadcast(na)).crossJoin(broadcast(nb))
-      .select(col("tok").as("token"), col("c_a"), col("c_b"),
+      .select(col("tok"), col("c_a"), col("c_b"),
         abs(d18(col("c_a")) * d19(col("nb")) -
           d18(col("c_b")) * d19(col("na")))
           .cast("decimal(38,0)").as("num"),
         col("na"), col("nb"))
-    // TakeOrdered cut first (never a full global sort); the rank window
-    // then runs over k rows only.
-    val top = joined.orderBy(col("num").desc, col("token").asc).limit(k)
+    // Tie-complete boundary cut on the hash-keyed table: keep every token
+    // whose num reaches the k-th largest (TakeOrdered k + min — never a
+    // full sort). Ties may keep > k candidates; the final ordered limit
+    // below resolves them by token string exactly as before.
+    val thresh = joined.orderBy(col("num").desc).limit(k)
+      .agg(min(col("num")).as("graft_th"))
+    val cand = joined.crossJoin(broadcast(thresh))
+      .filter(col("num") >= col("graft_th"))
+      .localCheckpoint(eager = false)
+    // String recovery for the surviving hashes only: explode + broadcast
+    // semi-join keeps ~k rows, aggregates nothing corpus-sized.
+    val candH = broadcast(cand.select(col("tok")).distinct())
+    def names(df: DataFrame) = df
+      .select(explode(TextOps.tokens(col(textCol))).as("token"))
+      .select(col("token"), TextOps.wideHash(col("token")).as("tok"))
+      .join(candH, Seq("tok"), "left_semi")
+    val tokenOf = names(dfA).unionByName(names(dfB)).distinct()
+    // TakeOrdered cut (never a full global sort); the rank window then
+    // runs over k rows only.
+    val top = cand.join(tokenOf, Seq("tok"))
+      .select(col("token"), col("c_a"), col("c_b"), col("num"),
+        col("na"), col("nb"))
+      .orderBy(col("num").desc, col("token").asc).limit(k)
     val w = Window.orderBy(col("num").desc, col("token").asc)
     top
       .withColumn("rnk", row_number().over(w))
@@ -1781,6 +1894,20 @@ object CorpusOps {
     * against token totals — vocabulary-sized, not corpus-sized — and
     * per-source frames broadcast. No window, no collect.
     *
+    * Per-token work carries LONG hashes, never token strings (r20 VERDICT
+    * item 2 — the de-GC'd q_itemsets treatment): no column of this output
+    * contains a token, so the whole pipeline keys on the compiled 60-bit
+    * [[graft.functions.TokenHashes]] value and the explode/shuffle/
+    * aggregate path allocates zero per-token heap strings. Counts keyed by
+    * hash equal counts keyed by token as long as the hash is injective on
+    * the corpus vocabulary (60 informative bits ⇒ a collision among even
+    * 10⁸ distinct tokens has probability ~2·10⁻³; the oracle gate verifies
+    * the fixture vocabulary collision-free at every SF). The (src, hash)
+    * count table materializes ONCE (lazy localCheckpoint — the
+    * [[tokenBudgetMix]] convention): it feeds four downstream aggregates,
+    * and before r21 each consumer re-ran the whole scan+explode+aggregate
+    * lineage — 12 parquet scans of the corpus per run where one suffices.
+    *
     * Single-source corpora (m = 0) report NULL tvd. NULL texts contribute
     * no tokens; a source of only NULL texts emits no row.
     *
@@ -1790,8 +1917,9 @@ object CorpusOps {
     */
   def tokenDrift(df: DataFrame, textCol: String, sourceCol: String): DataFrame = {
     val tok = df.select(col(sourceCol).as("src"),
-      explode(TextOps.tokens(col(textCol))).as("tok"))
+      explode(SimHash.tokenWideHashes(col(textCol))).as("tok"))
     val cs = tok.groupBy(col("src"), col("tok")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = false)
     val tot = cs.groupBy(col("tok")).agg(sum(col("c")).as("t"))
     val ns = cs.groupBy(col("src")).agg(sum(col("c")).as("n"))
     val tt = cs.agg(sum(col("c")).as("tt"))

@@ -192,9 +192,15 @@ object EvalOps {
     def checked(c: String): Column =
       when(col(c).isNotNull, col(c).cast("string"))
         .otherwise(raise_error(lit(s"classPrf: $c must be non-null")))
+    // Lazy localCheckpoint — same rationale as cohensKappa's (r21): the
+    // confusion-cell table feeds three aggregates in classPrfFromCounts,
+    // and without the cut each re-ran the corpus scan plus the caller's
+    // label expressions (predictedLang tokenization for the lang-ID gate).
+    // Batch-side only; the streaming twin feeds FromCounts directly.
     classPrfFromCounts(
       df.select(checked(goldCol).as("gold"), checked(predCol).as("pred"))
-        .groupBy(col("gold"), col("pred")).agg(count(lit(1)).as("__graft_c")),
+        .groupBy(col("gold"), col("pred")).agg(count(lit(1)).as("__graft_c"))
+        .localCheckpoint(eager = false),
       "gold", "pred", "__graft_c")
   }
 
@@ -439,11 +445,21 @@ object EvalOps {
     def checked(c: String): Column =
       when(col(c).isNotNull, col(c).cast("string"))
         .otherwise(raise_error(lit(s"cohensKappa: $c must be non-null")))
+    // Lazy localCheckpoint (the CorpusOps.tokenBudgetMix convention): the
+    // joint-cell table is label²·groups rows but feeds THREE downstream
+    // aggregates in cohensKappaFromCounts (agreements + both marginals) —
+    // without the cut, each consumer re-ran the full data scan AND the
+    // rater expressions (for the lang-ID gate: the whole predictedLang
+    // tokenization, three times over the corpus — r21, guide §3.3
+    // "materialise an intermediate to truncate the plan"). Batch-side
+    // only: the streaming twin calls cohensKappaFromCounts directly on its
+    // (already tiny) state table, which stays checkpoint-free.
     cohensKappaFromCounts(
       df.select(col(groupCol).as("grp"),
           checked(raterACol).as("ra"), checked(raterBCol).as("rb"))
         .groupBy(col("grp"), col("ra"), col("rb"))
-        .agg(count(lit(1)).as("c")),
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint(eager = false),
       "grp", "ra", "rb", "c")
       .withColumnRenamed("grp", groupCol)
   }

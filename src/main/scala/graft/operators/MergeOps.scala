@@ -203,8 +203,23 @@ object MergeOps {
   /** Snapshot diff — the dataset-versioning primitive: classify every key of
     * two versions of a keyed table as `added` (only in `v2`), `removed`
     * (only in `v1`), `changed` (present in both, some non-key column
-    * differs) or `unchanged`. Non-key columns compare NULL-SAFELY (`<=>`),
-    * column by column — exact semantics, no hash-collision caveat.
+    * differs) or `unchanged`.
+    *
+    * Non-key columns compare by a 64-bit xxhash64 DIGEST computed at the
+    * scan, not column-by-column at the join (r21, guide §8: "make every
+    * shuffle but the last operate on a lightweight proxy"): the classifying
+    * full-outer join shuffles (key, 8-byte digest) per side instead of the
+    * full row payload — for a text corpus that removes the document bodies
+    * from BOTH exchanges and both sort buffers of the diff, and column
+    * pruning now reaches the scan for every non-key column a consumer does
+    * not ask for. The digest interleaves a per-column `isnull` flag with
+    * each value, so NULL-vs-value and NULL-position differences hash apart
+    * exactly as the old per-column `<=>` chain distinguished them
+    * (MergeOpsSpec pins the discrimination cases). Equal digests ⇒
+    * `unchanged` is exact up to 64-bit hash collisions (~5·10⁻²⁰ per
+    * compared pair — the same fingerprint-equality stance as
+    * q_dedup_fingerprint); Spark's xxhash64 canonicalizes NaN and -0.0 the
+    * same way `<=>` does, so double columns keep their semantics.
     *
     * Scale posture: ONE full-outer equi-join on the key (both sides shuffle
     * on the same hash partitioning, AQE-reusable); presence is detected by
@@ -219,16 +234,22 @@ object MergeOps {
     require(v1.columns.toSet == v2.columns.toSet,
       s"snapshot schemas differ: ${v1.columns.mkString(",")} vs ${v2.columns.mkString(",")}")
     val nonKey = v1.columns.filterNot(keys.contains).toSeq
-    val a = v1.select(lit(1).as("graft_a") +: v1.columns.toSeq.map(c => col(c).as(s"a_$c")): _*)
-    val b = v2.select(lit(1).as("graft_b") +: v2.columns.toSeq.map(c => col(c).as(s"b_$c")): _*)
+    def side(df: DataFrame, tag: String): DataFrame = {
+      val digest =
+        if (nonKey.isEmpty) lit(0L)
+        else xxhash64(nonKey.flatMap(c => Seq(isnull(col(c)), col(c))): _*)
+      df.select(lit(1).as(s"graft_$tag") +:
+        keys.map(k => col(k).as(s"${tag}_$k")) :+
+        digest.as(s"${tag}_graft_digest"): _*)
+    }
+    val a = side(v1, "a")
+    val b = side(v2, "b")
     val cond = keys.map(k => col(s"a_$k") === col(s"b_$k")).reduce(_ && _)
-    val same = nonKey.map(c => col(s"a_$c") <=> col(s"b_$c"))
-      .reduceOption(_ && _).getOrElse(lit(true))
     a.join(b, cond, "full_outer")
       .withColumn("status",
         when(col("graft_a").isNull, "added")
           .when(col("graft_b").isNull, "removed")
-          .when(same, "unchanged")
+          .when(col("a_graft_digest") === col("b_graft_digest"), "unchanged")
           .otherwise("changed"))
       .select(keys.map(k => coalesce(col(s"a_$k"), col(s"b_$k")).as(k)) :+ col("status"): _*)
   }

@@ -161,13 +161,20 @@ object SetSimJoin {
     * posting list's df² does not fit a long. A NULL sum over a NON-EMPTY
     * table is decimal(38,0) overflow — mass beyond ~1e38 is further past
     * any ceiling than a representable number, so it FAILS the guard (r19
-    * ADVICE: the previous coalesce-to-0 silently passed it).
+    * ADVICE: the previous coalesce-to-0 silently passed it). `try_sum`,
+    * not `sum` (r20 ADVICE): under spark.sql.ansi.enabled=true a plain
+    * decimal sum THROWS on overflow inside the action and the run would
+    * die without this guard's steering message; try_sum returns NULL on
+    * overflow in both modes, so ANSI sessions reach the same loud path.
+    * (The per-row product itself cannot overflow: df < 10²⁰ ⇒ df·(df−1)
+    * < 10⁴⁰ truncated at cast only beyond 10³⁸, i.e. only when the sum
+    * would overflow anyway.)
     */
   private def guardCandidateMass(dfTab: DataFrame,
       maxCandidates: Long, op: String): Unit = {
     if (maxCandidates == Long.MaxValue) return
     val row = dfTab.agg(
-      sum((col("sj_df").cast("decimal(20,0)") *
+      try_sum((col("sj_df").cast("decimal(20,0)") *
         (col("sj_df") - 1).cast("decimal(20,0)")).cast("decimal(38,0)")),
       count(lit(1))).head()
     if (row.getLong(1) == 0L) return // empty input: zero mass, nothing to guard

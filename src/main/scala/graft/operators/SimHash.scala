@@ -28,6 +28,21 @@ object SimHash {
       graft.functions.TokenHashes(
         org.apache.spark.sql.graft.bridge.expression(text), wide = false))
 
+  /** [[tokenHashes]] with the 60-informative-bit two-base combination
+    * ([[TextOps.wideHash]] applied per token, one compiled pass, zero
+    * per-token string allocation) — the de-GC'd grouping key for token-count
+    * pipelines whose OUTPUT never contains the token string (r20 VERDICT
+    * item 2: [[CorpusOps.tokenDrift]] / [[CorpusOps.tokenShift]] /
+    * [[CorpusOps.tokenizeToIds]]). The 30-bit [[tokenHashes]] births
+    * collisions at ~2¹⁵ distinct tokens — far below a real vocabulary; 60
+    * bits is collision-free in practice for any corpus this engine meets.
+    * Bit-identical to `transform(tokens(text), wideHash)` (TokenHashesSpec).
+    */
+  def tokenWideHashes(text: Column): Column =
+    org.apache.spark.sql.graft.bridge.column(
+      graft.functions.TokenHashes(
+        org.apache.spark.sql.graft.bridge.expression(text), wide = true))
+
   /** SimHash of a precomputed token-hash array column. `bits` ≤ 62.
     *
     * Votes read the PHYSICAL bit (`(h >> b) & 1`), not `% 2`: remainder

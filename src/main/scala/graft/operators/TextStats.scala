@@ -16,7 +16,17 @@ object TextStats {
     */
   val Stopwords: Seq[String] = Seq("the", "a")
 
-  def nTokens(text: Column): Column = size(TextOps.tokens(text)).cast("long")
+  /** Whitespace token count. Arithmetic form (spaces + 1), NOT
+    * `size(split(text, " "))`: the values are identical by construction
+    * (split on a single-char delimiter yields exactly one token per
+    * separator plus one, empties included; NULL stays NULL through both),
+    * but the split form materializes every token as a heap string just to
+    * count them — the r20-adjudicated big-heap GC profile — while this form
+    * allocates nothing (r21, guide §2.3 "narrower types / shuffle
+    * metadata": don't build what you only count).
+    */
+  def nTokens(text: Column): Column =
+    (length(text) - length(replace(text, lit(" "))) + 1).cast("long")
 
   /** Word-regex token count — the `[a-z]+` runs, robust to punctuation and
     * multiple spaces (unlike the whitespace count).
@@ -71,17 +81,37 @@ object TextStats {
   /** Predicted language: argmax of the profile scores, ties broken by
     * language code ascending (the CASE chain is evaluated in sorted order —
     * the oracle must use the identical chain).
+    *
+    * The token array AND the four profile scores are let-bound through
+    * singleton-array `transform`s so every reference inside the CASE chain
+    * reads a LAMBDA VARIABLE (the [[TextOps.wordShinglesHof]] binding
+    * trick). The naive column-DSL form inlines `split(text)` into every
+    * score reference — the 12-comparison chain evaluated `split` up to 18×
+    * per row (measured in the r20 q_cohens_kappa plan), the dominant
+    * allocation source of the kappa/PRF gates under a big heap (r20
+    * VERDICT item 2). Here: ONE split, four bound `size(filter(...))`
+    * passes over it, then a CASE chain over bound longs — same integers,
+    * same chain order, same NULL fall-through (null text ⇒ null scores ⇒
+    * every condition null ⇒ the chain's final ELSE), so the emitted value
+    * is bit-identical to the old form and to the oracle's verbatim chain.
     */
   def predictedLang(text: Column): Column = {
-    val scores = LangProfiles.map { case (lang, m) => lang -> langScore(text, m) }
-    // First language (in code order) whose score >= every other — a plain
-    // CASE chain the oracle SQL reproduces verbatim.
-    val branches = scores.map { case (lang, s) =>
-      val others = scores.collect { case (l2, o) if l2 != lang => o }
-      (others.map(o => s >= o).reduce(_ && _), lang)
-    }
-    branches.init.foldRight(lit(branches.last._2): Column) {
-      case ((cond, lang), rest) => when(cond, lang).otherwise(rest)
-    }
+    val scored = transform(array(TextOps.tokens(text)), toks =>
+      struct(LangProfiles.map { case (lang, m) =>
+        size(filter(toks, w => w.isin(m: _*))).cast("long").as(lang)
+      }: _*))
+    val decided = transform(scored, sc => {
+      val scores = LangProfiles.map { case (lang, _) => lang -> sc.getField(lang) }
+      // First language (in code order) whose score >= every other — a plain
+      // CASE chain the oracle SQL reproduces verbatim.
+      val branches = scores.map { case (lang, s) =>
+        val others = scores.collect { case (l2, o) if l2 != lang => o }
+        (others.map(o => s >= o).reduce(_ && _), lang)
+      }
+      branches.init.foldRight(lit(branches.last._2): Column) {
+        case ((cond, lang), rest) => when(cond, lang).otherwise(rest)
+      }
+    })
+    element_at(decided, 1)
   }
 }

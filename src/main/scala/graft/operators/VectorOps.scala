@@ -835,10 +835,47 @@ object VectorOps {
     appendBucketed(spark, enc, s"${name}_codes")
   }
 
+  /** The refresh-epoch table property [[refreshIvfPqIndex]] stamps into the
+    * codebooks AND codes tables: the two overwrites are separate non-atomic
+    * writes, and a failure between them would leave old codes paired with
+    * new codebooks — ADC rankings silently wrong (r20 ADVICE). Matching
+    * epochs (or both absent — a [[saveIvfPqIndex]]-built index that has
+    * never been refreshed) prove the pair is consistent.
+    */
+  private val RefreshEpochKey = "graft.refresh_epoch"
+
+  private def refreshEpoch(spark: org.apache.spark.sql.SparkSession,
+      table: String): Option[String] = {
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    spark.sessionState.catalog.getTableMetadata(ident).properties.get(RefreshEpochKey)
+  }
+
+  private def stampRefreshEpoch(spark: org.apache.spark.sql.SparkSession,
+      table: String, epoch: Long): Unit =
+    spark.sql(
+      s"ALTER TABLE $table SET TBLPROPERTIES('$RefreshEpochKey'='$epoch')")
+
+  /** Fails loudly when the codebooks/codes epochs disagree — the partially-
+    * refreshed state nothing else in the persisted index marks.
+    */
+  private[graft] def requireIvfPqEpochsMatch(
+      spark: org.apache.spark.sql.SparkSession, name: String): Unit = {
+    val cb = refreshEpoch(spark, s"${name}_codebooks")
+    val cd = refreshEpoch(spark, s"${name}_codes")
+    require(cb == cd,
+      s"IVF-PQ index '$name' is PARTIALLY REFRESHED: codebook refresh " +
+        s"epoch ${cb.getOrElse("<none>")} vs codes epoch " +
+        s"${cd.getOrElse("<none>")} — a refreshIvfPqIndex run failed " +
+        "between its two table overwrites. Re-run refreshIvfPqIndex to " +
+        "restore a consistent pair before probing")
+  }
+
   def loadIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
-      name: String): LoadedIvfPqIndex =
+      name: String): LoadedIvfPqIndex = {
+    requireIvfPqEpochsMatch(spark, name)
     LoadedIvfPqIndex(spark.table(s"${name}_codes"),
       spark.table(s"${name}_centroids"), spark.table(s"${name}_codebooks"))
+  }
 
   /** CODEBOOK REFRESH under drift — the last leg of the persisted IVF-PQ
     * life cycle (build → append → probe → REFRESH when recall degrades):
@@ -895,8 +932,17 @@ object VectorOps {
     val spec = spark.sessionState.catalog.getTableMetadata(ident).bucketSpec
       .getOrElse(throw new IllegalArgumentException(
         s"${name}_codes has no bucket spec — not a graft-written IVF-PQ index"))
+    // Refresh-epoch protocol (r20 ADVICE — the two overwrites below are
+    // non-atomic): bump the epoch off the codebooks' current stamp, stamp
+    // the codebooks immediately after their overwrite, and stamp the codes
+    // only after THEIR overwrite lands. A failure anywhere between leaves
+    // the epochs unequal, which loadIvfPqIndex rejects loudly instead of
+    // silently serving old codes against new codebooks.
+    val epoch = refreshEpoch(spark, s"${name}_codebooks")
+      .map(_.toLong).getOrElse(0L) + 1L
     newCbs.select(col("sub"), col("cid"), col("cvec"))
       .write.mode("overwrite").saveAsTable(s"${name}_codebooks")
+    stampRefreshEpoch(spark, s"${name}_codebooks", epoch)
     val enc = ivfPqEncode(data, idCol, vecCol, centroids, newCbs, m, dim)
     val bc = spec.bucketColumnNames
     val w0 = enc.write.bucketBy(spec.numBuckets, bc.head, bc.tail: _*)
@@ -904,6 +950,7 @@ object VectorOps {
       w0.sortBy(spec.sortColumnNames.head, spec.sortColumnNames.tail: _*)
     else w0
     w.mode("overwrite").saveAsTable(s"${name}_codes")
+    stampRefreshEpoch(spark, s"${name}_codes", epoch)
   }
 
   /** [[ivfPqSearch]] over a [[loadIvfPqIndex]]-loaded index: the probe
@@ -957,13 +1004,18 @@ object VectorOps {
     // linearly with the coarse quantizer — a cap keeps an oversized one
     // from compiling a megabyte plan that evaluates thousands of dot
     // products per arriving query row.
+    // limit(cap + 1) BEFORE the collect (r20 ADVICE): the guard must fire
+    // before an oversized centroid table materializes on the driver, not
+    // after — the cap protects the driver as well as the plan size. One
+    // extra row is enough to prove the violation.
     val cen = spark.table(s"${name}_centroids")
       .select(col("cluster_id").cast("long"),
         transform(col("cvec"), _.cast("double")))
+      .limit(maxInlinedCentroids + 1)
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
       .sortBy(_._1)
     require(cen.length <= maxInlinedCentroids,
-      s"ivfPqProbeEmissions inlines all ${cen.length} coarse centroids of " +
+      s"ivfPqProbeEmissions inlines every coarse centroid of " +
         s"'$name' into the row-local probe rank, past maxInlinedCentroids=" +
         s"$maxInlinedCentroids — plan size and per-row cost are linear in " +
         "the quantizer. Use the batch ivfPqSearchLoaded path (broadcast " +

@@ -232,12 +232,12 @@ object TextAnalysisQueries extends QueryDomain {
       // (pos, token_id) rows — the assembly is fully exercised (a wrong
       // order or element surfaces as a position mismatch) while the
       // driver's value comparator only ever sees scalars, the convention
-      // of every other gate.
+      // of every other gate. Vocabulary selection runs hash-keyed with
+      // tie-complete string recovery ([[CorpusOps.topTokens]], r21) —
+      // same top-16 by (n desc, token asc), zero per-token heap strings
+      // in the corpus-wide count.
       val d = docs(s, dir)
-      val vocab = d.select(explode(TextOps.tokens($"text")).as("token"))
-        .filter(length($"token") > 0)
-        .groupBy($"token").agg(count(lit(1)).as("n"))
-        .orderBy($"n".desc, $"token".asc).limit(16)
+      val vocab = CorpusOps.topTokens(d, "text", 16)
         .withColumn("token_id",
           (row_number().over(Window.orderBy($"n".desc, $"token".asc)) - 1).cast("long"))
       CorpusOps.tokenizeToIds(d, "doc_id", "text", vocab)

@@ -84,6 +84,25 @@ class MergeOpsSpec extends AnyFunSuite with SparkSpec {
     assert(got.length == 1 && got(0).getString(1) == "unchanged")
   }
 
+  test("snapshotDiff digest discriminates null POSITIONS, not just null " +
+    "presence (the r21 hash-compare must match the old per-column <=>)") {
+    // xxhash64 skips null inputs, so a naive digest of the bare columns
+    // would hash ("x", null) and (null, "x") identically; the interleaved
+    // isnull flags must keep them apart — these rows are "changed".
+    val v1 = Seq((1L, Some("x"), Option.empty[String]),
+      (2L, Some("y"), Some("")), (3L, Option.empty[String], Some("z")))
+      .toDF("k", "t", "u")
+    val v2 = Seq((1L, Option.empty[String], Some("x")),
+      (2L, Some("y"), Option.empty[String]), (3L, Option.empty[String], Some("z")))
+      .toDF("k", "t", "u")
+    val got = MergeOps.snapshotDiff(v1, v2, Seq("k"))
+      .orderBy($"k").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq(
+      (1L, "changed"),    // null moved columns
+      (2L, "changed"),    // empty string vs NULL
+      (3L, "unchanged"))) // identical including the null
+  }
+
   test("snapshotDiff rejects mismatched schemas and empty keys") {
     val a = Seq((1L, "x")).toDF("k", "t")
     assertThrows[IllegalArgumentException](

@@ -318,6 +318,18 @@ class VectorOpsSpec extends AnyFunSuite with SparkSpec {
       assert(!p.contains("Exchange hashpartitioning(cluster_id"),
         s"codes side must not shuffle on cluster_id:\n$p")
       assert(fromDisk.count() > 0)
+      // Refresh-epoch protocol (r20 ADVICE): a completed refresh stamps
+      // MATCHING epochs into codebooks and codes; a mismatch — the state a
+      // crash between the two overwrites leaves — must make load fail
+      // loudly instead of silently serving old codes with new codebooks.
+      VectorOps.requireIvfPqEpochsMatch(spark, "ivfpq_rf")
+      spark.sql("ALTER TABLE ivfpq_rf_codebooks " +
+        "SET TBLPROPERTIES('graft.refresh_epoch'='99')")
+      val ex = intercept[IllegalArgumentException](
+        VectorOps.loadIvfPqIndex(spark, "ivfpq_rf"))
+      assert(ex.getMessage.contains("PARTIALLY REFRESHED"))
+      // A never-refreshed save/append index carries no epochs — loads fine.
+      VectorOps.requireIvfPqEpochsMatch(spark, "ivfpq_rf2")
     } finally cleanup()
   }
 
