@@ -310,12 +310,21 @@ object EvalOps {
     require(k >= 1, s"k must be >= 1, got $k")
     val w = ndcgWeights(k)
     val prefix = w.scanLeft(0.0)(_ + _).tail
+    // Lazy localCheckpoint (r21): the caller's `ranked` is typically an
+    // EXPENSIVE retrieval plan (a brute-force top-k scored the whole
+    // corpus for q_retrieval_eval) but only #queries·k rows — and it
+    // feeds BOTH the query-list distinct and the relevance join, while
+    // the per-query frame below feeds the output AND the macro row.
+    // Without the cuts the retrieval plan re-ran ~4× (44 parquet scans
+    // in the r21 q_retrieval_eval plan).
+    val ranked1 = ranked.select(col("query_id"), col("rank"), col("neighbor_id"))
+      .localCheckpoint(eager = false)
     val lab = labels.select(col(idCol).as("gid"), col(labelCol).as("glab"))
     val counts = lab.groupBy(col("glab")).agg(count(lit(1)).as("lc"))
     // LEFT join + loud error: a query id missing from `labels` silently
     // dropping would understate the macro means — a judging bug masked
     // as a smaller eval set.
-    val ql = ranked.select(col("query_id")).distinct()
+    val ql = ranked1.select(col("query_id")).distinct()
       .join(lab, col("query_id") === col("gid"), "left")
       .withColumn("glab",
         when(col("glab").isNotNull, col("glab"))
@@ -325,7 +334,7 @@ object EvalOps {
       .join(counts, Seq("glab"))
       .select(col("query_id"), col("glab").as("qlab"),
         (col("lc") - 1L).as("n_rel"))
-    val t = ranked
+    val t = ranked1
       .join(lab.select(col("gid").as("nid"), col("glab").as("nlab")),
         col("neighbor_id") === col("nid"))
       .join(broadcast(ql), Seq("query_id"))
@@ -350,6 +359,10 @@ object EvalOps {
       .withColumn("ndcg", when(col("n_rel") === 0L, lit(null).cast("double"))
         .otherwise(col("dcg") /
           element_at(pArr, least(col("n_rel"), lit(k.toLong)).cast("int"))))
+      // Per-query frame: one tiny row per query, consumed by the output
+      // AND the macro aggregate — cut here so the union's second branch
+      // reads the materialized rows (r21).
+      .localCheckpoint(eager = false)
     val macroRow = f.agg(
         (aggregate(
           sort_array(collect_list(struct(col("query_id"), col("mrr").as("v")))),

@@ -530,10 +530,19 @@ object StatOps {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
     val spark = df.sparkSession
     import spark.implicits._
+    // Both frames materialize ONCE (lazy localCheckpoint, the
+    // CorpusOps.tokenBudgetMix convention — r21): `base` feeds the ranges
+    // aggregate and the bucket join, and `b` feeds SIX consumers (the
+    // cross histogram, both Fenwick sweeps, n, and the tie aggregates) —
+    // without the cuts every consumer re-ran the caller's full corpus
+    // scan + measure expressions (~9 evaluations, 20 parquet scans
+    // measured in the r21 q_kendall_tau plan). Both frames are narrow
+    // (3–5 scalar columns), never the caller's payload.
     val base = df.select(col(groupCol).cast("string").as("g"),
         col(xCol).cast("double").as("x"), col(yCol).cast("double").as("y"))
       .where(col("x").isNotNull && col("y").isNotNull &&
         !isnan(col("x")) && !isnan(col("y")))
+      .localCheckpoint(eager = false)
     val ranges = base.groupBy(col("g")).agg(
       min(col("x")).as("xmin"), max(col("x")).as("xmax"),
       min(col("y")).as("ymin"), max(col("y")).as("ymax"))
@@ -546,6 +555,7 @@ object StatOps {
       .select(col("g"), col("x"), col("y"),
         bkt(col("x"), col("xmin"), col("xmax")).as("bx"),
         bkt(col("y"), col("ymin"), col("ymax")).as("by"))
+      .localCheckpoint(eager = false)
     val rows = b.as[(String, Double, Double, Int, Int)]
 
     // Pair class A — different x bucket AND different y bucket: decided by
@@ -591,11 +601,13 @@ object StatOps {
       }.toDF("g", "c")
       .groupBy(col("g")).agg(sum(col("c")).as("nd_samey"))
 
-    // Ties and n: combiner-reduced aggregates. Σ c(c−1) is even, so the
-    // integer `div 2` is exact.
-    val nAgg = base.groupBy(col("g")).agg(count(lit(1)).as("n"))
+    // Ties and n: combiner-reduced aggregates, read off the checkpointed
+    // bucket frame — `b` is an inner broadcast-join of `base` against its
+    // own per-group ranges, so it holds exactly base's rows and the
+    // aggregates are unchanged (r21: they used to re-derive `base`).
+    val nAgg = b.groupBy(col("g")).agg(count(lit(1)).as("n"))
     def tiePairs(cs: Seq[String], name: String) =
-      base.groupBy(("g" +: cs).map(col): _*).agg(count(lit(1)).as("c"))
+      b.groupBy(("g" +: cs).map(col): _*).agg(count(lit(1)).as("c"))
         .groupBy(col("g"))
         .agg(expr("sum(c * (c - 1)) div 2").cast("long").as(name))
 
