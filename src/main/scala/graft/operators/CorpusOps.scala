@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.meta.Ckpt.Syntax
 
 /** Corpus-curation operators for training-data pipelines: repetition-based
   * quality filtering (the Gopher/RefinedWeb "most frequent n-gram covers too
@@ -214,7 +215,7 @@ object CorpusOps {
       .select(col(idCol).as("doc_id"), explode(TextOps.tokens(col(textCol))).as("token"))
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
-      .localCheckpoint(eager = false)
+      .ckptLazy
     val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("tf").desc, col("df").asc, col("token").asc)
@@ -247,12 +248,12 @@ object CorpusOps {
       .select(explode(SimHash.tokenWideHashes(col(textCol))).as("h"))
       .filter(col("h") =!= 0L)
       .groupBy(col("h")).agg(count(lit(1)).as("n"))
-      .localCheckpoint(eager = false)
+      .ckptLazy
     val thresh = counts.orderBy(col("n").desc).limit(v)
       .agg(min(col("n")).as("graft_th"))
     val cand = counts.crossJoin(broadcast(thresh))
       .filter(col("n") >= col("graft_th"))
-      .localCheckpoint(eager = false)
+      .ckptLazy
     val candH = broadcast(cand.select(col("h")).distinct())
     val names = docs
       .select(explode(TextOps.tokens(col(textCol))).as("token"))
@@ -1083,7 +1084,7 @@ object CorpusOps {
       .select(col(groupCol).as("grp"), explode(TextOps.tokens(col(textCol))).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy(col("grp"), col("word")).agg(count(lit(1)).as("wc"))
-      .localCheckpoint(eager = false)
+      .ckptLazy
     // Same distinct-word set bpeSegment's wordFreqSyms would build (both
     // drop NULL texts via explode and empty words via the length filter),
     // but derived from the already-counted table, not a second scan.
@@ -1212,7 +1213,7 @@ object CorpusOps {
         TextOps.polyHash(col(textCol), hashBase).as("tb_h"))
       .join(broadcast(budgets.toDF("tb_grp", "tb_budget")), Seq("tb_grp"))
       .withColumn("tb_bkt", (col("tb_h") / lit(width)).cast("long"))
-      .localCheckpoint(eager = false)
+      .ckptLazy
     val census = n.groupBy(col("tb_grp"), col("tb_bkt"))
       .agg(sum(col("n_tokens")).as("bkt_tokens"))
     val wb = Window.partitionBy(col("tb_grp")).orderBy(col("tb_bkt"))
@@ -1482,7 +1483,7 @@ object CorpusOps {
       textCol: String): DataFrame =
     docs.select(col(idCol).as("fi_id"),
         array_distinct(TextOps.tokens(col(textCol))).as("toks"))
-      .localCheckpoint(eager = false)
+      .ckptLazy
 
   /** The level-wise Apriori body. Candidate pairs and triples are carried
     * as PRIMITIVE LONG keys, not multi-column string rows (the r19
@@ -1508,7 +1509,7 @@ object CorpusOps {
     val f1 = items.groupBy(col("tok")).agg(count(lit(1)).as("sup"))
       .filter(col("sup") >= minSupport)
     val f1i = RankOps.globalRank(f1, Seq(col("tok").asc), "iid")
-      .localCheckpoint(eager = false)
+      .ckptLazy
     // Pack-safety: pair keys are iid1 << 32 | iid2, so every id must fit
     // 32 bits — 4.29 B DISTINCT FREQUENT tokens; at minSupport ≥ 2 that
     // needs > 8.6 B token occurrences before it can trip. The one-row
@@ -1527,10 +1528,10 @@ object CorpusOps {
         col("a.fi_id") === col("b.fi_id") && col("a.iid") < col("b.iid"))
       .select(col("a.fi_id").as("fi_id"),
         shiftleft(col("a.iid"), 32).bitwiseOR(col("b.iid")).as("pk"))
-      .localCheckpoint(eager = false)
+      .ckptLazy
     val f2 = docPairs.groupBy(col("pk")).agg(count(lit(1)).as("sup"))
       .filter(col("sup") >= minSupport)
-      .localCheckpoint(eager = false)
+      .ckptLazy
     val fp = docPairs.join(f2.select(col("pk")), Seq("pk"))
       .select(col("fi_id"), shiftrightunsigned(col("pk"), 32).as("i1"),
         col("pk").bitwiseAND(lowMask).as("i2"), col("pk"))
@@ -1739,7 +1740,7 @@ object CorpusOps {
     def counts(df: DataFrame) = df
       .select(explode(SimHash.tokenWideHashes(col(textCol))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("c"))
-      .localCheckpoint(eager = false)
+      .ckptLazy
     val ca = counts(dfA)
     val cb = counts(dfB)
     val na = ca.agg(sum(col("c")).as("na"))
@@ -1764,7 +1765,7 @@ object CorpusOps {
       .agg(min(col("num")).as("graft_th"))
     val cand = joined.crossJoin(broadcast(thresh))
       .filter(col("num") >= col("graft_th"))
-      .localCheckpoint(eager = false)
+      .ckptLazy
     // String recovery for the surviving hashes only: explode + broadcast
     // semi-join keeps ~k rows, aggregates nothing corpus-sized.
     val candH = broadcast(cand.select(col("tok")).distinct())
@@ -1919,7 +1920,7 @@ object CorpusOps {
     val tok = df.select(col(sourceCol).as("src"),
       explode(SimHash.tokenWideHashes(col(textCol))).as("tok"))
     val cs = tok.groupBy(col("src"), col("tok")).agg(count(lit(1)).as("c"))
-      .localCheckpoint(eager = false)
+      .ckptLazy
     val tot = cs.groupBy(col("tok")).agg(sum(col("c")).as("t"))
     val ns = cs.groupBy(col("src")).agg(sum(col("c")).as("n"))
     val tt = cs.agg(sum(col("c")).as("tt"))

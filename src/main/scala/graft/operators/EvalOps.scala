@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.meta.Ckpt.Syntax
 
 /** Classifier-evaluation operators for the curation loop: every serious
   * LLM-data pipeline trains quality/toxicity/language classifiers and must
@@ -200,7 +201,7 @@ object EvalOps {
     classPrfFromCounts(
       df.select(checked(goldCol).as("gold"), checked(predCol).as("pred"))
         .groupBy(col("gold"), col("pred")).agg(count(lit(1)).as("__graft_c"))
-        .localCheckpoint(eager = false),
+        .ckptLazy,
       "gold", "pred", "__graft_c")
   }
 
@@ -318,7 +319,7 @@ object EvalOps {
     // Without the cuts the retrieval plan re-ran ~4× (44 parquet scans
     // in the r21 q_retrieval_eval plan).
     val ranked1 = ranked.select(col("query_id"), col("rank"), col("neighbor_id"))
-      .localCheckpoint(eager = false)
+      .ckptLazy
     val lab = labels.select(col(idCol).as("gid"), col(labelCol).as("glab"))
     val counts = lab.groupBy(col("glab")).agg(count(lit(1)).as("lc"))
     // LEFT join + loud error: a query id missing from `labels` silently
@@ -362,7 +363,7 @@ object EvalOps {
       // Per-query frame: one tiny row per query, consumed by the output
       // AND the macro aggregate — cut here so the union's second branch
       // reads the materialized rows (r21).
-      .localCheckpoint(eager = false)
+      .ckptLazy
     val macroRow = f.agg(
         (aggregate(
           sort_array(collect_list(struct(col("query_id"), col("mrr").as("v")))),
@@ -472,7 +473,7 @@ object EvalOps {
           checked(raterACol).as("ra"), checked(raterBCol).as("rb"))
         .groupBy(col("grp"), col("ra"), col("rb"))
         .agg(count(lit(1)).as("c"))
-        .localCheckpoint(eager = false),
+        .ckptLazy,
       "grp", "ra", "rb", "c")
       .withColumnRenamed("grp", groupCol)
   }

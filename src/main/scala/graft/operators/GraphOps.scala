@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.meta.Ckpt.Syntax
 
 /** Connected components over an undirected edge list — the cluster-resolution
   * step every pairwise near-dup stage needs downstream: dedup pairs (MinHash,
@@ -169,7 +170,7 @@ object GraphOps {
       .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
       .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint(eager = false)
+      .ckptLazy
     var rounds = 0
     var result: Option[DataFrame] = None
     while (result.isEmpty) {
@@ -191,7 +192,7 @@ object GraphOps {
         // One checkpoint per round: the large-star intermediate stays lazy
         // inside the round's plan — two star ops are a handful of shuffles,
         // not worth a second materialization barrier.
-        e = smallStar(largeStar(e)).localCheckpoint(eager = false)
+        e = smallStar(largeStar(e)).ckptLazy
         rounds += 1
       }
     }
@@ -290,7 +291,7 @@ object GraphOps {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
     // sym feeds every relaxation round — lazy localCheckpoint executes it
     // once (see pageRankInt).
-    val sym = symmetrize(edges, srcCol, dstCol).localCheckpoint(eager = false)
+    val sym = symmetrize(edges, srcCol, dstCol).ckptLazy
     var dist = sources
       .select(col(sourceCol).cast("long").as("node"))
       .filter(col("node").isNotNull).distinct()
@@ -302,7 +303,7 @@ object GraphOps {
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
         // Round state checkpoints lazily, like labelPropagation's: plan
         // depth stays one round, not k.
-        .localCheckpoint(eager = false)
+        .ckptLazy
     }
     dist.select(col("node"), col("dist").cast("int").as("dist"))
   }
@@ -344,9 +345,9 @@ object GraphOps {
     // pattern connectedComponents and kmeans use (measured: q_pagerank
     // 3.80 → 2.84 s at 5 rounds, q_bfs_reach 2.32 → 1.86, q_ppr
     // 3.52 → 2.85, q_label_prop 4.66 → 4.02 — sf0.1 isolated medians).
-    val sym = symmetrize(edges, srcCol, dstCol).localCheckpoint(eager = false)
+    val sym = symmetrize(edges, srcCol, dstCol).ckptLazy
     val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint(eager = false)
+      .ckptLazy
     val base = lit(3L * scale / 20L)
     var pr = deg.select(col("u").as("node"), lit(scale).as("pr"))
     for (_ <- 1 to iterations) {
@@ -400,9 +401,9 @@ object GraphOps {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     // sym/deg feed every round — lazy localCheckpoint executes each once
     // (see pageRankInt).
-    val sym = symmetrize(edges, srcCol, dstCol).localCheckpoint(eager = false)
+    val sym = symmetrize(edges, srcCol, dstCol).ckptLazy
     val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint(eager = false)
+      .ckptLazy
     val seed = seeds.select(col(seedCol).cast("long").as("node"))
       .filter(col("node").isNotNull).distinct()
       .withColumn("is_seed", lit(true))
@@ -457,7 +458,7 @@ object GraphOps {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     // sym feeds every round — lazy localCheckpoint executes it once (see
     // pageRankInt).
-    val sym = symmetrize(edges, srcCol, dstCol).localCheckpoint(eager = false)
+    val sym = symmetrize(edges, srcCol, dstCol).ckptLazy
     var labels = sym.select(col("u").as("node")).distinct()
       .withColumn("lbl", col("node"))
     for (_ <- 1 to iterations) {
@@ -474,7 +475,7 @@ object GraphOps {
         // optimizer k times. The checkpoint caps plan depth at one round
         // and serves round r's labels to round r+1 from executor-local
         // blocks (measured: q_label_prop 4.0 → 2.6 s sf0.1 isolated).
-        .localCheckpoint(eager = false)
+        .ckptLazy
     }
     labels.select(col("node"), col("lbl").as("community"))
   }
@@ -598,13 +599,13 @@ object GraphOps {
   private[graft] def kCoreWithRounds(edges: DataFrame, srcCol: String,
       dstCol: String, kMin: Int, maxRounds: Int): (DataFrame, Int) = {
     require(kMin >= 1, s"kMin must be >= 1, got $kMin")
-    var cur = symmetrize(edges, srcCol, dstCol).localCheckpoint(eager = false)
+    var cur = symmetrize(edges, srcCol, dstCol).ckptLazy
     var rounds = 0
     var converged = false
     while (!converged) {
       val low = cur.groupBy(col("u")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") < kMin).select(col("u"))
-        .localCheckpoint(eager = false)
+        .ckptLazy
       if (low.isEmpty) converged = true
       else {
         rounds += 1
@@ -614,7 +615,7 @@ object GraphOps {
         cur = cur.join(low, Seq("u"), "left_anti")
           .join(low.select(col("u").as("v")), Seq("v"), "left_anti")
           .select(col("u"), col("v"))
-          .localCheckpoint(eager = false)
+          .ckptLazy
       }
     }
     (cur.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg")), rounds)

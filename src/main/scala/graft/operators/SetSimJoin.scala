@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.meta.Ckpt.Syntax
 
 /** Exact set-similarity self-join via an inverted index with prefix
   * filtering (the SSJoin/PPJoin family, Chaudhuri et al. ICDE'06 / Xiao et
@@ -152,7 +153,7 @@ object SetSimJoin {
   private def tokenDfTable(ex: DataFrame, blockCols: Seq[String]): DataFrame =
     ex.groupBy(blockCols.map(col) :+ col("sj_tok"): _*)
       .agg(count(lit(1)).as("sj_df"))
-      .localCheckpoint(false)
+      .ckptLazy
 
   /** The census-triggered loud failure behind [[DefaultMaxCandidates]]:
     * one one-row aggregate over the shared [[tokenDfTable]] computes

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, Column}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.meta.Ckpt.Syntax
 
 /** Distribution-level quality statistics for curation pipelines — the
   * z-score outlier screen every metrics/telemetry ingest runs before
@@ -542,7 +543,7 @@ object StatOps {
         col(xCol).cast("double").as("x"), col(yCol).cast("double").as("y"))
       .where(col("x").isNotNull && col("y").isNotNull &&
         !isnan(col("x")) && !isnan(col("y")))
-      .localCheckpoint(eager = false)
+      .ckptLazy
     val ranges = base.groupBy(col("g")).agg(
       min(col("x")).as("xmin"), max(col("x")).as("xmax"),
       min(col("y")).as("ymin"), max(col("y")).as("ymax"))
@@ -555,7 +556,7 @@ object StatOps {
       .select(col("g"), col("x"), col("y"),
         bkt(col("x"), col("xmin"), col("xmax")).as("bx"),
         bkt(col("y"), col("ymin"), col("ymax")).as("by"))
-      .localCheckpoint(eager = false)
+      .ckptLazy
     val rows = b.as[(String, Double, Double, Int, Int)]
 
     // Pair class A — different x bucket AND different y bucket: decided by

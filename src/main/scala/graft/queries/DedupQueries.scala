@@ -6,6 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import graft.Tables._
 import graft.operators._
 import graft.queries.QueryShared._
+import graft.meta.Ckpt.Syntax
 
 /** Deduplication + sketch gates: exact/fingerprint dedup, MinHash-LSH,
   * SimHash, blocked n-gram Jaccard (exact and df-capped), containment,
@@ -142,7 +143,7 @@ object DedupQueries extends QueryDomain {
       // the today filter — without it the banded generator runs twice.
       val pairs = SimHash.nearDupPairs(docs(s, dir), "doc_id", "text",
         bits = 60, bandBits = 15, maxHamming = 3)
-        .localCheckpoint(eager = false)
+        .ckptLazy
       val history = pairs.filter(($"doc_i" + $"doc_j") % 3 =!= 0)
       val today = pairs.filter(($"doc_i" + $"doc_j") % 3 === 0)
       val labels = GraphOps.connectedComponents(history, "doc_i", "doc_j")
@@ -188,8 +189,11 @@ object DedupQueries extends QueryDomain {
         }
         rm(new java.io.File(tmp))
       }
-      val ss = Staging.streamSession(s)
-      val src = ss.readStream.schema(ss.read.parquet(staged).schema)
+      // Heavy clone: each micro-batch runs a full connected-components
+      // contraction inside foreachBatch — per-batch shuffle parallelism,
+      // not the state-store floor, binds ([[Staging.streamSessionHeavy]]).
+      val ss = Staging.streamSessionHeavy(s)
+      val src = ss.readStream.schema(Staging.stagedSchema(ss, staged))
         .option("maxFilesPerTrigger", 1).parquet(staged)
       val (q, labels) = GraphOps.streamComponents(src, "doc_i", "doc_j")
       try q.processAllAvailable() finally q.stop()

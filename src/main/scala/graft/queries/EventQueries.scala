@@ -144,28 +144,28 @@ object EventQueries extends QueryDomain {
       // seen in state forever) — must hash-match the DuckDB batch
       // aggregation. Append emits a window only once the watermark passes
       // its close, so the finite fixture rides the same sentinel protocol as
-      // `q_stream_sessionize`: two far-future sentinel files (each its own
-      // micro-batch via maxFilesPerTrigger=1) push the watermark past every
-      // real window's close + the 2-hour production-default delay; the
-      // second guarantees a DATA batch after the advance (emission happens
-      // in the batch after the watermark moves, and a no-data batch is an
-      // engine option, not a guarantee). Sentinel windows are filtered back
-      // out of the sink. n_users is approximate (HLL) in streaming and is
-      // not part of the gated output.
+      // `q_stream_sessionize`: one far-future sentinel file pushes the
+      // watermark past every real window's close + the 2-hour
+      // production-default delay at its batch's end, and emission happens
+      // in the engine's watermark-driven NO-DATA batch that follows --
+      // pinned on in the clone session ([[Staging.streamSession]]; this is
+      // how the r18-r21 gates already emitted in practice, see
+      // [[Staging.streamSessionizeDir]]). Sentinel windows are filtered
+      // back out of the sink. n_users is approximate (HLL) in streaming and
+      // is not part of the gated output.
       //
-      // Micro-batch economy: the protocol needs exactly TWO batches — {data
-      // …, first sentinel} (whose end-of-batch max event time advances the
-      // watermark past every deadline) then {second sentinel} (the
-      // guaranteed data batch that emits). maxFilesPerTrigger = #files − 1
-      // packs the replay that way (the staging orders sentinels last by
-      // mod-time); one file per trigger would pay a full state-store
-      // commit cycle per data file for nothing. The stream runs in a
-      // low-state-partition clone session — see [[Staging.streamSession]].
+      // Micro-batch economy (r22): ONE data batch -- no maxFilesPerTrigger,
+      // so the source takes every staged file at the first trigger -- plus
+      // the no-data finalization batch. Every extra micro-batch pays a full
+      // state-store commit cycle per state partition plus offset/commit-log
+      // writes for nothing; the cross-batch state path is exercised by the
+      // mFPT=1 doc-replay gates and EventStreamsSpec, not here. The stream
+      // runs in a low-state-partition clone session -- see
+      // [[Staging.streamSession]].
       val staged = Staging.streamSessionizeDir(s, dir, gapSec = 21600L)
       val ss = Staging.streamSession(s)
       val schema = Staging.replaySchema(ss, staged)
       val stream = ss.readStream.schema(schema)
-        .option("maxFilesPerTrigger", Staging.filesInDir(staged) - 1)
         .parquet(staged)
         .withColumn("tsm", timestamp_micros(expr("ts div 1000")))
         .select($"tsm", $"event_type", $"user_id", $"value")
@@ -210,7 +210,6 @@ object EventQueries extends QueryDomain {
         .agg(count(lit(1)).as("n_user_events"),
           min(expr("ts div 1000000000")).as("first_seen_sec"))
       val stream = ss.readStream.schema(schema)
-        .option("maxFilesPerTrigger", Staging.filesInDir(staged) - 1)
         .parquet(staged)
         .filter($"event_type" === "purchase")
         .select($"event_id", $"user_id", expr("ts div 1000000000").as("sec"), $"value")
@@ -242,7 +241,6 @@ object EventQueries extends QueryDomain {
       val ss = Staging.streamSession(s)
       val schema = Staging.replaySchema(ss, staged)
       def src = ss.readStream.schema(schema)
-        .option("maxFilesPerTrigger", Staging.filesInDir(staged) - 1)
         .parquet(staged)
         .withColumn("tsm", timestamp_micros(expr("ts div 1000")))
       val buys = src.filter($"event_type" === "purchase")
@@ -280,7 +278,6 @@ object EventQueries extends QueryDomain {
       val ss = Staging.streamSession(s)
       val schema = Staging.replaySchema(ss, staged)
       def src = ss.readStream.schema(schema)
-        .option("maxFilesPerTrigger", Staging.filesInDir(staged) - 1)
         .parquet(staged)
         .withColumn("tsm", timestamp_micros(expr("ts div 1000")))
       val buys = src.filter($"event_type".isin("purchase", "sentinel"))
@@ -373,7 +370,6 @@ object EventQueries extends QueryDomain {
       val ss = Staging.streamSession(s)
       val schema = Staging.replayDocsSchema(ss, staged)
       val src = ss.readStream.schema(schema)
-        .option("maxFilesPerTrigger", Staging.filesInDir(staged) - 1)
         .parquet(staged)
         .withColumn("tsm", timestamp_micros(expr("ts div 1000")))
       val sink = Staging.nextStreamSink(ss)
@@ -415,7 +411,6 @@ object EventQueries extends QueryDomain {
       val ss = Staging.streamSession(s)
       val schema = Staging.replaySchema(ss, staged)
       val stream = ss.readStream.schema(schema)
-        .option("maxFilesPerTrigger", Staging.filesInDir(staged) - 1)
         .parquet(staged)
         .select($"user_id".as("userId"),
           expr("ts div 1000000000").as("epochSec"),
@@ -449,7 +444,6 @@ object EventQueries extends QueryDomain {
       val ss = Staging.streamSession(s)
       val schema = Staging.replaySchema(ss, staged)
       val stream = ss.readStream.schema(schema)
-        .option("maxFilesPerTrigger", Staging.filesInDir(staged) - 1)
         .parquet(staged)
         .select($"user_id".as("key"),
           expr("ts div 1000").as("ts"),
@@ -483,7 +477,6 @@ object EventQueries extends QueryDomain {
       val ss = Staging.streamSession(s)
       val schema = Staging.replaySchema(ss, staged)
       val stream = ss.readStream.schema(schema)
-        .option("maxFilesPerTrigger", Staging.filesInDir(staged) - 1)
         .parquet(staged)
         .select($"event_type".as("key"),
           expr("ts div 1000").as("ts"),
@@ -514,7 +507,6 @@ object EventQueries extends QueryDomain {
       val ss = Staging.streamSession(s)
       val schema = Staging.replaySchema(ss, staged)
       val stream = ss.readStream.schema(schema)
-        .option("maxFilesPerTrigger", Staging.filesInDir(staged) - 1)
         .parquet(staged)
         .filter($"value".isNotNull)
         .select($"event_type".as("key"), expr("ts div 1000").as("ts"),
@@ -544,7 +536,6 @@ object EventQueries extends QueryDomain {
       val ss = Staging.streamSession(s)
       val schema = Staging.replaySchema(ss, staged)
       val stream = ss.readStream.schema(schema)
-        .option("maxFilesPerTrigger", Staging.filesInDir(staged) - 1)
         .parquet(staged)
         .filter($"value".isNotNull)
         .select($"event_type".as("key"), expr("ts div 1000").as("ts"),
@@ -578,7 +569,6 @@ object EventQueries extends QueryDomain {
       val ss = Staging.streamSession(s)
       val schema = Staging.replaySchema(ss, staged)
       val stream = ss.readStream.schema(schema)
-        .option("maxFilesPerTrigger", Staging.filesInDir(staged) - 1)
         .parquet(staged)
         .select(concat($"event_type", lit("|"),
             expr("ts div 86400000000000").cast("string")).as("key"),
@@ -1014,7 +1004,6 @@ object EventQueries extends QueryDomain {
       val ss = Staging.streamSession(s)
       val schema = Staging.replaySchema(ss, staged)
       val stream = ss.readStream.schema(schema)
-        .option("maxFilesPerTrigger", Staging.filesInDir(staged) - 1)
         .parquet(staged)
         .select($"event_type".as("key"),
           expr("ts div 1000").as("ts"),
@@ -1050,7 +1039,6 @@ object EventQueries extends QueryDomain {
       val ss = Staging.streamSession(s)
       val schema = Staging.replaySchema(ss, staged)
       val stream = ss.readStream.schema(schema)
-        .option("maxFilesPerTrigger", Staging.filesInDir(staged) - 1)
         .parquet(staged)
         .select($"event_type".as("key"),
           expr("ts div 1000").as("ts"),
@@ -1085,7 +1073,6 @@ object EventQueries extends QueryDomain {
       val ss = Staging.streamSession(s)
       val schema = Staging.replaySchema(ss, staged)
       val stream = ss.readStream.schema(schema)
-        .option("maxFilesPerTrigger", Staging.filesInDir(staged) - 1)
         .parquet(staged)
         .select($"user_id".as("userId"),
           expr("ts div 1000").as("ts"),
@@ -1125,7 +1112,6 @@ object EventQueries extends QueryDomain {
       val ss = Staging.streamSession(s)
       val schema = Staging.replaySchema(ss, staged)
       val stream = ss.readStream.schema(schema)
-        .option("maxFilesPerTrigger", Staging.filesInDir(staged) - 1)
         .parquet(staged)
         .filter($"user_id".isNotNull) // sentinels are -1: they pass, then filter from the sink
         .select($"event_type".as("key"),
@@ -1161,7 +1147,6 @@ object EventQueries extends QueryDomain {
       val ss = Staging.streamSession(s)
       val schema = Staging.replaySchema(ss, staged)
       val stream = ss.readStream.schema(schema)
-        .option("maxFilesPerTrigger", Staging.filesInDir(staged) - 1)
         .parquet(staged)
         .filter($"user_id".isNotNull) // sentinels are -1: they pass, then filter from the sink
         .select($"event_type".as("key"),

@@ -554,12 +554,13 @@ object RelationalQueries extends QueryDomain {
       // three micro-batches in CDC arrival order (updates, inserts,
       // deletes — so a %35 key's update-then-delete transitions keyed
       // state ACROSS batches), materialized last-write-wins per key with
-      // horizon emission driven by two null-op sentinel files; the
+      // horizon emission driven by one null-op sentinel file plus the
+      // pinned no-data finalization batch ([[Staging.streamSession]]); the
       // surviving delta overlays the untouched target rows by anti-join.
       // Output — and oracle — identical to q_cdc_apply.
       val staged = streamCdcDir(s, dir)
       val ss = Staging.streamSession(s)
-      val schema = ss.read.parquet(s"$staged/a_upd.parquet").schema
+      val schema = Staging.stagedSchema(ss, s"$staged/a_upd.parquet")
       val src = ss.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(staged)
@@ -711,9 +712,10 @@ object RelationalQueries extends QueryDomain {
 
   /** CDC replay for q_stream_cdc: the change batch split into three files
     * by op wave (ord), event time `ts` = (1.7e9 + 60·ord) s as nanosecond
-    * BIGINT, plus two far-future null-op sentinel files (they advance the
-    * watermark through the pre-filter node and vanish in the op filter) —
-    * the [[Staging.streamDocsDir]] sentinel protocol.
+    * BIGINT, plus one far-future null-op sentinel file (it advances the
+    * watermark through the pre-filter node and vanishes in the op filter)
+    * — the [[Staging.streamDocsDir]] sentinel + pinned-no-data-batch
+    * protocol.
     */
   private def streamCdcDir(s: SparkSession, dir: String): String =
     Staging.dir("streamcdc", dir, "customer") { p =>
@@ -734,8 +736,7 @@ object RelationalQueries extends QueryDomain {
         "a_upd.parquet" -> ch.filter(col("ord") === 1),
         "b_ins.parquet" -> ch.filter(col("ord") === 2),
         "c_del.parquet" -> ch.filter(col("ord") === 3),
-        "d_sentinel.parquet" -> sentinel(maxTs + 10 * monthNs),
-        "e_sentinel.parquet" -> sentinel(maxTs + 20 * monthNs)
+        "d_sentinel.parquet" -> sentinel(maxTs + 10 * monthNs)
       ).zipWithIndex.foreach { case ((name, df), i) =>
         Staging.writeOneParquet(df, p, name)
         java.nio.file.Paths.get(p, name).toFile.setLastModified(now - 50000 + i * 10000L)

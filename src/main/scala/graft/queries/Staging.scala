@@ -54,17 +54,24 @@ private[queries] object Staging {
   def memo[T](kind: String, sfDir: String)(compute: => T): T =
     memoized.getOrElseUpdate((kind, sfDir), compute).asInstanceOf[T]
 
-  /** Events fixture + two far-future sentinel files for the append-mode
-    * stream gates (`q_stream_sessionize`, `q_stream_windows`): each sentinel
-    * lands in its own micro-batch (the callers set maxFilesPerTrigger=1),
-    * advancing the watermark past every real session's `end + gap` deadline
+  /** Events fixture + ONE far-future sentinel file for the append-mode
+    * stream gates (`q_stream_sessionize`, `q_stream_windows`): the sentinel
+    * advances the watermark past every real session's `end + gap` deadline
     * (and, a fortiori, past every real window's close + delay) so event-time
     * timeouts close ALL real sessions and append mode finalizes ALL real
-    * windows. Two sentinels, not one: emission fires in a batch AFTER the
-    * watermark advances, and a data-driven batch is guaranteed where a
-    * no-data batch is an engine option. Modification times order the replay
-    * events-first. Sentinel rows carry `user_id = -1` / `event_type =
-    * 'sentinel'`; callers filter them back out of their sink.
+    * windows. Emission fires in a batch AFTER the watermark advances; that
+    * batch is the engine's watermark-driven NO-DATA batch, which
+    * [[streamSession]] pins on (`noDataMicroBatches.enabled`) — so the
+    * guaranteed-data second sentinel the protocol used through r21 bought
+    * nothing but one extra micro-batch's full state-store commit cycle per
+    * gate per rep (r22: the protocol floor was the sweep's largest cost
+    * block; `processAllAvailable` provably waits for the no-data
+    * finalization batch — the r21 gates ALREADY emitted through it, because
+    * parquet-java's hidden `.crc` artifacts inflated [[filesInDir]] and
+    * packed both sentinels into the data batch, oracle green both rounds).
+    * Modification times order the replay events-first. Sentinel rows carry
+    * `user_id = -1` / `event_type = 'sentinel'`; callers filter them back
+    * out of their sink.
     */
   def streamSessionizeDir(spark: org.apache.spark.sql.SparkSession, sfDir: String,
       gapSec: Long): String =
@@ -96,12 +103,11 @@ private[queries] object Staging {
       // job per sentinel (write + part-file move) was machinery for a single
       // row that an in-process writer produces in microseconds.
       writeSentinel(Paths.get(p, "b_sentinel.parquet"), maxTs + 10 * gapNs)
-      writeSentinel(Paths.get(p, "c_sentinel.parquet"), maxTs + 20 * gapNs)
       val now = System.currentTimeMillis()
-      Seq("a_events.parquet" -> (now - 30000), "b_sentinel.parquet" -> (now - 20000),
-        "c_sentinel.parquet" -> (now - 10000)).foreach { case (n, t) =>
-        Paths.get(p, n).toFile.setLastModified(t); ()
-      }
+      Seq("a_events.parquet" -> (now - 30000), "b_sentinel.parquet" -> (now - 20000))
+        .foreach { case (n, t) =>
+          Paths.get(p, n).toFile.setLastModified(t); ()
+        }
     }
 
   /** A single sentinel row (`user_id = -1`, `event_type = 'sentinel'`)
@@ -141,10 +147,10 @@ private[queries] object Staging {
     * as a nanosecond BIGINT like the events replay) split into TWO parquet
     * files on doc_id parity, modification-time ordered — so near-dup pairs
     * / sketch state must cross a micro-batch boundary and the keyed STATE
-    * is exercised, not just the in-batch path. Two far-future NULL-text
-    * sentinel files follow (`doc_id = -1`), same two-sentinel protocol as
-    * [[streamSessionizeDir]], for gates whose emission is TIMEOUT-driven
-    * (q_stream_topk): null text vanishes in every downstream
+    * is exercised, not just the in-batch path. ONE far-future NULL-text
+    * sentinel file follows (`doc_id = -1`), the [[streamSessionizeDir]]
+    * sentinel + pinned-no-data-batch protocol, for gates whose emission is
+    * TIMEOUT-driven (q_stream_topk): null text vanishes in every downstream
     * filter/explode, but the rows pass the pre-filter watermark node, so
     * they advance event time without entering any operator state.
     * (q_stream_neardup emits inline and simply never sees them.)
@@ -177,19 +183,17 @@ private[queries] object Staging {
         .agg(org.apache.spark.sql.functions.max("ts")).head().getLong(0)
       val monthNs = 30L * 86400 * 1000000000L
       writeDocSentinel(Paths.get(p, "c_sentinel.parquet"), maxTs + 10 * monthNs)
-      writeDocSentinel(Paths.get(p, "d_sentinel.parquet"), maxTs + 20 * monthNs)
-      Seq("c_sentinel.parquet" -> (now - 15000), "d_sentinel.parquet" -> (now - 5000))
-        .foreach { case (n, t) => Paths.get(p, n).toFile.setLastModified(t); () }
+      Paths.get(p, "c_sentinel.parquet").toFile.setLastModified(now - 15000); ()
     }
 
   /** Documents-with-metadata replay for the corpus-health stream gates
     * (q_stream_simpson, q_stream_gini): like [[streamDocsDir]] but also
     * carrying `source` and `lang`, split on doc_id parity into two
     * micro-batch files so per-source count-map STATE must merge across a
-    * batch boundary. Two far-future sentinel files follow (`source =
-    * 'sentinel'`, NULL text) — the sentinel KEY emits its own state row,
-    * which callers filter from the sink (the [[streamSessionizeDir]]
-    * protocol; a NULL text contributes no tokens to the gini state).
+    * batch boundary. ONE far-future sentinel file follows (`source =
+    * 'sentinel'`, NULL text) — the [[streamSessionizeDir]] sentinel +
+    * pinned-no-data-batch protocol; callers filter the sentinel KEY's rows
+    * from the sink (a NULL text contributes no tokens to the gini state).
     */
   def streamDocMetaDir(spark: org.apache.spark.sql.SparkSession, sfDir: String): String =
     dir("streamdocmeta", sfDir, "documents") { p =>
@@ -208,9 +212,7 @@ private[queries] object Staging {
         .agg(org.apache.spark.sql.functions.max("ts")).head().getLong(0)
       val monthNs = 30L * 86400 * 1000000000L
       writeDocMetaSentinel(Paths.get(p, "c_sentinel.parquet"), maxTs + 10 * monthNs)
-      writeDocMetaSentinel(Paths.get(p, "d_sentinel.parquet"), maxTs + 20 * monthNs)
-      Seq("c_sentinel.parquet" -> (now - 15000), "d_sentinel.parquet" -> (now - 5000))
-        .foreach { case (n, t) => Paths.get(p, n).toFile.setLastModified(t); () }
+      Paths.get(p, "c_sentinel.parquet").toFile.setLastModified(now - 15000); ()
     }
 
   /** A single `source = 'sentinel'` NULL-text row for the documents-with-
@@ -247,7 +249,7 @@ private[queries] object Staging {
   /** Schema of the staged documents-with-metadata replay. */
   def replayDocMetaSchema(spark: org.apache.spark.sql.SparkSession, staged: String)
       : org.apache.spark.sql.types.StructType =
-    spark.read.parquet(s"$staged/a_docs.parquet").schema
+    stagedSchema(spark, s"$staged/a_docs.parquet")
 
   /** Embeddings replay for the streaming SRP near-dup gate: batch 1 is the
     * base corpus, batch 2 the planted near-dup twins (q_embed_neardup's
@@ -349,7 +351,7 @@ private[queries] object Staging {
   /** Schema of the staged documents replay (see [[replaySchema]]). */
   def replayDocsSchema(spark: org.apache.spark.sql.SparkSession, staged: String)
       : org.apache.spark.sql.types.StructType =
-    spark.read.parquet(s"$staged/a_docs.parquet").schema
+    stagedSchema(spark, s"$staged/a_docs.parquet")
 
   // One stream-tuned clone per parent session (weak keys, same rationale as
   // lastStreamSink). Accessed only under `synchronized`.
@@ -362,24 +364,82 @@ private[queries] object Staging {
     * micro-batches pay one state-store open/commit cycle PER shuffle
     * partition PER batch regardless of data volume, so a 32-partition conf
     * spends its wall-clock on empty store commits for a fixture with a few
-    * thousand keys. 8 partitions is plenty for the gate and changes no
-    * results (per-key aggregation/sessionization is partitioning-
-    * independent). Production streams on real volume keep their session's
-    * own partitioning — this clone exists only behind the fixture gates.
+    * thousand keys. Partition count changes no results (per-key
+    * aggregation/sessionization/join output is partitioning-independent).
+    *
+    * 2 partitions, not the r18–r21 8 (r22, engine-reported
+    * `stateOperators.commitTimeMs` per micro-batch, same box, same gates):
+    * commit wall-clock scales with partition count even when state is tiny
+    * and the files land on tmpfs — a 1-row ks-drift micro-batch summed
+    * 0.6–3.4 s of commit across 8 partitions vs 0.08–0.13 s across 2, and
+    * the probed gate minima moved windows 2.54→1.91 s, cusum 2.48→1.64 s,
+    * ksdrift 3.20→2.44 s (parts=1 measured within noise of 2; 2 keeps the
+    * update fold parallel for the token-heavy gates).
+    * SPARK_GRAFT_STREAM_PARTS overrides for A/Bs. Production streams on
+    * real volume keep their session's own partitioning — this clone exists
+    * only behind the fixture gates.
+    *
+    * `noDataMicroBatches.enabled = true` (the engine default) is PINNED
+    * because the staged-replay sentinel protocol now depends on it: a
+    * single far-future sentinel advances the watermark at its batch's end,
+    * and the emission batch that follows is the engine's watermark-driven
+    * no-data batch (`processAllAvailable` waits for it — measured, and the
+    * r21 sweep already emitted through it, see [[streamSessionizeDir]]).
     */
   def streamSession(spark: org.apache.spark.sql.SparkSession)
       : org.apache.spark.sql.SparkSession = synchronized {
     Option(streamSessions.get(spark)).getOrElse {
       val s2 = spark.newSession()
-      s2.conf.set("spark.sql.shuffle.partitions", "8")
+      s2.conf.set("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "2"))
+      s2.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
       streamSessions.put(spark, s2)
       s2
     }
   }
 
-  /** Number of regular files under `path` (the staged replay directory). */
+  // The compute-heavy clone (weak keys, same rationale as streamSessions).
+  private val heavyStreamSessions =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      org.apache.spark.sql.SparkSession]
+
+  /** [[streamSession]]'s sibling for the TWO stream gates whose per-batch
+    * work is a real distributed fold rather than a keyed state update —
+    * q_stream_components (a connected-components contraction per
+    * micro-batch inside foreachBatch) and q_stream_embed_neardup (a 64-dim
+    * SRP signature + bucket self-join per batch). For those the
+    * state-store-commit floor is NOT the binding cost, per-batch shuffle
+    * parallelism is: at 2 partitions both regressed (components 3.8→4.4 s,
+    * embed_neardup 2.2→3.4 s isolated minima) while every
+    * state-floor-bound gate improved. 8 partitions is the r18–r21 measured
+    * balance for them. SPARK_GRAFT_STREAM_PARTS_HEAVY overrides.
+    */
+  def streamSessionHeavy(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.SparkSession = synchronized {
+    Option(heavyStreamSessions.get(spark)).getOrElse {
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS_HEAVY", "8"))
+      s2.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+      heavyStreamSessions.put(spark, s2)
+      s2
+    }
+  }
+
+  /** Number of VISIBLE regular files under `path` (the staged replay
+    * directory) — the files the file-stream source will actually read.
+    * Hidden artifacts (parquet-java's `.…crc` checksums next to the
+    * sentinel files) are excluded, as the source excludes them: counting
+    * them inflated every r18–r21 `maxFilesPerTrigger = filesInDir − 1`
+    * packing past the real file count, silently collapsing the
+    * sessionize-family replays to a single data batch (benign — emission
+    * rode the no-data batch, oracle green — but the packing arithmetic
+    * must be honest now that the batch count is deliberate).
+    */
   def filesInDir(path: String): Int =
-    Option(new java.io.File(path).listFiles()).map(_.count(_.isFile)).getOrElse(0)
+    Option(new java.io.File(path).listFiles())
+      .map(_.count(f => f.isFile && !f.getName.startsWith(".") &&
+        !f.getName.startsWith("_"))).getOrElse(0)
 
   /** Schema of the staged replay — the NORMALIZED events file, where `ts`
     * is a nanosecond BIGINT regardless of the fixture's physical type.
@@ -388,7 +448,19 @@ private[queries] object Staging {
     */
   def replaySchema(spark: org.apache.spark.sql.SparkSession, staged: String)
       : org.apache.spark.sql.types.StructType =
-    spark.read.parquet(s"$staged/a_events.parquet").schema
+    stagedSchema(spark, s"$staged/a_events.parquet")
+
+  /** Schema of one staged parquet file, memoized per (path, JVM): a staged
+    * file is immutable once written (the [[dir]] contract), so its schema
+    * is a pure function of the path — without the memo every stream-gate
+    * invocation pays a driver-side footer read + Spark-session round trip
+    * just to re-learn the pinned schema (36 gates × reps per bench sweep).
+    */
+  def stagedSchema(spark: org.apache.spark.sql.SparkSession, file: String)
+      : org.apache.spark.sql.types.StructType =
+    memo[org.apache.spark.sql.types.StructType]("schema", file) {
+      spark.read.parquet(file).schema
+    }
 
   /** Unique memory-sink name; the calling session's PREVIOUS streaming sink
     * is dropped so each session holds at most one materialized result.

@@ -378,7 +378,7 @@ object VectorQueries extends QueryDomain {
       val staged = Staging.streamQueryVecDir(s, dir)
       val name = ivfPqIndexName(s, dir) // catalog shared across sessions
       val ss = Staging.streamSession(s)
-      val schema = ss.read.parquet(s"$staged/a_q.parquet").schema
+      val schema = Staging.stagedSchema(ss, s"$staged/a_q.parquet")
       val src = ss.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(staged)
@@ -563,10 +563,12 @@ object VectorQueries extends QueryDomain {
       // crosses the boundary through keyed state (new-batch-vs-corpus).
       // The stream emits (vec_i, vec_j, hamming); the exact cosine is
       // attached by ONE batch join over the small pair set — output, and
-      // oracle, identical to q_embed_neardup.
+      // oracle, identical to q_embed_neardup. Heavy clone: the per-batch
+      // SRP signature + bucket self-join is a real fold, not a keyed
+      // update — see [[Staging.streamSessionHeavy]].
       val staged = Staging.streamEmbDir(s, dir)
-      val ss = Staging.streamSession(s)
-      val schema = ss.read.parquet(s"$staged/a_base.parquet").schema
+      val ss = Staging.streamSessionHeavy(s)
+      val schema = Staging.stagedSchema(ss, s"$staged/a_base.parquet")
       val src = ss.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(staged)

@@ -8,6 +8,15 @@ import java.nio.file.{Files, Paths}
   * to `<outDir>/<query>.txt`. Same session conf as [[graft.Bench]], so the
   * captured plans are the ones the bench executes (AQE initial plans —
   * the judge-facing evidence files under plans/r*).
+  *
+  * SELF-VERIFYING PAST CHECKPOINT BOUNDARIES (r21 VERDICT item 6): a
+  * `localCheckpoint` truncates `.explain` at the materialized frame, so the
+  * r21 after-dumps showed 0 scans and the scan-count claims had to be
+  * checked against code instead of plans. [[graft.meta.Ckpt]]'s capture
+  * hook records every lazily-checkpointed child's own `QueryExecution` as
+  * the query is built; this tool arms it and appends each child's formatted
+  * plan to the same dump file (`===== checkpointed child N =====`
+  * separators), so scan/exchange counts are verifiable from `plans/` alone.
   */
 object ExplainPlan {
   def main(args: Array[String]): Unit = {
@@ -23,12 +32,19 @@ object ExplainPlan {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val drain = graft.meta.Ckpt.armCapture()
     names.foreach { q =>
       val df = graft.SparkEntry.queries(q)(spark, sfDir)
       val plan = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
-      Files.writeString(outDir.resolve(s"$q.txt"), plan)
-      println(s"PLAN $q -> ${outDir.resolve(s"$q.txt")}")
+      val children = drain().zipWithIndex.map { case ((label, qe), i) =>
+        s"\n===== checkpointed child ${i + 1}" +
+          (if (label.nonEmpty) s" ($label)" else "") + " =====\n" +
+          qe.explainString(org.apache.spark.sql.execution.FormattedMode)
+      }
+      Files.writeString(outDir.resolve(s"$q.txt"), plan + children.mkString)
+      println(s"PLAN $q -> ${outDir.resolve(s"$q.txt")} " +
+        s"(${children.length} checkpointed children)")
     }
     spark.stop()
   }
