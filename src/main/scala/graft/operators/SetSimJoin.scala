@@ -135,25 +135,26 @@ object SetSimJoin {
 
   private def ceilDivC(n: Column, d: Int): Column = floor((n + (d - 1)) / d).cast("int")
 
-  /** The (block, token) document-frequency table — the SHARED SUBTREE of
-    * the candidate-mass census, [[DfStrategy.Packed]]'s driver pack, and the
-    * Aggregate join-back rank. One combiner-reduced aggregate over the
-    * exploded index (map-side combine → ≤ |vocab| rows), LAZILY
-    * local-checkpointed: the first consumer (the census, when it runs)
-    * materializes it, and every later consumer reads the materialized
-    * blocks instead of re-scanning — and re-shingling — the upstream
-    * corpus. The r19 census paid exactly that second pass (q_ngram_jaccard
-    * 5.5 → 9.0 s driver minima once the default-loud guard landed — r19
-    * VERDICT item 4). localCheckpoint, not persist(): the SQL cache is
+  /** The (block, token) document-frequency table — one combiner-reduced
+    * aggregate over the exploded index (map-side combine → ≤ |vocab| rows).
+    * `ckpt = true` LAZILY local-checkpoints it for callers with SEVERAL
+    * consumers (the Packed pack + its oversized-vocabulary fallback's
+    * census + join-back: the r19 census paid a full second corpus pass
+    * without it — q_ngram_jaccard 5.5 → 9.0 s driver minima, r19 VERDICT
+    * item 4). localCheckpoint, not persist(): the SQL cache is
     * session-global and keyed by plan equality, so a persisted table would
     * make a repeated identical call read round-1's counts; checkpoint
     * blocks belong to this call's RDD and are reclaimed by the
     * ContextCleaner when the plan they feed is unreferenced.
+    * `ckpt = false` is for a SINGLE-consumer census (the r22 containment
+    * shape below) — materializing a table nothing re-reads is pure cost.
     */
-  private def tokenDfTable(ex: DataFrame, blockCols: Seq[String]): DataFrame =
-    ex.groupBy(blockCols.map(col) :+ col("sj_tok"): _*)
+  private def tokenDfTable(ex: DataFrame, blockCols: Seq[String],
+      ckpt: Boolean = true): DataFrame = {
+    val agg = ex.groupBy(blockCols.map(col) :+ col("sj_tok"): _*)
       .agg(count(lit(1)).as("sj_df"))
-      .ckptLazy
+    if (ckpt) agg.ckptLazy else agg
+  }
 
   /** The census-triggered loud failure behind [[DefaultMaxCandidates]]:
     * one one-row aggregate over the shared [[tokenDfTable]] computes
@@ -183,18 +184,57 @@ object SetSimJoin {
       if (row.isNullAt(0)) None // decimal(38,0) overflow — see scaladoc
       else Some(row.getDecimal(0).toBigInteger.shiftRight(1)) // ΣC(df,2) = Σ df·(df−1) / 2
     if (mass.forall(_.compareTo(java.math.BigInteger.valueOf(maxCandidates)) > 0))
-      throw new IllegalArgumentException(
-        s"$op: same-token collision mass ΣC(df,2) = " +
-          mass.map(_.toString).getOrElse("(overflowed decimal(38,0) — > 1e38)") +
-          s" exceeds maxCandidates = $maxCandidates — the exact prefix join " +
-          "is candidate-volume-bound and this input is in its quadratic " +
-          "regime (the measured wall: 1.3e11 mass filled >64 GB of shuffle " +
-          "spill and DNF'd, BASELINE.md r15). Remove ubiquitous tokens " +
-          "first via maxDf = Some(k) (capTokenDf), block the corpus so " +
-          "posting lists stay bounded, use the banded MinHashLsh/SimHash " +
-          "families for corpus-wide near-dup, or raise maxCandidates " +
-          "deliberately.")
+      failCandidateMass(
+        mass.map(_.toString).getOrElse("(overflowed decimal(38,0) — > 1e38)"),
+        maxCandidates, op)
   }
+
+  /** [[guardCandidateMass]]'s DRIVER-SIDE twin for [[DfStrategy.Packed]]
+    * (r22): the packed path already collects the full df table to the
+    * driver (bounded by `maxPackedDfEntries`), so the SAME ΣC(df,2) mass
+    * is an exact BigInteger fold over rows already in hand — the Spark
+    * census aggregate it replaces was a separate action whose
+    * materialize-then-aggregate cycle cost q_ngram_jaccard ~3 s of its
+    * 6 s at sf0.1 (SetSimVariants A/B: asis 6.10 s min vs census-free
+    * 2.91 s, identical 10 778 output rows). Same threshold, same loud
+    * steering message, same exact integer mass — only the engine that
+    * computes it changes. Longs accumulate until near overflow and spill
+    * into BigInteger, so the guard stays exact at any df.
+    */
+  private def guardCandidateMassDriver(dfRows: Array[org.apache.spark.sql.Row],
+      dfOrdinal: Int, maxCandidates: Long, op: String): Unit = {
+    if (maxCandidates == Long.MaxValue) return
+    var big = java.math.BigInteger.ZERO
+    var acc = 0L
+    dfRows.foreach { r =>
+      val df = r.getLong(dfOrdinal)
+      if (df > 3000000000L) // df·(df−1) would overflow a long
+        big = big.add(java.math.BigInteger.valueOf(df)
+          .multiply(java.math.BigInteger.valueOf(df - 1)))
+      else {
+        val p = df * (df - 1)
+        if (acc > Long.MaxValue - p) {
+          big = big.add(java.math.BigInteger.valueOf(acc)); acc = p
+        } else acc += p
+      }
+    }
+    val mass = big.add(java.math.BigInteger.valueOf(acc)).shiftRight(1)
+    if (mass.compareTo(java.math.BigInteger.valueOf(maxCandidates)) > 0)
+      failCandidateMass(mass.toString, maxCandidates, op)
+  }
+
+  private def failCandidateMass(massStr: String, maxCandidates: Long,
+      op: String): Nothing =
+    throw new IllegalArgumentException(
+      s"$op: same-token collision mass ΣC(df,2) = " + massStr +
+        s" exceeds maxCandidates = $maxCandidates — the exact prefix join " +
+        "is candidate-volume-bound and this input is in its quadratic " +
+        "regime (the measured wall: 1.3e11 mass filled >64 GB of shuffle " +
+        "spill and DNF'd, BASELINE.md r15). Remove ubiquitous tokens " +
+        "first via maxDf = Some(k) (capTokenDf), block the corpus so " +
+        "posting lists stay bounded, use the banded MinHashLsh/SimHash " +
+        "families for corpus-wide near-dup, or raise maxCandidates " +
+        "deliberately.")
 
   /** DF-CAP guard for the exact joins — the set-similarity analog of
     * [[MultimodalOps.dHashNearDup]]'s `maxBucket` hub-bucket guard (r17
@@ -270,9 +310,17 @@ object SetSimJoin {
     // Census over DISTINCT per-doc tokens (the setCol contract): one
     // combiner-reduced aggregate, never the index itself.
     val ex = docs.select(explode(col(setCol)).as("sj_tok") +: bc: _*)
+    // Lazy localCheckpoint (r22): the hot-key table has TWO consumers —
+    // the steering census action just below and the broadcast
+    // array_except (or anti-join) filter inside the returned plan — and
+    // each would otherwise re-run the full corpus explode + groupBy
+    // census (measured: the capped gates shingled the corpus once more
+    // per consumer). The table is bounded by the HOT vocabulary (keys
+    // with df > maxDf), orders of magnitude below the corpus.
     val hot = ex.groupBy(bc :+ col("sj_tok"): _*)
       .agg(count(lit(1)).as("sj_df"))
       .filter(col("sj_df") > maxDf)
+      .ckptLazy
     // Blockless calls join on a constant key instead of a cross join (an
     // empty hot side must keep every doc, which a cross join would drop).
     val joinCols = if (blockCols.isEmpty) Seq("graft_cap_k") else blockCols
@@ -346,8 +394,16 @@ object SetSimJoin {
         // here.
         val dfTab = dfTabReuse.getOrElse(
           ex.groupBy(bc :+ col("sj_tok"): _*).agg(count(lit(1)).as("sj_df")))
+        // SHUFFLE_HASH on the df side of the non-broadcast join-back (r22):
+        // the reused table arrives as a checkpointed LogicalRDD with no
+        // usable stats, so the planner falls back to sort-merge and SORTS
+        // the full inverted index on (block, token) just to attach a
+        // count. Hashing the vocabulary-sized df side per partition skips
+        // both sorts at the same exchange count (build side ≪ index by
+        // the vocabulary contract).
         if (bcast) ex.join(broadcast(dfTab), blockCols :+ "sj_tok")
-        else if (hotDf == Long.MaxValue) ex.join(dfTab, blockCols :+ "sj_tok")
+        else if (hotDf == Long.MaxValue)
+          ex.join(dfTab.hint("SHUFFLE_HASH"), blockCols :+ "sj_tok")
         else {
           // Deterministic hot-key split (see DfStrategy.Aggregate): the
           // df table is its own skew census. Hot keys (≥ hotDf index
@@ -433,24 +489,38 @@ object SetSimJoin {
     // corpus-wide call on a saturated vocabulary previously ran straight
     // into the >64 GB spill wall with no warning — now it fails eagerly,
     // BEFORE the prefix join, with the measured law and the escape hatches
-    // in the message. NOTE this makes the call EAGER: the census is a
-    // Spark action (one combiner-reduced aggregate pass over the input) at
+    // in the message. NOTE this makes the call EAGER (one action at
     // DataFrame-construction time — the documented cost of the
-    // loud-by-default guard (r19 ADVICE). The aggregate it builds is the
-    // shared [[tokenDfTable]], checkpointed and REUSED by the strategy's
-    // df machinery below, so the join never pays a second df pass (r19
-    // VERDICT item 4: the double-pass was 5.5 → 9.0 s on q_ngram_jaccard).
-    // Skipped when maxDf capped the input: post-cap every posting list is
-    // ≤ maxDf, so ΣC(df,2) ≤ |vocab|·C(maxDf,2) — LINEAR in vocabulary by
+    // loud-by-default guard, r19 ADVICE): Packed pays NO separate Spark
+    // action at all (the mass folds driver-side over the rows the pack
+    // collects anyway — r22, see guardCandidateMassDriver); Aggregate
+    // keeps the one-row Spark aggregate over the checkpointed table its
+    // rank reuses (r19 VERDICT item 4: without the reuse the double-pass
+    // was 5.5 → 9.0 s on q_ngram_jaccard); Window censuses a RAW
+    // single-consumer aggregate (see the containmentJoin comment on why
+    // table reuse is NOT extended to the window rank). Skipped when maxDf
+    // capped the input: post-cap every posting list is ≤ maxDf, so
+    // ΣC(df,2) ≤ |vocab|·C(maxDf,2) — LINEAR in vocabulary by
     // construction; the census would only re-prove it (measured ~2 s of
     // redundant aggregate on the sf0.1 capped gates).
     val censusNeeded = maxDf.isEmpty && maxCandidates != Long.MaxValue
     val dfTabShared: Option[DataFrame] =
-      if (censusNeeded || dfStrategy == DfStrategy.Packed)
+      if (dfStrategy == DfStrategy.Packed) Some(tokenDfTable(ex, blockCols))
+      else if (censusNeeded && dfStrategy.isInstanceOf[DfStrategy.Aggregate])
         Some(tokenDfTable(ex, blockCols))
       else None
-    if (censusNeeded)
-      guardCandidateMass(dfTabShared.get, maxCandidates, "jaccardJoin")
+    // Packed runs its census DRIVER-SIDE off the rows the pack collects
+    // anyway (see guardCandidateMassDriver — the Spark census action here
+    // was ~half of q_ngram_jaccard's wall time). Aggregate keeps the
+    // one-row Spark aggregate over the checkpointed table its rank
+    // join-back reuses. Window runs it over a RAW single-consumer
+    // aggregate — see the containmentJoin census comment: the r19/r20
+    // reuse-the-census-table substitution measured SLOWER than the window
+    // recount it saved and is reverted this round.
+    if (censusNeeded && dfStrategy != DfStrategy.Packed)
+      guardCandidateMass(
+        dfTabShared.getOrElse(tokenDfTable(ex, blockCols, ckpt = false)),
+        maxCandidates, "jaccardJoin")
 
     // Packed's bounded-vocabulary contract is ENFORCED, not assumed: the df
     // table is collected through a hard cap (one row past `maxPackedDfEntries`
@@ -460,12 +530,12 @@ object SetSimJoin {
     // on the same combiner-reduced count, identical output by the strategy
     // property tests — with a warning naming the contract, instead of OOMing
     // the driver with no diagnostic. All Packed reads go through the shared
-    // checkpointed [[tokenDfTable]]: when the census ran it already
-    // materialized the counts, so the capped collect (and the degraded
-    // path's join, which fires exactly when that aggregate is at its
-    // largest) reads computed blocks instead of aggregating the index a
-    // second time; checkpoint blocks are released by the ContextCleaner
-    // once the plans they feed are unreferenced.
+    // checkpointed [[tokenDfTable]]: the capped collect materializes it,
+    // the census folds over the collected rows driver-side, and the
+    // degraded path's Spark census + join-back (which fire exactly when
+    // that aggregate is at its largest) read the computed blocks instead
+    // of aggregating the index again; checkpoint blocks are released by
+    // the ContextCleaner once the plans they feed are unreferenced.
     val (strategy, packedDfRows, dfTabReuse): (DfStrategy,
         Option[Array[org.apache.spark.sql.Row]], Option[DataFrame]) =
       dfStrategy match {
@@ -482,27 +552,28 @@ object SetSimJoin {
           val dfTab = dfTabShared.get
           val capped = dfTab.limit(maxPackedDfEntries + 1).collect()
           if (capped.length <= maxPackedDfEntries) {
+            // The census over rows already in hand — zero extra actions
+            // (same mass, same threshold, same failure as the Spark form).
+            if (censusNeeded)
+              guardCandidateMassDriver(capped, blockCols.size + 1,
+                maxCandidates, "jaccardJoin")
             (DfStrategy.Packed, Some(capped), None)
           } else {
             log.warn(s"DfStrategy.Packed df table exceeds maxPackedDfEntries=" +
               s"$maxPackedDfEntries distinct (block, token) entries; the " +
               "bounded-vocabulary contract does not hold for this input — " +
               "falling back to DfStrategy.Aggregate(broadcast = false)")
+            // Oversized vocabulary: the rows are NOT all in hand — the
+            // census falls back to the Spark aggregate with the fallback
+            // strategy's own (reused) table.
+            if (censusNeeded)
+              guardCandidateMass(dfTab, maxCandidates, "jaccardJoin")
             (DfStrategy.Aggregate(broadcast = false), None, Some(dfTab))
           }
-        case DfStrategy.Window if dfTabShared.nonEmpty =>
-          // The census already built and MATERIALIZED the df table; the
-          // window form would recompute the same counts from a second full
-          // upstream scan + full-index (block, token) exchange. Join the
-          // checkpointed table back instead — df values are identical
-          // across strategies (the SetSimJoinSpec equivalence properties),
-          // and with the hot split disabled the skew posture matches
-          // Window's (one shuffled join keyed the same way the window
-          // partitioned). When the vocabulary is broadcast-small, AQE
-          // upgrades the join-back to broadcast at runtime, dropping even
-          // that index exchange — strictly ≤ the window's cost.
-          (DfStrategy.Aggregate(broadcast = false, hotDfThreshold = Long.MaxValue),
-            None, dfTabShared)
+        // (r22) Window stays Window even when the census ran: the r19/r20
+        // substitution of the checkpointed census table for the window's
+        // recount measured SLOWER than the recount it saved — see the
+        // containmentJoin census comment for the isolated A/B numbers.
         case a: DfStrategy.Aggregate => (a, None, dfTabShared)
         case s => (s, None, None)
       }
@@ -688,25 +759,27 @@ object SetSimJoin {
     // Same default-loud mass census as jaccardJoin: Σ C(df, 2) is the
     // probe×index collision law's proxy here (a saturated posting list
     // collides its prefix probes with its full index side). EAGER when it
-    // runs (one aggregate action at construction time — r19 ADVICE), and
-    // its aggregate is the shared checkpointed [[tokenDfTable]], re-fed to
-    // the rank below so the join never re-scans the corpus for df (r19
-    // VERDICT item 4). Skipped when maxDf capped the input (post-cap mass
-    // is linear in vocabulary by construction — see jaccardJoin).
+    // runs (one aggregate action at construction time — r19 ADVICE), over
+    // a RAW single-consumer aggregate. Skipped when maxDf capped the input
+    // (post-cap mass is linear in vocabulary by construction — see
+    // jaccardJoin).
+    //
+    // r22: the r19/r20 Window-with-census substitution (checkpoint the
+    // census table and join it back as the rank's df source, saving the
+    // window recount's second corpus scan) is REVERTED here on a fresh
+    // isolated A/B: the substituted join-back ranked index cost 5.33 s
+    // min vs 2.03 s for the plain window form on q_containment at sf0.1
+    // (SetSimVariants, per-variant JVMs, identical 505 output rows), even
+    // with a SHUFFLE_HASH hint on the df side — the checkpointed
+    // LogicalRDD's stats-free join plus the extra scan of the
+    // materialized table cost more than the one corpus re-scan they
+    // avoid. The census keeps its own combiner-reduced aggregate (~0.5 s
+    // incl. the corpus pass); net ~2.3 s off the gate.
     val censusNeeded = maxDf.isEmpty && maxCandidates != Long.MaxValue
-    val dfTabShared: Option[DataFrame] =
-      if (censusNeeded) Some(tokenDfTable(ex, blockCols)) else None
     if (censusNeeded)
-      guardCandidateMass(dfTabShared.get, maxCandidates, "containmentJoin")
-    // Window-with-census substitutes the checkpointed join-back for the
-    // window's recount — identical df values, one fewer full upstream scan
-    // (see the jaccardJoin strategy resolution for the full argument).
-    val effStrategy = dfStrategy match {
-      case DfStrategy.Window if dfTabShared.nonEmpty =>
-        DfStrategy.Aggregate(broadcast = false, hotDfThreshold = Long.MaxValue)
-      case s => s
-    }
-    val ranked = rankedIndex(ex, blockCols, effStrategy, dfTabShared)
+      guardCandidateMass(tokenDfTable(ex, blockCols, ckpt = false),
+        maxCandidates, "containmentJoin")
+    val ranked = rankedIndex(ex, blockCols, dfStrategy, None)
       .select(col("sj_id") +: col("sj_tok") +: col("sj_sz") +: col("sj_rk") +: bc: _*)
     // Probe prefix: |A| − ⌈t·|A|⌉ + 1 rare-first tokens of the contained side.
     val probe = ranked.filter(

@@ -49,12 +49,46 @@ object SetSimVariants {
         threshNum = 9, threshDen = 10, maxCandidates = maxCand)
 
     val variants: Seq[(String, () => DataFrame)] = Seq(
+      ("jacc-nocensus ", () => jacc(jaccG, Long.MaxValue)),
       ("jacc-asis     ", () => jacc(jaccG, SetSimJoin.DefaultMaxCandidates)),
       ("jacc-ckpt     ", () => jacc(jaccG.localCheckpoint(false), SetSimJoin.DefaultMaxCandidates)),
-      ("jacc-nocensus ", () => jacc(jaccG, Long.MaxValue)),
+      ("cont-nocensus ", () => cont(contG, Long.MaxValue)),
       ("cont-asis     ", () => cont(contG, SetSimJoin.DefaultMaxCandidates)),
       ("cont-ckpt     ", () => cont(contG.localCheckpoint(false), SetSimJoin.DefaultMaxCandidates)),
-      ("cont-nocensus ", () => cont(contG, Long.MaxValue)))
+      ("jacccap-asis  ", () => SetSimJoin.jaccardJoin(jaccG, "doc_id", "gr",
+        Seq("lang", "source"), threshNum = 3, threshDen = 5,
+        dfStrategy = SetSimJoin.DfStrategy.Packed, maxDf = Some(4L))),
+      ("jacccap-ckpt  ", () => SetSimJoin.jaccardJoin(jaccG.localCheckpoint(false),
+        "doc_id", "gr", Seq("lang", "source"), threshNum = 3, threshDen = 5,
+        dfStrategy = SetSimJoin.DfStrategy.Packed, maxDf = Some(4L))),
+      ("contcap-asis  ", () => SetSimJoin.containmentJoin(contG, "doc_id", "sh",
+        Nil, threshNum = 9, threshDen = 10, maxDf = Some(3L))),
+      ("contcap-ckpt  ", () => SetSimJoin.containmentJoin(contG.localCheckpoint(false),
+        "doc_id", "sh", Nil, threshNum = 9, threshDen = 10, maxDf = Some(3L))))
+
+    // Phase attribution for the census gap: time the tokenDfTable
+    // materialization + guard aggregate alone (the census's own work),
+    // mirroring SetSimJoin.tokenDfTable/guardCandidateMass.
+    def censusOnly(g: DataFrame, setCol: String, blockCols: Seq[String]): Unit = {
+      val bc = blockCols.map(col)
+      val ex = g.select(col("doc_id").as("sj_id") +:
+        explode(col(setCol)).as("sj_tok") +: bc: _*)
+      val dfTab = ex.groupBy(bc :+ col("sj_tok"): _*)
+        .agg(count(lit(1)).as("sj_df")).localCheckpoint(false)
+      val t0 = System.nanoTime()
+      val r = dfTab.agg(
+        try_sum((col("sj_df").cast("decimal(20,0)") *
+          (col("sj_df") - 1).cast("decimal(20,0)")).cast("decimal(38,0)")),
+        count(lit(1))).head()
+      val tGuard = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val n = dfTab.limit(4194305).collect().length
+      val tCollect = (System.nanoTime() - t1) / 1e9
+      println(f"CENSUS guard=$tGuard%.2f collect=$tCollect%.2f " +
+        f"dfRows=$n mass=${r.get(0)}")
+    }
+    censusOnly(jaccG, "gr", Seq("lang", "source"))
+    censusOnly(contG, "sh", Nil)
 
     def sentinel(): Double = {
       val t0 = System.nanoTime()
@@ -62,8 +96,16 @@ object SetSimVariants {
         .groupBy("k").sum("id").write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
+    // Optional variant-name filter (args 3+): the interleaved protocol
+    // turned out to carry a strong POSITION artifact (async cleanup of the
+    // previous variant's checkpoint blocks lands on whoever runs next —
+    // the same variant read 6.1 s in slot 1 and 3.1 s in slot 2 across
+    // two orderings), so decisive numbers come from one-variant-per-JVM
+    // runs.
+    val only = args.drop(2).toSet
+    val picked = if (only.isEmpty) variants else variants.filter(v => only(v._1.trim))
     sentinel() // warm-up
-    for (r <- 1 to reps; (name, mk) <- variants) {
+    for (r <- 1 to reps; (name, mk) <- picked) {
       val s = sentinel()
       val t0 = System.nanoTime()
       mk().write.format("noop").mode("overwrite").save()

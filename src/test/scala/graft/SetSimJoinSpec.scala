@@ -359,6 +359,25 @@ class SetSimJoinSpec extends AnyFunSuite with SparkSpec {
       maxCandidates = Long.MaxValue).count() == 0L) // J = 1/3 < 1/2: no pairs
   }
 
+  test("maxCandidates under Packed: the DRIVER-SIDE census (r22 — the mass " +
+    "folds over the rows the pack collects) fires the same loud failure at " +
+    "the same threshold, and a blocked input passes the same ceiling") {
+    // Same fixtures as the Spark-census test above: C(40,2) = 780 > 100.
+    val hot = (0 until 40).map(id => (id.toLong, "a",
+      Seq(0L, 100L + id))).toDF("doc_id", "blk", "gr")
+    val ej = intercept[IllegalArgumentException](SetSimJoin.jaccardJoin(
+      hot, "doc_id", "gr", Seq("blk"), 1, 2,
+      dfStrategy = SetSimJoin.DfStrategy.Packed, maxCandidates = 100L))
+    assert(ej.getMessage.contains("maxCandidates") &&
+      ej.getMessage.contains("ΣC(df,2) = 780") &&
+      ej.getMessage.contains("capTokenDf"), ej.getMessage)
+    val blocked = (0 until 40).map(id => (id.toLong, s"b$id",
+      Seq(0L, 100L + id))).toDF("doc_id", "blk", "gr")
+    assert(SetSimJoin.jaccardJoin(blocked, "doc_id", "gr", Seq("blk"), 1, 2,
+      dfStrategy = SetSimJoin.DfStrategy.Packed,
+      maxCandidates = 100L).count() == 0L)
+  }
+
   test("maxDf = Some(k) ≡ capTokenDf pre-step + join, and the cap lifts a " +
     "guard-tripping input back under the default ceiling") {
     val g = grams
